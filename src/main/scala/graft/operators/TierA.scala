@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySpec
+import graft.functions.{Feature, MsgPack, Wkb}
+import graft.sources.Tables
+
+/** Tier A — the reference's own surface: msgpack-framed WKB feature
+  * transport (SURVEY.md §2 A1–A12; semantics reconstructed, reference
+  * checkout empty — SURVEY.md §0).
+  *
+  * The declared queries here are END-TO-END serde exercises: each one
+  * synthesizes feature envelopes from the driver's `events` table, packs
+  * them to msgpack wire bytes (A2), unpacks them back (A3), parses the WKB
+  * geometry (A11), and only then projects/filters — while the DuckDB
+  * oracle computes the same answer directly from `events`. A hash match
+  * therefore proves the full pack→unpack→decode path is lossless.
+  *
+  * Serde runs as Scala UDFs: per-row binary blobs with dynamic maps are
+  * exactly the case where a UDF's codegen break-even is acceptable
+  * (SURVEY.md §7.3); everything around them stays built-in.
+  */
+object TierA {
+
+  private val packUdf: UserDefinedFunction = udf {
+    (layer: String, fid: String, wkb: Array[Byte], props: Map[String, String],
+     tsUs: Long, source: String, ver: Int) =>
+      MsgPack.pack(Feature(layer, fid, wkb, props, tsUs, source, ver))
+  }
+  private val unpackUdf: UserDefinedFunction = udf { (b: Array[Byte]) => MsgPack.unpack(b) }
+  private val wkbPointUdf: UserDefinedFunction = udf { (x: Double, y: Double) => Wkb.point(x, y) }
+  private val geomTypeUdf: UserDefinedFunction = udf { (b: Array[Byte]) => Wkb.geomType(b) }
+  private val bboxUdf: UserDefinedFunction = udf { (b: Array[Byte]) => Wkb.bbox(b) }
+  private val inBoxUdf: UserDefinedFunction =
+    udf { (b: Array[Byte]) => Wkb.bboxIntersects(b, 0.0, 0.0, 100.0, 100.0) }
+
+  /** events → packed wire bytes → unpacked feature struct column `f`. */
+  private[graft] def roundtrippedFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(packUdf(
+        $"event_type",
+        $"event_id".cast(StringType),
+        wkbPointUdf($"value", $"user_id".cast(DoubleType)),
+        map(lit("k"), get_json_object($"props", "$.k")),
+        unix_micros(date_trunc("second", $"ts")),
+        concat(lit("user_"), $"user_id".cast(StringType)),
+        lit(1)).as("wire"))
+      .select(unpackUdf($"wire").as("f"))
+  }
+
+  // ------------------------------------------------------------------ A1
+  private val a1 = QuerySpec(
+    "a1_feature_scan",
+    "Feature scan through the full wire roundtrip: envelope built from events, msgpack-packed, unpacked, envelope fields projected.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS layer,
+            date_trunc('second', ts) AS event_ts,
+            'user_' || CAST(user_id AS VARCHAR) AS source
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      roundtrippedFeatures(s, d).select(
+        $"f.feature_id".as("feature_id"), $"f.layer".as("layer"),
+        timestamp_micros($"f.event_ts_us").as("event_ts"), $"f.source".as("source"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  // ------------------------------------------------------------------ A6
+  private val a6 = QuerySpec(
+    "a6_layer_filter",
+    "Layer/topic routing + property predicate on the unpacked stream (consume-side filter).",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS layer,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval
+            FROM events
+            WHERE event_type = 'click' AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      roundtrippedFeatures(s, d)
+        .select($"f.feature_id".as("feature_id"), $"f.layer".as("layer"),
+          element_at($"f.props", "k").cast(LongType).as("kval"))
+        .filter($"layer" === "click" && $"kval" > 50)
+        .orderBy($"feature_id")
+    }
+  )
+
+  // ------------------------------------------------------------------ A7
+  private val a7 = QuerySpec(
+    "a7_prop_project",
+    "Property projection: dynamic props map → typed sink columns.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval,
+            (json_extract_string(props, '$.k') IS NOT NULL) AS k_present,
+            (json_extract_string(props, '$.missing') IS NOT NULL) AS m_present
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      roundtrippedFeatures(s, d)
+        .select($"f.feature_id".as("feature_id"),
+          element_at($"f.props", "k").cast(LongType).as("kval"),
+          element_at($"f.props", "k").isNotNull.as("k_present"),
+          element_at($"f.props", "missing").isNotNull.as("m_present"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  // ----------------------------------------------------------------- A11
+  private val a11 = QuerySpec(
+    "a11_geom_bbox",
+    "WKB geometry codec: point encoded at pack time, decoded after the wire roundtrip; bbox coords must equal the original doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, 'POINT' AS gtype,
+            value AS xmin, CAST(user_id AS DOUBLE) AS ymin,
+            (value BETWEEN 0 AND 100 AND user_id BETWEEN 0 AND 100) AS in_box
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      roundtrippedFeatures(s, d)
+        .select($"f.feature_id".as("feature_id"),
+          geomTypeUdf($"f.geom_wkb").as("gtype"),
+          bboxUdf($"f.geom_wkb").getField("xmin").as("xmin"),
+          bboxUdf($"f.geom_wkb").getField("ymin").as("ymin"),
+          inBoxUdf($"f.geom_wkb").as("in_box"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11)
+}

@@ -1,0 +1,701 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySpec
+import graft.sources.Tables
+
+/** Tier B — the relational core (SURVEY.md §2 B1–B36).
+  *
+  * Every spec is a declarative DataFrame (or `spark.sql`) plan plus the
+  * equivalent DuckDB oracle SQL. Hash-match rules (SURVEY.md §7.4):
+  * float aggregates go through DECIMAL casts (exact, associative — immune
+  * to partition-order float nondeterminism), every query ends in a total
+  * ORDER BY whose ties can only be rows identical in all output columns,
+  * `events.ts` (parquet ns) is `date_trunc`'d before any comparison, and
+  * integer-width differences (Spark INT vs DuckDB BIGINT) are normalized
+  * by casting to BIGINT on both sides.
+  *
+  * Scale posture: all plans are pure Catalyst — pushdown/pruning/AQE apply
+  * unchanged on a 1000-executor cluster. Dimension joins broadcast; big
+  * joins/aggs shuffle on their natural keys; no collect(), no UDFs.
+  */
+object TierB {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  // ------------------------------------------------------------------ B1
+  private val b1 = QuerySpec(
+    "b1_scan",
+    "Full parquet scan + count; vectorized reader, no shuffle.",
+    Some("SELECT COUNT(*) AS cnt FROM lineitem"),
+    (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+  )
+
+  // ------------------------------------------------------------------ B2
+  private val b2 = QuerySpec(
+    "b2_project",
+    "Projection + arithmetic; column pruning reaches the scan (ReadSchema).",
+    Some("""SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS revenue
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .cast(DecimalType(18, 4)).as("revenue"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"revenue")
+    }
+  )
+
+  // ------------------------------------------------------------------ B3
+  private val b3 = QuerySpec(
+    "b3_filter",
+    "Conjunctive/disjunctive predicates, BETWEEN/IN/LIKE; pushed to parquet (PushedFilters).",
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-06-30 23:59:59'
+              AND l_quantity < 25 AND l_returnflag IN ('A','R')
+              AND (l_discount BETWEEN 0.02 AND 0.08 OR l_tax > 0.05)
+              AND l_linestatus LIKE 'F%'
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate".between(ts("1996-01-01 00:00:00"), ts("1997-06-30 23:59:59"))
+          && $"l_quantity" < 25 && $"l_returnflag".isin("A", "R")
+          && ($"l_discount".between(0.02, 0.08) || $"l_tax" > 0.05)
+          && $"l_linestatus".like("F%"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    }
+  )
+
+  // ------------------------------------------------------------------ B4
+  private val b4 = QuerySpec(
+    "b4_join_inner",
+    "Inner equi-join orders⋈customer; AQE picks broadcast vs sort-merge by size.",
+    Some("""SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // ------------------------------------------------------------------ B5
+  private val b5 = QuerySpec(
+    "b5_join_outer",
+    "Full outer join preserving unmatched rows on both sides; NULLS FIRST pinned on both engines.",
+    Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+            FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""),
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d).filter($"o_orderstatus" === "P")
+      c.join(o, $"c_custkey" === $"o_custkey", "full")
+        .select($"c_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"c_custkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+    }
+  )
+
+  // ------------------------------------------------------------------ B6
+  private val b6 = QuerySpec(
+    "b6_join_semi_anti",
+    "Left-semi and left-anti joins (EXISTS / NOT EXISTS), union-tagged.",
+    Some("""SELECT c_custkey, 'semi' AS side FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+            UNION ALL
+            SELECT c_custkey, 'anti' AS side FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+            ORDER BY side, c_custkey"""),
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val f = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+      val semi = c.join(f, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", lit("semi").as("side"))
+      val anti = c.join(f, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", lit("anti").as("side"))
+      semi.union(anti).orderBy($"side", $"c_custkey")
+    }
+  )
+
+  // ------------------------------------------------------------------ B7
+  private val b7 = QuerySpec(
+    "b7_join_broadcast",
+    "Dimension join customer⋈nation⋈region with explicit broadcast() of both dims — no shuffle of the fact side.",
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec($"c_acctbal", 18, 2)).cast(DecimalType(18, 2)).as("sum_bal"))
+        .orderBy($"r_name", $"n_name")
+    }
+  )
+
+  // ------------------------------------------------------------------ B8
+  private val b8 = QuerySpec(
+    "b8_join_range",
+    "Range (theta) join: events bucketed by value range against a broadcast bucket table (BNLJ on the tiny side only — scale-safe).",
+    Some("""SELECT b.bucket_id, COUNT(*) AS n,
+            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_val
+            FROM events e
+            JOIN (SELECT CAST(i AS INT) AS bucket_id, CAST(i AS DOUBLE)*50 AS lo, CAST(i+1 AS DOUBLE)*50 AS hi
+                  FROM range(10) t(i)) b
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.bucket_id ORDER BY b.bucket_id"""),
+    (s, d) => {
+      import s.implicits._
+      val buckets = s.range(10).select(
+        $"id".cast(IntegerType).as("bucket_id"),
+        ($"id".cast(DoubleType) * 50).as("lo"),
+        (($"id" + 1).cast(DoubleType) * 50).as("hi"))
+      Tables.events(s, d)
+        .join(broadcast(buckets), $"value" >= $"lo" && $"value" < $"hi")
+        .groupBy($"bucket_id")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"value", 18, 2)).cast(DecimalType(18, 2)).as("sum_val"))
+        .orderBy($"bucket_id")
+    }
+  )
+
+  // ------------------------------------------------------------------ B9
+  private val b9 = QuerySpec(
+    "b9_join_asof",
+    "As-of join: latest click at-or-before each purchase per user. Spark has no native as-of; expressed as a running MAX over a RANGE window partitioned by the join key — one shuffle on user_id, scale-safe (no global sort).",
+    Some("""SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS tsec,
+            (SELECT MAX(date_trunc('second', c.ts)) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)) AS last_click
+            FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"""),
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", date_trunc("second", $"ts").as("tsec"))
+      val w = Window.partitionBy($"user_id").orderBy($"tsec")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click", max(when($"event_type" === "click", $"tsec")).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"tsec", $"last_click")
+        .orderBy($"event_id")
+    }
+  )
+
+  // ----------------------------------------------------------------- B10
+  private val b10 = QuerySpec(
+    "b10_cross",
+    "Cross join of two bounded dimensions (region × nation).",
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select($"r_name", $"n_name").orderBy($"r_name", $"n_name")
+    }
+  )
+
+  // ----------------------------------------------------------------- B11
+  /** Flagship: TPC-H Q1-shaped pricing summary (scan→filter→hash-agg→sort).
+    * Partial aggregation (map-side combine) collapses 600k rows to 6 groups
+    * before the shuffle — the canonical 100 TB-safe aggregate shape.
+    */
+  private[graft] val b11 = QuerySpec(
+    "b11_agg_groupby",
+    "Hash aggregation, TPC-H Q1 shape: sums/avgs/count by (returnflag, linestatus). DECIMAL casts before SUM keep it exact and order-insensitive.",
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                     * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(18,6)) AS sum_charge,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+            COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""),
+    (s, d) => {
+      import s.implicits._
+      val cnt = count(lit(1))
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= ts("2000-12-01 00:00:00"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity", 18, 2)).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(dec($"l_extendedprice", 18, 2)).cast(DecimalType(18, 2)).as("sum_base_price"),
+          // disc_price/charge in pure decimal arithmetic: a double→decimal
+          // cast of a computed product rounds differently across engines
+          // near scale boundaries; decimal × decimal is exact on both.
+          sum(dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          sum(dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2))
+              * (dec(lit(1), 3, 2) + dec($"l_tax", 3, 2)))
+            .cast(DecimalType(18, 6)).as("sum_charge"),
+          (sum(dec($"l_quantity", 18, 2)).cast(DoubleType) / cnt).as("avg_qty"),
+          (sum(dec($"l_extendedprice", 18, 2)).cast(DoubleType) / cnt).as("avg_price"),
+          (sum(dec($"l_discount", 18, 4)).cast(DoubleType) / cnt).as("avg_disc"),
+          cnt.as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }
+  )
+
+  // ----------------------------------------------------------------- B12
+  private val b12 = QuerySpec(
+    "b12_agg_distinct",
+    "Exact distinct aggregation (expand-based COUNT DISTINCT).",
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+            COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct($"l_partkey").as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
+  // ----------------------------------------------------------------- B13
+  private val b13 = QuerySpec(
+    "b13_agg_hll",
+    "Approximate distinct via HyperLogLog++ (no oracle: approx ⇒ not hash-matchable; bounds asserted in ScalaTest).",
+    None,
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_suppkey").as("approx_supp"),
+          approx_count_distinct($"l_partkey").as("approx_part"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
+  // ----------------------------------------------------------------- B14
+  private val b14 = QuerySpec(
+    "b14_agg_rollup",
+    "ROLLUP subtotals over (returnflag, linestatus); NULL group slots normalized to 'ALL' so both engines agree.",
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+            COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY rf, ls"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum(dec($"l_quantity", 18, 2)).cast(DecimalType(18, 2)).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"), $"sum_qty", $"n")
+        .orderBy($"rf", $"ls")
+    }
+  )
+
+  // ----------------------------------------------------------------- B15
+  private val b15 = QuerySpec(
+    "b15_win_rank",
+    "Ranking windows: row_number/rank/dense_rank/ntile, top-3 orders per customer; fully tie-broken ordering.",
+    Some("""SELECT * FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
+                DENSE_RANK() OVER w AS drk, NTILE(4) OVER w AS nt
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ) t WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).cast(LongType).as("rn"),
+          rank().over(w).cast(LongType).as("rk"),
+          dense_rank().over(w).cast(LongType).as("drk"),
+          ntile(4).over(w).cast(LongType).as("nt"))
+        .filter($"rn" <= 3)
+        .orderBy($"o_custkey", $"rn")
+    }
+  )
+
+  // ----------------------------------------------------------------- B16
+  private val b16 = QuerySpec(
+    "b16_win_analytic",
+    "Analytic windows: lag/lead/first_value over event time per user (ns ts truncated to seconds for cross-engine stability).",
+    Some("""SELECT event_id, user_id, date_trunc('second', ts) AS tsec, value,
+            LAG(value, 1) OVER w AS prev_value,
+            LEAD(value, 1) OVER w AS next_value,
+            FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fst
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
+            ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .select($"event_id", $"user_id", date_trunc("second", $"ts").as("tsec"), $"value")
+      val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+      base
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("next_value", lead($"value", 1).over(w))
+        .withColumn("fst", first($"value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy($"event_id")
+    }
+  )
+
+  // ----------------------------------------------------------------- B17
+  private val b17 = QuerySpec(
+    "b17_win_frame",
+    "Frame-spec windows: running sum (rows unbounded-preceding..current) and 3-row moving average per supplier. Window order includes l_quantity so tie permutations cannot change the sum multiset.",
+    Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+            FROM lineitem
+            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity, run_qty, mov_avg"""),
+    (s, d) => {
+      import s.implicits._
+      val ord = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = ord.rowsBetween(-2, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          sum(dec($"l_quantity", 18, 2)).over(run).cast(DecimalType(18, 2)).as("run_qty"),
+          (sum(dec($"l_quantity", 18, 2)).over(mov).cast(DoubleType) / count(lit(1)).over(mov)).as("mov_avg"))
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity", $"run_qty", $"mov_avg")
+    }
+  )
+
+  // ----------------------------------------------------------------- B18
+  private val b18 = QuerySpec(
+    "b18_topk",
+    "Global top-k: orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k, then k-merge on one reducer — no global sort).",
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    }
+  )
+
+  // ----------------------------------------------------------------- B19
+  private val b19 = QuerySpec(
+    "b19_setops",
+    "Set operations with their exact SQL semantics: INTERSECT/EXCEPT (distinct) and UNION ALL, union-tagged.",
+    Some("""SELECT 'except' AS op, k FROM (
+              SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE') t1
+            UNION ALL
+            SELECT 'intersect' AS op, k FROM (
+              SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE') t2
+            UNION ALL
+            SELECT 'union_all' AS op, k FROM (
+              SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_mktsegment = 'FURNITURE') t3
+            ORDER BY op, k"""),
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      def seg(m: String): DataFrame = c.filter($"c_mktsegment" === m).select($"c_nationkey".as("k"))
+      val ex = seg("BUILDING").except(seg("AUTOMOBILE")).select(lit("except").as("op"), $"k")
+      val in = seg("BUILDING").intersect(seg("AUTOMOBILE")).select(lit("intersect").as("op"), $"k")
+      val un = seg("BUILDING").distinct().union(seg("FURNITURE").distinct())
+        .select(lit("union_all").as("op"), $"k")
+      ex.union(in).union(un).orderBy($"op", $"k")
+    }
+  )
+
+  // ----------------------------------------------------------------- B20
+  private val b20sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+  private val b20 = QuerySpec(
+    "b20_subquery",
+    "Scalar subquery + IN-subquery through the SQL entry point; Catalyst decorrelates to joins. Same SQL text runs on both engines.",
+    Some(b20sql),
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(b20sql)
+    }
+  )
+
+  // ----------------------------------------------------------------- B21
+  private val b21 = QuerySpec(
+    "b21_str",
+    "String functions: upper/lower/substr/length/concat/replace/regexp_extract/trim/LIKE.",
+    Some("""SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_brand) AS lob,
+            SUBSTR(p_name, 1, 4) AS pre, CAST(LENGTH(p_name) AS BIGINT) AS len,
+            CONCAT(p_brand, '#', p_type) AS bt,
+            REPLACE(p_name, ' ', '_') AS und,
+            REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS lastw,
+            TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+            (p_name LIKE '%re%') AS has_re
+            FROM part ORDER BY p_partkey"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d).select($"p_partkey",
+        upper($"p_name").as("up"), lower($"p_brand").as("lob"),
+        substring($"p_name", 1, 4).as("pre"), length($"p_name").cast(LongType).as("len"),
+        concat($"p_brand", lit("#"), $"p_type").as("bt"),
+        expr("replace(p_name, ' ', '_')").as("und"),
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("lastw"),
+        trim(concat(lit(" "), $"p_name", lit(" "))).as("trimmed"),
+        $"p_name".like("%re%").as("has_re"))
+        .orderBy($"p_partkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B22
+  private val b22 = QuerySpec(
+    "b22_date",
+    "Date/time functions: year/month/day, date_trunc, day-diff, interval arithmetic, last_day. Session TZ pinned UTC on both engines.",
+    Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+            CAST(month(o_orderdate) AS BIGINT) AS mo, CAST(day(o_orderdate) AS BIGINT) AS dy,
+            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+            date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS dd,
+            o_orderdate + INTERVAL 3 MONTH AS plus3m,
+            last_day(o_orderdate) AS ld
+            FROM orders ORDER BY o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).select($"o_orderkey",
+        year($"o_orderdate").cast(LongType).as("yr"),
+        month($"o_orderdate").cast(LongType).as("mo"),
+        dayofmonth($"o_orderdate").cast(LongType).as("dy"),
+        date_trunc("month", $"o_orderdate").as("mon"),
+        datediff($"o_orderdate", ts("1995-01-01 00:00:00")).cast(LongType).as("dd"),
+        expr("o_orderdate + INTERVAL 3 MONTH").as("plus3m"),
+        last_day($"o_orderdate").as("ld"))
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B23
+  private val b23 = QuerySpec(
+    "b23_math",
+    "Math functions restricted to the IEEE-deterministic set (round/abs/ceil/floor/sqrt/sign/mod/greatest/least); pow/ln are libm-dependent and excluded from the hash gate by design.",
+    Some("""SELECT s_suppkey, ROUND(s_acctbal, 1) AS r1, ABS(s_acctbal) AS ab,
+            CAST(CEIL(s_acctbal) AS BIGINT) AS ce, CAST(FLOOR(s_acctbal) AS BIGINT) AS fl,
+            SQRT(ABS(s_acctbal)) AS sq, CAST(SIGN(s_acctbal) AS DOUBLE) AS sg,
+            s_suppkey % 7 AS md, GREATEST(s_acctbal, 0.0) AS g, LEAST(s_acctbal, 0.0) AS l
+            FROM supplier ORDER BY s_suppkey"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.supplier(s, d).select($"s_suppkey",
+        round($"s_acctbal", 1).as("r1"), abs($"s_acctbal").as("ab"),
+        ceil($"s_acctbal").as("ce"), floor($"s_acctbal").as("fl"),
+        sqrt(abs($"s_acctbal")).as("sq"), signum($"s_acctbal").as("sg"),
+        ($"s_suppkey" % 7).as("md"),
+        greatest($"s_acctbal", lit(0.0)).as("g"), least($"s_acctbal", lit(0.0)).as("l"))
+        .orderBy($"s_suppkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B24
+  private val b24 = QuerySpec(
+    "b24_array",
+    "Array / higher-order functions on dim-64 float embeddings: size, element_at, slice, transform (all codegen'd — no UDF).",
+    Some("""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+            embedding[1] AS first_elem, embedding[64] AS last_elem,
+            embedding[1:4] AS head4,
+            list_transform(embedding[1:3], x -> x * 2) AS doubled
+            FROM embeddings ORDER BY vec_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d).select($"vec_id", $"label",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("first_elem"),
+        element_at($"embedding", 64).as("last_elem"),
+        slice($"embedding", 1, 4).as("head4"),
+        transform(slice($"embedding", 1, 3), x => x * lit(2.0f)).as("doubled"))
+        .orderBy($"vec_id")
+    }
+  )
+
+  // ----------------------------------------------------------------- B25
+  private val b25 = QuerySpec(
+    "b25_map",
+    "Map functions: map construction, element_at, map_keys, str_to_map. Oracle states the equivalent scalar results directly.",
+    Some("""SELECT o_orderkey, o_orderstatus AS st, o_orderpriority AS pr,
+            CAST(2 AS INT) AS nkeys, ['prio', 'status'] AS mkeys,
+            o_orderpriority AS b_val
+            FROM orders ORDER BY o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      val m = map(lit("status"), $"o_orderstatus", lit("prio"), $"o_orderpriority")
+      val s2m = str_to_map(
+        concat(lit("a="), $"o_orderstatus", lit("&b="), $"o_orderpriority"), lit("&"), lit("="))
+      Tables.orders(s, d).select($"o_orderkey",
+        element_at(m, "status").as("st"), element_at(m, "prio").as("pr"),
+        size(m).as("nkeys"), sort_array(map_keys(m)).as("mkeys"),
+        element_at(s2m, "b").as("b_val"))
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B26
+  private val b26 = QuerySpec(
+    "b26_json",
+    "JSON scalar extraction from the events.props JSON string (Spark get_json_object ≡ DuckDB json_extract_string).",
+    Some("""SELECT event_id, json_extract_string(props, '$.k') AS kstr,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval
+            FROM events ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d).select($"event_id",
+        get_json_object($"props", "$.k").as("kstr"),
+        get_json_object($"props", "$.k").cast(LongType).as("kval"))
+        .orderBy($"event_id")
+    }
+  )
+
+  // ----------------------------------------------------------------- B27
+  private val b27 = QuerySpec(
+    "b27_cond",
+    "Conditional/null functions: CASE WHEN, NULLIF, COALESCE.",
+    Some("""SELECT o_orderkey,
+            CASE WHEN o_totalprice > 300000 THEN 'big'
+                 WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS sz,
+            COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS st
+            FROM orders ORDER BY o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).select($"o_orderkey",
+        when($"o_totalprice" > 300000, "big")
+          .when($"o_totalprice" > 150000, "mid").otherwise("small").as("sz"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("st"))
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B28
+  private val b28 = QuerySpec(
+    "b28_stream_tumble",
+    "Tumbling 1-hour window aggregation (batch analog of the streaming shape; window() start ≡ date_trunc hour).",
+    Some("""SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_val
+            FROM events GROUP BY 1, 2 ORDER BY hr, event_type"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"value", 18, 2)).cast(DecimalType(18, 2)).as("sum_val"))
+        .select($"window.start".as("hr"), $"event_type", $"n", $"sum_val")
+        .orderBy($"hr", $"event_type")
+    }
+  )
+
+  // ----------------------------------------------------------------- B29
+  private val b29 = QuerySpec(
+    "b29_stream_slide",
+    "Sliding window (1 hour every 30 min): each event lands in 2 windows; oracle replays the assignment with half-hour truncation + union.",
+    Some("""WITH h AS (
+              SELECT value, date_trunc('hour', ts)
+                     + CASE WHEN EXTRACT(minute FROM ts) >= 30 THEN INTERVAL 30 MINUTE
+                            ELSE INTERVAL 0 MINUTE END AS h30
+              FROM events),
+            two AS (
+              SELECT h30 AS ws, value FROM h
+              UNION ALL
+              SELECT h30 - INTERVAL 30 MINUTE AS ws, value FROM h)
+            SELECT ws, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_val
+            FROM two GROUP BY ws ORDER BY ws"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"value", 18, 2)).cast(DecimalType(18, 2)).as("sum_val"))
+        .select($"window.start".as("ws"), $"n", $"sum_val")
+        .orderBy($"ws")
+    }
+  )
+
+  // ----------------------------------------------------------------- B30
+  private val b30 = QuerySpec(
+    "b30_session",
+    "Session windows (6-hour gap) per user via session_window(); oracle replays with gaps-and-islands SQL. Strict `< gap` matches Spark's half-open session intervals.",
+    Some("""WITH x AS (SELECT user_id, date_trunc('second', ts) AS tsec FROM events),
+            o AS (SELECT user_id, tsec,
+                    CASE WHEN tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY tsec) < INTERVAL 6 HOUR
+                         THEN 0 ELSE 1 END AS brk
+                  FROM x),
+            s AS (SELECT user_id, tsec,
+                    SUM(brk) OVER (PARTITION BY user_id ORDER BY tsec
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM o)
+            SELECT user_id, MIN(tsec) AS session_start, MAX(tsec) AS last_ts, COUNT(*) AS n
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", date_trunc("second", $"ts").as("tsec"))
+        .groupBy(session_window($"tsec", "6 hours"), $"user_id")
+        .agg(min($"tsec").as("session_start"), max($"tsec").as("last_ts"), count(lit(1)).as("n"))
+        .select($"user_id", $"session_start", $"last_ts", $"n")
+        .orderBy($"user_id", $"session_start")
+    }
+  )
+
+  // ----------------------------------------------------------------- B36
+  private val b36 = QuerySpec(
+    "b36_explode",
+    "Generator/UDTF surface: explode(split(text)) — one row per token.",
+    Some("""SELECT doc_id, token FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+            WHERE token <> '' ORDER BY doc_id, token"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .filter($"token" =!= "")
+        .orderBy($"doc_id", $"token")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(
+    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15, b16,
+    b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30, b36)
+}

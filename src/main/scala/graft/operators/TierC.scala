@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySpec
+import graft.functions.MinHash
+import graft.sources.Tables
+
+/** Tier C — LLM-training-data pipeline operators (SURVEY.md §2 C1–C5).
+  *
+  * Scale posture per operator:
+  *  - c1: hash-aggregate on the dedup key — partial aggregation map-side,
+  *    one shuffle, no row explosion.
+  *  - c2: MinHash/LSH — signatures map-side, candidates only within LSH
+  *    buckets (band self-join), never all-pairs.
+  *  - c3: kNN blocked by `label` — the candidate join shuffles both sides
+  *    on the block key; per-block work is |block|², never |corpus|².
+  *  - c4/c5: explode→aggregate pipelines; token shuffles partial-aggregated.
+  *
+  * Determinism: cosine/tf-idf scores are computed with the exact same
+  * left-associated double-arithmetic chain the oracle SQL uses; tf-idf is
+  * additionally floored at 1e-6 resolution (floor and * are exact IEEE ops,
+  * unlike half-up rounding whose implementations differ across engines).
+  */
+object TierC {
+
+  // ------------------------------------------------------------------ C1
+  private val c1 = QuerySpec(
+    "c1_dedup_exact",
+    "Exact dedup of documents by full text: canonical survivor = MIN(doc_id) per text (deterministic, unlike dropDuplicates' arbitrary pick), plus copy count and content hash.",
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MD5(text) AS h
+            FROM documents GROUP BY text ORDER BY keep_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies", md5($"text").as("h"))
+        .orderBy($"keep_id")
+    }
+  )
+
+  // ------------------------------------------------------------------ C2
+  /** doc → (doc_id, band_id, band_hash) LSH index rows. */
+  private def lshIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bandsUdf = udf { (text: String) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      MinHash.bandHashes(MinHash.signature(MinHash.shingles(toks)))
+    }
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(bandsUdf($"text")).as(Seq("band_id", "band_hash")))
+  }
+
+  private val c2 = QuerySpec(
+    "c2_dedup_near",
+    "Near-dup MinHash/LSH signature index: 32 minhashes → 8 bands → (doc_id, band_id, band_hash) bucket keys. Not SQL-expressible ⇒ no oracle; pair mining + Jaccard verification covered by ScalaTest property tests.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      lshIndex(s, d).orderBy($"doc_id", $"band_id")
+    }
+  )
+
+  private val c2pairs = QuerySpec(
+    "c2_dedup_pairs",
+    "Near-dup candidate pairs: LSH bucket self-join (band_id, band_hash) → distinct pairs → exact Jaccard verify ≥ 0.8 on distinct token sets. Empty when the corpus has no near-dups (sf0.01); non-empty at sf0.1.",
+    None,
+    (s, d) => nearDuplicatePairs(s, Tables.documents(s, d), 0.8)
+  )
+
+  /** Full near-dup pipeline, reusable on any (doc_id, text) frame. */
+  def nearDuplicatePairs(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    import s.implicits._
+    val idx = {
+      val bandsUdf = udf { (text: String) =>
+        val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+        MinHash.bandHashes(MinHash.signature(MinHash.shingles(toks)))
+      }
+      docs.select($"doc_id", posexplode(bandsUdf($"text")).as(Seq("band_id", "band_hash")))
+    }
+    // self-join via explicit renames: df.as("x")/as("y") alias conditions on
+    // a shared lineage can resolve both sides to the same attribute (a
+    // trivially-true predicate ⇒ accidental all-pairs cross join)
+    val left = idx.select($"doc_id".as("id_a"), $"band_id", $"band_hash")
+    val right = idx.select($"doc_id".as("id_b"), $"band_id".as("band_id_r"), $"band_hash".as("band_hash_r"))
+    val cand = left.join(right,
+        $"band_id" === $"band_id_r" && $"band_hash" === $"band_hash_r" && $"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .distinct()
+    val tokens = docs.select($"doc_id",
+      array_distinct(filter(split(lower($"text"), " "), t => t =!= "")).as("toks"))
+    cand
+      .join(tokens.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(tokens.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect($"toks_a", $"toks_b")).cast(DoubleType)
+          / size(array_union($"toks_a", $"toks_b")).cast(DoubleType))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ------------------------------------------------------------------ C3
+  private def dotChain(l: String, r: String): String =
+    (1 to 64).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Left-fold double dot product via zip_with + aggregate (codegen'd
+    * higher-order fns, no UDF); bit-identical to the oracle's explicit
+    * left-associated 64-term sum.
+    */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val c3 = QuerySpec(
+    "c3_knn_cosine",
+    "Similarity search: exact cosine top-3 neighbors per vector within its `label` block (LSH-style blocking keeps the pair count |block|² — never a full cross join).",
+    Some(s"""WITH p AS (
+              SELECT a.vec_id AS ida, b.vec_id AS idb,
+                     (${dotChain("a", "b")}) AS dot,
+                     (${dotChain("a", "a")}) AS na2,
+                     (${dotChain("b", "b")}) AS nb2
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+            sc AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS score FROM p),
+            r AS (SELECT ida, idb, score,
+                    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rn
+                  FROM sc)
+            SELECT ida, idb, score, rn FROM r WHERE rn <= 3 ORDER BY ida, rn"""),
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("idb"), $"label".as("label_b"), $"embedding".as("eb"))
+      val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
+      a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
+        .withColumn("dot", dotCol($"ea", $"eb"))
+        .withColumn("na2", dotCol($"ea", $"ea"))
+        .withColumn("nb2", dotCol($"eb", $"eb"))
+        .withColumn("score", $"dot" / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 3)
+        .select($"ida", $"idb", $"score", $"rn")
+        .orderBy($"ida", $"rn")
+    }
+  )
+
+  // ------------------------------------------------------------------ C4
+  private val c4 = QuerySpec(
+    "c4_text_tf",
+    "Text analysis: tokenize (explode), normalize case, term frequency per language.",
+    Some("""SELECT lang, token, COUNT(*) AS tf FROM (
+              SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+            WHERE token <> '' GROUP BY lang, token ORDER BY lang, token"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", explode(split(lower($"text"), " ")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("tf"))
+        .orderBy($"lang", $"token")
+    }
+  )
+
+  // ------------------------------------------------------------------ C5
+  private val c5 = QuerySpec(
+    "c5_tfidf",
+    "TF-IDF top-5 terms per source: tf per (source, token) × ln(N/df), scored at fixed 1e-6 resolution via exact floor (cross-engine-stable, unlike round).",
+    Some("""WITH toks AS (
+              SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+            t2 AS (SELECT * FROM toks WHERE token <> ''),
+            tf AS (SELECT source, token, COUNT(*) AS tf FROM t2 GROUP BY source, token),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            sc AS (SELECT tf.source, tf.token, tf.tf,
+                     CAST(FLOOR(tf.tf * LN(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT) AS score_e6
+                   FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+            r AS (SELECT source, token, tf, score_e6,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_e6 DESC, token) AS rn
+                  FROM sc)
+            SELECT source, token, tf, score_e6, rn FROM r WHERE rn <= 5 ORDER BY source, rn"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select($"doc_id", $"source", explode(split(lower($"text"), " ")).as("token"))
+        .filter($"token" =!= "")
+      val tf = toks.groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"source").orderBy($"score_e6".desc, $"token")
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score_e6",
+          floor($"tf" * log($"n".cast(DoubleType) / $"df".cast(DoubleType)) * 1000000).cast(LongType))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 5)
+        .select($"source", $"token", $"tf", $"score_e6", $"rn")
+        .orderBy($"source", $"rn")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c4, c5)
+}

@@ -21,7 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright (PARQUET_TYPE_ILLEGAL). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; the raw nanos LONG is
+    * normalized here to a µs TimestampType so every downstream query sees
+    * a plain timestamp column (values are µs-aligned; integer DIV is the
+    * same floor-truncation Spark applies natively for ns→µs).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
