@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-level checks over the declared queries (SURVEY.md §5):
+  * every registry entry runs; the oracle-checked subset is additionally
+  * hash-verified by the driver (and tools/check.py locally) — here we
+  * guard the *determinism* premise and the non-SQL-expressible operators.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+  private val sf = SparkFixture.sfDir
+
+  test("registry: every oracle key has a query, names unique") {
+    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
+    assert(Registry.all.map(_.name).distinct.size == Registry.all.size)
+  }
+
+  test("every declared query executes on sf0.001") {
+    Registry.all.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      withClue(q.name) {
+        // c2_dedup_pairs is legitimately empty on a corpus with no near-dups
+        assert(n >= 0 && (n > 0 || q.name == "c2_dedup_pairs"))
+      }
+    }
+  }
+
+  test("flagship entry() returns >0 rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("determinism: representative queries identical under different partitioning") {
+    val subset = Seq("b11_agg_groupby", "b15_win_rank", "b17_win_frame",
+      "b30_session", "c3_knn_cosine", "c5_tfidf", "a11_geom_bbox")
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(name: String): Seq[String] =
+      Registry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    try {
+      subset.foreach { name =>
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val a = run(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val b = run(name)
+        withClue(name)(assert(a == b))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
+  test("b13 approx_count_distinct within 5% of exact") {
+    import spark.implicits._
+    val approx = Registry.queries("b13_agg_hll")(spark, sf)
+      .select($"l_returnflag", $"approx_supp").as[(String, Long)].collect().toMap
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(countDistinct($"l_suppkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"flag=$k approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("c2 near-dup pipeline finds planted near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word13", "changed") // jaccard ≈ 79/81
+    val unrelated = (1 to 80).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+    val pairs = operators.TierC.nearDuplicatePairs(spark, docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair missed")
+    assert(pairs.contains((0L, 3L)), "exact-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc flagged")
+  }
+
+  test("c3 kNN: neighbors stay within the label block, k<=3, best-first") {
+    import spark.implicits._
+    val rows = Registry.queries("c3_knn_cosine")(spark, sf).collect()
+    val labels = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (ida, rs) =>
+      assert(rs.length <= 3)
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, s"ida=$ida not best-first")
+      rs.foreach(r => assert(labels(r.getLong(1)) == labels(ida), "neighbor crossed label block"))
+    }
+  }
+}
