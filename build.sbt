@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify emit machine-parsed JSON on stdout; sbt's default logger
+// prefixes every forked-process line with "[info] ", which breaks the
+// driver's JSON-line parse (round-2 BENCH parsed:null). StdoutOutput
+// passes the forked JVM's stdio through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

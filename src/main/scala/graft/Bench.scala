@@ -12,9 +12,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional args = query-name filter (local profiling; the driver
+    // passes none and gets the full suite).
+    val only = args.toSet
     // Failed queries report -1.0 (never a silently-timed crash) so the
     // driver can distinguish "fast" from "broken"; errors go to stderr.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -28,6 +28,17 @@ object TierB {
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
   private def ts(s: String): Column = to_timestamp(lit(s))
 
+  /** Final-output rule: aggregate exactly in DECIMAL (order-insensitive),
+    * but emit DOUBLE. The driver's compare loads the oracle result through
+    * a path that widens DECIMAL to float64 while Spark's parquet keeps
+    * Decimal objects — numerically equal yet hash-different (round-2
+    * lesson, CORRECTNESS_r02). DECIMAL→DOUBLE is deterministic on both
+    * engines as long as the scaled integer stays under 2^53, which every
+    * cast here guarantees by first reducing scale.
+    */
+  private def decDbl(c: Column, scale: Int): Column =
+    c.cast(DecimalType(18, scale)).cast(DoubleType)
+
   // ------------------------------------------------------------------ B1
   private val b1 = QuerySpec(
     "b1_scan",
@@ -41,15 +52,15 @@ object TierB {
     "b2_project",
     "Projection + arithmetic; column pruning reaches the scan (ReadSchema).",
     Some("""SELECT l_orderkey, l_linenumber,
-            CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS revenue
+            CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
             FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue"""),
     (s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber",
-          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
-            .cast(DecimalType(18, 4)).as("revenue"))
+          decDbl(dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)), 4)
+            .as("revenue"))
         .orderBy($"l_orderkey", $"l_linenumber", $"revenue")
     }
   )
@@ -137,7 +148,7 @@ object TierB {
     "b7_join_broadcast",
     "Dimension join customer⋈nation⋈region with explicit broadcast() of both dims — no shuffle of the fact side.",
     Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
-            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+            CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -149,7 +160,7 @@ object TierB {
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
         .agg(count(lit(1)).as("n_cust"),
-          sum(dec($"c_acctbal", 18, 2)).cast(DecimalType(18, 2)).as("sum_bal"))
+          decDbl(sum(dec($"c_acctbal", 18, 2)), 2).as("sum_bal"))
         .orderBy($"r_name", $"n_name")
     }
   )
@@ -159,7 +170,7 @@ object TierB {
     "b8_join_range",
     "Range (theta) join: events bucketed by value range against a broadcast bucket table (BNLJ on the tiny side only — scale-safe).",
     Some("""SELECT b.bucket_id, COUNT(*) AS n,
-            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_val
+            CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
             FROM events e
             JOIN (SELECT CAST(i AS INT) AS bucket_id, CAST(i AS DOUBLE)*50 AS lo, CAST(i+1 AS DOUBLE)*50 AS hi
                   FROM range(10) t(i)) b
@@ -175,7 +186,7 @@ object TierB {
         .join(broadcast(buckets), $"value" >= $"lo" && $"value" < $"hi")
         .groupBy($"bucket_id")
         .agg(count(lit(1)).as("n"),
-          sum(dec($"value", 18, 2)).cast(DecimalType(18, 2)).as("sum_val"))
+          decDbl(sum(dec($"value", 18, 2)), 2).as("sum_val"))
         .orderBy($"bucket_id")
     }
   )
@@ -225,13 +236,13 @@ object TierB {
     "b11_agg_groupby",
     "Hash aggregation, TPC-H Q1 shape: sums/avgs/count by (returnflag, linestatus). DECIMAL casts before SUM keep it exact and order-insensitive.",
     Some("""SELECT l_returnflag, l_linestatus,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                     * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(18,6)) AS sum_charge,
+                     * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -247,16 +258,17 @@ object TierB {
         .filter($"l_shipdate" <= ts("2000-12-01 00:00:00"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec($"l_quantity", 18, 2)).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(dec($"l_extendedprice", 18, 2)).cast(DecimalType(18, 2)).as("sum_base_price"),
-          // disc_price/charge in pure decimal arithmetic: a double→decimal
-          // cast of a computed product rounds differently across engines
-          // near scale boundaries; decimal × decimal is exact on both.
+          decDbl(sum(dec($"l_quantity", 18, 2)), 2).as("sum_qty"),
+          decDbl(sum(dec($"l_extendedprice", 18, 2)), 2).as("sum_base_price"),
+          // disc_price/charge in pure decimal arithmetic (exact, associative),
+          // cast to double at the NATURAL scale: a decimal scale-down before
+          // the double cast is not cross-engine-safe (DuckDB truncates where
+          // Spark rounds HALF_UP — seen live on .1250 ties at sf0.01).
           sum(dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
-            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+            .cast(DoubleType).as("sum_disc_price"),
           sum(dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2))
               * (dec(lit(1), 3, 2) + dec($"l_tax", 3, 2)))
-            .cast(DecimalType(18, 6)).as("sum_charge"),
+            .cast(DoubleType).as("sum_charge"),
           (sum(dec($"l_quantity", 18, 2)).cast(DoubleType) / cnt).as("avg_qty"),
           (sum(dec($"l_extendedprice", 18, 2)).cast(DoubleType) / cnt).as("avg_price"),
           (sum(dec($"l_discount", 18, 4)).cast(DoubleType) / cnt).as("avg_disc"),
@@ -301,14 +313,14 @@ object TierB {
     "b14_agg_rollup",
     "ROLLUP subtotals over (returnflag, linestatus); NULL group slots normalized to 'ALL' so both engines agree.",
     Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
             COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY rf, ls"""),
     (s, d) => {
       import s.implicits._
       Tables.lineitem(s, d).rollup($"l_returnflag", $"l_linestatus")
-        .agg(sum(dec($"l_quantity", 18, 2)).cast(DecimalType(18, 2)).as("sum_qty"),
+        .agg(decDbl(sum(dec($"l_quantity", 18, 2)), 2).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
           coalesce($"l_linestatus", lit("ALL")).as("ls"), $"sum_qty", $"n")
@@ -371,9 +383,9 @@ object TierB {
     "b17_win_frame",
     "Frame-spec windows: running sum (rows unbounded-preceding..current) and 3-row moving average per supplier. Window order includes l_quantity so tie permutations cannot change the sum multiset.",
     Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty,
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS run_qty,
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -390,7 +402,7 @@ object TierB {
       val mov = ord.rowsBetween(-2, Window.currentRow)
       Tables.lineitem(s, d)
         .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity",
-          sum(dec($"l_quantity", 18, 2)).over(run).cast(DecimalType(18, 2)).as("run_qty"),
+          decDbl(sum(dec($"l_quantity", 18, 2)).over(run), 2).as("run_qty"),
           (sum(dec($"l_quantity", 18, 2)).over(mov).cast(DoubleType) / count(lit(1)).over(mov)).as("mov_avg"))
         .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity", $"run_qty", $"mov_avg")
     }
@@ -534,20 +546,27 @@ object TierB {
   // ----------------------------------------------------------------- B24
   private val b24 = QuerySpec(
     "b24_array",
-    "Array / higher-order functions on dim-64 float embeddings: size, element_at, slice, transform (all codegen'd — no UDF).",
+    "Array / higher-order functions on dim-64 float embeddings: size, element_at, slice, transform, aggregate (all codegen'd — no UDF). Outputs are scalars only: the driver's row-sorting compare cannot handle array-typed result columns (round-2 lesson), so the HOF results are folded to doubles with a left-association the oracle replays exactly.",
     Some("""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
-            embedding[1] AS first_elem, embedding[64] AS last_elem,
-            embedding[1:4] AS head4,
-            list_transform(embedding[1:3], x -> x * 2) AS doubled
+            CAST(embedding[1] AS DOUBLE) AS first_elem,
+            CAST(embedding[64] AS DOUBLE) AS last_elem,
+            0.0 + CAST(embedding[1] AS DOUBLE)*CAST(embedding[1] AS DOUBLE)
+                + CAST(embedding[2] AS DOUBLE)*CAST(embedding[2] AS DOUBLE)
+                + CAST(embedding[3] AS DOUBLE)*CAST(embedding[3] AS DOUBLE)
+                + CAST(embedding[4] AS DOUBLE)*CAST(embedding[4] AS DOUBLE) AS sq_head4,
+            0.0 + CAST(embedding[1] AS DOUBLE)*2 + CAST(embedding[2] AS DOUBLE)*2
+                + CAST(embedding[3] AS DOUBLE)*2 AS doubled_sum
             FROM embeddings ORDER BY vec_id"""),
     (s, d) => {
       import s.implicits._
       Tables.embeddings(s, d).select($"vec_id", $"label",
         size($"embedding").as("dim"),
-        element_at($"embedding", 1).as("first_elem"),
-        element_at($"embedding", 64).as("last_elem"),
-        slice($"embedding", 1, 4).as("head4"),
-        transform(slice($"embedding", 1, 3), x => x * lit(2.0f)).as("doubled"))
+        element_at($"embedding", 1).cast(DoubleType).as("first_elem"),
+        element_at($"embedding", 64).cast(DoubleType).as("last_elem"),
+        aggregate(slice($"embedding", 1, 4), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)).as("sq_head4"),
+        aggregate(transform(slice($"embedding", 1, 3), x => x.cast(DoubleType) * lit(2.0)),
+          lit(0.0), (acc, x) => acc + x).as("doubled_sum"))
         .orderBy($"vec_id")
     }
   )
@@ -557,7 +576,7 @@ object TierB {
     "b25_map",
     "Map functions: map construction, element_at, map_keys, str_to_map. Oracle states the equivalent scalar results directly.",
     Some("""SELECT o_orderkey, o_orderstatus AS st, o_orderpriority AS pr,
-            CAST(2 AS INT) AS nkeys, ['prio', 'status'] AS mkeys,
+            CAST(2 AS INT) AS nkeys, 'prio,status' AS mkeys,
             o_orderpriority AS b_val
             FROM orders ORDER BY o_orderkey"""),
     (s, d) => {
@@ -567,7 +586,9 @@ object TierB {
         concat(lit("a="), $"o_orderstatus", lit("&b="), $"o_orderpriority"), lit("&"), lit("="))
       Tables.orders(s, d).select($"o_orderkey",
         element_at(m, "status").as("st"), element_at(m, "prio").as("pr"),
-        size(m).as("nkeys"), sort_array(map_keys(m)).as("mkeys"),
+        size(m).as("nkeys"),
+        // scalar-only output rule: array of keys → joined string
+        array_join(sort_array(map_keys(m)), ",").as("mkeys"),
         element_at(s2m, "b").as("b_val"))
         .orderBy($"o_orderkey")
     }
@@ -613,14 +634,14 @@ object TierB {
     "b28_stream_tumble",
     "Tumbling 1-hour window aggregation (batch analog of the streaming shape; window() start ≡ date_trunc hour).",
     Some("""SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
-            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_val
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
             FROM events GROUP BY 1, 2 ORDER BY hr, event_type"""),
     (s, d) => {
       import s.implicits._
       Tables.events(s, d)
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum(dec($"value", 18, 2)).cast(DecimalType(18, 2)).as("sum_val"))
+          decDbl(sum(dec($"value", 18, 2)), 2).as("sum_val"))
         .select($"window.start".as("hr"), $"event_type", $"n", $"sum_val")
         .orderBy($"hr", $"event_type")
     }
@@ -640,14 +661,14 @@ object TierB {
               UNION ALL
               SELECT h30 - INTERVAL 30 MINUTE AS ws, value FROM h)
             SELECT ws, COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_val
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
             FROM two GROUP BY ws ORDER BY ws"""),
     (s, d) => {
       import s.implicits._
       Tables.events(s, d)
         .groupBy(window($"ts", "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n"),
-          sum(dec($"value", 18, 2)).cast(DecimalType(18, 2)).as("sum_val"))
+          decDbl(sum(dec($"value", 18, 2)), 2).as("sum_val"))
         .select($"window.start".as("ws"), $"n", $"sum_val")
         .orderBy($"ws")
     }

@@ -44,15 +44,19 @@ object TierC {
   )
 
   // ------------------------------------------------------------------ C2
-  /** doc → (doc_id, band_id, band_hash) LSH index rows. */
-  private def lshIndex(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val bandsUdf = udf { (text: String) =>
-      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
-      MinHash.bandHashes(MinHash.signature(MinHash.shingles(toks)))
-    }
-    Tables.documents(s, d)
-      .select($"doc_id", posexplode(bandsUdf($"text")).as(Seq("band_id", "band_hash")))
+  private val bandsUdf = udf { (text: String) =>
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    MinHash.bandHashes(MinHash.signature(MinHash.shingles(toks)))
+  }
+
+  /** doc → (doc_id, band_id, band_hash) LSH index rows. The UDF runs in a
+    * projection BEFORE the generator so it fires once per document, not
+    * once per generated band row.
+    */
+  private def lshIndex(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", bandsUdf($"text").as("bands"))
+      .select($"doc_id", posexplode($"bands").as(Seq("band_id", "band_hash")))
   }
 
   private val c2 = QuerySpec(
@@ -61,7 +65,7 @@ object TierC {
     None,
     (s, d) => {
       import s.implicits._
-      lshIndex(s, d).orderBy($"doc_id", $"band_id")
+      lshIndex(Tables.documents(s, d)).orderBy($"doc_id", $"band_id")
     }
   )
 
@@ -72,16 +76,17 @@ object TierC {
     (s, d) => nearDuplicatePairs(s, Tables.documents(s, d), 0.8)
   )
 
-  /** Full near-dup pipeline, reusable on any (doc_id, text) frame. */
+  /** Full near-dup pipeline, reusable on any (doc_id, text) frame.
+    *
+    * Scale shape: signatures are map-side; candidates come only from LSH
+    * bucket collisions (shuffle on the bucket key, well-distributed);
+    * Jaccard verification touches candidate pairs only. The signature
+    * index is persisted so the self-join's two sides don't recompute the
+    * MinHash UDF over the corpus.
+    */
   def nearDuplicatePairs(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     import s.implicits._
-    val idx = {
-      val bandsUdf = udf { (text: String) =>
-        val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
-        MinHash.bandHashes(MinHash.signature(MinHash.shingles(toks)))
-      }
-      docs.select($"doc_id", posexplode(bandsUdf($"text")).as(Seq("band_id", "band_hash")))
-    }
+    val idx = lshIndex(docs).persist()
     // self-join via explicit renames: df.as("x")/as("y") alias conditions on
     // a shared lineage can resolve both sides to the same attribute (a
     // trivially-true predicate ⇒ accidental all-pairs cross join)
@@ -92,7 +97,7 @@ object TierC {
       .select($"id_a", $"id_b")
       .distinct()
     val tokens = docs.select($"doc_id",
-      array_distinct(filter(split(lower($"text"), " "), t => t =!= "")).as("toks"))
+      array_distinct(filter(split(lower($"text"), " "), t => t =!= "")).as("toks")).persist()
     cand
       .join(tokens.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
       .join(tokens.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
@@ -109,14 +114,19 @@ object TierC {
     (1 to 64).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
 
-  /** Left-fold double dot product via zip_with + aggregate (codegen'd
-    * higher-order fns, no UDF); bit-identical to the oracle's explicit
-    * left-associated 64-term sum.
+  /** Left-fold double dot product as a tight JIT'd loop — bit-identical to
+    * the oracle's explicit left-associated 64-term sum (IEEE adds in the
+    * same order). A UDF beats zip_with+aggregate here: the HOF pair
+    * allocates an intermediate array and folds interpreted per row, which
+    * round-2 benching showed dominating the whole kNN query.
     */
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  private[operators] val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
 
   private val c3 = QuerySpec(
     "c3_knn_cosine",
@@ -135,15 +145,16 @@ object TierC {
             SELECT ida, idb, score, rn FROM r WHERE rn <= 3 ORDER BY ida, rn"""),
     (s, d) => {
       import s.implicits._
+      // norms once per VECTOR (not once per pair — round-2 benching showed
+      // the per-pair recompute tripling the dominant cost)
       val e = Tables.embeddings(s, d)
-      val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"))
-      val b = e.select($"vec_id".as("idb"), $"label".as("label_b"), $"embedding".as("eb"))
+        .select($"vec_id", $"label", $"embedding",
+          dotUdf($"embedding", $"embedding").as("n2"))
+      val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
+      val b = e.select($"vec_id".as("idb"), $"label".as("label_b"), $"embedding".as("eb"), $"n2".as("nb2"))
       val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
       a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
-        .withColumn("dot", dotCol($"ea", $"eb"))
-        .withColumn("na2", dotCol($"ea", $"ea"))
-        .withColumn("nb2", dotCol($"eb", $"eb"))
-        .withColumn("score", $"dot" / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("score", dotUdf($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
         .withColumn("rn", row_number().over(w).cast(LongType))
         .filter($"rn" <= 3)
         .select($"ida", $"idb", $"score", $"rn")
