@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   val all: Seq[QuerySpec] =
-    operators.TierA.specs ++ operators.TierB.specs ++ operators.TierC.specs
+    operators.TierA.specs ++ operators.TierB.specs ++ operators.TierC.specs ++
+      operators.TierCText.specs ++ operators.TierCSim.specs ++
+      operators.Multimodal.specs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names in registry")
 

@@ -1,0 +1,114 @@
+package graft.functions
+
+/** Text-analysis primitives for the LLM-data-pipeline tier (SURVEY.md §2
+  * Tier C; north-star `BASELINE.json:6`): stopword/marker tables shared by
+  * the quality-scoring and language-ID operators, and a winnowing
+  * rolling-hash document fingerprinter.
+  *
+  * Everything here is deterministic pure-Scala (fixed constants, no RNG),
+  * so declared queries over these functions are stable across runs,
+  * partitionings, and JVMs.
+  */
+object TextStats {
+
+  /** Minimal English stopword set used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it")
+
+  /** Per-language marker tokens for the n-gram-heuristic language ID.
+    * Ordered: ties break toward the earlier entry (deterministic argmax).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "la"),
+    "fr" -> Seq("le", "les"),
+    "zh" -> Seq("的", "是"),
+  )
+
+  /** Karp-Rabin rolling hash over char k-grams, then winnowing: slide a
+    * w-hash window and keep each window's minimum (rightmost tie-break),
+    * deduplicating consecutive picks. Standard MOSS-style fingerprinting:
+    * any shared substring of length >= k + w - 1 guarantees a shared
+    * fingerprint. Base/mod fixed for determinism; Long overflow arithmetic
+    * is itself deterministic mod 2^64.
+    */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    val s = text
+    if (s.length < k) return Array(fullHash(s))
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var pow = 1L // Base^(k-1)
+    var i = 0
+    while (i < k) {
+      h = h * Base + s.charAt(i)
+      if (i < k - 1) pow = pow * Base
+      i += 1
+    }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastIdx = -1
+    var start = 0
+    val lastWindow = math.max(0, n - w)
+    while (start <= lastWindow) {
+      val end = math.min(start + w, n)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      if (minIdx != lastIdx) {
+        out += hashes(minIdx)
+        lastIdx = minIdx
+      }
+      start += 1
+    }
+    out.toArray
+  }
+
+  private val Base = 257L
+
+  private def fullHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * Base + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** 64-bit token hash for SimHash: two fixed-seed murmur32 halves. */
+  def tokenHash64(t: String): Long = {
+    val hi = scala.util.hashing.MurmurHash3.stringHash(t, 0x1b873593)
+    val lo = scala.util.hashing.MurmurHash3.stringHash(t, 0x61c88647)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  /** 64-bit SimHash over a token multiset: per bit, +1 for set / -1 for
+    * clear across all token hashes; result bit = sign. Near-identical
+    * documents land within a small Hamming distance.
+    */
+  def simHash(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = tokenHash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

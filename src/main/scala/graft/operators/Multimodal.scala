@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySpec
+import graft.sources.Tables
+
+/** Multimodal-column support (north-star `BASELINE.json:6`): media travel
+  * through the pipeline as opaque `BinaryType` payloads plus a typed
+  * metadata struct — the same transport pattern as the Tier A WKB
+  * geometry column, generalized to image/audio/video.
+  *
+  * The DECODE step is a clearly-marked deterministic STUB
+  * ([[MediaCodec.decodeStub]]): this container ships no image/audio
+  * libraries, so the codec derives fake-but-stable "dimensions" from the
+  * payload bytes. Everything around it — schema, per-partition batch
+  * iteration, partitioning, output shape — is real Spark plumbing that a
+  * production codec would drop into unchanged.
+  *
+  * Scale posture: decode/feature-extract runs inside `mapPartitions`
+  * (one codec instance per partition, streaming batch iteration — the
+  * Scala analog of a Pandas-UDF `mapInPandas` loop), so 100 TB of media
+  * decodes with per-partition parallelism and zero driver involvement.
+  */
+object Multimodal {
+
+  /** Typed record for the media pipeline. */
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, kind: String, nbytes: Long,
+      width: Int, height: Int, checksum: Long)
+
+  object MediaCodec {
+    /** STUB — deterministic fake decode. A real deployment binds an image
+      * library here (payload → pixel buffer → (width, height)); offline we
+      * derive stable pseudo-dimensions from the byte content so tests and
+      * declared queries are reproducible.
+      */
+    def decodeStub(payload: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      (64 + (h & 0x3f), 64 + ((h >>> 8) & 0x3f))
+    }
+
+    /** Deterministic payload checksum (sum of unsigned bytes — exact,
+      * order-fixed, SQL-replayable).
+      */
+    def checksum(payload: Array[Byte]): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < payload.length) { acc += payload(i) & 0xff; i += 1 }
+      acc
+    }
+  }
+
+  /** Batch decode: one codec per partition, streaming iterator — the real
+    * plumbing a production decode would use.
+    */
+  def decodeFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition codec init would go here (native lib handles, etc.)
+      it.map { r =>
+        val (w, h) = MediaCodec.decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h,
+          MediaCodec.checksum(r.payload))
+      }
+    }
+  }
+
+  /** documents → media records: UTF-8 payload bytes standing in for real
+    * media blobs (the transport layer is identical).
+    */
+  def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id".as("media_id"), lit("text/plain").as("kind"),
+        encode($"text", "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  private val c6 = QuerySpec(
+    "c6_multimodal",
+    "Multimodal binary-column pipeline: payload bytes + typed metadata through mapPartitions batch decode; SQL-replayable outputs (size, head bytes, md5, byte checksum) verify the binary transport end-to-end. Decode dims are a marked stub (no media libs in image).",
+    Some("""SELECT doc_id AS media_id, 'text/plain' AS kind,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes,
+            hex(CAST(left(text, 8) AS BLOB)) AS head_hex,
+            md5(text) AS payload_md5
+            FROM documents ORDER BY media_id"""),
+    (s, d) => {
+      import s.implicits._
+      val feats = decodeFeatures(mediaRecords(s, d))
+      // join the decoded features back onto SQL-replayable payload probes:
+      // the oracle can't replay the stubbed decode (width/height), so the
+      // declared output keeps the verifiable columns; decode correctness
+      // is covered by MultimodalSpec.
+      feats.toDF().select($"media_id", $"kind", $"nbytes")
+        .join(
+          Tables.documents(s, d).select($"doc_id".as("media_id"),
+            hex(substring($"text", 1, 8).cast(BinaryType)).as("head_hex"),
+            md5(encode($"text", "UTF-8")).as("payload_md5")),
+          "media_id")
+        .orderBy($"media_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6)
+}

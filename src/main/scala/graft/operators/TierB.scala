@@ -700,6 +700,65 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B34
+  private val b34 = QuerySpec(
+    "b34_udf",
+    "Scalar UDF surface: spark.udf.register + call_udf + inline typed udf(); oracle replays the identical logic in SQL. UDFs break codegen fusion, so they stay out of hot paths (SURVEY §4) — this query exercises the registration surface itself.",
+    Some("""SELECT o_orderkey,
+            CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+                 WHEN o_totalprice >= 150000 THEN 'gold'
+                 WHEN o_totalprice >= 50000 THEN 'silver'
+                 ELSE 'bronze' END AS band,
+            CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len
+            FROM orders ORDER BY o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      s.udf.register("price_band", udf { (p: Double) =>
+        if (p >= 300000) "platinum"
+        else if (p >= 150000) "gold"
+        else if (p >= 50000) "silver"
+        else "bronze"
+      })
+      val lenUdf = udf { (x: String) => x.length.toLong }
+      Tables.orders(s, d).select($"o_orderkey",
+        call_udf("price_band", $"o_totalprice").as("band"),
+        lenUdf($"o_orderpriority").as("prio_len"))
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B35
+  /** Typed Aggregator → functions.udaf: exact integer sum-of-squares (the
+    * merge is associative+commutative, so partial aggregation and shuffle
+    * order can't change the result — the property every custom UDAF must
+    * hold at 100 TB).
+    */
+  private object SumSqLong extends org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b + a * a
+    def merge(x: Long, y: Long): Long = x + y
+    def finish(r: Long): Long = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  private val b35 = QuerySpec(
+    "b35_udaf",
+    "Custom typed UDAF surface (Aggregator + functions.udaf): per-returnflag integer sum-of-squares of quantity; oracle replays with SUM(q*q).",
+    Some("""SELECT l_returnflag, CAST(SUM(q*q) AS BIGINT) AS sum_sq, COUNT(*) AS n
+            FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      import s.implicits._
+      val sumsq = udaf(SumSqLong)
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity".cast(LongType).as("q"))
+        .groupBy($"l_returnflag")
+        .agg(sumsq($"q").as("sum_sq"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
   // ----------------------------------------------------------------- B36
   private val b36 = QuerySpec(
     "b36_explode",
@@ -718,5 +777,6 @@ object TierB {
 
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15, b16,
-    b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30, b36)
+    b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
+    b34, b35, b36)
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySpec
+import graft.functions.TextStats
+import graft.sources.Tables
+
+/** Tier C similarity extensions (north-star `BASELINE.json:6`): SimHash
+  * near-dup, n-gram Jaccard near-dup, embedding-cosine near-dup, and an
+  * LSH-bucketed approximate nearest-neighbor path.
+  *
+  * Scale posture — the common rule is BLOCK, NEVER ALL-PAIRS:
+  *  - SimHash: signatures map-side; candidate pairs only via equal 16-bit
+  *    bands (4 bands ⇒ Hamming ≤ 3 within 64 bits is always caught).
+  *  - n-gram Jaccard: pairs only within a `source` block.
+  *  - embedding near-dup / ANN: pairs only within a `label` block (exact)
+  *    or a random-hyperplane LSH bucket (approximate) — the bucket count
+  *    grows with the corpus, so per-bucket work stays bounded.
+  */
+object TierCSim {
+
+  // ------------------------------------------------------------- SimHash
+  private val simhashUdf = udf { (text: String) =>
+    TextStats.simHash(text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+  }
+
+  private val c2s = QuerySpec(
+    "c2_simhash",
+    "64-bit SimHash per document (sign-sum of fixed-seed 64-bit token hashes). Custom hash ⇒ no oracle; Hamming-locality property covered by ScalaTest.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", simhashUdf($"text").as("simhash"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking (guarantees recall of
+    * every pair with Hamming ≤ 3), verified by exact Hamming ≤ maxHamming.
+    */
+  def simhashPairs(s: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
+    import s.implicits._
+    val sigs = docs.select($"doc_id", simhashUdf($"text").as("simhash")).persist()
+    val banded = sigs.select($"doc_id", $"simhash",
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_id", "band_val")))
+    val left = banded.select($"doc_id".as("id_a"), $"simhash".as("sh_a"), $"band_id", $"band_val")
+    val right = banded.select($"doc_id".as("id_b"), $"simhash".as("sh_b"),
+      $"band_id".as("band_id_r"), $"band_val".as("band_val_r"))
+    left.join(right,
+        $"band_id" === $"band_id_r" && $"band_val" === $"band_val_r" && $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b").distinct()
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming".cast(LongType).as("hamming"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val c2sp = QuerySpec(
+    "c2_simhash_pairs",
+    "SimHash near-dup candidate pairs: 4×16-bit LSH bands → bucket self-join → exact Hamming ≤ 3 verify. No oracle (custom hash); ScalaTest covers dup detection.",
+    None,
+    (s, d) => simhashPairs(s, Tables.documents(s, d), 3)
+  )
+
+  // ----------------------------------------------------- n-gram Jaccard
+  private val NgramThreshold = 0.6
+  private val c2n = QuerySpec(
+    "c2_ngram_jaccard",
+    "Word-bigram Jaccard near-dup, blocked by `source` (pairs only within a block — never corpus²); exact bigram-set Jaccard ≥ 0.6.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.grams AS ga, c.grams AS gb
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id)
+            SELECT id_a, id_b,
+              CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(list_distinct(ga || gb)) AS jaccard
+            FROM p
+            WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(list_distinct(ga || gb)) >= $NgramThreshold
+            ORDER BY id_a, id_b"""),
+    (s, d) => {
+      import s.implicits._
+      val toks = filter(split(lower($"text"), " "), t => t =!= "")
+      val grams = array_distinct(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
+      val b = Tables.documents(s, d)
+        .select($"doc_id", $"source", toks.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", $"source", grams.as("grams"))
+      val left = b.select($"doc_id".as("id_a"), $"source", $"grams".as("ga"))
+      val right = b.select($"doc_id".as("id_b"), $"source".as("source_r"), $"grams".as("gb"))
+      val jac = size(array_intersect($"ga", $"gb")).cast(DoubleType) /
+        size(array_union($"ga", $"gb"))
+      left.join(right, $"source" === $"source_r" && $"id_a" < $"id_b")
+        .withColumn("jaccard", jac)
+        .filter($"jaccard" >= NgramThreshold)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    }
+  )
+
+  // ------------------------------------------- embedding-cosine near-dup
+  private def dotChain(l: String, r: String): String =
+    (1 to 64).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private val EmbedThreshold = 0.4
+  private val c2e = QuerySpec(
+    "c2_embed_neardup",
+    "Embedding-cosine near-dup pairs within a `label` block: exact cosine ≥ 0.4 (threshold fits the synthetic corpus's score range; real near-dup corpora use ~0.95+). Same blocked-pair shape as c3.",
+    Some(s"""WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     (${dotChain("a", "b")}) AS dot,
+                     (${dotChain("a", "a")}) AS na2,
+                     (${dotChain("b", "b")}) AS nb2
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS score
+            FROM p WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $EmbedThreshold
+            ORDER BY id_a, id_b"""),
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding",
+          TierC.dotUdf($"embedding", $"embedding").as("n2"))
+      val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
+      val b = e.select($"vec_id".as("id_b"), $"label".as("label_b"), $"embedding".as("eb"), $"n2".as("nb2"))
+      a.join(b, $"label" === $"label_b" && $"id_a" < $"id_b")
+        .withColumn("score", TierC.dotUdf($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .filter($"score" >= EmbedThreshold)
+        .select($"id_a", $"id_b", $"score")
+        .orderBy($"id_a", $"id_b")
+    }
+  )
+
+  // ------------------------------------------------- LSH-bucketed ANN
+  /** Deterministic ±1 hyperplane component for (plane, dim) — fixed-seed
+    * murmur parity, no RNG state.
+    */
+  private def planeSign(p: Int, dim: Int): Double =
+    if ((scala.util.hashing.MurmurHash3.productHash((p, dim), 0x2545f491) & 1) == 0) 1.0 else -1.0
+
+  private val NumPlanes = 8
+
+  private val bucketUdf = udf { (emb: Seq[Float]) =>
+    var bucket = 0
+    var p = 0
+    while (p < NumPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < emb.length) { acc += emb(i).toDouble * planeSign(p, i); i += 1 }
+      if (acc >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** ANN top-k per vector: random-hyperplane LSH bucket (2^8 buckets) →
+    * exact cosine re-rank within the bucket. The scale path of C3: bucket
+    * population stays ~|corpus|/256, so per-bucket pair work is bounded
+    * and the whole thing is one shuffle on the bucket key.
+    */
+  def annTopK(s: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val e = embeddings.select($"vec_id", $"embedding",
+      bucketUdf($"embedding").as("bucket"),
+      TierC.dotUdf($"embedding", $"embedding").as("n2")).persist()
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"bucket", $"n2".as("na2"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"bucket".as("bucket_r"), $"n2".as("nb2"))
+    val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")
+    a.join(b, $"bucket" === $"bucket_r" && $"id_a" =!= $"id_b")
+      .withColumn("score", TierC.dotUdf($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter($"rn" <= k)
+      .select($"id_a", $"id_b", $"score", $"rn")
+      .orderBy($"id_a", $"rn")
+  }
+
+  private val c3a = QuerySpec(
+    "c3_ann_lsh",
+    "Approximate nearest neighbors: 8-hyperplane LSH bucket + exact cosine re-rank within bucket, top-3. Custom hash ⇒ no oracle; determinism + recall-vs-exact covered by ScalaTest.",
+    None,
+    (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySpec
+import graft.functions.TextStats
+import graft.sources.Tables
+
+/** Tier C text-analysis operators (north-star `BASELINE.json:6`: "text
+  * analysis" for LLM training-data pipelines): quality scoring,
+  * language-ID, token counting, content fingerprinting.
+  *
+  * Scale posture: every query is a single map-side projection over
+  * `documents` (no join, no shuffle except the final presentation sort) —
+  * the 100 TB shape is "scan, compute per row, write". All token work uses
+  * codegen'd higher-order functions; the only UDF is the winnowing
+  * fingerprinter (per-row rolling hash, inherently scalar).
+  *
+  * Determinism: counts are exact integers; ratios are single IEEE double
+  * divisions replayed with the identical association in the oracle SQL.
+  */
+object TierCText {
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  private val toksCol =
+    filter(split(lower(col("text")), " "), t => t =!= "")
+
+  // ------------------------------------------------------- quality score
+  private val stopSql = sqlList(TextStats.Stopwords)
+  private val c4q = QuerySpec(
+    "c4_quality",
+    "Per-document quality scoring: char/token counts, mean token length, stopword ratio, blended quality score — the length/stopword heuristics of a training-data quality filter.",
+    Some(s"""WITH t AS (SELECT doc_id, text,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS BIGINT) AS sum_tok_len,
+              CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS BIGINT) AS stop_hits,
+              CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE)
+                / len(toks) AS stop_ratio,
+              0.5 * (CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE) / len(toks))
+                + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality
+            FROM t ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val stops = TextStats.Stopwords
+      val toks = toksCol
+      val nTokens = size(toks)
+      val stopHits = size(filter(toks, t => t.isInCollection(stops)))
+      val stopRatio = stopHits.cast(DoubleType) / nTokens
+      Tables.documents(s, d).select($"doc_id",
+        length($"text").cast(LongType).as("n_chars"),
+        nTokens.cast(LongType).as("n_tokens"),
+        aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
+          .as("sum_tok_len"),
+        stopHits.cast(LongType).as("stop_hits"),
+        stopRatio.as("stop_ratio"),
+        (lit(0.5) * stopRatio + lit(0.5) * least(nTokens.cast(DoubleType) / 100.0, lit(1.0)))
+          .as("quality"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ---------------------------------------------------------- language ID
+  private val c4l = QuerySpec(
+    "c4_langid",
+    "Language ID via marker-token voting (n-gram heuristic): per-language marker hit counts, argmax with a fixed priority tiebreak. (The synthetic corpus draws all langs from one vocabulary, so the *labels* aren't recoverable — the query verifies the scoring machinery.)",
+    Some {
+      val scores = TextStats.LangMarkers.map { case (lang, markers) =>
+        s"CAST(len(list_filter(toks, x -> list_contains(${sqlList(markers)}, x))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n              ")
+      val langs = TextStats.LangMarkers.map(_._1)
+      val cases = langs.dropRight(1).zipWithIndex.map { case (lang, i) =>
+        val rest = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+            list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+            FROM documents),
+          s AS (SELECT doc_id, lang,
+              $scores
+            FROM t)
+          SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+            CASE $cases ELSE '${langs.last}' END AS pred_lang
+          FROM s ORDER BY doc_id"""
+    },
+    (s, d) => {
+      import s.implicits._
+      val toks = toksCol
+      val scored = Tables.documents(s, d).select(
+        Seq($"doc_id", $"lang") ++ TextStats.LangMarkers.map { case (lang, markers) =>
+          size(filter(toks, t => t.isInCollection(markers))).cast(LongType).as(s"s_$lang")
+        }: _*)
+      val langs = TextStats.LangMarkers.map(_._1)
+      val pred = langs.dropRight(1).zipWithIndex.foldLeft(when(lit(false), "")) {
+        case (acc, (lang, i)) =>
+          val cond = langs.drop(i + 1)
+            .map(o => col(s"s_$lang") >= col(s"s_$o"))
+            .reduce(_ && _)
+          acc.when(cond, lang)
+      }.otherwise(langs.last)
+      scored.withColumn("pred_lang", pred).orderBy($"doc_id")
+    }
+  )
+
+  // ------------------------------------------------------- token counting
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val c4t = QuerySpec(
+    "c4_tokcount",
+    "Token counting two ways: whitespace tokens and a BPE-ish regex pass (letter runs | digit runs | single other-chars) — the pre-tokenizer shape of byte-pair encoders.",
+    Some(s"""SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), s -> s <> '')) AS BIGINT) AS ws_tokens,
+            CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS BIGINT) AS bpe_tokens,
+            CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        size(filter(split($"text", " "), t => t =!= "")).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit(BpePattern), lit(0))).cast(LongType).as("bpe_tokens"),
+        length($"text").cast(LongType).as("n_chars"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ------------------------------------------------- content fingerprint
+  private val c4f = QuerySpec(
+    "c4_fingerprint",
+    "Content fingerprint of whitespace-normalized text (MD5) — the exact-dedup key a crawl pipeline stores per document.",
+    Some("""WITH t AS (SELECT doc_id,
+              array_to_string(list_filter(string_split(lower(text), ' '), s -> s <> ''), ' ') AS norm
+              FROM documents)
+            SELECT doc_id, md5(norm) AS fp_md5, CAST(length(norm) AS BIGINT) AS norm_len
+            FROM t ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
+      Tables.documents(s, d).select($"doc_id",
+        md5(norm).as("fp_md5"), length(norm).cast(LongType).as("norm_len"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ------------------------------------------- winnowing fingerprint set
+  private val winnowUdf = udf { (text: String) =>
+    val fp = TextStats.winnow(text)
+    (fp.length, fp.min, fp.max)
+  }
+  private val c4w = QuerySpec(
+    "c4_winnow",
+    "Winnowing rolling-hash fingerprints (MOSS-style k-gram Karp-Rabin + window minima): summary stats per document. Custom hash ⇒ not SQL-expressible (no oracle); containment property covered by ScalaTest.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", winnowUdf(lower($"text")).as("w"))
+        .select($"doc_id", $"w._1".as("n_fp"), $"w._2".as("min_fp"), $"w._3".as("max_fp"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w)
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextStatsSpec extends AnyFunSuite {
+
+  test("winnow: identical text gives identical fingerprints") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    assert(TextStats.winnow(t).toSeq == TextStats.winnow(t).toSeq)
+  }
+
+  test("winnow: shared long substring guarantees shared fingerprints (MOSS property)") {
+    val core = "a shared stretch of text that is comfortably longer than k plus w characters"
+    val a = "prefix one " + core + " suffix alpha"
+    val b = "completely different lead-in " + core + " other tail"
+    val fa = TextStats.winnow(a).toSet
+    val fb = TextStats.winnow(b).toSet
+    assert((fa intersect fb).nonEmpty, "no shared fingerprint for shared substring")
+  }
+
+  test("winnow: short text still fingerprints") {
+    assert(TextStats.winnow("tiny").length == 1)
+  }
+
+  test("winnow: disjoint texts share no fingerprints") {
+    val fa = TextStats.winnow("aaaa bbbb cccc dddd eeee ffff gggg").toSet
+    val fb = TextStats.winnow("zzzz yyyy xxxx wwww vvvv uuuu tttt").toSet
+    assert((fa intersect fb).isEmpty)
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("simhash: single-token edit stays within small Hamming distance") {
+    (20 to 60 by 5).foreach { n =>
+      val toks = (1 to n).map(i => s"tok$i")
+      val edited = toks.updated(n / 2, "CHANGED")
+      val d = hamming(TextStats.simHash(toks), TextStats.simHash(edited))
+      assert(d <= 16, s"n=$n hamming=$d")
+    }
+  }
+
+  test("simhash: unrelated token sets are far apart") {
+    val a = TextStats.simHash((1 to 50).map(i => s"alpha$i"))
+    val b = TextStats.simHash((1 to 50).map(i => s"beta$i"))
+    assert(hamming(a, b) > 10)
+  }
+
+  test("simhash/tokenHash64: deterministic across calls") {
+    assert(TextStats.tokenHash64("spark") == TextStats.tokenHash64("spark"))
+    val toks = Seq("a", "b", "c")
+    assert(TextStats.simHash(toks) == TextStats.simHash(toks))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Multimodal binary-column plumbing: schema, batch shape, determinism.
+  * The decode itself is a marked stub (no media libs in the image) — what
+  * must be REAL is everything these tests pin down.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+
+  test("mediaRecords: payload bytes are exactly the UTF-8 text") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, SparkFixture.sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val recs = Multimodal.mediaRecords(spark, SparkFixture.sfDir).collect()
+    assert(recs.nonEmpty)
+    recs.take(20).foreach { r =>
+      assert(r.payload.toSeq == docs(r.media_id).getBytes("UTF-8").toSeq)
+      assert(r.kind == "text/plain")
+    }
+  }
+
+  test("decodeFeatures: typed output schema, one row per record, exact checksum") {
+    val recs = Multimodal.mediaRecords(spark, SparkFixture.sfDir)
+    val feats = Multimodal.decodeFeatures(recs)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "nbytes", "width", "height", "checksum"))
+    val n = recs.count()
+    assert(feats.count() == n)
+    val byId = recs.collect().map(r => r.media_id -> r.payload).toMap
+    feats.collect().take(20).foreach { f =>
+      val payload = byId(f.media_id)
+      assert(f.nbytes == payload.length.toLong)
+      assert(f.checksum == payload.map(b => (b & 0xff).toLong).sum)
+      assert(f.width >= 64 && f.width < 128 && f.height >= 64 && f.height < 128)
+    }
+  }
+
+  test("decode stub is deterministic") {
+    val p = "some payload bytes".getBytes("UTF-8")
+    assert(Multimodal.MediaCodec.decodeStub(p) == Multimodal.MediaCodec.decodeStub(p))
+    assert(Multimodal.MediaCodec.checksum(p) == p.map(b => (b & 0xff).toLong).sum)
+  }
+
+  test("decode runs per-partition (no driver-side collect in the path)") {
+    // repartition to many partitions; mapPartitions must preserve rows
+    val recs = Multimodal.mediaRecords(spark, SparkFixture.sfDir).repartition(7)
+    assert(Multimodal.decodeFeatures(recs).count() == recs.count())
+  }
+}

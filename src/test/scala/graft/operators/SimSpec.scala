@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** SimHash pair mining + LSH-ANN behavior (the no-oracle Tier C paths). */
+class SimSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+
+  test("simhashPairs finds exact and reordered duplicates, skips unrelated docs") {
+    import spark.implicits._
+    // SimHash is a token-multiset sketch: reordering leaves it bit-identical
+    // (Hamming 0), which the ≤3 band guarantee always catches. A single
+    // changed token only shifts 2 votes/bit, so its Hamming can exceed the
+    // guarantee — that regime belongs to MinHash (c2), not SimHash.
+    val baseToks = (1 to 80).map(i => s"word$i")
+    val base = baseToks.mkString(" ")
+    val reordered = (baseToks.drop(40) ++ baseToks.take(40)).mkString(" ")
+    val unrelated = (1 to 80).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, reordered), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+    val pairs = TierCSim.simhashPairs(spark, docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), "exact-dup pair missed")
+    assert(pairs.contains((0L, 1L)), "reordered-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc flagged")
+  }
+
+  test("annTopK: deterministic, k-bounded, neighbors stay within bucket") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)
+    val a = TierCSim.annTopK(spark, e, 3).collect().map(_.toString).toSeq
+    val b = TierCSim.annTopK(spark, e, 3).collect().map(_.toString).toSeq
+    assert(a == b, "ANN output not deterministic")
+    val perVec = TierCSim.annTopK(spark, e, 3).collect().groupBy(_.getLong(0))
+    perVec.foreach { case (_, rs) => assert(rs.length <= 3) }
+  }
+
+  test("annTopK: perfect recall on clustered vectors (same-cluster = same bucket)") {
+    import spark.implicits._
+    // 5 well-separated clusters of 4 near-identical vectors: every vector's
+    // true top-3 are its cluster mates, and LSH must put clones in one
+    // bucket (hyperplane signs are continuous in the input).
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      m <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i =>
+        math.sin(c * 37 + i).toFloat * 10f)
+      base(m % dim) += 0.01f * (m + 1)
+      (c * 10L + m, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val ann = TierCSim.annTopK(spark, df, 3).collect()
+    val byVec = ann.groupBy(_.getLong(0))
+    assert(byVec.size == 20)
+    byVec.foreach { case (id, rs) =>
+      val cluster = id / 10
+      assert(rs.length == 3, s"vec $id got ${rs.length} neighbors")
+      rs.foreach(r => assert(r.getLong(1) / 10 == cluster,
+        s"vec $id neighbor ${r.getLong(1)} crossed cluster"))
+    }
+  }
+}
