@@ -1,0 +1,195 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.{Feature, MsgPack}
+
+/** Tier A streaming pipeline (A4–A12) + stateful ops (B31–B33) over
+  * MemoryStream / FileTransport — SURVEY.md §5 streaming strategy.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkFixture.session
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def wire(layer: String, fid: String, tsUs: Long,
+      props: Map[String, String] = Map("k" -> "1"), source: String = "s",
+      ver: Int = 1): Array[Byte] =
+    MsgPack.pack(Feature(layer, fid, Array[Byte](1, 1, 0), props, tsUs, source, ver))
+
+  private def newStream(): (MemoryStream[Array[Byte]], Transport) = {
+    implicit val ctx = spark.sqlContext
+    implicit val enc = Encoders.BINARY
+    val ms = MemoryStream[Array[Byte]]
+    val t = new Transport {
+      override def read(s: SparkSession): DataFrame = ms.toDF().select(col("value"))
+    }
+    (ms, t)
+  }
+
+  private def readStore(dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  test("A4-A12 end-to-end: route, upsert latest version, survive replayed adds") {
+    val (ms, transport) = newStream()
+    val store = tmpDir("store") + "/features"
+    val q = FeaturePipeline.runToStore(spark, transport, Seq("roads", "rivers"),
+      store, tmpDir("ckpt"), watermark = "10 minutes")
+    try {
+      ms.addData(wire("roads", "r1", 1000000L), wire("rivers", "w1", 1000000L),
+        wire("buildings", "b1", 1000000L)) // buildings not routed
+      q.processAllAvailable()
+      // newer version of r1 + an identical retransmit of w1
+      ms.addData(wire("roads", "r1", 2000000L, Map("k" -> "2")), wire("rivers", "w1", 1000000L))
+      q.processAllAvailable()
+      val rows = readStore(store).collect()
+      assert(rows.map(_.getAs[String]("layer")).toSet == Set("roads", "rivers"))
+      assert(rows.length == 2, s"expected 2 upserted keys, got ${rows.length}")
+      val r1 = rows.find(_.getAs[String]("feature_id") == "r1").get
+      assert(r1.getAs[String]("prop_k") == "2", "latest version did not win upsert")
+    } finally q.stop()
+  }
+
+  test("A9/A12: upsertBatch is idempotent under replay") {
+    import spark.implicits._
+    val store = tmpDir("store") + "/idem"
+    val batch = Seq(
+      ("roads", "r1", Map("k" -> "1"), 1000000L),
+      ("roads", "r2", Map("k" -> "2"), 1000000L))
+      .toDF("layer", "feature_id", "props", "ts_us")
+      .select($"layer", $"feature_id", $"props", timestamp_micros($"ts_us").as("event_ts"),
+        lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch, store)
+    val first = readStore(store).collect().map(_.toString).sorted.toSeq
+    FeaturePipeline.upsertBatch(batch, store)
+    val second = readStore(store).collect().map(_.toString).sorted.toSeq
+    assert(first == second, "replaying the same batch changed the store")
+  }
+
+  test("A8: schema evolution adds prop columns for unseen keys") {
+    import spark.implicits._
+    val store = tmpDir("store") + "/evolve"
+    def batch(fid: String, props: Map[String, String]) =
+      Seq((fid, props)).toDF("feature_id", "props")
+        .select(lit("roads").as("layer"), $"feature_id", $"props",
+          timestamp_micros(lit(1000000L)).as("event_ts"),
+          lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch("r1", Map("a" -> "1")), store)
+    FeaturePipeline.upsertBatch(batch("r2", Map("b" -> "2")), store)
+    val df = readStore(store)
+    assert(df.columns.contains("prop_a") && df.columns.contains("prop_b"))
+    val r1 = df.filter($"feature_id" === "r1").collect().head
+    assert(r1.getAs[String]("prop_a") == "1" && r1.getAs[String]("prop_b") == null)
+  }
+
+  test("B32: retransmit dropped within watermark, new version passes") {
+    val (ms, transport) = newStream()
+    implicit val ctx = spark.sqlContext
+    val deduped = FeaturePipeline.withEffectivelyOnce(
+      FeaturePipeline.decode(transport.read(spark)), "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      val m = wire("roads", "r1", 1000000L)
+      ms.addData(m, m) // duplicate within one batch
+      q.processAllAvailable()
+      ms.addData(m) // retransmit in a later batch, still within watermark
+      ms.addData(wire("roads", "r1", 2000000L)) // genuine new version
+      q.processAllAvailable()
+      val got = spark.table("dedup_sink").collect()
+      assert(got.length == 2, s"expected original+new version, got ${got.length}")
+    } finally q.stop()
+  }
+
+  test("B31: late data beyond the watermark is dropped from windowed counts") {
+    val (ms, transport) = newStream()
+    val hour = 3600L * 1000000L
+    val counts = FeaturePipeline.decode(transport.read(spark))
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "10 minutes")).count()
+    val q = counts.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      ms.addData(wire("roads", "r1", hour), wire("roads", "r2", hour + 300000000L))
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes the first window's end
+      ms.addData(wire("roads", "r3", hour + 2 * 3600L * 1000000L))
+      q.processAllAvailable()
+      // late arrival into the first (already closed) window
+      ms.addData(wire("roads", "r4", hour + 60000000L))
+      q.processAllAvailable()
+      ms.addData(wire("roads", "r5", hour + 3 * 3600L * 1000000L))
+      q.processAllAvailable()
+      val firstWindow = spark.table("late_sink").collect()
+        .filter(_.getStruct(0).getTimestamp(0).getTime == hour / 1000L)
+      assert(firstWindow.length == 1, "first window should have emitted exactly once")
+      assert(firstWindow.head.getLong(1) == 2L,
+        s"late row leaked into closed window: count=${firstWindow.head.getLong(1)}")
+    } finally q.stop()
+  }
+
+  test("B33: flatMapGroupsWithState accumulates per-layer stats across batches") {
+    val (ms, transport) = newStream()
+    val stats = FeaturePipeline.runningLayerStats(
+      FeaturePipeline.decode(transport.read(spark)))
+    val q = stats.toDF("layer", "n", "max_ts_us").writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("stats_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      ms.addData(wire("roads", "r1", 1000000L), wire("roads", "r2", 3000000L))
+      q.processAllAvailable()
+      ms.addData(wire("roads", "r3", 2000000L))
+      q.processAllAvailable()
+      val rows = spark.table("stats_sink").collect()
+        .filter(_.getString(0) == "roads").sortBy(_.getLong(1))
+      assert(rows.last.getLong(1) == 3L, "running count did not accumulate")
+      assert(rows.last.getLong(2) == 3000000L, "max ts wrong")
+    } finally q.stop()
+  }
+
+  test("A5/A4 FileTransport: produce then consume end-to-end") {
+    import spark.implicits._
+    val topic = tmpDir("topic") + "/t0"
+    val transport = new FileTransport(topic)
+    val packed = Seq(wire("roads", "r1", 1000000L), wire("roads", "r2", 2000000L))
+      .toDF("value")
+    transport.produce(packed)
+    val store = tmpDir("store") + "/filetr"
+    val q = FeaturePipeline.runToStore(spark, transport, Seq("roads"),
+      store, tmpDir("ckpt"), watermark = "10 minutes")
+    try {
+      q.processAllAvailable()
+      assert(readStore(store).count() == 2)
+    } finally q.stop()
+  }
+
+  test("A2/A3: pack/unpack UDFs roundtrip on a stream") {
+    val (ms, transport) = newStream()
+    val decoded = FeaturePipeline.decode(transport.read(spark))
+    val q = decoded.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rt_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      ms.addData(wire("roads", "r1", 42000000L, Map("x" -> "7", "y" -> "8"), "srcA", 3))
+      q.processAllAvailable()
+      val r = spark.table("rt_sink").collect().head
+      assert(r.getAs[String]("layer") == "roads")
+      assert(r.getAs[String]("feature_id") == "r1")
+      assert(r.getAs[Map[String, String]]("props") == Map("x" -> "7", "y" -> "8"))
+      assert(r.getAs[String]("source") == "srcA")
+      assert(r.getAs[Int]("fmt_version") == 3)
+      assert(r.getAs[java.sql.Timestamp]("event_ts").getTime == 42000L)
+    } finally q.stop()
+  }
+}
