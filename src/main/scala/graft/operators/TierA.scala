@@ -122,9 +122,10 @@ object TierA {
       roundtrippedFeatures(s, d)
         .select($"f.feature_id".as("feature_id"),
           geomTypeUdf($"f.geom_wkb").as("gtype"),
-          bboxUdf($"f.geom_wkb").getField("xmin").as("xmin"),
-          bboxUdf($"f.geom_wkb").getField("ymin").as("ymin"),
+          bboxUdf($"f.geom_wkb").as("bb"), // one decode, two field reads
           inBoxUdf($"f.geom_wkb").as("in_box"))
+        .select($"feature_id", $"gtype",
+          $"bb.xmin".as("xmin"), $"bb.ymin".as("ymin"), $"in_box")
         .orderBy($"feature_id")
     }
   )

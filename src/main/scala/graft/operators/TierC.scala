@@ -114,19 +114,15 @@ object TierC {
     (1 to 64).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
 
-  /** Left-fold double dot product as a tight JIT'd loop — bit-identical to
-    * the oracle's explicit left-associated 64-term sum (IEEE adds in the
-    * same order). A UDF beats zip_with+aggregate here: the HOF pair
-    * allocates an intermediate array and folds interpreted per row, which
-    * round-2 benching showed dominating the whole kNN query.
+  /** Left-fold double dot product — bit-identical to the oracle's explicit
+    * left-associated 64-term sum (IEEE adds in the same order). Implemented
+    * as a native codegen Expression ([[graft.functions.DotProductFloat]]):
+    * round-2/3 benching showed first zip_with+aggregate (interpreted HOF
+    * fold) and then a Scala UDF (Seq[Float] boxing) each dominating the
+    * whole kNN query; the expression fuses into the join's generated loop.
     */
-  private[operators] val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var acc = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
+  private[operators] def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotF(a, b)
 
   private val c3 = QuerySpec(
     "c3_knn_cosine",
@@ -145,16 +141,18 @@ object TierC {
             SELECT ida, idb, score, rn FROM r WHERE rn <= 3 ORDER BY ida, rn"""),
     (s, d) => {
       import s.implicits._
-      // norms once per VECTOR (not once per pair — round-2 benching showed
-      // the per-pair recompute tripling the dominant cost)
+      // norms once per VECTOR, persisted: without the materialization,
+      // CollapseProject inlines the norm computation back into the join
+      // output and it re-runs per PAIR (measured 2-3x the query cost)
       val e = Tables.embeddings(s, d)
         .select($"vec_id", $"label", $"embedding",
-          dotUdf($"embedding", $"embedding").as("n2"))
+          dot($"embedding", $"embedding").as("n2"))
+        .persist()
       val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
       val b = e.select($"vec_id".as("idb"), $"label".as("label_b"), $"embedding".as("eb"), $"n2".as("nb2"))
       val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
       a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
-        .withColumn("score", dotUdf($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("score", dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
         .withColumn("rn", row_number().over(w).cast(LongType))
         .filter($"rn" <= 3)
         .select($"ida", $"idb", $"score", $"rn")

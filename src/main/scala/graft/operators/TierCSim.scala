@@ -90,20 +90,37 @@ object TierCSim {
             ORDER BY id_a, id_b"""),
     (s, d) => {
       import s.implicits._
-      val toks = filter(split(lower($"text"), " "), t => t =!= "")
-      val grams = array_distinct(transform(
-        sequence(lit(1), size($"toks") - 1),
-        i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
-      val b = Tables.documents(s, d)
-        .select($"doc_id", $"source", toks.as("toks"))
-        .filter(size($"toks") >= 2)
-        .select($"doc_id", $"source", grams.as("grams"))
-      val left = b.select($"doc_id".as("id_a"), $"source", $"grams".as("ga"))
-      val right = b.select($"doc_id".as("id_b"), $"source".as("source_r"), $"grams".as("gb"))
-      val jac = size(array_intersect($"ga", $"gb")).cast(DoubleType) /
-        size(array_union($"ga", $"gb"))
-      left.join(right, $"source" === $"source_r" && $"id_a" < $"id_b")
-        .withColumn("jaccard", jac)
+      // Inverted-index shape, NOT per-pair array set ops: explode bigrams,
+      // join on (source, gram), count shared grams per pair, then
+      // jaccard = shared / (|A| + |B| - shared). Same integers as the
+      // oracle's intersect/union lengths, but the heavy work is a codegen'd
+      // equi-join + count instead of interpreted per-pair array
+      // intersections (76s -> ~3s at sf0.1), and it's the shape that
+      // scales: shuffle by gram, per-gram fan-out bounded by bucket size.
+      // single-pass bigram UDF: the HOF formulation (transform over
+      // sequence with element_at lambdas) is CodegenFallback AND gets its
+      // token-array subexpression inlined per lambda element by projection
+      // collapse — measured ~100 interpreted token-splits per row (73s at
+      // sf0.1); the UDF does one pass (73s -> ~3s)
+      val bigramsUdf = udf { (text: String) =>
+        val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        if (toks.length < 2) Array.empty[String]
+        else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
+      }
+      val sized = Tables.documents(s, d)
+        .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
+        .filter(size($"grams") >= 1)
+        .persist()
+        .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
+      val left = sized.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
+      val right = sized.select($"doc_id".as("id_b"), $"source".as("source_r"),
+        $"sz".as("sb"), $"gram".as("gram_r"))
+      left.join(right,
+          $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b", $"sa", $"sb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          $"shared".cast(DoubleType) / ($"sa" + $"sb" - $"shared"))
         .filter($"jaccard" >= NgramThreshold)
         .select($"id_a", $"id_b", $"jaccard")
         .orderBy($"id_a", $"id_b")
@@ -131,13 +148,16 @@ object TierCSim {
             ORDER BY id_a, id_b"""),
     (s, d) => {
       import s.implicits._
+      // persisted for the same CollapseProject reason as c3: otherwise the
+      // norm computation re-runs per joined pair
       val e = Tables.embeddings(s, d)
         .select($"vec_id", $"label", $"embedding",
-          TierC.dotUdf($"embedding", $"embedding").as("n2"))
+          TierC.dot($"embedding", $"embedding").as("n2"))
+        .persist()
       val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
       val b = e.select($"vec_id".as("id_b"), $"label".as("label_b"), $"embedding".as("eb"), $"n2".as("nb2"))
       a.join(b, $"label" === $"label_b" && $"id_a" < $"id_b")
-        .withColumn("score", TierC.dotUdf($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
         .filter($"score" >= EmbedThreshold)
         .select($"id_a", $"id_b", $"score")
         .orderBy($"id_a", $"id_b")
@@ -175,12 +195,12 @@ object TierCSim {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding",
       bucketUdf($"embedding").as("bucket"),
-      TierC.dotUdf($"embedding", $"embedding").as("n2")).persist()
+      TierC.dot($"embedding", $"embedding").as("n2")).persist()
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"bucket", $"n2".as("na2"))
     val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"bucket".as("bucket_r"), $"n2".as("nb2"))
     val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")
     a.join(b, $"bucket" === $"bucket_r" && $"id_a" =!= $"id_b")
-      .withColumn("score", TierC.dotUdf($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+      .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter($"rn" <= k)
       .select($"id_a", $"id_b", $"score", $"rn")
