@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C7 scale-posture mechanics that sf-sized correctness queries can't
+  * show: bucketed co-located joins (no shuffle), partition pruning at the
+  * scan, and deterministic skew salting. These are the levers the same
+  * code pulls on a 1000-executor cluster; the tests pin that the plans
+  * actually engage them.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+  private val sf = SparkFixture.sfDir
+
+  test("bucketed tables co-locate the equi-join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    sources.Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    sources.Tables.customer(spark, sf)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the bucket co-location is what
+      // removes the exchanges (broadcast would hide it)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), "bucketed join still shuffles:\n" + plan)
+      assert(joined.count() ==
+        sources.Tables.orders(spark, sf)
+          .join(sources.Tables.customer(spark, sf), $"o_custkey" === $"c_custkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("partition pruning: year-partitioned layout scans only the matching partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("partitioned").toString + "/lineitem_by_year"
+    sources.Tables.lineitem(spark, sf)
+      .withColumn("yr", year($"l_shipdate"))
+      .write.partitionBy("yr").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"yr" === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan)
+    assert(plan.contains("(yr"), "year filter did not reach partition pruning:\n" + plan)
+    val expected = sources.Tables.lineitem(spark, sf)
+      .filter(year($"l_shipdate") === 1995).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("saltedJoin equals the plain join and scatters the hot key across salts") {
+    import spark.implicits._
+    // hot key: one customer with 10k orders, plus a long tail
+    val large = (1 to 10000).map(i => (1L, i.toLong)) ++ (1 to 100).map(i => (i.toLong + 1, 0L))
+    val largeDf = large.toDF("cust", "order_id")
+    val smallDf = (1 to 200).map(i => (i.toLong, s"name$i")).toDF("cust_s", "name")
+    val plain = largeDf.join(smallDf, $"cust" === $"cust_s")
+      .select($"cust", $"order_id", $"name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = operators.Skew.saltedJoin(largeDf, smallDf, "cust", "cust_s", 8, "order_id")
+      .select($"cust", $"order_id", $"name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain, "salted join changed the result")
+    val saltSpread = largeDf.filter($"cust" === 1L)
+      .withColumn("_graft_salt", pmod(hash($"order_id"), lit(8)))
+      .select("_graft_salt").distinct().count()
+    assert(saltSpread == 8, s"hot key only spread over $saltSpread salts")
+  }
+}
