@@ -11,7 +11,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * JTS/Sedona jar exists in this image, so the codec is written from the
   * public OGC WKB spec: byte order flag, uint32 geometry type, coordinate
   * doubles. Supported: Point(1), LineString(2), Polygon(3) with any number
-  * of rings, both endiannesses.
+  * of rings, MultiPoint(4), MultiLineString(5), MultiPolygon(6) and
+  * GeometryCollection(7) (recursive — every member carries its own byte
+  * order flag per spec), both endiannesses.
   */
 object Wkb {
 
@@ -42,28 +44,43 @@ object Wkb {
     bb.array()
   }
 
-  private def buffer(wkb: Array[Byte]): (ByteBuffer, Int) = {
-    val bb = ByteBuffer.wrap(wkb)
-    bb.order(if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    // mask Z/M/SRID flags (EWKB-style high bits) down to the base 2D type
-    val gtype = bb.getInt & 0xff
-    (bb, gtype)
+  /** A multi-geometry / collection envelope: each member is a complete
+    * WKB value (own byte-order flag), per the OGC spec.
+    */
+  def multi(gtype: Int, members: Seq[Array[Byte]]): Array[Byte] = {
+    require(gtype >= 4 && gtype <= 7, s"not a collection type: $gtype")
+    val bb = ByteBuffer.allocate(9 + members.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(gtype).putInt(members.length)
+    members.foreach(bb.put)
+    bb.array()
   }
 
-  def geomType(wkb: Array[Byte]): String = buffer(wkb)._2 match {
+  // reads the byte-order flag and masked base type, setting bb's order
+  private def header(bb: ByteBuffer): Int = {
+    bb.order(if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    // mask Z/M/SRID flags (EWKB-style high bits) down to the base 2D type
+    bb.getInt & 0xff
+  }
+
+  def geomType(wkb: Array[Byte]): String = header(ByteBuffer.wrap(wkb)) match {
     case 1 => "POINT"
     case 2 => "LINESTRING"
     case 3 => "POLYGON"
+    case 4 => "MULTIPOINT"
+    case 5 => "MULTILINESTRING"
+    case 6 => "MULTIPOLYGON"
+    case 7 => "GEOMETRYCOLLECTION"
     case t => s"UNKNOWN($t)"
   }
 
   def bbox(wkb: Array[Byte]): BBox = {
-    val (bb, gtype) = buffer(wkb)
+    val bb = ByteBuffer.wrap(wkb)
     var xmin = Double.PositiveInfinity
     var ymin = Double.PositiveInfinity
     var xmax = Double.NegativeInfinity
     var ymax = Double.NegativeInfinity
-    def acc(n: Int): Unit = {
+    def coords(n: Int): Unit = {
       var i = 0
       while (i < n) {
         val x = bb.getDouble; val y = bb.getDouble
@@ -74,15 +91,21 @@ object Wkb {
         i += 1
       }
     }
-    gtype match {
-      case 1 => acc(1)
-      case 2 => acc(bb.getInt)
+    def geom(): Unit = header(bb) match {
+      case 1 => coords(1)
+      case 2 => coords(bb.getInt)
       case 3 =>
         val rings = bb.getInt
         var r = 0
-        while (r < rings) { acc(bb.getInt); r += 1 }
+        while (r < rings) { coords(bb.getInt); r += 1 }
+      case t if t >= 4 && t <= 7 =>
+        // every collection member restates its own byte order
+        val n = bb.getInt
+        var i = 0
+        while (i < n) { geom(); i += 1 }
       case t => throw new IllegalArgumentException(s"wkb: unsupported geometry type $t")
     }
+    geom()
     BBox(xmin, ymin, xmax, ymax)
   }
 

@@ -47,4 +47,29 @@ class WkbSpec extends AnyFunSuite {
     bb.put(1.toByte).putInt(0x20000001).putDouble(1.0).putDouble(2.0) // SRID-flagged point
     assert(Wkb.geomType(bb.array()) == "POINT")
   }
+
+  test("multi-geometries and collections: recursive bbox, mixed endianness") {
+    val p1 = Wkb.point(1.0, 2.0)
+    // big-endian member inside a little-endian collection
+    val bbBE = ByteBuffer.allocate(21).order(ByteOrder.BIG_ENDIAN)
+    bbBE.put(0.toByte).putInt(1).putDouble(10.0).putDouble(-3.0)
+    val p2 = bbBE.array()
+    val mp = Wkb.multi(4, Seq(p1, p2))
+    assert(Wkb.geomType(mp) == "MULTIPOINT")
+    assert(Wkb.bbox(mp) == Wkb.BBox(1.0, -3.0, 10.0, 2.0))
+
+    val ml = Wkb.multi(5, Seq(Wkb.lineString(Seq((0.0, 0.0), (5.0, 5.0)))))
+    assert(Wkb.geomType(ml) == "MULTILINESTRING")
+    assert(Wkb.bbox(ml) == Wkb.BBox(0.0, 0.0, 5.0, 5.0))
+
+    val poly = Wkb.polygon(Seq(Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0))))
+    val mpoly = Wkb.multi(6, Seq(poly))
+    assert(Wkb.geomType(mpoly) == "MULTIPOLYGON")
+    assert(Wkb.bbox(mpoly) == Wkb.BBox(0.0, 0.0, 2.0, 2.0))
+
+    // nested: collection containing the multipoint and a polygon
+    val gc = Wkb.multi(7, Seq(mp, poly))
+    assert(Wkb.geomType(gc) == "GEOMETRYCOLLECTION")
+    assert(Wkb.bbox(gc) == Wkb.BBox(0.0, -3.0, 10.0, 2.0))
+  }
 }
