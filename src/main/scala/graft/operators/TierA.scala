@@ -130,5 +130,29 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11)
+  // ---------------------------------------------------------------- A11b
+  private val multiUdf: UserDefinedFunction = udf { (x: Double, y: Double) =>
+    Wkb.multi(4, Seq(Wkb.point(x, y), Wkb.point(x + 1.0, y + 1.0)))
+  }
+  private val a11b = QuerySpec(
+    "a11b_geom_multi",
+    "Multi-geometry codec path: per-event MULTIPOINT built from coordinates, recursive bbox decoded back; oracle recomputes the envelope arithmetically.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, 'MULTIPOINT' AS gtype,
+            value AS xmin, CAST(user_id AS DOUBLE) AS ymin,
+            value + 1.0 AS xmax, CAST(user_id AS DOUBLE) + 1.0 AS ymax
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          multiUdf($"value", $"user_id".cast(DoubleType)).as("wkb"))
+        .select($"feature_id", geomTypeUdf($"wkb").as("gtype"), bboxUdf($"wkb").as("bb"))
+        .select($"feature_id", $"gtype",
+          $"bb.xmin".as("xmin"), $"bb.ymin".as("ymin"),
+          $"bb.xmax".as("xmax"), $"bb.ymax".as("ymax"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b)
 }

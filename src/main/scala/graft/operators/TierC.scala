@@ -197,9 +197,12 @@ object TierC {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // persisted: the token explosion feeds both the tf and df branches —
+      // without the barrier each branch re-scans and re-explodes the corpus
       val toks = docs
         .select($"doc_id", $"source", explode(split(lower($"text"), " ")).as("token"))
         .filter($"token" =!= "")
+        .persist()
       val tf = toks.groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
