@@ -55,6 +55,26 @@ class MsgPackSpec extends AnyFunSuite {
     assert(back.feature_id == big)
     assert(back.geom_wkb.toSeq == bin.toSeq)
   }
+  test("unpack skips unknown envelope keys (forward compat)") {
+    // hand-encoded fixmap(3): layer:"roads", zzz_extra:[1,2], event_ts:42
+    val out = new java.io.ByteArrayOutputStream()
+    def s(str: String): Unit = { out.write(0xa0 | str.length); out.write(str.getBytes("UTF-8")) }
+    out.write(0x83)
+    s("layer"); s("roads")
+    s("zzz_extra"); out.write(0x92); out.write(1); out.write(2) // fixarray [1,2]
+    s("event_ts"); out.write(42)
+    val f = MsgPack.unpack(out.toByteArray)
+    assert(f.layer == "roads")
+    assert(f.event_ts_us == 42L)
+    assert(f.feature_id == null && f.props == null && f.geom_wkb == null)
+  }
+
+  test("unpack rejects malformed input with an exception, never hangs") {
+    val good = MsgPack.pack(Feature("l", "f", Array[Byte](1), Map("k" -> "v"), 1L, "s", 1))
+    intercept[Exception](MsgPack.unpack(good.take(good.length / 2))) // truncated
+    intercept[Exception](MsgPack.unpack(Array[Byte](0x92.toByte, 1, 2))) // root not a map
+    intercept[Exception](MsgPack.unpack(Array[Byte](0xc1.toByte))) // reserved type byte
+  }
 }
 
 /** ScalaCheck: roundtrip identity over arbitrary envelopes (SURVEY.md §5). */
@@ -83,4 +103,5 @@ object MsgPackProps extends Properties("MsgPack") {
       back.props == f.props && back.event_ts_us == f.event_ts_us &&
       back.source == f.source && back.fmt_version == f.fmt_version
   }
+
 }

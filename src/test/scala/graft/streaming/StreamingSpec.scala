@@ -192,4 +192,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[java.sql.Timestamp]("event_ts").getTime == 42000L)
     } finally q.stop()
   }
+
+  test("B30 streaming: session windows close when the watermark passes the gap") {
+    val (ms, transport) = newStream()
+    val hour = 3600L * 1000000L
+    val sessions = FeaturePipeline.decode(transport.read(spark))
+      .withWatermark("event_ts", "5 minutes")
+      .groupBy(session_window(col("event_ts"), "10 minutes"), col("layer"))
+      .count()
+      .select(col("session_window.start").as("ws"), col("layer"), col("count"))
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("session_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      // one session: two events 2 minutes apart (inside the 10-minute gap)
+      ms.addData(wire("roads", "r1", hour), wire("roads", "r2", hour + 120000000L))
+      q.processAllAvailable()
+      // jump far ahead: watermark passes the session end, session emits
+      ms.addData(wire("roads", "r3", hour + 2 * 3600L * 1000000L))
+      q.processAllAvailable()
+      ms.addData(wire("roads", "r4", hour + 4 * 3600L * 1000000L))
+      q.processAllAvailable()
+      val rows = spark.table("session_sink").collect()
+        .filter(_.getTimestamp(0).getTime == hour / 1000L)
+      assert(rows.length == 1, s"expected one closed session, got ${rows.length}")
+      assert(rows.head.getLong(2) == 2L, "session did not merge the two close events")
+    } finally q.stop()
+  }
 }
