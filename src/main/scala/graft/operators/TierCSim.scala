@@ -207,6 +207,63 @@ object TierCSim {
       .orderBy($"id_a", $"rn")
   }
 
+  // --------------------------------------------------------- IVF ANN
+  /** IVF-style ANN: a coarse quantizer of `cells` seed centroids chosen by
+    * the deterministic k-center greedy (farthest-point, ties to lowest
+    * vec_id — no RNG, so the index is identical across partitionings and
+    * replays), then exact cosine re-rank within the assigned cell
+    * (nprobe=1). Index build runs `cells` bounded driver rounds, each a
+    * distributed argmin — the standard IVF trade: more cells = smaller
+    * per-cell candidate lists. Production would refine seeds with Lloyd
+    * iterations; float-sum averaging is partition-order-dependent, so the
+    * deterministic variant keeps the k-center seeds as-is.
+    */
+  def ivfTopK(s: SparkSession, embeddings: DataFrame, k: Int, cells: Int): DataFrame = {
+    import s.implicits._
+    val e = embeddings.select($"vec_id", $"embedding",
+      TierC.dot($"embedding", $"embedding").as("n2")).persist()
+
+    // k-center greedy seed selection (deterministic)
+    def cos(seedVec: Seq[Float], seedN2: Double): Column =
+      TierC.dot($"embedding", typedlit(seedVec)) / (sqrt($"n2") * math.sqrt(seedN2))
+    val first = e.orderBy($"vec_id").limit(1)
+      .select($"embedding", $"n2").as[(Seq[Float], Double)].head()
+    var seeds = Vector(first)
+    while (seeds.length < cells) {
+      val sims = seeds.map { case (v, n2) => cos(v, n2) }
+      val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
+      val next = e.withColumn("maxsim", maxSim)
+        .orderBy($"maxsim".asc, $"vec_id".asc).limit(1)
+        .select($"embedding", $"n2").as[(Seq[Float], Double)].head()
+      seeds = seeds :+ next
+    }
+
+    // cell assignment: argmax cosine to seed, ties to the lowest seed index
+    val simCols = seeds.map { case (v, n2) => cos(v, n2) }
+    val cellCol = simCols.zipWithIndex.tail.foldLeft((simCols.head, lit(0))) {
+      case ((bestSim, bestIdx), (sim, idx)) =>
+        (greatest(bestSim, sim), when(sim > bestSim, lit(idx)).otherwise(bestIdx))
+    }._2
+    val assigned = e.withColumn("cell", cellCol).persist()
+
+    val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"cell", $"n2".as("na2"))
+    val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"cell".as("cell_r"), $"n2".as("nb2"))
+    val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")
+    a.join(b, $"cell" === $"cell_r" && $"id_a" =!= $"id_b")
+      .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter($"rn" <= k)
+      .select($"id_a", $"id_b", $"score", $"rn")
+      .orderBy($"id_a", $"rn")
+  }
+
+  private val c3i = QuerySpec(
+    "c3_ivf",
+    "IVF-style ANN: deterministic k-center coarse quantizer (8 cells) + exact cosine re-rank within the cell, top-3. Driver-bounded index build; no oracle (iterative build not SQL-expressible); determinism + recall via ScalaTest.",
+    None,
+    (s, d) => ivfTopK(s, Tables.embeddings(s, d), 3, 8)
+  )
+
   private val c3a = QuerySpec(
     "c3_ann_lsh",
     "Approximate nearest neighbors: 8-hyperplane LSH bucket + exact cosine re-rank within bucket, top-3. Custom hash ⇒ no oracle; determinism + recall-vs-exact covered by ScalaTest.",
@@ -214,5 +271,5 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a)
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a, c3i)
 }

@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.{Feature, MsgPack}
 
@@ -108,6 +109,42 @@ object FeaturePipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, storeDir) }
       .start()
+  }
+
+  /** B33 on the Spark 4 arbitrary-state API: same running (count, max ts)
+    * per layer as [[runningLayerStats]], expressed as a StatefulProcessor
+    * with an explicit ValueState. Requires the RocksDB state-store
+    * provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class LayerStatsProcessor
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)](
+        "layerStats", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val (n0, mx0) = if (state.exists()) state.get() else (0L, Long.MinValue)
+      var n = n0
+      var mx = mx0
+      rows.foreach { case (_, ts) => n += 1; if (ts > mx) mx = ts }
+      state.update((n, mx))
+      Iterator((key, n, mx))
+    }
+  }
+
+  /** [[runningLayerStats]] re-expressed through `transformWithState`. */
+  def runningLayerStatsV2(features: DataFrame): Dataset[(String, Long, Long)] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features
+      .select(col("layer"), unix_micros(col("event_ts")).as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new LayerStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** B33: arbitrary stateful aggregation — running (count, max event ts)

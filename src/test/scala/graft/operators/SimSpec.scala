@@ -64,4 +64,36 @@ class SimSpec extends AnyFunSuite {
         s"vec $id neighbor ${r.getLong(1)} crossed cluster"))
     }
   }
+
+  test("ivfTopK: deterministic across runs, k-bounded") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)
+    val a = TierCSim.ivfTopK(spark, e, 3, 8).collect().map(_.toString).toSeq
+    val b = TierCSim.ivfTopK(spark, e, 3, 8).collect().map(_.toString).toSeq
+    assert(a == b, "IVF output not deterministic")
+    TierCSim.ivfTopK(spark, e, 3, 8).collect().groupBy(_.getLong(0))
+      .foreach { case (_, rs) => assert(rs.length <= 3) }
+  }
+
+  test("ivfTopK: perfect recall on clustered vectors (k-center spreads one seed per cluster)") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      m <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(c * 37 + i).toFloat * 10f)
+      base(m % dim) += 0.01f * (m + 1)
+      (c * 10L + m, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val ann = TierCSim.ivfTopK(spark, df, 3, 5).collect()
+    val byVec = ann.groupBy(_.getLong(0))
+    assert(byVec.size == 20, s"got ${byVec.size} query vectors")
+    byVec.foreach { case (id, rs) =>
+      assert(rs.length == 3, s"vec $id got ${rs.length} neighbors")
+      rs.foreach(r => assert(r.getLong(1) / 10 == id / 10,
+        s"vec $id neighbor ${r.getLong(1)} crossed cluster"))
+    }
+  }
 }
