@@ -497,6 +497,31 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B21b
+  private val b21b = QuerySpec(
+    "b21b_str_extra",
+    "Extended string surface: lpad/rpad, translate, levenshtein, split_part, reverse, repeat, instr (all codegen'd built-ins; DuckDB parity verified per function).",
+    Some("""SELECT p_partkey,
+            LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '*') AS rp,
+            TRANSLATE(p_type, 'ae', '43') AS tr,
+            CAST(LEVENSHTEIN(p_brand, p_type) AS BIGINT) AS lev,
+            SPLIT_PART(p_name, ' ', 2) AS second_word,
+            REVERSE(p_brand) AS rev, REPEAT(p_brand, 2) AS rep,
+            CAST(STRPOS(p_name, 'a') AS BIGINT) AS pos_a
+            FROM part ORDER BY p_partkey"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d).select($"p_partkey",
+        lpad($"p_brand", 12, "*").as("lp"), rpad($"p_brand", 12, "*").as("rp"),
+        translate($"p_type", "ae", "43").as("tr"),
+        levenshtein($"p_brand", $"p_type").cast(LongType).as("lev"),
+        split_part($"p_name", lit(" "), lit(2)).as("second_word"),
+        reverse($"p_brand").as("rev"), repeat($"p_brand", 2).as("rep"),
+        instr($"p_name", "a").cast(LongType).as("pos_a"))
+        .orderBy($"p_partkey")
+    }
+  )
+
   // ----------------------------------------------------------------- B22
   private val b22 = QuerySpec(
     "b22_date",
@@ -777,6 +802,6 @@ object TierB {
 
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15, b16,
-    b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b34, b35, b36)
+    b17, b18, b19, b20, b21, b21b, b22, b23, b24, b25, b26, b27, b28, b29,
+    b30, b34, b35, b36)
 }

@@ -248,4 +248,33 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("A12: checkpoint recovery — a restarted query resumes from the committed offset") {
+    import spark.implicits._
+    val topic = tmpDir("topic") + "/recov"
+    val ckpt = tmpDir("ckpt")
+    val store = tmpDir("store") + "/recov"
+    val transport = new FileTransport(topic)
+    transport.produce(Seq(wire("roads", "r1", 1000000L)).toDF("value"))
+    val q1 = FeaturePipeline.runToStore(spark, transport, Seq("roads"),
+      store, ckpt, watermark = "10 minutes")
+    try {
+      q1.processAllAvailable()
+      assert(readStore(store).count() == 1)
+    } finally q1.stop()
+    // new data arrives while no query is running
+    transport.produce(Seq(wire("roads", "r2", 2000000L),
+      wire("roads", "r1", 3000000L, Map("k" -> "9"))).toDF("value"))
+    // restart from the SAME checkpoint: only the new file is processed,
+    // and the idempotent upsert applies it exactly once
+    val q2 = FeaturePipeline.runToStore(spark, transport, Seq("roads"),
+      store, ckpt, watermark = "10 minutes")
+    try {
+      q2.processAllAvailable()
+      val rows = readStore(store).collect()
+      assert(rows.length == 2, s"expected r1+r2 after recovery, got ${rows.length}")
+      val r1 = rows.find(_.getAs[String]("feature_id") == "r1").get
+      assert(r1.getAs[String]("prop_k") == "9", "post-restart update lost")
+    } finally q2.stop()
+  }
 }
