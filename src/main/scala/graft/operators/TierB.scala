@@ -568,6 +568,32 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B23b
+  private val b23b = QuerySpec(
+    "b23b_stats",
+    "Statistical aggregates made order-insensitive: mean/variance/stddev derived from exact DECIMAL sum and sum-of-squares (built-in stddev over doubles is partition-order-dependent in its low bits — unusable under the hash gate); the final double arithmetic replays the identical IEEE chain in the oracle.",
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean,
+            (CAST(SUM(q*q) AS DOUBLE) - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1) AS var_samp,
+            SQRT((CAST(SUM(q*q) AS DOUBLE) - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)) AS stddev_samp
+            FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem) t
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      import s.implicits._
+      val q = dec($"l_quantity", 18, 2)
+      val cnt = count(lit(1))
+      val sumQ = sum(q).cast(DoubleType)
+      val sumQ2 = sum(q * q).cast(DoubleType)
+      val varS = (sumQ2 - sumQ * sumQ / cnt) / (cnt - 1)
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(cnt.as("n"), (sumQ / cnt).as("mean"),
+          varS.as("var_samp"), sqrt(varS).as("stddev_samp"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
   // ----------------------------------------------------------------- B24
   private val b24 = QuerySpec(
     "b24_array",
@@ -802,6 +828,6 @@ object TierB {
 
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15, b16,
-    b17, b18, b19, b20, b21, b21b, b22, b23, b24, b25, b26, b27, b28, b29,
-    b30, b34, b35, b36)
+    b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26, b27, b28,
+    b29, b30, b34, b35, b36)
 }

@@ -277,4 +277,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(r1.getAs[String]("prop_k") == "9", "post-restart update lost")
     } finally q2.stop()
   }
+
+  test("stream-static join: decoded stream enriched from a static dimension") {
+    import spark.implicits._
+    val (ms, transport) = newStream()
+    val dim = Seq(("roads", "line"), ("rivers", "line"), ("poi", "point"))
+      .toDF("layer_name", "geom_kind")
+    val enriched = FeaturePipeline.decode(transport.read(spark))
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("layer") === col("layer_name"))
+      .select(col("feature_id"), col("layer"), col("geom_kind"))
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      ms.addData(wire("roads", "r1", 1000000L), wire("unknown", "u1", 1000000L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_sink").collect()
+      assert(rows.length == 1, "inner stream-static join should drop unmatched layers")
+      assert(rows.head.getAs[String]("geom_kind") == "line")
+    } finally q.stop()
+  }
 }
