@@ -164,5 +164,47 @@ object TierCText {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w)
+  // ------------------------------------------------- text normalization
+  private val c4c = QuerySpec(
+    "c4_clean",
+    "Text cleaning/normalization (the pre-dedup canonicalization step): lowercase, digit-run masking, whitespace collapse, trim — all codegen'd regexp_replace; oracle uses the same RE2-safe patterns with the 'g' flag.",
+    Some("""SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS clean,
+            CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val clean = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[0-9]+", "#"), " +", " "))
+      Tables.documents(s, d).select($"doc_id",
+        clean.as("clean"), length(clean).cast(LongType).as("clean_len"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // --------------------------------------- hash-based stratified sampling
+  /** Deterministic sampling: RNG-based `sample()` depends on partitioning
+    * (not hash-gate-safe, not replay-safe); content-hash sampling keeps a
+    * row iff a hex prefix of md5(text) falls under the rate — exact,
+    * partition-invariant, and identical on every engine that has md5.
+    * This is how a 100 TB pipeline takes a reproducible stratified slice.
+    */
+  private val c1b = QuerySpec(
+    "c1b_sample_hash",
+    "Hash-based deterministic sampling (~25% by md5-prefix) with per-language stratum counts.",
+    Some("""WITH s AS (SELECT doc_id, lang FROM documents
+              WHERE substring(md5(text), 1, 1) IN ('0','1','2','3'))
+            SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id
+            FROM s GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(substring(md5($"text"), 1, 1).isin("0", "1", "2", "3"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_id"))
+        .orderBy($"lang")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b)
 }
