@@ -35,7 +35,9 @@ object Wkb {
   /** Single- or multi-ring polygon; each ring must be closed by the caller. */
   def polygon(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
     val n = rings.map(_.length).sum
-    val bb = ByteBuffer.allocate(13 + 4 * rings.length + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
+    // header = order(1) + type(4) + numRings(4); trailing slack bytes would
+    // desynchronize the reader when this value is embedded in a collection
+    val bb = ByteBuffer.allocate(9 + 4 * rings.length + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
     bb.put(1.toByte).putInt(3).putInt(rings.length)
     rings.foreach { ring =>
       bb.putInt(ring.length)

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.Wkb
+
+class GeoJsonSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+
+  test("coordsToWkb: every GeoJSON geometry type maps to the right WKB") {
+    assert(Wkb.geomType(GeoJson.coordsToWkb("Point", "[1.5, -2.5]")) == "POINT")
+    assert(Wkb.bbox(GeoJson.coordsToWkb("Point", "[1.5, -2.5]")) == Wkb.BBox(1.5, -2.5, 1.5, -2.5))
+    val ls = GeoJson.coordsToWkb("LineString", "[[0,0],[3,4]]")
+    assert(Wkb.geomType(ls) == "LINESTRING" && Wkb.bbox(ls) == Wkb.BBox(0, 0, 3, 4))
+    val poly = GeoJson.coordsToWkb("Polygon", "[[[0,0],[2,0],[2,2],[0,0]]]")
+    assert(Wkb.geomType(poly) == "POLYGON" && Wkb.bbox(poly) == Wkb.BBox(0, 0, 2, 2))
+    val mp = GeoJson.coordsToWkb("MultiPoint", "[[1,1],[5,-5]]")
+    assert(Wkb.geomType(mp) == "MULTIPOINT" && Wkb.bbox(mp) == Wkb.BBox(1, -5, 5, 1))
+    val mpoly = GeoJson.coordsToWkb("MultiPolygon", "[[[[0,0],[1,0],[1,1],[0,0]]],[[[5,5],[6,5],[6,6],[5,5]]]]")
+    assert(Wkb.geomType(mpoly) == "MULTIPOLYGON" && Wkb.bbox(mpoly) == Wkb.BBox(0, 0, 6, 6))
+    assert(GeoJson.coordsToWkb("Point", "[1e3, -2.5E-1]") != null) // scientific notation
+  }
+
+  test("readSeq: GeoJSONSeq lines become canonical feature envelopes") {
+    val dir = Files.createTempDirectory("geojson").toString
+    val lines = Seq(
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[11.5,48.1]},"properties":{"id":"m1","name":"munich","pop":1488}}""",
+      """{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]},"properties":{"id":"l1","name":"diag"}}""",
+      "")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/features.jsonl"), lines.mkString("\n"))
+    val df = GeoJson.readSeq(spark, s"$dir/features.jsonl", "poi", "id")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val m = rows.find(_.getAs[String]("feature_id") == "m1").get
+    assert(m.getAs[String]("layer") == "poi")
+    val wkb = m.getAs[Array[Byte]]("geom_wkb")
+    assert(Wkb.geomType(wkb) == "POINT")
+    assert(Wkb.bbox(wkb) == Wkb.BBox(11.5, 48.1, 11.5, 48.1))
+    val props = m.getAs[Map[String, String]]("props")
+    assert(props("name") == "munich" && props("pop") == "1488")
+    val l = rows.find(_.getAs[String]("feature_id") == "l1").get
+    assert(Wkb.geomType(l.getAs[Array[Byte]]("geom_wkb")) == "LINESTRING")
+  }
+
+  test("readSeq output feeds the streaming serde roundtrip") {
+    val dir = Files.createTempDirectory("geojson2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f.jsonl"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"id":"x"}}""")
+    import org.apache.spark.sql.functions._
+    val env = GeoJson.readSeq(spark, s"$dir/f.jsonl", "poi", "id")
+      .select(graft.streaming.FeaturePipeline.packUdf(
+        col("layer"), col("feature_id"), col("geom_wkb"), col("props"),
+        unix_micros(col("event_ts")), col("source"), col("fmt_version")).as("value"))
+    val back = graft.streaming.FeaturePipeline.decode(env).collect().head
+    assert(back.getAs[String]("feature_id") == "x")
+    assert(Wkb.bbox(back.getAs[Array[Byte]]("geom_wkb")) == Wkb.BBox(1, 2, 1, 2))
+  }
+}
