@@ -54,6 +54,59 @@ object Multimodal {
     }
   }
 
+  final case class MediaFrame(
+      media_id: Long, frame_no: Int, offset: Long, frame: Array[Byte])
+
+  object MediaCodecTransforms {
+    /** STUB resize — a real codec rescales the pixel buffer to (w, h).
+      * The fake emits a deterministic byte subsample of w*h/64 bytes
+      * (stride-sampled so the output depends on all regions of the
+      * input), keeping the payload→payload shape and sizing real.
+      */
+    def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val outLen = math.max(1, math.min(payload.length, w * h / 64))
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) {
+        out(i) = payload((i.toLong * payload.length / outLen).toInt)
+        i += 1
+      }
+      out
+    }
+
+    /** Frame sampling — a real video codec seeks keyframes; the stub
+      * treats the payload as fixed-size frames and keeps every n-th,
+      * which is exactly the batch shape (id, frame_no, offset, bytes)
+      * the real thing produces.
+      */
+    def sampleFrames(payload: Array[Byte], frameSize: Int, everyN: Int): Seq[(Int, Long, Array[Byte])] = {
+      require(frameSize > 0 && everyN > 0)
+      val nFrames = payload.length / frameSize
+      (0 until nFrames).by(everyN).map { f =>
+        val off = f.toLong * frameSize
+        (f, off, java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + frameSize))
+      }
+    }
+  }
+
+  /** Resize pass: per-partition batch iteration, payload → payload. */
+  def resizeAll(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r =>
+      r.copy(payload = MediaCodecTransforms.resizeStub(r.payload, w, h))))
+  }
+
+  /** Frame-sample pass: one media record fans out to its kept frames —
+    * the row-explosion shape a video pipeline feeds to per-frame models.
+    */
+  def sampleFramesAll(records: Dataset[MediaRecord], frameSize: Int, everyN: Int): Dataset[MediaFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap(r =>
+      MediaCodecTransforms.sampleFrames(r.payload, frameSize, everyN).map {
+        case (no, off, bytes) => MediaFrame(r.media_id, no, off, bytes)
+      }))
+  }
+
   /** Batch decode: one codec per partition, streaming iterator — the real
     * plumbing a production decode would use.
     */

@@ -50,4 +50,27 @@ class MultimodalSpec extends AnyFunSuite {
     val recs = Multimodal.mediaRecords(spark, SparkFixture.sfDir).repartition(7)
     assert(Multimodal.decodeFeatures(recs).count() == recs.count())
   }
+
+  test("resizeAll: deterministic byte subsample with the target sizing") {
+    val recs = Multimodal.mediaRecords(spark, SparkFixture.sfDir)
+    val resized = Multimodal.resizeAll(recs, 64, 64)
+    assert(resized.count() == recs.count())
+    val a = resized.collect().sortBy(_.media_id).take(5).map(_.payload.toSeq)
+    val b = Multimodal.resizeAll(recs, 64, 64).collect().sortBy(_.media_id).take(5).map(_.payload.toSeq)
+    assert(a.toSeq == b.toSeq, "resize stub not deterministic")
+    resized.collect().foreach(r => assert(r.payload.length <= 64 * 64 / 64))
+  }
+
+  test("sampleFramesAll: every n-th fixed-size frame with correct offsets") {
+    import spark.implicits._
+    val payload = Array.tabulate(100)(_.toByte)
+    val one = Seq(Multimodal.MediaRecord(7L, "video/fake", payload)).toDS()
+    val frames = Multimodal.sampleFramesAll(one, frameSize = 10, everyN = 3).collect()
+      .sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 3, 6, 9))
+    frames.foreach { f =>
+      assert(f.offset == f.frame_no.toLong * 10)
+      assert(f.frame.toSeq == payload.slice(f.offset.toInt, f.offset.toInt + 10).toSeq)
+    }
+  }
 }
