@@ -328,6 +328,50 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B14b
+  private val b14b = QuerySpec(
+    "b14b_cube",
+    "CUBE over (returnflag, linestatus) with grouping_id: all four grouping-set combinations; NULL slots normalized so both engines agree.",
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY gid, rf, ls"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).cube($"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().cast(LongType).as("gid"), count(lit(1)).as("n"),
+          decDbl(sum(dec($"l_quantity", 18, 2)), 2).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"), $"gid", $"n", $"sum_qty")
+        .orderBy($"gid", $"rf", $"ls")
+    }
+  )
+
+  // ---------------------------------------------------------------- B14c
+  private val b14c = QuerySpec(
+    "b14c_pivot",
+    "Pivot: order counts per priority pivoted over status columns; oracle replays with conditional aggregation (pivot's empty cells coalesced to 0 to match COUNT(CASE ...)).",
+    Some("""SELECT o_orderpriority,
+            COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+            COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+            COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("f_cnt"),
+          coalesce($"O", lit(0L)).as("o_cnt"),
+          coalesce($"P", lit(0L)).as("p_cnt"))
+        .orderBy($"o_orderpriority")
+    }
+  )
+
   // ----------------------------------------------------------------- B15
   private val b15 = QuerySpec(
     "b15_win_rank",
@@ -827,7 +871,7 @@ object TierB {
   )
 
   val specs: Seq[QuerySpec] = Seq(
-    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15, b16,
-    b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26, b27, b28,
-    b29, b30, b34, b35, b36)
+    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b14b, b14c,
+    b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
+    b27, b28, b29, b30, b34, b35, b36)
 }
