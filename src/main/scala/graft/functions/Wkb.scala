@@ -13,7 +13,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * doubles. Supported: Point(1), LineString(2), Polygon(3) with any number
   * of rings, MultiPoint(4), MultiLineString(5), MultiPolygon(6) and
   * GeometryCollection(7) (recursive — every member carries its own byte
-  * order flag per spec), both endiannesses.
+  * order flag per spec), both endiannesses, in three type-word dialects:
+  * plain 2D, EWKB (PostGIS: Z/M/SRID flag bits in the high byte, 4-byte
+  * SRID consumed when flagged), and ISO (base + 1000·Z + 2000·M). Z/M
+  * ordinates are skipped — decoded envelopes are always the XY bbox.
+  * Unrecognized type words throw rather than misparse.
   */
 object Wkb {
 
@@ -58,14 +62,40 @@ object Wkb {
     bb.array()
   }
 
-  // reads the byte-order flag and masked base type, setting bb's order
-  private def header(bb: ByteBuffer): Int = {
+  /** Decoded WKB header: base 2D geometry type plus the number of doubles
+    * per coordinate (2 for XY, 3 for XYZ/XYM, 4 for XYZM).
+    */
+  private final case class Header(base: Int, dims: Int)
+
+  // EWKB (PostGIS) type-word flag bits
+  private val FlagZ = 0x80000000
+  private val FlagM = 0x40000000
+  private val FlagSrid = 0x20000000
+
+  /** Reads the byte-order flag and the FULL uint32 type word, setting bb's
+    * order, consuming the 4-byte SRID when the EWKB SRID flag is set, and
+    * deriving the coordinate stride from both dialects' dimension markers:
+    * EWKB high bits (0x80000000 = Z, 0x40000000 = M) and ISO 1000-offset
+    * types (1000s = Z, 2000s = M, 3000s = ZM). Anything else in the
+    * thousands range is rejected loudly — never silently misparsed.
+    */
+  private def header(bb: ByteBuffer): Header = {
     bb.order(if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    // mask Z/M/SRID flags (EWKB-style high bits) down to the base 2D type
-    bb.getInt & 0xff
+    val raw = bb.getInt
+    val ewkbZ = (raw & FlagZ) != 0
+    val ewkbM = (raw & FlagM) != 0
+    val flagless = raw & ~(FlagZ | FlagM | FlagSrid)
+    val isoDim = flagless / 1000
+    if (isoDim < 0 || isoDim > 3)
+      throw new IllegalArgumentException(s"wkb: unsupported ISO type word $flagless")
+    val isoZ = isoDim == 1 || isoDim == 3
+    val isoM = isoDim == 2 || isoDim == 3
+    if ((raw & FlagSrid) != 0) bb.getInt // consume the EWKB SRID word
+    val dims = 2 + (if (ewkbZ || isoZ) 1 else 0) + (if (ewkbM || isoM) 1 else 0)
+    Header(flagless % 1000, dims)
   }
 
-  def geomType(wkb: Array[Byte]): String = header(ByteBuffer.wrap(wkb)) match {
+  def geomType(wkb: Array[Byte]): String = header(ByteBuffer.wrap(wkb)).base match {
     case 1 => "POINT"
     case 2 => "LINESTRING"
     case 3 => "POLYGON"
@@ -82,7 +112,8 @@ object Wkb {
     var ymin = Double.PositiveInfinity
     var xmax = Double.NegativeInfinity
     var ymax = Double.NegativeInfinity
-    def coords(n: Int): Unit = {
+    // dims > 2: Z/M ordinates are skipped — the bbox is the XY envelope
+    def coords(n: Int, dims: Int): Unit = {
       var i = 0
       while (i < n) {
         val x = bb.getDouble; val y = bb.getDouble
@@ -90,25 +121,80 @@ object Wkb {
         if (x > xmax) xmax = x
         if (y < ymin) ymin = y
         if (y > ymax) ymax = y
+        var d = 2
+        while (d < dims) { bb.getDouble; d += 1 }
         i += 1
       }
     }
-    def geom(): Unit = header(bb) match {
-      case 1 => coords(1)
-      case 2 => coords(bb.getInt)
-      case 3 =>
-        val rings = bb.getInt
-        var r = 0
-        while (r < rings) { coords(bb.getInt); r += 1 }
-      case t if t >= 4 && t <= 7 =>
-        // every collection member restates its own byte order
-        val n = bb.getInt
-        var i = 0
-        while (i < n) { geom(); i += 1 }
-      case t => throw new IllegalArgumentException(s"wkb: unsupported geometry type $t")
+    def geom(): Unit = {
+      val h = header(bb)
+      h.base match {
+        case 1 => coords(1, h.dims)
+        case 2 => coords(bb.getInt, h.dims)
+        case 3 =>
+          val rings = bb.getInt
+          var r = 0
+          while (r < rings) { coords(bb.getInt, h.dims); r += 1 }
+        case t if t >= 4 && t <= 7 =>
+          // every collection member restates its own byte order
+          val n = bb.getInt
+          var i = 0
+          while (i < n) { geom(); i += 1 }
+        case t => throw new IllegalArgumentException(s"wkb: unsupported geometry type $t")
+      }
     }
     geom()
     BBox(xmin, ymin, xmax, ymax)
+  }
+
+  /** Even-odd ray-cast point-in-polygon over POLYGON / MULTIPOLYGON (any
+    * dialect, any ring count — holes fall out of the even-odd rule; for a
+    * valid disjoint MultiPolygon the global crossing parity equals
+    * "any member contains"). Half-open edge rule: a point exactly on a
+    * boundary edge classifies by crossing parity, not inclusively — callers
+    * needing closed-boundary semantics must test edges separately. At scale
+    * this is the exact verify step behind a bbox prefilter
+    * ([[bboxIntersects]] / a bbox-indexed join), mirroring the
+    * filter-then-refine shape every spatial index uses.
+    */
+  def containsPoint(wkb: Array[Byte], px: Double, py: Double): Boolean = {
+    val bb = ByteBuffer.wrap(wkb)
+    var inside = false
+    def edge(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      if (((y1 > py) != (y2 > py)) &&
+          px < (x2 - x1) * (py - y1) / (y2 - y1) + x1) inside = !inside
+    def ring(n: Int, dims: Int): Unit = {
+      var firstX = 0.0; var firstY = 0.0
+      var x1 = 0.0; var y1 = 0.0
+      var i = 0
+      while (i < n) {
+        val x2 = bb.getDouble; val y2 = bb.getDouble
+        var d = 2
+        while (d < dims) { bb.getDouble; d += 1 }
+        if (i == 0) { firstX = x2; firstY = y2 } else edge(x1, y1, x2, y2)
+        x1 = x2; y1 = y2
+        i += 1
+      }
+      // WKB rings close by convention; tolerate an unclosed one
+      if (n > 0 && (x1 != firstX || y1 != firstY)) edge(x1, y1, firstX, firstY)
+    }
+    def geom(): Unit = {
+      val h = header(bb)
+      h.base match {
+        case 3 =>
+          val rings = bb.getInt
+          var r = 0
+          while (r < rings) { ring(bb.getInt, h.dims); r += 1 }
+        case 6 =>
+          val n = bb.getInt
+          var i = 0
+          while (i < n) { geom(); i += 1 }
+        case t => throw new IllegalArgumentException(
+          s"wkb: containsPoint expects POLYGON or MULTIPOLYGON, got type $t")
+      }
+    }
+    geom()
+    inside
   }
 
   def bboxIntersects(wkb: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean = {

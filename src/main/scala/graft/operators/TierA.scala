@@ -154,5 +154,45 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b)
+  // ---------------------------------------------------------------- A11c
+  /** Diamond (L1-ball) polygon centered at (c, c) with vertex radius r,
+    * optionally with a concentric hole — interior is |dx|+|dy| < r (minus
+    * the hole), which DuckDB can replay as pure arithmetic.
+    */
+  private val diamondUdf: UserDefinedFunction = udf { (c: Double, r: Double, hole: Double) =>
+    def ring(rad: Double) =
+      Seq((c + rad, c), (c, c + rad), (c - rad, c), (c, c - rad), (c + rad, c))
+    if (hole > 0) Wkb.polygon(Seq(ring(r), ring(hole))) else Wkb.polygon(Seq(ring(r)))
+  }
+  // bbox reject first, exact ray cast only on bbox hits — the scalar mirror
+  // of the filter-then-refine shape a bbox-indexed spatial join uses
+  private val containsUdf: UserDefinedFunction = udf { (wkb: Array[Byte], px: Double, py: Double) =>
+    Wkb.bboxIntersects(wkb, px, py, px, py) && Wkb.containsPoint(wkb, px, py)
+  }
+  // Radii are odd hundredths (120.17, 30.11): the test point's L1 distance
+  // 2*|value - 2*user_id| lives on the even-hundredth grid, so an
+  // exactly-on-boundary point — where ray-cast tie-break and the oracle's
+  // strict < could disagree — is unreachable.
+  private val a11c = QuerySpec(
+    "a11c_point_in_poly",
+    "Ray-cast point-in-polygon: per-event diamond polygon (plus a holed variant), even-odd containment of (value, value); oracle replays the L1-ball arithmetic.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id,
+            (2*abs(value - 2*CAST(user_id AS DOUBLE)) < 120.17) AS in_outer,
+            (2*abs(value - 2*CAST(user_id AS DOUBLE)) < 120.17
+             AND 2*abs(value - 2*CAST(user_id AS DOUBLE)) > 30.11) AS inside
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * $"user_id".cast(DoubleType)).as("c"),
+          $"value".as("px"))
+        .select($"feature_id",
+          containsUdf(diamondUdf($"c", lit(120.17), lit(-1.0)), $"px", $"px").as("in_outer"),
+          containsUdf(diamondUdf($"c", lit(120.17), lit(30.11)), $"px", $"px").as("inside"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c)
 }

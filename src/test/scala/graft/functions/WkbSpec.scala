@@ -42,10 +42,123 @@ class WkbSpec extends AnyFunSuite {
     assert(!Wkb.bboxIntersects(box, 4.01, 4.01, 9, 9)) // disjoint
   }
 
-  test("EWKB-style flag bits in the type word are masked") {
-    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(1.toByte).putInt(0x20000001).putDouble(1.0).putDouble(2.0) // SRID-flagged point
+  test("EWKB SRID point: the 4-byte SRID is consumed, coords stay correct") {
+    val bb = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(0x20000001).putInt(4326).putDouble(1.5).putDouble(2.25)
     assert(Wkb.geomType(bb.array()) == "POINT")
+    assert(Wkb.bbox(bb.array()) == Wkb.BBox(1.5, 2.25, 1.5, 2.25))
+  }
+
+  test("EWKB Z point: stride 3, bbox is the XY envelope") {
+    val bb = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(0x80000001).putDouble(3.0).putDouble(4.0).putDouble(99.0)
+    assert(Wkb.geomType(bb.array()) == "POINT")
+    assert(Wkb.bbox(bb.array()) == Wkb.BBox(3.0, 4.0, 3.0, 4.0))
+  }
+
+  test("EWKB SRID+ZM point, big-endian: all flags combined") {
+    val bb = ByteBuffer.allocate(41).order(ByteOrder.BIG_ENDIAN)
+    bb.put(0.toByte).putInt(0x20000001 | 0x80000000 | 0x40000000).putInt(31370)
+      .putDouble(-1.0).putDouble(7.0).putDouble(10.0).putDouble(20.0)
+    assert(Wkb.geomType(bb.array()) == "POINT")
+    assert(Wkb.bbox(bb.array()) == Wkb.BBox(-1.0, 7.0, -1.0, 7.0))
+  }
+
+  test("ISO Z linestring (type 1002): 3 doubles per point, XY bbox") {
+    val bb = ByteBuffer.allocate(9 + 2 * 24).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(1002).putInt(2)
+      .putDouble(0.0).putDouble(1.0).putDouble(5.0)
+      .putDouble(2.0).putDouble(-1.0).putDouble(6.0)
+    assert(Wkb.geomType(bb.array()) == "LINESTRING")
+    assert(Wkb.bbox(bb.array()) == Wkb.BBox(0.0, -1.0, 2.0, 1.0))
+  }
+
+  test("ISO ZM polygon (type 3003): 4 doubles per point") {
+    val ring = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0))
+    val bb = ByteBuffer.allocate(13 + ring.length * 32).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(3003).putInt(1).putInt(ring.length)
+    ring.foreach { case (x, y) => bb.putDouble(x).putDouble(y).putDouble(9.0).putDouble(8.0) }
+    assert(Wkb.geomType(bb.array()) == "POLYGON")
+    assert(Wkb.bbox(bb.array()) == Wkb.BBox(0.0, 0.0, 4.0, 4.0))
+  }
+
+  test("EWKB SRID multipoint: members carry no SRID of their own") {
+    val inner = Wkb.point(2.0, 3.0)
+    val bb = ByteBuffer.allocate(13 + inner.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(0x20000004).putInt(4326).putInt(1).put(inner)
+    assert(Wkb.geomType(bb.array()) == "MULTIPOINT")
+    assert(Wkb.bbox(bb.array()) == Wkb.BBox(2.0, 3.0, 2.0, 3.0))
+  }
+
+  test("containsPoint: convex polygon, interior/exterior/near-edge") {
+    val square = Wkb.polygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))))
+    assert(Wkb.containsPoint(square, 5.0, 5.0))
+    assert(Wkb.containsPoint(square, 0.001, 9.999))
+    assert(!Wkb.containsPoint(square, -0.001, 5.0))
+    assert(!Wkb.containsPoint(square, 10.001, 5.0))
+    assert(!Wkb.containsPoint(square, 5.0, -3.0))
+  }
+
+  test("containsPoint: concave L-shape — notch is outside") {
+    // L-shape: 10x10 square minus its top-right 5x5 quadrant
+    val l = Wkb.polygon(Seq(Seq(
+      (0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 5.0), (5.0, 10.0), (0.0, 10.0), (0.0, 0.0))))
+    assert(Wkb.containsPoint(l, 2.0, 8.0))   // vertical arm
+    assert(Wkb.containsPoint(l, 8.0, 2.0))   // horizontal arm
+    assert(Wkb.containsPoint(l, 4.9, 4.9))   // inner corner side
+    assert(!Wkb.containsPoint(l, 7.0, 7.0))  // the notch
+    assert(!Wkb.containsPoint(l, 5.1, 5.1))  // just inside the notch
+  }
+
+  test("containsPoint: polygon with hole — even-odd excludes the hole") {
+    val outer = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val hole = Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0))
+    val p = Wkb.polygon(Seq(outer, hole))
+    assert(Wkb.containsPoint(p, 2.0, 2.0))
+    assert(Wkb.containsPoint(p, 3.9, 5.0))
+    assert(!Wkb.containsPoint(p, 5.0, 5.0))  // inside the hole
+    assert(!Wkb.containsPoint(p, 11.0, 5.0))
+  }
+
+  test("containsPoint: multipolygon — any member contains") {
+    val p1 = Wkb.polygon(Seq(Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0))))
+    val p2 = Wkb.polygon(Seq(Seq((10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0))))
+    val mp = Wkb.multi(6, Seq(p1, p2))
+    assert(Wkb.containsPoint(mp, 1.0, 1.0))
+    assert(Wkb.containsPoint(mp, 11.0, 11.0))
+    assert(!Wkb.containsPoint(mp, 5.0, 5.0))  // the gap between members
+  }
+
+  test("containsPoint: EWKB SRID+Z polygon parses with correct stride") {
+    val ring = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val bb = ByteBuffer.allocate(17 + ring.length * 24).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(0x20000003 | 0x80000000).putInt(4326).putInt(1).putInt(ring.length)
+    ring.foreach { case (x, y) => bb.putDouble(x).putDouble(y).putDouble(7.0) }
+    assert(Wkb.containsPoint(bb.array(), 5.0, 5.0))
+    assert(!Wkb.containsPoint(bb.array(), 15.0, 5.0))
+  }
+
+  test("containsPoint: diamond matches the L1-ball arithmetic (a11c oracle shape)") {
+    def diamond(c: Double, r: Double) =
+      Wkb.polygon(Seq(Seq((c + r, c), (c, c + r), (c - r, c), (c, c - r), (c + r, c))))
+    val d = diamond(100.0, 120.17)
+    for (v <- Seq(0.01, 39.9, 40.1, 100.0, 159.95, 160.1, 490.02)) {
+      val l1 = 2 * math.abs(v - 100.0)
+      assert(Wkb.containsPoint(d, v, v) == (l1 < 120.17), s"v=$v l1=$l1")
+    }
+  }
+
+  test("containsPoint rejects non-areal geometry") {
+    intercept[IllegalArgumentException](Wkb.containsPoint(Wkb.point(1.0, 2.0), 1.0, 2.0))
+    intercept[IllegalArgumentException](
+      Wkb.containsPoint(Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))), 0.5, 0.5))
+  }
+
+  test("unsupported ISO thousands range throws, never misparses") {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(5001).putDouble(1.0).putDouble(2.0)
+    intercept[IllegalArgumentException](Wkb.bbox(bb.array()))
+    intercept[IllegalArgumentException](Wkb.geomType(bb.array()))
   }
 
   test("multi-geometries and collections: recursive bbox, mixed endianness") {
