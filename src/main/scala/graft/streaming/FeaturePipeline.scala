@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.{Feature, MsgPack}
@@ -22,8 +23,8 @@ import graft.functions.{Feature, MsgPack}
   *
   * Scale posture: decode/route are map-side; the only stateful shuffles
   * are the dedup (keyed state, watermark-bounded) and the per-key upsert
-  * window inside each micro-batch. The parquet-overwrite store is the
-  * offline stand-in for a MERGE-capable sink (PostGIS upsert in the
+  * window inside each micro-batch. The layer-partitioned parquet store is
+  * the offline stand-in for a MERGE-capable sink (PostGIS upsert in the
   * reference; Delta/Iceberg MERGE or JDBC upsert at 100 TB) — swap
   * [[upsertBatch]]'s tail, keep everything upstream.
   */
@@ -71,18 +72,34 @@ object FeaturePipeline {
   }
 
   /** A9+A12: idempotent keyed upsert of one micro-batch into a parquet
-    * store. Latest version per (layer, feature_id) wins, with a total
-    * deterministic tiebreak so replays can't flip the winner. The store
-    * swap is write-new-then-rename (never read-while-overwrite).
+    * store partitioned by `layer`. Latest version per (layer, feature_id)
+    * wins, with a total deterministic tiebreak so replays can't flip the
+    * winner.
+    *
+    * Scale bound: per-batch work is O(batch + store partitions the batch
+    * touches), NOT O(store) — only the `layer=` partitions present in the
+    * incoming batch are read (partition-pruned scan), merged, and swapped;
+    * every other partition's files are never opened or rewritten. Over a
+    * stream's life that turns the old full-store rewrite's quadratic cost
+    * into cost linear in delivered data (times touched-partition size). A
+    * finer real-world bound adds a date subpartition; the mechanism is the
+    * same. Each touched partition is written fresh then swapped by rename
+    * (never read-while-overwrite).
     */
   def upsertBatch(batch: DataFrame, storeDir: String): Unit = {
     val spark = batch.sparkSession
     val evolved = evolveColumns(batch)
+    // bounded: distinct layer names in one micro-batch, not rows
+    val layers = evolved.select("layer").distinct().collect().map(_.getString(0)).toSeq
+    if (layers.isEmpty) return
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store = new Path(storeDir)
     val merged =
       if (fs.exists(store)) {
+        // the isInCollection filter prunes to the touched layer= partitions
         val existing = spark.read.option("mergeSchema", "true").parquet(storeDir)
+          .withColumn("layer", col("layer").cast(StringType))
+          .filter(col("layer").isInCollection(layers))
         existing.unionByName(evolved, allowMissingColumns = true)
       } else evolved
     val w = Window.partitionBy(col("layer"), col("feature_id"))
@@ -90,9 +107,16 @@ object FeaturePipeline {
     val latest = merged
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val tmp = new Path(storeDir + "_swap")
-    latest.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(store)) fs.delete(store, true)
-    fs.rename(tmp, store)
+    latest.write.mode("overwrite").partitionBy("layer").parquet(tmp.toString)
+    if (!fs.exists(store)) fs.mkdirs(store)
+    // move by directory name so partition-value escaping is preserved
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("layer="))
+      .foreach { st =>
+        val dest = new Path(store, st.getPath.getName)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(st.getPath, dest)
+      }
+    fs.delete(tmp, true)
   }
 
   /** The full A4→A12 consume pipeline as one streaming query. Each

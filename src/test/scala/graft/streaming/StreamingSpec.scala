@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(first == second, "replaying the same batch changed the store")
   }
 
+  test("A9 scale bound: a batch touching one layer leaves other layers' files untouched") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val store = tmpDir("store") + "/parts"
+    def batch(layer: String, fid: String, k: String, tsUs: Long = 1000000L) =
+      Seq((layer, fid, Map("k" -> k))).toDF("layer", "feature_id", "props")
+        .select($"layer", $"feature_id", $"props",
+          timestamp_micros(lit(tsUs)).as("event_ts"),
+          lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch("roads", "r1", "1"), store)
+    FeaturePipeline.upsertBatch(batch("rivers", "w1", "1"), store)
+    def snapshot(layer: String): Map[String, (Long, Long, Int)] =
+      JFiles.walk(Paths.get(store, s"layer=$layer")).iterator().asScala
+        .filter(JFiles.isRegularFile(_))
+        .map(p => p.toString -> (
+          (JFiles.getLastModifiedTime(p).toMillis, JFiles.size(p),
+            java.util.Arrays.hashCode(JFiles.readAllBytes(p)))))
+        .toMap
+    val riversBefore = snapshot("rivers")
+    // update roads only — rivers' partition must not be opened or rewritten
+    FeaturePipeline.upsertBatch(batch("roads", "r1", "2", tsUs = 2000000L), store)
+    assert(snapshot("rivers") == riversBefore,
+      "rewriting an untouched layer partition — upsert is not batch-bounded")
+    val rows = readStore(store).collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getAs[String]("feature_id") == "r1").get.getAs[String]("prop_k") == "2")
+    assert(rows.find(_.getAs[String]("feature_id") == "w1").get.getAs[String]("prop_k") == "1")
+  }
+
   test("A8: schema evolution adds prop columns for unseen keys") {
     import spark.implicits._
     val store = tmpDir("store") + "/evolve"
