@@ -71,9 +71,73 @@ object TierCSim {
 
   // ----------------------------------------------------- n-gram Jaccard
   private val NgramThreshold = 0.6
+
+  /** Absolute per-(source, gram) document-frequency cap for the pair join.
+    * At 100× corpus scale the head of the gram Zipf curve ("of the", …)
+    * produces mega-buckets whose pair fan-out is O(df²) — grams shared by
+    * thousands of documents carry ~zero Jaccard signal but dominate the
+    * shuffle. Grams above the cap are dropped from candidate generation
+    * ONLY (set sizes |A|,|B| stay exact), so capped Jaccard is exact when
+    * no shared gram was hot and a strict underestimate otherwise — never
+    * inflated, so no false pairs. The drop is logged (no-silent-caps).
+    * 10k is far above the fixture's max df (8 at sf0.01, 33 at sf0.1), so
+    * oracle correctness is unaffected where it is checked.
+    */
+  private val NgramDfCap = 10000
+
+  /** Word-bigram Jaccard near-dup pairs, blocked by `source`, inverted-
+    * index join shape, df-capped candidate generation (see [[NgramDfCap]]).
+    */
+  def ngramJaccardPairs(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame = {
+    import s.implicits._
+    // single-pass bigram UDF: the HOF formulation (transform over
+    // sequence with element_at lambdas) is CodegenFallback AND gets its
+    // token-array subexpression inlined per lambda element by projection
+    // collapse — measured ~100 interpreted token-splits per row (73s at
+    // sf0.1); the UDF does one pass (73s -> ~3s)
+    val bigramsUdf = udf { (text: String) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Array.empty[String]
+      else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
+    }
+    val sized = docs
+      .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
+      .filter(size($"grams") >= 1)
+      .persist()
+      .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
+      .persist()
+    // df per (source, gram) on the persisted explode; the hot head of the
+    // Zipf curve is at most |grams|/cap entries — broadcastable by design
+    val hot = sized.groupBy($"source", $"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap)
+      .select($"source".as("hot_source"), $"gram".as("hot_gram"))
+      .persist()
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
+          "candidate generation (Jaccard becomes a strict underestimate for " +
+          "pairs sharing a dropped gram; set sizes stay exact)")
+    val kept = sized.join(broadcast(hot),
+      $"source" === $"hot_source" && $"gram" === $"hot_gram", "left_anti")
+    val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
+    val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
+      $"sz".as("sb"), $"gram".as("gram_r"))
+    left.join(right,
+        $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b", $"sa", $"sb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        $"shared".cast(DoubleType) / ($"sa" + $"sb" - $"shared"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
   private val c2n = QuerySpec(
     "c2_ngram_jaccard",
-    "Word-bigram Jaccard near-dup, blocked by `source` (pairs only within a block — never corpus²); exact bigram-set Jaccard ≥ 0.6.",
+    "Word-bigram Jaccard near-dup, blocked by `source` (pairs only within a block — never corpus²); exact bigram-set Jaccard ≥ 0.6. Candidate generation df-capped at 10k (far above fixture max df; drops are logged, Jaccard never inflated).",
     Some(s"""WITH t AS (SELECT doc_id, source,
               list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
               FROM documents),
@@ -88,43 +152,14 @@ object TierCSim {
             FROM p
             WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(list_distinct(ga || gb)) >= $NgramThreshold
             ORDER BY id_a, id_b"""),
-    (s, d) => {
-      import s.implicits._
-      // Inverted-index shape, NOT per-pair array set ops: explode bigrams,
-      // join on (source, gram), count shared grams per pair, then
-      // jaccard = shared / (|A| + |B| - shared). Same integers as the
-      // oracle's intersect/union lengths, but the heavy work is a codegen'd
-      // equi-join + count instead of interpreted per-pair array
-      // intersections (76s -> ~3s at sf0.1), and it's the shape that
-      // scales: shuffle by gram, per-gram fan-out bounded by bucket size.
-      // single-pass bigram UDF: the HOF formulation (transform over
-      // sequence with element_at lambdas) is CodegenFallback AND gets its
-      // token-array subexpression inlined per lambda element by projection
-      // collapse — measured ~100 interpreted token-splits per row (73s at
-      // sf0.1); the UDF does one pass (73s -> ~3s)
-      val bigramsUdf = udf { (text: String) =>
-        val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
-        if (toks.length < 2) Array.empty[String]
-        else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
-      }
-      val sized = Tables.documents(s, d)
-        .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
-        .filter(size($"grams") >= 1)
-        .persist()
-        .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
-      val left = sized.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
-      val right = sized.select($"doc_id".as("id_b"), $"source".as("source_r"),
-        $"sz".as("sb"), $"gram".as("gram_r"))
-      left.join(right,
-          $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" < $"id_b")
-        .groupBy($"id_a", $"id_b", $"sa", $"sb")
-        .agg(count(lit(1)).as("shared"))
-        .withColumn("jaccard",
-          $"shared".cast(DoubleType) / ($"sa" + $"sb" - $"shared"))
-        .filter($"jaccard" >= NgramThreshold)
-        .select($"id_a", $"id_b", $"jaccard")
-        .orderBy($"id_a", $"id_b")
-    }
+    // Inverted-index shape, NOT per-pair array set ops: explode bigrams,
+    // join on (source, gram), count shared grams per pair, then
+    // jaccard = shared / (|A| + |B| - shared). Same integers as the
+    // oracle's intersect/union lengths, but the heavy work is a codegen'd
+    // equi-join + count instead of interpreted per-pair array
+    // intersections (76s -> ~3s at sf0.1), and it's the shape that
+    // scales: shuffle by gram, per-gram fan-out bounded by the df cap.
+    (s, d) => ngramJaccardPairs(s, Tables.documents(s, d), NgramThreshold, NgramDfCap)
   )
 
   // ------------------------------------------- embedding-cosine near-dup

@@ -28,6 +28,30 @@ class SimSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc flagged")
   }
 
+  test("ngramJaccardPairs: df-capped hot gram is dropped, near-dup pair still found") {
+    import spark.implicits._
+    // "stop stop" appears in every doc (df=12 > cap=3) — dropped from
+    // candidate generation. The planted near-dup pair shares 9 of its
+    // ~11 rarer bigrams, so it must still surface; the stop-gram's loss
+    // only underestimates its Jaccard. Filler docs share ONLY the hot
+    // gram, so with the cap they must produce no pairs at all.
+    val a = "stop stop alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "stop stop alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val fillers = (0 until 10).map(i =>
+      (10L + i, s"stop stop unique${i}a unique${i}b unique${i}c"))
+    val docs = ((Seq((0L, a), (1L, b)) ++ fillers))
+      .map { case (id, t) => (id, "src", t) }.toDF("doc_id", "source", "text")
+    val pairs = TierCSim.ngramJaccardPairs(spark, docs, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)),
+      s"expected only the planted pair to survive the df cap, got $pairs")
+    // sanity: without the cap the same corpus also links fillers to nothing
+    // (they share only the hot gram, jaccard ~2/7 < 0.5) and finds (0,1)
+    val uncapped = TierCSim.ngramJaccardPairs(spark, docs, 0.5, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((0L, 1L)))
+  }
+
   test("annTopK: deterministic, k-bounded, neighbors stay within bucket") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)
