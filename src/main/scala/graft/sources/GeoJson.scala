@@ -14,6 +14,8 @@ import graft.functions.Wkb
   * the splittable form a 100 TB ingest actually uses; a single
   * FeatureCollection file cannot be split across executors, so the
   * canonical-envelope path standardizes on the sequence form.
+  * [[readCollection]] covers whole-file FeatureCollection documents for
+  * interop, producing the identical envelope.
   *
   * Scale shape: one distributed text scan; per-line scalar JSON extraction
   * (codegen'd `get_json_object`) plus one UDF that converts the GeoJSON
@@ -80,25 +82,92 @@ object GeoJson {
     if (gtype == null || coords == null) null else coordsToWkb(gtype, coords)
   }
 
+  /** One Feature-JSON column → the canonical envelope. The event
+    * timestamp is caller-supplied (vector files carry no event time):
+    * stamping wall-clock here would make two reads of the same file
+    * differ, breaking replay and hash-determinism downstream.
+    */
+  private def envelope(lines: DataFrame, path: String, layer: String,
+      idField: String, eventTsUs: Long): DataFrame =
+    lines.select(
+      lit(layer).as("layer"),
+      get_json_object(col("line"), s"$$.properties.$idField").as("feature_id"),
+      wkbUdf(
+        get_json_object(col("line"), "$.geometry.type"),
+        get_json_object(col("line"), "$.geometry.coordinates")).as("geom_wkb"),
+      from_json(get_json_object(col("line"), "$.properties"),
+        MapType(StringType, StringType)).as("props"),
+      timestamp_micros(lit(eventTsUs)).as("event_ts"),
+      lit(path).as("source"),
+      lit(1).as("fmt_version"))
+
   /** Newline-delimited GeoJSON → canonical feature envelope.
     *
-    * @param layer   layer name stamped on every feature
-    * @param idField property key used as feature_id (stringified)
+    * @param layer     layer name stamped on every feature
+    * @param idField   property key used as feature_id (stringified)
+    * @param eventTsUs event time (µs) stamped on every feature — pass the
+    *                  file's publication time; deterministic by design
     */
-  def readSeq(spark: SparkSession, path: String, layer: String, idField: String): DataFrame = {
+  def readSeq(spark: SparkSession, path: String, layer: String, idField: String,
+      eventTsUs: Long = 0L): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).toDF("line")
-      .filter(length(trim($"line")) > 0)
-      .select(
-        lit(layer).as("layer"),
-        get_json_object($"line", s"$$.properties.$idField").as("feature_id"),
-        wkbUdf(
-          get_json_object($"line", "$.geometry.type"),
-          get_json_object($"line", "$.geometry.coordinates")).as("geom_wkb"),
-        from_json(get_json_object($"line", "$.properties"),
-          MapType(StringType, StringType)).as("props"),
-        current_timestamp().as("event_ts"),
-        lit(path).as("source"),
-        lit(1).as("fmt_version"))
+    envelope(
+      spark.read.textFile(path).toDF("line").filter(length(trim($"line")) > 0),
+      path, layer, idField, eventTsUs)
+  }
+
+  /** Splits the top-level `features` array of a FeatureCollection document
+    * into one JSON string per feature: a brace/bracket depth scan that
+    * respects string literals and escapes — no JSON library, no schema
+    * inference (which would mangle the heterogeneous coordinates nesting).
+    */
+  private[sources] def splitFeatures(doc: String): Array[String] = {
+    val keyIdx = doc.indexOf("\"features\"")
+    if (keyIdx < 0) return Array.empty
+    var pos = doc.indexOf('[', keyIdx)
+    if (pos < 0) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    pos += 1
+    var depth = 0
+    var start = -1
+    var inStr = false
+    var escaped = false
+    var done = false
+    while (pos < doc.length && !done) {
+      val c = doc.charAt(pos)
+      if (inStr) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) start = pos; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) { out += doc.substring(start, pos + 1); start = -1 }
+        case ']' if depth == 0 => done = true // end of the features array
+        case _ => ()
+      }
+      pos += 1
+    }
+    out.toArray
+  }
+
+  private val splitUdf = udf { (doc: String) =>
+    if (doc == null) Array.empty[String] else splitFeatures(doc)
+  }
+
+  /** Whole-file GeoJSON `FeatureCollection` → the same canonical envelope
+    * as [[readSeq]]. A single-document file is NOT splittable — each file
+    * is one task — so this is the small-file/interop path; bulk ingest
+    * standardizes on the sequence form. Globs work: each matched file
+    * parses independently.
+    */
+  def readCollection(spark: SparkSession, path: String, layer: String,
+      idField: String, eventTsUs: Long = 0L): DataFrame = {
+    val docs = spark.read.option("wholetext", "true").text(path).toDF("doc")
+    envelope(
+      docs.select(explode(splitUdf(col("doc"))).as("line")),
+      path, layer, idField, eventTsUs)
   }
 }

@@ -45,6 +45,48 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(Wkb.geomType(l.getAs[Array[Byte]]("geom_wkb")) == "LINESTRING")
   }
 
+  test("readSeq is deterministic: two reads of the same file are identical") {
+    val dir = Files.createTempDirectory("geojson_det").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f.jsonl"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"id":"x","n":"7"}}""")
+    def snap() = GeoJson.readSeq(spark, s"$dir/f.jsonl", "poi", "id", eventTsUs = 1234567L)
+      .withColumn("geom_wkb", org.apache.spark.sql.functions.hex(
+        org.apache.spark.sql.functions.col("geom_wkb")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(snap() == snap(), "same-file reads differ — envelope is nondeterministic")
+  }
+
+  test("splitFeatures: depth scan handles nested objects, strings with braces, escapes") {
+    val doc = """{"type":"FeatureCollection","name":"t{e]st",
+      "features":[
+        {"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"id":"a","s":"br{ace"}},
+        {"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]},"properties":{"id":"b","q":"\"esc]"}}
+      ],
+      "bbox":[0,0,2,2]}"""
+    val fs = GeoJson.splitFeatures(doc)
+    assert(fs.length == 2)
+    assert(fs(0).contains("\"id\":\"a\"") && fs(1).contains("\"id\":\"b\""))
+    assert(GeoJson.splitFeatures("""{"type":"FeatureCollection","features":[]}""").isEmpty)
+    assert(GeoJson.splitFeatures("""{"no_features":true}""").isEmpty)
+  }
+
+  test("readCollection produces the same envelope as readSeq") {
+    val dir = Files.createTempDirectory("geojson_fc").toString
+    val f1 = """{"type":"Feature","geometry":{"type":"Point","coordinates":[11.5,48.1]},"properties":{"id":"m1","name":"munich"}}"""
+    val f2 = """{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]},"properties":{"id":"l1"}}"""
+    Files.writeString(java.nio.file.Paths.get(s"$dir/fc.json"),
+      s"""{"type":"FeatureCollection","features":[$f1,\n$f2]}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/seq.jsonl"), s"$f1\n$f2")
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      df.drop("source") // source = path, differs by construction
+        .withColumn("geom_wkb", org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.col("geom_wkb")))
+        .collect().map(_.toString).sorted.toSeq
+    val fc = strip(GeoJson.readCollection(spark, s"$dir/fc.json", "poi", "id", 42L))
+    val seq = strip(GeoJson.readSeq(spark, s"$dir/seq.jsonl", "poi", "id", 42L))
+    assert(fc == seq, s"FeatureCollection envelope differs from Seq form:\n$fc\nvs\n$seq")
+  }
+
   test("readSeq output feeds the streaming serde roundtrip") {
     val dir = Files.createTempDirectory("geojson2").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/f.jsonl"),
