@@ -83,6 +83,12 @@ object TierC {
     * Jaccard verification touches candidate pairs only. The signature
     * index is persisted so the self-join's two sides don't recompute the
     * MinHash UDF over the corpus.
+    *
+    * COMPOSE WITH EXACT DEDUP FIRST: n exact copies of one document share
+    * every band, so each of its buckets holds n members and the self-join
+    * fans out O(n²) pairs that Jaccard-verify trivially — run c1
+    * (min-id-per-text) before this and bucket sizes stay bounded by true
+    * near-dup cluster sizes (pinned by a SimSpec test).
     */
   def nearDuplicatePairs(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     import s.implicits._

@@ -52,6 +52,37 @@ class SimSpec extends AnyFunSuite {
     assert(uncapped == Set((0L, 1L)))
   }
 
+  test("compose c1 exact dedup before c2 LSH: bucket sizes stay bounded, near-dups still found") {
+    import spark.implicits._
+    import graft.functions.MinHash
+    // 50 exact copies of one doc + a genuine near-dup pair + unrelated docs
+    val hot = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val near1 = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near2 = ((1 to 57).map(i => s"tok$i") ++ Seq("xx", "yy", "zz")).mkString(" ")
+    val docs = ((0 until 50).map(i => (100L + i, hot))
+      ++ Seq((0L, near1), (1L, near2))
+      ++ (0 until 5).map(i => (200L + i, (1 to 60).map(j => s"u${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    // plain-Scala mirror of the LSH index for bucket-size inspection
+    def maxBucket(d: org.apache.spark.sql.DataFrame): Int =
+      d.select($"doc_id", $"text").collect()
+        .flatMap { r =>
+          val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+          MinHash.bandHashes(MinHash.signature(MinHash.shingles(toks)))
+            .zipWithIndex.map { case (h, b) => ((b, h), r.getLong(0)) }
+        }.groupBy(_._1).values.map(_.length).max
+    assert(maxBucket(docs) >= 50, "fixture should exhibit the exact-dup mega-bucket")
+    // c1 shape: deterministic survivor per text
+    val survivors = docs.groupBy($"text")
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id", $"text")
+    assert(maxBucket(survivors) <= 2,
+      "exact dedup should bound every LSH bucket to true near-dup cluster size")
+    val pairs = TierC.nearDuplicatePairs(spark, survivors, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)),
+      s"near-dup pair must survive the composed pipeline, got $pairs")
+  }
+
   test("annTopK: deterministic, k-bounded, neighbors stay within bucket") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)
