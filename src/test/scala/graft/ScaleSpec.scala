@@ -60,6 +60,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("AQE on, broadcast off, sf0.1: blocked pair joins stay equi-joins (never BNLJ/cartesian)") {
+    // The PlanAuditSpec runs at a scale where every build side broadcasts;
+    // this audit removes that safety net — broadcast disabled entirely,
+    // AQE re-planning live, the big sf — and pins that the kNN label-block
+    // and LSH band-bucket self-joins still resolve their equi keys into a
+    // shuffled join. The failure mode it guards: a lineage-aliasing
+    // refactor turning the join condition trivially true, which AQE would
+    // then execute as a BNLJ/cartesian over the whole corpus.
+    val origBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE should be on by default in this audit")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- Seq("c3_knn_cosine", "c2_dedup_pairs")) {
+        val df = Registry.queries(name)(spark, "/root/testdata/sf0.1")
+        df.collect() // drive to completion so AQE's FINAL plan is inspected
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("isFinalPlan=true"), s"$name: not a final adaptive plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"$name degraded to a non-equi join at sf0.1:\n" + plan)
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name: expected a shuffled equi-join on the block key:\n" + plan)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", origBroadcast)
+  }
+
   test("saltedJoin equals the plain join and scatters the hot key across salts") {
     import spark.implicits._
     // hot key: one customer with 10k orders, plus a long tail
