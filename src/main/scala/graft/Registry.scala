@@ -10,7 +10,7 @@ object Registry {
   val all: Seq[QuerySpec] =
     operators.TierA.specs ++ operators.TierB.specs ++ operators.TierC.specs ++
       operators.TierCText.specs ++ operators.TierCSim.specs ++
-      operators.Multimodal.specs
+      operators.Multimodal.specs ++ operators.Spatial.specs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names in registry")
 

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySpec
+import graft.functions.Wkb
+import graft.sources.Tables
+
+/** Spatial join — the scale-shaped counterpart of the scalar predicates in
+  * [[graft.functions.Wkb]] (SURVEY.md §2 A11 extension; the reference's
+  * PostGIS habitat implies point-in-polygon joins [UPSTREAM-UNVERIFIED —
+  * empty checkout, SURVEY.md §0]).
+  *
+  * Shape: PBSM-style uniform grid blocking. Each polygon is replicated to
+  * the grid cells its bbox covers (one WKB decode per polygon, map-side);
+  * each point hashes to exactly one cell; candidates meet in a shuffled
+  * equi-join on the cell key and are refined with the exact even-odd ray
+  * cast. Per-cell fan-out is bounded by local geometry density — NEVER
+  * |points| × |polygons| — and both shuffles partition on the same key.
+  * Cell-size choice trades replication (big cells → fewer copies, fatter
+  * buckets) against fan-out; a production caller tunes it to median
+  * polygon extent. A giant polygon spanning many cells replicates its WKB
+  * per cell — the standard PBSM cost, mitigated upstream by tiling such
+  * outliers before the join.
+  */
+object Spatial {
+
+  private val bboxUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) => Wkb.bbox(wkb) }
+
+  /** Covering cell ids (cx, cy) of a bbox at the given cell size. */
+  private val cellsUdf: UserDefinedFunction =
+    udf { (xmin: Double, ymin: Double, xmax: Double, ymax: Double, cell: Double) =>
+      val cx0 = math.floor(xmin / cell).toLong
+      val cx1 = math.floor(xmax / cell).toLong
+      val cy0 = math.floor(ymin / cell).toLong
+      val cy1 = math.floor(ymax / cell).toLong
+      (for { cx <- cx0 to cx1; cy <- cy0 to cy1 } yield (cx, cy)).toArray
+    }
+
+  private val containsUdf: UserDefinedFunction =
+    udf { (wkb: Array[Byte], px: Double, py: Double) => Wkb.containsPoint(wkb, px, py) }
+
+  /** Grid-blocked point-in-polygon join.
+    *
+    * @param points (point_id: any, px: double, py: double)
+    * @param polys  (poly_id: any, wkb: binary) — POLYGON / MULTIPOLYGON
+    * @param cell   grid cell size in coordinate units
+    * @return (point_id, poly_id) for every polygon strictly containing the
+    *         point (even-odd boundary rule, see [[Wkb.containsPoint]]);
+    *         each surviving pair is emitted exactly once because a point
+    *         lives in exactly one cell
+    */
+  def pointInPolygonJoin(points: DataFrame, polys: DataFrame, cell: Double): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    val gridded = polys
+      .withColumn("bb", bboxUdf($"wkb"))
+      .select($"poly_id", $"wkb",
+        explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
+      .select($"poly_id", $"wkb", $"c._1".as("cell_x"), $"c._2".as("cell_y"))
+    points
+      .withColumn("p_cell_x", floor($"px" / cell).cast(LongType))
+      .withColumn("p_cell_y", floor($"py" / cell).cast(LongType))
+      .join(gridded, $"p_cell_x" === $"cell_x" && $"p_cell_y" === $"cell_y")
+      .filter(containsUdf($"wkb", $"px", $"py"))
+      .select($"point_id", $"poly_id")
+  }
+
+  // ---------------------------------------------------------------- A11d
+  private val diamondUdf: UserDefinedFunction = udf { (c: Double, r: Double) =>
+    Wkb.polygon(Seq(Seq((c + r, c), (c, c + r), (c - r, c), (c, c - r), (c + r, c))))
+  }
+
+  // Diamond radius 35.27 on 20-spaced centers: adjacent catchment windows
+  // overlap, so some points legitimately land in two polygons (exercises
+  // multi-match semantics). The odd-hundredth radius keeps the 0.02-grid
+  // L1 distances off the exact boundary (same reasoning as a11c).
+  private val a11d = QuerySpec(
+    "a11d_spatial_join",
+    "Grid-blocked point-in-polygon JOIN: events points vs 25 diamond polygons built from nation keys; PBSM cell equi-join + exact ray-cast refine; oracle replays the L1 containment arithmetic.",
+    Some("""SELECT CAST(e.event_id AS VARCHAR) AS feature_id, n.n_nationkey AS poly_id
+            FROM events e JOIN nation n
+              ON 2*abs(e.value - 20*CAST(n.n_nationkey AS DOUBLE)) < 35.27
+            ORDER BY feature_id, poly_id"""),
+    (s, d) => {
+      import s.implicits._
+      val points = Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("point_id"),
+          $"value".as("px"), $"value".as("py"))
+      val polys = Tables.nation(s, d)
+        .select($"n_nationkey".as("poly_id"),
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(35.27)).as("wkb"))
+      pointInPolygonJoin(points, polys, cell = 25.0)
+        .select($"point_id".as("feature_id"), $"poly_id")
+        .orderBy($"feature_id", $"poly_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d)
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.Wkb
+
+/** Grid-blocked point-in-polygon join semantics (SURVEY.md §2 A11d). */
+class SpatialSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+
+  private def square(x0: Double, y0: Double, x1: Double, y1: Double): Array[Byte] =
+    Wkb.polygon(Seq(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
+
+  test("pointInPolygonJoin: exact matches, multi-match, no duplicates, cross-cell polygons") {
+    import spark.implicits._
+    // polygons: two overlapping squares plus one far away; cell=10 means
+    // the 25-wide square spans multiple cells (replication path)
+    val polys = Seq(
+      (1, square(0, 0, 25, 25)),     // spans cells (0..2)×(0..2)
+      (2, square(20, 20, 30, 30)),   // overlaps poly 1 in [20,25]²
+      (3, square(100, 100, 101, 101))
+    ).toDF("poly_id", "wkb")
+    val points = Seq(
+      ("a", 5.0, 5.0),     // poly 1 only
+      ("b", 22.0, 22.0),   // polys 1 and 2 (overlap region)
+      ("c", 28.0, 28.0),   // poly 2 only
+      ("d", 50.0, 50.0),   // none
+      ("e", 100.5, 100.5)  // poly 3 (different grid neighborhood)
+    ).toDF("point_id", "px", "py")
+    val got = Spatial.pointInPolygonJoin(points, polys, cell = 10.0)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got.distinct.length == got.length, s"duplicate pairs emitted: $got")
+    assert(got.toSet == Set(("a", 1), ("b", 1), ("b", 2), ("c", 2), ("e", 3)), got.toSet)
+  }
+
+  test("pointInPolygonJoin: holes excluded, negative-coordinate cells correct") {
+    import spark.implicits._
+    val holed = Wkb.polygon(Seq(
+      Seq((-20.0, -20.0), (0.0, -20.0), (0.0, 0.0), (-20.0, 0.0), (-20.0, -20.0)),
+      Seq((-12.0, -12.0), (-8.0, -12.0), (-8.0, -8.0), (-12.0, -8.0), (-12.0, -12.0))))
+    val polys = Seq((7, holed)).toDF("poly_id", "wkb")
+    val points = Seq(
+      ("in_ring", -15.0, -15.0),
+      ("in_hole", -10.0, -10.0),
+      ("outside", 5.0, -10.0)
+    ).toDF("point_id", "px", "py")
+    val got = Spatial.pointInPolygonJoin(points, polys, cell = 10.0)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("in_ring", 7)), got)
+  }
+}
