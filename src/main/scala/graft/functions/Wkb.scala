@@ -201,4 +201,112 @@ object Wkb {
     val b = bbox(wkb)
     b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin
   }
+
+  /** Parses all rings of a POLYGON / MULTIPOLYGON (outer rings and holes
+    * alike, XY only, any dialect) as closed vertex loops.
+    */
+  private def areaRings(wkb: Array[Byte]): Seq[Array[(Double, Double)]] = {
+    val bb = ByteBuffer.wrap(wkb)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[(Double, Double)]]
+    def ring(n: Int, dims: Int): Unit = {
+      val pts = new Array[(Double, Double)](n)
+      var i = 0
+      while (i < n) {
+        val x = bb.getDouble; val y = bb.getDouble
+        var d = 2
+        while (d < dims) { bb.getDouble; d += 1 }
+        pts(i) = (x, y)
+        i += 1
+      }
+      out += pts
+    }
+    def geom(): Unit = {
+      val h = header(bb)
+      h.base match {
+        case 3 =>
+          val rings = bb.getInt
+          var r = 0
+          while (r < rings) { ring(bb.getInt, h.dims); r += 1 }
+        case 6 =>
+          val n = bb.getInt
+          var i = 0
+          while (i < n) { geom(); i += 1 }
+        case t => throw new IllegalArgumentException(
+          s"wkb: intersects expects POLYGON or MULTIPOLYGON, got type $t")
+      }
+    }
+    geom()
+    out.toSeq
+  }
+
+  // sign of the cross product (q - p) × (r - p): orientation of r vs line pq
+  private def orient(px: Double, py: Double, qx: Double, qy: Double,
+      rx: Double, ry: Double): Int = {
+    val v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    if (v > 0) 1 else if (v < 0) -1 else 0
+  }
+
+  private def onSegment(px: Double, py: Double, qx: Double, qy: Double,
+      rx: Double, ry: Double): Boolean =
+    math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+      math.min(py, qy) <= ry && ry <= math.max(py, qy)
+
+  /** Proper + degenerate (collinear-overlap, endpoint-touch) segment
+    * intersection — the standard orientation-sign test.
+    */
+  private def segmentsIntersect(
+      ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (o1 != o2 && o3 != o4) true
+    else (o1 == 0 && onSegment(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSegment(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSegment(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSegment(cx, cy, dx, dy, bx, by))
+  }
+
+  /** True iff two areal geometries (POLYGON / MULTIPOLYGON, holes
+    * respected) share any material: a boundary edge pair crosses, or —
+    * with no boundary crossings, so each loop lies entirely inside or
+    * outside the other's material — one geometry's vertex sits in the
+    * other's interior ([[containsPoint]]'s even-odd rule keeps a vertex
+    * inside a hole from counting). Edge test is O(n·m) over vertex
+    * counts; at scale callers block first (bbox grid, see
+    * `operators.Spatial`) so n·m stays per-candidate-pair small.
+    */
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ba = bbox(a)
+    if (!bboxIntersects(b, ba.xmin, ba.ymin, ba.xmax, ba.ymax)) return false
+    val ringsA = areaRings(a)
+    val ringsB = areaRings(b)
+    var i = 0
+    while (i < ringsA.length) {
+      val ra = ringsA(i)
+      var j = 0
+      while (j < ringsB.length) {
+        val rb = ringsB(j)
+        var p = 0
+        while (p < ra.length - 1) {
+          var q = 0
+          while (q < rb.length - 1) {
+            if (segmentsIntersect(ra(p)._1, ra(p)._2, ra(p + 1)._1, ra(p + 1)._2,
+                rb(q)._1, rb(q)._2, rb(q + 1)._1, rb(q + 1)._2)) return true
+            q += 1
+          }
+          p += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // No boundary crossing: each loop lies wholly inside or outside the
+    // other's material, so any ring's first vertex decides for that loop.
+    // Every ring is tested (multipolygon members are independent; a hole
+    // ring's vertex borders its polygon's material, so it answers for it).
+    ringsA.exists(r => r.nonEmpty && containsPoint(b, r(0)._1, r(0)._2)) ||
+      ringsB.exists(r => r.nonEmpty && containsPoint(a, r(0)._1, r(0)._2))
+  }
 }

@@ -194,5 +194,31 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c)
+  // ---------------------------------------------------------------- A11e
+  private val intersectsUdf: UserDefinedFunction =
+    udf { (a: Array[Byte], b: Array[Byte]) => Wkb.intersects(a, b) }
+
+  // Two open L1 balls intersect iff the L1 distance of their centers is
+  // under the radius sum (Minkowski): with centers (2u, 2u) and (v, v)
+  // that is 2|v - 2u| < 60.13 + 45.12 — replayable arithmetic, and the
+  // odd-hundredth radius sum keeps the 0.02-grid distance off the exact
+  // touch case where intersects() (touch = true) and strict < disagree.
+  private val a11e = QuerySpec(
+    "a11e_geom_intersects",
+    "Real geometry-intersects (segment crossing + even-odd containment fallback) between two per-event diamond polygons; oracle replays the L1 Minkowski arithmetic.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id,
+            (2*abs(value - 2*CAST(user_id AS DOUBLE)) < 105.25) AS isect
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          diamondUdf(lit(2.0) * $"user_id".cast(DoubleType), lit(60.13), lit(-1.0)).as("wa"),
+          diamondUdf($"value", lit(45.12), lit(-1.0)).as("wb"))
+        .select($"feature_id", intersectsUdf($"wa", $"wb").as("isect"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e)
 }

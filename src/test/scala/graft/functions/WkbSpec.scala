@@ -148,6 +148,50 @@ class WkbSpec extends AnyFunSuite {
     }
   }
 
+  test("intersects: crossing, containment, disjoint, touch") {
+    def sq(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Wkb.polygon(Seq(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
+    assert(Wkb.intersects(sq(0, 0, 10, 10), sq(5, 5, 15, 15)))   // edge crossing
+    assert(Wkb.intersects(sq(0, 0, 10, 10), sq(2, 2, 3, 3)))     // B inside A, no crossing
+    assert(Wkb.intersects(sq(2, 2, 3, 3), sq(0, 0, 10, 10)))     // A inside B
+    assert(!Wkb.intersects(sq(0, 0, 10, 10), sq(20, 20, 30, 30))) // disjoint
+    assert(Wkb.intersects(sq(0, 0, 10, 10), sq(10, 0, 20, 10)))  // shared edge (touch)
+    assert(Wkb.intersects(sq(0, 0, 10, 10), sq(10, 10, 20, 20))) // corner touch
+  }
+
+  test("intersects: geometry inside a hole does not intersect") {
+    def sq(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+    val holed = Wkb.polygon(Seq(sq(0, 0, 20, 20), sq(5, 5, 15, 15)))
+    val inHole = Wkb.polygon(Seq(sq(8, 8, 12, 12)))
+    assert(!Wkb.intersects(holed, inHole), "hole interior counted as material")
+    assert(!Wkb.intersects(inHole, holed), "asymmetric hole handling")
+    val crossesHoleBoundary = Wkb.polygon(Seq(sq(3, 8, 8, 12)))
+    assert(Wkb.intersects(holed, crossesHoleBoundary))
+    val inMaterial = Wkb.polygon(Seq(sq(1, 1, 3, 3)))
+    assert(Wkb.intersects(holed, inMaterial))
+  }
+
+  test("intersects: multipolygon members checked independently") {
+    def sq(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Wkb.polygon(Seq(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
+    val mp = Wkb.multi(6, Seq(sq(0, 0, 2, 2), sq(50, 50, 60, 60)))
+    assert(Wkb.intersects(mp, sq(52, 52, 55, 55)), "second member containment missed")
+    assert(Wkb.intersects(sq(52, 52, 55, 55), mp))
+    assert(!Wkb.intersects(mp, sq(10, 10, 20, 20)))
+  }
+
+  test("intersects: diamond pair matches the L1 Minkowski arithmetic (a11e oracle shape)") {
+    def diamond(c: Double, r: Double) =
+      Wkb.polygon(Seq(Seq((c + r, c), (c, c + r), (c - r, c), (c, c - r), (c + r, c))))
+    for (v <- Seq(0.01, 47.3, 52.7, 100.0, 152.6, 153.0, 490.02)) {
+      val a = diamond(100.0, 60.13)
+      val b = diamond(v, 45.12)
+      val expected = 2 * math.abs(v - 100.0) < 105.25
+      assert(Wkb.intersects(a, b) == expected, s"v=$v")
+    }
+  }
+
   test("containsPoint rejects non-areal geometry") {
     intercept[IllegalArgumentException](Wkb.containsPoint(Wkb.point(1.0, 2.0), 1.0, 2.0))
     intercept[IllegalArgumentException](
