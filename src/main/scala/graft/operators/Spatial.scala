@@ -69,6 +69,46 @@ object Spatial {
       .select($"point_id", $"poly_id")
   }
 
+  /** Grid-blocked polygon-polygon intersects join.
+    *
+    * Same PBSM blocking as [[pointInPolygonJoin]], but both sides
+    * replicate to covering cells, so one geometry pair can collide in
+    * many cells. The classic duplicate-avoidance rule makes emission
+    * exactly-once WITHOUT a distinct pass: a pair is reported only by the
+    * canonical cell containing the min corner of the two bboxes'
+    * intersection — cheap column arithmetic on the bbox values each side
+    * already carries, applied before the expensive exact refine.
+    *
+    * @param polysA (a_id, a_wkb)  @param polysB (b_id, b_wkb)
+    * @return (a_id, b_id) for every intersecting pair, exactly once
+    */
+  def polygonJoin(polysA: DataFrame, polysB: DataFrame, cell: Double): DataFrame = {
+    val s = polysA.sparkSession
+    import s.implicits._
+    def gridded(df: DataFrame, id: String, wkb: String, p: String): DataFrame =
+      df.withColumn("bb", bboxUdf(col(wkb)))
+        .select(col(id), col(wkb),
+          $"bb.xmin".as(s"${p}xmin"), $"bb.ymin".as(s"${p}ymin"),
+          $"bb.xmax".as(s"${p}xmax"), $"bb.ymax".as(s"${p}ymax"),
+          explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
+        .select(col(id), col(wkb),
+          col(s"${p}xmin"), col(s"${p}ymin"), col(s"${p}xmax"), col(s"${p}ymax"),
+          $"c._1".as(s"${p}cell_x"), $"c._2".as(s"${p}cell_y"))
+    val isectUdf = udf { (a: Array[Byte], b: Array[Byte]) => Wkb.intersects(a, b) }
+    gridded(polysA, "a_id", "a_wkb", "a_")
+      .join(gridded(polysB, "b_id", "b_wkb", "b_"),
+        $"a_cell_x" === $"b_cell_x" && $"a_cell_y" === $"b_cell_y")
+      // bbox overlap reject (free: the bbox columns are already here)
+      .filter($"a_xmin" <= $"b_xmax" && $"a_xmax" >= $"b_xmin" &&
+        $"a_ymin" <= $"b_ymax" && $"a_ymax" >= $"b_ymin")
+      // canonical-cell rule: only the cell holding the bbox-intersection
+      // min corner reports the pair
+      .filter(floor(greatest($"a_xmin", $"b_xmin") / cell).cast(LongType) === $"a_cell_x" &&
+        floor(greatest($"a_ymin", $"b_ymin") / cell).cast(LongType) === $"a_cell_y")
+      .filter(isectUdf($"a_wkb", $"b_wkb"))
+      .select($"a_id", $"b_id")
+  }
+
   // ---------------------------------------------------------------- A11d
   private val diamondUdf: UserDefinedFunction = udf { (c: Double, r: Double) =>
     Wkb.polygon(Seq(Seq((c + r, c), (c, c + r), (c - r, c), (c, c - r), (c + r, c))))
@@ -99,5 +139,29 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d)
+  // ---------------------------------------------------------------- A11f
+  // Open L1 balls intersect iff center L1 distance < radius sum (Minkowski):
+  // 2|value - 20·nationkey| < 10.07 + 30.06 — the odd-hundredth sum keeps
+  // the 0.02-grid distances off the exact touch case (as in a11c/a11e).
+  private val a11f = QuerySpec(
+    "a11f_polygon_join",
+    "Grid-blocked polygon-polygon intersects JOIN with canonical-cell duplicate avoidance: 10k event diamonds vs 25 nation diamonds, exactly-once pair emission without a distinct pass; oracle replays the L1 Minkowski arithmetic.",
+    Some("""SELECT CAST(e.event_id AS VARCHAR) AS a_id, n.n_nationkey AS b_id
+            FROM events e JOIN nation n
+              ON 2*abs(e.value - 20*CAST(n.n_nationkey AS DOUBLE)) < 40.13
+            ORDER BY a_id, b_id"""),
+    (s, d) => {
+      import s.implicits._
+      val a = Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("a_id"),
+          diamondUdf($"value", lit(10.07)).as("a_wkb"))
+      val b = Tables.nation(s, d)
+        .select($"n_nationkey".as("b_id"),
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(30.06)).as("b_wkb"))
+      polygonJoin(a, b, cell = 25.0)
+        .orderBy($"a_id", $"b_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f)
 }

@@ -34,6 +34,32 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.toSet == Set(("a", 1), ("b", 1), ("b", 2), ("c", 2), ("e", 3)), got.toSet)
   }
 
+  test("polygonJoin: exactly-once emission for pairs colliding in many cells") {
+    import spark.implicits._
+    // both squares span many cells (cell=5) and overlap across several of
+    // them — the canonical-cell rule must still emit the pair exactly once
+    val a = Seq((1, square(0, 0, 22, 22)), (2, square(100, 100, 110, 110)))
+      .toDF("a_id", "a_wkb")
+    val b = Seq(
+      (10, square(10, 10, 40, 40)),   // overlaps a=1 over a 12x12 region
+      (20, square(21, 0, 30, 5)),     // thin overlap with a=1's right edge
+      (30, square(60, 60, 70, 70))    // disjoint from both
+    ).toDF("b_id", "b_wkb")
+    val got = Spatial.polygonJoin(a, b, cell = 5.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got.distinct.length == got.length, s"duplicate pairs: $got")
+    assert(got.toSet == Set((1, 10), (1, 20)), got.toSet)
+  }
+
+  test("polygonJoin: containment pair (no boundary crossing) found once") {
+    import spark.implicits._
+    val a = Seq((1, square(0, 0, 40, 40))).toDF("a_id", "a_wkb")
+    val b = Seq((2, square(10, 10, 12, 12))).toDF("b_id", "b_wkb")
+    val got = Spatial.polygonJoin(a, b, cell = 8.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((1, 2)), got)
+  }
+
   test("pointInPolygonJoin: holes excluded, negative-coordinate cells correct") {
     import spark.implicits._
     val holed = Wkb.polygon(Seq(
