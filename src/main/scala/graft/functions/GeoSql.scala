@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-callable registration of the [[Wkb]] geometry surface, so a SQL
+  * user gets the PostGIS-flavored predicates the reference's habitat
+  * implies [UPSTREAM-UNVERIFIED — empty checkout, SURVEY.md §0] without
+  * touching the Scala API. Scalar UDFs over opaque WKB binaries — the
+  * documented per-row-binary case where a UDF is the right call
+  * (SURVEY.md §7.3); the heavy joins stay in `operators.Spatial`.
+  */
+object GeoSql {
+
+  /** Registers geom_* functions on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("geom_type", (b: Array[Byte]) => Wkb.geomType(b))
+    spark.udf.register("geom_area", (b: Array[Byte]) => Wkb.area(b))
+    spark.udf.register("geom_bbox_xmin", (b: Array[Byte]) => Wkb.bbox(b).xmin)
+    spark.udf.register("geom_bbox_ymin", (b: Array[Byte]) => Wkb.bbox(b).ymin)
+    spark.udf.register("geom_bbox_xmax", (b: Array[Byte]) => Wkb.bbox(b).xmax)
+    spark.udf.register("geom_bbox_ymax", (b: Array[Byte]) => Wkb.bbox(b).ymax)
+    spark.udf.register("geom_contains_point",
+      (b: Array[Byte], x: Double, y: Double) => Wkb.containsPoint(b, x, y))
+    spark.udf.register("geom_intersects",
+      (a: Array[Byte], b: Array[Byte]) => Wkb.intersects(a, b))
+    spark.udf.register("geom_bbox_intersects",
+      (b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
+        Wkb.bboxIntersects(b, xmin, ymin, xmax, ymax))
+  }
+}

@@ -268,6 +268,70 @@ object Wkb {
       (o4 == 0 && onSegment(cx, cy, dx, dy, bx, by))
   }
 
+  /** Planar area of a POLYGON / MULTIPOLYGON: per the WKB ring convention,
+    * ring 0 of each polygon is the outer boundary and later rings are
+    * holes, so area = |shoelace(outer)| − Σ|shoelace(hole)| summed over
+    * members. The shoelace accumulates terms x_i·y_{i+1} − x_{i+1}·y_i in
+    * ring order, left-associated — an oracle replaying the same chain gets
+    * the bit-identical IEEE result (same pattern as the c3 dot product).
+    */
+  def area(wkb: Array[Byte]): Double = {
+    val rings = areaRingsGrouped(wkb)
+    var total = 0.0
+    rings.foreach { poly =>
+      poly.zipWithIndex.foreach { case (ring, idx) =>
+        var acc = 0.0
+        var i = 0
+        while (i < ring.length - 1) {
+          acc += ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2
+          i += 1
+        }
+        // tolerate an unclosed ring: close it implicitly
+        if (ring.length > 1 && ring(ring.length - 1) != ring(0)) {
+          val l = ring(ring.length - 1)
+          acc += l._1 * ring(0)._2 - ring(0)._1 * l._2
+        }
+        val a = math.abs(acc) / 2
+        total += (if (idx == 0) a else -a)
+      }
+    }
+    total
+  }
+
+  /** Rings grouped per polygon member (ring 0 = outer, rest = holes). */
+  private def areaRingsGrouped(wkb: Array[Byte]): Seq[Seq[Array[(Double, Double)]]] = {
+    val bb = ByteBuffer.wrap(wkb)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Array[(Double, Double)]]]
+    def ring(n: Int, dims: Int): Array[(Double, Double)] = {
+      val pts = new Array[(Double, Double)](n)
+      var i = 0
+      while (i < n) {
+        val x = bb.getDouble; val y = bb.getDouble
+        var d = 2
+        while (d < dims) { bb.getDouble; d += 1 }
+        pts(i) = (x, y)
+        i += 1
+      }
+      pts
+    }
+    def geom(): Unit = {
+      val h = header(bb)
+      h.base match {
+        case 3 =>
+          val n = bb.getInt
+          out += (0 until n).map(_ => ring(bb.getInt, h.dims))
+        case 6 =>
+          val n = bb.getInt
+          var i = 0
+          while (i < n) { geom(); i += 1 }
+        case t => throw new IllegalArgumentException(
+          s"wkb: area expects POLYGON or MULTIPOLYGON, got type $t")
+      }
+    }
+    geom()
+    out.toSeq
+  }
+
   /** True iff two areal geometries (POLYGON / MULTIPOLYGON, holes
     * respected) share any material: a boundary edge pair crosses, or —
     * with no boundary crossings, so each loop lies entirely inside or

@@ -220,5 +220,39 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e)
+  // ---------------------------------------------------------------- A11g
+  private val areaUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) => Wkb.area(wkb) }
+  private val centroidUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) =>
+    val bb = Wkb.bbox(wkb)
+    ((bb.xmin + bb.xmax) / 2, (bb.ymin + bb.ymax) / 2)
+  }
+
+  // The oracle replays the exact left-associated shoelace term chain (and
+  // the bbox-midpoint ops), so the IEEE doubles hash-match bit-for-bit —
+  // same replay technique as the c3 dot-product chain.
+  private val a11g = QuerySpec(
+    "a11g_geom_stats",
+    "Geometry measurement: shoelace area of the holed per-event diamond (outer minus hole, WKB ring convention) and bbox-midpoint centroid; oracle replays the identical IEEE op chain.",
+    Some("""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+                   2*CAST(user_id AS DOUBLE) AS c FROM events)
+            SELECT feature_id,
+              (abs(((c+120.17)*(c+120.17) - c*c) + (c*c - (c-120.17)*(c+120.17))
+                 + ((c-120.17)*(c-120.17) - c*c) + (c*c - (c+120.17)*(c-120.17)))/2
+               - abs(((c+30.11)*(c+30.11) - c*c) + (c*c - (c-30.11)*(c+30.11))
+                 + ((c-30.11)*(c-30.11) - c*c) + (c*c - (c+30.11)*(c-30.11)))/2) AS area,
+              ((c-120.17)+(c+120.17))/2 AS cx,
+              ((c-120.17)+(c+120.17))/2 AS cy
+            FROM t ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          diamondUdf(lit(2.0) * $"user_id".cast(DoubleType), lit(120.17), lit(30.11)).as("wkb"))
+        .select($"feature_id", areaUdf($"wkb").as("area"), centroidUdf($"wkb").as("ct"))
+        .select($"feature_id", $"area", $"ct._1".as("cx"), $"ct._2".as("cy"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g)
 }

@@ -192,6 +192,26 @@ class WkbSpec extends AnyFunSuite {
     }
   }
 
+  test("area: square, square with hole, multipolygon, ring-order independence") {
+    def sq(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+    assert(Wkb.area(Wkb.polygon(Seq(sq(0, 0, 10, 10)))) == 100.0)
+    assert(Wkb.area(Wkb.polygon(Seq(sq(0, 0, 10, 10), sq(2, 2, 4, 4)))) == 96.0)
+    // winding direction must not matter (abs per ring)
+    assert(Wkb.area(Wkb.polygon(Seq(sq(0, 0, 10, 10).reverse))) == 100.0)
+    val mp = Wkb.multi(6, Seq(
+      Wkb.polygon(Seq(sq(0, 0, 2, 2))), Wkb.polygon(Seq(sq(10, 10, 13, 13)))))
+    assert(Wkb.area(mp) == 4.0 + 9.0)
+    intercept[IllegalArgumentException](Wkb.area(Wkb.point(1, 2)))
+  }
+
+  test("area: diamond equals 2r^2 up to IEEE rounding of the shoelace chain") {
+    def diamond(c: Double, r: Double) =
+      Wkb.polygon(Seq(Seq((c + r, c), (c, c + r), (c - r, c), (c, c - r), (c + r, c))))
+    val a = Wkb.area(diamond(100.0, 3.0))
+    assert(math.abs(a - 18.0) < 1e-9, a.toString)
+  }
+
   test("containsPoint rejects non-areal geometry") {
     intercept[IllegalArgumentException](Wkb.containsPoint(Wkb.point(1.0, 2.0), 1.0, 2.0))
     intercept[IllegalArgumentException](

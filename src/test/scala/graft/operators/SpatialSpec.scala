@@ -60,6 +60,26 @@ class SpatialSpec extends AnyFunSuite {
     assert(got == Seq((1, 2)), got)
   }
 
+  test("GeoSql: geom_* functions callable from SQL") {
+    import spark.implicits._
+    graft.functions.GeoSql.register(spark)
+    Seq((1, square(0, 0, 10, 10)), (2, square(20, 20, 22, 22)))
+      .toDF("id", "wkb").createOrReplaceTempView("geoms")
+    val r = spark.sql("""
+      SELECT id, geom_type(wkb) AS t, geom_area(wkb) AS a,
+             geom_contains_point(wkb, 5.0, 5.0) AS has5,
+             geom_bbox_xmax(wkb) AS xmax
+      FROM geoms ORDER BY id""").collect()
+    assert(r(0).getString(1) == "POLYGON" && r(0).getDouble(2) == 100.0)
+    assert(r(0).getBoolean(3) && !r(1).getBoolean(3))
+    assert(r(1).getDouble(4) == 22.0)
+    val isect = spark.sql("""
+      SELECT geom_intersects(a.wkb, b.wkb) FROM geoms a JOIN geoms b
+      ON a.id = 1 AND b.id = 2""").collect().head.getBoolean(0)
+    assert(!isect)
+    spark.catalog.dropTempView("geoms")
+  }
+
   test("pointInPolygonJoin: holes excluded, negative-coordinate cells correct") {
     import spark.implicits._
     val holed = Wkb.polygon(Seq(
