@@ -50,6 +50,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(l_returnflag"), p)
   }
 
+  test("spatial joins: cell-key equi-joins, never nested-loop or cartesian") {
+    for (name <- Seq("a11d_spatial_join", "a11f_polygon_join")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: grid blocking failed to produce an equi-join:\n" + p)
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name: expected a hash/merge join on the cell key:\n" + p)
+    }
+  }
+
   test("c3_knn: native dot expression stays inside whole-stage codegen") {
     // AQE's pre-execution toString hides codegen stage markers; disable it
     // for the audit so `*(n)` spans are printed

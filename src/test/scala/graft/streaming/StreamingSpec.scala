@@ -104,6 +104,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.find(_.getAs[String]("feature_id") == "w1").get.getAs[String]("prop_k") == "1")
   }
 
+  test("A9: layer values needing partition-escaping survive the store swap") {
+    import spark.implicits._
+    val store = tmpDir("store") + "/esc"
+    // ':' and ' ' force partition-value escaping in the layer= dir name
+    val weird = "ro ads:v2"
+    val batch = Seq((weird, "r1", Map("k" -> "1")))
+      .toDF("layer", "feature_id", "props")
+      .select($"layer", $"feature_id", $"props",
+        timestamp_micros(lit(1000000L)).as("event_ts"),
+        lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch, store)
+    FeaturePipeline.upsertBatch(batch, store) // replay over the escaped dir
+    val rows = readStore(store).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("layer") == weird,
+      rows.mkString(","))
+  }
+
+  test("streaming spatial routing: bbox filter composes into the decode pipeline") {
+    import graft.functions.Wkb
+    val (ms, transport) = newStream()
+    val inRegion = udf { (b: Array[Byte]) =>
+      b != null && b.length >= 21 && Wkb.bboxIntersects(b, 0.0, 0.0, 10.0, 10.0) }
+    val routed = FeaturePipeline.decode(transport.read(spark))
+      .filter(inRegion(col("geom_wkb")))
+    val q = routed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("georoute_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      def geoWire(fid: String, x: Double, y: Double) =
+        MsgPack.pack(Feature("roads", fid, Wkb.point(x, y), Map.empty, 1000000L, "s", 1))
+      ms.addData(geoWire("in1", 5.0, 5.0), geoWire("out1", 50.0, 50.0), geoWire("in2", 0.0, 10.0))
+      q.processAllAvailable()
+      val got = spark.table("georoute_sink").collect().map(_.getAs[String]("feature_id")).toSet
+      assert(got == Set("in1", "in2"), s"spatial routing wrong: $got")
+    } finally q.stop()
+  }
+
   test("A8: schema evolution adds prop columns for unseen keys") {
     import spark.implicits._
     val store = tmpDir("store") + "/evolve"
