@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -206,5 +207,61 @@ object TierCText {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b)
+  // -------------------------------------------- cross-source contamination
+  /** Test-set decontamination: doc pairs from DIFFERENT sources sharing at
+    * least one word k-gram — the standard pretraining check that an eval
+    * set leaked into the training corpus.
+    *
+    * Scale shape: the same inverted-index discipline as c2_ngram_jaccard —
+    * explode per-doc distinct k-grams, equi-join on the gram, block by
+    * `source_a < source_b` (orients pairs AND kills same-source matches
+    * inside the join), count shared grams per pair. Hot grams are df-capped
+    * with logged drops before the join (a gram shared by thousands of docs
+    * is boilerplate, not contamination signal — and its pair fan-out is
+    * O(df²)).
+    */
+  def crossSourceContamination(s: SparkSession, docs: DataFrame,
+      gramSize: Int, dfCap: Int): DataFrame = {
+    import s.implicits._
+    val gramsUdf = udf { (text: String) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < gramSize) Array.empty[String]
+      else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
+    }
+    val g = docs
+      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
+      .persist()
+    val hot = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"gram".as("hot_gram")).persist()
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
+          "contamination join (boilerplate, not leak signal; no-silent-caps)")
+    val kept = g.join(broadcast(hot), $"gram" === $"hot_gram", "left_anti")
+    val a = kept.select($"doc_id".as("id_a"), $"source".as("source_a"), $"gram")
+    val b = kept.select($"doc_id".as("id_b"), $"source".as("source_b"), $"gram".as("gram_r"))
+    a.join(b, $"gram" === $"gram_r" && $"source_a" < $"source_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val c4d = QuerySpec(
+    "c4_decontam",
+    "Cross-source contamination: doc pairs from different sources sharing a word 5-gram, with shared-gram count; inverted-index join, df-capped (logged drops).",
+    Some("""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            g AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')))) AS gram
+              FROM t WHERE len(toks) >= 5)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY id_a, id_b"""),
+    (s, d) => crossSourceContamination(s, Tables.documents(s, d), 5, 10000)
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d)
 }

@@ -52,6 +52,29 @@ class SimSpec extends AnyFunSuite {
     assert(uncapped == Set((0L, 1L)))
   }
 
+  test("crossSourceContamination: cross-source leak found, same-source and boilerplate ignored") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog tonight"
+    val boiler = "all rights reserved contact us for more details here"
+    val docs = Seq(
+      (0L, "train", s"intro words $leak closing words"),
+      (1L, "eval", s"different frame $leak other ending"),   // leaked 5-grams
+      (2L, "train", s"prefix $leak suffix"),                 // same text family, SAME source as 0 → no pair with 0
+      (3L, "eval", "completely unrelated content about weather patterns today always")
+    ) ++ (4L to 15L).map(i => (i, if (i % 2 == 0) "train" else "eval", s"doc$i says $boiler end$i"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = TierCText.crossSourceContamination(spark, df, 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate 5-grams appear in 12 docs (df > 5 → dropped); the leak
+    // appears in 3 docs (kept). Pairs orient by source_a < source_b, so
+    // the "eval" doc 1 is always id_a:
+    assert(got == Set((1L, 0L), (1L, 2L)), s"got $got")
+    // without the cap, boilerplate links every train doc to every eval doc
+    val uncapped = TierCText.crossSourceContamination(spark, df, 5, 10000)
+      .collect().length
+    assert(uncapped > 30, s"expected boilerplate pair explosion without cap, got $uncapped")
+  }
+
   test("compose c1 exact dedup before c2 LSH: bucket sizes stay bounded, near-dups still found") {
     import spark.implicits._
     import graft.functions.MinHash
