@@ -299,6 +299,40 @@ object TierCSim {
     (s, d) => ivfTopK(s, Tables.embeddings(s, d), 3, 8)
   )
 
+  // ------------------------------------------------------------ centroid
+  // Per-label centroid (the IVF/cluster-analysis building block). Float
+  // sums are partition-order-dependent in their low bits, so each value
+  // quantizes to an integer at fixed 1e-6 resolution (floor and * are
+  // exact cross-engine IEEE ops — the c5_tfidf trick; a DECIMAL cast is
+  // NOT usable here: DuckDB's float→DECIMAL path multiplies in doubles
+  // and is off by one decimal ulp from Spark's exact BigDecimal cast,
+  // measured at sf0.01 row 480). Integer sums are exact and
+  // order-independent; the mean divides out replaying the same IEEE ops.
+  private val c3c = QuerySpec(
+    "c3_centroid",
+    "Per-label embedding centroid at 1e-6 resolution: per-dimension integer sums (order-independent), mean divided out in doubles; posexplode → partial-agg, one shuffle on (label, pos).",
+    Some("""WITH e AS (SELECT label,
+              unnest(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS v6,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings)
+            SELECT label, pos, COUNT(*) AS n,
+              CAST(SUM(v6) AS BIGINT) AS sum_e6,
+              CAST(SUM(v6) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_v
+            FROM e GROUP BY label, pos ORDER BY label, pos"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"label", $"pos".cast(LongType).as("pos"),
+          floor($"v".cast(DoubleType) * 1000000).cast(LongType).as("v6"))
+        .groupBy($"label", $"pos")
+        .agg(count(lit(1)).as("n"), sum($"v6").as("sum_e6"),
+          (sum($"v6").cast(DoubleType) / lit(1000000.0) / count(lit(1))).as("mean_v"))
+        .orderBy($"label", $"pos")
+    }
+  )
+
   private val c3a = QuerySpec(
     "c3_ann_lsh",
     "Approximate nearest neighbors: 8-hyperplane LSH bucket + exact cosine re-rank within bucket, top-3. Custom hash ⇒ no oracle; determinism + recall-vs-exact covered by ScalaTest.",
@@ -306,5 +340,5 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a, c3i)
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a, c3i, c3c)
 }

@@ -247,6 +247,45 @@ object TierCText {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ------------------------------------------------------- repetition ratio
+  /** Repetition detection — the rep-ngram family of pretraining quality
+    * filters: a doc whose bigrams are mostly copies of each other (low
+    * distinct/total ratio) is boilerplate/spam. Reported as exact integers
+    * (total and distinct bigram counts) so the oracle check is bit-exact;
+    * the ratio itself is one division away for the caller. Map-side only.
+    */
+  private val repUdf = udf { (text: String) =>
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (toks.length < 2) (0L, 0L)
+    else {
+      val grams = toks.sliding(2).map(g => g(0) + " " + g(1)).toArray
+      (grams.length.toLong, grams.distinct.length.toLong)
+    }
+  }
+
+  private val c4r = QuerySpec(
+    "c4_repetition",
+    "Repetition quality signal: total vs distinct word-bigram counts per doc (rep-2gram filter shape); exact integers, map-side only.",
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+              CASE WHEN len(toks) < 2 THEN [] ELSE
+                list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1]) END AS grams
+              FROM t)
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+              CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+            FROM g ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", repUdf($"text").as("r"))
+        .select($"doc_id", $"r._1".as("n_grams"), $"r._2".as("n_distinct"))
+        .orderBy($"doc_id")
+    }
+  )
+
   private val c4d = QuerySpec(
     "c4_decontam",
     "Cross-source contamination: doc pairs from different sources sharing a word 5-gram, with shared-gram count; inverted-index join, df-capped (logged drops).",
@@ -263,5 +302,5 @@ object TierCText {
     (s, d) => crossSourceContamination(s, Tables.documents(s, d), 5, 10000)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d)
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r)
 }
