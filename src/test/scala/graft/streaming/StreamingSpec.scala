@@ -345,6 +345,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join: same key joins only within the event-time window") {
+    import org.apache.spark.sql.functions.expr
+    val (msL, tL) = newStream()
+    val (msR, tR) = newStream()
+    val left = FeaturePipeline.decode(tL.read(spark))
+      .select(col("feature_id").as("l_id"), col("event_ts").as("l_ts"))
+      .withWatermark("l_ts", "10 minutes")
+    val right = FeaturePipeline.decode(tR.read(spark))
+      .select(col("feature_id").as("r_id"), col("event_ts").as("r_ts"),
+        col("source").as("r_src"))
+      .withWatermark("r_ts", "10 minutes")
+    val joined = left.join(right, expr(
+      "l_id = r_id AND r_ts BETWEEN l_ts - INTERVAL 5 MINUTES AND l_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      val hour = 3600L * 1000000L
+      msL.addData(wire("roads", "r1", hour), wire("roads", "r2", hour))
+      // r1 within 5 min (2 min later), r2 outside (20 min later), r3 unmatched key
+      msR.addData(wire("roads", "r1", hour + 120000000L, source = "near"),
+        wire("roads", "r2", hour + 1200000000L, source = "far"),
+        wire("roads", "r9", hour, source = "nokey"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_sink").collect()
+      assert(rows.length == 1, s"interval join wrong row count: ${rows.length}")
+      assert(rows.head.getAs[String]("l_id") == "r1")
+      assert(rows.head.getAs[String]("r_src") == "near")
+    } finally q.stop()
+  }
+
   test("stream-static join: decoded stream enriched from a static dimension") {
     import spark.implicits._
     val (ms, transport) = newStream()
