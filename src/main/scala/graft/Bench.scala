@@ -24,6 +24,22 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("b11_agg_groupby").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("c4_fingerprint").foreach(_(spark, sfDir).count())
+      // JIT the two remaining cold paths without touching the big tables:
+      // string tokenize/sliding (gram family) and the WKB codec UDFs —
+      // measured 2-5s of first-use cost otherwise attributed to whichever
+      // gram/spatial query runs first alphabetically
+      locally {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val toks = udf { (t: String) =>
+          t.split(" ").filter(_.nonEmpty).sliding(2).map(_.mkString(" ")).toArray.distinct }
+        (1 to 256).map(i => s"w$i x$i y$i z$i").toDF("t")
+          .select(explode(toks($"t"))).count()
+        val geo = udf { (x: Double, y: Double) =>
+          val d = graft.functions.Wkb.polygon(Seq(Seq((x, y), (x + 1, y), (x + 1, y + 1), (x, y))))
+          graft.functions.Wkb.containsPoint(d, x + 0.5, y + 0.25) && graft.functions.Wkb.intersects(d, d) }
+        spark.range(256).select(geo($"id".cast("double"), $"id".cast("double"))).count()
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
     // Failed queries report -1.0 (never a silently-timed crash) so the
     // driver can distinguish "fast" from "broken"; errors go to stderr.
