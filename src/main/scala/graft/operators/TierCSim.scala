@@ -247,31 +247,52 @@ object TierCSim {
     * the deterministic k-center greedy (farthest-point, ties to lowest
     * vec_id — no RNG, so the index is identical across partitionings and
     * replays), then exact cosine re-rank within the assigned cell
-    * (nprobe=1). Index build runs `cells` bounded driver rounds, each a
-    * distributed argmin — the standard IVF trade: more cells = smaller
-    * per-cell candidate lists. Production would refine seeds with Lloyd
+    * (nprobe=1).
+    *
+    * Index build is ONE distributed pass, not O(cells): a deterministic
+    * hash sample (lowest md5(vec_id), a TakeOrdered — partition-invariant)
+    * is collected once and the k-center greedy runs driver-side over it.
+    * Earlier rounds ran `cells` sequential distributed argmin scans —
+    * correct but O(cells) full passes AND acutely scheduler-latency
+    * sensitive (measured 6 s → 50 s under host load). Sampling changes
+    * seed choice only when the corpus exceeds the sample (quality, not
+    * correctness — the query is declared no-oracle; determinism and
+    * recall stay ScalaTest-pinned). Production would refine with Lloyd
     * iterations; float-sum averaging is partition-order-dependent, so the
     * deterministic variant keeps the k-center seeds as-is.
     */
-  def ivfTopK(s: SparkSession, embeddings: DataFrame, k: Int, cells: Int): DataFrame = {
+  def ivfTopK(s: SparkSession, embeddings: DataFrame, k: Int, cells: Int,
+      sampleSize: Int = 1024): DataFrame = {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding",
       TierC.dot($"embedding", $"embedding").as("n2")).persist()
 
-    // k-center greedy seed selection (deterministic)
+    // one-pass deterministic sample, then driver-side k-center greedy
+    val sample = e
+      .withColumn("h", md5($"vec_id".cast(StringType)))
+      .orderBy($"h", $"vec_id").limit(sampleSize)
+      .select($"vec_id", $"embedding", $"n2")
+      .as[(Long, Seq[Float], Double)].collect()
+    def cosD(va: Seq[Float], n2a: Double, vb: Seq[Float], n2b: Double): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < va.length) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
+      acc / (math.sqrt(n2a) * math.sqrt(n2b))
+    }
+    var seedRows = Vector(sample.minBy(_._1))
+    while (seedRows.length < cells && seedRows.length < sample.length) {
+      // farthest point: minimal max-cosine to existing seeds, ties to
+      // lowest vec_id — same rule the distributed build used
+      val next = sample
+        .filter(r => !seedRows.exists(_._1 == r._1))
+        .map(r => (r, seedRows.map(sd => cosD(r._2, r._3, sd._2, sd._3)).max))
+        .minBy { case (r, maxSim) => (maxSim, r._1) }._1
+      seedRows = seedRows :+ next
+    }
+    val seeds = seedRows.map(r => (r._2, r._3))
+
     def cos(seedVec: Seq[Float], seedN2: Double): Column =
       TierC.dot($"embedding", typedlit(seedVec)) / (sqrt($"n2") * math.sqrt(seedN2))
-    val first = e.orderBy($"vec_id").limit(1)
-      .select($"embedding", $"n2").as[(Seq[Float], Double)].head()
-    var seeds = Vector(first)
-    while (seeds.length < cells) {
-      val sims = seeds.map { case (v, n2) => cos(v, n2) }
-      val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
-      val next = e.withColumn("maxsim", maxSim)
-        .orderBy($"maxsim".asc, $"vec_id".asc).limit(1)
-        .select($"embedding", $"n2").as[(Seq[Float], Double)].head()
-      seeds = seeds :+ next
-    }
 
     // cell assignment: argmax cosine to seed, ties to the lowest seed index
     val simCols = seeds.map { case (v, n2) => cos(v, n2) }
