@@ -202,42 +202,11 @@ object Wkb {
     b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin
   }
 
-  /** Parses all rings of a POLYGON / MULTIPOLYGON (outer rings and holes
-    * alike, XY only, any dialect) as closed vertex loops.
+  /** All rings of a POLYGON / MULTIPOLYGON (outer rings and holes alike,
+    * XY only, any dialect) as vertex loops.
     */
-  private def areaRings(wkb: Array[Byte]): Seq[Array[(Double, Double)]] = {
-    val bb = ByteBuffer.wrap(wkb)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[(Double, Double)]]
-    def ring(n: Int, dims: Int): Unit = {
-      val pts = new Array[(Double, Double)](n)
-      var i = 0
-      while (i < n) {
-        val x = bb.getDouble; val y = bb.getDouble
-        var d = 2
-        while (d < dims) { bb.getDouble; d += 1 }
-        pts(i) = (x, y)
-        i += 1
-      }
-      out += pts
-    }
-    def geom(): Unit = {
-      val h = header(bb)
-      h.base match {
-        case 3 =>
-          val rings = bb.getInt
-          var r = 0
-          while (r < rings) { ring(bb.getInt, h.dims); r += 1 }
-        case 6 =>
-          val n = bb.getInt
-          var i = 0
-          while (i < n) { geom(); i += 1 }
-        case t => throw new IllegalArgumentException(
-          s"wkb: intersects expects POLYGON or MULTIPOLYGON, got type $t")
-      }
-    }
-    geom()
-    out.toSeq
-  }
+  private def areaRings(wkb: Array[Byte]): Seq[Array[(Double, Double)]] =
+    areaRingsGrouped(wkb).flatten
 
   // sign of the cross product (q - p) × (r - p): orientation of r vs line pq
   private def orient(px: Double, py: Double, qx: Double, qy: Double,
@@ -325,7 +294,7 @@ object Wkb {
           var i = 0
           while (i < n) { geom(); i += 1 }
         case t => throw new IllegalArgumentException(
-          s"wkb: area expects POLYGON or MULTIPOLYGON, got type $t")
+          s"wkb: expected POLYGON or MULTIPOLYGON, got type $t")
       }
     }
     geom()
