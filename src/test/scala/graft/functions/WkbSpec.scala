@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Properties}
 import java.nio.{ByteBuffer, ByteOrder}
 
 class WkbSpec extends AnyFunSuite {
@@ -248,5 +249,64 @@ class WkbSpec extends AnyFunSuite {
     val gc = Wkb.multi(7, Seq(mp, poly))
     assert(Wkb.geomType(gc) == "GEOMETRYCOLLECTION")
     assert(Wkb.bbox(gc) == Wkb.BBox(0.0, -3.0, 10.0, 2.0))
+  }
+}
+
+/** Randomized invariants over the geometry predicates: generated convex
+  * polygons (sorted angles on an ellipse — always simple and closed) and
+  * arbitrary probe points. These pin cross-function consistency the
+  * example-based tests can't sweep.
+  */
+object WkbProps extends Properties("Wkb") {
+
+  private val coord = Gen.chooseNum(-1000.0, 1000.0)
+    .map(v => math.rint(v * 100) / 100) // 0.01 grid keeps probes off edges
+
+  private val convexPoly: Gen[Array[Byte]] = for {
+    cx <- coord; cy <- coord
+    rx <- Gen.chooseNum(1.0, 300.0); ry <- Gen.chooseNum(1.0, 300.0)
+    k <- Gen.chooseNum(3, 12)
+    offset <- Gen.chooseNum(0.0, math.Pi / 3)
+  } yield {
+    val ring = (0 until k).map { i =>
+      val a = offset + 2 * math.Pi * i / k
+      (cx + rx * math.cos(a), cy + ry * math.sin(a))
+    }
+    Wkb.polygon(Seq(ring :+ ring.head))
+  }
+
+  property("containsPoint implies inside the bbox") = Prop.forAll(
+    convexPoly, coord, coord) { (p, px, py) =>
+    !Wkb.containsPoint(p, px, py) || Wkb.bboxIntersects(p, px, py, px, py)
+  }
+
+  property("bbox-disjoint point is never contained") = Prop.forAll(
+    convexPoly, coord, coord) { (p, px, py) =>
+    Wkb.bboxIntersects(p, px, py, px, py) || !Wkb.containsPoint(p, px, py)
+  }
+
+  property("intersects is symmetric") = Prop.forAll(convexPoly, convexPoly) { (a, b) =>
+    Wkb.intersects(a, b) == Wkb.intersects(b, a)
+  }
+
+  property("every polygon intersects itself") = Prop.forAll(convexPoly) { p =>
+    Wkb.intersects(p, p)
+  }
+
+  property("shared contained point implies intersects") = Prop.forAll(
+    convexPoly, convexPoly, coord, coord) { (a, b, px, py) =>
+    !(Wkb.containsPoint(a, px, py) && Wkb.containsPoint(b, px, py)) || Wkb.intersects(a, b)
+  }
+
+  property("area is positive and bounded by the bbox area") = Prop.forAll(convexPoly) { p =>
+    val bb = Wkb.bbox(p)
+    val a = Wkb.area(p)
+    a > 0 && a <= (bb.xmax - bb.xmin) * (bb.ymax - bb.ymin) + 1e-9
+  }
+
+  property("vertex centroid of a convex polygon is contained") = Prop.forAll(convexPoly) { p =>
+    val bb = Wkb.bbox(p)
+    // for the symmetric ellipse construction the bbox center is interior
+    Wkb.containsPoint(p, (bb.xmin + bb.xmax) / 2, (bb.ymin + bb.ymax) / 2)
   }
 }
