@@ -281,7 +281,12 @@ object Wkb {
         pts(i) = (x, y)
         i += 1
       }
-      pts
+      // Normalize closure here, once, for every consumer: an unclosed ring
+      // gets its first vertex appended so edge iteration p..p+1 always
+      // covers the closing edge (area's explicit close-term then no-ops —
+      // same left-associated IEEE chain either way).
+      if (pts.length > 1 && pts(pts.length - 1) != pts(0)) pts :+ pts(0)
+      else pts
     }
     def geom(): Unit = {
       val h = header(bb)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,10 +101,11 @@ object TierCSim {
       if (toks.length < 2) Array.empty[String]
       else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
     }
+    // only the post-explode frame is reused (df scan + anti-join input),
+    // so only it is persisted — the pre-explode frame is consumed once
     val sized = docs
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
-      .persist()
       .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
       .persist()
     // df per (source, gram) on the persisted explode; the hot head of the
@@ -206,12 +207,36 @@ object TierCSim {
   private def planeSign(p: Int, dim: Int): Double =
     if ((scala.util.hashing.MurmurHash3.productHash((p, dim), 0x2545f491) & 1) == 0) 1.0 else -1.0
 
-  private val NumPlanes = 8
+  /** Mean bucket population the adaptive LSH fanout targets. Per-bucket
+    * re-rank work is O(pop²), so holding pop ~constant holds per-bucket
+    * work constant as the corpus grows — the plane count, not the bucket
+    * population, absorbs scale.
+    */
+  private val LshTargetBucket = 64
 
-  private val bucketUdf = udf { (emb: Seq[Float]) =>
+  /** Mean IVF cell population the adaptive cell count targets. */
+  private val IvfTargetCell = 128
+
+  /** planes = ceil(log2(N / target)), clamped to [1, 24] — a pure
+    * function of the exact corpus count, so the index is deterministic
+    * across partitionings and replays (no RNG, no sampling).
+    */
+  private[graft] def lshPlanes(n: Long, target: Int = LshTargetBucket): Int = {
+    val buckets = math.max(1.0, n.toDouble / target)
+    math.min(24, math.max(1, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** cells = ceil(N / target), clamped to [1, 256]; 256 keeps the
+    * driver-side k-center greedy (O(cells²·sample)) and the per-row
+    * cell-assignment expression tree bounded. Deterministic in N.
+    */
+  private[graft] def ivfCells(n: Long, target: Int = IvfTargetCell): Int =
+    math.min(256, math.max(1, math.ceil(n.toDouble / target).toInt))
+
+  private[graft] def bucketUdf(planes: Int): UserDefinedFunction = udf { (emb: Seq[Float]) =>
     var bucket = 0
     var p = 0
-    while (p < NumPlanes) {
+    while (p < planes) {
       var acc = 0.0
       var i = 0
       while (i < emb.length) { acc += emb(i).toDouble * planeSign(p, i); i += 1 }
@@ -221,15 +246,19 @@ object TierCSim {
     bucket
   }
 
-  /** ANN top-k per vector: random-hyperplane LSH bucket (2^8 buckets) →
-    * exact cosine re-rank within the bucket. The scale path of C3: bucket
-    * population stays ~|corpus|/256, so per-bucket pair work is bounded
-    * and the whole thing is one shuffle on the bucket key.
+  /** ANN top-k per vector: random-hyperplane LSH bucket → exact cosine
+    * re-rank within the bucket. The scale path of C3: the plane count
+    * adapts to the corpus ([[lshPlanes]]) so bucket population stays
+    * ~[[LshTargetBucket]] and per-bucket pair work is bounded regardless
+    * of N; the whole thing is one shuffle on the bucket key.
     */
   def annTopK(s: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
     import s.implicits._
+    // exact count: one metadata-cheap pass, and the only input the
+    // adaptive fanout depends on — deterministic for a given corpus
+    val planes = lshPlanes(embeddings.count())
     val e = embeddings.select($"vec_id", $"embedding",
-      bucketUdf($"embedding").as("bucket"),
+      bucketUdf(planes)($"embedding").as("bucket"),
       TierC.dot($"embedding", $"embedding").as("n2")).persist()
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"bucket", $"n2".as("na2"))
     val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"bucket".as("bucket_r"), $"n2".as("nb2"))
@@ -266,6 +295,23 @@ object TierCSim {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding",
       TierC.dot($"embedding", $"embedding").as("n2")).persist()
+    ivfTopKOn(s, e, k, cells, sampleSize)
+  }
+
+  /** Adaptive variant: the cell count derives from the exact corpus count
+    * ([[ivfCells]]) so mean cell population stays ~[[IvfTargetCell]] as
+    * the corpus grows — deterministic, no extra scan beyond the count.
+    */
+  def ivfTopK(s: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val e = embeddings.select($"vec_id", $"embedding",
+      TierC.dot($"embedding", $"embedding").as("n2")).persist()
+    ivfTopKOn(s, e, k, ivfCells(embeddings.count()))
+  }
+
+  private def ivfTopKOn(s: SparkSession, e: DataFrame, k: Int, cells: Int,
+      sampleSize: Int = 1024): DataFrame = {
+    import s.implicits._
 
     // one-pass deterministic sample, then driver-side k-center greedy
     val sample = e
@@ -315,9 +361,9 @@ object TierCSim {
 
   private val c3i = QuerySpec(
     "c3_ivf",
-    "IVF-style ANN: deterministic k-center coarse quantizer (8 cells) + exact cosine re-rank within the cell, top-3. Driver-bounded index build; no oracle (iterative build not SQL-expressible); determinism + recall via ScalaTest.",
+    "IVF-style ANN: deterministic k-center coarse quantizer (cell count adapts to corpus size, ~128 vectors/cell) + exact cosine re-rank within the cell, top-3. Driver-bounded index build; no oracle (iterative build not SQL-expressible); determinism + recall via ScalaTest.",
     None,
-    (s, d) => ivfTopK(s, Tables.embeddings(s, d), 3, 8)
+    (s, d) => ivfTopK(s, Tables.embeddings(s, d), 3)
   )
 
   // ------------------------------------------------------------ centroid
@@ -356,7 +402,7 @@ object TierCSim {
 
   private val c3a = QuerySpec(
     "c3_ann_lsh",
-    "Approximate nearest neighbors: 8-hyperplane LSH bucket + exact cosine re-rank within bucket, top-3. Custom hash ⇒ no oracle; determinism + recall-vs-exact covered by ScalaTest.",
+    "Approximate nearest neighbors: random-hyperplane LSH bucket (plane count adapts to corpus size, ~64 vectors/bucket) + exact cosine re-rank within bucket, top-3. Custom hash ⇒ no oracle; determinism + recall-vs-exact covered by ScalaTest.",
     None,
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )

@@ -122,10 +122,46 @@ object GeoJson {
     * inference (which would mangle the heterogeneous coordinates nesting).
     */
   private[sources] def splitFeatures(doc: String): Array[String] = {
-    val keyIdx = doc.indexOf("\"features\"")
-    if (keyIdx < 0) return Array.empty
-    var pos = doc.indexOf('[', keyIdx)
-    if (pos < 0) return Array.empty
+    // Locate the `features` key at object depth 1, outside any string — a
+    // property value or nested key containing the text "features" earlier
+    // in the document must not anchor the scan at the wrong '['.
+    var i = 0
+    var kdepth = 0
+    var arrStart = -1
+    while (i < doc.length && arrStart < 0) {
+      doc.charAt(i) match {
+        case '"' =>
+          // consume the whole string literal (escapes respected); keep its
+          // raw content to test for the depth-1 `features` key
+          val sb = new java.lang.StringBuilder
+          var j = i + 1
+          var esc = false
+          var closed = false
+          while (j < doc.length && !closed) {
+            val d = doc.charAt(j)
+            if (esc) { esc = false; sb.append(d) }
+            else if (d == '\\') esc = true
+            else if (d == '"') closed = true
+            else sb.append(d)
+            j += 1
+          }
+          if (kdepth == 1 && sb.toString == "features") {
+            var k = j
+            while (k < doc.length && Character.isWhitespace(doc.charAt(k))) k += 1
+            if (k < doc.length && doc.charAt(k) == ':') {
+              var m = k + 1
+              while (m < doc.length && Character.isWhitespace(doc.charAt(m))) m += 1
+              if (m < doc.length && doc.charAt(m) == '[') arrStart = m
+            }
+          }
+          i = j
+        case '{' | '[' => kdepth += 1; i += 1
+        case '}' | ']' => kdepth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    if (arrStart < 0) return Array.empty
+    var pos = arrStart
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     pos += 1
     var depth = 0

@@ -90,16 +90,27 @@ object FeaturePipeline {
     val spark = batch.sparkSession
     val evolved = evolveColumns(batch)
     // bounded: distinct layer names in one micro-batch, not rows
-    val layers = evolved.select("layer").distinct().collect().map(_.getString(0)).toSeq
-    if (layers.isEmpty) return
+    val layerRows = evolved.select("layer").distinct().collect()
+      .map(r => Option(r.getString(0))).toSeq
+    if (layerRows.isEmpty) return
+    // null layers land in __HIVE_DEFAULT_PARTITION__, which the swap below
+    // replaces like any other touched partition — so the existing-store
+    // filter must match them too (bare isInCollection's null semantics
+    // would exclude them, silently dropping stored null-layer features)
+    val hasNullLayer = layerRows.contains(None)
+    val layers = layerRows.flatten
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store = new Path(storeDir)
     val merged =
       if (fs.exists(store)) {
-        // the isInCollection filter prunes to the touched layer= partitions
+        // this filter prunes to the touched layer= partitions
+        val touched = (
+          (if (layers.nonEmpty) Seq(col("layer").isInCollection(layers)) else Nil) ++
+          (if (hasNullLayer) Seq(col("layer").isNull) else Nil)
+        ).reduce(_ || _)
         val existing = spark.read.option("mergeSchema", "true").parquet(storeDir)
           .withColumn("layer", col("layer").cast(StringType))
-          .filter(col("layer").isInCollection(layers))
+          .filter(touched)
         existing.unionByName(evolved, allowMissingColumns = true)
       } else evolved
     val w = Window.partitionBy(col("layer"), col("feature_id"))

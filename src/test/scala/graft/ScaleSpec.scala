@@ -73,7 +73,11 @@ class ScaleSpec extends AnyFunSuite {
       "AQE should be on by default in this audit")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      for (name <- Seq("c3_knn_cosine", "c2_dedup_pairs")) {
+      // the newest shuffle-heavy shapes are audited alongside the original
+      // two: the gram-decontamination join and both grid-blocked spatial
+      // joins must also survive broadcast-off without degrading
+      for (name <- Seq("c3_knn_cosine", "c2_dedup_pairs",
+          "c4_decontam", "a11d_spatial_join", "a11f_polygon_join")) {
         val df = Registry.queries(name)(spark, "/root/testdata/sf0.1")
         df.collect() // drive to completion so AQE's FINAL plan is inspected
         val plan = df.queryExecution.executedPlan.toString
@@ -84,6 +88,31 @@ class ScaleSpec extends AnyFunSuite {
           s"$name: expected a shuffled equi-join on the block key:\n" + plan)
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", origBroadcast)
+  }
+
+  test("C3 adaptive fanout: LSH planes and IVF cells grow with the corpus") {
+    import spark.implicits._
+    // the formulas are pure in N: monotone, clamped, and target-holding
+    assert(operators.TierCSim.lshPlanes(100) < operators.TierCSim.lshPlanes(100000))
+    assert(operators.TierCSim.lshPlanes(100000) < operators.TierCSim.lshPlanes(100000000))
+    assert(operators.TierCSim.lshPlanes(Long.MaxValue) == 24, "plane clamp")
+    assert(operators.TierCSim.ivfCells(100) < operators.TierCSim.ivfCells(100000))
+    assert(operators.TierCSim.ivfCells(100000000) == 256, "cell clamp")
+    assert(operators.TierCSim.ivfCells(1) == 1 && operators.TierCSim.lshPlanes(1) == 1)
+    // end-to-end: the realized bucket space is strictly larger on the
+    // bigger corpus (deterministic synthetic embeddings, no RNG)
+    def corpus(n: Int) = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8) { d =>
+        (((i * 31 + d * 17) % 13) - 6).toFloat / 6.0f })
+    }.toDF("vec_id", "embedding")
+    def distinctBuckets(n: Int): Long = {
+      val planes = operators.TierCSim.lshPlanes(n)
+      corpus(n).select(operators.TierCSim.bucketUdf(planes)($"embedding").as("b"))
+        .distinct().count()
+    }
+    val small = distinctBuckets(128)
+    val big = distinctBuckets(8192)
+    assert(big > small, s"bucket count did not grow with corpus size ($small -> $big)")
   }
 
   test("saltedJoin equals the plain join and scatters the hot key across salts") {

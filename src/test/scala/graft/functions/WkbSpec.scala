@@ -173,6 +173,24 @@ class WkbSpec extends AnyFunSuite {
     assert(Wkb.intersects(holed, inMaterial))
   }
 
+  test("intersects: crossing only through the implicit closing edge of an unclosed ring") {
+    // unclosed triangle: stored edges (0,0)-(10,0), (10,0)-(5,10); the
+    // closing edge (5,10)-(0,0) exists only by ring convention
+    val triOpen = Wkb.polygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (5.0, 10.0))))
+    // thin bar crossing ONLY that closing edge; its first vertex (1,4.75)
+    // is outside the triangle and the triangle's first vertex is outside
+    // the bar, so the vertex-containment fallback cannot mask a missed
+    // closing-edge crossing
+    val bar = Wkb.polygon(Seq(Seq(
+      (1.0, 4.75), (4.0, 4.75), (4.0, 5.25), (1.0, 5.25), (1.0, 4.75))))
+    assert(Wkb.intersects(triOpen, bar), "closing-edge crossing missed")
+    assert(Wkb.intersects(bar, triOpen), "asymmetric closing-edge handling")
+    // closed variant agrees, and area is identical either way
+    val triClosed = Wkb.polygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (5.0, 10.0), (0.0, 0.0))))
+    assert(Wkb.intersects(triClosed, bar))
+    assert(Wkb.area(triOpen) == Wkb.area(triClosed))
+  }
+
   test("intersects: multipolygon members checked independently") {
     def sq(x0: Double, y0: Double, x1: Double, y1: Double) =
       Wkb.polygon(Seq(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))

@@ -70,6 +70,24 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(GeoJson.splitFeatures("""{"no_features":true}""").isEmpty)
   }
 
+  test("splitFeatures: only the depth-1 features key anchors the scan") {
+    // the string "features" appears first inside a property VALUE, then as
+    // a NESTED key — neither may anchor; only the top-level key does
+    val doc = """{"type":"FeatureCollection",
+      "name":"has \"features\" [here]",
+      "meta":{"features":[{"decoy":1}],"n":1},
+      "features":[
+        {"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},"properties":{"id":"real"}}
+      ]}"""
+    val fs = GeoJson.splitFeatures(doc)
+    assert(fs.length == 1, s"expected the 1 real feature, got ${fs.length}")
+    assert(fs(0).contains("\"id\":\"real\""))
+    assert(!fs(0).contains("decoy"))
+    // a document with ONLY a nested/value occurrence yields nothing
+    assert(GeoJson.splitFeatures("""{"meta":{"features":[{"x":1}]}}""").isEmpty)
+    assert(GeoJson.splitFeatures("""{"name":"features","n":2}""").isEmpty)
+  }
+
   test("readCollection produces the same envelope as readSeq") {
     val dir = Files.createTempDirectory("geojson_fc").toString
     val f1 = """{"type":"Feature","geometry":{"type":"Point","coordinates":[11.5,48.1]},"properties":{"id":"m1","name":"munich"}}"""

@@ -104,6 +104,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.find(_.getAs[String]("feature_id") == "w1").get.getAs[String]("prop_k") == "1")
   }
 
+  test("A9: null-layer features merge instead of being dropped on the next null-layer batch") {
+    import spark.implicits._
+    val store = tmpDir("store") + "/nulllayer"
+    def batch(layer: Option[String], fid: String, k: String, tsUs: Long) =
+      Seq((layer.orNull, fid, Map("k" -> k))).toDF("layer", "feature_id", "props")
+        .select($"layer", $"feature_id", $"props",
+          timestamp_micros(lit(tsUs)).as("event_ts"),
+          lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch(None, "n1", "1", 1000000L), store)
+    FeaturePipeline.upsertBatch(batch(Some("roads"), "r1", "1", 1000000L), store)
+    // a second null-layer batch rewrites the default partition — n1 must
+    // survive the merge (null IN (...) semantics must not exclude it)
+    FeaturePipeline.upsertBatch(batch(None, "n2", "2", 2000000L), store)
+    val rows = readStore(store).collect()
+    assert(rows.length == 3, s"expected n1+n2+r1, got ${rows.toSeq}")
+    assert(rows.exists(r => r.getAs[String]("feature_id") == "n1"),
+      "stored null-layer feature dropped by a later null-layer batch")
+    // and a null-layer batch upserts (not duplicates) an existing null-layer id
+    FeaturePipeline.upsertBatch(batch(None, "n1", "9", 3000000L), store)
+    val n1 = readStore(store).filter($"feature_id" === "n1").collect()
+    assert(n1.length == 1 && n1(0).getAs[String]("prop_k") == "9")
+  }
+
   test("A9: layer values needing partition-escaping survive the store swap") {
     import spark.implicits._
     val store = tmpDir("store") + "/esc"
