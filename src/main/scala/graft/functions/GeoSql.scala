@@ -26,5 +26,7 @@ object GeoSql {
     spark.udf.register("geom_bbox_intersects",
       (b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
         Wkb.bboxIntersects(b, xmin, ymin, xmax, ymax))
+    spark.udf.register("geom_wkt", (b: Array[Byte]) => Wkb.toWkt(b))
+    spark.udf.register("geom_from_wkt", (s: String) => Wkb.fromWkt(s))
   }
 }

@@ -347,4 +347,270 @@ object Wkb {
     ringsA.exists(r => r.nonEmpty && containsPoint(b, r(0)._1, r(0)._2)) ||
       ringsB.exists(r => r.nonEmpty && containsPoint(a, r(0)._1, r(0)._2))
   }
+
+  // ------------------------------------------------------------------ WKT
+  /** Integral coordinates print without a decimal point; fractional ones
+    * use the JVM's shortest-roundtrip repr, so `fromWkt(toWkt(g))`
+    * re-parses to bit-identical doubles.
+    */
+  private def fmtNum(d: Double): String =
+    if (d == 0.0) { if (java.lang.Double.doubleToRawLongBits(d) != 0L) "-0" else "0" }
+    else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  /** Canonical WKT text for a WKB value (any dialect, both endiannesses).
+    * XY only — Z/M ordinates are skipped on read, matching every other
+    * reader in this codec. Empty collections/lines/polygons print as
+    * `TYPE EMPTY`.
+    */
+  def toWkt(wkb: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder
+    writeWkt(ByteBuffer.wrap(wkb), sb)
+    sb.toString
+  }
+
+  private def writeWkt(bb: ByteBuffer, sb: java.lang.StringBuilder): Unit = {
+    val h = header(bb)
+    def coord(): Unit = {
+      sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
+      var d = 2
+      while (d < h.dims) { bb.getDouble; d += 1 }
+    }
+    def pointList(): Unit = {
+      val n = bb.getInt
+      sb.append('(')
+      var i = 0
+      while (i < n) { if (i > 0) sb.append(", "); coord(); i += 1 }
+      sb.append(')')
+    }
+    def body(n: Int)(each: Int => Unit): Unit =
+      if (n == 0) sb.append("EMPTY")
+      else {
+        sb.append('(')
+        var i = 0
+        while (i < n) { if (i > 0) sb.append(", "); each(i); i += 1 }
+        sb.append(')')
+      }
+    h.base match {
+      case 1 =>
+        sb.append("POINT (")
+        coord()
+        sb.append(')')
+      case 2 =>
+        sb.append("LINESTRING ")
+        val n = bb.getInt
+        if (n == 0) sb.append("EMPTY")
+        else { bb.position(bb.position() - 4); pointList() }
+      case 3 =>
+        sb.append("POLYGON ")
+        body(bb.getInt)(_ => pointList())
+      case 4 =>
+        sb.append("MULTIPOINT ")
+        body(bb.getInt) { _ =>
+          val mh = header(bb)
+          require(mh.base == 1, s"wkt: MULTIPOINT member of type ${mh.base}")
+          sb.append('(')
+          sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
+          var d = 2
+          while (d < mh.dims) { bb.getDouble; d += 1 }
+          sb.append(')')
+        }
+      case 5 =>
+        sb.append("MULTILINESTRING ")
+        body(bb.getInt) { _ =>
+          val mh = header(bb)
+          require(mh.base == 2, s"wkt: MULTILINESTRING member of type ${mh.base}")
+          val n = bb.getInt
+          sb.append('(')
+          var i = 0
+          while (i < n) {
+            if (i > 0) sb.append(", ")
+            sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
+            var d = 2
+            while (d < mh.dims) { bb.getDouble; d += 1 }
+            i += 1
+          }
+          sb.append(')')
+        }
+      case 6 =>
+        sb.append("MULTIPOLYGON ")
+        body(bb.getInt) { _ =>
+          val mh = header(bb)
+          require(mh.base == 3, s"wkt: MULTIPOLYGON member of type ${mh.base}")
+          val rings = bb.getInt
+          sb.append('(')
+          var r = 0
+          while (r < rings) {
+            if (r > 0) sb.append(", ")
+            val n = bb.getInt
+            sb.append('(')
+            var i = 0
+            while (i < n) {
+              if (i > 0) sb.append(", ")
+              sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
+              var d = 2
+              while (d < mh.dims) { bb.getDouble; d += 1 }
+              i += 1
+            }
+            sb.append(')')
+            r += 1
+          }
+          sb.append(')')
+        }
+      case 7 =>
+        sb.append("GEOMETRYCOLLECTION ")
+        body(bb.getInt)(_ => writeWkt(bb, sb))
+      case t => throw new IllegalArgumentException(s"wkt: unsupported geometry type $t")
+    }
+  }
+
+  /** WKT text → canonical little-endian XY WKB. Accepts the output of
+    * [[toWkt]] plus the usual variations: arbitrary whitespace, unparenthesized
+    * MULTIPOINT members, optional `Z`/`M`/`ZM` markers (their extra
+    * ordinates are parsed and DROPPED — XY-only policy), and `EMPTY` for
+    * anything but a POINT (which has no NaN-free WKB form and throws).
+    */
+  def fromWkt(wkt: String): Array[Byte] = {
+    val p = new WktParser(wkt)
+    val g = p.parseGeom()
+    p.skipWs()
+    require(p.eof, s"wkt: trailing content at offset ${p.pos}")
+    g
+  }
+
+  private final class WktParser(s: String) {
+    private var i = 0
+    def pos: Int = i
+    def eof: Boolean = i >= s.length
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def fail(what: String): Nothing =
+      throw new IllegalArgumentException(s"wkt: expected $what at offset $i in '$s'")
+    private def expect(c: Char): Unit = {
+      skipWs()
+      if (eof || s.charAt(i) != c) fail(s"'$c'")
+      i += 1
+    }
+    private def peekIs(c: Char): Boolean = { skipWs(); !eof && s.charAt(i) == c }
+    private def ident(): String = {
+      skipWs()
+      val start = i
+      while (i < s.length && s.charAt(i).isLetter) i += 1
+      if (i == start) fail("a keyword")
+      s.substring(start, i).toUpperCase
+    }
+    private def number(): Double = {
+      skipWs()
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      if (i == start) fail("a number")
+      java.lang.Double.parseDouble(s.substring(start, i))
+    }
+    /** x y [z [m]] — extra ordinates beyond XY are dropped. */
+    private def coord(extraDims: Int): (Double, Double) = {
+      val x = number(); val y = number()
+      var d = 0
+      while (d < extraDims) { number(); d += 1 }
+      (x, y)
+    }
+    /** Counts the Z/M marker's extra ordinates; also tolerates them inline
+      * (a coordinate may carry more numbers than the marker promised —
+      * handled by coord consuming exactly what the marker declared, which
+      * is how every mainstream WKT writer emits it).
+      */
+    private def dimMarker(): Int = {
+      skipWs()
+      val save = i
+      if (!eof && s.charAt(i).isLetter) {
+        ident() match {
+          case "Z" | "M" => 1
+          case "ZM" => 2
+          case "EMPTY" => i = save; 0
+          case _ => fail("Z, M, ZM, EMPTY or '('")
+        }
+      } else 0
+    }
+    private def isEmpty(): Boolean = {
+      skipWs()
+      if (!eof && s.charAt(i) == 'E') {
+        val save = i
+        if (ident() == "EMPTY") true else { i = save; false }
+      } else false
+    }
+    private def pointList(extra: Int): Seq[(Double, Double)] = {
+      expect('(')
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      out += coord(extra)
+      while (peekIs(',')) { expect(','); out += coord(extra) }
+      expect(')')
+      out.toSeq
+    }
+    private def ringList(extra: Int): Seq[Seq[(Double, Double)]] = {
+      expect('(')
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+      out += pointList(extra)
+      while (peekIs(',')) { expect(','); out += pointList(extra) }
+      expect(')')
+      out.toSeq
+    }
+    def parseGeom(): Array[Byte] = {
+      val name = ident()
+      val extra = dimMarker()
+      name match {
+        case "POINT" =>
+          if (isEmpty()) fail("coordinates (POINT EMPTY has no WKB form)")
+          expect('(')
+          val (x, y) = coord(extra)
+          expect(')')
+          point(x, y)
+        case "LINESTRING" =>
+          if (isEmpty()) lineString(Nil) else lineString(pointList(extra))
+        case "POLYGON" =>
+          if (isEmpty()) polygon(Nil) else polygon(ringList(extra))
+        case "MULTIPOINT" =>
+          if (isEmpty()) multi(4, Nil)
+          else {
+            expect('(')
+            val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+            def member(): Unit =
+              if (peekIs('(')) { expect('('); pts += coord(extra); expect(')') }
+              else pts += coord(extra)
+            member()
+            while (peekIs(',')) { expect(','); member() }
+            expect(')')
+            multi(4, pts.toSeq.map { case (x, y) => point(x, y) })
+          }
+        case "MULTILINESTRING" =>
+          if (isEmpty()) multi(5, Nil)
+          else {
+            expect('(')
+            val ls = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            ls += lineString(pointList(extra))
+            while (peekIs(',')) { expect(','); ls += lineString(pointList(extra)) }
+            expect(')')
+            multi(5, ls.toSeq)
+          }
+        case "MULTIPOLYGON" =>
+          if (isEmpty()) multi(6, Nil)
+          else {
+            expect('(')
+            val ps = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            ps += polygon(ringList(extra))
+            while (peekIs(',')) { expect(','); ps += polygon(ringList(extra)) }
+            expect(')')
+            multi(6, ps.toSeq)
+          }
+        case "GEOMETRYCOLLECTION" =>
+          if (isEmpty()) multi(7, Nil)
+          else {
+            expect('(')
+            val gs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            gs += parseGeom()
+            while (peekIs(',')) { expect(','); gs += parseGeom() }
+            expect(')')
+            multi(7, gs.toSeq)
+          }
+        case t => fail(s"a geometry keyword (got $t)")
+      }
+    }
+  }
 }

@@ -254,5 +254,43 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g)
+  // ---------------------------------------------------------------- A11h
+  /** Build → WKT → parse → compare bytes → decode bbox. The WKT string
+    * itself never crosses engines (double formatting is JVM-specific);
+    * what the oracle checks is that the roundtrip is byte-lossless
+    * (`roundtrip_ok` must be uniformly TRUE) and that the re-parsed
+    * geometry's envelope equals the replayed coordinate arithmetic.
+    */
+  private val wktRoundtripUdf: UserDefinedFunction = udf { (kind: Long, x: Double, y: Double) =>
+    val g = kind match {
+      case 0 => Wkb.point(x, y)
+      case 1 => Wkb.lineString(Seq((x, y), (x + 1.13, y + 2.07)))
+      case _ => Wkb.polygon(Seq(Seq((x, y), (x + 3.19, y), (x + 3.19, y + 1.51), (x, y))))
+    }
+    val back = Wkb.fromWkt(Wkb.toWkt(g))
+    (Wkb.geomType(back), java.util.Arrays.equals(back, g), Wkb.bbox(back))
+  }
+  private val a11h = QuerySpec(
+    "a11h_wkt_roundtrip",
+    "WKT codec: per-event geometry (point/linestring/polygon by event_id%3) printed to WKT, re-parsed, byte-compared, and measured; oracle replays the envelope arithmetic and expects a lossless roundtrip everywhere.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id,
+            CASE event_id % 3 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING' ELSE 'POLYGON' END AS gtype,
+            TRUE AS roundtrip_ok,
+            value AS xmin, CAST(user_id AS DOUBLE) AS ymin,
+            CASE event_id % 3 WHEN 0 THEN value WHEN 1 THEN value + 1.13 ELSE value + 3.19 END AS xmax,
+            CASE event_id % 3 WHEN 0 THEN CAST(user_id AS DOUBLE) WHEN 1 THEN CAST(user_id AS DOUBLE) + 2.07 ELSE CAST(user_id AS DOUBLE) + 1.51 END AS ymax
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          wktRoundtripUdf($"event_id" % 3, $"value", $"user_id".cast(DoubleType)).as("r"))
+        .select($"feature_id", $"r._1".as("gtype"), $"r._2".as("roundtrip_ok"),
+          $"r._3.xmin".as("xmin"), $"r._3.ymin".as("ymin"),
+          $"r._3.xmax".as("xmax"), $"r._3.ymax".as("ymax"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h)
 }

@@ -173,6 +173,61 @@ class WkbSpec extends AnyFunSuite {
     assert(Wkb.intersects(holed, inMaterial))
   }
 
+  test("toWkt: canonical text for every geometry type, integral coords without decimals") {
+    assert(Wkb.toWkt(Wkb.point(1.0, 2.5)) == "POINT (1 2.5)")
+    assert(Wkb.toWkt(Wkb.lineString(Seq((0.0, 0.0), (1.5, -2.0)))) ==
+      "LINESTRING (0 0, 1.5 -2)")
+    assert(Wkb.toWkt(Wkb.polygon(Seq(
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)),
+      Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0))))) ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 2 2, 1 1))")
+    assert(Wkb.toWkt(Wkb.multi(4, Seq(Wkb.point(1.0, 2.0), Wkb.point(3.0, 4.0)))) ==
+      "MULTIPOINT ((1 2), (3 4))")
+    assert(Wkb.toWkt(Wkb.multi(5, Seq(
+      Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))),
+      Wkb.lineString(Seq((2.0, 2.0), (3.0, 3.0)))))) ==
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    assert(Wkb.toWkt(Wkb.multi(6, Seq(
+      Wkb.polygon(Seq(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0))))))) ==
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")
+    assert(Wkb.toWkt(Wkb.multi(7, Seq(Wkb.point(5.0, 6.0),
+      Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0)))))) ==
+      "GEOMETRYCOLLECTION (POINT (5 6), LINESTRING (0 0, 1 1))")
+    assert(Wkb.toWkt(Wkb.lineString(Nil)) == "LINESTRING EMPTY")
+    assert(Wkb.toWkt(Wkb.polygon(Nil)) == "POLYGON EMPTY")
+    assert(Wkb.toWkt(Wkb.multi(6, Nil)) == "MULTIPOLYGON EMPTY")
+  }
+
+  test("fromWkt: tolerated variations parse to the same canonical WKB") {
+    def same(wkt: String, wkb: Array[Byte]): Unit =
+      assert(java.util.Arrays.equals(Wkb.fromWkt(wkt), wkb), wkt)
+    same("MULTIPOINT (1 2, 3 4)", Wkb.multi(4, Seq(Wkb.point(1.0, 2.0), Wkb.point(3.0, 4.0))))
+    same("  point ( 1   2.5 ) ", Wkb.point(1.0, 2.5))
+    // Z/M markers: extra ordinates parsed and dropped, XY-only policy
+    same("POINT Z (1 2 9)", Wkb.point(1.0, 2.0))
+    same("LINESTRING ZM (0 0 7 8, 1 1 7 8)", Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))))
+    same("POLYGON EMPTY", Wkb.polygon(Nil))
+    same("GEOMETRYCOLLECTION EMPTY", Wkb.multi(7, Nil))
+    // scientific notation and signs
+    same("POINT (-1.5e2 +0.25)", Wkb.point(-150.0, 0.25))
+    intercept[IllegalArgumentException](Wkb.fromWkt("POINT EMPTY"))
+    intercept[IllegalArgumentException](Wkb.fromWkt("POINT (1 2) junk"))
+    intercept[IllegalArgumentException](Wkb.fromWkt("CIRCLE (1 2)"))
+    intercept[IllegalArgumentException](Wkb.fromWkt("POLYGON ((1 2"))
+  }
+
+  test("toWkt: reads non-canonical dialects (big-endian, EWKB SRID+Z)") {
+    // big-endian plain point
+    val be = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(0.toByte).putInt(1).putDouble(7.0).putDouble(8.0)
+    assert(Wkb.toWkt(be.array()) == "POINT (7 8)")
+    // EWKB little-endian point with SRID and Z: flags consumed, Z dropped
+    val ew = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ew.put(1.toByte).putInt(1 | 0x80000000 | 0x20000000).putInt(4326)
+      .putDouble(1.5).putDouble(2.5).putDouble(99.0)
+    assert(Wkb.toWkt(ew.array()) == "POINT (1.5 2.5)")
+  }
+
   test("intersects: crossing only through the implicit closing edge of an unclosed ring") {
     // unclosed triangle: stored edges (0,0)-(10,0), (10,0)-(5,10); the
     // closing edge (5,10)-(0,0) exists only by ring convention
@@ -327,4 +382,36 @@ object WkbProps extends Properties("Wkb") {
     // for the symmetric ellipse construction the bbox center is interior
     Wkb.containsPoint(p, (bb.xmin + bb.xmax) / 2, (bb.ymin + bb.ymax) / 2)
   }
+
+  // ----------------------------------------------------------------- WKT
+  private val anyPoint: Gen[Array[Byte]] =
+    for { x <- coord; y <- coord } yield Wkb.point(x, y)
+
+  private val anyLine: Gen[Array[Byte]] =
+    Gen.nonEmptyListOf(Gen.zip(coord, coord)).map(pts => Wkb.lineString(pts))
+
+  private val anyGeom: Gen[Array[Byte]] = Gen.oneOf(
+    anyPoint, anyLine, convexPoly,
+    Gen.nonEmptyListOf(Gen.zip(coord, coord))
+      .map(pts => Wkb.multi(4, pts.map { case (x, y) => Wkb.point(x, y) })),
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.zip(coord, coord)))
+      .map(ls => Wkb.multi(5, ls.map(Wkb.lineString(_)))),
+    Gen.nonEmptyListOf(convexPoly).map(ps => Wkb.multi(6, ps)))
+
+  property("fromWkt(toWkt(g)) is byte-identical for canonical WKB") =
+    Prop.forAll(anyGeom) { g =>
+      java.util.Arrays.equals(Wkb.fromWkt(Wkb.toWkt(g)), g)
+    }
+
+  property("toWkt survives a second roundtrip unchanged") =
+    Prop.forAll(anyGeom) { g =>
+      val w = Wkb.toWkt(g)
+      Wkb.toWkt(Wkb.fromWkt(w)) == w
+    }
+
+  property("geometry collections roundtrip recursively") =
+    Prop.forAll(Gen.nonEmptyListOf(anyGeom)) { gs =>
+      val gc = Wkb.multi(7, gs)
+      java.util.Arrays.equals(Wkb.fromWkt(Wkb.toWkt(gc)), gc)
+    }
 }
