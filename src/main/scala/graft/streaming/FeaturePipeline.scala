@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.{Feature, MsgPack}
@@ -58,18 +58,54 @@ object FeaturePipeline {
       .dropDuplicatesWithinWatermark("layer", "feature_id", "event_ts")
 
   /** A8: evolve the sink column set from the props seen in this batch —
-    * the reference's "add missing columns on demand" PostGIS behavior.
-    * The key-vocabulary collect is batch-local and bounded by the number
-    * of DISTINCT property keys (not rows), mirroring the DDL the
-    * reference issues per new column.
+    * the reference's "add missing columns on demand" PostGIS behavior —
+    * and promote each new column to the narrowest type ALL of its
+    * non-null batch values parse as: long, else double, else boolean,
+    * else string. The per-key stats aggregate is one distributed pass
+    * whose collect is bounded by the number of DISTINCT property keys
+    * (not rows), mirroring the typed DDL the reference issues per new
+    * column. Cross-batch type conflicts are reconciled at the store
+    * merge ([[upsertBatch]]), never here.
     */
   def evolveColumns(batch: DataFrame): DataFrame = {
+    // integral = digits only (a plain cast would truncate "1.5" to 1);
+    // try_cast (not cast) because ANSI mode throws on malformed input —
+    // here an unparseable value must just count as "not this type"
+    val asLong = when(col("v").rlike("^[+-]?\\d{1,19}$"), col("v").try_cast(LongType))
+    val asBool = lower(col("v")).isin("true", "false")
+    val stats = batch.select(explode(col("props")).as(Seq("k", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy("k").agg(
+        count(lit(1)).as("n"),
+        count(asLong).as("n_long"),
+        count(col("v").try_cast(DoubleType)).as("n_double"),
+        sum(when(asBool, 1L).otherwise(0L)).as("n_bool"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        r.getString(0) -> (
+          if (r.getLong(2) == n) LongType
+          else if (r.getLong(3) == n) DoubleType
+          else if (r.getLong(4) == n) BooleanType
+          else StringType)
+      }.toMap
     val keys = batch.select(explode(map_keys(col("props"))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted
     keys.foldLeft(batch) { (df, k) =>
-      df.withColumn(s"prop_$k", element_at(col("props"), k))
+      // a key whose values were all null this batch stays a string column
+      df.withColumn(s"prop_$k",
+        element_at(col("props"), k).cast(stats.getOrElse(k, StringType)))
     }.drop("props")
   }
+
+  /** Narrowest common supertype for cross-batch prop column conflicts:
+    * the numeric pair widens to double, everything else to string — a
+    * widening never nulls out previously stored values.
+    */
+  private def widen(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else if ((a == LongType && b == DoubleType) || (a == DoubleType && b == LongType)) DoubleType
+    else StringType
 
   /** A9+A12: idempotent keyed upsert of one micro-batch into a parquet
     * store partitioned by `layer`. Latest version per (layer, feature_id)
@@ -108,10 +144,38 @@ object FeaturePipeline {
           (if (layers.nonEmpty) Seq(col("layer").isInCollection(layers)) else Nil) ++
           (if (hasNullLayer) Seq(col("layer").isNull) else Nil)
         ).reduce(_ || _)
-        val existing = spark.read.option("mergeSchema", "true").parquet(storeDir)
+        val existingAll = spark.read.option("mergeSchema", "true").parquet(storeDir)
           .withColumn("layer", col("layer").cast(StringType))
-          .filter(touched)
-        existing.unionByName(evolved, allowMissingColumns = true)
+        // Reconcile cross-batch prop column types by widening to the
+        // common supertype ([[widen]]) — stored values are never nulled.
+        // When the STORE side must widen, that is a schema migration: the
+        // store cannot hold two parquet types for one column across
+        // partitions (mergeSchema would refuse the next read), so the
+        // batch expands to ALL layers and every partition is rewritten —
+        // the bounded-touch fast path resumes on the next batch. Batch-
+        // side-only widening (store already wider) stays partition-bounded.
+        val exTypes = existingAll.schema.map(f => f.name -> f.dataType).toMap
+        val evTypes = evolved.schema.map(f => f.name -> f.dataType).toMap
+        val sharedProps = exTypes.keySet.intersect(evTypes.keySet)
+          .filter(_.startsWith("prop_")).toSeq.sorted
+        val storeConflicts = sharedProps
+          .filter(c => widen(exTypes(c), evTypes(c)) != exTypes(c))
+        val existing =
+          if (storeConflicts.isEmpty) existingAll.filter(touched)
+          else {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"upsertBatch: widening store columns ${storeConflicts.mkString(", ")} — " +
+                "full-store schema migration (all partitions rewritten this batch)")
+            storeConflicts.foldLeft(existingAll) { (df, c) =>
+              df.withColumn(c, col(c).cast(widen(exTypes(c), evTypes(c))))
+            }
+          }
+        val evolvedW = sharedProps
+          .filter(c => widen(exTypes(c), evTypes(c)) != evTypes(c))
+          .foldLeft(evolved) { (df, c) =>
+            df.withColumn(c, col(c).cast(widen(exTypes(c), evTypes(c))))
+          }
+        existing.unionByName(evolvedW, allowMissingColumns = true)
       } else evolved
     val w = Window.partitionBy(col("layer"), col("feature_id"))
       .orderBy(col("event_ts").desc, col("fmt_version").desc, col("source").desc)

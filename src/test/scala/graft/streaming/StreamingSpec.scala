@@ -54,7 +54,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[String]("layer")).toSet == Set("roads", "rivers"))
       assert(rows.length == 2, s"expected 2 upserted keys, got ${rows.length}")
       val r1 = rows.find(_.getAs[String]("feature_id") == "r1").get
-      assert(r1.getAs[String]("prop_k") == "2", "latest version did not win upsert")
+      assert(r1.getAs[Long]("prop_k") == 2L, "latest version did not win upsert")
     } finally q.stop()
   }
 
@@ -100,8 +100,8 @@ class StreamingSpec extends AnyFunSuite {
       "rewriting an untouched layer partition — upsert is not batch-bounded")
     val rows = readStore(store).collect()
     assert(rows.length == 2)
-    assert(rows.find(_.getAs[String]("feature_id") == "r1").get.getAs[String]("prop_k") == "2")
-    assert(rows.find(_.getAs[String]("feature_id") == "w1").get.getAs[String]("prop_k") == "1")
+    assert(rows.find(_.getAs[String]("feature_id") == "r1").get.getAs[Long]("prop_k") == 2L)
+    assert(rows.find(_.getAs[String]("feature_id") == "w1").get.getAs[Long]("prop_k") == 1L)
   }
 
   test("A9: null-layer features merge instead of being dropped on the next null-layer batch") {
@@ -124,7 +124,7 @@ class StreamingSpec extends AnyFunSuite {
     // and a null-layer batch upserts (not duplicates) an existing null-layer id
     FeaturePipeline.upsertBatch(batch(None, "n1", "9", 3000000L), store)
     val n1 = readStore(store).filter($"feature_id" === "n1").collect()
-    assert(n1.length == 1 && n1(0).getAs[String]("prop_k") == "9")
+    assert(n1.length == 1 && n1(0).getAs[Long]("prop_k") == 9L)
   }
 
   test("A9: layer values needing partition-escaping survive the store swap") {
@@ -177,7 +177,52 @@ class StreamingSpec extends AnyFunSuite {
     val df = readStore(store)
     assert(df.columns.contains("prop_a") && df.columns.contains("prop_b"))
     val r1 = df.filter($"feature_id" === "r1").collect().head
-    assert(r1.getAs[String]("prop_a") == "1" && r1.getAs[String]("prop_b") == null)
+    assert(r1.getAs[Long]("prop_a") == 1L && r1.isNullAt(r1.fieldIndex("prop_b")))
+  }
+
+  test("A8: props promote to the narrowest all-parse type (long/double/bool/string)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val batch = Seq(
+      Map("n" -> "12", "f" -> "1.5", "b" -> "true", "s" -> "x", "mixed" -> "7"),
+      Map("n" -> "-3", "f" -> "2", "b" -> "FALSE", "s" -> "9", "mixed" -> "oops"))
+      .map(m => ("roads", "r", m)).toDF("layer", "feature_id", "props")
+    val out = FeaturePipeline.evolveColumns(batch)
+    val t = out.schema.map(f => f.name -> f.dataType).toMap
+    assert(t("prop_n") == LongType, "all-integral values must land as long")
+    assert(t("prop_f") == DoubleType, "mixed 1.5/2 must land as double")
+    assert(t("prop_b") == BooleanType, "true/FALSE must land as boolean")
+    assert(t("prop_s") == StringType, "x/9 is not all-numeric; stays string")
+    assert(t("prop_mixed") == StringType)
+    val r = out.orderBy($"prop_n").collect()
+    assert(r(0).getAs[Long]("prop_n") == -3L && r(1).getAs[Double]("prop_f") == 1.5)
+    assert(r(1).getAs[Boolean]("prop_b") && !r(0).getAs[Boolean]("prop_b"))
+  }
+
+  test("A8: cross-batch type conflict widens the store without flipping earlier rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val store = tmpDir("store") + "/typed"
+    def batch(fid: String, v: String, tsUs: Long) =
+      Seq(("roads", fid, Map("k" -> v))).toDF("layer", "feature_id", "props")
+        .select($"layer", $"feature_id", $"props",
+          timestamp_micros(lit(tsUs)).as("event_ts"),
+          lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch("r1", "11", 1000000L), store)
+    assert(readStore(store).schema("prop_k").dataType == LongType)
+    // long -> double widens numerically
+    FeaturePipeline.upsertBatch(batch("r2", "2.5", 1000000L), store)
+    val afterD = readStore(store)
+    assert(afterD.schema("prop_k").dataType == DoubleType)
+    assert(afterD.filter($"feature_id" === "r1").head.getAs[Double]("prop_k") == 11.0,
+      "earlier row's value flipped during numeric widening")
+    // double -> string widens textually, earlier values preserved
+    FeaturePipeline.upsertBatch(batch("r3", "hello", 1000000L), store)
+    val afterS = readStore(store)
+    assert(afterS.schema("prop_k").dataType == StringType)
+    assert(afterS.filter($"feature_id" === "r3").head.getAs[String]("prop_k") == "hello")
+    assert(afterS.filter($"feature_id" === "r1").head.getAs[String]("prop_k") == "11.0")
+    assert(afterS.count() == 3)
   }
 
   test("B32: retransmit dropped within watermark, new version passes") {
@@ -364,7 +409,7 @@ class StreamingSpec extends AnyFunSuite {
       val rows = readStore(store).collect()
       assert(rows.length == 2, s"expected r1+r2 after recovery, got ${rows.length}")
       val r1 = rows.find(_.getAs[String]("feature_id") == "r1").get
-      assert(r1.getAs[String]("prop_k") == "9", "post-restart update lost")
+      assert(r1.getAs[Long]("prop_k") == 9L, "post-restart update lost")
     } finally q2.stop()
   }
 
