@@ -348,6 +348,69 @@ object Wkb {
       ringsB.exists(r => r.nonEmpty && containsPoint(a, r(0)._1, r(0)._2))
   }
 
+  // ------------------------------------------------------------- distance
+  /** Euclidean distance between two POINT geometries (any dialect) as the
+    * literal chain `sqrt(dx*dx + dy*dy)` — an oracle replaying the same
+    * three ops on the same coordinates gets the bit-identical double
+    * (each IEEE op is correctly rounded), the a11g/c3 replay pattern.
+    */
+  def pointDistance(a: Array[Byte], b: Array[Byte]): Double = {
+    def xy(wkb: Array[Byte]): (Double, Double) = {
+      val bb = ByteBuffer.wrap(wkb)
+      val h = header(bb)
+      require(h.base == 1, s"wkb: pointDistance expects POINT, got type ${h.base}")
+      (bb.getDouble, bb.getDouble)
+    }
+    val (ax, ay) = xy(a)
+    val (bx, by) = xy(b)
+    val dx = ax - bx
+    val dy = ay - by
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  /** Distance from (px, py) to the closest point of segment (x1,y1)-(x2,y2). */
+  private def pointSegDistance(px: Double, py: Double,
+      x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val dx = x2 - x1
+    val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / len2))
+    val cx = x1 + t * dx
+    val cy = y1 + t * dy
+    math.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+  }
+
+  /** Minimum distance from (px, py) to the BOUNDARY of an areal geometry
+    * (POLYGON / MULTIPOLYGON, holes included — a hole edge is boundary):
+    * min over every ring edge's point-segment distance. 0 on the boundary
+    * itself; an interior point still gets its (positive) distance to the
+    * nearest edge — combine with [[containsPoint]] when "0 inside" is the
+    * wanted semantics (see `operators.Spatial.nearestPolygonWithinR`).
+    */
+  def boundaryDistance(wkb: Array[Byte], px: Double, py: Double): Double = {
+    val rings = areaRings(wkb)
+    var best = Double.PositiveInfinity
+    var i = 0
+    while (i < rings.length) {
+      val r = rings(i)
+      var p = 0
+      while (p < r.length - 1) {
+        val d = pointSegDistance(px, py, r(p)._1, r(p)._2, r(p + 1)._1, r(p + 1)._2)
+        if (d < best) best = d
+        p += 1
+      }
+      // a single-vertex ring still contributes its point
+      if (r.length == 1) {
+        val d = pointSegDistance(px, py, r(0)._1, r(0)._2, r(0)._1, r(0)._2)
+        if (d < best) best = d
+      }
+      i += 1
+    }
+    best
+  }
+
   // ------------------------------------------------------------------ WKT
   /** Integral coordinates print without a decimal point; fractional ones
     * use the JVM's shortest-roundtrip repr, so `fromWkt(toWkt(g))`

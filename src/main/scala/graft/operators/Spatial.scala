@@ -109,6 +109,58 @@ object Spatial {
       .select($"a_id", $"b_id")
   }
 
+  /** Grid-blocked "nearest polygon within r" join.
+    *
+    * Each point expands to the cells covered by its r-ball bbox (so any
+    * polygon whose distance could be ≤ r shares a cell); polygons
+    * replicate to their bbox cells exactly as in [[pointInPolygonJoin]].
+    * Pairs meet in the shuffled cell equi-join, the canonical-cell rule
+    * (min corner of ball-bbox ∩ poly-bbox) keeps each pair single-copy
+    * without a distinct pass, the exact refine computes distance
+    * (0 when contained, else min edge distance — [[Wkb.boundaryDistance]])
+    * and filters ≤ r, and a per-point window keeps the minimum
+    * (ties to the lowest poly_id, so the result is deterministic).
+    *
+    * Scale: per-cell fan-out bounded by local density; the r-ball
+    * replication factor is (r/cell + 1)² per point — callers size `cell`
+    * near `r` so it stays ~4.
+    *
+    * @param points (point_id, px, py)  @param polys (poly_id, wkb)
+    * @return (point_id, poly_id, dist) — one row per point with any
+    *         polygon within r
+    */
+  def nearestPolygonWithinR(points: DataFrame, polys: DataFrame,
+      r: Double, cell: Double): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    val distUdf = udf { (wkb: Array[Byte], px: Double, py: Double) =>
+      if (Wkb.containsPoint(wkb, px, py)) 0.0 else Wkb.boundaryDistance(wkb, px, py)
+    }
+    val gridded = polys
+      .withColumn("bb", bboxUdf($"wkb"))
+      .select($"poly_id", $"wkb", $"bb.xmin".as("g_xmin"), $"bb.ymin".as("g_ymin"),
+        explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
+      .select($"poly_id", $"wkb", $"g_xmin", $"g_ymin",
+        $"c._1".as("cell_x"), $"c._2".as("cell_y"))
+    val balled = points
+      .select($"point_id", $"px", $"py",
+        explode(cellsUdf($"px" - r, $"py" - r, $"px" + r, $"py" + r, lit(cell))).as("c"))
+      .select($"point_id", $"px", $"py",
+        $"c._1".as("p_cell_x"), $"c._2".as("p_cell_y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"point_id").orderBy($"dist", $"poly_id")
+    balled
+      .join(gridded, $"p_cell_x" === $"cell_x" && $"p_cell_y" === $"cell_y")
+      // canonical-cell duplicate avoidance (the polygonJoin rule)
+      .filter(floor(greatest($"px" - r, $"g_xmin") / cell).cast(LongType) === $"cell_x" &&
+        floor(greatest($"py" - r, $"g_ymin") / cell).cast(LongType) === $"cell_y")
+      .withColumn("dist", distUdf($"wkb", $"px", $"py"))
+      .filter($"dist" <= r)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"point_id", $"poly_id", $"dist")
+  }
+
   // ---------------------------------------------------------------- A11d
   private val diamondUdf: UserDefinedFunction = udf { (c: Double, r: Double) =>
     Wkb.polygon(Seq(Seq((c + r, c), (c, c + r), (c - r, c), (c, c - r), (c + r, c))))
@@ -163,5 +215,30 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f)
+  // ---------------------------------------------------------------- A11j
+  /** No oracle by design: the exact refine's point-segment distance chain
+    * (projection clamps) is not SQL-replayable bit-for-bit, and an argmin
+    * over low-bit-different doubles would flip rows, not just values —
+    * same class as the custom-hash c2/c3 queries. SpatialSpec covers
+    * planted nearest/containment/radius cases and determinism; the
+    * driver's rows-only check still pins cardinality.
+    */
+  private val a11j = QuerySpec(
+    "a11j_nearest_poly",
+    "Grid-blocked nearest-polygon-within-r JOIN: events points vs 25 nation diamonds, r-ball cell expansion + canonical-cell dedup + exact distance refine (0 when contained), per-point argmin with id tie-break.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      val points = Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("point_id"),
+          $"value".as("px"), $"value".as("py"))
+      val polys = Tables.nation(s, d)
+        .select($"n_nationkey".as("poly_id"),
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(15.11)).as("wkb"))
+      nearestPolygonWithinR(points, polys, r = 12.5, cell = 25.0)
+        .orderBy($"point_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j)
 }

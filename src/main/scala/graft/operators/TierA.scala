@@ -292,5 +292,46 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h)
+  // ---------------------------------------------------------------- A11i
+  /** d_pp replays bit-exactly: the UDF computes the literal chain
+    * `sqrt(dx*dx + dy*dy)` that the oracle writes out in SQL — each IEEE
+    * op correctly rounded on identical inputs (the a11g replay pattern).
+    * within_r is a boolean with decision slack instead: boundaryDistance's
+    * point-segment chain differs from the oracle's closed form, so the
+    * radius is an odd THOUSANDTH (5.013) — the point grid is 0.01 and the
+    * outside-case distance is √2·(grid−7), so |d − r| ≥ ~0.0047·√2 ≫ any
+    * double error, and the two formulations can never disagree.
+    */
+  private val pointPairDistUdf: UserDefinedFunction = udf { (v: Double, u: Double) =>
+    Wkb.pointDistance(Wkb.point(v, u), Wkb.point(2.0 * u, v))
+  }
+  private val rectUdf: UserDefinedFunction = udf { (u: Double) =>
+    Wkb.polygon(Seq(Seq((u - 7, u - 7), (u + 7, u - 7), (u + 7, u + 7), (u - 7, u + 7), (u - 7, u - 7))))
+  }
+  private val withinRUdf: UserDefinedFunction = udf { (wkb: Array[Byte], px: Double, py: Double) =>
+    Wkb.boundaryDistance(wkb, px, py) < 5.013
+  }
+  private val a11i = QuerySpec(
+    "a11i_distance",
+    "Geometry distance: exact point-point Euclidean distance (bit-replayed IEEE chain) and point-to-polygon-boundary proximity against a per-event square (odd-thousandth radius keeps the boolean off the grid).",
+    Some("""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+              value AS v, CAST(user_id AS DOUBLE) AS u FROM events)
+            SELECT feature_id,
+              sqrt((v - 2*u)*(v - 2*u) + (u - v)*(u - v)) AS d_pp,
+              CASE WHEN abs(v - u) <= 7 THEN (7 - abs(v - u)) < 5.013
+                   ELSE sqrt((abs(v - u) - 7)*(abs(v - u) - 7)*2) < 5.013 END AS within_r
+            FROM t ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          $"value".as("v"), $"user_id".cast(DoubleType).as("u"))
+        .select($"feature_id",
+          pointPairDistUdf($"v", $"u").as("d_pp"),
+          withinRUdf(rectUdf($"u"), $"v", $"v").as("within_r"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i)
 }

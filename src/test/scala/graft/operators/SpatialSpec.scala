@@ -60,6 +60,57 @@ class SpatialSpec extends AnyFunSuite {
     assert(got == Seq((1, 2)), got)
   }
 
+  test("nearestPolygonWithinR: containment wins, radius filters, ties break by id, cross-cell found, exactly-once") {
+    import spark.implicits._
+    val polys = Seq(
+      (1, square(0, 0, 10, 10)),
+      (2, square(20, 0, 30, 10)),
+      (3, square(100, 100, 140, 140)) // spans many cells at cell=8
+    ).toDF("poly_id", "wkb")
+    val points = Seq(
+      ("inside", 5.0, 5.0),      // contained in 1 → dist 0
+      ("between", 14.0, 5.0),    // 4 from poly 1, 6 from poly 2 → nearest 1
+      ("nearer2", 17.0, 5.0),    // 7 from 1, 3 from 2 → nearest 2
+      ("tie", 15.0, 5.0),        // exactly 5 from both → lowest id wins
+      ("far", 60.0, 60.0),       // nothing within r
+      ("xcell", 95.0, 120.0)     // 5 left of poly 3, different cell than it
+    ).toDF("point_id", "px", "py")
+    val got = Spatial.nearestPolygonWithinR(points, polys, r = 6.0, cell = 8.0)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got("inside") == (1, 0.0), "contained point must report dist 0")
+    assert(got("between") == (1, 4.0))
+    assert(got("nearer2") == (2, 3.0))
+    assert(got("tie") == (1, 5.0), "equidistant pair must break ties to the lowest id")
+    assert(!got.contains("far"), "point with no polygon within r must be absent")
+    assert(got("xcell") == (3, 5.0), "r-ball cell expansion missed a cross-cell polygon")
+    assert(got.size == 5)
+    // exactly-once even when the pair collides in many cells: one row per point
+    val rows = Spatial.nearestPolygonWithinR(points, polys, r = 6.0, cell = 8.0).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted ==
+      rows.map(_.getString(0)).distinct.toSeq.sorted)
+    // determinism across runs
+    val again = Spatial.nearestPolygonWithinR(points, polys, r = 6.0, cell = 8.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == rows.map(_.toString).sorted.toSeq)
+  }
+
+  test("Wkb distance: pointDistance exact chain, boundaryDistance edge cases") {
+    val d = Wkb.pointDistance(Wkb.point(1.0, 2.0), Wkb.point(4.0, 6.0))
+    assert(d == 5.0)
+    val sq = square(0, 0, 10, 10)
+    assert(Wkb.boundaryDistance(sq, 5.0, 5.0) == 5.0, "interior: distance to nearest edge")
+    assert(Wkb.boundaryDistance(sq, 5.0, 0.0) == 0.0, "on the boundary")
+    assert(Wkb.boundaryDistance(sq, 5.0, -3.0) == 3.0, "outside, facing an edge")
+    assert(Wkb.boundaryDistance(sq, 13.0, 14.0) == 5.0, "outside, past a corner (3-4-5)")
+    // a hole edge is boundary too
+    val holed = Wkb.polygon(Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0))))
+    assert(Wkb.boundaryDistance(holed, 5.0, 5.0) == 1.0, "hole edge must count as boundary")
+    intercept[IllegalArgumentException](
+      Wkb.pointDistance(sq, Wkb.point(0.0, 0.0)))
+  }
+
   test("GeoSql: geom_* functions callable from SQL") {
     import spark.implicits._
     graft.functions.GeoSql.register(spark)
