@@ -400,6 +400,55 @@ object TierCSim {
     }
   )
 
+  // --------------------------------------------------- int8 quantization
+  /** Elementwise ops only, so no accumulation-order dependence anywhere:
+    * mx is an exact max over exact float→double casts, each
+    * q_i = floor(v_i·127/mx) replays the same 3-op IEEE chain in the
+    * oracle, and the compared aggregates (sum/min/max of the integer
+    * q_i) are order-independent. The map-side shape of an embedding
+    * compression stage: scan, quantize per row, write.
+    */
+  private val quantUdf = udf { (emb: Seq[Float]) =>
+    var mx = 0.0
+    emb.foreach { v => val a = math.abs(v.toDouble); if (a > mx) mx = a }
+    if (mx == 0.0) (0L, 0L, 0L, 0.0)
+    else {
+      var sum = 0L
+      var mn = Long.MaxValue
+      var mq = Long.MinValue
+      emb.foreach { v =>
+        val q = math.floor(v.toDouble * 127.0 / mx).toLong
+        sum += q
+        if (q < mn) mn = q
+        if (q > mq) mq = q
+      }
+      (sum, mn, mq, mx)
+    }
+  }
+  private val c3z = QuerySpec(
+    "c3_quantize",
+    "Int8 embedding quantization summary: per-vector max-abs scale and sum/min/max of floor(v*127/mx) — elementwise IEEE chains and order-independent integer aggregates, bit-replayable by the oracle.",
+    Some("""WITH m AS (SELECT vec_id,  embedding,
+              list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+              FROM embeddings),
+            q AS (SELECT vec_id, mx,
+              list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*127.0/mx) AS BIGINT)) AS qs
+              FROM m WHERE mx > 0)
+            SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS sum_q,
+              CAST(list_min(qs) AS BIGINT) AS min_q,
+              CAST(list_max(qs) AS BIGINT) AS max_q, mx
+            FROM q ORDER BY vec_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"vec_id", quantUdf($"embedding").as("q"))
+        .filter($"q._4" > 0.0)
+        .select($"vec_id", $"q._1".as("sum_q"), $"q._2".as("min_q"),
+          $"q._3".as("max_q"), $"q._4".as("mx"))
+        .orderBy($"vec_id")
+    }
+  )
+
   private val c3a = QuerySpec(
     "c3_ann_lsh",
     "Approximate nearest neighbors: random-hyperplane LSH bucket (plane count adapts to corpus size, ~64 vectors/bucket) + exact cosine re-rank within bucket, top-3. Custom hash ⇒ no oracle; determinism + recall-vs-exact covered by ScalaTest.",
@@ -407,5 +456,5 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a, c3i, c3c)
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a, c3i, c3c, c3z)
 }

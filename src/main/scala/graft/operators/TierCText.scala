@@ -302,5 +302,69 @@ object TierCText {
     (s, d) => crossSourceContamination(s, Tables.documents(s, d), 5, 10000)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r)
+  // --------------------------------------------- canonical-doc exact dedup
+  /** The keep-best variant of C1 a crawl pipeline actually runs: group by
+    * content fingerprint, keep ONE canonical document per group (longest
+    * normalized text, ties to the lowest doc_id), count the rest as
+    * shed duplicates. Same one-shuffle hash-agg shape as c1 — the window
+    * is on the fingerprint key, so partial aggregation still applies to
+    * the group-size count.
+    */
+  private val c1c = QuerySpec(
+    "c1c_dedup_keep_best",
+    "Exact dedup with canonical-document selection: per content fingerprint keep the longest-normalized doc (ties to lowest doc_id), report group size — the keep-best rule of a crawl dedup stage.",
+    Some("""WITH t AS (SELECT doc_id,
+              array_to_string(list_filter(string_split(lower(text), ' '), s -> s <> ''), ' ') AS norm
+              FROM documents),
+            f AS (SELECT doc_id, md5(norm) AS fp_md5, CAST(length(norm) AS BIGINT) AS norm_len FROM t),
+            r AS (SELECT fp_md5, doc_id, norm_len,
+              row_number() OVER (PARTITION BY fp_md5 ORDER BY norm_len DESC, doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY fp_md5) AS group_n
+              FROM f)
+            SELECT fp_md5, doc_id AS kept_doc_id, norm_len, group_n
+            FROM r WHERE rn = 1 ORDER BY fp_md5"""),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
+      val f = Tables.documents(s, d).select($"doc_id",
+        md5(norm).as("fp_md5"), length(norm).cast(LongType).as("norm_len"))
+      val w = Window.partitionBy($"fp_md5").orderBy($"norm_len".desc, $"doc_id")
+      val wc = Window.partitionBy($"fp_md5")
+      f.withColumn("rn", row_number().over(w))
+        .withColumn("group_n", count(lit(1)).over(wc))
+        .filter($"rn" === 1)
+        .select($"fp_md5", $"doc_id".as("kept_doc_id"), $"norm_len", $"group_n")
+        .orderBy($"fp_md5")
+    }
+  )
+
+  // ------------------------------------------------ repeated-sentence stats
+  /** Boilerplate detection at sentence granularity: explode on '. ',
+    * count totals vs distincts per source. Map-side explode + one
+    * hash-agg shuffle on source — the same shape at 100 TB (sentences
+    * fan out ~20× but stay narrow strings).
+    */
+  private val c4s = QuerySpec(
+    "c4_sentdedup",
+    "Per-source repeated-sentence statistics: total vs distinct sentence counts and the max single-sentence multiplicity — the intra-corpus boilerplate signal of a training-data pipeline.",
+    Some("""WITH s AS (SELECT source, unnest(list_filter(
+              string_split(lower(text), '. '), x -> x <> '')) AS sent
+              FROM documents),
+            c AS (SELECT source, sent, COUNT(*) AS n FROM s GROUP BY 1, 2)
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_sentences,
+              COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS max_mult
+            FROM c GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", explode(filter(split(lower($"text"), "\\. "), x => x =!= "")).as("sent"))
+        .groupBy($"source", $"sent").agg(count(lit(1)).as("n"))
+        .groupBy($"source").agg(sum($"n").cast(LongType).as("n_sentences"),
+          count(lit(1)).as("n_distinct"), max($"n").cast(LongType).as("max_mult"))
+        .orderBy($"source")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s)
 }
