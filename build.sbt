@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with cached intermediates needs headroom; the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 70+ declared queries of whole-stage codegen in ONE JVM overflow the
+  // default 240 MiB code cache; flushing then thrashes (silent
+  // deopt/recompile storms — measured 15-20x slowdowns on the
+  // late-alphabet compute-heavy queries, gone when run in isolation)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -527,6 +527,68 @@ object Wkb {
     }
   }
 
+  /** GeoJSON geometry object for a WKB value (any dialect; XY only, like
+    * every reader here) — the write side of `sources.GeoJson.coordsToWkb`:
+    * parsing the emitted `coordinates` back through the builders yields
+    * byte-identical canonical WKB. Number formatting is [[fmtNum]], so
+    * doubles survive the roundtrip bit-for-bit.
+    */
+  def toGeoJson(wkb: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder
+    writeGeoJson(ByteBuffer.wrap(wkb), sb)
+    sb.toString
+  }
+
+  private def writeGeoJson(bb: ByteBuffer, sb: java.lang.StringBuilder): Unit = {
+    val h = header(bb)
+    def coord(): Unit = {
+      sb.append('[').append(fmtNum(bb.getDouble)).append(',').append(fmtNum(bb.getDouble))
+      var d = 2
+      while (d < h.dims) { bb.getDouble; d += 1 }
+      sb.append(']')
+    }
+    def listOf(n: Int)(each: Int => Unit): Unit = {
+      sb.append('[')
+      var i = 0
+      while (i < n) { if (i > 0) sb.append(','); each(i); i += 1 }
+      sb.append(']')
+    }
+    def memberCoords(expectBase: Int, what: String): Unit = {
+      val mh = header(bb)
+      require(mh.base == expectBase, s"geojson: $what member of type ${mh.base}")
+      def mcoord(): Unit = {
+        sb.append('[').append(fmtNum(bb.getDouble)).append(',').append(fmtNum(bb.getDouble))
+        var d = 2
+        while (d < mh.dims) { bb.getDouble; d += 1 }
+        sb.append(']')
+      }
+      expectBase match {
+        case 1 => mcoord()
+        case 2 => listOf(bb.getInt)(_ => mcoord())
+        case 3 => listOf(bb.getInt)(_ => listOf(bb.getInt)(_ => mcoord()))
+        case _ => throw new IllegalArgumentException(s"geojson: bad member base $expectBase")
+      }
+    }
+    def obj(gtype: String)(body: => Unit): Unit = {
+      sb.append("{\"type\":\"").append(gtype).append("\",\"coordinates\":")
+      body
+      sb.append('}')
+    }
+    h.base match {
+      case 1 => obj("Point")(coord())
+      case 2 => obj("LineString")(listOf(bb.getInt)(_ => coord()))
+      case 3 => obj("Polygon")(listOf(bb.getInt)(_ => listOf(bb.getInt)(_ => coord())))
+      case 4 => obj("MultiPoint")(listOf(bb.getInt)(_ => memberCoords(1, "MULTIPOINT")))
+      case 5 => obj("MultiLineString")(listOf(bb.getInt)(_ => memberCoords(2, "MULTILINESTRING")))
+      case 6 => obj("MultiPolygon")(listOf(bb.getInt)(_ => memberCoords(3, "MULTIPOLYGON")))
+      case 7 =>
+        sb.append("{\"type\":\"GeometryCollection\",\"geometries\":")
+        listOf(bb.getInt)(_ => writeGeoJson(bb, sb))
+        sb.append('}')
+      case t => throw new IllegalArgumentException(s"geojson: unsupported geometry type $t")
+    }
+  }
+
   /** WKT text → canonical little-endian XY WKB. Accepts the output of
     * [[toWkt]] plus the usual variations: arbitrary whitespace, unparenthesized
     * MULTIPOINT members, optional `Z`/`M`/`ZM` markers (their extra

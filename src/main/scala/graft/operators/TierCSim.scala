@@ -319,33 +319,65 @@ object TierCSim {
       .orderBy($"h", $"vec_id").limit(sampleSize)
       .select($"vec_id", $"embedding", $"n2")
       .as[(Long, Seq[Float], Double)].collect()
-    def cosD(va: Seq[Float], n2a: Double, vb: Seq[Float], n2b: Double): Double = {
+    // k-center greedy, incremental: maxSim(i) tracks each sample row's
+    // max cosine to the CURRENT seed set and only the newest seed updates
+    // it — O(cells·sample·dim), not O(cells²·sample·dim), so the clamped
+    // 256-cell ceiling stays sub-second on the driver. Selection rule
+    // (minimal max-cosine, ties to lowest vec_id) and every cosine chain
+    // are unchanged, so the chosen seeds are identical to the quadratic
+    // build's.
+    val ids = sample.map(_._1)
+    val vecs = sample.map(_._2.iterator.map(_.toDouble).toArray)
+    val n2s = sample.map(_._3)
+    def cosD(a: Array[Double], n2a: Double, b: Array[Double], n2b: Double): Double = {
       var acc = 0.0
       var i = 0
-      while (i < va.length) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc / (math.sqrt(n2a) * math.sqrt(n2b))
     }
-    var seedRows = Vector(sample.minBy(_._1))
-    while (seedRows.length < cells && seedRows.length < sample.length) {
-      // farthest point: minimal max-cosine to existing seeds, ties to
-      // lowest vec_id — same rule the distributed build used
-      val next = sample
-        .filter(r => !seedRows.exists(_._1 == r._1))
-        .map(r => (r, seedRows.map(sd => cosD(r._2, r._3, sd._2, sd._3)).max))
-        .minBy { case (r, maxSim) => (maxSim, r._1) }._1
-      seedRows = seedRows :+ next
+    val n = sample.length
+    val isSeed = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    var seedIdxs = Vector.empty[Int]
+    def addSeed(j: Int): Unit = {
+      isSeed(j) = true
+      seedIdxs = seedIdxs :+ j
+      var i = 0
+      while (i < n) {
+        if (!isSeed(i)) {
+          val c = cosD(vecs(i), n2s(i), vecs(j), n2s(j))
+          if (c > maxSim(i)) maxSim(i) = c
+        }
+        i += 1
+      }
     }
-    val seeds = seedRows.map(r => (r._2, r._3))
+    addSeed(ids.zipWithIndex.minBy(_._1)._2)
+    while (seedIdxs.length < cells && seedIdxs.length < n) {
+      var best = -1
+      var i = 0
+      while (i < n) {
+        if (!isSeed(i) &&
+            (best < 0 || maxSim(i) < maxSim(best) ||
+              (maxSim(i) == maxSim(best) && ids(i) < ids(best)))) best = i
+        i += 1
+      }
+      addSeed(best)
+    }
+    val seeds = seedIdxs.map(j => (sample(j)._2, n2s(j)))
 
     def cos(seedVec: Seq[Float], seedN2: Double): Column =
       TierC.dot($"embedding", typedlit(seedVec)) / (sqrt($"n2") * math.sqrt(seedN2))
 
-    // cell assignment: argmax cosine to seed, ties to the lowest seed index
+    // cell assignment: argmax cosine to seed, ties to the lowest seed
+    // index. Linear-size expression: each per-seed similarity appears
+    // exactly once inside an array, argmax = first position of the max.
+    // (A fold of when(sim > bestSim)/greatest pairs re-references the
+    // running best per step, DOUBLING the expression tree per seed —
+    // 2^cells nodes; at 16 adaptive cells that was a 124 s
+    // planning/codegen storm, measured.)
     val simCols = seeds.map { case (v, n2) => cos(v, n2) }
-    val cellCol = simCols.zipWithIndex.tail.foldLeft((simCols.head, lit(0))) {
-      case ((bestSim, bestIdx), (sim, idx)) =>
-        (greatest(bestSim, sim), when(sim > bestSim, lit(idx)).otherwise(bestIdx))
-    }._2
+    val cellCol = array_position(array(simCols: _*),
+      array_max(array(simCols: _*))).cast(IntegerType) - 1
     val assigned = e.withColumn("cell", cellCol).persist()
 
     val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"cell", $"n2".as("na2"))

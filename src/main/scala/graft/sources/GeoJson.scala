@@ -206,4 +206,59 @@ object GeoJson {
       docs.select(explode(splitUdf(col("doc"))).as("line")),
       path, layer, idField, eventTsUs)
   }
+
+  // ----------------------------------------------------------- write side
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** One canonical-envelope row → one GeoJSON Feature line. Properties
+    * are emitted key-sorted (map iteration order must not leak into
+    * bytes) with the id field first, so [[readSeq]] on the output
+    * reproduces the same feature_id/props/geometry — the roundtrip
+    * contract GeoJsonSpec pins. Null geometry → `"geometry":null`
+    * (valid GeoJSON for an unlocated feature).
+    */
+  private[sources] def featureLine(fid: String, wkb: Array[Byte],
+      props: Map[String, String], idField: String): String = {
+    val sb = new java.lang.StringBuilder
+    sb.append("{\"type\":\"Feature\",\"geometry\":")
+    if (wkb == null) sb.append("null") else sb.append(Wkb.toGeoJson(wkb))
+    sb.append(",\"properties\":{")
+    sb.append('"').append(jsonEscape(idField)).append("\":\"").append(jsonEscape(fid)).append('"')
+    if (props != null) {
+      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        if (k != idField) {
+          sb.append(",\"").append(jsonEscape(k)).append("\":")
+          if (v == null) sb.append("null")
+          else sb.append('"').append(jsonEscape(v)).append('"')
+        }
+      }
+    }
+    sb.append("}}")
+    sb.toString
+  }
+
+  private def lineUdf(idField: String) = udf {
+    (fid: String, wkb: Array[Byte], props: Map[String, String]) =>
+      featureLine(fid, wkb, props, idField)
+  }
+
+  /** Canonical feature envelope → newline-delimited GeoJSON (GeoJSONSeq),
+    * the splittable interchange form [[readSeq]] consumes — the A-surface
+    * write path. One distributed text write, map-side only; a re-read of
+    * the output with the same layer/idField/eventTs reproduces the
+    * original envelope (geometry bytes included — [[Wkb.toGeoJson]] and
+    * [[coordsToWkb]] are exact inverses on canonical WKB).
+    */
+  def writeSeq(features: DataFrame, path: String, idField: String): Unit =
+    features
+      .select(lineUdf(idField)(col("feature_id"), col("geom_wkb"), col("props")).as("value"))
+      .write.mode("overwrite").text(path)
 }

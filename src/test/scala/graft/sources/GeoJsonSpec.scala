@@ -45,6 +45,46 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(Wkb.geomType(l.getAs[Array[Byte]]("geom_wkb")) == "LINESTRING")
   }
 
+  test("writeSeq → readSeq roundtrips the envelope, geometry bytes included") {
+    val dir = Files.createTempDirectory("geojson_rt").toString
+    val lines = Seq(
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[11.5,48.1]},"properties":{"id":"p1","name":"mu nich","n":"3"}}""",
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]],[[1,1],[2,1],[2,2],[1,1]]]},"properties":{"id":"p2"}}""",
+      """{"type":"Feature","geometry":{"type":"MultiLineString","coordinates":[[[0,0],[1,1]],[[2,2],[3.25,3]]]},"properties":{"id":"p3","q":"a\"b"}}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.jsonl"), lines.mkString("\n"))
+    val orig = GeoJson.readSeq(spark, s"$dir/in.jsonl", "layer1", "id")
+    GeoJson.writeSeq(orig, s"$dir/out", "id")
+    val back = GeoJson.readSeq(spark, s"$dir/out", "layer1", "id")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("feature_id"),
+        r.getAs[Array[Byte]]("geom_wkb").toSeq,
+        r.getAs[Map[String, String]]("props") - "id"))
+      .sortBy(_._1).toSeq
+    assert(snap(back) == snap(orig), "roundtrip changed the envelope")
+  }
+
+  test("Wkb.toGeoJson: exact geometry objects, inverse of coordsToWkb") {
+    assert(Wkb.toGeoJson(Wkb.point(11.5, 48.1)) ==
+      """{"type":"Point","coordinates":[11.5,48.1]}""")
+    assert(Wkb.toGeoJson(Wkb.multi(4, Seq(Wkb.point(1.0, 2.0), Wkb.point(3.0, 4.0)))) ==
+      """{"type":"MultiPoint","coordinates":[[1,2],[3,4]]}""")
+    val poly = Wkb.polygon(Seq(
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)),
+      Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0))))
+    assert(Wkb.toGeoJson(poly) ==
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]],[[1,1],[2,1],[2,2],[1,1]]]}""")
+    // inverse through the reader's coordinate parser, byte-identical
+    for (g <- Seq(Wkb.point(1.25, -2.5), poly,
+        Wkb.lineString(Seq((0.0, 0.0), (1.5, 1.0))),
+        Wkb.multi(6, Seq(poly)),
+        Wkb.multi(5, Seq(Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))))))) {
+      val json = Wkb.toGeoJson(g)
+      val gtype = json.split("\"")(3)
+      val coords = json.substring(json.indexOf("\"coordinates\":") + 14, json.length - 1)
+      assert(java.util.Arrays.equals(GeoJson.coordsToWkb(gtype, coords), g), json)
+    }
+  }
+
   test("readSeq is deterministic: two reads of the same file are identical") {
     val dir = Files.createTempDirectory("geojson_det").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/f.jsonl"),
