@@ -308,6 +308,26 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B13b
+  /** Approximate percentiles, the HLL's quantile sibling. Accuracy 1e5
+    * keeps every sf0.01 group inside the sketch's exact regime, so the
+    * verify-gate output is deterministic across partitionings (a merged
+    * GK summary over MORE rows than `accuracy` is legitimately
+    * merge-order-dependent — that mode is bench-only at sf0.1).
+    */
+  private val b13b = QuerySpec(
+    "b13b_approx_quantile",
+    "Approximate p50/p95 of extended price per return flag via percentile_approx (no oracle: approx ⇒ not hash-matchable; rank-error bound asserted in ScalaTest).",
+    None,
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)),
+          lit(100000)).as("approx_p"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
   // ----------------------------------------------------------------- B14
   private val b14 = QuerySpec(
     "b14_agg_rollup",
@@ -871,7 +891,7 @@ object TierB {
   )
 
   val specs: Seq[QuerySpec] = Seq(
-    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b14b, b14c,
+    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b13b, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36)
 }

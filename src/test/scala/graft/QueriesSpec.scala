@@ -63,6 +63,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("b13b approx quantiles sit within 1% rank error of the exact percentile") {
+    import spark.implicits._
+    val approx = Registry.queries("b13b_approx_quantile")(spark, sf)
+      .select($"l_returnflag", $"approx_p".cast("array<double>"))
+      .as[(String, Seq[Double])].collect().toMap
+    val groups = sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice".cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((flag, xs) <- groups; (p, i) <- Seq(0.5, 0.95).zipWithIndex) {
+      val got = approx(flag)(i)
+      val lo = xs(math.max(0, (xs.length * (p - 0.01)).toInt))
+      val hi = xs(math.min(xs.length - 1, (xs.length * (p + 0.01)).toInt))
+      assert(got >= lo && got <= hi, s"flag=$flag p=$p got=$got not in [$lo,$hi]")
+    }
+  }
+
   test("c2 near-dup pipeline finds planted near-duplicates, not unrelated docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"word$i").mkString(" ")
