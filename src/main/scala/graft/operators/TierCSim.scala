@@ -125,8 +125,13 @@ object TierCSim {
     val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
     val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
       $"sz".as("sb"), $"gram".as("gram_r"))
+    // length filter (PPJoin-style): J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t
+    // (J ≤ min/max of the set sizes), so size-mismatched pairs are pruned
+    // at the join — before the per-pair shared-gram aggregation — without
+    // changing any surviving pair's Jaccard
     left.join(right,
-        $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" < $"id_b")
+        $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" < $"id_b" &&
+        $"sa" >= lit(threshold) * $"sb" && $"sb" >= lit(threshold) * $"sa")
       .groupBy($"id_a", $"id_b", $"sa", $"sb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
