@@ -366,5 +366,50 @@ object TierCText {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s)
+  // -------------------------------------------- leakage-safe hash split
+  /** Deterministic train/val/test assignment by CONTENT-FINGERPRINT
+    * group, not by document: exact duplicates share a fingerprint, so
+    * they can never straddle the train/eval boundary (the classic
+    * dedup-leakage bug). The split key is the fingerprint's first hex
+    * character — 12/2/2 of 16 ⇒ 75%/12.5%/12.5% expected — which both
+    * engines compute identically from md5, no numeric parsing needed.
+    * Map-side assignment + one agg shuffle; the same expression assigns
+    * identically on any cluster size or replay.
+    */
+  private val c1d = QuerySpec(
+    "c1d_hash_split",
+    "Leakage-safe train/val/test split: md5-fingerprint groups assigned by first hex char (75/12.5/12.5 expected), so exact duplicates never straddle splits; per-split doc/group/token totals.",
+    Some("""WITH t AS (SELECT doc_id,
+              array_to_string(list_filter(string_split(lower(text), ' '), s -> s <> ''), ' ') AS norm
+              FROM documents),
+            f AS (SELECT doc_id, md5(norm) AS fp,
+              CAST(len(list_filter(string_split(norm, ' '), s -> s <> '')) AS BIGINT) AS toks
+              FROM t),
+            a AS (SELECT doc_id, fp, toks,
+              CASE WHEN substr(fp, 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                   WHEN substr(fp, 1, 1) IN ('c', 'd') THEN 'val'
+                   ELSE 'test' END AS split
+              FROM f)
+            SELECT split, COUNT(*) AS n_docs,
+              COUNT(DISTINCT fp) AS n_groups,
+              CAST(SUM(toks) AS BIGINT) AS n_tokens
+            FROM a GROUP BY split ORDER BY split"""),
+    (s, d) => {
+      import s.implicits._
+      val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
+      val f = Tables.documents(s, d).select($"doc_id", md5(norm).as("fp"),
+        size(filter(split(norm, " "), t => t =!= "")).cast(LongType).as("toks"))
+      val c1 = substring($"fp", 1, 1)
+      f.withColumn("split",
+          when(c1.between("0", "b"), "train")
+            .when(c1.isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_groups"),
+          sum($"toks").cast(LongType).as("n_tokens"))
+        .orderBy($"split")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d)
 }
