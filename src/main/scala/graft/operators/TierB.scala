@@ -328,6 +328,34 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B13c
+  /** Count-Min Sketch heavy-hitter estimates (custom typed Aggregator —
+    * functions/CountMin.scala). One pass, fixed state, merge is
+    * elementwise addition: partial aggregation applies and the result is
+    * bit-deterministic on any partitioning — no oracle only because the
+    * sketch is custom, not because the output varies; ScalaTest pins the
+    * CMS guarantee (never underestimates, bounded overestimate).
+    */
+  private val cmsUdaf = udaf(new graft.functions.CountMin.CmsAggregator(4, 1024))
+  private val cmsEstUdf = udf { (depth: Int, width: Int, counters: Seq[Long], key: Long) =>
+    graft.functions.CountMin.Sketch(depth, width, counters.toArray).estimate(key)
+  }
+  private val b13c = QuerySpec(
+    "b13c_countmin",
+    "Count-Min Sketch frequency estimates for supplier keys 1-20 over lineitem (4x1024 fixed-seed sketch; deterministic merge). Custom sketch ⇒ no oracle; CMS bounds asserted in ScalaTest.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      val sk = Tables.lineitem(s, d).select($"l_suppkey".cast(LongType).as("k"))
+        .agg(cmsUdaf($"k").as("sk"))
+      val probes = s.range(1, 21).toDF("suppkey")
+      sk.crossJoin(probes)
+        .select($"suppkey",
+          cmsEstUdf($"sk.depth", $"sk.width", $"sk.counters", $"suppkey").as("est"))
+        .orderBy($"suppkey")
+    }
+  )
+
   // ----------------------------------------------------------------- B14
   private val b14 = QuerySpec(
     "b14_agg_rollup",
@@ -891,7 +919,7 @@ object TierB {
   )
 
   val specs: Seq[QuerySpec] = Seq(
-    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b13b, b14, b14b, b14c,
+    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36)
 }

@@ -80,6 +80,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("b13c count-min never underestimates; total overestimate bounded") {
+    import spark.implicits._
+    val est = Registry.queries("b13c_countmin")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val exact = sources.Tables.lineitem(spark, sf)
+      .select($"l_suppkey".cast("long").as("k")).filter($"k".between(1, 20))
+      .groupBy($"k").count().as[(Long, Long)].collect().toMap
+    val n = sources.Tables.lineitem(spark, sf).count()
+    var totalOver = 0L
+    for (k <- 1L to 20L) {
+      val ex = exact.getOrElse(k, 0L)
+      assert(est(k) >= ex, s"CMS underestimated key $k: ${est(k)} < $ex")
+      totalOver += est(k) - ex
+    }
+    assert(totalOver <= math.max(40L, n / 20),
+      s"CMS overestimate $totalOver too large for n=$n")
+    // determinism: the sketch is a commutative merge of fixed hashes
+    val again = Registry.queries("b13c_countmin")(spark, sf).as[(Long, Long)].collect().toMap
+    assert(again == est)
+  }
+
   test("c2 near-dup pipeline finds planted near-duplicates, not unrelated docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"word$i").mkString(" ")
