@@ -305,10 +305,14 @@ object TierCText {
   // --------------------------------------------- canonical-doc exact dedup
   /** The keep-best variant of C1 a crawl pipeline actually runs: group by
     * content fingerprint, keep ONE canonical document per group (longest
-    * normalized text, ties to the lowest doc_id), count the rest as
-    * shed duplicates. Same one-shuffle hash-agg shape as c1 — the window
-    * is on the fingerprint key, so partial aggregation still applies to
-    * the group-size count.
+    * normalized text, ties to the lowest doc_id), count the rest as shed
+    * duplicates. Shape: ONE hash aggregate — `max_by` over the unique
+    * ordering key (norm_len, -doc_id) partial-aggregates map-side, so no
+    * window, no per-group sort, no full-group materialization (the
+    * window formulation stacked a count window over the rank window,
+    * which also blocked the WindowGroupLimit rewrite — audited). The
+    * unique ordering key is what makes max_by deterministic: ties in
+    * norm_len break on -doc_id, never on encounter order.
     */
   private val c1c = QuerySpec(
     "c1c_dedup_keep_best",
@@ -325,16 +329,16 @@ object TierCText {
             FROM r WHERE rn = 1 ORDER BY fp_md5"""),
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
       val f = Tables.documents(s, d).select($"doc_id",
         md5(norm).as("fp_md5"), length(norm).cast(LongType).as("norm_len"))
-      val w = Window.partitionBy($"fp_md5").orderBy($"norm_len".desc, $"doc_id")
-      val wc = Window.partitionBy($"fp_md5")
-      f.withColumn("rn", row_number().over(w))
-        .withColumn("group_n", count(lit(1)).over(wc))
-        .filter($"rn" === 1)
-        .select($"fp_md5", $"doc_id".as("kept_doc_id"), $"norm_len", $"group_n")
+      f.groupBy($"fp_md5")
+        .agg(
+          max_by(struct($"doc_id", $"norm_len"),
+            struct($"norm_len", (-$"doc_id").as("neg_id"))).as("best"),
+          count(lit(1)).as("group_n"))
+        .select($"fp_md5", $"best.doc_id".as("kept_doc_id"),
+          $"best.norm_len".as("norm_len"), $"group_n")
         .orderBy($"fp_md5")
     }
   )

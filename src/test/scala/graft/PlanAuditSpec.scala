@@ -60,6 +60,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("c1c keep-best: single partial-aggregated max_by, no window, no per-group sort") {
+    val p = plan("c1c_dedup_keep_best")
+    assert(!p.contains("Window"), "keep-best regressed to a window formulation:\n" + p)
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      ("Aggregate".r.findAllIn(p).length >= 2 && p.contains("max_by")),
+      "max_by is not partial-aggregating before the shuffle:\n" + p)
+  }
+
+  test("nearest-polygon join: equi-join on the cell key plus WindowGroupLimit argmin") {
+    val p = plan("a11j_nearest_poly")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), "per-point argmin not group-limited:\n" + p)
+  }
+
+  test("b13c count-min: sketch aggregation is partial before its single-row shuffle") {
+    val p = plan("b13c_countmin")
+    // typed Aggregator → ObjectHashAggregate, partial + final pair
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("c3_knn: native dot expression stays inside whole-stage codegen") {
     // AQE's pre-execution toString hides codegen stage markers; disable it
     // for the audit so `*(n)` spans are printed
