@@ -57,6 +57,31 @@ object FeaturePipeline {
     features.withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("layer", "feature_id", "event_ts")
 
+  private val minhashSigUdf = udf { (text: String) =>
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    graft.functions.MinHash.signature(graft.functions.MinHash.shingles(toks)).mkString(",")
+  }
+
+  /** Streaming near-dedup (the in-flight stage of C2): drops any document
+    * whose MinHash signature over NORMALIZED word shingles (lowercase,
+    * whitespace-collapsed) was already seen inside the watermark — so
+    * case/whitespace/formatting variants of a crawled page are shed on
+    * arrival, before they cost storage or downstream compute. Signature
+    * equality is the strictest LSH band (all 32 hashes), i.e. a
+    * high-similarity near-dup gate; batch-mode banded LSH
+    * (`TierC`/`TierCSim`) remains the wide-net offline pass. State is the
+    * watermark-bounded signature set — same keyed-state scale posture as
+    * [[withEffectivelyOnce]].
+    *
+    * @param docs streaming frame with `text` and `event_ts` columns
+    */
+  def nearDedupStream(docs: DataFrame, watermark: String): DataFrame =
+    docs
+      .withColumn("minhash_sig", minhashSigUdf(col("text")))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("minhash_sig")
+      .drop("minhash_sig")
+
   /** A8: evolve the sink column set from the props seen in this batch —
     * the reference's "add missing columns on demand" PostGIS behavior —
     * and promote each new column to the narrowest type ALL of its

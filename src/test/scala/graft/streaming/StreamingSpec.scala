@@ -245,6 +245,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C2 streaming: near-dedup drops formatting variants in-flight, keeps distinct docs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String, Long)]
+    val ms = MemoryStream[(Long, String, Long)]
+    val docs = ms.toDF().toDF("doc_id", "text", "ts_us")
+      .select($"doc_id", $"text", timestamp_micros($"ts_us").as("event_ts"))
+    val out = FeaturePipeline.nearDedupStream(docs, "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardedup_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      val base = (1 to 40).map(i => s"token$i").mkString(" ")
+      ms.addData((1L, base, 1000000L))
+      q.processAllAvailable()
+      // same content, different case/whitespace → same normalized shingles
+      ms.addData((2L, "  " + base.toUpperCase.replace(" ", "   "), 2000000L))
+      // genuinely different document → kept
+      ms.addData((3L, (1 to 40).map(i => s"other$i").mkString(" "), 3000000L))
+      q.processAllAvailable()
+      val kept = spark.table("neardedup_sink").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"expected variant doc 2 dropped, got $kept")
+    } finally q.stop()
+  }
+
   test("B31: late data beyond the watermark is dropped from windowed counts") {
     val (ms, transport) = newStream()
     val hour = 3600L * 1000000L
