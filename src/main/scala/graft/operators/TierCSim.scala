@@ -168,6 +168,84 @@ object TierCSim {
     (s, d) => ngramJaccardPairs(s, Tables.documents(s, d), NgramThreshold, NgramDfCap)
   )
 
+  // ------------------------------------- near-dup cluster assignment (CC)
+  /** Hash-min connected components over an undirected edge list — the
+    * step AFTER pair mining in a dedup pipeline: pairs → clusters → one
+    * kept representative per cluster. Each round every node takes the min
+    * label among itself and its neighbors; converges in O(graph diameter)
+    * rounds, and near-dup clusters are shallow (diameter ≤ cluster size,
+    * typically ≤ 5), so the driver loop runs a handful of shuffle joins —
+    * the standard large-scale CC shape (the large-star/small-star
+    * refinement drops the round count further at extreme diameters; not
+    * needed for dedup graphs). min() is commutative/associative, so the
+    * result is partition-invariant and replay-deterministic.
+    *
+    * @param nodes (id)        every node, edges or not (singletons keep
+    *                          their own id as cluster)
+    * @param edges (src, dst)  undirected pairs, each listed once
+    * @return (id, cluster) — cluster = min node id reachable
+    */
+  def connectedComponents(s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    import s.implicits._
+    val und = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().persist()
+    var labels = nodes.select($"id", $"id".as("cluster"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy(und("src").as("nid")).agg(min($"cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
+        .persist()
+      next.count() // materialize before comparing / unpersisting the old
+      changed = next.join(labels.select($"id", $"cluster".as("old")), "id")
+        .filter($"cluster" =!= $"old").count()
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  private val ClusterThreshold = 0.3
+  private val c2c = QuerySpec(
+    "c2_cluster",
+    "Near-dup cluster assignment: hash-min connected components over the word-bigram Jaccard >= 0.3 pair graph; every document labeled with the min doc_id of its cluster (singletons label themselves). Oracle replays reachability with a recursive CTE.",
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $ClusterThreshold),
+            e AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+            n AS (SELECT DISTINCT doc_id AS id FROM documents),
+            reach AS (SELECT id, id AS root FROM n
+              UNION
+              SELECT e.d, reach.root FROM reach JOIN e ON e.s = reach.id)
+            SELECT id AS doc_id, MIN(root) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = ngramJaccardPairs(s, docs, ClusterThreshold, NgramDfCap)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+      val nodes = docs.select($"doc_id".as("id"))
+      connectedComponents(s, nodes, pairs)
+        .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------------- embedding-cosine near-dup
   private def dotChain(l: String, r: String): String =
     (1 to 64).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
@@ -493,5 +571,5 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2e, c3a, c3i, c3c, c3z)
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3c, c3z)
 }

@@ -106,6 +106,25 @@ class SimSpec extends AnyFunSuite {
       s"near-dup pair must survive the composed pipeline, got $pairs")
   }
 
+  test("connectedComponents: chains, singletons, multi-cluster, partition-invariant") {
+    import spark.implicits._
+    // two clusters (a chain 1-2-3-4 and a pair 10-11) plus singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = TierCSim.connectedComponents(spark, nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), got.toString)
+    // partition-invariance: different shuffle width, same labels
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val again = TierCSim.connectedComponents(spark, nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == got)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("annTopK: deterministic, k-bounded, neighbors stay within bucket") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)
