@@ -87,13 +87,23 @@ object Bench {
     val RerunThreshold = 2.0
     val pass2 = declared.collect {
       case (name, fn) if pass1.toMap.apply(name) > RerunThreshold =>
-        val again = timed(name, fn)
-        System.err.println(s"[bench] rerun $name: ${pass1.toMap.apply(name)} -> $again")
-        name -> again
+        val t1 = pass1.toMap.apply(name)
+        val t2 = timed(name, fn)
+        System.err.println(s"[bench] rerun $name: $t1 -> $t2")
+        // both passes slow AND wildly apart ⇒ at least one was stalled;
+        // one more attempt (bounded at 3 total) usually lands clean
+        val t3 =
+          if (t2 >= 0 && math.min(t1, t2) > RerunThreshold &&
+              math.max(t1, t2) / math.min(t1, t2) > 2.0) {
+            val t = timed(name, fn)
+            System.err.println(s"[bench] rerun2 $name: -> $t")
+            t
+          } else -1.0
+        name -> Seq(t2, t3).filter(_ >= 0).foldLeft(Double.MaxValue)(math.min)
     }.toMap
     val results = pass1.map { case (name, t1) =>
       pass2.get(name) match {
-        case Some(t2) if t2 >= 0 && (t1 < 0 || t2 < t1) => name -> t2
+        case Some(tBest) if tBest < Double.MaxValue && (t1 < 0 || tBest < t1) => name -> tBest
         case _ => name -> t1
       }
     }
