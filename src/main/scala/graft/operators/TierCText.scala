@@ -415,5 +415,72 @@ object TierCText {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d)
+  // --------------------------------------------------- vocabulary top-k
+  /** Corpus vocabulary head: top 100 tokens by document frequency (ties
+    * to lexicographic token). Explode → two hash aggs (distinct per doc,
+    * then df) → TakeOrdered top-k: partial aggregation and per-partition
+    * top-k both apply, so the full vocabulary never sits on one node —
+    * the shape that builds a tokenizer vocab at 100 TB.
+    */
+  private val c4v = QuerySpec(
+    "c4_vocab",
+    "Vocabulary head: top-100 tokens by document frequency (ties lexicographic) with total occurrence counts — the df/tf table a tokenizer build starts from.",
+    Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(
+              string_split(lower(text), ' '), t -> t <> '')) AS token
+              FROM documents),
+            per AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+            SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+            FROM per GROUP BY token
+            ORDER BY df DESC, token LIMIT 100"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(filter(split(lower($"text"), " "), t => t =!= "")).as("token"))
+        .groupBy($"token", $"doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy($"token").agg(count(lit(1)).as("df"), sum($"tf").cast(LongType).as("total_tf"))
+        .orderBy($"df".desc, $"token")
+        .limit(100)
+    }
+  )
+
+  // ------------------------------------------------ length-outlier filter
+  /** Per-source length outliers by z-score over EXACT integer sums: both
+    * engines compute mean and variance from the same integer
+    * (sum, sum-of-squares, n) triple with the identical double chain, so
+    * even the boolean comparison is bit-replayable — no slack needed
+    * (the a11g chain-replay pattern applied to statistics).
+    */
+  private val c4o = QuerySpec(
+    "c4_outlier",
+    "Per-source document-length outliers: |z| > 2 on char length, computed from exact integer sums with an identical IEEE chain in both engines.",
+    Some("""WITH l AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len
+              FROM documents),
+            st AS (SELECT source, CAST(SUM(len) AS BIGINT) AS s1,
+              CAST(SUM(len*len) AS BIGINT) AS s2, COUNT(*) AS n
+              FROM l GROUP BY source)
+            SELECT l.doc_id, l.source, l.len,
+              (CAST(l.len AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS z,
+              abs((CAST(l.len AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) > 2 AS is_outlier
+            FROM l JOIN st ON l.source = st.source
+            ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.documents(s, d)
+        .select($"doc_id", $"source", length($"text").cast(LongType).as("len"))
+      val st = l.groupBy($"source").agg(
+        sum($"len").cast(LongType).as("s1"),
+        sum($"len" * $"len").cast(LongType).as("s2"),
+        count(lit(1)).as("n"))
+      val z = ($"len".cast(DoubleType) - $"s1".cast(DoubleType) / $"n".cast(DoubleType)) /
+        sqrt(($"s2".cast(DoubleType) - $"s1".cast(DoubleType) * $"s1".cast(DoubleType) / $"n".cast(DoubleType)) /
+          ($"n" - 1).cast(DoubleType))
+      l.join(broadcast(st), "source")
+        .select($"doc_id", $"source", $"len", z.as("z"), (abs(z) > 2).as("is_outlier"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o)
 }
