@@ -482,5 +482,65 @@ object TierCText {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o)
+  // --------------------------------------- end-to-end prep pipeline demo
+  /** The composed "prepare training data" flow a reference user actually
+    * runs, as ONE declared query: quality gate → exact dedup keep-best →
+    * leakage-safe split → per-split token budget. Every stage reuses an
+    * individually-oracled formula, so the composition stays bit-exact:
+    * the quality boolean compares identical IEEE chains, dedup uses the
+    * unique-key max_by, the split is pure string comparison. Shape:
+    * map-side scoring, one agg shuffle for dedup, one for the rollup.
+    */
+  private val c4p = QuerySpec(
+    "c4_pipeline",
+    "End-to-end prep pipeline: quality >= 0.35 gate, fingerprint keep-best dedup, hash split, per-split doc/token totals — the composed flow whose stages are each oracle-checked alone.",
+    Some(s"""WITH t AS (SELECT doc_id, text,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            q AS (SELECT doc_id, toks, array_to_string(toks, ' ') AS norm,
+              0.5 * (CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE) / len(toks))
+                + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality
+              FROM t WHERE len(toks) > 0),
+            f AS (SELECT doc_id, md5(norm) AS fp,
+              CAST(len(toks) AS BIGINT) AS ntok,
+              CAST(length(norm) AS BIGINT) AS norm_len
+              FROM q WHERE quality >= 0.35),
+            k AS (SELECT fp, doc_id, ntok,
+              row_number() OVER (PARTITION BY fp ORDER BY norm_len DESC, doc_id) AS rn
+              FROM f)
+            SELECT CASE WHEN substr(fp, 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                        WHEN substr(fp, 1, 1) IN ('c', 'd') THEN 'val'
+                        ELSE 'test' END AS split,
+              COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+            FROM k WHERE rn = 1 GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import s.implicits._
+      val stops = TextStats.Stopwords
+      val withToks = Tables.documents(s, d)
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") > 0)
+      val stopRatio =
+        size(filter($"toks", t => t.isInCollection(stops))).cast(DoubleType) / size($"toks")
+      val scored = withToks.select($"doc_id", $"toks",
+        array_join($"toks", " ").as("norm"),
+        (lit(0.5) * stopRatio +
+          lit(0.5) * least(size($"toks").cast(DoubleType) / 100.0, lit(1.0))).as("quality"))
+      val kept = scored.filter($"quality" >= 0.35)
+        .select($"doc_id", md5($"norm").as("fp"),
+          size($"toks").cast(LongType).as("ntok"),
+          length($"norm").cast(LongType).as("norm_len"))
+        .groupBy($"fp")
+        .agg(max_by($"ntok", struct($"norm_len", (-$"doc_id").as("neg_id"))).as("ntok"))
+      val c1 = substring($"fp", 1, 1)
+      kept.withColumn("split",
+          when(c1.between("0", "b"), "train")
+            .when(c1.isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntok").cast(LongType).as("n_tokens"))
+        .orderBy($"split")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p)
 }
