@@ -333,5 +333,35 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i)
+  // ---------------------------------------------------------------- A11k
+  /** ST_Extent analogue: the layer-level envelope union a tile server or
+    * spatial catalog keeps per layer. One decode UDF per row map-side,
+    * then plain min/max aggregates — partial aggregation applies, so the
+    * envelope of a 100 TB layer is one short shuffle of 4 doubles per
+    * partition. Exact min/max of exact doubles ⇒ bit-replayable oracle.
+    */
+  private val a11k = QuerySpec(
+    "a11k_extent",
+    "Per-group geometry extent (ST_Extent): envelope union of the per-event diamonds grouped by event_id%8, via decode-then-min/max partial aggregation; oracle replays the envelope arithmetic.",
+    Some("""SELECT event_id % 8 AS grp,
+            MIN(2*CAST(user_id AS DOUBLE) - 60.13) AS xmin,
+            MIN(2*CAST(user_id AS DOUBLE) - 60.13) AS ymin,
+            MAX(2*CAST(user_id AS DOUBLE) + 60.13) AS xmax,
+            MAX(2*CAST(user_id AS DOUBLE) + 60.13) AS ymax,
+            COUNT(*) AS n
+            FROM events GROUP BY 1 ORDER BY grp"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(($"event_id" % 8).as("grp"),
+          bboxUdf(diamondUdf(lit(2.0) * $"user_id".cast(DoubleType), lit(60.13), lit(-1.0))).as("bb"))
+        .groupBy($"grp")
+        .agg(min($"bb.xmin").as("xmin"), min($"bb.ymin").as("ymin"),
+          max($"bb.xmax").as("xmax"), max($"bb.ymax").as("ymax"),
+          count(lit(1)).as("n"))
+        .orderBy($"grp")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k)
 }
