@@ -411,6 +411,95 @@ object Wkb {
     best
   }
 
+  /** Planar length of a LINESTRING / MULTILINESTRING: segment norms
+    * `sqrt(dx*dx + dy*dy)` accumulated left-to-right in vertex order — an
+    * oracle replaying the same chain gets the bit-identical double (the
+    * area/pointDistance replay pattern).
+    */
+  def length(wkb: Array[Byte]): Double = {
+    val bb = ByteBuffer.wrap(wkb)
+    var total = 0.0
+    def line(): Unit = {
+      val h2 = header(bb)
+      require(h2.base == 2, s"wkb: length expects LINESTRING member, got ${h2.base}")
+      lineBody(h2.dims)
+    }
+    def lineBody(dims: Int): Unit = {
+      val n = bb.getInt
+      var x1 = 0.0; var y1 = 0.0
+      var i = 0
+      while (i < n) {
+        val x2 = bb.getDouble; val y2 = bb.getDouble
+        var d = 2
+        while (d < dims) { bb.getDouble; d += 1 }
+        if (i > 0) {
+          val dx = x2 - x1
+          val dy = y2 - y1
+          total += math.sqrt(dx * dx + dy * dy)
+        }
+        x1 = x2; y1 = y2
+        i += 1
+      }
+    }
+    val h = header(bb)
+    h.base match {
+      case 2 => lineBody(h.dims)
+      case 5 =>
+        val n = bb.getInt
+        var i = 0
+        while (i < n) { line(); i += 1 }
+      case t => throw new IllegalArgumentException(
+        s"wkb: length expects LINESTRING or MULTILINESTRING, got type $t")
+    }
+    total
+  }
+
+  /** Douglas-Peucker polyline simplification of a LINESTRING: vertices
+    * farther than `epsilon` (perpendicular distance) from the current
+    * chord are kept recursively; endpoints always survive. Deterministic
+    * (pure function of the vertex list), the standard pre-step before
+    * serving vector tiles at a coarser zoom — at scale it runs map-side,
+    * one document per row, no shuffle.
+    */
+  def simplify(wkb: Array[Byte], epsilon: Double): Array[Byte] = {
+    val bb = ByteBuffer.wrap(wkb)
+    val h = header(bb)
+    require(h.base == 2, s"wkb: simplify expects LINESTRING, got type ${h.base}")
+    val n = bb.getInt
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = bb.getDouble; ys(i) = bb.getDouble
+      var d = 2
+      while (d < h.dims) { bb.getDouble; d += 1 }
+      i += 1
+    }
+    if (n < 3) return lineString(xs.zip(ys).toSeq)
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    def perpDist(px: Double, py: Double, ax: Double, ay: Double, bx: Double, by: Double): Double = {
+      val dx = bx - ax; val dy = by - ay
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (len == 0) math.sqrt((px - ax) * (px - ax) + (py - ay) * (py - ay))
+      else math.abs(dx * (ay - py) - dy * (ax - px)) / len
+    }
+    def rec(lo: Int, hi: Int): Unit =
+      if (hi > lo + 1) {
+        var best = -1
+        var bestD = epsilon
+        var j = lo + 1
+        while (j < hi) {
+          val dd = perpDist(xs(j), ys(j), xs(lo), ys(lo), xs(hi), ys(hi))
+          if (dd > bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        if (best >= 0) { keep(best) = true; rec(lo, best); rec(best, hi) }
+      }
+    rec(0, n - 1)
+    lineString((0 until n).filter(keep).map(j => (xs(j), ys(j))))
+  }
+
   // ------------------------------------------------------------------ WKT
   /** Integral coordinates print without a decimal point; fractional ones
     * use the JVM's shortest-roundtrip repr, so `fromWkt(toWkt(g))`

@@ -363,5 +363,34 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k)
+  // ---------------------------------------------------------------- A11l
+  /** The per-segment norms accumulate left-to-right, and every coordinate
+    * the oracle uses is re-derived with the SAME floating ops the builder
+    * used (`(v+3.19)-v`, not the constant 3.19 — the sum v+3.19 rounds,
+    * so the difference is not exactly 3.19), making the whole chain
+    * bit-replayable.
+    */
+  private val lineLenUdf: UserDefinedFunction = udf { (v: Double, u: Double) =>
+    Wkb.length(Wkb.lineString(Seq(
+      (v, u), (v + 3.19, u + 1.07), (v + 3.19, u + 1.07 + 2.33))))
+  }
+  private val a11l = QuerySpec(
+    "a11l_line_length",
+    "Planar polyline length over a per-event 3-vertex linestring: left-associated segment-norm chain, bit-replayed by the oracle.",
+    Some("""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+              value AS v, CAST(user_id AS DOUBLE) AS u FROM events)
+            SELECT feature_id,
+              sqrt(((v+3.19)-v)*((v+3.19)-v) + ((u+1.07)-u)*((u+1.07)-u))
+              + sqrt(0.0*0.0 + (((u+1.07)+2.33)-(u+1.07))*(((u+1.07)+2.33)-(u+1.07))) AS line_len
+            FROM t ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          lineLenUdf($"value", $"user_id".cast(DoubleType)).as("line_len"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l)
 }

@@ -216,6 +216,32 @@ class WkbSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Wkb.fromWkt("POLYGON ((1 2"))
   }
 
+  test("length: 3-4-5 segments, multilinestring sum, degenerate cases") {
+    assert(Wkb.length(Wkb.lineString(Seq((0.0, 0.0), (3.0, 4.0)))) == 5.0)
+    assert(Wkb.length(Wkb.lineString(Seq((0.0, 0.0), (3.0, 4.0), (3.0, 14.0)))) == 15.0)
+    assert(Wkb.length(Wkb.multi(5, Seq(
+      Wkb.lineString(Seq((0.0, 0.0), (3.0, 4.0))),
+      Wkb.lineString(Seq((10.0, 0.0), (10.0, 2.0)))))) == 7.0)
+    assert(Wkb.length(Wkb.lineString(Seq((1.0, 1.0)))) == 0.0)
+    assert(Wkb.length(Wkb.lineString(Nil)) == 0.0)
+    intercept[IllegalArgumentException](Wkb.length(Wkb.point(0.0, 0.0)))
+  }
+
+  test("simplify: collinear vertices dropped, genuine corners kept, endpoints survive") {
+    val line = Wkb.lineString(Seq(
+      (0.0, 0.0), (1.0, 0.001), (2.0, -0.001), (3.0, 0.0), // ~collinear run
+      (3.0, 5.0), (6.0, 5.0)))                              // real corners
+    val simp = Wkb.simplify(line, 0.01)
+    assert(Wkb.toWkt(simp) == "LINESTRING (0 0, 3 0, 3 5, 6 5)")
+    // epsilon below the wiggle keeps everything
+    assert(java.util.Arrays.equals(Wkb.simplify(line, 0.0001), line))
+    // 2-point lines pass through untouched
+    val seg = Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0)))
+    assert(java.util.Arrays.equals(Wkb.simplify(seg, 10.0), seg))
+    // simplification never lengthens the line
+    assert(Wkb.length(simp) <= Wkb.length(line))
+  }
+
   test("toWkt: reads non-canonical dialects (big-endian, EWKB SRID+Z)") {
     // big-endian plain point
     val be = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -414,4 +440,26 @@ object WkbProps extends Properties("Wkb") {
       val gc = Wkb.multi(7, gs)
       java.util.Arrays.equals(Wkb.fromWkt(Wkb.toWkt(gc)), gc)
     }
+
+  property("fromWkt on arbitrary text: parses or throws IAE, never anything else") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      try { Wkb.fromWkt(s); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+
+  property("simplify keeps endpoints and never lengthens") = Prop.forAll(
+    Gen.nonEmptyListOf(Gen.zip(coord, coord)), Gen.chooseNum(0.01, 50.0)) { (pts, eps) =>
+    val line = Wkb.lineString(pts)
+    val simp = Wkb.simplify(line, eps)
+    // at huge epsilon only the endpoints survive (shorter lines pass through)
+    val huge = Wkb.simplify(line, 1e12)
+    val expectHuge =
+      if (pts.length < 3) Wkb.lineString(pts)
+      else Wkb.lineString(Seq(pts.head, pts.last))
+    java.util.Arrays.equals(huge, expectHuge) &&
+      Wkb.length(simp) <= Wkb.length(line) + 1e-9
+  }
 }
