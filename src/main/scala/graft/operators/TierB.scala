@@ -214,6 +214,37 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B9b
+  /** Tolerance-bounded as-of: same one-shuffle range-window rewrite as
+    * b9, but the frame is `RANGE BETWEEN 300 PRECEDING AND CURRENT ROW`
+    * over epoch seconds — a stale click older than the tolerance no
+    * longer matches (the reference semantics of every asof-with-tolerance
+    * API). Epoch-second longs cross engines losslessly.
+    */
+  private val b9b = QuerySpec(
+    "b9b_asof_tolerance",
+    "As-of join with tolerance: latest click within 300s at-or-before each purchase per user — bounded RANGE window over epoch seconds, one shuffle, no global sort.",
+    Some("""SELECT p.event_id, p.user_id,
+            CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS ts_s,
+            (SELECT MAX(CAST(epoch(date_trunc('second', c.ts)) AS BIGINT)) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND epoch(date_trunc('second', c.ts)) <= epoch(date_trunc('second', p.ts))
+               AND epoch(date_trunc('second', c.ts)) >= epoch(date_trunc('second', p.ts)) - 300) AS last_click_s
+            FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"""),
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_s").rangeBetween(-300, 0)
+      e.withColumn("last_click_s", max(when($"event_type" === "click", $"ts_s")).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_s", $"last_click_s")
+        .orderBy($"event_id")
+    }
+  )
+
   // ----------------------------------------------------------------- B10
   private val b10 = QuerySpec(
     "b10_cross",
@@ -919,7 +950,7 @@ object TierB {
   )
 
   val specs: Seq[QuerySpec] = Seq(
-    b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
+    b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36)
 }
