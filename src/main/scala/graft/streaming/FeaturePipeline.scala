@@ -206,10 +206,21 @@ object FeaturePipeline {
       .orderBy(col("event_ts").desc, col("fmt_version").desc, col("source").desc)
     val latest = merged
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    swapPartitions(latest, storeDir)
+  }
+
+  /** Swap a set of per-layer frames into the store by directory rename —
+    * the shared tail of [[upsertBatch]], [[compactLayer]] and
+    * [[expireOlderThan]]: write fresh, then replace each touched
+    * `layer=` dir atomically-per-partition (never read-while-overwrite).
+    */
+  private def swapPartitions(df: DataFrame, storeDir: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new Path(storeDir)
     val tmp = new Path(storeDir + "_swap")
-    latest.write.mode("overwrite").partitionBy("layer").parquet(tmp.toString)
+    df.write.mode("overwrite").partitionBy("layer").parquet(tmp.toString)
     if (!fs.exists(store)) fs.mkdirs(store)
-    // move by directory name so partition-value escaping is preserved
     fs.listStatus(tmp).filter(_.getPath.getName.startsWith("layer="))
       .foreach { st =>
         val dest = new Path(store, st.getPath.getName)
@@ -217,6 +228,61 @@ object FeaturePipeline {
         fs.rename(st.getPath, dest)
       }
     fs.delete(tmp, true)
+  }
+
+  /** Small-file compaction for one layer of the store: micro-batch
+    * upserts leave one file set per touched batch, and a long-running
+    * stream accumulates thousands of small files per partition — the
+    * classic streaming-sink operational task. Rewrites JUST the given
+    * layer into `targetFiles` files (rows unchanged), leaving every other
+    * partition's bytes untouched, so cost is bounded by one partition's
+    * size no matter how large the store grows.
+    */
+  def compactLayer(spark: SparkSession, storeDir: String, layer: String,
+      targetFiles: Int = 1): Unit = {
+    val one = spark.read.option("mergeSchema", "true").parquet(storeDir)
+      .withColumn("layer", col("layer").cast(StringType))
+      .filter(col("layer") === layer)
+      .repartition(targetFiles)
+    swapPartitions(one, storeDir)
+  }
+
+  /** Retention: drop features with `event_ts` at-or-before the cutoff.
+    * Only partitions that actually hold expired rows are rewritten (the
+    * others' files are never opened past footer pruning), so steady-state
+    * cost follows the expiring data volume, not the store size.
+    */
+  def expireOlderThan(spark: SparkSession, storeDir: String,
+      cutoff: java.sql.Timestamp): Unit = {
+    val all = spark.read.option("mergeSchema", "true").parquet(storeDir)
+      .withColumn("layer", col("layer").cast(StringType))
+    // bounded: distinct layers containing expired rows, not rows
+    val touched = all.filter(col("event_ts") <= lit(cutoff))
+      .select("layer").distinct().collect().map(r => Option(r.getString(0)))
+    if (touched.isEmpty) return
+    val layers = touched.flatten.toSeq
+    val hasNull = touched.contains(None)
+    val cond = (
+      (if (layers.nonEmpty) Seq(col("layer").isInCollection(layers)) else Nil) ++
+      (if (hasNull) Seq(col("layer").isNull) else Nil)
+    ).reduce(_ || _)
+    val survivors = all.filter(cond && col("event_ts") > lit(cutoff))
+    // computed BEFORE the swap: survivors is lazy over the store's current
+    // files, which the swap replaces — an action afterwards would re-scan
+    // deleted paths
+    val alive = survivors.select("layer").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    swapPartitions(survivors, storeDir)
+    // a fully-expired layer writes no replacement dir — delete it explicitly
+    // (same escaping the writer uses, so weird layer values still match)
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touched.toSet -- alive).foreach { gone =>
+      val dirName = "layer=" + gone.map(
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      val dest = new Path(storeDir, dirName)
+      if (fs.exists(dest)) fs.delete(dest, true)
+    }
   }
 
   /** The full A4→A12 consume pipeline as one streaming query. Each

@@ -127,6 +127,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(n1.length == 1 && n1(0).getAs[Long]("prop_k") == 9L)
   }
 
+  test("A9 ops: compactLayer merges one layer's files, other layers byte-untouched") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val store = tmpDir("store") + "/compact"
+    def batch(layer: String, fid: String, tsUs: Long) =
+      Seq((layer, fid, Map("k" -> fid))).toDF("layer", "feature_id", "props")
+        .select($"layer", $"feature_id", $"props",
+          timestamp_micros(lit(tsUs)).as("event_ts"),
+          lit("s").as("source"), lit(1).as("fmt_version"))
+    // three separate upserts leave roads with several files
+    FeaturePipeline.upsertBatch(batch("roads", "r1", 1000000L), store)
+    FeaturePipeline.upsertBatch(batch("roads", "r2", 2000000L), store)
+    FeaturePipeline.upsertBatch(batch("rivers", "w1", 1000000L), store)
+    def files(layer: String) =
+      JFiles.walk(Paths.get(store, s"layer=$layer")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).toSeq
+    def riversBytes() = files("rivers").map(p =>
+      java.util.Arrays.hashCode(JFiles.readAllBytes(p))).sorted
+    val before = readStore(store).collect().map(_.toString).sorted.toSeq
+    val rb = riversBytes()
+    FeaturePipeline.compactLayer(spark, store, "roads", targetFiles = 1)
+    assert(files("roads").length == 1, s"expected 1 compacted file, got ${files("roads")}")
+    assert(readStore(store).collect().map(_.toString).sorted.toSeq == before,
+      "compaction changed rows")
+    assert(riversBytes() == rb, "compaction rewrote an untouched layer")
+  }
+
+  test("A9 ops: expireOlderThan drops old rows, removes empty layers, skips untouched ones") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val store = tmpDir("store") + "/retention"
+    def batch(layer: String, fid: String, tsUs: Long) =
+      Seq((layer, fid, Map("k" -> fid))).toDF("layer", "feature_id", "props")
+        .select($"layer", $"feature_id", $"props",
+          timestamp_micros(lit(tsUs)).as("event_ts"),
+          lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch("roads", "r_old", 1000000L), store)
+    FeaturePipeline.upsertBatch(batch("roads", "r_new", 9000000L), store)
+    FeaturePipeline.upsertBatch(batch("rivers", "w_old", 1000000L), store) // fully expires
+    FeaturePipeline.upsertBatch(batch("parks", "p_new", 9000000L), store)  // untouched
+    def snapshot(layer: String) =
+      JFiles.walk(Paths.get(store, s"layer=$layer")).iterator().asScala
+        .filter(JFiles.isRegularFile(_))
+        .map(p => p.toString -> JFiles.getLastModifiedTime(p).toMillis).toMap
+    val parksBefore = snapshot("parks")
+    FeaturePipeline.expireOlderThan(spark, store, new java.sql.Timestamp(2000L))
+    val rows = readStore(store).collect()
+    assert(rows.map(_.getAs[String]("feature_id")).toSet == Set("r_new", "p_new"),
+      rows.mkString(","))
+    assert(!JFiles.exists(Paths.get(store, "layer=rivers")),
+      "fully-expired layer's directory not removed")
+    assert(snapshot("parks") == parksBefore, "retention rewrote an untouched layer")
+    // idempotent: nothing left to expire, second call is a no-op
+    FeaturePipeline.expireOlderThan(spark, store, new java.sql.Timestamp(2000L))
+    assert(readStore(store).count() == 2)
+  }
+
   test("A9: layer values needing partition-escaping survive the store swap") {
     import spark.implicits._
     val store = tmpDir("store") + "/esc"
