@@ -542,5 +542,65 @@ object TierCText {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p)
+  // ------------------------------------------ Bloom incremental dedup (c1e)
+  /** New-vs-store dedup with a Bloom pre-filter (functions/Bloom.scala).
+    *
+    * Semantics: rows of `incoming` whose `fp` does not occur in `store` —
+    * i.e. exactly `incoming ANTI-JOIN store ON fp`. The Bloom filter only
+    * *reroutes* work: definite rejects skip the join entirely; the exact
+    * verification join runs only on Bloom-positive survivors. Because Bloom
+    * has no false negatives, the union of both paths is bit-identical to the
+    * plain anti-join — which keeps the declared query oracle-checkable.
+    *
+    * Scale posture: the filter is sized from the store's exact count
+    * (16 bits/key, k=11 ⇒ FPR ≈ 0.05% — corpus-adaptive like the ANN
+    * fanouts, deterministic in N), built by one map-side-combined aggregate,
+    * and reaches probes via a broadcast single-row cross join. At 100 TB the
+    * survivors (true dups + ~0.05% FP) are small enough to broadcast back
+    * against a fingerprint-bucketed store, so the verification join never
+    * shuffles the store.
+    */
+  def bloomIncrement(store: DataFrame, incoming: DataFrame, fpCol: String): DataFrame = {
+    import store.sparkSession.implicits._
+    val n = store.count()
+    val mBits = math.max(1024L, ((16L * math.max(n, 1L) + 63) / 64) * 64).toInt
+    val k = 11
+    val bits = store.agg(graft.functions.Bloom.bloomAgg(mBits, k)(col(fpCol)).as("__bits"))
+    val probed = incoming
+      .crossJoin(broadcast(bits)) // single-row filter, broadcast once
+      .withColumn("__maybe",
+        graft.functions.Bloom.bloomContains(mBits, k)($"__bits", col(fpCol)))
+      .drop("__bits")
+    val rejected = probed.filter(!$"__maybe").drop("__maybe")
+    val survivors = probed.filter($"__maybe").drop("__maybe")
+      .join(store.select(col(fpCol)), Seq(fpCol), "left_anti")
+    rejected.unionByName(survivors)
+  }
+
+  private val c1e = QuerySpec(
+    "c1e_bloom_dedup",
+    "Incremental dedup against an existing store (source src0) via a corpus-sized Bloom pre-filter + exact verification join; output is exactly the fingerprint anti-join, so it oracles.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              md5(array_to_string(list_filter(string_split(lower(text), ' '), s -> s <> ''), ' ')) AS fp
+              FROM documents)
+            SELECT i.doc_id, i.source, i.fp
+            FROM t i
+            WHERE i.source <> 'src0'
+              AND NOT EXISTS (SELECT 1 FROM t s WHERE s.source = 'src0' AND s.fp = i.fp)
+            ORDER BY i.doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
+      val f = Tables.documents(s, d)
+        .select($"doc_id", $"source", md5(norm).as("fp"))
+      val store = f.filter($"source" === "src0").select($"fp")
+      val incoming = f.filter($"source" =!= "src0")
+      bloomIncrement(store, incoming, "fp")
+        .select($"doc_id", $"source", $"fp")
+        .orderBy($"doc_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] =
+    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e)
 }
