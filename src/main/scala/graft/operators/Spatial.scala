@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -240,5 +240,63 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j)
+  // ---------------------------------------------------------------- A11m
+  /** 32-bit Morton (Z-order) key from two 16-bit grid coordinates, as pure
+    * Column integer arithmetic (stays inside whole-stage codegen — no UDF).
+    *
+    * Scale role: THE layout key for 100 TB of features. Range-partitioning
+    * and sorting the store by `morton` makes spatially close features land
+    * in the same parquet files, so a bbox query becomes min/max file-skip
+    * pruning instead of a full scan; an aligned 2^k×2^k tile is one
+    * contiguous morton range (prefix property, pinned by SpatialSpec).
+    * Also the drop-in replacement for the PBSM grid hash when the join key
+    * should *sort* spatially, not just hash.
+    */
+  def mortonCol(qx: Column, qy: Column): Column = {
+    // magic-number bit spreading: 16 bits -> even bit positions of 32
+    def spread16(v0: Column): Column = {
+      val m1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+      m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread16(qx).bitwiseOR(shiftleft(spread16(qy), 1))
+  }
+
+  private val a11m = QuerySpec(
+    "a11m_morton",
+    "Z-order (Morton) spatial layout key: 16-bit quantized event coordinates bit-interleaved to a 32-bit sortable key plus its level-8 tile prefix — the range-partitioning key that turns bbox queries into parquet min/max file skips; oracle replays the identical integer bit-spreading chain.",
+    Some("""WITH q AS (SELECT event_id,
+              CAST(floor(value) AS BIGINT) % 65536 AS qx,
+              user_id % 65536 AS qy
+              FROM events),
+            s1 AS (SELECT event_id, qx, qy,
+              ((qx | (qx << 8)) & 16711935) AS sx,
+              ((qy | (qy << 8)) & 16711935) AS sy FROM q),
+            s2 AS (SELECT event_id, qx, qy,
+              ((sx | (sx << 4)) & 252645135) AS sx,
+              ((sy | (sy << 4)) & 252645135) AS sy FROM s1),
+            s3 AS (SELECT event_id, qx, qy,
+              ((sx | (sx << 2)) & 858993459) AS sx,
+              ((sy | (sy << 2)) & 858993459) AS sy FROM s2),
+            s4 AS (SELECT event_id, qx, qy,
+              ((sx | (sx << 1)) & 1431655765) AS sx,
+              ((sy | (sy << 1)) & 1431655765) AS sy FROM s3)
+            SELECT event_id, qx, qy,
+              (sx | (sy << 1)) AS morton,
+              ((sx | (sy << 1)) >> 16) AS tile
+            FROM s4 ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      val qx = (floor($"value").cast(LongType) % 65536L).as("qx")
+      val qy = ($"user_id" % 65536L).as("qy")
+      Tables.events(s, d)
+        .select($"event_id", qx, qy)
+        .withColumn("morton", mortonCol($"qx", $"qy"))
+        .withColumn("tile", shiftright($"morton", 16))
+        .orderBy($"event_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m)
 }

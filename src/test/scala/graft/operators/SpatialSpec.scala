@@ -146,4 +146,34 @@ class SpatialSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(got == Set(("in_ring", 7)), got)
   }
+
+  /** Bit-by-bit reference interleave for the Morton column. */
+  private def mortonRef(qx: Long, qy: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((qx >> i) & 1L) << (2 * i)) | (((qy >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("mortonCol matches the bit-by-bit reference interleave") {
+    import spark.implicits._
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (255L, 256L), (43690L, 21845L))
+    val got = cases.toDF("qx", "qy")
+      .select(Spatial.mortonCol($"qx", $"qy")).as[Long].collect()
+    assert(got.sameElements(cases.map { case (x, y) => mortonRef(x, y) }))
+  }
+
+  test("morton prefix property: an aligned 256x256 tile is one contiguous key range") {
+    import spark.implicits._
+    // all points of the tile [256,511]x[512,767] share the same level-8
+    // tile prefix, and their keys fill exactly [prefix<<16, (prefix+1)<<16)
+    val pts = for { x <- 256L to 511L by 51; y <- 512L to 767L by 51 } yield (x, y)
+    val keys = pts.toDF("qx", "qy")
+      .select(Spatial.mortonCol($"qx", $"qy")).as[Long].collect()
+    val prefix = mortonRef(256L >> 8, 512L >> 8)
+    assert(keys.forall(k => (k >> 16) == prefix), "shared tile prefix")
+    // a point outside the tile never lands in the range
+    val out = Seq((255L, 512L), (256L, 768L), (0L, 0L)).toDF("qx", "qy")
+      .select(Spatial.mortonCol($"qx", $"qy")).as[Long].collect()
+    assert(out.forall(k => (k >> 16) != prefix))
+  }
 }
