@@ -601,6 +601,78 @@ object TierCText {
     }
   )
 
+  // ----------------------------------------------------- chunking (c4_chunk)
+  /** Fixed-size overlapping character windows (size 200, stride 150) — the
+    * context-window chunking step before embedding/training. Map-side:
+    * `sequence` + `explode` + `substr` are all codegen'd builtins, no
+    * shuffle except the presentation sort; at 100 TB this is scan → explode
+    * → write with output size bounded by ~len/stride per doc.
+    */
+  private val c4h = QuerySpec(
+    "c4_chunk",
+    "Overlapping char-window chunking (size 200, stride 150): one row per (doc, chunk) with the chunk text and its length; chunk starts replayed via generate_series in the oracle.",
+    Some("""WITH c AS (
+              SELECT doc_id, g.i AS chunk_idx,
+                substr(text, CAST(g.i*150+1 AS BIGINT), 200) AS chunk
+              FROM documents, LATERAL (SELECT unnest(generate_series(0,
+                CAST(greatest(length(text)-1, 0)//150 AS BIGINT))) AS i) g)
+            SELECT doc_id, chunk_idx, chunk,
+              CAST(length(chunk) AS BIGINT) AS chunk_len
+            FROM c ORDER BY doc_id, chunk_idx"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"text",
+          sequence(lit(0L), expr("CAST(greatest(length(text)-1, 0) div 150 AS BIGINT)"))
+            .as("starts"))
+        .select($"doc_id", explode($"starts").as("chunk_idx"), $"text")
+        .select($"doc_id", $"chunk_idx",
+          $"text".substr(($"chunk_idx" * 150 + 1).cast(IntegerType), lit(200)).as("chunk"))
+        .withColumn("chunk_len", length($"chunk").cast(LongType))
+        .orderBy($"doc_id", $"chunk_idx")
+    }
+  )
+
+  // ------------------------------------------- context-window packing (c4_bins)
+  /** FIFO token packing into 256-token context windows, independently per
+    * source. A bin closes once its running token total reaches the budget:
+    * bin = floor(exclusive-prefix-sum / budget) over doc_id order. Packing
+    * is inherently sequential, so the scale shape is per-partition
+    * sequentiality — the window partitions by `source` (at 100 TB: by
+    * source × shard), never a single global ordering.
+    */
+  private val c4b = QuerySpec(
+    "c4_bins",
+    "Per-source FIFO context-window packing at a 256-token budget: bin id from the exclusive prefix sum of token counts, per-bin doc/token totals and doc-id span.",
+    Some("""WITH t AS (SELECT source, doc_id,
+              CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS BIGINT) AS ntok
+              FROM documents),
+            w AS (SELECT source, doc_id, ntok,
+              SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS prefix
+              FROM t)
+            SELECT source, prefix // 256 AS bin, COUNT(*) AS n_docs,
+              CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM w GROUP BY source, bin ORDER BY source, bin"""),
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select($"source", $"doc_id", size(toksCol).cast(LongType).as("ntok"))
+        .withColumn("prefix", sum($"ntok").over(w) - $"ntok")
+        .withColumn("bin", expr("prefix div 256"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntok").cast(LongType).as("n_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"bin")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e)
+    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
+      c4h, c4b)
 }
