@@ -298,5 +298,31 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m)
+  // ---------------------------------------------------------------- A11n
+  /** No oracle by design: the hull vertex chain is not SQL-replayable
+    * (monotone-chain stack discipline); HullSpec pins planted shapes,
+    * degenerate cases, and partition invariance; the driver's rows-only
+    * check still pins cardinality. Coordinates are quantized to the 0.01
+    * grid as exact integers, so every cross product and the doubled
+    * shoelace area are exact Longs — bit-identical on any partitioning.
+    */
+  private val a11n = QuerySpec(
+    "a11n_hull",
+    "Per-event-type convex hull (mergeable monotone-chain aggregate, state = hull not group): vertex count and exact integer doubled area over 0.01-grid quantized event coordinates.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          array(round($"value" * 100).cast(LongType),
+            ($"user_id" * 100L).cast(LongType)).as("xy"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_points"), graft.functions.Hull.hullAgg($"xy").as("h"))
+        .select($"event_type", $"n_points", $"h.n_hull".as("n_hull"),
+          $"h.area2".as("area2"))
+        .orderBy($"event_type")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n)
 }
