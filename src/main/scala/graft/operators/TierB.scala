@@ -949,8 +949,120 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B37
+  /** Time-series gap-fill (the Timescale `time_bucket_gapfill` shape): a
+    * per-group dense hourly grid from group min..max, left join of the real
+    * aggregates, zeros for empty buckets plus last-observation-carried-
+    * forward of the bucket count. Scale shape: grid generation is one
+    * sequence/explode per GROUP (no driver loop), the join and the LOCF
+    * window both partition on event_type — one shuffle key end to end.
+    * Money stays exact: floor(value*100) cents, never a double→DECIMAL cast.
+    */
+  private val b37 = QuerySpec(
+    "b37_gapfill",
+    "Hourly gap-fill per event_type with zero-fill and LOCF of the bucket count; dense grid via sequence/explode, same-key join + window.",
+    Some("""WITH b AS (SELECT event_type, date_trunc('hour', min(ts)) AS t0,
+              date_trunc('hour', max(ts)) AS t1 FROM events GROUP BY 1),
+            g AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM b),
+            a AS (SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt,
+              CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2)
+            SELECT g.event_type, g.bucket,
+              COALESCE(a.cnt, 0) AS cnt, COALESCE(a.cents, 0) AS cents,
+              last_value(a.cnt IGNORE NULLS) OVER (PARTITION BY g.event_type
+                ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cnt
+            FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket
+            ORDER BY g.event_type, g.bucket"""),
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type",
+        date_trunc("hour", $"ts").as("bucket"),
+        floor($"value" * 100).cast(LongType).as("cents"))
+      val agg = ev.groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("cnt_raw"), sum($"cents").as("cents_raw"))
+      val grid = ev.groupBy($"event_type")
+        .agg(min($"bucket").as("t0"), max($"bucket").as("t1"))
+        .select($"event_type",
+          explode(sequence($"t0", $"t1", expr("interval 1 hour"))).as("bucket"))
+      val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "bucket"), "left")
+        .select($"event_type", $"bucket",
+          coalesce($"cnt_raw", lit(0L)).as("cnt"),
+          coalesce($"cents_raw", lit(0L)).as("cents"),
+          last($"cnt_raw", ignoreNulls = true).over(w).as("locf_cnt"))
+        .orderBy($"event_type", $"bucket")
+    }
+  )
+
+  // ----------------------------------------------------------------- B38
+  /** Ordered funnel (view → click → purchase) per user: each stage's
+    * timestamp is the min event time strictly after the previous stage.
+    * Both windows partition on user_id, so Catalyst reuses one exchange;
+    * at 100 TB this is a single hash-partition by user + two local window
+    * passes — no self-joins, no row explosion.
+    */
+  private val b38 = QuerySpec(
+    "b38_funnel",
+    "Conversion funnel: users with a view, a click strictly after their first view, and a purchase strictly after that click — one row of stage counts.",
+    Some("""WITH v AS (SELECT user_id, min(CASE WHEN event_type='view' THEN ts END) AS v_ts
+              FROM events GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+            SELECT (SELECT COUNT(v_ts) FROM v) AS n_view,
+                   (SELECT COUNT(*) FROM c) AS n_click_after_view,
+                   (SELECT COUNT(*) FROM p) AS n_purchase_after_click"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("v_ts", min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("c_ts",
+          min(when($"event_type" === "click" && $"ts" > $"v_ts", $"ts")).over(w))
+        .withColumn("p_ts",
+          min(when($"event_type" === "purchase" && $"ts" > $"c_ts", $"ts")).over(w))
+        .agg(
+          countDistinct(when($"v_ts".isNotNull, $"user_id")).as("n_view"),
+          countDistinct(when($"c_ts".isNotNull, $"user_id")).as("n_click_after_view"),
+          countDistinct(when($"p_ts".isNotNull, $"user_id")).as("n_purchase_after_click"))
+    }
+  )
+
+  // ----------------------------------------------------------------- B39
+  /** Cohort retention: users bucketed by first-seen day, activity counted
+    * at day offsets from that cohort day. Day arithmetic stays in integer
+    * datediff; DuckDB's date_trunc('day') returns DATE, so the oracle
+    * casts it back to TIMESTAMP to match Spark's type.
+    */
+  private val b39 = QuerySpec(
+    "b39_cohort",
+    "Cohort retention matrix: first-seen-day cohorts x day offset -> distinct active users.",
+    Some("""WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+              FROM events GROUP BY 1)
+            SELECT f.cohort,
+              date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset,
+              COUNT(DISTINCT e.user_id) AS active_users
+            FROM events e JOIN f ON e.user_id = f.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"ts")
+      val f = ev.groupBy($"user_id").agg(date_trunc("day", min($"ts")).as("cohort"))
+      ev.join(f, Seq("user_id"))
+        .groupBy($"cohort",
+          datediff(date_trunc("day", $"ts"), $"cohort").cast(LongType).as("day_offset"))
+        .agg(countDistinct($"user_id").as("active_users"))
+        .orderBy($"cohort", $"day_offset")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36)
+    b27, b28, b29, b30, b34, b35, b36, b37, b38, b39)
 }

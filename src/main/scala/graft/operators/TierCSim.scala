@@ -192,19 +192,24 @@ object TierCSim {
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist()
     var labels = nodes.select($"id", $"id".as("cluster"))
+    var prevCached: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbrMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(und("src").as("nid")).agg(min($"cluster").as("nbr_min"))
+      // carry the old label inside the frame: ONE action both materializes
+      // the round and measures convergence (a separate changed-join would
+      // double the per-round job count — measured ~2s/round at sf0.1)
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id"),
-          least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
+          least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"),
+          labels("cluster").as("old"))
         .persist()
-      next.count() // materialize before comparing / unpersisting the old
-      changed = next.join(labels.select($"id", $"cluster".as("old")), "id")
-        .filter($"cluster" =!= $"old").count()
-      labels = next
+      changed = next.filter($"cluster" =!= $"old").count()
+      if (prevCached != null) prevCached.unpersist() // superseded round
+      prevCached = next
+      labels = next.select($"id", $"cluster")
       iter += 1
     }
     und.unpersist()
