@@ -949,6 +949,43 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B8b
+  /** Scalable interval join — the 1D analogue of the PBSM spatial joins
+    * (Spatial.scala): B8 proves non-equi semantics on a broadcast-tiny
+    * side; this is the shape for two LARGE sides with bounded interval
+    * length. Points hash to one width-20 bucket; each interval replicates
+    * to the few buckets its span covers; candidates meet in a shuffled
+    * EQUI-join on the bucket key and an exact BETWEEN refine — never a
+    * BNLJ. Exactly-once emission because a point owns one bucket.
+    */
+  private val b8b = QuerySpec(
+    "b8b_interval_join",
+    "Bucketed interval join: events.value against 25 nation-derived ranges [20k-5.03, 20k+5.03] via width-20 bucket equi-join + exact BETWEEN refine; oracle is the plain range-predicate join.",
+    Some("""SELECT e.event_id, n.n_nationkey AS range_id
+            FROM events e JOIN nation n
+              ON e.value BETWEEN 20*CAST(n.n_nationkey AS DOUBLE) - 5.03
+                             AND 20*CAST(n.n_nationkey AS DOUBLE) + 5.03
+            ORDER BY e.event_id, range_id"""),
+    (s, d) => {
+      import s.implicits._
+      val W = 20.0
+      val pts = Tables.events(s, d)
+        .select($"event_id", $"value",
+          floor($"value" / W).cast(LongType).as("bucket"))
+      val ranges = Tables.nation(s, d)
+        .select($"n_nationkey".as("range_id"),
+          (lit(20.0) * $"n_nationkey".cast(DoubleType) - 5.03).as("lo"),
+          (lit(20.0) * $"n_nationkey".cast(DoubleType) + 5.03).as("hi"))
+        .withColumn("bucket",
+          explode(sequence(floor($"lo" / W).cast(LongType),
+            floor($"hi" / W).cast(LongType))))
+      pts.join(ranges, Seq("bucket"))
+        .filter($"value".between($"lo", $"hi"))
+        .select($"event_id", $"range_id")
+        .orderBy($"event_id", $"range_id")
+    }
+  )
+
   // ----------------------------------------------------------------- B37
   /** Time-series gap-fill (the Timescale `time_bucket_gapfill` shape): a
     * per-group dense hourly grid from group min..max, left join of the real
@@ -1064,5 +1101,5 @@ object TierB {
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b37, b38, b39)
+    b27, b28, b29, b30, b34, b35, b36, b8b, b37, b38, b39)
 }

@@ -672,7 +672,85 @@ object TierCText {
     }
   )
 
+  // --------------------------------------- weighted sampling (c1f)
+  /** Deterministic importance sampling: keep a row with probability equal
+    * to its weight, with NO RNG — the first 8 md5 hex chars are a uniform
+    * 32-bit draw, kept iff below the weight's hex cutoff
+    * (`printf("%08x", floor(w·2^32))`). Map-side, partition-invariant,
+    * replayable on any engine with md5 — the same discipline as
+    * `c1b_sample_hash` but with a per-row rate; the shape a quality-
+    * weighted corpus resample uses at 100 TB.
+    */
+  private val c1f = QuerySpec(
+    "c1f_weighted_sample",
+    "Deterministic weighted sampling: keep probability = min(ntok/100, 1) via md5-prefix < hex(floor(w*2^32)); per-source kept/total and kept-token stats.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS BIGINT) AS ntok,
+              substr(md5(text), 1, 8) AS draw
+              FROM documents),
+            w AS (SELECT *, least(CAST(ntok AS DOUBLE) / 100.0, 1.0) AS wt FROM t)
+            SELECT source, COUNT(*) AS n_total,
+              COUNT(CASE WHEN draw < printf('%08x', CAST(floor(wt*4294967296.0) AS BIGINT)) THEN 1 END) AS n_kept,
+              CAST(SUM(CASE WHEN draw < printf('%08x', CAST(floor(wt*4294967296.0) AS BIGINT)) THEN ntok END) AS BIGINT) AS kept_tokens
+            FROM w GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val ntok = size(toksCol).cast(LongType)
+      val wt = least(ntok.cast(DoubleType) / 100.0, lit(1.0))
+      val cutoff = format_string("%08x", floor(wt * 4294967296.0).cast(LongType))
+      val kept = substring(md5($"text"), 1, 8) < cutoff
+      Tables.documents(s, d)
+        .select($"source", ntok.as("ntok"), kept.as("kept"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when($"kept", 1)).as("n_kept"),
+          sum(when($"kept", $"ntok")).cast(LongType).as("kept_tokens"))
+        .orderBy($"source")
+    }
+  )
+
+  // ------------------------------------------------- PII masking (c4_pii)
+  /** PII redaction pass (emails then URLs). The synthetic corpus carries no
+    * real PII, so the query plants a deterministic contact line per doc and
+    * masks it — the regexes and replacement machinery are what's under
+    * test. Patterns stay in the Java∩RE2 common subset (no lookaround, no
+    * backrefs) so Spark and DuckDB replay identically. Map-side codegen'd
+    * regexp_replace; at 100 TB this is scan → regex → write.
+    */
+  private val EmailRe = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+  private val UrlRe = """https?://[^ ]+"""
+  private val c4z = QuerySpec(
+    "c4_pii",
+    "PII masking: plant a per-doc contact line (email + URL), redact with sequential regexp_replace passes, count masked spans; patterns in the Java-and-RE2 common subset.",
+    Some(s"""WITH r AS (SELECT doc_id,
+              'doc ' || doc_id || ' by user' || doc_id || '@' || source || '.com said ' ||
+              substr(text, 1, 40) || ' more at https://' || source || '.example.org/d/' ||
+              doc_id || '?ref=x' AS raw
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+                '$UrlRe', '<URL>', 'g') AS masked,
+              CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(raw, '$UrlRe')) AS BIGINT) AS n_url
+            FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val raw = concat(lit("doc "), $"doc_id", lit(" by user"), $"doc_id", lit("@"),
+        $"source", lit(".com said "), substring($"text", 1, 40),
+        lit(" more at https://"), $"source", lit(".example.org/d/"), $"doc_id",
+        lit("?ref=x"))
+      Tables.documents(s, d)
+        .select($"doc_id", raw.as("raw"))
+        .select($"doc_id",
+          regexp_replace(regexp_replace($"raw", EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+            .as("masked"),
+          size(regexp_extract_all($"raw", lit(EmailRe), lit(0))).cast(LongType).as("n_email"),
+          size(regexp_extract_all($"raw", lit(UrlRe), lit(0))).cast(LongType).as("n_url"))
+        .orderBy($"doc_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b)
+      c4h, c4b, c1f, c4z)
 }
