@@ -96,6 +96,35 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", orig)
   }
 
+  test("b8b interval join: bucket equi-join, never nested-loop or cartesian") {
+    val p = plan("b8b_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join degraded to a per-pair scan:\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("a11m morton: pure projection — no shuffle except the presentation sort") {
+    val p = plan("a11m_morton")
+    // exactly one Exchange (the final orderBy's range partitioning)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p)
+  }
+
+  test("c1e bloom dedup: filter broadcast once, verification join never full-cross") {
+    val p = plan("c1e_bloom_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b37 gapfill: grid, join, and LOCF window share the event_type shuffle key") {
+    val exec = Registry.queries("b37_gapfill")(spark, sf).queryExecution.executedPlan
+    // adjacent same-key operators must not re-exchange: the plan has at
+    // most 3 shuffles (two agg sides + final sort) even though it contains
+    // grid-gen + join + window + sort
+    val shuffles = exec.toString.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, s"$shuffles hash exchanges:\n" + exec)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
