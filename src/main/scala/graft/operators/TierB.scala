@@ -986,6 +986,51 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B17b
+  /** Rolling 24 h anomaly score — the time-RANGE frame B17's row frames
+    * don't cover. The frame orders by exact epoch microseconds (Spark's
+    * DataFrame rangeBetween needs a numeric order key; µs keeps full
+    * precision so both engines see identical peer sets), accumulates
+    * exact integer sums (cents, cents², count), and derives mean/z as one
+    * fixed IEEE chain from those integers — the c4_outlier discipline on
+    * a sliding window. One shuffle (event_type), window + sort reuse it.
+    */
+  private val b17b = QuerySpec(
+    "b17b_rolling_z",
+    "Rolling 24h z-score per event_type over a RANGE frame keyed on epoch microseconds; exact integer window sums, z derived in a replayed IEEE chain.",
+    Some("""WITH t AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+              CAST(floor(value*100) AS BIGINT) AS cents FROM events),
+            w AS (SELECT event_id, event_type, cents,
+              SUM(cents) OVER win AS s1,
+              SUM(cents*cents) OVER win AS s2,
+              COUNT(*) OVER win AS n
+              FROM t WINDOW win AS (PARTITION BY event_type ORDER BY ts_us
+                RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+            SELECT event_id, event_type, cents, s1, s2, n,
+              (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+                / sqrt(greatest(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)),
+                    1.0)) AS z
+            FROM w ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts_us")
+        .rangeBetween(-86400000000L, 0L)
+      val mean = $"s1".cast(DoubleType) / $"n".cast(DoubleType)
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"),
+          floor($"value" * 100).cast(LongType).as("cents"))
+        .withColumn("s1", sum($"cents").over(w))
+        .withColumn("s2", sum($"cents" * $"cents").over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .select($"event_id", $"event_type", $"cents", $"s1", $"s2", $"n",
+          (($"cents".cast(DoubleType) - mean) /
+            sqrt(greatest($"s2".cast(DoubleType) / $"n".cast(DoubleType) - mean * mean,
+              lit(1.0)))).as("z"))
+        .orderBy($"event_id")
+    }
+  )
+
   // ----------------------------------------------------------------- B37
   /** Time-series gap-fill (the Timescale `time_bucket_gapfill` shape): a
     * per-group dense hourly grid from group min..max, left join of the real
@@ -1101,5 +1146,5 @@ object TierB {
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b8b, b37, b38, b39)
+    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39)
 }
