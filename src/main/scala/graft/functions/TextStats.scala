@@ -111,4 +111,20 @@ object TextStats {
     }
     out
   }
+
+  /** Deflate(level 6) byte length of the UTF-8 text — the compression-
+    * ratio quality signal. A fresh Deflater per call with fixed level and
+    * default strategy is the fixed zlib algorithm: bit-deterministic
+    * across JVMs, rows, and partitionings.
+    */
+  def deflateLen(text: String): Long = {
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput(text.getBytes("UTF-8"))
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
 }

@@ -750,7 +750,35 @@ object TierCText {
     }
   )
 
+  // ------------------------------------- compression quality (c4_compress)
+  /** Deflate-ratio quality signal (the Gopher/RefinedWeb repetitiveness
+    * heuristic): highly repetitive or templated text compresses far below
+    * natural prose, so compressed/raw length is a cheap one-pass quality
+    * feature. No oracle by design — DuckDB has no deflate — but the ratio
+    * is bit-deterministic: java.util.zip.Deflater at a fixed level with a
+    * fresh instance per row is the fixed zlib algorithm, identical on
+    * every JVM/partitioning (TextStatsSpec pins values and invariance).
+    * Map-side scalar UDF; at 100 TB this is scan → deflate → write.
+    */
+  private val deflateLenUdf = udf { (text: String) =>
+    if (text == null) 0L else TextStats.deflateLen(text)
+  }
+  private val c4x = QuerySpec(
+    "c4_compress",
+    "Compression-ratio quality signal: per-doc deflate(level 6) length and compressed/raw ratio in 1e-6 units — repetitive text scores low; deterministic zlib, ScalaTest-pinned.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", length($"text").cast(LongType).as("raw_len"),
+          deflateLenUdf($"text").as("deflate_len"))
+        .withColumn("ratio_ppm",
+          floor($"deflate_len".cast(DoubleType) / $"raw_len" * 1e6).cast(LongType))
+        .orderBy($"doc_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b, c1f, c4z)
+      c4h, c4b, c1f, c4z, c4x)
 }

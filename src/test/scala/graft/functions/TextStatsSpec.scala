@@ -50,4 +50,20 @@ class TextStatsSpec extends AnyFunSuite {
     val toks = Seq("a", "b", "c")
     assert(TextStats.simHash(toks) == TextStats.simHash(toks))
   }
+
+  test("deflateLen: repetitive text compresses far below shuffled-diverse text") {
+    val repetitive = "spam ham " * 200
+    val diverse = (1 to 400).map(i => s"w${i * 7919 % 997}x${i}").mkString(" ")
+    val rRatio = TextStats.deflateLen(repetitive).toDouble / repetitive.length
+    val dRatio = TextStats.deflateLen(diverse).toDouble / diverse.length
+    assert(rRatio < 0.1 && dRatio > 0.3, s"r=$rRatio d=$dRatio")
+  }
+
+  test("deflateLen: deterministic across calls and inputs sizes") {
+    val t = "the quick brown fox jumps over the lazy dog " * 50
+    assert(TextStats.deflateLen(t) == TextStats.deflateLen(t))
+    assert(TextStats.deflateLen("") >= 0L)
+    // monotone-ish sanity: doubling repetitive content grows output slowly
+    assert(TextStats.deflateLen(t + t) < 2 * TextStats.deflateLen(t))
+  }
 }
