@@ -20,6 +20,7 @@ import org.apache.spark.sql.graftbridge.DotProductFloat
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.mortonFunction)
   }
 }
 
@@ -31,4 +32,29 @@ object GraftExtensions {
       require(children.length == 2, "graft_dot(arrayFloat, arrayFloat) takes 2 arguments")
       DotProductFloat(children.head, children(1))
     })
+
+  /** `graft_morton(qx, qy)` — the Z-order key as a composed tree of
+    * built-in bitwise expressions (same magic-number spreading as
+    * `Spatial.mortonCol`), NOT a UDF: the whole function inlines into
+    * whole-stage codegen like any arithmetic.
+    */
+  private[graft] val mortonFunction = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Literal, ShiftLeft}
+    def band(a: Expression, m: Long): Expression = BitwiseAnd(a, Literal(m))
+    def bor(a: Expression, b: Expression): Expression = BitwiseOr(a, b)
+    def shl(a: Expression, n: Int): Expression = ShiftLeft(a, Literal(n))
+    def spread16(v: Expression): Expression = {
+      val m1 = band(bor(v, shl(v, 8)), 0x00FF00FFL)
+      val m2 = band(bor(m1, shl(m1, 4)), 0x0F0F0F0FL)
+      val m3 = band(bor(m2, shl(m2, 2)), 0x33333333L)
+      band(bor(m3, shl(m3, 1)), 0x55555555L)
+    }
+    (new FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[BitwiseOr].getName, "graft_morton"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_morton(qx, qy) takes 2 arguments")
+        bor(spread16(children.head), shl(spread16(children(1)), 1))
+      })
+  }
 }

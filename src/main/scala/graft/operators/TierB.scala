@@ -1143,8 +1143,36 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B40
+  /** Event-sequence (Markov) transition matrix: per-user next-event via
+    * `lead` over (ts, event_id) — the deterministic tiebreak — then a
+    * global pair count. One shuffle on user_id for the window; the count
+    * aggregates partially map-side. The path-analysis primitive funnels
+    * and session flows build on.
+    */
+  private val b40 = QuerySpec(
+    "b40_transitions",
+    "Markov transition counts: per-user event sequences via lead over (ts, event_id), grouped into a src->dst transition matrix.",
+    Some("""WITH o AS (SELECT user_id, event_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"src", $"dst")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39)
+    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40)
 }

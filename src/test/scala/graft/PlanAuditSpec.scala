@@ -144,6 +144,15 @@ class PlanAuditSpec extends AnyFunSuite {
       val col = df.select(functions.VectorExprs.dotF($"a", $"b")).collect().head.getDouble(0)
       assert(sql == 11.0 && col == 11.0)
       s2.catalog.dropTempView("v")
+      // graft_morton: SQL surface matches the Column-arithmetic key and
+      // stays a pure expression tree (no ScalaUDF node in the plan)
+      val m = Seq((12345L, 54321L)).toDF("qx", "qy")
+      m.createOrReplaceTempView("mv")
+      val mSql = s2.sql("SELECT graft_morton(qx, qy) AS k FROM mv")
+      val mCol = m.select(operators.Spatial.mortonCol($"qx", $"qy")).collect().head.getLong(0)
+      assert(mSql.collect().head.getLong(0) == mCol)
+      assert(!mSql.queryExecution.executedPlan.toString.contains("UDF"))
+      s2.catalog.dropTempView("mv")
     } finally {
       SparkSession.setDefaultSession(fixture)
       SparkSession.setActiveSession(fixture)
