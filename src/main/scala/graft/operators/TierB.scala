@@ -1171,8 +1171,50 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B41
+  /** Exact nearest-rank percentiles — the deterministic counterpart of
+    * B13b's approx_quantile: value at row_number ceil(p·n) under a total
+    * order with unique-key tiebreaks, so duplicated quantities can't make
+    * the answer partition-dependent. One shuffle on the group key; the
+    * window and the final aggregate reuse it. (At 100 TB a single group's
+    * sort is the bottleneck — that is inherent to exact percentiles; the
+    * approx sketch is the scale path, this is the auditable truth.)
+    */
+  private val b41 = QuerySpec(
+    "b41_percentiles",
+    "Exact nearest-rank median and p90 of l_quantity per returnflag via row_number = ceil(p*n) under a unique-key total order.",
+    Some("""WITH r AS (SELECT l_returnflag, l_quantity,
+              row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem)
+            SELECT l_returnflag,
+              MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN l_quantity END) AS median_qty,
+              MAX(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN l_quantity END) AS p90_qty,
+              CAST(MAX(n) AS BIGINT) AS n
+            FROM r GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+      val wAll = Window.partitionBy($"l_returnflag")
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber")
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy($"l_returnflag")
+        .agg(
+          max(when($"rn" === ceil(lit(0.5) * $"n").cast(LongType), $"l_quantity"))
+            .as("median_qty"),
+          max(when($"rn" === ceil(lit(0.9) * $"n").cast(LongType), $"l_quantity"))
+            .as("p90_qty"),
+          max($"n").cast(LongType).as("n"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40)
+    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41)
 }

@@ -77,7 +77,8 @@ class ScaleSpec extends AnyFunSuite {
       // two: the gram-decontamination join and both grid-blocked spatial
       // joins must also survive broadcast-off without degrading
       for (name <- Seq("c3_knn_cosine", "c2_dedup_pairs",
-          "c4_decontam", "a11d_spatial_join", "a11f_polygon_join")) {
+          "c4_decontam", "a11d_spatial_join", "a11f_polygon_join",
+          "b8b_interval_join")) {
         val df = Registry.queries(name)(spark, "/root/testdata/sf0.1")
         df.collect() // drive to completion so AQE's FINAL plan is inspected
         val plan = df.queryExecution.executedPlan.toString
