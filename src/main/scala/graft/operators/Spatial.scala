@@ -263,6 +263,22 @@ object Spatial {
     spread16(qx).bitwiseOR(shiftleft(spread16(qy), 1))
   }
 
+  /** Inverse of [[mortonCol]] (driver-side): extracts (qx, qy) from a key —
+    * what a bbox-query planner uses to turn tile prefixes back into grid
+    * ranges when building file-skip predicates.
+    */
+  def mortonDecode(key: Long): (Long, Long) = {
+    def compact(v0: Long): Long = {
+      var v = v0 & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      v
+    }
+    (compact(key), compact(key >> 1))
+  }
+
   private val a11m = QuerySpec(
     "a11m_morton",
     "Z-order (Morton) spatial layout key: 16-bit quantized event coordinates bit-interleaved to a 32-bit sortable key plus its level-8 tile prefix — the range-partitioning key that turns bbox queries into parquet min/max file skips; oracle replays the identical integer bit-spreading chain.",

@@ -188,9 +188,13 @@ object TierCSim {
   def connectedComponents(s: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
     import s.implicits._
+    // No distinct: callers pass each undirected pair once (id_a < id_b), so
+    // the two-direction union is already duplicate-free — and hash-min is
+    // duplicate-tolerant anyway, so a stray dup could only cost work, never
+    // correctness. Dropping it saves a full shuffle of the edge list.
     val und = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().persist()
+      .persist()
     var labels = nodes.select($"id", $"id".as("cluster"))
     var prevCached: DataFrame = null
     var changed = 1L

@@ -162,6 +162,15 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.sameElements(cases.map { case (x, y) => mortonRef(x, y) }))
   }
 
+  test("mortonDecode inverts the interleave over the full 16-bit corner/edge/random set") {
+    val vals = Seq(0L, 1L, 2L, 255L, 256L, 32767L, 32768L, 65535L) ++
+      (0 until 200).map(i => (i * 2654435761L) % 65536L)
+    for (x <- vals.take(30); y <- vals.take(30)) {
+      val k = mortonRef(x, y)
+      assert(Spatial.mortonDecode(k) == ((x, y)), s"x=$x y=$y")
+    }
+  }
+
   test("morton prefix property: an aligned 256x256 tile is one contiguous key range") {
     import spark.implicits._
     // all points of the tile [256,511]x[512,767] share the same level-8
