@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StringType}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.{Feature, MsgPack}
 
@@ -335,6 +335,57 @@ object FeaturePipeline {
       .as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(new LayerStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Heartbeat monitor: per-layer EVENT-TIME TIMERS. Every arrival
+    * re-arms the layer's timer at last_seen + gap; if the watermark then
+    * passes that deadline with no newer feature, [[handleExpiredTimer]]
+    * emits one (layer, last_seen_us, expiry_ms) alert — the missing-feed
+    * detector an ingestion pipeline runs beside its sink. State is
+    * O(layers) (one Long + one timer each); alerts fire exactly once per
+    * silence because firing consumes the timer and only new data re-arms
+    * it. Event-time semantics make it replay-deterministic: a crash/replay
+    * reaches the same watermark and fires the same alerts.
+    */
+  class HeartbeatProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    @transient private var lastSeenUs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeenUs = getHandle.getValueState[Long](
+        "lastSeenUs", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      var mx = if (lastSeenUs.exists()) lastSeenUs.get() else Long.MinValue
+      rows.foreach { case (_, ts) => if (ts > mx) mx = ts }
+      // re-arm: retire any earlier deadline, then arm at the new one
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      lastSeenUs.update(mx)
+      getHandle.registerTimer(mx / 1000L + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long, Long)] =
+      Iterator((key, lastSeenUs.get(), expiredTimerInfo.getExpiryTimeInMs()))
+  }
+
+  /** Gap alerts over decoded features: (layer, last_seen_us, expiry_ms)
+    * once a layer is silent for `gapMs` of event time. `delay` is the
+    * watermark lateness bound of the source.
+    */
+  def heartbeatAlerts(features: DataFrame, gapMs: Long,
+      delay: String = "0 seconds"): Dataset[(String, Long, Long)] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features
+      .withWatermark("event_ts", delay)
+      .select(col("layer"), unix_micros(col("event_ts")).as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HeartbeatProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** B33: arbitrary stateful aggregation — running (count, max event ts)

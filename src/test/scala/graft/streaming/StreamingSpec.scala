@@ -468,6 +468,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("heartbeat timers: a silent layer fires one gap alert, active layers stay quiet") {
+    val orig = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (ms, transport) = newStream()
+    // gap = 600s of event time
+    val alerts = FeaturePipeline.heartbeatAlerts(
+      FeaturePipeline.decode(transport.read(spark)), gapMs = 600000L)
+    val q = alerts.toDF("layer", "last_seen_us", "expiry_ms").writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("hb_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      // both layers speak at t=1000s
+      ms.addData(wire("roads", "r1", 1000000000L), wire("parks", "p1", 1000000000L))
+      q.processAllAvailable()
+      // roads speaks again at 2000s -> watermark reaches 2000s; parks's
+      // 1600s deadline is behind it, roads re-armed to 2600s
+      ms.addData(wire("roads", "r2", 2000000000L))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark drives timer expiry
+      ms.addData(wire("roads", "r3", 2100000000L))
+      q.processAllAvailable()
+      val rows = spark.table("hb_sink").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.count(_._1 == "parks") == 1, s"expected one parks alert: ${rows.toSeq}")
+      val p = rows.find(_._1 == "parks").get
+      assert(p._2 == 1000000000L, "last_seen should be parks's final event")
+      assert(p._3 == 1600000L, "expiry should be last_seen + 600s in ms")
+      assert(!rows.exists(_._1 == "roads"), s"roads was never silent: ${rows.toSeq}")
+    } finally {
+      q.stop()
+      orig match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A12: checkpoint recovery — a restarted query resumes from the committed offset") {
     import spark.implicits._
     val topic = tmpDir("topic") + "/recov"
