@@ -224,5 +224,82 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c4, c5)
+  // ----------------------------------------------------------------- C5b
+  /** Okapi BM25 retrieval scoring for a fixed 3-term query (k1=1.2,
+    * b=0.75). The Spark expression and the oracle SQL are generated from
+    * the SAME term list with identical parenthesization, and the per-term
+    * contributions are PIVOTED into columns summed in fixed left-assoc
+    * order — a per-(doc,term) SUM would make float addition order
+    * partition-dependent. Shape: one token explosion feeding a per-doc
+    * conditional aggregate plus one broadcast global-stats row; scoring is
+    * then map-side, top-10 via TakeOrdered. idf's ln is floor-quantized at
+    * 1e-6 only after the full sum (the c5 discipline).
+    */
+  private val Bm25Terms = Seq("spark", "table", "query")
+  private val c5b = QuerySpec(
+    "c5b_bm25",
+    "BM25 top-10 docs for the fixed query {spark, table, query}: exact integer tf/df/len stats, replayed IEEE scoring chain, floor-1e-6 quantized.",
+    Some {
+      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(COUNT(CASE WHEN token='$t' THEN 1 END) AS BIGINT) AS tf${i + 1}"
+      }.mkString(",\n                ")
+      val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(COUNT(DISTINCT CASE WHEN token='$t' THEN doc_id END) AS BIGINT) AS df${i + 1}"
+      }.mkString(",\n                ")
+      val terms = Bm25Terms.indices.map { i =>
+        val (tf, df) = (s"d.tf${i + 1}", s"g.df${i + 1}")
+        s"""ln((CAST(g.n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5)/(CAST($df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST($tf AS DOUBLE) * 2.2)
+              / (CAST($tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.len AS DOUBLE) / (CAST(g.total_toks AS DOUBLE) / CAST(g.n AS DOUBLE))))"""
+      }.mkString("\n            + ")
+      s"""WITH t2 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+            t AS (SELECT * FROM t2 WHERE token <> ''),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len,
+                $tfs
+              FROM t GROUP BY doc_id),
+            g AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS total_toks,
+                $dfs
+              FROM t),
+            s AS (SELECT d.doc_id, $terms AS score FROM d CROSS JOIN g),
+            r AS (SELECT doc_id, CAST(floor(score*1000000) AS BIGINT) AS score_e6,
+                row_number() OVER (ORDER BY CAST(floor(score*1000000) AS BIGINT) DESC, doc_id) AS rn
+              FROM s)
+            SELECT doc_id, score_e6, rn FROM r WHERE rn <= 10 ORDER BY rn"""
+    },
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .filter($"token" =!= "")
+        .persist() // feeds both the per-doc and the global aggregate
+      val perDoc = toks.groupBy($"doc_id").agg(
+        count(lit(1)).as("len"),
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          count(when($"token" === t, 1)).as(s"tf${i + 1}")
+        }: _*)
+      val global = toks.agg(
+        countDistinct($"doc_id").as("n"),
+        (Seq(count(lit(1)).as("total_toks")) ++
+          Bm25Terms.zipWithIndex.map { case (t, i) =>
+            countDistinct(when($"token" === t, $"doc_id")).as(s"df${i + 1}")
+          }): _*)
+      val dbl = (c: Column) => c.cast(DoubleType)
+      val score = Bm25Terms.indices.map { i =>
+        val tf = dbl(col(s"tf${i + 1}"))
+        val df = dbl(col(s"df${i + 1}"))
+        val idf = log((dbl($"n") - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * 2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dbl($"len") / (dbl($"total_toks") / dbl($"n"))))
+      }.reduceLeft(_ + _)
+      perDoc.crossJoin(broadcast(global))
+        .select($"doc_id", floor(score * 1000000).cast(LongType).as("score_e6"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy($"score_e6".desc, $"doc_id")).cast(LongType))
+        .filter($"rn" <= 10)
+        .orderBy($"rn")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c4, c5, c5b)
 }
