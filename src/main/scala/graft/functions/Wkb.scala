@@ -454,6 +454,14 @@ object Wkb {
     total
   }
 
+  /** Vertex count of a LINESTRING (companion to [[simplify]]). */
+  def pointCount(wkb: Array[Byte]): Int = {
+    val bb = ByteBuffer.wrap(wkb)
+    val h = header(bb)
+    require(h.base == 2, s"wkb: pointCount expects LINESTRING, got type ${h.base}")
+    bb.getInt
+  }
+
   /** Douglas-Peucker polyline simplification of a LINESTRING: vertices
     * farther than `epsilon` (perpendicular distance) from the current
     * chord are kept recursively; endpoints always survive. Deterministic

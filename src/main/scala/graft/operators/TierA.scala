@@ -392,5 +392,38 @@ object TierA {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l)
+  // --------------------------------------------------------------- A11p
+  /** No oracle by design: Douglas-Peucker's recursive farthest-point
+    * split is not SQL-replayable; WkbSpec's property tests pin the
+    * semantics (endpoint preservation, epsilon monotonicity, idempotence)
+    * and the driver's rows-only check pins cardinality. Deterministic:
+    * pure function of exact per-row doubles, no state. Map-side at any
+    * scale — the tile-serving pre-step that shrinks vertex counts before
+    * features ship to clients.
+    */
+  private val simplifyUdf: UserDefinedFunction = udf { (x: Double, y: Double) =>
+    // 6-vertex zigzag: one near-collinear knee (dropped at eps=0.05) and
+    // one real spike (always kept)
+    val line = Wkb.lineString(Seq(
+      (x, y), (x + 1.0, y + 0.01), (x + 2.0, y),
+      (x + 3.0, y + 4.0), (x + 4.0, y), (x + 5.0, y + 0.02)))
+    val simp = Wkb.simplify(line, 0.05)
+    (Wkb.pointCount(line), Wkb.pointCount(simp))
+  }
+  private val a11p = QuerySpec(
+    "a11p_simplify",
+    "Douglas-Peucker polyline simplification per event (6-vertex zigzag, eps=0.05): vertex counts before/after — near-collinear knees dropped, real spikes kept.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          simplifyUdf($"value", $"user_id".cast(DoubleType)).as("r"))
+        .select($"feature_id", $"r._1".as("n_before"), $"r._2".as("n_after"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] =
+    Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p)
 }
