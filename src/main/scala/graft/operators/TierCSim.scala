@@ -490,6 +490,118 @@ object TierCSim {
     (s, d) => ivfTopK(s, Tables.embeddings(s, d), 3)
   )
 
+  // ------------------------------------------- product quantization (PQ)
+  /** Product quantization — the embedding-store compression step at
+    * 100 TB: each dim-D vector becomes m sub-codes (4×16 codes here = 4
+    * bytes instead of 256), and ANN scans codes against per-subspace
+    * lookup tables. Codebooks build like the IVF quantizer: ONE
+    * deterministic md5-ordered sample, then a driver-side farthest-point
+    * k-center greedy PER SUBSPACE under L2 (ties to lowest vec_id) —
+    * sample-bounded and deterministic in the corpus. Encoding is a
+    * linear-size expression per subspace (argmin = array_position of
+    * array_min — the same anti-exponential shape as IVF cell assignment),
+    * fully map-side. No oracle: iterative codebook build; SimSpec pins
+    * partition invariance, code spread, and reconstruction error.
+    */
+  def pqEncode(s: SparkSession, embeddings: DataFrame, m: Int = 4,
+      codes: Int = 16, sampleSize: Int = 256): DataFrame = {
+    import s.implicits._
+    val e = embeddings.select($"vec_id", $"embedding")
+    val sample = e.withColumn("h", md5($"vec_id".cast(StringType)))
+      .orderBy($"h", $"vec_id").limit(sampleSize)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    require(sample.nonEmpty, "pqEncode: empty corpus")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"pqEncode: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val books: Seq[Seq[Seq[Float]]] = (0 until m).map { si =>
+      val ids = sample.map(_._1)
+      val vecs = sample.map(_._2.slice(si * sub, (si + 1) * sub).map(_.toDouble).toArray)
+      val n = vecs.length
+      val isSeed = new Array[Boolean](n)
+      val minD = Array.fill(n)(Double.PositiveInfinity)
+      var seeds = Vector.empty[Int]
+      def add(j: Int): Unit = {
+        isSeed(j) = true
+        seeds = seeds :+ j
+        var i = 0
+        while (i < n) {
+          if (!isSeed(i)) { val d = l2(vecs(i), vecs(j)); if (d < minD(i)) minD(i) = d }
+          i += 1
+        }
+      }
+      add(ids.zipWithIndex.minBy(_._1)._2)
+      while (seeds.length < codes && seeds.length < n) {
+        // farthest point from the current codebook, ties to lowest id
+        var best = -1
+        var i = 0
+        while (i < n) {
+          if (!isSeed(i) && (best < 0 || minD(i) > minD(best) ||
+              (minD(i) == minD(best) && ids(i) < ids(best)))) best = i
+          i += 1
+        }
+        add(best)
+      }
+      // one deterministic Lloyd step: k-center seeds are coverage anchors,
+      // not code centers — refining each cluster to its MEAN (fixed sample
+      // order, ties to the lowest seed index; empty clusters keep their
+      // seed) guarantees sample reconstruction error <= sample energy and
+      // drops it far below on clustered data.
+      val seedVecs = seeds.map(vecs(_)).toArray
+      val sums = Array.fill(seedVecs.length)(new Array[Double](sub))
+      val cnts = new Array[Long](seedVecs.length)
+      var i = 0
+      while (i < n) {
+        var bestC = 0
+        var bestD = Double.PositiveInfinity
+        var cIdx = 0
+        while (cIdx < seedVecs.length) {
+          val dd = l2(vecs(i), seedVecs(cIdx))
+          if (dd < bestD) { bestD = dd; bestC = cIdx }
+          cIdx += 1
+        }
+        var k2 = 0
+        while (k2 < sub) { sums(bestC)(k2) += vecs(i)(k2); k2 += 1 }
+        cnts(bestC) += 1
+        i += 1
+      }
+      seeds.indices.map { cIdx =>
+        if (cnts(cIdx) == 0L) seedVecs(cIdx).map(_.toFloat).toSeq
+        else sums(cIdx).map(v => (v / cnts(cIdx)).toFloat).toSeq
+      }
+    }
+    val pieces = (0 until m).map { si =>
+      val seg = slice($"embedding", si * sub + 1, sub)
+      val dists = books(si).map { c =>
+        val c2 = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+        TierC.dot(seg, seg) - (lit(2.0) * TierC.dot(seg, typedlit(c))) + lit(c2)
+      }
+      val arr = array(dists: _*)
+      val pos = array_position(arr, array_min(arr)).cast(IntegerType)
+      ((pos - 1).as(s"c$si"), element_at(arr, pos).as(s"e$si"))
+    }
+    val coded = e.select(($"vec_id" +: (pieces.map(_._1) ++ pieces.map(_._2))): _*)
+    val err = (0 until m).map(si => col(s"e$si")).reduceLeft(_ + _)
+    coded.select(($"vec_id" +: (0 until m).map(si => col(s"c$si"))) :+
+      floor(err * 1000000).cast(LongType).as("err_ppm"): _*)
+  }
+
+  private val c3p = QuerySpec(
+    "c3_pq",
+    "Product quantization: 4 subspaces x 16-code L2 codebooks from a deterministic hash-sample k-center build; per-vector sub-codes + reconstruction error (1e-6 floor). No oracle (iterative build); SimSpec pins determinism/spread/error.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      pqEncode(s, Tables.embeddings(s, d)).orderBy($"vec_id")
+    }
+  )
+
   // ------------------------------------------------------------ centroid
   // Per-label centroid (the IVF/cluster-analysis building block). Float
   // sums are partition-order-dependent in their low bits, so each value
@@ -580,5 +692,5 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3c, c3z)
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3c, c3z)
 }

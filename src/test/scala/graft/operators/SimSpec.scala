@@ -172,6 +172,26 @@ class SimSpec extends AnyFunSuite {
       .foreach { case (_, rs) => assert(rs.length <= 3) }
   }
 
+  test("pqEncode: partition-invariant codes, real code spread, reconstruction beats zero") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)
+    val a = TierCSim.pqEncode(spark, e.repartition(1)).orderBy($"vec_id")
+      .collect().map(_.toString).toSeq
+    val b = TierCSim.pqEncode(spark, e.repartition(13)).orderBy($"vec_id")
+      .collect().map(_.toString).toSeq
+    assert(a == b, "PQ codes depend on partitioning")
+    val coded = TierCSim.pqEncode(spark, e)
+    // multiple codes actually used in each subspace
+    for (si <- 0 until 4)
+      assert(coded.select(countDistinct(col(s"c$si"))).head().getLong(0) > 1, s"c$si collapsed")
+    // total squared reconstruction error far below total squared norm
+    // (i.e., the codebook explains most of the energy)
+    val errSum = coded.agg(sum($"err_ppm")).head().getLong(0).toDouble / 1e6
+    val normSum = e.select(TierC.dot($"embedding", $"embedding").as("n2"))
+      .agg(sum($"n2")).head().getDouble(0)
+    assert(errSum >= 0 && errSum < 0.8 * normSum, s"err=$errSum norm=$normSum")
+  }
+
   test("ivfTopK: perfect recall on clustered vectors (k-center spreads one seed per cluster)") {
     import spark.implicits._
     val dim = 64
