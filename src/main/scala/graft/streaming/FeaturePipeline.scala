@@ -285,6 +285,36 @@ object FeaturePipeline {
     }
   }
 
+  /** Per-layer catalog summary of the store — the observability a PostGIS
+    * user gets from SQL over their tables: row and distinct-feature
+    * counts, freshest event time, and the geometry extent (envelope union
+    * over WKB bboxes). One scan, partition-pruned when `layers` is given,
+    * everything partial-aggregated map-side — cost follows the selected
+    * layers' size at any store scale.
+    */
+  def storeStats(spark: SparkSession, storeDir: String,
+      layers: Seq[String] = Nil): DataFrame = {
+    val bboxUdf = udf { (wkb: Array[Byte]) =>
+      Option(wkb).map(graft.functions.Wkb.bbox)
+    }
+    val all0 = spark.read.option("mergeSchema", "true").parquet(storeDir)
+      .withColumn("layer", col("layer").cast(StringType))
+    val all =
+      if (layers.isEmpty) all0 else all0.filter(col("layer").isInCollection(layers))
+    // stores written from geometry-less envelopes have no geom_wkb column
+    val bb =
+      if (all.columns.contains("geom_wkb")) bboxUdf(col("geom_wkb"))
+      else lit(null).cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    all.select(col("layer"), col("feature_id"), col("event_ts"), bb.as("bb"))
+      .groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("feature_id")).as("n_features"),
+        max(col("event_ts")).as("latest_ts"),
+        min(col("bb.xmin")).as("xmin"), min(col("bb.ymin")).as("ymin"),
+        max(col("bb.xmax")).as("xmax"), max(col("bb.ymax")).as("ymax"))
+      .orderBy(col("layer"))
+  }
+
   /** The full A4→A12 consume pipeline as one streaming query. Each
     * micro-batch is the transaction unit (A10): the reference's "N inserts
     * per commit" batching maps to trigger-bounded micro-batches.

@@ -74,6 +74,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(first == second, "replaying the same batch changed the store")
   }
 
+  test("storeStats: per-layer counts, freshest ts, and extent union over WKB") {
+    import spark.implicits._
+    import graft.functions.Wkb
+    val store = tmpDir("store") + "/stats"
+    val batch = Seq(
+      ("roads", "r1", Wkb.point(1.0, 2.0), 1000000L),
+      ("roads", "r2", Wkb.point(5.0, -3.0), 3000000L),
+      ("roads", "r2", Wkb.point(5.0, -3.0), 3000000L), // dup feature id
+      ("parks", "p1", Wkb.point(-7.0, 0.5), 2000000L))
+      .toDF("layer", "feature_id", "geom_wkb", "ts_us")
+      .select($"layer", $"feature_id", $"geom_wkb",
+        typedLit(Map("k" -> "1")).as("props"),
+        timestamp_micros($"ts_us").as("event_ts"),
+        lit("s").as("source"), lit(1).as("fmt_version"))
+    FeaturePipeline.upsertBatch(batch, store)
+    val stats = FeaturePipeline.storeStats(spark, store).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("parks", "roads"))
+    val roads = stats.find(_.getString(0) == "roads").get
+    assert(roads.getAs[Long]("n_rows") == 2L) // upsert collapsed the dup
+    assert(roads.getAs[Long]("n_features") == 2L)
+    assert(roads.getAs[Double]("xmin") == 1.0 && roads.getAs[Double]("xmax") == 5.0)
+    assert(roads.getAs[Double]("ymin") == -3.0 && roads.getAs[Double]("ymax") == 2.0)
+    assert(roads.getAs[java.sql.Timestamp]("latest_ts").getTime == 3000L)
+    // layer filter prunes
+    val only = FeaturePipeline.storeStats(spark, store, Seq("parks")).collect()
+    assert(only.length == 1 && only.head.getAs[Long]("n_rows") == 1L)
+  }
+
   test("A9 scale bound: a batch touching one layer leaves other layers' files untouched") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}
