@@ -491,28 +491,23 @@ object TierCSim {
   )
 
   // ------------------------------------------- product quantization (PQ)
-  /** Product quantization — the embedding-store compression step at
-    * 100 TB: each dim-D vector becomes m sub-codes (4×16 codes here = 4
-    * bytes instead of 256), and ANN scans codes against per-subspace
-    * lookup tables. Codebooks build like the IVF quantizer: ONE
-    * deterministic md5-ordered sample, then a driver-side farthest-point
-    * k-center greedy PER SUBSPACE under L2 (ties to lowest vec_id) —
-    * sample-bounded and deterministic in the corpus. Encoding is a
-    * linear-size expression per subspace (argmin = array_position of
-    * array_min — the same anti-exponential shape as IVF cell assignment),
-    * fully map-side. No oracle: iterative codebook build; SimSpec pins
-    * partition invariance, code spread, and reconstruction error.
+  /** Per-subspace PQ codebooks (see [[pqEncode]] for the full design
+    * note): ONE deterministic md5-ordered sample, then a driver-side
+    * farthest-point k-center greedy PER SUBSPACE under L2 (ties to lowest
+    * vec_id) refined by one deterministic Lloyd mean step — sample-bounded
+    * and deterministic in the corpus. Exposed so ADC search rebuilds the
+    * exact same books.
     */
-  def pqEncode(s: SparkSession, embeddings: DataFrame, m: Int = 4,
-      codes: Int = 16, sampleSize: Int = 256): DataFrame = {
+  def pqCodebooks(s: SparkSession, embeddings: DataFrame, m: Int,
+      codes: Int, sampleSize: Int): Seq[Seq[Seq[Float]]] = {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding")
     val sample = e.withColumn("h", md5($"vec_id".cast(StringType)))
       .orderBy($"h", $"vec_id").limit(sampleSize)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
-    require(sample.nonEmpty, "pqEncode: empty corpus")
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
     val dim = sample.head._2.length
-    require(dim % m == 0, s"pqEncode: dim $dim not divisible into $m subspaces")
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     def l2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0
@@ -520,7 +515,7 @@ object TierCSim {
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
-    val books: Seq[Seq[Seq[Float]]] = (0 until m).map { si =>
+    (0 until m).map { si =>
       val ids = sample.map(_._1)
       val vecs = sample.map(_._2.slice(si * sub, (si + 1) * sub).map(_.toDouble).toArray)
       val n = vecs.length
@@ -576,13 +571,37 @@ object TierCSim {
         else sums(cIdx).map(v => (v / cnts(cIdx)).toFloat).toSeq
       }
     }
+  }
+
+  /** Squared-L2 distances from an embedding segment to every code of one
+    * subspace book, as a fixed-order array expression.
+    */
+  private def pqDistArray(si: Int, sub: Int, book: Seq[Seq[Float]],
+      emb: Column): Column = {
+    val seg = slice(emb, si * sub + 1, sub)
+    array(book.map { c =>
+      val c2 = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      TierC.dot(seg, seg) - (lit(2.0) * TierC.dot(seg, typedlit(c))) + lit(c2)
+    }: _*)
+  }
+
+  /** Product quantization — the embedding-store compression step at
+    * 100 TB: each dim-D vector becomes m sub-codes (4×16 codes here = 4
+    * bytes instead of 256 float bytes), and ANN scans codes against
+    * per-subspace lookup tables ([[pqSearch]]). Encoding is a linear-size
+    * expression per subspace (argmin = array_position of array_min — the
+    * same anti-exponential shape as IVF cell assignment), fully map-side.
+    * No oracle: iterative codebook build; SimSpec pins partition
+    * invariance, code spread, and reconstruction error.
+    */
+  def pqEncode(s: SparkSession, embeddings: DataFrame, m: Int = 4,
+      codes: Int = 16, sampleSize: Int = 256): DataFrame = {
+    import s.implicits._
+    val e = embeddings.select($"vec_id", $"embedding")
+    val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
+    val sub = books.head.head.length
     val pieces = (0 until m).map { si =>
-      val seg = slice($"embedding", si * sub + 1, sub)
-      val dists = books(si).map { c =>
-        val c2 = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
-        TierC.dot(seg, seg) - (lit(2.0) * TierC.dot(seg, typedlit(c))) + lit(c2)
-      }
-      val arr = array(dists: _*)
+      val arr = pqDistArray(si, sub, books(si), $"embedding")
       val pos = array_position(arr, array_min(arr)).cast(IntegerType)
       ((pos - 1).as(s"c$si"), element_at(arr, pos).as(s"e$si"))
     }
@@ -591,6 +610,47 @@ object TierCSim {
     coded.select(($"vec_id" +: (0 until m).map(si => col(s"c$si"))) :+
       floor(err * 1000000).cast(LongType).as("err_ppm"): _*)
   }
+
+  /** PQ asymmetric-distance (ADC) top-k within a label block. Each QUERY
+    * row materializes its per-subspace distance tables ONCE, in a
+    * projection BEFORE the join (m arrays of `codes` doubles); candidates
+    * carry only their m sub-codes, so per-pair work is m table lookups
+    * summed in fixed order — the memory-bound scan PQ buys at 100 TB
+    * (4 bytes per candidate instead of 256 floats, and no exact geometry
+    * on the candidate side of the shuffle).
+    */
+  def pqSearch(s: SparkSession, embeddings: DataFrame, k: Int, m: Int = 4,
+      codes: Int = 16, sampleSize: Int = 256): DataFrame = {
+    import s.implicits._
+    val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
+    val sub = books.head.head.length
+    val cand = pqEncode(s, embeddings, m, codes, sampleSize)
+      .join(embeddings.select($"vec_id", $"label"), Seq("vec_id"))
+      .select(($"vec_id".as("id_b") +: $"label".as("label_b") +:
+        (0 until m).map(si => col(s"c$si"))): _*)
+    val q = (0 until m).foldLeft(
+        embeddings.select($"vec_id".as("id_a"), $"label", $"embedding")) {
+      (df, si) => df.withColumn(s"lut$si", pqDistArray(si, sub, books(si), $"embedding"))
+    }.drop("embedding")
+    val approx = (0 until m).map { si =>
+      element_at(col(s"lut$si"), col(s"c$si") + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy($"id_a").orderBy($"approx".asc, $"id_b")
+    q.join(cand, $"label" === $"label_b" && $"id_a" =!= $"id_b")
+      .withColumn("approx", approx)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter($"rn" <= k)
+      .select($"id_a", $"id_b",
+        floor($"approx" * 1000000).cast(LongType).as("adist_ppm"), $"rn")
+      .orderBy($"id_a", $"rn")
+  }
+
+  private val c3ps = QuerySpec(
+    "c3_pq_search",
+    "PQ asymmetric-distance top-3 within label blocks: per-query distance tables built before the join, candidates reduced to 4 sub-codes, approximate L2 = 4 lookups. No oracle (codebook build iterative); SimSpec pins planted-cluster recall + determinism.",
+    None,
+    (s, d) => pqSearch(s, Tables.embeddings(s, d), 3)
+  )
 
   private val c3p = QuerySpec(
     "c3_pq",
@@ -692,5 +752,5 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3c, c3z)
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3ps, c3c, c3z)
 }

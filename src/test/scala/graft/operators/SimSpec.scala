@@ -192,6 +192,30 @@ class SimSpec extends AnyFunSuite {
     assert(errSum >= 0 && errSum < 0.8 * normSum, s"err=$errSum norm=$normSum")
   }
 
+  test("pqSearch: ADC keeps neighbors in-cluster on planted clusters, deterministically") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      mm <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(c * 37 + i).toFloat * 10f)
+      base(mm % dim) += 0.01f * (mm + 1)
+      (c * 10L + mm, "blk", base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val a = TierCSim.pqSearch(spark, df.repartition(1), 3).collect()
+    val b = TierCSim.pqSearch(spark, df.repartition(7), 3).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "ADC not partition-invariant")
+    val byVec = a.groupBy(_.getLong(0))
+    assert(byVec.size == 20)
+    byVec.foreach { case (id, rs) =>
+      assert(rs.length == 3, s"vec $id got ${rs.length}")
+      rs.foreach(r => assert(r.getLong(1) / 10 == id / 10,
+        s"vec $id ADC neighbor ${r.getLong(1)} crossed cluster"))
+    }
+  }
+
   test("ivfTopK: perfect recall on clustered vectors (k-center spreads one seed per cluster)") {
     import spark.implicits._
     val dim = 64
