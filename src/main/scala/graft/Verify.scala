@@ -17,6 +17,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle-type lint (loud, non-fatal here so one bad SQL can't zero the
+    // whole round's dump; OracleLintSpec turns the same check into a hard
+    // test failure): uncast DuckDB window SUMs return HUGEINT and
+    // hash-mismatch on type alone — the round-5 red-row family.
+    OracleLint.violations(SparkEntry.oracleSql).foreach { case (name, snip) =>
+      System.err.println(s"[verify][lint] $name: uncast window SUM (DuckDB HUGEINT) near: $snip")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -348,13 +348,16 @@ object TierB {
     */
   private val b13b = QuerySpec(
     "b13b_approx_quantile",
-    "Approximate p50/p95 of extended price per return flag via percentile_approx (no oracle: approx ⇒ not hash-matchable; rank-error bound asserted in ScalaTest).",
+    "Approximate p50/p95 of extended price per return flag via percentile_approx (no oracle: approx ⇒ not hash-matchable; rank-error bound asserted in ScalaTest). Scalar columns only: the driver's no-oracle recorder cannot hash ARRAY cells.",
     None,
     (s, d) => {
       import s.implicits._
       Tables.lineitem(s, d).groupBy($"l_returnflag")
         .agg(percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)),
           lit(100000)).as("approx_p"))
+        .select($"l_returnflag",
+          element_at($"approx_p", 1).as("p50"),
+          element_at($"approx_p", 2).as("p95"))
         .orderBy($"l_returnflag")
     }
   )
@@ -858,8 +861,8 @@ object TierB {
                          THEN 0 ELSE 1 END AS brk
                   FROM x),
             s AS (SELECT user_id, tsec,
-                    SUM(brk) OVER (PARTITION BY user_id ORDER BY tsec
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsec
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
                   FROM o)
             SELECT user_id, MIN(tsec) AS session_start, MAX(tsec) AS last_ts, COUNT(*) AS n
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""),
@@ -989,8 +992,13 @@ object TierB {
   // ---------------------------------------------------------------- B17b
   /** Rolling 24 h anomaly score — the time-RANGE frame B17's row frames
     * don't cover. The frame orders by exact epoch microseconds (Spark's
-    * DataFrame rangeBetween needs a numeric order key; µs keeps full
-    * precision so both engines see identical peer sets), accumulates
+    * DataFrame rangeBetween needs a numeric order key). µs keying over the
+    * ns-precision `events.ts` is bit-stable (SURVEY §7.4 rule 3 audit):
+    * Spark reads the ns long and floors with `div 1000` (Tables.events),
+    * DuckDB's epoch_us floors the same way for the positive epochs all
+    * fixtures carry — verified identical peer sets; and the fixture data is
+    * µs-aligned anyway (0 rows with epoch_ns % 1000 != 0 at every SF,
+    * checked 2026-08-12). The window accumulates
     * exact integer sums (cents, cents², count), and derives mean/z as one
     * fixed IEEE chain from those integers — the c4_outlier discipline on
     * a sliding window. One shuffle (event_type), window + sort reuse it.
@@ -1001,8 +1009,8 @@ object TierB {
     Some("""WITH t AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
               CAST(floor(value*100) AS BIGINT) AS cents FROM events),
             w AS (SELECT event_id, event_type, cents,
-              SUM(cents) OVER win AS s1,
-              SUM(cents*cents) OVER win AS s2,
+              CAST(SUM(cents) OVER win AS BIGINT) AS s1,
+              CAST(SUM(cents*cents) OVER win AS BIGINT) AS s2,
               COUNT(*) OVER win AS n
               FROM t WINDOW win AS (PARTITION BY event_type ORDER BY ts_us
                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))

@@ -272,17 +272,21 @@ object TierC {
       val toks = Tables.documents(s, d)
         .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
         .filter($"token" =!= "")
-        .persist() // feeds both the per-doc and the global aggregate
       val perDoc = toks.groupBy($"doc_id").agg(
         count(lit(1)).as("len"),
         Bm25Terms.zipWithIndex.map { case (t, i) =>
           count(when($"token" === t, 1)).as(s"tf${i + 1}")
         }: _*)
-      val global = toks.agg(
-        countDistinct($"doc_id").as("n"),
-        (Seq(count(lit(1)).as("total_toks")) ++
-          Bm25Terms.zipWithIndex.map { case (t, i) =>
-            countDistinct(when($"token" === t, $"doc_id")).as(s"df${i + 1}")
+      // Global stats fold the per-doc aggregate instead of re-scanning token
+      // rows: n = docs with tokens, total_toks = Σ len, df_i = docs with
+      // tf_i > 0 — exact-integer equivalent to the token-level distincts, no
+      // token-row persist to leak, and the two perDoc consumers share one
+      // exchange (ReuseExchange) rather than a cached explosion.
+      val global = perDoc.agg(
+        count(lit(1)).as("n"),
+        (Seq(sum($"len").as("total_toks")) ++
+          Bm25Terms.indices.map { i =>
+            count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
           }): _*)
       val dbl = (c: Column) => c.cast(DoubleType)
       val score = Bm25Terms.indices.map { i =>

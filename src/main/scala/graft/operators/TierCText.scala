@@ -563,7 +563,14 @@ object TierCText {
   def bloomIncrement(store: DataFrame, incoming: DataFrame, fpCol: String): DataFrame = {
     import store.sparkSession.implicits._
     val n = store.count()
-    val mBits = math.max(1024L, ((16L * math.max(n, 1L) + 63) / 64) * 64).toInt
+    // One filter is a single Long-word array, so it tops out at ~2^31 bits
+    // (~134M keys at 16 bits/key). Past the cap the pre-filter degrades
+    // gracefully (higher FPR ⇒ more rows take the exact-join path; output
+    // stays exact either way) — Long math throughout so the size can never
+    // wrap negative or truncate. Stores that must keep the 0.05% FPR above
+    // the cap should shard the filter by a fingerprint prefix.
+    val MaxBits = (Int.MaxValue.toLong / 64) * 64
+    val mBits = math.min(MaxBits, math.max(1024L, ((16L * math.max(n, 1L) + 63) / 64) * 64)).toInt
     val k = 11
     val bits = store.agg(graft.functions.Bloom.bloomAgg(mBits, k)(col(fpCol)).as("__bits"))
     val probed = incoming
@@ -648,10 +655,10 @@ object TierCText {
               CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS BIGINT) AS ntok
               FROM documents),
             w AS (SELECT source, doc_id, ntok,
-              SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS prefix
+              CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ntok AS prefix
               FROM t)
-            SELECT source, prefix // 256 AS bin, COUNT(*) AS n_docs,
+            SELECT source, CAST(prefix // 256 AS BIGINT) AS bin, COUNT(*) AS n_docs,
               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM w GROUP BY source, bin ORDER BY source, bin"""),
@@ -676,29 +683,35 @@ object TierCText {
   /** Deterministic importance sampling: keep a row with probability equal
     * to its weight, with NO RNG — the first 8 md5 hex chars are a uniform
     * 32-bit draw, kept iff below the weight's hex cutoff
-    * (`printf("%08x", floor(w·2^32))`). Map-side, partition-invariant,
-    * replayable on any engine with md5 — the same discipline as
-    * `c1b_sample_hash` but with a per-row rate; the shape a quality-
-    * weighted corpus resample uses at 100 TB.
+    * (`printf("%08x", floor(w·2^32))`). Full-weight rows (wt >= 1) are
+    * short-circuited to kept: floor(1.0·2^32) = 2^32 formats to NINE hex
+    * chars, and the lexicographic compare against an 8-char draw would
+    * silently keep only ~1/16 of rows whose documented keep probability is
+    * 1 (both engines replay the same chain, so the oracle alone could
+    * never catch it). Map-side, partition-invariant, replayable on any
+    * engine with md5 — the same discipline as `c1b_sample_hash` but with
+    * a per-row rate; the shape a quality-weighted corpus resample uses at
+    * 100 TB.
     */
   private val c1f = QuerySpec(
     "c1f_weighted_sample",
-    "Deterministic weighted sampling: keep probability = min(ntok/100, 1) via md5-prefix < hex(floor(w*2^32)); per-source kept/total and kept-token stats.",
+    "Deterministic weighted sampling: keep probability = min(ntok/100, 1) via wt >= 1 OR md5-prefix < hex(floor(w*2^32)); per-source kept/total and kept-token stats.",
     Some("""WITH t AS (SELECT doc_id, source,
               CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS BIGINT) AS ntok,
               substr(md5(text), 1, 8) AS draw
               FROM documents),
-            w AS (SELECT *, least(CAST(ntok AS DOUBLE) / 100.0, 1.0) AS wt FROM t)
+            w AS (SELECT *, least(CAST(ntok AS DOUBLE) / 100.0, 1.0) AS wt FROM t),
+            k AS (SELECT *, (wt >= 1.0 OR draw < printf('%08x', CAST(floor(wt*4294967296.0) AS BIGINT))) AS kept FROM w)
             SELECT source, COUNT(*) AS n_total,
-              COUNT(CASE WHEN draw < printf('%08x', CAST(floor(wt*4294967296.0) AS BIGINT)) THEN 1 END) AS n_kept,
-              CAST(SUM(CASE WHEN draw < printf('%08x', CAST(floor(wt*4294967296.0) AS BIGINT)) THEN ntok END) AS BIGINT) AS kept_tokens
-            FROM w GROUP BY source ORDER BY source"""),
+              COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+              CAST(SUM(CASE WHEN kept THEN ntok END) AS BIGINT) AS kept_tokens
+            FROM k GROUP BY source ORDER BY source"""),
     (s, d) => {
       import s.implicits._
       val ntok = size(toksCol).cast(LongType)
       val wt = least(ntok.cast(DoubleType) / 100.0, lit(1.0))
       val cutoff = format_string("%08x", floor(wt * 4294967296.0).cast(LongType))
-      val kept = substring(md5($"text"), 1, 8) < cutoff
+      val kept = (wt >= 1.0) || (substring(md5($"text"), 1, 8) < cutoff)
       Tables.documents(s, d)
         .select($"source", ntok.as("ntok"), kept.as("kept"))
         .groupBy($"source")
@@ -772,8 +785,11 @@ object TierCText {
       Tables.documents(s, d)
         .select($"doc_id", length($"text").cast(LongType).as("raw_len"),
           deflateLenUdf($"text").as("deflate_len"))
+        // empty doc ⇒ null ratio: 0/0 would collapse to a Long.MaxValue
+        // sentinel under non-ANSI floor/cast, poisoning the quality signal
         .withColumn("ratio_ppm",
-          floor($"deflate_len".cast(DoubleType) / $"raw_len" * 1e6).cast(LongType))
+          when($"raw_len" > 0,
+            floor($"deflate_len".cast(DoubleType) / $"raw_len" * 1e6).cast(LongType)))
         .orderBy($"doc_id")
     }
   )

@@ -66,7 +66,7 @@ class QueriesSpec extends AnyFunSuite {
   test("b13b approx quantiles sit within 1% rank error of the exact percentile") {
     import spark.implicits._
     val approx = Registry.queries("b13b_approx_quantile")(spark, sf)
-      .select($"l_returnflag", $"approx_p".cast("array<double>"))
+      .select($"l_returnflag", array($"p50", $"p95").cast("array<double>"))
       .as[(String, Seq[Double])].collect().toMap
     val groups = sources.Tables.lineitem(spark, sf)
       .select($"l_returnflag", $"l_extendedprice".cast("double"))
@@ -78,6 +78,30 @@ class QueriesSpec extends AnyFunSuite {
       val hi = xs(math.min(xs.length - 1, (xs.length * (p + 0.01)).toInt))
       assert(got >= lo && got <= hi, s"flag=$flag p=$p got=$got not in [$lo,$hi]")
     }
+  }
+
+  test("c1f weighted sampling keeps every full-weight document") {
+    // Regression: floor(1.0 * 2^32) formats to NINE hex chars, and the
+    // 8-char md5 draw compared lexicographically kept only ~1/16 of
+    // wt >= 1 rows — invisible to the oracle, which replays the same
+    // chain. The wt >= 1 short-circuit must keep them all.
+    import spark.implicits._
+    // sf0.001 has no >=100-token docs, so plant a synthetic documents table:
+    // 64 long docs (wt = 1) with varied text (varied md5 draws) + 8 short.
+    val dir = java.nio.file.Files.createTempDirectory("graft-c1f").toString
+    val docs = (1 to 64).map { i =>
+      (i.toLong, (1 to 120).map(j => s"tok${i}_$j").mkString(" "), "en", "srcL", 0L)
+    } ++ (65 to 72).map { i => (i.toLong, s"short text $i", "en", "srcS", 0L) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("c1f_weighted_sample")(spark, dir)
+      .select($"source", $"n_total", $"n_kept").as[(String, Long, Long)].collect()
+      .map { case (s, t, k) => s -> ((t, k)) }.toMap
+    // every full-weight doc kept — pre-fix the 9-hex-char cutoff kept ~1/16
+    assert(out("srcL") == ((64L, 64L)), s"full-weight docs dropped: ${out("srcL")}")
+    // short docs keep at ~w chance; with 8 docs at w≈0.03 all-kept is ~1e-12
+    val (st, sk) = out("srcS")
+    assert(st == 8L && sk < st, s"partial-weight sanity: kept $sk of $st")
   }
 
   test("b13c count-min never underestimates; total overestimate bounded") {

@@ -20,11 +20,24 @@ def norm(v):
         return "NaN"
     return v
 
+FATAL_TYPES = ("HUGEINT", "UHUGEINT", "TIMESTAMP_NS")
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
     try:
+        # Type lint first: the driver's hash is type-sensitive, so a DuckDB
+        # HUGEINT (window SUM) or TIMESTAMP_NS output column fails the gate
+        # even when every value matches (round-5 red-row family).
+        otypes = {r[0]: r[1] for r in
+                  con.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()}
+        bad_types = {c: t for c, t in otypes.items()
+                     if any(t.startswith(ft) for ft in FATAL_TYPES)}
+        if bad_types:
+            print(f"FAIL {name}: oracle output types will hash-mismatch: {bad_types}")
+            fails += 1
+            continue
         ocur = con.execute(sql)
         ocols = [c[0] for c in ocur.description]
         orows = ocur.fetchall()
@@ -34,6 +47,11 @@ for name, sql in sorted(oracle.items()):
         scur = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         scols = [c[0] for c in scur.description]
         srows = scur.fetchall()
+        stypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchall()}
+        for c in sorted(set(otypes) & set(stypes)):
+            if otypes[c] != stypes[c]:
+                print(f"WARN {name}: column {c} type oracle={otypes[c]} spark={stypes[c]}")
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}"); fails += 1; continue
     if sorted(ocols) != sorted(scols):
