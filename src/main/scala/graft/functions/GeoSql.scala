@@ -36,5 +36,7 @@ object GeoSql {
     spark.udf.register("geom_simplify",
       (b: Array[Byte], eps: Double) => Wkb.simplify(b, eps))
     spark.udf.register("geom_geojson", (b: Array[Byte]) => Wkb.toGeoJson(b))
+    spark.udf.register("geom_srid", (b: Array[Byte]) => Wkb.srid(b))
+    spark.udf.register("geom_set_srid", (b: Array[Byte], srid: Int) => Wkb.setSrid(b, srid))
   }
 }

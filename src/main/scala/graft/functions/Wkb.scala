@@ -95,6 +95,40 @@ object Wkb {
     Header(flagless % 1000, dims)
   }
 
+  /** SRID from the top-level EWKB header (the PostGIS extension word), or
+    * 0 for plain WKB / ISO values, which carry none — matching PostGIS's
+    * "unknown" SRID. Only the top-level header is consulted; PostGIS never
+    * flags nested member headers.
+    */
+  def srid(wkb: Array[Byte]): Int = {
+    val bb = ByteBuffer.wrap(wkb)
+    bb.order(if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val raw = bb.getInt
+    if ((raw & FlagSrid) != 0) bb.getInt else 0
+  }
+
+  /** Re-headers the value as EWKB carrying `newSrid` (srid = 0 strips the
+    * flag back to plain WKB). Top-level header only, per the PostGIS
+    * convention; the geometry body bytes pass through untouched, so every
+    * coordinate stays bit-identical.
+    */
+  def setSrid(wkb: Array[Byte], newSrid: Int): Array[Byte] = {
+    val bb = ByteBuffer.wrap(wkb)
+    val orderByte = bb.get()
+    bb.order(if (orderByte == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val raw = bb.getInt
+    if ((raw & FlagSrid) != 0) bb.getInt // drop the old SRID word
+    val body = new Array[Byte](bb.remaining())
+    bb.get(body)
+    val out = ByteBuffer.allocate(1 + 4 + (if (newSrid != 0) 4 else 0) + body.length)
+      .order(bb.order())
+    out.put(orderByte)
+    out.putInt(if (newSrid != 0) raw | FlagSrid else raw & ~FlagSrid)
+    if (newSrid != 0) out.putInt(newSrid)
+    out.put(body)
+    out.array()
+  }
+
   def geomType(wkb: Array[Byte]): String = header(ByteBuffer.wrap(wkb)).base match {
     case 1 => "POINT"
     case 2 => "LINESTRING"

@@ -43,6 +43,46 @@ object Spatial {
   private val containsUdf: UserDefinedFunction =
     udf { (wkb: Array[Byte], px: Double, py: Double) => Wkb.containsPoint(wkb, px, py) }
 
+  private val sridUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) => Wkb.srid(wkb) }
+
+  /** Mixed-SRID guard for the grid joins: geometries in different CRSs
+    * share no coordinate plane, so joining them cell-wise is silently
+    * meaningless. The guard fails LOUDLY instead — lazily, inside the same
+    * plan (no extra driver action): a one-row aggregate counts distinct
+    * SRIDs (and takes the min, for the cross-side equality check), reaches
+    * every row via a broadcast cross join, and an `assert_true` filter
+    * detonates at execution when the frame mixes planes. Cost at 100 TB:
+    * one map-side-combined pass over the WKB column per side — noise next
+    * to the explode+shuffle the join itself does. No reprojection math is
+    * attempted (honest scope: EWKB SRIDs surface via [[Wkb.srid]]; callers
+    * reproject upstream) — the contract is only "never silently wrong".
+    */
+  private def guardUniformSrid(df: DataFrame, wkbCol: String, side: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val stats = df.agg(
+      countDistinct(sridUdf(col(wkbCol))).as("__n_srid"),
+      min(sridUdf(col(wkbCol))).as("__srid"))
+    df.crossJoin(broadcast(stats))
+      .filter(isnull(assert_true($"__n_srid" <= 1,
+        concat(lit(s"$side side of a spatial join mixes SRIDs in `$wkbCol` ("),
+          $"__n_srid", lit(" distinct) — reproject to one CRS upstream")))))
+      .drop("__n_srid")
+  }
+
+  /** Detonates (lazily) when the two guarded sides carry different single
+    * SRIDs — each side uniform but in different CRSs is just as silently
+    * wrong as a mixed column. Both inputs must have passed
+    * [[guardUniformSrid]] (which leaves `__srid` on the frame).
+    */
+  private def guardSameSrid(joined: DataFrame, a: Column, b: Column): DataFrame = {
+    val s = joined.sparkSession
+    import s.implicits._
+    joined.filter(isnull(assert_true(coalesce(a === b, lit(true)),
+      concat(lit("spatial join across CRSs: left SRID "), a,
+        lit(" vs right SRID "), b, lit(" — reproject one side upstream")))))
+  }
+
   /** Grid-blocked point-in-polygon join.
     *
     * @param points (point_id: any, px: double, py: double)
@@ -56,7 +96,9 @@ object Spatial {
   def pointInPolygonJoin(points: DataFrame, polys: DataFrame, cell: Double): DataFrame = {
     val s = points.sparkSession
     import s.implicits._
-    val gridded = polys
+    // points are bare coords — their CRS is the caller's contract; the WKB
+    // side is guarded against silently mixing planes
+    val gridded = guardUniformSrid(polys, "wkb", "polygon")
       .withColumn("bb", bboxUdf($"wkb"))
       .select($"poly_id", $"wkb",
         explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
@@ -86,18 +128,21 @@ object Spatial {
     val s = polysA.sparkSession
     import s.implicits._
     def gridded(df: DataFrame, id: String, wkb: String, p: String): DataFrame =
-      df.withColumn("bb", bboxUdf(col(wkb)))
-        .select(col(id), col(wkb),
+      guardUniformSrid(df, wkb, s"${p.stripSuffix("_")}")
+        .withColumn("bb", bboxUdf(col(wkb)))
+        .select(col(id), col(wkb), $"__srid".as(s"${p}srid"),
           $"bb.xmin".as(s"${p}xmin"), $"bb.ymin".as(s"${p}ymin"),
           $"bb.xmax".as(s"${p}xmax"), $"bb.ymax".as(s"${p}ymax"),
           explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
-        .select(col(id), col(wkb),
+        .select(col(id), col(wkb), col(s"${p}srid"),
           col(s"${p}xmin"), col(s"${p}ymin"), col(s"${p}xmax"), col(s"${p}ymax"),
           $"c._1".as(s"${p}cell_x"), $"c._2".as(s"${p}cell_y"))
     val isectUdf = udf { (a: Array[Byte], b: Array[Byte]) => Wkb.intersects(a, b) }
-    gridded(polysA, "a_id", "a_wkb", "a_")
-      .join(gridded(polysB, "b_id", "b_wkb", "b_"),
-        $"a_cell_x" === $"b_cell_x" && $"a_cell_y" === $"b_cell_y")
+    guardSameSrid(
+      gridded(polysA, "a_id", "a_wkb", "a_")
+        .join(gridded(polysB, "b_id", "b_wkb", "b_"),
+          $"a_cell_x" === $"b_cell_x" && $"a_cell_y" === $"b_cell_y"),
+      col("a_srid"), col("b_srid"))
       // bbox overlap reject (free: the bbox columns are already here)
       .filter($"a_xmin" <= $"b_xmax" && $"a_xmax" >= $"b_xmin" &&
         $"a_ymin" <= $"b_ymax" && $"a_ymax" >= $"b_ymin")
@@ -136,7 +181,7 @@ object Spatial {
     val distUdf = udf { (wkb: Array[Byte], px: Double, py: Double) =>
       if (Wkb.containsPoint(wkb, px, py)) 0.0 else Wkb.boundaryDistance(wkb, px, py)
     }
-    val gridded = polys
+    val gridded = guardUniformSrid(polys, "wkb", "polygon")
       .withColumn("bb", bboxUdf($"wkb"))
       .select($"poly_id", $"wkb", $"bb.xmin".as("g_xmin"), $"bb.ymin".as("g_ymin"),
         explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
@@ -340,5 +385,37 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n)
+  // ---------------------------------------------------------------- A11q
+  /** EWKB SRID surface (previously consumed-and-discarded by the WKB
+    * header parser): build per-row point EWKB carrying an SRID, read it
+    * back with the [[Wkb.srid]]/[[Wkb.setSrid]] pair. The oracle replays
+    * the srid arithmetic and the untouched x ordinate directly — it never
+    * sees the bytes; the header write/parse roundtrip is the engine-side
+    * subject under test (the a11h WKT-roundtrip pattern). Map-side only.
+    */
+  private val sridPointUdf: UserDefinedFunction =
+    udf { (x: Double, y: Double, srid: Int) => Wkb.setSrid(Wkb.point(x, y), srid) }
+  private val geomTypeUdf: UserDefinedFunction = udf { (b: Array[Byte]) => Wkb.geomType(b) }
+  private val a11q = QuerySpec(
+    "a11q_srid",
+    "EWKB SRID roundtrip: point EWKB written with SRID 4326 + event_id % 3, then geom_srid / geom_type / bbox-x read back from the bytes; oracle replays the srid arithmetic and the pass-through ordinate.",
+    Some("""SELECT event_id,
+              CAST(4326 + event_id % 3 AS BIGINT) AS srid,
+              'POINT' AS gtype, value AS px
+            FROM events ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id", $"value",
+          (lit(4326) + pmod($"event_id", lit(3))).cast(IntegerType).as("srid_in"))
+        .withColumn("g", sridPointUdf($"value", $"value", $"srid_in"))
+        .select($"event_id",
+          sridUdf($"g").cast(LongType).as("srid"),
+          geomTypeUdf($"g").as("gtype"),
+          bboxUdf($"g").getField("xmin").as("px"))
+        .orderBy($"event_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q)
 }

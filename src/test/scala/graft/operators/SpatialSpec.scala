@@ -94,6 +94,49 @@ class SpatialSpec extends AnyFunSuite {
     assert(again == rows.map(_.toString).sorted.toSeq)
   }
 
+  test("Wkb srid/setSrid: roundtrip, strip, body untouched, plain WKB reads 0") {
+    val plain = square(1, 2, 3, 4)
+    assert(Wkb.srid(plain) == 0)
+    val tagged = Wkb.setSrid(plain, 4326)
+    assert(Wkb.srid(tagged) == 4326)
+    // body pass-through: same type, same bbox, same area
+    assert(Wkb.geomType(tagged) == "POLYGON")
+    assert(Wkb.bbox(tagged) == Wkb.bbox(plain))
+    assert(Wkb.area(tagged) == Wkb.area(plain))
+    // re-tag replaces, srid=0 strips back to the original bytes
+    assert(Wkb.srid(Wkb.setSrid(tagged, 3857)) == 3857)
+    assert(Wkb.setSrid(tagged, 0).sameElements(plain))
+  }
+
+  test("spatial joins fail loudly on mixed or cross-CRS SRIDs, pass on uniform") {
+    import spark.implicits._
+    val points = Seq(("a", 5.0, 5.0)).toDF("point_id", "px", "py")
+    val mixed = Seq(
+      (1, Wkb.setSrid(square(0, 0, 10, 10), 4326)),
+      (2, Wkb.setSrid(square(0, 0, 10, 10), 3857))
+    ).toDF("poly_id", "wkb")
+    val e1 = intercept[Exception] {
+      Spatial.pointInPolygonJoin(points, mixed, cell = 10.0).count()
+    }
+    assert(e1.getMessage.contains("mixes SRIDs"), e1.getMessage)
+    // uniform non-zero SRID passes and still matches
+    val uniform = Seq(
+      (1, Wkb.setSrid(square(0, 0, 10, 10), 4326)),
+      (2, Wkb.setSrid(square(100, 100, 110, 110), 4326))
+    ).toDF("poly_id", "wkb")
+    val ok = Spatial.pointInPolygonJoin(points, uniform, cell = 10.0)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(ok == Set(("a", 1)))
+    // polygonJoin: each side uniform but in DIFFERENT CRSs also detonates
+    val a = Seq((1, Wkb.setSrid(square(0, 0, 10, 10), 4326))).toDF("a_id", "a_wkb")
+    val b = Seq((9, Wkb.setSrid(square(5, 5, 15, 15), 3857))).toDF("b_id", "b_wkb")
+    val e2 = intercept[Exception] { Spatial.polygonJoin(a, b, cell = 10.0).count() }
+    assert(e2.getMessage.contains("across CRSs"), e2.getMessage)
+    // same CRS both sides: joins fine
+    val b2 = Seq((9, Wkb.setSrid(square(5, 5, 15, 15), 4326))).toDF("b_id", "b_wkb")
+    assert(Spatial.polygonJoin(a, b2, cell = 10.0).collect().toSeq.nonEmpty)
+  }
+
   test("Wkb distance: pointDistance exact chain, boundaryDistance edge cases") {
     val d = Wkb.pointDistance(Wkb.point(1.0, 2.0), Wkb.point(4.0, 6.0))
     assert(d == 5.0)
