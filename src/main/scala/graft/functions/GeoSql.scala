@@ -38,5 +38,6 @@ object GeoSql {
     spark.udf.register("geom_geojson", (b: Array[Byte]) => Wkb.toGeoJson(b))
     spark.udf.register("geom_srid", (b: Array[Byte]) => Wkb.srid(b))
     spark.udf.register("geom_set_srid", (b: Array[Byte], srid: Int) => Wkb.setSrid(b, srid))
+    spark.udf.register("geom_reproject", (b: Array[Byte], srid: Int) => Wkb.reproject(b, srid))
   }
 }

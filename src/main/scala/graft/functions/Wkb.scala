@@ -129,6 +129,97 @@ object Wkb {
     out.array()
   }
 
+  /** Rewrites every XY coordinate through `f`, structure and byte order
+    * untouched (Z/M ordinates pass through, each collection member keeps
+    * its own endianness). The walk mirrors [[bbox]]; writes are absolute
+    * puts back into a copy of the input, so everything outside the
+    * coordinate doubles stays bit-identical.
+    */
+  def mapCoords(wkb: Array[Byte], f: (Double, Double) => (Double, Double)): Array[Byte] = {
+    val out = wkb.clone()
+    val bb = ByteBuffer.wrap(out)
+    def coords(n: Int, dims: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        val at = bb.position()
+        val x = bb.getDouble; val y = bb.getDouble
+        val (nx, ny) = f(x, y)
+        bb.putDouble(at, nx)
+        bb.putDouble(at + 8, ny)
+        var d = 2
+        while (d < dims) { bb.getDouble; d += 1 }
+        i += 1
+      }
+    }
+    def geom(): Unit = {
+      val h = header(bb)
+      h.base match {
+        case 1 => coords(1, h.dims)
+        case 2 => coords(bb.getInt, h.dims)
+        case 3 =>
+          val rings = bb.getInt
+          var r = 0
+          while (r < rings) { coords(bb.getInt, h.dims); r += 1 }
+        case t if t >= 4 && t <= 7 =>
+          val n = bb.getInt
+          var i = 0
+          while (i < n) { geom(); i += 1 }
+        case t => throw new IllegalArgumentException(s"wkb: unsupported geometry type $t")
+      }
+    }
+    geom()
+    out
+  }
+
+  /** Spherical-Mercator earth radius (EPSG:3857), meters. */
+  private val MercatorR = 6378137.0
+
+  /** WGS84 lon/lat degrees → EPSG:3857 meters (spherical Mercator). The
+    * op chains are written term-by-term (no library toRadians, whose
+    * divide-then-multiply order differs) so an oracle replaying
+    * `lon * pi() / 180 * R` and `ln(tan(pi()/4 + lat*pi()/360)) * R`
+    * matches the x chain bit-for-bit; y's ln/tan may differ by a last-ulp
+    * across libms, so oracle-checked outputs quantize y coarsely. Domain:
+    * |lat| < 90 (the projection diverges at the poles; EPSG:3857 itself
+    * cuts off at ±85.051129°).
+    */
+  def lonLatToMercator(lon: Double, lat: Double): (Double, Double) =
+    (lon * math.Pi / 180.0 * MercatorR,
+      math.log(math.tan(math.Pi / 4 + lat * math.Pi / 360.0)) * MercatorR)
+
+  /** EPSG:3857 meters → WGS84 lon/lat degrees (inverse spherical
+    * Mercator).
+    */
+  def mercatorToLonLat(x: Double, y: Double): (Double, Double) =
+    (x / MercatorR * 180.0 / math.Pi,
+      (math.atan(math.exp(y / MercatorR)) * 2 - math.Pi / 2) * 180.0 / math.Pi)
+
+  /** Reprojects between the two CRSs a web-mapping PostGIS habitat uses
+    * constantly: EPSG:4326 (WGS84 degrees) ↔ EPSG:3857 (spherical
+    * Mercator meters). The source CRS is read from the value's own EWKB
+    * SRID header — plain WKB (SRID 0) is rejected loudly (tag with
+    * [[setSrid]] first) rather than guessed; same-SRID is the identity.
+    * The result carries `toSrid` in its header, so downstream mixed-SRID
+    * guards keep working. Any other pair is rejected: no datum-shift
+    * tables exist in this offline image, and a silently-wrong transform
+    * is worse than a loud unsupported one.
+    */
+  def reproject(wkb: Array[Byte], toSrid: Int): Array[Byte] = {
+    val from = srid(wkb)
+    require(from != 0,
+      "reproject: source SRID unknown (plain WKB) — tag with geom_set_srid first")
+    if (from == toSrid) wkb
+    else {
+      val f: (Double, Double) => (Double, Double) = (from, toSrid) match {
+        case (4326, 3857) => lonLatToMercator
+        case (3857, 4326) => mercatorToLonLat
+        case _ => throw new IllegalArgumentException(
+          s"reproject: unsupported $from -> $toSrid (supported: 4326 <-> 3857)")
+      }
+      setSrid(mapCoords(wkb, f), toSrid)
+    }
+  }
+
   def geomType(wkb: Array[Byte]): String = header(ByteBuffer.wrap(wkb)).base match {
     case 1 => "POINT"
     case 2 => "LINESTRING"

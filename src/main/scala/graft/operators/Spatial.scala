@@ -47,40 +47,43 @@ object Spatial {
 
   /** Mixed-SRID guard for the grid joins: geometries in different CRSs
     * share no coordinate plane, so joining them cell-wise is silently
-    * meaningless. The guard fails LOUDLY instead — lazily, inside the same
-    * plan (no extra driver action): a one-row aggregate counts distinct
-    * SRIDs (and takes the min, for the cross-side equality check), reaches
-    * every row via a broadcast cross join, and an `assert_true` filter
-    * detonates at execution when the frame mixes planes. Cost at 100 TB:
-    * one map-side-combined pass over the WKB column per side — noise next
-    * to the explode+shuffle the join itself does. No reprojection math is
-    * attempted (honest scope: EWKB SRIDs surface via [[Wkb.srid]]; callers
+    * meaningless. The guard fails LOUDLY instead — lazily, in-plan, and
+    * WITHOUT touching the join itself: each guarded side contributes a
+    * keyless one-row SRID aggregate (distinct count + min); the sides'
+    * aggregates union together, re-aggregate to (max per-side distinct,
+    * distinct CRS count across sides), filter to VIOLATIONS ONLY, and the
+    * surviving row — shaped to the result schema — is unioned onto the
+    * result, where an `assert_true` detonates at execution. Uniform
+    * inputs make the branch empty, so the union contributes nothing.
+    *
+    * Cost at 100 TB: one map-side-combined pass over the WKB column per
+    * side — noise next to the explode+shuffle the join does. Crucially
+    * the guard adds NO join: broadcasting the one-row stats onto every
+    * data row (the previous shape) plans as a keyless
+    * BroadcastNestedLoopJoin, which is exactly what the PlanAuditSpec /
+    * ScaleSpec no-BNLJ gates exist to forbid — the audited data path must
+    * keep its single cell equi-join. No reprojection math is attempted
+    * (honest scope: EWKB SRIDs surface via [[Wkb.srid]]; callers
     * reproject upstream) — the contract is only "never silently wrong".
     */
-  private def guardUniformSrid(df: DataFrame, wkbCol: String, side: String): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    val stats = df.agg(
-      countDistinct(sridUdf(col(wkbCol))).as("__n_srid"),
-      min(sridUdf(col(wkbCol))).as("__srid"))
-    df.crossJoin(broadcast(stats))
-      .filter(isnull(assert_true($"__n_srid" <= 1,
-        concat(lit(s"$side side of a spatial join mixes SRIDs in `$wkbCol` ("),
-          $"__n_srid", lit(" distinct) — reproject to one CRS upstream")))))
-      .drop("__n_srid")
-  }
-
-  /** Detonates (lazily) when the two guarded sides carry different single
-    * SRIDs — each side uniform but in different CRSs is just as silently
-    * wrong as a mixed column. Both inputs must have passed
-    * [[guardUniformSrid]] (which leaves `__srid` on the frame).
-    */
-  private def guardSameSrid(joined: DataFrame, a: Column, b: Column): DataFrame = {
-    val s = joined.sparkSession
-    import s.implicits._
-    joined.filter(isnull(assert_true(coalesce(a === b, lit(true)),
-      concat(lit("spatial join across CRSs: left SRID "), a,
-        lit(" vs right SRID "), b, lit(" — reproject one side upstream")))))
+  private def withSridGuard(result: DataFrame, sides: Seq[(DataFrame, String)],
+      what: String): DataFrame = {
+    val stats = sides.map { case (df, wkbCol) =>
+      df.agg(countDistinct(sridUdf(col(wkbCol))).as("n"),
+        min(sridUdf(col(wkbCol))).as("m"))
+    }.reduce(_ union _)
+    val bad = stats
+      .agg(max(col("n")).as("maxn"), countDistinct(col("m")).as("ncrs"))
+      .filter(col("maxn") > 1 || col("ncrs") > 1)
+      .filter(isnull(assert_true(lit(false),
+        when(col("maxn") > 1,
+          concat(lit(s"$what mixes SRIDs ("), col("maxn"),
+            lit(" distinct in one geometry column) — reproject to one CRS upstream")))
+          .otherwise(concat(lit(s"$what joins across CRSs ("), col("ncrs"),
+            lit(" distinct single-SRID sides) — reproject one side upstream"))))))
+    val shaped = bad.select(result.schema.fields.toSeq.map(f =>
+      lit(null).cast(f.dataType).as(f.name)): _*)
+    result.unionByName(shaped)
   }
 
   /** Grid-blocked point-in-polygon join.
@@ -98,17 +101,18 @@ object Spatial {
     import s.implicits._
     // points are bare coords — their CRS is the caller's contract; the WKB
     // side is guarded against silently mixing planes
-    val gridded = guardUniformSrid(polys, "wkb", "polygon")
+    val gridded = polys
       .withColumn("bb", bboxUdf($"wkb"))
       .select($"poly_id", $"wkb",
         explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
       .select($"poly_id", $"wkb", $"c._1".as("cell_x"), $"c._2".as("cell_y"))
-    points
+    val joined = points
       .withColumn("p_cell_x", floor($"px" / cell).cast(LongType))
       .withColumn("p_cell_y", floor($"py" / cell).cast(LongType))
       .join(gridded, $"p_cell_x" === $"cell_x" && $"p_cell_y" === $"cell_y")
       .filter(containsUdf($"wkb", $"px", $"py"))
       .select($"point_id", $"poly_id")
+    withSridGuard(joined, Seq((polys, "wkb")), "the polygon side of a point-in-polygon join")
   }
 
   /** Grid-blocked polygon-polygon intersects join.
@@ -128,21 +132,19 @@ object Spatial {
     val s = polysA.sparkSession
     import s.implicits._
     def gridded(df: DataFrame, id: String, wkb: String, p: String): DataFrame =
-      guardUniformSrid(df, wkb, s"${p.stripSuffix("_")}")
+      df
         .withColumn("bb", bboxUdf(col(wkb)))
-        .select(col(id), col(wkb), $"__srid".as(s"${p}srid"),
+        .select(col(id), col(wkb),
           $"bb.xmin".as(s"${p}xmin"), $"bb.ymin".as(s"${p}ymin"),
           $"bb.xmax".as(s"${p}xmax"), $"bb.ymax".as(s"${p}ymax"),
           explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
-        .select(col(id), col(wkb), col(s"${p}srid"),
+        .select(col(id), col(wkb),
           col(s"${p}xmin"), col(s"${p}ymin"), col(s"${p}xmax"), col(s"${p}ymax"),
           $"c._1".as(s"${p}cell_x"), $"c._2".as(s"${p}cell_y"))
     val isectUdf = udf { (a: Array[Byte], b: Array[Byte]) => Wkb.intersects(a, b) }
-    guardSameSrid(
-      gridded(polysA, "a_id", "a_wkb", "a_")
-        .join(gridded(polysB, "b_id", "b_wkb", "b_"),
-          $"a_cell_x" === $"b_cell_x" && $"a_cell_y" === $"b_cell_y"),
-      col("a_srid"), col("b_srid"))
+    val joined = gridded(polysA, "a_id", "a_wkb", "a_")
+      .join(gridded(polysB, "b_id", "b_wkb", "b_"),
+        $"a_cell_x" === $"b_cell_x" && $"a_cell_y" === $"b_cell_y")
       // bbox overlap reject (free: the bbox columns are already here)
       .filter($"a_xmin" <= $"b_xmax" && $"a_xmax" >= $"b_xmin" &&
         $"a_ymin" <= $"b_ymax" && $"a_ymax" >= $"b_ymin")
@@ -152,6 +154,8 @@ object Spatial {
         floor(greatest($"a_ymin", $"b_ymin") / cell).cast(LongType) === $"a_cell_y")
       .filter(isectUdf($"a_wkb", $"b_wkb"))
       .select($"a_id", $"b_id")
+    withSridGuard(joined, Seq((polysA, "a_wkb"), (polysB, "b_wkb")),
+      "a polygon-polygon intersects join")
   }
 
   /** Grid-blocked "nearest polygon within r" join.
@@ -181,7 +185,7 @@ object Spatial {
     val distUdf = udf { (wkb: Array[Byte], px: Double, py: Double) =>
       if (Wkb.containsPoint(wkb, px, py)) 0.0 else Wkb.boundaryDistance(wkb, px, py)
     }
-    val gridded = guardUniformSrid(polys, "wkb", "polygon")
+    val gridded = polys
       .withColumn("bb", bboxUdf($"wkb"))
       .select($"poly_id", $"wkb", $"bb.xmin".as("g_xmin"), $"bb.ymin".as("g_ymin"),
         explode(cellsUdf($"bb.xmin", $"bb.ymin", $"bb.xmax", $"bb.ymax", lit(cell))).as("c"))
@@ -194,7 +198,7 @@ object Spatial {
         $"c._1".as("p_cell_x"), $"c._2".as("p_cell_y"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"point_id").orderBy($"dist", $"poly_id")
-    balled
+    val joined = balled
       .join(gridded, $"p_cell_x" === $"cell_x" && $"p_cell_y" === $"cell_y")
       // canonical-cell duplicate avoidance (the polygonJoin rule)
       .filter(floor(greatest($"px" - r, $"g_xmin") / cell).cast(LongType) === $"cell_x" &&
@@ -204,6 +208,8 @@ object Spatial {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"point_id", $"poly_id", $"dist")
+    withSridGuard(joined, Seq((polys, "wkb")),
+      "the polygon side of a nearest-polygon join")
   }
 
   // ---------------------------------------------------------------- A11d
@@ -417,5 +423,50 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q)
+  // ---------------------------------------------------------------- A11r
+  /** CRS reprojection (EPSG:4326 ↔ 3857, [[Wkb.reproject]]): the oracle
+    * never sees the bytes — it replays the projection arithmetic on the
+    * source lon/lat. The x chain (`lon * π/180 * R`) is pure IEEE
+    * multiplication written in the same order both sides, so `x_mm`
+    * compares at millimeter quantization bit-exactly; y goes through
+    * ln/tan whose last ulp is libm-specific, so `y_km` quantizes to
+    * kilometers (flip risk ~1e-12/row, see Wkb.lonLatToMercator note).
+    * The inverse roundtrip is asserted ENGINE-side (<1e-9°) and the
+    * oracle replays the constant. Map-side only — reprojection at 100 TB
+    * is an embarrassingly parallel per-row rewrite.
+    */
+  private val reprojectUdf: UserDefinedFunction =
+    udf { (b: Array[Byte], srid: Int) => Wkb.reproject(b, srid) }
+  private val a11r = QuerySpec(
+    "a11r_reproject",
+    "Web-Mercator reprojection roundtrip: per-row 4326 point EWKB -> 3857 meters -> back; x at mm quantization (exact IEEE replay), y at km (libm-tolerant), inverse checked engine-side to 1e-9 degrees.",
+    Some("""WITH c AS (SELECT event_id,
+              (value % 300.0) - 150.0 AS lon,
+              (value % 120.0) - 60.0 AS lat
+            FROM events)
+            SELECT event_id,
+              CAST(3857 AS BIGINT) AS srid3857,
+              CAST(floor(lon * pi() / 180.0 * 6378137.0 * 1000) AS BIGINT) AS x_mm,
+              CAST(floor(ln(tan(pi() / 4 + lat * pi() / 360.0)) * 6378137.0 / 1000) AS BIGINT) AS y_km,
+              TRUE AS roundtrip_ok
+            FROM c ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          (pmod($"value", lit(300.0)) - 150.0).as("lon"),
+          (pmod($"value", lit(120.0)) - 60.0).as("lat"))
+        .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(3857)))
+        .withColumn("back", reprojectUdf($"g", lit(4326)))
+        .select($"event_id",
+          sridUdf($"g").cast(LongType).as("srid3857"),
+          floor(bboxUdf($"g").getField("xmin") * 1000).cast(LongType).as("x_mm"),
+          floor(bboxUdf($"g").getField("ymin") / 1000).cast(LongType).as("y_km"),
+          (abs(bboxUdf($"back").getField("xmin") - $"lon") < 1e-9 &&
+            abs(bboxUdf($"back").getField("ymin") - $"lat") < 1e-9).as("roundtrip_ok"))
+        .orderBy($"event_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r)
 }

@@ -174,10 +174,11 @@ object TierCSim {
     * kept representative per cluster. Each round every node takes the min
     * label among itself and its neighbors; converges in O(graph diameter)
     * rounds, and near-dup clusters are shallow (diameter ≤ cluster size,
-    * typically ≤ 5), so the driver loop runs a handful of shuffle joins —
-    * the standard large-scale CC shape (the large-star/small-star
-    * refinement drops the round count further at extreme diameters; not
-    * needed for dedup graphs). min() is commutative/associative, so the
+    * typically ≤ 5), so the driver loop runs a handful of shuffle joins.
+    * Kept as the simple baseline; [[connectedComponentsStar]] is the
+    * diameter-independent O(log n)-round variant the declared query runs
+    * (ScaleSpec pins their label-for-label equivalence on a planted
+    * chain). min() is commutative/associative, so the
     * result is partition-invariant and replay-deterministic.
     *
     * @param nodes (id)        every node, edges or not (singletons keep
@@ -220,10 +221,112 @@ object TierCSim {
     labels
   }
 
+  // --------------------------- large-star/small-star star contraction CC
+  /** One large-star step: every node u computes m(u) = min(Γ(u) ∪ {u}) and
+    * re-attaches each STRICTLY LARGER neighbor to m(u). Connectivity is
+    * preserved (each undirected edge (a,b), a<b, is re-emitted from a's
+    * group as (b, m(a))) and the sum of node labels strictly decreases
+    * until the component is a star.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    und.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star step: orient every edge (hi, lo), hi > lo; each hi
+    * attaches all its smaller neighbors AND itself to m(hi) = min of those
+    * neighbors — collapsing chains of small nodes onto the local minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(greatest(col("u"), col("v")).as("hi"),
+      least(col("u"), col("v")).as("lo"))
+    val m = o.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    val attach = o.join(m, "hi").filter(col("lo") =!= col("m"))
+      .select(col("lo").as("u"), col("m").as("v"))
+    attach.union(m.select(col("hi").as("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Star-contraction connected components (alternating large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): converges in O(log n) rounds on ANY graph, vs the hash-min
+    * loop's O(diameter) — the difference between 6 and 60+ shuffle rounds
+    * on a chain-shaped cluster. Each round is two groupBy+join+distinct
+    * passes over the CURRENT edge set, which only shrinks as components
+    * contract toward stars. min/greatest/least are order-invariant, so the
+    * result is partition-invariant and replay-deterministic.
+    *
+    * Convergence is detected by an edge-set fingerprint (count + sum of
+    * xxhash64(u,v)) — ONE action per round on an already-distinct edge
+    * set; a missed change needs a 2^-64 hash-sum collision between two
+    * distinct same-size edge sets, and the alternation is a monotone
+    * contraction (no oscillation), so a stable fingerprint means a true
+    * fixed point. At the fixed point every component is a star rooted at
+    * its minimum id, so the final label is least(id, min(neighbor)).
+    *
+    * @return (labels (id, cluster), rounds run) — rounds exposed for the
+    *         ScaleSpec assertion that chains converge logarithmically
+    */
+  private[graft] def starComponents(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    import s.implicits._
+    // localCheckpoint, not persist: one star round references its input
+    // ~8× (the union doubling + the groupBy/join reuse on each star), so
+    // the LOGICAL plan grows 8× per round — exponential analysis cost by
+    // round ~6 if lineage is kept. Checkpointing materializes the edge
+    // list and restarts the plan from a leaf each round, the standard
+    // discipline for iterative graph algorithms (same reason GraphFrames
+    // CC checkpoints every few iterations). Local (executor-block)
+    // checkpoints suffice: a lost executor fails the job, and the whole
+    // computation is deterministic — rerun-safe.
+    var cur = edges.select($"src".as("u"), $"dst".as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    // decimal(38,0) sum: exact and order-invariant, and can't hit the
+    // ANSI long-overflow 2^63 wrap a raw sum of 64-bit hashes would
+    def fp(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64($"u", $"v").cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
+    }
+    var prevFp = fp(cur)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextFp = fp(next)
+      // superseded checkpoint blocks are reclaimed by the ContextCleaner
+      // once `cur` is unreachable (unpersist() doesn't cover checkpoints)
+      cur = next
+      converged = nextFp == prevFp
+      prevFp = nextFp
+      rounds += 1
+    }
+    val und = cur.union(cur.select($"v".as("u"), $"u".as("v")))
+    val nbrMin = und.groupBy($"u".as("nid")).agg(min($"v").as("mn"))
+    val labels = nodes.select($"id")
+      .join(nbrMin, $"id" === $"nid", "left")
+      .select($"id", least($"id", coalesce($"mn", $"id")).as("cluster"))
+    (labels, rounds)
+  }
+
+  /** Star-contraction CC with the same (nodes, edges) → (id, cluster)
+    * contract as [[connectedComponents]]; the variant `c2_cluster` runs.
+    */
+  def connectedComponentsStar(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, maxIters: Int = 50): DataFrame =
+    starComponents(s, nodes, edges, maxIters)._1
+
   private val ClusterThreshold = 0.3
   private val c2c = QuerySpec(
     "c2_cluster",
-    "Near-dup cluster assignment: hash-min connected components over the word-bigram Jaccard >= 0.3 pair graph; every document labeled with the min doc_id of its cluster (singletons label themselves). Oracle replays reachability with a recursive CTE.",
+    "Near-dup cluster assignment: large-star/small-star star-contraction components (O(log n) rounds on any graph shape) over the word-bigram Jaccard >= 0.3 pair graph; every document labeled with the min doc_id of its cluster (singletons label themselves). Oracle replays reachability with a recursive CTE.",
     Some(s"""WITH RECURSIVE t AS (SELECT doc_id, source,
               list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
               FROM documents),
@@ -249,7 +352,7 @@ object TierCSim {
       val pairs = ngramJaccardPairs(s, docs, ClusterThreshold, NgramDfCap)
         .select($"id_a".as("src"), $"id_b".as("dst"))
       val nodes = docs.select($"doc_id".as("id"))
-      connectedComponents(s, nodes, pairs)
+      connectedComponentsStar(s, nodes, pairs)
         .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
         .orderBy($"doc_id")
     }
@@ -401,8 +504,16 @@ object TierCSim {
     ivfTopKOn(s, e, k, ivfCells(embeddings.count()))
   }
 
-  private def ivfTopKOn(s: SparkSession, e: DataFrame, k: Int, cells: Int,
-      sampleSize: Int = 1024): DataFrame = {
+  /** IVF coarse-quantizer seeds: ONE deterministic md5-ordered sample
+    * collect, then the incremental driver-side k-center greedy (min
+    * max-cosine, ties to lowest vec_id). Shared by [[ivfTopKOn]] and
+    * [[ivfPqSearch]] so both build the identical quantizer for a given
+    * corpus. Input `e` must carry (vec_id, embedding, n2).
+    *
+    * @return (seed vector, seed squared-norm) in selection order
+    */
+  private def ivfSeeds(s: SparkSession, e: DataFrame, cells: Int,
+      sampleSize: Int): Seq[(Seq[Float], Double)] = {
     import s.implicits._
 
     // one-pass deterministic sample, then driver-side k-center greedy
@@ -455,22 +566,31 @@ object TierCSim {
       }
       addSeed(best)
     }
-    val seeds = seedIdxs.map(j => (sample(j)._2, n2s(j)))
+    seedIdxs.map(j => (sample(j)._2, n2s(j)))
+  }
 
+  /** Cell assignment for a seed set: argmax cosine to seed, ties to the
+    * lowest seed index. Linear-size expression: each per-seed similarity
+    * appears exactly once inside an array, argmax = first position of the
+    * max. (A fold of when(sim > bestSim)/greatest pairs re-references the
+    * running best per step, DOUBLING the expression tree per seed —
+    * 2^cells nodes; at 16 adaptive cells that was a 124 s planning/codegen
+    * storm, measured.) Needs (embedding, n2) columns in scope.
+    */
+  private def cellAssignCol(seeds: Seq[(Seq[Float], Double)]): Column = {
     def cos(seedVec: Seq[Float], seedN2: Double): Column =
-      TierC.dot($"embedding", typedlit(seedVec)) / (sqrt($"n2") * math.sqrt(seedN2))
-
-    // cell assignment: argmax cosine to seed, ties to the lowest seed
-    // index. Linear-size expression: each per-seed similarity appears
-    // exactly once inside an array, argmax = first position of the max.
-    // (A fold of when(sim > bestSim)/greatest pairs re-references the
-    // running best per step, DOUBLING the expression tree per seed —
-    // 2^cells nodes; at 16 adaptive cells that was a 124 s
-    // planning/codegen storm, measured.)
+      TierC.dot(col("embedding"), typedlit(seedVec)) /
+        (sqrt(col("n2")) * math.sqrt(seedN2))
     val simCols = seeds.map { case (v, n2) => cos(v, n2) }
-    val cellCol = array_position(array(simCols: _*),
+    array_position(array(simCols: _*),
       array_max(array(simCols: _*))).cast(IntegerType) - 1
-    val assigned = e.withColumn("cell", cellCol).persist()
+  }
+
+  private def ivfTopKOn(s: SparkSession, e: DataFrame, k: Int, cells: Int,
+      sampleSize: Int = 1024): DataFrame = {
+    import s.implicits._
+    val seeds = ivfSeeds(s, e, cells, sampleSize)
+    val assigned = e.withColumn("cell", cellAssignCol(seeds)).persist()
 
     val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"cell", $"n2".as("na2"))
     val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"cell".as("cell_r"), $"n2".as("nb2"))
@@ -645,6 +765,71 @@ object TierCSim {
       .orderBy($"id_a", $"rn")
   }
 
+  /** True IVF-PQ: the pre-top-k joined frame — every (query, candidate)
+    * pair the ADC scan touches, so tests can assert the per-query scan is
+    * bounded by the query's IVF cell population (the whole point of the
+    * composition). Columns: id_a, cell, id_b, approx.
+    */
+  private[graft] def ivfPqJoined(s: SparkSession, embeddings: DataFrame,
+      m: Int = 4, codes: Int = 16, sampleSize: Int = 256,
+      cells: Int = 0): DataFrame = {
+    import s.implicits._
+    val e = embeddings.select($"vec_id", $"embedding",
+      TierC.dot($"embedding", $"embedding").as("n2")).persist()
+    val nCells = if (cells > 0) cells else ivfCells(e.count())
+    val seeds = ivfSeeds(s, e, nCells, 1024)
+    val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
+    val sub = books.head.head.length
+    // candidate side: IVF cell + m sub-codes ONLY — 4 bytes of geometry
+    // per row crosses the shuffle, never the float vector
+    val codeCols = (0 until m).map { si =>
+      val arr = pqDistArray(si, sub, books(si), $"embedding")
+      ((array_position(arr, array_min(arr)).cast(IntegerType)) - 1).as(s"c$si")
+    }
+    val cand = e.select(($"vec_id".as("id_b") +:
+      cellAssignCol(seeds).as("cell_r") +: codeCols): _*)
+    // query side: same cell assignment (nprobe=1, matching c3_ivf) + the
+    // per-subspace LUTs materialized BEFORE the join
+    val q = (0 until m).foldLeft(
+        e.select($"vec_id".as("id_a"), $"embedding", $"n2",
+          cellAssignCol(seeds).as("cell"))) { (df, si) =>
+      df.withColumn(s"lut$si", pqDistArray(si, sub, books(si), $"embedding"))
+    }.drop("embedding", "n2")
+    val approx = (0 until m).map { si =>
+      element_at(col(s"lut$si"), col(s"c$si") + 1)
+    }.reduceLeft(_ + _)
+    q.join(cand, $"cell" === $"cell_r" && $"id_a" =!= $"id_b")
+      .withColumn("approx", approx)
+      .select($"id_a", $"cell", $"id_b", $"approx")
+  }
+
+  /** IVF × PQ — the composed ANN shape a 100 TB embedding store actually
+    * runs: the IVF coarse quantizer ([[ivfSeeds]], cell count adaptive in
+    * the corpus) bounds WHICH candidates each query scans (its own cell,
+    * nprobe=1), and PQ asymmetric distance ([[pqCodebooks]] LUTs) bounds
+    * WHAT each candidate costs (m table lookups over m sub-codes instead
+    * of a full float-vector dot). One shuffle on the cell key; per-query
+    * work = O(cell population), per-candidate payload = m bytes-ish codes.
+    */
+  def ivfPqSearch(s: SparkSession, embeddings: DataFrame, k: Int, m: Int = 4,
+      codes: Int = 16, sampleSize: Int = 256, cells: Int = 0): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"id_a").orderBy($"approx".asc, $"id_b")
+    ivfPqJoined(s, embeddings, m, codes, sampleSize, cells)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter($"rn" <= k)
+      .select($"id_a", $"id_b",
+        floor($"approx" * 1000000).cast(LongType).as("adist_ppm"), $"rn")
+      .orderBy($"id_a", $"rn")
+  }
+
+  private val c3ipq = QuerySpec(
+    "c3_ivfpq",
+    "True IVF-PQ ADC top-3: adaptive k-center IVF cells bound the candidate scan (nprobe=1), PQ distance tables bound per-candidate cost to 4 lookups over 4 sub-codes. No oracle (iterative index builds); SimSpec pins recall, determinism, and the per-query scan <= cell population bound.",
+    None,
+    (s, d) => ivfPqSearch(s, Tables.embeddings(s, d), 3)
+  )
+
   private val c3ps = QuerySpec(
     "c3_pq_search",
     "PQ asymmetric-distance top-3 within label blocks: per-query distance tables built before the join, candidates reduced to 4 sub-codes, approximate L2 = 4 lookups. No oracle (codebook build iterative); SimSpec pins planted-cluster recall + determinism.",
@@ -752,5 +937,5 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3ps, c3c, c3z)
+  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z)
 }

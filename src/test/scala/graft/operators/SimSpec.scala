@@ -125,6 +125,90 @@ class SimSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("connectedComponentsStar: hash-min labels on a 64-chain in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for hash-min: one long chain (diameter 63 → 63 label-
+    // propagation rounds). Star contraction must produce the identical
+    // labels in logarithmically few rounds.
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = TierCSim.starComponents(spark, nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap, s"wrong labels: $got")
+    assert(rounds <= 12,
+      s"star contraction took $rounds rounds on a 64-chain (diameter 63)")
+    // hash-min agreement on a chain SHORT enough for its O(diameter)
+    // rounds (its un-checkpointed lineage grows 3×/round — the very cost
+    // the star variant exists to avoid at depth)
+    val nodes8 = (0L until 8L).toDF("id")
+    val edges8 = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val star8 = TierCSim.connectedComponentsStar(spark, nodes8, edges8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashMin8 = TierCSim.connectedComponents(spark, nodes8, edges8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star8 == hashMin8 && star8 == (0L until 8L).map(_ -> 0L).toMap,
+      "star and hash-min labels diverge on the short chain")
+  }
+
+  test("connectedComponentsStar: multi-cluster + singleton, partition-invariant") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    val got = TierCSim.connectedComponentsStar(spark, nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, got.toString)
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val again = TierCSim.connectedComponentsStar(spark, nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == expect)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
+  test("ivfPqSearch: in-cluster recall, partition-invariant, scan bounded by cell population") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      mm <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(c * 37 + i).toFloat * 10f)
+      base(mm % dim) += 0.01f * (mm + 1)
+      (c * 10L + mm, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = TierCSim.ivfPqSearch(spark, df.repartition(1), 3, cells = 5).collect()
+    val b = TierCSim.ivfPqSearch(spark, df.repartition(7), 3, cells = 5).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "IVF-PQ not partition-invariant")
+    val byVec = a.groupBy(_.getLong(0))
+    assert(byVec.size == 20)
+    byVec.foreach { case (id, rs) =>
+      assert(rs.length == 3, s"vec $id got ${rs.length}")
+      rs.foreach(r => assert(r.getLong(1) / 10 == id / 10,
+        s"vec $id IVF-PQ neighbor ${r.getLong(1)} crossed cluster"))
+    }
+    // THE bound the composition buys: every query's ADC scan touches
+    // exactly (its cell's population - 1) candidates — never the corpus
+    val joined = TierCSim.ivfPqJoined(spark, df, cells = 5)
+    val scans = joined.groupBy($"id_a", $"cell").count().collect()
+    val pop = joined.select($"id_b", $"cell").distinct()
+      .groupBy($"cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(scans.nonEmpty)
+    scans.foreach { r =>
+      val (cell, cnt) = (r.getInt(1), r.getLong(2))
+      assert(cnt == pop(cell) - 1,
+        s"query ${r.getLong(0)} scanned $cnt candidates in cell $cell (pop ${pop(cell)})")
+      assert(cnt < vecs.length - 1L,
+        s"query ${r.getLong(0)} scanned the whole corpus — IVF restriction inert")
+    }
+  }
+
   test("annTopK: deterministic, k-bounded, neighbors stay within bucket") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)

@@ -137,6 +137,34 @@ class SpatialSpec extends AnyFunSuite {
     assert(Spatial.polygonJoin(a, b2, cell = 10.0).collect().toSeq.nonEmpty)
   }
 
+  test("Wkb.reproject: 4326<->3857 roundtrip, known anchor, loud rejections") {
+    // known anchor: lon 180 at the equator maps to the Mercator bound
+    val g = Wkb.setSrid(Wkb.point(180.0, 0.0), 4326)
+    val m = Wkb.reproject(g, 3857)
+    assert(Wkb.srid(m) == 3857)
+    val mb = Wkb.bbox(m)
+    assert(math.abs(mb.xmin - 2.0037508342789244e7) < 1e-6, mb.toString)
+    assert(mb.ymin == 0.0, "equator must map to y=0 exactly")
+    // polygon with a hole: structure survives, coords roundtrip to 1e-9°
+    val poly = Wkb.setSrid(Wkb.polygon(Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)))), 4326)
+    val rt = Wkb.reproject(Wkb.reproject(poly, 3857), 4326)
+    assert(Wkb.geomType(rt) == "POLYGON")
+    assert(Wkb.srid(rt) == 4326)
+    assert(Wkb.pointCount(rt) == Wkb.pointCount(poly), "ring structure changed")
+    val (b0, b1) = (Wkb.bbox(poly), Wkb.bbox(rt))
+    assert(math.abs(b0.xmin - b1.xmin) < 1e-9 && math.abs(b0.ymax - b1.ymax) < 1e-9,
+      s"roundtrip drift: $b0 vs $b1")
+    // same-SRID reprojection is the byte-identical identity
+    assert(Wkb.reproject(poly, 4326).sameElements(poly))
+    // plain WKB (no SRID) and unsupported CRS pairs fail loudly
+    intercept[IllegalArgumentException] { Wkb.reproject(Wkb.point(1, 2), 3857) }
+    intercept[IllegalArgumentException] {
+      Wkb.reproject(Wkb.setSrid(Wkb.point(1, 2), 2154), 4326)
+    }
+  }
+
   test("Wkb distance: pointDistance exact chain, boundaryDistance edge cases") {
     val d = Wkb.pointDistance(Wkb.point(1.0, 2.0), Wkb.point(4.0, 6.0))
     assert(d == 5.0)
