@@ -587,6 +587,22 @@ object Wkb {
     bb.getInt
   }
 
+  /** Per-ring vertex counts of a POLYGON — a structure probe: ring count
+    * and each ring's vertex count must survive any coordinate-level
+    * transform (e.g. [[reproject]]) unchanged.
+    */
+  def ringVertexCounts(wkb: Array[Byte]): Seq[Int] = {
+    val bb = ByteBuffer.wrap(wkb)
+    val h = header(bb)
+    require(h.base == 3, s"wkb: ringVertexCounts expects POLYGON, got type ${h.base}")
+    val rings = bb.getInt
+    (0 until rings).map { _ =>
+      val n = bb.getInt
+      bb.position(bb.position() + n * h.dims * 8)
+      n
+    }
+  }
+
   /** Douglas-Peucker polyline simplification of a LINESTRING: vertices
     * farther than `epsilon` (perpendicular distance) from the current
     * chord are kept recursively; endpoints always survive. Deterministic

@@ -83,7 +83,10 @@ object Spatial {
             lit(" distinct single-SRID sides) — reproject one side upstream"))))))
     val shaped = bad.select(result.schema.fields.toSeq.map(f =>
       lit(null).cast(f.dataType).as(f.name)): _*)
-    result.unionByName(shaped)
+    // Guard arm FIRST: short-circuiting consumers (limit/take/isEmpty)
+    // drain union children in order, so the assert evaluates before any
+    // data row can be returned — partial consumption can't skip the guard.
+    shaped.unionByName(result)
   }
 
   /** Grid-blocked point-in-polygon join.
@@ -413,7 +416,9 @@ object Spatial {
       import s.implicits._
       Tables.events(s, d)
         .select($"event_id", $"value",
-          (lit(4326) + pmod($"event_id", lit(3))).cast(IntegerType).as("srid_in"))
+          // `%` (not pmod) — matches the oracle's DuckDB `%` (sign of
+          // dividend) even if a future fixture adds negative ids
+          (lit(4326) + ($"event_id" % 3)).cast(IntegerType).as("srid_in"))
         .withColumn("g", sridPointUdf($"value", $"value", $"srid_in"))
         .select($"event_id",
           sridUdf($"g").cast(LongType).as("srid"),
@@ -454,8 +459,11 @@ object Spatial {
       import s.implicits._
       Tables.events(s, d)
         .select($"event_id",
-          (pmod($"value", lit(300.0)) - 150.0).as("lon"),
-          (pmod($"value", lit(120.0)) - 60.0).as("lat"))
+          // `%` (not pmod) — same negative-value semantics as the
+          // oracle's DuckDB `%` (fmod, sign of dividend), so the row
+          // can't go red if a future fixture adds negative values
+          (($"value" % 300.0) - 150.0).as("lon"),
+          (($"value" % 120.0) - 60.0).as("lat"))
         .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(3857)))
         .withColumn("back", reprojectUdf($"g", lit(4326)))
         .select($"event_id",
