@@ -1,0 +1,48 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache-ownership contract for operator-internal `persist()` calls.
+  *
+  * Some operators persist an intermediate frame because the frame feeds
+  * BOTH sides of a self-join (LSH/SimHash signature indexes, token
+  * explosions, embedding+norm projections) — without the barrier,
+  * CollapseProject inlines the expensive computation back into the join
+  * and it re-runs per PAIR (measured 2–3× whole-query cost). Those caches
+  * must outlive the function (the returned plan references them), so the
+  * function cannot unpersist them itself.
+  *
+  * The contract: every such persist is registered here, and the CALLER
+  * owns release — `releaseAll()` after the returned frame's final action.
+  * The Verify/Bench harnesses call it between queries (paired with
+  * `spark.catalog.clearCache()`); library compositions call it at
+  * pipeline boundaries. References are strong (a weak ref could be
+  * collected before release — the returned plan holds the logical plan,
+  * not the Dataset object — and the unpersist would be silently skipped);
+  * a caller that never releases gets exactly the old leak, never worse.
+  *
+  * Persists that only serve index-build actions inside an operator
+  * (sample collects, counts) are NOT registered — those are unpersisted
+  * before the function returns.
+  */
+object CacheRegistry {
+  private val frames = ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` and register it for caller-owned release. */
+  def persist(df: DataFrame): DataFrame = synchronized {
+    df.persist()
+    frames += df
+    df
+  }
+
+  /** Unpersist every registered frame (non-blocking) and clear the ledger. */
+  def releaseAll(): Unit = synchronized {
+    frames.foreach(_.unpersist(false))
+    frames.clear()
+  }
+
+  /** Registered frames not yet released (for tests). */
+  def registeredCount: Int = synchronized { frames.length }
+}

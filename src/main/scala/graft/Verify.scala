@@ -35,7 +35,8 @@ object Verify {
       }
       // queries are self-contained; drop any frames a query persisted so
       // 60+ queries in one JVM don't accumulate executor-memory caches
-      finally spark.catalog.clearCache()
+      // (releaseAll also empties the CacheRegistry's weak-ref ledger)
+      finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

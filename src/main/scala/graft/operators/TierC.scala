@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.QuerySpec
+import graft.{CacheRegistry, QuerySpec}
 import graft.functions.MinHash
 import graft.sources.Tables
 
@@ -92,7 +92,7 @@ object TierC {
     */
   def nearDuplicatePairs(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     import s.implicits._
-    val idx = lshIndex(docs).persist()
+    val idx = CacheRegistry.persist(lshIndex(docs))
     // self-join via explicit renames: df.as("x")/as("y") alias conditions on
     // a shared lineage can resolve both sides to the same attribute (a
     // trivially-true predicate ⇒ accidental all-pairs cross join)
@@ -102,8 +102,8 @@ object TierC {
         $"band_id" === $"band_id_r" && $"band_hash" === $"band_hash_r" && $"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .distinct()
-    val tokens = docs.select($"doc_id",
-      array_distinct(filter(split(lower($"text"), " "), t => t =!= "")).as("toks")).persist()
+    val tokens = CacheRegistry.persist(docs.select($"doc_id",
+      array_distinct(filter(split(lower($"text"), " "), t => t =!= "")).as("toks")))
     cand
       .join(tokens.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
       .join(tokens.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
@@ -150,10 +150,9 @@ object TierC {
       // norms once per VECTOR, persisted: without the materialization,
       // CollapseProject inlines the norm computation back into the join
       // output and it re-runs per PAIR (measured 2-3x the query cost)
-      val e = Tables.embeddings(s, d)
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
         .select($"vec_id", $"label", $"embedding",
-          dot($"embedding", $"embedding").as("n2"))
-        .persist()
+          dot($"embedding", $"embedding").as("n2")))
       val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
       val b = e.select($"vec_id".as("idb"), $"label".as("label_b"), $"embedding".as("eb"), $"n2".as("nb2"))
       val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
@@ -205,10 +204,9 @@ object TierC {
       val docs = Tables.documents(s, d)
       // persisted: the token explosion feeds both the tf and df branches —
       // without the barrier each branch re-scans and re-explodes the corpus
-      val toks = docs
+      val toks = CacheRegistry.persist(docs
         .select($"doc_id", $"source", explode(split(lower($"text"), " ")).as("token"))
-        .filter($"token" =!= "")
-        .persist()
+        .filter($"token" =!= ""))
       val tf = toks.groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
       val n = docs.agg(count(lit(1)).as("n"))

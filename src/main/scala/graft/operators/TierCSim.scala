@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.QuerySpec
+import graft.{CacheRegistry, QuerySpec}
 import graft.functions.TextStats
 import graft.sources.Tables
 
@@ -45,7 +45,7 @@ object TierCSim {
     */
   def simhashPairs(s: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
     import s.implicits._
-    val sigs = docs.select($"doc_id", simhashUdf($"text").as("simhash")).persist()
+    val sigs = CacheRegistry.persist(docs.select($"doc_id", simhashUdf($"text").as("simhash")))
     val banded = sigs.select($"doc_id", $"simhash",
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -103,17 +103,15 @@ object TierCSim {
     }
     // only the post-explode frame is reused (df scan + anti-join input),
     // so only it is persisted — the pre-explode frame is consumed once
-    val sized = docs
+    val sized = CacheRegistry.persist(docs
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
-      .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
-      .persist()
+      .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram")))
     // df per (source, gram) on the persisted explode; the hot head of the
     // Zipf curve is at most |grams|/cap entries — broadcastable by design
-    val hot = sized.groupBy($"source", $"gram").agg(count(lit(1)).as("df"))
+    val hot = CacheRegistry.persist(sized.groupBy($"source", $"gram").agg(count(lit(1)).as("df"))
       .filter($"df" > dfCap)
-      .select($"source".as("hot_source"), $"gram".as("hot_gram"))
-      .persist()
+      .select($"source".as("hot_source"), $"gram".as("hot_gram")))
     val nHot = hot.count()
     if (nHot > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
@@ -197,7 +195,6 @@ object TierCSim {
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .persist()
     var labels = nodes.select($"id", $"id".as("cluster"))
-    var prevCached: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -205,15 +202,22 @@ object TierCSim {
         .groupBy(und("src").as("nid")).agg(min($"cluster").as("nbr_min"))
       // carry the old label inside the frame: ONE action both materializes
       // the round and measures convergence (a separate changed-join would
-      // double the per-round job count — measured ~2s/round at sf0.1)
+      // double the per-round job count — measured ~2s/round at sf0.1).
+      // Lazy localCheckpoint, not persist: each round references `labels`
+      // 2× (the nbrMin join + the outer join), so an un-truncated lineage
+      // TRIPLES per round — and every per-round action stringifies the
+      // whole plan for the SQL listener, so plan analysis AND the plan-
+      // string render grow 3^rounds (measured: minutes of pure driver
+      // generateTreeString on an 8-node chain late in a shared session).
+      // The checkpoint restarts the plan from a leaf each round; the
+      // convergence count is the materializing action, and superseded
+      // round blocks are reclaimed by the ContextCleaner.
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id"),
           least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"),
           labels("cluster").as("old"))
-        .persist()
+        .localCheckpoint(eager = false)
       changed = next.filter($"cluster" =!= $"old").count()
-      if (prevCached != null) prevCached.unpersist() // superseded round
-      prevCached = next
       labels = next.select($"id", $"cluster")
       iter += 1
     }
@@ -236,7 +240,9 @@ object TierCSim {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // No distinct: the output feeds smallStar, whose groupBy/min is
+    // duplicate-tolerant and whose own final distinct bounds the round's
+    // edge set — fusing the two dedup passes saves a full shuffle/round.
   }
 
   /** One small-star step: orient every edge (hi, lo), hi > lo; each hi
@@ -299,7 +305,11 @@ object TierCSim {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // Lazy checkpoint: the fingerprint aggregation is the round's ONE
+      // action — it runs the star plan and persists the checkpoint blocks
+      // as a side effect (an eager checkpoint would cost a second full
+      // job per round just to materialize before fingerprinting).
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val nextFp = fp(next)
       // superseded checkpoint blocks are reclaimed by the ContextCleaner
       // once `cur` is unreachable (unpersist() doesn't cover checkpoints)
@@ -381,10 +391,9 @@ object TierCSim {
       import s.implicits._
       // persisted for the same CollapseProject reason as c3: otherwise the
       // norm computation re-runs per joined pair
-      val e = Tables.embeddings(s, d)
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
         .select($"vec_id", $"label", $"embedding",
-          TierC.dot($"embedding", $"embedding").as("n2"))
-        .persist()
+          TierC.dot($"embedding", $"embedding").as("n2")))
       val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
       val b = e.select($"vec_id".as("id_b"), $"label".as("label_b"), $"embedding".as("eb"), $"n2".as("nb2"))
       a.join(b, $"label" === $"label_b" && $"id_a" < $"id_b")
@@ -486,11 +495,11 @@ object TierCSim {
     * deterministic variant keeps the k-center seeds as-is.
     */
   def ivfTopK(s: SparkSession, embeddings: DataFrame, k: Int, cells: Int,
-      sampleSize: Int = 1024): DataFrame = {
+      sampleSize: Int = 1024, nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding",
       TierC.dot($"embedding", $"embedding").as("n2")).persist()
-    ivfTopKOn(s, e, k, cells, sampleSize)
+    ivfTopKOn(s, e, k, cells, sampleSize, nprobe)
   }
 
   /** Adaptive variant: the cell count derives from the exact corpus count
@@ -513,15 +522,27 @@ object TierCSim {
     * @return (seed vector, seed squared-norm) in selection order
     */
   private def ivfSeeds(s: SparkSession, e: DataFrame, cells: Int,
-      sampleSize: Int): Seq[(Seq[Float], Double)] = {
-    import s.implicits._
+      sampleSize: Int): Seq[(Seq[Float], Double)] =
+    kCenterSeeds(md5Sample(e, sampleSize), cells)
 
-    // one-pass deterministic sample, then driver-side k-center greedy
-    val sample = e
-      .withColumn("h", md5($"vec_id".cast(StringType)))
+  /** ONE deterministic md5-ordered sample collect over (vec_id, embedding,
+    * n2). The ordering key (md5(vec_id), vec_id) is a total order, so a
+    * smaller sample is always a PREFIX of a larger one — [[ivfPqJoined]]
+    * exploits this to share a single collect between the IVF seed build
+    * and the PQ codebook build while producing indexes identical to the
+    * standalone builds.
+    */
+  private def md5Sample(e: DataFrame, sampleSize: Int): Array[(Long, Seq[Float], Double)] = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.withColumn("h", md5($"vec_id".cast(StringType)))
       .orderBy($"h", $"vec_id").limit(sampleSize)
       .select($"vec_id", $"embedding", $"n2")
       .as[(Long, Seq[Float], Double)].collect()
+  }
+
+  private def kCenterSeeds(sample: Array[(Long, Seq[Float], Double)],
+      cells: Int): Seq[(Seq[Float], Double)] = {
     // k-center greedy, incremental: maxSim(i) tracks each sample row's
     // max cosine to the CURRENT seed set and only the newest seed updates
     // it — O(cells·sample·dim), not O(cells²·sample·dim), so the clamped
@@ -570,29 +591,43 @@ object TierCSim {
   }
 
   /** Cell assignment for a seed set: argmax cosine to seed, ties to the
-    * lowest seed index. Linear-size expression: each per-seed similarity
-    * appears exactly once inside an array, argmax = first position of the
-    * max. (A fold of when(sim > bestSim)/greatest pairs re-references the
-    * running best per step, DOUBLING the expression tree per seed —
-    * 2^cells nodes; at 16 adaptive cells that was a 124 s planning/codegen
-    * storm, measured.) Needs (embedding, n2) columns in scope.
+    * lowest seed index — a single native codegen node
+    * ([[graft.functions.VectorExprs.nearestSeedF]]). History of this
+    * expression's shape: a when/greatest fold was 2^cells nodes (124 s
+    * planning storm, measured r5); the r6 linear array-of-sims form fixed
+    * the asymptotics but still planned/codegen'd a ~4·cells·dim-node tree
+    * on BOTH sides of the cell join — measured as the dominant cost of
+    * c3_ivfpq at sf0.1. The native node replays the identical arithmetic
+    * (left-fold double dot, sim = dot/(sqrt(n2)·sqrtSeedN2), first-max
+    * argmax under Spark double ordering). Needs (embedding, n2) in scope.
     */
-  private def cellAssignCol(seeds: Seq[(Seq[Float], Double)]): Column = {
-    def cos(seedVec: Seq[Float], seedN2: Double): Column =
-      TierC.dot(col("embedding"), typedlit(seedVec)) /
-        (sqrt(col("n2")) * math.sqrt(seedN2))
-    val simCols = seeds.map { case (v, n2) => cos(v, n2) }
-    array_position(array(simCols: _*),
-      array_max(array(simCols: _*))).cast(IntegerType) - 1
-  }
+  private def cellAssignCol(seeds: Seq[(Seq[Float], Double)]): Column =
+    graft.functions.VectorExprs.nearestSeedF(col("embedding"), col("n2"), seeds)
 
   private def ivfTopKOn(s: SparkSession, e: DataFrame, k: Int, cells: Int,
-      sampleSize: Int = 1024): DataFrame = {
+      sampleSize: Int = 1024, nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val seeds = ivfSeeds(s, e, cells, sampleSize)
-    val assigned = e.withColumn("cell", cellAssignCol(seeds)).persist()
+    // e's cache only served the index-build actions (count + sample
+    // collect) — release it here; the final job recomputes the projection
+    // map-side. `assigned` feeds both join sides (the per-pair
+    // CollapseProject re-run hazard, measured on c3_knn), so it stays
+    // persisted under the CacheRegistry caller-owned-release contract.
+    e.unpersist()
+    val assigned = CacheRegistry.persist(e.withColumn("cell", cellAssignCol(seeds)))
 
-    val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"cell", $"n2".as("na2"))
+    // multi-probe: each QUERY row fans out to its nprobe nearest cells
+    // (candidates stay in their single home cell, so a pair can meet at
+    // most once — the probed cells are distinct). nprobe=1 keeps the
+    // exact single-cell plan.
+    val a =
+      if (nprobe <= 1)
+        assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"cell", $"n2".as("na2"))
+      else
+        assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"),
+          explode(graft.functions.VectorExprs.nearestSeedsF(
+            $"embedding", $"n2", seeds, nprobe)).as("cell"),
+          $"n2".as("na2"))
     val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"cell".as("cell_r"), $"n2".as("nb2"))
     val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")
     a.join(b, $"cell" === $"cell_r" && $"id_a" =!= $"id_b")
@@ -625,6 +660,16 @@ object TierCSim {
     val sample = e.withColumn("h", md5($"vec_id".cast(StringType)))
       .orderBy($"h", $"vec_id").limit(sampleSize)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    pqCodebooksFromSample(sample, m, codes)
+  }
+
+  /** Codebook build over a pre-collected md5-ordered sample — shared by
+    * [[pqCodebooks]] and [[ivfPqJoined]] (which reuses a prefix of the IVF
+    * seed sample, saving a second distributed collect; the md5 total order
+    * makes the prefix identical to a standalone smaller sample).
+    */
+  private def pqCodebooksFromSample(sample: Array[(Long, Seq[Float])],
+      m: Int, codes: Int): Seq[Seq[Seq[Float]]] = {
     require(sample.nonEmpty, "pqCodebooks: empty corpus")
     val dim = sample.head._2.length
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible into $m subspaces")
@@ -694,16 +739,15 @@ object TierCSim {
   }
 
   /** Squared-L2 distances from an embedding segment to every code of one
-    * subspace book, as a fixed-order array expression.
+    * subspace book — a single native codegen node
+    * ([[graft.functions.VectorExprs.pqDistsF]]; replaces a per-code
+    * `dot(seg,seg) - 2·dot(seg,code) + ‖code‖²` chain array whose
+    * planning/codegen cost dominated c3_ivfpq, same story as
+    * [[cellAssignCol]]; arithmetic replayed term-for-term).
     */
   private def pqDistArray(si: Int, sub: Int, book: Seq[Seq[Float]],
-      emb: Column): Column = {
-    val seg = slice(emb, si * sub + 1, sub)
-    array(book.map { c =>
-      val c2 = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
-      TierC.dot(seg, seg) - (lit(2.0) * TierC.dot(seg, typedlit(c))) + lit(c2)
-    }: _*)
-  }
+      emb: Column): Column =
+    graft.functions.VectorExprs.pqDistsF(emb, si * sub, book)
 
   /** Product quantization — the embedding-store compression step at
     * 100 TB: each dim-D vector becomes m sub-codes (4×16 codes here = 4
@@ -722,8 +766,8 @@ object TierCSim {
     val sub = books.head.head.length
     val pieces = (0 until m).map { si =>
       val arr = pqDistArray(si, sub, books(si), $"embedding")
-      val pos = array_position(arr, array_min(arr)).cast(IntegerType)
-      ((pos - 1).as(s"c$si"), element_at(arr, pos).as(s"e$si"))
+      val code = graft.functions.VectorExprs.pqCodeF($"embedding", si * sub, books(si))
+      (code.as(s"c$si"), element_at(arr, code + 1).as(s"e$si"))
     }
     val coded = e.select(($"vec_id" +: (pieces.map(_._1) ++ pieces.map(_._2))): _*)
     val err = (0 until m).map(si => col(s"e$si")).reduceLeft(_ + _)
@@ -772,27 +816,43 @@ object TierCSim {
     */
   private[graft] def ivfPqJoined(s: SparkSession, embeddings: DataFrame,
       m: Int = 4, codes: Int = 16, sampleSize: Int = 256,
-      cells: Int = 0): DataFrame = {
+      cells: Int = 0, nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding",
       TierC.dot($"embedding", $"embedding").as("n2")).persist()
     val nCells = if (cells > 0) cells else ivfCells(e.count())
-    val seeds = ivfSeeds(s, e, nCells, 1024)
-    val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
+    // ONE sample collect feeds BOTH index builds: the md5 total order
+    // makes any prefix identical to a standalone smaller sample, so the
+    // seeds match ivfSeeds(_, 1024) and the books match
+    // pqCodebooks(_, sampleSize) exactly (r6 ran two separate collects —
+    // one of c3_ivfpq's measured constant-factor costs).
+    val sample = md5Sample(e, math.max(1024, sampleSize))
+    val seeds = kCenterSeeds(sample.take(1024), nCells)
+    val books = pqCodebooksFromSample(
+      sample.take(sampleSize).map(t => (t._1, t._2)), m, codes)
+    // e's cache only served the count + sample collect; the final job
+    // recomputes the projection map-side (both join inputs project codes/
+    // cells BEFORE the shuffle, so nothing re-runs per pair)
+    e.unpersist()
     val sub = books.head.head.length
     // candidate side: IVF cell + m sub-codes ONLY — 4 bytes of geometry
     // per row crosses the shuffle, never the float vector
     val codeCols = (0 until m).map { si =>
-      val arr = pqDistArray(si, sub, books(si), $"embedding")
-      ((array_position(arr, array_min(arr)).cast(IntegerType)) - 1).as(s"c$si")
+      graft.functions.VectorExprs.pqCodeF($"embedding", si * sub, books(si)).as(s"c$si")
     }
     val cand = e.select(($"vec_id".as("id_b") +:
       cellAssignCol(seeds).as("cell_r") +: codeCols): _*)
-    // query side: same cell assignment (nprobe=1, matching c3_ivf) + the
-    // per-subspace LUTs materialized BEFORE the join
+    // query side: cell assignment (nprobe=1 keeps the single-cell plan;
+    // nprobe>1 explodes each query to its nprobe nearest cells — the
+    // candidate side keeps one home cell, so a pair still meets at most
+    // once) + the per-subspace LUTs materialized BEFORE the join
+    val qCell =
+      if (nprobe <= 1) cellAssignCol(seeds)
+      else explode(graft.functions.VectorExprs.nearestSeedsF(
+        $"embedding", $"n2", seeds, nprobe))
     val q = (0 until m).foldLeft(
         e.select($"vec_id".as("id_a"), $"embedding", $"n2",
-          cellAssignCol(seeds).as("cell"))) { (df, si) =>
+          qCell.as("cell"))) { (df, si) =>
       df.withColumn(s"lut$si", pqDistArray(si, sub, books(si), $"embedding"))
     }.drop("embedding", "n2")
     val approx = (0 until m).map { si =>
@@ -812,10 +872,11 @@ object TierCSim {
     * work = O(cell population), per-candidate payload = m bytes-ish codes.
     */
   def ivfPqSearch(s: SparkSession, embeddings: DataFrame, k: Int, m: Int = 4,
-      codes: Int = 16, sampleSize: Int = 256, cells: Int = 0): DataFrame = {
+      codes: Int = 16, sampleSize: Int = 256, cells: Int = 0,
+      nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"id_a").orderBy($"approx".asc, $"id_b")
-    ivfPqJoined(s, embeddings, m, codes, sampleSize, cells)
+    ivfPqJoined(s, embeddings, m, codes, sampleSize, cells, nprobe)
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter($"rn" <= k)
       .select($"id_a", $"id_b",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.QuerySpec
+import graft.{CacheRegistry, QuerySpec}
 import graft.functions.TextStats
 import graft.sources.Tables
 
@@ -228,11 +228,10 @@ object TierCText {
       if (toks.length < gramSize) Array.empty[String]
       else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
     }
-    val g = docs
-      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
-      .persist()
-    val hot = g.groupBy($"gram").agg(count(lit(1)).as("df"))
-      .filter($"df" > dfCap).select($"gram".as("hot_gram")).persist()
+    val g = CacheRegistry.persist(docs
+      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram")))
+    val hot = CacheRegistry.persist(g.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"gram".as("hot_gram")))
     val nHot = hot.count()
     if (nHot > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)

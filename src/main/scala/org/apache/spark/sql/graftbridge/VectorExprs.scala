@@ -7,9 +7,9 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
@@ -64,9 +64,321 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmax_j cosine(embedding, seed_j) over a plan-time literal seed matrix
+  * — the IVF coarse-quantizer cell assignment as ONE expression node.
+  *
+  * Why not the Column formulation (`array_position(array(sims...),
+  * array_max(array(sims...)))`): each per-seed cosine is a D-term dot
+  * chain, the sims array appears twice, and the assignment is used on
+  * both sides of the cell join — at 16 seeds × 64 dims that is a
+  * ~4·16·64-node expression tree per query, and Catalyst planning +
+  * whole-stage codegen of that tree (not row work — the corpus is small)
+  * measured as the dominant cost of `c3_ivfpq`. This node replays the
+  * identical arithmetic (left-fold double dot, `sim = dot /
+  * (sqrt(n2_row) · sqrtSeedN2_j)`, strictly-greater argmax = first max,
+  * Spark double ordering) in a flat loop.
+  *
+  * @param seedsFlat row-major seeds (nSeeds × dim)
+  * @param sqrtN2s   per-seed `math.sqrt(||seed||²)`, precomputed at plan
+  *                  time exactly as the Column version's driver-side
+  *                  `math.sqrt(seedN2)` literal
+  */
+case class NearestSeedF(left: Expression, right: Expression,
+    seedsFlat: IndexedSeq[Float], sqrtN2s: IndexedSeq[Double], dim: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_seed"
+
+  @transient private lazy val seedsArr: Array[Float] = seedsFlat.toArray
+  @transient private lazy val sqrtArr: Array[Double] = sqrtN2s.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val sn = math.sqrt(b.asInstanceOf[Double])
+    val seeds = seedsArr
+    val sqrts = sqrtArr
+    var best = 0.0
+    var idx = 0
+    var j = 0
+    while (j < sqrts.length) {
+      var acc = 0.0
+      val n = math.min(e.numElements(), dim)
+      var i = 0
+      while (i < n) { acc += e.getFloat(i).toDouble * seeds(j * dim + i).toDouble; i += 1 }
+      val sim = acc / (sn * sqrts(j))
+      if (j == 0 || SQLOrderingUtil.compareDoubles(sim, best) > 0) { best = sim; idx = j }
+      j += 1
+    }
+    idx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val seeds = ctx.addReferenceObj("seeds", seedsArr, "float[]")
+      val sqrts = ctx.addReferenceObj("sqrts", sqrtArr, "double[]")
+      val (sn, best, idx, sim, acc, n, i, j) = (ctx.freshName("sn"), ctx.freshName("best"),
+        ctx.freshName("idx"), ctx.freshName("sim"), ctx.freshName("acc"),
+        ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("j"))
+      s"""
+         |double $sn = java.lang.Math.sqrt($b);
+         |double $best = 0.0;
+         |int $idx = 0;
+         |for (int $j = 0; $j < ${sqrtArr.length}; $j++) {
+         |  double $acc = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $dim);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $seeds[$j * $dim + $i]);
+         |  }
+         |  double $sim = $acc / ($sn * $sqrts[$j]);
+         |  if ($j == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($sim, $best) > 0) {
+         |    $best = $sim; $idx = $j;
+         |  }
+         |}
+         |${ev.value} = $idx;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-`nprobe` nearest seeds by cosine (descending, ties to the lower
+  * seed index), as `array<int>` — the IVF multi-probe knob. Element 0 is
+  * always [[NearestSeedF]]'s answer, so `nprobe = 1` degenerates to the
+  * single-cell assignment; probing P cells trades P× candidate scan for
+  * recall across cell boundaries (the standard IVF recall knob).
+  */
+case class NearestSeedsF(left: Expression, right: Expression,
+    seedsFlat: IndexedSeq[Float], sqrtN2s: IndexedSeq[Double], dim: Int,
+    nprobe: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_seeds"
+
+  @transient private lazy val seedsArr: Array[Float] = seedsFlat.toArray
+  @transient private lazy val sqrtArr: Array[Double] = sqrtN2s.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(PqKernel.topSeeds(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Double], seedsArr, sqrtArr, dim, nprobe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val seeds = ctx.addReferenceObj("seeds", seedsArr, "float[]")
+      val sqrts = ctx.addReferenceObj("sqrts", sqrtArr, "double[]")
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  org.apache.spark.sql.graftbridge.PqKernel.topSeeds(
+         |    $a, $b, $seeds, $sqrts, $dim, $nprobe));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared-L2 distances from one embedding subspace segment to every code
+  * of a plan-time literal PQ codebook, as `array<double>` — the ADC
+  * lookup table as ONE node instead of `codes` parallel
+  * `dot(seg,seg) - 2·dot(seg,code) + ||code||²` chains (same planning/
+  * codegen-blowup rationale as [[NearestSeedF]]; identical arithmetic:
+  * `(dss - (2.0 · dsc)) + c2` per code, left-fold double dots).
+  *
+  * @param offset   0-based first dim of the subspace (the Column version's
+  *                 `slice(emb, offset+1, sub)`)
+  * @param sub      subspace width
+  * @param bookFlat row-major codebook (codes × sub)
+  * @param c2s      per-code `sum(v²)` computed at plan time exactly as the
+  *                 Column version's driver-side foldLeft literal
+  */
+case class PqDistsF(child: Expression, offset: Int, sub: Int,
+    bookFlat: IndexedSeq[Float], c2s: IndexedSeq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_dists"
+
+  @transient private lazy val bookArr: Array[Float] = bookFlat.toArray
+  @transient private lazy val c2Arr: Array[Double] = c2s.toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    new GenericArrayData(PqKernel.dists(a.asInstanceOf[ArrayData], offset, sub, bookArr, c2Arr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val book = ctx.addReferenceObj("book", bookArr, "float[]")
+      val c2 = ctx.addReferenceObj("c2s", c2Arr, "double[]")
+      val vals = ctx.freshName("vals")
+      s"""
+         |double[] $vals = org.apache.spark.sql.graftbridge.PqKernel.dists(
+         |  $a, $offset, $sub, $book, $c2);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** argmin over the [[PqDistsF]] table — the PQ sub-code assignment as one
+  * node (the Column version's `array_position(arr, array_min(arr)) - 1`:
+  * strictly-less argmin = first min, Spark double ordering).
+  */
+case class PqCodeF(child: Expression, offset: Int, sub: Int,
+    bookFlat: IndexedSeq[Float], c2s: IndexedSeq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_code"
+
+  @transient private lazy val bookArr: Array[Float] = bookFlat.toArray
+  @transient private lazy val c2Arr: Array[Double] = c2s.toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    PqKernel.code(a.asInstanceOf[ArrayData], offset, sub, bookArr, c2Arr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val book = ctx.addReferenceObj("book", bookArr, "float[]")
+      val c2 = ctx.addReferenceObj("c2s", c2Arr, "double[]")
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftbridge.PqKernel.code(
+         |  $a, $offset, $sub, $book, $c2);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Row kernels shared by eval and generated code (static forwarders make
+  * them callable from Janino).
+  */
+object PqKernel {
+  /** ADC table: `(dot(seg,seg) - (2.0 · dot(seg, code))) + ||code||²` per
+    * code, left-fold double accumulation — the exact IEEE chain of the
+    * Column formulation it replaces.
+    */
+  def dists(e: ArrayData, offset: Int, sub: Int,
+      book: Array[Float], c2s: Array[Double]): Array[Double] = {
+    val n = math.max(0, math.min(sub, e.numElements() - offset))
+    var dss = 0.0
+    var i = 0
+    while (i < n) {
+      val v = e.getFloat(offset + i).toDouble
+      dss += v * v
+      i += 1
+    }
+    val vals = new Array[Double](c2s.length)
+    var c = 0
+    while (c < c2s.length) {
+      var dsc = 0.0
+      i = 0
+      while (i < n) { dsc += e.getFloat(offset + i).toDouble * book(c * sub + i).toDouble; i += 1 }
+      vals(c) = dss - (2.0 * dsc) + c2s(c)
+      c += 1
+    }
+    vals
+  }
+
+  /** Top-`nprobe` seed indexes by cosine descending, ties to the lower
+    * index (insertion selection — nprobe is small). Same per-seed cosine
+    * chain as [[NearestSeedF]], so element 0 always equals its argmax.
+    */
+  def topSeeds(e: ArrayData, n2: Double, seeds: Array[Float],
+      sqrts: Array[Double], dim: Int, nprobe: Int): Array[Int] = {
+    val sn = math.sqrt(n2)
+    val p = math.min(nprobe, sqrts.length)
+    val topIdx = new Array[Int](p)
+    val topSim = new Array[Double](p)
+    var filled = 0
+    var j = 0
+    while (j < sqrts.length) {
+      var acc = 0.0
+      val n = math.min(e.numElements(), dim)
+      var i = 0
+      while (i < n) { acc += e.getFloat(i).toDouble * seeds(j * dim + i).toDouble; i += 1 }
+      val sim = acc / (sn * sqrts(j))
+      // insert j if it beats the current tail (strictly — ties keep the
+      // earlier, lower-index seed)
+      var pos = filled
+      while (pos > 0 && SQLOrderingUtil.compareDoubles(sim, topSim(pos - 1)) > 0) pos -= 1
+      if (pos < p) {
+        val end = math.min(filled, p - 1)
+        var k = end
+        while (k > pos) { topIdx(k) = topIdx(k - 1); topSim(k) = topSim(k - 1); k -= 1 }
+        topIdx(pos) = j
+        topSim(pos) = sim
+        if (filled < p) filled += 1
+      }
+      j += 1
+    }
+    java.util.Arrays.copyOf(topIdx, filled)
+  }
+
+  /** First-minimum argmin over [[dists]] (Spark double ordering). */
+  def code(e: ArrayData, offset: Int, sub: Int,
+      book: Array[Float], c2s: Array[Double]): Int = {
+    val vals = dists(e, offset, sub, book, c2s)
+    var best = 0.0
+    var idx = 0
+    var c = 0
+    while (c < vals.length) {
+      if (c == 0 || SQLOrderingUtil.compareDoubles(vals(c), best) < 0) { best = vals(c); idx = c }
+      c += 1
+    }
+    idx
+  }
+}
+
 object VectorExprs {
   /** Column-level dot product over two `array<float>` columns. */
   def dotF(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductFloat(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** IVF cell assignment: argmax cosine to a literal seed matrix. */
+  def nearestSeedF(emb: Column, n2: Column,
+      seeds: Seq[(Seq[Float], Double)]): Column = {
+    require(seeds.nonEmpty, "nearestSeedF: empty seed set")
+    val dim = seeds.head._1.length
+    ExpressionUtils.column(NearestSeedF(
+      ExpressionUtils.expression(emb), ExpressionUtils.expression(n2),
+      seeds.flatMap(_._1).toIndexedSeq,
+      seeds.map(s => math.sqrt(s._2)).toIndexedSeq, dim))
+  }
+
+  /** Top-`nprobe` IVF cells by cosine (the multi-probe recall knob). */
+  def nearestSeedsF(emb: Column, n2: Column,
+      seeds: Seq[(Seq[Float], Double)], nprobe: Int): Column = {
+    require(seeds.nonEmpty, "nearestSeedsF: empty seed set")
+    require(nprobe >= 1, s"nearestSeedsF: nprobe must be >= 1, got $nprobe")
+    val dim = seeds.head._1.length
+    ExpressionUtils.column(NearestSeedsF(
+      ExpressionUtils.expression(emb), ExpressionUtils.expression(n2),
+      seeds.flatMap(_._1).toIndexedSeq,
+      seeds.map(s => math.sqrt(s._2)).toIndexedSeq, dim, nprobe))
+  }
+
+  /** PQ ADC lookup table for one subspace of a literal codebook. */
+  def pqDistsF(emb: Column, offset: Int, book: Seq[Seq[Float]]): Column =
+    ExpressionUtils.column(PqDistsF(ExpressionUtils.expression(emb),
+      offset, book.head.length, book.flatten.toIndexedSeq,
+      book.map(_.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)).toIndexedSeq))
+
+  /** PQ sub-code (argmin of [[pqDistsF]]) for one subspace. */
+  def pqCodeF(emb: Column, offset: Int, book: Seq[Seq[Float]]): Column =
+    ExpressionUtils.column(PqCodeF(ExpressionUtils.expression(emb),
+      offset, book.head.length, book.flatten.toIndexedSeq,
+      book.map(_.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)).toIndexedSeq))
 }

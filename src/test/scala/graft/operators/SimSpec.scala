@@ -209,6 +209,70 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK nprobe: monotone recall, nprobe=cells equals the exact scan") {
+    import spark.implicits._
+    val dim = 64
+    // 4 tight clusters x 4 members, but MORE cells (8) than clusters:
+    // k-center splits clusters into sub-cells, so same-cluster neighbors
+    // routinely live across a cell boundary — the case nprobe exists for
+    val vecs = for {
+      c <- 0 until 4
+      mm <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.cos(c * 53 + i * 3).toFloat * 8f)
+      base((c + mm) % dim) += 0.05f * (mm + 1)
+      (c * 10L + mm, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(np: Int) = TierCSim.ivfTopK(spark, df, 3, cells = 8, nprobe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val np1 = run(1)
+    val np2 = run(2)
+    val npAll = run(8)
+    // default == explicit nprobe=1
+    val npDefault = TierCSim.ivfTopK(spark, df, 3, cells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(np1.toSeq == npDefault.toSeq, "nprobe=1 changed the default result")
+    // recall is monotone in nprobe: per query, the rank-r score can only
+    // improve (more candidates -> better-or-equal top-k), and some query
+    // must gain rows (8 cells over 16 vectors pigeonholes a cell to <= 2
+    // members, starving its queries below k under nprobe=1)
+    def scoresByQuery(rs: Array[(Long, Long, Double, Long)]) =
+      rs.groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._4).map(_._3) }
+    val s1 = scoresByQuery(np1); val s2 = scoresByQuery(np2); val sAll = scoresByQuery(npAll)
+    for (q <- sAll.keys) {
+      val a = s1.getOrElse(q, Array.empty[Double]); val b = s2.getOrElse(q, Array.empty[Double])
+      val c = sAll(q)
+      for (r <- c.indices) {
+        if (r < a.length) assert(a(r) <= c(r) + 1e-12, s"query $q rank $r: np1 beats npAll")
+        if (r < b.length) assert(b(r) <= c(r) + 1e-12, s"query $q rank $r: np2 beats npAll")
+        if (r < a.length && r < b.length)
+          assert(a(r) <= b(r) + 1e-12, s"query $q rank $r: np1 beats np2")
+      }
+    }
+    assert(np1.length < npAll.length,
+      s"nprobe=1 (${np1.length} rows) should starve some query below k vs nprobe=cells (${npAll.length})")
+    // nprobe = cells scans every candidate exactly once => brute-force
+    // top-3 (replay the engine's left-fold dot/sqrt chain driver-side)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val byId = vecs.toMap
+    val expect = vecs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          (cid, dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv)))) }
+        .sortBy { case (cid, sc) => (-sc, cid) }
+        .take(3).zipWithIndex
+        .map { case ((cid, sc), r) => (qid, cid, r + 1L) }
+    }.toSet
+    assert(npAll.map(t => (t._1, t._2, t._4)).toSet == expect,
+      "nprobe=cells diverges from the exact scan")
+    assert(byId.size == 16)
+  }
+
   test("annTopK: deterministic, k-bounded, neighbors stay within bucket") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, SparkFixture.sfDir)
