@@ -194,15 +194,119 @@ object Wkb {
     (x / MercatorR * 180.0 / math.Pi,
       (math.atan(math.exp(y / MercatorR)) * 2 - math.Pi / 2) * 180.0 / math.Pi)
 
-  /** Reprojects between the two CRSs a web-mapping PostGIS habitat uses
-    * constantly: EPSG:4326 (WGS84 degrees) ↔ EPSG:3857 (spherical
-    * Mercator meters). The source CRS is read from the value's own EWKB
-    * SRID header — plain WKB (SRID 0) is rejected loudly (tag with
-    * [[setSrid]] first) rather than guessed; same-SRID is the identity.
-    * The result carries `toSrid` in its header, so downstream mixed-SRID
-    * guards keep working. Any other pair is rejected: no datum-shift
-    * tables exist in this offline image, and a silently-wrong transform
-    * is worse than a loud unsupported one.
+  // ---- WGS84 / UTM (EPSG 326zz north, 327zz south) -------------------
+  // Transverse-Mercator via the Krüger series in Karney's formulation
+  // (arXiv:1002.1417, public-domain formulas), truncated at n⁴: with
+  // n ≈ 0.00168 for WGS84 the truncation error is ~a·n⁵ ≈ 8e-8 m, and
+  // the forward∘inverse roundtrip lands well inside 1e-9°. Both EPSG
+  // sides are WGS84, so NO datum shift is involved (that is what keeps
+  // this implementable offline; national grids on other datums stay
+  // loudly rejected).
+  private val WgsF = 1.0 / 298.257223563
+  private val UtmK0 = 0.9996
+  private val KrN = WgsF / (2.0 - WgsF)
+  private val KrN2 = KrN * KrN
+  private val KrN3 = KrN2 * KrN
+  private val KrN4 = KrN2 * KrN2
+  private val KrA =
+    MercatorR / (1.0 + KrN) * (1.0 + KrN2 / 4.0 + KrN4 / 64.0)
+  private val KrK0A = UtmK0 * KrA
+  /** 2√n/(1+n): the conformal-latitude eccentricity-like constant. */
+  private val KrE2p = 2.0 * math.sqrt(KrN) / (1.0 + KrN)
+  private val Al1 = KrN / 2.0 - 2.0 * KrN2 / 3.0 + 5.0 * KrN3 / 16.0 + 41.0 * KrN4 / 180.0
+  private val Al2 = 13.0 * KrN2 / 48.0 - 3.0 * KrN3 / 5.0 + 557.0 * KrN4 / 1440.0
+  private val Al3 = 61.0 * KrN3 / 240.0 - 103.0 * KrN4 / 140.0
+  private val Al4 = 49561.0 * KrN4 / 161280.0
+  private val Be1 = KrN / 2.0 - 2.0 * KrN2 / 3.0 + 37.0 * KrN3 / 96.0 - KrN4 / 360.0
+  private val Be2 = KrN2 / 48.0 + KrN3 / 15.0 - 437.0 * KrN4 / 1440.0
+  private val Be3 = 17.0 * KrN3 / 480.0 - 37.0 * KrN4 / 840.0
+  private val Be4 = 4397.0 * KrN4 / 161280.0
+  private val De1 = 2.0 * KrN - 2.0 * KrN2 / 3.0 - 2.0 * KrN3 + 116.0 * KrN4 / 45.0
+  private val De2 = 7.0 * KrN2 / 3.0 - 8.0 * KrN3 / 5.0 - 227.0 * KrN4 / 45.0
+  private val De3 = 56.0 * KrN3 / 15.0 - 136.0 * KrN4 / 35.0
+  private val De4 = 4279.0 * KrN4 / 630.0
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
+  private def asinhD(x: Double): Double = math.log(x + math.sqrt(x * x + 1.0))
+
+  /** Oracle-replay constants for the generated UTM SQL (a11s pattern):
+    * (k0·A, 2√n/(1+n), Seq(α1..α4)) as full-precision doubles.
+    */
+  private[graft] def utmConstants: (Double, Double, Seq[Double]) =
+    (KrK0A, KrE2p, Seq(Al1, Al2, Al3, Al4))
+
+  private[graft] def utmZoneOf(srid: Int): Int = srid % 100
+  private[graft] def isUtmSrid(srid: Int): Boolean = {
+    val z = utmZoneOf(srid)
+    (srid >= 32601 && srid <= 32660 || srid >= 32701 && srid <= 32760) &&
+      z >= 1 && z <= 60
+  }
+  private def utmLon0Deg(zone: Int): Double = zone * 6.0 - 183.0
+
+  /** WGS84 lon/lat degrees → UTM zone easting/northing meters. Exact
+    * anchors: the central meridian maps to E = 500000 and the equator to
+    * N = 0 (north) / 10000000 (south) with zero floating-point residue
+    * (every series term carries a sin/sinh of an exact 0).
+    */
+  def lonLatToUtm(lon: Double, lat: Double, zone: Int, south: Boolean): (Double, Double) = {
+    val phi = lat * math.Pi / 180.0
+    val lam = (lon - utmLon0Deg(zone)) * math.Pi / 180.0
+    val sphi = math.sin(phi)
+    val t = math.sinh(atanh(sphi) - KrE2p * atanh(KrE2p * sphi))
+    val cl = math.cos(lam)
+    val xip = math.atan2(t, cl)
+    val etap = asinhD(math.sin(lam) / math.sqrt(t * t + cl * cl))
+    val xi = xip +
+      Al1 * math.sin(2 * xip) * math.cosh(2 * etap) +
+      Al2 * math.sin(4 * xip) * math.cosh(4 * etap) +
+      Al3 * math.sin(6 * xip) * math.cosh(6 * etap) +
+      Al4 * math.sin(8 * xip) * math.cosh(8 * etap)
+    val eta = etap +
+      Al1 * math.cos(2 * xip) * math.sinh(2 * etap) +
+      Al2 * math.cos(4 * xip) * math.sinh(4 * etap) +
+      Al3 * math.cos(6 * xip) * math.sinh(6 * etap) +
+      Al4 * math.cos(8 * xip) * math.sinh(8 * etap)
+    val n0 = KrK0A * xi
+    (500000.0 + KrK0A * eta, if (south) n0 + 10000000.0 else n0)
+  }
+
+  /** UTM easting/northing meters → WGS84 lon/lat degrees (inverse
+    * series + the conformal→geodetic latitude expansion).
+    */
+  def utmToLonLat(e: Double, n: Double, zone: Int, south: Boolean): (Double, Double) = {
+    val xi = (if (south) n - 10000000.0 else n) / KrK0A
+    val eta = (e - 500000.0) / KrK0A
+    val xip = xi -
+      (Be1 * math.sin(2 * xi) * math.cosh(2 * eta) +
+        Be2 * math.sin(4 * xi) * math.cosh(4 * eta) +
+        Be3 * math.sin(6 * xi) * math.cosh(6 * eta) +
+        Be4 * math.sin(8 * xi) * math.cosh(8 * eta))
+    val etap = eta -
+      (Be1 * math.cos(2 * xi) * math.sinh(2 * eta) +
+        Be2 * math.cos(4 * xi) * math.sinh(4 * eta) +
+        Be3 * math.cos(6 * xi) * math.sinh(6 * eta) +
+        Be4 * math.cos(8 * xi) * math.sinh(8 * eta))
+    val chi = math.atan2(math.sin(xip),
+      math.sqrt(math.sinh(etap) * math.sinh(etap) + math.cos(xip) * math.cos(xip)))
+    val phi = chi + De1 * math.sin(2 * chi) + De2 * math.sin(4 * chi) +
+      De3 * math.sin(6 * chi) + De4 * math.sin(8 * chi)
+    val lam = math.atan2(math.sinh(etap), math.cos(xip))
+    (lam * 180.0 / math.Pi + utmLon0Deg(zone), phi * 180.0 / math.Pi)
+  }
+
+  /** Reprojects between the CRSs a web-mapping / field-data PostGIS
+    * habitat uses constantly: EPSG:4326 (WGS84 degrees) ↔ EPSG:3857
+    * (spherical Mercator meters) ↔ nothing, and EPSG:4326 ↔ WGS84 UTM
+    * zones (EPSG 326zz north / 327zz south — same datum, pure
+    * Transverse-Mercator series, see [[lonLatToUtm]]). The source CRS is
+    * read from the value's own EWKB SRID header — plain WKB (SRID 0) is
+    * rejected loudly (tag with [[setSrid]] first) rather than guessed;
+    * same-SRID is the identity. The result carries `toSrid` in its
+    * header, so downstream mixed-SRID guards keep working. Any other
+    * pair is rejected: cross-datum transforms need shift tables that
+    * don't exist in this offline image, and a silently-wrong transform
+    * is worse than a loud unsupported one (3857 ↔ UTM is also rejected —
+    * chain through 4326 explicitly).
     */
   def reproject(wkb: Array[Byte], toSrid: Int): Array[Byte] = {
     val from = srid(wkb)
@@ -213,8 +317,13 @@ object Wkb {
       val f: (Double, Double) => (Double, Double) = (from, toSrid) match {
         case (4326, 3857) => lonLatToMercator
         case (3857, 4326) => mercatorToLonLat
+        case (4326, z) if isUtmSrid(z) =>
+          (lon, lat) => lonLatToUtm(lon, lat, utmZoneOf(z), z >= 32701)
+        case (z, 4326) if isUtmSrid(z) =>
+          (e, n) => utmToLonLat(e, n, utmZoneOf(z), z >= 32701)
         case _ => throw new IllegalArgumentException(
-          s"reproject: unsupported $from -> $toSrid (supported: 4326 <-> 3857)")
+          s"reproject: unsupported $from -> $toSrid " +
+            "(supported: 4326 <-> 3857, 4326 <-> 326xx/327xx WGS84 UTM)")
       }
       setSrid(mapCoords(wkb, f), toSrid)
     }

@@ -476,5 +476,78 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r)
+  // ---------------------------------------------------------------- A11s
+  /** UTM reprojection (EPSG:4326 ↔ 32632, [[Wkb.lonLatToUtm]] Krüger
+    * series): the oracle replays the FORWARD series arithmetic in SQL —
+    * generated from the engine's own constants ([[Wkb.utmConstants]], the
+    * dotChain pattern) with hyperbolics written as exp/ln so only
+    * baseline DuckDB math functions are needed. The two libms disagree in
+    * the last ulp (~1e-9 m at E≈5e5), so easting/northing quantize at
+    * meter grain (floor flip risk ~1e-9/row); the inverse roundtrip is
+    * asserted ENGINE-side (<1e-9°, the n⁴-series headroom) and the oracle
+    * replays the constant. Map-side only — same 100 TB posture as a11r.
+    */
+  private val a11s: QuerySpec = {
+    val (k0a, e2p, al) = graft.functions.Wkb.utmConstants
+    val Seq(a1, a2, a3, a4) = al
+    val sql =
+      s"""WITH c AS (SELECT event_id,
+              6.05 + (value % 5.9) AS lon,
+              (value % 150.0) - 75.0 AS lat
+            FROM events),
+          p AS (SELECT event_id,
+              lat * pi() / 180.0 AS phi,
+              (lon - 9.0) * pi() / 180.0 AS lam
+            FROM c),
+          s1 AS (SELECT event_id, lam, sin(phi) AS sphi FROM p),
+          s2 AS (SELECT event_id, lam,
+              0.5*ln((1.0+sphi)/(1.0-sphi))
+                - $e2p * 0.5*ln((1.0+$e2p*sphi)/(1.0-$e2p*sphi)) AS q
+            FROM s1),
+          s3 AS (SELECT event_id, lam, (exp(q)-exp(-q))/2.0 AS t FROM s2),
+          s4 AS (SELECT event_id,
+              atan2(t, cos(lam)) AS xip,
+              ln(sin(lam)/sqrt(t*t+cos(lam)*cos(lam))
+                 + sqrt(sin(lam)*sin(lam)/(t*t+cos(lam)*cos(lam)) + 1.0)) AS etap
+            FROM s3),
+          s5 AS (SELECT event_id,
+              xip + $a1*sin(2.0*xip)*(exp(2.0*etap)+exp(-2.0*etap))/2.0
+                  + $a2*sin(4.0*xip)*(exp(4.0*etap)+exp(-4.0*etap))/2.0
+                  + $a3*sin(6.0*xip)*(exp(6.0*etap)+exp(-6.0*etap))/2.0
+                  + $a4*sin(8.0*xip)*(exp(8.0*etap)+exp(-8.0*etap))/2.0 AS xi,
+              etap + $a1*cos(2.0*xip)*(exp(2.0*etap)-exp(-2.0*etap))/2.0
+                   + $a2*cos(4.0*xip)*(exp(4.0*etap)-exp(-4.0*etap))/2.0
+                   + $a3*cos(6.0*xip)*(exp(6.0*etap)-exp(-6.0*etap))/2.0
+                   + $a4*cos(8.0*xip)*(exp(8.0*etap)-exp(-8.0*etap))/2.0 AS eta
+            FROM s4)
+          SELECT event_id,
+            CAST(32632 AS BIGINT) AS srid_utm,
+            CAST(floor(500000.0 + $k0a * eta) AS BIGINT) AS e_m,
+            CAST(floor($k0a * xi) AS BIGINT) AS n_m,
+            TRUE AS roundtrip_ok
+          FROM s5 ORDER BY event_id"""
+    QuerySpec(
+      "a11s_utm",
+      "WGS84 UTM zone 32N reprojection roundtrip (Krüger n^4 series): per-row 4326 point EWKB -> 32632 easting/northing -> back; E/N at meter quantization against an oracle replaying the forward series (generated from the engine's constants, exp/ln hyperbolics); inverse checked engine-side to 1e-9 degrees.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (lit(6.05) + ($"value" % 5.9)).as("lon"),
+            (($"value" % 150.0) - 75.0).as("lat"))
+          .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(32632)))
+          .withColumn("back", reprojectUdf($"g", lit(4326)))
+          .select($"event_id",
+            sridUdf($"g").cast(LongType).as("srid_utm"),
+            floor(bboxUdf($"g").getField("xmin")).cast(LongType).as("e_m"),
+            floor(bboxUdf($"g").getField("ymin")).cast(LongType).as("n_m"),
+            (abs(bboxUdf($"back").getField("xmin") - $"lon") < 1e-9 &&
+              abs(bboxUdf($"back").getField("ymin") - $"lat") < 1e-9).as("roundtrip_ok"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s)
 }

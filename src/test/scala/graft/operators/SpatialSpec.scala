@@ -167,6 +167,49 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("Wkb UTM reproject: exact anchors, series sanity, roundtrip, loud rejections") {
+    // central meridian × equator is EXACT (every series term carries a
+    // sin/sinh of an exact 0)
+    val (e0, n0) = Wkb.lonLatToUtm(9.0, 0.0, 32, south = false)
+    assert(e0 == 500000.0 && n0 == 0.0, s"($e0, $n0)")
+    val (_, nS) = Wkb.lonLatToUtm(9.0, 0.0, 32, south = true)
+    assert(nS == 10000000.0)
+    // 1 degree of meridian arc from the equator is ~110574.3 m (geodesy
+    // constant); northing = k0 × arc — a gross-error detector on the series
+    val (_, n1) = Wkb.lonLatToUtm(9.0, 1.0, 32, south = false)
+    assert(math.abs(n1 - 0.9996 * 110574.3) < 30.0, n1.toString)
+    // 3 degrees along the equator: a·(3°) ≈ 333958 m; easting offset is
+    // k0 × that plus the (small, positive) TM divergence
+    val (e3, _) = Wkb.lonLatToUtm(12.0, 0.0, 32, south = false)
+    assert(math.abs((e3 - 500000.0) - 333958.4 * 0.9996) < 600.0, e3.toString)
+    // mirror symmetry about the central meridian
+    val (eW, nW) = Wkb.lonLatToUtm(7.5, 45.0, 32, south = false)
+    val (eE, nE) = Wkb.lonLatToUtm(10.5, 45.0, 32, south = false)
+    assert(math.abs((eE - 500000.0) + (eW - 500000.0)) < 1e-6, s"$eW vs $eE")
+    assert(math.abs(nE - nW) < 1e-6)
+    // forward∘inverse < 1e-9° across the zone (and beyond its 6° width)
+    for (lon <- Seq(6.1, 8.0, 9.0, 10.9, 11.9);
+         lat <- Seq(-80.0, -45.0, -1.0, 0.0, 0.5, 37.0, 72.0, 84.0)) {
+      val (e, n) = Wkb.lonLatToUtm(lon, lat, 32, south = false)
+      val (lo, la) = Wkb.utmToLonLat(e, n, 32, south = false)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"roundtrip drift at ($lon, $lat): (${lo - lon}, ${la - lat})")
+    }
+    // EWKB path carries the UTM SRID and roundtrips through bytes
+    val g = Wkb.setSrid(Wkb.point(10.0, 50.0), 4326)
+    val u = Wkb.reproject(g, 32632)
+    assert(Wkb.srid(u) == 32632)
+    val bb = Wkb.bbox(Wkb.reproject(u, 4326))
+    assert(math.abs(bb.xmin - 10.0) < 1e-9 && math.abs(bb.ymin - 50.0) < 1e-9)
+    assert(Wkb.srid(Wkb.reproject(g, 32732)) == 32732, "south zone srid")
+    // invalid zone, cross-datum grid, and 3857<->UTM all reject loudly
+    intercept[IllegalArgumentException] { Wkb.reproject(g, 32661) }
+    intercept[IllegalArgumentException] { Wkb.reproject(g, 25832) }
+    intercept[IllegalArgumentException] {
+      Wkb.reproject(Wkb.setSrid(Wkb.point(1, 2), 3857), 32632)
+    }
+  }
+
   test("Wkb distance: pointDistance exact chain, boundaryDistance edge cases") {
     val d = Wkb.pointDistance(Wkb.point(1.0, 2.0), Wkb.point(4.0, 6.0))
     assert(d == 5.0)
