@@ -721,6 +721,121 @@ object TierCText {
     }
   )
 
+  // --------------------------------------- source-mix resampling (c1g)
+  /** Deterministic source reweighting — the data-mixing step a pretraining
+    * pipeline runs to hit target domain proportions (the DoReMi/"data
+    * mixture" shape): per-source acceptance rate `r_s = w_s·T / n_s` with
+    * `T = min_s(n_s / w_s)` (the largest total for which every source can
+    * meet its share), drawn per row by the c1f md5-prefix uniform — no
+    * RNG, partition-invariant, replayable. Weights derive from the source
+    * NAME (index % 4 + 1) so the query is fixture-scale-free; a real
+    * pipeline passes its mixture map the same way.
+    *
+    * Scale shape: one tiny per-source count agg (|sources| rows) cross-
+    * joined as a broadcast scalar, a broadcast rate join, then a map-side
+    * filter — the corpus streams through once; nothing corpus-sized
+    * shuffles. The binding source's rate lands within one IEEE ulp of
+    * 1.0, so the c1f full-weight guard (`rate >= 1.0 OR draw < cutoff`)
+    * is replayed on both engines.
+    */
+  private val c1g = QuerySpec(
+    "c1g_source_mix",
+    "Deterministic source-mix resampling to target weights (source-name-derived, index%4+1): rate = w*T/n with T = min(n/w), md5-prefix draw; per-source totals, kept counts, kept-id range.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              substr(md5(text), 1, 8) AS draw
+              FROM documents),
+            n AS (SELECT source,
+              CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE) AS w,
+              COUNT(*) AS n_s
+              FROM t GROUP BY source),
+            m AS (SELECT MIN(CAST(n_s AS DOUBLE) / w) AS tmax FROM n),
+            r AS (SELECT source, w * tmax / CAST(n_s AS DOUBLE) AS rate
+                  FROM n CROSS JOIN m),
+            k AS (SELECT t.doc_id, t.source,
+                (rate >= 1.0 OR draw < printf('%08x', CAST(floor(rate*4294967296.0) AS BIGINT))) AS kept
+              FROM t JOIN r ON t.source = r.source)
+            SELECT source, COUNT(*) AS n_total,
+              COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+              MIN(CASE WHEN kept THEN doc_id END) AS first_kept,
+              MAX(CASE WHEN kept THEN doc_id END) AS last_kept
+            FROM k GROUP BY source ORDER BY source"""),
+    (s, d) => sourceMixResample(s, Tables.documents(s, d))
+  )
+
+  /** The c1g body on any (doc_id, source, text) frame — source weight =
+    * (source-name index % 4) + 1, see [[c1g]]'s design note.
+    */
+  def sourceMixResample(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val t = docs.select($"doc_id", $"source", substring(md5($"text"), 1, 8).as("draw"))
+    val n = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .select($"source",
+        ((substring($"source", 4, 100).cast(LongType) % 4) + 1).cast(DoubleType).as("w"),
+        $"n_s")
+    val tmax = n.agg(min($"n_s".cast(DoubleType) / $"w").as("tmax"))
+    val rates = n.crossJoin(broadcast(tmax))
+      .select($"source", ($"w" * $"tmax" / $"n_s".cast(DoubleType)).as("rate"))
+    t.join(broadcast(rates), "source")
+      .select($"doc_id", $"source",
+        ($"rate" >= 1.0 ||
+          $"draw" < format_string("%08x", floor($"rate" * 4294967296.0).cast(LongType))).as("kept"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"kept", 1)).as("n_kept"),
+        min(when($"kept", $"doc_id")).as("first_kept"),
+        max(when($"kept", $"doc_id")).as("last_kept"))
+      .orderBy($"source")
+  }
+
+  // --------------------------------- per-doc contamination fraction (c4y)
+  /** Per-document contamination score: the fraction of a document's
+    * distinct word 5-grams that also occur in ANY other source — the
+    * per-doc triage view of [[crossSourceContamination]] (which emits
+    * pairs). A gram is contaminated iff its distinct-source count > 1,
+    * so the expensive step is a per-gram aggregate (linear in the posting
+    * list) followed by an equi-join back on the gram — NO pair fan-out,
+    * hence no df-cap needed: a boilerplate gram shared by thousands of
+    * documents costs O(df), not O(df²).
+    */
+  def contaminationFraction(s: SparkSession, docs: DataFrame,
+      gramSize: Int): DataFrame = {
+    import s.implicits._
+    val gramsUdf = udf { (text: String) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < gramSize) Array.empty[String]
+      else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
+    }
+    val g = CacheRegistry.persist(docs
+      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram")))
+    val gs = g.groupBy($"gram").agg(countDistinct($"source").as("ns"))
+    g.join(gs, "gram")
+      .select($"doc_id", when($"ns" > 1, 1).otherwise(0).as("c"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum($"c").cast(LongType).as("n_contam"))
+      .select($"doc_id", $"n_grams", $"n_contam",
+        floor(lit(1000000.0) * $"n_contam" / $"n_grams").cast(LongType).as("contam_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val c4y = QuerySpec(
+    "c4_contam_frac",
+    "Per-doc contamination fraction: share of distinct word 5-grams also present in another source (gram-level distinct-source agg + equi-join back — linear, no pair fan-out, no caps); ppm at exact IEEE floor.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            g AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')))) AS gram
+              FROM t WHERE len(toks) >= 5),
+            gs AS (SELECT gram, COUNT(DISTINCT source) AS ns FROM g GROUP BY gram),
+            j AS (SELECT g.doc_id, CASE WHEN gs.ns > 1 THEN 1 ELSE 0 END AS c
+                  FROM g JOIN gs ON g.gram = gs.gram)
+            SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(c) AS BIGINT) AS n_contam,
+              CAST(floor(1000000.0 * SUM(c) / COUNT(*)) AS BIGINT) AS contam_ppm
+            FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => contaminationFraction(s, Tables.documents(s, d), 5)
+  )
+
   // ------------------------------------------------- PII masking (c4_pii)
   /** PII redaction pass (emails then URLs). The synthetic corpus carries no
     * real PII, so the query plants a deterministic contact line per doc and
@@ -795,5 +910,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b, c1f, c4z, c4x)
+      c4h, c4b, c1f, c1g, c4y, c4z, c4x)
 }

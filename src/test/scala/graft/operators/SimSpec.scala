@@ -75,6 +75,57 @@ class SimSpec extends AnyFunSuite {
     assert(uncapped > 30, s"expected boilerplate pair explosion without cap, got $uncapped")
   }
 
+  test("contaminationFraction: leaked doc scores > 0, clean doc scores 0, exact ppm") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (0L, "train", s"intro words $leak closing words"),
+      (1L, "eval", s"different frame $leak other ending"),
+      (2L, "eval", "completely unrelated content about weather patterns today always nine ten")
+    ).toDF("doc_id", "source", "text")
+    val got = TierCText.contaminationFraction(spark, docs, 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 0: 9 distinct tokens around an 11-token leak → grams sliding
+    // over 15 tokens = 11 distinct 5-grams; the 7 fully inside the leak
+    // also occur in doc 1 (which embeds the same 11-token run)
+    val (n0, c0, ppm0) = got(0L)
+    assert(c0 > 0 && c0 < n0, s"doc 0: $c0 of $n0")
+    assert(ppm0 == math.floor(1000000.0 * c0 / n0).toLong)
+    val (n2, c2, ppm2) = got(2L)
+    assert(c2 == 0L && ppm2 == 0L && n2 > 0L, s"doc 2 clean: $got")
+    // partition invariance
+    val again = TierCText.contaminationFraction(spark, docs.repartition(7), 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("sourceMixResample: kept counts track 1:2:3:4 weights, binding source keeps all") {
+    import spark.implicits._
+    // src0..src3 → weights 1,2,3,4; 40 docs each → rates 0.25/0.5/0.75/1.0
+    val docs = (for {
+      srcIdx <- 0 until 4
+      i <- 0 until 40
+    } yield (srcIdx * 100L + i, s"src$srcIdx",
+      s"document number $i of source $srcIdx with body ${"word " * (i % 7)}end"))
+      .toDF("doc_id", "source", "text")
+    val got = TierCText.sourceMixResample(spark, docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("src0", "src1", "src2", "src3"))
+    assert(got.values.forall(_._1 == 40L))
+    val kept = (0 to 3).map(i => got(s"src$i")._2)
+    // binding source (max weight) has rate exactly 1.0 → keeps everything
+    assert(kept(3) == 40L, s"binding source kept ${kept(3)}")
+    // others are deterministic md5 draws around n·rate = 10/20/30
+    Seq(10L, 20L, 30L).zip(kept).foreach { case (exp, k) =>
+      assert(math.abs(k - exp) <= 10, s"kept $k vs expected ~$exp")
+    }
+    // partition invariance
+    val again = TierCText.sourceMixResample(spark, docs.repartition(11))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("compose c1 exact dedup before c2 LSH: bucket sizes stay bounded, near-dups still found") {
     import spark.implicits._
     import graft.functions.MinHash
