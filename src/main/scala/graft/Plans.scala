@@ -52,6 +52,20 @@ object Plans {
     "b37_gapfill" -> ("Gap-fill: dense grid generation, the real-aggregate " +
       "left join, and the LOCF window all partition on event_type — one " +
       "shuffle key end to end, no re-exchange between the three stages."),
+    "c3_ivfpq" -> ("IVF-PQ ADC search: cell assignment and PQ codes/LUTs " +
+      "are single native codegen nodes (graft_nearest_seed / graft_pq_*) " +
+      "computed in the pre-shuffle projections, so ONE equi-join on the " +
+      "cell key moves 4 sub-codes per candidate — never the float vector — " +
+      "and per-pair work is 4 array lookups; WindowGroupLimit prunes to " +
+      "top-k."),
+    "c1g_source_mix" -> ("Source-mix resampling: the per-source count " +
+      "aggregate is |sources| rows, the min-T scalar and the rate table " +
+      "broadcast; the corpus itself streams through one map-side filter — " +
+      "no corpus-sized shuffle anywhere."),
+    "c4_contam_frac" -> ("Per-doc contamination: per-gram distinct-source " +
+      "aggregate then an equi-join back on the gram — linear in the " +
+      "posting list (a df-1000 boilerplate gram costs 1000 rows, not " +
+      "1000² pairs), so no df-cap is needed."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -461,9 +461,11 @@ object TierCSim {
     // exact count: one metadata-cheap pass, and the only input the
     // adaptive fanout depends on — deterministic for a given corpus
     val planes = lshPlanes(embeddings.count())
-    val e = embeddings.select($"vec_id", $"embedding",
+    // plan-reuse persist (both self-join sides re-run the bucket UDF
+    // otherwise) — caller-owned release via the CacheRegistry contract
+    val e = CacheRegistry.persist(embeddings.select($"vec_id", $"embedding",
       bucketUdf(planes)($"embedding").as("bucket"),
-      TierC.dot($"embedding", $"embedding").as("n2")).persist()
+      TierC.dot($"embedding", $"embedding").as("n2")))
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"bucket", $"n2".as("na2"))
     val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"bucket".as("bucket_r"), $"n2".as("nb2"))
     val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")

@@ -24,6 +24,7 @@ class CacheRegistrySpec extends AnyFunSuite {
     graft.operators.TierCSim.simhashPairs(spark, docs, 3).count()
     graft.operators.TierCSim.ngramJaccardPairs(spark, docs, 0.6, 10000).count()
     graft.operators.TierCSim.ivfTopK(spark, embs, 3).count()
+    graft.operators.TierCSim.annTopK(spark, embs, 3).count()
     graft.operators.TierC.nearDuplicatePairs(spark, docs, 0.8).count()
 
     assert(CacheRegistry.registeredCount > 0,
