@@ -549,5 +549,48 @@ object Spatial {
     )
   }
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s)
+  // ---------------------------------------------------------------- A11t
+  /** Slippy-map tile aggregation at a fixed zoom — the vector-tile
+    * pre-aggregation a geodata-serving pipeline runs before rendering:
+    * tile_x = floor((lon+180)/360·2^z), tile_y from the Web-Mercator y
+    * (ln(tan φ + sec φ) form), then per-tile count / first-id / exact
+    * cents sum. tile_x is pure +,·,/ arithmetic (bit-identical across
+    * engines); tile_y's ln/tan/sec chain differs in the last libm ulp, so
+    * the floor's flip risk is ~1e-14/row (the a11r y_km precedent).
+    * Scale: map-side tile key, ONE shuffle on (tx, ty), partial
+    * aggregation; tile skew is controlled by the zoom choice.
+    */
+  private val TileZoomN = 64.0 // zoom 6 → 64×64 tiles
+  private val a11t = QuerySpec(
+    "a11t_tilestats",
+    "Slippy-map tile aggregation (zoom 6): per-tile feature count, first event_id, exact integer cents sum; tile keys from the standard Web-Mercator tile formulas, one shuffle on the tile key.",
+    Some("""WITH c AS (SELECT event_id, value,
+              (value % 300.0) - 150.0 AS lon,
+              (value % 160.0) - 80.0 AS lat
+            FROM events),
+          t AS (SELECT event_id, value,
+              CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS tx,
+              CAST(floor((1.0 - ln(tan(lat*pi()/180.0) + 1.0/cos(lat*pi()/180.0))/pi()) / 2.0 * 64.0) AS BIGINT) AS ty
+            FROM c)
+          SELECT tx, ty, COUNT(*) AS n, MIN(event_id) AS first_id,
+            CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+          FROM t GROUP BY tx, ty ORDER BY tx, ty"""),
+    (s, d) => {
+      import s.implicits._
+      val lon = ($"value" % 300.0) - 150.0
+      val lat = ($"value" % 160.0) - 80.0
+      val phi = lat * math.Pi / 180.0
+      Tables.events(s, d)
+        .select($"event_id", $"value",
+          floor((lon + 180.0) / 360.0 * TileZoomN).cast(LongType).as("tx"),
+          floor((lit(1.0) - log(tan(phi) + lit(1.0) / cos(phi)) / math.Pi) / 2.0 * TileZoomN)
+            .cast(LongType).as("ty"))
+        .groupBy($"tx", $"ty")
+        .agg(count(lit(1)).as("n"), min($"event_id").as("first_id"),
+          sum(floor($"value" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+        .orderBy($"tx", $"ty")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t)
 }

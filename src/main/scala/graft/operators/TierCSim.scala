@@ -754,17 +754,25 @@ object TierCSim {
   /** Product quantization — the embedding-store compression step at
     * 100 TB: each dim-D vector becomes m sub-codes (4×16 codes here = 4
     * bytes instead of 256 float bytes), and ANN scans codes against
-    * per-subspace lookup tables ([[pqSearch]]). Encoding is a linear-size
-    * expression per subspace (argmin = array_position of array_min — the
-    * same anti-exponential shape as IVF cell assignment), fully map-side.
+    * per-subspace lookup tables ([[pqSearch]]). Encoding is one native
+    * codegen node per subspace ([[graft.functions.VectorExprs.pqCodeF]],
+    * same anti-blowup story as IVF cell assignment), fully map-side.
     * No oracle: iterative codebook build; SimSpec pins partition
     * invariance, code spread, and reconstruction error.
     */
   def pqEncode(s: SparkSession, embeddings: DataFrame, m: Int = 4,
-      codes: Int = 16, sampleSize: Int = 256): DataFrame = {
+      codes: Int = 16, sampleSize: Int = 256): DataFrame =
+    pqEncodeWith(s, embeddings, pqCodebooks(s, embeddings, m, codes, sampleSize), m)
+
+  /** [[pqEncode]] against pre-built codebooks — lets [[pqSearch]] share
+    * ONE codebook build (it previously built the books twice: once for
+    * its LUTs and once inside pqEncode — two sample collects + greedy
+    * builds for identical deterministic output).
+    */
+  private def pqEncodeWith(s: SparkSession, embeddings: DataFrame,
+      books: Seq[Seq[Seq[Float]]], m: Int): DataFrame = {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding")
-    val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
     val sub = books.head.head.length
     val pieces = (0 until m).map { si =>
       val arr = pqDistArray(si, sub, books(si), $"embedding")
@@ -790,7 +798,7 @@ object TierCSim {
     import s.implicits._
     val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
     val sub = books.head.head.length
-    val cand = pqEncode(s, embeddings, m, codes, sampleSize)
+    val cand = pqEncodeWith(s, embeddings, books, m)
       .join(embeddings.select($"vec_id", $"label"), Seq("vec_id"))
       .select(($"vec_id".as("id_b") +: $"label".as("label_b") +:
         (0 until m).map(si => col(s"c$si"))): _*)
