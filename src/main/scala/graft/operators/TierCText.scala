@@ -836,6 +836,59 @@ object TierCText {
     (s, d) => contaminationFraction(s, Tables.documents(s, d), 5)
   )
 
+  // -------------------------------- unigram cross-entropy quality (c4u)
+  /** Unigram LM cross-entropy per document — the perplexity-proxy quality
+    * filter (the CCNet-style shape: score each doc by how surprising its
+    * tokens are under a corpus LM; here the LM is the corpus's own
+    * unigram distribution, so boilerplate scores low and rare-token noise
+    * scores high). Float ln-sums across rows are partition-order-
+    * dependent, so each token INSTANCE contributes an integer
+    * `floor(ln(cnt/total)·1e6)` and the per-doc sum is exact integer
+    * arithmetic — order-independent, bit-replayable (the c5 discipline).
+    *
+    * Scale shape: one token explosion feeding (a) the corpus unigram
+    * count agg and (b) the per-doc join back on the token — the same
+    * inverted-index posting-list discipline as TF-IDF; nothing is
+    * corpus² anywhere. The Zipf head ("the") makes the token join's
+    * build side skewed, but each probe row matches exactly one vocab row,
+    * so AQE's skew-join split handles it without semantic change
+    * (ScaleSpec audits the no-BNLJ/AQE degradation path).
+    */
+  private val c4u = QuerySpec(
+    "c4_unigram_ce",
+    "Unigram cross-entropy quality proxy: per-token-instance floor(ln(corpus_p)*1e6) integer contributions, exact per-doc sums, mean CE at a second exact floor; posting-list join, no caps needed.",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS token
+              FROM documents),
+            f AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+            n AS (SELECT COUNT(*) AS total FROM t),
+            j AS (SELECT t.doc_id,
+                CAST(floor(ln(CAST(f.cnt AS DOUBLE) / CAST(n.total AS DOUBLE)) * 1000000.0) AS BIGINT) AS mlp
+              FROM t JOIN f ON t.token = f.token CROSS JOIN n)
+            SELECT doc_id, COUNT(*) AS ntok,
+              CAST(-SUM(mlp) AS BIGINT) AS ce_sum_e6,
+              CAST(floor(CAST(-SUM(mlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_ce_e6
+            FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val t = CacheRegistry.persist(docs
+        .select($"doc_id", explode(toksCol).as("token")))
+      val f = t.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      val n = t.agg(count(lit(1)).as("total"))
+      t.join(f, "token")
+        .crossJoin(broadcast(n))
+        .select($"doc_id",
+          floor(log($"cnt".cast(DoubleType) / $"total".cast(DoubleType)) * 1000000.0)
+            .cast(LongType).as("mlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("ntok"), (-sum($"mlp")).cast(LongType).as("ce_sum_e6"))
+        .select($"doc_id", $"ntok", $"ce_sum_e6",
+          floor($"ce_sum_e6".cast(DoubleType) / $"ntok".cast(DoubleType))
+            .cast(LongType).as("avg_ce_e6"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------------------- PII masking (c4_pii)
   /** PII redaction pass (emails then URLs). The synthetic corpus carries no
     * real PII, so the query plants a deterministic contact line per doc and
@@ -910,5 +963,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b, c1f, c1g, c4y, c4z, c4x)
+      c4h, c4b, c1f, c1g, c4y, c4u, c4z, c4x)
 }
