@@ -836,6 +836,85 @@ object TierCText {
     (s, d) => contaminationFraction(s, Tables.documents(s, d), 5)
   )
 
+  // ----------------------------- exact-substring dedup spans (c4ss)
+  /** Exact-substring duplicate spans — the ExactSubstr shape of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499): any k-token run that occurs more than once in
+    * the corpus marks its span for removal; overlapping spans merge, and
+    * the per-doc removable-token count is the span-union length. The
+    * published pipeline builds a suffix array; the Spark-native shape is
+    * a k-token shingle explode → global count > 1 → join back → the
+    * gaps-and-islands union (running-max window) — every step a shuffle
+    * on a well-distributed key, all integer arithmetic (exact oracle).
+    *
+    * Scale: the shingle explode is ~ntok rows (one per start position);
+    * at 100 TB the shuffle payload would hash the shingle (xxhash64,
+    * 8 bytes vs ~50 chars; collision odds ~n²/2^64 — log the choice).
+    * Here the raw shingle is the key so the DuckDB oracle can replay the
+    * grouping byte-for-byte.
+    */
+  private val SubstrK = 8
+  private val c4ss = QuerySpec(
+    "c4_substr_dedup",
+    "Exact-substring dedup spans (ExactSubstr, k=8 tokens): shingles occurring >1x corpus-wide mark spans, overlapping spans merge via a running-max island window; per-doc removable-token counts, exact integers.",
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            st AS (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks) - ${SubstrK - 1})) AS start
+              FROM t WHERE len(toks) >= $SubstrK),
+            sh AS (SELECT doc_id, start,
+                list_aggregate(toks[start:start+${SubstrK - 1}], 'string_agg', ' ') AS shingle
+              FROM st),
+            dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1),
+            ds AS (SELECT sh.doc_id, sh.start FROM sh JOIN dup ON sh.shingle = dup.shingle),
+            isl AS (SELECT doc_id, start,
+                MAX(start + $SubstrK) OVER (PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM ds),
+            cov AS (SELECT doc_id,
+                GREATEST(0, (start + $SubstrK) - GREATEST(start, COALESCE(prev_end, 0))) AS c
+              FROM isl),
+            n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM t)
+            SELECT n.doc_id, n.ntok,
+              CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_tokens,
+              CAST(floor(1000000.0 * COALESCE(SUM(c), 0) / n.ntok) AS BIGINT) AS dup_ppm
+            FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+            GROUP BY n.doc_id, n.ntok ORDER BY n.doc_id"""),
+    (s, d) => exactSubstrSpans(s, Tables.documents(s, d), SubstrK)
+  )
+
+  /** The c4_substr_dedup body on any (doc_id, text) frame. */
+  def exactSubstrSpans(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val shingleUdf = udf { (toks: Seq[String]) =>
+      if (toks.length < k) Array.empty[(Int, String)]
+      else toks.sliding(k).zipWithIndex
+        .map { case (g, i) => (i + 1, g.mkString(" ")) }.toArray
+    }
+    val base = CacheRegistry.persist(docs.select($"doc_id", toksCol.as("toks")))
+    val sh = CacheRegistry.persist(base
+      .select($"doc_id", explode(shingleUdf($"toks")).as("s"))
+      .select($"doc_id", $"s._1".as("start"), $"s._2".as("shingle")))
+    val dup = sh.groupBy($"shingle").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1).select($"shingle".as("dup_shingle"))
+    val ds = sh.join(dup, $"shingle" === $"dup_shingle").select($"doc_id", $"start")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cov = ds
+      .withColumn("prev_end", max($"start" + k).over(w))
+      .select($"doc_id",
+        greatest(lit(0), ($"start" + k) - greatest($"start", coalesce($"prev_end", lit(0)))).as("c"))
+      .groupBy($"doc_id").agg(sum($"c").as("sc"))
+    base.select($"doc_id", size($"toks").cast(LongType).as("ntok"))
+      .join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"ntok",
+        coalesce($"sc", lit(0L)).cast(LongType).as("dup_tokens"),
+        floor(lit(1000000.0) * coalesce($"sc", lit(0L)) / $"ntok").cast(LongType).as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+
   // -------------------------------- unigram cross-entropy quality (c4u)
   /** Unigram LM cross-entropy per document — the perplexity-proxy quality
     * filter (the CCNet-style shape: score each doc by how surprising its
@@ -963,5 +1042,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b, c1f, c1g, c4y, c4u, c4z, c4x)
+      c4h, c4b, c1f, c1g, c4y, c4u, c4ss, c4z, c4x)
 }

@@ -100,6 +100,31 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("exactSubstrSpans: cross-doc and within-doc duplicate runs, overlap merge, clean doc zero") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"x$i").mkString(" ")     // 10-token shared run
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")      // 8-token self-repeat
+    val docs = Seq(
+      (0L, s"p1 p2 $run s1 s2"),                           // 14 tokens, 10 dup
+      (1L, s"q1 $run q2 q3"),                              // 13 tokens, 10 dup
+      (2L, (1 to 12).map(i => s"u$i").mkString(" ")),      // clean
+      (3L, s"$rep $rep")                                   // 16 tokens, all dup
+    ).toDF("doc_id", "text")
+    val got = TierCText.exactSubstrSpans(spark, docs, 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the 10-token run holds 3 overlapping 8-shingles -> merged span = 10
+    assert(got(0L) == (14L, 10L), s"doc0: ${got(0L)}")
+    assert(got(1L) == (13L, 10L), s"doc1: ${got(1L)}")
+    assert(got(2L) == (12L, 0L), s"doc2: ${got(2L)}")
+    // within-doc repeat: starts 1 and 9 duplicate, bridging shingles are
+    // unique; [1,9) U [9,17) covers all 16 tokens
+    assert(got(3L) == (16L, 16L), s"doc3: ${got(3L)}")
+    val again = TierCText.exactSubstrSpans(spark, docs.repartition(5), 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("sourceMixResample: kept counts track 1:2:3:4 weights, binding source keeps all") {
     import spark.implicits._
     // src0..src3 → weights 1,2,3,4; 40 docs each → rates 0.25/0.5/0.75/1.0
