@@ -82,6 +82,31 @@ object FeaturePipeline {
       .dropDuplicatesWithinWatermark("minhash_sig")
       .drop("minhash_sig")
 
+  /** Stream-stream interval enrichment join (the two-live-streams shape
+    * Structured Streaming bounds with dual watermarks): each observation
+    * joins every context row for the SAME layer whose timestamp falls in
+    * `[obs_ts - lookback, obs_ts]` — sensor readings enriched with the
+    * calibration/context feed that precedes them, both sides unbounded.
+    *
+    * State bound (the 100 TB property): the time-range predicate plus
+    * both watermarks lets Spark evict a context row as soon as no future
+    * observation could still match it (obs watermark has passed
+    * `ctx_ts + lookback`), so join state is O(lookback-window of the
+    * context stream per layer), never the stream's history.
+    *
+    * @param obs streaming frame with `layer`, `obs_ts`, observation cols
+    * @param ctx streaming frame with `ctx_layer`, `ctx_ts`, context cols
+    */
+  def enrichStream(obs: DataFrame, ctx: DataFrame, lookbackSec: Int,
+      watermark: String): DataFrame = {
+    val o = obs.withWatermark("obs_ts", watermark)
+    val c = ctx.withWatermark("ctx_ts", watermark)
+    o.join(c, expr(
+      s"""layer = ctx_layer AND
+          ctx_ts >= obs_ts - interval $lookbackSec seconds AND
+          ctx_ts <= obs_ts"""))
+  }
+
   /** A8: evolve the sink column set from the props seen in this batch —
     * the reference's "add missing columns on demand" PostGIS behavior —
     * and promote each new column to the narrowest type ALL of its

@@ -357,6 +357,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-window context matches, out-of-window excluded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    implicit val enc2 = org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+    implicit val enc3 = org.apache.spark.sql.Encoders.product[(String, Long, String)]
+    val obsMs = MemoryStream[(String, Long, Double)]
+    val ctxMs = MemoryStream[(String, Long, String)]
+    val obs = obsMs.toDF().toDF("layer", "ts_us", "value")
+      .select($"layer", timestamp_micros($"ts_us").as("obs_ts"), $"value")
+    val ctxDf = ctxMs.toDF().toDF("ctx_layer", "ts_us", "info")
+      .select($"ctx_layer", timestamp_micros($"ts_us").as("ctx_ts"), $"info")
+    val joined = FeaturePipeline.enrichStream(obs, ctxDf, lookbackSec = 60, "10 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      val t0 = 1000000000L // 1000 s in µs
+      ctxMs.addData(
+        ("roads", t0 - 30000000L, "cal_recent"),   // 30 s before obs → in window
+        ("roads", t0 - 120000000L, "cal_stale"),   // 120 s before → out (lookback 60)
+        ("roads", t0 + 5000000L, "cal_future"),    // after obs → out
+        ("water", t0 - 10000000L, "other_layer")) // layer mismatch
+      obsMs.addData(("roads", t0, 42.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_sink")
+        .select($"layer", $"value", $"info").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+      assert(got == Set(("roads", 42.0, "cal_recent")), s"got $got")
+    } finally q.stop()
+  }
+
   test("B31: late data beyond the watermark is dropped from windowed counts") {
     val (ms, transport) = newStream()
     val hour = 3600L * 1000000L
