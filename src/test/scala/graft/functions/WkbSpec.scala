@@ -462,4 +462,19 @@ object WkbProps extends Properties("Wkb") {
     java.util.Arrays.equals(huge, expectHuge) &&
       Wkb.length(simp) <= Wkb.length(line) + 1e-9
   }
+
+  property("UTM forward∘inverse roundtrips under 1e-9° across zones and hemispheres") =
+    Prop.forAll(
+      Gen.chooseNum(-179.99, 179.99), Gen.chooseNum(-84.0, 84.0),
+      Gen.chooseNum(1, 60), Gen.oneOf(true, false)) { (lon0, lat, zone, south) =>
+      // offset lon into the chosen zone's ±3° band (the series is valid
+      // beyond it, but UTM use stays in-zone)
+      val lon = (zone * 6.0 - 183.0) + (lon0 % 3.0)
+      val (e, n) = Wkb.lonLatToUtm(lon, lat, zone, south)
+      val (lo, la) = Wkb.utmToLonLat(e, n, zone, south)
+      // easting stays inside the zone envelope; northing offset applied south
+      val eOk = e > 100000.0 && e < 900000.0
+      val nOk = if (south) n >= 0.0 && n <= 2.0e7 else math.abs(n) < 1.0e7
+      eOk && nOk && math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9
+    }
 }
