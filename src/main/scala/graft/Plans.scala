@@ -30,7 +30,9 @@ object Plans {
       "prunes to top-k per vector before the final window."),
     "c2_ngram_jaccard" -> ("Inverted-index near-dup: explode grams, " +
       "equi-join on (source, gram), count shared per pair — no per-pair " +
-      "array set operations anywhere in the plan."),
+      "array set operations anywhere in the plan. The df-cap window's " +
+      "(source, gram) exchange IS the join's partitioning: both self-join " +
+      "sides read the cached windowed frame with no re-exchange."),
     "a11d_spatial_join" -> ("Grid-blocked point-in-polygon join: polygons " +
       "replicate to covering cells, points hash to one cell, a shuffled " +
       "equi-join on (cell_x, cell_y) bounds candidates by local density — " +

