@@ -228,16 +228,20 @@ object TierCText {
       if (toks.length < gramSize) Array.empty[String]
       else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
     }
+    // the df window's (gram) exchange IS the pair join's partitioning —
+    // both self-join sides read the cached windowed frame with no
+    // re-exchange (the c2_ngram_jaccard trick; replaced a separate
+    // groupBy shuffle + broadcast anti-join)
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
     val g = CacheRegistry.persist(docs
-      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram")))
-    val hot = CacheRegistry.persist(g.groupBy($"gram").agg(count(lit(1)).as("df"))
-      .filter($"df" > dfCap).select($"gram".as("hot_gram")))
-    val nHot = hot.count()
+      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
+      .withColumn("df", count(lit(1)).over(dfWin)))
+    val nHot = g.filter($"df" > dfCap).select($"gram").distinct().count()
     if (nHot > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
           "contamination join (boilerplate, not leak signal; no-silent-caps)")
-    val kept = g.join(broadcast(hot), $"gram" === $"hot_gram", "left_anti")
+    val kept = g.filter($"df" <= dfCap).drop("df")
     val a = kept.select($"doc_id".as("id_a"), $"source".as("source_a"), $"gram")
     val b = kept.select($"doc_id".as("id_b"), $"source".as("source_b"), $"gram".as("gram_r"))
     a.join(b, $"gram" === $"gram_r" && $"source_a" < $"source_b")
@@ -805,10 +809,14 @@ object TierCText {
       if (toks.length < gramSize) Array.empty[String]
       else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
     }
-    val g = CacheRegistry.persist(docs
-      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram")))
-    val gs = g.groupBy($"gram").agg(countDistinct($"source").as("ns"))
-    g.join(gs, "gram")
+    // per-gram distinct-source count as a window over the gram partition:
+    // ONE shuffle, no agg+join pair; the collected set is bounded by the
+    // number of SOURCES (not docs), so the Zipf-head gram costs O(df)
+    // rows and a tiny set
+    val gWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
+    docs
+      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
+      .withColumn("ns", size(collect_set($"source").over(gWin)))
       .select($"doc_id", when($"ns" > 1, 1).otherwise(0).as("c"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), sum($"c").cast(LongType).as("n_contam"))
