@@ -219,29 +219,54 @@ object TierCText {
     * with logged drops before the join (a gram shared by thousands of docs
     * is boilerplate, not contamination signal — and its pair fan-out is
     * O(df²)).
+    *
+    * `hotPreFilter` picks the df-cap shape — same trade as
+    * [[TierCSim.ngramJaccardPairs]]: default is the one-exchange window
+    * (df window partitioning = pair-join partitioning, exchange reused
+    * by both sides; but the hottest gram's posting list funnels through
+    * one window task pre-cap — window partitions get no partial agg and
+    * no AQE skew-split), `true` is the 100 TB shape (partial-agg groupBy
+    * finds hot grams with map-side combine, broadcast anti-join drops
+    * them pre-exchange, repartition on the gram restores the one-
+    * exchange join reuse with every key df-bounded).
     */
   def crossSourceContamination(s: SparkSession, docs: DataFrame,
-      gramSize: Int, dfCap: Int): DataFrame = {
+      gramSize: Int, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
     import s.implicits._
     val gramsUdf = udf { (text: String) =>
       val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
       if (toks.length < gramSize) Array.empty[String]
       else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
     }
-    // the df window's (gram) exchange IS the pair join's partitioning —
-    // both self-join sides read the cached windowed frame with no
-    // re-exchange (the c2_ngram_jaccard trick; replaced a separate
-    // groupBy shuffle + broadcast anti-join)
-    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
-    val g = CacheRegistry.persist(docs
+    val exploded = docs
       .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
-      .withColumn("df", count(lit(1)).over(dfWin)))
-    val nHot = g.filter($"df" > dfCap).select($"gram").distinct().count()
-    if (nHot > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val kept = if (hotPreFilter) {
+      val hot = CacheRegistry.persist(exploded
+        .groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" > dfCap).select($"gram"))
+      val nHot = hot.count()
+      if (nHot > 0)
+        log.warn(s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
           "contamination join (boilerplate, not leak signal; no-silent-caps)")
-    val kept = g.filter($"df" <= dfCap).drop("df")
+      CacheRegistry.persist(exploded
+        .join(broadcast(hot), Seq("gram"), "left_anti")
+        .repartition($"gram"))
+    } else {
+      // the df window's (gram) exchange IS the pair join's partitioning —
+      // both self-join sides read the cached windowed frame with no
+      // re-exchange (the c2_ngram_jaccard trick; replaced a separate
+      // groupBy shuffle + broadcast anti-join). Skew caveat as in the
+      // scaladoc: the hottest gram buffers through one window task.
+      val dfWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
+      val g = CacheRegistry.persist(exploded
+        .withColumn("df", count(lit(1)).over(dfWin)))
+      val nHot = g.filter($"df" > dfCap).select($"gram").distinct().count()
+      if (nHot > 0)
+        log.warn(s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
+          "contamination join (boilerplate, not leak signal; no-silent-caps)")
+      g.filter($"df" <= dfCap).drop("df")
+    }
     val a = kept.select($"doc_id".as("id_a"), $"source".as("source_a"), $"gram")
     val b = kept.select($"doc_id".as("id_b"), $"source".as("source_b"), $"gram".as("gram_r"))
     a.join(b, $"gram" === $"gram_r" && $"source_a" < $"source_b")
@@ -796,10 +821,15 @@ object TierCText {
     * distinct word 5-grams that also occur in ANY other source — the
     * per-doc triage view of [[crossSourceContamination]] (which emits
     * pairs). A gram is contaminated iff its distinct-source count > 1,
-    * so the expensive step is a per-gram aggregate (linear in the posting
-    * list) followed by an equi-join back on the gram — NO pair fan-out,
-    * hence no df-cap needed: a boilerplate gram shared by thousands of
-    * documents costs O(df), not O(df²).
+    * computed as a collect_set(source) window over the gram partition:
+    * ONE shuffle, linear in the posting list, NO pair fan-out, hence no
+    * df-cap needed — a boilerplate gram shared by thousands of documents
+    * costs O(df), not O(df²). Skew bound: a window partition gets no
+    * partial aggregation, so the Zipf-head gram's whole posting list
+    * buffers in one task — but the per-row state (the collected set) is
+    * capped by |sources|, so that task is O(max-df) rows of small state,
+    * not O(max-df²) work; acceptable where the pair operators need the
+    * hot-gram pre-filter.
     */
   def contaminationFraction(s: SparkSession, docs: DataFrame,
       gramSize: Int): DataFrame = {
@@ -855,11 +885,15 @@ object TierCText {
     * gaps-and-islands union (running-max window) — every step a shuffle
     * on a well-distributed key, all integer arithmetic (exact oracle).
     *
-    * Scale: the shingle explode is ~ntok rows (one per start position);
-    * at 100 TB the shuffle payload would hash the shingle (xxhash64,
-    * 8 bytes vs ~50 chars; collision odds ~n²/2^64 — log the choice).
-    * Here the raw shingle is the key so the DuckDB oracle can replay the
-    * grouping byte-for-byte.
+    * Scale: the shingle explode is ~ntok rows (one per start position).
+    * [[exactSubstrSpans]] takes `hashKey`: the oracle row keeps the raw
+    * ~50-char shingle string as the key so DuckDB can replay the
+    * grouping byte-for-byte; `hashKey = true` is the 100 TB shape —
+    * xxhash64 of the shingle computed map-side BEFORE the exchange, so
+    * both shuffles (the count and the join back) move an 8-byte long
+    * instead of the string (~6× less exchange payload; collision odds
+    * ~n²/2⁶⁴ ≈ 1e-7 at 1e6 shingles — a collision can only mark an
+    * extra span, never lose one). SimSpec sweeps hash-vs-raw equality.
     */
   private val SubstrK = 8
   private val c4ss = QuerySpec(
@@ -886,14 +920,18 @@ object TierCText {
             n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM t)
             SELECT n.doc_id, n.ntok,
               CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_tokens,
-              CAST(floor(1000000.0 * COALESCE(SUM(c), 0) / n.ntok) AS BIGINT) AS dup_ppm
+              CAST(floor(1000000.0 * COALESCE(SUM(c), 0) / NULLIF(n.ntok, 0)) AS BIGINT) AS dup_ppm
             FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
             GROUP BY n.doc_id, n.ntok ORDER BY n.doc_id"""),
     (s, d) => exactSubstrSpans(s, Tables.documents(s, d), SubstrK)
   )
 
-  /** The c4_substr_dedup body on any (doc_id, text) frame. */
-  def exactSubstrSpans(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+  /** The c4_substr_dedup body on any (doc_id, text) frame.
+    * `hashKey = false` shuffles the raw shingle string (oracle-replayable);
+    * `hashKey = true` shuffles xxhash64(shingle) — the scale path.
+    */
+  def exactSubstrSpans(s: SparkSession, docs: DataFrame, k: Int,
+      hashKey: Boolean = false): DataFrame = {
     import s.implicits._
     val shingleUdf = udf { (toks: Seq[String]) =>
       if (toks.length < k) Array.empty[(Int, String)]
@@ -901,9 +939,12 @@ object TierCText {
         .map { case (g, i) => (i + 1, g.mkString(" ")) }.toArray
     }
     val base = CacheRegistry.persist(docs.select($"doc_id", toksCol.as("toks")))
+    // the key column is hashed map-side, pre-exchange: everything
+    // downstream (cache, count shuffle, join shuffle) carries 8 bytes
+    val keyCol = if (hashKey) xxhash64($"s._2") else $"s._2"
     val sh = CacheRegistry.persist(base
       .select($"doc_id", explode(shingleUdf($"toks")).as("s"))
-      .select($"doc_id", $"s._1".as("start"), $"s._2".as("shingle")))
+      .select($"doc_id", $"s._1".as("start"), keyCol.as("shingle")))
     val dup = sh.groupBy($"shingle").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" > 1).select($"shingle".as("dup_shingle"))
     val ds = sh.join(dup, $"shingle" === $"dup_shingle").select($"doc_id", $"start")
@@ -919,7 +960,11 @@ object TierCText {
       .join(cov, Seq("doc_id"), "left")
       .select($"doc_id", $"ntok",
         coalesce($"sc", lit(0L)).cast(LongType).as("dup_tokens"),
-        floor(lit(1000000.0) * coalesce($"sc", lit(0L)) / $"ntok").cast(LongType).as("dup_ppm"))
+        // an all-whitespace doc tokenizes to ntok = 0: 0.0/0 is NaN in
+        // Spark but an error in the oracle's CAST — both sides NULL it
+        when($"ntok" > 0,
+          floor(lit(1000000.0) * coalesce($"sc", lit(0L)) / $"ntok").cast(LongType))
+          .as("dup_ppm"))
       .orderBy($"doc_id")
   }
 

@@ -50,6 +50,15 @@ class SimSpec extends AnyFunSuite {
     val uncapped = TierCSim.ngramJaccardPairs(spark, docs, 0.5, 10000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped == Set((0L, 1L)))
+    // the hot-gram pre-filter (100 TB shape: partial-agg + broadcast
+    // anti-join instead of the df window) must produce identical pairs
+    // AND identical jaccard values on a cap that actually drops a gram
+    val winRows = TierCSim.ngramJaccardPairs(spark, docs, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val preRows = TierCSim.ngramJaccardPairs(spark, docs, 0.5, 3, hotPreFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(preRows == winRows, s"hotPreFilter diverged: $preRows vs $winRows")
+    graft.CacheRegistry.releaseAll()
   }
 
   test("crossSourceContamination: cross-source leak found, same-source and boilerplate ignored") {
@@ -73,6 +82,14 @@ class SimSpec extends AnyFunSuite {
     val uncapped = TierCText.crossSourceContamination(spark, df, 5, 10000)
       .collect().length
     assert(uncapped > 30, s"expected boilerplate pair explosion without cap, got $uncapped")
+    // hot-gram pre-filter path: identical (id_a, id_b, n_shared) rows on
+    // the dropping cap
+    val winRows = TierCText.crossSourceContamination(spark, df, 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val preRows = TierCText.crossSourceContamination(spark, df, 5, 5, hotPreFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(preRows == winRows, s"hotPreFilter diverged: $preRows vs $winRows")
+    graft.CacheRegistry.releaseAll()
   }
 
   test("contaminationFraction: leaked doc scores > 0, clean doc scores 0, exact ppm") {
@@ -122,6 +139,33 @@ class SimSpec extends AnyFunSuite {
     val again = TierCText.exactSubstrSpans(spark, docs.repartition(5), 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("exactSubstrSpans: xxhash64 key path matches the raw-string key path") {
+    import spark.implicits._
+    // planted dup structure + an all-whitespace doc (ntok = 0): both key
+    // paths must agree row-for-row, and dup_ppm must be NULL (not NaN /
+    // oracle error) on the empty-token doc
+    val run = (1 to 11).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 $run b1"),
+      (1L, s"$run c1 c2 c3"),
+      (2L, (1 to 20).map(i => s"z$i").mkString(" ")),
+      (3L, "   "),
+      (4L, s"d1 $run $run d2")
+    ).toDF("doc_id", "text")
+    def rows(hashKey: Boolean) =
+      TierCText.exactSubstrSpans(spark, docs, 8, hashKey = hashKey)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+    val raw = rows(hashKey = false)
+    val hashed = rows(hashKey = true)
+    assert(hashed == raw, s"hash-key path diverged: $hashed vs $raw")
+    assert(raw(3L) == ((0L, 0L, None)), s"empty-token doc: ${raw(3L)}")
+    assert(raw(0L)._3.isDefined)
     graft.CacheRegistry.releaseAll()
   }
 
