@@ -72,7 +72,7 @@ object Bench {
       // untimed sweep: queries are self-contained, so a frame persisted by
       // one query must not squeeze executor memory (or appear as an
       // InMemoryRelation) in a later query's run
-      // (releaseAll also empties the CacheRegistry's weak-ref ledger)
+      // (releaseAll unpersists every strong-ref'd frame and clears the ledger)
       CacheRegistry.releaseAll()
       spark.catalog.clearCache()
       if (ok) secs else -1.0

@@ -45,4 +45,13 @@ object CacheRegistry {
 
   /** Registered frames not yet released (for tests). */
   def registeredCount: Int = synchronized { frames.length }
+
+  /** Bracket form of the release contract: run `body` (compose operators,
+    * take the final action inside), then `releaseAll()` — even on failure.
+    * Library callers that use this cannot forget the release. NOT for
+    * bodies that RETURN an unconsumed lazy frame: the frame's plan
+    * references the caches, so release must come after its final action.
+    */
+  def withReleased[A](body: => A): A =
+    try body finally releaseAll()
 }

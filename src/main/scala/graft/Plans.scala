@@ -64,10 +64,12 @@ object Plans {
       "aggregate is |sources| rows, the min-T scalar and the rate table " +
       "broadcast; the corpus itself streams through one map-side filter — " +
       "no corpus-sized shuffle anywhere."),
-    "c4_contam_frac" -> ("Per-doc contamination: per-gram distinct-source " +
-      "aggregate then an equi-join back on the gram — linear in the " +
-      "posting list (a df-1000 boilerplate gram costs 1000 rows, not " +
-      "1000² pairs), so no df-cap is needed."),
+    "c4_contam_frac" -> ("Per-doc contamination: collect_set(source) window " +
+      "over the gram partition — ONE shuffle, linear in the posting list " +
+      "(a df-1000 boilerplate gram costs 1000 rows, not 1000² pairs), so " +
+      "no df-cap is needed. Skew bound: each gram's posting list buffers " +
+      "in one window task (no partial agg), but the collected set is " +
+      "capped by |sources|; the Zipf-head task is O(max-df) rows."),
   )
 
   def main(args: Array[String]): Unit = {

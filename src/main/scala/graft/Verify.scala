@@ -35,7 +35,7 @@ object Verify {
       }
       // queries are self-contained; drop any frames a query persisted so
       // 60+ queries in one JVM don't accumulate executor-memory caches
-      // (releaseAll also empties the CacheRegistry's weak-ref ledger)
+      // (releaseAll unpersists every strong-ref'd frame and clears the ledger)
       finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -87,9 +87,29 @@ object TierCSim {
 
   /** Word-bigram Jaccard near-dup pairs, blocked by `source`, inverted-
     * index join shape, df-capped candidate generation (see [[NgramDfCap]]).
+    *
+    * Two equivalent df-cap shapes, chosen by `hotPreFilter`:
+    * - `false` (default, the benched local path): ONE (source, gram)
+    *   window exchange computes df AND leaves the frame partitioned on
+    *   the pair join's keys, so both self-join sides reuse the cached
+    *   exchange. TRADE-OFF: a window partition is one task with no
+    *   partial aggregation and no AQE skew-split (skew handling applies
+    *   to join keys, not window partitions), so the FULL posting list of
+    *   a Zipf-head gram — the very rows the cap will discard — is
+    *   buffered through a single task first. Fine while max-df is
+    *   ~thousands; a straggler/OOM risk when a boilerplate gram reaches
+    *   millions.
+    * - `true` (the 100 TB path): a partial-agg groupBy (map-side combine
+    *   ⇒ no task ever sees a whole posting list) finds hot (source, gram)
+    *   keys, a broadcast anti-join drops them BEFORE any wide exchange,
+    *   and an explicit repartition on the join keys restores the
+    *   one-exchange reuse for both join sides. Every surviving key has
+    *   df ≤ cap, so the exchange is skew-bounded by construction.
+    *   SimSpec pins output equality of the two shapes on a fixture whose
+    *   cap actually drops grams.
     */
   def ngramJaccardPairs(s: SparkSession, docs: DataFrame,
-      threshold: Double, dfCap: Int): DataFrame = {
+      threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
     import s.implicits._
     // single-pass bigram UDF: the HOF formulation (transform over
     // sequence with element_at lambdas) is CodegenFallback AND gets its
@@ -101,30 +121,51 @@ object TierCSim {
       if (toks.length < 2) Array.empty[String]
       else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
     }
-    // ONE shuffle does double duty: the (source, gram) window that counts
-    // df ALSO leaves the frame hash-partitioned (and sorted) on exactly
-    // the pair join's keys, so the self-join below reuses the exchange on
-    // BOTH sides — r6 ran a separate groupBy shuffle for df plus a
-    // broadcast anti-join, and each join side re-exchanged (measured
-    // 3.5 s → ~2 s at sf0.1). Only the post-window frame is reused, so
-    // only it is persisted (InMemoryRelation preserves the child's
-    // partitioning/ordering, which is what the join reuse rides on).
-    val dfWin = Window.partitionBy($"source", $"gram")
-    val sized = CacheRegistry.persist(docs
+    val exploded = docs
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
       .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
-      .withColumn("df", count(lit(1)).over(dfWin)))
-    // hot-gram drop count: a cheap distinct over the cached frame's capped
-    // tail (the Zipf head is at most |grams|/cap entries) — no-silent-caps
-    val nHot = sized.filter($"df" > dfCap)
-      .select($"source", $"gram").distinct().count()
-    if (nHot > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val kept = if (hotPreFilter) {
+      // scale path: partial-agg df (map-side combine bounds every task),
+      // broadcast the tiny Zipf-head key set, anti-join it away before
+      // the wide exchange; then repartition on the join keys so both
+      // self-join sides still reuse ONE cached exchange
+      val hot = CacheRegistry.persist(exploded
+        .groupBy($"source", $"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" > dfCap).select($"source", $"gram"))
+      val nHot = hot.count()
+      if (nHot > 0)
+        log.warn(s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
           "candidate generation (Jaccard becomes a strict underestimate for " +
           "pairs sharing a dropped gram; set sizes stay exact)")
-    val kept = sized.filter($"df" <= dfCap).drop("df")
+      CacheRegistry.persist(exploded
+        .join(broadcast(hot), Seq("source", "gram"), "left_anti")
+        .repartition($"source", $"gram"))
+    } else {
+      // ONE shuffle does double duty: the (source, gram) window that counts
+      // df ALSO leaves the frame hash-partitioned (and sorted) on exactly
+      // the pair join's keys, so the self-join below reuses the exchange on
+      // BOTH sides — r6 ran a separate groupBy shuffle for df plus a
+      // broadcast anti-join, and each join side re-exchanged (measured
+      // 3.5 s → ~2 s at sf0.1). Only the post-window frame is reused, so
+      // only it is persisted (InMemoryRelation preserves the child's
+      // partitioning/ordering, which is what the join reuse rides on).
+      // Skew caveat (the trade the scaladoc spells out): the window task
+      // holding the hottest gram buffers its whole posting list pre-cap.
+      val dfWin = Window.partitionBy($"source", $"gram")
+      val sized = CacheRegistry.persist(exploded
+        .withColumn("df", count(lit(1)).over(dfWin)))
+      // hot-gram drop count: a cheap distinct over the cached frame's capped
+      // tail (the Zipf head is at most |grams|/cap entries) — no-silent-caps
+      val nHot = sized.filter($"df" > dfCap)
+        .select($"source", $"gram").distinct().count()
+      if (nHot > 0)
+        log.warn(s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
+          "candidate generation (Jaccard becomes a strict underestimate for " +
+          "pairs sharing a dropped gram; set sizes stay exact)")
+      sized.filter($"df" <= dfCap).drop("df")
+    }
     val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
     val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
       $"sz".as("sb"), $"gram".as("gram_r"))
