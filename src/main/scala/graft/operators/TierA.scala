@@ -70,6 +70,57 @@ object TierA {
     }
   )
 
+  // ----------------------------------------------------------- A1b (.shp)
+  /** Write the events table as ONE deterministic `.shp`/`.dbf` pair under
+    * java.io.tmpdir (keyed by the sf dir), once per JVM. A bounded
+    * driver-side collect is correct here — this is a FIXTURE WRITER (the
+    * shapefile writer exists for tests/oracles; bulk ingest reads many
+    * files, each one task), and the a1b query's point is the READ path:
+    * engine-written bytes → [[graft.sources.Shapefile.read]] → envelope,
+    * hash-checked against DuckDB reading the same events parquet.
+    */
+  private def shpFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_shp_fixture_" + Integer.toHexString(d.hashCode))
+    val shp = new java.io.File(dir, "events.shp")
+    TierA.synchronized {
+      if (!shp.exists()) {
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+        val shapes = rows.toSeq.map(r =>
+          graft.sources.Shapefile.PointS(r.getDouble(1), r.getLong(2).toDouble))
+        val attrs = rows.toSeq.map(r => Seq(r.getLong(0).toString, r.getString(3)))
+        java.nio.file.Files.write(shp.toPath,
+          graft.sources.Shapefile.writeShp(shapes))
+        java.nio.file.Files.write(new java.io.File(dir, "events.dbf").toPath,
+          graft.sources.Shapefile.writeDbf(Seq(("ID", 10), ("ETYPE", 16)), attrs))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1b = QuerySpec(
+    "a1b_shp_scan",
+    "Shapefile scan: events written as an engine-generated .shp/.dbf pair, read back through the pure-Scala Shapefile source (binary header/record/dBASE parsing → WKB envelope); coordinates must equal the parquet doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = shpFixture(s, d)
+      graft.sources.Shapefile.read(s, s"$dir/events.shp", "events", "ID")
+        .select($"feature_id",
+          element_at($"props", "ETYPE").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -425,5 +476,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p)
+    Seq(a1, a1b, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p)
 }

@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Wkb
+
+/** Envelope row emitted by [[Shapefile.read]] — top-level so the encoder
+  * codegen can call the constructor (a private nested case class makes
+  * the deserializer fall back to interpreted eval).
+  */
+case class ShpFeature(layer: String, feature_id: String,
+    geom_wkb: Array[Byte], props: Map[String, String], event_ts_us: Long,
+    source: String, fmt_version: Int)
+
+/** Pure-Scala ESRI Shapefile source (SURVEY.md §2 A1: the reference's
+  * producer reads vector files — Shapefile is its primary OGR format
+  * [UPSTREAM-UNVERIFIED]; format per the public ESRI whitepaper
+  * "ESRI Shapefile Technical Description", 1998).
+  *
+  * Scope: the three mainline shape types — Point (1), PolyLine (3),
+  * Polygon (5) — plus Null (0), with attributes from the sibling dBASE
+  * `.dbf`. Geometry converts to the engine's WKB via the [[Wkb]]
+  * builders; a multi-part PolyLine becomes a WKB MultiLineString and a
+  * Polygon record's parts become that polygon's rings (outer + holes —
+  * the common single-outer-ring layout; multi-outer records would need
+  * the ring-orientation disambiguation the spec leaves to readers).
+  *
+  * Scale shape: a `.shp` has variable-length records and NO sync marks,
+  * so a single file is not splittable without its `.shx` index — each
+  * `.shp`/`.dbf` pair is one task (`binaryFile` scan + a pair join on
+  * the file stem). This is the interop/ingest-edge path, exactly like
+  * [[GeoJson.readCollection]]: bulk 100 TB ingest standardizes on
+  * splittable forms (GeoJSONSeq, parquet) after one such pass; many
+  * small shapefiles still parallelize per-file.
+  *
+  * The writer half exists for fixtures and tests (a deterministic
+  * engine-written `.shp`/`.dbf` pair is what lets the `a1b_shp_scan`
+  * oracle hash-check the read path end-to-end); it writes Char-type
+  * DBF fields only — attribute values round-trip as trimmed strings,
+  * matching the envelope's `props: map<string,string>`.
+  */
+object Shapefile {
+
+  /** Typed shapes for the writer (the reader emits WKB directly). */
+  sealed trait Shape
+  final case class PointS(x: Double, y: Double) extends Shape
+  final case class PolyLineS(parts: Seq[Seq[(Double, Double)]]) extends Shape
+  final case class PolygonS(rings: Seq[Seq[(Double, Double)]]) extends Shape
+
+  // ------------------------------------------------------------- .shp write
+
+  private def shapeType(s: Shape): Int = s match {
+    case _: PointS => 1
+    case _: PolyLineS => 3
+    case _: PolygonS => 5
+  }
+
+  private def contentBytes(s: Shape): Array[Byte] = s match {
+    case PointS(x, y) =>
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1).putDouble(x).putDouble(y)
+      b.array()
+    case other =>
+      val (parts, tpe) = other match {
+        case PolyLineS(p) => (p, 3)
+        case PolygonS(r) => (r, 5)
+        case _ => throw new MatchError(other)
+      }
+      val npts = parts.map(_.length).sum
+      val b = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts.length + 16 * npts)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(tpe)
+      val xs = parts.flatten.map(_._1); val ys = parts.flatten.map(_._2)
+      b.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
+      b.putInt(parts.length).putInt(npts)
+      var off = 0
+      parts.foreach { p => b.putInt(off); off += p.length }
+      parts.flatten.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      b.array()
+  }
+
+  /** Serialize shapes into one `.shp` byte stream (header + records). */
+  def writeShp(shapes: Seq[Shape]): Array[Byte] = {
+    require(shapes.nonEmpty, "shapefile must hold at least one record")
+    require(shapes.map(shapeType).distinct.length == 1,
+      "a .shp holds exactly one shape type")
+    val contents = shapes.map(contentBytes)
+    val totalWords = 50 + contents.map(c => 4 + c.length / 2).sum
+    val out = ByteBuffer.allocate(totalWords * 2)
+    // header: big-endian magic + length, little-endian version/type/bbox
+    out.order(ByteOrder.BIG_ENDIAN).putInt(9994)
+    (0 until 5).foreach(_ => out.putInt(0))
+    out.putInt(totalWords)
+    out.order(ByteOrder.LITTLE_ENDIAN).putInt(1000).putInt(shapeType(shapes.head))
+    val boxes = shapes.map { s => Wkb.bbox(wkbOf(s)) }
+    out.putDouble(boxes.map(_.xmin).min).putDouble(boxes.map(_.ymin).min)
+    out.putDouble(boxes.map(_.xmax).max).putDouble(boxes.map(_.ymax).max)
+    (0 until 4).foreach(_ => out.putDouble(0.0)) // Z/M ranges unused
+    contents.zipWithIndex.foreach { case (c, i) =>
+      out.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(c.length / 2)
+      out.order(ByteOrder.LITTLE_ENDIAN).put(c)
+    }
+    out.array()
+  }
+
+  private def wkbOf(s: Shape): Array[Byte] = s match {
+    case PointS(x, y) => Wkb.point(x, y)
+    case PolyLineS(parts) =>
+      if (parts.length == 1) Wkb.lineString(parts.head)
+      else Wkb.multi(5, parts.map(Wkb.lineString))
+    case PolygonS(rings) => Wkb.polygon(rings)
+  }
+
+  // ------------------------------------------------------------- .shp parse
+
+  /** Parse `.shp` bytes → (1-based record number, WKB geometry); Null
+    * shapes (type 0) carry a null geometry.
+    */
+  def parseShp(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val buf = ByteBuffer.wrap(bytes)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    require(buf.getInt(0) == 9994, "not a shapefile: bad magic")
+    val fileWords = buf.getInt(24)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var pos = 100
+    val end = math.min(fileWords * 2, bytes.length)
+    while (pos + 8 <= end) {
+      buf.order(ByteOrder.BIG_ENDIAN)
+      val recNo = buf.getInt(pos)
+      val contentWords = buf.getInt(pos + 4)
+      val cstart = pos + 8
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      val tpe = buf.getInt(cstart)
+      val wkb: Array[Byte] = tpe match {
+        case 0 => null
+        case 1 => Wkb.point(buf.getDouble(cstart + 4), buf.getDouble(cstart + 12))
+        case 3 | 5 =>
+          val nParts = buf.getInt(cstart + 36)
+          val nPts = buf.getInt(cstart + 40)
+          val partOff = (0 until nParts).map(i => buf.getInt(cstart + 44 + 4 * i))
+          val ptsStart = cstart + 44 + 4 * nParts
+          val pts = (0 until nPts).map(i =>
+            (buf.getDouble(ptsStart + 16 * i), buf.getDouble(ptsStart + 16 * i + 8)))
+          val bounds = partOff :+ nPts
+          val parts = bounds.sliding(2).map { w => pts.slice(w(0), w(1)) }.toSeq
+          if (tpe == 5) Wkb.polygon(parts)
+          else if (parts.length == 1) Wkb.lineString(parts.head)
+          else Wkb.multi(5, parts.map(Wkb.lineString))
+        case other =>
+          throw new IllegalArgumentException(s"shapefile: unsupported shape type $other")
+      }
+      out += ((recNo, wkb))
+      pos = cstart + contentWords * 2
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------- .dbf
+
+  /** Write a dBASE III `.dbf` with Char fields only: (name, width) +
+    * string rows. The header's last-update date is FIXED (not
+    * wall-clock) so fixture bytes are deterministic across runs.
+    */
+  def writeDbf(fields: Seq[(String, Int)], rows: Seq[Seq[String]]): Array[Byte] = {
+    require(fields.forall(_._1.length <= 10), "dbf field names are ≤10 bytes")
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_._2).sum
+    val out = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(0x03.toByte).put(95.toByte).put(7.toByte).put(26.toByte)
+    out.putInt(rows.length)
+    out.putShort(headerSize.toShort).putShort(recordSize.toShort)
+    out.position(32)
+    fields.foreach { case (name, width) =>
+      val desc = new Array[Byte](32)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, desc, 0, nb.length)
+      desc(11) = 'C'
+      desc(16) = width.toByte
+      out.put(desc)
+    }
+    out.put(0x0D.toByte)
+    rows.foreach { row =>
+      out.put(' '.toByte) // not-deleted flag
+      row.zip(fields).foreach { case (v, (_, width)) =>
+        val padded = (if (v == null) "" else v).take(width).padTo(width, ' ')
+        out.put(padded.getBytes("US-ASCII"))
+      }
+    }
+    out.put(0x1A.toByte) // EOF
+    out.array()
+  }
+
+  /** Parse `.dbf` bytes → (field names, rows of trimmed string values).
+    * Char and Numeric fields both surface as strings (the envelope's
+    * props map is string-typed); deleted records ('*' flag) are skipped.
+    */
+  def parseDbf(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nRec = buf.getInt(4)
+    val headerSize = buf.getShort(8) & 0xFFFF
+    val recordSize = buf.getShort(10) & 0xFFFF
+    val fields = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var fpos = 32
+    while (fpos + 32 <= headerSize && bytes(fpos) != 0x0D) {
+      var nameEnd = fpos
+      while (nameEnd < fpos + 11 && bytes(nameEnd) != 0) nameEnd += 1
+      val name = new String(bytes, fpos, nameEnd - fpos, "US-ASCII")
+      fields += ((name, bytes(fpos + 16) & 0xFF))
+      fpos += 32
+    }
+    val rows = (0 until nRec).flatMap { r =>
+      val rpos = headerSize + r.toLong * recordSize
+      if (rpos + recordSize > bytes.length || bytes(rpos.toInt) == '*') None
+      else {
+        var off = rpos.toInt + 1
+        Some(fields.toSeq.map { case (_, width) =>
+          val v = new String(bytes, off, width, "US-ASCII").trim
+          off += width
+          v
+        })
+      }
+    }
+    (fields.toSeq.map(_._1), rows)
+  }
+
+  // ------------------------------------------------------------ Spark read
+
+  /** Shapefile glob → the canonical feature envelope ([[GeoJson]]'s
+    * contract: layer, feature_id, geom_wkb, props, event_ts, source,
+    * fmt_version). `pathGlob` matches the `.shp` files; each sibling
+    * `.dbf` (same stem) supplies feature_id (`idField`) and props.
+    * One task per file pair (see the scaladoc's splittability note);
+    * the stem join is a broadcast-sized file-listing join, not data.
+    */
+  def read(spark: SparkSession, pathGlob: String, layer: String,
+      idField: String, eventTsUs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(pathGlob.endsWith(".shp"), "pass the .shp glob; .dbf is derived")
+    val stemOf = regexp_replace(input_file_name(), "\\.(shp|dbf)$", "")
+    val shp = spark.read.format("binaryFile").load(pathGlob)
+      .select(stemOf.as("stem"), $"content".as("shp_bytes"))
+    val dbf = spark.read.format("binaryFile")
+      .load(pathGlob.stripSuffix(".shp") + ".dbf")
+      .select(stemOf.as("stem"), $"content".as("dbf_bytes"))
+    val paired = shp.join(dbf, Seq("stem"))
+      .as[(String, Array[Byte], Array[Byte])]
+    paired.flatMap { case (stem, shpBytes, dbfBytes) =>
+      val geoms = parseShp(shpBytes)
+      val (names, rows) = parseDbf(dbfBytes)
+      val idIdx = names.indexOf(idField)
+      require(idIdx >= 0, s"shapefile: id field $idField not in ${names.mkString(",")}")
+      require(geoms.length == rows.length,
+        s"shapefile: ${geoms.length} shapes vs ${rows.length} dbf records at $stem")
+      geoms.zip(rows).map { case ((_, wkb), attrs) =>
+        ShpFeature(layer, attrs(idIdx), wkb, names.zip(attrs).toMap,
+          eventTsUs, stem + ".shp", 1)
+      }
+    }.toDF()
+      .select($"layer", $"feature_id", $"geom_wkb", $"props",
+        timestamp_micros($"event_ts_us").as("event_ts"), $"source", $"fmt_version")
+  }
+}
