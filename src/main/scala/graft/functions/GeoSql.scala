@@ -28,6 +28,8 @@ object GeoSql {
         Wkb.bboxIntersects(b, xmin, ymin, xmax, ymax))
     spark.udf.register("geom_wkt", (b: Array[Byte]) => Wkb.toWkt(b))
     spark.udf.register("geom_from_wkt", (s: String) => Wkb.fromWkt(s))
+    spark.udf.register("geom_geodist",
+      (a: Array[Byte], b: Array[Byte]) => Wkb.geodesicDistance(a, b))
     spark.udf.register("geom_distance",
       (a: Array[Byte], b: Array[Byte]) => Wkb.pointDistance(a, b))
     spark.udf.register("geom_boundary_distance",

@@ -294,6 +294,93 @@ object Wkb {
     (lam * 180.0 / math.Pi + utmLon0Deg(zone), phi * 180.0 / math.Pi)
   }
 
+  // ---- WGS84 geodesic distance (Vincenty inverse, fixed iterations) --
+  // Vincenty's inverse formulas (T. Vincenty, "Direct and Inverse
+  // Solutions of Geodesics on the Ellipsoid", Survey Review XXIII(176),
+  // 1975 — public formulas). The λ-iteration runs a FIXED count
+  // ([[GeodIters]]) instead of to-convergence: convergence for
+  // non-antipodal pairs is ~1e-12 within 4-6 rounds, and a fixed count
+  // makes the computation a pure function of the inputs — replayable
+  // op-for-op by an oracle (the a11s discipline). Near-antipodal pairs
+  // (where classic Vincenty diverges) return whatever the fixed
+  // iteration yields — deterministic, but only accurate inside the
+  // convergent region; callers needing antipodal robustness should
+  // bound separations (the property spec pins the convergent behavior).
+  private val GeodIters = 6
+  private val WgsB = MercatorR * (1.0 - WgsF)
+
+  /** Oracle-replay constants: (a, b, f, iteration count). */
+  private[graft] def geodConstants: (Double, Double, Double, Int) =
+    (MercatorR, WgsB, WgsF, GeodIters)
+
+  /** Geodesic distance in meters between two WGS84 lon/lat points.
+    * Division guards use EXACT zero compares deliberately: sinσ is
+    * exactly 0 only for coincident points (where both engines compute
+    * the same bit pattern), so engine and oracle take the same branch.
+    */
+  def geodesicMeters(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val rad = math.Pi / 180.0
+    val bigL = (lon2 - lon1) * rad
+    val u1 = math.atan((1.0 - WgsF) * math.tan(lat1 * rad))
+    val u2 = math.atan((1.0 - WgsF) * math.tan(lat2 * rad))
+    val sU1 = math.sin(u1); val cU1 = math.cos(u1)
+    val sU2 = math.sin(u2); val cU2 = math.cos(u2)
+    // fixed-count λ iteration: each round recomputes the intermediates
+    // from the current λ and updates λ only (the shape the generated
+    // oracle SQL mirrors stage-for-stage)
+    var lam = bigL
+    var i = 0
+    while (i < GeodIters) {
+      val sl = math.sin(lam); val cl = math.cos(lam)
+      val sinsig = math.sqrt((cU2 * sl) * (cU2 * sl) +
+        (cU1 * sU2 - sU1 * cU2 * cl) * (cU1 * sU2 - sU1 * cU2 * cl))
+      val cossig = sU1 * sU2 + cU1 * cU2 * cl
+      val sigma = math.atan2(sinsig, cossig)
+      val sina = if (sinsig == 0.0) 0.0 else cU1 * cU2 * sl / sinsig
+      val cos2a = 1.0 - sina * sina
+      val cos2m = if (cos2a == 0.0) 0.0 else cossig - 2.0 * sU1 * sU2 / cos2a
+      val c = WgsF / 16.0 * cos2a * (4.0 + WgsF * (4.0 - 3.0 * cos2a))
+      lam = bigL + (1.0 - c) * WgsF * sina *
+        (sigma + c * sinsig * (cos2m + c * cossig * (-1.0 + 2.0 * cos2m * cos2m)))
+      i += 1
+    }
+    // final evaluation from the converged λ
+    val sl = math.sin(lam); val cl = math.cos(lam)
+    val sinsig = math.sqrt((cU2 * sl) * (cU2 * sl) +
+      (cU1 * sU2 - sU1 * cU2 * cl) * (cU1 * sU2 - sU1 * cU2 * cl))
+    val cossig = sU1 * sU2 + cU1 * cU2 * cl
+    val sigma = math.atan2(sinsig, cossig)
+    val sina = if (sinsig == 0.0) 0.0 else cU1 * cU2 * sl / sinsig
+    val cos2a = 1.0 - sina * sina
+    val cos2m = if (cos2a == 0.0) 0.0 else cossig - 2.0 * sU1 * sU2 / cos2a
+    val u2sq = cos2a * (MercatorR * MercatorR - WgsB * WgsB) / (WgsB * WgsB)
+    val aa = 1.0 + u2sq / 16384.0 *
+      (4096.0 + u2sq * (-768.0 + u2sq * (320.0 - 175.0 * u2sq)))
+    val bb = u2sq / 1024.0 * (256.0 + u2sq * (-128.0 + u2sq * (74.0 - 47.0 * u2sq)))
+    val dsig = bb * sinsig * (cos2m + bb / 4.0 *
+      (cossig * (-1.0 + 2.0 * cos2m * cos2m) -
+        bb / 6.0 * cos2m * (-3.0 + 4.0 * sinsig * sinsig) *
+          (-3.0 + 4.0 * cos2m * cos2m)))
+    WgsB * aa * (sigma - dsig)
+  }
+
+  /** Geodesic meters between two POINT geometries holding WGS84 lon/lat
+    * degrees (any WKB dialect; SRID ignored — the caller asserts the
+    * datum, as with [[pointDistance]]'s planar assumption).
+    */
+  def geodesicDistance(a: Array[Byte], b: Array[Byte]): Double = {
+    def xy(wkb: Array[Byte]): (Double, Double) = {
+      val buf = ByteBuffer.wrap(wkb)
+      val h = header(buf)
+      require(h.base == 1, s"wkb: geodesicDistance expects POINT, got type ${h.base}")
+      (buf.getDouble, buf.getDouble)
+    }
+    val (ax, ay) = xy(a)
+    val (bx, by) = xy(b)
+    geodesicMeters(ax, ay, bx, by)
+  }
+
   /** Reprojects between the CRSs a web-mapping / field-data PostGIS
     * habitat uses constantly: EPSG:4326 (WGS84 degrees) ↔ EPSG:3857
     * (spherical Mercator meters) ↔ nothing, and EPSG:4326 ↔ WGS84 UTM

@@ -45,6 +45,9 @@ object Spatial {
 
   private val sridUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) => Wkb.srid(wkb) }
 
+  private val geodesicUdf: UserDefinedFunction =
+    udf { (a: Array[Byte], b: Array[Byte]) => Wkb.geodesicDistance(a, b) }
+
   /** Mixed-SRID guard for the grid joins: geometries in different CRSs
     * share no coordinate plane, so joining them cell-wise is silently
     * meaningless. The guard fails LOUDLY instead — lazily, in-plan, and
@@ -592,5 +595,103 @@ object Spatial {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t)
+  // ---------------------------------------------------------------- A11u
+  /** Geodesic (ellipsoidal) distance — [[Wkb.geodesicMeters]], Vincenty
+    * inverse with a FIXED iteration count so the oracle can replay the
+    * whole computation stage-for-stage: the generated SQL unrolls each
+    * λ-round as a CTE chain mirroring the engine's arithmetic order,
+    * with ellipsoid constants interpolated from the engine's own values
+    * (the a11s discipline). Distances quantize at meter grain — the two
+    * libms disagree in the last ulps of sin/cos/atan2, which after the
+    * ~45-op chain is ~1e-9 m of divergence against a 1 m floor cell.
+    * Map-side only: same 100 TB posture as a11r/a11s.
+    */
+  private val a11u: QuerySpec = {
+    val (wa, wb, f, iters) = graft.functions.Wkb.geodConstants
+    val aabb = wa * wa - wb * wb
+    val bb2 = wb * wb
+    // one λ-round: recompute intermediates from it(i-1).lam, update lam.
+    // Stage names are per-iteration so `SELECT *` never collides.
+    def round(i: Int): String =
+      s"""w$i AS (SELECT event_id, bigl, su1, cu1, su2, cu2, lam,
+            sqrt((cu2*sin(lam))*(cu2*sin(lam))
+                 + (cu1*su2 - su1*cu2*cos(lam))*(cu1*su2 - su1*cu2*cos(lam))) AS sinsig,
+            su1*su2 + cu1*cu2*cos(lam) AS cossig
+          FROM it${i - 1}),
+          x$i AS (SELECT *, atan2(sinsig, cossig) AS sigma,
+            CASE WHEN sinsig = 0.0 THEN 0.0 ELSE cu1*cu2*sin(lam)/sinsig END AS sina
+          FROM w$i),
+          y$i AS (SELECT *, 1.0 - sina*sina AS cos2a FROM x$i),
+          z$i AS (SELECT *,
+            CASE WHEN cos2a = 0.0 THEN 0.0 ELSE cossig - 2.0*su1*su2/cos2a END AS cos2m,
+            $f/16.0*cos2a*(4.0 + $f*(4.0 - 3.0*cos2a)) AS c
+          FROM y$i),
+          it$i AS (SELECT event_id, bigl, su1, cu1, su2, cu2,
+            bigl + (1.0-c)*$f*sina*(sigma + c*sinsig*(cos2m + c*cossig*(-1.0 + 2.0*cos2m*cos2m))) AS lam
+          FROM z$i)"""
+    val sql =
+      s"""WITH c0 AS (SELECT event_id,
+              (value % 300.0) - 150.0 AS lon1,
+              (value % 140.0) - 70.0 AS lat1
+            FROM events),
+          c1 AS (SELECT event_id, lon1, lat1,
+              lon1 + 0.75 AS lon2, lat1 + 0.5 AS lat2 FROM c0),
+          u AS (SELECT event_id,
+              (lon2 - lon1) * (pi() / 180.0) AS bigl,
+              atan((1.0 - $f) * tan(lat1 * (pi() / 180.0))) AS u1,
+              atan((1.0 - $f) * tan(lat2 * (pi() / 180.0))) AS u2
+            FROM c1),
+          it0 AS (SELECT event_id, bigl,
+              sin(u1) AS su1, cos(u1) AS cu1, sin(u2) AS su2, cos(u2) AS cu2,
+              bigl AS lam
+            FROM u),
+          ${(1 to iters).map(round).mkString(",\n")},
+          fw AS (SELECT event_id, su1, cu1, su2, cu2, lam,
+              sqrt((cu2*sin(lam))*(cu2*sin(lam))
+                   + (cu1*su2 - su1*cu2*cos(lam))*(cu1*su2 - su1*cu2*cos(lam))) AS sinsig,
+              su1*su2 + cu1*cu2*cos(lam) AS cossig
+            FROM it$iters),
+          fx AS (SELECT *, atan2(sinsig, cossig) AS sigma,
+              CASE WHEN sinsig = 0.0 THEN 0.0 ELSE cu1*cu2*sin(lam)/sinsig END AS sina
+            FROM fw),
+          fy AS (SELECT *, 1.0 - sina*sina AS cos2a FROM fx),
+          fz AS (SELECT *,
+              CASE WHEN cos2a = 0.0 THEN 0.0 ELSE cossig - 2.0*su1*su2/cos2a END AS cos2m,
+              cos2a * $aabb / $bb2 AS u2sq
+            FROM fy),
+          fa AS (SELECT *,
+              1.0 + u2sq/16384.0*(4096.0 + u2sq*(-768.0 + u2sq*(320.0 - 175.0*u2sq))) AS biga,
+              u2sq/1024.0*(256.0 + u2sq*(-128.0 + u2sq*(74.0 - 47.0*u2sq))) AS bigb
+            FROM fz),
+          fd AS (SELECT event_id, sigma,
+              bigb*sinsig*(cos2m + bigb/4.0*(cossig*(-1.0 + 2.0*cos2m*cos2m)
+                - bigb/6.0*cos2m*(-3.0 + 4.0*sinsig*sinsig)*(-3.0 + 4.0*cos2m*cos2m))) AS dsig,
+              biga
+            FROM fa)
+          SELECT event_id,
+            CAST(floor($wb * biga * (sigma - dsig)) AS BIGINT) AS dist_m
+          FROM fd ORDER BY event_id"""
+    QuerySpec(
+      "a11u_geodesic",
+      "WGS84 geodesic distance (Vincenty inverse, fixed 6 iterations): per-row point pair ~100 km apart, ellipsoidal meters at floor quantization against an oracle replaying every lambda round stage-for-stage from the engine's own ellipsoid constants.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (($"value" % 300.0) - 150.0).as("lon1"),
+            (($"value" % 140.0) - 70.0).as("lat1"))
+          .select($"event_id", $"lon1", $"lat1",
+            ($"lon1" + 0.75).as("lon2"), ($"lat1" + 0.5).as("lat2"))
+          .select($"event_id",
+            floor(geodesicUdf(
+              sridPointUdf($"lon1", $"lat1", lit(4326)),
+              sridPointUdf($"lon2", $"lat2", lit(4326)))).cast(LongType).as("dist_m"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t, a11u)
 }

@@ -210,6 +210,51 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("Wkb.geodesicMeters: known anchors, symmetry, planar agreement at small separations") {
+    // Vincenty's own published test line (Flinders Peak → Buninyong,
+    // Survey Review 1975): s = 54972.271 m. Six fixed iterations land
+    // well inside a millimeter of the converged value.
+    val d = Wkb.geodesicMeters(144.42486789, -37.95103342, 143.92649553, -37.65282114)
+    assert(math.abs(d - 54972.271) < 1e-2, d.toString)
+    // along the equator the geodesic IS the equator arc: a · Δλ
+    val eq = Wkb.geodesicMeters(0.0, 0.0, 1.0, 0.0)
+    assert(math.abs(eq - 6378137.0 * math.Pi / 180.0) < 1e-3, eq.toString)
+    // one degree of meridian at the equator ≈ 110574.3 m (geodesy constant)
+    val mer = Wkb.geodesicMeters(0.0, 0.0, 0.0, 1.0)
+    assert(math.abs(mer - 110574.3) < 1.0, mer.toString)
+    // coincident points: exactly zero (the sinσ == 0 branch)
+    assert(Wkb.geodesicMeters(12.5, 48.25, 12.5, 48.25) == 0.0)
+    // symmetry — to the last ulp only: reversing the points swaps operand
+    // order inside the products, so the results differ by ≤1 ulp
+    val fwd = Wkb.geodesicMeters(10, 50, 11, 51)
+    val rev = Wkb.geodesicMeters(11, 51, 10, 50)
+    assert(math.abs(fwd - rev) <= 4 * math.ulp(fwd), s"$fwd vs $rev")
+    // small-separation property: for ~100 m separations the ellipsoid is
+    // locally flat, so geodesic ≈ planar with per-axis metric scaling
+    // (M(φ) meridian radius, N(φ)cosφ parallel radius) to within 0.1%
+    val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    for (lat <- Seq(-70.0, -33.3, 0.0, 12.0, 45.0, 68.9); lon <- Seq(-179.5, 0.0, 77.7)) {
+      val phi = math.toRadians(lat)
+      val s2 = math.sin(phi) * math.sin(phi)
+      val nRad = 6378137.0 / math.sqrt(1 - e2 * s2)
+      val mRad = 6378137.0 * (1 - e2) / math.pow(1 - e2 * s2, 1.5)
+      val dLon = 0.001; val dLat = 0.0007
+      val dx = math.toRadians(dLon) * nRad * math.cos(phi)
+      val dy = math.toRadians(dLat) * mRad
+      val planar = math.sqrt(dx * dx + dy * dy)
+      val geo = Wkb.geodesicMeters(lon, lat, lon + dLon, lat + dLat)
+      assert(math.abs(geo - planar) / planar < 1e-3,
+        s"at ($lon, $lat): geodesic $geo vs planar $planar")
+    }
+    // WKB surface parses POINTs and rejects non-points
+    val gd = Wkb.geodesicDistance(Wkb.point(0, 0), Wkb.point(1, 0))
+    assert(gd == eq)
+    intercept[IllegalArgumentException] {
+      Wkb.geodesicDistance(Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))), Wkb.point(0, 0))
+    }
+  }
+
   test("Wkb distance: pointDistance exact chain, boundaryDistance edge cases") {
     val d = Wkb.pointDistance(Wkb.point(1.0, 2.0), Wkb.point(4.0, 6.0))
     assert(d == 5.0)
