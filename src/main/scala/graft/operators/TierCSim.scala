@@ -316,18 +316,29 @@ object TierCSim {
     * result is partition-invariant and replay-deterministic.
     *
     * Convergence is detected by an edge-set fingerprint (count + sum of
-    * xxhash64(u,v)) — ONE action per round on an already-distinct edge
-    * set; a missed change needs a 2^-64 hash-sum collision between two
-    * distinct same-size edge sets, and the alternation is a monotone
-    * contraction (no oscillation), so a stable fingerprint means a true
-    * fixed point. At the fixed point every component is a star rooted at
-    * its minimum id, so the final label is least(id, min(neighbor)).
+    * xxhash64(u,v)) — ONE action per TWO star rounds: each loop pass
+    * fuses two large/small alternations into a single lazily-
+    * checkpointed plan before fingerprinting, because at local scale the
+    * per-action driver round-trip (job scheduling + the SQL listener's
+    * plan stringification) dominates the tiny per-round compute — r7
+    * measured c2_cluster as driver-latency-bound, and halving actions
+    * attacks exactly that floor. The fused plan is ~64 nodes per action
+    * (8× per star round) — a bounded constant, since the checkpoint
+    * still cuts lineage every action. Correctness is untouched: the
+    * alternation is a monotone contraction (the label sum strictly
+    * decreases until the fixed point, so there is no period-2 cycle a
+    * two-round stride could alias with), a converged set stays
+    * converged, and a missed change needs a 2^-64 hash-sum collision
+    * between two distinct same-size edge sets. At the fixed point every
+    * component is a star rooted at its minimum id, so the final label is
+    * least(id, min(neighbor)).
     *
-    * @return (labels (id, cluster), rounds run) — rounds exposed for the
-    *         ScaleSpec assertion that chains converge logarithmically
+    * @return (labels (id, cluster), star rounds run, driver actions) —
+    *         rounds for the ScaleSpec log-convergence assertion, actions
+    *         for the SimSpec halved-round-trips assertion
     */
   private[graft] def starComponents(s: SparkSession, nodes: DataFrame,
-      edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+      edges: DataFrame, maxIters: Int = 50): (DataFrame, Int, Int) = {
     import s.implicits._
     // localCheckpoint, not persist: one star round references its input
     // ~8× (the union doubling + the groupBy/join reuse on each star), so
@@ -349,27 +360,35 @@ object TierCSim {
     }
     var prevFp = fp(cur)
     var rounds = 0
+    var actions = 1 // the initial fingerprint
     var converged = false
     while (!converged && rounds < maxIters) {
-      // Lazy checkpoint: the fingerprint aggregation is the round's ONE
-      // action — it runs the star plan and persists the checkpoint blocks
-      // as a side effect (an eager checkpoint would cost a second full
-      // job per round just to materialize before fingerprinting).
-      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      // Lazy checkpoint: the fingerprint aggregation is the pass's ONE
+      // action — it runs both rounds and persists their checkpoint
+      // blocks as side effects (an eager checkpoint would cost extra
+      // full jobs per pass just to materialize first). The MID round
+      // must also checkpoint: a star round references its input ~8×,
+      // and only the checkpoint barrier makes those references share
+      // one computed RDD — fusing the rounds into one un-checkpointed
+      // plan re-executes the inner round per reference (measured ~2×
+      // whole-query cost at sf0.1).
+      val mid = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      val next = smallStar(largeStar(mid)).localCheckpoint(eager = false)
       val nextFp = fp(next)
       // superseded checkpoint blocks are reclaimed by the ContextCleaner
       // once `cur` is unreachable (unpersist() doesn't cover checkpoints)
       cur = next
       converged = nextFp == prevFp
       prevFp = nextFp
-      rounds += 1
+      rounds += 2
+      actions += 1
     }
     val und = cur.union(cur.select($"v".as("u"), $"u".as("v")))
     val nbrMin = und.groupBy($"u".as("nid")).agg(min($"v").as("mn"))
     val labels = nodes.select($"id")
       .join(nbrMin, $"id" === $"nid", "left")
       .select($"id", least($"id", coalesce($"mn", $"id")).as("cluster"))
-    (labels, rounds)
+    (labels, rounds, actions)
   }
 
   /** Star-contraction CC with the same (nodes, edges) → (id, cluster)

@@ -253,11 +253,16 @@ class SimSpec extends AnyFunSuite {
     val n = 64
     val nodes = (0L until n.toLong).toDF("id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
-    val (labels, rounds) = TierCSim.starComponents(spark, nodes, edges)
+    val (labels, rounds, actions) = TierCSim.starComponents(spark, nodes, edges)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until n.toLong).map(_ -> 0L).toMap, s"wrong labels: $got")
     assert(rounds <= 12,
       s"star contraction took $rounds rounds on a 64-chain (diameter 63)")
+    // driver round-trips are halved: two star rounds share one
+    // fingerprint action (plus the initial fingerprint) — the r7
+    // driver-latency floor, cut in half by fusing rounds per action
+    assert(actions <= rounds / 2 + 1,
+      s"$actions driver actions for $rounds star rounds — rounds not fused")
     // hash-min agreement on a chain SHORT enough for its O(diameter)
     // rounds (its un-checkpointed lineage grows 3×/round — the very cost
     // the star variant exists to avoid at depth)
