@@ -667,14 +667,18 @@ object TierCSim {
     * c3_ivfpq at sf0.1. The native node replays the identical arithmetic
     * (left-fold double dot, sim = dot/(sqrt(n2)·sqrtSeedN2), first-max
     * argmax under Spark double ordering). Needs (embedding, n2) in scope.
+    * The seed matrix rides a BROADCAST (one per query, shared by both
+    * join sides) — the r7 plan-literal payload printed hundreds of
+    * numbers per node and re-serialized into every task binary.
     */
-  private def cellAssignCol(seeds: Seq[(Seq[Float], Double)]): Column =
+  private def cellAssignCol(seeds: org.apache.spark.sql.graftbridge.SeedSetF): Column =
     graft.functions.VectorExprs.nearestSeedF(col("embedding"), col("n2"), seeds)
 
   private def ivfTopKOn(s: SparkSession, e: DataFrame, k: Int, cells: Int,
       sampleSize: Int = 1024, nprobe: Int = 1): DataFrame = {
     import s.implicits._
-    val seeds = ivfSeeds(s, e, cells, sampleSize)
+    val seeds = graft.functions.VectorExprs.broadcastSeeds(s,
+      ivfSeeds(s, e, cells, sampleSize))
     // e's cache only served the index-build actions (count + sample
     // collect) — release it here; the final job recomputes the projection
     // map-side. `assigned` feeds both join sides (the per-pair
@@ -810,11 +814,12 @@ object TierCSim {
     * ([[graft.functions.VectorExprs.pqDistsF]]; replaces a per-code
     * `dot(seg,seg) - 2·dot(seg,code) + ‖code‖²` chain array whose
     * planning/codegen cost dominated c3_ivfpq, same story as
-    * [[cellAssignCol]]; arithmetic replayed term-for-term).
+    * [[cellAssignCol]]; arithmetic replayed term-for-term). The codebook
+    * rides a broadcast shared with the matching [[pqCodeF]] calls.
     */
-  private def pqDistArray(si: Int, sub: Int, book: Seq[Seq[Float]],
+  private def pqDistArray(si: Int, book: org.apache.spark.sql.graftbridge.CodebookF,
       emb: Column): Column =
-    graft.functions.VectorExprs.pqDistsF(emb, si * sub, book)
+    graft.functions.VectorExprs.pqDistsF(emb, si * book.sub, book)
 
   /** Product quantization — the embedding-store compression step at
     * 100 TB: each dim-D vector becomes m sub-codes (4×16 codes here = 4
@@ -827,21 +832,24 @@ object TierCSim {
     */
   def pqEncode(s: SparkSession, embeddings: DataFrame, m: Int = 4,
       codes: Int = 16, sampleSize: Int = 256): DataFrame =
-    pqEncodeWith(s, embeddings, pqCodebooks(s, embeddings, m, codes, sampleSize), m)
+    pqEncodeWith(s, embeddings,
+      pqCodebooks(s, embeddings, m, codes, sampleSize)
+        .map(graft.functions.VectorExprs.broadcastBook(s, _)), m)
 
-  /** [[pqEncode]] against pre-built codebooks — lets [[pqSearch]] share
-    * ONE codebook build (it previously built the books twice: once for
-    * its LUTs and once inside pqEncode — two sample collects + greedy
-    * builds for identical deterministic output).
+  /** [[pqEncode]] against pre-broadcast codebooks — lets [[pqSearch]]
+    * share ONE codebook build AND one broadcast per subspace (it
+    * previously built the books twice: once for its LUTs and once inside
+    * pqEncode — two sample collects + greedy builds for identical
+    * deterministic output).
     */
   private def pqEncodeWith(s: SparkSession, embeddings: DataFrame,
-      books: Seq[Seq[Seq[Float]]], m: Int): DataFrame = {
+      books: Seq[org.apache.spark.sql.graftbridge.CodebookF], m: Int): DataFrame = {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding")
-    val sub = books.head.head.length
     val pieces = (0 until m).map { si =>
-      val arr = pqDistArray(si, sub, books(si), $"embedding")
-      val code = graft.functions.VectorExprs.pqCodeF($"embedding", si * sub, books(si))
+      val arr = pqDistArray(si, books(si), $"embedding")
+      val code = graft.functions.VectorExprs.pqCodeF(
+        $"embedding", si * books(si).sub, books(si))
       (code.as(s"c$si"), element_at(arr, code + 1).as(s"e$si"))
     }
     val coded = e.select(($"vec_id" +: (pieces.map(_._1) ++ pieces.map(_._2))): _*)
@@ -862,14 +870,14 @@ object TierCSim {
       codes: Int = 16, sampleSize: Int = 256): DataFrame = {
     import s.implicits._
     val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
-    val sub = books.head.head.length
+      .map(graft.functions.VectorExprs.broadcastBook(s, _))
     val cand = pqEncodeWith(s, embeddings, books, m)
       .join(embeddings.select($"vec_id", $"label"), Seq("vec_id"))
       .select(($"vec_id".as("id_b") +: $"label".as("label_b") +:
         (0 until m).map(si => col(s"c$si"))): _*)
     val q = (0 until m).foldLeft(
         embeddings.select($"vec_id".as("id_a"), $"label", $"embedding")) {
-      (df, si) => df.withColumn(s"lut$si", pqDistArray(si, sub, books(si), $"embedding"))
+      (df, si) => df.withColumn(s"lut$si", pqDistArray(si, books(si), $"embedding"))
     }.drop("embedding")
     val approx = (0 until m).map { si =>
       element_at(col(s"lut$si"), col(s"c$si") + 1)
@@ -902,18 +910,20 @@ object TierCSim {
     // pqCodebooks(_, sampleSize) exactly (r6 ran two separate collects —
     // one of c3_ivfpq's measured constant-factor costs).
     val sample = md5Sample(e, math.max(1024, sampleSize))
-    val seeds = kCenterSeeds(sample.take(1024), nCells)
+    val seeds = graft.functions.VectorExprs.broadcastSeeds(s,
+      kCenterSeeds(sample.take(1024), nCells))
     val books = pqCodebooksFromSample(
       sample.take(sampleSize).map(t => (t._1, t._2)), m, codes)
+      .map(graft.functions.VectorExprs.broadcastBook(s, _))
     // e's cache only served the count + sample collect; the final job
     // recomputes the projection map-side (both join inputs project codes/
     // cells BEFORE the shuffle, so nothing re-runs per pair)
     e.unpersist()
-    val sub = books.head.head.length
     // candidate side: IVF cell + m sub-codes ONLY — 4 bytes of geometry
     // per row crosses the shuffle, never the float vector
     val codeCols = (0 until m).map { si =>
-      graft.functions.VectorExprs.pqCodeF($"embedding", si * sub, books(si)).as(s"c$si")
+      graft.functions.VectorExprs.pqCodeF(
+        $"embedding", si * books(si).sub, books(si)).as(s"c$si")
     }
     val cand = e.select(($"vec_id".as("id_b") +:
       cellAssignCol(seeds).as("cell_r") +: codeCols): _*)
@@ -928,7 +938,7 @@ object TierCSim {
     val q = (0 until m).foldLeft(
         e.select($"vec_id".as("id_a"), $"embedding", $"n2",
           qCell.as("cell"))) { (df, si) =>
-      df.withColumn(s"lut$si", pqDistArray(si, sub, books(si), $"embedding"))
+      df.withColumn(s"lut$si", pqDistArray(si, books(si), $"embedding"))
     }.drop("embedding", "n2")
     val approx = (0 until m).map { si =>
       element_at(col(s"lut$si"), col(s"c$si") + 1)

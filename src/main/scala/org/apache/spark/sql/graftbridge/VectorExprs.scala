@@ -6,12 +6,35 @@
   */
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+
+/** A broadcast IVF seed matrix: row-major seeds (nSeeds × dim) plus the
+  * per-seed `sqrt(‖seed‖²)`. Codebook payloads ride a BROADCAST VARIABLE,
+  * not expression-tree literals: r7 embedded them as case-class fields,
+  * which serialized the full matrix into every task binary and printed
+  * hundreds of numbers per plan node (`graft_pq_dists(..., 250 more
+  * fields)` in PLANS.md). A broadcast keeps the plan node O(1) — it
+  * prints as `Broadcast(id)` — ships the payload once per executor via
+  * torrent instead of once per task, and scales to codebooks far larger
+  * than a plan literal should carry. Expressions read it through a
+  * transient lazy field (interpreted path) or a one-time-initialized
+  * mutable member (codegen path) — never per row.
+  */
+case class SeedSetF(bc: Broadcast[(Array[Float], Array[Double])], dim: Int) {
+  def nSeeds: Int = bc.value._2.length
+}
+
+/** A broadcast PQ codebook for one subspace: row-major codes (codes ×
+  * sub) plus per-code `‖code‖²`. Same broadcast-over-literal rationale as
+  * [[SeedSetF]].
+  */
+case class CodebookF(bc: Broadcast[(Array[Float], Array[Double])], sub: Int)
 
 /** Native Catalyst expression for the float-vector dot product (SURVEY.md
   * §4 "custom Expression" row; the hot scalar of C2/C3 similarity search).
@@ -64,8 +87,31 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** argmax_j cosine(embedding, seed_j) over a plan-time literal seed matrix
-  * — the IVF coarse-quantizer cell assignment as ONE expression node.
+/** Codegen plumbing shared by the broadcast-backed expressions: a
+  * reference to the broadcast handle plus two lazily-initialized mutable
+  * members holding the unpacked float[]/double[] halves — `.value()` runs
+  * once per generated-class instance (per task), never per row.
+  */
+private[graftbridge] trait BroadcastArraysCodegen {
+  protected def payloadBc: Broadcast[(Array[Float], Array[Double])]
+
+  @transient protected lazy val floatsArr: Array[Float] = payloadBc.value._1
+  @transient protected lazy val doublesArr: Array[Double] = payloadBc.value._2
+
+  /** Returns (floatsVar, doublesVar) member names in generated code. */
+  protected def genPayloadMembers(ctx: CodegenContext): (String, String) = {
+    val bcRef = ctx.addReferenceObj("payloadBc", payloadBc,
+      "org.apache.spark.broadcast.Broadcast")
+    val fl = ctx.addMutableState("float[]", "bcFloats",
+      v => s"$v = (float[]) ((scala.Tuple2) $bcRef.value())._1();")
+    val db = ctx.addMutableState("double[]", "bcDoubles",
+      v => s"$v = (double[]) ((scala.Tuple2) $bcRef.value())._2();")
+    (fl, db)
+  }
+}
+
+/** argmax_j cosine(embedding, seed_j) over a broadcast seed matrix — the
+  * IVF coarse-quantizer cell assignment as ONE expression node.
   *
   * Why not the Column formulation (`array_position(array(sims...),
   * array_max(array(sims...)))`): each per-seed cosine is a D-term dot
@@ -76,30 +122,24 @@ case class DotProductFloat(left: Expression, right: Expression)
   * measured as the dominant cost of `c3_ivfpq`. This node replays the
   * identical arithmetic (left-fold double dot, `sim = dot /
   * (sqrt(n2_row) · sqrtSeedN2_j)`, strictly-greater argmax = first max,
-  * Spark double ordering) in a flat loop.
-  *
-  * @param seedsFlat row-major seeds (nSeeds × dim)
-  * @param sqrtN2s   per-seed `math.sqrt(||seed||²)`, precomputed at plan
-  *                  time exactly as the Column version's driver-side
-  *                  `math.sqrt(seedN2)` literal
+  * Spark double ordering) in a flat loop over the broadcast payload.
   */
-case class NearestSeedF(left: Expression, right: Expression,
-    seedsFlat: IndexedSeq[Float], sqrtN2s: IndexedSeq[Double], dim: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+case class NearestSeedF(left: Expression, right: Expression, seedSet: SeedSetF)
+    extends BinaryExpression with ExpectsInputTypes with BroadcastArraysCodegen {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), DoubleType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_nearest_seed"
 
-  @transient private lazy val seedsArr: Array[Float] = seedsFlat.toArray
-  @transient private lazy val sqrtArr: Array[Double] = sqrtN2s.toArray
+  override protected def payloadBc: Broadcast[(Array[Float], Array[Double])] = seedSet.bc
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val e = a.asInstanceOf[ArrayData]
     val sn = math.sqrt(b.asInstanceOf[Double])
-    val seeds = seedsArr
-    val sqrts = sqrtArr
+    val seeds = floatsArr
+    val sqrts = doublesArr
+    val dim = seedSet.dim
     var best = 0.0
     var idx = 0
     var j = 0
@@ -117,8 +157,8 @@ case class NearestSeedF(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val seeds = ctx.addReferenceObj("seeds", seedsArr, "float[]")
-      val sqrts = ctx.addReferenceObj("sqrts", sqrtArr, "double[]")
+      val (seeds, sqrts) = genPayloadMembers(ctx)
+      val dim = seedSet.dim
       val (sn, best, idx, sim, acc, n, i, j) = (ctx.freshName("sn"), ctx.freshName("best"),
         ctx.freshName("idx"), ctx.freshName("sim"), ctx.freshName("acc"),
         ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("j"))
@@ -126,7 +166,7 @@ case class NearestSeedF(left: Expression, right: Expression,
          |double $sn = java.lang.Math.sqrt($b);
          |double $best = 0.0;
          |int $idx = 0;
-         |for (int $j = 0; $j < ${sqrtArr.length}; $j++) {
+         |for (int $j = 0; $j < $sqrts.length; $j++) {
          |  double $acc = 0.0;
          |  int $n = java.lang.Math.min($a.numElements(), $dim);
          |  for (int $i = 0; $i < $n; $i++) {
@@ -153,30 +193,27 @@ case class NearestSeedF(left: Expression, right: Expression,
   * recall across cell boundaries (the standard IVF recall knob).
   */
 case class NearestSeedsF(left: Expression, right: Expression,
-    seedsFlat: IndexedSeq[Float], sqrtN2s: IndexedSeq[Double], dim: Int,
-    nprobe: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    seedSet: SeedSetF, nprobe: Int)
+    extends BinaryExpression with ExpectsInputTypes with BroadcastArraysCodegen {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), DoubleType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_nearest_seeds"
 
-  @transient private lazy val seedsArr: Array[Float] = seedsFlat.toArray
-  @transient private lazy val sqrtArr: Array[Double] = sqrtN2s.toArray
+  override protected def payloadBc: Broadcast[(Array[Float], Array[Double])] = seedSet.bc
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     new GenericArrayData(PqKernel.topSeeds(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[Double], seedsArr, sqrtArr, dim, nprobe))
+      b.asInstanceOf[Double], floatsArr, doublesArr, seedSet.dim, nprobe))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val seeds = ctx.addReferenceObj("seeds", seedsArr, "float[]")
-      val sqrts = ctx.addReferenceObj("sqrts", sqrtArr, "double[]")
+      val (seeds, sqrts) = genPayloadMembers(ctx)
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  org.apache.spark.sql.graftbridge.PqKernel.topSeeds(
-         |    $a, $b, $seeds, $sqrts, $dim, $nprobe));
+         |    $a, $b, $seeds, $sqrts, ${seedSet.dim}, $nprobe));
          |""".stripMargin
     })
 
@@ -186,41 +223,35 @@ case class NearestSeedsF(left: Expression, right: Expression,
 }
 
 /** Squared-L2 distances from one embedding subspace segment to every code
-  * of a plan-time literal PQ codebook, as `array<double>` — the ADC
-  * lookup table as ONE node instead of `codes` parallel
+  * of a broadcast PQ codebook, as `array<double>` — the ADC lookup table
+  * as ONE node instead of `codes` parallel
   * `dot(seg,seg) - 2·dot(seg,code) + ||code||²` chains (same planning/
   * codegen-blowup rationale as [[NearestSeedF]]; identical arithmetic:
   * `(dss - (2.0 · dsc)) + c2` per code, left-fold double dots).
   *
-  * @param offset   0-based first dim of the subspace (the Column version's
-  *                 `slice(emb, offset+1, sub)`)
-  * @param sub      subspace width
-  * @param bookFlat row-major codebook (codes × sub)
-  * @param c2s      per-code `sum(v²)` computed at plan time exactly as the
-  *                 Column version's driver-side foldLeft literal
+  * @param offset 0-based first dim of the subspace (the Column version's
+  *               `slice(emb, offset+1, sub)`)
   */
-case class PqDistsF(child: Expression, offset: Int, sub: Int,
-    bookFlat: IndexedSeq[Float], c2s: IndexedSeq[Double])
-    extends UnaryExpression with ExpectsInputTypes {
+case class PqDistsF(child: Expression, offset: Int, book: CodebookF)
+    extends UnaryExpression with ExpectsInputTypes with BroadcastArraysCodegen {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_pq_dists"
 
-  @transient private lazy val bookArr: Array[Float] = bookFlat.toArray
-  @transient private lazy val c2Arr: Array[Double] = c2s.toArray
+  override protected def payloadBc: Broadcast[(Array[Float], Array[Double])] = book.bc
 
   override protected def nullSafeEval(a: Any): Any =
-    new GenericArrayData(PqKernel.dists(a.asInstanceOf[ArrayData], offset, sub, bookArr, c2Arr))
+    new GenericArrayData(PqKernel.dists(a.asInstanceOf[ArrayData], offset,
+      book.sub, floatsArr, doublesArr))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val book = ctx.addReferenceObj("book", bookArr, "float[]")
-      val c2 = ctx.addReferenceObj("c2s", c2Arr, "double[]")
+      val (bookArr, c2) = genPayloadMembers(ctx)
       val vals = ctx.freshName("vals")
       s"""
          |double[] $vals = org.apache.spark.sql.graftbridge.PqKernel.dists(
-         |  $a, $offset, $sub, $book, $c2);
+         |  $a, $offset, ${book.sub}, $bookArr, $c2);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
          |""".stripMargin
     })
@@ -233,27 +264,24 @@ case class PqDistsF(child: Expression, offset: Int, sub: Int,
   * node (the Column version's `array_position(arr, array_min(arr)) - 1`:
   * strictly-less argmin = first min, Spark double ordering).
   */
-case class PqCodeF(child: Expression, offset: Int, sub: Int,
-    bookFlat: IndexedSeq[Float], c2s: IndexedSeq[Double])
-    extends UnaryExpression with ExpectsInputTypes {
+case class PqCodeF(child: Expression, offset: Int, book: CodebookF)
+    extends UnaryExpression with ExpectsInputTypes with BroadcastArraysCodegen {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_pq_code"
 
-  @transient private lazy val bookArr: Array[Float] = bookFlat.toArray
-  @transient private lazy val c2Arr: Array[Double] = c2s.toArray
+  override protected def payloadBc: Broadcast[(Array[Float], Array[Double])] = book.bc
 
   override protected def nullSafeEval(a: Any): Any =
-    PqKernel.code(a.asInstanceOf[ArrayData], offset, sub, bookArr, c2Arr)
+    PqKernel.code(a.asInstanceOf[ArrayData], offset, book.sub, floatsArr, doublesArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val book = ctx.addReferenceObj("book", bookArr, "float[]")
-      val c2 = ctx.addReferenceObj("c2s", c2Arr, "double[]")
+      val (bookArr, c2) = genPayloadMembers(ctx)
       s"""
          |${ev.value} = org.apache.spark.sql.graftbridge.PqKernel.code(
-         |  $a, $offset, $sub, $book, $c2);
+         |  $a, $offset, ${book.sub}, $bookArr, $c2);
          |""".stripMargin
     })
 
@@ -347,38 +375,50 @@ object VectorExprs {
     ExpressionUtils.column(DotProductFloat(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** IVF cell assignment: argmax cosine to a literal seed matrix. */
-  def nearestSeedF(emb: Column, n2: Column,
-      seeds: Seq[(Seq[Float], Double)]): Column = {
-    require(seeds.nonEmpty, "nearestSeedF: empty seed set")
+  /** Broadcast an IVF seed set ONCE per query; the handle is shared by
+    * every expression that consults it (both sides of the cell join),
+    * so the payload ships once per executor and the plan node stays
+    * O(1). Lifecycle rides the ContextCleaner: when the query's columns
+    * are unreachable the broadcast blocks are reclaimed.
+    */
+  def broadcastSeeds(s: SparkSession,
+      seeds: Seq[(Seq[Float], Double)]): SeedSetF = {
+    require(seeds.nonEmpty, "broadcastSeeds: empty seed set")
     val dim = seeds.head._1.length
-    ExpressionUtils.column(NearestSeedF(
-      ExpressionUtils.expression(emb), ExpressionUtils.expression(n2),
-      seeds.flatMap(_._1).toIndexedSeq,
-      seeds.map(s => math.sqrt(s._2)).toIndexedSeq, dim))
+    SeedSetF(s.sparkContext.broadcast(
+      (seeds.flatMap(_._1).toArray, seeds.map(s => math.sqrt(s._2)).toArray)), dim)
   }
+
+  /** Broadcast one subspace's PQ codebook (row-major codes + per-code
+    * `‖code‖²` computed here exactly as the former plan-literal path).
+    */
+  def broadcastBook(s: SparkSession, book: Seq[Seq[Float]]): CodebookF = {
+    require(book.nonEmpty, "broadcastBook: empty codebook")
+    CodebookF(s.sparkContext.broadcast(
+      (book.flatten.toArray,
+        book.map(_.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)).toArray)),
+      book.head.length)
+  }
+
+  /** IVF cell assignment: argmax cosine to a broadcast seed matrix. */
+  def nearestSeedF(emb: Column, n2: Column, seeds: SeedSetF): Column =
+    ExpressionUtils.column(NearestSeedF(
+      ExpressionUtils.expression(emb), ExpressionUtils.expression(n2), seeds))
 
   /** Top-`nprobe` IVF cells by cosine (the multi-probe recall knob). */
-  def nearestSeedsF(emb: Column, n2: Column,
-      seeds: Seq[(Seq[Float], Double)], nprobe: Int): Column = {
-    require(seeds.nonEmpty, "nearestSeedsF: empty seed set")
+  def nearestSeedsF(emb: Column, n2: Column, seeds: SeedSetF,
+      nprobe: Int): Column = {
     require(nprobe >= 1, s"nearestSeedsF: nprobe must be >= 1, got $nprobe")
-    val dim = seeds.head._1.length
     ExpressionUtils.column(NearestSeedsF(
       ExpressionUtils.expression(emb), ExpressionUtils.expression(n2),
-      seeds.flatMap(_._1).toIndexedSeq,
-      seeds.map(s => math.sqrt(s._2)).toIndexedSeq, dim, nprobe))
+      seeds, nprobe))
   }
 
-  /** PQ ADC lookup table for one subspace of a literal codebook. */
-  def pqDistsF(emb: Column, offset: Int, book: Seq[Seq[Float]]): Column =
-    ExpressionUtils.column(PqDistsF(ExpressionUtils.expression(emb),
-      offset, book.head.length, book.flatten.toIndexedSeq,
-      book.map(_.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)).toIndexedSeq))
+  /** PQ ADC lookup table for one subspace of a broadcast codebook. */
+  def pqDistsF(emb: Column, offset: Int, book: CodebookF): Column =
+    ExpressionUtils.column(PqDistsF(ExpressionUtils.expression(emb), offset, book))
 
   /** PQ sub-code (argmin of [[pqDistsF]]) for one subspace. */
-  def pqCodeF(emb: Column, offset: Int, book: Seq[Seq[Float]]): Column =
-    ExpressionUtils.column(PqCodeF(ExpressionUtils.expression(emb),
-      offset, book.head.length, book.flatten.toIndexedSeq,
-      book.map(_.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)).toIndexedSeq))
+  def pqCodeF(emb: Column, offset: Int, book: CodebookF): Column =
+    ExpressionUtils.column(PqCodeF(ExpressionUtils.expression(emb), offset, book))
 }
