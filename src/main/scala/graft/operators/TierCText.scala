@@ -1062,6 +1062,59 @@ object TierCText {
     }
   )
 
+  // ------------------------------------- sequence packing (c4_seqpack)
+  /** Concat-and-chunk sequence packing — the pre-training step that turns
+    * a deduped corpus into fixed-length training examples: within a shard
+    * (here `source`), documents concatenate in a deterministic order and
+    * the token stream splits every [[SeqPackLen]] tokens; a document's
+    * examples are `floor(prev_cum/L) .. floor((prev_cum+ntok-1)/L)`.
+    * Everything is a running integer sum + integer division — exact,
+    * order-fixed, bit-replayable.
+    *
+    * Scale shape: ONE exchange on the shard key; the per-shard window is
+    * a sequential scan, which is exactly how packing parallelizes in
+    * practice — the shard IS the unit of parallelism (a real pipeline
+    * salts documents into O(corpus/shard-budget) shards first, so no
+    * shard outgrows a task; `source` stands in for that shard id here).
+    * No pair work, no caps, nothing corpus².
+    */
+  private val SeqPackLen = 512
+  private val c4k = QuerySpec(
+    "c4_seqpack",
+    s"Concat-and-chunk sequence packing (L=$SeqPackLen): per-shard running token offsets, first/last example ids and examples spanned per doc; exact integer arithmetic end-to-end.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS BIGINT) AS ntok
+              FROM documents),
+            c AS (SELECT doc_id, source, ntok,
+              COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev_cum
+              FROM t)
+            SELECT doc_id, source, ntok, prev_cum,
+              prev_cum // $SeqPackLen AS first_example,
+              CASE WHEN ntok > 0 THEN (prev_cum + ntok - 1) // $SeqPackLen END AS last_example,
+              CASE WHEN ntok > 0
+                THEN (prev_cum + ntok - 1) // $SeqPackLen - prev_cum // $SeqPackLen + 1
+                ELSE 0 END AS n_examples
+            FROM c ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", size(toksCol).cast(LongType).as("ntok"))
+        .withColumn("prev_cum", coalesce(sum($"ntok").over(w), lit(0L)))
+        .select($"doc_id", $"source", $"ntok", $"prev_cum",
+          expr(s"prev_cum div $SeqPackLen").as("first_example"),
+          when($"ntok" > 0,
+            expr(s"(prev_cum + ntok - 1) div $SeqPackLen")).as("last_example"),
+          when($"ntok" > 0,
+            expr(s"(prev_cum + ntok - 1) div $SeqPackLen - prev_cum div $SeqPackLen + 1"))
+            .otherwise(0L).as("n_examples"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------- compression quality (c4_compress)
   /** Deflate-ratio quality signal (the Gopher/RefinedWeb repetitiveness
     * heuristic): highly repetitive or templated text compresses far below
@@ -1095,5 +1148,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b, c1f, c1g, c4y, c4u, c4ss, c4z, c4x)
+      c4h, c4b, c1f, c1g, c4y, c4u, c4ss, c4z, c4x, c4k)
 }
