@@ -121,6 +121,55 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------- A1c (.gpkg)
+  /** The GPKG twin of [[shpFixture]]: the events table written once per
+    * JVM as an engine-generated GeoPackage (same bounded fixture-writer
+    * rationale), read back through the pure-Scala SQLite/GPKG parser and
+    * hash-checked against DuckDB on the parquet.
+    */
+  private def gpkgFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gpkg_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.gpkg")
+    TierA.synchronized {
+      if (!f.exists()) {
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+          .toSeq.map(r => (r.getLong(0) + 1L, r.getString(3), // rowids are 1-based
+            graft.sources.GeoPackage.pointBlob(r.getDouble(1), r.getLong(2).toDouble, 4326)))
+        java.nio.file.Files.write(f.toPath,
+          graft.sources.GeoPackage.writeGpkg("events", 4326, rows))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1c = QuerySpec(
+    "a1c_gpkg_scan",
+    "GeoPackage scan: events written as an engine-generated GPKG (SQLite table b-tree + GPKG geometry blobs), read back through the pure-Scala SQLite parser (sqlite_master discovery, rowid-alias ids, record serial types, SRID from the blob header); coordinates must equal the parquet doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            CAST(4326 AS BIGINT) AS srid, value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = gpkgFixture(s, d)
+      graft.sources.GeoPackage.read(s, s"$dir/events.gpkg", "events", "fid")
+        .select(($"feature_id".cast(LongType) - 1L).cast(StringType).as("feature_id"),
+          element_at($"props", "etype").as("etype"),
+          sridScanUdf($"geom_wkb").cast(LongType).as("srid"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype", $"srid",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  private val sridScanUdf: UserDefinedFunction =
+    udf { (b: Array[Byte]) => Wkb.srid(b) }
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -476,5 +525,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p)
+    Seq(a1, a1b, a1c, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p)
 }

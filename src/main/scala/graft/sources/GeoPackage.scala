@@ -1,0 +1,555 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Wkb
+
+/** Pure-Scala GeoPackage source (SURVEY.md §2 A1: the reference's
+  * producer reads vector files via OGR — Shapefile/GeoJSON/GPKG
+  * [UPSTREAM-UNVERIFIED]; a GPKG is a SQLite database with OGC-specified
+  * metadata tables, both formats public: sqlite.org/fileformat2 and the
+  * OGC GeoPackage encoding standard).
+  *
+  * Scope — a deliberately minimal READ-ONLY subset, loud on everything
+  * else: table b-trees (leaf + interior, arbitrary depth), the record
+  * serial-type codes, overflow-page chains, `sqlite_master` discovery,
+  * column names from a minimal CREATE TABLE parse, and the GPKG geometry
+  * blob (header + envelope skip + SRID → EWKB via [[Wkb.setSrid]]).
+  * NOT parsed: indexes, WITHOUT ROWID tables, freelists, WAL — a file
+  * needing them for correct reads fails loudly, never misreads.
+  * `INTEGER PRIMARY KEY` columns are rowid aliases (stored as NULL in
+  * the record); the reader substitutes the rowid, per the SQLite spec.
+  *
+  * Scale shape: like [[Shapefile]], one task per file (`binaryFile`
+  * scan) — a SQLite file is a page-pointer graph, not a splittable
+  * stream; this is the ingest-edge/interop path and bulk re-lands into
+  * splittable forms after one pass. The GeoPackageSpec fixture is
+  * genuine SQLite output (python sqlite3), not this repo's own writer —
+  * the parse is tested against real-world bytes including a multi-page
+  * b-tree and an overflow chain.
+  */
+object GeoPackage {
+
+  // ----------------------------------------------------------- writing
+  // Fixture-writer half (the Shapefile pattern): emits a format-valid
+  // minimal GeoPackage — sqlite_master + gpkg_contents +
+  // gpkg_geometry_columns + ONE feature table (fid INTEGER PRIMARY KEY,
+  // etype TEXT, geom BLOB) — so the a1c oracle row can hash-check the
+  // READ path against engine-written bytes. 64 KiB pages keep the
+  // feature b-tree two-level up to ~1M rows; rows must fit the local
+  // payload (no overflow writing — asserted, fixture rows are tiny).
+
+  private val WPageSize = 65536
+
+  private def wVarint(v: Long): Array[Byte] = {
+    require(v >= 0, "writer varints are nonnegative here")
+    if (v < 128) Array(v.toByte)
+    else {
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var x = v
+      while (x > 0) { groups.prepend((x & 0x7F).toByte); x >>= 7 }
+      (0 until groups.length - 1).foreach(i => groups(i) = (groups(i) | 0x80).toByte)
+      groups.toArray
+    }
+  }
+
+  /** SQLite record from values (null / Long / Double / String / bytes). */
+  private def wRecord(vals: Seq[Any]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val types = vals.map {
+      case null => 0L
+      case v: Long =>
+        val b = ByteBuffer.allocate(8).putLong(v).array()
+        body.write(b); 6L
+      case d: Double =>
+        body.write(ByteBuffer.allocate(8).putLong(
+          java.lang.Double.doubleToLongBits(d)).array()); 7L
+      case s: String =>
+        val b = s.getBytes("UTF-8"); body.write(b); 13L + 2 * b.length
+      case b: Array[Byte] => body.write(b); 12L + 2 * b.length
+      case other => throw new IllegalArgumentException(s"gpkg writer: $other")
+    }
+    val typeBytes = types.flatMap(wVarint).toArray
+    // header length varint counts itself — 1 byte suffices for our rows
+    val hdrLen = 1 + typeBytes.length
+    require(hdrLen < 128, "gpkg writer: record header too wide")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(hdrLen)
+    out.write(typeBytes)
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Build a table b-tree from (rowid, record) rows onto `pages`
+    * (1-based growth list); returns the root page number.
+    */
+  private def wTable(pages: scala.collection.mutable.ArrayBuffer[Array[Byte]],
+      rows: Seq[(Long, Array[Byte])]): Int = {
+    val maxLocal = WPageSize - 35
+    val cells = rows.map { case (rid, rec) =>
+      require(rec.length <= maxLocal, "gpkg writer: row needs overflow (unsupported)")
+      (rid, wVarint(rec.length.toLong) ++ wVarint(rid) ++ rec)
+    }
+    // greedy leaf fill: 8-byte header + 2-byte pointer per cell
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (maxRowid, page#)
+    var i = 0
+    while (i < cells.length || leaves.isEmpty) {
+      val start = i
+      var used = 8
+      while (i < cells.length && used + 2 + cells(i)._2.length <= WPageSize) {
+        used += 2 + cells(i)._2.length
+        i += 1
+      }
+      val group = cells.slice(start, i)
+      val page = new Array[Byte](WPageSize)
+      page(0) = 0x0D
+      putU16(page, 3, group.length)
+      var content = WPageSize
+      group.zipWithIndex.foreach { case ((_, cell), ci) =>
+        content -= cell.length
+        System.arraycopy(cell, 0, page, content, cell.length)
+        putU16(page, 8 + 2 * ci, content)
+      }
+      putU16(page, 5, content)
+      pages += page
+      leaves += ((group.lastOption.map(_._1).getOrElse(0L), pages.length))
+      if (cells.isEmpty) return pages.length // empty table: one empty leaf
+    }
+    if (leaves.length == 1) leaves.head._2
+    else {
+      // one interior root: cells (child, maxRowidOfChild) for all but last
+      val page = new Array[Byte](WPageSize)
+      page(0) = 0x05
+      putU16(page, 3, leaves.length - 1)
+      var content = WPageSize
+      leaves.init.zipWithIndex.foreach { case ((maxRid, child), ci) =>
+        val cell = ByteBuffer.allocate(4).putInt(child).array() ++ wVarint(maxRid)
+        content -= cell.length
+        System.arraycopy(cell, 0, page, content, cell.length)
+        putU16(page, 12 + 2 * ci, content)
+      }
+      putU16(page, 5, content)
+      putU32(page, 8, leaves.last._2)
+      require(content >= 12 + 2 * (leaves.length - 1), "gpkg writer: b-tree needs 3 levels")
+      pages += page
+      pages.length
+    }
+  }
+
+  private def putU16(b: Array[Byte], p: Int, v: Int): Unit = {
+    b(p) = (v >> 8).toByte; b(p + 1) = v.toByte
+  }
+  private def putU32(b: Array[Byte], p: Int, v: Long): Unit = {
+    b(p) = (v >> 24).toByte; b(p + 1) = (v >> 16).toByte
+    b(p + 2) = (v >> 8).toByte; b(p + 3) = v.toByte
+  }
+
+  /** GPKG point blob (header + xy envelope + little-endian WKB). */
+  def pointBlob(x: Double, y: Double, srid: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 32 + 21).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte).put(0x03.toByte)
+    b.putInt(srid)
+    b.putDouble(x).putDouble(x).putDouble(y).putDouble(y)
+    b.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    b.array()
+  }
+
+  /** Write a minimal single-feature-table GeoPackage: rows are
+    * (fid, etype, geometryBlob-or-null). Deterministic bytes (no
+    * timestamps, fixed page size), readable by [[read]]; format-valid
+    * per the SQLite/GPKG specs but NOT byte-identical to sqlite3 output
+    * (no freelist, no integral-REAL squeeze — readers don't care).
+    */
+  def writeGpkg(table: String, srid: Int,
+      rows: Seq[(Long, String, Array[Byte])]): Array[Byte] = {
+    val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    pages += new Array[Byte](WPageSize) // page 1 placeholder (master root)
+    val contentsRoot = wTable(pages, Seq((1L, wRecord(Seq(
+      table, "features", table, "", null, null, null, null, null, srid.toLong)))))
+    val geomColsRoot = wTable(pages, Seq((1L, wRecord(Seq(
+      table, "geom", "POINT", srid.toLong, 0L, 0L)))))
+    val featureRoot = wTable(pages,
+      rows.map { case (fid, etype, blob) =>
+        (fid, wRecord(Seq(null, etype, blob))) // fid: rowid-alias NULL
+      })
+    val masterRows = Seq(
+      ("gpkg_contents", contentsRoot,
+        "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, data_type TEXT, " +
+          "identifier TEXT, description TEXT, last_change DATETIME, min_x DOUBLE, " +
+          "min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"),
+      ("gpkg_geometry_columns", geomColsRoot,
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, " +
+          "geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)"),
+      (table, featureRoot,
+        s"CREATE TABLE $table (fid INTEGER PRIMARY KEY, etype TEXT, geom BLOB)"))
+      .zipWithIndex.map { case ((name, root, sql), i) =>
+        ((i + 1).toLong, wRecord(Seq("table", name, name, root.toLong, sql)))
+      }
+    // master fits page 1's leaf (3 small rows)
+    val master = new Array[Byte](WPageSize)
+    val hdr = 100
+    master(hdr) = 0x0D
+    putU16(master, hdr + 3, masterRows.length)
+    var content = WPageSize
+    masterRows.zipWithIndex.foreach { case ((rid, rec), ci) =>
+      val cell = wVarint(rec.length.toLong) ++ wVarint(rid) ++ rec
+      content -= cell.length
+      System.arraycopy(cell, 0, master, content, cell.length)
+      putU16(master, hdr + 8 + 2 * ci, content)
+    }
+    putU16(master, hdr + 5, content)
+    // 100-byte db header
+    val magic = "SQLite format 3\u0000".getBytes("ISO-8859-1")
+    System.arraycopy(magic, 0, master, 0, 16)
+    putU16(master, 16, 1) // page size 65536 encodes as 1
+    master(18) = 1; master(19) = 1 // file format read/write version: legacy
+    master(21) = 64; master(22) = 32; master(23) = 32 // payload fractions (fixed by spec)
+    putU32(master, 28, pages.length.toLong) // page count
+    putU32(master, 56, 1L) // text encoding: UTF-8
+    putU32(master, 68, 1196444487L) // application_id 'GPKG'
+    pages(0) = master
+    val out = new java.io.ByteArrayOutputStream(pages.length * WPageSize)
+    pages.foreach(out.write)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------- sqlite pages
+
+  private final case class Db(bytes: Array[Byte], pageSize: Int, usable: Int)
+
+  private def open(bytes: Array[Byte]): Db = {
+    require(bytes.length >= 100 &&
+      new String(bytes, 0, 16, "ISO-8859-1") == "SQLite format 3\u0000",
+      "gpkg: not a SQLite 3 file")
+    val raw = ((bytes(16) & 0xFF) << 8) | (bytes(17) & 0xFF)
+    val pageSize = if (raw == 1) 65536 else raw
+    val reserved = bytes(20) & 0xFF
+    Db(bytes, pageSize, pageSize - reserved)
+  }
+
+  /** SQLite varint: 1–9 bytes, big-endian 7-bit groups; 9th byte is all
+    * 8 bits. Returns (value, bytesRead).
+    */
+  private def varint(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val x = b(pos + i)
+      if ((x & 0x80) == 0) return (v << 7 | x, i + 1)
+      v = v << 7 | (x & 0x7F)
+      i += 1
+    }
+    (v << 8 | (b(pos + 8) & 0xFF), 9)
+  }
+
+  private def u16(b: Array[Byte], p: Int): Int = ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+  private def u32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) | ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+
+  /** Collect a full cell payload, following the overflow chain if the
+    * local part is truncated (the spec's table-leaf K/X split).
+    */
+  private def payload(db: Db, page: Int, local: Array[Byte], total: Long,
+      overflowPtr: Long): Array[Byte] = {
+    if (local.length.toLong == total) return local
+    val out = new java.io.ByteArrayOutputStream(total.toInt)
+    out.write(local)
+    var next = overflowPtr
+    while (next != 0 && out.size() < total) {
+      val off = (next - 1) * db.pageSize
+      val take = math.min(db.usable - 4, total.toInt - out.size())
+      out.write(db.bytes, off.toInt + 4, take)
+      next = u32(db.bytes, off.toInt)
+    }
+    require(out.size().toLong == total, s"gpkg: truncated overflow chain on page $page")
+    out.toByteArray
+  }
+
+  /** Walk a table b-tree depth-first, emitting (rowid, record payload). */
+  private def tableRows(db: Db, rootPage: Int): Seq[(Long, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    def walk(pageNo: Int): Unit = {
+      val base = (pageNo - 1).toLong * db.pageSize
+      val hdr = (if (pageNo == 1) base + 100 else base).toInt
+      val tpe = db.bytes(hdr) & 0xFF
+      val nCells = u16(db.bytes, hdr + 3)
+      tpe match {
+        case 0x05 => // interior table page
+          val ptrs = hdr + 12
+          (0 until nCells).foreach { i =>
+            val cell = base.toInt + u16(db.bytes, ptrs + 2 * i)
+            walk(u32(db.bytes, cell).toInt)
+          }
+          walk(u32(db.bytes, hdr + 8).toInt) // rightmost child
+        case 0x0D => // leaf table page
+          val ptrs = hdr + 8
+          (0 until nCells).foreach { i =>
+            val cell = base.toInt + u16(db.bytes, ptrs + 2 * i)
+            val (total, n1) = varint(db.bytes, cell)
+            val (rowid, n2) = varint(db.bytes, cell + n1)
+            // local-payload split (sqlite fileformat2 §B-tree Pages):
+            // maxLocal = usable - 35; if over, spill to overflow pages
+            val maxLocal = db.usable - 35
+            val minLocal = (db.usable - 12) * 32 / 255 - 23
+            val local =
+              if (total <= maxLocal) total.toInt
+              else {
+                val k = minLocal + ((total - minLocal) % (db.usable - 4)).toInt
+                if (k <= maxLocal) k else minLocal
+              }
+            val localBytes = java.util.Arrays.copyOfRange(db.bytes,
+              cell + n1 + n2, cell + n1 + n2 + local)
+            val over = if (total <= maxLocal) 0L else u32(db.bytes, cell + n1 + n2 + local)
+            out += ((rowid, payload(db, pageNo, localBytes, total, over)))
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"gpkg: page $pageNo has unsupported b-tree type 0x${other.toHexString} " +
+              "(index or corrupt — this reader handles table b-trees only)")
+      }
+    }
+    walk(rootPage)
+    out.toSeq
+  }
+
+  /** Decode one record (header of serial types + body) to values:
+    * null / Long / Double / String / Array[Byte].
+    */
+  private def record(p: Array[Byte]): Seq[Any] = {
+    val (hdrLen, n0) = varint(p, 0)
+    var hp = n0
+    val types = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (hp < hdrLen) {
+      val (t, n) = varint(p, hp)
+      types += t
+      hp += n
+    }
+    var bp = hdrLen.toInt
+    types.toSeq.map { t =>
+      def int(bytes: Int): Long = {
+        var v = if ((p(bp) & 0x80) != 0) -1L else 0L // sign-extend
+        (0 until bytes).foreach { i => v = (v << 8) | (p(bp + i) & 0xFFL) }
+        bp += bytes
+        v
+      }
+      t match {
+        case 0 => null
+        case 1 => int(1)
+        case 2 => int(2)
+        case 3 => int(3)
+        case 4 => int(4)
+        case 5 => int(6)
+        case 6 => int(8)
+        case 7 =>
+          val v = java.lang.Double.longBitsToDouble(int(8)); v
+        case 8 => 0L
+        case 9 => 1L
+        case n if n >= 12 && n % 2 == 0 =>
+          val len = ((n - 12) / 2).toInt
+          val v = java.util.Arrays.copyOfRange(p, bp, bp + len); bp += len; v
+        case n if n >= 13 =>
+          val len = ((n - 13) / 2).toInt
+          val v = new String(p, bp, len, "UTF-8"); bp += len; v
+        case other =>
+          throw new IllegalArgumentException(s"gpkg: reserved serial type $other")
+      }
+    }
+  }
+
+  /** sqlite_master rows: (type, name, rootpage, sql). Root is page 1. */
+  private def master(db: Db): Seq[(String, String, Int, String)] =
+    tableRows(db, 1).map { case (_, p) =>
+      val r = record(p)
+      (r(0).asInstanceOf[String], r(1).asInstanceOf[String],
+        r(3).asInstanceOf[Long].toInt, r(4) match { case s: String => s; case _ => "" })
+    }
+
+  /** Column names from a CREATE TABLE statement — minimal parse: the
+    * first identifier of each top-level comma group inside the parens,
+    * skipping table-level constraint clauses. Covers the DDL a GPKG
+    * producer writes; exotic DDL fails loudly downstream (name lookup).
+    */
+  private[sources] def columnNames(sql: String): Seq[String] = {
+    val open = sql.indexOf('(')
+    require(open >= 0, s"gpkg: no column list in: $sql")
+    var depth = 0
+    var i = open
+    val groups = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var done = false
+    while (i < sql.length && !done) {
+      val ch = sql.charAt(i)
+      ch match {
+        case '(' =>
+          depth += 1; if (depth > 1) cur.append(ch)
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { groups += cur.toString; done = true } else cur.append(ch)
+        case ',' if depth == 1 => groups += cur.toString; cur.clear()
+        case c => if (depth >= 1) cur.append(c)
+      }
+      i += 1
+    }
+    val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    groups.toSeq.map(_.trim).filter(_.nonEmpty)
+      .filterNot(g => constraintKw.contains(g.split("[\\s(]+")(0).toUpperCase))
+      .map(firstIdent)
+  }
+
+  /** First identifier of a column-definition group, quote-aware
+    * (`"a b"`, `` `x` ``, `[y]` are single identifiers with spaces
+    * allowed inside).
+    */
+  private def firstIdent(group: String): String = {
+    val t = group.trim
+    t.charAt(0) match {
+      case '"' => t.substring(1, t.indexOf('"', 1))
+      case '`' => t.substring(1, t.indexOf('`', 1))
+      case '[' => t.substring(1, t.indexOf(']', 1))
+      case _ => t.split("[\\s(]+")(0)
+    }
+  }
+
+  /** The rowid-alias column (INTEGER PRIMARY KEY), if declared: its
+    * record value is NULL and the rowid carries the value.
+    */
+  private[sources] def rowidAlias(sql: String): Option[String] = {
+    val open = sql.indexOf('(')
+    if (open < 0) return None
+    // same top-level grouping as columnNames, then look for the KW pair
+    var depth = 0
+    var i = open
+    val groups = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var done = false
+    while (i < sql.length && !done) {
+      val ch = sql.charAt(i)
+      ch match {
+        case '(' => depth += 1; if (depth > 1) cur.append(ch)
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { groups += cur.toString; done = true } else cur.append(ch)
+        case ',' if depth == 1 => groups += cur.toString; cur.clear()
+        case c => if (depth >= 1) cur.append(c)
+      }
+      i += 1
+    }
+    groups.toSeq.map(_.trim).find(g =>
+        g.toUpperCase.matches("""(?s)\S+\s+INTEGER\s+PRIMARY\s+KEY.*"""))
+      .map(firstIdent)
+  }
+
+  // ------------------------------------------------------ gpkg geometry
+
+  /** GPKG geometry blob → (srid, standard WKB): magic `GP`, version,
+    * flags (envelope-size code in bits 1–3, header byte order in bit 0),
+    * srs_id, envelope doubles skipped, then the WKB as-is.
+    */
+  private[sources] def gpkgToWkb(blob: Array[Byte]): (Int, Array[Byte]) = {
+    require(blob.length >= 8 && blob(0) == 'G' && blob(1) == 'P',
+      "gpkg: bad geometry blob magic")
+    val flags = blob(3) & 0xFF
+    require((flags & 0x20) == 0, "gpkg: empty-geometry flag unsupported here")
+    val envCode = (flags >> 1) & 0x7
+    val envDoubles = envCode match {
+      case 0 => 0
+      case 1 => 4
+      case 2 | 3 => 6
+      case 4 => 8
+      case other => throw new IllegalArgumentException(s"gpkg: bad envelope code $other")
+    }
+    val order = if ((flags & 1) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val srid = ByteBuffer.wrap(blob, 4, 4).order(order).getInt
+    (srid, java.util.Arrays.copyOfRange(blob, 8 + 8 * envDoubles, blob.length))
+  }
+
+  /** Feature tables registered in `gpkg_contents` with their geometry
+    * column (from `gpkg_geometry_columns`): (table, geomColumn, srid).
+    */
+  def featureTables(bytes: Array[Byte]): Seq[(String, String, Int)] = {
+    val db = open(bytes)
+    val m = master(db)
+    def root(t: String): Int = m.find(r => r._1 == "table" && r._2 == t)
+      .map(_._3).getOrElse(throw new IllegalArgumentException(s"gpkg: no table $t"))
+    def cols(t: String): Seq[String] = columnNames(
+      m.find(r => r._1 == "table" && r._2 == t).get._4)
+    val cc = cols("gpkg_contents")
+    val contents = tableRows(db, root("gpkg_contents")).map(r => record(r._2))
+      .filter(r => r(cc.indexOf("data_type")) == "features")
+      .map(r => r(cc.indexOf("table_name")).asInstanceOf[String])
+    val gc = cols("gpkg_geometry_columns")
+    val geomCols = tableRows(db, root("gpkg_geometry_columns")).map(r => record(r._2))
+      .map(r => r(gc.indexOf("table_name")).asInstanceOf[String] ->
+        (r(gc.indexOf("column_name")).asInstanceOf[String],
+          r(gc.indexOf("srs_id")).asInstanceOf[Long].toInt))
+      .toMap
+    contents.map { t =>
+      val (g, srid) = geomCols.getOrElse(t,
+        throw new IllegalArgumentException(s"gpkg: $t missing from gpkg_geometry_columns"))
+      (t, g, srid)
+    }
+  }
+
+  /** Parse one GPKG file's feature table into raw rows:
+    * (rowid, values-by-column-name). Driver-free — callable per task.
+    */
+  private def tableRecords(bytes: Array[Byte],
+      table: String): (Seq[String], Option[String], Seq[(Long, Seq[Any])]) = {
+    val db = open(bytes)
+    val entry = master(db).find(r => r._1 == "table" && r._2 == table)
+      .getOrElse(throw new IllegalArgumentException(s"gpkg: no table $table"))
+    val names = columnNames(entry._4)
+    (names, rowidAlias(entry._4), tableRows(db, entry._3).map { case (rid, p) => (rid, record(p)) })
+  }
+
+  /** GeoPackage glob → the canonical feature envelope (the [[GeoJson]]/
+    * [[Shapefile]] contract). Geometry becomes EWKB carrying the blob's
+    * SRID; non-geometry columns become string props; `idField` supplies
+    * feature_id (rowid-alias columns resolve through the rowid).
+    */
+  def read(spark: SparkSession, pathGlob: String, table: String,
+      idField: String, eventTsUs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile").load(pathGlob)
+      .select(input_file_name().as("src"), $"content")
+      .as[(String, Array[Byte])]
+    rows.flatMap { case (src, bytes) =>
+      val geomCol = featureTables(bytes).find(_._1 == table).map(_._2)
+        .getOrElse(throw new IllegalArgumentException(
+          s"gpkg: $table is not a registered feature table in $src"))
+      val (names, alias, recs) = tableRecords(bytes, table)
+      val gi = names.indexOf(geomCol)
+      val ii = names.indexOf(idField)
+      require(ii >= 0, s"gpkg: id field $idField not in ${names.mkString(",")}")
+      recs.map { case (rowid, vals) =>
+        val idVal = vals(ii) match {
+          case null if alias.contains(idField) => rowid.toString
+          case null => null
+          case v => v.toString
+        }
+        val wkb = vals(gi) match {
+          case null => null
+          case b: Array[Byte] =>
+            val (srid, w) = gpkgToWkb(b)
+            if (srid > 0) Wkb.setSrid(w, srid) else w
+          case other => throw new IllegalArgumentException(
+            s"gpkg: geometry column holds ${other.getClass.getSimpleName}")
+        }
+        val props = names.zipWithIndex.collect {
+          case (n, i) if i != gi =>
+            n -> (vals(i) match {
+              case null => if (i == ii && alias.contains(idField)) rowid.toString else null
+              case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+              case v => v.toString
+            })
+        }.toMap
+        ShpFeature(table, idVal, wkb, props, eventTsUs, src, 1)
+      }
+    }.toDF()
+      .select($"layer", $"feature_id", $"geom_wkb", $"props",
+        timestamp_micros($"event_ts_us").as("event_ts"), $"source", $"fmt_version")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.Wkb
+
+/** Parses `src/test/resources/sample.gpkg` — genuine SQLite 3 output
+  * (python stdlib sqlite3, 2505 rows → multi-page table b-tree with
+  * interior pages, one 20 kB text value → overflow-page chain, NULL
+  * geometry/text rows, full GPKG metadata tables) — so the reader is
+  * pinned against real-world bytes, not this repo's own writing.
+  */
+class GeoPackageSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+  private lazy val gpkgPath =
+    getClass.getResource("/sample.gpkg").getPath
+
+  private lazy val bytes =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(gpkgPath))
+
+  test("featureTables: discovery through gpkg_contents + geometry_columns") {
+    assert(GeoPackage.featureTables(bytes) == Seq(("poi", "geom", 4326)))
+  }
+
+  test("columnNames/rowidAlias: minimal DDL parse") {
+    val ddl = """CREATE TABLE poi (fid INTEGER PRIMARY KEY, name TEXT, rank INTEGER,
+                 score REAL, note TEXT, geom BLOB)"""
+    assert(GeoPackage.columnNames(ddl) == Seq("fid", "name", "rank", "score", "note", "geom"))
+    assert(GeoPackage.rowidAlias(ddl).contains("fid"))
+    val ddl2 = """CREATE TABLE t ("a b" TEXT, c INTEGER, PRIMARY KEY (c), CHECK (c > 0))"""
+    assert(GeoPackage.columnNames(ddl2) == Seq("a b", "c"))
+    assert(GeoPackage.rowidAlias(ddl2).isEmpty)
+  }
+
+  test("read: every row surfaces with exact values, rowid-alias ids, null geometry kept") {
+    val rows = GeoPackage.read(spark, gpkgPath, "poi", "fid", 5000000L).collect()
+    assert(rows.length == 2504, s"expected 2504 rows, got ${rows.length}")
+    val byId = rows.map(r => r.getAs[String]("feature_id") -> r).toMap
+    // hand-planted rows
+    val m = byId("1")
+    assert(m.getAs[Map[String, String]]("props")("name") == "munich")
+    assert(m.getAs[Map[String, String]]("props")("rank") == "5")
+    assert(m.getAs[Map[String, String]]("props")("score") == "1.5")
+    assert(m.getAs[Map[String, String]]("props")("note") == null)
+    val mw = m.getAs[Array[Byte]]("geom_wkb")
+    assert(Wkb.srid(mw) == 4326, "SRID carried from the gpkg blob header")
+    assert(Wkb.bbox(mw) == Wkb.BBox(11.5, 48.1, 11.5, 48.1))
+    assert(byId("2").getAs[Map[String, String]]("props")("score") == "-2.25")
+    assert(byId("3").getAs[Array[Byte]]("geom_wkb") == null, "null geometry row")
+    // the overflow-chain row: 20000-char text must come back intact
+    val ov = byId("9000").getAs[Map[String, String]]("props")
+    assert(ov("note") == "z" * 20000, s"overflow text length ${ov("note").length}")
+    assert(ov("name") == "overflow")
+    // spot-check generated rows. SQLite's record format stores a REAL
+    // whose value is integral as an INTEGER serial (lossless) — so
+    // 250.0 surfaces as "250" (fid 1000) while 250.25 stays REAL
+    val g = byId("1000").getAs[Map[String, String]]("props")
+    assert(g("name") == "p1000" && g("rank") == (1000 % 7).toString && g("score") == "250")
+    val g2 = byId("1001").getAs[Map[String, String]]("props")
+    assert(g2("score") == "250.25", g2("score"))
+    val gw = byId("1001").getAs[Array[Byte]]("geom_wkb")
+    val ex = Wkb.BBox(11.0 + (1001 % 100) / 100.0, 40.0 + (1001 % 90) / 10.0,
+      11.0 + (1001 % 100) / 100.0, 40.0 + (1001 % 90) / 10.0)
+    assert(Wkb.bbox(gw) == ex, s"${Wkb.bbox(gw)} vs $ex")
+    // envelope columns
+    assert(rows.head.getAs[String]("layer") == "poi")
+    assert(rows.head.getAs[java.sql.Timestamp]("event_ts").getTime == 5000L)
+  }
+
+  test("writeGpkg → read roundtrip: multi-leaf b-tree, rowid-alias ids, SRID carried") {
+    // enough rows to force an interior page at 64 KiB (~900 rows/leaf)
+    val rows = (1L to 3000L).map(i =>
+      (i, s"t${i % 5}", GeoPackage.pointBlob(i / 100.0, -i / 200.0, 4326)))
+    val bytes = GeoPackage.writeGpkg("events", 4326, rows)
+    assert(GeoPackage.featureTables(bytes) == Seq(("events", "geom", 4326)))
+    val dir = java.nio.file.Files.createTempDirectory("gpkg_rt")
+    java.nio.file.Files.write(dir.resolve("e.gpkg"), bytes)
+    val got = GeoPackage.read(spark, s"$dir/e.gpkg", "events", "fid").collect()
+    assert(got.length == 3000)
+    val r7 = got.find(_.getAs[String]("feature_id") == "777").get
+    assert(r7.getAs[Map[String, String]]("props")("etype") == "t2")
+    val w = r7.getAs[Array[Byte]]("geom_wkb")
+    assert(Wkb.srid(w) == 4326)
+    assert(Wkb.bbox(w) == Wkb.BBox(7.77, -3.885, 7.77, -3.885))
+  }
+
+  test("loud failures: non-sqlite bytes, unknown table") {
+    intercept[Exception] {
+      GeoPackage.featureTables("not a database".getBytes)
+    }
+    intercept[Exception] {
+      GeoPackage.read(spark, gpkgPath, "nope", "fid").collect()
+    }
+  }
+}
