@@ -303,5 +303,86 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c4, c5, c5b)
+  // ------------------------------------------------- two-stage re-rank
+  /** Coarse-then-exact retrieval — the production ANN serving shape this
+    * tier otherwise lacks: stage 1 scores candidate pairs by the FIRST
+    * [[RerankPrefix]] dims only (a Matryoshka-style prefix cosine) and
+    * keeps the top-[[RerankCoarseK]] per query; stage 2 re-fetches the
+    * full vectors BY ID for the survivors and re-ranks by exact
+    * 64-dim cosine.
+    *
+    * Scale shape: the candidate fan-out carries a 16-float prefix, not
+    * the full vector (4× less pair payload; at production dims — 1536+
+    * with a 64-dim prefix — 24×), and the expensive exact scoring runs
+    * on |queries|·C survivor rows instead of every candidate pair. The
+    * two survivor joins are id-equi-joins Spark shuffles on vec_id. Both
+    * stages' arithmetic is the replayable left-fold chain, so the oracle
+    * hash-checks end-to-end (coarse cut ties break by id; equal doubles
+    * on both engines ⇒ same survivor set).
+    */
+  private val RerankPrefix = 16
+  private val RerankCoarseK = 10
+  private def dotChainN(l: String, r: String, n: Int): String =
+    (1 to n).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+  private val c3r = QuerySpec(
+    "c3_rerank",
+    s"Two-stage retrieval: coarse top-$RerankCoarseK per query by $RerankPrefix-dim prefix cosine within the label block (pairs carry the prefix only), exact 64-dim cosine re-rank to top-3 after re-fetching full vectors by id.",
+    Some(s"""WITH p AS (
+              SELECT a.vec_id AS ida, b.vec_id AS idb,
+                     (${dotChainN("a", "b", RerankPrefix)}) AS dot16,
+                     (${dotChainN("a", "a", RerankPrefix)}) AS na16,
+                     (${dotChainN("b", "b", RerankPrefix)}) AS nb16
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+            sc AS (SELECT ida, idb, dot16 / (sqrt(na16) * sqrt(nb16)) AS coarse FROM p),
+            cr AS (SELECT ida, idb, coarse,
+                    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY coarse DESC, idb) AS crn
+                   FROM sc),
+            surv AS (SELECT ida, idb FROM cr WHERE crn <= $RerankCoarseK),
+            ex AS (SELECT surv.ida, surv.idb,
+                     (${dotChainN("qa", "qb", 64)}) AS dot,
+                     (${dotChainN("qa", "qa", 64)}) AS na2,
+                     (${dotChainN("qb", "qb", 64)}) AS nb2
+                   FROM surv
+                   JOIN embeddings qa ON qa.vec_id = surv.ida
+                   JOIN embeddings qb ON qb.vec_id = surv.idb),
+            fin AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS score FROM ex),
+            r AS (SELECT ida, idb, score,
+                    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rn
+                  FROM fin)
+            SELECT ida, idb, score, rn FROM r WHERE rn <= 3 ORDER BY ida, rn"""),
+    (s, d) => {
+      import s.implicits._
+      // prefix projection persisted: it feeds both sides of the coarse
+      // join (the CollapseProject re-run hazard), and the pair shuffle
+      // carries ONLY (id, label, 16 floats, norm)
+      val emb = Tables.embeddings(s, d)
+      val pre = CacheRegistry.persist(emb
+        .select($"vec_id", $"label", slice($"embedding", 1, RerankPrefix).as("p16"))
+        .withColumn("n16", dot($"p16", $"p16")))
+      val a = pre.select($"vec_id".as("ida"), $"label", $"p16".as("pa"), $"n16".as("na16"))
+      val b = pre.select($"vec_id".as("idb"), $"label".as("label_b"), $"p16".as("pb"), $"n16".as("nb16"))
+      val cw = Window.partitionBy($"ida").orderBy($"coarse".desc, $"idb")
+      val surv = a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
+        .withColumn("coarse", dot($"pa", $"pb") / (sqrt($"na16") * sqrt($"nb16")))
+        .withColumn("crn", row_number().over(cw))
+        .filter($"crn" <= RerankCoarseK)
+        .select($"ida", $"idb")
+      // full vectors re-fetched by id for survivors only
+      val full = CacheRegistry.persist(emb
+        .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("n2")))
+      val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
+      surv
+        .join(full.select($"vec_id".as("ida"), $"embedding".as("ea"), $"n2".as("na2")), Seq("ida"))
+        .join(full.select($"vec_id".as("idb"), $"embedding".as("eb"), $"n2".as("nb2")), Seq("idb"))
+        .withColumn("score", dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 3)
+        .select($"ida", $"idb", $"score", $"rn")
+        .orderBy($"ida", $"rn")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b)
 }

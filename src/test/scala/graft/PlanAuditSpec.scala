@@ -125,6 +125,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"$shuffles hash exchanges:\n" + exec)
   }
 
+  test("c3_rerank: coarse pair shuffle carries the 16-float prefix, never the full embedding") {
+    // at sf0.01 the label join broadcasts; force the at-scale SMJ shape
+    // (the ScaleSpec broadcast-off pattern) so the coarse exchanges exist
+    val orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val exec = Registry.queries("c3_rerank")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val lines = exec.linesIterator.toIndexedSeq
+      val labelExchanges = lines.zipWithIndex.filter(_._1.contains(
+        "Exchange hashpartitioning(label")).map(_._2)
+      assert(labelExchanges.nonEmpty, "no label-keyed coarse exchange:\n" + exec)
+      // the subtree under each coarse exchange holds p16, not embedding
+      labelExchanges.foreach { i =>
+        val feeding = lines.drop(i + 1).take(4).mkString("\n")
+        assert(feeding.contains("p16"), s"coarse exchange input lacks prefix:\n$feeding")
+        assert(!feeding.contains("embedding#"),
+          s"full embedding rides the coarse pair exchange:\n$feeding")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("hotPreFilter dedup paths: no window over the raw posting list, hot set broadcast") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TierCSim
+      .ngramJaccardPairs(spark, docs, 0.6, 10000, hotPreFilter = true)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      "scale path still runs the df window over posting lists:\n" + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "hot-gram set is not a broadcast anti-join:\n" + p)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
