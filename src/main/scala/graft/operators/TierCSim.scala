@@ -592,6 +592,82 @@ object TierCSim {
       sampleSize: Int): Seq[(Seq[Float], Double)] =
     kCenterSeeds(md5Sample(e, sampleSize), cells)
 
+  /** Lloyd refinement of the k-center IVF seeds — the standard k-means
+    * iteration a production coarse quantizer runs after greedy init:
+    * assign every vector to its nearest seed (one map-side
+    * [[graft.functions.VectorExprs.nearestSeedF]] pass over a broadcast
+    * centroid table), re-estimate each centroid as its cell's mean, and
+    * repeat a FIXED number of iterations.
+    *
+    * Scale shape: each iteration is ONE partial-aggregated groupBy over
+    * the corpus (map-side combine on ≤256 cells × dim integer sums) plus
+    * a ≤256-row collect — the centroid table is driver-sized by
+    * construction, and the corpus is never shuffled (the agg exchange
+    * moves ≤ cells × partitions pre-combined rows). Iteration count is
+    * fixed, not convergence-tested: deterministic cost AND deterministic
+    * output.
+    *
+    * Determinism: per-dim sums are integer-quantized at 1e-6 (the
+    * c3_centroid discipline — order-independent across partitions), the
+    * mean and its norm are computed driver-side in fixed order, and the
+    * assignment expression's first-max tie rule is partition-invariant.
+    * An emptied cell keeps its previous seed (never NaN).
+    *
+    * @return (refined seeds with ‖seed‖², final (vec_id, cell) frame —
+    *         reads the CacheRegistry-persisted projection, caller releases)
+    */
+  def kmeansRefine(s: SparkSession, embeddings: DataFrame, cells: Int = 0,
+      iters: Int = 2, sampleSize: Int = 1024): (Seq[(Seq[Float], Double)], DataFrame) = {
+    import s.implicits._
+    val e = CacheRegistry.persist(embeddings.select($"vec_id", $"embedding",
+      TierC.dot($"embedding", $"embedding").as("n2")))
+    val nCells = if (cells > 0) cells else ivfCells(e.count())
+    var seeds = kCenterSeeds(md5Sample(e, sampleSize), nCells)
+    val dim = seeds.head._1.length
+    (1 to iters).foreach { _ =>
+      val ss = graft.functions.VectorExprs.broadcastSeeds(s, seeds)
+      val assigned = e.withColumn("cell",
+        graft.functions.VectorExprs.nearestSeedF($"embedding", $"n2", ss))
+      val sumCols = (0 until dim).map(i =>
+        sum(floor(element_at($"embedding", i + 1).cast(DoubleType) * 1e6)
+          .cast(LongType)).as(s"s$i"))
+      val agg = assigned.groupBy($"cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      val byCell = agg.map(r => r.getInt(0) -> r).toMap
+      seeds = seeds.zipWithIndex.map { case (old, ci) =>
+        byCell.get(ci) match {
+          case None => old
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            val v = (0 until dim).map(i => (r.getLong(2 + i) / 1e6 / n).toFloat)
+            val n2 = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+            (v, n2)
+        }
+      }
+    }
+    val ssF = graft.functions.VectorExprs.broadcastSeeds(s, seeds)
+    (seeds, e.select($"vec_id",
+      graft.functions.VectorExprs.nearestSeedF($"embedding", $"n2", ssF).as("cell")))
+  }
+
+  private val c3km = QuerySpec(
+    "c3_kmeans",
+    "Lloyd-refined IVF coarse quantizer (2 fixed iterations over k-center init): per-cell population, first member, and the refined centroid's integer-quantized checksum. No oracle by design (iterative centroid build); SimSpec pins SSE descent and partition invariance.",
+    None,
+    (s, d) => {
+      import s.implicits._
+      val (seeds, assigned) = kmeansRefine(s, Tables.embeddings(s, d))
+      val sdf = seeds.zipWithIndex.map { case ((v, _), ci) =>
+        (ci, v.map(x => math.floor(x.toDouble * 1e6).toLong).sum)
+      }.toDF("cell", "centroid_sum_e6")
+      assigned.groupBy($"cell")
+        .agg(count(lit(1)).as("n"), min($"vec_id").as("first_id"))
+        .join(broadcast(sdf), Seq("cell"))
+        .orderBy($"cell")
+    }
+  )
+
   /** ONE deterministic md5-ordered sample collect over (vec_id, embedding,
     * n2). The ordering key (md5(vec_id), vec_id) is a total order, so a
     * smaller sample is always a PREFIX of a larger one — [[ivfPqJoined]]
@@ -1083,5 +1159,6 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
-  val specs: Seq[QuerySpec] = Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z)
+  val specs: Seq[QuerySpec] =
+    Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
 }

@@ -489,6 +489,45 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansRefine: SSE non-increasing over iterations, partition-invariant, clusters intact") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      m <- 0 until 8
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(c * 37 + i).toFloat * 10f)
+      base(m % dim) += 0.05f * (m + 1) // intra-cluster spread Lloyd can shrink
+      (c * 10L + m, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val byId = vecs.toMap
+    def sse(seeds: Seq[(Seq[Float], Double)], assigned: Array[(Long, Int)]): Double =
+      assigned.map { case (id, cell) =>
+        val v = byId(id); val s = seeds(cell)._1
+        v.zip(s).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+      }.sum
+    def run(iters: Int, parts: Int = 1) = {
+      val (seeds, assigned) = TierCSim.kmeansRefine(
+        spark, if (parts > 1) df.repartition(parts) else df, cells = 5, iters = iters)
+      val a = assigned.collect().map(r => (r.getLong(0), r.getInt(1)))
+      graft.CacheRegistry.releaseAll()
+      (seeds, a)
+    }
+    val (s0, a0) = run(0)
+    val (s2, a2) = run(2)
+    assert(sse(s2, a2) <= sse(s0, a0) + 1e-9,
+      s"Lloyd increased SSE: ${sse(s0, a0)} -> ${sse(s2, a2)}")
+    // members of one planted cluster still land in one cell
+    a2.groupBy(_._1 / 10).values.foreach { grp =>
+      assert(grp.map(_._2).distinct.length == 1, s"cluster split: ${grp.toSeq}")
+    }
+    // partition invariance: identical seeds and assignment on 7 partitions
+    val (s2b, a2b) = run(2, parts = 7)
+    assert(s2b == s2, "refined seeds depend on partitioning")
+    assert(a2b.sorted.toSeq == a2.sorted.toSeq)
+  }
+
   test("ivfTopK: perfect recall on clustered vectors (k-center spreads one seed per cluster)") {
     import spark.implicits._
     val dim = 64
