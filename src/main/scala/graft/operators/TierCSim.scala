@@ -125,47 +125,10 @@ object TierCSim {
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
       .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
-    val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val kept = if (hotPreFilter) {
-      // scale path: partial-agg df (map-side combine bounds every task),
-      // broadcast the tiny Zipf-head key set, anti-join it away before
-      // the wide exchange; then repartition on the join keys so both
-      // self-join sides still reuse ONE cached exchange
-      val hot = CacheRegistry.persist(exploded
-        .groupBy($"source", $"gram").agg(count(lit(1)).as("df"))
-        .filter($"df" > dfCap).select($"source", $"gram"))
-      val nHot = hot.count()
-      if (nHot > 0)
-        log.warn(s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
-          "candidate generation (Jaccard becomes a strict underestimate for " +
-          "pairs sharing a dropped gram; set sizes stay exact)")
-      CacheRegistry.persist(exploded
-        .join(broadcast(hot), Seq("source", "gram"), "left_anti")
-        .repartition($"source", $"gram"))
-    } else {
-      // ONE shuffle does double duty: the (source, gram) window that counts
-      // df ALSO leaves the frame hash-partitioned (and sorted) on exactly
-      // the pair join's keys, so the self-join below reuses the exchange on
-      // BOTH sides — r6 ran a separate groupBy shuffle for df plus a
-      // broadcast anti-join, and each join side re-exchanged (measured
-      // 3.5 s → ~2 s at sf0.1). Only the post-window frame is reused, so
-      // only it is persisted (InMemoryRelation preserves the child's
-      // partitioning/ordering, which is what the join reuse rides on).
-      // Skew caveat (the trade the scaladoc spells out): the window task
-      // holding the hottest gram buffers its whole posting list pre-cap.
-      val dfWin = Window.partitionBy($"source", $"gram")
-      val sized = CacheRegistry.persist(exploded
-        .withColumn("df", count(lit(1)).over(dfWin)))
-      // hot-gram drop count: a cheap distinct over the cached frame's capped
-      // tail (the Zipf head is at most |grams|/cap entries) — no-silent-caps
-      val nHot = sized.filter($"df" > dfCap)
-        .select($"source", $"gram").distinct().count()
-      if (nHot > 0)
-        log.warn(s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
-          "candidate generation (Jaccard becomes a strict underestimate for " +
-          "pairs sharing a dropped gram; set sizes stay exact)")
-      sized.filter($"df" <= dfCap).drop("df")
-    }
+    val kept = dfCapKept(exploded, Seq("source", "gram"), dfCap, hotPreFilter,
+      nHot => s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
+        "candidate generation (Jaccard becomes a strict underestimate for " +
+        "pairs sharing a dropped gram; set sizes stay exact)")
     val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
     val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
       $"sz".as("sb"), $"gram".as("gram_r"))
@@ -183,6 +146,54 @@ object TierCSim {
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** df-cap shape selection shared by the pair-join dedup operators
+    * ([[ngramJaccardPairs]], [[TierCText.crossSourceContamination]]) —
+    * the two shapes are spec-pinned output-equal:
+    *
+    * - `hotPreFilter = false` (benched local path): ONE window over the
+    *   key columns counts df AND leaves the frame hash-partitioned (and
+    *   sorted) on exactly the pair join's keys, so the self-join reuses
+    *   the exchange on BOTH sides (r6 ran a separate groupBy shuffle
+    *   plus a broadcast anti-join, and each join side re-exchanged —
+    *   measured 3.5 s → ~2 s at sf0.1). Only the post-window frame is
+    *   persisted (InMemoryRelation preserves the child's partitioning/
+    *   ordering, which is what the join reuse rides on). Skew caveat:
+    *   the window task holding the hottest key buffers its whole
+    *   posting list pre-cap — no partial agg, no AQE skew-split.
+    * - `hotPreFilter = true` (the 100 TB path): partial-agg df
+    *   (map-side combine bounds every task), broadcast the tiny
+    *   Zipf-head key set, anti-join it away BEFORE the wide exchange;
+    *   the explicit repartition on the join keys restores the
+    *   one-exchange join reuse with every surviving key df-bounded.
+    *
+    * The hot-key count is always computed and logged (no-silent-caps).
+    */
+  private[operators] def dfCapKept(exploded: DataFrame, keyCols: Seq[String],
+      dfCap: Int, hotPreFilter: Boolean, warnMsg: Long => String): DataFrame = {
+    import exploded.sparkSession.implicits._
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val keys = keyCols.map(col)
+    if (hotPreFilter) {
+      val hot = CacheRegistry.persist(exploded
+        .groupBy(keys: _*).agg(count(lit(1)).as("df"))
+        .filter($"df" > dfCap).select(keys: _*))
+      val nHot = hot.count()
+      if (nHot > 0) log.warn(warnMsg(nHot))
+      CacheRegistry.persist(exploded
+        .join(broadcast(hot), keyCols, "left_anti")
+        .repartition(keys: _*))
+    } else {
+      val dfWin = Window.partitionBy(keys: _*)
+      val sized = CacheRegistry.persist(exploded
+        .withColumn("df", count(lit(1)).over(dfWin)))
+      // hot-key drop count: a cheap distinct over the cached frame's
+      // capped tail (the Zipf head is at most |keys|/cap entries)
+      val nHot = sized.filter($"df" > dfCap).select(keys: _*).distinct().count()
+      if (nHot > 0) log.warn(warnMsg(nHot))
+      sized.filter($"df" <= dfCap).drop("df")
+    }
   }
 
   private val c2n = QuerySpec(

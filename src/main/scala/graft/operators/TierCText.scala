@@ -240,33 +240,11 @@ object TierCText {
     }
     val exploded = docs
       .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
-    val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val kept = if (hotPreFilter) {
-      val hot = CacheRegistry.persist(exploded
-        .groupBy($"gram").agg(count(lit(1)).as("df"))
-        .filter($"df" > dfCap).select($"gram"))
-      val nHot = hot.count()
-      if (nHot > 0)
-        log.warn(s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
-          "contamination join (boilerplate, not leak signal; no-silent-caps)")
-      CacheRegistry.persist(exploded
-        .join(broadcast(hot), Seq("gram"), "left_anti")
-        .repartition($"gram"))
-    } else {
-      // the df window's (gram) exchange IS the pair join's partitioning —
-      // both self-join sides read the cached windowed frame with no
-      // re-exchange (the c2_ngram_jaccard trick; replaced a separate
-      // groupBy shuffle + broadcast anti-join). Skew caveat as in the
-      // scaladoc: the hottest gram buffers through one window task.
-      val dfWin = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
-      val g = CacheRegistry.persist(exploded
-        .withColumn("df", count(lit(1)).over(dfWin)))
-      val nHot = g.filter($"df" > dfCap).select($"gram").distinct().count()
-      if (nHot > 0)
-        log.warn(s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
-          "contamination join (boilerplate, not leak signal; no-silent-caps)")
-      g.filter($"df" <= dfCap).drop("df")
-    }
+    // shape selection shared with c2_ngram_jaccard — see
+    // [[TierCSim.dfCapKept]] for the window-reuse vs skew trade
+    val kept = TierCSim.dfCapKept(exploded, Seq("gram"), dfCap, hotPreFilter,
+      nHot => s"c4_decontam: dropped $nHot grams with df > $dfCap from the " +
+        "contamination join (boilerplate, not leak signal; no-silent-caps)")
     val a = kept.select($"doc_id".as("id_a"), $"source".as("source_a"), $"gram")
     val b = kept.select($"doc_id".as("id_b"), $"source".as("source_b"), $"gram".as("gram_r"))
     a.join(b, $"gram" === $"gram_r" && $"source_a" < $"source_b")

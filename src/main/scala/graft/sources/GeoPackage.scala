@@ -367,12 +367,10 @@ object GeoPackage {
         r(3).asInstanceOf[Long].toInt, r(4) match { case s: String => s; case _ => "" })
     }
 
-  /** Column names from a CREATE TABLE statement — minimal parse: the
-    * first identifier of each top-level comma group inside the parens,
-    * skipping table-level constraint clauses. Covers the DDL a GPKG
-    * producer writes; exotic DDL fails loudly downstream (name lookup).
+  /** Top-level comma groups inside a CREATE TABLE's parens (shared by
+    * [[columnNames]] and [[rowidAlias]]).
     */
-  private[sources] def columnNames(sql: String): Seq[String] = {
+  private def topLevelGroups(sql: String): Seq[String] = {
     val open = sql.indexOf('(')
     require(open >= 0, s"gpkg: no column list in: $sql")
     var depth = 0
@@ -393,8 +391,17 @@ object GeoPackage {
       }
       i += 1
     }
-    val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
     groups.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Column names from a CREATE TABLE statement — minimal parse: the
+    * first identifier of each top-level comma group inside the parens,
+    * skipping table-level constraint clauses. Covers the DDL a GPKG
+    * producer writes; exotic DDL fails loudly downstream (name lookup).
+    */
+  private[sources] def columnNames(sql: String): Seq[String] = {
+    val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    topLevelGroups(sql)
       .filterNot(g => constraintKw.contains(g.split("[\\s(]+")(0).toUpperCase))
       .map(firstIdent)
   }
@@ -413,33 +420,19 @@ object GeoPackage {
     }
   }
 
-  /** The rowid-alias column (INTEGER PRIMARY KEY), if declared: its
-    * record value is NULL and the rowid carries the value.
+  /** The rowid-alias column (`INTEGER … PRIMARY KEY` in a column
+    * definition — intervening constraints like NOT NULL are legal, and
+    * the identifier may be quoted), if declared: its record value is
+    * NULL and the rowid carries the value.
     */
   private[sources] def rowidAlias(sql: String): Option[String] = {
-    val open = sql.indexOf('(')
-    if (open < 0) return None
-    // same top-level grouping as columnNames, then look for the KW pair
-    var depth = 0
-    var i = open
-    val groups = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var done = false
-    while (i < sql.length && !done) {
-      val ch = sql.charAt(i)
-      ch match {
-        case '(' => depth += 1; if (depth > 1) cur.append(ch)
-        case ')' =>
-          depth -= 1
-          if (depth == 0) { groups += cur.toString; done = true } else cur.append(ch)
-        case ',' if depth == 1 => groups += cur.toString; cur.clear()
-        case c => if (depth >= 1) cur.append(c)
-      }
-      i += 1
-    }
-    groups.toSeq.map(_.trim).find(g =>
-        g.toUpperCase.matches("""(?s)\S+\s+INTEGER\s+PRIMARY\s+KEY.*"""))
-      .map(firstIdent)
+    if (sql.indexOf('(') < 0) return None
+    topLevelGroups(sql).find { g =>
+      val ident = firstIdent(g)
+      val rest = g.trim.drop(
+        if ("\"`[".indexOf(g.trim.charAt(0)) >= 0) ident.length + 2 else ident.length)
+      rest.toUpperCase.matches("""(?s)\s+INTEGER\b.*PRIMARY\s+KEY.*""")
+    }.map(firstIdent)
   }
 
   // ------------------------------------------------------ gpkg geometry
@@ -452,7 +445,11 @@ object GeoPackage {
     require(blob.length >= 8 && blob(0) == 'G' && blob(1) == 'P',
       "gpkg: bad geometry blob magic")
     val flags = blob(3) & 0xFF
-    require((flags & 0x20) == 0, "gpkg: empty-geometry flag unsupported here")
+    // bit 5 = ExtendedGeoPackageBinary (extra extension_code bytes this
+    // parser does not know), bit 4 = empty geometry (WKB would be an
+    // empty/NaN form) — both rejected loudly rather than misread
+    require((flags & 0x20) == 0, "gpkg: extended geometry blob unsupported here")
+    require((flags & 0x10) == 0, "gpkg: empty-geometry blob unsupported here")
     val envCode = (flags >> 1) & 0x7
     val envDoubles = envCode match {
       case 0 => 0
@@ -471,7 +468,11 @@ object GeoPackage {
     */
   def featureTables(bytes: Array[Byte]): Seq[(String, String, Int)] = {
     val db = open(bytes)
-    val m = master(db)
+    featureTablesOf(db, master(db))
+  }
+
+  private def featureTablesOf(db: Db,
+      m: Seq[(String, String, Int, String)]): Seq[(String, String, Int)] = {
     def root(t: String): Int = m.find(r => r._1 == "table" && r._2 == t)
       .map(_._3).getOrElse(throw new IllegalArgumentException(s"gpkg: no table $t"))
     def cols(t: String): Seq[String] = columnNames(
@@ -493,22 +494,12 @@ object GeoPackage {
     }
   }
 
-  /** Parse one GPKG file's feature table into raw rows:
-    * (rowid, values-by-column-name). Driver-free — callable per task.
-    */
-  private def tableRecords(bytes: Array[Byte],
-      table: String): (Seq[String], Option[String], Seq[(Long, Seq[Any])]) = {
-    val db = open(bytes)
-    val entry = master(db).find(r => r._1 == "table" && r._2 == table)
-      .getOrElse(throw new IllegalArgumentException(s"gpkg: no table $table"))
-    val names = columnNames(entry._4)
-    (names, rowidAlias(entry._4), tableRows(db, entry._3).map { case (rid, p) => (rid, record(p)) })
-  }
-
   /** GeoPackage glob → the canonical feature envelope (the [[GeoJson]]/
     * [[Shapefile]] contract). Geometry becomes EWKB carrying the blob's
     * SRID; non-geometry columns become string props; `idField` supplies
-    * feature_id (rowid-alias columns resolve through the rowid).
+    * feature_id (rowid-alias columns resolve through the rowid). One
+    * open + one sqlite_master walk per file — metadata discovery and the
+    * feature-table read share the parse.
     */
   def read(spark: SparkSession, pathGlob: String, table: String,
       idField: String, eventTsUs: Long = 0L): DataFrame = {
@@ -517,10 +508,16 @@ object GeoPackage {
       .select(input_file_name().as("src"), $"content")
       .as[(String, Array[Byte])]
     rows.flatMap { case (src, bytes) =>
-      val geomCol = featureTables(bytes).find(_._1 == table).map(_._2)
+      val db = open(bytes)
+      val m = master(db)
+      val geomCol = featureTablesOf(db, m).find(_._1 == table).map(_._2)
         .getOrElse(throw new IllegalArgumentException(
           s"gpkg: $table is not a registered feature table in $src"))
-      val (names, alias, recs) = tableRecords(bytes, table)
+      val entry = m.find(r => r._1 == "table" && r._2 == table)
+        .getOrElse(throw new IllegalArgumentException(s"gpkg: no table $table"))
+      val names = columnNames(entry._4)
+      val alias = rowidAlias(entry._4)
+      val recs = tableRows(db, entry._3).map { case (rid, p) => (rid, record(p)) }
       val gi = names.indexOf(geomCol)
       val ii = names.indexOf(idField)
       require(ii >= 0, s"gpkg: id field $idField not in ${names.mkString(",")}")

@@ -140,6 +140,8 @@ object Shapefile {
         case 3 | 5 =>
           val nParts = buf.getInt(cstart + 36)
           val nPts = buf.getInt(cstart + 40)
+          require(nParts > 0 && nPts > 0,
+            s"shapefile: record $recNo (type $tpe) has $nParts parts / $nPts points")
           val partOff = (0 until nParts).map(i => buf.getInt(cstart + 44 + 4 * i))
           val ptsStart = cstart + 44 + 4 * nParts
           val pts = (0 until nPts).map(i =>
@@ -246,9 +248,12 @@ object Shapefile {
     val dbf = spark.read.format("binaryFile")
       .load(pathGlob.stripSuffix(".shp") + ".dbf")
       .select(stemOf.as("stem"), $"content".as("dbf_bytes"))
-    val paired = shp.join(dbf, Seq("stem"))
+    // left-outer, not inner: an unpaired .shp must fail LOUDLY inside its
+    // task (an inner join would silently drop the whole file's features)
+    val paired = shp.join(dbf, Seq("stem"), "left_outer")
       .as[(String, Array[Byte], Array[Byte])]
     paired.flatMap { case (stem, shpBytes, dbfBytes) =>
+      require(dbfBytes != null, s"shapefile: no sibling .dbf for $stem.shp")
       val geoms = parseShp(shpBytes)
       val (names, rows) = parseDbf(dbfBytes)
       val idIdx = names.indexOf(idField)

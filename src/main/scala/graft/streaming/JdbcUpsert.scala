@@ -30,6 +30,14 @@ object JdbcUpsert {
   trait SqlConnector extends AutoCloseable {
     /** Execute one parameterized statement with one set of binds. */
     def execute(sql: String, binds: Seq[Any]): Unit
+
+    /** Execute one statement against many bind sets — the JDBC
+      * `addBatch`/`executeBatch` round-trip saver. Default: sequential
+      * singles (correct for any connector); a real driver-backed
+      * implementation overrides it with true statement batching.
+      */
+    def executeBatch(sql: String, many: Seq[Seq[Any]]): Unit =
+      many.foreach(execute(sql, _))
   }
 
   /** ANSI/PostgreSQL-15 `MERGE` upsert for one row: key columns match,
@@ -82,9 +90,13 @@ object JdbcUpsert {
     * @param connectorFactory serializable factory invoked once per
     *                         partition ON THE EXECUTOR
     * @param useMerge         true → [[mergeSql]]; false → [[onConflictSql]]
+    * @param batchSize        bind sets per [[SqlConnector.executeBatch]]
+    *                         call — bounds executor memory to one group
     */
   def upsertBatch(batch: DataFrame, table: String, keyCols: Seq[String],
-      connectorFactory: () => SqlConnector, useMerge: Boolean = true): Unit = {
+      connectorFactory: () => SqlConnector, useMerge: Boolean = true,
+      batchSize: Int = 500): Unit = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val columns = batch.schema.fieldNames.toSeq
     val sql =
       if (useMerge) mergeSql(table, columns, keyCols)
@@ -92,8 +104,8 @@ object JdbcUpsert {
     val n = columns.length
     batch.foreachPartition { rows: Iterator[Row] =>
       val conn = connectorFactory()
-      try rows.foreach { r =>
-        conn.execute(sql, (0 until n).map(r.get))
+      try rows.grouped(batchSize).foreach { group =>
+        conn.executeBatch(sql, group.map(r => (0 until n).map(r.get)))
       } finally conn.close()
     }
   }

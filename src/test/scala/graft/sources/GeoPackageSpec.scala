@@ -30,7 +30,19 @@ class GeoPackageSpec extends AnyFunSuite {
     assert(GeoPackage.rowidAlias(ddl).contains("fid"))
     val ddl2 = """CREATE TABLE t ("a b" TEXT, c INTEGER, PRIMARY KEY (c), CHECK (c > 0))"""
     assert(GeoPackage.columnNames(ddl2) == Seq("a b", "c"))
-    assert(GeoPackage.rowidAlias(ddl2).isEmpty)
+    assert(GeoPackage.rowidAlias(ddl2).isEmpty,
+      "a table-level PRIMARY KEY is not a rowid alias")
+    // legal alias forms: quoted identifier (spaces inside), constraints
+    // between INTEGER and PRIMARY KEY — both are rowid aliases in SQLite
+    assert(GeoPackage.rowidAlias(
+      """CREATE TABLE t ("feature id" INTEGER PRIMARY KEY, v TEXT)""")
+      .contains("feature id"))
+    assert(GeoPackage.rowidAlias(
+      "CREATE TABLE t (fid INTEGER NOT NULL PRIMARY KEY AUTOINCREMENT, v TEXT)")
+      .contains("fid"))
+    assert(GeoPackage.rowidAlias(
+      "CREATE TABLE t (fid BIGINT PRIMARY KEY, v TEXT)").isEmpty,
+      "only the exact INTEGER type aliases the rowid")
   }
 
   test("read: every row surfaces with exact values, rowid-alias ids, null geometry kept") {

@@ -13,6 +13,7 @@ import graft.SparkFixture
 object RecordingConnector {
   val log = new ConcurrentLinkedQueue[(String, Seq[Any])]()
   val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+  val batches = new ConcurrentLinkedQueue[Int]()
 }
 
 class JdbcUpsertSpec extends AnyFunSuite {
@@ -64,5 +65,26 @@ class JdbcUpsertSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet ==
       Set(Seq("poi", "f1", 10L), Seq("poi", "f2", 20L), Seq("rd", "f3", 30L)))
     assert(RecordingConnector.closed.get() == 3, "one close per partition")
+  }
+
+  test("upsertBatch: rows group into batchSize executeBatch calls") {
+    import spark.implicits._
+    RecordingConnector.log.clear()
+    RecordingConnector.batches.clear()
+    val df = (1 to 5).map(i => (s"k$i", i.toLong)).toDF("k", "v").coalesce(1)
+    JdbcUpsert.upsertBatch(df, "t", Seq("k"),
+      () => new JdbcUpsert.SqlConnector {
+        override def execute(sql: String, binds: Seq[Any]): Unit =
+          RecordingConnector.log.add((sql, binds))
+        override def executeBatch(sql: String, many: Seq[Seq[Any]]): Unit = {
+          RecordingConnector.batches.add(many.length)
+          super.executeBatch(sql, many)
+        }
+        override def close(): Unit = ()
+      }, batchSize = 2)
+    val sizes = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      RecordingConnector.batches).asScala.toSeq
+    assert(sizes.sorted == Seq(1, 2, 2), s"batch sizes: $sizes")
+    assert(RecordingConnector.log.size == 5, "default executeBatch delegates to execute")
   }
 }
