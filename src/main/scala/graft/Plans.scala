@@ -64,6 +64,15 @@ object Plans {
       "aggregate is |sources| rows, the min-T scalar and the rate table " +
       "broadcast; the corpus itself streams through one map-side filter — " +
       "no corpus-sized shuffle anywhere."),
+    "c3_rerank" -> ("Two-stage retrieval: the label-blocked coarse join's " +
+      "exchanges carry a 16-float Matryoshka prefix and its norm — never " +
+      "the full embedding; survivors (top-10 per query) re-fetch full " +
+      "vectors through two vec_id equi-joins, and WindowGroupLimit prunes " +
+      "the exact re-rank to top-3 before the final exchange."),
+    "c3_kmeans" -> ("Lloyd refinement: per iteration ONE partial-aggregated " +
+      "groupBy of integer-quantized per-dim sums (map-side combine on " +
+      "<=256 cells) + a driver-sized collect; assignment is a map-side " +
+      "broadcast-centroid expression — the corpus is never shuffled."),
     "c4_contam_frac" -> ("Per-doc contamination: collect_set(source) window " +
       "over the gram partition — ONE shuffle, linear in the posting list " +
       "(a df-1000 boilerplate gram costs 1000 rows, not 1000² pairs), so " +
