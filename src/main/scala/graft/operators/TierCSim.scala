@@ -108,24 +108,32 @@ object TierCSim {
     *   SimSpec pins output equality of the two shapes on a fixture whose
     *   cap actually drops grams.
     */
-  def ngramJaccardPairs(s: SparkSession, docs: DataFrame,
-      threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
-    import s.implicits._
-    // single-pass bigram UDF: the HOF formulation (transform over
-    // sequence with element_at lambdas) is CodegenFallback AND gets its
-    // token-array subexpression inlined per lambda element by projection
-    // collapse — measured ~100 interpreted token-splits per row (73s at
-    // sf0.1); the UDF does one pass (73s -> ~3s)
-    val bigramsUdf = udf { (text: String) =>
-      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
-      if (toks.length < 2) Array.empty[String]
-      else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
-    }
-    val exploded = docs
+  // single-pass bigram UDF: the HOF formulation (transform over
+  // sequence with element_at lambdas) is CodegenFallback AND gets its
+  // token-array subexpression inlined per lambda element by projection
+  // collapse — measured ~100 interpreted token-splits per row (73s at
+  // sf0.1); the UDF does one pass (73s -> ~3s)
+  private val bigramsUdf = udf { (text: String) =>
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (toks.length < 2) Array.empty[String]
+    else toks.sliding(2).map(g => g(0) + " " + g(1)).toArray.distinct
+  }
+
+  /** (doc_id, source, sz, gram) posting rows — the inverted-index feed
+    * shared by [[ngramJaccardPairs]] and [[ngramContainmentPairs]].
+    */
+  private def bigramExploded(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
       .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
-    val kept = dfCapKept(exploded, Seq("source", "gram"), dfCap, hotPreFilter,
+  }
+
+  def ngramJaccardPairs(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
+    import s.implicits._
+    val kept = dfCapKept(bigramExploded(docs), Seq("source", "gram"), dfCap, hotPreFilter,
       nHot => s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
         "candidate generation (Jaccard becomes a strict underestimate for " +
         "pairs sharing a dropped gram; set sizes stay exact)")
@@ -147,6 +155,59 @@ object TierCSim {
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Asymmetric containment pairs — C(A→B) = |A∩B| / |A| over distinct
+    * word bigrams, within the `source` block: the quote/subset detector
+    * Jaccard structurally misses (a short doc fully embedded in a long
+    * one has J ≈ |A|/|B| → 0 but C(A→B) = 1). Ordered pairs, both
+    * directions, so each row names the CONTAINED side first.
+    *
+    * Scale shape: the same inverted-index join + df-cap machinery as
+    * [[ngramJaccardPairs]] (shared [[bigramExploded]]/[[dfCapKept]]) —
+    * but deliberately NO PPJoin length filter: containment has no
+    * two-sided size bound (that asymmetry is the operator's point), so
+    * candidate pruning rests on the block key and the df-cap alone.
+    */
+  def ngramContainmentPairs(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
+    import s.implicits._
+    val kept = dfCapKept(bigramExploded(docs), Seq("source", "gram"), dfCap, hotPreFilter,
+      nHot => s"c2_containment: dropped $nHot grams with df > $dfCap from " +
+        "candidate generation (containment becomes a strict underestimate " +
+        "for pairs sharing a dropped gram; set sizes stay exact)")
+    val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
+    val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
+      $"gram".as("gram_r"))
+    left.join(right,
+        $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" =!= $"id_b")
+      .groupBy($"id_a", $"id_b", $"sa")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment", $"shared".cast(DoubleType) / $"sa")
+      .filter($"containment" >= threshold)
+      .select($"id_a", $"id_b", $"containment")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val ContainThreshold = 0.8
+  private val c2ct = QuerySpec(
+    "c2_containment",
+    s"Asymmetric bigram containment |A∩B|/|A| ≥ $ContainThreshold within the source block (ordered pairs, contained side first) — the quote/subset detector Jaccard misses; inverted-index join, df-capped, no length filter by design.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.grams AS ga, c.grams AS gb
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id <> c.doc_id)
+            SELECT id_a, id_b,
+              CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga) AS containment
+            FROM p
+            WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga) >= $ContainThreshold
+            ORDER BY id_a, id_b"""),
+    (s, d) => ngramContainmentPairs(s, Tables.documents(s, d), ContainThreshold, NgramDfCap)
+  )
 
   /** df-cap shape selection shared by the pair-join dedup operators
     * ([[ngramJaccardPairs]], [[TierCText.crossSourceContamination]]) —
@@ -1171,5 +1232,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2c, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
 }

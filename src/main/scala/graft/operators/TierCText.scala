@@ -1040,6 +1040,57 @@ object TierCText {
     }
   )
 
+  // --------------------------------- global corpus shuffle (c1h)
+  /** Deterministic global corpus shuffle — the "shuffle then shard" step
+    * a training pipeline runs so adjacent source documents don't land in
+    * the same batch: every document gets a global position under the
+    * pseudorandom total order (md5(doc_id), doc_id) and a round-robin
+    * shard from it. RNG-free, so replays and reruns produce the
+    * identical permutation (the c1d md5-draw discipline).
+    *
+    * Scale shape — NO single-task global sort: repartitionByRange on the
+    * md5 key spreads the total order across contiguous partitions,
+    * per-partition ranks come from a pid-partitioned window, and global
+    * positions add the partition-count prefix offsets (a bounded
+    * |partitions|-row collect). Because (md5, doc_id) is a TOTAL order,
+    * the reconstructed position is partition-invariant — range-boundary
+    * placement only decides where the order is cut, never how it reads —
+    * which is exactly what lets the one-line ROW_NUMBER oracle replay it.
+    */
+  private val ShuffleShards = 8
+  private val c1h = QuerySpec(
+    "c1h_global_shuffle",
+    s"Deterministic global corpus shuffle: position under the (md5(doc_id), doc_id) total order via range partitioning + prefix offsets (no single-task sort), round-robin shard over $ShuffleShards; RNG-free and partition-invariant.",
+    Some(s"""WITH r AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+              FROM documents)
+            SELECT doc_id, pos, (pos - 1) % $ShuffleShards AS shard
+            FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val nPart = s.sparkContext.defaultParallelism
+      val keyed = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", md5($"doc_id".cast(StringType)).as("k"))
+        .repartitionByRange(nPart, $"k", $"doc_id")
+        .withColumn("pid", spark_partition_id()))
+      // prefix offsets: |partitions| rows to the driver, broadcast back
+      // as a literal map — never a corpus-sized collect
+      val counts = keyed.groupBy($"pid").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = counts.keys.toSeq.sorted
+      val offsets: Map[Int, Long] =
+        pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init).toMap
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"pid").orderBy($"k", $"doc_id")
+      keyed
+        .withColumn("lrn", row_number().over(wp).cast(LongType))
+        .withColumn("pos",
+          element_at(typedLit(offsets), $"pid") + $"lrn")
+        .select($"doc_id", $"pos", (($"pos" - 1) % ShuffleShards).as("shard"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------- sequence packing (c4_seqpack)
   /** Concat-and-chunk sequence packing — the pre-training step that turns
     * a deduped corpus into fixed-length training examples: within a shard
@@ -1126,5 +1177,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b, c1f, c1g, c4y, c4u, c4ss, c4z, c4x, c4k)
+      c4h, c4b, c1f, c1g, c1h, c4y, c4u, c4ss, c4z, c4x, c4k)
 }

@@ -61,6 +61,30 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("ngramContainmentPairs: embedded quote found in ONE direction, Jaccard misses it") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")     // 11 bigrams
+    val docs = Seq(
+      (0L, quote),                                           // the short doc
+      (1L, s"intro words here $quote closing remarks follow today"), // embeds it
+      (2L, (1 to 15).map(i => s"z$i").mkString(" "))         // unrelated
+    ).map { case (id, t) => (id, "src", t) }.toDF("doc_id", "source", "text")
+    val got = TierCSim.ngramContainmentPairs(spark, docs, 0.8, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 0's bigrams are all inside doc 1 → C(0→1) = 1.0; the reverse
+    // direction is |shared|/|doc1| < 0.8; nothing touches doc 2
+    assert(got.map(t => (t._1, t._2)).toSet == Set((0L, 1L)), got.mkString(","))
+    assert(got.head._3 == 1.0, s"full embedding should score 1.0: ${got.head}")
+    // Jaccard at the same strictness finds NOTHING (11 shared / ~19 union)
+    val jac = TierCSim.ngramJaccardPairs(spark, docs, 0.8, 10000).collect()
+    assert(jac.isEmpty, "Jaccard unexpectedly caught the asymmetric pair")
+    // hotPreFilter path: identical rows
+    val pre = TierCSim.ngramContainmentPairs(spark, docs, 0.8, 10000, hotPreFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pre.toSeq == got.toSeq)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("crossSourceContamination: cross-source leak found, same-source and boilerplate ignored") {
     import spark.implicits._
     val leak = "the quick brown fox jumps over the lazy dog tonight"

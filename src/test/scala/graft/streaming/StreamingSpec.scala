@@ -452,6 +452,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("A4 KafkaTransport: wired code path fails with the data-source-lookup error (no jar in image)") {
+    // pins the CURRENT failure mode: the seam is compile-ready and the
+    // options are wired, but this image has no spark-sql-kafka jar. On an
+    // image WITH the jar this test fails loudly — flip it to an e2e test
+    // then, instead of discovering the behavior change by accident.
+    val t = new KafkaTransport("broker:9092", "features")
+    val e = intercept[Exception] { t.read(spark) }
+    val msg = (e.getMessage + " " + e.getClass.getName).toLowerCase
+    assert(msg.contains("kafka"), s"unexpected failure: $e")
+  }
+
   test("A2/A3: pack/unpack UDFs roundtrip on a stream") {
     val (ms, transport) = newStream()
     val decoded = FeaturePipeline.decode(transport.read(spark))
