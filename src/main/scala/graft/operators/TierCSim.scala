@@ -163,10 +163,12 @@ object TierCSim {
     * directions, so each row names the CONTAINED side first.
     *
     * Scale shape: the same inverted-index join + df-cap machinery as
-    * [[ngramJaccardPairs]] (shared [[bigramExploded]]/[[dfCapKept]]) —
-    * but deliberately NO PPJoin length filter: containment has no
-    * two-sided size bound (that asymmetry is the operator's point), so
-    * candidate pruning rests on the block key and the df-cap alone.
+    * [[ngramJaccardPairs]] (shared [[bigramExploded]]/[[dfCapKept]]),
+    * with a ONE-SIDED length filter only: `C(A→B) ≥ t` forces
+    * `|B| ≥ t·|A|` (shared ≤ |B|), which prunes cannot-pass pairs at
+    * the join without touching the asymmetry — the two-sided PPJoin
+    * bound Jaccard enjoys does NOT apply here (a tiny A inside a huge B
+    * is the operator's point), so that is the only sound prune.
     */
   def ngramContainmentPairs(s: SparkSession, docs: DataFrame,
       threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
@@ -177,9 +179,10 @@ object TierCSim {
         "for pairs sharing a dropped gram; set sizes stay exact)")
     val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
     val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
-      $"gram".as("gram_r"))
+      $"sz".as("sb"), $"gram".as("gram_r"))
     left.join(right,
-        $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" =!= $"id_b")
+        $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" =!= $"id_b" &&
+        $"sb" >= lit(threshold) * $"sa")
       .groupBy($"id_a", $"id_b", $"sa")
       .agg(count(lit(1)).as("shared"))
       .withColumn("containment", $"shared".cast(DoubleType) / $"sa")
