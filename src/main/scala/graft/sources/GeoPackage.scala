@@ -44,20 +44,29 @@ object GeoPackage {
 
   private val WPageSize = 65536
 
-  private def wVarint(v: Long): Array[Byte] = {
+  private[sources] def wVarint(v: Long): Array[Byte] = {
     require(v >= 0, "writer varints are nonnegative here")
     if (v < 128) Array(v.toByte)
-    else {
+    else if (v < (1L << 56)) {
       val groups = scala.collection.mutable.ArrayBuffer.empty[Byte]
       var x = v
       while (x > 0) { groups.prepend((x & 0x7F).toByte); x >>= 7 }
       (0 until groups.length - 1).foreach(i => groups(i) = (groups(i) | 0x80).toByte)
       groups.toArray
+    } else {
+      // 9-byte form (SQLite fileformat2): the NINTH byte carries the low
+      // EIGHT bits verbatim; the first eight bytes carry bits 62..8 as
+      // 7-bit groups, all with the continuation bit set
+      val out = new Array[Byte](9)
+      out(8) = (v & 0xFF).toByte
+      var x = v >>> 8
+      (7 to 0 by -1).foreach { i => out(i) = ((x & 0x7F) | 0x80).toByte; x >>>= 7 }
+      out
     }
   }
 
   /** SQLite record from values (null / Long / Double / String / bytes). */
-  private def wRecord(vals: Seq[Any]): Array[Byte] = {
+  private[sources] def wRecord(vals: Seq[Any]): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     val types = vals.map {
       case null => 0L
@@ -233,7 +242,7 @@ object GeoPackage {
   /** SQLite varint: 1–9 bytes, big-endian 7-bit groups; 9th byte is all
     * 8 bits. Returns (value, bytesRead).
     */
-  private def varint(b: Array[Byte], pos: Int): (Long, Int) = {
+  private[sources] def varint(b: Array[Byte], pos: Int): (Long, Int) = {
     var v = 0L
     var i = 0
     while (i < 8) {
@@ -318,7 +327,7 @@ object GeoPackage {
   /** Decode one record (header of serial types + body) to values:
     * null / Long / Double / String / Array[Byte].
     */
-  private def record(p: Array[Byte]): Seq[Any] = {
+  private[sources] def record(p: Array[Byte]): Seq[Any] = {
     val (hdrLen, n0) = varint(p, 0)
     var hp = n0
     val types = scala.collection.mutable.ArrayBuffer.empty[Long]
