@@ -161,6 +161,18 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("c1h global shuffle: range + pid exchanges only — never a single-partition sort") {
+    val exec = Registry.queries("c1h_global_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the global total order must come from range partitioning + local
+    // ranks, not an Exchange SinglePartition feeding one giant sort
+    assert(!exec.contains("Exchange SinglePartition"),
+      "global shuffle collapsed to a single-task sort:\n" + exec)
+    assert(exec.contains("Exchange rangepartitioning(k"),
+      "expected the md5-key range exchange:\n" + exec)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
