@@ -82,6 +82,42 @@ object FeaturePipeline {
       .dropDuplicatesWithinWatermark("minhash_sig")
       .drop("minhash_sig")
 
+  /** In-flight test-set decontamination (the streaming stage of C4's
+    * `c4_decontam`): drop any arriving document that shares ≥ one word
+    * `gramSize`-gram with the EVAL corpus, before it costs storage or a
+    * training run. The eval set is static and small by nature (that is
+    * what makes it an eval set), so its distinct grams collect ONCE at
+    * plan time and ride a broadcast into a map-side filter — no state,
+    * no shuffle, no watermark interaction; the stream stays append-mode
+    * pass-through. A growing eval corpus means rebuilding the stream
+    * (exactly like the batch operator's index build); the corpus-scale
+    * cross-source sweep remains the batch pass.
+    *
+    * @param docs streaming frame with a `text` column
+    * @param evalDocs BATCH frame of the held-out set (`text` column)
+    */
+  def decontamStream(docs: DataFrame, evalDocs: DataFrame,
+      gramSize: Int): DataFrame = {
+    val spark = evalDocs.sparkSession
+    val evalGrams: Set[String] = evalDocs
+      .select(col("text")).na.drop().collect()
+      .iterator.flatMap { r =>
+        val toks = r.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < gramSize) Iterator.empty
+        else toks.sliding(gramSize).map(_.mkString(" "))
+      }.toSet
+    val bc = spark.sparkContext.broadcast(evalGrams)
+    val cleanUdf = udf { (text: String) =>
+      if (text == null) true
+      else {
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        toks.length < gramSize ||
+          toks.sliding(gramSize).forall(g => !bc.value.contains(g.mkString(" ")))
+      }
+    }
+    docs.filter(cleanUdf(col("text")))
+  }
+
   /** Stream-stream interval enrichment join (the two-live-streams shape
     * Structured Streaming bounds with dual watermarks): each observation
     * joins every context row for the SAME layer whose timestamp falls in

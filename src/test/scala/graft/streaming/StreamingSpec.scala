@@ -357,6 +357,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C4 streaming: eval-set decontamination drops leaked docs in-flight, map-side only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String)]
+    val leak = "the held out benchmark answer string goes here"
+    val evalDocs = Seq(s"question context $leak trailing").toDF("text")
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "text")
+    val out = FeaturePipeline.decontamStream(docs, evalDocs, 5)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decontam_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      ms.addData(
+        (1L, s"scraped page quoting $leak verbatim"),         // leaked → drop
+        (2L, "completely unrelated clean training text here today"), // keep
+        (3L, "THE HELD OUT benchmark ANSWER string goes here too"))  // case variant → drop
+      q.processAllAvailable()
+      val kept = spark.table("decontam_sink").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L), s"expected only the clean doc, got $kept")
+      // stateless: the plan carries no stateful operator
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "decontamination should be a stateless map-side filter")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-window context matches, out-of-window excluded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
