@@ -79,13 +79,28 @@ object TierA {
     * engine-written bytes → [[graft.sources.Shapefile.read]] → envelope,
     * hash-checked against DuckDB reading the same events parquet.
     */
-  private def shpFixture(s: SparkSession, d: String): String = {
+  /** Latest mtime under the sf dir's events parquet — the freshness key
+    * for the fixture writers: if the dataset at the same path is
+    * regenerated, a cached fixture must be rebuilt, not silently re-read
+    * (an existence-only check made the engine read stale bytes while the
+    * oracle read the new parquet — a maddening class of verify failure).
+    */
+  private def sourceMtime(d: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: f.listFiles().toSeq.map(walk)).max
+      else f.lastModified
+    val p = new java.io.File(d, "events.parquet")
+    if (p.exists()) walk(p) else 0L
+  }
+
+  private[graft] def shpFixture(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_shp_fixture_" + Integer.toHexString(d.hashCode))
     val shp = new java.io.File(dir, "events.shp")
     TierA.synchronized {
-      if (!shp.exists()) {
+      if (!shp.exists() || shp.lastModified < sourceMtime(d)) {
         dir.mkdirs()
         val rows = Tables.events(s, d)
           .select($"event_id", $"value", $"user_id", $"event_type")
@@ -127,13 +142,13 @@ object TierA {
     * rationale), read back through the pure-Scala SQLite/GPKG parser and
     * hash-checked against DuckDB on the parquet.
     */
-  private def gpkgFixture(s: SparkSession, d: String): String = {
+  private[graft] def gpkgFixture(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_gpkg_fixture_" + Integer.toHexString(d.hashCode))
     val f = new java.io.File(dir, "events.gpkg")
     TierA.synchronized {
-      if (!f.exists()) {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
         dir.mkdirs()
         val rows = Tables.events(s, d)
           .select($"event_id", $"value", $"user_id", $"event_type")

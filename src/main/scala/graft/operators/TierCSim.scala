@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.{CacheRegistry, QuerySpec}
 import graft.functions.TextStats
@@ -140,13 +141,18 @@ object TierCSim {
     val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
     val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
       $"sz".as("sb"), $"gram".as("gram_r"))
-    // length filter (PPJoin-style): J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t
-    // (J ≤ min/max of the set sizes), so size-mismatched pairs are pruned
-    // at the join — before the per-pair shared-gram aggregation — without
-    // changing any surviving pair's Jaccard
+    // length filter (PPJoin-style): J ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // size-mismatched pairs are pruned at the join — before the per-pair
+    // shared-gram aggregation — without changing any surviving pair's
+    // Jaccard. Stated in the SAME correctly-rounded division form as the
+    // final test (not `sa >= t*sb`): fl-division is monotone in both
+    // operands, so shared ≤ min and union ≥ max give
+    // fl(shared/union) ≤ fl(min/max) bit-for-bit — a product form rounds
+    // differently and can wrongly prune an exact boundary pair the
+    // uncapped oracle emits.
     left.join(right,
         $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" < $"id_b" &&
-        $"sa" >= lit(threshold) * $"sb" && $"sb" >= lit(threshold) * $"sa")
+        least($"sa", $"sb").cast(DoubleType) / greatest($"sa", $"sb") >= threshold)
       .groupBy($"id_a", $"id_b", $"sa", $"sb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
@@ -180,9 +186,15 @@ object TierCSim {
     val left = kept.select($"doc_id".as("id_a"), $"source", $"sz".as("sa"), $"gram")
     val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
       $"sz".as("sb"), $"gram".as("gram_r"))
+    // One-sided prune in the SAME correctly-rounded division form as the
+    // final test: shared ≤ |B| and fl-division is monotone in the
+    // numerator, so fl(sb/sa) < t ⟹ fl(shared/sa) < t bit-for-bit.
+    // (The product form `sb >= t*sa` is sound in real arithmetic but
+    // rounds differently from the division the filter and the oracle
+    // compute — at an exact threshold boundary it can wrongly prune.)
     left.join(right,
         $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" =!= $"id_b" &&
-        $"sb" >= lit(threshold) * $"sa")
+        $"sb".cast(DoubleType) / $"sa" >= threshold)
       .groupBy($"id_a", $"id_b", $"sa")
       .agg(count(lit(1)).as("shared"))
       .withColumn("containment", $"shared".cast(DoubleType) / $"sa")
@@ -413,19 +425,43 @@ object TierCSim {
     *         for the SimSpec halved-round-trips assertion
     */
   private[graft] def starComponents(s: SparkSession, nodes: DataFrame,
-      edges: DataFrame, maxIters: Int = 50): (DataFrame, Int, Int) = {
+      edges: DataFrame, maxIters: Int = 50,
+      reliable: Boolean = false): (DataFrame, Int, Int) = {
     import s.implicits._
-    // localCheckpoint, not persist: one star round references its input
-    // ~8× (the union doubling + the groupBy/join reuse on each star), so
-    // the LOGICAL plan grows 8× per round — exponential analysis cost by
+    // Checkpoint, not persist: one star round references its input ~8×
+    // (the union doubling + the groupBy/join reuse on each star), so the
+    // LOGICAL plan grows 8× per round — exponential analysis cost by
     // round ~6 if lineage is kept. Checkpointing materializes the edge
     // list and restarts the plan from a leaf each round, the standard
     // discipline for iterative graph algorithms (same reason GraphFrames
-    // CC checkpoints every few iterations). Local (executor-block)
-    // checkpoints suffice: a lost executor fails the job, and the whole
-    // computation is deterministic — rerun-safe.
-    var cur = edges.select($"src".as("u"), $"dst".as("v"))
-      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    // CC checkpoints every few iterations).
+    //
+    // `reliable = false` (default, the benched local path): localCheckpoint
+    // pins blocks to executors. Cheapest barrier, but lineage is TRUNCATED
+    // — on a real cluster, losing one executor mid-iteration loses blocks
+    // that cannot be recomputed, and the whole job dies (deterministic, so
+    // a full rerun is safe, but at 100 TB a rerun is hours).
+    // `reliable = true` (the operational 100 TB path): each pass's output
+    // edge set is written to the configured reliable checkpoint dir
+    // (HDFS/S3 on a cluster), so executor loss costs at most one pass's
+    // recompute from durable storage instead of the whole job. The MID
+    // round then uses persist() rather than localCheckpoint — the barrier
+    // still collapses the ~8 intra-round references onto one computed RDD,
+    // while the KEPT lineage (rooted at the reliable-checkpointed `cur`,
+    // so only ~2 star rounds deep — bounded) makes lost mid-blocks
+    // recomputable. Old checkpoint files are reclaimed by the
+    // ContextCleaner when spark.cleaner.referenceTracking.cleanCheckpoints
+    // is set; otherwise the caller owns the dir's lifecycle.
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "starComponents(reliable = true) needs spark.sparkContext.setCheckpointDir " +
+        "pointed at durable storage (HDFS/S3) — that durability is the point of the flag")
+    def barrier(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    var cur = {
+      val d = edges.select($"src".as("u"), $"dst".as("v"))
+        .filter($"u" =!= $"v").distinct()
+      if (reliable) d.checkpoint() else d.localCheckpoint()
+    }
     // decimal(38,0) sum: exact and order-invariant, and can't hit the
     // ANSI long-overflow 2^63 wrap a raw sum of 64-bit hashes would
     def fp(e: DataFrame): (Long, String) = {
@@ -447,9 +483,18 @@ object TierCSim {
       // one computed RDD — fusing the rounds into one un-checkpointed
       // plan re-executes the inner round per reference (measured ~2×
       // whole-query cost at sf0.1).
-      val mid = smallStar(largeStar(cur)).localCheckpoint(eager = false)
-      val next = smallStar(largeStar(mid)).localCheckpoint(eager = false)
+      // Reliable mode persists the pass's frames around the fingerprint
+      // action: a reliable checkpoint writes its files in a SECOND job
+      // after the computing action, so without the cache the pass would
+      // compute twice (the persist-before-checkpoint discipline).
+      val mid0 = smallStar(largeStar(cur))
+      val mid = if (reliable) mid0.persist(StorageLevel.MEMORY_AND_DISK)
+        else mid0.localCheckpoint(eager = false)
+      val next0 = smallStar(largeStar(mid))
+      val next = if (reliable) barrier(next0.persist(StorageLevel.MEMORY_AND_DISK))
+        else barrier(next0)
       val nextFp = fp(next)
+      if (reliable) { mid.unpersist(); next0.unpersist() }
       // superseded checkpoint blocks are reclaimed by the ContextCleaner
       // once `cur` is unreachable (unpersist() doesn't cover checkpoints)
       cur = next
@@ -470,8 +515,8 @@ object TierCSim {
     * contract as [[connectedComponents]]; the variant `c2_cluster` runs.
     */
   def connectedComponentsStar(s: SparkSession, nodes: DataFrame,
-      edges: DataFrame, maxIters: Int = 50): DataFrame =
-    starComponents(s, nodes, edges, maxIters)._1
+      edges: DataFrame, maxIters: Int = 50, reliable: Boolean = false): DataFrame =
+    starComponents(s, nodes, edges, maxIters, reliable)._1
 
   private val ClusterThreshold = 0.3
   private val c2c = QuerySpec(

@@ -230,13 +230,24 @@ object TierCText {
     * them pre-exchange, repartition on the gram restores the one-
     * exchange join reuse with every key df-bounded).
     */
+  /** The ONE word-k-gram tokenizer shared by the batch contamination
+    * sweep and the streaming in-flight filter
+    * ([[graft.streaming.FeaturePipeline.decontamStream]]) — single-space
+    * split, matching the DuckDB oracle's `string_split(text, ' ')`. A
+    * divergent tokenizer (e.g. `\s+`) would make the two stages disagree
+    * on any document containing tabs/newlines/double spaces.
+    */
+  private[graft] def wordGrams(text: String, gramSize: Int): Iterator[String] = {
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (toks.length < gramSize) Iterator.empty
+    else toks.sliding(gramSize).map(_.mkString(" "))
+  }
+
   def crossSourceContamination(s: SparkSession, docs: DataFrame,
       gramSize: Int, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
     import s.implicits._
     val gramsUdf = udf { (text: String) =>
-      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
-      if (toks.length < gramSize) Array.empty[String]
-      else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
+      wordGrams(text, gramSize).toArray.distinct
     }
     val exploded = docs
       .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
@@ -813,9 +824,7 @@ object TierCText {
       gramSize: Int): DataFrame = {
     import s.implicits._
     val gramsUdf = udf { (text: String) =>
-      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
-      if (toks.length < gramSize) Array.empty[String]
-      else toks.sliding(gramSize).map(_.mkString(" ")).toArray.distinct
+      wordGrams(text, gramSize).toArray.distinct
     }
     // per-gram distinct-source count as a window over the gram partition:
     // ONE shuffle, no agg+join pair; the collected set is bounded by the
@@ -835,7 +844,7 @@ object TierCText {
 
   private val c4y = QuerySpec(
     "c4_contam_frac",
-    "Per-doc contamination fraction: share of distinct word 5-grams also present in another source (gram-level distinct-source agg + equi-join back — linear, no pair fan-out, no caps); ppm at exact IEEE floor.",
+    "Per-doc contamination fraction: share of distinct word 5-grams also present in another source (collect_set(source) window over the gram partition — ONE shuffle, linear, no pair fan-out, no caps); ppm at exact IEEE floor.",
     Some("""WITH t AS (SELECT doc_id, source,
               list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
               FROM documents),

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, 
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.{Feature, MsgPack}
+import graft.operators.TierCText
 
 /** The reference's consume-side pipeline re-expressed on Structured
   * Streaming (SURVEY.md §2 A4–A12, B31–B33): wire bytes → msgpack unpack →
@@ -99,21 +100,16 @@ object FeaturePipeline {
   def decontamStream(docs: DataFrame, evalDocs: DataFrame,
       gramSize: Int): DataFrame = {
     val spark = evalDocs.sparkSession
+    // SAME tokenizer as the batch sweep (TierCText.wordGrams) — the
+    // in-flight filter claims to be the streaming stage of c4_decontam,
+    // so the two must agree gram-for-gram on every document.
     val evalGrams: Set[String] = evalDocs
       .select(col("text")).na.drop().collect()
-      .iterator.flatMap { r =>
-        val toks = r.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < gramSize) Iterator.empty
-        else toks.sliding(gramSize).map(_.mkString(" "))
-      }.toSet
+      .iterator.flatMap(r => TierCText.wordGrams(r.getString(0), gramSize))
+      .toSet
     val bc = spark.sparkContext.broadcast(evalGrams)
     val cleanUdf = udf { (text: String) =>
-      if (text == null) true
-      else {
-        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        toks.length < gramSize ||
-          toks.sliding(gramSize).forall(g => !bc.value.contains(g.mkString(" ")))
-      }
+      text == null || !TierCText.wordGrams(text, gramSize).exists(bc.value.contains)
     }
     docs.filter(cleanUdf(col("text")))
   }
