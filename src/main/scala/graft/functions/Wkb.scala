@@ -301,37 +301,45 @@ object Wkb {
   // ([[GeodIters]]) instead of to-convergence: convergence for
   // non-antipodal pairs is ~1e-12 within 4-6 rounds, and a fixed count
   // makes the computation a pure function of the inputs — replayable
-  // op-for-op by an oracle (the a11s discipline). Near-antipodal pairs
-  // (where classic Vincenty diverges) return whatever the fixed
-  // iteration yields — deterministic, but only accurate inside the
-  // convergent region; callers needing antipodal robustness should
-  // bound separations (the property spec pins the convergent behavior).
+  // op-for-op by an oracle (the a11s discipline). Outside that
+  // convergent region (near-antipodal pairs, where classic Vincenty
+  // diverges or crawls) [[geodesicMeters]] now THROWS instead of
+  // returning a deterministic-but-wrong value — never silently wrong —
+  // and [[geodesicMetersRobust]] offers the iterate-to-convergence
+  // variant for callers whose separations approach 180°.
   private val GeodIters = 6
+  // λ still moving more than this (radians) after the fixed rounds ⇒ the
+  // iteration has not converged. 1e-11 rad of longitude is ~0.06 mm at
+  // the equator — far below the mm the series itself is good for.
+  private val GeodTol = 1e-11
   private val WgsB = MercatorR * (1.0 - WgsF)
 
   /** Oracle-replay constants: (a, b, f, iteration count). */
   private[graft] def geodConstants: (Double, Double, Double, Int) =
     (MercatorR, WgsB, WgsF, GeodIters)
 
-  /** Geodesic distance in meters between two WGS84 lon/lat points.
-    * Division guards use EXACT zero compares deliberately: sinσ is
-    * exactly 0 only for coincident points (where both engines compute
-    * the same bit pattern), so engine and oracle take the same branch.
+  /** Core Vincenty-inverse λ iteration: runs `iters` rounds exactly
+    * (no early exit when `replay` — the op-for-op oracle contract), or
+    * exits early on convergence when `!replay`. Returns
+    * (distance_m, |Δλ| of the LAST round taken) — the delta is the
+    * convergence evidence the callers' guards act on.
     */
-  def geodesicMeters(lon1: Double, lat1: Double,
-      lon2: Double, lat2: Double): Double = {
+  private def geodesicCore(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double, iters: Int, replay: Boolean): (Double, Double) = {
     val rad = math.Pi / 180.0
     val bigL = (lon2 - lon1) * rad
     val u1 = math.atan((1.0 - WgsF) * math.tan(lat1 * rad))
     val u2 = math.atan((1.0 - WgsF) * math.tan(lat2 * rad))
     val sU1 = math.sin(u1); val cU1 = math.cos(u1)
     val sU2 = math.sin(u2); val cU2 = math.cos(u2)
-    // fixed-count λ iteration: each round recomputes the intermediates
-    // from the current λ and updates λ only (the shape the generated
-    // oracle SQL mirrors stage-for-stage)
+    // λ iteration: each round recomputes the intermediates from the
+    // current λ and updates λ only (the shape the generated oracle SQL
+    // mirrors stage-for-stage in replay mode)
     var lam = bigL
+    var delta = 0.0
     var i = 0
-    while (i < GeodIters) {
+    var done = false
+    while (i < iters && !done) {
       val sl = math.sin(lam); val cl = math.cos(lam)
       val sinsig = math.sqrt((cU2 * sl) * (cU2 * sl) +
         (cU1 * sU2 - sU1 * cU2 * cl) * (cU1 * sU2 - sU1 * cU2 * cl))
@@ -341,8 +349,15 @@ object Wkb {
       val cos2a = 1.0 - sina * sina
       val cos2m = if (cos2a == 0.0) 0.0 else cossig - 2.0 * sU1 * sU2 / cos2a
       val c = WgsF / 16.0 * cos2a * (4.0 + WgsF * (4.0 - 3.0 * cos2a))
-      lam = bigL + (1.0 - c) * WgsF * sina *
+      val next = bigL + (1.0 - c) * WgsF * sina *
         (sigma + c * sinsig * (cos2m + c * cossig * (-1.0 + 2.0 * cos2m * cos2m)))
+      delta = math.abs(next - lam)
+      lam = next
+      // early exit only off the replay path: a converged λ is a fixed
+      // point to the last ulp or dithers below any tolerance we use, but
+      // the oracle CTE chain runs EXACTLY GeodIters rounds, so the
+      // replayed form must too
+      if (!replay && delta < 1e-15) done = true
       i += 1
     }
     // final evaluation from the converged λ
@@ -362,7 +377,54 @@ object Wkb {
       (cossig * (-1.0 + 2.0 * cos2m * cos2m) -
         bb / 6.0 * cos2m * (-3.0 + 4.0 * sinsig * sinsig) *
           (-3.0 + 4.0 * cos2m * cos2m)))
-    WgsB * aa * (sigma - dsig)
+    (WgsB * aa * (sigma - dsig), delta)
+  }
+
+  /** Geodesic distance in meters between two WGS84 lon/lat points.
+    * Division guards use EXACT zero compares deliberately: sinσ is
+    * exactly 0 only for coincident points (where both engines compute
+    * the same bit pattern), so engine and oracle take the same branch.
+    *
+    * Antipodal guard: if λ is still moving more than [[GeodTol]] after
+    * the fixed rounds (the classic Vincenty divergence region, pairs
+    * within ~0.5° of antipodal — or slow convergence needing more
+    * rounds), this THROWS rather than returning the deterministic-but-
+    * inaccurate fixed-iteration value. Inside the convergent domain the
+    * returned value is bit-identical to the pre-guard behavior (the
+    * a11u oracle replay). Use [[geodesicMetersRobust]] for separations
+    * approaching 180°. The negated compare (`!(delta <= tol)`) also
+    * trips on NaN, so a degenerate input can never slip through.
+    */
+  def geodesicMeters(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val (d, delta) = geodesicCore(lon1, lat1, lon2, lat2, GeodIters, replay = true)
+    if (!(delta <= GeodTol))
+      throw new IllegalArgumentException(
+        f"geodesicMeters: Vincenty λ-iteration did not converge for " +
+          f"($lon1%.6f,$lat1%.6f)-($lon2%.6f,$lat2%.6f) (|Δλ|=$delta%.3e rad " +
+          f"after $GeodIters rounds — near-antipodal pair); " +
+          "use geodesicMetersRobust for separations approaching 180°")
+    d
+  }
+
+  /** Iterate-to-convergence Vincenty inverse for callers whose pairs may
+    * approach (but not reach) the antipodal region: up to `maxIters`
+    * rounds with an early exit at |Δλ| < 1e-15 rad. Slow-converging
+    * pairs (~179.5°+) that the fixed-round replay rejects resolve here;
+    * truly antipodal pairs — where Vincenty's λ-iteration genuinely
+    * diverges/oscillates — still throw rather than return garbage
+    * (Vincenty's own antipodal continuation or Karney's method is the
+    * complete treatment; the throw keeps this honest until then).
+    */
+  def geodesicMetersRobust(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double, maxIters: Int = 200): Double = {
+    val (d, delta) = geodesicCore(lon1, lat1, lon2, lat2, maxIters, replay = false)
+    if (!(delta <= GeodTol))
+      throw new IllegalArgumentException(
+        f"geodesicMetersRobust: Vincenty λ-iteration diverged for " +
+          f"($lon1%.6f,$lat1%.6f)-($lon2%.6f,$lat2%.6f) (|Δλ|=$delta%.3e rad " +
+          f"after $maxIters rounds — antipodal pair, outside Vincenty's domain)")
+    d
   }
 
   /** Geodesic meters between two POINT geometries holding WGS84 lon/lat

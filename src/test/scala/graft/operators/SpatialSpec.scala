@@ -255,6 +255,49 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("Wkb.geodesicMeters: antipodal guard — accurate or loud, never silently wrong") {
+    // convergent-domain sweep: pairs up to ~170° separation. For every
+    // pair the fixed-round value must agree with the to-convergence value
+    // within 1 mm, OR the guard must have thrown — no third outcome.
+    val pts = for (lon <- Seq(-150.0, -60.0, 0.0, 45.0, 120.0, 170.0);
+                   lat <- Seq(-75.0, -30.0, 0.0, 15.0, 60.0)) yield (lon, lat)
+    var checked = 0
+    for ((lon1, lat1) <- pts; (lon2, lat2) <- pts if (lon1, lat1) != (lon2, lat2)) {
+      val robust =
+        try Some(Wkb.geodesicMetersRobust(lon1, lat1, lon2, lat2, maxIters = 1000))
+        catch { case _: IllegalArgumentException => None }
+      try {
+        val fixd = Wkb.geodesicMeters(lon1, lat1, lon2, lat2)
+        assert(robust.isDefined && math.abs(fixd - robust.get) < 1e-3,
+          s"fixed-round value $fixd vs converged $robust at ($lon1,$lat1)-($lon2,$lat2)")
+        checked += 1
+      } catch { case _: IllegalArgumentException => () } // loud, acceptable
+    }
+    // the guard must not be trivially rejecting everything
+    assert(checked > pts.size * pts.size / 2,
+      s"only $checked pairs passed the fixed-round path — guard too aggressive")
+    // large-separation anchor: on the equator the geodesic IS the equator
+    // arc up to the ~179.4° critical azimuth, so robust at 179° has a
+    // closed-form reference: a · Δλ
+    val eq179 = Wkb.geodesicMetersRobust(0.0, 0.0, 179.0, 0.0)
+    assert(math.abs(eq179 - 6378137.0 * math.toRadians(179.0)) < 1e-3, eq179.toString)
+    // near-antipodal: the fixed-round path throws LOUDLY (λ still moving),
+    // instead of the old silently-inaccurate return
+    intercept[IllegalArgumentException] {
+      Wkb.geodesicMeters(0.0, 30.0, 179.9, -30.05)
+    }
+    // robust on the same pair: either converges to a sane near-max
+    // geodesic or throws — never returns garbage
+    try {
+      val d = Wkb.geodesicMetersRobust(0.0, 30.0, 179.9, -30.05)
+      assert(d > 1.9e7 && d < 2.01e7, d.toString)
+    } catch { case _: IllegalArgumentException => () }
+    // exactly antipodal on the equator: outside Vincenty's domain — both
+    // paths must refuse
+    intercept[IllegalArgumentException] { Wkb.geodesicMeters(0.0, 0.0, 180.0, 0.0) }
+    intercept[IllegalArgumentException] { Wkb.geodesicMetersRobust(0.0, 0.0, 180.0, 0.0) }
+  }
+
   test("Wkb distance: pointDistance exact chain, boundaryDistance edge cases") {
     val d = Wkb.pointDistance(Wkb.point(1.0, 2.0), Wkb.point(4.0, 6.0))
     assert(d == 5.0)
