@@ -272,6 +272,42 @@ object TierCSim {
     }
   }
 
+  /** One cheap probe that picks the [[dfCapKept]] shape for a caller who
+    * doesn't know the Zipf shape of their corpus: a partial-agg per-key
+    * df (map-side combine bounds every task — the probe can never itself
+    * be the skew victim) reduced to a single max. If ANY key exceeds the
+    * cap, the window shape would buffer that key's whole posting list in
+    * one task, so the pre-filter shape wins; if none does, the window
+    * shape's one-exchange reuse wins and the pre-filter's extra
+    * broadcast round-trip is pure overhead. The probe costs one extra
+    * aggregation pass over the exploded frame (its single-row output is
+    * the only thing collected).
+    */
+  private[operators] def hotProbe(exploded: DataFrame, keyCols: Seq[String],
+      dfCap: Int): Boolean = {
+    import exploded.sparkSession.implicits._
+    val keys = keyCols.map(col)
+    val r = exploded.groupBy(keys: _*).agg(count(lit(1)).as("df"))
+      .agg(max($"df")).head()
+    !r.isNullAt(0) && r.getLong(0) > dfCap
+  }
+
+  /** [[ngramJaccardPairs]] with the df-cap shape AUTO-SELECTED by
+    * [[hotProbe]] — the library entry point for callers who don't know
+    * whether their corpus has a Zipf head above the cap. Output is
+    * identical to either explicit shape (spec-pinned).
+    */
+  def ngramJaccardPairsAuto(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame =
+    ngramJaccardPairs(s, docs, threshold, dfCap,
+      hotPreFilter = hotProbe(bigramExploded(docs), Seq("source", "gram"), dfCap))
+
+  /** [[ngramContainmentPairs]] with the df-cap shape auto-selected. */
+  def ngramContainmentPairsAuto(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame =
+    ngramContainmentPairs(s, docs, threshold, dfCap,
+      hotPreFilter = hotProbe(bigramExploded(docs), Seq("source", "gram"), dfCap))
+
   private val c2n = QuerySpec(
     "c2_ngram_jaccard",
     "Word-bigram Jaccard near-dup, blocked by `source` (pairs only within a block — never corpus²); exact bigram-set Jaccard ≥ 0.6. Candidate generation df-capped at 10k (far above fixture max df; drops are logged, Jaccard never inflated).",
@@ -731,7 +767,13 @@ object TierCSim {
     * c3_centroid discipline — order-independent across partitions), the
     * mean and its norm are computed driver-side in fixed order, and the
     * assignment expression's first-max tie rule is partition-invariant.
-    * An emptied cell keeps its previous seed (never NaN).
+    *
+    * Empty cells are RESEEDED, not kept: a dead seed stays dead forever
+    * (every vector avoids it next round for the same reason it avoided
+    * it this round), so its slot is re-spent where coverage is worst —
+    * the sample row with the minimal max-cosine to every live seed (the
+    * k-center selection rule, ties to lowest vec_id), processed in cell
+    * order over the fixed md5 sample: fully deterministic.
     *
     * @return (refined seeds with ‖seed‖², final (vec_id, cell) frame —
     *         reads the CacheRegistry-persisted projection, caller releases)
@@ -742,7 +784,11 @@ object TierCSim {
     val e = CacheRegistry.persist(embeddings.select($"vec_id", $"embedding",
       TierC.dot($"embedding", $"embedding").as("n2")))
     val nCells = if (cells > 0) cells else ivfCells(e.count())
-    var seeds = kCenterSeeds(md5Sample(e, sampleSize), nCells)
+    val sample = md5Sample(e, sampleSize)
+    val sVecs = sample.map(_._2.iterator.map(_.toDouble).toArray)
+    val sN2 = sample.map(_._3)
+    val sIds = sample.map(_._1)
+    var seeds = kCenterSeeds(sample, nCells)
     val dim = seeds.head._1.length
     (1 to iters).foreach { _ =>
       val ss = graft.functions.VectorExprs.broadcastSeeds(s, seeds)
@@ -755,14 +801,48 @@ object TierCSim {
         .agg(count(lit(1)).as("n"), sumCols: _*)
         .collect()
       val byCell = agg.map(r => r.getInt(0) -> r).toMap
-      seeds = seeds.zipWithIndex.map { case (old, ci) =>
-        byCell.get(ci) match {
-          case None => old
-          case Some(r) =>
-            val n = r.getLong(1).toDouble
-            val v = (0 until dim).map(i => (r.getLong(2 + i) / 1e6 / n).toFloat)
-            val n2 = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-            (v, n2)
+      val means: Seq[Option[(Seq[Float], Double)]] = seeds.indices.map { ci =>
+        byCell.get(ci).map { r =>
+          val n = r.getLong(1).toDouble
+          val v = (0 until dim).map(i => (r.getLong(2 + i) / 1e6 / n).toFloat)
+          val n2 = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+          (v, n2)
+        }
+      }
+      seeds = if (means.forall(_.isDefined)) means.map(_.get)
+      else {
+        // farthest-point reseed: live = the populated cells' means plus
+        // seeds already re-spent this round, so two empty cells never
+        // land on the same sample row
+        val live = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+        means.flatten.foreach { case (v, n2) =>
+          live += ((v.iterator.map(_.toDouble).toArray, n2))
+        }
+        val used = new Array[Boolean](sample.length)
+        means.zipWithIndex.map {
+          case (Some(sd), _) => sd
+          case (None, ci) =>
+            var best = -1
+            var bestSim = Double.PositiveInfinity
+            var i = 0
+            while (i < sample.length) {
+              if (!used(i)) {
+                var ms = Double.NegativeInfinity
+                live.foreach { case (v, n2) =>
+                  val c = cosDouble(sVecs(i), sN2(i), v, n2)
+                  if (c > ms) ms = c
+                }
+                if (best < 0 || ms < bestSim ||
+                    (ms == bestSim && sIds(i) < sIds(best))) { best = i; bestSim = ms }
+              }
+              i += 1
+            }
+            if (best < 0) seeds(ci) // sample exhausted: keep the old seed
+            else {
+              used(best) = true
+              live += ((sVecs(best), sN2(best)))
+              (sample(best)._2, sN2(best))
+            }
         }
       }
     }
@@ -804,6 +884,18 @@ object TierCSim {
       .as[(Long, Seq[Float], Double)].collect()
   }
 
+  /** Driver-side cosine over pre-extracted double arrays — the ONE chain
+    * [[kCenterSeeds]] and the empty-cell reseed both run, so seed
+    * selection and reseed selection share bit-identical arithmetic.
+    */
+  private def cosDouble(a: Array[Double], n2a: Double,
+      b: Array[Double], n2b: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc / (math.sqrt(n2a) * math.sqrt(n2b))
+  }
+
   private def kCenterSeeds(sample: Array[(Long, Seq[Float], Double)],
       cells: Int): Seq[(Seq[Float], Double)] = {
     // k-center greedy, incremental: maxSim(i) tracks each sample row's
@@ -816,12 +908,8 @@ object TierCSim {
     val ids = sample.map(_._1)
     val vecs = sample.map(_._2.iterator.map(_.toDouble).toArray)
     val n2s = sample.map(_._3)
-    def cosD(a: Array[Double], n2a: Double, b: Array[Double], n2b: Double): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc / (math.sqrt(n2a) * math.sqrt(n2b))
-    }
+    def cosD(a: Array[Double], n2a: Double, b: Array[Double], n2b: Double): Double =
+      cosDouble(a, n2a, b, n2b)
     val n = sample.length
     val isSeed = new Array[Boolean](n)
     val maxSim = Array.fill(n)(Double.NegativeInfinity)

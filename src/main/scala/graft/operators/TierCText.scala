@@ -264,6 +264,22 @@ object TierCText {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** [[crossSourceContamination]] with the df-cap shape auto-selected by
+    * [[TierCSim.hotProbe]] (max key df vs the cap) — callers needn't
+    * know whether their corpus's boilerplate head exceeds the cap.
+    */
+  def crossSourceContaminationAuto(s: SparkSession, docs: DataFrame,
+      gramSize: Int, dfCap: Int): DataFrame = {
+    import s.implicits._
+    val gramsUdf = udf { (text: String) =>
+      wordGrams(text, gramSize).toArray.distinct
+    }
+    val exploded = docs
+      .select($"doc_id", $"source", explode(gramsUdf($"text")).as("gram"))
+    crossSourceContamination(s, docs, gramSize, dfCap,
+      hotPreFilter = TierCSim.hotProbe(exploded, Seq("gram"), dfCap))
+  }
+
   // ------------------------------------------------------- repetition ratio
   /** Repetition detection — the rep-ngram family of pretraining quality
     * filters: a doc whose bigrams are mostly copies of each other (low

@@ -61,6 +61,40 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("hotProbe auto-select: flips the path on a planted hot gram, outputs equal either way") {
+    import spark.implicits._
+    // same planted-hot-gram corpus as the df-cap test: "stop stop" has
+    // df=12, so at cap=3 the probe must pick the pre-filter shape, and at
+    // cap=10000 (nothing hot) the window shape
+    val a = "stop stop alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "stop stop alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val fillers = (0 until 10).map(i =>
+      (10L + i, s"stop stop unique${i}a unique${i}b unique${i}c"))
+    val docs = ((Seq((0L, a), (1L, b)) ++ fillers))
+      .map { case (id, t) => (id, "src", t) }.toDF("doc_id", "source", "text")
+    val exploded = docs.select($"doc_id", $"source",
+      explode(array(lit("stop stop"))).as("gram")) // df=12 on one gram
+    assert(TierCSim.hotProbe(exploded, Seq("source", "gram"), 3),
+      "probe missed the hot gram at cap=3")
+    assert(!TierCSim.hotProbe(exploded, Seq("source", "gram"), 10000),
+      "probe claimed a hot gram at cap=10000")
+    assert(!TierCSim.hotProbe(exploded.limit(0), Seq("source", "gram"), 1),
+      "probe must say false on an empty frame")
+    // the auto entry point returns the same rows as BOTH explicit shapes
+    // on the dropping cap
+    val auto = TierCSim.ngramJaccardPairsAuto(spark, docs, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val win = TierCSim.ngramJaccardPairs(spark, docs, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == win, s"auto diverged from window shape: $auto vs $win")
+    val autoC = TierCSim.ngramContainmentPairsAuto(spark, docs, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val winC = TierCSim.ngramContainmentPairs(spark, docs, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(autoC == winC, s"containment auto diverged: $autoC vs $winC")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("ngramContainmentPairs: embedded quote found in ONE direction, Jaccard misses it") {
     import spark.implicits._
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")     // 11 bigrams
@@ -113,6 +147,11 @@ class SimSpec extends AnyFunSuite {
     val preRows = TierCText.crossSourceContamination(spark, df, 5, 5, hotPreFilter = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(preRows == winRows, s"hotPreFilter diverged: $preRows vs $winRows")
+    // auto-select: df=12 boilerplate gram vs cap=5 → probe picks the
+    // pre-filter shape; rows must match the explicit shapes regardless
+    val autoRows = TierCText.crossSourceContaminationAuto(spark, df, 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(autoRows == winRows, s"auto diverged: $autoRows vs $winRows")
     graft.CacheRegistry.releaseAll()
   }
 
@@ -591,9 +630,15 @@ class SimSpec extends AnyFunSuite {
       (seeds, a)
     }
     val (s0, a0) = run(0)
+    val (s1, a1) = run(1)
     val (s2, a2) = run(2)
-    assert(sse(s2, a2) <= sse(s0, a0) + 1e-9,
-      s"Lloyd increased SSE: ${sse(s0, a0)} -> ${sse(s2, a2)}")
+    val (s4, a4) = run(4)
+    // SSE descends monotonically across the iters knob: 0 ≥ 1 ≥ 2 ≥ 4
+    // (1e-6 slack for the integer-quantized per-dim sums)
+    val sses = Seq(sse(s0, a0), sse(s1, a1), sse(s2, a2), sse(s4, a4))
+    sses.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(lo <= hi + 1e-6, s"Lloyd SSE not descending: $sses")
+    }
     // members of one planted cluster still land in one cell
     a2.groupBy(_._1 / 10).values.foreach { grp =>
       assert(grp.map(_._2).distinct.length == 1, s"cluster split: ${grp.toSeq}")
@@ -602,6 +647,39 @@ class SimSpec extends AnyFunSuite {
     val (s2b, a2b) = run(2, parts = 7)
     assert(s2b == s2, "refined seeds depend on partitioning")
     assert(a2b.sorted.toSeq == a2.sorted.toSeq)
+  }
+
+  test("kmeansRefine: empty cell is reseeded from the sample, not left dead") {
+    import spark.implicits._
+    val dim = 8
+    // axis-aligned INTEGER vectors: every cosine, mean, and 1e-6
+    // quantization in the chain is exact, so the ties this test relies
+    // on are bit-exact, not float-lucky. ids 0,1 are co-directional
+    // (2·e1 and 4·e1 — cosine exactly 1): with cells=4 but only 3
+    // distinct directions, k-center is FORCED to take both as seeds;
+    // every co-directional vector then tie-breaks to the lower cell and
+    // the 4·e1 seed's cell comes up empty on the first assignment.
+    def axis(i: Int, mag: Float): Seq[Float] =
+      Array.tabulate(dim)(j => if (j == i) mag else 0f).toSeq
+    val vecs = Seq(
+      (0L, axis(0, 2f)), (1L, axis(0, 4f)),
+      (10L, axis(1, 3f)), (20L, axis(2, 5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (seeds, assigned) = TierCSim.kmeansRefine(spark, df, cells = 4, iters = 1)
+    val a = assigned.collect().map(r => (r.getLong(0), r.getInt(1)))
+    graft.CacheRegistry.releaseAll()
+    // the dead seed (4·e1, cell 3) must have been replaced by a sample
+    // vector under the farthest-point rule: every candidate ties at
+    // max-cos exactly 1.0 against the live means, so the lowest vec_id
+    // (0 → 2·e1) wins — NOT kept as 4·e1 and NOT the populated cell's
+    // mean (3·e1)
+    assert(seeds.length == 4)
+    assert(seeds(3)._1 == axis(0, 2f),
+      s"expected reseed to id 0's vector 2*e1, got ${seeds(3)._1}")
+    // correctness intact: co-directional pair shares a cell, three
+    // populated cells, deterministic assignment
+    assert(a.toMap.apply(0L) == a.toMap.apply(1L), s"dup pair split: ${a.toSeq}")
+    assert(a.map(_._2).distinct.length == 3, s"expected 3 populated cells: ${a.toSeq}")
   }
 
   test("ivfTopK: perfect recall on clustered vectors (k-center spreads one seed per cluster)") {
