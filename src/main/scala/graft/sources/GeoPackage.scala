@@ -39,8 +39,9 @@ object GeoPackage {
   // gpkg_geometry_columns + ONE feature table (fid INTEGER PRIMARY KEY,
   // etype TEXT, geom BLOB) — so the a1c oracle row can hash-check the
   // READ path against engine-written bytes. 64 KiB pages keep the
-  // feature b-tree two-level up to ~1M rows; rows must fit the local
-  // payload (no overflow writing — asserted, fixture rows are tiny).
+  // feature b-tree two-level up to ~1M rows; rows beyond the local
+  // payload max spill to spec-conformant overflow chains (roundtrip
+  // property-tested in GpkgCodecSpec).
 
   private val WPageSize = 65536
 
@@ -93,14 +94,39 @@ object GeoPackage {
   }
 
   /** Build a table b-tree from (rowid, record) rows onto `pages`
-    * (1-based growth list); returns the root page number.
+    * (1-based growth list); returns the root page number. Records larger
+    * than the leaf's local-payload max spill to overflow pages per the
+    * spec's K/X split (the same arithmetic [[tableRows]] reads back):
+    * local = K = minLocal + ((P − minLocal) mod (U − 4)) if K ≤ X else
+    * minLocal, remainder in a chain of (4-byte next-pointer + U−4
+    * payload bytes) pages. Overflow pages are appended as each cell is
+    * built — page order is free in SQLite (pointers are explicit), so
+    * chains interleaving ahead of their leaf is format-valid.
     */
   private def wTable(pages: scala.collection.mutable.ArrayBuffer[Array[Byte]],
       rows: Seq[(Long, Array[Byte])]): Int = {
     val maxLocal = WPageSize - 35
+    val minLocal = (WPageSize - 12) * 32 / 255 - 23
     val cells = rows.map { case (rid, rec) =>
-      require(rec.length <= maxLocal, "gpkg writer: row needs overflow (unsupported)")
-      (rid, wVarint(rec.length.toLong) ++ wVarint(rid) ++ rec)
+      if (rec.length <= maxLocal)
+        (rid, wVarint(rec.length.toLong) ++ wVarint(rid) ++ rec)
+      else {
+        val k = minLocal + ((rec.length - minLocal) % (WPageSize - 4))
+        val local = if (k <= maxLocal) k else minLocal
+        val firstOverflow = pages.length + 1
+        var off = local
+        while (off < rec.length) {
+          val take = math.min(WPageSize - 4, rec.length - off)
+          val page = new Array[Byte](WPageSize)
+          val next = if (off + take < rec.length) pages.length + 2 else 0
+          putU32(page, 0, next.toLong)
+          System.arraycopy(rec, off, page, 4, take)
+          pages += page
+          off += take
+        }
+        (rid, wVarint(rec.length.toLong) ++ wVarint(rid) ++ rec.take(local) ++
+          ByteBuffer.allocate(4).putInt(firstOverflow).array())
+      }
     }
     // greedy leaf fill: 8-byte header + 2-byte pointer per cell
     val leaves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (maxRowid, page#)
@@ -366,6 +392,19 @@ object GeoPackage {
           throw new IllegalArgumentException(s"gpkg: reserved serial type $other")
       }
     }
+  }
+
+  /** Test seam: full byte-level scan of one table — open → sqlite_master
+    * → b-tree walk (overflow chains included) → record decode. The
+    * GpkgCodecSpec roundtrips engine-written files through this without
+    * a SparkSession.
+    */
+  private[sources] def scanTable(bytes: Array[Byte], table: String): Seq[(Long, Seq[Any])] = {
+    val db = open(bytes)
+    val root = master(db)
+      .collectFirst { case ("table", name, r, _) if name == table => r }
+      .getOrElse(throw new IllegalArgumentException(s"gpkg: no table $table"))
+    tableRows(db, root).map { case (rid, p) => (rid, record(p)) }
   }
 
   /** sqlite_master rows: (type, name, rootpage, sql). Root is page 1. */
