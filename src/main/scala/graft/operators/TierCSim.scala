@@ -589,6 +589,74 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------ end-to-end dedup composition
+  /** The whole near-dup stage a crawl pipeline actually runs, composed from
+    * the pieces above: similarity pairs → connected components → ONE
+    * canonical survivor per cluster (longest doc by `n_chars`, ties to the
+    * lowest doc_id — the c1c keep-best rule applied to near-dup clusters
+    * instead of exact-fingerprint groups). Output is the deduped corpus
+    * manifest: per cluster its survivor and how many near-dups it sheds.
+    *
+    * Scale: the label frame is corpus-sized, so the docs⋈labels join is a
+    * shuffle join on doc_id (both sides pre-partitioned by the CC output);
+    * the keep-best is a single hash aggregate — `max_by` partial-aggregates
+    * map-side, no window, no per-cluster sort (same argument as c1c).
+    */
+  /** `docs` needs `doc_id`, `source`, `text`, `n_chars`. Returns one row
+    * per cluster: (cluster_id, kept_doc_id, n_chars, n_members).
+    */
+  def dedupCorpus(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame = {
+    import s.implicits._
+    val pairs = ngramJaccardPairs(s, docs, threshold, dfCap)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val nodes = docs.select($"doc_id".as("id"))
+    connectedComponentsStar(s, nodes, pairs)
+      .join(docs.select($"doc_id", $"n_chars"), $"id" === $"doc_id")
+      .groupBy($"cluster".as("cluster_id"))
+      .agg(
+        max_by(struct($"doc_id", $"n_chars"),
+          struct($"n_chars", (-$"doc_id").as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select($"cluster_id", $"best.doc_id".as("kept_doc_id"),
+        $"best.n_chars".as("n_chars"), $"n_members")
+      .orderBy($"cluster_id")
+  }
+
+  private val c2dc = QuerySpec(
+    "c2_dedup_corpus",
+    "End-to-end near-dup dedup: Jaccard>=0.3 pair graph -> star-contraction clusters -> keep-best survivor per cluster (longest n_chars, ties to lowest doc_id) with shed-duplicate counts; the composed corpus-in/survivors-out stage.",
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $ClusterThreshold),
+            e AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+            n AS (SELECT DISTINCT doc_id AS id FROM documents),
+            reach AS (SELECT id, id AS root FROM n
+              UNION
+              SELECT e.d, reach.root FROM reach JOIN e ON e.s = reach.id),
+            lab AS (SELECT id AS doc_id, MIN(root) AS cluster_id
+              FROM reach GROUP BY id),
+            j AS (SELECT lab.cluster_id, d.doc_id, d.n_chars
+              FROM lab JOIN documents d USING (doc_id)),
+            r AS (SELECT cluster_id, doc_id, n_chars,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM j)
+            SELECT cluster_id, doc_id AS kept_doc_id, n_chars, n_members
+            FROM r WHERE rn = 1 ORDER BY cluster_id"""),
+    (s, d) => dedupCorpus(s, Tables.documents(s, d), ClusterThreshold, NgramDfCap)
+  )
+
   // ------------------------------------------- embedding-cosine near-dup
   private def dotChain(l: String, r: String): String =
     (1 to 64).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
@@ -1368,5 +1436,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
 }

@@ -319,6 +319,69 @@ object TierCText {
     }
   )
 
+  // ------------------------------------------------ top-n-gram coverage
+  /** Gopher-style top-n-gram coverage: the multiplicity of a document's
+    * MOST FREQUENT word n-gram for n ∈ {2,3,4}. A page whose single
+    * hottest bigram covers a large token fraction (top2_cnt·2 / n_tokens)
+    * is template/boilerplate even when its distinct/total ratio
+    * ([[c4r]] `c4_repetition`) looks healthy — the two signals catch
+    * different shapes (one hot phrase vs. globally low diversity).
+    * Exact integers, map-side only (one UDF pass, counts folded per doc
+    * before anything is emitted — nothing corpus-wide, no shuffle).
+    */
+  private[graft] val topGramUdf = udf { (text: String) =>
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    def top(n: Int): Long =
+      if (toks.length < n) 0L
+      else {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        toks.sliding(n).foreach { g =>
+          val k = g.mkString(" ")
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        m.valuesIterator.max
+      }
+    (toks.length.toLong, top(2), top(3), top(4))
+  }
+
+  private def topGramSql(n: Int): String = {
+    val concat = (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""(SELECT doc_id, MAX(c) AS top FROM (
+          SELECT doc_id, gram, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, len(toks) - ${n - 1}), i -> $concat)) AS gram
+            FROM t WHERE len(toks) >= $n) u
+          GROUP BY doc_id, gram) gc
+        GROUP BY doc_id)"""
+  }
+
+  private val c4tg = QuerySpec(
+    "c4_topgram",
+    "Top-n-gram coverage quality signal: per doc the multiplicity of its most frequent word 2/3/4-gram plus token count (Gopher boilerplate rule); exact integers, map-side only.",
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            m2 AS ${topGramSql(2)},
+            m3 AS ${topGramSql(3)},
+            m4 AS ${topGramSql(4)}
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(m2.top, 0) AS BIGINT) AS top2_cnt,
+              CAST(COALESCE(m3.top, 0) AS BIGINT) AS top3_cnt,
+              CAST(COALESCE(m4.top, 0) AS BIGINT) AS top4_cnt
+            FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+              LEFT JOIN m4 USING (doc_id)
+            ORDER BY t.doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", topGramUdf($"text").as("g"))
+        .select($"doc_id", $"g._1".as("n_tokens"), $"g._2".as("top2_cnt"),
+          $"g._3".as("top3_cnt"), $"g._4".as("top4_cnt"))
+        .orderBy($"doc_id")
+    }
+  )
+
   private val c4d = QuerySpec(
     "c4_decontam",
     "Cross-source contamination: doc pairs from different sources sharing a word 5-gram, with shared-gram count; inverted-index join, df-capped (logged drops).",
@@ -1201,6 +1264,6 @@ object TierCText {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
+    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c4tg, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
       c4h, c4b, c1f, c1g, c1h, c4y, c4u, c4ss, c4z, c4x, c4k)
 }

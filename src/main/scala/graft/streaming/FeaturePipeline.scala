@@ -83,6 +83,86 @@ object FeaturePipeline {
       .dropDuplicatesWithinWatermark("minhash_sig")
       .drop("minhash_sig")
 
+  /** First-arrival marker per MinHash signature, held in the keyed state
+    * store with an EVENT-TIME expiry timer: the first row of a signature
+    * passes and arms a timer at its event time + horizon; every arrival
+    * while the mark lives is dropped — across micro-batches, unrelated to
+    * any watermark gap. When the watermark passes the deadline the timer
+    * fires and clears the mark, so state is bounded by the
+    * distinct-signature arrival rate × horizon, never the stream's
+    * history.
+    *
+    * Why event-time timers and not the store's native processing-time
+    * TTL: (a) `TTLConfig` is hard-gated to `TimeMode.ProcessingTime`
+    * (`StatefulProcessorHandleImpl.validateTTLConfig` throws otherwise),
+    * and in that mode `shouldRunAnotherBatch` is unconditionally true
+    * (`TransformWithStateExecBase`, SPARK-50180) — the engine runs EMPTY
+    * micro-batches back-to-back under the default trigger and even
+    * `Trigger.AvailableNow` never terminates (measured here: 3k+ commits
+    * before kill). (b) A wall-clock TTL is nondeterministic under
+    * replay — a crash-recovered batch can see state its first run didn't
+    * — which breaks the effectively-once, same-input-same-survivors
+    * property a reproducible training corpus needs. Event-time expiry is
+    * replay-deterministic and lets the query quiesce.
+    */
+  class SigFirstSeenProcessor(horizonMs: Long)
+      extends StatefulProcessor[String, (String, Long, String, Long), (Long, String, Long)] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(1L)
+        val r = rows.next() // first representative; the rest are in-batch dups
+        getHandle.registerTimer(r._4 / 1000L + horizonMs)
+        Iterator((r._2, r._3, r._4))
+      }
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, String, Long)] = {
+      seen.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Cross-batch streaming near-dedup — closes [[nearDedupStream]]'s
+    * forgetting window: `dropDuplicatesWithinWatermark` evicts a
+    * signature once the watermark passes, so a re-crawl of the same page
+    * arriving an hour later is re-admitted. Here the signature set lives
+    * in the keyed state store ([[SigFirstSeenProcessor]]): a duplicate
+    * arriving ANY number of micro-batches later is still dropped, for as
+    * long as its first sighting is within `horizon` of EVENT time. Pick
+    * `horizon` as the re-crawl window worth remembering (hours–days) —
+    * the state bound a watermark gap can't give, while `delay` stays the
+    * small out-of-orderness bound it should be.
+    *
+    * Document contract (the pipeline's document shape, as tested):
+    * `doc_id` long, `text` string, `event_ts` timestamp. Requires the
+    * RocksDB state-store provider, like every transformWithState
+    * operator here.
+    */
+  def nearDedupStreamCrossBatch(docs: DataFrame, horizon: java.time.Duration,
+      delay: String = "0 seconds"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("event_ts", delay)
+      .select(minhashSigUdf(col("text")).as("sig"), col("doc_id"),
+        col("text"), unix_micros(col("event_ts")).as("ts_us"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SigFirstSeenProcessor(horizon.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("doc_id", "text", "ts_us")
+      .select($"doc_id", $"text", timestamp_micros($"ts_us").as("event_ts"))
+  }
+
   /** In-flight test-set decontamination (the streaming stage of C4's
     * `c4_decontam`): drop any arriving document that shares ≥ one word
     * `gramSize`-gram with the EVAL corpus, before it costs storage or a

@@ -119,6 +119,48 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("dedupCorpus: keep-best survivor per near-dup cluster, singleton kept whole") {
+    import spark.implicits._
+    val baseToks = (1 to 60).map(i => s"w$i")
+    val base = baseToks.mkString(" ")                 // 60 toks
+    val shorter = baseToks.take(50).mkString(" ")     // near-dup of base, fewer chars
+    val longer = (baseToks :+ "extra").mkString(" ")  // near-dup, MOST chars → survivor
+    val lone = (1 to 60).map(i => s"u$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, shorter), (2L, longer), (3L, lone))
+      .map { case (id, t) => (id, "src", t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = TierCSim.dedupCorpus(spark, docs, 0.3, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // cluster {0,1,2} labeled by min id 0, survivor = doc 2 (longest);
+    // doc 3 is its own singleton cluster
+    assert(got == Seq((0L, 2L, 3L), (3L, 3L, 1L)), got.mkString(","))
+    // partition-invariant (the composed pipeline shuffles 3×: pairs, CC,
+    // keep-best agg — none may depend on input layout)
+    val again = TierCSim.dedupCorpus(spark, docs.repartition(7), 0.3, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(again == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("topGramUdf: hot-phrase multiplicities exact, short docs zero out") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b c"), // top2 "a b"×3, top3 "a b a"×2, top4 "a b a b"×2
+      (1L, "x"),             // 1 token: no n-gram exists for n>=2
+      (2L, "x y"),           // exactly one bigram
+      (3L, "p q r s")        // all n-grams unique
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TierCText.topGramUdf($"text").as("g"))
+      .select($"doc_id", $"g._1", $"g._2", $"g._3", $"g._4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 7L, 3L, 2L, 2L),
+      (1L, 1L, 0L, 0L, 0L),
+      (2L, 2L, 1L, 0L, 0L),
+      (3L, 4L, 1L, 1L, 1L)), got.mkString(","))
+  }
+
   test("crossSourceContamination: cross-source leak found, same-source and boilerplate ignored") {
     import spark.implicits._
     val leak = "the quick brown fox jumps over the lazy dog tonight"

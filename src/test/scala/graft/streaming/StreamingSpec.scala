@@ -357,6 +357,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C2 streaming cross-batch: duplicate beyond the watermark gap is still dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String, Long)]
+    val orig = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, String, Long)]
+    val docs = ms.toDF().toDF("doc_id", "text", "ts_us")
+      .select($"doc_id", $"text", timestamp_micros($"ts_us").as("event_ts"))
+    val out = FeaturePipeline.nearDedupStreamCrossBatch(docs,
+      java.time.Duration.ofHours(6), delay = "0 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardedup_xb_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def kept(): Set[Long] = spark.table("neardedup_xb_sink")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      val hour = 3600L * 1000000L // µs
+      val base = (1 to 40).map(i => s"token$i").mkString(" ")
+      ms.addData((1L, base, 1000000L))
+      q.processAllAvailable()
+      ms.addData((99L, (1 to 40).map(i => s"mid$i").mkString(" "), 1500000L))
+      q.processAllAvailable()
+      // the re-crawl arrives TWO micro-batches later with an event time a
+      // full hour on — far beyond the 10-minute gap the watermark variant
+      // remembers, well inside the 6 h horizon — as a case/whitespace
+      // variant; the signature mark in the state store must drop it, while
+      // a genuinely new document in the same batch is kept
+      ms.addData((2L, "  " + base.toUpperCase.replace(" ", "   "), hour))
+      ms.addData((3L, (1 to 40).map(i => s"other$i").mkString(" "), hour + 1L))
+      q.processAllAvailable()
+      assert(kept() == Set(1L, 99L, 3L), s"expected late re-crawl 2 dropped, got ${kept()}")
+      // the signature memory IS keyed state: one stateful operator, state
+      // rows bounded by DISTINCT signatures (3), not arrivals (4)
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(prog.nonEmpty, "expected a stateful operator in the plan")
+      assert(prog.map(_.stateOperators.map(_.numRowsTotal).sum).max <= 3L,
+        "state should hold one row per distinct signature")
+      // ... and it is EVICTED, not kept forever: advance the watermark past
+      // every mark's 6 h horizon, then the base document re-admits (and the
+      // state rows for the expired signatures are gone)
+      ms.addData((50L, (1 to 40).map(i => s"fill$i").mkString(" "), 8L * hour))
+      q.processAllAvailable()
+      ms.addData((4L, base, 8L * hour + 1L))
+      q.processAllAvailable()
+      assert(kept() == Set(1L, 99L, 3L, 50L, 4L),
+        s"expected re-admit beyond horizon, got ${kept()}")
+    } finally {
+      q.stop()
+      orig match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("C4 streaming: eval-set decontamination drops leaked docs in-flight, map-side only") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
