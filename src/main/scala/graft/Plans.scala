@@ -79,6 +79,16 @@ object Plans {
       "no df-cap is needed. Skew bound: each gram's posting list buffers " +
       "in one window task (no partial agg), but the collected set is " +
       "capped by |sources|; the Zipf-head task is O(max-df) rows."),
+    "c2_dedup_corpus" -> ("Composed dedup stage: pair graph + star-contraction " +
+      "CC reuse their audited shapes; the keep-best tail is ONE hash " +
+      "aggregate (max_by partial-aggregates map-side) over the docs⋈labels " +
+      "shuffle join — no window, no per-cluster sort."),
+    "c2_incremental" -> ("Incremental near-dup admission: the candidate " +
+      "equi-join on (source, gram) keeps the arriving side filtered to " +
+      "is_new BEFORE the join, so old×old pairs are never generated — at " +
+      "100 TB the standing corpus appears only as probe rows on grams an " +
+      "increment doc actually shares, and the join's output is bounded by " +
+      "the increment's postings, not the corpus's."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -601,8 +601,8 @@ object TierCSim {
     * shuffle join on doc_id (both sides pre-partitioned by the CC output);
     * the keep-best is a single hash aggregate — `max_by` partial-aggregates
     * map-side, no window, no per-cluster sort (same argument as c1c).
-    */
-  /** `docs` needs `doc_id`, `source`, `text`, `n_chars`. Returns one row
+    *
+    * `docs` needs `doc_id`, `source`, `text`, `n_chars`. Returns one row
     * per cluster: (cluster_id, kept_doc_id, n_chars, n_members).
     */
   def dedupCorpus(s: SparkSession, docs: DataFrame,
@@ -622,6 +622,102 @@ object TierCSim {
         $"best.n_chars".as("n_chars"), $"n_members")
       .orderBy($"cluster_id")
   }
+
+  // --------------------------------------------- incremental near-dup admit
+  /** Incremental near-dup admission — the daily-increment shape: an
+    * arriving batch (`is_new = true`) is checked against the EXISTING
+    * corpus and against itself, and old×old candidate pairs are never
+    * generated. That asymmetry is the whole scale story: at 100 TB the
+    * standing corpus dwarfs a day's crawl, and a full-corpus re-dedup
+    * (`c2_cluster` / [[dedupCorpus]]) re-pays the old×old join every run,
+    * while here the pair join's build side is only the increment's
+    * postings — old docs appear solely as streamed probe rows on grams an
+    * increment doc actually shares.
+    *
+    * Admission rule (deterministic, one-pass): a new doc is admitted iff
+    * it has NO near-dup (Jaccard ≥ threshold over distinct word bigrams,
+    * `source`-blocked like the other c2 operators) among old docs, and no
+    * SMALLER-id near-dup among new docs — the first-occurrence-wins
+    * convention of batch dedup. Note this is slightly conservative vs.
+    * greedy sequential admission: in a chain a←b←c where b is rejected
+    * for duplicating a, c is still rejected for duplicating b even though
+    * b never entered the corpus — standard LSH-dedup practice, and the
+    * price of staying one-pass instead of iterating admissions.
+    *
+    * `docs` needs `doc_id`, `source`, `text`, `is_new`. Returns every new
+    * doc with its old/prior-new near-dup counts and the admitted flag.
+    */
+  def incrementalNearDup(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
+    import s.implicits._
+    val exploded = docs
+      .select($"doc_id", $"source", $"is_new", bigramsUdf($"text").as("grams"))
+      .filter(size($"grams") >= 1)
+      .select($"doc_id", $"source", $"is_new",
+        size($"grams").as("sz"), explode($"grams").as("gram"))
+    val kept = dfCapKept(exploded, Seq("source", "gram"), dfCap, hotPreFilter,
+      nHot => s"c2_incremental: dropped $nHot grams with df > $dfCap from " +
+        "candidate generation (Jaccard becomes a strict underestimate for " +
+        "pairs sharing a dropped gram; set sizes stay exact)")
+    val others = kept.select($"doc_id".as("id_o"), $"source",
+      $"is_new".as("new_o"), $"sz".as("so"), $"gram")
+    val arriving = kept.filter($"is_new")
+      .select($"doc_id".as("id_n"), $"source".as("source_r"),
+        $"sz".as("sn"), $"gram".as("gram_r"))
+    // same correctly-rounded division-form length prune as ngramJaccardPairs
+    val pairs = others.join(arriving,
+        $"source" === $"source_r" && $"gram" === $"gram_r" &&
+        $"id_o" =!= $"id_n" && (!$"new_o" || $"id_o" < $"id_n") &&
+        least($"so", $"sn").cast(DoubleType) / greatest($"so", $"sn") >= threshold)
+      .groupBy($"id_n", $"id_o", $"new_o", $"so", $"sn")
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared".cast(DoubleType) / ($"so" + $"sn" - $"shared") >= threshold)
+    val perNew = pairs.groupBy($"id_n").agg(
+      sum(when(!$"new_o", 1L).otherwise(0L)).as("old_dups"),
+      sum(when($"new_o", 1L).otherwise(0L)).as("prior_dups"))
+    docs.filter($"is_new").select($"doc_id")
+      .join(perNew, $"doc_id" === $"id_n", "left")
+      .select($"doc_id",
+        coalesce($"old_dups", lit(0L)).as("n_old_dups"),
+        coalesce($"prior_dups", lit(0L)).as("n_prior_dups"))
+      .withColumn("admitted", $"n_old_dups" === 0L && $"n_prior_dups" === 0L)
+      .orderBy($"doc_id")
+  }
+
+  private val c2inc = QuerySpec(
+    "c2_incremental",
+    "Incremental near-dup admission: md5-split ~25% of documents arrive as the new batch, checked Jaccard>=0.3 against the standing 75% and smaller-id new docs (old-vs-old pairs never generated); per new doc its old/prior-new dup counts and admitted flag.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_new,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source, is_new,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT n.doc_id AS id_n, o.is_new AS new_o
+              FROM b n JOIN b o ON n.is_new AND o.source = n.source
+                AND o.doc_id <> n.doc_id AND (NOT o.is_new OR o.doc_id < n.doc_id)
+              WHERE CAST(len(list_intersect(n.grams, o.grams)) AS DOUBLE)
+                    / len(list_distinct(n.grams || o.grams)) >= $ClusterThreshold),
+            agg AS (SELECT id_n,
+              SUM(CASE WHEN NOT new_o THEN 1 ELSE 0 END) AS old_dups,
+              SUM(CASE WHEN new_o THEN 1 ELSE 0 END) AS prior_dups
+              FROM prs GROUP BY id_n)
+            SELECT t.doc_id,
+              CAST(COALESCE(agg.old_dups, 0) AS BIGINT) AS n_old_dups,
+              CAST(COALESCE(agg.prior_dups, 0) AS BIGINT) AS n_prior_dups,
+              (COALESCE(agg.old_dups, 0) = 0 AND COALESCE(agg.prior_dups, 0) = 0)
+                AS admitted
+            FROM t LEFT JOIN agg ON agg.id_n = t.doc_id
+            WHERE t.is_new ORDER BY t.doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).withColumn("is_new",
+        substring(md5($"doc_id".cast(StringType)), 1, 1) >= "c")
+      incrementalNearDup(s, docs, ClusterThreshold, NgramDfCap)
+    }
+  )
 
   private val c2dc = QuerySpec(
     "c2_dedup_corpus",
@@ -1436,5 +1532,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
 }

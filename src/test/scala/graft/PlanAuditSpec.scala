@@ -173,6 +173,22 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("c2_incremental: arriving side filtered to is_new before the equi-join — old×old never generated") {
+    val p = plan("c2_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "incremental admission regressed to a non-equi join:\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a hash/merge join on (source, gram):\n" + p)
+    // the build side must be the increment's postings only: an is_new
+    // predicate has to sit under the join, not after it
+    val joinLine = p.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    val below = p.linesIterator.drop(joinLine + 1).mkString("\n")
+    assert(below.contains("is_new"),
+      "no is_new filter under the candidate join — old×old pairs would be generated:\n" + p)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()

@@ -142,6 +142,36 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("incrementalNearDup: old dups reject, prior-new chain rejects conservatively, fresh admits") {
+    import spark.implicits._
+    val baseToks = (1 to 60).map(i => s"w$i")
+    val freshToks = (1 to 60).map(i => s"u$i")
+    val docs = Seq(
+      (0L, baseToks.mkString(" "), false),            // standing corpus
+      (1L, baseToks.drop(3).mkString(" "), false),    // old near-dup of 0 — old×old, must not surface
+      (10L, baseToks.take(55).mkString(" "), true),   // new dup of BOTH old docs
+      (11L, freshToks.mkString(" "), true),           // genuinely new
+      (12L, freshToks.take(55).mkString(" "), true),  // dup of prior-new 11
+      (13L, freshToks.take(50).mkString(" "), true)   // dup of 11 AND 12 (chain)
+    ).map { case (id, t, nw) => (id, "src", t, nw) }
+      .toDF("doc_id", "source", "text", "is_new")
+    val got = TierCSim.incrementalNearDup(spark, docs, 0.3, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (10L, 2L, 0L, false),
+      (11L, 0L, 0L, true),
+      (12L, 0L, 1L, false),
+      (13L, 0L, 2L, false)), got.mkString(","))
+    // partition-invariant, and the hotPreFilter scale shape emits the same rows
+    val again = TierCSim.incrementalNearDup(spark, docs.repartition(7), 0.3, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(again == got)
+    val pre = TierCSim.incrementalNearDup(spark, docs, 0.3, 10000, hotPreFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(pre == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("topGramUdf: hot-phrase multiplicities exact, short docs zero out") {
     import spark.implicits._
     val docs = Seq(
