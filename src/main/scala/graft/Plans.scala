@@ -89,6 +89,12 @@ object Plans {
       "100 TB the standing corpus appears only as probe rows on grams an " +
       "increment doc actually shares, and the join's output is bounded by " +
       "the increment's postings, not the corpus's."),
+    "c2_pagerank" -> ("Similarity-graph PageRank: edges+degrees cached once " +
+      "(InMemoryTableScan below), then each power iteration is ONE " +
+      "equi-join ranks⋈edges plus ONE partial-aggregated groupBy(dst) — " +
+      "integer contributions fold map-side before the shuffle, so even a " +
+      "power-law hub's in-edges partially aggregate; all-BIGINT " +
+      "arithmetic, no float summation order anywhere."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -719,6 +719,90 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------- similarity-graph PageRank
+  /** Document-importance PageRank over the near-dup similarity graph —
+    * the graph-centrality quality signal (a doc many near-dups point at is
+    * template/boilerplate; an isolated doc is unique content). Uniform-
+    * teleport variant: `r' = 0.15 + 0.85 · Σ_in r(u)/deg(u)` on the
+    * undirected Jaccard pair graph, fixed `iters` power iterations.
+    *
+    * Determinism at scale: ranks are SCALED BIGINTs (1.0 ≡ 10⁶) and every
+    * step is integer arithmetic — per-edge contribution `rank div deg`,
+    * damping `(85 · Σ) div 100` — so the shuffle-order-dependent float
+    * summation problem never arises: integer sums commute bit-for-bit,
+    * and the unrolled-CTE oracle replays the exact values (the
+    * c4_unigram_ce quantization discipline applied to an iterative graph
+    * algorithm).
+    *
+    * Scale shape: edges (+degrees) are computed ONCE and cached; each
+    * iteration is one equi-join ranks⋈edges on the cached frame's
+    * partitioning plus one partial-aggregated groupBy(dst) — map-side
+    * combine bounds every task even on a power-law degree distribution,
+    * because integer contributions fold before the shuffle. The rank
+    * frame is |V| rows; the corpus text never re-enters after the pair
+    * graph is built. `iters` is fixed (power iteration converges
+    * geometrically; 3 rounds separate tiers, it is not a convergence
+    * loop), so lineage stays bounded without checkpoints.
+    */
+  def similarityPageRank(s: SparkSession, docs: DataFrame, threshold: Double,
+      dfCap: Int, iters: Int = 3, hotPreFilter: Boolean = false): DataFrame = {
+    import s.implicits._
+    val prs = ngramJaccardPairs(s, docs, threshold, dfCap, hotPreFilter)
+      .select($"id_a", $"id_b")
+    val edges = prs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(prs.select($"id_b".as("src"), $"id_a".as("dst")))
+    val withDeg = CacheRegistry.persist(
+      edges.join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src"))
+    val nodes = CacheRegistry.persist(docs.select($"doc_id").distinct())
+    var ranks = nodes.select($"doc_id".as("rid"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, $"src" === $"rid")
+        .select($"dst", expr("rank div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("m"))
+      ranks = nodes.join(contrib, $"doc_id" === $"dst", "left")
+        .select($"doc_id".as("rid"),
+          (lit(150000L) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+    }
+    ranks.select($"rid".as("doc_id"), $"rank".as("rank_scaled"))
+      .orderBy($"doc_id")
+  }
+
+  private val PageRankIters = 3
+  private def prContribSql(rPrev: String, i: Int): String =
+    s"""cx$i AS (SELECT e.d AS id, SUM($rPrev.rank // dg.deg) AS m
+              FROM e JOIN dg ON dg.s = e.s JOIN $rPrev ON $rPrev.id = e.s
+              GROUP BY e.d),
+            r$i AS (SELECT n.id,
+              CAST(150000 + (85 * COALESCE(cx$i.m, 0)) // 100 AS BIGINT) AS rank
+              FROM n LEFT JOIN cx$i ON cx$i.id = n.id)"""
+
+  private val c2pr = QuerySpec(
+    "c2_pagerank",
+    s"Similarity-graph PageRank: $PageRankIters integer-quantized power iterations (rank 1.0 = 1e6, per-edge contribution rank div deg, damping (85*sum) div 100) over the undirected Jaccard>=0.3 pair graph; exact BIGINT arithmetic makes the shuffle-order float-sum problem structurally absent.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $ClusterThreshold),
+            e AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+            dg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+            n AS (SELECT doc_id AS id FROM documents GROUP BY doc_id),
+            r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+            ${(1 to PageRankIters).map(i => prContribSql(s"r${i - 1}", i)).mkString(",\n            ")}
+            SELECT id AS doc_id, rank AS rank_scaled
+            FROM r$PageRankIters ORDER BY doc_id"""),
+    (s, d) => similarityPageRank(s, Tables.documents(s, d), ClusterThreshold,
+      NgramDfCap, PageRankIters)
+  )
+
   private val c2dc = QuerySpec(
     "c2_dedup_corpus",
     "End-to-end near-dup dedup: Jaccard>=0.3 pair graph -> star-contraction clusters -> keep-best survivor per cluster (longest n_chars, ties to lowest doc_id) with shed-duplicate counts; the composed corpus-in/survivors-out stage.",
@@ -1532,5 +1616,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
 }

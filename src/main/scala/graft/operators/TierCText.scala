@@ -207,6 +207,97 @@ object TierCText {
     }
   )
 
+  // --------------------------------------- fixed-size stratified sample
+  /** Fixed-size deterministic per-stratum sample — the "exactly k docs
+    * per source" companion to [[c1b]]'s rate sample: rank docs inside
+    * each source by (md5(text), doc_id) — a content-derived pseudorandom
+    * total order, no RNG — and keep rank ≤ k. Eval-set construction and
+    * per-domain inspection samples use this shape.
+    *
+    * Scale shape: the rank-≤-k filter compiles to WindowGroupLimit
+    * (partial per-partition top-k BEFORE the stratum shuffle, final
+    * top-k after), so no source ever globally sorts — each task keeps at
+    * most k rows per stratum and the exchange moves O(k·|partitions|)
+    * rows per source, not the corpus.
+    */
+  private val TopkPerSource = 10
+  private val c1i = QuerySpec(
+    "c1i_stratified_topk",
+    s"Fixed-size stratified sample: the k=$TopkPerSource smallest-(md5(text), doc_id) docs per source; rank filter compiles to WindowGroupLimit — per-partition partial top-k, no global sort per stratum.",
+    Some(s"""WITH r AS (SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(text), doc_id) AS rn
+              FROM documents)
+            SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= $TopkPerSource
+            ORDER BY source, rn"""),
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy(md5($"text"), $"doc_id")
+      Tables.documents(s, d)
+        .select($"source", $"doc_id", row_number().over(w).as("rn"))
+        .filter($"rn" <= TopkPerSource)
+        .select($"source", $"doc_id", $"rn".cast(LongType).as("rn"))
+        .orderBy($"source", $"rn")
+    }
+  )
+
+  // ---------------------------------------- hashed linear quality scorer
+  /** Hashed linear scorer — the INFERENCE shape of a trained fastText-
+    * style quality filter at corpus scale: each token instance hashes to
+    * one of |weights| buckets (first two md5 hex chars here; a real model
+    * ships its own hasher with its weights), the bucket's learned weight
+    * comes from a BROADCAST lookup (the weight vector is model-sized,
+    * never corpus-sized), and a doc's score is the exact integer sum of
+    * its token-instance weights. Callers pass their trained `weights`
+    * (bucket, w) frame; the declared query derives a deterministic
+    * synthetic table so the oracle can replay it.
+    *
+    * Scale shape: bucket assignment is map-side codegen (md5 + substr),
+    * the weight join is broadcast (never shuffles the corpus), and the
+    * per-doc sum partial-aggregates — the corpus streams once with ONE
+    * shuffle on doc_id. Exact integers ⇒ no float-sum order issues.
+    */
+  def hashedLinearScore(s: SparkSession, docs: DataFrame, weights: DataFrame): DataFrame = {
+    import s.implicits._
+    val scored = docs
+      .select($"doc_id", explode(toksCol).as("token"))
+      .select($"doc_id", substring(md5($"token"), 1, 2).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nt"), sum($"w").as("sc"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"nt", lit(0L)).as("n_tokens"),
+        coalesce($"sc", lit(0L)).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  private val c4hs = QuerySpec(
+    "c4_hashscore",
+    "Hashed linear quality scorer (fastText-style inference): token -> md5 2-hex-char bucket -> broadcast weight lookup -> exact integer per-doc score; corpus streams once, one shuffle.",
+    Some("""WITH w AS (SELECT printf('%02x', i) AS bucket,
+              CAST(i % 37 - 18 AS BIGINT) AS w
+              FROM generate_series(0, 255) AS t(i)),
+            u AS (SELECT doc_id,
+              unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS token
+              FROM documents),
+            b AS (SELECT doc_id, substr(md5(token), 1, 2) AS bucket FROM u),
+            sc AS (SELECT b.doc_id, COUNT(*) AS n_tokens, SUM(w.w) AS score
+              FROM b JOIN w USING (bucket) GROUP BY b.doc_id)
+            SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val weights = (0 until 256)
+        .map(i => (f"$i%02x", (i % 37 - 18).toLong)).toDF("bucket", "w")
+      hashedLinearScore(s, Tables.documents(s, d), weights)
+    }
+  )
+
   // -------------------------------------------- cross-source contamination
   /** Test-set decontamination: doc pairs from DIFFERENT sources sharing at
     * least one word k-gram — the standard pretraining check that an eval
@@ -378,6 +469,61 @@ object TierCText {
         .select($"doc_id", topGramUdf($"text").as("g"))
         .select($"doc_id", $"g._1".as("n_tokens"), $"g._2".as("top2_cnt"),
           $"g._3".as("top3_cnt"), $"g._4".as("top4_cnt"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // -------------------------------------- duplicate-n-gram instance share
+  /** Duplicate-trigram instance share — the third member of the
+    * within-doc repetition family: [[c4r]] measures global diversity
+    * (distinct/total), [[c4tg]] catches ONE hot phrase, and this one
+    * measures how much of the doc sits in ANY repeated trigram (the
+    * Gopher "fraction of n-gram instances in duplicated n-grams" rule) —
+    * a page of many different repeated fragments trips this while passing
+    * both others. Exact integers, one single-pass UDF (count trigrams in
+    * a hash map, fold totals per doc), map-side only — nothing
+    * corpus-wide, no shuffle.
+    */
+  private[graft] val dupGramUdf = udf { (text: String) =>
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (toks.length < 3) (0L, 0L)
+    else {
+      val counts = new java.util.HashMap[String, Long]()
+      toks.sliding(3).foreach { g =>
+        counts.merge(g(0) + " " + g(1) + " " + g(2), 1L, (a, b) => a + b)
+      }
+      var total = 0L
+      var dup = 0L
+      counts.values.forEach { c => total += c; if (c >= 2) dup += c }
+      (total, dup)
+    }
+  }
+
+  private val c4dg = QuerySpec(
+    "c4_dupgram",
+    "Duplicate-trigram share: per doc the total trigram instances and how many belong to a trigram occurring >=2 times in that doc (Gopher dup-n-gram rule); exact integers, map-side only.",
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+              CASE WHEN len(toks) < 3 THEN [] ELSE
+                list_transform(generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams
+              FROM t),
+            u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM u GROUP BY doc_id, gram),
+            a AS (SELECT doc_id, SUM(cnt) AS n_grams,
+              SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS n_dup
+              FROM c GROUP BY doc_id)
+            SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup
+            FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", dupGramUdf($"text").as("g"))
+        .select($"doc_id", $"g._1".as("n_grams"), $"g._2".as("n_dup"))
         .orderBy($"doc_id")
     }
   )
@@ -1264,6 +1410,6 @@ object TierCText {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c4d, c4r, c4tg, c1c, c4s, c1d, c4v, c4o, c4p, c1e,
-      c4h, c4b, c1f, c1g, c1h, c4y, c4u, c4ss, c4z, c4x, c4k)
+    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c4y, c4u, c4ss, c4z, c4x, c4k)
 }

@@ -189,6 +189,30 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("c2_pagerank: edges cached once, contributions partial-aggregate before the shuffle") {
+    val p = plan("c2_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      "edge frame is not cached — every iteration would rebuild the pair graph:\n" + p)
+    assert(p.contains("partial_sum"),
+      "contribution sum is not partial-aggregating map-side:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("c4_hashscore: weight lookup broadcasts, per-doc sum partial-aggregates") {
+    val p = plan("c4_hashscore")
+    assert(p.contains("BroadcastHashJoin"),
+      "weight table is not broadcast — the corpus would shuffle for a 256-row lookup:\n" + p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-doc score is not partial-aggregating map-side:\n" + p)
+  }
+
+  test("c1i stratified top-k: rank filter compiles to WindowGroupLimit — no stratum global sort") {
+    val p = plan("c1i_stratified_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "per-stratum top-k is not group-limited (full sort per source):\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()

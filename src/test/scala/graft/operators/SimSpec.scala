@@ -172,6 +172,71 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("similarityPageRank: exact integer ranks on star + twins + isolated, partition-invariant") {
+    import spark.implicits._
+    // bigram-Jaccard graph planted as: hub—{3 spokes} star (spokes NOT
+    // pairwise linked), a twin pair linked only to each other, one
+    // isolated doc. J(hub,spoke)=24/64, J(spoke,spoke)=24/94 < 0.3,
+    // J(twins)=35/43.
+    val core = (1 to 25).map(i => s"c$i")
+    val hub = (core ++ (1 to 5).map(i => s"h$i")).mkString(" ")
+    def spoke(j: Int) = (core ++ (1 to 35).map(i => s"s${j}x$i")).mkString(" ")
+    val twin1 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val twin2 = ((1 to 36).map(i => s"t$i") ++ (1 to 4).map(i => s"u$i")).mkString(" ")
+    val iso = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, hub), (1L, spoke(1)), (2L, spoke(2)), (3L, spoke(3)),
+      (10L, twin1), (11L, twin2), (20L, iso))
+      .map { case (id, t) => (id, "src", t) }.toDF("doc_id", "source", "text")
+    val got = TierCSim.similarityPageRank(spark, docs, 0.3, 10000, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-computed integer power iteration (scale 1e6, floor division):
+    // i1: hub 2_700_000, spoke 433_333, twin 1_000_000
+    // i2: hub 1_254_999, spoke 915_000
+    // i3: hub 2_483_250, spoke 505_583; isolated floors at 150_000
+    assert(got == Map(0L -> 2483250L, 1L -> 505583L, 2L -> 505583L,
+      3L -> 505583L, 10L -> 1000000L, 11L -> 1000000L, 20L -> 150000L), got)
+    val again = TierCSim.similarityPageRank(spark, docs.repartition(7), 0.3, 10000, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("dupGramUdf: repeated-fragment instances exact, short docs zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c a b c a b"),   // 6 trigram instances, all in repeated grams
+      (1L, "x y z w"),           // 2 distinct trigrams, none repeated
+      (2L, "p q"),               // too short: (0, 0)
+      (3L, "m n o m n o x m n o") // 8 instances; "m n o"×3 + "n o m","o m n","o x m","x m n"... recount in assert
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TierCText.dupGramUdf($"text").as("g"))
+      .collect().map(r => r.getLong(0) -> (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    // doc 3 toks: m n o m n o x m n o → 8 trigrams:
+    // mno nom omn mno nox oxm xmn mno → mno×3 repeated, 5 singletons
+    assert(got == Map(0L -> ((6L, 6L)), 1L -> ((2L, 0L)), 2L -> ((0L, 0L)),
+      3L -> ((8L, 3L))), got)
+  }
+
+  test("hashedLinearScore: instance-linear, order-invariant, empty doc zero, partition-invariant") {
+    import spark.implicits._
+    val weights = (0 until 256).map(i => (f"$i%02x", (i % 37 - 18).toLong)).toDF("bucket", "w")
+    val docs = Seq(
+      (0L, "alpha"),                    // single token: score = w(alpha)
+      (1L, "alpha alpha alpha"),        // 3 instances: exactly 3 * w(alpha)
+      (2L, "beta gamma alpha"),         // multiset …
+      (3L, "alpha gamma beta"),         // … reordered: same score
+      (4L, "")                          // empty: (0, 0)
+    ).toDF("doc_id", "text")
+    val got = TierCText.hashedLinearScore(spark, docs, weights)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1) == ((3L, 3 * got(0)._2)), got)  // instance-linear, not distinct-gram
+    assert(got(2) == got(3), got)                 // bag-of-words order invariance
+    assert(got(4) == ((0L, 0L)), got)
+    val again = TierCText.hashedLinearScore(spark, docs.repartition(5), weights)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("topGramUdf: hot-phrase multiplicities exact, short docs zero out") {
     import spark.implicits._
     val docs = Seq(
