@@ -209,6 +209,36 @@ object FeaturePipeline {
     * @param obs streaming frame with `layer`, `obs_ts`, observation cols
     * @param ctx streaming frame with `ctx_layer`, `ctx_ts`, context cols
     */
+  /** Geofence alerting — the classic geo-stream monitoring stage: every
+    * arriving point feature is tested against a STATIC fence table and
+    * emits one alert row per fence it falls inside (all point columns +
+    * the fence's id). Stream-static join, STATELESS: no state store, no
+    * watermark, exactly the decode→filter cost per event at any rate.
+    *
+    * Scale shape: fences are ops-configured (dozens to thousands), so the
+    * fence side is `broadcast()` — the point stream never shuffles. The
+    * join condition short-circuits on the fence's cheap bbox test before
+    * running the exact even-odd ray cast, so far-away fences cost four
+    * double compares. For fence sets too large to broadcast, use the
+    * batch grid-cell equi-join (`Spatial`/a11d) on micro-batches via
+    * foreachBatch instead — same exact predicate, bounded candidates.
+    *
+    * `points` needs `geom_wkb` (POINT); `fences` needs `fence_id` and
+    * `fence_wkb` (POLYGON/MULTIPOLYGON).
+    */
+  def geofenceAlerts(points: DataFrame, fences: DataFrame): DataFrame = {
+    val hitUdf = udf { (fence: Array[Byte], pt: Array[Byte]) =>
+      fence != null && pt != null && {
+        val b = graft.functions.Wkb.bbox(pt)
+        graft.functions.Wkb.bboxIntersects(fence, b.xmin, b.ymin, b.xmax, b.ymax) &&
+          graft.functions.Wkb.containsPoint(fence, b.xmin, b.ymin)
+      }
+    }
+    points.join(broadcast(fences.select(col("fence_id"), col("fence_wkb"))),
+        hitUdf(col("fence_wkb"), col("geom_wkb")))
+      .drop("fence_wkb")
+  }
+
   def enrichStream(obs: DataFrame, ctx: DataFrame, lookbackSec: Int,
       watermark: String): DataFrame = {
     val o = obs.withWatermark("obs_ts", watermark)

@@ -251,6 +251,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming geofence: point inside fence alerts with fence_id, outside stays silent") {
+    import graft.functions.Wkb
+    import spark.implicits._
+    val (ms, transport) = newStream()
+    val fences = Seq(
+      ("zone_a", Wkb.polygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))))),
+      ("zone_b", Wkb.polygon(Seq(Seq((20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0), (20.0, 20.0)))))
+    ).toDF("fence_id", "fence_wkb")
+    val alerts = FeaturePipeline.geofenceAlerts(
+      FeaturePipeline.decode(transport.read(spark)), fences)
+    val q = alerts.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("geofence_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      def geoWire(fid: String, x: Double, y: Double) =
+        MsgPack.pack(Feature("roads", fid, Wkb.point(x, y), Map.empty, 1000000L, "s", 1))
+      ms.addData(
+        geoWire("inA", 5.0, 5.0),       // inside zone_a only
+        geoWire("inB", 25.0, 25.0),     // inside zone_b only
+        geoWire("none", 15.0, 15.0),    // between the fences
+        geoWire("farEdge", 10.0 + 1e-9, 5.0)) // just outside zone_a
+      q.processAllAvailable()
+      val got = spark.table("geofence_sink").collect()
+        .map(r => (r.getAs[String]("feature_id"), r.getAs[String]("fence_id"))).toSet
+      assert(got == Set(("inA", "zone_a"), ("inB", "zone_b")), s"alerts wrong: $got")
+    } finally q.stop()
+  }
+
   test("A8: schema evolution adds prop columns for unseen keys") {
     import spark.implicits._
     val store = tmpDir("store") + "/evolve"
