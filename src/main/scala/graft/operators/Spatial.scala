@@ -595,6 +595,65 @@ object Spatial {
     }
   )
 
+  // ---------------------------------------------------------------- A11v
+  /** Tile-pyramid rollup — the multi-zoom aggregation a map-serving
+    * pipeline runs after [[a11t]]'s single-zoom pass: base zoom-6 tile
+    * aggregates are rolled up to zooms 6..3 by INTEGER parent derivation
+    * (`tx div 2^(6-z)` — a zoom-z tile's children are exactly the 2×2
+    * block below it), so each coarser level sums its children's already-
+    * exact integers. The fact table is scanned ONCE for the base level;
+    * the pyramid is built from the base aggregate (|tiles| rows, not
+    * |events|), which is why the explode-then-regroup costs O(levels ·
+    * tiles), never O(levels · events). All-integer sums ⇒ rollup order
+    * is immaterial and the oracle replays exact values.
+    */
+  private val a11v = QuerySpec(
+    "a11v_tile_pyramid",
+    "Tile-pyramid rollup: zoom-6 base tiles rolled up to zooms 6..3 via integer parent division; per (z, tx, ty) count + exact cents; one fact scan, pyramid built from the base aggregate.",
+    Some("""WITH c AS (SELECT event_id, value,
+              (value % 300.0) - 150.0 AS lon,
+              (value % 160.0) - 80.0 AS lat
+            FROM events),
+          t AS (SELECT value,
+              CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS tx,
+              CAST(floor((1.0 - ln(tan(lat*pi()/180.0) + 1.0/cos(lat*pi()/180.0))/pi()) / 2.0 * 64.0) AS BIGINT) AS ty
+            FROM c),
+          base AS (SELECT tx, ty, COUNT(*) AS n,
+              CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+            FROM t GROUP BY tx, ty),
+          z AS (SELECT CAST(z AS BIGINT) AS z FROM generate_series(3, 6) AS g(z)),
+          p AS (SELECT z.z,
+              base.tx // CAST(pow(2, 6 - z.z) AS BIGINT) AS px,
+              base.ty // CAST(pow(2, 6 - z.z) AS BIGINT) AS py,
+              base.n, base.cents
+            FROM base CROSS JOIN z)
+          SELECT z, px AS tx, py AS ty, CAST(SUM(n) AS BIGINT) AS n,
+            CAST(SUM(cents) AS BIGINT) AS cents
+          FROM p GROUP BY z, px, py ORDER BY z, tx, ty"""),
+    (s, d) => {
+      import s.implicits._
+      val lon = ($"value" % 300.0) - 150.0
+      val lat = ($"value" % 160.0) - 80.0
+      val phi = lat * math.Pi / 180.0
+      val base = Tables.events(s, d)
+        .select($"value",
+          floor((lon + 180.0) / 360.0 * TileZoomN).cast(LongType).as("tx"),
+          floor((lit(1.0) - log(tan(phi) + lit(1.0) / cos(phi)) / math.Pi) / 2.0 * TileZoomN)
+            .cast(LongType).as("ty"))
+        .groupBy($"tx", $"ty")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+      base
+        .withColumn("z", explode(array((3 to 6).map(i => lit(i.toLong)): _*)))
+        .select($"z", expr("tx div cast(pow(2, 6 - z) as bigint)").as("px"),
+          expr("ty div cast(pow(2, 6 - z) as bigint)").as("py"), $"n", $"cents")
+        .groupBy($"z", $"px", $"py")
+        .agg(sum($"n").as("n"), sum($"cents").as("cents"))
+        .select($"z", $"px".as("tx"), $"py".as("ty"), $"n", $"cents")
+        .orderBy($"z", $"tx", $"ty")
+    }
+  )
+
   // ---------------------------------------------------------------- A11u
   /** Geodesic (ellipsoidal) distance — [[Wkb.geodesicMeters]], Vincenty
     * inverse with a FIXED iteration count so the oracle can replay the
@@ -693,5 +752,5 @@ object Spatial {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t, a11u)
+    Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t, a11u, a11v)
 }

@@ -623,6 +623,78 @@ object TierCSim {
       .orderBy($"cluster_id")
   }
 
+  // ------------------------------------------ near-dup-safe corpus split
+  /** Leakage-safe train/val/test split at NEAR-DUP granularity — the
+    * stronger version of the c1d exact-fingerprint split: c1d keeps
+    * byte-identical documents together, but a near-duplicate of a
+    * training doc landing in the test split is still leakage. Here the
+    * split is drawn from the md5 of the near-dup CLUSTER id (star CC over
+    * the Jaccard pair graph), so every member of a cluster lands in the
+    * same split BY CONSTRUCTION — no near-dup pair can straddle a split
+    * boundary. Deterministic md5 draw (~75/12.5/12.5), no RNG,
+    * partition-invariant.
+    *
+    * Scale shape: pair graph + CC reuse their audited shapes; the split
+    * column is one map-side expression over the |V|-row label frame and
+    * the docs⋈labels equi-join shuffles on doc_id once.
+    *
+    * `docs` needs `doc_id`, `source`, `text`. Returns one row per doc:
+    * (doc_id, cluster, split).
+    */
+  def clusterSafeSplit(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame = {
+    import s.implicits._
+    val pairs = ngramJaccardPairs(s, docs, threshold, dfCap)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val nodes = docs.select($"doc_id".as("id"))
+    val draw = substring(md5($"cluster".cast(StringType)), 1, 1)
+    connectedComponentsStar(s, nodes, pairs)
+      .select($"id".as("doc_id"), $"cluster",
+        when(draw < "c", "train").when(draw < "e", "val")
+          .otherwise("test").as("split"))
+  }
+
+  private val c1j = QuerySpec(
+    "c1j_cluster_split",
+    "Leakage-safe split at near-dup granularity: split drawn from md5(cluster id) of the Jaccard>=0.3 star-CC clusters, so near-dup pairs can never straddle train/val/test; per-split doc and cluster counts.",
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $ClusterThreshold),
+            e AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+            n AS (SELECT DISTINCT doc_id AS id FROM documents),
+            reach AS (SELECT id, id AS root FROM n
+              UNION
+              SELECT e.d, reach.root FROM reach JOIN e ON e.s = reach.id),
+            lab AS (SELECT id AS doc_id, MIN(root) AS cluster
+              FROM reach GROUP BY id),
+            sp AS (SELECT doc_id, cluster,
+              CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                   WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                   ELSE 'test' END AS split
+              FROM lab)
+            SELECT split, COUNT(*) AS n_docs,
+              COUNT(DISTINCT cluster) AS n_clusters, MIN(doc_id) AS first_id
+            FROM sp GROUP BY split ORDER BY split"""),
+    (s, d) => {
+      import s.implicits._
+      clusterSafeSplit(s, Tables.documents(s, d), ClusterThreshold, NgramDfCap)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"cluster").as("n_clusters"),
+          min($"doc_id").as("first_id"))
+        .orderBy($"split")
+    }
+  )
+
   // --------------------------------------------- incremental near-dup admit
   /** Incremental near-dup admission — the daily-increment shape: an
     * arriving batch (`is_new = true`) is checked against the EXISTING
@@ -1616,5 +1688,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
 }

@@ -217,6 +217,36 @@ class SimSpec extends AnyFunSuite {
       3L -> ((8L, 3L))), got)
   }
 
+  test("clusterSafeSplit: near-dup clusters never straddle splits, all docs covered, partition-invariant") {
+    import spark.implicits._
+    // three near-dup families + singletons — family members MUST co-locate
+    val fam = (0 until 3).map { f =>
+      val toks = (1 to 60).map(i => s"f${f}w$i")
+      Seq((f * 10L, toks.mkString(" ")),
+        ((f * 10) + 1L, toks.drop(3).mkString(" ")),
+        ((f * 10) + 2L, toks.take(55).mkString(" ")))
+    }.flatten
+    val singles = (0 until 4).map(i => (100L + i, (1 to 50).map(j => s"s${i}q$j").mkString(" ")))
+    val docs = (fam ++ singles).map { case (id, t) => (id, "src", t) }
+      .toDF("doc_id", "source", "text")
+    val got = TierCSim.clusterSafeSplit(spark, docs, 0.3, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 13 && got.map(_._1).distinct.length == 13, "not a total assignment")
+    // cohesion: one split per cluster — THE property the operator exists for
+    got.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $c straddles splits: $ms")
+    }
+    // each family of 3 is one cluster
+    for (f <- 0 until 3) {
+      val cs = got.filter(x => x._1 / 10 == f && x._1 < 100).map(_._2).distinct
+      assert(cs.length == 1, s"family $f fragmented: $cs")
+    }
+    val again = TierCSim.clusterSafeSplit(spark, docs.repartition(7), 0.3, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("hashedLinearScore: instance-linear, order-invariant, empty doc zero, partition-invariant") {
     import spark.implicits._
     val weights = (0 until 256).map(i => (f"$i%02x", (i % 37 - 18).toLong)).toDF("bucket", "w")
