@@ -1221,8 +1221,48 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B42
+  /** Skew-salted join ([[Skew.saltedJoin]]) pinned output-equal to the
+    * plain join. A manufactured hot key (~80% of events fold onto `'hot'`)
+    * joins its per-key dim; the large side scatters over 8 deterministic
+    * salts (hash of `event_id`, no RNG — retries land identically) and
+    * the dim replicates once per salt, so the hot key's probe rows spread
+    * over 8 reducers instead of piling onto one. The oracle IS the
+    * unsalted formulation — hash-match proves salting never changes
+    * semantics. At 100 TB this is the tool when one key dominates so hard
+    * even AQE's skew split hot-spots, or when the dim side exceeds the
+    * broadcast threshold (small dims should broadcast instead — b7).
+    * The post-join re-agg on the bare key is safe: partial aggregation
+    * combines the hot key map-side before the second exchange.
+    */
+  private val b42 = QuerySpec(
+    "b42_salted_join",
+    "Skew-salted join pinned equal to the plain join: manufactured hot key (~80% of rows) scattered over 8 deterministic salts, dim replicated per salt; per-key count + exact cents.",
+    Some("""WITH e AS (SELECT event_id, value,
+              CASE WHEN user_id % 10 < 8 THEN 'hot' ELSE event_type END AS skey
+              FROM events),
+            dim AS (SELECT skey AS dkey, COUNT(*) AS key_n FROM e GROUP BY 1)
+            SELECT e.skey, CAST(dim.key_n AS BIGINT) AS key_n, COUNT(*) AS n,
+              CAST(SUM(CAST(floor(e.value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+            FROM e JOIN dim ON e.skey = dim.dkey
+            GROUP BY e.skey, dim.key_n ORDER BY e.skey"""),
+    (s, d) => {
+      import s.implicits._
+      val skey = when($"user_id" % 10 < 8, "hot").otherwise($"event_type")
+      val e = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select($"event_id", $"value", skey.as("skey")))
+      val dim = e.groupBy($"skey".as("dkey")).agg(count(lit(1)).as("key_n"))
+      Skew.saltedJoin(e, dim, "skey", "dkey", salts = 8, scatterCol = "event_id")
+        .groupBy($"skey", $"key_n")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+        .select($"skey", $"key_n".cast(LongType).as("key_n"), $"n", $"cents")
+        .orderBy($"skey")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41)
+    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42)
 }

@@ -1687,6 +1687,123 @@ object TierCSim {
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 
+  // ------------------------------------- per-dimension stats (c3ds)
+  /** Per-dimension embedding statistics — the calibration pass a
+    * quantizer build (PQ sub-space scaling, IVF whitening, scalar-quant
+    * ranges) runs before committing to codebooks: per dimension n,
+    * integer-e6 sum (mean = sum/n downstream), e6 min/max (range), and
+    * the e3 squared-moment sum (variance = m2/n − mean² downstream).
+    * Everything is an order-independent integer, so the result is
+    * partition-invariant and bit-replayable. Overflow headroom: a unit-ish
+    * float quantizes to |v3| ≲ 2e3, so v3² ≲ 4e6 — int64 holds ~2e12 rows
+    * per dimension before SUM(v3²) overflows; at beyond that scale the
+    * same plan runs with a DECIMAL accumulator.
+    *
+    * Scale shape: posexplode → partial agg → ONE shuffle on `pos` (dim
+    * groups); map-side combine does virtually all the work.
+    */
+  private val c3ds = QuerySpec(
+    "c3_dimstats",
+    "Per-dimension embedding stats for quantizer calibration: n, e6 sum, e6 min/max, e3 squared-moment sum — order-independent integers; posexplode, partial agg, one shuffle on pos.",
+    Some("""WITH e AS (SELECT
+              unnest(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS v6,
+              unnest(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))) AS v3,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings)
+            SELECT pos, COUNT(*) AS n,
+              CAST(SUM(v6) AS BIGINT) AS sum_e6,
+              CAST(MIN(v6) AS BIGINT) AS min_e6,
+              CAST(MAX(v6) AS BIGINT) AS max_e6,
+              CAST(SUM(v3 * v3) AS BIGINT) AS sumsq_e3
+            FROM e GROUP BY pos ORDER BY pos"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"pos".cast(LongType).as("pos"),
+          floor($"v".cast(DoubleType) * 1000000).cast(LongType).as("v6"),
+          floor($"v".cast(DoubleType) * 1000).cast(LongType).as("v3"))
+        .groupBy($"pos")
+        .agg(count(lit(1)).as("n"), sum($"v6").as("sum_e6"),
+          min($"v6").as("min_e6"), max($"v6").as("max_e6"),
+          sum($"v3" * $"v3").as("sumsq_e3"))
+        .orderBy($"pos")
+    }
+  )
+
+  // ------------------------------------- cluster quality (c3cq)
+  /** Cluster cohesion/separation audit over the labeled embeddings — the
+    * monitoring view a similarity pipeline reads to decide whether its
+    * partition (here `label`, standing in for an IVF cell assignment) is
+    * still sane: per label, the summed squared distance to the OWN
+    * centroid (cohesion), to the NEAREST OTHER centroid (separation), and
+    * how many members sit closer to a foreign centroid than their own
+    * (misfits — the silhouette<0 population). Centroids come from the
+    * exact e6 integer sums ([[c3c]]'s discipline) quantized to e3; every
+    * distance is then an exact integer Σ(v3−cq3)², so the whole audit is
+    * order-independent and bit-replayable.
+    *
+    * Scale shape: the centroid frame is k·dim rows (tiny, broadcast);
+    * the distance pass explodes each vector once and joins the broadcast
+    * centroids on `pos`, so the intermediate is |V|·dim·k rows with NO
+    * shuffle until the (vec, label) re-agg — the classic assign shape. A
+    * production run points this at a sample or a cell subset; the plan
+    * itself never materializes anything corpus².
+    */
+  private val c3cq = QuerySpec(
+    "c3_cluster_quality",
+    "Cluster cohesion/separation audit: exact integer squared distances to own vs nearest-other e3-quantized centroid, per-label sums + misfit counts; broadcast k*dim centroid frame, no corpus^2.",
+    Some("""WITH e AS (SELECT vec_id, label,
+              unnest(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS v6,
+              unnest(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))) AS v3,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings),
+            c AS (SELECT label AS clabel, pos AS cpos,
+              CAST(floor(CAST(SUM(v6) AS DOUBLE) / COUNT(*) / 1000.0) AS BIGINT) AS cq3
+            FROM e GROUP BY 1, 2),
+            d AS (SELECT e.vec_id, e.label, c.clabel,
+              CAST(SUM((e.v3 - c.cq3) * (e.v3 - c.cq3)) AS BIGINT) AS d2
+            FROM e JOIN c ON e.pos = c.cpos
+            GROUP BY e.vec_id, e.label, c.clabel),
+            p AS (SELECT vec_id, label,
+              MAX(CASE WHEN clabel = label THEN d2 END) AS intra_d2,
+              MIN(CASE WHEN clabel <> label THEN d2 END) AS inter_d2
+            FROM d GROUP BY vec_id, label)
+            SELECT label, COUNT(*) AS n,
+              CAST(SUM(intra_d2) AS BIGINT) AS intra_sum,
+              CAST(SUM(inter_d2) AS BIGINT) AS inter_sum,
+              CAST(SUM(CASE WHEN inter_d2 < intra_d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+            FROM p GROUP BY label ORDER BY label"""),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", $"label", $"pos",
+          floor($"v".cast(DoubleType) * 1000000).cast(LongType).as("v6"),
+          floor($"v".cast(DoubleType) * 1000).cast(LongType).as("v3")))
+      val c = e.groupBy($"label".as("clabel"), $"pos".as("cpos"))
+        .agg(floor(sum($"v6").cast(DoubleType) / count(lit(1)) / 1000.0)
+          .cast(LongType).as("cq3"))
+      val dists = e.join(broadcast(c), $"pos" === $"cpos")
+        .groupBy($"vec_id", $"label", $"clabel")
+        .agg(sum(($"v3" - $"cq3") * ($"v3" - $"cq3")).as("d2"))
+      dists.groupBy($"vec_id", $"label")
+        .agg(max(when($"clabel" === $"label", $"d2")).as("intra_d2"),
+          min(when($"clabel" =!= $"label", $"d2")).as("inter_d2"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          sum($"intra_d2").cast(LongType).as("intra_sum"),
+          sum($"inter_d2").cast(LongType).as("inter_sum"),
+          sum(when($"inter_d2" < $"intra_d2", 1L).otherwise(0L))
+            .cast(LongType).as("n_misfit"))
+        .orderBy($"label")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq)
 }

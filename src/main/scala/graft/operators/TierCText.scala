@@ -68,44 +68,89 @@ object TierCText {
   )
 
   // ---------------------------------------------------------- language ID
+  // Shared between c4_langid (per-doc) and c4_langid_conf (corpus
+  // confusion matrix): one definition site for the marker-score columns
+  // and the fixed-priority argmax, in both engines' dialects, so the two
+  // queries can never disagree on the classifier.
+  private def langScoresSql: String =
+    TextStats.LangMarkers.map { case (lang, markers) =>
+      s"CAST(len(list_filter(toks, x -> list_contains(${sqlList(markers)}, x))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n              ")
+  private def langCasesSql: String = {
+    val langs = TextStats.LangMarkers.map(_._1)
+    val cases = langs.dropRight(1).zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+  private def langScoreCols: Seq[org.apache.spark.sql.Column] =
+    TextStats.LangMarkers.map { case (lang, markers) =>
+      size(filter(toksCol, t => t.isInCollection(markers))).cast(LongType).as(s"s_$lang")
+    }
+  private def langPredCol: org.apache.spark.sql.Column = {
+    val langs = TextStats.LangMarkers.map(_._1)
+    langs.dropRight(1).zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, (lang, i)) =>
+        val cond = langs.drop(i + 1)
+          .map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _)
+        acc.when(cond, lang)
+    }.otherwise(langs.last)
+  }
   private val c4l = QuerySpec(
     "c4_langid",
     "Language ID via marker-token voting (n-gram heuristic): per-language marker hit counts, argmax with a fixed priority tiebreak. (The synthetic corpus draws all langs from one vocabulary, so the *labels* aren't recoverable — the query verifies the scoring machinery.)",
     Some {
-      val scores = TextStats.LangMarkers.map { case (lang, markers) =>
-        s"CAST(len(list_filter(toks, x -> list_contains(${sqlList(markers)}, x))) AS BIGINT) AS s_$lang"
-      }.mkString(",\n              ")
-      val langs = TextStats.LangMarkers.map(_._1)
-      val cases = langs.dropRight(1).zipWithIndex.map { case (lang, i) =>
-        val rest = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
-        s"WHEN $rest THEN '$lang'"
-      }.mkString(" ")
       s"""WITH t AS (SELECT doc_id, lang,
             list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
             FROM documents),
           s AS (SELECT doc_id, lang,
-              $scores
+              $langScoresSql
             FROM t)
           SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
-            CASE $cases ELSE '${langs.last}' END AS pred_lang
+            $langCasesSql AS pred_lang
           FROM s ORDER BY doc_id"""
     },
     (s, d) => {
       import s.implicits._
-      val toks = toksCol
-      val scored = Tables.documents(s, d).select(
-        Seq($"doc_id", $"lang") ++ TextStats.LangMarkers.map { case (lang, markers) =>
-          size(filter(toks, t => t.isInCollection(markers))).cast(LongType).as(s"s_$lang")
-        }: _*)
+      Tables.documents(s, d)
+        .select(Seq($"doc_id", $"lang") ++ langScoreCols: _*)
+        .withColumn("pred_lang", langPredCol)
+        .orderBy($"doc_id")
+    }
+  )
+
+  /** Language-ID confusion matrix — the calibration view a pipeline owner
+    * reads before trusting a langid filter at corpus scale: labeled lang ×
+    * predicted lang with doc counts and total marker evidence. Same
+    * classifier as [[c4l]] by construction (shared score/argmax builders),
+    * just re-aggregated; map-side scoring then ONE tiny |langs|² shuffle.
+    */
+  private val c4lc = QuerySpec(
+    "c4_langid_conf",
+    "Language-ID confusion matrix: labeled lang × predicted lang (same shared marker-vote classifier as c4_langid), doc counts + summed marker hits; map-side score, one |langs|^2 agg.",
+    Some {
+      s"""WITH t AS (SELECT doc_id, lang,
+            list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+            FROM documents),
+          s AS (SELECT doc_id, lang,
+              $langScoresSql
+            FROM t)
+          SELECT lang, $langCasesSql AS pred_lang, COUNT(*) AS n,
+            CAST(SUM(s_en + s_de + s_es + s_fr + s_zh) AS BIGINT) AS marker_hits
+          FROM s GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+    },
+    (s, d) => {
+      import s.implicits._
       val langs = TextStats.LangMarkers.map(_._1)
-      val pred = langs.dropRight(1).zipWithIndex.foldLeft(when(lit(false), "")) {
-        case (acc, (lang, i)) =>
-          val cond = langs.drop(i + 1)
-            .map(o => col(s"s_$lang") >= col(s"s_$o"))
-            .reduce(_ && _)
-          acc.when(cond, lang)
-      }.otherwise(langs.last)
-      scored.withColumn("pred_lang", pred).orderBy($"doc_id")
+      Tables.documents(s, d)
+        .select(Seq($"doc_id", $"lang") ++ langScoreCols: _*)
+        .withColumn("pred_lang", langPredCol)
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"),
+          langs.map(l => sum(col(s"s_$l"))).reduce(_ + _).cast(LongType).as("marker_hits"))
+        .orderBy($"lang", $"pred_lang")
     }
   )
 
@@ -1325,6 +1370,68 @@ object TierCText {
     }
   )
 
+  // ------------------------------------- curriculum ordering (c1k)
+  /** Curriculum ordering — the quality-first cousin of [[c1h]]'s uniform
+    * shuffle: every document gets a global position under the
+    * (quality_e6 DESC, doc_id) total order (the c4_quality blend,
+    * quantized to an integer at 1e-6 so the order key is exact and
+    * replayable), plus a 3-way stage from its position — the
+    * easy-examples-first schedule a curriculum-training run consumes.
+    *
+    * Scale shape is c1h's, reused verbatim: repartitionByRange on the
+    * order key spreads the total order across contiguous partitions,
+    * per-partition ranks come from a pid-local window, and global
+    * positions add |partitions|-row prefix offsets — NO single-task
+    * global sort. The quality score itself is map-side. Stage boundaries
+    * need the corpus count, which falls out of the same bounded collect.
+    */
+  private val CurriculumStages = 3
+  private val c1k = QuerySpec(
+    "c1k_curriculum",
+    s"Curriculum ordering: global position under (quality_e6 DESC, doc_id) via range partitioning + prefix offsets (no single-task sort); $CurriculumStages equal-width stages by position; RNG-free, partition-invariant.",
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            q AS (SELECT doc_id,
+              CAST(floor((0.5 * (CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE) / len(toks))
+                + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)) * 1000000.0) AS BIGINT) AS q_e6
+              FROM t),
+            r AS (SELECT doc_id, q_e6,
+              ROW_NUMBER() OVER (ORDER BY q_e6 DESC, doc_id) AS pos,
+              COUNT(*) OVER () AS total
+              FROM q)
+            SELECT doc_id, q_e6, pos,
+              ((pos - 1) * $CurriculumStages) // total AS stage
+            FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val toks = toksCol
+      val nTokens = size(toks)
+      val stopHits = size(filter(toks, t => t.isInCollection(TextStats.Stopwords)))
+      val quality = lit(0.5) * (stopHits.cast(DoubleType) / nTokens) +
+        lit(0.5) * least(nTokens.cast(DoubleType) / 100.0, lit(1.0))
+      val nPart = s.sparkContext.defaultParallelism
+      val keyed = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", floor(quality * 1000000.0).cast(LongType).as("q_e6"))
+        .repartitionByRange(nPart, $"q_e6".desc, $"doc_id")
+        .withColumn("pid", spark_partition_id()))
+      val counts = keyed.groupBy($"pid").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = counts.keys.toSeq.sorted
+      val offsets: Map[Int, Long] =
+        pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init).toMap
+      val total = counts.values.sum
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"pid").orderBy($"q_e6".desc, $"doc_id")
+      keyed
+        .withColumn("lrn", row_number().over(wp).cast(LongType))
+        .withColumn("pos", element_at(typedLit(offsets), $"pid") + $"lrn")
+        .select($"doc_id", $"q_e6", $"pos",
+          expr(s"(pos - 1) * $CurriculumStages div ${math.max(total, 1L)}").as("stage"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------- sequence packing (c4_seqpack)
   /** Concat-and-chunk sequence packing — the pre-training step that turns
     * a deduped corpus into fixed-length training examples: within a shard
@@ -1410,6 +1517,6 @@ object TierCText {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c4q, c4l, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c4y, c4u, c4ss, c4z, c4x, c4k)
+    Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4ss, c4z, c4x, c4k)
 }
