@@ -25,11 +25,15 @@ object Verify {
       System.err.println(s"[verify][lint] $name: uncast window SUM (DuckDB HUGEINT) near: $snip")
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    var written = 0
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += 1
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -53,6 +57,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Registry-vs-dump reconciliation (VERDICT r9 #7): a query that crashes
+    // is otherwise silently ABSENT from the driver's correctness JSON; this
+    // line makes the miscount detectable from the artifact alone.
+    println(s"""{"declared": ${selected.size}, "written": $written}""")
+    if (written < selected.size)
+      System.err.println(s"[verify] WARNING: ${selected.size - written} declared " +
+        "queries crashed and are missing from the dump — see failures above")
     spark.stop()
   }
 }

@@ -751,6 +751,56 @@ object Spatial {
     )
   }
 
+  // ---------------------------------------------------------------- A11w
+  /** Batch analog of the streaming geofence stage (VERDICT r9 #6): the
+    * SAME `FeaturePipeline.geofenceAlerts` join — broadcast fence table,
+    * bbox short-circuit, exact even-odd ray cast — driven by a batch
+    * frame, so the stream-static operator gets DuckDB oracle exposure the
+    * stream harness can't give it (StreamingSpec covers the streaming
+    * trigger path; this pins the predicate itself hash-exact).
+    *
+    * Geometry discipline (the a11c grid trick): fences are L1-ball
+    * diamonds centered on (50k, 50k) with odd-hundredth radius 55.13;
+    * the test point (value, value) sits on the 0.01 grid, so the L1
+    * distance 2·|value − 50k| lies on the EVEN-hundredth grid and an
+    * exactly-on-boundary tie is unreachable. Radius > half the 50-unit
+    * spacing ⇒ adjacent fences overlap and border points alert TWICE —
+    * exercising the one-row-per-fence-hit semantics, not just membership.
+    */
+  private val a11w: QuerySpec = {
+    val nFences = 10
+    val spacing = 50.0
+    val radius = 55.13
+    QuerySpec(
+      "a11w_geofence",
+      "Batch geofence alerts via the streaming stage's own stream-static join (broadcast fences, bbox short-circuit + even-odd ray cast): one row per (point, fence) containment over overlapping L1-diamond fences; oracle replays the L1-ball arithmetic per fence.",
+      Some(s"""SELECT CAST(e.event_id AS VARCHAR) AS event_id, f.fence_id
+            FROM events e
+            JOIN (SELECT k AS fence_id, $spacing*k AS cx
+                  FROM range(0, $nFences) t(k)) f
+              ON 2*abs(e.value - f.cx) < $radius
+            ORDER BY event_id, fence_id"""),
+      (s, d) => {
+        import s.implicits._
+        val fences = (0 until nFences).map { k =>
+          val c = spacing * k
+          val ring = Seq((c + radius, c), (c, c + radius),
+            (c - radius, c), (c, c - radius), (c + radius, c))
+          (k.toLong, Wkb.polygon(Seq(ring)))
+        }.toDF("fence_id", "fence_wkb")
+        val points = Tables.events(s, d)
+          .select($"event_id".cast(StringType).as("event_id"),
+            pointUdf($"value", $"value").as("geom_wkb"))
+        graft.streaming.FeaturePipeline.geofenceAlerts(points, fences)
+          .select($"event_id", $"fence_id")
+          .orderBy($"event_id", $"fence_id")
+      }
+    )
+  }
+
+  private val pointUdf: UserDefinedFunction =
+    udf { (x: Double, y: Double) => Wkb.point(x, y) }
+
   val specs: Seq[QuerySpec] =
-    Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t, a11u, a11v)
+    Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t, a11u, a11v, a11w)
 }

@@ -1171,10 +1171,108 @@ object TierCSim {
       graft.functions.VectorExprs.nearestSeedF($"embedding", $"n2", ssF).as("cell")))
   }
 
+  /** DuckDB replay of the ENTIRE c3_kmeans chain (VERDICT r9 #5 — converts
+    * the query from declared-no-oracle to hash-checked). Every stage is
+    * deterministic integer or left-fold IEEE-double arithmetic, so the SQL
+    * replays it stage-for-stage (the a11u_geodesic technique):
+    *
+    *  - n2 / dot products: explicit 64-term `+` chains — SQL `+` is
+    *    left-associative, matching [[graft.functions.VectorExprs]]'
+    *    strict left-to-right double accumulation bit-for-bit;
+    *  - md5 sample: same (md5(vec_id), vec_id) total order + LIMIT;
+    *  - k-center greedy: recursive CTE carrying the seed vec_id list —
+    *    per candidate, max cosine over the seed set (max is
+    *    order-independent), argmin by (maxSim, vec_id) = the Scala
+    *    selection rule;
+    *  - Lloyd iterations (fixed 2, statically unrolled): first-max
+    *    argmax assignment = `ORDER BY sim DESC, j ASC LIMIT 1` per vec
+    *    (NearestSeedF's compareDoubles>0 rule), per-cell e6 floor sums
+    *    (exact BIGINTs, order-free), means re-quantized to FLOAT via
+    *    `CAST(.. AS FLOAT)` — IEEE round-to-nearest, identical to the
+    *    JVM's `.toFloat`;
+    *  - NOT replayed: the empty-cell reseed arm. With ~128 vecs/cell it
+    *    is unreachable on this corpus (asserted by the builder's own
+    *    replica run); if a future testdata regeneration empties a cell,
+    *    this row goes red loudly rather than silently wrong — SimSpec
+    *    keeps the reseed arm pinned with planted fixtures.
+    *
+    * Valid while |corpus| ≤ sampleSize (1024): above that the sample is a
+    * proper subset and the SQL stays faithful (same order + LIMIT).
+    */
+  private def c3kmOracle: String = {
+    val dim = 64
+    def chain(ts: Seq[String]) = ts.mkString(" + ")
+    val n2Emb = chain((1 to dim).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)"))
+    val dotCS = chain((1 to dim).map(i =>
+      s"CAST(c.embedding[$i] AS DOUBLE) * CAST(s.embedding[$i] AS DOUBLE)"))
+    val simM = "(" + chain((0 until dim).map(i =>
+      s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(s.m$i AS DOUBLE)")) +
+      ") / (sqrt(e.n2) * sqrt(s.n2))"
+    val mCols = (0 until dim).map(i => s"m$i").mkString(", ")
+    def iterCtes(k: Int, seedSrc: String): String = {
+      val sums = (0 until dim).map(i =>
+        s"sum(CAST(floor(CAST(e.embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val means = (0 until dim).map(i =>
+        s"CAST(CAST(s$i AS DOUBLE) / 1e6 / CAST(cnt AS DOUBLE) AS FLOAT) AS m$i")
+        .mkString(", ")
+      val n2m = chain((0 until dim).map(i => s"CAST(m$i AS DOUBLE) * CAST(m$i AS DOUBLE)"))
+      s"""asg$k AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, s.j AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ($simM) DESC, s.j ASC) AS rn
+         |    FROM corpus e CROSS JOIN $seedSrc s) WHERE rn = 1),
+         |sums$k AS (
+         |  SELECT a.cell, count(*) AS cnt, $sums
+         |  FROM asg$k a JOIN corpus e USING (vec_id) GROUP BY a.cell),
+         |seeds$k AS (
+         |  SELECT j, $mCols, $n2m AS n2
+         |  FROM (SELECT cell AS j, $means FROM sums$k))""".stripMargin
+    }
+    val csum = chain((0 until dim).map(i =>
+      s"CAST(floor(CAST(m$i AS DOUBLE) * 1e6) AS BIGINT)"))
+    val seedMs = (0 until dim).map(i =>
+      s"CAST(s.embedding[${i + 1}] AS FLOAT) AS m$i").mkString(", ")
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT vec_id, embedding, $n2Emb AS n2 FROM embeddings),
+       |sample AS (SELECT vec_id, embedding, n2 FROM corpus
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+       |nc AS (SELECT least(256, greatest(1, CAST(ceil(count(*) / 128.0) AS BIGINT))) AS cells
+       |       FROM corpus),
+       |greedy(ord, vids) AS (
+       |  SELECT CAST(1 AS BIGINT), [(SELECT min(vec_id) FROM sample)]
+       |  UNION ALL
+       |  SELECT g.ord + 1, list_append(g.vids, (
+       |    SELECT c.vec_id
+       |    FROM sample c JOIN sample s ON list_contains(g.vids, s.vec_id)
+       |    WHERE NOT list_contains(g.vids, c.vec_id)
+       |    GROUP BY c.vec_id
+       |    ORDER BY max(($dotCS) / (sqrt(c.n2) * sqrt(s.n2))) ASC, c.vec_id ASC
+       |    LIMIT 1))
+       |  FROM greedy g WHERE g.ord < (SELECT cells FROM nc)),
+       |seedvids AS (SELECT vids FROM greedy WHERE ord = (SELECT cells FROM nc)),
+       |seeds0 AS (
+       |  SELECT list_position(v.vids, s.vec_id) - 1 AS j, $seedMs, s.n2
+       |  FROM seedvids v, sample s WHERE list_contains(v.vids, s.vec_id)),
+       |${iterCtes(1, "seeds0")},
+       |${iterCtes(2, "seeds1")},
+       |asgF AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, s.j AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ($simM) DESC, s.j ASC) AS rn
+       |    FROM corpus e CROSS JOIN seeds2 s) WHERE rn = 1),
+       |cent AS (SELECT j, $csum AS centroid_sum_e6 FROM seeds2)
+       |SELECT CAST(g.cell AS INTEGER) AS cell, g.n, g.first_id, c.centroid_sum_e6
+       |FROM (SELECT cell, count(*) AS n, min(vec_id) AS first_id FROM asgF GROUP BY cell) g
+       |JOIN cent c ON c.j = g.cell
+       |ORDER BY cell""".stripMargin
+  }
+
   private val c3km = QuerySpec(
     "c3_kmeans",
-    "Lloyd-refined IVF coarse quantizer (2 fixed iterations over k-center init): per-cell population, first member, and the refined centroid's integer-quantized checksum. No oracle by design (iterative centroid build); SimSpec pins SSE descent and partition invariance.",
-    None,
+    "Lloyd-refined IVF coarse quantizer (2 fixed iterations over k-center init): per-cell population, first member, and the refined centroid's integer-quantized checksum. Oracle replays the WHOLE chain in DuckDB — md5 sample, recursive-CTE k-center greedy, unrolled Lloyd rounds with FLOAT-requantized means — via left-fold IEEE chains; SimSpec pins SSE descent, partition invariance, and the (not-SQL-replayed) empty-cell reseed arm.",
+    Some(c3kmOracle),
     (s, d) => {
       import s.implicits._
       val (seeds, assigned) = kmeansRefine(s, Tables.embeddings(s, d))

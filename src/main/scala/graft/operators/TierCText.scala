@@ -1516,7 +1516,41 @@ object TierCText {
     }
   )
 
+  // ------------------------------------------------ BPE merge-step pairs
+  /** The tokenizer-TRAINING primitive c4_vocab's df table feeds into: one
+    * BPE merge decision = the corpus-wide count of every adjacent symbol
+    * pair, argmax picked as the next merge. Full BPE training iterates
+    * this (re-tokenize, recount) — each round is exactly this job, so the
+    * one-round query is the scale shape that matters: explode words →
+    * explode in-word character bigrams (all codegen'd builtins — sequence/
+    * transform/substr, no UDF) → ONE partial-aggregated count shuffle →
+    * TakeOrdered top-50. At 100 TB the pair alphabet is tiny (≤ |chars|²),
+    * so map-side combine collapses virtually everything before the
+    * exchange — the same partial-agg posture as c4_vocab.
+    */
+  private val c4bp = QuerySpec(
+    "c4_bpe_pairs",
+    "BPE tokenizer-training merge step: corpus-wide adjacent character-pair counts within words, top-50 by (count desc, pair) — exact integers, one partial-agg shuffle.",
+    Some("""WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+              t -> t <> '')) AS w FROM documents),
+            p AS (SELECT substr(w, CAST(unnest(range(1, length(w))) AS INTEGER), 2) AS pair
+              FROM w WHERE length(w) >= 2)
+            SELECT pair, COUNT(*) AS cnt FROM p
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
+        .filter(length($"w") >= 2)
+        .select(explode(transform(sequence(lit(1), length($"w") - 1),
+          i => $"w".substr(i, lit(2)))).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair")
+        .limit(50)
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4ss, c4z, c4x, c4k)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4ss, c4z, c4x, c4k, c4bp)
 }

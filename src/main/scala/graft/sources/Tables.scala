@@ -22,19 +22,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; the raw nanos LONG is
-    * normalized here to a µs TimestampType so every downstream query sees
-    * a plain timestamp column (values are µs-aligned; integer DIV is the
-    * same floor-truncation Spark applies natively for ns→µs).
+  /** events.ts has shipped in several physical shapes across testdata
+    * regenerations: parquet TIMESTAMP(NANOS) read as a raw nanos LONG (via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), plain `timestamp[us]`
+    * which Spark reads as TIMESTAMP_NTZ, and tz-annotated `timestamp[us]`
+    * which reads as TimestampType directly. This loader normalizes ALL of
+    * them to a µs TimestampType so every downstream query sees one stable
+    * column type regardless of how the data was written:
+    *   - nanos LONG → integer DIV 1000 (same floor-truncation Spark applies
+    *     natively for ns→µs) then timestamp_micros;
+    *   - TIMESTAMP_NTZ → cast to TimestampType (session TZ is pinned UTC,
+    *     so the cast is value-preserving);
+    *   - TimestampType → pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => df
     }
   }

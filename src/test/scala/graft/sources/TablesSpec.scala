@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-shape canary (VERDICT r9 #2): the driver has regenerated
+  * events.parquet with different physical timestamp encodings across rounds
+  * (TIMESTAMP(NANOS)→nanos-as-LONG in r1–r8, plain timestamp[us]→NTZ in r9).
+  * When the shape changes again, THIS test fails with a pointed message
+  * naming the loader, instead of a mid-suite analysis exception in whichever
+  * query touches the raw column first.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val s = SparkFixture.session
+  private val dir = SparkFixture.sfDir
+
+  test("events.ts is normalized to TimestampType regardless of physical shape") {
+    val tpe = Tables.events(s, dir).schema("ts").dataType
+    assert(tpe == TimestampType,
+      s"Tables.events must normalize ts to TimestampType but produced $tpe — " +
+        "the testdata's physical timestamp encoding likely changed again; " +
+        "add a normalization arm in sources/Tables.scala")
+  }
+
+  test("events.ts normalization covers every shape the raw file can present") {
+    // The raw (un-normalized) read must be one of the shapes the loader
+    // handles; anything else means a NEW physical encoding landed.
+    val raw = Tables.table(s, dir, "events").schema("ts").dataType
+    assert(Set[org.apache.spark.sql.types.DataType](
+      TimestampType, TimestampNTZType, LongType).contains(raw),
+      s"events.parquet presents unhandled physical ts type $raw — " +
+        "extend the match in Tables.events")
+  }
+
+  test("events.ts values are sane after normalization (epoch range + non-null)") {
+    val row = Tables.events(s, dir)
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+           max(unix_micros(col("ts"))).as("hi"),
+           sum(when(col("ts").isNull, 1).otherwise(0)).as("nulls"))
+      .head()
+    val (lo, hi, nulls) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nulls == 0L, "normalization must not introduce nulls")
+    // generous sanity window: 2000-01-01 .. 2100-01-01 in µs
+    assert(lo > 946684800000000L && hi < 4102444800000000L,
+      s"normalized ts out of plausible epoch range: [$lo, $hi] µs — " +
+        "a unit error (ns vs µs vs ms) in the normalization arm")
+  }
+}
