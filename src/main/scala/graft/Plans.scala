@@ -95,6 +95,23 @@ object Plans {
       "integer contributions fold map-side before the shuffle, so even a " +
       "power-law hub's in-edges partially aggregate; all-BIGINT " +
       "arithmetic, no float summation order anywhere."),
+    "a11w_geofence" -> ("Batch geofence (the streaming stage's own join): " +
+      "the ops-sized fence table broadcasts into a nested-loop probe — " +
+      "the CORRECT shape for a UDF predicate against dozens-to-thousands " +
+      "of fences: the point side is never shuffled for the join, and the " +
+      "bbox short-circuit inside the predicate rejects far fences on four " +
+      "double compares before the exact ray cast."),
+    "c4_bpe_pairs" -> ("BPE merge step: word and bigram explosion are " +
+      "map-side codegen'd builtins; the pair alphabet is <= |chars|^2, so " +
+      "the partial HashAggregate collapses virtually the whole corpus " +
+      "before the one count exchange, and TakeOrderedAndProject picks the " +
+      "top-50 with no global sort."),
+    "c4_bigram_ce" -> ("Bigram cross-entropy: adjacency comes from a " +
+      "map-side transform over the token array (no window, no per-doc " +
+      "shuffle); the bigram/unigram count tables partial-aggregate " +
+      "map-side, and the probe joins are the TF-IDF posting-list shape — " +
+      "per probe row exactly one count row, AQE splits the Zipf-head " +
+      "history key."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1199,16 +1199,62 @@ object TierCSim {
     * Valid while |corpus| ≤ sampleSize (1024): above that the sample is a
     * proper subset and the SQL stays faithful (same order + LIMIT).
     */
-  private def c3kmOracle: String = {
+  /** Shared SQL-builder pieces for the k-center-family oracles
+    * ([[c3kmOracle]], [[c3ivfOracle]]): the `+`-chain generators and the
+    * WITH-prefix that rebuilds the identical coarse quantizer — corpus
+    * n2, md5 sample, recursive-CTE greedy, seed table — in DuckDB.
+    */
+  private object AnnSql {
     val dim = 64
-    def chain(ts: Seq[String]) = ts.mkString(" + ")
-    val n2Emb = chain((1 to dim).map(i =>
+    def chain(ts: Seq[String]): String = ts.mkString(" + ")
+    /** corpus-row × corpus-row left-fold dot, aliases `a`.`b` */
+    def dotp(a: String, b: String): String = chain((1 to dim).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)"))
+    val n2Emb: String = chain((1 to dim).map(i =>
       s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)"))
-    val dotCS = chain((1 to dim).map(i =>
-      s"CAST(c.embedding[$i] AS DOUBLE) * CAST(s.embedding[$i] AS DOUBLE)"))
-    val simM = "(" + chain((0 until dim).map(i =>
+    /** corpus row `e` vs seed m-columns `s` — NearestSeedF's chain */
+    val simM: String = "(" + chain((0 until dim).map(i =>
       s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(s.m$i AS DOUBLE)")) +
       ") / (sqrt(e.n2) * sqrt(s.n2))"
+    /** first-max argmax assignment of every corpus row to `seedSrc` */
+    def asgCte(name: String, seedSrc: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, s.j AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ($simM) DESC, s.j ASC) AS rn
+         |    FROM corpus e CROSS JOIN $seedSrc s) WHERE rn = 1)""".stripMargin
+    /** corpus/sample/cell-count/greedy/seeds0 — everything up to the
+      * k-center seed table, shared verbatim by every consumer so the SQL
+      * quantizer can never drift between oracles
+      */
+    val prefix: String = {
+      val seedMs = (0 until dim).map(i =>
+        s"CAST(s.embedding[${i + 1}] AS FLOAT) AS m$i").mkString(", ")
+      s"""corpus AS (SELECT vec_id, embedding, $n2Emb AS n2 FROM embeddings),
+         |sample AS (SELECT vec_id, embedding, n2 FROM corpus
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+         |nc AS (SELECT least(256, greatest(1, CAST(ceil(count(*) / 128.0) AS BIGINT))) AS cells
+         |       FROM corpus),
+         |greedy(ord, vids) AS (
+         |  SELECT CAST(1 AS BIGINT), [(SELECT min(vec_id) FROM sample)]
+         |  UNION ALL
+         |  SELECT g.ord + 1, list_append(g.vids, (
+         |    SELECT c.vec_id
+         |    FROM sample c JOIN sample s ON list_contains(g.vids, s.vec_id)
+         |    WHERE NOT list_contains(g.vids, c.vec_id)
+         |    GROUP BY c.vec_id
+         |    ORDER BY max((${dotp("c", "s")}) / (sqrt(c.n2) * sqrt(s.n2))) ASC, c.vec_id ASC
+         |    LIMIT 1))
+         |  FROM greedy g WHERE g.ord < (SELECT cells FROM nc)),
+         |seedvids AS (SELECT vids FROM greedy WHERE ord = (SELECT cells FROM nc)),
+         |seeds0 AS (
+         |  SELECT list_position(v.vids, s.vec_id) - 1 AS j, $seedMs, s.n2
+         |  FROM seedvids v, sample s WHERE list_contains(v.vids, s.vec_id))""".stripMargin
+    }
+  }
+
+  private def c3kmOracle: String = {
+    import AnnSql._
     val mCols = (0 until dim).map(i => s"m$i").mkString(", ")
     def iterCtes(k: Int, seedSrc: String): String = {
       val sums = (0 until dim).map(i =>
@@ -1218,11 +1264,7 @@ object TierCSim {
         s"CAST(CAST(s$i AS DOUBLE) / 1e6 / CAST(cnt AS DOUBLE) AS FLOAT) AS m$i")
         .mkString(", ")
       val n2m = chain((0 until dim).map(i => s"CAST(m$i AS DOUBLE) * CAST(m$i AS DOUBLE)"))
-      s"""asg$k AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, s.j AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ($simM) DESC, s.j ASC) AS rn
-         |    FROM corpus e CROSS JOIN $seedSrc s) WHERE rn = 1),
+      s"""${asgCte(s"asg$k", seedSrc)},
          |sums$k AS (
          |  SELECT a.cell, count(*) AS cnt, $sums
          |  FROM asg$k a JOIN corpus e USING (vec_id) GROUP BY a.cell),
@@ -1232,41 +1274,41 @@ object TierCSim {
     }
     val csum = chain((0 until dim).map(i =>
       s"CAST(floor(CAST(m$i AS DOUBLE) * 1e6) AS BIGINT)"))
-    val seedMs = (0 until dim).map(i =>
-      s"CAST(s.embedding[${i + 1}] AS FLOAT) AS m$i").mkString(", ")
     s"""WITH RECURSIVE
-       |corpus AS (SELECT vec_id, embedding, $n2Emb AS n2 FROM embeddings),
-       |sample AS (SELECT vec_id, embedding, n2 FROM corpus
-       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
-       |nc AS (SELECT least(256, greatest(1, CAST(ceil(count(*) / 128.0) AS BIGINT))) AS cells
-       |       FROM corpus),
-       |greedy(ord, vids) AS (
-       |  SELECT CAST(1 AS BIGINT), [(SELECT min(vec_id) FROM sample)]
-       |  UNION ALL
-       |  SELECT g.ord + 1, list_append(g.vids, (
-       |    SELECT c.vec_id
-       |    FROM sample c JOIN sample s ON list_contains(g.vids, s.vec_id)
-       |    WHERE NOT list_contains(g.vids, c.vec_id)
-       |    GROUP BY c.vec_id
-       |    ORDER BY max(($dotCS) / (sqrt(c.n2) * sqrt(s.n2))) ASC, c.vec_id ASC
-       |    LIMIT 1))
-       |  FROM greedy g WHERE g.ord < (SELECT cells FROM nc)),
-       |seedvids AS (SELECT vids FROM greedy WHERE ord = (SELECT cells FROM nc)),
-       |seeds0 AS (
-       |  SELECT list_position(v.vids, s.vec_id) - 1 AS j, $seedMs, s.n2
-       |  FROM seedvids v, sample s WHERE list_contains(v.vids, s.vec_id)),
+       |${AnnSql.prefix},
        |${iterCtes(1, "seeds0")},
        |${iterCtes(2, "seeds1")},
-       |asgF AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, s.j AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ($simM) DESC, s.j ASC) AS rn
-       |    FROM corpus e CROSS JOIN seeds2 s) WHERE rn = 1),
+       |${asgCte("asgF", "seeds2")},
        |cent AS (SELECT j, $csum AS centroid_sum_e6 FROM seeds2)
        |SELECT CAST(g.cell AS INTEGER) AS cell, g.n, g.first_id, c.centroid_sum_e6
        |FROM (SELECT cell, count(*) AS n, min(vec_id) AS first_id FROM asgF GROUP BY cell) g
        |JOIN cent c ON c.j = g.cell
        |ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB replay of c3_ivf (same conversion as [[c3kmOracle]], one
+    * stage shorter): the k-center quantizer from [[AnnSql.prefix]], the
+    * NearestSeedF home-cell assignment, then the in-cell pair join with
+    * the RAW double cosine as an output column — the left-fold chains
+    * replay Spark's `DotProductFloat` bit-for-bit, so even the float
+    * scores hash-match (the c3_knn_cosine precedent). Top-3 per query is
+    * `row_number() ... score DESC, id_b` = the Spark window's tie rule.
+    */
+  private def c3ivfOracle: String = {
+    import AnnSql._
+    s"""WITH RECURSIVE
+       |${AnnSql.prefix},
+       |${asgCte("asg", "seeds0")},
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    (${dotp("ea", "eb")}) / (sqrt(ea.n2) * sqrt(eb.n2)) AS score
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN corpus ea ON ea.vec_id = a.vec_id
+       |  JOIN corpus eb ON eb.vec_id = b.vec_id),
+       |r AS (SELECT id_a, id_b, score,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS rn
+       |  FROM cand)
+       |SELECT id_a, id_b, score, rn FROM r WHERE rn <= 3 ORDER BY id_a, rn""".stripMargin
   }
 
   private val c3km = QuerySpec(
@@ -1413,8 +1455,8 @@ object TierCSim {
 
   private val c3i = QuerySpec(
     "c3_ivf",
-    "IVF-style ANN: deterministic k-center coarse quantizer (cell count adapts to corpus size, ~128 vectors/cell) + exact cosine re-rank within the cell, top-3. Driver-bounded index build; no oracle (iterative build not SQL-expressible); determinism + recall via ScalaTest.",
-    None,
+    "IVF-style ANN: deterministic k-center coarse quantizer (cell count adapts to corpus size, ~128 vectors/cell) + exact cosine re-rank within the cell, top-3. Oracle replays quantizer build, home-cell assignment, and raw double cosine scores via recursive-CTE greedy + left-fold IEEE chains; nprobe recall knob stays ScalaTest-pinned.",
+    Some(c3ivfOracle),
     (s, d) => ivfTopK(s, Tables.embeddings(s, d), 3)
   )
 

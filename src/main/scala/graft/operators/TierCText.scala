@@ -1278,6 +1278,76 @@ object TierCText {
     }
   )
 
+  // ---------------------------- bigram cross-entropy quality (c4_bigram_ce)
+  /** Bigram-LM cross-entropy per document — the KenLM-filter shape one
+    * order above [[c4u]]: score each doc by how surprising its token
+    * TRANSITIONS are under the corpus's own bigram MLE,
+    * P(w|v) = c(v,w)/c(v). Boilerplate with stereotyped phrasing scores
+    * even lower than under the unigram model; noisy token soup scores
+    * higher — the standard second-pass perplexity filter. Every bigram in
+    * a doc exists in the corpus (the doc IS corpus), so c(v,w) ≥ 1 and no
+    * smoothing arm is needed for self-scoring. Same exactness discipline
+    * as c4u: each bigram instance contributes an integer
+    * `floor(ln(bcnt/ucnt)·1e6)`, per-doc sums are exact integers —
+    * order-independent, bit-replayable.
+    *
+    * Scale shape: bigram extraction is map-side (transform over the token
+    * array — no window, no per-doc shuffle for adjacency); the bigram and
+    * unigram count tables are posting-list aggs with map-side combine;
+    * the two probe joins are the TF-IDF inverted-index discipline. The
+    * Zipf-head history ("the …") skews the probe like c4u's token join;
+    * each probe row matches exactly one count row, so AQE's skew split
+    * handles it without semantic change.
+    */
+  private val c4bg = QuerySpec(
+    "c4_bigram_ce",
+    "Bigram cross-entropy quality proxy: per-bigram-instance floor(ln(c(v,w)/c(v))*1e6) integer contributions under the corpus's own bigram MLE, exact per-doc sums; map-side adjacency, posting-list joins.",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS token
+              FROM documents),
+            a AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            bgi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM a),
+            bg AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS prev, toks[CAST(i + 1 AS INTEGER)] AS cur FROM bgi),
+            f AS (SELECT token, COUNT(*) AS ucnt FROM t GROUP BY token),
+            b AS (SELECT prev, cur, COUNT(*) AS bcnt FROM bg GROUP BY prev, cur),
+            j AS (SELECT g.doc_id,
+                CAST(floor(ln(CAST(b.bcnt AS DOUBLE) / CAST(f.ucnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS mlp
+              FROM bg g JOIN b ON g.prev = b.prev AND g.cur = b.cur JOIN f ON g.prev = f.token)
+            SELECT doc_id, COUNT(*) AS nbig,
+              CAST(-SUM(mlp) AS BIGINT) AS ce_sum_e6,
+              CAST(floor(CAST(-SUM(mlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_ce_e6
+            FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val t = docs.select($"doc_id", explode(toksCol).as("token"))
+      val f = t.groupBy($"token").agg(count(lit(1)).as("ucnt"))
+      // size<2 guard BEFORE sequence: Spark's sequence(1, 0) counts DOWN
+      // ([1,0]) instead of yielding empty — a one-token doc would emit
+      // phantom bigrams; DuckDB's range(1,1) is empty so both engines
+      // drop such docs entirely
+      val bg = CacheRegistry.persist(docs
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => struct(element_at($"toks", i).as("prev"),
+            element_at($"toks", i + 1).as("cur")))).as("p"))
+        .select($"doc_id", $"p.prev".as("prev"), $"p.cur".as("cur")))
+      val b = bg.groupBy($"prev", $"cur").agg(count(lit(1)).as("bcnt"))
+      bg.join(b, Seq("prev", "cur"))
+        .join(f.withColumnRenamed("token", "prev"), Seq("prev"))
+        .select($"doc_id",
+          floor(log($"bcnt".cast(DoubleType) / $"ucnt".cast(DoubleType)) * 1000000.0)
+            .cast(LongType).as("mlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("nbig"), (-sum($"mlp")).cast(LongType).as("ce_sum_e6"))
+        .select($"doc_id", $"nbig", $"ce_sum_e6",
+          floor($"ce_sum_e6".cast(DoubleType) / $"nbig".cast(DoubleType))
+            .cast(LongType).as("avg_ce_e6"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------------------- PII masking (c4_pii)
   /** PII redaction pass (emails then URLs). The synthetic corpus carries no
     * real PII, so the query plants a deterministic contact line per doc and
@@ -1552,5 +1622,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4ss, c4z, c4x, c4k, c4bp)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4bg, c4ss, c4z, c4x, c4k, c4bp)
 }

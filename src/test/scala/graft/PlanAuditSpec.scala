@@ -213,6 +213,32 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-stratum top-k is not group-limited (full sort per source):\n" + p)
   }
 
+  test("a11w geofence: fences broadcast, the point stream side never shuffles for the join") {
+    val p = plan("a11w_geofence")
+    // UDF join condition ⇒ BroadcastNestedLoopJoin is the CORRECT shape
+    // here: the build side is the ops-sized fence table (rows = fences,
+    // never corpus), and broadcasting it is exactly what keeps the point
+    // side shuffle-free — the property geofenceAlerts promises at scale
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "fence table is not broadcast — the point stream would shuffle:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "fence join fell back to a cartesian product:\n" + p)
+    // the only exchange allowed is the presentation sort's range partition
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toList
+    assert(!exchanges.exists(_.contains("hashpartitioning")),
+      "points hash-shuffled for the fence join:\n" + p)
+  }
+
+  test("c4_bpe_pairs: pair count partial-aggregates map-side, top-50 is TakeOrdered") {
+    val p = plan("c4_bpe_pairs")
+    assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).length >= 2,
+      "pair counting does not partial-aggregate before the exchange:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 pairs runs a global sort instead of TakeOrdered:\n" + p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "bigram extraction left whole-stage codegen (UDF in the hot path):\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
