@@ -1713,24 +1713,197 @@ object TierCSim {
       .orderBy($"id_a", $"rn")
   }
 
+  /** DuckDB replay of c3_pq_search: the [[PqSql]] codebooks + encodings,
+    * then the label-block pair join where each pair's approximate L2 is
+    * the SAME `(dss − 2·dsc) + ‖code‖²` chain `element_at(lut, code+1)`
+    * evaluates — per-subspace terms summed left-associatively like the
+    * Scala reduceLeft. Top-3 = row_number (approx ASC, id_b).
+    */
+  private def c3pqSearchOracle: String = {
+    import PqSql._
+    val encJoins = (0 until mSub).map(si =>
+      s"  JOIN enc$si ec$si ON ec$si.vec_id = bb.vec_id JOIN bookc$si b$si ON b$si.j = ec$si.c$si")
+      .mkString("\n")
+    s"""WITH RECURSIVE
+       |$corpusCte,
+       |$sampleCte,
+       |$allSubCtes,
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b, $approx AS approx
+       |  FROM embeddings a JOIN embeddings bb ON a.label = bb.label AND a.vec_id <> bb.vec_id
+       |$encJoins),
+       |r AS (SELECT id_a, id_b, approx,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY approx ASC, id_b) AS rn
+       |  FROM pairs)
+       |SELECT id_a, id_b, CAST(floor(approx * 1000000) AS BIGINT) AS adist_ppm, rn
+       |FROM r WHERE rn <= 3 ORDER BY id_a, rn""".stripMargin
+  }
+
+  /** DuckDB replay of c3_ivfpq — the composed conversion: [[AnnSql]]'s
+    * cosine k-center quantizer bounds WHICH pairs exist (home-cell
+    * equi-join, nprobe=1), [[PqSql]]'s books bound what each costs. The
+    * one-sample-two-indexes Scala build is mirrored exactly because
+    * PqSql's 256-row `psample` is the md5-order PREFIX of AnnSql's 1024
+    * `sample` — the same prefix-identity `ivfPqJoined` relies on.
+    */
+  private def c3ivfpqOracle: String = {
+    import PqSql._
+    val encJoins = (0 until mSub).map(si =>
+      s"  JOIN enc$si ec$si ON ec$si.vec_id = cb.vec_id JOIN bookc$si b$si ON b$si.j = ec$si.c$si")
+      .mkString("\n")
+    s"""WITH RECURSIVE
+       |${AnnSql.prefix},
+       |$sampleCte,
+       |$allSubCtes,
+       |${AnnSql.asgCte("ivfasg", "seeds0")},
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, cb.vec_id AS id_b, $approx AS approx
+       |  FROM corpus a JOIN ivfasg qa ON qa.vec_id = a.vec_id
+       |  JOIN ivfasg cb ON cb.cell = qa.cell AND cb.vec_id <> a.vec_id
+       |$encJoins),
+       |r AS (SELECT id_a, id_b, approx,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY approx ASC, id_b) AS rn
+       |  FROM pairs)
+       |SELECT id_a, id_b, CAST(floor(approx * 1000000) AS BIGINT) AS adist_ppm, rn
+       |FROM r WHERE rn <= 3 ORDER BY id_a, rn""".stripMargin
+  }
+
   private val c3ipq = QuerySpec(
     "c3_ivfpq",
-    "True IVF-PQ ADC top-3: adaptive k-center IVF cells bound the candidate scan (nprobe=1), PQ distance tables bound per-candidate cost to 4 lookups over 4 sub-codes. No oracle (iterative index builds); SimSpec pins recall, determinism, and the per-query scan <= cell population bound.",
-    None,
+    "True IVF-PQ ADC top-3: adaptive k-center IVF cells bound the candidate scan (nprobe=1), PQ distance tables bound per-candidate cost to 4 lookups over 4 sub-codes. Oracle composes the AnnSql cosine quantizer with the PqSql codebook replay (the 256-prefix-of-1024 sample identity mirrors the one-collect Scala build); SimSpec keeps recall + the scan <= cell population bound pinned.",
+    Some(c3ivfpqOracle),
     (s, d) => ivfPqSearch(s, Tables.embeddings(s, d), 3)
   )
 
   private val c3ps = QuerySpec(
     "c3_pq_search",
-    "PQ asymmetric-distance top-3 within label blocks: per-query distance tables built before the join, candidates reduced to 4 sub-codes, approximate L2 = 4 lookups. No oracle (codebook build iterative); SimSpec pins planted-cluster recall + determinism.",
-    None,
+    "PQ asymmetric-distance top-3 within label blocks: per-query distance tables built before the join, candidates reduced to 4 sub-codes, approximate L2 = 4 lookups. Oracle replays codebooks, encodings, and the per-pair ADC chain hash-exact via the shared PqSql builder; SimSpec pins planted-cluster recall + determinism.",
+    Some(c3pqSearchOracle),
     (s, d) => pqSearch(s, Tables.embeddings(s, d), 3)
   )
 
+  /** DuckDB replay of the ENTIRE c3_pq chain (same conversion family as
+    * [[c3kmOracle]]/[[c3ivfOracle]], now under L2): per subspace —
+    * farthest-point k-center greedy as a recursive CTE (max-min-L2
+    * selection, ties lowest vec_id), first-min sample assignment, and the
+    * ONE Lloyd mean step whose double sums Scala accumulates in md5-sample
+    * order — replayed exactly with `list(x ORDER BY ord)` +
+    * `list_reduce(+)` (a left fold starting at the first element equals
+    * the JVM's 0.0-seeded fold bit-for-bit). The empty-cluster
+    * keep-the-seed arm IS replayed (LEFT JOIN + COALESCE — cheap here,
+    * unlike kmeans' reseed). Encoding replays PqKernel.dists'
+    * `(dss − 2·dsc) + ‖code‖²` per code with left-fold chains; the
+    * reconstruction error is the argmin's own table value, so err_ppm
+    * hash-matches on raw doubles.
+    */
+  /** Shared SQL-builder for the PQ-family oracles ([[c3pqOracle]],
+    * [[c3pqSearchOracle]], [[c3ivfpqOracle]]): per subspace, the
+    * farthest-point greedy (recursive CTE under L2), the ordered-fold
+    * Lloyd mean, the `(dss − 2·dsc) + ‖code‖²` ADC chains, and the
+    * argmin encodings. Expects a `corpus` CTE with (vec_id, embedding)
+    * in scope (standalone consumers prepend [[corpusCte]]; the IVF-PQ
+    * composition reuses [[AnnSql.prefix]]'s corpus, whose extra n2
+    * column is a superset). The 256-row `psample` is the md5-order
+    * PREFIX of AnnSql's 1024 sample — the same prefix-sharing the Scala
+    * `ivfPqJoined` build exploits, so one WITH can host both builders
+    * without the indexes drifting.
+    */
+  private object PqSql {
+    val (mSub, codes, sampleN, sub) = (4, 16, 256, 16)
+    def chain(ts: Seq[String]): String = ts.mkString(" + ")
+    val corpusCte = "corpus AS (SELECT vec_id, embedding FROM embeddings)"
+    val sampleCte: String =
+      s"""psample AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY h, vec_id) AS ord FROM
+         |           (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h FROM corpus
+         |            ORDER BY h, vec_id LIMIT $sampleN))""".stripMargin
+    def dims(si: Int): Seq[Int] = (1 to sub).map(d => si * sub + d)
+    /** query-side dss chain for alias `a` */
+    def dss(a: String, si: Int): String = chain(dims(si).map(d =>
+      s"CAST($a.embedding[$d] AS DOUBLE) * CAST($a.embedding[$d] AS DOUBLE)"))
+    /** query-side dsc chain for alias `a` against bookc alias `b` */
+    def dsc(a: String, b: String, si: Int): String =
+      chain(dims(si).zipWithIndex.map { case (d, k) =>
+        s"CAST($a.embedding[$d] AS DOUBLE) * CAST($b.m$k AS DOUBLE)" })
+    def subCtes(si: Int): String = {
+      val ds = dims(si)
+      def l2(a: String, b: String) = chain(ds.map(d =>
+        s"(CAST($a.embedding[$d] AS DOUBLE) - CAST($b.embedding[$d] AS DOUBLE))" +
+          s" * (CAST($a.embedding[$d] AS DOUBLE) - CAST($b.embedding[$d] AS DOUBLE))"))
+      val seedCols = ds.zipWithIndex.map { case (d, k) =>
+        s"CAST(s.embedding[$d] AS FLOAT) AS f$k" }.mkString(", ")
+      val l2Seed = chain(ds.zipWithIndex.map { case (d, k) =>
+        s"(CAST(e.embedding[$d] AS DOUBLE) - CAST(s.f$k AS DOUBLE))" +
+          s" * (CAST(e.embedding[$d] AS DOUBLE) - CAST(s.f$k AS DOUBLE))" })
+      val meanLists = ds.zipWithIndex.map { case (d, k) =>
+        s"list(CAST(e.embedding[$d] AS DOUBLE) ORDER BY e.ord) AS l$k" }.mkString(", ")
+      val meanCols = (0 until sub).map(k =>
+        s"CAST(list_reduce(l$k, (a, b) -> a + b) / cnt AS FLOAT) AS g$k").mkString(", ")
+      val bookCols = (0 until sub).map(k =>
+        s"COALESCE(mn.g$k, sd.f$k) AS m$k").mkString(", ")
+      val c2 = chain((0 until sub).map(k => s"CAST(m$k AS DOUBLE) * CAST(m$k AS DOUBLE)"))
+      val encDss = dss("e", si)
+      val encDsc = dsc("e", "b", si)
+      s"""greedy$si(it, vids) AS (
+         |  SELECT CAST(1 AS BIGINT), [(SELECT min(vec_id) FROM psample)]
+         |  UNION ALL
+         |  SELECT g.it + 1, list_append(g.vids, (
+         |    SELECT c.vec_id
+         |    FROM psample c JOIN psample s ON list_contains(g.vids, s.vec_id)
+         |    WHERE NOT list_contains(g.vids, c.vec_id)
+         |    GROUP BY c.vec_id
+         |    ORDER BY min(${l2("c", "s")}) DESC, c.vec_id ASC
+         |    LIMIT 1))
+         |  FROM greedy$si g WHERE g.it < $codes),
+         |seedv$si AS (SELECT vids FROM greedy$si WHERE it = $codes),
+         |pseeds$si AS (
+         |  SELECT CAST(list_position(v.vids, s.vec_id) - 1 AS INTEGER) AS j, $seedCols
+         |  FROM seedv$si v, psample s WHERE list_contains(v.vids, s.vec_id)),
+         |sasg$si AS (
+         |  SELECT ord, vec_id, j FROM (
+         |    SELECT e.ord, e.vec_id, s.j,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ($l2Seed) ASC, s.j ASC) AS rn
+         |    FROM psample e CROSS JOIN pseeds$si s) WHERE rn = 1),
+         |mean$si AS (
+         |  SELECT a.j, count(*) AS cnt, $meanLists
+         |  FROM sasg$si a JOIN psample e ON e.vec_id = a.vec_id GROUP BY a.j),
+         |meanv$si AS (SELECT j, $meanCols FROM mean$si),
+         |book$si AS (
+         |  SELECT sd.j, $bookCols
+         |  FROM pseeds$si sd LEFT JOIN meanv$si mn ON mn.j = sd.j),
+         |bookc$si AS (SELECT j, ${(0 until sub).map(k => s"m$k").mkString(", ")}, $c2 AS c2 FROM book$si),
+         |enc$si AS (
+         |  SELECT vec_id, j AS c$si, val AS e$si FROM (
+         |    SELECT e.vec_id, b.j, ($encDss) - (2.0 * ($encDsc)) + b.c2 AS val,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ($encDss) - (2.0 * ($encDsc)) + b.c2 ASC, b.j ASC) AS rn
+         |    FROM corpus e CROSS JOIN bookc$si b) WHERE rn = 1)""".stripMargin
+    }
+    /** all four subspaces' CTE chains */
+    val allSubCtes: String = (0 until mSub).map(subCtes).mkString(",\n")
+    /** per-pair ADC approx: query alias `a` joined to enc codes via
+      * bookc aliases b0..b3 — the `element_at(lut, code+1)` sum; SQL `+`
+      * is left-associative, matching the Scala reduceLeft chain
+      */
+    val approx: String = (0 until mSub).map(si =>
+      s"((${dss("a", si)}) - (2.0 * (${dsc("a", s"b$si", si)})) + b$si.c2)")
+      .mkString(" + ")
+  }
+
+  private def c3pqOracle: String = {
+    import PqSql._
+    s"""WITH RECURSIVE
+       |$corpusCte,
+       |$sampleCte,
+       |$allSubCtes
+       |SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3,
+       |  CAST(floor((((e0.e0 + e1.e1) + e2.e2) + e3.e3) * 1000000) AS BIGINT) AS err_ppm
+       |FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private val c3p = QuerySpec(
     "c3_pq",
-    "Product quantization: 4 subspaces x 16-code L2 codebooks from a deterministic hash-sample k-center build; per-vector sub-codes + reconstruction error (1e-6 floor). No oracle (iterative build); SimSpec pins determinism/spread/error.",
-    None,
+    "Product quantization: 4 subspaces x 16-code L2 codebooks from a deterministic hash-sample k-center build; per-vector sub-codes + reconstruction error (1e-6 floor). Oracle replays the whole build — recursive-CTE farthest-point greedy, ordered-list_reduce Lloyd mean (the JVM's sample-order double fold), empty-cluster keep-seed arm, ADC chains — hash-exact; SimSpec keeps determinism/spread/error pinned.",
+    Some(c3pqOracle),
     (s, d) => {
       import s.implicits._
       pqEncode(s, Tables.embeddings(s, d)).orderBy($"vec_id")
@@ -1820,10 +1993,52 @@ object TierCSim {
     }
   )
 
+  /** DuckDB replay of c3_ann_lsh. The "custom hash" was only ever the
+    * ±1 hyperplane matrix — a FIXED (plane, dim) constant table, so the
+    * builder embeds the 24×64 signs as literals (the c5b_bm25
+    * generated-from-one-list precedent; murmur is evaluated at BUILD
+    * time, never replayed in SQL). Everything else is arithmetic:
+    * adaptive plane count = `ceil(ln(n/64)/ln 2)` on doubles (the sf
+    * grid keeps n off the exact power-of-2 boundaries where libm ulp
+    * could flip the ceil), bucket bits = Σ 2^p·[acc_p ≥ 0] with acc_p a
+    * left-fold chain over the sign row, and the in-bucket pair join +
+    * raw-double cosine re-rank mirrors [[c3ivfOracle]].
+    */
+  private def c3aOracle: String = {
+    import AnnSql.{chain, dotp, n2Emb}
+    val dim = AnnSql.dim
+    val signRows = (0 until 24).map { p =>
+      val sg = (0 until dim).map(i => if (planeSign(p, i) > 0) 1 else -1)
+        .mkString("[", ",", "]")
+      s"($p, ${1 << p}, $sg)"
+    }.mkString(", ")
+    val acc = chain((1 to dim).map(d =>
+      s"CAST(e.embedding[$d] AS DOUBLE) * CAST(s.sg[$d] AS DOUBLE)"))
+    s"""WITH corpus AS (SELECT vec_id, embedding, $n2Emb AS n2 FROM embeddings),
+       |np AS (SELECT least(24, greatest(1,
+       |    CAST(ceil(ln(greatest(1.0, count(*) / 64.0)) / ln(2.0)) AS BIGINT))) AS planes
+       |  FROM corpus),
+       |signs AS (SELECT * FROM (VALUES $signRows) t(p, pw, sg)),
+       |buck AS (
+       |  SELECT e.vec_id, CAST(SUM(CASE WHEN ($acc) >= 0.0 THEN s.pw ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM corpus e JOIN signs s ON s.p < (SELECT planes FROM np)
+       |  GROUP BY e.vec_id),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    (${dotp("ea", "eb")}) / (sqrt(ea.n2) * sqrt(eb.n2)) AS score
+       |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  JOIN corpus ea ON ea.vec_id = a.vec_id
+       |  JOIN corpus eb ON eb.vec_id = b.vec_id),
+       |r AS (SELECT id_a, id_b, score,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS rn
+       |  FROM cand)
+       |SELECT id_a, id_b, score, rn FROM r WHERE rn <= 3 ORDER BY id_a, rn""".stripMargin
+  }
+
   private val c3a = QuerySpec(
     "c3_ann_lsh",
-    "Approximate nearest neighbors: random-hyperplane LSH bucket (plane count adapts to corpus size, ~64 vectors/bucket) + exact cosine re-rank within bucket, top-3. Custom hash ⇒ no oracle; determinism + recall-vs-exact covered by ScalaTest.",
-    None,
+    "Approximate nearest neighbors: random-hyperplane LSH bucket (plane count adapts to corpus size, ~64 vectors/bucket) + exact cosine re-rank within bucket, top-3. Oracle embeds the fixed sign matrix as literals and replays plane count, bucket bits, and raw-double cosine re-rank; recall-vs-exact stays ScalaTest-pinned.",
+    Some(c3aOracle),
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
 

@@ -197,10 +197,50 @@ object TierCText {
     val fp = TextStats.winnow(text)
     (fp.length, fp.min, fp.max)
   }
+  /** DuckDB replay of [[TextStats.winnow]] (converts c4_winnow from
+    * declared-no-oracle to hash-checked). The "custom hash" objection
+    * dissolves on two observations: (1) the Karp-Rabin k-gram hash has a
+    * CLOSED FORM — hashes(i) = Σ_j s(i+j)·Base^(k-1-j) mod 2^64 — that the
+    * Scala rolling update preserves exactly (Long overflow IS mod-2^64
+    * two's complement), so each position is an 8-term chain, no recursion;
+    * (2) DuckDB HUGEINT carries the ≤2^67 intermediate sum, one `% 2^64`
+    * plus a signed fold-down replays JVM wrap bit-for-bit. Window minima
+    * with the rightmost-tie rule = row_number over (hash ASC, i DESC);
+    * consecutive-pick dedup = lag(minIdx). Unreplayed arm: the
+    * text-shorter-than-k fullHash fallback — unreachable on this corpus
+    * (min doc length 48 ≥ k = 8); a regeneration that violates it goes
+    * red loudly. ord() = charAt only on BMP text (corpus is ASCII).
+    */
+  private def c4wOracle: String = {
+    val (k, w) = (8, 4)
+    val m = BigInt(1) << 64
+    val half = BigInt(1) << 63
+    val terms = (0 until k).map(j =>
+      s"CAST(ord(substr(s, CAST(i + $j AS INTEGER), 1)) AS HUGEINT) * ${BigInt(257).pow(k - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS s, length(text) - ${k - 1} AS n FROM documents),
+       |pos AS (SELECT doc_id, s, n, unnest(range(1, n + 1)) AS i FROM d),
+       |h AS (SELECT doc_id, n, i,
+       |    CAST(CASE WHEN hu >= $half THEN hu - $m ELSE hu END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, n, i, ($terms) % $m AS hu FROM pos)),
+       |st AS (SELECT doc_id, n, unnest(range(1, greatest(n - $w + 1, 1) + 1)) AS start FROM d),
+       |cand AS (SELECT st.doc_id, st.start, h.i, h.h,
+       |    row_number() OVER (PARTITION BY st.doc_id, st.start ORDER BY h.h ASC, h.i DESC) AS rn
+       |  FROM st JOIN h ON h.doc_id = st.doc_id
+       |    AND h.i >= st.start AND h.i < least(st.start + $w, st.n + 1)),
+       |mins AS (SELECT doc_id, start, i AS minidx, h FROM cand WHERE rn = 1),
+       |picks AS (SELECT doc_id, minidx, h FROM (
+       |    SELECT doc_id, start, minidx, h,
+       |      lag(minidx) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+       |    FROM mins) WHERE prev IS NULL OR minidx <> prev)
+       |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_fp,
+       |  MIN(h) AS min_fp, MAX(h) AS max_fp
+       |FROM picks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
   private val c4w = QuerySpec(
     "c4_winnow",
-    "Winnowing rolling-hash fingerprints (MOSS-style k-gram Karp-Rabin + window minima): summary stats per document. Custom hash ⇒ not SQL-expressible (no oracle); containment property covered by ScalaTest.",
-    None,
+    "Winnowing rolling-hash fingerprints (MOSS-style k-gram Karp-Rabin + window minima): summary stats per document. Oracle replays the closed-form k-gram hash mod 2^64 via HUGEINT chains plus the rightmost-min/consecutive-dedup winnow in SQL; containment property covered by ScalaTest.",
+    Some(c4wOracle),
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
