@@ -273,17 +273,51 @@ object Spatial {
   )
 
   // ---------------------------------------------------------------- A11j
-  /** No oracle by design: the exact refine's point-segment distance chain
-    * (projection clamps) is not SQL-replayable bit-for-bit, and an argmin
-    * over low-bit-different doubles would flip rows, not just values —
-    * same class as the custom-hash c2/c3 queries. SpatialSpec covers
-    * planted nearest/containment/radius cases and determinism; the
-    * driver's rows-only check still pins cardinality.
+  /** Oracle (r10 — overturns the r9 "not replayable" call): the oracle
+    * does NOT replay the grid machinery, only the exact semantics the
+    * blocked algorithm computes — nearest diamond within r over a plain
+    * cross join. The point-segment clamp chain ([[Wkb.boundaryDistance]]'s
+    * `t = max(0, min(1, dot/len2))`, projected foot, sqrt) IS
+    * SQL-replayable bit-for-bit when written expression-for-expression
+    * (the same discipline that carried c4_winnow/c3_pq this round), so
+    * the argmin over doubles can't flip rows: both engines order
+    * IDENTICAL bits. Containment uses the a11c grid identity (2·|v−c|
+    * on the even-hundredth grid vs odd-hundredth vertex radius — ray
+    * cast ≡ strict L1, boundary unreachable). min over the 4 edges =
+    * `least` (order-free, no NaN). SpatialSpec keeps planted
+    * nearest/containment/radius + determinism pinned.
     */
+  private def a11jOracle: String = {
+    val vr = 15.11 // diamond vertex radius (odd-hundredth, off the grid)
+    val r = 12.5   // search radius
+    val verts = Seq((s"(g.c + $vr)", "g.c"), ("g.c", s"(g.c + $vr)"),
+      (s"(g.c - $vr)", "g.c"), ("g.c", s"(g.c - $vr)"))
+    def seg(i: Int): String = {
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % 4)
+      val dx = s"($x2 - $x1)"
+      val dy = s"($y2 - $y1)"
+      val len2 = s"($dx * $dx + $dy * $dy)"
+      val t = s"greatest(0.0, least(1.0, ((p.px - $x1) * $dx + (p.py - $y1) * $dy) / $len2))"
+      val cx = s"($x1 + $t * $dx)"
+      val cy = s"($y1 + $t * $dy)"
+      s"sqrt((p.px - $cx) * (p.px - $cx) + (p.py - $cy) * (p.py - $cy))"
+    }
+    s"""WITH p AS (SELECT CAST(event_id AS VARCHAR) AS point_id, value AS px, value AS py FROM events),
+       |g AS (SELECT n_nationkey AS poly_id, 20*CAST(n_nationkey AS DOUBLE) AS c FROM nation),
+       |d AS (SELECT p.point_id, g.poly_id,
+       |    CASE WHEN 2*abs(p.px - g.c) < $vr THEN 0.0
+       |         ELSE least(${seg(0)}, ${seg(1)}, ${seg(2)}, ${seg(3)}) END AS dist
+       |  FROM p CROSS JOIN g),
+       |f AS (SELECT point_id, poly_id, dist,
+       |    row_number() OVER (PARTITION BY point_id ORDER BY dist, poly_id) AS rn
+       |  FROM d WHERE dist <= $r)
+       |SELECT point_id, poly_id, dist FROM f WHERE rn = 1 ORDER BY point_id""".stripMargin
+  }
   private val a11j = QuerySpec(
     "a11j_nearest_poly",
-    "Grid-blocked nearest-polygon-within-r JOIN: events points vs 25 nation diamonds, r-ball cell expansion + canonical-cell dedup + exact distance refine (0 when contained), per-point argmin with id tie-break.",
-    None,
+    "Grid-blocked nearest-polygon-within-r JOIN: events points vs 25 nation diamonds, r-ball cell expansion + canonical-cell dedup + exact distance refine (0 when contained), per-point argmin with id tie-break. Oracle replays the SEMANTICS over a plain cross join — L1 containment + the exact point-segment clamp chains, bit-identical doubles so the argmin can't flip.",
+    Some(a11jOracle),
     (s, d) => {
       import s.implicits._
       val points = Tables.events(s, d)
@@ -379,10 +413,63 @@ object Spatial {
     * grid as exact integers, so every cross product and the doubled
     * shoelace area are exact Longs — bit-identical on any partitioning.
     */
+  /** Oracle (r10): the output is two INTEGER invariants of the strict
+    * convex hull (vertex count, exact doubled shoelace area), and the
+    * strict hull vertex set is unique — so the oracle may use a
+    * DIFFERENT algorithm than the engine's monotone chain. It walks a
+    * Jarvis march (recursive CTE, one vectorized anti-join scan per hull
+    * vertex — ~h iterations, not ~2m like a stack-machine replay of the
+    * chain, which measured 130+ s in DuckDB): next vertex = the point
+    * with every other point strictly left of cur→q, farthest-wins on
+    * collinear so interior collinear points drop exactly like the
+    * chain's `cross <= 0` pops. All comparisons are exact BIGINT cross
+    * products on the same 0.01-grid integers the engine aggregates, so
+    * algorithm choice cannot change a single bit of the outputs.
+    */
+  private def a11nOracle: String =
+    """WITH RECURSIVE
+      |raw AS (SELECT event_type AS grp,
+      |    CAST(round(value * 100) AS BIGINT) AS x, user_id * 100 AS y
+      |  FROM events),
+      |np AS (SELECT grp, COUNT(*) AS n_points FROM raw GROUP BY grp),
+      |dpts AS (SELECT DISTINCT grp, x, y FROM raw),
+      |mm AS (SELECT grp, COUNT(*) AS m FROM dpts GROUP BY grp),
+      |st0 AS (SELECT grp, min(struct_pack(a := x, b := y)) AS s FROM dpts GROUP BY grp),
+      |start AS (SELECT grp, s.a AS sx, s.b AS sy FROM st0),
+      |walk(grp, cx, cy, sx, sy, hull, done) AS (
+      |  SELECT grp, sx, sy, sx, sy, [struct_pack(x := sx, y := sy)], FALSE FROM start
+      |  UNION ALL
+      |  SELECT w.grp, q.x, q.y, w.sx, w.sy,
+      |    CASE WHEN q.x = w.sx AND q.y = w.sy THEN w.hull
+      |         ELSE list_append(w.hull, struct_pack(x := q.x, y := q.y)) END,
+      |    (q.x = w.sx AND q.y = w.sy)
+      |  FROM walk w JOIN dpts q
+      |    ON q.grp = w.grp AND (q.x <> w.cx OR q.y <> w.cy)
+      |  WHERE NOT w.done AND NOT EXISTS (
+      |    SELECT 1 FROM dpts r
+      |    WHERE r.grp = w.grp AND (r.x <> w.cx OR r.y <> w.cy)
+      |      AND (r.x <> q.x OR r.y <> q.y)
+      |      AND ((q.x - w.cx) * (r.y - w.cy) - (q.y - w.cy) * (r.x - w.cx) < 0
+      |        OR ((q.x - w.cx) * (r.y - w.cy) - (q.y - w.cy) * (r.x - w.cx) = 0
+      |          AND (q.x - w.cx) * (r.x - w.cx) + (q.y - w.cy) * (r.y - w.cy)
+      |              > (q.x - w.cx) * (q.x - w.cx) + (q.y - w.cy) * (q.y - w.cy))))),
+      |hullf AS (SELECT grp, hull FROM walk WHERE done),
+      |res AS (
+      |  SELECT mm.grp,
+      |    COALESCE(len(h.hull), 1) AS n_hull,
+      |    CAST(CASE WHEN COALESCE(len(h.hull), 1) < 3 THEN 0 ELSE abs((
+      |      SELECT SUM(h.hull[k].x * h.hull[(k % len(h.hull)) + 1].y
+      |               - h.hull[(k % len(h.hull)) + 1].x * h.hull[k].y)
+      |      FROM unnest(range(1, len(h.hull) + 1)) t(k))) END AS BIGINT) AS area2
+      |  FROM mm LEFT JOIN hullf h ON h.grp = mm.grp)
+      |SELECT np.grp AS event_type, np.n_points,
+      |  CAST(r.n_hull AS INTEGER) AS n_hull, r.area2
+      |FROM np JOIN res r ON r.grp = np.grp
+      |ORDER BY event_type""".stripMargin
   private val a11n = QuerySpec(
     "a11n_hull",
-    "Per-event-type convex hull (mergeable monotone-chain aggregate, state = hull not group): vertex count and exact integer doubled area over 0.01-grid quantized event coordinates.",
-    None,
+    "Per-event-type convex hull (mergeable monotone-chain aggregate, state = hull not group): vertex count and exact integer doubled area over 0.01-grid quantized event coordinates. Oracle computes the SAME unique strict hull by Jarvis march (recursive CTE, integer cross products) — algorithm-independent integer invariants hash-match.",
+    Some(a11nOracle),
     (s, d) => {
       import s.implicits._
       Tables.events(s, d)

@@ -374,10 +374,69 @@ object TierB {
   private val cmsEstUdf = udf { (depth: Int, width: Int, counters: Seq[Long], key: Long) =>
     graft.functions.CountMin.Sketch(depth, width, counters.toArray).estimate(key)
   }
+  /** DuckDB replay of the CMS sketch (converts b13c from no-oracle to
+    * hash-checked — the c4_winnow mod-2^64 discipline applied to
+    * splitmix64): each finalizer step is one CTE stage over named
+    * columns (nesting the steps as macros blows the expression tree up
+    * exponentially — measured as a DuckDB parser OOM), the 64-bit
+    * multiply wrap splits at 2^32 so every intermediate fits HUGEINT,
+    * XOR runs in the signed-BIGINT domain (same bits), and `%` on
+    * signed BIGINT is dividend-sign remainder in both engines. Counter
+    * cells are exact integer GROUP BY counts; estimate = least over the
+    * 4 rows with COALESCE 0 for never-touched cells.
+    */
+  private def b13cOracle: String = {
+    val (depth, width) = (4, 1024)
+    val m64 = BigInt(1) << 64
+    val m32 = BigInt(1) << 32
+    val half = BigInt(1) << 63
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    def toU(col: String) =
+      s"(CASE WHEN $col < 0 THEN CAST($col AS HUGEINT) + $m64 ELSE CAST($col AS HUGEINT) END)"
+    def toS(col: String) =
+      s"CAST(CASE WHEN $col >= $half THEN $col - $m64 ELSE $col END AS BIGINT)"
+    def wrapMul(col: String, b: BigInt) =
+      s"(($col % $m32) * $b + ((($col // $m32) * $b) % $m32) * $m32) % $m64"
+    def xs(col: String, sh: Int) =
+      toU(s"xor(${toS(col)}, CAST($col // ${BigInt(1) << sh} AS BIGINT))")
+    def chainCtes(src: String, key: String, pfx: String): String = {
+      val rows = 0 until depth
+      val adds = rows.map(r => (c1 * (r + 1)) % m64)
+      val z0 = rows.map(r => s"((${toU(key)} + ${adds(r)}) % $m64) AS z0_$r").mkString(", ")
+      val x0 = rows.map(r => s"${xs(s"z0_$r", 30)} AS x0_$r").mkString(", ")
+      val z1 = rows.map(r => s"${wrapMul(s"x0_$r", c2)} AS z1_$r").mkString(", ")
+      val x1 = rows.map(r => s"${xs(s"z1_$r", 27)} AS x1_$r").mkString(", ")
+      val z2 = rows.map(r => s"${wrapMul(s"x1_$r", c3)} AS z2_$r").mkString(", ")
+      val bk = rows.map(r =>
+        s"(((${toS(xs(s"z2_$r", 31))} % $width) + $width) % $width) AS b$r").mkString(", ")
+      s"""${pfx}0 AS (SELECT $key, $z0 FROM $src),
+         |${pfx}1 AS (SELECT $key, $x0 FROM ${pfx}0),
+         |${pfx}2 AS (SELECT $key, $z1 FROM ${pfx}1),
+         |${pfx}3 AS (SELECT $key, $x1 FROM ${pfx}2),
+         |${pfx}4 AS (SELECT $key, $z2 FROM ${pfx}3),
+         |${pfx}5 AS (SELECT $key, $bk FROM ${pfx}4)""".stripMargin
+    }
+    val rows = 0 until depth
+    val cnts = rows.map(r =>
+      s"cnt$r AS (SELECT b$r AS b, COUNT(*) AS c FROM kb5 GROUP BY 1)").mkString(",\n")
+    val joins = rows.map(r => s"LEFT JOIN cnt$r ON cnt$r.b = pb5.b$r").mkString("\n")
+    val least = rows.map(r => s"COALESCE(cnt$r.c, 0)").mkString(", ")
+    s"""WITH lk AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
+       |${chainCtes("lk", "k", "kb")},
+       |$cnts,
+       |probes AS (SELECT CAST(i AS BIGINT) AS suppkey FROM range(1, 21) t(i)),
+       |${chainCtes("probes", "suppkey", "pb")}
+       |SELECT pb5.suppkey, least($least) AS est
+       |FROM pb5
+       |$joins
+       |ORDER BY pb5.suppkey""".stripMargin
+  }
   private val b13c = QuerySpec(
     "b13c_countmin",
-    "Count-Min Sketch frequency estimates for supplier keys 1-20 over lineitem (4x1024 fixed-seed sketch; deterministic merge). Custom sketch ⇒ no oracle; CMS bounds asserted in ScalaTest.",
-    None,
+    "Count-Min Sketch frequency estimates for supplier keys 1-20 over lineitem (4x1024 fixed-seed sketch; deterministic merge). Oracle replays splitmix64 bucket hashing mod 2^64 via stepwise HUGEINT CTEs and rebuilds the counter matrix as exact GROUP BY counts; CMS bounds stay asserted in ScalaTest.",
+    Some(b13cOracle),
     (s, d) => {
       import s.implicits._
       val sk = Tables.lineitem(s, d).select($"l_suppkey".cast(LongType).as("k"))
