@@ -525,10 +525,68 @@ object TierA {
     val simp = Wkb.simplify(line, 0.05)
     (Wkb.pointCount(line), Wkb.pointCount(simp))
   }
+  /** Oracle (r10): Douglas-Peucker's recursion IS replayable for this
+    * query because the polyline is 6 fixed-offset vertices per row — the
+    * recursion tree is tiny and data-dependent only in WHICH knee wins,
+    * which a lockstep range-stack handles: a recursive CTE pops one
+    * pending (lo, hi) range per iteration per event (the keep-set is
+    * independent of range-processing order, so stack order is free),
+    * finds the farthest interior vertex via the exact perpDist chain
+    * (same expression-for-expression IEEE discipline as a11j; strict `>`
+    * first-max tie = `ORDER BY dd DESC, j ASC`), and pushes the two
+    * sub-ranges. All events advance together, so total iterations =
+    * the deepest event's split count (~6), not 10000×that.
+    */
+  private def a11pOracle: String = {
+    val eps = 0.05
+    def dd(j: String, lo: String, hi: String): String = {
+      val dx = s"(w.vx[$hi] - w.vx[$lo])"
+      val dy = s"(w.vy[$hi] - w.vy[$lo])"
+      val ln = s"sqrt($dx * $dx + $dy * $dy)"
+      val pt = s"sqrt((w.vx[$j] - w.vx[$lo]) * (w.vx[$j] - w.vx[$lo]) + (w.vy[$j] - w.vy[$lo]) * (w.vy[$j] - w.vy[$lo]))"
+      val seg = s"abs($dx * (w.vy[$lo] - w.vy[$j]) - $dy * (w.vx[$lo] - w.vx[$j])) / $ln"
+      s"CASE WHEN $ln = 0 THEN $pt ELSE $seg END"
+    }
+    val d = dd("t.j", "w.stk[len(w.stk)].lo", "w.stk[len(w.stk)].hi")
+    s"""WITH RECURSIVE
+       |base AS (SELECT CAST(event_id AS VARCHAR) AS fid,
+       |    [value, value + 1.0, value + 2.0, value + 3.0, value + 4.0, value + 5.0] AS vx,
+       |    [CAST(user_id AS DOUBLE), CAST(user_id AS DOUBLE) + 0.01, CAST(user_id AS DOUBLE),
+       |     CAST(user_id AS DOUBLE) + 4.0, CAST(user_id AS DOUBLE), CAST(user_id AS DOUBLE) + 0.02] AS vy
+       |  FROM events),
+       |walk(fid, vx, vy, stk, keep) AS (
+       |  SELECT fid, vx, vy, [struct_pack(lo := 1, hi := 6)],
+       |    [TRUE, FALSE, FALSE, FALSE, FALSE, TRUE]
+       |  FROM base
+       |  UNION ALL
+       |  SELECT w.fid, w.vx, w.vy,
+       |    CASE WHEN best IS NULL THEN rest
+       |         ELSE list_concat(rest, [struct_pack(lo := lo, hi := best),
+       |                                 struct_pack(lo := best, hi := hi)]) END,
+       |    CASE WHEN best IS NULL THEN w.keep
+       |         ELSE list_transform(range(1, 7), i -> w.keep[CAST(i AS INTEGER)] OR i = best) END
+       |  FROM (
+       |    SELECT w.fid, w.vx, w.vy, w.keep,
+       |      w.stk[len(w.stk)].lo AS lo, w.stk[len(w.stk)].hi AS hi,
+       |      w.stk[1:len(w.stk) - 1] AS rest,
+       |      CASE WHEN w.stk[len(w.stk)].hi > w.stk[len(w.stk)].lo + 1 THEN (
+       |        SELECT t.j FROM (
+       |          SELECT CAST(u.j AS INTEGER) AS j FROM unnest(range(w.stk[len(w.stk)].lo + 1, w.stk[len(w.stk)].hi)) u(j)
+       |        ) t(j)
+       |        WHERE ($d) > $eps
+       |        ORDER BY ($d) DESC, t.j ASC
+       |        LIMIT 1) END AS best
+       |    FROM walk w WHERE len(w.stk) > 0
+       |  ) w(fid, vx, vy, keep, lo, hi, rest, best))
+       |SELECT fid AS feature_id, CAST(6 AS INTEGER) AS n_before,
+       |  CAST(len(list_filter(keep, k -> k)) AS INTEGER) AS n_after
+       |FROM walk WHERE len(stk) = 0
+       |ORDER BY feature_id""".stripMargin
+  }
   private val a11p = QuerySpec(
     "a11p_simplify",
-    "Douglas-Peucker polyline simplification per event (6-vertex zigzag, eps=0.05): vertex counts before/after — near-collinear knees dropped, real spikes kept.",
-    None,
+    "Douglas-Peucker polyline simplification per event (6-vertex zigzag, eps=0.05): vertex counts before/after — near-collinear knees dropped, real spikes kept. Oracle replays the DP recursion as a lockstep range-stack recursive CTE with the exact perpDist IEEE chains.",
+    Some(a11pOracle),
     (s, d) => {
       import s.implicits._
       Tables.events(s, d)
