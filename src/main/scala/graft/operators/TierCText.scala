@@ -1283,6 +1283,66 @@ object TierCText {
     * so AQE's skew-join split handles it without semantic change
     * (ScaleSpec audits the no-BNLJ/AQE degradation path).
     */
+  // ---------------------------- per-source distribution drift (c4_kl_drift)
+  /** Per-source unigram KL divergence against the whole corpus — the
+    * data-mixture drift monitor a pipeline watches as new crawls land:
+    * KL(P_source ‖ P_corpus) spikes when a source's token distribution
+    * shifts away from the blend the model was tuned on. Complements
+    * [[c4u]]: that scores each DOCUMENT under one corpus LM; this scores
+    * each SOURCE's distribution as a whole.
+    *
+    * Exactness: float Σ over thousands of tokens is partition-order-
+    * dependent, so each distinct token contributes an INTEGER
+    * `floor(term · 1e9)` where term = (c_st/t_s)·ln((c_st·N)/(t_s·c_t))
+    * — the identical IEEE chain on both engines (c4u's discipline one
+    * level up); the per-source sum is then exact. KL ≥ 0 up to per-term
+    * floor error; the quantized value is bit-replayable either way.
+    *
+    * Scale shape: one token explosion feeding (a) per-(source, token)
+    * counts, (b) per-source totals (|sources| rows, broadcast), (c)
+    * corpus token counts — (a) joins (c) on the token (posting-list
+    * equi-join, AQE splits the Zipf head), then ONE |sources|-row agg.
+    */
+  private val c4kl = QuerySpec(
+    "c4_kl_drift",
+    "Per-source unigram KL divergence vs the corpus blend (mixture drift monitor): per-token integer-quantized (p_s*ln(p_s/p_corpus))*1e9 contributions, exact per-source sums; posting-list join, one small agg.",
+    Some("""WITH t AS (SELECT source, unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS token
+              FROM documents),
+            st AS (SELECT source, token, COUNT(*) AS cst FROM t GROUP BY source, token),
+            ts AS (SELECT source, COUNT(*) AS tot_s FROM t GROUP BY source),
+            ct AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+            n AS (SELECT COUNT(*) AS total FROM t),
+            terms AS (SELECT st.source,
+                CAST(floor((CAST(st.cst AS DOUBLE) / CAST(ts.tot_s AS DOUBLE))
+                  * ln((CAST(st.cst AS DOUBLE) * CAST(n.total AS DOUBLE))
+                       / (CAST(ts.tot_s AS DOUBLE) * CAST(ct.c AS DOUBLE))) * 1000000000.0) AS BIGINT) AS q
+              FROM st JOIN ts ON ts.source = st.source
+              JOIN ct ON ct.token = st.token CROSS JOIN n)
+            SELECT source, COUNT(*) AS n_distinct,
+              CAST(SUM(q) AS BIGINT) AS kl_e9
+            FROM terms GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val t = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"source", explode(toksCol).as("token")))
+      val st = t.groupBy($"source", $"token").agg(count(lit(1)).as("cst"))
+      val ts = t.groupBy($"source").agg(count(lit(1)).as("tot_s"))
+      val ct = t.groupBy($"token").agg(count(lit(1)).as("c"))
+      val n = t.agg(count(lit(1)).as("total"))
+      st.join(broadcast(ts), Seq("source"))
+        .join(ct, Seq("token"))
+        .crossJoin(broadcast(n))
+        .select($"source",
+          floor(($"cst".cast(DoubleType) / $"tot_s".cast(DoubleType))
+            * log(($"cst".cast(DoubleType) * $"total".cast(DoubleType))
+              / ($"tot_s".cast(DoubleType) * $"c".cast(DoubleType))) * 1000000000.0)
+            .cast(LongType).as("q"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_distinct"), sum($"q").cast(LongType).as("kl_e9"))
+        .orderBy($"source")
+    }
+  )
+
   private val c4u = QuerySpec(
     "c4_unigram_ce",
     "Unigram cross-entropy quality proxy: per-token-instance floor(ln(corpus_p)*1e6) integer contributions, exact per-doc sums, mean CE at a second exact floor; posting-list join, no caps needed.",
@@ -1662,5 +1722,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4bg, c4ss, c4z, c4x, c4k, c4bp)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4bg, c4kl, c4ss, c4z, c4x, c4k, c4bp)
 }

@@ -34,6 +34,27 @@ class TablesSpec extends AnyFunSuite {
         "extend the match in Tables.events")
   }
 
+  test("documents/embeddings keep the shapes 60+ queries assume") {
+    // same insurance class as the events.ts canary: if a testdata
+    // regeneration changes these, fail ONE pointed test here instead of
+    // an analysis exception mid-suite in whichever query reads it first
+    val doc = Tables.documents(s, dir).schema
+    assert(doc("doc_id").dataType == org.apache.spark.sql.types.LongType, doc.treeString)
+    assert(doc("text").dataType == org.apache.spark.sql.types.StringType, doc.treeString)
+    val emb = Tables.embeddings(s, dir).schema
+    assert(emb("vec_id").dataType == org.apache.spark.sql.types.LongType, emb.treeString)
+    assert(emb("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true) ||
+      emb("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false),
+      s"embedding must stay array<float> (the 64-term oracle chains and " +
+        s"native codegen expressions assume it): ${emb("embedding").dataType}")
+    val dims = Tables.embeddings(s, dir)
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64),
+      s"embedding dim changed to $dims — the AnnSql/PqSql oracle builders hardcode 64")
+  }
+
   test("events.ts values are sane after normalization (epoch range + non-null)") {
     val row = Tables.events(s, dir)
       .agg(min(unix_micros(col("ts"))).as("lo"),
