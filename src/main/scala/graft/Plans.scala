@@ -112,6 +112,12 @@ object Plans {
       "map-side, and the probe joins are the TF-IDF posting-list shape — " +
       "per probe row exactly one count row, AQE splits the Zipf-head " +
       "history key."),
+    "c4_kl_drift" -> ("Per-source KL drift: the token explosion is cached " +
+      "once and feeds three partial-aggregated counts; per-source totals " +
+      "and the corpus total ride broadcasts (|sources| and 1 row), the " +
+      "(source, token) probe joins the corpus vocab on the token, and the " +
+      "final agg is |sources| rows — integer-quantized terms, no float " +
+      "summation order anywhere."),
   )
 
   def main(args: Array[String]): Unit = {
