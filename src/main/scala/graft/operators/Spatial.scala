@@ -877,16 +877,13 @@ object Spatial {
         }.toDF("fence_id", "fence_wkb")
         val points = Tables.events(s, d)
           .select($"event_id".cast(StringType).as("event_id"),
-            pointUdf($"value", $"value").as("geom_wkb"))
+            TierA.wkbPointUdf($"value", $"value").as("geom_wkb"))
         graft.streaming.FeaturePipeline.geofenceAlerts(points, fences)
           .select($"event_id", $"fence_id")
           .orderBy($"event_id", $"fence_id")
       }
     )
   }
-
-  private val pointUdf: UserDefinedFunction =
-    udf { (x: Double, y: Double) => Wkb.point(x, y) }
 
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t, a11u, a11v, a11w)

@@ -32,7 +32,7 @@ object TierA {
       MsgPack.pack(Feature(layer, fid, wkb, props, tsUs, source, ver))
   }
   private val unpackUdf: UserDefinedFunction = udf { (b: Array[Byte]) => MsgPack.unpack(b) }
-  private val wkbPointUdf: UserDefinedFunction = udf { (x: Double, y: Double) => Wkb.point(x, y) }
+  private[operators] val wkbPointUdf: UserDefinedFunction = udf { (x: Double, y: Double) => Wkb.point(x, y) }
   private val geomTypeUdf: UserDefinedFunction = udf { (b: Array[Byte]) => Wkb.geomType(b) }
   private val bboxUdf: UserDefinedFunction = udf { (b: Array[Byte]) => Wkb.bbox(b) }
   private val inBoxUdf: UserDefinedFunction =

@@ -1810,7 +1810,12 @@ object TierCSim {
     */
   private object PqSql {
     val (mSub, codes, sampleN, sub) = (4, 16, 256, 16)
-    def chain(ts: Seq[String]): String = ts.mkString(" + ")
+    /** delegate — ONE definition of the left-associative chain builder
+      * per file, because every c3 oracle's bit-exactness hangs on it
+      * (TierC keeps its own local dotChain/dotChainN under the same
+      * discipline)
+      */
+    def chain(ts: Seq[String]): String = AnnSql.chain(ts)
     val corpusCte = "corpus AS (SELECT vec_id, embedding FROM embeddings)"
     val sampleCte: String =
       s"""psample AS (SELECT vec_id, embedding, row_number() OVER (ORDER BY h, vec_id) AS ord FROM

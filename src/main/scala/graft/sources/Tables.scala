@@ -44,7 +44,14 @@ object Tables {
           "timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
       case TimestampNTZType =>
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df
+      // no silent pass-through: an unhandled physical shape must name the
+      // loader HERE (both in tests and in Verify's direct runs), not crash
+      // as an analysis exception in whichever query touches ts first —
+      // the r9 failure mode this loader exists to eliminate
+      case other => throw new IllegalStateException(
+        s"Tables.events: unhandled physical type $other for events.ts — " +
+          "add a normalization arm in sources/Tables.scala")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -53,6 +53,16 @@ class TablesSpec extends AnyFunSuite {
       .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0)).toSet
     assert(dims == Set(64),
       s"embedding dim changed to $dims — the AnnSql/PqSql oracle builders hardcode 64")
+    // zero-norm vectors make cosine 0/0 = NaN, and Scala's `c > maxSim`
+    // (never updates on NaN) diverges from DuckDB's NaN-last ordering in
+    // the k-center oracle replay — if a regeneration ships one, fail HERE
+    val zeroNorm = Tables.embeddings(s, dir)
+      .filter(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) === 0.0d)
+      .count()
+    assert(zeroNorm == 0L,
+      s"$zeroNorm zero-norm embedding rows — NaN cosines would split the " +
+        "engine and the c3 k-center oracles (TierCSim.AnnSql) on tie order")
   }
 
   test("events.ts values are sane after normalization (epoch range + non-null)") {
