@@ -914,6 +914,76 @@ object TierCSim {
     (1 to 64).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
 
+  // ---------------------------------------------- SemDeDup (c2_semdedup)
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, public arXiv
+    * 2303.09540): cluster the embedding space with the k-center coarse
+    * quantizer, then ONLY within each cell build the cosine ≥ τ duplicate
+    * graph, connect components, and keep one representative per
+    * component. The cell blocking is the scale move — candidate pairs are
+    * bounded by cell population (~128), never corpus² — and accepting
+    * cross-cell misses is the algorithm's documented trade. Deviation
+    * from the paper's keep-rule: we keep the LOWEST vec_id per component
+    * (deterministic, partition-invariant) instead of
+    * lowest-centroid-similarity; the paper itself treats the choice as a
+    * free policy. τ = 0.4 fits the synthetic corpus's cosine range (max
+    * pair ≈ 0.51); real near-dup corpora run ~0.95+.
+    *
+    * Oracle: [[AnnSql.prefix]]'s quantizer + assignment (proven by
+    * c3_ivf) + the same left-fold cosine chain per within-cell pair +
+    * the c2_cluster recursive-CTE reachability for components — the
+    * first oracle that composes the ANN machinery with graph CC.
+    */
+  private val SemDedupTau = 0.4
+  private def c2sdOracle: String = {
+    import AnnSql.dotp
+    s"""WITH RECURSIVE
+       |${AnnSql.prefix},
+       |${AnnSql.asgCte("asg", "seeds0")},
+       |prs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN corpus ea ON ea.vec_id = a.vec_id
+       |  JOIN corpus eb ON eb.vec_id = b.vec_id
+       |  WHERE (${dotp("ea", "eb")}) / (sqrt(ea.n2) * sqrt(eb.n2)) >= $SemDedupTau),
+       |ed AS (SELECT id_a AS s, id_b AS d FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+       |reach AS (SELECT vec_id AS id, vec_id AS root FROM corpus
+       |  UNION
+       |  SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id),
+       |lab AS (SELECT id, MIN(root) AS rep FROM reach GROUP BY id)
+       |SELECT l.id AS vec_id, CAST(g.cell AS INTEGER) AS cell, l.rep AS rep_id,
+       |  (l.id = l.rep) AS kept
+       |FROM lab l JOIN asg g ON g.vec_id = l.id
+       |ORDER BY vec_id""".stripMargin
+  }
+  private val c2sd = QuerySpec(
+    "c2_semdedup",
+    "SemDeDup semantic dedup: k-center cells block the candidate space, within-cell cosine >= 0.4 pairs form the duplicate graph, star-contraction components pick one representative (lowest vec_id) per group; per-vector cell, representative, and kept flag. Oracle composes the AnnSql quantizer replay with recursive-CTE reachability.",
+    Some(c2sdOracle),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          TierC.dot($"embedding", $"embedding").as("n2")))
+      val nCells = ivfCells(e.count())
+      val seeds = graft.functions.VectorExprs.broadcastSeeds(s,
+        kCenterSeeds(md5Sample(e, 1024), nCells))
+      val assigned = CacheRegistry.persist(e.withColumn("cell", cellAssignCol(seeds)))
+      val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"),
+        $"cell", $"n2".as("na2"))
+      val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("eb"),
+        $"cell".as("cell_r"), $"n2".as("nb2"))
+      val pairs = a.join(b, $"cell" === $"cell_r" && $"id_a" < $"id_b")
+        .filter(TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")) >= SemDedupTau)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+      val nodes = assigned.select($"vec_id".as("id"))
+      connectedComponentsStar(s, nodes, pairs)
+        .join(assigned.select($"vec_id".as("id"), $"cell"), Seq("id"))
+        .select($"id".as("vec_id"), $"cell", $"cluster".as("rep_id"),
+          ($"id" === $"cluster").as("kept"))
+        .orderBy($"vec_id")
+    }
+  )
+
   private val EmbedThreshold = 0.4
   private val c2e = QuerySpec(
     "c2_embed_neardup",
@@ -2165,5 +2235,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq)
 }
