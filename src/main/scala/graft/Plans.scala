@@ -118,6 +118,11 @@ object Plans {
       "(source, token) probe joins the corpus vocab on the token, and the " +
       "final agg is |sources| rows — integer-quantized terms, no float " +
       "summation order anywhere."),
+    "c2_semdedup" -> ("SemDeDup: cell assignment is one broadcast-seed " +
+      "codegen node, the duplicate-pair join is the audited cell " +
+      "equi-join (pairs bounded by cell population, never corpus^2), and " +
+      "components reuse star-contraction's O(log n) rounds — the whole " +
+      "stage inherits the c3_ivf + c2_cluster plan shapes."),
   )
 
   def main(args: Array[String]): Unit = {

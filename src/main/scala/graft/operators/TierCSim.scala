@@ -934,6 +934,35 @@ object TierCSim {
     * first oracle that composes the ANN machinery with graph CC.
     */
   private val SemDedupTau = 0.4
+
+  /** The SemDeDup stage as a reusable operator (see [[c2sd]] for the full
+    * design note): cells from the k-center quantizer, within-cell cosine
+    * ≥ tau duplicate graph, star-contraction components, lowest-id
+    * representative. `embeddings` needs (vec_id, embedding).
+    */
+  def semDedup(s: SparkSession, embeddings: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val e = CacheRegistry.persist(embeddings
+      .select($"vec_id", $"embedding",
+        TierC.dot($"embedding", $"embedding").as("n2")))
+    val nCells = ivfCells(e.count())
+    val seeds = graft.functions.VectorExprs.broadcastSeeds(s,
+      kCenterSeeds(md5Sample(e, 1024), nCells))
+    val assigned = CacheRegistry.persist(e.withColumn("cell", cellAssignCol(seeds)))
+    val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"),
+      $"cell", $"n2".as("na2"))
+    val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("eb"),
+      $"cell".as("cell_r"), $"n2".as("nb2"))
+    val pairs = a.join(b, $"cell" === $"cell_r" && $"id_a" < $"id_b")
+      .filter(TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")) >= tau)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val nodes = assigned.select($"vec_id".as("id"))
+    connectedComponentsStar(s, nodes, pairs)
+      .join(assigned.select($"vec_id".as("id"), $"cell"), Seq("id"))
+      .select($"id".as("vec_id"), $"cell", $"cluster".as("rep_id"),
+        ($"id" === $"cluster").as("kept"))
+  }
+
   private def c2sdOracle: String = {
     import AnnSql.dotp
     s"""WITH RECURSIVE
@@ -961,26 +990,7 @@ object TierCSim {
     Some(c2sdOracle),
     (s, d) => {
       import s.implicits._
-      val e = CacheRegistry.persist(Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding",
-          TierC.dot($"embedding", $"embedding").as("n2")))
-      val nCells = ivfCells(e.count())
-      val seeds = graft.functions.VectorExprs.broadcastSeeds(s,
-        kCenterSeeds(md5Sample(e, 1024), nCells))
-      val assigned = CacheRegistry.persist(e.withColumn("cell", cellAssignCol(seeds)))
-      val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("ea"),
-        $"cell", $"n2".as("na2"))
-      val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("eb"),
-        $"cell".as("cell_r"), $"n2".as("nb2"))
-      val pairs = a.join(b, $"cell" === $"cell_r" && $"id_a" < $"id_b")
-        .filter(TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")) >= SemDedupTau)
-        .select($"id_a".as("src"), $"id_b".as("dst"))
-      val nodes = assigned.select($"vec_id".as("id"))
-      connectedComponentsStar(s, nodes, pairs)
-        .join(assigned.select($"vec_id".as("id"), $"cell"), Seq("id"))
-        .select($"id".as("vec_id"), $"cell", $"cluster".as("rep_id"),
-          ($"id" === $"cluster").as("kept"))
-        .orderBy($"vec_id")
+      semDedup(s, Tables.embeddings(s, d), SemDedupTau).orderBy($"vec_id")
     }
   )
 

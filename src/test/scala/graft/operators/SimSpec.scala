@@ -142,6 +142,32 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("semDedup: planted dup pair + triple collapse to lowest-id reps, orthogonal survives") {
+    import spark.implicits._
+    def v(hot: Int, tilt: Int = -1): Seq[Float] =
+      (0 until 64).map(i =>
+        if (i == hot) 1.0f else if (i == tilt) 0.01f else 0.0f)
+    // {0,1} dup pair, {2,3,4} dup triple (all pairwise cos ~0.9999),
+    // 5 orthogonal singleton; 6 vecs -> ONE k-center cell, so blocking
+    // cannot hide any pair and the component structure is fully exercised
+    val vecs = Seq(
+      (0L, v(0)), (1L, v(0, 1)),
+      (2L, v(2)), (3L, v(2, 3)), (4L, v(2, 4)),
+      (5L, v(5))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TierCSim.semDedup(spark, df, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    val got = run(vecs)
+    assert(got == Seq((0L, 0L, true), (1L, 0L, false),
+      (2L, 2L, true), (3L, 2L, false), (4L, 2L, false),
+      (5L, 5L, true)), got.mkString(","))
+    // partition invariance: pairs, CC, and the rep join all shuffle —
+    // none may depend on input layout
+    val again = run(vecs.repartition(5))
+    assert(again == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("incrementalNearDup: old dups reject, prior-new chain rejects conservatively, fresh admits") {
     import spark.implicits._
     val baseToks = (1 to 60).map(i => s"w$i")
