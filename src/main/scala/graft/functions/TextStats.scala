@@ -117,6 +117,32 @@ object TextStats {
     * default strategy is the fixed zlib algorithm: bit-deterministic
     * across JVMs, rows, and partitionings.
     */
+  /** Character-level Shannon entropy, integer-quantized for exact replay:
+    * each distinct character contributes floor(p·ln(p)·1e9) as a Long —
+    * the identical IEEE chain DuckDB computes from its per-char GROUP BY
+    * counts — and the per-doc sum of integers is iteration-order-free, so
+    * the map-side UDF and the oracle's explode/agg path land on the same
+    * bits. Returns (n_chars, n_distinct_chars, ent_e9 = −Σ floor terms).
+    */
+  def charEntropyE9(s: String): (Long, Long, Long) = {
+    val n = s.length
+    if (n == 0) return (0L, 0L, 0L)
+    val counts = new java.util.HashMap[Char, Long]()
+    var i = 0
+    while (i < n) {
+      counts.merge(s.charAt(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      val p = c.toDouble / n.toDouble
+      acc += math.floor(p * math.log(p) * 1000000000.0).toLong
+    }
+    (n.toLong, counts.size.toLong, -acc)
+  }
+
   def deflateLen(text: String): Long = {
     val d = new java.util.zip.Deflater(6, false)
     d.setInput(text.getBytes("UTF-8"))

@@ -1090,6 +1090,59 @@ object TierCText {
     (s, d) => sourceMixResample(s, Tables.documents(s, d))
   )
 
+  // ----------------------------------- temperature resampling (c1l)
+  /** Temperature-scaled source mixing — the multilingual/mixture rule
+    * (`p_s ∝ n_s^α`, the mT5-style sampler) that UPWEIGHTS small sources
+    * instead of taking fixed target weights like [[c1g]]: with α = 1/2
+    * the weight is `sqrt(n_s)`, so a 100× bigger source is sampled only
+    * 10× as often. α is pinned to 1/2 specifically because `sqrt` is
+    * IEEE-correctly-rounded on BOTH engines while libm `pow` is not —
+    * general α would need quantized weights. Everything downstream
+    * (rate = w·T/n_s with T = min(n_s/w), md5-prefix draw, broadcast
+    * rate join, map-side filter) is [[sourceMixResample]]'s audited
+    * machinery with the weight expression swapped.
+    */
+  private val c1l = QuerySpec(
+    "c1l_temperature_mix",
+    "Temperature-scaled source resampling (p_s ~ n_s^(1/2), the multilingual upweighting rule): rate = sqrt(n_s)*T/n_s with T = min(n_s/sqrt(n_s)), md5-prefix draw; per-source totals, kept counts, kept-id range.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              substr(md5(text), 1, 8) AS draw
+              FROM documents),
+            n AS (SELECT source, sqrt(CAST(COUNT(*) AS DOUBLE)) AS w, COUNT(*) AS n_s
+              FROM t GROUP BY source),
+            m AS (SELECT MIN(CAST(n_s AS DOUBLE) / w) AS tmax FROM n),
+            r AS (SELECT source, w * tmax / CAST(n_s AS DOUBLE) AS rate
+                  FROM n CROSS JOIN m),
+            k AS (SELECT t.doc_id, t.source,
+                (rate >= 1.0 OR draw < printf('%08x', CAST(floor(rate*4294967296.0) AS BIGINT))) AS kept
+              FROM t JOIN r ON t.source = r.source)
+            SELECT source, COUNT(*) AS n_total,
+              COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+              MIN(CASE WHEN kept THEN doc_id END) AS first_kept,
+              MAX(CASE WHEN kept THEN doc_id END) AS last_kept
+            FROM k GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val t = docs.select($"doc_id", $"source", substring(md5($"text"), 1, 8).as("draw"))
+      val n = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+        .select($"source", sqrt($"n_s".cast(DoubleType)).as("w"), $"n_s")
+      val tmax = n.agg(min($"n_s".cast(DoubleType) / $"w").as("tmax"))
+      val rates = n.crossJoin(broadcast(tmax))
+        .select($"source", ($"w" * $"tmax" / $"n_s".cast(DoubleType)).as("rate"))
+      t.join(broadcast(rates), "source")
+        .select($"doc_id", $"source",
+          ($"rate" >= 1.0 ||
+            $"draw" < format_string("%08x", floor($"rate" * 4294967296.0).cast(LongType))).as("kept"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when($"kept", 1)).as("n_kept"),
+          min(when($"kept", $"doc_id")).as("first_kept"),
+          max(when($"kept", $"doc_id")).as("last_kept"))
+        .orderBy($"source")
+    }
+  )
+
   /** The c1g body on any (doc_id, source, text) frame — source weight =
     * (source-name index % 4) + 1, see [[c1g]]'s design note.
     */
@@ -1283,6 +1336,43 @@ object TierCText {
     * so AQE's skew-join split handles it without semantic change
     * (ScaleSpec audits the no-BNLJ/AQE degradation path).
     */
+  // ------------------------------------------ char entropy (c4_entropy)
+  /** Character-entropy gibberish detector — the quality-filter member the
+    * repetition/compression signals don't give: random byte soup scores
+    * HIGH entropy, single-char spam scores near zero, natural text sits
+    * in a narrow band (the C4/Gopher symbol-heuristic family). Map-side
+    * scalar UDF over the lowered text; at 100 TB this is scan → count →
+    * write, no shuffle beyond the presentation sort. Exactness: per-char
+    * floor(p·ln p·1e9) integer terms ([[TextStats.charEntropyE9]]) — the
+    * oracle rebuilds the same integers from a per-char GROUP BY and the
+    * integer sum is order-free on both engines.
+    */
+  private val entropyUdf = udf { (text: String) =>
+    TextStats.charEntropyE9(if (text == null) "" else text)
+  }
+  private val c4en = QuerySpec(
+    "c4_entropy",
+    "Character-entropy quality signal: per-doc char count, distinct-char count, and integer-quantized Shannon entropy (1e-9 nats) over lowered text — gibberish scores high, spam near zero.",
+    Some("""WITH c AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch,
+              length(lower(text)) AS len FROM documents),
+            k AS (SELECT doc_id, ch, len, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch, len),
+            t AS (SELECT doc_id, len,
+              CAST(floor((CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE))
+                * ln(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) * 1000000000.0) AS BIGINT) AS q
+              FROM k)
+            SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
+              COUNT(*) AS n_distinct_chars, CAST(-SUM(q) AS BIGINT) AS ent_e9
+            FROM t GROUP BY doc_id, len ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", entropyUdf(lower($"text")).as("e"))
+        .select($"doc_id", $"e._1".as("n_chars"),
+          $"e._2".as("n_distinct_chars"), $"e._3".as("ent_e9"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------------- fuzzy title join (c2_fuzzy)
   /** Fuzzy-string record linkage — the entity-resolution primitive the
     * near-dup family doesn't cover: two records whose TITLES differ by a
@@ -1775,5 +1865,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1h, c1k, c4y, c4u, c4bg, c4kl, c2fz, c4ss, c4z, c4x, c4k, c4bp)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1h, c1k, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp)
 }
