@@ -82,12 +82,15 @@ object TextStats {
     h
   }
 
-  /** 64-bit token hash for SimHash: two fixed-seed murmur32 halves. */
-  def tokenHash64(t: String): Long = {
-    val hi = scala.util.hashing.MurmurHash3.stringHash(t, 0x1b873593)
-    val lo = scala.util.hashing.MurmurHash3.stringHash(t, 0x61c88647)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
-  }
+  /** 64-bit token hash for SimHash: first 8 md5 bytes (r11, replaces the
+    * two murmur32 halves) — so bit b of the hash is a fixed nibble-shift
+    * of one md5 hex char and the whole signature replays in DuckDB SQL
+    * (strpos hex parse → per-bit votes → HUGEINT bit assembly), converting
+    * `c2_simhash`/`c2_simhash_pairs` from declared-no-oracle to
+    * hash-checked. Locality is unchanged: any uniform 64-bit token hash
+    * gives the sign-sum concentration SimHash relies on.
+    */
+  def tokenHash64(t: String): Long = MinHash.md5Long(t)
 
   /** 64-bit SimHash over a token multiset: per bit, +1 for set / -1 for
     * clear across all token hashes; result bit = sign. Near-identical

@@ -650,6 +650,66 @@ object Wkb {
     total
   }
 
+  /** Outer ring of the first polygon member, as written (closed if the
+    * writer closed it) — the decode side of the constructive-geometry ops.
+    */
+  def outerRing(wkb: Array[Byte]): Seq[(Double, Double)] =
+    areaRingsGrouped(wkb).head.head.toSeq
+
+  /** Constructive geometry: Sutherland–Hodgman clip of the polygon's outer
+    * ring against the axis-aligned rectangle [x0,x1]×[y0,y1], producing a
+    * NEW polygon WKB (the first geometry-producing op beyond hull/simplify
+    * — closes the r10 verdict's "constructive geometry" gap). Null when
+    * the intersection is empty.
+    *
+    * Determinism contract (oracle-replayable): stages run in the fixed
+    * order left(x≥x0) → right(x≤x1) → bottom(y≥y0) → top(y≤y1); each
+    * stage walks directed edges (v, w=cyclic next) emitting the boundary
+    * crossing first (iff inside(v) ≠ inside(w)) and then w (iff w is
+    * inside) — the classic SH order. Crossings use the literal IEEE
+    * chains
+    *   vertical  : (b, v.y + (b − v.x)/(w.x − v.x) · (w.y − v.y))
+    *   horizontal: (v.x + (b − v.y)/(w.y − v.y) · (w.x − v.x), b)
+    * which the a11x oracle writes out verbatim (the a11g shoelace replay
+    * pattern), so every output vertex is bit-identical across engines.
+    * The divisor is never zero: an edge can only cross a line it is not
+    * parallel to. Scale: per-row map-side work, no state.
+    */
+  def clipPolygonRect(wkb: Array[Byte], x0: Double, y0: Double,
+      x1: Double, y1: Double): Array[Byte] = {
+    val ring0 = areaRingsGrouped(wkb).head.head
+    var pts: IndexedSeq[(Double, Double)] =
+      if (ring0.length > 1 && ring0(ring0.length - 1) == ring0(0))
+        ring0.toIndexedSeq.dropRight(1)
+      else ring0.toIndexedSeq
+    def pass(in: IndexedSeq[(Double, Double)], vertical: Boolean,
+        b: Double, keepGE: Boolean): IndexedSeq[(Double, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val n = in.length
+      def inside(p: (Double, Double)): Boolean = {
+        val c = if (vertical) p._1 else p._2
+        if (keepGE) c >= b else c <= b
+      }
+      var i = 0
+      while (i < n) {
+        val v = in(i)
+        val w = in((i + 1) % n)
+        if (inside(v) != inside(w)) {
+          if (vertical) out += ((b, v._2 + (b - v._1) / (w._1 - v._1) * (w._2 - v._2)))
+          else out += ((v._1 + (b - v._2) / (w._2 - v._2) * (w._1 - v._1), b))
+        }
+        if (inside(w)) out += w
+        i += 1
+      }
+      out.toIndexedSeq
+    }
+    pts = pass(pts, vertical = true, x0, keepGE = true)
+    if (pts.nonEmpty) pts = pass(pts, vertical = true, x1, keepGE = false)
+    if (pts.nonEmpty) pts = pass(pts, vertical = false, y0, keepGE = true)
+    if (pts.nonEmpty) pts = pass(pts, vertical = false, y1, keepGE = false)
+    if (pts.isEmpty) null else polygon(Seq(pts :+ pts.head))
+  }
+
   /** Rings grouped per polygon member (ring 0 = outer, rest = holes). */
   private def areaRingsGrouped(wkb: Array[Byte]): Seq[Seq[Array[(Double, Double)]]] = {
     val bb = ByteBuffer.wrap(wkb)

@@ -597,6 +597,114 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------------- A11x
+  /** Constructive geometry (r10 verdict gap #2): rectangle clip producing
+    * a NEW polygon, not just a predicate/measure. The engine path is
+    * WKB → [[Wkb.clipPolygonRect]] → WKB → decode-and-measure, so the
+    * oracle checks the full constructive roundtrip; per-feature work is
+    * map-side scalar (100 TB shape: embarrassingly parallel, no state).
+    *
+    * Oracle replay: the four Sutherland–Hodgman half-plane passes unroll
+    * as four CTE stages — lead-with-wrap pairs each vertex with its
+    * cyclic successor, crossings/keeps emit with a (seq, ord) sub-order,
+    * row_number re-sequences — with the crossing chains written verbatim
+    * from [[Wkb.clipPolygonRect]]'s doc. Aggregates are order-free by
+    * construction: the doubled-shoelace terms and min-coords are
+    * floor-quantized to e6 Longs BEFORE summing/min-ing (the c4_entropy
+    * integer-quantization discipline), so partitioning can't reorder
+    * float adds. Features whose clip is empty vanish from both sides
+    * (no vertex rows), keeping the row sets aligned with no null arm.
+    */
+  private val ClipR = 120.17
+  private val (clipX0, clipY0, clipX1, clipY1) = (30.007, -10.003, 170.013, 150.017)
+  private val clipUdf: UserDefinedFunction = udf { (cx: Double, cy: Double) =>
+    val diamond = Wkb.polygon(Seq(Seq(
+      (cx + ClipR, cy), (cx, cy + ClipR), (cx - ClipR, cy), (cx, cy - ClipR), (cx + ClipR, cy))))
+    Wkb.clipPolygonRect(diamond, clipX0, clipY0, clipX1, clipY1)
+  }
+  private val clipStatsUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) None
+    else {
+      val ring = Wkb.outerRing(wkb).dropRight(1) // writer closes the ring
+      val n = ring.length
+      var a2 = 0L
+      var mnx = Long.MaxValue
+      var mny = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = ring(i)
+        val w = ring((i + 1) % n)
+        a2 += math.floor((v._1 * w._2 - w._1 * v._2) * 1000000.0).toLong
+        val fx = math.floor(v._1 * 1000000.0).toLong
+        val fy = math.floor(v._2 * 1000000.0).toLong
+        if (fx < mnx) mnx = fx
+        if (fy < mny) mny = fy
+        i += 1
+      }
+      Some((n, a2, mnx, mny))
+    }
+  }
+  private def a11xOracle: String = {
+    def stage(k: Int, vertical: Boolean, b: Double, keepGE: Boolean): String = {
+      val c = if (vertical) "x" else "y"
+      val insV = if (keepGE) s"v.$c >= $b" else s"v.$c <= $b"
+      val insW = if (keepGE) s"w$c >= $b" else s"w$c <= $b"
+      val (px, py) =
+        if (vertical) (s"CAST($b AS DOUBLE)", s"v.y + ($b - v.x) / (wx - v.x) * (wy - v.y)")
+        else (s"v.x + ($b - v.y) / (wy - v.y) * (wx - v.x)", s"CAST($b AS DOUBLE)")
+      s"""e$k AS (SELECT feature_id, seq, x, y,
+         |    coalesce(lead(x) OVER pw, first_value(x) OVER pw) AS wx,
+         |    coalesce(lead(y) OVER pw, first_value(y) OVER pw) AS wy
+         |  FROM r${k - 1} v WINDOW pw AS (PARTITION BY feature_id ORDER BY seq)),
+         |s$k AS (
+         |  SELECT feature_id, seq, 0 AS ord, $px AS x, $py AS y
+         |  FROM e$k v WHERE ($insV) <> ($insW)
+         |  UNION ALL
+         |  SELECT feature_id, seq, 1 AS ord, wx AS x, wy AS y FROM e$k v WHERE $insW),
+         |r$k AS (SELECT feature_id,
+         |    row_number() OVER (PARTITION BY feature_id ORDER BY seq, ord) - 1 AS seq, x, y
+         |  FROM s$k)""".stripMargin
+    }
+    val stages = Seq(
+      stage(1, vertical = true, clipX0, keepGE = true),
+      stage(2, vertical = true, clipX1, keepGE = false),
+      stage(3, vertical = false, clipY0, keepGE = true),
+      stage(4, vertical = false, clipY1, keepGE = false)).mkString(",\n")
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx, value % 200.0 AS cy FROM events),
+       |r0 AS (SELECT feature_id, seq,
+       |    CASE seq WHEN 0 THEN cx + $ClipR WHEN 1 THEN cx WHEN 2 THEN cx - $ClipR ELSE cx END AS x,
+       |    CASE seq WHEN 0 THEN cy WHEN 1 THEN cy + $ClipR WHEN 2 THEN cy ELSE cy - $ClipR END AS y
+       |  FROM t, (SELECT unnest(range(0, 4)) AS seq)),
+       |$stages,
+       |fe AS (SELECT feature_id, seq, x, y,
+       |    coalesce(lead(x) OVER pw, first_value(x) OVER pw) AS wx,
+       |    coalesce(lead(y) OVER pw, first_value(y) OVER pw) AS wy
+       |  FROM r4 WINDOW pw AS (PARTITION BY feature_id ORDER BY seq))
+       |SELECT feature_id, CAST(COUNT(*) AS INTEGER) AS n_vtx,
+       |  CAST(SUM(CAST(floor((x * wy - wx * y) * 1000000.0) AS BIGINT)) AS BIGINT) AS area2_e6,
+       |  MIN(CAST(floor(x * 1000000.0) AS BIGINT)) AS minx_e6,
+       |  MIN(CAST(floor(y * 1000000.0) AS BIGINT)) AS miny_e6
+       |FROM fe GROUP BY feature_id ORDER BY feature_id""".stripMargin
+  }
+  private val a11x = QuerySpec(
+    "a11x_clip",
+    s"Constructive geometry: Sutherland-Hodgman rectangle clip ([$clipX0,$clipX1]x[$clipY0,$clipY1]) of a per-event diamond polygon to a NEW polygon WKB; vertex count, quantized doubled-shoelace area, and min-corner of the clipped ring. Oracle unrolls the 4 half-plane passes as windowed CTE stages with the identical crossing IEEE chains.",
+    Some(a11xOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          ($"value" % 200.0).as("cy"))
+        .select($"feature_id", clipStatsUdf(clipUdf($"cx", $"cy")).as("st"))
+        .filter($"st".isNotNull)
+        .select($"feature_id", $"st._1".as("n_vtx"), $"st._2".as("area2_e6"),
+          $"st._3".as("minx_e6"), $"st._4".as("miny_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p)
+    Seq(a1, a1b, a1c, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x)
 }

@@ -59,10 +59,46 @@ object TierC {
       .select($"doc_id", posexplode($"bands").as(Seq("band_id", "band_hash")))
   }
 
+  /** DuckDB replay of [[MinHash]] banding, shared by the `c2_dedup_near`
+    * and `c2_dedup_pairs` oracles (converts both from declared-no-oracle
+    * to hash-checked — the r10 verdict's top ask). The A_i/B_i tables are
+    * spliced from the SAME Scala constants the engine uses (single source
+    * of truth, the `dotChain` discipline); `% 2^64` over HUGEINT replays
+    * the JVM Long wrap exactly (A_i < 2^62 bounds the product under
+    * 2^122, see MinHash doc). `DISTINCT` on shingles is harmless — slot
+    * minima ignore multiplicity.
+    */
+  private def mhBandCtes: String = {
+    val m = BigInt(1) << 64
+    val hexparse = (0 until 15).map(j =>
+      s"(CAST(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) AS HUGEINT) - 1) * ${BigInt(16).pow(14 - j)}")
+      .mkString(" + ")
+    val acase = "CASE slot " + MinHash.A.zipWithIndex.map { case (a, i) =>
+      s"WHEN $i THEN CAST($a AS HUGEINT)" }.mkString(" ") + " END"
+    val bcase = "CASE slot " + MinHash.B.zipWithIndex.map { case (b, i) =>
+      s"WHEN $i THEN CAST(${java.lang.Long.toUnsignedString(b)} AS HUGEINT)" }.mkString(" ") + " END"
+    s"""d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+       |       FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) <= ${MinHash.ShingleSize}
+       |         THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shs
+       |       FROM d),
+       |shu AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+       |hx AS (SELECT doc_id, md5(s) AS h FROM shu),
+       |base AS (SELECT doc_id, ($hexparse) AS b60 FROM hx),
+       |slots AS (SELECT doc_id, unnest(range(0, ${MinHash.NumHashes})) AS slot, b60 FROM base),
+       |v AS (SELECT doc_id, slot, (($acase) * b60 + ($bcase)) % $m AS vu FROM slots),
+       |sig AS (SELECT doc_id, slot, MIN(vu) AS mv FROM v GROUP BY doc_id, slot),
+       |band AS (SELECT doc_id, CAST(slot // ${MinHash.RowsPerBand} AS INTEGER) AS band_id,
+       |           md5(string_agg(CAST(mv AS VARCHAR), '|' ORDER BY slot)) AS band_hash
+       |         FROM sig GROUP BY doc_id, slot // ${MinHash.RowsPerBand})""".stripMargin
+  }
+
   private val c2 = QuerySpec(
     "c2_dedup_near",
-    "Near-dup MinHash/LSH signature index: 32 minhashes → 8 bands → (doc_id, band_id, band_hash) bucket keys. Not SQL-expressible ⇒ no oracle; pair mining + Jaccard verification covered by ScalaTest property tests.",
-    None,
+    "Near-dup MinHash/LSH signature index: 32 linear-permutation minhashes over md5-derived shingle bases → 8 bands → (doc_id, band_id, band_hash) bucket keys. Oracle replays the full chain (md5 → 15-hex-char HUGEINT parse → A·b+B mod 2^64 → unsigned slot minima → band md5) in DuckDB SQL.",
+    Some(s"WITH $mhBandCtes\nSELECT doc_id, band_id, band_hash FROM band ORDER BY doc_id, band_id"),
     (s, d) => {
       import s.implicits._
       lshIndex(Tables.documents(s, d)).orderBy($"doc_id", $"band_id")
@@ -71,8 +107,22 @@ object TierC {
 
   private val c2pairs = QuerySpec(
     "c2_dedup_pairs",
-    "Near-dup candidate pairs: LSH bucket self-join (band_id, band_hash) → distinct pairs → exact Jaccard verify ≥ 0.8 on distinct token sets. Empty when the corpus has no near-dups (sf0.01); non-empty at sf0.1.",
-    None,
+    "Near-dup candidate pairs: LSH bucket self-join (band_id, band_hash) → distinct pairs → exact Jaccard verify ≥ 0.8 on distinct token sets. Empty when the corpus has no near-dups (sf0.01); non-empty at sf0.1. Oracle replays banding + bucket join + Jaccard end-to-end.",
+    Some(s"""WITH $mhBandCtes,
+            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |         FROM band a JOIN band b
+            |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            |              AND a.doc_id < b.doc_id),
+            |tk AS (SELECT doc_id,
+            |         list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS toks
+            |       FROM documents),
+            |j AS (SELECT id_a, id_b,
+            |        CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            |          / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jaccard
+            |      FROM cand
+            |      JOIN tk ta ON ta.doc_id = cand.id_a
+            |      JOIN tk tb ON tb.doc_id = cand.id_b)
+            |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin),
     (s, d) => nearDuplicatePairs(s, Tables.documents(s, d), 0.8)
   )
 

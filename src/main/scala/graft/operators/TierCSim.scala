@@ -29,10 +29,46 @@ object TierCSim {
     TextStats.simHash(text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
   }
 
+  /** DuckDB replay of [[TextStats.simHash]] (converts `c2_simhash` and
+    * `c2_simhash_pairs` from declared-no-oracle to hash-checked): the
+    * token hash is the first 8 md5 bytes (r11 family swap, see
+    * `TextStats.tokenHash64`), so bit p of a token's hash is nibble-shift
+    * arithmetic over ONE md5 hex char — `(hexval((63-p)/4) >> (p%4)) & 1`
+    * — and the signature assembles as a HUGEINT bit sum folded to signed
+    * BIGINT (the `c4_winnow` fold). Per-bit votes sum over the token
+    * MULTISET (unnest keeps duplicates, matching the Scala loop).
+    * Unreplayed arm: an all-whitespace document would emit simhash 0 from
+    * the UDF but no row here — unreachable on this corpus (min doc length
+    * 48, no empty-token docs); a regeneration violating it goes red as a
+    * row-count mismatch.
+    */
+  private def shSigCtes: String = {
+    val m = BigInt(1) << 64
+    val half = BigInt(1) << 63
+    s"""d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+       |       FROM documents),
+       |tk AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |hx AS (SELECT doc_id, md5(t) AS h FROM tk),
+       |pb AS (SELECT doc_id, h, unnest(range(0, 64)) AS p FROM hx),
+       |bits AS (SELECT doc_id, p,
+       |    ((CAST(strpos('0123456789abcdef', substr(h, CAST((63 - p) // 4 AS INTEGER) + 1, 1)) AS BIGINT) - 1)
+       |      >> CAST(p % 4 AS INTEGER)) & 1 AS bit
+       |  FROM pb),
+       |votes AS (SELECT doc_id, p, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS sv
+       |          FROM bits GROUP BY doc_id, p),
+       |asm AS (SELECT doc_id,
+       |          SUM(CASE WHEN sv > 0 THEN (CAST(1 AS HUGEINT) << CAST(p AS INTEGER))
+       |              ELSE CAST(0 AS HUGEINT) END) AS hu
+       |        FROM votes GROUP BY doc_id),
+       |sig AS (SELECT doc_id, hu,
+       |          CAST(CASE WHEN hu >= $half THEN hu - $m ELSE hu END AS BIGINT) AS simhash
+       |        FROM asm)""".stripMargin
+  }
+
   private val c2s = QuerySpec(
     "c2_simhash",
-    "64-bit SimHash per document (sign-sum of fixed-seed 64-bit token hashes). Custom hash ⇒ no oracle; Hamming-locality property covered by ScalaTest.",
-    None,
+    "64-bit SimHash per document (sign-sum of md5-derived 64-bit token hashes). Oracle replays the full chain — md5 hex → per-bit nibble votes → sign → HUGEINT bit assembly → signed fold — in DuckDB SQL.",
+    Some(s"WITH $shSigCtes\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"),
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -65,8 +101,19 @@ object TierCSim {
 
   private val c2sp = QuerySpec(
     "c2_simhash_pairs",
-    "SimHash near-dup candidate pairs: 4×16-bit LSH bands → bucket self-join → exact Hamming ≤ 3 verify. No oracle (custom hash); ScalaTest covers dup detection.",
-    None,
+    "SimHash near-dup candidate pairs: 4×16-bit LSH bands → bucket self-join → exact Hamming ≤ 3 verify. Oracle replays signatures, band extraction ((hu >> 16b) % 2^16 = the engine's shiftrightunsigned & 0xffff), bucket join, and xor/bit_count Hamming.",
+    Some(s"""WITH $shSigCtes,
+            |bands AS (SELECT doc_id, hu, simhash, unnest(range(0, 4)) AS band_id FROM sig),
+            |bv AS (SELECT doc_id, simhash, band_id,
+            |         (hu >> CAST(band_id * 16 AS INTEGER)) % 65536 AS band_val
+            |       FROM bands),
+            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            |           a.simhash AS sa, b.simhash AS sb
+            |         FROM bv a JOIN bv b
+            |           ON a.band_id = b.band_id AND a.band_val = b.band_val
+            |              AND a.doc_id < b.doc_id),
+            |h AS (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand)
+            |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
     (s, d) => simhashPairs(s, Tables.documents(s, d), 3)
   )
 

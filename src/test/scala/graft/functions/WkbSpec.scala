@@ -349,6 +349,48 @@ class WkbSpec extends AnyFunSuite {
     assert(Wkb.geomType(gc) == "GEOMETRYCOLLECTION")
     assert(Wkb.bbox(gc) == Wkb.BBox(0.0, -3.0, 10.0, 2.0))
   }
+
+  // ------------------------------------------------ clipPolygonRect (a11x)
+  private def square(x0: Double, y0: Double, x1: Double, y1: Double) =
+    Wkb.polygon(Seq(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
+
+  test("clipPolygonRect: polygon fully inside the window is unchanged") {
+    val sq = square(1.0, 1.0, 2.0, 2.0)
+    val c = Wkb.clipPolygonRect(sq, 0.0, 0.0, 10.0, 10.0)
+    assert(Wkb.bbox(c) == Wkb.BBox(1.0, 1.0, 2.0, 2.0))
+    assert(math.abs(Wkb.area(c) - 1.0) < 1e-12)
+  }
+
+  test("clipPolygonRect: polygon fully outside returns null") {
+    assert(Wkb.clipPolygonRect(square(20.0, 20.0, 30.0, 30.0), 0.0, 0.0, 10.0, 10.0) == null)
+  }
+
+  test("clipPolygonRect: half-overlapping square is cut at the boundary") {
+    // square [-1,1]^2 clipped to x>=0 → [0,1]x[-1,1], area 2
+    val c = Wkb.clipPolygonRect(square(-1.0, -1.0, 1.0, 1.0), 0.0, -5.0, 5.0, 5.0)
+    assert(Wkb.bbox(c) == Wkb.BBox(0.0, -1.0, 1.0, 1.0))
+    assert(math.abs(Wkb.area(c) - 2.0) < 1e-12)
+  }
+
+  test("clipPolygonRect: diamond corner clip introduces the crossing vertices") {
+    // diamond centered origin, r=2, clipped to the first quadrant:
+    // triangle (2,0)-(0,2)-(0,0), area 2, 3-4 vertices depending on corner
+    val d = Wkb.polygon(Seq(Seq((2.0, 0.0), (0.0, 2.0), (-2.0, 0.0), (0.0, -2.0), (2.0, 0.0))))
+    val c = Wkb.clipPolygonRect(d, 0.0, 0.0, 10.0, 10.0)
+    assert(Wkb.bbox(c) == Wkb.BBox(0.0, 0.0, 2.0, 2.0))
+    assert(math.abs(Wkb.area(c) - 2.0) < 1e-12)
+    // output is a closed ring over the surviving + crossing vertices
+    val ring = Wkb.outerRing(c)
+    assert(ring.head == ring.last)
+    assert(ring.forall { case (x, y) => x >= 0.0 && y >= 0.0 })
+  }
+
+  test("clipPolygonRect: window degenerate touch keeps identical-arithmetic vertices") {
+    // boundary exactly on a vertex: inside test is >=/<=, so the vertex stays
+    val d = Wkb.polygon(Seq(Seq((2.0, 0.0), (0.0, 2.0), (-2.0, 0.0), (0.0, -2.0), (2.0, 0.0))))
+    val c = Wkb.clipPolygonRect(d, -2.0, -2.0, 2.0, 2.0)
+    assert(math.abs(Wkb.area(c) - Wkb.area(d)) < 1e-12)
+  }
 }
 
 /** Randomized invariants over the geometry predicates: generated convex
