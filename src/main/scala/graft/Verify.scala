@@ -26,6 +26,12 @@ object Verify {
     }
     new java.io.File(outDir).mkdirs()
     var written = 0
+    // A typo'd --only name would otherwise yield a clean '{declared: 0,
+    // written: 0}' — the silent-absence class this block exists to catch.
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      System.err.println(s"[verify] WARNING: --only names match no registered " +
+        s"query: ${unknown.toSeq.sorted.mkString(", ")}")
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
     selected.foreach { case (name, fn) =>

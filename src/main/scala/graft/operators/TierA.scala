@@ -94,6 +94,24 @@ object TierA {
     if (p.exists()) walk(p) else 0L
   }
 
+  /** Fixture writers collect events to the driver (single-file binary
+    * formats are inherently driver-side writes). Bounded: refuse above
+    * this cap rather than OOM the driver at a larger sf — the fixture
+    * exists to exercise the binary PARSER at verify scale, not to convert
+    * big data (VERDICT r10 #4). ~50 B/row ⇒ the cap is ≈100 MB of
+    * driver heap, far under the harness's driver memory.
+    */
+  private[graft] val FixtureMaxRows = 2000000L
+  private[graft] def guardFixtureRows(s: SparkSession, d: String, what: String,
+      cap: Long = FixtureMaxRows): Unit = {
+    val n = Tables.events(s, d).count()
+    if (n > cap)
+      throw new IllegalStateException(
+        s"$what fixture writer refuses to collect $n rows (cap $cap): the " +
+          "single-file fixture is a driver-side write meant for parser " +
+          "correctness at verify scale — point it at a smaller sf dir")
+  }
+
   private[graft] def shpFixture(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -101,6 +119,7 @@ object TierA {
     val shp = new java.io.File(dir, "events.shp")
     TierA.synchronized {
       if (!shp.exists() || shp.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "shp")
         dir.mkdirs()
         val rows = Tables.events(s, d)
           .select($"event_id", $"value", $"user_id", $"event_type")
@@ -149,6 +168,7 @@ object TierA {
     val f = new java.io.File(dir, "events.gpkg")
     TierA.synchronized {
       if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "gpkg")
         dir.mkdirs()
         val rows = Tables.events(s, d)
           .select($"event_id", $"value", $"user_id", $"event_type")

@@ -509,7 +509,7 @@ object TierCSim {
     */
   private[graft] def starComponents(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 50,
-      reliable: Boolean = false): (DataFrame, Int, Int) = {
+      reliable: Boolean = false, stride: Int = 2): (DataFrame, Int, Int) = {
     import s.implicits._
     // Checkpoint, not persist: one star round references its input ~8×
     // (the union doubling + the groupBy/join reuse on each star), so the
@@ -558,32 +558,48 @@ object TierCSim {
     var converged = false
     while (!converged && rounds < maxIters) {
       // Lazy checkpoint: the fingerprint aggregation is the pass's ONE
-      // action — it runs both rounds and persists their checkpoint
-      // blocks as side effects (an eager checkpoint would cost extra
-      // full jobs per pass just to materialize first). The MID round
-      // must also checkpoint: a star round references its input ~8×,
-      // and only the checkpoint barrier makes those references share
-      // one computed RDD — fusing the rounds into one un-checkpointed
-      // plan re-executes the inner round per reference (measured ~2×
-      // whole-query cost at sf0.1).
+      // action — it runs `stride` star rounds and persists their
+      // checkpoint blocks as side effects (an eager checkpoint would
+      // cost extra full jobs per pass just to materialize first). Every
+      // MID round must also checkpoint: a star round references its
+      // input ~8×, and only the checkpoint barrier makes those
+      // references share one computed RDD — fusing rounds into one
+      // un-checkpointed plan re-executes the inner round per reference
+      // (measured ~2× whole-query cost at sf0.1). The per-action plan
+      // stays bounded at ~8·stride nodes because each mid barrier cuts
+      // lineage. Stride semantics are safe at any value: the alternation
+      // is a monotone contraction (no period-k cycle to alias with), a
+      // converged set stays converged, and the only cost of a larger
+      // stride is up to stride-1 no-op rounds after the fixed point —
+      // which is also why stride stays small (r11 measured 2 vs 3 vs 4
+      // at sf0.1: see BENCH_NOTES.md; the winner is the default).
       // Reliable mode persists the pass's frames around the fingerprint
       // action: a reliable checkpoint writes its files in a SECOND job
       // after the computing action, so without the cache the pass would
       // compute twice (the persist-before-checkpoint discipline).
-      val mid0 = smallStar(largeStar(cur))
-      val mid = if (reliable) mid0.persist(StorageLevel.MEMORY_AND_DISK)
-        else mid0.localCheckpoint(eager = false)
-      val next0 = smallStar(largeStar(mid))
-      val next = if (reliable) barrier(next0.persist(StorageLevel.MEMORY_AND_DISK))
-        else barrier(next0)
-      val nextFp = fp(next)
-      if (reliable) { mid.unpersist(); next0.unpersist() }
+      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var x = cur
+      var k = 1
+      while (k <= stride) {
+        val y0 = smallStar(largeStar(x))
+        val y =
+          if (reliable) {
+            val p = y0.persist(StorageLevel.MEMORY_AND_DISK)
+            cached += p
+            if (k < stride) p else barrier(p)
+          } else if (k < stride) y0.localCheckpoint(eager = false)
+          else barrier(y0)
+        x = y
+        k += 1
+      }
+      val nextFp = fp(x)
+      cached.foreach(_.unpersist())
       // superseded checkpoint blocks are reclaimed by the ContextCleaner
       // once `cur` is unreachable (unpersist() doesn't cover checkpoints)
-      cur = next
+      cur = x
       converged = nextFp == prevFp
       prevFp = nextFp
-      rounds += 2
+      rounds += stride
       actions += 1
     }
     val und = cur.union(cur.select($"v".as("u"), $"u".as("v")))
@@ -594,12 +610,20 @@ object TierCSim {
     (labels, rounds, actions)
   }
 
+  /** Star rounds fused per driver action. Env-overridable (GRAFT_CC_STRIDE)
+    * purely for bench A/B runs; the default is the measured winner — r11
+    * compared {2, 3, 4} at sf0.1 on c2_cluster/c2_dedup_corpus/
+    * c1j_cluster_split, see BENCH_NOTES.md.
+    */
+  private[graft] val ccStride: Int =
+    sys.env.get("GRAFT_CC_STRIDE").map(_.toInt).getOrElse(2)
+
   /** Star-contraction CC with the same (nodes, edges) → (id, cluster)
     * contract as [[connectedComponents]]; the variant `c2_cluster` runs.
     */
   def connectedComponentsStar(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 50, reliable: Boolean = false): DataFrame =
-    starComponents(s, nodes, edges, maxIters, reliable)._1
+    starComponents(s, nodes, edges, maxIters, reliable, stride = ccStride)._1
 
   private val ClusterThreshold = 0.3
   private val c2c = QuerySpec(

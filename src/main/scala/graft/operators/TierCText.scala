@@ -194,8 +194,7 @@ object TierCText {
 
   // ------------------------------------------- winnowing fingerprint set
   private val winnowUdf = udf { (text: String) =>
-    val fp = TextStats.winnow(text)
-    (fp.length, fp.min, fp.max)
+    TextStats.winnowStats(text)
   }
   /** DuckDB replay of [[TextStats.winnow]] (converts c4_winnow from
     * declared-no-oracle to hash-checked). The "custom hash" objection
@@ -1121,26 +1120,82 @@ object TierCText {
               MIN(CASE WHEN kept THEN doc_id END) AS first_kept,
               MAX(CASE WHEN kept THEN doc_id END) AS last_kept
             FROM k GROUP BY source ORDER BY source"""),
-    (s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val t = docs.select($"doc_id", $"source", substring(md5($"text"), 1, 8).as("draw"))
-      val n = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
-        .select($"source", sqrt($"n_s".cast(DoubleType)).as("w"), $"n_s")
-      val tmax = n.agg(min($"n_s".cast(DoubleType) / $"w").as("tmax"))
-      val rates = n.crossJoin(broadcast(tmax))
-        .select($"source", ($"w" * $"tmax" / $"n_s".cast(DoubleType)).as("rate"))
-      t.join(broadcast(rates), "source")
-        .select($"doc_id", $"source",
-          ($"rate" >= 1.0 ||
-            $"draw" < format_string("%08x", floor($"rate" * 4294967296.0).cast(LongType))).as("kept"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_total"),
-          count(when($"kept", 1)).as("n_kept"),
-          min(when($"kept", $"doc_id")).as("first_kept"),
-          max(when($"kept", $"doc_id")).as("last_kept"))
-        .orderBy($"source")
-    }
+    (s, d) => temperatureMixResample(s, Tables.documents(s, d), alphaQuarters = 2)
+  )
+
+  /** Temperature-mix machinery shared by the α knob (VERDICT r10 #8):
+    * p_s ∝ n_s^(alphaQuarters/4) for alphaQuarters ∈ {1, 2, 3} — the
+    * practical α range (0.25 flattens hardest, 0.75 stays closest to
+    * natural proportions). General libm `pow` is NOT correctly rounded
+    * (engines could disagree in the last ulp, breaking the rate >= 1.0
+    * boundary replay), but `sqrt` and `*` both ARE, so each supported α
+    * is a composed chain of exactly-rounded ops identical on both
+    * engines: n^(1/4) = sqrt(sqrt(n)), n^(1/2) = sqrt(n),
+    * n^(3/4) = sqrt(n)·sqrt(sqrt(n)). Downstream is [[sourceMixResample]]'s
+    * audited shape: tiny count agg → broadcast scalar → broadcast rate
+    * join → map-side filter; the corpus streams through once.
+    */
+  def temperatureMixResample(s: SparkSession, docs: DataFrame,
+      alphaQuarters: Int): DataFrame = {
+    import s.implicits._
+    require(alphaQuarters >= 1 && alphaQuarters <= 3,
+      s"alphaQuarters must be 1..3 (α = k/4, sqrt-composable); got $alphaQuarters")
+    def weight(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      alphaQuarters match {
+        case 1 => sqrt(sqrt(n))
+        case 2 => sqrt(n)
+        case 3 => sqrt(n) * sqrt(sqrt(n))
+      }
+    val t = docs.select($"doc_id", $"source", substring(md5($"text"), 1, 8).as("draw"))
+    val n = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .select($"source", weight($"n_s".cast(DoubleType)).as("w"), $"n_s")
+    val tmax = n.agg(min($"n_s".cast(DoubleType) / $"w").as("tmax"))
+    val rates = n.crossJoin(broadcast(tmax))
+      .select($"source", ($"w" * $"tmax" / $"n_s".cast(DoubleType)).as("rate"))
+    t.join(broadcast(rates), "source")
+      .select($"doc_id", $"source",
+        ($"rate" >= 1.0 ||
+          $"draw" < format_string("%08x", floor($"rate" * 4294967296.0).cast(LongType))).as("kept"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"kept", 1)).as("n_kept"),
+        min(when($"kept", $"doc_id")).as("first_kept"),
+        max(when($"kept", $"doc_id")).as("last_kept"))
+      .orderBy($"source")
+  }
+
+  /** c1l's oracle with the weight chain swapped per α (same CTE skeleton). */
+  private def tempMixOracle(wSql: String): String =
+    s"""WITH t AS (SELECT doc_id, source,
+              substr(md5(text), 1, 8) AS draw
+              FROM documents),
+            n AS (SELECT source, $wSql AS w, COUNT(*) AS n_s
+              FROM t GROUP BY source),
+            m AS (SELECT MIN(CAST(n_s AS DOUBLE) / w) AS tmax FROM n),
+            r AS (SELECT source, w * tmax / CAST(n_s AS DOUBLE) AS rate
+                  FROM n CROSS JOIN m),
+            k AS (SELECT t.doc_id, t.source,
+                (rate >= 1.0 OR draw < printf('%08x', CAST(floor(rate*4294967296.0) AS BIGINT))) AS kept
+              FROM t JOIN r ON t.source = r.source)
+            SELECT source, COUNT(*) AS n_total,
+              COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+              MIN(CASE WHEN kept THEN doc_id END) AS first_kept,
+              MAX(CASE WHEN kept THEN doc_id END) AS last_kept
+            FROM k GROUP BY source ORDER BY source"""
+
+  private val c1m = QuerySpec(
+    "c1m_temperature_mix_a25",
+    "Temperature-scaled source resampling at α = 1/4 (p_s ~ n_s^(1/4) = sqrt(sqrt(n)) — the hardest-flattening end of the practical α range); same audited machinery as c1l with the weight chain swapped.",
+    Some(tempMixOracle("sqrt(sqrt(CAST(COUNT(*) AS DOUBLE)))")),
+    (s, d) => temperatureMixResample(s, Tables.documents(s, d), alphaQuarters = 1)
+  )
+
+  private val c1n = QuerySpec(
+    "c1n_temperature_mix_a75",
+    "Temperature-scaled source resampling at α = 3/4 (p_s ~ n_s^(3/4) = sqrt(n)·sqrt(sqrt(n)) — closest to natural proportions); same audited machinery as c1l with the weight chain swapped.",
+    Some(tempMixOracle(
+      "sqrt(CAST(COUNT(*) AS DOUBLE)) * sqrt(sqrt(CAST(COUNT(*) AS DOUBLE)))")),
+    (s, d) => temperatureMixResample(s, Tables.documents(s, d), alphaQuarters = 3)
   )
 
   /** The c1g body on any (doc_id, source, text) frame — source weight =
@@ -1353,16 +1408,25 @@ object TierCText {
   private val c4en = QuerySpec(
     "c4_entropy",
     "Character-entropy quality signal: per-doc char count, distinct-char count, and integer-quantized Shannon entropy (1e-9 nats) over lowered text — gibberish scores high, spam near zero.",
+    // len = 0 guard: an empty doc emits (0, 0, 0) from the engine, but the
+    // cnt/len arithmetic below would NaN — so empty docs take the UNION arm
+    // instead of the GROUP BY arm (unreachable on the current corpus, min
+    // doc length 48, but a regenerated corpus must mismatch, not abort).
     Some("""WITH c AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch,
-              length(lower(text)) AS len FROM documents),
+              length(lower(text)) AS len FROM documents WHERE length(text) > 0),
             k AS (SELECT doc_id, ch, len, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch, len),
             t AS (SELECT doc_id, len,
               CAST(floor((CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE))
                 * ln(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) * 1000000000.0) AS BIGINT) AS q
-              FROM k)
-            SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
+              FROM k),
+            nz AS (SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
               COUNT(*) AS n_distinct_chars, CAST(-SUM(q) AS BIGINT) AS ent_e9
-            FROM t GROUP BY doc_id, len ORDER BY doc_id"""),
+              FROM t GROUP BY doc_id, len)
+            SELECT * FROM nz
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM documents WHERE length(text) = 0
+            ORDER BY doc_id"""),
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -1863,7 +1927,98 @@ object TierCText {
     }
   )
 
+  // ------------------------------------------------ full BPE training loop
+  /** The iterated tokenizer build on top of [[c4bp]]'s one merge step
+    * (VERDICT r10 #3): [[BpeMerges]] greedy rounds of count-argmax-merge,
+    * emitting the merge table a real BPE trainer ships. The scale move is
+    * the FIRST line: the corpus rolls up to the distinct-word/weight table
+    * once (vocab-sized — Heaps' law says ~|corpus|^0.5, so 100 TB of text
+    * is a few hundred million words, a small Spark table), and every round
+    * after that touches only that cached table: adjacent-pair explode →
+    * one partial-agg SUM(weight) shuffle over a tiny pair alphabet →
+    * argmax LIMIT 1 collect (one row per round — the only driver traffic)
+    * → a map-side `replace` of the winning pair. The driver holds just the
+    * merge table (K rows), exactly like the k-means codebook loop.
+    *
+    * Exactness: weights are integer counts, the argmax tiebreak is
+    * (count DESC, left, right) over [a-z]+ symbols where Spark's UTF8
+    * binary ordering equals DuckDB's — so each round's winner replays, and
+    * the merge application is the identical left-to-right non-overlapping
+    * `replace` on both engines over the fully-delimited '<sym>' encoding
+    * (delimiters make matches share no characters, so "aaa" under merge
+    * (a,a) gives [aa, a] on both — greedy BPE semantics). The oracle
+    * unrolls all K rounds as paired CTEs (the c3_kmeans unrolled-Lloyd
+    * precedent). A corpus with < K distinct pairs ends both sides early:
+    * the engine breaks on an empty argmax, the oracle's empty LIMIT 1
+    * empties every later CTE.
+    */
+  private val BpeMerges = 12
+  private def bpeTrainOracle(k: Int): String = {
+    val base =
+      """WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+        |        FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY w),
+        |r0 AS (SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS rep, cnt
+        |       FROM w0)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""q$i AS (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM (
+         |  SELECT string_split(substr(rep, 2, length(rep) - 2), '><') AS syms, cnt
+         |  FROM r${i - 1}) WHERE len(syms) >= 2),
+         |m$i AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM q$i GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+         |r$i AS (SELECT replace(rep, '<' || a || '><' || b || '>', '<' || a || b || '>') AS rep,
+         |  r.cnt AS cnt FROM r${i - 1} r CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val arms = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"$base$rounds\nSELECT * FROM ($arms) ORDER BY step"
+  }
+  private val c4bt = QuerySpec(
+    "c4_bpe_train",
+    s"Full BPE tokenizer training: $BpeMerges greedy merge rounds over the cached distinct-word/weight table (pair-count agg, (count desc, pair) argmax, delimited replace); output is the merge table (step, lhs, rhs, merged, cnt).",
+    Some(bpeTrainOracle(BpeMerges)),
+    (s, d) => {
+      import s.implicits._
+      var reps = CacheRegistry.persist(
+        Tables.documents(s, d)
+          .select(explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
+          .filter($"w".rlike("^[a-z]+$"))
+          .groupBy($"w").agg(count(lit(1)).cast(LongType).as("cnt"))
+          .select(concat(lit("<"), array_join(split($"w", ""), "><"), lit(">")).as("rep"),
+            $"cnt"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeMerges && !exhausted) {
+        val top = reps
+          .select(split(expr("substring(rep, 2, length(rep) - 2)"), "><").as("syms"), $"cnt")
+          .filter(size($"syms") >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"""
+              .stripMargin)).as("p"), $"cnt")
+          .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"cnt").as("cnt"))
+          .orderBy($"cnt".desc, $"a", $"b")
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((step.toLong, a, b, a + b, cnt))
+          // symbols are [a-z]+ by the word filter, so embedding them as SQL
+          // string literals needs no escaping
+          reps = reps.select(
+            expr(s"replace(rep, '<$a><$b>', '<$a$b>')").as("rep"), $"cnt")
+          step += 1
+        }
+      }
+      merges.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt").orderBy($"step")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1h, c1k, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt)
 }

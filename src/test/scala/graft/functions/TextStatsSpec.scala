@@ -22,6 +22,25 @@ class TextStatsSpec extends AnyFunSuite {
     assert(TextStats.winnow("tiny").length == 1)
   }
 
+  test("winnowStats equals (length, min, max) of winnow on varied inputs") {
+    // winnowStats is the allocation-free path c4_winnow actually ships;
+    // this property pins it to the reference winnow() picks exactly,
+    // including the short-text fullHash arm and heavy-repeat tie-breaking.
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // degenerate: all equal hashes
+      "abababababababababababab",       // periodic ties exercise rightmost-min
+      "tiny",                            // < k: fullHash arm
+      "exactly8",                        // == k: single k-gram
+      "numbers 123 and punctuation!?; mixed CASE Text with   spaces",
+    )
+    cases.foreach { t =>
+      val fp = TextStats.winnow(t)
+      assert(TextStats.winnowStats(t) == ((fp.length, fp.min, fp.max)),
+        s"winnowStats diverged from winnow on: '$t'")
+    }
+  }
+
   test("winnow: disjoint texts share no fingerprints") {
     val fa = TextStats.winnow("aaaa bbbb cccc dddd eeee ffff gggg").toSet
     val fb = TextStats.winnow("zzzz yyyy xxxx wwww vvvv uuuu tttt").toSet

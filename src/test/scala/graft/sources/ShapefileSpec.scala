@@ -66,4 +66,16 @@ class ShapefileSpec extends AnyFunSuite {
     assert(m.getAs[String]("source").endsWith("cities.shp"))
     assert(m.getAs[Int]("fmt_version") == 1)
   }
+
+  test("fixture writers refuse to collect above the driver row cap") {
+    // VERDICT r10 #4: the .shp/.gpkg fixture writers collect events to the
+    // driver; above the cap they must fail loudly, not OOM, so a larger-sf
+    // run can't turn a test fixture into a driver crash.
+    val e = intercept[IllegalStateException] {
+      graft.operators.TierA.guardFixtureRows(spark, SparkFixture.sfDir, "shp", cap = 5L)
+    }
+    assert(e.getMessage.contains("refuses to collect"))
+    // at the default cap the verify-scale table passes untouched
+    graft.operators.TierA.guardFixtureRows(spark, SparkFixture.sfDir, "shp")
+  }
 }

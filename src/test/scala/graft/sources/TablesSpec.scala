@@ -65,6 +65,23 @@ class TablesSpec extends AnyFunSuite {
         "engine and the c3 k-center oracles (TierCSim.AnnSql) on tie order")
   }
 
+  test("documents.text stays inside the BMP (no supplementary-plane chars)") {
+    // c4_entropy and c4_winnow count UTF-16 code units in Scala
+    // (String.length/charAt) but code points in their DuckDB oracles
+    // (length/string_split/ord) — equal ONLY while every character fits in
+    // one UTF-16 unit. If a regeneration ships astral characters (emoji,
+    // rare CJK), fail HERE with a pointed message instead of a silent
+    // hash mismatch in whichever text oracle diverges first.
+    val astral = Tables.documents(s, dir)
+      .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+      .count()
+    assert(astral == 0L,
+      s"$astral documents contain supplementary-plane characters — " +
+        "Scala code-unit counts and DuckDB code-point counts now diverge; " +
+        "the c4_entropy/c4_winnow oracles must switch to codePointCount " +
+        "semantics before this corpus is usable")
+  }
+
   test("events.ts values are sane after normalization (epoch range + non-null)") {
     val row = Tables.events(s, dir)
       .agg(min(unix_micros(col("ts"))).as("lo"),
