@@ -710,6 +710,113 @@ object Wkb {
     if (pts.isEmpty) null else polygon(Seq(pts :+ pts.head))
   }
 
+  /** Constructive geometry #2: the L∞ buffer — Minkowski sum of a CONVEX
+    * polygon (or point) with the axis-aligned square [−r,r]², producing a
+    * NEW polygon WKB. This is the exact-arithmetic member of the
+    * ST_Buffer family: a Euclidean buffer needs arc discretization (an
+    * approximation knob), while the square buffer's output vertices are
+    * each ONE IEEE add of an input vertex and a square corner — so the
+    * whole construction replays bit-for-bit in SQL (the a11y oracle
+    * writes the same sums).
+    *
+    * Algorithm: classic convex Minkowski merge — both rings rotated to
+    * start at their (min y, then min x) vertex, then edges merged in
+    * polar-angle order via the cross-product test; each emitted vertex is
+    * `a[i] + b[j]` (never an accumulated edge walk, which would compound
+    * rounding). Equal-angle edges (cross = 0, e.g. an axis-aligned input
+    * edge parallel to a square side) advance BOTH pointers, emitting the
+    * combined edge once — minimal vertex count, deterministically.
+    *
+    * Input contract (loud, never silently wrong): the outer ring must be
+    * convex — non-convex input throws (decompose first; the general
+    * non-convex sum has holes/self-intersections this engine does not
+    * construct). CW rings are normalized to CCW, so output orientation is
+    * always CCW. Scale: per-row map-side work, no state.
+    */
+  def bufferSquare(wkb: Array[Byte], r: Double): Array[Byte] = {
+    require(r > 0, s"bufferSquare: r must be positive, got $r")
+    val square = IndexedSeq((-r, -r), (r, -r), (r, r), (-r, r))
+    val base: IndexedSeq[(Double, Double)] = header(ByteBuffer.wrap(wkb)).base match {
+      case 1 =>
+        val bb = ByteBuffer.wrap(wkb); header(bb)
+        val x = bb.getDouble; val y = bb.getDouble
+        IndexedSeq((x, y))
+      case 3 =>
+        val ring0 = areaRingsGrouped(wkb).head.head
+        val open =
+          if (ring0.length > 1 && ring0(ring0.length - 1) == ring0(0))
+            ring0.toIndexedSeq.dropRight(1)
+          else ring0.toIndexedSeq
+        // normalize to CCW (positive doubled shoelace)
+        var a2 = 0.0
+        var i = 0
+        while (i < open.length) {
+          val v = open(i); val w = open((i + 1) % open.length)
+          a2 += v._1 * w._2 - w._1 * v._2
+          i += 1
+        }
+        val ccw = if (a2 < 0) open.reverse else open
+        // convexity: every consecutive-edge cross must be >= 0
+        i = 0
+        while (i < ccw.length) {
+          val p = ccw(i)
+          val q = ccw((i + 1) % ccw.length)
+          val s = ccw((i + 2) % ccw.length)
+          val cr = (q._1 - p._1) * (s._2 - q._2) - (q._2 - p._2) * (s._1 - q._1)
+          if (cr < 0) throw new IllegalArgumentException(
+            s"bufferSquare: non-convex outer ring (reflex at vertex ${(i + 1) % ccw.length}) — " +
+              "decompose to convex parts first")
+          i += 1
+        }
+        ccw
+      case other => throw new IllegalArgumentException(
+        s"bufferSquare: POINT or POLYGON required, got type $other")
+    }
+    if (base.length == 1) {
+      val (x, y) = base.head
+      val ring = square.map { case (dx, dy) => (x + dx, y + dy) }
+      return polygon(Seq(ring :+ ring.head))
+    }
+    val out = minkowskiConvex(base, square)
+    polygon(Seq(out :+ out.head))
+  }
+
+  /** Convex ⊕ convex Minkowski sum, both rings CCW; output CCW, open. */
+  private def minkowskiConvex(a: IndexedSeq[(Double, Double)],
+      b: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    def lowest(p: IndexedSeq[(Double, Double)]): Int = {
+      var best = 0
+      var i = 1
+      while (i < p.length) {
+        if (p(i)._2 < p(best)._2 ||
+          (p(i)._2 == p(best)._2 && p(i)._1 < p(best)._1)) best = i
+        i += 1
+      }
+      best
+    }
+    val (n, m) = (a.length, b.length)
+    val (ia0, ib0) = (lowest(a), lowest(b))
+    def av(k: Int) = a((ia0 + k) % n)
+    def bv(k: Int) = b((ib0 + k) % m)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var i = 0
+    var j = 0
+    while (i < n || j < m) {
+      val pa = av(i % n)
+      val pb = bv(j % m)
+      out += ((pa._1 + pb._1, pa._2 + pb._2))
+      if (j >= m) i += 1
+      else if (i >= n) j += 1
+      else {
+        val ea = { val q = av(i + 1); (q._1 - pa._1, q._2 - pa._2) }
+        val eb = { val q = bv(j + 1); (q._1 - pb._1, q._2 - pb._2) }
+        val cr = ea._1 * eb._2 - ea._2 * eb._1
+        if (cr > 0) i += 1 else if (cr < 0) j += 1 else { i += 1; j += 1 }
+      }
+    }
+    out.toIndexedSeq
+  }
+
   /** Rings grouped per polygon member (ring 0 = outer, rest = holes). */
   private def areaRingsGrouped(wkb: Array[Byte]): Seq[Seq[Array[(Double, Double)]]] = {
     val bb = ByteBuffer.wrap(wkb)

@@ -205,6 +205,53 @@ object TierA {
   private val sridScanUdf: UserDefinedFunction =
     udf { (b: Array[Byte]) => Wkb.srid(b) }
 
+  // ---------------------------------------------------------- A1d (.kml)
+  /** The KML member of the fixture-writer family ([[shpFixture]]'s
+    * rationale and row cap): events written once per JVM as an
+    * engine-generated single-Document KML, read back through the
+    * pure-Scala XML-subset parser and hash-checked against DuckDB on the
+    * parquet.
+    */
+  private[graft] def kmlFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_kml_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.kml")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "kml")
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+          .toSeq.map(r => (r.getLong(0).toString,
+            Map("ETYPE" -> r.getString(3)),
+            graft.sources.Kml.KPoint(r.getDouble(1), r.getLong(2).toDouble)))
+        java.nio.file.Files.writeString(f.toPath, graft.sources.Kml.writeKml(rows))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1d = QuerySpec(
+    "a1d_kml_scan",
+    "KML scan: events written as an engine-generated single-Document KML, read back through the pure-Scala XML-subset parser (placemark split, id attribute, ExtendedData/Data props, Point coordinates); coordinates must equal the parquet doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = kmlFixture(s, d)
+      graft.sources.Kml.read(s, s"$dir/events.kml", "events")
+        .select($"feature_id",
+          element_at($"props", "ETYPE").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -725,6 +772,71 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------------- A11y
+  /** Constructive geometry #2: the L∞ (square-Minkowski) buffer — see
+    * [[Wkb.bufferSquare]]. The engine path is WKB → buffer → WKB →
+    * decode-and-measure (the a11x constructive-roundtrip discipline).
+    *
+    * Oracle replay: on the diamond fixture the buffered octagon has a
+    * CLOSED FORM — each diamond vertex contributes two vertices, one per
+    * adjacent square corner, and every output coordinate is ONE IEEE add
+    * of an engine-computed diamond coordinate and ±r — so the oracle
+    * skips the merge algorithm entirely and writes the eight vertex sums
+    * verbatim in the engine's CCW cyclic order (any rotation works: the
+    * quantized shoelace/min aggregates are rotation-invariant). The merge
+    * algorithm itself is pinned by WkbSpec planted cases (point → square,
+    * diamond → this octagon, collinear axis-aligned fusion, non-convex
+    * rejection, CW normalization).
+    */
+  private val BufR = 15.5
+  private val bufferUdf: UserDefinedFunction = udf { (cx: Double, cy: Double) =>
+    val diamond = Wkb.polygon(Seq(Seq(
+      (cx + ClipR, cy), (cx, cy + ClipR), (cx - ClipR, cy), (cx, cy - ClipR), (cx + ClipR, cy))))
+    Wkb.bufferSquare(diamond, BufR)
+  }
+  private def a11yOracle: String =
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx, value % 200.0 AS cy FROM events),
+       |v AS (SELECT feature_id,
+       |    seq,
+       |    CASE seq
+       |      WHEN 0 THEN cx - $BufR           WHEN 1 THEN cx + $BufR
+       |      WHEN 2 THEN (cx + $ClipR) + $BufR WHEN 3 THEN (cx + $ClipR) + $BufR
+       |      WHEN 4 THEN cx + $BufR           WHEN 5 THEN cx - $BufR
+       |      ELSE (cx - $ClipR) - $BufR END AS x,
+       |    CASE seq
+       |      WHEN 0 THEN (cy - $ClipR) - $BufR WHEN 1 THEN (cy - $ClipR) - $BufR
+       |      WHEN 2 THEN cy - $BufR           WHEN 3 THEN cy + $BufR
+       |      WHEN 4 THEN (cy + $ClipR) + $BufR WHEN 5 THEN (cy + $ClipR) + $BufR
+       |      WHEN 6 THEN cy + $BufR           ELSE cy - $BufR END AS y
+       |  FROM t, (SELECT unnest(range(0, 8)) AS seq)),
+       |fe AS (SELECT feature_id, seq, x, y,
+       |    coalesce(lead(x) OVER pw, first_value(x) OVER pw) AS wx,
+       |    coalesce(lead(y) OVER pw, first_value(y) OVER pw) AS wy
+       |  FROM v WINDOW pw AS (PARTITION BY feature_id ORDER BY seq))
+       |SELECT feature_id, CAST(COUNT(*) AS INTEGER) AS n_vtx,
+       |  CAST(SUM(CAST(floor((x * wy - wx * y) * 1000000.0) AS BIGINT)) AS BIGINT) AS area2_e6,
+       |  MIN(CAST(floor(x * 1000000.0) AS BIGINT)) AS minx_e6,
+       |  MIN(CAST(floor(y * 1000000.0) AS BIGINT)) AS miny_e6
+       |FROM fe GROUP BY feature_id ORDER BY feature_id""".stripMargin
+  private val a11y = QuerySpec(
+    "a11y_buffer",
+    s"Constructive geometry: exact L-infinity buffer (Minkowski sum with the [-$BufR,$BufR]^2 square) of a per-event diamond polygon to a NEW octagon WKB; vertex count, quantized doubled-shoelace area, and min-corner. Oracle writes the eight closed-form vertex sums verbatim (each one IEEE add), merge algorithm pinned by WkbSpec.",
+    Some(a11yOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          ($"value" % 200.0).as("cy"))
+        .select($"feature_id", clipStatsUdf(bufferUdf($"cx", $"cy")).as("st"))
+        .filter($"st".isNotNull)
+        .select($"feature_id", $"st._1".as("n_vtx"), $"st._2".as("area2_e6"),
+          $"st._3".as("minx_e6"), $"st._4".as("miny_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x)
+    Seq(a1, a1b, a1c, a1d, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x, a11y)
 }

@@ -391,6 +391,59 @@ class WkbSpec extends AnyFunSuite {
     val c = Wkb.clipPolygonRect(d, -2.0, -2.0, 2.0, 2.0)
     assert(math.abs(Wkb.area(c) - Wkb.area(d)) < 1e-12)
   }
+
+  // ------------------------------------------------ bufferSquare (a11y)
+  test("bufferSquare: point becomes the [-r,r]^2 square") {
+    val b = Wkb.bufferSquare(Wkb.point(3.0, 4.0), 1.5)
+    assert(Wkb.geomType(b) == "POLYGON")
+    assert(Wkb.bbox(b) == Wkb.BBox(1.5, 2.5, 4.5, 5.5))
+    assert(math.abs(Wkb.area(b) - 9.0) < 1e-12)
+  }
+
+  test("bufferSquare: diamond becomes the closed-form octagon (exact vertex sums)") {
+    val (r, cr) = (15.5, 120.17)
+    val (cx, cy) = (50.0, 60.0)
+    val d = Wkb.polygon(Seq(Seq(
+      (cx + cr, cy), (cx, cy + cr), (cx - cr, cy), (cx, cy - cr), (cx + cr, cy))))
+    val b = Wkb.bufferSquare(d, r)
+    val ring = Wkb.outerRing(b)
+    assert(ring.head == ring.last)
+    // 8 distinct vertices + closing dup; exact values = one add each,
+    // the same sums the a11y oracle writes
+    assert(ring.length == 9)
+    val expect = Set(
+      (cx - r, (cy - cr) - r), (cx + r, (cy - cr) - r),
+      ((cx + cr) + r, cy - r), ((cx + cr) + r, cy + r),
+      (cx + r, (cy + cr) + r), (cx - r, (cy + cr) + r),
+      ((cx - cr) - r, cy + r), ((cx - cr) - r, cy - r))
+    assert(ring.dropRight(1).toSet == expect, "octagon vertices not the exact closed-form sums")
+    // Minkowski area identity: A + perimeter·r/... for the L∞ square:
+    // area = diamond + 4 side rects (edgeLen·r... ) — just check monotone + bbox
+    assert(Wkb.bbox(b) == Wkb.BBox((cx - cr) - r, (cy - cr) - r, (cx + cr) + r, (cy + cr) + r))
+  }
+
+  test("bufferSquare: axis-aligned square input fuses collinear edges (minimal ring)") {
+    // input edges parallel to square edges → cross = 0 arm advances both:
+    // the sum of two axis-aligned squares is a square, 4 vertices, no
+    // collinear midpoints
+    val b = Wkb.bufferSquare(square(0.0, 0.0, 2.0, 2.0), 1.0)
+    val ring = Wkb.outerRing(b)
+    assert(ring.length == 5, s"expected minimal 4-vertex ring, got ${ring.length - 1}")
+    assert(Wkb.bbox(b) == Wkb.BBox(-1.0, -1.0, 3.0, 3.0))
+    assert(math.abs(Wkb.area(b) - 16.0) < 1e-12)
+  }
+
+  test("bufferSquare: CW ring is normalized, non-convex and non-areal throw") {
+    val cw = Wkb.polygon(Seq(Seq((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0))))
+    assert(math.abs(Wkb.area(Wkb.bufferSquare(cw, 1.0)) - 16.0) < 1e-12)
+    val reflex = Wkb.polygon(Seq(Seq(
+      (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 1.0), (0.0, 4.0), (0.0, 0.0))))
+    val e = intercept[IllegalArgumentException] { Wkb.bufferSquare(reflex, 1.0) }
+    assert(e.getMessage.contains("non-convex"))
+    intercept[IllegalArgumentException] {
+      Wkb.bufferSquare(Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))), 1.0)
+    }
+  }
 }
 
 /** Randomized invariants over the geometry predicates: generated convex
