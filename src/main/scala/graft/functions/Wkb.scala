@@ -710,6 +710,79 @@ object Wkb {
     if (pts.isEmpty) null else polygon(Seq(pts :+ pts.head))
   }
 
+  /** Constructive geometry #3: Sutherland–Hodgman clip of the polygon's
+    * outer ring against an arbitrary CONVEX clip polygon (CCW ring) —
+    * convex∩convex and, by ring choice, convex∩simple intersection as a
+    * NEW polygon WKB; null when empty. With the shoelace this also yields
+    * boolean-op AREAS: area(A∪B) = area(A) + area(B) − area(A∩B), the
+    * a11z oracle's inclusion–exclusion replay.
+    *
+    * [[clipPolygonRect]] stays separate on purpose: its axis-aligned
+    * crossings pin the coordinate to the boundary EXACTLY (x = b), while
+    * the general half-plane chain below computes both coordinates — the
+    * two produce different (each internally bit-deterministic) IEEE
+    * results on the shared rectangle case, and each oracle replays its
+    * own chain verbatim.
+    *
+    * Determinism contract: edges are processed in clip-ring order; per
+    * half-plane (e1 → e2, inside = cross ≥ 0) each directed subject edge
+    * (v, w) emits the crossing first iff inside(v) ≠ inside(w), then w
+    * iff inside(w), with the literal chains
+    *   cv = ex·(v.y − e1.y) − ey·(v.x − e1.x)      (ex = e2.x − e1.x …)
+    *   t  = cv / (cv − cw)                          (cw same chain for w)
+    *   p  = (v.x + t·(w.x − v.x), v.y + t·(w.y − v.y))
+    * replayed verbatim by the oracle. cv − cw ≠ 0 whenever the inside
+    * flags differ (opposite signs, or one zero and one strict). Scale:
+    * per-row map-side work, no state.
+    */
+  def clipPolygonConvex(wkb: Array[Byte],
+      clip: IndexedSeq[(Double, Double)]): Array[Byte] = {
+    require(clip.length >= 3, "clipPolygonConvex: clip ring needs >= 3 vertices")
+    // loud convexity + orientation check on the clip constant (CCW, all
+    // consecutive crosses >= 0) — a reflex clip ring would silently
+    // produce garbage half-planes
+    var i = 0
+    while (i < clip.length) {
+      val p = clip(i)
+      val q = clip((i + 1) % clip.length)
+      val s = clip((i + 2) % clip.length)
+      val cr = (q._1 - p._1) * (s._2 - q._2) - (q._2 - p._2) * (s._1 - q._1)
+      require(cr >= 0, s"clipPolygonConvex: clip ring reflex/CW at vertex ${(i + 1) % clip.length}")
+      i += 1
+    }
+    val ring0 = areaRingsGrouped(wkb).head.head
+    var pts: IndexedSeq[(Double, Double)] =
+      if (ring0.length > 1 && ring0(ring0.length - 1) == ring0(0))
+        ring0.toIndexedSeq.dropRight(1)
+      else ring0.toIndexedSeq
+    var k = 0
+    while (k < clip.length && pts.nonEmpty) {
+      val e1 = clip(k)
+      val e2 = clip((k + 1) % clip.length)
+      val ex = e2._1 - e1._1
+      val ey = e2._2 - e1._2
+      def cr(p: (Double, Double)): Double = ex * (p._2 - e1._2) - ey * (p._1 - e1._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val n = pts.length
+      var j = 0
+      while (j < n) {
+        val v = pts(j)
+        val w = pts((j + 1) % n)
+        val cv = cr(v)
+        val cw = cr(w)
+        if ((cv >= 0) != (cw >= 0)) {
+          val t = cv / (cv - cw)
+          out += ((v._1 + t * (w._1 - v._1), v._2 + t * (w._2 - v._2)))
+        }
+        if (cw >= 0) out += w
+        j += 1
+      }
+      pts = out.toIndexedSeq
+      k += 1
+    }
+    if (pts.isEmpty) null else polygon(Seq(pts :+ pts.head))
+  }
+
   /** Constructive geometry #2: the L∞ buffer — Minkowski sum of a CONVEX
     * polygon (or point) with the axis-aligned square [−r,r]², producing a
     * NEW polygon WKB. This is the exact-arithmetic member of the

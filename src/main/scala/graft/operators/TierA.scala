@@ -252,6 +252,55 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------- A1e (.gml)
+  /** The GML member of the fixture-writer family ([[shpFixture]]'s
+    * rationale and row cap): events written once per JVM as an
+    * engine-generated FeatureCollection, read back through the pure-Scala
+    * GML subset parser (prefix normalization, featureMember split, gml:id,
+    * text-only property elements, pos/posList coordinates) and
+    * hash-checked against DuckDB on the parquet.
+    */
+  private[graft] def gmlFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gml_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.gml")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "gml")
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+          .toSeq.map(r => (r.getLong(0).toString,
+            Map("ETYPE" -> r.getString(3)),
+            graft.sources.Kml.KPoint(r.getDouble(1), r.getLong(2).toDouble)))
+        java.nio.file.Files.writeString(f.toPath,
+          graft.sources.Gml.writeGml("events", rows))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1e = QuerySpec(
+    "a1e_gml_scan",
+    "GML scan: events written as an engine-generated FeatureCollection, read back through the pure-Scala GML 3.2-subset parser (namespace-prefix normalization, featureMember split, gml:id attribute, text-only property elements, flattened pos/posList ordinates); coordinates must equal the parquet doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = gmlFixture(s, d)
+      graft.sources.Gml.read(s, s"$dir/events.gml", "events")
+        .select($"feature_id",
+          element_at($"props", "ETYPE").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -837,6 +886,119 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------------- A11z
+  /** Constructive geometry #3: convex∩convex intersection via the general
+    * Sutherland–Hodgman clip ([[Wkb.clipPolygonConvex]]) against a fixed
+    * convex PENTAGON (a11x's rectangle generalized to arbitrary
+    * half-planes), plus boolean-op AREAS by inclusion–exclusion:
+    * area2(A∪B) = area2(A) + area2(B) − area2(A∩B), all three in the
+    * floor-quantized e6 integer domain so the sums are order-free. The
+    * pentagon's quantized doubled area is ONE shared Scala constant
+    * embedded in both the engine UDF and the oracle text — consistent by
+    * construction. Features with an empty intersection keep a row
+    * (inter = 0, union = a2A + a2B) via the LEFT JOIN arm, unlike a11x's
+    * vanish-on-empty contract — both null-handling styles stay covered.
+    */
+  private val InterClip: IndexedSeq[(Double, Double)] = IndexedSeq(
+    (40.0, 0.0), (160.0, 20.0), (150.0, 120.0), (80.0, 140.0), (20.0, 60.0))
+  private val interClipB2: Long =
+    InterClip.indices.map { i =>
+      val v = InterClip(i)
+      val w = InterClip((i + 1) % InterClip.length)
+      math.floor((v._1 * w._2 - w._1 * v._2) * 1000000.0).toLong
+    }.sum
+  private val interUdf: UserDefinedFunction = udf { (cx: Double, cy: Double) =>
+    val ring = IndexedSeq((cx + ClipR, cy), (cx, cy + ClipR), (cx - ClipR, cy), (cx, cy - ClipR))
+    var a2a = 0L
+    var i = 0
+    while (i < ring.length) {
+      val v = ring(i)
+      val w = ring((i + 1) % ring.length)
+      a2a += math.floor((v._1 * w._2 - w._1 * v._2) * 1000000.0).toLong
+      i += 1
+    }
+    val clipped = Wkb.clipPolygonConvex(Wkb.polygon(Seq(ring :+ ring.head)), InterClip)
+    if (clipped == null) (0L, 0L, a2a + interClipB2)
+    else {
+      val r = Wkb.outerRing(clipped).dropRight(1)
+      var a2i = 0L
+      var j = 0
+      while (j < r.length) {
+        val v = r(j)
+        val w = r((j + 1) % r.length)
+        a2i += math.floor((v._1 * w._2 - w._1 * v._2) * 1000000.0).toLong
+        j += 1
+      }
+      (r.length.toLong, a2i, a2a + interClipB2 - a2i)
+    }
+  }
+  private def a11zOracle: String = {
+    val stages = (1 to InterClip.length).map { k =>
+      val e1 = InterClip(k - 1)
+      val e2 = InterClip(k % InterClip.length)
+      val ex = e2._1 - e1._1
+      val ey = e2._2 - e1._2
+      s"""e$k AS (SELECT feature_id, seq, x, y,
+         |    coalesce(lead(x) OVER pw, first_value(x) OVER pw) AS wx,
+         |    coalesce(lead(y) OVER pw, first_value(y) OVER pw) AS wy
+         |  FROM r${k - 1} WINDOW pw AS (PARTITION BY feature_id ORDER BY seq)),
+         |c$k AS (SELECT feature_id, seq, x, y, wx, wy,
+         |    ($ex * (y - ${e1._2}) - $ey * (x - ${e1._1})) AS cv,
+         |    ($ex * (wy - ${e1._2}) - $ey * (wx - ${e1._1})) AS cw
+         |  FROM e$k),
+         |s$k AS (
+         |  SELECT feature_id, seq, 0 AS ord,
+         |    x + (cv / (cv - cw)) * (wx - x) AS nx,
+         |    y + (cv / (cv - cw)) * (wy - y) AS ny
+         |  FROM c$k WHERE (cv >= 0) <> (cw >= 0)
+         |  UNION ALL
+         |  SELECT feature_id, seq, 1 AS ord, wx AS nx, wy AS ny FROM c$k WHERE cw >= 0),
+         |r$k AS (SELECT feature_id,
+         |    row_number() OVER (PARTITION BY feature_id ORDER BY seq, ord) - 1 AS seq,
+         |    nx AS x, ny AS y
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val last = InterClip.length
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx, value % 200.0 AS cy FROM events),
+       |r0 AS (SELECT feature_id, seq,
+       |    CASE seq WHEN 0 THEN cx + $ClipR WHEN 1 THEN cx WHEN 2 THEN cx - $ClipR ELSE cx END AS x,
+       |    CASE seq WHEN 0 THEN cy WHEN 1 THEN cy + $ClipR WHEN 2 THEN cy ELSE cy - $ClipR END AS y
+       |  FROM t, (SELECT unnest(range(0, 4)) AS seq)),
+       |$stages,
+       |da AS (SELECT feature_id,
+       |    CAST(SUM(CAST(floor((x * wy - wx * y) * 1000000.0) AS BIGINT)) AS BIGINT) AS a2a
+       |  FROM e1 GROUP BY feature_id),
+       |fe AS (SELECT feature_id, x, y,
+       |    coalesce(lead(x) OVER pw, first_value(x) OVER pw) AS wx,
+       |    coalesce(lead(y) OVER pw, first_value(y) OVER pw) AS wy
+       |  FROM r$last WINDOW pw AS (PARTITION BY feature_id ORDER BY seq)),
+       |ia AS (SELECT feature_id, CAST(COUNT(*) AS BIGINT) AS n_vtx,
+       |    CAST(SUM(CAST(floor((x * wy - wx * y) * 1000000.0) AS BIGINT)) AS BIGINT) AS a2i
+       |  FROM fe GROUP BY feature_id)
+       |SELECT t.feature_id, COALESCE(ia.n_vtx, 0) AS n_vtx,
+       |  COALESCE(ia.a2i, 0) AS inter2_e6,
+       |  da.a2a + $interClipB2 - COALESCE(ia.a2i, 0) AS union2_e6
+       |FROM t JOIN da USING (feature_id) LEFT JOIN ia USING (feature_id)
+       |ORDER BY feature_id""".stripMargin
+  }
+  private val a11z = QuerySpec(
+    "a11z_intersection",
+    "Constructive geometry: convex-convex intersection (general Sutherland-Hodgman against a fixed convex pentagon) of the per-event diamond, with inclusion-exclusion union area — vertex count plus quantized doubled-shoelace intersection AND union areas; oracle unrolls the 5 half-plane passes with the verbatim cross/crossing IEEE chains and LEFT JOINs the empty-intersection arm.",
+    Some(a11zOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          ($"value" % 200.0).as("cy"))
+        .select($"feature_id", interUdf($"cx", $"cy").as("st"))
+        .select($"feature_id", $"st._1".as("n_vtx"), $"st._2".as("inter2_e6"),
+          $"st._3".as("union2_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x, a11y)
+    Seq(a1, a1b, a1c, a1d, a1e, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x, a11y, a11z)
 }

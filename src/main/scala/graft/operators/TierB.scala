@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -385,8 +385,12 @@ object TierB {
     * cells are exact integer GROUP BY counts; estimate = least over the
     * 4 rows with COALESCE 0 for never-touched cells.
     */
-  private def b13cOracle: String = {
-    val (depth, width) = (4, 1024)
+  /** splitmix64-in-SQL building blocks, shared by the b13c (Count-Min) and
+    * b13d (HLL) oracle replays: unsigned-HUGEINT domain, the 64-bit
+    * multiply wrap split at 2^32, XOR run through signed BIGINT (same
+    * bits) — see b13cOracle's stage-per-CTE rationale.
+    */
+  private object Sm64Sql {
     val m64 = BigInt(1) << 64
     val m32 = BigInt(1) << 32
     val half = BigInt(1) << 63
@@ -401,6 +405,11 @@ object TierB {
       s"(($col % $m32) * $b + ((($col // $m32) * $b) % $m32) * $m32) % $m64"
     def xs(col: String, sh: Int) =
       toU(s"xor(${toS(col)}, CAST($col // ${BigInt(1) << sh} AS BIGINT))")
+  }
+
+  private def b13cOracle: String = {
+    val (depth, width) = (4, 1024)
+    import Sm64Sql._
     def chainCtes(src: String, key: String, pfx: String): String = {
       val rows = 0 until depth
       val adds = rows.map(r => (c1 * (r + 1)) % m64)
@@ -446,6 +455,98 @@ object TierB {
         .select($"suppkey",
           cmsEstUdf($"sk.depth", $"sk.width", $"sk.counters", $"suppkey").as("est"))
         .orderBy($"suppkey")
+    }
+  )
+
+  // ---------------------------------------------------------------- B13d
+  /** The replayable HLL (functions/Hll.scala): distinct parts per return
+    * flag with the estimate hash-checked end to end. Scale shape is the
+    * ideal distinct-count posture — fixed 64-int state per group, merge is
+    * elementwise MAX (associative + commutative + idempotent), so map-side
+    * combine collapses every partition to one sketch and the exchange
+    * carries |groups| rows regardless of input size; an exact
+    * COUNT(DISTINCT) would shuffle every distinct key instead.
+    */
+  private val hllUdaf = udaf(new graft.functions.Hll.HllAggregator)
+  private def b13dOracle: String = {
+    import Sm64Sql._
+    import graft.functions.Hll.{M, MaxRho}
+    // exact integer numerator: alpha_num * m^2 * 2^MaxRho (HUGEINT literal)
+    val num = BigInt(70934) * M * M * (BigInt(1) << MaxRho)
+    s"""WITH ek AS (SELECT DISTINCT l_returnflag AS g, CAST(l_partkey AS BIGINT) AS k
+       |  FROM lineitem),
+       |h0 AS (SELECT g, ((${toU("k")} + $c1) % $m64) AS z0 FROM ek),
+       |h1 AS (SELECT g, ${xs("z0", 30)} AS x0 FROM h0),
+       |h2 AS (SELECT g, ${wrapMul("x0", c2)} AS z1 FROM h1),
+       |h3 AS (SELECT g, ${xs("z1", 27)} AS x1 FROM h2),
+       |h4 AS (SELECT g, ${wrapMul("x1", c3)} AS z2 FROM h3),
+       |h5 AS (SELECT g, ${xs("z2", 31)} AS h FROM h4),
+       |rw AS (SELECT g, CAST(h % $M AS BIGINT) AS j, CAST(h // $M AS BIGINT) AS w FROM h5),
+       |rr AS (SELECT g, j,
+       |    CASE WHEN w = 0 THEN $MaxRho ELSE 1 + bit_count((w & -w) - 1) END AS rho
+       |  FROM rw),
+       |mx AS (SELECT g, j, MAX(rho) AS mj FROM rr GROUP BY g, j),
+       |grid AS (SELECT gg.g, gs.j
+       |  FROM (SELECT DISTINCT g FROM ek) gg
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, $M)) AS BIGINT) AS j) gs),
+       |regs AS (SELECT grid.g, COALESCE(mx.mj, 0) AS mj
+       |  FROM grid LEFT JOIN mx ON grid.g = mx.g AND grid.j = mx.j),
+       |zz AS (SELECT g,
+       |    SUM(CAST((CAST(1 AS BIGINT) << ($MaxRho - mj)) AS HUGEINT)) AS z,
+       |    SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+       |  FROM regs GROUP BY g)
+       |SELECT g AS l_returnflag,
+       |  CAST(CAST('$num' AS HUGEINT) // (100000 * z) AS BIGINT) AS est,
+       |  CAST(v AS BIGINT) AS v_empty
+       |FROM zz ORDER BY l_returnflag""".stripMargin
+  }
+  private val b13d = QuerySpec(
+    "b13d_hll_replay",
+    "Distinct l_partkey per return flag via the custom splitmix64 HLL (m=64, trailing-zero rank, integer-only alpha estimate) — the hash-checked sibling of b13_agg_hll: oracle replays the full hash chain, register maxima, and harmonic sum in HUGEINT SQL; accuracy (1.04/sqrt(64)) asserted in ScalaTest.",
+    Some(b13dOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(hllUdaf($"l_partkey".cast(LongType)).as("h"))
+        .select($"l_returnflag", $"h.est".as("est"), $"h.vEmpty".as("v_empty"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
+  // ---------------------------------------------------------------- B13e
+  /** The replayable quantile sketch (functions/BottomK.scala): bottom-k
+    * (KMV) uniform sample by md5 rank, quantile = sample order statistic.
+    * Scale shape: O(k) state per group, union-then-trim merge is a set
+    * function of the input (ranks unique) — map-side combine ships one
+    * k-row sample per partition per group, and the result is
+    * bit-identical under any partitioning, unlike a merged GK summary.
+    */
+  private val bkqUdaf = udaf(new graft.functions.BottomK.BottomKQuantile(128),
+    Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+  private val b13e = QuerySpec(
+    "b13e_bottomk_quantile",
+    "Approximate p50/p90 of extended price per return flag via the deterministic bottom-k (KMV) sample sketch, k=128, md5(orderkey*8+linenumber) ranks — the hash-checked sibling of b13b: the oracle replays the sample draw (row_number over md5 rank) and the order-statistic selection exactly; O(1/sqrt(k)) rank error asserted in ScalaTest.",
+    Some("""WITH rk AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+              md5(CAST(CAST(l_orderkey AS BIGINT) * 8 + l_linenumber AS VARCHAR)) AS r
+            FROM lineitem),
+          s AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY r) AS rn FROM rk),
+          samp AS (SELECT g, v FROM s WHERE rn <= 128),
+          o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rv,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM samp)
+          SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n_sample,
+            MAX(CASE WHEN rv = (n - 1) // 2 + 1 THEN v END) AS p50,
+            MAX(CASE WHEN rv = (n - 1) * 9 // 10 + 1 THEN v END) AS p90
+          FROM o GROUP BY g ORDER BY g"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          md5(($"l_orderkey".cast(LongType) * 8 + $"l_linenumber").cast(StringType)).as("r"),
+          $"l_extendedprice".cast(DoubleType).as("v"))
+        .groupBy($"l_returnflag")
+        .agg(bkqUdaf($"r", $"v").as("q"))
+        .select($"l_returnflag", $"q.n".as("n_sample"), $"q.p50".as("p50"), $"q.p90".as("p90"))
+        .orderBy($"l_returnflag")
     }
   )
 
@@ -1321,7 +1422,8 @@ object TierB {
   )
 
   val specs: Seq[QuerySpec] = Seq(
-    b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b14, b14b, b14c,
+    b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
+    b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42)
 }

@@ -1953,14 +1953,21 @@ object TierCText {
     * empties every later CTE.
     */
   private val BpeMerges = 12
-  private def bpeTrainOracle(k: Int): String = {
+  /** Shared K-round merge chain for the two BPE oracles: w0 = the
+    * distinct-word/weight rollup, r_i = every word's delimited symbol
+    * representation after i merges (the word key `w` rides along so the
+    * encode oracle can join back to the corpus), m_i = round i's argmax
+    * pair. The train oracle reads the m_i arms; the encode oracle reads
+    * the final r_K.
+    */
+  private def bpeChainCtes(k: Int): String = {
     val base =
       """WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
         |        FROM documents)
         |  WHERE regexp_matches(w, '^[a-z]+$')
         |  GROUP BY w),
-        |r0 AS (SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS rep, cnt
+        |r0 AS (SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS rep, cnt
         |       FROM w0)""".stripMargin
     val rounds = (1 to k).map { i =>
       s"""q$i AS (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM (
@@ -1968,13 +1975,16 @@ object TierCText {
          |  FROM r${i - 1}) WHERE len(syms) >= 2),
          |m$i AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS cnt
          |  FROM q$i GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
-         |r$i AS (SELECT replace(rep, '<' || a || '><' || b || '>', '<' || a || b || '>') AS rep,
+         |r$i AS (SELECT w, replace(rep, '<' || a || '><' || b || '>', '<' || a || b || '>') AS rep,
          |  r.cnt AS cnt FROM r${i - 1} r CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n", ",\n", "")
+    base + rounds
+  }
+  private def bpeTrainOracle(k: Int): String = {
     val arms = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, cnt FROM m$i")
       .mkString(" UNION ALL ")
-    s"$base$rounds\nSELECT * FROM ($arms) ORDER BY step"
+    s"${bpeChainCtes(k)}\nSELECT * FROM ($arms) ORDER BY step"
   }
   private val c4bt = QuerySpec(
     "c4_bpe_train",
@@ -1982,43 +1992,110 @@ object TierCText {
     Some(bpeTrainOracle(BpeMerges)),
     (s, d) => {
       import s.implicits._
-      var reps = CacheRegistry.persist(
-        Tables.documents(s, d)
-          .select(explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
-          .filter($"w".rlike("^[a-z]+$"))
-          .groupBy($"w").agg(count(lit(1)).cast(LongType).as("cnt"))
-          .select(concat(lit("<"), array_join(split($"w", ""), "><"), lit(">")).as("rep"),
-            $"cnt"))
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-      var step = 1
-      var exhausted = false
-      while (step <= BpeMerges && !exhausted) {
-        val top = reps
-          .select(split(expr("substring(rep, 2, length(rep) - 2)"), "><").as("syms"), $"cnt")
-          .filter(size($"syms") >= 2)
-          .select(explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-              |  i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"""
-              .stripMargin)).as("p"), $"cnt")
-          .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"cnt").as("cnt"))
-          .orderBy($"cnt".desc, $"a", $"b")
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((step.toLong, a, b, a + b, cnt))
-          // symbols are [a-z]+ by the word filter, so embedding them as SQL
-          // string literals needs no escaping
-          reps = reps.select(
-            expr(s"replace(rep, '<$a><$b>', '<$a$b>')").as("rep"), $"cnt")
-          step += 1
-        }
+      bpeTrainLoop(s, d)._2.toDF("step", "lhs", "rhs", "merged", "cnt").orderBy($"step")
+    }
+  )
+
+  /** The shared BPE training loop (engine side of [[bpeChainCtes]]):
+    * returns (final per-word representation frame `(w, rep, cnt)` after
+    * all merges, the merge table). Only the INITIAL rollup is persisted —
+    * round i's argmax recomputes i map-side `replace`s over that cached
+    * vocab-sized frame, K² tiny-map work that beats K cache round-trips.
+    */
+  private def bpeTrainLoop(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
+    import s.implicits._
+    var reps = CacheRegistry.persist(
+      Tables.documents(s, d)
+        .select(explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
+        .filter($"w".rlike("^[a-z]+$"))
+        .groupBy($"w").agg(count(lit(1)).cast(LongType).as("cnt"))
+        .select($"w",
+          concat(lit("<"), array_join(split($"w", ""), "><"), lit(">")).as("rep"),
+          $"cnt"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMerges && !exhausted) {
+      val top = reps
+        .select(split(expr("substring(rep, 2, length(rep) - 2)"), "><").as("syms"), $"cnt")
+        .filter(size($"syms") >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"""
+            .stripMargin)).as("p"), $"cnt")
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"cnt").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, a, b, a + b, cnt))
+        // symbols are [a-z]+ by the word filter, so embedding them as SQL
+        // string literals needs no escaping
+        reps = reps.select($"w",
+          expr(s"replace(rep, '<$a><$b>', '<$a$b>')").as("rep"), $"cnt")
+        step += 1
       }
-      merges.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt").orderBy($"step")
+    }
+    (reps, merges.toSeq)
+  }
+
+  // ------------------------------------------------ BPE encode (apply)
+  /** The tokenizer's APPLY side, closing the train→encode loop: the final
+    * r_K frame of [[bpeTrainLoop]] IS every word's encoding under the
+    * trained merges (greedy rank-order application — merging all
+    * occurrences of merge i can never create a new instance of a merge
+    * < i, since the new symbol only participates in later-learned pairs),
+    * so encoding the corpus is one join from the per-doc word list to the
+    * vocab-sized encoding table. Output per doc: alpha-word count, BPE
+    * token count, character count — the tokens-per-doc signal a training
+    * pipeline budgets with.
+    *
+    * Scale: the encoding table is Heaps'-law small relative to the corpus
+    * (broadcast-able at moderate scale, an ordinary shuffle join beyond);
+    * everything after the join is one partial-agg shuffle on doc_id.
+    * Assumption (documented like c4_winnow's fullHash arm): the corpus
+    * yields all K merges — a tiny corpus would exhaust the engine loop
+    * gracefully but empty the oracle's CROSS JOIN chain; c4_bpe_train's
+    * green K-row output pins the assumption per round.
+    */
+  private def bpeEncodeOracle(k: Int): String =
+    s"""${bpeChainCtes(k)},
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+       |  FROM documents),
+       |dwf AS (SELECT doc_id, w FROM dw WHERE regexp_matches(w, '^[a-z]+$$')),
+       |wt AS (SELECT w,
+       |    CAST(len(string_split(substr(rep, 2, length(rep) - 2), '><')) AS BIGINT) AS toks
+       |  FROM r$k)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars
+       |FROM dwf JOIN wt USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  private val c4be = QuerySpec(
+    "c4_bpe_encode",
+    s"BPE encode: apply the $BpeMerges trained merges to every document (vocab-table join, no per-doc merge loop) and emit per-doc alpha-word/token/char counts; oracle replays the training chain and the encoding join end to end.",
+    Some(bpeEncodeOracle(BpeMerges)),
+    (s, d) => {
+      import s.implicits._
+      val wordToks = bpeTrainLoop(s, d)._1
+        .select($"w",
+          size(split(expr("substring(rep, 2, length(rep) - 2)"), "><"))
+            .cast(LongType).as("toks"))
+      Tables.documents(s, d)
+        .select($"doc_id", explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
+        .filter($"w".rlike("^[a-z]+$"))
+        .join(wordToks, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_words"),
+          sum($"toks").cast(LongType).as("n_tokens"),
+          sum(length($"w")).cast(LongType).as("n_chars"))
+        .orderBy($"doc_id")
     }
   )
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
 }

@@ -392,6 +392,56 @@ class WkbSpec extends AnyFunSuite {
     assert(math.abs(Wkb.area(c) - Wkb.area(d)) < 1e-12)
   }
 
+  // ---------------------------------------------- clipPolygonConvex (a11z)
+  test("clipPolygonConvex: rectangle window reproduces the rect-clip region") {
+    // same region as the rect clip (values differ only in the crossing
+    // arithmetic, exact here because everything lands on whole numbers)
+    val d = Wkb.polygon(Seq(Seq((2.0, 0.0), (0.0, 2.0), (-2.0, 0.0), (0.0, -2.0), (2.0, 0.0))))
+    val win = IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val c = Wkb.clipPolygonConvex(d, win)
+    assert(Wkb.bbox(c) == Wkb.BBox(0.0, 0.0, 2.0, 2.0))
+    assert(math.abs(Wkb.area(c) - 2.0) < 1e-12)
+  }
+
+  test("clipPolygonConvex: subject inside a triangle window is unchanged") {
+    val sq = square(1.0, 1.0, 2.0, 2.0)
+    val tri = IndexedSeq((0.0, 0.0), (20.0, 0.0), (0.0, 20.0))
+    val c = Wkb.clipPolygonConvex(sq, tri)
+    assert(math.abs(Wkb.area(c) - 1.0) < 1e-12)
+  }
+
+  test("clipPolygonConvex: disjoint clip returns null") {
+    val tri = IndexedSeq((100.0, 100.0), (110.0, 100.0), (100.0, 110.0))
+    assert(Wkb.clipPolygonConvex(square(0.0, 0.0, 1.0, 1.0), tri) == null)
+  }
+
+  test("clipPolygonConvex: diagonal half-plane cuts the square to a triangle") {
+    // clip square [0,2]^2 by the triangle under x+y<=2: result is the
+    // lower-left triangle (0,0)-(2,0)-(0,2), area 2
+    val tri = IndexedSeq((0.0, 0.0), (2.0, 0.0), (0.0, 2.0))
+    val c = Wkb.clipPolygonConvex(square(0.0, 0.0, 2.0, 2.0), tri)
+    assert(math.abs(Wkb.area(c) - 2.0) < 1e-12)
+  }
+
+  test("clipPolygonConvex: inclusion-exclusion union area is consistent") {
+    // A = square [0,2]^2 (area 4), B = square [1,1]..[3,3] (area 4),
+    // A∩B = [1,2]^2 (area 1) → A∪B = 7
+    val a = square(0.0, 0.0, 2.0, 2.0)
+    val b = IndexedSeq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0))
+    val inter = Wkb.clipPolygonConvex(a, b)
+    val union = Wkb.area(a) + 4.0 - Wkb.area(inter)
+    assert(math.abs(Wkb.area(inter) - 1.0) < 1e-12)
+    assert(math.abs(union - 7.0) < 1e-12)
+  }
+
+  test("clipPolygonConvex: reflex or CW clip ring is rejected loudly") {
+    val cw = IndexedSeq((0.0, 0.0), (0.0, 10.0), (10.0, 0.0)) // CW triangle
+    val e = intercept[IllegalArgumentException] {
+      Wkb.clipPolygonConvex(square(1.0, 1.0, 2.0, 2.0), cw)
+    }
+    assert(e.getMessage.contains("reflex/CW"))
+  }
+
   // ------------------------------------------------ bufferSquare (a11y)
   test("bufferSquare: point becomes the [-r,r]^2 square") {
     val b = Wkb.bufferSquare(Wkb.point(3.0, 4.0), 1.5)
