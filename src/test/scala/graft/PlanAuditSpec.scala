@@ -247,6 +247,37 @@ class PlanAuditSpec extends AnyFunSuite {
       "bigram extraction left whole-stage codegen (UDF in the hot path):\n" + p)
   }
 
+  test("b13d/b13e sketches: typed aggregation is partial before the group shuffle") {
+    for (name <- Seq("b13d_hll_replay", "b13e_bottomk_quantile")) {
+      val p = plan(name)
+      // typed Aggregator → ObjectHashAggregate partial+final pair: each
+      // partition ships ONE fixed-size sketch per group, never raw rows
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$name: sketch does not partial-aggregate map-side:\n" + p)
+    }
+  }
+
+  test("a11z intersection: per-row map work — no shuffle except the presentation sort") {
+    val p = plan("a11z_intersection")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "convex clip should be shuffle-free up to the final sort:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "constant clip polygon must not become a join:\n" + p)
+  }
+
+  test("c4_bpe_encode: corpus joins the vocab-sized encoding table, no per-doc merge loop") {
+    val p = plan("c4_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "encode join degraded:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "expected an equi-join on the word key:\n" + p)
+    // token totals partial-aggregate before the doc_id shuffle
+    assert(p.contains("partial_sum") || "HashAggregate".r.findAllIn(p).length >= 2,
+      "per-doc token sum is not partial-aggregating:\n" + p)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
