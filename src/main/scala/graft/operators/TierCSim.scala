@@ -2315,6 +2315,101 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------- fixed-point power iteration (c3pi)
+  /** Distributed power iteration for the dominant eigenvector of the
+    * embedding Gram matrix AᵀA — the PCA/whitening primitive (dominant-
+    * direction removal is the standard post-processing step for embedding
+    * similarity, and the direction itself is the first component a
+    * whitening pipeline subtracts). All arithmetic is FIXED-POINT so the
+    * result is bit-deterministic and oracle-replayable:
+    *
+    *  - embeddings quantize once to q = ⌊e·2^20⌋ Longs;
+    *  - matvec s_i = Σ_j q_ij·V_j is pure Long arithmetic (|s| ≤ 64·2^40
+    *    < 2^47), the transpose-matvec w_j = Σ_i s_i·q_ij runs in exact
+    *    DECIMAL(38,0) (|w| ≤ n·2^66 — below 10^29 even at n = 10^9, no overflow);
+    *  - renormalization avoids sqrt entirely: V′_j = sign(w_j)·
+    *    ⌊(|w_j|·2^20) / max_k|w_k|⌋ — max is exactly replayable where an
+    *    L2 norm would need a correctly-rounded-isqrt dance, and the
+    *    nonnegative integer division is truncation = floor on both
+    *    engines (the sign split dodges the negative-floor-division
+    *    cross-engine trap).
+    *
+    * Convergence is spectrum-dependent (rate λ₂/λ₁ per step): the synthetic
+    * corpus is near-isotropic (λ₂/λ₁ ≈ 0.98) so [[PowerIters]] steps only
+    * begin to align there — the DECLARED contract is "the exact state
+    * after K fixed-point steps" (bit-checked by the oracle), while
+    * convergence on a real dominant direction is pinned by SimSpec's
+    * planted anisotropic fixture (cosine > 0.99 in 4 steps at gap ≈ 0.1).
+    *
+    * Scale: per step = one shuffle on vec_id (partial-agg matvec), one
+    * co-keyed join, one dim-sized aggregate; V rides as a 64-element
+    * literal (broadcast), driver traffic = dim rows per step — the
+    * k-means codebook posture. Unreachable arm: max|w| = 0 requires every
+    * embedding ⊥ V or all-zero — the zero-norm TablesSpec canary plus a
+    * loud require guard it.
+    */
+  private val PowerIters = 4
+  private val PiScale = 1048576L // 2^20
+  private[graft] def powerIteration(s: SparkSession, e: DataFrame,
+      dim: Int, iters: Int): Array[Long] = {
+    import s.implicits._
+    val dec = DecimalType(38, 0)
+    var v: Array[Long] = Array.fill(dim)(PiScale)
+    var t = 0
+    while (t < iters) {
+      val vLit = typedlit(v.toSeq)
+      val sFrame = e
+        .select($"i", ($"q" * element_at(vLit, ($"j" + 1).cast(IntegerType))).as("qv"))
+        .groupBy($"i").agg(sum($"qv").as("s"))
+      val w = e.join(sFrame, "i")
+        .select($"j", ($"s".cast(dec) * $"q".cast(dec)).as("sq"))
+        .groupBy($"j").agg(sum($"sq").as("w"))
+        .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+        .toMap
+      val wArr = Array.tabulate(dim)(j => w.getOrElse(j.toLong, BigInt(0)))
+      val m = wArr.map(_.abs).max
+      require(m > BigInt(0),
+        "powerIteration: max|w| = 0 — all embeddings orthogonal to the iterate (zero corpus?)")
+      v = wArr.map { x =>
+        val d = (x.abs * PiScale) / m
+        (if (x < 0) -d else d).toLong
+      }
+      t += 1
+    }
+    v
+  }
+  private def c3piOracle: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""e AS (SELECT vec_id AS i, CAST(gs.j AS BIGINT) AS j,
+         |  CAST(floor(embedding[CAST(gs.j AS INTEGER) + 1] * 1048576.0) AS HUGEINT) AS q
+         |  FROM embeddings, (SELECT unnest(range(0, 64)) AS j) gs)""".stripMargin,
+      "v0 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS j, CAST(1048576 AS HUGEINT) AS v)")
+    for (t <- 1 to PowerIters) {
+      ctes += s"s$t AS (SELECT i, SUM(q * v) AS s FROM e JOIN v${t - 1} USING (j) GROUP BY i)"
+      ctes += s"w$t AS (SELECT j, SUM(s * q) AS w FROM e JOIN s$t USING (i) GROUP BY j)"
+      ctes += s"m$t AS (SELECT MAX(abs(w)) AS m FROM w$t)"
+      ctes += (s"v$t AS (SELECT j, CASE WHEN w < 0 THEN -((-w * $PiScale) // m) " +
+        s"ELSE (w * $PiScale) // m END AS v FROM w$t, m$t)")
+    }
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      s"SELECT j, CAST(v AS BIGINT) AS v_q FROM v$PowerIters ORDER BY j"
+  }
+  private val c3pi = QuerySpec(
+    "c3_power_iter",
+    s"Dominant eigenvector of the embedding Gram matrix via $PowerIters fixed-point power-iteration steps (2^20 quantization, Long matvec + DECIMAL(38,0) transpose-matvec, max-norm rescale — no sqrt); output is the exact scaled direction (j, v_q), bit-replayed by the unrolled-CTE oracle.",
+    Some(c3piOracle),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id".as("i"), posexplode($"embedding").as(Seq("j", "v")))
+        .select($"i", $"j".cast(LongType).as("j"),
+          floor($"v".cast(DoubleType) * 1048576.0).cast(LongType).as("q")))
+      val v = powerIteration(s, e, 64, PowerIters)
+      v.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq
+        .toDF("j", "v_q").orderBy($"j")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi)
 }

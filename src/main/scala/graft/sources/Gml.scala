@@ -121,14 +121,21 @@ object Gml {
     */
   private[sources] def splitMembers(doc: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // jump to the NEAREST of comment / CDATA / member open — skipping to
+    // the member directly would resurrect a commented-out feature. Each
+    // pattern's next-occurrence pointer advances monotonically and is only
+    // re-searched once passed, so the whole split is O(doc) — a fresh
+    // 3×indexOf per member would be O(members × doc) (measured: 276 s on
+    // the 100k-member sf0.1 fixture vs sub-second with the memo).
     var i = 0
+    var cm = doc.indexOf("<!--")
+    var cd = doc.indexOf("<![CDATA[")
+    var fm = doc.indexOf("<featureMember")
     while (i < doc.length) {
-      // jump to the NEAREST of comment / CDATA / member open — skipping to
-      // the member directly would resurrect a commented-out feature
-      val cm = doc.indexOf("<!--", i)
-      val cd = doc.indexOf("<![CDATA[", i)
-      val fm = doc.indexOf("<featureMember", i)
-      val next = Seq(cm, cd, fm).filter(_ >= 0).sorted.headOption.getOrElse(-1)
+      if (cm >= 0 && cm < i) cm = doc.indexOf("<!--", i)
+      if (cd >= 0 && cd < i) cd = doc.indexOf("<![CDATA[", i)
+      if (fm >= 0 && fm < i) fm = doc.indexOf("<featureMember", i)
+      val next = Seq(cm, cd, fm).filter(_ >= 0).minOption.getOrElse(-1)
       if (next < 0) i = doc.length
       else if (next == cm) {
         val e = doc.indexOf("-->", next); i = if (e < 0) doc.length else e + 3

@@ -896,4 +896,40 @@ class SimSpec extends AnyFunSuite {
         s"vec $id neighbor ${r.getLong(1)} crossed cluster"))
     }
   }
+
+  // ------------------------------------------------- power iteration (c3pi)
+  /** Deterministic planted fixture: 40 vectors strongly aligned with axis 7
+    * plus small index-derived off-axis noise (no RNG), dim 16. Eigengap is
+    * large, so 4 fixed-point steps must align with e7 to cosine > 0.99 —
+    * the convergence property the near-isotropic benchmark corpus can't
+    * exercise (the oracle covers bit-exactness there instead).
+    */
+  private def plantedPowerFrame = {
+    import spark.implicits._
+    val dim = 16
+    val rows = (0 until 40).flatMap { i =>
+      (0 until dim).map { j =>
+        val base = if (j == 7) 900000L else 0L
+        // deterministic "noise": small, varies by (i, j), mean-free-ish
+        val noise = (((i * 31 + j * 17) % 13) - 6) * 3000L
+        (i.toLong, j.toLong, base + noise)
+      }
+    }
+    (rows.toDF("i", "j", "q"), dim)
+  }
+
+  test("powerIteration converges on a planted dominant direction in 4 steps") {
+    val (e, dim) = plantedPowerFrame
+    val v = TierCSim.powerIteration(spark, e, dim, 4)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val cos = math.abs(v(7).toDouble / norm)
+    assert(cos > 0.99, s"cosine to planted axis = $cos, v = ${v.mkString(",")}")
+  }
+
+  test("powerIteration is partition-invariant (bit-identical V)") {
+    val (e, dim) = plantedPowerFrame
+    val v1 = TierCSim.powerIteration(spark, e.repartition(7), dim, 3)
+    val v2 = TierCSim.powerIteration(spark, e.repartition(2), dim, 3)
+    assert(v1.sameElements(v2), "fixed-point iterate depends on partitioning")
+  }
 }
