@@ -2095,7 +2095,76 @@ object TierCText {
     }
   )
 
+  // ------------------------------------- token-budget sampling (c1o)
+  /** Token-budget-constrained sampling — the budgeted cousin of [[c1g]]'s
+    * rate mix and [[c1h]]'s shuffle: each source contributes documents in
+    * its deterministic (md5(doc_id), doc_id) pseudorandom order until the
+    * running TOKEN total would exceed the per-source budget — the "give me
+    * N tokens per source" selection a training-data pipeline runs against
+    * a token target, not a row target. RNG-free, so reruns pick the
+    * identical prefix.
+    *
+    * Scale shape — c1h's no-single-task-cumsum machinery, generalized to
+    * per-GROUP running sums: repartitionByRange on (source, k) keeps each
+    * source's order contiguous across partitions, per-(source, pid) token
+    * subtotals collect to the driver (|sources|·|partitions| rows,
+    * bounded), prefix offsets come back as one broadcast literal map, and
+    * the in-partition window is pid-local — a naive
+    * `SUM OVER (PARTITION BY source ORDER BY …)` would serialize each
+    * source through ONE task, the exact bottleneck this shape avoids at
+    * 100 TB. Admission uses the INCLUSIVE running sum (a doc enters iff
+    * the budget covers it entirely), so the admitted set is a pure prefix
+    * of the per-source total order — partition-invariant by the same
+    * argument as c1h.
+    */
+  private val TokenBudget = 700L
+  private val c1o = QuerySpec(
+    "c1o_token_budget",
+    s"Token-budget sampling: per source, admit documents in (md5(doc_id), doc_id) order while the inclusive running whitespace-token total stays <= $TokenBudget; range-partitioned per-group cumsum with driver prefix offsets — no single-task window.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks
+              FROM documents),
+            r AS (SELECT doc_id, source, toks,
+              CAST(SUM(toks) OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_toks
+              FROM t)
+            SELECT doc_id, source, toks, cum_toks
+            FROM r WHERE cum_toks <= $TokenBudget ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val nPart = s.sparkContext.defaultParallelism
+      val keyed = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          size(filter(split($"text", " "), x => x =!= "")).cast(LongType).as("toks"),
+          md5($"doc_id".cast(StringType)).as("k"))
+        .repartitionByRange(nPart, $"source", $"k", $"doc_id")
+        .withColumn("pid", spark_partition_id()))
+      // per-(source, pid) token subtotals → driver → per-source prefix
+      // offsets under the pid order; bounded by |sources|·|partitions|
+      val subtotals = keyed.groupBy($"source", $"pid")
+        .agg(sum($"toks").as("t")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      val offsets: Map[String, Long] = subtotals
+        .groupBy(_._1._1)
+        .flatMap { case (src, rows) =>
+          val byPid = rows.sortBy(_._1._2)
+          byPid.map(_._1._2).zip(
+            byPid.map(_._2).scanLeft(0L)(_ + _).init)
+            .map { case (pid, off) => s"$src|$pid" -> off }
+        }
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"pid").orderBy($"k", $"doc_id")
+      keyed
+        .withColumn("lcum", sum($"toks").over(wp))
+        .withColumn("cum_toks",
+          element_at(typedLit(offsets), concat($"source", lit("|"), $"pid")) + $"lcum")
+        .filter($"cum_toks" <= TokenBudget)
+        .select($"doc_id", $"source", $"toks", $"cum_toks")
+        .orderBy($"doc_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
 }

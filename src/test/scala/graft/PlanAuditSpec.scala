@@ -278,6 +278,20 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("c1o token budget: per-source cumsum via range + pid windows — never one task per source") {
+    val exec = Registry.queries("c1o_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange SinglePartition"),
+      "budget cumsum collapsed to a single-task shape:\n" + exec)
+    assert(exec.contains("Exchange rangepartitioning(source"),
+      "expected the (source, md5-key) range exchange:\n" + exec)
+    // the running-sum window must be pid-local, not a whole-source window
+    val winLine = exec.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("pid"),
+      "window is not pid-partitioned — one task would serialize each source:\n" + winLine)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
