@@ -128,6 +128,23 @@ object Plans {
       "block key (30x candidate cut vs one token, measured), the O(1) " +
       "length prune inside the join condition rejecting before the " +
       "O(len^2) levenshtein DP runs — never a nested loop."),
+    "b13d_hll_replay" -> ("Replayable HLL: the typed Aggregator partial-" +
+      "aggregates map-side (ObjectHashAggregate pair), so each partition " +
+      "ships ONE 64-int sketch per group across the exchange — register " +
+      "MAX merge is idempotent, speculative re-execution is a no-op."),
+    "c4_bpe_encode" -> ("BPE encode: the trained per-word encoding table " +
+      "is vocab-sized (Heaps' law), joined once to the exploded corpus " +
+      "word list on the word key; per-doc token totals partial-aggregate " +
+      "before the doc_id shuffle — no per-doc merge loop anywhere."),
+    "c1o_token_budget" -> ("Token-budget sampling: per-GROUP running sums " +
+      "via range partitioning on (source, md5-key) + pid-LOCAL windows + " +
+      "driver prefix offsets (|sources|*|partitions| rows) — never a " +
+      "whole-source single-task window."),
+    "c3_power_iter" -> ("Fixed-point power iteration: per step one " +
+      "partial-aggregated matvec shuffle on vec_id, one co-keyed join, " +
+      "one dim-sized aggregate; V rides as a broadcast literal and " +
+      "driver traffic is dim rows per step — the corpus is never " +
+      "collected or re-quantized."),
   )
 
   def main(args: Array[String]): Unit = {
