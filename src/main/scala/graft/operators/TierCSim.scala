@@ -2378,7 +2378,10 @@ object TierCSim {
     }
     v
   }
-  private def c3piOracle: String = {
+  /** The power-iteration CTE chain (`e`, `v0` … `v$PowerIters`), shared by
+    * the c3pi direction oracle and the c3_whiten projection oracle.
+    */
+  private def powerIterCtes: String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"""e AS (SELECT vec_id AS i, CAST(gs.j AS BIGINT) AS j,
          |  CAST(floor(embedding[CAST(gs.j AS INTEGER) + 1] * 1048576.0) AS HUGEINT) AS q
@@ -2391,9 +2394,11 @@ object TierCSim {
       ctes += (s"v$t AS (SELECT j, CASE WHEN w < 0 THEN -((-w * $PiScale) // m) " +
         s"ELSE (w * $PiScale) // m END AS v FROM w$t, m$t)")
     }
-    s"WITH ${ctes.mkString(",\n")}\n" +
-      s"SELECT j, CAST(v AS BIGINT) AS v_q FROM v$PowerIters ORDER BY j"
+    ctes.mkString(",\n")
   }
+  private def c3piOracle: String =
+    s"WITH $powerIterCtes\n" +
+      s"SELECT j, CAST(v AS BIGINT) AS v_q FROM v$PowerIters ORDER BY j"
   private val c3pi = QuerySpec(
     "c3_power_iter",
     s"Dominant eigenvector of the embedding Gram matrix via $PowerIters fixed-point power-iteration steps (2^20 quantization, Long matvec + DECIMAL(38,0) transpose-matvec, max-norm rescale — no sqrt); output is the exact scaled direction (j, v_q), bit-replayed by the unrolled-CTE oracle.",
@@ -2410,6 +2415,73 @@ object TierCSim {
     }
   )
 
+  // ----------------------------- dominant-direction removal (c3wh)
+  /** The APPLY side of [[c3pi]] — "all-but-the-top" embedding
+    * post-processing (Mu & Viswanath): remove each vector's component
+    * along the dominant direction, the standard whitening step before
+    * cosine similarity (the dominant direction carries corpus-wide bias,
+    * not semantics). Composition stays fixed-point end to end: V comes
+    * from the 4-step [[powerIteration]], each vector's projection
+    * proj = Σ q_j·V_j is pure Long (≤ 2^47), the per-coordinate
+    * correction c_j = sign·⌊|proj·V_j| / ΣV²⌋ runs in BigInt with the
+    * sign split (truncation-toward-zero on both engines — BigInt `/`
+    * here, the CASE-wrapped nonnegative `//` in SQL), and the residual
+    * energy Σ(q_j − c_j)² fits Long (r ≤ 2^21, d = 64 ⇒ ≤ 2^48).
+    *
+    * Scale: after the power-iteration build (its own audited shape), the
+    * transform is PURE MAP-SIDE — V and ΣV² ride the UDF closure as
+    * broadcast constants, no shuffle except the presentation sort. Output
+    * (vec_id, proj_q, res_norm2) is what a similarity pipeline logs to
+    * monitor how much mass the top direction holds per vector.
+    */
+  private def c3whOracle: String =
+    s"""WITH $powerIterCtes,
+       |sc AS (SELECT SUM(v * v) AS scale FROM v$PowerIters),
+       |p AS (SELECT i, SUM(q * v) AS proj FROM e JOIN v$PowerIters USING (j) GROUP BY i),
+       |r AS (SELECT e.i, p.proj,
+       |  e.q - (CASE WHEN (p.proj * v.v) < 0 THEN -((-(p.proj * v.v)) // sc.scale)
+       |              ELSE (p.proj * v.v) // sc.scale END) AS r
+       |  FROM e JOIN v$PowerIters v USING (j) JOIN p ON e.i = p.i CROSS JOIN sc)
+       |SELECT i AS vec_id, CAST(MIN(proj) AS BIGINT) AS proj_q,
+       |  CAST(SUM(r * r) AS BIGINT) AS res_norm2
+       |FROM r GROUP BY i ORDER BY vec_id""".stripMargin
+  private val c3wh = QuerySpec(
+    "c3_whiten",
+    s"Dominant-direction removal (all-but-the-top): project every embedding off the $PowerIters-step power-iteration direction in exact fixed-point (Long projection, BigInt sign-split correction, Long residual energy); map-side after the direction build; oracle composes the power-iteration chain with the per-vector projection replay.",
+    Some(c3whOracle),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id".as("i"), posexplode($"embedding").as(Seq("j", "v")))
+        .select($"i", $"j".cast(LongType).as("j"),
+          floor($"v".cast(DoubleType) * 1048576.0).cast(LongType).as("q")))
+      val vArr = powerIteration(s, e, 64, PowerIters)
+      val scale = vArr.map(x => x * x).sum // ≤ 64·2^40 < 2^47
+      val whitenUdf = udf { (emb: Seq[Float]) =>
+        var proj = 0L
+        var j = 0
+        while (j < 64) {
+          proj += math.floor(emb(j).toDouble * 1048576.0).toLong * vArr(j)
+          j += 1
+        }
+        var res2 = 0L
+        j = 0
+        while (j < 64) {
+          val pv = BigInt(proj) * vArr(j)
+          val c = (pv.abs / scale).toLong * (if (pv < 0) -1L else 1L)
+          val r = math.floor(emb(j).toDouble * 1048576.0).toLong - c
+          res2 += r * r
+          j += 1
+        }
+        (proj, res2)
+      }
+      Tables.embeddings(s, d)
+        .select($"vec_id", whitenUdf($"embedding").as("st"))
+        .select($"vec_id", $"st._1".as("proj_q"), $"st._2".as("res_norm2"))
+        .orderBy($"vec_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh)
 }

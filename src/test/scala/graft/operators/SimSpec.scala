@@ -932,4 +932,25 @@ class SimSpec extends AnyFunSuite {
     val v2 = TierCSim.powerIteration(spark, e.repartition(2), dim, 3)
     assert(v1.sameElements(v2), "fixed-point iterate depends on partitioning")
   }
+
+  test("whiten residual is orthogonal to V up to per-coordinate truncation") {
+    // invariant behind c3_whiten: r = q − ⌊proj·V/‖V‖²⌋ leaves
+    // |Σ r_j·V_j| ≤ Σ|V_j| (each coordinate truncates by < 1 unit)
+    val (e, dim) = plantedPowerFrame
+    val v = TierCSim.powerIteration(spark, e, dim, 4)
+    val scale = v.map(x => x * x).sum
+    val vecs = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val bound = v.map(math.abs).sum
+    vecs.foreach { case (i, q) =>
+      val proj = q.indices.map(j => q(j) * v(j)).sum
+      val dotR = q.indices.map { j =>
+        val pv = BigInt(proj) * v(j)
+        val c = (pv.abs / scale).toLong * (if (pv < 0) -1L else 1L)
+        (q(j) - c) * v(j)
+      }.sum
+      assert(math.abs(dotR) <= bound,
+        s"vec $i residual·V = $dotR exceeds truncation bound $bound")
+    }
+  }
 }
