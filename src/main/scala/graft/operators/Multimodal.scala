@@ -158,5 +158,39 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6)
+  /** Frame sampling as a DECLARED query (the c6 family's second oracle
+    * row): every media payload splits into fixed 256-byte frames, every
+    * 3rd kept — the keyframe-sampling batch shape — and each kept frame
+    * emits SQL-replayable evidence (offset arithmetic + md5 of the exact
+    * byte slice). Replay rests on documents.text being pure ASCII (chars
+    * = bytes, so DuckDB's character substr slices the same bytes the
+    * engine's byte copy does) — pinned by the TablesSpec ASCII canary
+    * alongside the BMP one. Short payloads (< one frame) vanish from both
+    * sides. Scale: mapPartitions fan-out, no state, no shuffle except the
+    * presentation sort.
+    */
+  private val FrameSize = 256
+  private val FrameEvery = 3
+  private val c6b = QuerySpec(
+    "c6b_frame_sample",
+    s"Multimodal frame sampling: fixed $FrameSize-byte frames, every ${FrameEvery}rd kept, per-frame (offset, length, md5-of-slice) — the mapPartitions video-sampling batch shape with the byte arithmetic and slice hashing oracle-replayed (ASCII canary pins chars = bytes).",
+    Some(s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+              FROM documents),
+            f AS (SELECT doc_id, CAST(unnest(range(0, len // $FrameSize)) AS BIGINT) AS frame_no,
+              text FROM t)
+            SELECT doc_id AS media_id, frame_no, frame_no * $FrameSize AS "offset",
+              CAST($FrameSize AS BIGINT) AS frame_len,
+              md5(substr(text, CAST(frame_no * $FrameSize + 1 AS INTEGER), $FrameSize)) AS frame_md5
+            FROM f WHERE frame_no % $FrameEvery = 0 ORDER BY media_id, frame_no"""),
+    (s, d) => {
+      import s.implicits._
+      sampleFramesAll(mediaRecords(s, d), FrameSize, FrameEvery).toDF()
+        .select($"media_id", $"frame_no".cast(LongType).as("frame_no"),
+          $"offset", length($"frame").cast(LongType).as("frame_len"),
+          md5($"frame").as("frame_md5"))
+        .orderBy($"media_id", $"frame_no")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b)
 }

@@ -82,6 +82,20 @@ class TablesSpec extends AnyFunSuite {
         "semantics before this corpus is usable")
   }
 
+  test("documents.text is pure ASCII (UTF-8 bytes = characters)") {
+    // c6b_frame_sample slices PAYLOAD BYTES in the engine but CHARACTERS
+    // in its DuckDB oracle (substr on TEXT) — equal only while every char
+    // is one byte. A regeneration shipping multi-byte UTF-8 fails HERE
+    // with a pointed message instead of a frame-hash mismatch.
+    val nonAscii = Tables.documents(s, dir)
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII characters — byte offsets " +
+        "and character offsets now diverge; the c6b_frame_sample oracle " +
+        "must switch to BLOB slicing before this corpus is usable")
+  }
+
   test("events.ts values are sane after normalization (epoch range + non-null)") {
     val row = Tables.events(s, dir)
       .agg(min(unix_micros(col("ts"))).as("lo"),
