@@ -1421,9 +1421,98 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B43
+  /** Full TPC-H composites — the integration rows proving the Tier B
+    * operators COMPOSE into the multi-join analytics queries users
+    * actually run (the per-operator rows each pin one shape; these pin
+    * the planner across 3- and 6-table joins: dimension broadcasts, one
+    * fact shuffle, partial aggregation, TakeOrdered top-k — audited in
+    * PlanAuditSpec). Revenue follows b11's decimal discipline: exact
+    * DECIMAL products summed (order-insensitive), ONE cast to DOUBLE at
+    * the natural scale. Q3's o_shippriority column does not exist in the
+    * synthetic schema; o_orderpriority stands in (same shape).
+    */
+  private val b43 = QuerySpec(
+    "b43_tpch_q3",
+    "TPC-H Q3 shape (shipping-priority top-10): BUILDING segment, orders before / lineitems shipped after the cutoff, 3-table join, decimal revenue, top-10 by (revenue desc, orderkey).",
+    Some("""SELECT l_orderkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+            o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" < ts("1996-06-15 00:00:00"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" > ts("1996-06-15 00:00:00"))
+        .select($"l_orderkey",
+          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .as("rev"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum($"rev").cast(DoubleType).as("revenue"))
+        .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }
+  )
+
+  // ----------------------------------------------------------------- B44
+  private val b44 = QuerySpec(
+    "b44_tpch_q5",
+    "TPC-H Q5 (local-supplier volume): 6-table join (customer-orders-lineitem-supplier-nation-region), ASIA + one order-year window, customer and supplier nation must match, decimal revenue per nation.",
+    Some("""SELECT n_name,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+    (s, d) => {
+      import s.implicits._
+      val asiaNations = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_nationkey", $"n_name")
+      val custOrd = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1997-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1998-01-01 00:00:00"))
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_nationkey")
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey",
+          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .as("rev"))
+        .join(custOrd, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .groupBy($"n_name")
+        .agg(sum($"rev").cast(DoubleType).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42)
+    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44)
 }

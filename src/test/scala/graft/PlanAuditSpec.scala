@@ -292,6 +292,22 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("TPC-H composites: equi-joins only, partial agg, Q3 top-10 is TakeOrdered") {
+    val q3 = plan("b43_tpch_q3")
+    assert(!q3.contains("CartesianProduct") && !q3.contains("BroadcastNestedLoopJoin"), q3)
+    assert(q3.contains("TakeOrderedAndProject"),
+      "Q3 top-10 runs a global sort instead of TakeOrdered:\n" + q3)
+    assert("HashAggregate".r.findAllIn(q3).length >= 2,
+      "Q3 revenue is not partial-aggregating:\n" + q3)
+    val q5 = plan("b44_tpch_q5")
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"), q5)
+    // the supplier⋈nation⋈region probe side broadcasts into the fact flow
+    assert(q5.contains("BroadcastHashJoin"),
+      "Q5 dimension flow is not broadcasting:\n" + q5)
+    assert("HashAggregate".r.findAllIn(q5).length >= 2,
+      "Q5 revenue is not partial-aggregating:\n" + q5)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
