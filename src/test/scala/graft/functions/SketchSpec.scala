@@ -77,4 +77,30 @@ class SketchSpec extends AnyFunSuite {
     assert(q.p50 == 5.0) // idx (10-1)/2 + 1 = 5 (1-based) -> value 5.0
     assert(q.p90 == 9.0) // idx (9*9)/10 + 1 = 9 -> value 9.0
   }
+
+  // ------------------------------------------------------------ SQL surface
+
+  test("SketchSql: graft_hll / graft_bottomk_quantile usable from spark.sql, match the API path") {
+    val spark = graft.SparkFixture.session
+    import spark.implicits._
+    SketchSql.register(spark)
+    (1L to 3000L).toDF("id").createOrReplaceTempView("sk_ids")
+    val sqlEst = spark.sql("SELECT (graft_hll(id)).est AS est FROM sk_ids")
+      .collect().head.getLong(0)
+    val agg = new Hll.HllAggregator
+    val apiEst = agg.finish((1L to 3000L).foldLeft(agg.zero)(agg.reduce)).est
+    assert(sqlEst == apiEst, s"SQL $sqlEst vs API $apiEst")
+    (1 to 300).map(i => (md5Hex(s"q$i"), i.toDouble)).toDF("r", "v")
+      .createOrReplaceTempView("sk_q")
+    val row = spark.sql(
+      "SELECT (graft_bottomk_quantile(r, v)).n AS n, (graft_bottomk_quantile(r, v)).p50 AS p50 FROM sk_q")
+      .collect().head
+    assert(row.getLong(0) == 128)
+    val bk = new BottomK.BottomKQuantile(128)
+    val api = bk.finish((1 to 300).map(i => (md5Hex(s"q$i"), i.toDouble))
+      .foldLeft(bk.zero)(bk.reduce))
+    assert(row.getDouble(1) == api.p50)
+    spark.catalog.dropTempView("sk_ids")
+    spark.catalog.dropTempView("sk_q")
+  }
 }
