@@ -885,6 +885,71 @@ object Spatial {
     )
   }
 
+  // ---------------------------------------------------------------- A11o
+  /** Geodesic polygon AREA — the ellipsoid-aware sibling of the planar
+    * shoelace (a11g), via the Chamberlain–Duquette spherical-excess
+    * formula (the turf.js / PostGIS-geography default for lon/lat rings):
+    *   area = |Σ_edges (λ₂ − λ₁)·(2 + sin φ₁ + sin φ₂)| · R²/2
+    * on the IUGG mean sphere R = 6371008.8 m. Exact-replay discipline is
+    * a11u's: `sin` is the only transcendental and both engines call the
+    * same platform libm (proven bit-stable by the UTM/Vincenty oracles);
+    * degrees→radians multiplies by the PRECOMPUTED double π/180 (no
+    * builtin radians(), whose rounding path is engine-defined); the
+    * four edge terms accumulate LEFT-ASSOCIATIVELY in ring order, written
+    * with explicit parentheses in both chains; one floor at the declared
+    * output. Scale: per-row map-side, no state.
+    */
+  private val GeoAreaR = 6371008.8
+  private val DegRad = math.Pi / 180.0
+  private val GeoDiamondR = 1.5
+  private[operators] def geodesicDiamondArea(cx: Double, cy: Double): Long = {
+    val ring = Array(
+      (cx + GeoDiamondR, cy), (cx, cy + GeoDiamondR),
+      (cx - GeoDiamondR, cy), (cx, cy - GeoDiamondR))
+    var acc = 0.0
+    var k = 0
+    while (k < 4) {
+      val (x1, y1) = ring(k)
+      val (x2, y2) = ring((k + 1) % 4)
+      acc += (x2 * DegRad - x1 * DegRad) *
+        (2.0 + math.sin(y1 * DegRad) + math.sin(y2 * DegRad))
+      k += 1
+    }
+    math.floor(math.abs(acc) * GeoAreaR * GeoAreaR / 2.0).toLong
+  }
+  private val geoAreaUdf: UserDefinedFunction =
+    udf { (cx: Double, cy: Double) => geodesicDiamondArea(cx, cy) }
+  private def a11oOracle: String = {
+    // the four diamond vertices in ring order; term k spans vertex k → k+1
+    val xs = Seq(s"(cx + $GeoDiamondR)", "(cx)", s"(cx - $GeoDiamondR)", "(cx)")
+    val ys = Seq("(cy)", s"(cy + $GeoDiamondR)", "(cy)", s"(cy - $GeoDiamondR)")
+    val terms = (0 until 4).map { k =>
+      val (x1, y1) = (xs(k), ys(k))
+      val (x2, y2) = (xs((k + 1) % 4), ys((k + 1) % 4))
+      s"(($x2 * $DegRad - $x1 * $DegRad) * (2.0 + sin($y1 * $DegRad) + sin($y2 * $DegRad)))"
+    }
+    val acc = terms.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx, value % 60.0 AS cy FROM events)
+       |SELECT feature_id,
+       |  CAST(floor(abs($acc) * $GeoAreaR * $GeoAreaR / 2.0) AS BIGINT) AS area_m2
+       |FROM t ORDER BY feature_id""".stripMargin
+  }
+  private val a11o = QuerySpec(
+    "a11o_geodesic_area",
+    s"Geodesic polygon area (Chamberlain-Duquette spherical excess, R = $GeoAreaR m) of a per-event $GeoDiamondR-degree lon/lat diamond — the geography-mode ST_Area; left-associated edge-term fold with precomputed pi/180, sin replayed via the shared libm (the a11u trig discipline), one floor at the output.",
+    Some(a11oOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          ($"value" % 60.0).as("cy"))
+        .select($"feature_id", geoAreaUdf($"cx", $"cy").as("area_m2"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a11d, a11f, a11j, a11m, a11n, a11q, a11r, a11s, a11t, a11u, a11v, a11w)
+    Seq(a11d, a11f, a11j, a11m, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w)
 }

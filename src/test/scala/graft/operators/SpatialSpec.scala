@@ -389,4 +389,18 @@ class SpatialSpec extends AnyFunSuite {
       .select(Spatial.mortonCol($"qx", $"qy")).as[Long].collect()
     assert(out.forall(k => (k >> 16) != prefix))
   }
+
+  test("geodesic diamond area: equator matches the small-polygon planar value, high latitude shrinks by cos") {
+    // 1.5-degree diamond at the equator: planar limit 2*(r*D*R)^2
+    val D = math.Pi / 180.0
+    val R = 6371008.8
+    val planar = 2.0 * math.pow(1.5 * D * R, 2)
+    val eq = Spatial.geodesicDiamondArea(10.0, 0.0).toDouble
+    assert(math.abs(eq - planar) / planar < 0.01,
+      s"equator area $eq vs planar $planar")
+    // at 60 degrees the east-west extent contracts ~cos(60) = 0.5
+    val hi = Spatial.geodesicDiamondArea(10.0, 60.0).toDouble
+    val ratio = hi / eq
+    assert(ratio > 0.4 && ratio < 0.6, s"lat-60 shrink ratio $ratio")
+  }
 }
