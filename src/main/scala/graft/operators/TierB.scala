@@ -1510,9 +1510,78 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B45
+  /** UNPIVOT/melt — the inverse of b14c's pivot: wide per-row measures to
+    * long (key, measure, value) triples via the typed `Dataset.unpivot`
+    * API (compiles to a single Expand node — one pass, row count × 4, no
+    * shuffle until the presentation sort). Values stay RAW doubles (no
+    * arithmetic), so the oracle is the plain four-arm UNION ALL.
+    */
+  private val b45 = QuerySpec(
+    "b45_unpivot",
+    "Unpivot/melt: lineitem's four measure columns to long (orderkey, linenumber, measure, value) via Dataset.unpivot (single Expand, no shuffle); oracle is the UNION ALL expansion.",
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, measure, value
+            FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+            ORDER BY l_orderkey, l_linenumber, measure"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber".cast(LongType).as("l_linenumber"),
+          $"l_quantity".cast(DoubleType), $"l_extendedprice".cast(DoubleType),
+          $"l_discount".cast(DoubleType), $"l_tax".cast(DoubleType))
+        .unpivot(Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "measure", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+    }
+  )
+
+  // ----------------------------------------------------------------- B46
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join B4–B6
+    * deliberately leave out: NULL keys MATCH each other instead of
+    * dropping. The dim side is the per-key count table including the NULL
+    * group, so every probe row (null-keyed included) finds exactly one
+    * dim row. Catalyst plans `<=>` as an ordinary hash-join key (null-safe
+    * equality is still an equi-join — no nested loop), which the spec's
+    * join assertion pins.
+    */
+  private val b46 = QuerySpec(
+    "b46_nullsafe_join",
+    "Null-safe equi-join: events joined to their per-key count dim on kval <=> dkey (JSON key absent => NULL; NULL matches the NULL dim group); per-key row counts prove no NULL row was dropped.",
+    Some("""WITH e AS (SELECT event_id,
+              CASE WHEN event_type = 'click' THEN NULL
+                   ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS kval
+              FROM events),
+            dim AS (SELECT kval AS dkey, COUNT(*) AS key_n FROM e GROUP BY 1)
+            SELECT COALESCE(CAST(e.kval AS VARCHAR), 'NULL') AS kgroup,
+              CAST(MIN(dim.key_n) AS BIGINT) AS key_n, COUNT(*) AS n
+            FROM e JOIN dim ON e.kval IS NOT DISTINCT FROM dim.dkey
+            GROUP BY 1 ORDER BY kgroup"""),
+    (s, d) => {
+      import s.implicits._
+      val e = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select($"event_id",
+          when($"event_type" === "click", lit(null).cast(LongType))
+            .otherwise(get_json_object($"props", "$.k").cast(LongType)).as("kval")))
+      val dim = e.groupBy($"kval".as("dkey")).agg(count(lit(1)).as("key_n"))
+      e.join(dim, $"kval" <=> $"dkey")
+        .groupBy(coalesce($"kval".cast(StringType), lit("NULL")).as("kgroup"))
+        .agg(min($"key_n").cast(LongType).as("key_n"), count(lit(1)).as("n"))
+        .orderBy($"kgroup")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44)
+    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
+    b45, b46)
 }
