@@ -301,6 +301,55 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------- A1f (.fgb)
+  /** The FlatGeobuf member of the fixture-writer family ([[shpFixture]]'s
+    * rationale and row cap): events written once per JVM through the
+    * hand-built flatbuffers subset writer, read back through the generic
+    * vtable-following parser and hash-checked against DuckDB on the
+    * parquet. FGB has no feature-id slot, so the id rides the `fid`
+    * property column.
+    */
+  private[graft] def fgbFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fgb_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.fgb")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "fgb")
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+          .toSeq.map(r => (
+            Map("fid" -> r.getLong(0).toString, "ETYPE" -> r.getString(3)),
+            graft.sources.Kml.KPoint(r.getDouble(1), r.getLong(2).toDouble)))
+        java.nio.file.Files.write(f.toPath,
+          graft.sources.FlatGeobuf.writeFgb("events", rows))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1f = QuerySpec(
+    "a1f_fgb_scan",
+    "FlatGeobuf scan: events written through the hand-built flatbuffers subset writer (magic, size-prefixed Header with column schema, per-feature Geometry xy vectors + packed property bytes, no index), read back through the generic vtable parser; coordinates must equal the parquet doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = fgbFixture(s, d)
+      graft.sources.FlatGeobuf.read(s, s"$dir/events.fgb", "events", "fid")
+        .select($"feature_id",
+          element_at($"props", "ETYPE").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -1000,5 +1049,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x, a11y, a11z)
 }

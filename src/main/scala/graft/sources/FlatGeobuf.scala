@@ -1,0 +1,472 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Wkb
+
+/** FlatGeobuf source (SURVEY.md §2 A1 long tail: the sixth and last named
+  * vector format — the cloud-optimized flatbuffers container). Pure-Scala
+  * subset codec over the PUBLIC FlatGeobuf v3 spec (flatgeobuf.org,
+  * `src/fbs/header.fbs` / `feature.fbs`): 8-byte magic
+  * `fgb\x03fgb\x00`, a size-prefixed flatbuffers Header (name, geometry
+  * type, column schema, feature count, index node size), then one
+  * size-prefixed flatbuffers Feature per record (Geometry table with
+  * `ends`/`xy` vectors + packed property bytes).
+  *
+  * The flatbuffers MECHANICS are implemented from the public format spec,
+  * not a library: root u32 offset → table, table's leading i32 soffset →
+  * vtable (position = table − soffset), vtable = u16 size + u16 table
+  * size + per-field u16 offsets (0 = absent), scalars inline,
+  * strings/vectors/tables as u32 forward offsets relative to the field
+  * slot, vectors length-prefixed, scalars aligned (doubles 8, u32 4,
+  * u16 2) — the writer pads accordingly so real readers seek cleanly.
+  *
+  * Subset contract (loud, never silently wrong): `index_node_size` must
+  * be 0 — a packed Hilbert R-tree section is declared by any other value
+  * and this reader THROWS rather than misparse features as tree nodes
+  * (production readers use the index for bbox seeks; a full scan engine
+  * ignores it anyway). Property columns support the String / Long /
+  * Double / Bool column types; geometry supports Point / LineString /
+  * Polygon (rings via `ends`) / MultiPoint and MultiLineString, plus
+  * MultiPolygon through nested `parts`.
+  *
+  * Scale shape: like [[Shapefile]]/[[GeoPackage]], one task per file
+  * (`binaryFile` scan — a cloud-optimized FGB lands as many per-region
+  * files); all decoding executor-side.
+  */
+object FlatGeobuf {
+
+  import Kml.{KGeom, KPoint, KLine, KPolygon, KMulti}
+
+  private val Magic: Array[Byte] =
+    Array(0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00).map(_.toByte)
+
+  // Column types from the public spec's ColumnType enum
+  private val ColString = 11
+  private val ColLong = 7
+  private val ColDouble = 10
+  private val ColBool = 2
+
+  // GeometryType enum values (public spec)
+  private val GPoint = 1
+  private val GLine = 2
+  private val GPolygon = 3
+  private val GMultiPoint = 4
+  private val GMultiLine = 5
+  private val GMultiPolygon = 6
+
+  // ------------------------------------------------------------ fb writer
+  /** Forward-building flatbuffers emitter: parents first with placeholder
+    * child offsets patched once the child position is known (children sit
+    * at higher addresses, so every patched relative offset is positive —
+    * the layout real builders produce, just computed eagerly).
+    */
+  private final class FbBuilder {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var patches = List.empty[(Int, Int => Int)] // (at, pos => rel)
+
+    def pos: Int = out.size
+    def bytes(b: Array[Byte]): Unit = out.write(b)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { var i = 0; while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def i32(v: Int): Unit = u32(v.toLong & 0xffffffffL)
+    def u64(v: Long): Unit = { var i = 0; while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def align(n: Int): Unit = while (pos % n != 0) out.write(0)
+
+    /** Reserve a u32 offset slot at the current position; when `target`
+      * is later resolved to an absolute position, rel = target − at.
+      */
+    def offsetSlot(): Int = { val at = pos; u32(0L); at }
+    def patch(at: Int, target: Int): Unit = patches ::= (at, (_: Int) => target - at)
+
+    def result(): Array[Byte] = {
+      val arr = out.toByteArray
+      patches.foreach { case (at, rel) =>
+        val r = rel(at)
+        var i = 0
+        while (i < 4) { arr(at + i) = ((r >> (8 * i)) & 0xff).toByte; i += 1 }
+      }
+      arr
+    }
+
+    /** vtable + table skeleton: `fields` maps field id → (alignment,
+      * inline size, write thunk OR offset-slot marker). Returns the table
+      * position; offset-slot positions are returned for patching.
+      */
+    def table(fields: Seq[(Int, TableField)]): (Int, Map[Int, Int]) = {
+      val maxId = if (fields.isEmpty) -1 else fields.map(_._1).max
+      // assign inline offsets in id order, honoring each field's alignment
+      var off = 4 // after the i32 vtable soffset
+      val offsets = scala.collection.mutable.Map.empty[Int, Int]
+      fields.sortBy(_._1).foreach { case (id, f) =>
+        while (off % f.align != 0) off += 1
+        offsets(id) = off
+        off += f.size
+      }
+      val tableSize = off
+      align(2)
+      val vt = pos
+      u16(4 + 2 * (maxId + 1))
+      u16(tableSize)
+      (0 to maxId).foreach(id => u16(offsets.getOrElse(id, 0)))
+      // table: align to the widest inline scalar (8 covers all cases)
+      align(8)
+      // the soffset slot must land exactly at an offset where T - vt fits;
+      // pad so every inline field lands aligned relative to buffer too
+      val t = pos
+      i32(t - vt)
+      var written = 4
+      val slots = scala.collection.mutable.Map.empty[Int, Int]
+      fields.sortBy(_._1).foreach { case (id, f) =>
+        while (written < offsets(id)) { out.write(0); written += 1 }
+        f match {
+          case InlineField(_, _, w) => w(this)
+          case OffsetField => slots(id) = offsetSlot()
+        }
+        written += f.size
+      }
+      while (written < tableSize) { out.write(0); written += 1 }
+      (t, slots.toMap)
+    }
+
+    def string(s: String): Int = {
+      align(4)
+      val p = pos
+      val b = s.getBytes("UTF-8")
+      u32(b.length.toLong)
+      bytes(b); u8(0)
+      p
+    }
+
+    def doubleVector(vs: Seq[Double]): Int = {
+      align(8) // element alignment; length prefix sits in the pad gap
+      // ensure the u32 length immediately precedes 8-aligned elements
+      if (pos % 8 != 4) { var need = (4 + 8 - (pos % 8)) % 8; while (need > 0) { out.write(0); need -= 1 } }
+      val p = pos
+      u32(vs.length.toLong)
+      vs.foreach(f64)
+      p
+    }
+
+    def uintVector(vs: Seq[Long]): Int = {
+      align(4)
+      val p = pos
+      u32(vs.length.toLong)
+      vs.foreach(u32)
+      p
+    }
+
+    def byteVector(b: Array[Byte]): Int = {
+      align(4)
+      val p = pos
+      u32(b.length.toLong)
+      bytes(b)
+      p
+    }
+
+    def offsetVector(targets: Seq[Int]): Int = {
+      align(4)
+      val p = pos
+      u32(targets.length.toLong)
+      targets.foreach { t => val at = pos; u32(0L); patch(at, t) }
+      p
+    }
+  }
+
+  private sealed trait TableField { def align: Int; def size: Int }
+  private final case class InlineField(align: Int, size: Int,
+      write: FbBuilder => Unit) extends TableField
+  private case object OffsetField extends TableField { val align = 4; val size = 4 }
+
+  private def inU8(v: Int) = InlineField(1, 1, _.u8(v))
+  private def inU16(v: Int) = InlineField(2, 2, _.u16(v))
+  private def inU64(v: Long) = InlineField(8, 8, _.u64(v))
+
+  // --------------------------------------------------------- write side
+  private def geomType(g: KGeom): Int = g match {
+    case _: KPoint => GPoint
+    case _: KLine => GLine
+    case _: KPolygon => GPolygon
+    case KMulti(ms) if ms.nonEmpty && ms.forall(_.isInstanceOf[KPoint]) => GMultiPoint
+    case KMulti(ms) if ms.nonEmpty && ms.forall(_.isInstanceOf[KLine]) => GMultiLine
+    case KMulti(ms) if ms.nonEmpty && ms.forall(_.isInstanceOf[KPolygon]) => GMultiPolygon
+    case _ => throw new IllegalArgumentException(
+      "FlatGeobuf subset writer: empty or mixed MultiGeometry unsupported")
+  }
+
+  /** Geometry table; MultiPolygon nests per-polygon part tables. */
+  private def writeGeometry(b: FbBuilder, g: KGeom): Int = {
+    def flat(pts: Seq[(Double, Double)]): Seq[Double] =
+      pts.flatMap { case (x, y) => Seq(x, y) }
+    g match {
+      case KMulti(ms) if geomType(g) == GMultiPolygon =>
+        val parts = ms.map(m => writeGeometry(b, m))
+        val pv = b.offsetVector(parts)
+        val (t, slots) = b.table(Seq(
+          6 -> inU8(GMultiPolygon), 7 -> OffsetField))
+        b.patch(slots(7), pv)
+        t
+      case _ =>
+        val (ends, xy) = g match {
+          case KPoint(x, y) => (Nil, Seq(x, y))
+          case KLine(pts) => (Nil, flat(pts))
+          case KPolygon(rings) =>
+            // `ends` = cumulative vertex-end index per ring; single ring omits it
+            val open = rings.map(r =>
+              if (r.length > 1 && r.head == r.last) r else r :+ r.head)
+            val cum = open.map(_.length).scanLeft(0L)(_ + _).tail
+            (if (open.length > 1) cum else Nil, open.flatMap(flat))
+          case KMulti(ms) => (Nil, ms.flatMap { case KPoint(x, y) => Seq(x, y)
+            case other => throw new IllegalStateException(s"unexpected $other") })
+        }
+        val endsPos = if (ends.nonEmpty) Some(b.uintVector(ends)) else None
+        val xyPos = b.doubleVector(xy)
+        val fields = Seq.newBuilder[(Int, TableField)]
+        endsPos.foreach(_ => fields += (0 -> OffsetField))
+        fields += (1 -> OffsetField)
+        fields += (6 -> inU8(geomType(g)))
+        val (t, slots) = b.table(fields.result())
+        endsPos.foreach(p => b.patch(slots(0), p))
+        b.patch(slots(1), xyPos)
+        t
+    }
+  }
+
+  /** One complete FGB file: string props become String columns (sorted
+    * key order — the byte-deterministic [[Kml.placemarkXml]] rule).
+    */
+  def writeFgb(layer: String,
+      features: Seq[(Map[String, String], KGeom)],
+      indexNodeSize: Int = 0): Array[Byte] = {
+    val colNames = features.flatMap(_._1.keys).distinct.sorted
+    val colIndex = colNames.zipWithIndex.toMap
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+
+    // ------- header flatbuffer
+    val hb = new FbBuilder
+    val rootSlot = hb.offsetSlot()
+    val namePos = hb.string(layer)
+    val colPos = colNames.map { cn =>
+      val np = hb.string(cn)
+      val (t, slots) = hb.table(Seq(0 -> OffsetField, 1 -> inU8(ColString)))
+      hb.patch(slots(0), np)
+      t
+    }
+    val colVec = if (colPos.nonEmpty) Some(hb.offsetVector(colPos)) else None
+    val hfields = Seq.newBuilder[(Int, TableField)]
+    hfields += (0 -> OffsetField)
+    hfields += (2 -> inU8(0)) // geometry_type Unknown: per-feature types
+    colVec.foreach(_ => hfields += (7 -> OffsetField))
+    hfields += (8 -> inU64(features.length.toLong))
+    hfields += (9 -> inU16(indexNodeSize)) // 0 = NO index section (subset)
+    val (ht, hslots) = hb.table(hfields.result())
+    hb.patch(rootSlot, ht)
+    hb.patch(hslots(0), namePos)
+    colVec.foreach(p => hb.patch(hslots(7), p))
+    val headerBytes = hb.result()
+    writeU32(out, headerBytes.length.toLong)
+    out.write(headerBytes)
+
+    // ------- features
+    features.foreach { case (props, g) =>
+      val fb = new FbBuilder
+      val fRootSlot = fb.offsetSlot()
+      val gPos = writeGeometry(fb, g)
+      val propBytes = {
+        val po = new java.io.ByteArrayOutputStream()
+        props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val idx = colIndex(k)
+          po.write(idx & 0xff); po.write((idx >> 8) & 0xff)
+          val vb = v.getBytes("UTF-8")
+          writeU32(po, vb.length.toLong)
+          po.write(vb)
+        }
+        po.toByteArray
+      }
+      val pPos = if (propBytes.nonEmpty) Some(fb.byteVector(propBytes)) else None
+      val ffields = Seq.newBuilder[(Int, TableField)]
+      ffields += (0 -> OffsetField)
+      pPos.foreach(_ => ffields += (1 -> OffsetField))
+      val (ft, fslots) = fb.table(ffields.result())
+      fb.patch(fRootSlot, ft)
+      fb.patch(fslots(0), gPos)
+      pPos.foreach(p => fb.patch(fslots(1), p))
+      val featBytes = fb.result()
+      writeU32(out, featBytes.length.toLong)
+      out.write(featBytes)
+    }
+    out.toByteArray
+  }
+
+  private def writeU32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  // ---------------------------------------------------------- fb reader
+  private final class Fb(buf: Array[Byte], base: Int) {
+    private val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    def u8(p: Int): Int = bb.get(base + p) & 0xff
+    def u16(p: Int): Int = bb.getShort(base + p) & 0xffff
+    def i32(p: Int): Int = bb.getInt(base + p)
+    def u32(p: Int): Long = bb.getInt(base + p).toLong & 0xffffffffL
+    def u64(p: Int): Long = bb.getLong(base + p)
+    def f64(p: Int): Double = bb.getDouble(base + p)
+    def root: Int = u32(0).toInt
+
+    /** Absolute-in-fb position of field `id`'s slot in the table at `t`,
+      * or -1 when the field is absent.
+      */
+    def field(t: Int, id: Int): Int = {
+      val vt = t - i32(t)
+      val vtSize = u16(vt)
+      val slot = 4 + 2 * id
+      if (slot + 2 > vtSize) -1
+      else {
+        val off = u16(vt + slot)
+        if (off == 0) -1 else t + off
+      }
+    }
+    def indirect(p: Int): Int = p + u32(p).toInt
+    def string(p: Int): String = {
+      val s = indirect(p)
+      val len = u32(s).toInt
+      new String(buf, base + s + 4, len, "UTF-8")
+    }
+    def vecLen(v: Int): Int = u32(v).toInt
+  }
+
+  private def geomToWkb(fb: Fb, g: Int): Array[Byte] = {
+    val tpe = fb.field(g, 6) match { case -1 => 0; case p => fb.u8(p) }
+    def xySeq: Seq[(Double, Double)] = fb.field(g, 1) match {
+      case -1 => Nil
+      case p =>
+        val v = fb.indirect(p)
+        val n = fb.vecLen(v) / 2
+        (0 until n).map(i => (fb.f64(v + 4 + 16 * i), fb.f64(v + 4 + 16 * i + 8)))
+    }
+    def ends: Seq[Int] = fb.field(g, 0) match {
+      case -1 => Nil
+      case p =>
+        val v = fb.indirect(p)
+        (0 until fb.vecLen(v)).map(i => fb.u32(v + 4 + 4 * i).toInt)
+    }
+    def rings(pts: Seq[(Double, Double)]): Seq[Seq[(Double, Double)]] = {
+      val cuts = if (ends.nonEmpty) ends else Seq(pts.length)
+      cuts.zip(0 +: cuts.dropRight(1)).map { case (e, s) => pts.slice(s, e) }
+    }
+    tpe match {
+      case GPoint => val (x, y) = xySeq.head; Wkb.point(x, y)
+      case GLine => Wkb.lineString(xySeq)
+      case GPolygon => Wkb.polygon(rings(xySeq))
+      case GMultiPoint =>
+        Wkb.multi(4, xySeq.map { case (x, y) => Wkb.point(x, y) })
+      case GMultiLine =>
+        Wkb.multi(5, rings(xySeq).map(Wkb.lineString))
+      case GMultiPolygon =>
+        val pv = fb.field(g, 7) match {
+          case -1 => throw new IllegalArgumentException("MultiPolygon without parts")
+          case p => fb.indirect(p)
+        }
+        val members = (0 until fb.vecLen(pv)).map { i =>
+          val slot = pv + 4 + 4 * i
+          geomToWkb(fb, fb.indirect(slot))
+        }
+        Wkb.multi(6, members)
+      case other => throw new IllegalArgumentException(
+        s"FlatGeobuf subset reader: geometry type $other unsupported")
+    }
+  }
+
+  final case class FgbFeature(geomWkb: Array[Byte], props: Map[String, String])
+
+  /** Parse one complete .fgb byte array. */
+  def parse(bytes: Array[Byte]): (String, Seq[FgbFeature]) = {
+    require(bytes.length > 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a FlatGeobuf v3 file (magic mismatch)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var p = Magic.length
+    val headerLen = bb.getInt(p) & 0xffffffff.toInt; p += 4
+    val hfb = new Fb(bytes, p)
+    val ht = hfb.root
+    val layer = hfb.field(ht, 0) match { case -1 => ""; case f => hfb.string(f) }
+    val nodeSize = hfb.field(ht, 9) match { case -1 => 16; case f => hfb.u16(f) }
+    require(nodeSize == 0,
+      s"FlatGeobuf subset reader: index_node_size $nodeSize declares a packed " +
+        "Hilbert R-tree section this subset does not parse — write without an index")
+    val cols: IndexedSeq[(String, Int)] = hfb.field(ht, 7) match {
+      case -1 => IndexedSeq.empty
+      case f =>
+        val v = hfb.indirect(f)
+        (0 until hfb.vecLen(v)).map { i =>
+          val ct = hfb.indirect(v + 4 + 4 * i)
+          val nm = hfb.field(ct, 0) match { case -1 => s"col$i"; case nf => hfb.string(nf) }
+          val tp = hfb.field(ct, 1) match { case -1 => ColString; case tf => hfb.u8(tf) }
+          (nm, tp)
+        }
+    }
+    p += headerLen
+    val feats = Seq.newBuilder[FgbFeature]
+    while (p + 4 <= bytes.length) {
+      val fLen = bb.getInt(p); p += 4
+      val ffb = new Fb(bytes, p)
+      val ft = ffb.root
+      val wkb = ffb.field(ft, 0) match {
+        case -1 => null
+        case gf => geomToWkb(ffb, ffb.indirect(gf))
+      }
+      val props = ffb.field(ft, 1) match {
+        case -1 => Map.empty[String, String]
+        case pf =>
+          val v = ffb.indirect(pf)
+          val len = ffb.vecLen(v)
+          val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var q = v + 4
+          val end = v + 4 + len
+          while (q < end) {
+            val idx = ffb.u16(q); q += 2
+            val (nm, tp) = if (idx < cols.length) cols(idx) else (s"col$idx", ColString)
+            tp match {
+              case ColString =>
+                val l = ffb.u32(q).toInt; q += 4
+                out(nm) = new String(bytes, p + q, l, "UTF-8"); q += l
+              case ColLong => out(nm) = ffb.u64(q).toString; q += 8
+              case ColDouble => out(nm) = ffb.f64(q).toString; q += 8
+              case ColBool => out(nm) = (ffb.u8(q) != 0).toString; q += 1
+              case other => throw new IllegalArgumentException(
+                s"FlatGeobuf subset reader: column type $other unsupported")
+            }
+          }
+          out.toMap
+      }
+      feats += FgbFeature(wkb, props)
+      p += fLen
+    }
+    (layer, feats.result())
+  }
+
+  /** .fgb files → the canonical feature envelope ([[Kml.read]] columns;
+    * the feature id comes from a property, FGB having no id slot).
+    */
+  def read(spark: SparkSession, pathGlob: String, layer: String,
+      idField: String, eventTsUs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+    rows.flatMap { case (path, bytes) =>
+      parse(bytes)._2.map { f =>
+        (layer, f.props.getOrElse(idField, null), f.geomWkb, f.props, path)
+      }
+    }.toDF("layer", "feature_id", "geom_wkb", "props", "source")
+      .select($"layer", $"feature_id", $"geom_wkb", $"props",
+        timestamp_micros(lit(eventTsUs)).as("event_ts"), $"source",
+        lit(1).as("fmt_version"))
+      .select("layer", "feature_id", "geom_wkb", "props", "event_ts", "source", "fmt_version")
+  }
+}

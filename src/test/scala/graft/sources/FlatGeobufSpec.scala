@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.Wkb
+import Kml.{KLine, KMulti, KPoint, KPolygon}
+
+class FlatGeobufSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+
+  test("writeFgb → parse roundtrips points and properties exactly (IEEE doubles)") {
+    val feats = Seq(
+      (Map("fid" -> "p1", "ETYPE" -> "view"), KPoint(11.5, 48.1)),
+      (Map("fid" -> "p2", "ETYPE" -> "click"), KPoint(-180.0, -90.0)),
+      (Map("fid" -> "p3", "ETYPE" -> "buy"), KPoint(1e-300, 2.5)))
+    val (layer, out) = FlatGeobuf.parse(FlatGeobuf.writeFgb("events", feats))
+    assert(layer == "events")
+    assert(out.length == 3)
+    out.zip(feats).foreach { case (f, (props, KPoint(x, y))) =>
+      assert(f.props == props)
+      assert(Wkb.geomType(f.geomWkb) == "POINT")
+      assert(Wkb.bbox(f.geomWkb) == Wkb.BBox(x, y, x, y), s"coords not bit-exact for ${props("fid")}")
+    }
+  }
+
+  test("line, polygon with hole (ends vector), multipoint, multipolygon roundtrip") {
+    val line = KLine(Seq((0.0, 0.0), (3.0, 4.0), (5.5, 4.0)))
+    val poly = KPolygon(Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))))
+    val mpoint = KMulti(Seq(KPoint(1.0, 2.0), KPoint(3.0, 4.0)))
+    val mpoly = KMulti(Seq(
+      KPolygon(Seq(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)))),
+      KPolygon(Seq(Seq((5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0))))))
+    val (_, out) = FlatGeobuf.parse(FlatGeobuf.writeFgb("g", Seq(
+      (Map.empty[String, String], line), (Map.empty[String, String], poly),
+      (Map.empty[String, String], mpoint), (Map.empty[String, String], mpoly))))
+    assert(Wkb.geomType(out(0).geomWkb) == "LINESTRING")
+    val pw = out(1).geomWkb
+    assert(Wkb.geomType(pw) == "POLYGON")
+    assert(Wkb.ringVertexCounts(pw) == Seq(5, 5), "interior ring lost through ends")
+    assert(!Wkb.containsPoint(pw, 3.0, 3.0) && Wkb.containsPoint(pw, 7.0, 7.0))
+    assert(Wkb.geomType(out(2).geomWkb) == "MULTIPOINT")
+    assert(Wkb.geomType(out(3).geomWkb) == "MULTIPOLYGON")
+    assert(math.abs(Wkb.area(out(3).geomWkb) - 1.0) < 1e-12) // 0.5 + 0.5
+  }
+
+  test("declared index (index_node_size > 0) is rejected loudly, never misparsed") {
+    val bytes = FlatGeobuf.writeFgb("g",
+      Seq((Map("fid" -> "x"), KPoint(1.0, 1.0))), indexNodeSize = 16)
+    val e = intercept[IllegalArgumentException] { FlatGeobuf.parse(bytes) }
+    assert(e.getMessage.contains("Hilbert R-tree"))
+  }
+
+  test("magic mismatch is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      FlatGeobuf.parse("not a flatgeobuf file at all".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test("column schema is shared and key-sorted; features with missing props parse") {
+    val feats = Seq(
+      (Map("b" -> "1", "a" -> "2"), KPoint(0.0, 0.0)),
+      (Map("a" -> "3"), KPoint(1.0, 1.0)),
+      (Map.empty[String, String], KPoint(2.0, 2.0)))
+    val (_, out) = FlatGeobuf.parse(FlatGeobuf.writeFgb("g", feats))
+    assert(out(0).props == Map("a" -> "2", "b" -> "1"))
+    assert(out(1).props == Map("a" -> "3"))
+    assert(out(2).props.isEmpty)
+  }
+
+  test("read: FGB file becomes canonical feature envelopes") {
+    val dir = Files.createTempDirectory("fgb").toString
+    val bytes = FlatGeobuf.writeFgb("poi", Seq(
+      (Map("fid" -> "m1", "NAME" -> "munich"), KPoint(11.5, 48.1)),
+      (Map("fid" -> "md1", "NAME" -> "madrid"), KPoint(-3.5, 40.4))))
+    Files.write(java.nio.file.Paths.get(s"$dir/cities.fgb"), bytes)
+    val rows = FlatGeobuf.read(spark, s"$dir/cities.fgb", "poi", "fid",
+      eventTsUs = 1000000L).collect()
+    assert(rows.length == 2)
+    val m = rows.find(_.getAs[String]("feature_id") == "m1").get
+    assert(Wkb.bbox(m.getAs[Array[Byte]]("geom_wkb")) == Wkb.BBox(11.5, 48.1, 11.5, 48.1))
+    assert(m.getAs[Map[String, String]]("props") == Map("fid" -> "m1", "NAME" -> "munich"))
+    assert(m.getAs[java.sql.Timestamp]("event_ts").getTime == 1000L)
+    assert(m.getAs[String]("source").endsWith("cities.fgb"))
+  }
+}
