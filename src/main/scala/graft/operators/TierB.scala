@@ -1578,10 +1578,64 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B47
+  /** SCD2 interval compression — the warehouse "history table" build:
+    * each user's event_type stream collapses to validity intervals
+    * [valid_from, valid_to) over CONSECUTIVE equal values (islands), the
+    * shape a slowly-changing-dimension merge writes. Classic two-window
+    * gaps-and-islands: a change flag via lag, a running SUM of flags as
+    * the island id (cast at the window per the OracleLint HUGEINT rule),
+    * then one group per island with lead() fetching the next island's
+    * start as the exclusive end (NULL = still current). Both windows and
+    * the final lead partition on user_id — ONE shuffle key end to end,
+    * the b37 discipline. Timestamps are exact microsecond values carried
+    * through untouched. The island id is emitted as `version_no` (the
+    * SCD2 version column), which also makes the presentation sort a
+    * TOTAL order even when timestamp ties straddle island boundaries.
+    */
+  private val b47 = QuerySpec(
+    "b47_scd2",
+    "SCD2 history build: per-user event_type islands compressed to [valid_from, valid_to) validity intervals via lag-flag + running-sum island ids + lead() exclusive ends; one user_id shuffle key end to end.",
+    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+              CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            isl AS (SELECT user_id, event_type, ts,
+              CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+              FROM o),
+            g AS (SELECT user_id, island, MIN(event_type) AS event_type,
+              MIN(ts) AS valid_from, COUNT(*) AS n_events
+              FROM isl GROUP BY user_id, island)
+            SELECT user_id, island AS version_no, event_type, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+              n_events
+            FROM g ORDER BY user_id, version_no"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val isl = Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(w).isNull ||
+            lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+        .withColumn("island",
+          sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val g = isl.groupBy($"user_id", $"island")
+        .agg(min($"event_type").as("event_type"), min($"ts").as("valid_from"),
+          count(lit(1)).as("n_events"))
+      g.select($"user_id", $"island".as("version_no"), $"event_type", $"valid_from",
+        lead($"valid_from", 1)
+          .over(Window.partitionBy($"user_id").orderBy($"island")).as("valid_to"),
+        $"n_events")
+        .orderBy($"user_id", $"version_no")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46)
+    b45, b46, b47)
 }
