@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.scalacheck.{Gen, Prop, Properties}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
@@ -88,4 +89,43 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(m.getAs[java.sql.Timestamp]("event_ts").getTime == 1000L)
     assert(m.getAs[String]("source").endsWith("cities.fgb"))
   }
+}
+
+/** Generative roundtrip properties for the hand-built flatbuffers codec —
+  * random geometries, coordinates (incl. negative/tiny/huge doubles), and
+  * property maps must survive write → parse bit-for-bit.
+  */
+object FlatGeobufProps extends Properties("FlatGeobuf") {
+  private val coord = Gen.oneOf(
+    Gen.chooseNum(-180.0, 180.0), Gen.oneOf(0.0, -0.0, 1e-300, 1e300, -273.15))
+  private val pt = Gen.zip(coord, coord)
+  private val line = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, pt))
+    .map(ps => KLine(ps))
+  private val ring = Gen.chooseNum(3, 6).flatMap(n => Gen.listOfN(n, pt))
+    .map(ps => ps :+ ps.head)
+  private val poly = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, ring))
+    .map(rs => KPolygon(rs))
+  private val geom: Gen[Kml.KGeom] = Gen.oneOf(
+    pt.map { case (x, y) => KPoint(x, y) }, line, poly,
+    Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, pt))
+      .map(ps => KMulti(ps.map { case (x, y) => KPoint(x, y) })))
+  private val props = Gen.mapOf(Gen.zip(
+    Gen.identifier.map(_.take(8)), Gen.alphaNumStr.map(_.take(12))))
+
+  property("write → parse roundtrips geometry bytes and props exactly") =
+    Prop.forAll(Gen.chooseNum(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(props, geom)))) { feats =>
+      val (_, out) = FlatGeobuf.parse(FlatGeobuf.writeFgb("t", feats))
+      out.length == feats.length && out.zip(feats).forall { case (f, (p, g)) =>
+        val expected = g match {
+          case KPoint(x, y) => Wkb.point(x, y)
+          case KLine(ps) => Wkb.lineString(ps)
+          case KPolygon(rs) => Wkb.polygon(rs)
+          case KMulti(ms) =>
+            Wkb.multi(4, ms.map { case KPoint(x, y) => Wkb.point(x, y)
+              case other => sys.error(s"unexpected $other") })
+        }
+        f.props == p && java.util.Arrays.equals(f.geomWkb, expected)
+      }
+    }
 }
