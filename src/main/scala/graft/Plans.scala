@@ -145,6 +145,14 @@ object Plans {
       "one dim-sized aggregate; V rides as a broadcast literal and " +
       "driver traffic is dim rows per step — the corpus is never " +
       "collected or re-quantized."),
+    "b44_tpch_q5" -> ("TPC-H Q5: the supplier-nation-region dimension " +
+      "flow broadcasts into the fact side, orders/customer join feeds " +
+      "the lineitem shuffle, revenue partial-aggregates in decimal — a " +
+      "6-table plan with equi-joins only."),
+    "b47_scd2" -> ("SCD2 interval build: the lag flag window, the " +
+      "running-sum island window, and the lead() end-fetch all " +
+      "partition on user_id — one shuffle key end to end, the gap-fill " +
+      "(b37) window-sharing discipline."),
   )
 
   def main(args: Array[String]): Unit = {
