@@ -153,6 +153,10 @@ object Plans {
       "running-sum island window, and the lead() end-fetch all " +
       "partition on user_id — one shuffle key end to end, the gap-fill " +
       "(b37) window-sharing discipline."),
+    "b48_grouping_sets" -> ("Arbitrary GROUPING SETS: one Expand over " +
+      "ONE fact scan feeding a partial/final HashAggregate pair — 4x " +
+      "the agg input rows but a single read and a single shuffle, vs " +
+      "the UNION-ALL rewrite's four scans (PlanAuditSpec-pinned)."),
   )
 
   def main(args: Array[String]): Unit = {

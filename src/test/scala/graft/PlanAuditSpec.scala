@@ -308,6 +308,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "Q5 revenue is not partial-aggregating:\n" + q5)
   }
 
+  test("b48_grouping_sets: one Expand + one partial/final agg pair, not a multi-scan union") {
+    val p = plan("b48_grouping_sets")
+    // the four grouping sets must compile to a single Expand over ONE scan
+    assert("Expand".r.findAllIn(p).length == 1, "expected exactly one Expand:\n" + p)
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "grouping sets re-scanned the fact table:\n" + p)
+    assert(!p.contains("Union"), "grouping sets fell back to a UNION of scans:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "grouping-sets agg is not partial-aggregating:\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
