@@ -946,6 +946,124 @@ object TierCSim {
       NgramDfCap, PageRankIters)
   )
 
+  // --------------------------------------------- triangle count / transitivity
+  /** Per-source triangle count and global transitivity over the
+    * Jaccard ≥ [[ClusterThreshold]] similarity graph — the standard
+    * graph-shape diagnostic for a near-dup corpus (high transitivity =
+    * duplicates form tight cliques the keep-best pass can safely collapse;
+    * low = chains of borderline pairs where transitive dedup over-merges).
+    *
+    * Scale shape: DEGREE-ORDERED wedge enumeration, the compact-forward
+    * algorithm. Each edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one, so every triangle is generated exactly once at its
+    * unique minimum-(degree, id) apex and — the part that matters at
+    * 100 TB — per-node wedge fan-out is bounded by the node's OUT-degree,
+    * which the orientation caps at O(√m) for any graph (arboricity bound):
+    * a Zipf hub with degree 10⁶ contributes ~0 wedges because all its
+    * edges point INTO it. Three shuffles total (degree agg, wedge
+    * self-join on apex, closure equi-join on the wedge endpoints pair);
+    * no cartesian anywhere; the underlying pair graph is the same
+    * df-capped inverted-index join as `c2_cluster`/`c2_pagerank`.
+    * Transitivity is emitted as an exact integer ((3·tri·10⁶) div wedges)
+    * so the result is shuffle-order-free.
+    *
+    * All arithmetic is integer-exact, so the DuckDB oracle replays it with
+    * plain self-joins (a<b<c closure — fine at oracle SF, wrong shape at
+    * scale; the Spark side is the scale shape).
+    */
+  def triangleStats(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame = {
+    import s.implicits._
+    // pairs (id_a < id_b, within-source by construction); re-attach source
+    // via a plain equi-join on the functional doc_id→source mapping —
+    // pairs ≪ docs, one shuffle, keeps ngramJaccardPairs' declared
+    // output untouched.
+    val prs = ngramJaccardPairs(s, docs, threshold, dfCap)
+      .select($"id_a", $"id_b")
+    val e = prs
+      .join(docs.select($"doc_id", $"source"), $"id_a" === $"doc_id")
+      .select($"source", $"id_a", $"id_b")
+    val deg = e.select($"source", $"id_a".as("node"))
+      .unionAll(e.select($"source", $"id_b".as("node")))
+      .groupBy($"source", $"node").agg(count(lit(1)).as("deg"))
+    // orient each edge low-(deg, id) → high-(deg, id)
+    val da = deg.select($"source", $"node".as("id_a"), $"deg".as("da"))
+    val db = deg.select($"source".as("src_b"), $"node".as("node_b"), $"deg".as("db"))
+    val oriented = e
+      .join(da, Seq("source", "id_a"))
+      .join(db, $"source" === $"src_b" && $"id_b" === $"node_b")
+      .select($"source",
+        when($"da" < $"db" || ($"da" === $"db" && $"id_a" < $"id_b"),
+          $"id_a").otherwise($"id_b").as("apex"),
+        when($"da" < $"db" || ($"da" === $"db" && $"id_a" < $"id_b"),
+          $"id_b").otherwise($"id_a").as("dst"))
+    // wedges at each apex (unordered endpoint pair, id-normalised u < v —
+    // both endpoints are (deg,id)-above the apex but their id order is free)
+    val w1 = oriented.select($"source", $"apex", $"dst".as("u"))
+    val w2 = oriented.select($"source".as("src_2"), $"apex".as("apex_2"), $"dst".as("v"))
+    val wedges = w1.join(w2,
+        $"source" === $"src_2" && $"apex" === $"apex_2" && $"u" < $"v")
+      .select($"source", $"u", $"v")
+    // closure: the wedge endpoints pair is an edge of the undirected graph
+    val closing = e.select($"source".as("src_c"), $"id_a".as("u_c"), $"id_b".as("v_c"))
+    val tri = wedges.join(closing,
+        $"source" === $"src_c" && $"u" === $"u_c" && $"v" === $"v_c")
+      .groupBy($"source").agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.groupBy($"source").agg(
+      count(lit(1)).as("n_nodes"),
+      sum($"deg" * ($"deg" - lit(1))).as("two_wedges"))
+    val edgeStats = e.groupBy($"source").agg(count(lit(1)).as("n_edges"))
+    degStats
+      .join(edgeStats, Seq("source"))
+      .join(tri, Seq("source"), "left")
+      .select($"source", $"n_nodes", $"n_edges",
+        expr("two_wedges div 2").as("n_wedges"),
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .withColumn("transitivity_e6",
+        when($"n_wedges" > 0,
+          expr("(3 * n_triangles * 1000000) div n_wedges")).otherwise(lit(0L)))
+      .orderBy($"source")
+  }
+
+  private val c2tr = QuerySpec(
+    "c2_triangles",
+    s"Per-source triangle count + wedge count + exact integer transitivity ((3*tri*1e6) div wedges) over the Jaccard>=$ClusterThreshold similarity graph; degree-ordered wedge enumeration (each triangle once at its min-(deg,id) apex, fan-out O(sqrt(m)) per node), never node^3.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.source AS source, a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $ClusterThreshold),
+            e AS (SELECT source, id_a AS node FROM prs
+                  UNION ALL SELECT source, id_b FROM prs),
+            dg AS (SELECT source, node, COUNT(*) AS deg FROM e GROUP BY 1, 2),
+            ds AS (SELECT source, COUNT(*) AS n_nodes,
+                     CAST(SUM(deg * (deg - 1)) AS BIGINT) // 2 AS n_wedges
+                   FROM dg GROUP BY 1),
+            es AS (SELECT source, COUNT(*) AS n_edges FROM prs GROUP BY 1),
+            tri AS (SELECT e1.source AS source, COUNT(*) AS n_triangles
+                    FROM prs e1
+                    JOIN prs e2 ON e2.source = e1.source AND e2.id_a = e1.id_b
+                    JOIN prs e3 ON e3.source = e1.source
+                               AND e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+                    GROUP BY 1)
+            SELECT ds.source AS source, n_nodes, n_edges, n_wedges,
+              COALESCE(n_triangles, 0) AS n_triangles,
+              CASE WHEN n_wedges > 0
+                   THEN (3 * COALESCE(n_triangles, 0) * 1000000) // n_wedges
+                   ELSE 0 END AS transitivity_e6
+            FROM ds
+            JOIN es USING (source)
+            LEFT JOIN tri USING (source)
+            ORDER BY source"""),
+    (s, d) => triangleStats(s, Tables.documents(s, d), ClusterThreshold, NgramDfCap)
+  )
+
   private val c2dc = QuerySpec(
     "c2_dedup_corpus",
     "End-to-end near-dup dedup: Jaccard>=0.3 pair graph -> star-contraction clusters -> keep-best survivor per cluster (longest n_chars, ties to lowest doc_id) with shed-duplicate counts; the composed corpus-in/survivors-out stage.",
@@ -2483,5 +2601,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh)
 }

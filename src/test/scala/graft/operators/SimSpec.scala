@@ -142,6 +142,39 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("triangleStats: K3/K4 cliques, open wedge path, pair, isolated doc — exact counts") {
+    import spark.implicits._
+    def toks(p: String, lo: Int, hi: Int) = (lo to hi).map(i => s"$p$i").mkString(" ")
+    // K3 in source s3 (identical docs → J=1 edges), K4 in s4, lone pair in
+    // sp, an OPEN wedge a–b–c in sw (A=w1..60, B=w31..90 share 29 of 89
+    // distinct bigrams → J≈0.326 ≥ 0.3; A vs C=w61..120 share none), and an
+    // isolated doc in si (no pairs → source absent from the output).
+    val docs = (
+      (0 to 2).map(i => (10L + i, "s3", toks("a", 1, 60))) ++
+      (0 to 3).map(i => (20L + i, "s4", toks("b", 1, 60))) ++
+      Seq((30L, "sp", toks("c", 1, 60)), (31L, "sp", toks("c", 1, 60)),
+          (40L, "sw", toks("w", 1, 60)), (41L, "sw", toks("w", 31, 90)),
+          (42L, "sw", toks("w", 61, 120)),
+          (50L, "si", toks("z", 1, 60)))
+    ).map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TierCSim.triangleStats(spark, df, 0.3, 10000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    val got = run(docs)
+    assert(got == Seq(
+      // source, nodes, edges, wedges, triangles, transitivity_e6
+      ("s3", 3L, 3L, 3L, 1L, 1000000L),   // K3: 3·1e6·1/3
+      ("s4", 4L, 6L, 12L, 4L, 1000000L),  // K4: 3·1e6·4/12
+      ("sp", 2L, 1L, 0L, 0L, 0L),         // single edge: no wedge, guard path
+      ("sw", 3L, 2L, 1L, 0L, 0L)          // open wedge: 1 wedge, 0 triangles
+    ), got.mkString(","))
+    // degree-ordered enumeration must not depend on input layout
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("semDedup: planted dup pair + triple collapse to lowest-id reps, orthogonal survives") {
     import spark.implicits._
     def v(hot: Int, tilt: Int = -1): Seq[Float] =
