@@ -405,6 +405,69 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11ab
+  /** Order-16 Hilbert curve key over the same quantized grid as
+    * [[mortonCol]] — one codegen'd expression node
+    * ([[org.apache.spark.sql.graftbridge.HilbertIndex]]; the stateful
+    * 16-level rotation walk would multiply into a ~4¹⁶-node Column tree
+    * unrolled). Consecutive keys are always 4-adjacent cells, so a bbox
+    * decomposes into fewer, longer key ranges than Morton → fewer
+    * row-group seeks when the table is range-partitioned by the key.
+    */
+  def hilbertCol(qx: Column, qy: Column): Column =
+    org.apache.spark.sql.graftbridge.HilbertIndex.hilbertF(qx, qy)
+
+  /** Driver-side inverse (curve position → grid cell), the bbox-planner
+    * piece — symmetric to [[mortonDecode]].
+    */
+  def hilbertDecode(d: Long): (Long, Long) =
+    org.apache.spark.sql.graftbridge.HilbertIndex.d2xy(d)
+
+  /** The xy2d walk as 16 chained integer CTEs (h1..h16), one per level
+    * s = 2¹⁵…1: d += s²·((3·rx) xor ry), then the conditional lower-quadrant
+    * rotation — every step is exact BIGINT arithmetic, so the oracle
+    * replays the expression bit for bit.
+    */
+  private def hilbertCtes: String =
+    (0 until 16).map { i =>
+      val s = 32768L >> i
+      s"""h${i + 1} AS (SELECT event_id, qx, qy,
+         |              d + CAST(${s * s} AS BIGINT) *
+         |                xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |                    (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+         |              CASE WHEN (y & $s) = 0
+         |                   THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END)
+         |                   ELSE x END AS x,
+         |              CASE WHEN (y & $s) = 0
+         |                   THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END)
+         |                   ELSE y END AS y
+         |            FROM h$i)""".stripMargin
+    }.mkString(",\n            ")
+
+  private val a11ab = QuerySpec(
+    "a11ab_hilbert",
+    "Hilbert-curve spatial layout key on the 16-bit quantized event grid (order-16 xy2d, native codegen expression) plus its 65536-cell curve-segment prefix; locality-preserving alternative to a11m_morton — consecutive keys are always 4-adjacent cells, so bboxes decompose into fewer key ranges at 100 TB.",
+    Some(s"""WITH q AS (SELECT event_id,
+              CAST(floor(value) AS BIGINT) % 65536 AS qx,
+              user_id % 65536 AS qy
+              FROM events),
+            h0 AS (SELECT event_id, qx, qy, qx AS x, qy AS y,
+                     CAST(0 AS BIGINT) AS d FROM q),
+            $hilbertCtes
+            SELECT event_id, qx, qy, d AS hilbert, (d >> 16) AS hseg
+            FROM h16 ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      val qx = (floor($"value").cast(LongType) % 65536L).as("qx")
+      val qy = ($"user_id" % 65536L).as("qy")
+      Tables.events(s, d)
+        .select($"event_id", qx, qy)
+        .withColumn("hilbert", hilbertCol($"qx", $"qy"))
+        .withColumn("hseg", shiftright($"hilbert", 16))
+        .orderBy($"event_id")
+    }
+  )
+
   // ---------------------------------------------------------------- A11n
   /** No oracle by design: the hull vertex chain is not SQL-replayable
     * (monotone-chain stack discipline); HullSpec pins planted shapes,
@@ -951,5 +1014,5 @@ object Spatial {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a11d, a11f, a11j, a11m, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w)
+    Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w)
 }

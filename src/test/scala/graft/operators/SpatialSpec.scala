@@ -390,6 +390,44 @@ class SpatialSpec extends AnyFunSuite {
     assert(out.forall(k => (k >> 16) != prefix))
   }
 
+  test("hilbertCol codegen matches the driver reference walk; d2xy inverts it") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.HilbertIndex
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (65535L, 65535L),
+      (65535L, 0L), (0L, 65535L), (12345L, 54321L), (32768L, 32767L)) ++
+      (0 until 50).map(i => ((i * 2654435761L) % 65536L, (i * 40503L) % 65536L))
+    val got = cases.toDF("qx", "qy")
+      .select(Spatial.hilbertCol($"qx", $"qy")).as[Long].collect()
+    assert(got.sameElements(cases.map { case (x, y) => HilbertIndex.xy2d(x, y) }))
+    cases.foreach { case (x, y) =>
+      assert(Spatial.hilbertDecode(HilbertIndex.xy2d(x, y)) == ((x, y)), s"x=$x y=$y")
+    }
+    // corners of the full grid: curve starts at (0,0) and ends at (65535,0)
+    assert(HilbertIndex.xy2d(0L, 0L) == 0L)
+    assert(HilbertIndex.xy2d(65535L, 0L) == (1L << 32) - 1L)
+  }
+
+  test("hilbert unit-step locality: consecutive keys are 4-adjacent cells; Morton is not") {
+    import org.apache.spark.sql.graftbridge.HilbertIndex
+    // walk 4096 consecutive curve positions from a few scattered offsets:
+    // every step moves to a Manhattan-distance-1 cell (the property that
+    // makes bbox → few long key ranges); Morton's row-major scan violates
+    // it at every 2^k boundary.
+    for (base <- Seq(0L, 1234567L, (1L << 31) + 9999L)) {
+      var (px, py) = HilbertIndex.d2xy(base)
+      (1L to 4096L).foreach { i =>
+        val (x, y) = HilbertIndex.d2xy(base + i)
+        assert(math.abs(x - px) + math.abs(y - py) == 1L,
+          s"non-adjacent step at d=${base + i}")
+        px = x; py = y
+      }
+    }
+    // bijectivity on a 64×64 subgrid (distinct keys = no cell aliasing)
+    val keys = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield HilbertIndex.xy2d(x, y)
+    assert(keys.distinct.size == 64 * 64)
+  }
+
   test("geodesic diamond area: equator matches the small-polygon planar value, high latitude shrinks by cos") {
     // 1.5-degree diamond at the equator: planar limit 2*(r*D*R)^2
     val D = math.Pi / 180.0
