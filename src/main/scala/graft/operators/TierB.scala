@@ -1675,10 +1675,109 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B49
+  /** Snapshot reconciliation (table diff): classify every key as
+    * added / removed / changed / equal-and-dropped between two snapshot
+    * frames — the anti-entropy primitive behind CDC validation, backfill
+    * audits, and migration sign-off. Snapshots are derived
+    * deterministically from `orders` (old = keys ∉ 13ℤ, new = keys ∉ 11ℤ
+    * with a price bump on 7ℤ) so the diff exercises all three classes.
+    *
+    * Scale shape: ONE full-outer shuffle join on the snapshot key, then a
+    * map-side CASE — never a collect or a per-column join. Value
+    * comparison is on the raw stored doubles (bit equality, no epsilon):
+    * both sides read the same parquet, so equality is exact; prices are
+    * emitted through the decimal-quantize rule for the hash gate. With
+    * both snapshots bucketed by key (ScaleSpec's bucketed-join shape)
+    * the Exchange disappears entirely at 100 TB.
+    */
+  private val b49 = QuerySpec(
+    "b49_snapshot_diff",
+    "Snapshot diff via one full-outer join on the key: added/removed/changed classification with old/new prices (NULL-padded), equal rows dropped; derived old/new snapshots from orders (drop-13s vs drop-11s with a +1.00 price bump on 7s).",
+    Some("""WITH olds AS (SELECT o_orderkey, o_totalprice FROM orders
+                          WHERE o_orderkey % 13 <> 0),
+            news AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                     FROM orders WHERE o_orderkey % 11 <> 0)
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   ELSE 'changed' END AS change,
+              CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS old_price,
+              CAST(CAST(n.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS new_price
+            FROM olds o FULL OUTER JOIN news n ON n.o_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.o_totalprice <> n.o_totalprice
+            ORDER BY o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      val orders = Tables.orders(s, d)
+      val olds = orders.filter($"o_orderkey" % 13 =!= 0)
+        .select($"o_orderkey".as("k_old"), $"o_totalprice".as("p_old"))
+      val news = orders.filter($"o_orderkey" % 11 =!= 0)
+        .select($"o_orderkey".as("k_new"),
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1.0)
+            .otherwise($"o_totalprice").as("p_new"))
+      olds.join(news, $"k_old" === $"k_new", "full_outer")
+        .filter($"k_old".isNull || $"k_new".isNull || $"p_old" =!= $"p_new")
+        .select(coalesce($"k_old", $"k_new").as("o_orderkey"),
+          when($"k_old".isNull, "added")
+            .when($"k_new".isNull, "removed")
+            .otherwise("changed").as("change"),
+          decDbl($"p_old", 2).as("old_price"),
+          decDbl($"p_new", 2).as("new_price"))
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B50
+  /** Algebraic aggregate-state MERGE — the incremental-view-maintenance
+    * primitive: partial states (count, decimal sum, min, max) computed
+    * independently over two disjoint slices of lineitem, then merged by
+    * the state algebra (counts/sums add, min/max fold), with the oracle
+    * asserting merged(partials) ≡ aggregate(whole table). At 100 TB this
+    * is the shape that lets a daily batch update a year-rolled summary by
+    * aggregating ONLY the delta and merging — never rescanning the base;
+    * the merge agg is over |groups| rows, not |rows|.
+    */
+  private val b50 = QuerySpec(
+    "b50_agg_merge",
+    "Partial-aggregate state merge: (count, decimal sum(qty), min/max shipdate) per (returnflag, linestatus) computed separately over pre/post-1995 lineitem slices, merged by the state algebra; oracle is the direct whole-table aggregate — proving the merge is lossless.",
+    Some("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+              COUNT(*) AS n,
+              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+              MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY rf, ls"""),
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      def partialState(slice: DataFrame): DataFrame =
+        slice.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec($"l_quantity", 18, 2)).as("sum_qty_d"),
+            min($"l_shipdate").as("first_ship"),
+            max($"l_shipdate").as("last_ship"))
+      val cut = ts("1995-01-01")
+      val merged = partialState(li.filter($"l_shipdate" < cut))
+        .unionByName(partialState(li.filter($"l_shipdate" >= cut)))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"n").as("n"),
+          sum($"sum_qty_d").as("sum_qty_d"),
+          min($"first_ship").as("first_ship"),
+          max($"last_ship").as("last_ship"))
+      merged.select($"l_returnflag".as("rf"), $"l_linestatus".as("ls"),
+          $"n", decDbl($"sum_qty_d", 2).as("sum_qty"),
+          $"first_ship", $"last_ship")
+        .orderBy($"rf", $"ls")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48)
+    b45, b46, b47, b48, b49, b50)
 }
