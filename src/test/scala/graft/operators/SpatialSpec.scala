@@ -428,6 +428,37 @@ class SpatialSpec extends AnyFunSuite {
     assert(keys.distinct.size == 64 * 64)
   }
 
+  test("hilbert bbox fragmentation: fewer contiguous key ranges than Morton on unaligned bboxes") {
+    import org.apache.spark.sql.graftbridge.HilbertIndex
+    // The scale claim behind a11ab: a bbox filter on a key-range-partitioned
+    // layout costs one seek per CONTIGUOUS key range the bbox decomposes
+    // into. Count ranges = sorted cell keys with gaps, for both curves, on
+    // unaligned bboxes (power-of-two-aligned ones are Morton's best case).
+    def ranges(keys: Seq[Long]): Int = {
+      val s = keys.sorted
+      1 + s.zip(s.tail).count { case (a, b) => b != a + 1 }
+    }
+    def mortonRef2(x: Long, y: Long): Long = {
+      var k = 0L
+      (0 until 16).foreach { b =>
+        k |= ((x >> b) & 1L) << (2 * b)
+        k |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      k
+    }
+    val bboxes = Seq((100L, 200L, 48L), (1000L, 3000L, 96L), (30000L, 40000L, 64L),
+      (511L, 511L, 33L), (65000L, 100L, 50L))
+    var hTot = 0
+    var mTot = 0
+    bboxes.foreach { case (x0, y0, w) =>
+      val cells = for (x <- x0 until (x0 + w); y <- y0 until (y0 + w)) yield (x, y)
+      val h = ranges(cells.map { case (x, y) => HilbertIndex.xy2d(x, y) })
+      val m = ranges(cells.map { case (x, y) => mortonRef2(x, y) })
+      hTot += h; mTot += m
+    }
+    assert(hTot < mTot, s"hilbert ranges $hTot should beat morton $mTot")
+  }
+
   test("geodesic diamond area: equator matches the small-polygon planar value, high latitude shrinks by cos") {
     // 1.5-degree diamond at the equator: planar limit 2*(r*D*R)^2
     val D = math.Pi / 180.0
