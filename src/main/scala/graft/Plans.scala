@@ -157,6 +157,24 @@ object Plans {
       "ONE fact scan feeding a partial/final HashAggregate pair — 4x " +
       "the agg input rows but a single read and a single shuffle, vs " +
       "the UNION-ALL rewrite's four scans (PlanAuditSpec-pinned)."),
+    "a11ab_hilbert" -> ("Hilbert layout key: pure map-side projection — " +
+      "the 16-level xy2d walk is ONE codegen'd expression node " +
+      "(graft_hilbert), not an unrolled Column tree; the only exchange " +
+      "is the presentation sort."),
+    "c2_triangles" -> ("Degree-ordered triangle count: the sourced edge " +
+      "list and the orientation are cached once (InMemoryTableScan " +
+      "below); wedges come from ONE self-equi-join on the apex and close " +
+      "with ONE equi-join on the endpoint pair — fan-out bounded by " +
+      "out-degree <= O(sqrt(m)), no cartesian anywhere."),
+    "b49_snapshot_diff" -> ("Snapshot diff: ONE full-outer sort-merge " +
+      "join on the key; both snapshot derivations are map-side filters " +
+      "pushed into their scans, classification is a post-join CASE — no " +
+      "per-column joins, no collect."),
+    "b50_agg_merge" -> ("Aggregate-state merge: each slice " +
+      "partial-aggregates map-side behind its pushed slice predicate; " +
+      "the merge agg runs over |groups| union rows and itself " +
+      "partial-aggregates — the base table is scanned once per slice " +
+      "and never re-scanned at merge time."),
   )
 
   def main(args: Array[String]): Unit = {

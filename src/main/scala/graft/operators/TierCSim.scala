@@ -980,23 +980,27 @@ object TierCSim {
     // output untouched.
     val prs = ngramJaccardPairs(s, docs, threshold, dfCap)
       .select($"id_a", $"id_b")
-    val e = prs
+    // cache the sourced edge list: degrees, orientation, closure, and the
+    // edge-stats agg all re-read it — uncached, each consumer would
+    // recompute the whole inverted-index pair join (4× the dominant cost)
+    val e = CacheRegistry.persist(prs
       .join(docs.select($"doc_id", $"source"), $"id_a" === $"doc_id")
-      .select($"source", $"id_a", $"id_b")
-    val deg = e.select($"source", $"id_a".as("node"))
-      .unionAll(e.select($"source", $"id_b".as("node")))
-      .groupBy($"source", $"node").agg(count(lit(1)).as("deg"))
+      .select($"source", $"id_a", $"id_b"))
+    val deg = CacheRegistry.persist(
+      e.select($"source", $"id_a".as("node"))
+        .unionAll(e.select($"source", $"id_b".as("node")))
+        .groupBy($"source", $"node").agg(count(lit(1)).as("deg")))
     // orient each edge low-(deg, id) → high-(deg, id)
     val da = deg.select($"source", $"node".as("id_a"), $"deg".as("da"))
     val db = deg.select($"source".as("src_b"), $"node".as("node_b"), $"deg".as("db"))
-    val oriented = e
+    val oriented = CacheRegistry.persist(e
       .join(da, Seq("source", "id_a"))
       .join(db, $"source" === $"src_b" && $"id_b" === $"node_b")
       .select($"source",
         when($"da" < $"db" || ($"da" === $"db" && $"id_a" < $"id_b"),
           $"id_a").otherwise($"id_b").as("apex"),
         when($"da" < $"db" || ($"da" === $"db" && $"id_a" < $"id_b"),
-          $"id_b").otherwise($"id_a").as("dst"))
+          $"id_b").otherwise($"id_a").as("dst")))
     // wedges at each apex (unordered endpoint pair, id-normalised u < v —
     // both endpoints are (deg,id)-above the apex but their id order is free)
     val w1 = oriented.select($"source", $"apex", $"dst".as("u"))

@@ -319,6 +319,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "grouping-sets agg is not partial-aggregating:\n" + p)
   }
 
+  test("a11ab hilbert: one codegen'd expression node, no shuffle except the presentation sort") {
+    val p = plan("a11ab_hilbert")
+    assert(p.contains("graft_hilbert"), "native hilbert node missing:\n" + p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p)
+  }
+
+  test("c2_triangles: edge list cached once, equi-joins only, never cartesian") {
+    val p = plan("c2_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration degraded to all-pairs:\n" + p)
+    // the cached sourced edge list + orientation feed every consumer —
+    // without the persist each reference recomputes the whole pair join
+    assert(p.contains("InMemoryTableScan"), "edge list not cached:\n" + p)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("b49_snapshot_diff: one full-outer join on the key, snapshot filters pushed to the scans") {
+    val p = plan("b49_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert("Join".r.findAllIn(p).length == 1, "diff must be a single join:\n" + p)
+    assert("Scan parquet".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("b50_agg_merge: slice predicates pushed, merge agg partial-aggregates over group-sized input") {
+    val p = plan("b50_agg_merge")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate") ||
+      p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual"), p)
+    // 2 slice partial/final pairs + the merge partial/final pair
+    assert("HashAggregate".r.findAllIn(p).length == 6, p)
+    assert("Scan parquet".r.findAllIn(p).length == 2,
+      "merge must not rescan the base beyond its two slices:\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()

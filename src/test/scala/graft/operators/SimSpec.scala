@@ -173,6 +173,7 @@ class SimSpec extends AnyFunSuite {
     ), got.mkString(","))
     // degree-ordered enumeration must not depend on input layout
     assert(run(docs.repartition(7)) == got)
+    graft.CacheRegistry.releaseAll()
   }
 
   test("semDedup: planted dup pair + triple collapse to lowest-id reps, orthogonal survives") {
