@@ -1675,6 +1675,99 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B51
+  /** TPC-H Q18 shape (large-volume customers): the HAVING pre-aggregate
+    * IS the semi-join — sum quantity per order first (partial-aggregated,
+    * one shuffle on the key), keep the > 200 tail, and only those order
+    * keys ever reach the orders/customer joins. At 100 TB the pre-agg
+    * collapses the fact table to |orders| rows before any join, and the
+    * surviving "big" set is tiny (Zipf tail), so both enrichment joins
+    * probe with a frame 4–5 orders of magnitude smaller than lineitem.
+    * Unlike textbook Q18 the quantity sum is reused from the pre-agg
+    * instead of re-joining lineitem per group — same result, one fewer
+    * fact-table pass.
+    */
+  private val b51 = QuerySpec(
+    "b51_tpch_q18",
+    "TPC-H Q18 (large-volume customers): per-order decimal quantity sums HAVING > 200 as the probe set, enriched through orders->customer, top-100 by (totalprice desc, orderdate, orderkey).",
+    Some("""WITH big AS (SELECT l_orderkey,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+              CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+              CAST(CAST(big.sq AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 100"""),
+    (s, d) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_quantity", 18, 2)).as("sq"))
+        .filter($"sq" > 200)
+      big
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"o_custkey", $"o_orderkey", $"o_orderdate",
+          decDbl($"o_totalprice", 2).as("o_totalprice"),
+          decDbl($"sq", 2).as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+        .limit(100)
+    }
+  )
+
+  // ----------------------------------------------------------------- B52
+  /** Hierarchy flattening (transitive ancestor closure) — the recursive-CTE
+    * workload Spark has no native construct for, done as PATH DOUBLING:
+    * round k composes the closure with itself (a.anc = b.node), so covered
+    * path length doubles per round — 6 rounds reach depth 2⁶ = 64, enough
+    * for any Long-keyed binary hierarchy (vs O(depth) rounds for the naive
+    * parent-at-a-time walk; at depth 40 that is 6 shuffles instead of 40).
+    * Each round persists its frame (CacheRegistry) so the self-join reads
+    * a materialized closure — without it the plan tree doubles per round
+    * (the 3^N star-contraction family in BENCH_NOTES).
+    *
+    * The hierarchy is synthetic-but-deterministic (parent = user div 2, the
+    * binary-heap encoding) so the closure exercises real chain depths
+    * (~log₂ n) from a flat events table. The DuckDB oracle is the genuine
+    * recursive CTE over the same derivation.
+    */
+  private val b52 = QuerySpec(
+    "b52_hierarchy_closure",
+    "Transitive ancestor closure over the binary-heap hierarchy (parent = user div 2) for every distinct event user: (user, ancestor, depth) rows to the root, via 6 path-doubling self-joins (depth 64 coverage) with per-round persist; oracle is DuckDB's recursive CTE.",
+    Some("""WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events WHERE user_id >= 2),
+            anc(user_id, ancestor, depth) AS (
+              SELECT user_id, user_id // 2, CAST(1 AS BIGINT) FROM u
+              UNION ALL
+              SELECT user_id, ancestor // 2, depth + 1 FROM anc WHERE ancestor >= 2)
+            SELECT user_id, ancestor, depth FROM anc
+            ORDER BY user_id, depth"""),
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.events(s, d)
+        .select($"user_id").distinct()
+        .filter($"user_id" >= 2)
+        .select($"user_id", expr("user_id div 2").as("ancestor"),
+          lit(1L).as("depth"))
+      // localCheckpoint per round, NOT persist: the self-join references
+      // the closure twice, so an un-truncated plan doubles per round
+      // (measured as a 2.1 MiB task binary by round 6 with persist-only —
+      // the starComponents lineage discipline, TierCSim barrier note)
+      var clo = edges.localCheckpoint()
+      (1 to 6).foreach { _ =>
+        val l = clo.select($"user_id", $"ancestor".as("mid"), $"depth".as("d1"))
+        val r = clo.select($"user_id".as("mid_r"), $"ancestor", $"depth".as("d2"))
+        val composed = l.join(r, $"mid" === $"mid_r")
+          .select($"user_id", $"ancestor", ($"d1" + $"d2").as("depth"))
+        clo = clo.unionByName(composed).distinct().localCheckpoint()
+      }
+      clo.orderBy($"user_id", $"depth")
+    }
+  )
+
   // ----------------------------------------------------------------- B49
   /** Snapshot reconciliation (table diff): classify every key as
     * added / removed / changed / equal-and-dropped between two snapshot
@@ -1779,5 +1872,5 @@ object TierB {
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50)
+    b45, b46, b47, b48, b49, b50, b51, b52)
 }
