@@ -175,6 +175,17 @@ object Plans {
       "the merge agg runs over |groups| union rows and itself " +
       "partial-aggregates — the base table is scanned once per slice " +
       "and never re-scanned at merge time."),
+    "b51_tpch_q18" -> ("TPC-H Q18: the HAVING pre-aggregate collapses " +
+      "lineitem to per-order sums BEFORE any join (partial agg on the " +
+      "shuffle), the >200 tail is the only probe set reaching orders/" +
+      "customer, and the top-100 is TakeOrderedAndProject — the fact " +
+      "table is scanned exactly once."),
+    "b52_hierarchy_closure" -> ("Recursive-CTE workload as path " +
+      "doubling: 6 closure∘closure equi-joins cover depth 64 (O(log d) " +
+      "shuffles, not O(d)); each round localCheckpoints so the " +
+      "twice-referenced closure reads one materialized RDD and the " +
+      "plan stays O(round) instead of doubling (scan shows the " +
+      "checkpoint, not a 6-deep join tree)."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -354,6 +354,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "merge must not rescan the base beyond its two slices:\n" + p)
   }
 
+  test("b51_tpch_q18: pre-agg before any join, single fact scan, top-100 is TakeOrdered") {
+    val p = plan("b51_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Scan parquet .*lineitem".r.findAllIn(p).length == 1,
+      "Q18 re-scanned the fact table:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the quantity aggregate must partial-aggregate below its exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("b52_hierarchy_closure: rounds cut lineage — final plan reads a checkpoint, not a join tree") {
+    val p = plan("b52_hierarchy_closure")
+    // the 6 doubling rounds ran eagerly at plan-build time (localCheckpoint);
+    // the declared frame's own plan is just sort-over-checkpoint-scan
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "closure plan did not truncate at the checkpoint barrier:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "final plan still carries the doubling joins — lineage not cut:\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
