@@ -186,6 +186,11 @@ object Plans {
       "twice-referenced closure reads one materialized RDD and the " +
       "plan stays O(round) instead of doubling (scan shows the " +
       "checkpoint, not a 6-deep join tree)."),
+    "c2_lpa" -> ("Label propagation: the self-loop-augmented edge list " +
+      "is cached once (InMemoryTableScan); each of the 4 rounds is ONE " +
+      "equi-join on the neighbor id + two partial-aggregated hash aggs " +
+      "(vote count, struct-ordered arg-max) — all shuffles key on node " +
+      "id, plan growth linear in rounds."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1068,6 +1068,95 @@ object TierCSim {
     (s, d) => triangleStats(s, Tables.documents(s, d), ClusterThreshold, NgramDfCap)
   )
 
+  // --------------------------------------------------- label propagation
+  /** Synchronous label propagation (LPA) community detection over the
+    * similarity graph — the modularity-style alternative to connected
+    * components: CC merges everything reachable (one borderline pair
+    * fuses two clusters), LPA needs a MAJORITY vote to pull a node over,
+    * so chains of weak links stop propagating. The vote is SELF-INCLUSIVE
+    * (the node's own current label competes alongside its neighbors') —
+    * without the self vote, the all-tie opening rounds of a
+    * singleton-initialized sync LPA resolve every tie to the global min
+    * label and the operator degenerates into hash-min CC (observed on the
+    * planted two-clique fixture in SimSpec). Fixed [[LpaIters]]
+    * synchronous rounds (not to-convergence: sync LPA can 2-cycle on
+    * bipartite structures, so a fixed round count IS the deterministic
+    * semantics), tie votes to the smallest label; isolated nodes vote
+    * only for themselves and keep their own id.
+    *
+    * Scale shape: the directed edge list is cached once and each round is
+    * ONE equi-join (labels on the neighbor side) + TWO partial-aggregated
+    * hash aggs (vote count, then arg-max with the exact (count, -label)
+    * struct order) — all shuffles key on node id, integer-only
+    * arithmetic, O(iters) rounds with linear plan growth. The DuckDB
+    * oracle replays the rounds as unrolled CTEs with a row_number vote
+    * pick — bit-identical tie-breaks.
+    */
+  private val LpaIters = 4
+
+  def labelPropagation(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    val prs = ngramJaccardPairs(s, docs, threshold, dfCap)
+      .select($"id_a", $"id_b")
+    val nodes = docs.select($"doc_id".as("id"))
+    // directed edges both ways PLUS a self-loop per node — the self vote
+    val e = CacheRegistry.persist(
+      prs.select($"id_a".as("src"), $"id_b".as("dst"))
+        .unionAll(prs.select($"id_b".as("src"), $"id_a".as("dst")))
+        .unionAll(nodes.select($"id".as("src"), $"id".as("dst"))))
+    var labels = nodes.select($"id", $"id".as("lab"))
+    (1 to iters).foreach { _ =>
+      val votes = e
+        .join(labels.select($"id".as("nbr"), $"lab"), $"dst" === $"nbr")
+        .groupBy($"src", $"lab").agg(count(lit(1)).as("c"))
+        .groupBy($"src")
+        .agg(max_by($"lab", struct($"c", (-$"lab").as("nl"))).as("winner"))
+      labels = nodes
+        .join(votes, $"id" === $"src", "left")
+        .select($"id", coalesce($"winner", $"id").as("lab"))
+    }
+    labels.select($"id".as("doc_id"), $"lab".as("community"))
+      .orderBy($"doc_id")
+  }
+
+  private def lpaRoundCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""v$k AS (SELECT e.src AS id, l.lab, COUNT(*) AS c
+         |              FROM e JOIN l${k - 1} l ON l.id = e.dst GROUP BY 1, 2),
+         |            m$k AS (SELECT id, lab FROM (
+         |              SELECT id, lab,
+         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+         |              FROM v$k) WHERE rn = 1),
+         |            l$k AS (SELECT n.id, COALESCE(m.lab, n.id) AS lab
+         |              FROM l0 n LEFT JOIN m$k m ON m.id = n.id)""".stripMargin
+    }.mkString(",\n            ")
+
+  private val c2lp = QuerySpec(
+    "c2_lpa",
+    s"Label-propagation communities over the Jaccard>=$ClusterThreshold similarity graph: $LpaIters synchronous rounds, self-inclusive majority vote, ties to the smallest label, isolated docs keep their own id — the weak-link-resistant alternative to CC clustering; one cached edge join + two partial aggs per round.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $ClusterThreshold),
+            e AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs
+                  UNION ALL SELECT doc_id, doc_id FROM documents),
+            l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+            ${lpaRoundCtes(LpaIters)}
+            SELECT id AS doc_id, lab AS community
+            FROM l$LpaIters ORDER BY doc_id"""),
+    (s, d) => labelPropagation(s, Tables.documents(s, d), ClusterThreshold,
+      NgramDfCap, LpaIters)
+  )
+
   private val c2dc = QuerySpec(
     "c2_dedup_corpus",
     "End-to-end near-dup dedup: Jaccard>=0.3 pair graph -> star-contraction clusters -> keep-best survivor per cluster (longest n_chars, ties to lowest doc_id) with shed-duplicate counts; the composed corpus-in/survivors-out stage.",
@@ -2605,5 +2694,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh)
 }

@@ -176,6 +176,39 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("labelPropagation: bridge doc doesn't fuse two cliques (CC would), isolated keeps own id") {
+    import spark.implicits._
+    def toks(p: String, lo: Int, hi: Int) = (lo to hi).map(i => s"$p$i").mkString(" ")
+    val xa = toks("a", 1, 60)
+    val yb = toks("b", 1, 60)
+    val blend = toks("a", 1, 30) + " " + toks("b", 1, 30) // J≈0.326 to both cliques
+    val docs = (
+      Seq(10L, 11L, 12L).map(id => (id, xa)) ++
+      Seq(20L, 21L, 22L).map(id => (id, yb)) ++
+      Seq((30L, blend), (40L, toks("z", 1, 60)))
+    ).map { case (id, t) => (id, "src", t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TierCSim.labelPropagation(spark, df, 0.3, 10000, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = run(docs)
+    // clique A + the bridge converge to label 10, clique B stays 20 —
+    // two communities where CC over the same graph yields ONE (the bridge
+    // connects everything); the isolated doc keeps its own id
+    assert(got == Seq(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 10L, 40L -> 40L),
+      got.mkString(","))
+    // CC contrast: one component spans both cliques via the bridge
+    val prs = TierCSim.ngramJaccardPairs(spark, docs, 0.3, 10000)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = TierCSim.connectedComponentsStar(spark,
+        docs.select(col("doc_id").as("id")), prs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc(20L) == 10L && cc(30L) == 10L, cc.toString)
+    assert(run(docs.repartition(7)) == got)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("semDedup: planted dup pair + triple collapse to lowest-id reps, orthogonal survives") {
     import spark.implicits._
     def v(hot: Int, tilt: Int = -1): Seq[Float] =
