@@ -192,5 +192,59 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b)
+  /** Overlapping-window chunking — the ASR/audio segmentation batch shape
+    * (windows share bytes: stride < window), vs [[sampleFramesAll]]'s
+    * disjoint frames. A real pipeline feeds each chunk to an acoustic
+    * model; offline the chunk is the exact byte slice plus its
+    * PCM-arithmetic timestamp (16 kHz mono s16le ⇒ ms = bytes·1000/32000,
+    * integer-exact), so the oracle replays offsets, timestamps, and slice
+    * hashes bit-for-bit.
+    */
+  def chunkAudio(payload: Array[Byte], window: Int, hop: Int): Seq[(Int, Long, Array[Byte])] = {
+    require(window > 0 && hop > 0)
+    if (payload.length < window) Seq.empty
+    else (0 to (payload.length - window) / hop).map { k =>
+      val off = k.toLong * hop
+      (k, off, java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + window))
+    }
+  }
+
+  final case class MediaChunk(
+      media_id: Long, chunk_no: Int, start_byte: Long, chunk: Array[Byte])
+
+  def chunkAudioAll(records: Dataset[MediaRecord], window: Int, hop: Int): Dataset[MediaChunk] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap(r =>
+      chunkAudio(r.payload, window, hop).map {
+        case (no, off, bytes) => MediaChunk(r.media_id, no, off, bytes)
+      }))
+  }
+
+  private val ChunkWindow = 256
+  private val ChunkHop = 192
+  private val c6c = QuerySpec(
+    "c6c_audio_chunk",
+    s"Multimodal overlapping-window chunking: $ChunkWindow-byte windows at $ChunkHop-byte hop (25% overlap, the ASR segmentation shape), per-chunk (start byte, PCM-16k/s16le start ms, md5-of-slice); payloads shorter than one window vanish. mapPartitions fan-out, no shuffle except the presentation sort.",
+    Some(s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+              FROM documents WHERE length(text) >= $ChunkWindow),
+            c AS (SELECT doc_id, text,
+              CAST(unnest(range(0, (len - $ChunkWindow) // $ChunkHop + 1)) AS BIGINT) AS chunk_no
+              FROM t)
+            SELECT doc_id AS media_id, chunk_no,
+              chunk_no * $ChunkHop AS start_byte,
+              (chunk_no * $ChunkHop * 1000) // 32000 AS start_ms,
+              md5(substr(text, CAST(chunk_no * $ChunkHop + 1 AS INTEGER), $ChunkWindow)) AS chunk_md5
+            FROM c ORDER BY media_id, chunk_no"""),
+    (s, d) => {
+      import s.implicits._
+      chunkAudioAll(mediaRecords(s, d), ChunkWindow, ChunkHop).toDF()
+        .select($"media_id", $"chunk_no".cast(LongType).as("chunk_no"),
+          $"start_byte",
+          expr("(start_byte * 1000) div 32000").as("start_ms"),
+          md5($"chunk").as("chunk_md5"))
+        .orderBy($"media_id", $"chunk_no")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c)
 }

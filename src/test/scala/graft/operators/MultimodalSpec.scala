@@ -73,4 +73,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.frame.toSeq == payload.slice(f.offset.toInt, f.offset.toInt + 10).toSeq)
     }
   }
+
+  test("chunkAudioAll: overlapping windows share exactly window−hop bytes; short payload vanishes") {
+    import spark.implicits._
+    val payload = Array.tabulate(100)(_.toByte)
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "audio/fake", payload),
+      Multimodal.MediaRecord(2L, "audio/fake", payload.take(20)) // < one window
+    ).toDS()
+    val chunks = Multimodal.chunkAudioAll(ds, window = 40, hop = 25).collect()
+      .sortBy(c => (c.media_id, c.chunk_no))
+    // payload 100, window 40, hop 25 → starts 0, 25, 50 (75+40 > 100)
+    assert(chunks.map(c => (c.media_id, c.chunk_no, c.start_byte)).toSeq ==
+      Seq((1L, 0, 0L), (1L, 1, 25L), (1L, 2, 50L)))
+    chunks.foreach { c =>
+      assert(c.chunk.toSeq ==
+        payload.slice(c.start_byte.toInt, c.start_byte.toInt + 40).toSeq)
+    }
+    // consecutive chunks overlap by window − hop = 15 identical bytes
+    val overlap = chunks(0).chunk.takeRight(15).toSeq
+    assert(overlap == chunks(1).chunk.take(15).toSeq)
+  }
 }
