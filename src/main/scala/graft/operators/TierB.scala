@@ -1768,6 +1768,55 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B53
+  /** Per-key EWMA (exponentially weighted moving average) over each
+    * user's event-time-ordered value sequence — the decayed-activity
+    * sequence feature Spark has no built-in for (the recurrence
+    * y ← y + α(x − y) is not a window aggregate). Done as the
+    * sequence-feature pattern: collect the per-user history ONCE
+    * (sort_array over a struct, so ordering is the exact (ts, event_id)
+    * total order), then fold with the codegen'd `aggregate` higher-order
+    * function — no UDF, no per-row state, one shuffle on the key.
+    *
+    * α = 1/4 exactly (a binary fraction, so α·d is exact IEEE); the fold
+    * is the same left-to-right association DuckDB's `list_reduce` uses,
+    * so the oracle replays the chain bit-for-bit; output is
+    * floor-quantized e6.
+    *
+    * Scale: state per key = that key's history (the standard bound for
+    * sequence features — same contract as session windows); a
+    * pathological hot key is one task's array, mitigated upstream by
+    * history truncation or time-bucketed pre-folds (the recurrence is
+    * NOT associative, so a tree reduction would change the value —
+    * truncation is the honest lever, not a silent re-association).
+    */
+  private val b53 = QuerySpec(
+    "b53_ewma",
+    "Per-user EWMA (alpha=1/4) over the (ts, event_id)-ordered value sequence via one collect + codegen'd aggregate() left fold — the decayed-activity sequence feature; floor-e6 quantized, exact IEEE replay of DuckDB list_reduce.",
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+              CAST(floor(list_reduce(
+                list(value ORDER BY ts, event_id),
+                (acc, x) -> acc + (x - acc) * 0.25) * 1000000) AS BIGINT) AS ewma_e6
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct($"ts", $"event_id", $"value")))
+            .as("seq"))
+        .select($"user_id", $"n_events",
+          floor(
+            aggregate(
+              expr("slice(transform(seq, e -> e.value), 2, size(seq) - 1)"),
+              expr("seq[0].value"),
+              (acc, x) => acc + (x - acc) * lit(0.25)
+            ) * lit(1000000.0)
+          ).cast(LongType).as("ewma_e6"))
+        .orderBy($"user_id")
+    }
+  )
+
   // ----------------------------------------------------------------- B49
   /** Snapshot reconciliation (table diff): classify every key as
     * added / removed / changed / equal-and-dropped between two snapshot
@@ -1872,5 +1921,5 @@ object TierB {
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50, b51, b52)
+    b45, b46, b47, b48, b49, b50, b51, b52, b53)
 }
