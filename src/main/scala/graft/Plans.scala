@@ -191,6 +191,11 @@ object Plans {
       "equi-join on the neighbor id + two partial-aggregated hash aggs " +
       "(vote count, struct-ordered arg-max) — all shuffles key on node " +
       "id, plan growth linear in rounds."),
+    "b53_ewma" -> ("Per-key EWMA: one shuffle aggregates each user's " +
+      "history (sort_array fixes the (ts, event_id) fold order), the " +
+      "recurrence runs as the codegen'd aggregate() higher-order " +
+      "function — no UDF, no per-row state; hot-key bound = one task " +
+      "per history, the honest sequence-feature contract."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -374,6 +374,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "final plan still carries the doubling joins — lineage not cut:\n" + p)
   }
 
+  test("b53_ewma: one shuffle on the key, fold is codegen'd aggregate — no UDF anywhere") {
+    val p = plan("b53_ewma")
+    // history agg + presentation sort — nothing else may shuffle
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF") &&
+      !p.contains("ScalaUDF"), "EWMA fold fell back to a UDF:\n" + p)
+    assert(p.contains("aggregate(") || p.contains("Aggregate("), p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()

@@ -60,6 +60,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("hilbert-keyed layout: a key-range read decodes a fraction of the table (row-group skip)") {
+    import spark.implicits._
+    // The a11ab claim made operational: range-partition + sort the table by
+    // the Hilbert key, and a key-range predicate (what a bbox decomposes
+    // into) is answered from the few files/row-groups whose min/max
+    // straddle the range — everything else is skipped by parquet stats.
+    val dir = Files.createTempDirectory("hilbert-layout").toString + "/events_hkey"
+    val keyed = sources.Tables.events(spark, sf)
+      .select($"event_id",
+        operators.Spatial.hilbertCol(
+          (floor($"value").cast("long") % 65536L),
+          ($"user_id" % 65536L)).as("hkey"))
+    keyed.repartitionByRange(8, $"hkey")
+      .sortWithinPartitions($"hkey")
+      .write.parquet(dir)
+    val total = keyed.count()
+    // rank-based cut (≈ the first range-partition's upper bound): the
+    // events occupy a small corner of the grid, so the curve's keys are
+    // wildly non-uniform over [min, max] — an arithmetic midpoint can
+    // land rows in EVERY file; a 1/8 rank cut matches ~1 file by
+    // construction of repartitionByRange
+    val cut = keyed.stat.approxQuantile("hkey", Array(0.125), 0.0)(0).toLong
+    val scan = spark.read.parquet(dir).filter($"hkey" <= cut)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(hkey), LessThanOrEqual(hkey"), plan)
+    scan.collect() // populate metrics
+    val scanned = scan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    // a random layout decodes all `total` rows for this filter; the sorted
+    // layout must decode at most the matching files' worth (≲ 2 of 8)
+    assert(scanned < total / 2,
+      s"sorted-by-hkey layout decoded $scanned of $total rows — stats not skipping")
+  }
+
   test("AQE on, broadcast off, sf0.1: blocked pair joins stay equi-joins (never BNLJ/cartesian)") {
     // The PlanAuditSpec runs at a scale where every build side broadcasts;
     // this audit removes that safety net — broadcast disabled entirely,
