@@ -572,6 +572,40 @@ object FeaturePipeline {
     * once a layer is silent for `gapMs` of event time. `delay` is the
     * watermark lateness bound of the source.
     */
+  /** Streaming trending top-k, stage 1: sliding-window counts per layer
+    * under a watermark, APPEND mode — a window emits exactly once, when
+    * the watermark closes it. The per-window rank cut cannot live in the
+    * same streaming plan (window functions over a streaming aggregate are
+    * unsupported — there is no incremental top-k state Spark can keep
+    * consistent under late data), so the cut is stage 2
+    * ([[trendingBatchTopK]]) inside `foreachBatch`: each micro-batch
+    * carries ONLY the windows the watermark just closed, so the sort is
+    * over |closed windows|·|layers| rows — bounded, never corpus-sized.
+    * At 100 TB the count aggregate partial-aggregates map-side per
+    * (window, layer); state is |open windows|·|layers|.
+    */
+  def trendingCounts(features: DataFrame, windowDur: String, slideDur: String,
+      watermark: String): DataFrame =
+    features
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowDur, slideDur), col("layer"))
+      .count()
+
+  /** Stage 2 (run inside foreachBatch on [[trendingCounts]] output): keep
+    * the top-k layers per closed window, deterministic (count desc, layer
+    * asc) order. Plain batch plan — WindowGroupLimit prunes per window.
+    */
+  def trendingBatchTopK(batch: DataFrame, k: Int): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    batch
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"window").orderBy($"count".desc, $"layer")))
+      .filter($"rank" <= k)
+      .select($"window.start".as("win_start"), $"layer", $"count", $"rank")
+  }
+
   def heartbeatAlerts(features: DataFrame, gapMs: Long,
       delay: String = "0 seconds"): Dataset[(String, Long, Long)] = {
     val spark = features.sparkSession

@@ -527,6 +527,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending top-k: closed sliding windows emit once, per-window ranks exact, open window silent") {
+    val (ms, transport) = newStream()
+    val hour = 3600L * 1000000L
+    val min = 60L * 1000000L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
+    val counts = FeaturePipeline.trendingCounts(
+      FeaturePipeline.decode(transport.read(spark)),
+      windowDur = "20 minutes", slideDur = "10 minutes", watermark = "5 minutes")
+    val q = counts.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("ckpt-trend"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= FeaturePipeline.trendingBatchTopK(batch, 2).collect()
+            .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(3)))
+        }
+        ()
+      }.start()
+    try {
+      // window [60, 80) and [70, 90) both see: roads ×3, rivers ×2, parks ×1
+      ms.addData(
+        wire("roads", "a", hour + 15 * min), wire("roads", "b", hour + 16 * min),
+        wire("roads", "c", hour + 17 * min),
+        wire("rivers", "d", hour + 15 * min), wire("rivers", "e", hour + 18 * min),
+        wire("parks", "f", hour + 16 * min))
+      q.processAllAvailable()
+      assert(out.isEmpty, "no window is closed yet — nothing may emit")
+      // advance the watermark far past both windows' ends
+      ms.addData(wire("roads", "z", hour + 3 * 3600L * 1000000L))
+      q.processAllAvailable()
+      val got = out.synchronized(out.toList).sortBy(t => (t._1, t._4))
+      // every event falls in sliding windows [60,80) and [70,90); top-2 of
+      // {roads:3, rivers:2, parks:1} is (roads,1),(rivers,2) in each; the
+      // [50,70) and [80,100)-family windows hold subsets — top-2 of what
+      // they saw; parks (rank 3) never appears
+      assert(got.nonEmpty)
+      assert(got.forall(_._4 <= 2), s"rank > k leaked: $got")
+      assert(!got.exists(_._2 == "parks" ), s"rank-3 layer leaked into top-2: $got")
+      val full = got.filter(t => t._3 == 3L)
+      assert(full.nonEmpty && full.forall(t => t._2 == "roads" && t._4 == 1),
+        s"roads should rank 1 wherever all 3 events landed: $got")
+      // exactly-once per window: no (window, rank) pair repeats
+      assert(got.map(t => (t._1, t._4)).distinct.size == got.size, got.toString)
+    } finally q.stop()
+  }
+
   test("B33: flatMapGroupsWithState accumulates per-layer stats across batches") {
     val (ms, transport) = newStream()
     val stats = FeaturePipeline.runningLayerStats(
