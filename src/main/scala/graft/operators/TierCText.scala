@@ -2164,7 +2164,69 @@ object TierCText {
     }
   )
 
+  // --------------------------------- stride-scheduled source interleave
+  /** Deterministic weighted round-robin interleave — the training
+    * DATALOADER ORDER the mixing family stops short of: [[c1g]]/[[c1l]]
+    * decide how MUCH of each source to keep, [[c1h]] shuffles globally,
+    * [[c1k]] orders by difficulty; this produces the order where source s
+    * recurs every ~1/w_s steps (stride scheduling: sort key =
+    * (2·rank_s − 1)/(2·w_s), the midpoint rule — a weight-4 source
+    * appears 4× as often, evenly spread, not front-loaded). Within a
+    * source the order is the (md5(doc_id), doc_id) deterministic shuffle.
+    *
+    * Everything is exact: rank and weight are small integers, the single
+    * IEEE division is correctly rounded on both engines, ties across
+    * sources break on (source, doc_id). Per-source rank uses the c1o
+    * range-partition + pid-local-window + driver-prefix-offset machinery
+    * — never one task per source; the interleave key itself is map-side.
+    */
+  private val c1p = QuerySpec(
+    "c1p_interleave",
+    "Stride-scheduled source interleave (weighted round-robin dataloader order): per-source rank under the (md5(doc_id), doc_id) shuffle order, sort key (2*rank-1)/(2*w) with w = source-name weight 1..4 — a weight-4 source recurs 4x as often, evenly spread; range-partitioned per-source ranks, no single-task window.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+            n AS (SELECT doc_id, source,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS rank_s,
+              CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT) AS w
+              FROM t)
+            SELECT doc_id, source, rank_s,
+              CAST(2 * rank_s - 1 AS DOUBLE) / CAST(2 * w AS DOUBLE) AS ikey
+            FROM n ORDER BY ikey, source, doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val nPart = s.sparkContext.defaultParallelism
+      val keyed = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", $"source", md5($"doc_id".cast(StringType)).as("k"))
+        .repartitionByRange(nPart, $"source", $"k", $"doc_id")
+        .withColumn("pid", spark_partition_id()))
+      // per-(source, pid) row counts → driver → per-source rank offsets
+      // under the pid order; bounded by |sources|·|partitions|
+      val subtotals = keyed.groupBy($"source", $"pid")
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      val offsets: Map[String, Long] = subtotals
+        .groupBy(_._1._1)
+        .flatMap { case (src, rows) =>
+          val byPid = rows.sortBy(_._1._2)
+          byPid.map(_._1._2).zip(
+            byPid.map(_._2).scanLeft(0L)(_ + _).init)
+            .map { case (pid, off) => s"$src|$pid" -> off }
+        }
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"pid").orderBy($"k", $"doc_id")
+      keyed
+        .withColumn("lrank", row_number().over(wp).cast(LongType))
+        .withColumn("rank_s",
+          element_at(typedLit(offsets), concat($"source", lit("|"), $"pid")) + $"lrank")
+        .withColumn("w", expr("cast(substr(source, 4) as bigint) % 4 + 1"))
+        .select($"doc_id", $"source", $"rank_s",
+          ((lit(2) * $"rank_s" - 1).cast(DoubleType) /
+            (lit(2) * $"w").cast(DoubleType)).as("ikey"))
+        .orderBy($"ikey", $"source", $"doc_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
 }

@@ -40,7 +40,10 @@ class QueriesSpec extends AnyFunSuite {
       // range-partition + prefix-offset machinery (c1k) and the salted
       // join (b42) are exactly the shapes where partitioning could leak
       // into results — pin their invariance explicitly
-      "c1k_curriculum", "b42_salted_join", "c3_cluster_quality")
+      "c1k_curriculum", "b42_salted_join", "c3_cluster_quality",
+      // c1p reuses the same pid-offset machinery with a rank instead of a
+      // token sum — same invariance risk class
+      "c1p_interleave")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def run(name: String): Seq[String] =
       Registry.queries(name)(spark, sf).collect().map(_.toString).toSeq
