@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftbridge.DotProductFloat
+import org.apache.spark.sql.graftbridge.{DotProductFloat, HilbertIndex}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.mortonFunction)
+    ext.injectFunction(GraftExtensions.hilbertFunction)
   }
 }
 
@@ -31,6 +32,19 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_dot(arrayFloat, arrayFloat) takes 2 arguments")
       DotProductFloat(children.head, children(1))
+    })
+
+  /** `graft_hilbert(qx, qy)` — the order-16 Hilbert curve key
+    * ([[HilbertIndex]]): unlike Morton this CANNOT be a composed built-in
+    * tree (the 16-level rotation walk is stateful), so the native
+    * expression registers directly.
+    */
+  private[graft] val hilbertFunction = (
+    new FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_hilbert(qx, qy) takes 2 arguments")
+      HilbertIndex(children.head, children(1))
     })
 
   /** `graft_morton(qx, qy)` — the Z-order key as a composed tree of

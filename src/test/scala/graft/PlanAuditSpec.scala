@@ -410,6 +410,12 @@ class PlanAuditSpec extends AnyFunSuite {
       val mCol = m.select(operators.Spatial.mortonCol($"qx", $"qy")).collect().head.getLong(0)
       assert(mSql.collect().head.getLong(0) == mCol)
       assert(!mSql.queryExecution.executedPlan.toString.contains("UDF"))
+      // graft_hilbert: native expression registers, matches the Column API
+      // (over the literal view the optimizer constant-folds the node —
+      // which itself exercises the interpreted eval path)
+      val hSql = s2.sql("SELECT graft_hilbert(qx, qy) AS h FROM mv")
+      val hCol = m.select(operators.Spatial.hilbertCol($"qx", $"qy")).collect().head.getLong(0)
+      assert(hSql.collect().head.getLong(0) == hCol)
       s2.catalog.dropTempView("mv")
     } finally {
       SparkSession.setDefaultSession(fixture)
