@@ -1147,6 +1147,59 @@ object Wkb {
     lineString((0 until n).filter(keep).map(j => (xs(j), ys(j))))
   }
 
+  /** Point at fraction `t` ∈ [0, 1] along a LINESTRING — the
+    * ST_LineInterpolatePoint family member (route milestones, label
+    * anchors). Walk: left-fold cumulative segment lengths with the SAME
+    * sqrt chain as [[length]]; the target arc distance is `t·total`;
+    * the covering segment is the first with cumulative ≥ target (an
+    * exact-boundary tie lands on the EARLIER segment — both produce the
+    * same point, but the branch must be pinned for bit replay); inside
+    * it one lerp `x1 + frac·(x2−x1)` in fixed association. t outside
+    * [0, 1] clamps to the endpoints (the PostGIS contract).
+    */
+  def lineInterpolate(wkb: Array[Byte], t: Double): (Double, Double) = {
+    val bb = ByteBuffer.wrap(wkb)
+    val h = header(bb)
+    require(h.base == 2, s"wkb: lineInterpolate expects LINESTRING, got type ${h.base}")
+    val n = bb.getInt
+    require(n >= 1, "wkb: lineInterpolate needs at least one vertex")
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = bb.getDouble; ys(i) = bb.getDouble
+      var d = 2
+      while (d < h.dims) { bb.getDouble; d += 1 }
+      i += 1
+    }
+    if (t <= 0.0 || n == 1) return (xs(0), ys(0))
+    if (t >= 1.0) return (xs(n - 1), ys(n - 1))
+    var total = 0.0
+    i = 1
+    while (i < n) {
+      val dx = xs(i) - xs(i - 1)
+      val dy = ys(i) - ys(i - 1)
+      total += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    if (total == 0.0) return (xs(0), ys(0)) // all-coincident degenerate
+    val target = t * total
+    var cum = 0.0
+    i = 1
+    while (i < n) {
+      val dx = xs(i) - xs(i - 1)
+      val dy = ys(i) - ys(i - 1)
+      val seg = math.sqrt(dx * dx + dy * dy)
+      if (cum + seg >= target && seg > 0.0) {
+        val frac = (target - cum) / seg
+        return (xs(i - 1) + frac * dx, ys(i - 1) + frac * dy)
+      }
+      cum += seg
+      i += 1
+    }
+    (xs(n - 1), ys(n - 1)) // fp-shortfall guard: cum < target by < 1 ulp
+  }
+
   // ------------------------------------------------------------------ WKT
   /** Integral coordinates print without a decimal point; fractional ones
     * use the JVM's shortest-roundtrip repr, so `fromWkt(toWkt(g))`

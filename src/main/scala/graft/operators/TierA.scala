@@ -672,6 +672,58 @@ object TierA {
     }
   )
 
+  // -------------------------------------------------------------- A11ac
+  /** ST_LineInterpolatePoint family member over the same per-event
+    * 3-vertex polyline as `a11l_line_length`: the point at arc fraction
+    * t (route milestones, label anchors). Map-side scalar at any scale.
+    * Exact replay: [[Wkb.lineInterpolate]] pins the branch (covering
+    * segment = first with cumulative ≥ t·total, exact boundary to the
+    * EARLIER segment), the (target − cum)/seg division, and the
+    * x1 + frac·(x2−x1) lerp association — the oracle writes the same
+    * closed-form two-segment chains as the a11l length oracle.
+    */
+  private val lineInterpUdf: UserDefinedFunction = udf { (v: Double, u: Double) =>
+    val ls = Wkb.lineString(Seq(
+      (v, u), (v + 3.19, u + 1.07), (v + 3.19, u + 1.07 + 2.33)))
+    val p35 = Wkb.lineInterpolate(ls, 0.35)
+    val p80 = Wkb.lineInterpolate(ls, 0.8)
+    (p35._1, p35._2, p80._1, p80._2)
+  }
+  private val a11ac = QuerySpec(
+    "a11ac_line_interpolate",
+    "Line interpolation (ST_LineInterpolatePoint): the points at arc fractions 0.35 and 0.8 along the per-event 3-vertex polyline — first-covering-segment branch and lerp association pinned, oracle replays the closed-form two-segment chains bit-for-bit.",
+    Some("""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+              value AS v, CAST(user_id AS DOUBLE) AS u FROM events),
+            s AS (SELECT feature_id, v, u,
+              sqrt(((v+3.19)-v)*((v+3.19)-v) + ((u+1.07)-u)*((u+1.07)-u)) AS len1,
+              sqrt(0.0*0.0 + (((u+1.07)+2.33)-(u+1.07))*(((u+1.07)+2.33)-(u+1.07))) AS len2
+              FROM t),
+            g AS (SELECT feature_id, v, u, len1, len2, len1 + len2 AS total FROM s)
+            SELECT feature_id,
+              CASE WHEN len1 >= 0.35*total
+                   THEN v + ((0.35*total)/len1)*((v+3.19)-v)
+                   ELSE (v+3.19) + (((0.35*total)-len1)/len2)*((v+3.19)-(v+3.19)) END AS x35,
+              CASE WHEN len1 >= 0.35*total
+                   THEN u + ((0.35*total)/len1)*((u+1.07)-u)
+                   ELSE (u+1.07) + (((0.35*total)-len1)/len2)*(((u+1.07)+2.33)-(u+1.07)) END AS y35,
+              CASE WHEN len1 >= 0.8*total
+                   THEN v + ((0.8*total)/len1)*((v+3.19)-v)
+                   ELSE (v+3.19) + (((0.8*total)-len1)/len2)*((v+3.19)-(v+3.19)) END AS x80,
+              CASE WHEN len1 >= 0.8*total
+                   THEN u + ((0.8*total)/len1)*((u+1.07)-u)
+                   ELSE (u+1.07) + (((0.8*total)-len1)/len2)*(((u+1.07)+2.33)-(u+1.07)) END AS y80
+            FROM g ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          lineInterpUdf($"value", $"user_id".cast(DoubleType)).as("p"))
+        .select($"feature_id", $"p._1".as("x35"), $"p._2".as("y35"),
+          $"p._3".as("x80"), $"p._4".as("y80"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // --------------------------------------------------------------- A11p
   /** No oracle by design: Douglas-Peucker's recursive farthest-point
     * split is not SQL-replayable; WkbSpec's property tests pin the
@@ -1049,5 +1101,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11p, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11x, a11y, a11z)
 }

@@ -442,6 +442,34 @@ class WkbSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reflex/CW"))
   }
 
+  // -------------------------------------------- lineInterpolate (a11ac)
+  test("lineInterpolate: endpoints, clamping, exact midpoint, vertex boundary, degenerate") {
+    val straight = Wkb.lineString(Seq((0.0, 0.0), (10.0, 0.0)))
+    assert(Wkb.lineInterpolate(straight, 0.0) == ((0.0, 0.0)))
+    assert(Wkb.lineInterpolate(straight, 1.0) == ((10.0, 0.0)))
+    assert(Wkb.lineInterpolate(straight, 0.5) == ((5.0, 0.0)))
+    // out-of-range t clamps (the PostGIS contract)
+    assert(Wkb.lineInterpolate(straight, -0.3) == ((0.0, 0.0)))
+    assert(Wkb.lineInterpolate(straight, 2.0) == ((10.0, 0.0)))
+    // L-shape, equal 10-unit arms: t=0.5 is exactly the corner vertex —
+    // the covering-segment tie must land on the EARLIER segment and
+    // still produce the corner point
+    val ell = Wkb.lineString(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0)))
+    assert(Wkb.lineInterpolate(ell, 0.5) == ((10.0, 0.0)))
+    // t=0.75 is halfway up the second arm
+    assert(Wkb.lineInterpolate(ell, 0.75) == ((10.0, 5.0)))
+    // all-coincident degenerate: total length 0 → first vertex
+    val dot = Wkb.lineString(Seq((3.0, 4.0), (3.0, 4.0)))
+    assert(Wkb.lineInterpolate(dot, 0.5) == ((3.0, 4.0)))
+    // single vertex
+    assert(Wkb.lineInterpolate(Wkb.lineString(Seq((7.0, 8.0))), 0.5) == ((7.0, 8.0)))
+    // non-linestring rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Wkb.lineInterpolate(Wkb.point(1.0, 2.0), 0.5)
+    }
+    assert(e.getMessage.contains("LINESTRING"))
+  }
+
   // ------------------------------------------------ bufferSquare (a11y)
   test("bufferSquare: point becomes the [-r,r]^2 square") {
     val b = Wkb.bufferSquare(Wkb.point(3.0, 4.0), 1.5)
