@@ -1611,24 +1611,87 @@ object TierB {
               lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
               n_events
             FROM g ORDER BY user_id, version_no"""),
+    (s, d) => scd2Intervals(s, d).orderBy(col("user_id"), col("version_no"))
+  )
+
+  /** The b47 SCD2 interval build as a reusable frame (also the dimension
+    * side of [[b54]]): (user_id, version_no, event_type, valid_from,
+    * valid_to, n_events), valid_to NULL on the open current version.
+    */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val isl = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = isl.groupBy($"user_id", $"island")
+      .agg(min($"event_type").as("event_type"), min($"ts").as("valid_from"),
+        count(lit(1)).as("n_events"))
+    g.select($"user_id", $"island".as("version_no"), $"event_type", $"valid_from",
+      lead($"valid_from", 1)
+        .over(Window.partitionBy($"user_id").orderBy($"island")).as("valid_to"),
+      $"n_events")
+  }
+
+  // ----------------------------------------------------------------- B54
+  /** Point-in-time (AS-OF) join against the SCD2 dimension — the
+    * feature-store correctness primitive: every probe reads the attribute
+    * version valid AT its timestamp, never a later one (no label
+    * leakage). Probes are the events themselves shifted +3 h ("what was
+    * this user's state three hours after each event"), so probes cross
+    * version boundaries and the open current interval both.
+    *
+    * Shape: ONE equi-join on the user key with the half-open interval
+    * refine in the join condition — correct and cheap because an SCD2
+    * dimension's versions-per-key is small BY DEFINITION (slowly
+    * changing); per-key candidate fan-out = |versions|, and the interval
+    * partition guarantees ≤ 1 survivor per probe. For fast-changing
+    * per-key history the windowed as-of formulation (b9) is the scale
+    * path; this is the dimension-join shape warehouses run.
+    */
+  private val b54 = QuerySpec(
+    "b54_pit_join",
+    "Point-in-time join: each event probes the SCD2 state (b47 intervals) as of ts+3h — equi-join on user_id with the half-open [valid_from, valid_to) refine, open current version via NULL valid_to; exactly one version per probe by interval partition.",
+    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+              CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            isl AS (SELECT user_id, event_type, ts,
+              CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+              FROM o),
+            g AS (SELECT user_id, island, MIN(event_type) AS event_type,
+              MIN(ts) AS valid_from FROM isl GROUP BY user_id, island),
+            v AS (SELECT user_id, island AS version_no, event_type, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to
+              FROM g),
+            p AS (SELECT event_id, user_id, ts + INTERVAL 3 HOUR AS probe_ts
+              FROM events)
+            SELECT p.event_id, p.user_id, p.probe_ts,
+              v.version_no, v.event_type AS state_at_probe
+            FROM p JOIN v ON v.user_id = p.user_id
+              AND v.valid_from <= p.probe_ts
+              AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+            ORDER BY p.event_id"""),
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val isl = Tables.events(s, d)
-        .select($"user_id", $"event_type", $"ts", $"event_id")
-        .withColumn("chg",
-          when(lag($"event_type", 1).over(w).isNull ||
-            lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
-        .withColumn("island",
-          sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val g = isl.groupBy($"user_id", $"island")
-        .agg(min($"event_type").as("event_type"), min($"ts").as("valid_from"),
-          count(lit(1)).as("n_events"))
-      g.select($"user_id", $"island".as("version_no"), $"event_type", $"valid_from",
-        lead($"valid_from", 1)
-          .over(Window.partitionBy($"user_id").orderBy($"island")).as("valid_to"),
-        $"n_events")
-        .orderBy($"user_id", $"version_no")
+      val v = scd2Intervals(s, d)
+        .select($"user_id".as("v_user"), $"version_no", $"event_type",
+          $"valid_from", $"valid_to")
+      val probes = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          ($"ts" + expr("INTERVAL 3 HOUR")).as("probe_ts"))
+      probes.join(v,
+          $"user_id" === $"v_user" &&
+          $"valid_from" <= $"probe_ts" &&
+          ($"valid_to".isNull || $"probe_ts" < $"valid_to"))
+        .select($"event_id", $"user_id", $"probe_ts",
+          $"version_no", $"event_type".as("state_at_probe"))
+        .orderBy($"event_id")
     }
   )
 
@@ -1921,5 +1984,5 @@ object TierB {
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50, b51, b52, b53)
+    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54)
 }
