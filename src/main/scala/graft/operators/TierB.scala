@@ -1695,6 +1695,58 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B55
+  /** Last-touch attribution — the product-analytics op downstream of
+    * funnels (b38) and transitions (b40): each conversion (purchase)
+    * attributes to the user's most recent touch (click/view) within a
+    * 24 h lookback, else counts as unattributed. The carried state is a
+    * windowed MAX over a (ts, event_id, type) STRUCT — lexicographic
+    * struct order IS the "latest touch, ties to highest id" rule, and
+    * both engines compare structs identically, so no packing tricks.
+    * One user_id shuffle end to end (the b37/b47 window-sharing
+    * discipline); outside-lookback touches null out, not just flag off.
+    */
+  private val b55 = QuerySpec(
+    "b55_attribution",
+    "Last-touch attribution: per purchase, the latest click/view touch carried forward by a windowed struct-max on (ts, event_id, type), attributed iff within the 24h lookback (else NULL columns + false); one user_id shuffle.",
+    Some("""WITH w AS (SELECT user_id, event_id, ts, event_type,
+              max(CASE WHEN event_type IN ('click','view')
+                       THEN struct_pack(t := ts, eid := event_id, ty := event_type) END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+              FROM events)
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+              CASE WHEN lt.t IS NOT NULL AND lt.t >= ts - INTERVAL 24 HOUR
+                   THEN lt.eid END AS touch_id,
+              CASE WHEN lt.t IS NOT NULL AND lt.t >= ts - INTERVAL 24 HOUR
+                   THEN lt.ty END AS touch_type,
+              CASE WHEN lt.t IS NOT NULL AND lt.t >= ts - INTERVAL 24 HOUR
+                   THEN lt.t END AS touch_ts,
+              (lt.t IS NOT NULL AND lt.t >= ts - INTERVAL 24 HOUR) AS attributed
+            FROM w WHERE event_type = 'purchase'
+            ORDER BY purchase_id"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val in24h = $"lt.t".isNotNull &&
+        $"lt.t" >= $"ts" - expr("INTERVAL 24 HOUR")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("lt",
+          max(when($"event_type".isin("click", "view"),
+            struct($"ts".as("t"), $"event_id".as("eid"), $"event_type".as("ty"))))
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"),
+          when(in24h, $"lt.eid").as("touch_id"),
+          when(in24h, $"lt.ty").as("touch_type"),
+          when(in24h, $"lt.t").as("touch_ts"),
+          in24h.as("attributed"))
+        .orderBy($"purchase_id")
+    }
+  )
+
   // ----------------------------------------------------------------- B48
   /** Arbitrary GROUPING SETS — the piece of the B14 family ROLLUP/CUBE
     * can't express: the set list {(rf,ls), (rf), (ls), ()} mixes two
@@ -1984,5 +2036,5 @@ object TierB {
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54)
+    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55)
 }
