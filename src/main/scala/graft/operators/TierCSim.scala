@@ -2693,6 +2693,113 @@ object TierCSim {
     }
   )
 
+  // ----------------------------------------- MMR diversity re-rank (c3)
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998, public) —
+    * the diversity-aware re-ranker: after the coarse top-6 cosine
+    * retrieval, greedily pick 3 results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 0.7 — near-dup
+    * results crowd each other out instead of filling the whole page.
+    *
+    * Shape: the coarse stage is the audited label-block join with
+    * WindowGroupLimit pruning to 6; each greedy step is then ONE
+    * equi-join of the per-query remainder (≤ 5 rows) against the 1-row
+    * pick + a windowed arg-max — work per step is |queries|·5, never
+    * |corpus|². Determinism: every score is the exact (dot-chain /
+    * sqrt·sqrt) double both engines compute bit-identically, λ-blend in
+    * fixed association, ties to the lowest candidate id; the oracle
+    * replays the greedy unrolled (pick-1 CTE → sims → pick-2 → sims →
+    * pick-3).
+    */
+  private val c3mmr = QuerySpec(
+    "c3_mmr",
+    "MMR diversity re-rank: coarse top-6 cosine per query (label-blocked), then greedy pick-3 maximizing 0.7*rel - 0.3*max-sim-to-selected, ties to lowest id; per-step work |queries|*5, oracle unrolls the greedy chain.",
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+            p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                    (${dotChain("a", "b")}) AS dot,
+                    (${dotChain("a", "a")}) AS na2,
+                    (${dotChain("b", "b")}) AS nb2
+                  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+            sc AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS rel FROM p),
+            c6 AS (SELECT ida, idb, rel, rn FROM (
+                     SELECT ida, idb, rel,
+                       ROW_NUMBER() OVER (PARTITION BY ida ORDER BY rel DESC, idb) AS rn
+                     FROM sc) WHERE rn <= 6),
+            p1 AS (SELECT ida, idb AS pid, rel AS score FROM c6 WHERE rn = 1),
+            s1 AS (SELECT c.ida, c.idb, c.rel,
+                     (${dotChain("x", "y")})
+                       / (sqrt((${dotChain("x", "x")})) * sqrt((${dotChain("y", "y")}))) AS sim1
+                   FROM c6 c
+                   JOIN p1 ON p1.ida = c.ida
+                   JOIN e x ON x.vec_id = c.idb
+                   JOIN e y ON y.vec_id = p1.pid
+                   WHERE c.rn > 1),
+            m2 AS (SELECT ida, idb, rel, sim1, 0.7*rel - 0.3*sim1 AS mmr2,
+                     ROW_NUMBER() OVER (PARTITION BY ida
+                       ORDER BY (0.7*rel - 0.3*sim1) DESC, idb) AS r2
+                   FROM s1),
+            p2 AS (SELECT ida, idb AS pid, mmr2 AS score FROM m2 WHERE r2 = 1),
+            s2 AS (SELECT m.ida, m.idb, m.rel, m.sim1,
+                     (${dotChain("x", "y")})
+                       / (sqrt((${dotChain("x", "x")})) * sqrt((${dotChain("y", "y")}))) AS sim2
+                   FROM m2 m
+                   JOIN p2 ON p2.ida = m.ida AND m.idb <> p2.pid
+                   JOIN e x ON x.vec_id = m.idb
+                   JOIN e y ON y.vec_id = p2.pid),
+            m3 AS (SELECT ida, idb,
+                     0.7*rel - 0.3*greatest(sim1, sim2) AS mmr3,
+                     ROW_NUMBER() OVER (PARTITION BY ida
+                       ORDER BY (0.7*rel - 0.3*greatest(sim1, sim2)) DESC, idb) AS r3
+                   FROM s2),
+            p3 AS (SELECT ida, idb AS pid, mmr3 AS score FROM m3 WHERE r3 = 1)
+            SELECT ida, CAST(1 AS BIGINT) AS sel_rank, pid AS idb, score AS sel_score FROM p1
+            UNION ALL SELECT ida, CAST(2 AS BIGINT), pid, score FROM p2
+            UNION ALL SELECT ida, CAST(3 AS BIGINT), pid, score FROM p3
+            ORDER BY ida, sel_rank"""),
+    (s, d) => mmrSelect(s, Tables.embeddings(s, d))
+  )
+
+  /** The c3_mmr pipeline over any (vec_id, label, embedding) frame. */
+  def mmrSelect(s: SparkSession, embeddings: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = CacheRegistry.persist(embeddings
+      .select($"vec_id", $"label", $"embedding",
+        TierC.dot($"embedding", $"embedding").as("n2")))
+    val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
+    val b = e.select($"vec_id".as("idb"), $"label".as("label_b"),
+      $"embedding".as("eb"), $"n2".as("nb2"))
+    val w = Window.partitionBy($"ida").orderBy($"rel".desc, $"idb")
+    val cand = CacheRegistry.persist(
+      a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
+        .withColumn("rel", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 6)
+        .select($"ida", $"idb", $"rel", $"rn", $"eb", $"nb2"))
+    val p1 = cand.filter($"rn" === 1)
+      .select($"ida".as("p_ida"), $"idb".as("p1id"), $"rel".as("p1score"),
+        $"eb".as("e1"), $"nb2".as("n1"))
+    val r1 = CacheRegistry.persist(cand.filter($"rn" > 1)
+      .join(p1, $"ida" === $"p_ida")
+      .withColumn("sim1", TierC.dot($"eb", $"e1") / (sqrt($"nb2") * sqrt($"n1")))
+      .withColumn("mmr2", lit(0.7) * $"rel" - lit(0.3) * $"sim1")
+      .select($"ida", $"idb", $"rel", $"eb", $"nb2", $"sim1", $"mmr2"))
+    val w2 = Window.partitionBy($"ida").orderBy($"mmr2".desc, $"idb")
+    val p2 = r1.withColumn("r2", row_number().over(w2)).filter($"r2" === 1)
+      .select($"ida".as("p_ida2"), $"idb".as("p2id"), $"mmr2".as("p2score"),
+        $"eb".as("e2"), $"nb2".as("n2b"))
+    val r2 = r1.join(p2, $"ida" === $"p_ida2" && $"idb" =!= $"p2id")
+      .withColumn("sim2", TierC.dot($"eb", $"e2") / (sqrt($"nb2") * sqrt($"n2b")))
+      .withColumn("mmr3", lit(0.7) * $"rel" - lit(0.3) * greatest($"sim1", $"sim2"))
+    val w3 = Window.partitionBy($"ida").orderBy($"mmr3".desc, $"idb")
+    val p3 = r2.withColumn("r3", row_number().over(w3)).filter($"r3" === 1)
+    p1.select($"p_ida".as("ida"), lit(1L).as("sel_rank"),
+        $"p1id".as("idb"), $"p1score".as("sel_score"))
+      .unionByName(p2.select($"p_ida2".as("ida"), lit(2L).as("sel_rank"),
+        $"p2id".as("idb"), $"p2score".as("sel_score")))
+      .unionByName(p3.select($"ida", lit(3L).as("sel_rank"),
+        $"idb", $"mmr3".as("sel_score")))
+      .orderBy($"ida", $"sel_rank")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr)
 }

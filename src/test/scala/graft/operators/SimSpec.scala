@@ -209,6 +209,31 @@ class SimSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("mmrSelect: exact-duplicate result demoted below the diverse one, top-by-rel would not") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // query 1 = u+v; candidates: A = u (id 2), A' = exact copy of A (id 3),
+    // B = v (id 4). All three have equal rel ≈ 0.707 to the query, so
+    // pure top-3-by-rel ranks them (A, A', B) by the id tie-break. MMR's
+    // second pick must be B (sim to A is 0) over A' (sim to A is 1):
+    // mmr2(B) = .7·.707 − 0 vs mmr2(A') = .7·.707 − .3·1.
+    val emb = Seq(
+      (1L, 0, vec(0 -> 1f, 1 -> 1f)),
+      (2L, 0, vec(0 -> 1f)),
+      (3L, 0, vec(0 -> 1f)),
+      (4L, 0, vec(1 -> 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = TierCSim.mmrSelect(spark, emb)
+      .filter(col("ida") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(1L -> 2L, 2L -> 4L, 3L -> 3L), got.mkString(","))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("semDedup: planted dup pair + triple collapse to lowest-id reps, orthogonal survives") {
     import spark.implicits._
     def v(hot: Int, tilt: Int = -1): Seq[Float] =
