@@ -2800,6 +2800,56 @@ object TierCSim {
       .orderBy($"ida", $"sel_rank")
   }
 
+  // ------------------------------------------ filtered vector search (c3)
+  /** Filtered kNN — metadata-predicated vector search (the "WHERE clause
+    * on your ANN" modern vector stores advertise): top-3 cosine per query
+    * among only the candidates passing the predicate (vec_id ∈ 3ℤ as the
+    * metadata stand-in). The correctness trap this pins: the predicate
+    * must apply BEFORE the top-k (pre-filtering) — post-filtering a
+    * top-k under-fills k whenever filtered-out vectors occupied top
+    * slots, and the oracle (predicate inside the join) catches exactly
+    * that. Pre-filtering also SHRINKS the candidate side of the blocked
+    * join by the selectivity (here 3×) instead of wasting score work —
+    * the reason vector stores plumb predicates into the index scan.
+    * Queries stay unfiltered: every vector can ask, only admissible
+    * candidates answer.
+    */
+  private val c3fk = QuerySpec(
+    "c3_filtered_knn",
+    "Filtered vector search: exact cosine top-3 per query within the label block among candidates with vec_id % 3 = 0 (metadata predicate) — predicate applied BEFORE the top-k (post-filtering under-fills k; the oracle pins it), shrinking the join's candidate side by the selectivity.",
+    Some(s"""WITH p AS (
+              SELECT a.vec_id AS ida, b.vec_id AS idb,
+                     (${dotChain("a", "b")}) AS dot,
+                     (${dotChain("a", "a")}) AS na2,
+                     (${dotChain("b", "b")}) AS nb2
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+                AND b.vec_id % 3 = 0),
+            sc AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS score FROM p),
+            r AS (SELECT ida, idb, score,
+                    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rn
+                  FROM sc)
+            SELECT ida, idb, score, rn FROM r WHERE rn <= 3 ORDER BY ida, rn"""),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding",
+          TierC.dot($"embedding", $"embedding").as("n2")))
+      val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
+      // the predicate lands on the CANDIDATE side before the join
+      val b = e.filter($"vec_id" % 3 === 0)
+        .select($"vec_id".as("idb"), $"label".as("label_b"),
+          $"embedding".as("eb"), $"n2".as("nb2"))
+      val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
+      a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
+        .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 3)
+        .select($"ida", $"idb", $"score", $"rn")
+        .orderBy($"ida", $"rn")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk)
 }
