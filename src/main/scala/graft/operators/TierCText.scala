@@ -2226,7 +2226,60 @@ object TierCText {
     }
   )
 
+  // --------------------------------------- per-epoch reshuffle (c1q)
+  /** Multi-epoch dataloader orders — [[c1h]]'s uniform shuffle re-drawn
+    * per epoch: position under the (md5(doc_id ‖ ':' ‖ epoch), doc_id)
+    * total order, so each epoch's order is independent-looking yet fully
+    * reproducible from (corpus, epoch) alone — the property a resumable
+    * multi-epoch training run needs (re-derive epoch 7's order without
+    * having stored it). Both epochs emit in one frame; the per-epoch
+    * rank uses the c1o/c1p range-partition + pid-window + prefix-offset
+    * machinery with epoch as the group key — no single-task sort, and
+    * the epoch count multiplies rows, not state.
+    */
+  private val c1q = QuerySpec(
+    "c1q_epoch_shuffle",
+    "Per-epoch deterministic reshuffle: position under the (md5(doc_id||':'||epoch), doc_id) total order for epochs 0 and 1 in one frame — each epoch's order reproducible from (corpus, epoch) alone; range-partitioned per-epoch ranks, no single-task sort.",
+    Some("""WITH x AS (SELECT doc_id, CAST(e.epoch AS BIGINT) AS epoch
+              FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+            r AS (SELECT doc_id, epoch,
+              ROW_NUMBER() OVER (PARTITION BY epoch
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+                         doc_id) AS pos
+              FROM x)
+            SELECT doc_id, epoch, pos FROM r ORDER BY doc_id, epoch"""),
+    (s, d) => {
+      import s.implicits._
+      val nPart = s.sparkContext.defaultParallelism
+      val keyed = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", explode(array(lit(0L), lit(1L))).as("epoch"))
+        .withColumn("k", md5(concat($"doc_id".cast(StringType), lit(":"),
+          $"epoch".cast(StringType))))
+        .repartitionByRange(nPart, $"epoch", $"k", $"doc_id")
+        .withColumn("pid", spark_partition_id()))
+      val subtotals = keyed.groupBy($"epoch", $"pid")
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      val offsets: Map[String, Long] = subtotals
+        .groupBy(_._1._1)
+        .flatMap { case (ep, rows) =>
+          val byPid = rows.sortBy(_._1._2)
+          byPid.map(_._1._2).zip(
+            byPid.map(_._2).scanLeft(0L)(_ + _).init)
+            .map { case (pid, off) => s"$ep|$pid" -> off }
+        }
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"epoch", $"pid").orderBy($"k", $"doc_id")
+      keyed
+        .withColumn("lrn", row_number().over(wp).cast(LongType))
+        .withColumn("pos",
+          element_at(typedLit(offsets), concat($"epoch", lit("|"), $"pid")) + $"lrn")
+        .select($"doc_id", $"epoch", $"pos")
+        .orderBy($"doc_id", $"epoch")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
 }
