@@ -196,6 +196,21 @@ object Plans {
       "recurrence runs as the codegen'd aggregate() higher-order " +
       "function — no UDF, no per-row state; hot-key bound = one task " +
       "per history, the honest sequence-feature contract."),
+    "c3_mmr" -> ("MMR diversity re-rank: the coarse stage is the audited " +
+      "label-block join with WindowGroupLimit pruning to 6 candidates; " +
+      "each greedy step is ONE equi-join of the per-query remainder " +
+      "(<= 5 rows) against the 1-row pick plus a windowed arg-max — " +
+      "per-step work |queries|*5, never corpus^2."),
+    "b54_pit_join" -> ("Point-in-time join: the SCD2 interval build " +
+      "(b47's windows, one user_id shuffle) feeds ONE equi-join on the " +
+      "user key with the half-open interval refine in the join " +
+      "condition — per-key fan-out = versions-per-key, small by the " +
+      "slowly-changing definition; <= 1 survivor per probe by interval " +
+      "partition."),
+    "b55_attribution" -> ("Last-touch attribution: one user_id window " +
+      "carries the latest-touch STRUCT forward (lexicographic struct " +
+      "max IS the rule), purchases filter after the carry — one " +
+      "shuffle key end to end, no self-join of events against events."),
   )
 
   def main(args: Array[String]): Unit = {
