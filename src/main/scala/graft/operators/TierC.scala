@@ -344,11 +344,17 @@ object TierC {
         idf * (tf * 2.2) /
           (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dbl($"len") / (dbl($"total_toks") / dbl($"n"))))
       }.reduceLeft(_ + _)
+      // top-10 via orderBy+limit (TakeOrderedAndProject: per-partition
+      // top-k + k-merge), NOT a row_number window over the full score
+      // frame — that window was the engine's ONE unpartitioned window,
+      // funneling |docs| rows through a single task at scale. The rank
+      // window that remains runs over the 10 surviving rows only.
       perDoc.crossJoin(broadcast(global))
         .select($"doc_id", floor(score * 1000000).cast(LongType).as("score_e6"))
+        .orderBy($"score_e6".desc, $"doc_id")
+        .limit(10)
         .withColumn("rn",
           row_number().over(Window.orderBy($"score_e6".desc, $"doc_id")).cast(LongType))
-        .filter($"rn" <= 10)
         .orderBy($"rn")
     }
   )

@@ -383,6 +383,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("aggregate(") || p.contains("Aggregate("), p)
   }
 
+  test("c5b_bm25: top-10 is TakeOrdered — no unpartitioned window over the score frame") {
+    val p = plan("c5b_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 top-10 regressed to a global-window sort:\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
