@@ -1747,6 +1747,38 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B56
+  /** Mergeable top-k — b50's merge algebra for an ORDER statistic:
+    * topk(A ∪ B) = topk(topk(A) ∪ topk(B)), so a standing "biggest
+    * orders" board updates from a delta's local top-k without rescanning
+    * the base. Computed per slice (pre/post-1997) as TakeOrdered top-5,
+    * merged by re-sorting the ≤ 10 survivor rows; the oracle is the
+    * direct whole-table top-5, so the hash-match PROVES the merge is
+    * lossless. Total order (o_totalprice desc, o_orderkey) — no float
+    * ties left to chance.
+    */
+  private val b56 = QuerySpec(
+    "b56_topk_merge",
+    "Mergeable top-k: per-slice (pre/post-1997) top-5 orders by (totalprice desc, orderkey), merged by re-sorting the <= 10 survivors; oracle is the direct whole-table top-5 — the merge identity topk(A∪B) = topk(topk(A)∪topk(B)) hash-proved.",
+    Some("""SELECT o_orderkey,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+              o_orderdate
+            FROM orders
+            ORDER BY price DESC, o_orderkey LIMIT 5"""),
+    (s, d) => {
+      import s.implicits._
+      val cut = ts("1997-01-01")
+      def sliceTopK(slice: DataFrame): DataFrame =
+        slice.select($"o_orderkey", decDbl($"o_totalprice", 2).as("price"),
+            $"o_orderdate")
+          .orderBy($"price".desc, $"o_orderkey").limit(5)
+      val orders = Tables.orders(s, d)
+      sliceTopK(orders.filter($"o_orderdate" < cut))
+        .unionByName(sliceTopK(orders.filter($"o_orderdate" >= cut)))
+        .orderBy($"price".desc, $"o_orderkey").limit(5)
+    }
+  )
+
   // ----------------------------------------------------------------- B48
   /** Arbitrary GROUPING SETS — the piece of the B14 family ROLLUP/CUBE
     * can't express: the set list {(rf,ls), (rf), (ls), ()} mixes two
@@ -2036,5 +2068,5 @@ object TierB {
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55)
+    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56)
 }

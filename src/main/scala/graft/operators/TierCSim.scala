@@ -2850,6 +2850,59 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------ embedding drift monitor
+  /** Embedding-distribution drift — the vector twin of the text tier's
+    * `c4_kl_drift`: per-dimension mean shift between two cohorts (here
+    * vec_id parity standing in for old-model/new-model or week-N/week-N+1
+    * batches) — the monitor that catches a silently retrained or
+    * re-normalized upstream encoder before an ANN index built on the old
+    * distribution degrades. Integer-exact: per-dim e6-quantized sums and
+    * counts per cohort, shift = floor-mean difference — one posexplode +
+    * one partial-aggregated shuffle on the dimension, order-free.
+    */
+  private val c3ed = QuerySpec(
+    "c3_embed_drift",
+    "Per-dimension embedding drift between vec_id-parity cohorts: e6-quantized sums/counts per cohort and the division-free cross-multiplied mean-shift numerator per dim — the retrained-encoder monitor; one posexplode + one shuffle on pos, all-integer.",
+    Some("""WITH e AS (SELECT vec_id % 2 AS cohort,
+              unnest(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS v6,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings)
+            SELECT CAST(pos AS BIGINT) AS pos,
+              CAST(COUNT(CASE WHEN cohort = 0 THEN 1 END) AS BIGINT) AS n_a,
+              CAST(COUNT(CASE WHEN cohort = 1 THEN 1 END) AS BIGINT) AS n_b,
+              CAST(SUM(CASE WHEN cohort = 0 THEN v6 ELSE 0 END) AS BIGINT) AS sum_a_e6,
+              CAST(SUM(CASE WHEN cohort = 1 THEN v6 ELSE 0 END) AS BIGINT) AS sum_b_e6,
+              CAST(SUM(CASE WHEN cohort = 0 THEN v6 ELSE 0 END) AS BIGINT)
+                * COUNT(CASE WHEN cohort = 1 THEN 1 END)
+              - CAST(SUM(CASE WHEN cohort = 1 THEN v6 ELSE 0 END) AS BIGINT)
+                * COUNT(CASE WHEN cohort = 0 THEN 1 END) AS shift_num
+            FROM e GROUP BY pos ORDER BY pos"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(($"vec_id" % 2).as("cohort"),
+          posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"cohort", $"pos".cast(LongType).as("pos"),
+          floor($"v".cast(DoubleType) * 1000000.0).cast(LongType).as("v6"))
+        .groupBy($"pos")
+        .agg(
+          count(when($"cohort" === 0, 1)).as("n_a"),
+          count(when($"cohort" === 1, 1)).as("n_b"),
+          sum(when($"cohort" === 0, $"v6").otherwise(0L)).as("sum_a_e6"),
+          sum(when($"cohort" === 1, $"v6").otherwise(0L)).as("sum_b_e6"))
+        // exact mean-shift NUMERATOR over the common denominator n_a·n_b
+        // — sums go negative and Spark's `div` truncates while DuckDB's
+        // `//` floors, so any per-cohort integer division would diverge on
+        // negative dims; the cross-multiplied form is division-free.
+        // Overflow bound: |sum|·n ≤ (n·2e6)·n — fine to n ≈ 2×10⁶ rows per
+        // cohort in BIGINT; beyond that move both sides to DECIMAL(38,0).
+        .withColumn("shift_num",
+          $"sum_a_e6" * $"n_b" - $"sum_b_e6" * $"n_a")
+        .orderBy($"pos")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed)
 }

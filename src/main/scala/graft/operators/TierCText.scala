@@ -2226,6 +2226,56 @@ object TierCText {
     }
   )
 
+  // --------------------------------------------- n-gram novelty (c4)
+  /** Per-document n-gram novelty — the "how much of this doc is new to
+    * the corpus" score dedup pipelines use to rank survivors and data
+    * buyers use to price a crawl increment: a bigram's FIRST OWNER is
+    * the min doc_id carrying it, and a doc's novelty is the fraction of
+    * its distinct bigrams it owns. A near-dup of an earlier doc scores
+    * ~0; the first doc of a template family absorbs the template's
+    * grams.
+    *
+    * Scale shape: one inverted-index pass — explode distinct bigrams,
+    * ONE min-aggregate per gram (partial-aggregates map-side; no df-cap
+    * needed — min is an aggregate, not a pair generator), one
+    * posting-list join back, one per-doc count. Integer-exact output
+    * ((novel·10⁶) div grams).
+    */
+  private val c4nv = QuerySpec(
+    "c4_novelty",
+    "Per-doc bigram novelty: fraction of the doc's distinct bigrams whose corpus-wide first owner (min doc_id) is the doc itself, as (novel*1e6) div grams — near-dups of earlier docs score ~0; one min-agg + one posting join, no pair generation.",
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1]))) AS gram
+              FROM t WHERE len(toks) >= 2),
+            fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM b GROUP BY gram),
+            j AS (SELECT b.doc_id, COUNT(*) AS n_grams,
+              COUNT(CASE WHEN fo.first_doc = b.doc_id THEN 1 END) AS n_novel
+              FROM b JOIN fo USING (gram) GROUP BY b.doc_id)
+            SELECT doc_id, n_grams, n_novel,
+              (n_novel * 1000000) // n_grams AS novelty_e6
+            FROM j ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val b = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), " "), t => t =!= ""))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(array_distinct(
+          expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")))
+          .as("gram"))
+      val fo = b.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+      b.join(fo, "gram")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+        .withColumn("novelty_e6", expr("(n_novel * 1000000) div n_grams"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // --------------------------------------- per-epoch reshuffle (c1q)
   /** Multi-epoch dataloader orders — [[c1h]]'s uniform shuffle re-drawn
     * per epoch: position under the (md5(doc_id ‖ ':' ‖ epoch), doc_id)
@@ -2281,5 +2331,5 @@ object TierCText {
 
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
 }
