@@ -1779,6 +1779,47 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B57
+  /** Cumulative reach — "distinct users ever seen, by hour": the classic
+    * growth-dashboard series that is WRONG as a naive windowed
+    * count-distinct (distinct doesn't partial-aggregate across a running
+    * frame; the naive window re-buckets every user every bucket =
+    * users × buckets state). The scalable identity: a user contributes to
+    * the cumulative count from their FIRST event on, so it is ONE
+    * per-user min-aggregate (partial map-side, |users| rows), a
+    * |hours|-row count per first-hour, and a running sum over the tiny hour
+    * series — the corpus-sized frame is touched exactly once.
+    */
+  private val b57 = QuerySpec(
+    "b57_cumulative_reach",
+    "Cumulative distinct-user reach by hour: first-event hour per user (one min-agg over events), users-added per hour, running total over the hour series — never a running count-distinct window.",
+    Some("""WITH f AS (SELECT user_id,
+              CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS first_hour
+              FROM events GROUP BY user_id),
+            d AS (SELECT first_hour AS hour, COUNT(*) AS new_users
+              FROM f GROUP BY first_hour)
+            SELECT hour, new_users,
+              CAST(SUM(new_users) OVER (ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cumulative_reach
+            FROM d ORDER BY hour"""),
+    (s, d) => {
+      import s.implicits._
+      val firstDay = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("first_hour"))
+      val hourly = firstDay.groupBy($"first_hour".as("hour"))
+        .agg(count(lit(1)).as("new_users"))
+      // the running sum's window is over the |hours|-row series — a
+      // single-task frame of ~hundreds of rows, not the corpus
+      val w = Window.orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly
+        .withColumn("cumulative_reach", sum($"new_users").over(w))
+        .orderBy($"hour")
+    }
+  )
+
   // ----------------------------------------------------------------- B48
   /** Arbitrary GROUPING SETS — the piece of the B14 family ROLLUP/CUBE
     * can't express: the set list {(rf,ls), (rf), (ls), ()} mixes two
@@ -2068,5 +2109,5 @@ object TierB {
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56)
+    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57)
 }
