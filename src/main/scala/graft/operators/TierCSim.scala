@@ -2850,6 +2850,45 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------- similarity histogram (tuning)
+  /** Pair-similarity histogram — how every near-dup THRESHOLD in this
+    * engine gets chosen: mine pairs at a low floor (0.1) and bucket their
+    * Jaccard into deciles; the dedup threshold goes where the bimodal
+    * valley sits (true dups pile at 0.8–1.0, topical noise below). Same
+    * df-capped inverted-index pair machinery as the operators it tunes —
+    * the floor bounds the candidate set exactly like the production
+    * threshold does; decile = least(floor(j·10), 9) so j = 1.0 lands in
+    * the top bucket (exact IEEE: j is the replayed division, ·10
+    * correctly rounded, floor exact).
+    */
+  private val c2jh = QuerySpec(
+    "c2_jaccard_hist",
+    "Near-dup threshold tuning histogram: bigram-Jaccard pairs mined at the 0.1 floor, bucketed into deciles least(floor(j*10), 9) with pair counts — the bimodal-valley diagnostic behind every dedup threshold; same blocked df-capped pair machinery as the operators it tunes.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT
+                CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                  / len(list_distinct(a.grams || c.grams)) AS j
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= 0.1)
+            SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS decile,
+              COUNT(*) AS n_pairs
+            FROM prs GROUP BY 1 ORDER BY decile"""),
+    (s, d) => {
+      import s.implicits._
+      ngramJaccardPairs(s, Tables.documents(s, d), 0.1, NgramDfCap)
+        .select(least(floor($"jaccard" * 10), lit(9)).cast(LongType).as("decile"))
+        .groupBy($"decile").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"decile")
+    }
+  )
+
   // ------------------------------------------ embedding drift monitor
   /** Embedding-distribution drift — the vector twin of the text tier's
     * `c4_kl_drift`: per-dimension mean shift between two cohorts (here
@@ -2904,5 +2943,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh)
 }
