@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Output-level algebraic invariants of the r11 Tier-B additions — checks
+  * that hold for ANY input, asserted on the declared queries' own outputs
+  * at sf0.001. These complement the DuckDB oracle (which pins exact
+  * values for one corpus) with properties a refactor must preserve on
+  * every corpus.
+  */
+class QueryInvariantsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+  private val sf = SparkFixture.sfDir
+
+  private def run(name: String) = Registry.queries(name)(spark, sf)
+
+  test("b52 closure rows satisfy the binary-heap identity ancestor = user >> depth") {
+    val rows = run("b52_hierarchy_closure").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, a, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a == (u >> d), s"($u, $a, $d) violates ancestor = user >> depth")
+      assert(a >= 1L && d >= 1L)
+    }
+    // chains are complete: every user's max-depth ancestor is the root
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.map(_.getLong(1)).min == 1L, s"user $u chain does not reach the root")
+    }
+  }
+
+  test("b49 diff classes match their modular derivation") {
+    run("b49_snapshot_diff").collect().foreach { r =>
+      val (k, cls) = (r.getLong(0), r.getString(1))
+      cls match {
+        case "added"   => assert(k % 13 == 0 && k % 11 != 0, s"$k added")
+        case "removed" => assert(k % 11 == 0 && k % 13 != 0, s"$k removed")
+        case "changed" => assert(k % 7 == 0 && k % 11 != 0 && k % 13 != 0, s"$k changed")
+        case other     => fail(s"unknown class $other")
+      }
+    }
+  }
+
+  test("b57 cumulative reach is nondecreasing and ends at the distinct-user count") {
+    import spark.implicits._
+    val rows = run("b57_cumulative_reach").collect()
+    val cum = rows.map(_.getLong(2))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b > a }) // strictly: every bucket adds >= 1
+    assert(cum.last == graft.sources.Tables.events(spark, sf)
+      .select($"user_id").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == cum.last)
+  }
+
+  test("b56 merged top-k equals the directly computed top-k") {
+    import spark.implicits._
+    val got = run("b56_topk_merge").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").cast("double").as("p"))
+      .orderBy($"p".desc, $"o_orderkey").limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == direct)
+  }
+
+  test("b55 attributed rows carry an in-window touch; unattributed rows are fully null") {
+    run("b55_attribution").collect().foreach { r =>
+      val attributed = r.getBoolean(6)
+      if (attributed) {
+        assert(!r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5))
+        val touchTs = r.getTimestamp(5).getTime
+        val purchaseTs = r.getTimestamp(2).getTime
+        assert(touchTs <= purchaseTs && touchTs >= purchaseTs - 24L * 3600 * 1000)
+        assert(Set("click", "view")(r.getString(4)))
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+      }
+    }
+  }
+
+  test("b54 PIT join: every probe matches at most one version, valid at its timestamp") {
+    val rows = run("b54_pit_join").collect()
+    // <= 1 survivor per probe (interval partition) — and here exactly one,
+    // since every probe is after its user's first event
+    val perProbe = rows.groupBy(_.getLong(0)).map(_._2.size)
+    assert(perProbe.forall(_ == 1))
+    rows.foreach { r =>
+      // state_at_probe is one of the event types — a real version
+      assert(Set("click", "view", "purchase", "signup", "error")(r.getString(4)))
+    }
+  }
+
+  test("b53 EWMA: single-event users equal floor(value*1e6); all users bounded by history range") {
+    import spark.implicits._
+    val byUser = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"),
+        min_by($"value", struct($"ts", $"event_id")).as("first_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    run("b53_ewma").collect().foreach { r =>
+      val (u, n, e) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (cnt, lo, hi, firstV) = byUser(u)
+      assert(n == cnt)
+      if (cnt == 1L) assert(e == math.floor(firstV * 1e6).toLong, s"user $u single-event")
+      // a convex combination of history values stays inside [lo, hi]
+      assert(e >= math.floor(lo * 1e6).toLong && e <= math.ceil(hi * 1e6).toLong, s"user $u bounds")
+    }
+  }
+
+  test("c4 novelty: values in [0, 1e6]; lowest-id doc of every source is fully novel or shares grams") {
+    val rows = run("c4_novelty").collect()
+    rows.foreach { r =>
+      val (g, nv, e6) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nv >= 0 && nv <= g && e6 >= 0 && e6 <= 1000000L)
+      assert(e6 == nv * 1000000L / g)
+    }
+    // the globally first doc owns every one of its grams
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(3) == 1000000L, s"first doc not fully novel: $first")
+  }
+
+  test("c2 jaccard histogram: deciles within [1, 9] at the 0.1 floor, counts positive") {
+    run("c2_jaccard_hist").collect().foreach { r =>
+      assert(r.getLong(0) >= 1L && r.getLong(0) <= 9L)
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  test("c3 embedding drift: cohort counts partition the corpus, shift matches sums") {
+    import spark.implicits._
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    run("c3_embed_drift").collect().foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      val (sa, sb, shift) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(na + nb == total)
+      assert(shift == sa * nb - sb * na)
+    }
+  }
+}
