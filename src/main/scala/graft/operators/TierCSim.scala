@@ -2889,6 +2889,68 @@ object TierCSim {
     }
   )
 
+  // ----------------------------------------- split-leakage audit (c1)
+  /** Near-dup split-leakage audit — the measurement HALF of the
+    * cluster-safe-split story: `c1d` keys the train/val/test draw on the
+    * exact-text fingerprint, so byte-identical dups never straddle — but
+    * NEAR-dups hash to different fingerprints and leak freely; `c1j`
+    * fixes that by drawing on the near-dup CLUSTER id. This operator
+    * quantifies what c1j prevents: every Jaccard ≥ 0.3 pair labeled with
+    * its two endpoints' c1d splits (name-sorted), counted per combo —
+    * the off-diagonal rows ARE the leak. Shape: the audited pair mine +
+    * two doc_id equi-joins against the map-side split assignment + one
+    * partial-aggregated count.
+    */
+  private val c1r = QuerySpec(
+    "c1r_split_leakage",
+    s"Split-leakage audit: Jaccard>=$ClusterThreshold near-dup pairs labeled with both endpoints' c1d hash splits (least/greatest name order), counted per combo — off-diagonal rows quantify the leakage c1j's cluster-safe split prevents; pair mine + two doc_id joins + one count.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $ClusterThreshold),
+            sp AS (SELECT doc_id,
+              CASE WHEN substr(md5(array_to_string(list_filter(
+                       string_split(lower(text), ' '), s -> s <> ''), ' ')), 1, 1)
+                     BETWEEN '0' AND 'b' THEN 'train'
+                   WHEN substr(md5(array_to_string(list_filter(
+                       string_split(lower(text), ' '), s -> s <> ''), ' ')), 1, 1)
+                     IN ('c', 'd') THEN 'val'
+                   ELSE 'test' END AS split
+              FROM documents)
+            SELECT least(sa.split, sb.split) AS split_lo,
+              greatest(sa.split, sb.split) AS split_hi,
+              COUNT(*) AS n_pairs
+            FROM prs
+            JOIN sp sa ON sa.doc_id = prs.id_a
+            JOIN sp sb ON sb.doc_id = prs.id_b
+            GROUP BY 1, 2 ORDER BY split_lo, split_hi"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
+      val sp = docs.select($"doc_id",
+        when(substring(md5(norm), 1, 1).between("0", "b"), "train")
+          .when(substring(md5(norm), 1, 1).isin("c", "d"), "val")
+          .otherwise("test").as("split"))
+      val prs = ngramJaccardPairs(s, docs, ClusterThreshold, NgramDfCap)
+        .select($"id_a", $"id_b")
+      prs
+        .join(sp.select($"doc_id".as("id_a"), $"split".as("split_a")), "id_a")
+        .join(sp.select($"doc_id".as("id_b"), $"split".as("split_b")), "id_b")
+        .groupBy(least($"split_a", $"split_b").as("split_lo"),
+          greatest($"split_a", $"split_b").as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"split_lo", $"split_hi")
+    }
+  )
+
   // ------------------------------------------ embedding drift monitor
   /** Embedding-distribution drift — the vector twin of the text tier's
     * `c4_kl_drift`: per-dimension mean shift between two cohorts (here
@@ -2943,5 +3005,5 @@ object TierCSim {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r)
 }
