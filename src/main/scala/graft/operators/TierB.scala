@@ -1820,6 +1820,72 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B58
+  /** TPC-H Q21 shape (suppliers-who-kept-the-order-waiting) — the classic
+    * multi-self-join planner stress the Q3/Q5/Q18 trio doesn't cover: a
+    * correlated EXISTS (another supplier touched the order) AND a
+    * correlated NOT EXISTS (no OTHER supplier was late on it), both
+    * against the fact table itself. The synthetic lineitem has no
+    * commit/receipt dates, so "late" is `l_shipdate > cutoff` — the
+    * predicate changes, the EXISTS/NOT-EXISTS self-join topology (the
+    * thing Q21 stresses) does not.
+    *
+    * Spark-first shape: the naive plan is THREE lineitem scans (l1 +
+    * semi-join l2 + anti-join l3), each a fact-fact shuffle join. This
+    * engine rewrites both correlated arms into ONE per-order supplier
+    * profile — `countDistinct(supplier)` ≥ 2 replaces EXISTS(l2),
+    * `countDistinct(late supplier) = 1` replaces NOT EXISTS(l3) (l1 is
+    * itself late, so the unique late supplier must be l1's) — then joins
+    * the late lines back to the qualifying orders. Equivalence is exact,
+    * not heuristic: for a late line l1, "no other supplier late" ⇔ "the
+    * order's late-supplier set is exactly {l1.supplier}". Cost: one
+    * shuffle on l_orderkey for the profile (partial-agg'd map-side) plus
+    * one shuffle join back, vs two extra full fact shuffles — at 100 TB
+    * the profile is |orders| rows, the EXISTS arms are |lineitem| each.
+    * orders('F') and supplier⋈nation ride broadcasts; PlanAuditSpec pins
+    * exactly two lineitem scans and zero cartesians.
+    */
+  private val b58 = QuerySpec(
+    "b58_tpch_q21",
+    "TPC-H Q21 shape (waiting-supplier count): late lineitems whose order has >=2 distinct suppliers but exactly one late supplier, one nation, status-F orders; EXISTS/NOT-EXISTS arms rewritten to a single per-order countDistinct profile.",
+    Some("""SELECT s_name, COUNT(*) AS numwait
+            FROM supplier, lineitem l1, orders, nation
+            WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > TIMESTAMP '1997-06-15 00:00:00')
+              AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""),
+    (s, d) => {
+      import s.implicits._
+      val cutoff = ts("1997-06-15 00:00:00")
+      val li = graft.CacheRegistry.persist(Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate"))
+      val prof = li.groupBy($"l_orderkey".as("p_orderkey"))
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct(when($"l_shipdate" > cutoff, $"l_suppkey")).as("n_late_supp"))
+        .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+        .select($"p_orderkey")
+      val ordF = Tables.orders(s, d)
+        .filter($"o_orderstatus" === "F").select($"o_orderkey")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter($"n_name" === "NATION_7")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name")
+      li.filter($"l_shipdate" > cutoff)
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(prof, $"l_orderkey" === $"p_orderkey")
+        .join(ordF, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
+    }
+  )
+
   // ----------------------------------------------------------------- B48
   /** Arbitrary GROUPING SETS — the piece of the B14 family ROLLUP/CUBE
     * can't express: the set list {(rf,ls), (rf), (ls), ()} mixes two
@@ -2109,5 +2175,5 @@ object TierB {
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57)
+    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58)
 }

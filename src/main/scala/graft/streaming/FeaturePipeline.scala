@@ -31,6 +31,13 @@ import graft.operators.TierCText
   */
 object FeaturePipeline {
 
+  /** Max eval-corpus rows [[decontamStream]] will collect for its
+    * broadcast gram set. Held-out sets are thousands of documents; at
+    * ~1 KB/doc the cap bounds the driver build at ~100 MB. Anything
+    * larger is a mispointed path, not an eval set.
+    */
+  private[graft] val EvalMaxRows = 100000L
+
   val packUdf = udf {
     (layer: String, fid: String, wkb: Array[Byte], props: Map[String, String],
      tsUs: Long, source: String, ver: Int) =>
@@ -180,6 +187,16 @@ object FeaturePipeline {
   def decontamStream(docs: DataFrame, evalDocs: DataFrame,
       gramSize: Int): DataFrame = {
     val spark = evalDocs.sparkSession
+    // Driver-collect guard (the TierA.guardFixtureRows discipline): the
+    // eval set is small BY NATURE, but a mispointed path — the training
+    // corpus handed in as `evalDocs` — would OOM the driver silently.
+    // Refuse loudly instead; the corpus-scale sweep is the batch operator.
+    val evalN = evalDocs.count()
+    if (evalN > EvalMaxRows)
+      throw new IllegalStateException(
+        s"decontamStream refuses to collect $evalN eval rows (cap $EvalMaxRows): " +
+          "the eval-gram set is a driver-side broadcast build meant for " +
+          "held-out sets, not corpora — run the batch c4_decontam sweep instead")
     // SAME tokenizer as the batch sweep (TierCText.wordGrams) — the
     // in-flight filter claims to be the streaming stage of c4_decontam,
     // so the two must agree gram-for-gram on every document.

@@ -364,6 +364,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("b58_tpch_q21: EXISTS/NOT-EXISTS arms fused into one profile — one cached fact, no cartesian") {
+    val p = plan("b58_tpch_q21")
+    // the rewrite reads the CACHED lineitem projection twice (profile +
+    // late lines) instead of three fact scans for l1/l2/l3. The nested
+    // cached plan still prints its parquet scan, so the string count is
+    // one per InMemoryTableScan — assert both cache hits and that no
+    // THIRD (uncached, per-EXISTS-arm) scan exists
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
+    assert("Scan parquet .*lineitem".r.findAllIn(p).length <= 2,
+      "Q21 rewrite must not rescan lineitem per EXISTS arm:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // nation-filtered supplier dim rides a broadcast; top-100 is TakeOrdered
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the supplier-profile countDistincts partial-aggregate below their exchange
+    assert(p.contains("partial_count"), p)
+  }
+
   test("b52_hierarchy_closure: rounds cut lineage — final plan reads a checkpoint, not a join tree") {
     val p = plan("b52_hierarchy_closure")
     // the 6 doubling rounds ran eagerly at plan-build time (localCheckpoint);

@@ -468,6 +468,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C4 streaming: decontamStream refuses an eval corpus above the driver-collect cap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "text")
+    // a "mispointed path": the corpus handed in where the eval set belongs —
+    // one row over the cap must throw loudly BEFORE any collect happens
+    val tooBig = spark.range(FeaturePipeline.EvalMaxRows + 1)
+      .selectExpr("concat('doc ', id) AS text")
+    val ex = intercept[IllegalStateException] {
+      FeaturePipeline.decontamStream(docs, tooBig, 5)
+    }
+    assert(ex.getMessage.contains("refuses to collect"), ex.getMessage)
+    assert(ex.getMessage.contains("c4_decontam"), ex.getMessage)
+  }
+
   test("stream-stream interval join: in-window context matches, out-of-window excluded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
