@@ -3004,6 +3004,141 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------- ANN recall@k diagnostic
+  /** Recall@k of every approximate index against the brute-force truth —
+    * the tuning view `c2_jaccard_hist` gives dedup, for ANN (VERDICT r11
+    * #3): per method (LSH buckets, IVF nprobe=1, IVF nprobe=2), the
+    * fraction of the exact cosine top-[[RecallK]] each index recovers,
+    * over a bounded deterministic QUERY sample.
+    *
+    * Scale shape: the exact-truth arm is inherently brute-force (that is
+    * what makes it the truth), so it runs for [[RecallQueries]] md5-
+    * sampled queries ONLY — the 256-row query side rides a broadcast and
+    * the corpus streams past it once (linear in N, never N²; a recall
+    * diagnostic over ALL queries would be the full quadratic scan the
+    * indexes exist to avoid). The index arms reuse the engine's own
+    * structures — the LSH bucket equi-join, the IVF home-cell equi-join,
+    * and the nprobe=2 probe explode (candidates stay in their single home
+    * cell, so a pair meets at most once) — restricted to the same query
+    * sample. Hit counting is an equi-join on (id_a, id_b): integers only.
+    *
+    * Determinism: every ranking is (score DESC, id_b) over bit-replayable
+    * left-fold cosine chains (the c3_ivf/c3_ann_lsh precedent), the query
+    * sample is the (md5(vec_id), vec_id) total order, and recall_e6 is
+    * ONE floor-quantized division of exact integers.
+    */
+  private val RecallK = 5
+  private val RecallQueries = 256
+  private def c3rcOracle: String = {
+    import AnnSql._
+    val signRows = (0 until 24).map { p =>
+      val sg = (0 until dim).map(i => if (planeSign(p, i) > 0) 1 else -1)
+        .mkString("[", ",", "]")
+      s"($p, ${1 << p}, $sg)"
+    }.mkString(", ")
+    val acc = chain((1 to dim).map(d =>
+      s"CAST(e.embedding[$d] AS DOUBLE) * CAST(s.sg[$d] AS DOUBLE)"))
+    def rerank(name: String, from: String): String =
+      s"""$name AS (SELECT id_a, id_b FROM (
+         |  SELECT qa.vec_id AS id_a, b.vec_id AS id_b,
+         |    row_number() OVER (PARTITION BY qa.vec_id
+         |      ORDER BY ((${dotp("ea", "eb")}) / (sqrt(ea.n2) * sqrt(eb.n2))) DESC, b.vec_id) AS rn
+         |  $from
+         |  JOIN corpus ea ON ea.vec_id = qa.vec_id
+         |  JOIN corpus eb ON eb.vec_id = b.vec_id
+         |  WHERE qa.vec_id IN (SELECT vec_id FROM qs)) WHERE rn <= $RecallK)""".stripMargin
+    s"""WITH RECURSIVE
+       |${AnnSql.prefix},
+       |${asgCte("asg", "seeds0")},
+       |pr AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.j AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ($simM) DESC, s.j ASC) AS rn
+       |  FROM corpus e CROSS JOIN seeds0 s) WHERE rn <= 2),
+       |np AS (SELECT least(24, greatest(1,
+       |    CAST(ceil(ln(greatest(1.0, count(*) / 64.0)) / ln(2.0)) AS BIGINT))) AS planes
+       |  FROM corpus),
+       |signs AS (SELECT * FROM (VALUES $signRows) t(p, pw, sg)),
+       |buck AS (
+       |  SELECT e.vec_id, CAST(SUM(CASE WHEN ($acc) >= 0.0 THEN s.pw ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM corpus e JOIN signs s ON s.p < (SELECT planes FROM np)
+       |  GROUP BY e.vec_id),
+       |qs AS (SELECT vec_id FROM corpus
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $RecallQueries),
+       |${rerank("et", "FROM corpus qa JOIN corpus b ON qa.vec_id <> b.vec_id")},
+       |${rerank("ivf1", "FROM asg qa JOIN asg b ON qa.cell = b.cell AND qa.vec_id <> b.vec_id")},
+       |${rerank("ivf2", "FROM pr qa JOIN asg b ON qa.cell = b.cell AND qa.vec_id <> b.vec_id")},
+       |${rerank("lshk", "FROM buck qa JOIN buck b ON qa.bucket = b.bucket AND qa.vec_id <> b.vec_id")},
+       |nq AS (SELECT count(*) AS n FROM qs),
+       |h AS (
+       |  SELECT 'ivf_np1' AS method, count(*) AS hits FROM ivf1 JOIN et USING (id_a, id_b)
+       |  UNION ALL
+       |  SELECT 'ivf_np2', count(*) FROM ivf2 JOIN et USING (id_a, id_b)
+       |  UNION ALL
+       |  SELECT 'lsh', count(*) FROM lshk JOIN et USING (id_a, id_b))
+       |SELECT method, CAST(nq.n AS BIGINT) AS n_query, CAST(hits AS BIGINT) AS hits,
+       |  CAST(floor(CAST(hits AS DOUBLE) * 1000000.0
+       |    / (CAST(nq.n AS DOUBLE) * $RecallK.0)) AS BIGINT) AS recall_e6
+       |FROM h CROSS JOIN nq ORDER BY method""".stripMargin
+  }
+  private val c3rc = QuerySpec(
+    "c3_recall",
+    s"ANN recall@$RecallK diagnostic: LSH, IVF nprobe=1, and IVF nprobe=2 candidate sets re-ranked and intersected with the brute-force cosine top-$RecallK over a $RecallQueries-query md5 sample — (method, n_query, hits, recall_e6); the truth arm streams the corpus past a broadcast query sample, linear in N.",
+    Some(c3rcOracle),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", TierC.dot($"embedding", $"embedding").as("n2")))
+      val n = e.count()
+      val planes = lshPlanes(n)
+      val seeds = graft.functions.VectorExprs.broadcastSeeds(s,
+        ivfSeeds(s, e, ivfCells(n), 1024))
+      val assigned = CacheRegistry.persist(e
+        .withColumn("cell", cellAssignCol(seeds))
+        .withColumn("bucket", bucketUdf(planes)($"embedding")))
+      val nq = math.min(n, RecallQueries.toLong)
+      val qIds = assigned
+        .withColumn("h", md5($"vec_id".cast(StringType)))
+        .orderBy($"h", $"vec_id").limit(RecallQueries)
+        .select($"vec_id".as("qid"))
+      val qa = CacheRegistry.persist(
+        assigned.join(broadcast(qIds), $"vec_id" === $"qid")
+          .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"n2".as("na2"),
+            $"cell", $"bucket"))
+      val cand = assigned.select($"vec_id".as("id_b"), $"embedding".as("eb"),
+        $"n2".as("nb2"), $"cell".as("cell_r"), $"bucket".as("bucket_r"))
+      def topk(pairs: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")
+        pairs
+          .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= RecallK)
+          .select($"id_a", $"id_b")
+      }
+      // truth arm: 256-row query side broadcast, corpus streams past once
+      val et = CacheRegistry.persist(topk(
+        cand.join(broadcast(qa.select($"id_a", $"ea", $"na2")), $"id_a" =!= $"id_b")))
+      val ivf1 = topk(qa.drop("bucket")
+        .join(cand, $"cell" === $"cell_r" && $"id_a" =!= $"id_b"))
+      val qa2 = assigned.join(broadcast(qIds), $"vec_id" === $"qid")
+        .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"n2".as("na2"),
+          explode(graft.functions.VectorExprs.nearestSeedsF(
+            $"embedding", $"n2", seeds, 2)).as("cell"))
+      val ivf2 = topk(qa2.join(cand, $"cell" === $"cell_r" && $"id_a" =!= $"id_b"))
+      val lshk = topk(qa.drop("cell")
+        .join(cand, $"bucket" === $"bucket_r" && $"id_a" =!= $"id_b"))
+      def hitsOf(m: String, approx: DataFrame): DataFrame =
+        approx.join(et, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("method"), lit(nq).as("n_query"), $"hits",
+            floor($"hits".cast(DoubleType) * 1000000.0
+              / lit(nq.toDouble * RecallK)).cast(LongType).as("recall_e6"))
+      hitsOf("ivf_np1", ivf1)
+        .unionAll(hitsOf("ivf_np2", ivf2))
+        .unionAll(hitsOf("lsh", lshk))
+        .orderBy($"method")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc)
 }

@@ -2329,7 +2329,60 @@ object TierCText {
     }
   )
 
+  // -------------------------------------- unigram-LM (SentencePiece) seed
+  /** Unigram-LM tokenizer seed vocabulary — the companion to the BPE
+    * family (VERDICT r11 #7): SentencePiece's trainer starts from the
+    * most frequent substrings scored by count·length, then EM-prunes.
+    * The EM phase is float-likelihood iteration (not SQL-replayable and
+    * corpus-quality, not correctness, sensitive); the SEED build is
+    * exact integer arithmetic, so this declares the seed: every substring
+    * of length 2–6 of every word, counted once per occurrence POSITION
+    * (SentencePiece's suffix-array enumeration semantics) weighted by
+    * the word's corpus count, scored `cnt · len`, top-60 by
+    * (score DESC, substring) — a total order, so the cut is exact.
+    *
+    * Scale shape (the c4_bpe_train argument): the corpus rolls up ONCE
+    * to the Heaps-law distinct-word/weight table; the substring explode
+    * is ~5·|word| candidates per DISTINCT word — vocab-sized × a small
+    * constant, never corpus-sized. One partial-agg'd shuffle on the
+    * substring, then TakeOrdered for the top-60. At 100 TB the word
+    * rollup is the same shuffle the BPE trainer already pays; everything
+    * downstream is sub-vocab-sized.
+    */
+  private val c4uv = QuerySpec(
+    "c4_unigram_vocab",
+    "Unigram-LM (SentencePiece-style) tokenizer seed vocab: all length-2..6 word substrings counted per occurrence position over the distinct-word table, scored cnt*len, top-60 by (score desc, substring) — exact integers end-to-end.",
+    Some("""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+              FROM documents)
+              WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+            ls AS (SELECT w, cnt, CAST(unnest(range(2, 7)) AS INTEGER) AS l FROM w0),
+            subs AS (SELECT substr(w, CAST(unnest(range(1, length(w) - l + 2)) AS INTEGER), l) AS sub, cnt
+              FROM ls WHERE length(w) >= l),
+            agg AS (SELECT sub, CAST(SUM(cnt) AS BIGINT) AS cnt FROM subs GROUP BY sub)
+            SELECT sub, CAST(length(sub) AS BIGINT) AS len, cnt,
+              CAST(cnt * length(sub) AS BIGINT) AS score
+            FROM agg ORDER BY score DESC, sub LIMIT 60"""),
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
+        .filter($"w".rlike("^[a-z]+$"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      words
+        .select($"cnt", explode(flatten(transform(
+          filter(sequence(lit(2), lit(6)), l => l <= length($"w")),
+          l => transform(sequence(lit(1), length($"w") - l + 1),
+            i => $"w".substr(i, l))))).as("sub"))
+        .groupBy($"sub").agg(sum($"cnt").as("cnt"))
+        .select($"sub", length($"sub").cast(LongType).as("len"), $"cnt",
+          ($"cnt" * length($"sub")).cast(LongType).as("score"))
+        .orderBy($"score".desc, $"sub")
+        .limit(60)
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv)
 }
