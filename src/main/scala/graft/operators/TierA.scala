@@ -1100,6 +1100,116 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------------- A11w
+  /** Constructive geometry #4 — the CONCAVE clip (VERDICT r11 #1): a
+    * per-event comb polygon (3–5 rectangular teeth on a spine, a
+    * genuinely reflex subject) clipped by [[Wkb.clipPolygonRectWA]]
+    * (Weiler–Atherton) against a per-event window whose bottom edge cuts
+    * ABOVE the spine — so the intersection is DISCONNECTED and the piece
+    * list, not a welded ring, is the right answer. Output per feature:
+    * piece count, total vertex count, summed per-term-quantized doubled
+    * shoelace area, and the quantized x-envelope over all pieces.
+    *
+    * Oracle discipline — closed form, not replay: the fixture is built so
+    * every W-A output coordinate is an EXACT engine-side value (tooth
+    * walls are vertical ⇒ bottom-cut crossings keep the wall's x and pin
+    * y = wy0; tooth tops are horizontal ⇒ side-cut crossings keep the
+    * top's y and pin x = wx0/wx1 — the [[Wkb.clipPolygonRect]] pinned
+    * chains), so each piece is the rectangle
+    * [max(L_i,wx0), min(R_i,wx1)] × [wy0, T] and the oracle enumerates
+    * the overlapping teeth directly — an ALGORITHM-INDEPENDENT check of
+    * the traversal (the a11n_hull precedent), stronger than replaying the
+    * walk. The quantized shoelace is summed per TERM (floor before add),
+    * and a cyclic rotation of a ring preserves its directed-edge term
+    * SET, so the oracle's fixed corner order matches any traversal start.
+    * All comparisons replay absolute IEEE adds (cx + c on both sides —
+    * never algebraically simplified, so the float chains agree).
+    * Non-rectangular pieces (corner wraps, serpentines, U-shapes, CW
+    * input, degeneracy throws) are pinned by the WkbSpec planted battery.
+    */
+  private val combClipUdf: UserDefinedFunction = udf {
+    (cx: Double, cy: Double, kt: Int, m: Double) =>
+      val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      pts += ((cx, cy))
+      pts += ((cx + (24 * (kt - 1) + 14), cy))
+      var i = kt - 1
+      while (i >= 0) {
+        pts += ((cx + (24 * i + 14), cy + 120))
+        pts += ((cx + 24 * i, cy + 120))
+        if (i > 0) {
+          pts += ((cx + 24 * i, cy + 20))
+          pts += ((cx + (24 * (i - 1) + 14), cy + 20))
+        }
+        i -= 1
+      }
+      val comb = Wkb.polygon(Seq(pts.toIndexedSeq :+ pts.head))
+      val pieces = Wkb.clipPolygonRectWA(comb,
+        cx + 7.013, cy + 50.0, cx + (55.017 + m), cy + 500.0)
+      var nv = 0
+      var a2 = 0L
+      var mnx = Long.MaxValue
+      var mxx = Long.MinValue
+      pieces.foreach { pw =>
+        val ring = Wkb.outerRing(pw).dropRight(1)
+        nv += ring.length
+        var j = 0
+        while (j < ring.length) {
+          val v = ring(j)
+          val w = ring((j + 1) % ring.length)
+          a2 += math.floor((v._1 * w._2 - w._1 * v._2) * 1000000.0).toLong
+          val fx = math.floor(v._1 * 1000000.0).toLong
+          if (fx < mnx) mnx = fx
+          if (fx > mxx) mxx = fx
+          j += 1
+        }
+      }
+      (pieces.length, nv, a2, mnx, mxx)
+  }
+  private def a11wOracle: String =
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx, value % 200.0 AS cy,
+       |    3 + CAST(event_id % 3 AS INTEGER) AS k,
+       |    CAST(event_id % 40 AS DOUBLE) AS m FROM events),
+       |w AS (SELECT feature_id, cx, cy, k,
+       |    cx + 7.013 AS wx0, cx + (55.017 + m) AS wx1,
+       |    cy + 50.0 AS wy0, cy + 120.0 AS tt FROM t),
+       |teeth AS (SELECT feature_id, wx0, wx1, wy0, tt,
+       |    cx + 24*i AS lx, cx + (24*i + 14) AS rx
+       |  FROM w, (SELECT unnest(range(0, 5)) AS i) ix(i) WHERE i < k),
+       |pieces AS (SELECT feature_id,
+       |    GREATEST(lx, wx0) AS xa, LEAST(rx, wx1) AS xb, wy0, tt
+       |  FROM teeth WHERE rx > wx0 AND lx < wx1),
+       |terms AS (SELECT feature_id, xa, xb,
+       |    CAST(floor((xa*wy0 - xb*wy0) * 1000000.0) AS BIGINT)
+       |  + CAST(floor((xb*tt - xb*wy0) * 1000000.0) AS BIGINT)
+       |  + CAST(floor((xb*tt - xa*tt) * 1000000.0) AS BIGINT)
+       |  + CAST(floor((xa*wy0 - xa*tt) * 1000000.0) AS BIGINT) AS a2
+       |  FROM pieces)
+       |SELECT feature_id, CAST(COUNT(*) AS INTEGER) AS n_pieces,
+       |  CAST(4 * COUNT(*) AS INTEGER) AS n_vtx,
+       |  CAST(SUM(a2) AS BIGINT) AS area2_e6,
+       |  MIN(CAST(floor(xa * 1000000.0) AS BIGINT)) AS minx_e6,
+       |  MAX(CAST(floor(xb * 1000000.0) AS BIGINT)) AS maxx_e6
+       |FROM terms GROUP BY feature_id ORDER BY feature_id""".stripMargin
+  private val a11w = QuerySpec(
+    "a11w_clip_concave",
+    "Constructive geometry, concave: Weiler-Atherton clip of a per-event 3-5-tooth comb polygon against a window cutting above the spine — piece count, total vertices, per-term-quantized shoelace area, quantized x-envelope; oracle enumerates the overlapping-teeth rectangles in closed form (algorithm-independent).",
+    Some(a11wOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          ($"value" % 200.0).as("cy"),
+          (lit(3) + ($"event_id" % 3)).cast(IntegerType).as("k"),
+          ($"event_id" % 40).cast(DoubleType).as("m"))
+        .select($"feature_id", combClipUdf($"cx", $"cy", $"k", $"m").as("st"))
+        .select($"feature_id", $"st._1".as("n_pieces"), $"st._2".as("n_vtx"),
+          $"st._3".as("area2_e6"), $"st._4".as("minx_e6"), $"st._5".as("maxx_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11w, a11x, a11y, a11z)
 }

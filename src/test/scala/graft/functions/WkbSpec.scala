@@ -392,6 +392,111 @@ class WkbSpec extends AnyFunSuite {
     assert(math.abs(Wkb.area(c) - Wkb.area(d)) < 1e-12)
   }
 
+  // ------------------------------------------- clipPolygonRectWA (a11w)
+  private def ccwRing(pts: (Double, Double)*) = Wkb.polygon(Seq(pts :+ pts.head))
+  private def pieceAreas(ps: Seq[Array[Byte]]): Seq[Double] = ps.map(Wkb.area)
+  private def pieceVtx(ps: Seq[Array[Byte]]): Seq[Int] =
+    ps.map(p => Wkb.outerRing(p).length - 1) // writer closes the ring
+
+  test("clipPolygonRectWA: comb subject splits into one piece per tooth") {
+    // 3 teeth at x [0,1],[2,3],[4,5], spine y [0,1], teeth to y=3; window
+    // bottom at y=2 cuts above the spine — SH would weld these with
+    // bridges, W-A must emit 3 separate rectangles (all exact binary)
+    val comb = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (4.0, 3.0), (4.0, 1.0),
+      (3.0, 1.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val ps = Wkb.clipPolygonRectWA(comb, -10.0, 2.0, 10.0, 10.0)
+    assert(ps.length == 3, s"expected 3 pieces, got ${ps.length}")
+    assert(pieceVtx(ps) == Seq(4, 4, 4))
+    assert(pieceAreas(ps).forall(a => a == 1.0), pieceAreas(ps))
+    // piece-area sum == the SH clip's welded signed area (exact here)
+    val sh = Wkb.clipPolygonRect(comb, -10.0, 2.0, 10.0, 10.0)
+    assert(Wkb.area(sh) == 3.0)
+  }
+
+  test("clipPolygonRectWA: x-cut comb — boundary teeth are trimmed, corner vertices appear") {
+    val comb = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (4.0, 3.0), (4.0, 1.0),
+      (3.0, 1.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val ps = Wkb.clipPolygonRectWA(comb, 0.5, 2.0, 4.5, 10.0)
+    assert(ps.length == 3)
+    assert(pieceAreas(ps).sorted == Seq(0.5, 0.5, 1.0))
+    assert(pieceVtx(ps) == Seq(4, 4, 4))
+    val boxes = ps.map(Wkb.bbox).sortBy(_.xmin)
+    assert(boxes(0) == Wkb.BBox(0.5, 2.0, 1.0, 3.0))
+    assert(boxes(1) == Wkb.BBox(2.0, 2.0, 3.0, 3.0))
+    assert(boxes(2) == Wkb.BBox(4.0, 2.0, 4.5, 3.0))
+  }
+
+  test("clipPolygonRectWA: U-shape — the window sees two disconnected arms") {
+    // U: outer [0,5]^2 minus slot [2,3]x[1,5]; horizontal window band
+    // y in [2,4] crosses both arms ("hole through the window")
+    val u = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (3.0, 5.0), (3.0, 1.0),
+      (2.0, 1.0), (2.0, 5.0), (0.0, 5.0))
+    val ps = Wkb.clipPolygonRectWA(u, -1.0, 2.0, 6.0, 4.0)
+    assert(ps.length == 2)
+    assert(pieceAreas(ps).forall(_ == 4.0), pieceAreas(ps))
+    val boxes = ps.map(Wkb.bbox).sortBy(_.xmin)
+    assert(boxes(0) == Wkb.BBox(0.0, 2.0, 2.0, 4.0))
+    assert(boxes(1) == Wkb.BBox(3.0, 2.0, 5.0, 4.0))
+  }
+
+  test("clipPolygonRectWA: serpentine winding yields one piece per bar crossed") {
+    // three horizontal bars joined alternately right/left (the spiral
+    // class); a vertical window slab cuts each bar into its own piece
+    val snake = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (1.0, 3.0), (1.0, 4.0),
+      (5.0, 4.0), (5.0, 5.0), (0.0, 5.0), (0.0, 2.0), (4.0, 2.0), (4.0, 1.0), (0.0, 1.0))
+    val ps = Wkb.clipPolygonRectWA(snake, 2.0, -1.0, 3.0, 6.0)
+    assert(ps.length == 3, s"expected 3 pieces, got ${ps.length}")
+    assert(pieceAreas(ps).forall(_ == 1.0), pieceAreas(ps))
+  }
+
+  test("clipPolygonRectWA: L-around-corner piece collects the window corners it wraps") {
+    val l = ccwRing((-1.0, -1.0), (5.0, -1.0), (5.0, 1.0), (1.0, 1.0), (1.0, 5.0), (-1.0, 5.0))
+    val ps = Wkb.clipPolygonRectWA(l, 0.0, 0.0, 4.0, 4.0)
+    assert(ps.length == 1)
+    assert(pieceVtx(ps) == Seq(6)) // 2 crossings + 1 subject vertex + 3 window corners
+    assert(pieceAreas(ps) == Seq(7.0))
+    val ring = Wkb.outerRing(ps.head)
+    assert(ring.contains((0.0, 0.0)) && ring.contains((4.0, 0.0)) && ring.contains((0.0, 4.0)))
+  }
+
+  test("clipPolygonRectWA: no-crossing cases — inside, containing, disjoint") {
+    val sq = square(1.0, 1.0, 2.0, 2.0)
+    val in = Wkb.clipPolygonRectWA(sq, 0.0, 0.0, 10.0, 10.0)
+    assert(in.length == 1 && Wkb.area(in.head) == 1.0)
+    assert(Wkb.bbox(in.head) == Wkb.BBox(1.0, 1.0, 2.0, 2.0))
+    val contains = Wkb.clipPolygonRectWA(square(-10.0, -10.0, 10.0, 10.0), 0.0, 0.0, 4.0, 4.0)
+    assert(contains.length == 1 && Wkb.area(contains.head) == 16.0)
+    assert(Wkb.clipPolygonRectWA(square(20.0, 20.0, 30.0, 30.0), 0.0, 0.0, 10.0, 10.0).isEmpty)
+  }
+
+  test("clipPolygonRectWA: CW input ring is normalized, pieces come out CCW") {
+    val cw = Wkb.polygon(Seq(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0))))
+    val ps = Wkb.clipPolygonRectWA(cw, 0.0, 0.0, 10.0, 10.0)
+    assert(ps.length == 1 && Wkb.area(ps.head) == 1.0)
+    // signed shoelace of the emitted ring must be positive (CCW)
+    val ring = Wkb.outerRing(ps.head).dropRight(1)
+    val s2 = ring.indices.map { j =>
+      val v = ring(j); val u = ring((j + 1) % ring.length)
+      v._1 * u._2 - u._1 * v._2
+    }.sum
+    assert(s2 > 0, s"piece not CCW: signed2=$s2")
+  }
+
+  test("clipPolygonRectWA: degenerate tangency throws loudly, never silently misclips") {
+    // vertex exactly on the window boundary line
+    val onEdge = ccwRing((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Wkb.clipPolygonRectWA(onEdge, 0.0, -1.0, 10.0, 10.0)
+    }
+    assert(e1.getMessage.contains("boundary line"), e1.getMessage)
+    // edge passing exactly through a window corner
+    val diag = ccwRing((-1.0, -1.0), (1.0, 1.0), (-1.0, 1.0))
+    val e2 = intercept[IllegalArgumentException] {
+      Wkb.clipPolygonRectWA(diag, 0.0, 0.0, 2.0, 2.0)
+    }
+    assert(e2.getMessage.contains("corner"), e2.getMessage)
+  }
+
   // ---------------------------------------------- clipPolygonConvex (a11z)
   test("clipPolygonConvex: rectangle window reproduces the rect-clip region") {
     // same region as the rect clip (values differ only in the crossing
