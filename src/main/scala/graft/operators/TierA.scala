@@ -1191,8 +1191,8 @@ object TierA {
        |  MIN(CAST(floor(xa * 1000000.0) AS BIGINT)) AS minx_e6,
        |  MAX(CAST(floor(xb * 1000000.0) AS BIGINT)) AS maxx_e6
        |FROM terms GROUP BY feature_id ORDER BY feature_id""".stripMargin
-  private val a11w = QuerySpec(
-    "a11w_clip_concave",
+  private val a11xx = QuerySpec(
+    "a11xx_clip_concave",
     "Constructive geometry, concave: Weiler-Atherton clip of a per-event 3-5-tooth comb polygon against a window cutting above the spine — piece count, total vertices, per-term-quantized shoelace area, quantized x-envelope; oracle enumerates the overlapping-teeth rectangles in closed form (algorithm-independent).",
     Some(a11wOracle),
     (s, d) => {
@@ -1211,5 +1211,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11w, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }

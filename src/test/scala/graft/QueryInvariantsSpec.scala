@@ -125,6 +125,39 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("a11yy dissolve: merge-order invariance and union-vs-sum bounds") {
+    import spark.implicits._
+    val base = run("a11yy_dissolve").collect()
+    assert(base.nonEmpty)
+    // merge-order invariance: the same input under a different (skewed,
+    // coalesced) partitioning must dissolve to the identical result —
+    // the property an order-sensitive union accumulator would break
+    val shuffled = {
+      val ev = graft.sources.Tables.events(spark, sf).repartition(3, $"event_id" % 7)
+      val dir = java.nio.file.Files.createTempDirectory("a11yy_repart").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$dir/$t.parquet"),
+          java.nio.file.Paths.get(s"$sf/$t.parquet"))
+      Registry.queries("a11yy_dissolve")(spark, dir).collect()
+    }
+    assert(base.map(_.toString).toSeq == shuffled.map(_.toString).toSeq,
+      "dissolve result changed under a different input partitioning")
+    // union <= sum of parts: each member diamond covers <= ceil(2r/8)^2
+    // cells, and the union must be smaller than members x that bound
+    val members = graft.sources.Tables.events(spark, sf)
+      .groupBy(($"user_id" % 25).as("gid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.foreach { r =>
+      val (gid, cells) = (r.getLong(0), r.getLong(1))
+      assert(cells > 0L)
+      assert(cells <= members(gid) * 256L, s"gid $gid union exceeds the per-member bound")
+      assert(r.getLong(3) >= r.getLong(2) && r.getLong(5) >= r.getLong(4))
+    }
+  }
+
   test("c3 embedding drift: cohort counts partition the corpus, shift matches sums") {
     import spark.implicits._
     val total = graft.sources.Tables.embeddings(spark, sf).count()
