@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming end-to-end throughput bench (VERDICT r11 #5): the batch
+  * surface is timed every round by [[graft.Bench]], but the streaming
+  * operators (dedup, cross-batch near-dedup, geofence, trending windows,
+  * interval join) were spec-covered and never measured — a regression in
+  * the state-store path or a UDF slipping into the per-event hot loop
+  * would be invisible. This main drives each pipeline through a
+  * MemoryStream with synthetic-but-deterministic data, forces completion
+  * with `processAllAvailable`, and prints ONE JSON line with per-pipeline
+  * rows/sec so BENCH_NOTES can track round-over-round.
+  *
+  * Measurement notes:
+  *  - rows arrive in chunks with advancing event time, so watermark
+  *    eviction and window closing run for real (not one giant batch);
+  *  - the sink is `foreachBatch(count)` — forces full computation of
+  *    every output row, stores nothing;
+  *  - MemoryStream generation cost is inside the timed window on purpose:
+  *    it is the same for every round, and excluding it would need an
+  *    unmeasurable split of driver enqueue vs plan execution.
+  *
+  * Usage: `runMain graft.streaming.StreamBench [scale]` (scale defaults
+  * to 1; rows per pipeline scale linearly).
+  */
+object StreamBench {
+  private def timed(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def ckpt(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_sb_$tag").toString
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+
+    def runPipeline[T <: Product : org.apache.spark.sql.Encoder](tag: String,
+        build: MemoryStream[T] => DataFrame,
+        chunks: Seq[Seq[T]], mode: OutputMode = OutputMode.Append): Unit = {
+      val ms = MemoryStream[T]
+      val out = build(ms)
+      var sink = 0L
+      val q = out.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt(tag))
+        .foreachBatch { (b: DataFrame, _: Long) => sink += b.count(); () }
+        .start()
+      val rows = chunks.map(_.size.toLong).sum
+      try {
+        val sec = timed {
+          chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+        }
+        results += tag -> (rows, sec)
+        System.err.println(f"[stream-bench] $tag%-12s $rows%8d rows  $sec%7.2f s  ${rows / sec}%9.0f rows/s  (sink=$sink)")
+      } finally q.stop()
+    }
+
+    val pointUdf = udf { (x: Double, y: Double) => graft.functions.Wkb.point(x, y) }
+    val us = 1000000L
+    val min = 60L * us
+
+    // 1. streaming near-dedup (dropDuplicatesWithinWatermark on the
+    //    MinHash signature): 25% of rows are formatting variants of an
+    //    earlier doc — the map-side signature UDF plus keyed state
+    val dedupChunks = (0 until 10).map { c =>
+      (0 until 10000 * scale).map { i =>
+        val id = c * 10000L * scale + i
+        val base = (0 until 12).map(t => s"tok${(id / 4) * 13 % 9973}_$t").mkString(" ")
+        val text = if (id % 4 == 3) "  " + base.toUpperCase else base
+        (id, text, c * min + (i % 60) * us)
+      }
+    }
+    runPipeline[(Long, String, Long)]("neardedup",
+      ms => FeaturePipeline.nearDedupStream(
+        ms.toDF().toDF("doc_id", "text", "ts_us")
+          .select($"doc_id", $"text", timestamp_micros($"ts_us").as("event_ts")),
+        "5 minutes"),
+      dedupChunks)
+
+    // 2. cross-batch near-dedup (transformWithState + event-time timers):
+    //    the durable-mark variant of #1 — heavier per-key state machine
+    val cbChunks = (0 until 10).map { c =>
+      (0 until 5000 * scale).map { i =>
+        val id = c * 5000L * scale + i
+        val base = (0 until 12).map(t => s"tok${(id / 4) * 17 % 9973}_$t").mkString(" ")
+        (id, base, c * min + (i % 60) * us)
+      }
+    }
+    // transformWithState requires the multi-column-family RocksDB store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runPipeline[(Long, String, Long)]("crossbatch",
+      ms => FeaturePipeline.nearDedupStreamCrossBatch(
+        ms.toDF().toDF("doc_id", "text", "ts_us")
+          .select($"doc_id", $"text", timestamp_micros($"ts_us").as("event_ts")),
+        java.time.Duration.ofHours(6)),
+      cbChunks)
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    // 3. geofence alerts: stateless broadcast point-in-polygon — the
+    //    per-event decode→filter hot path at transport rates
+    val fences = (0 until 64).map { f =>
+      val x0 = (f % 8) * 50.0
+      val y0 = (f / 8) * 50.0
+      (s"zone_$f", graft.functions.Wkb.polygon(Seq(Seq(
+        (x0, y0), (x0 + 40.0, y0), (x0 + 40.0, y0 + 40.0), (x0, y0 + 40.0), (x0, y0)))))
+    }.toDF("fence_id", "fence_wkb")
+    val geoChunks = (0 until 10).map { c =>
+      (0 until 20000 * scale).map { i =>
+        val id = c * 20000L * scale + i
+        (id, (id * 7919 % 400).toDouble, (id * 104729 % 400).toDouble)
+      }
+    }
+    runPipeline[(Long, Double, Double)]("geofence",
+      ms => FeaturePipeline.geofenceAlerts(
+        ms.toDF().toDF("feature_id", "x", "y")
+          .withColumn("geom_wkb", pointUdf($"x", $"y")),
+        fences),
+      geoChunks)
+
+    // 4. trending sliding-window counts: watermarked window agg, windows
+    //    close as chunks advance event time by 10 minutes each
+    val trendChunks = (0 until 10).map { c =>
+      (0 until 20000 * scale).map { i =>
+        val id = c * 20000L * scale + i
+        (s"layer_${id % 40}", id, c * 10L * min + (i % 600) * us)
+      }
+    }
+    runPipeline[(String, Long, Long)]("trending",
+      ms => FeaturePipeline.trendingCounts(
+        ms.toDF().toDF("layer", "feature_id", "ts_us")
+          .select($"layer", $"feature_id", timestamp_micros($"ts_us").as("event_ts")),
+        windowDur = "20 minutes", slideDur = "10 minutes", watermark = "5 minutes"),
+      trendChunks)
+
+    val total = results.values.map(_._2).sum
+    val json = results.map { case (tag, (rows, sec)) =>
+      f""""$tag":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_bench_total_sec","value":${f"$total%.2f"},"unit":"sec","pipelines":{$json},"scale":$scale}""")
+    spark.stop()
+  }
+}
