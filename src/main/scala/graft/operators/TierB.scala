@@ -1843,12 +1843,15 @@ object TierB {
     * one shuffle join back, vs two extra full fact shuffles — at 100 TB
     * the profile is |orders| rows, the EXISTS arms are |lineitem| each.
     * orders('F') and supplier⋈nation ride broadcasts; PlanAuditSpec pins
-    * exactly two lineitem scans and zero cartesians.
+    * exactly two lineitem scans and zero cartesians. Unlike the spec
+    * text's single-nation filter, the group is (nation, supplier) — the
+    * join topology is identical and the query stays non-empty at the
+    * sf0.001 smoke scale.
     */
   private val b58 = QuerySpec(
     "b58_tpch_q21",
-    "TPC-H Q21 shape (waiting-supplier count): late lineitems whose order has >=2 distinct suppliers but exactly one late supplier, one nation, status-F orders; EXISTS/NOT-EXISTS arms rewritten to a single per-order countDistinct profile.",
-    Some("""SELECT s_name, COUNT(*) AS numwait
+    "TPC-H Q21 shape (waiting-supplier count): late lineitems whose order has >=2 distinct suppliers but exactly one late supplier, status-F orders, grouped per (nation, supplier); EXISTS/NOT-EXISTS arms rewritten to a single per-order countDistinct profile.",
+    Some("""SELECT n_name, s_name, COUNT(*) AS numwait
             FROM supplier, lineitem l1, orders, nation
             WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
               AND o_orderstatus = 'F'
@@ -1858,8 +1861,8 @@ object TierB {
               AND NOT EXISTS (SELECT 1 FROM lineitem l3
                 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                   AND l3.l_shipdate > TIMESTAMP '1997-06-15 00:00:00')
-              AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
-            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""),
+              AND s_nationkey = n_nationkey
+            GROUP BY n_name, s_name ORDER BY numwait DESC, n_name, s_name LIMIT 100"""),
     (s, d) => {
       import s.implicits._
       val cutoff = ts("1997-06-15 00:00:00")
@@ -1873,15 +1876,14 @@ object TierB {
       val ordF = Tables.orders(s, d)
         .filter($"o_orderstatus" === "F").select($"o_orderkey")
       val supp = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d).filter($"n_name" === "NATION_7")),
-          $"s_nationkey" === $"n_nationkey")
-        .select($"s_suppkey", $"s_name")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
       li.filter($"l_shipdate" > cutoff)
         .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
         .join(prof, $"l_orderkey" === $"p_orderkey")
         .join(ordF, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
-        .orderBy($"numwait".desc, $"s_name")
+        .groupBy($"n_name", $"s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"n_name", $"s_name")
         .limit(100)
     }
   )
