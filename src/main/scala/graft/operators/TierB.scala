@@ -2172,10 +2172,278 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B59
+  /** Time-series resample + gap fill (LOCF — last observation carried
+    * forward): the feature-engineering primitive that turns an irregular
+    * event stream into a dense per-entity daily series. Differs from
+    * [[b37]] in the key cardinality, which flips the binding constraint:
+    * b37's spine is per event_type (a handful of keys, each spanning the
+    * whole clock — the per-key window is the data), while here the
+    * entity key is high-cardinality (users), so the spine build and the
+    * fill window must both shard BY ENTITY or a 100 TB run funnels
+    * through a few tasks. The spine is
+    * generated WITH `sequence()` inside each entity's own row (per-user
+    * min/max day → explode), so spine construction is embarrassingly
+    * parallel — no driver-side calendar, no cross join against a global
+    * date dimension (which at 100 TB would broadcast fine but would also
+    * emit spine rows for (user × days-before-first-event), inflating the
+    * fill window's input for no information). The carry-forward is
+    * `last(value, ignoreNulls)` over a per-user ordered window — at scale
+    * the window is partitioned by the entity key, so state never exceeds
+    * one user's day range per task, and AQE handles entity skew.
+    * Exactness: day sums aggregate in DECIMAL; the first spine day per
+    * user is always observed (it IS the user's min), so the fill is
+    * never null.
+    */
+  private val b59 = QuerySpec(
+    "b59_gap_fill",
+    "Resample events to a dense per-user daily series (per-user sequence() spine, no global calendar cross join) and gap-fill missing days by carrying the last observed decimal day-sum forward; is_gap marks filled rows.",
+    Some("""WITH obs AS (SELECT user_id, date_trunc('day', ts) AS day,
+              SUM(CAST(value AS DECIMAL(18,4))) AS day_value
+            FROM events GROUP BY user_id, day),
+            spine AS (SELECT user_id,
+              unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+            FROM obs GROUP BY user_id),
+            j AS (SELECT s.user_id, s.day, o.day_value
+                  FROM spine s LEFT JOIN obs o USING (user_id, day))
+            SELECT user_id, day,
+              CAST(CAST(LAST_VALUE(day_value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,4)) AS DOUBLE) AS filled,
+              CAST(day_value IS NULL AS BIGINT) AS is_gap
+            FROM j ORDER BY user_id, day"""),
+    (s, d) => {
+      import s.implicits._
+      val obs = Tables.events(s, d)
+        .select($"user_id", date_trunc("day", $"ts").as("day"),
+          dec($"value", 18, 4).as("v"))
+        .groupBy($"user_id", $"day").agg(sum($"v").as("day_value"))
+      val spine = obs.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(obs, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          decDbl(last($"day_value", ignoreNulls = true).over(w), 4).as("filled"),
+          $"day_value".isNull.cast(LongType).as("is_gap"))
+        .orderBy($"user_id", $"day")
+    }
+  )
+
+  // ----------------------------------------------------------------- B60
+  /** Batch MERGE INTO (CDC apply): base snapshot + a changes feed with
+    * U(psert)/D(elete) ops → merged snapshot. The naive relational shape
+    * is a FULL OUTER join on the key — which shuffles the ENTIRE base
+    * table even when the day's changes are 0.01 % of it. This plan uses
+    * the production shape instead: base LEFT JOIN broadcast(changes)
+    * (keep / update / delete decided row-local, base never shuffles) ∪
+    * changes ANTI JOIN broadcast(matched keys) for the inserts, where the
+    * matched-key set is itself produced by streaming base past broadcast
+    * changes (≤ |changes| rows out) — so base is scanned, never exchanged.
+    * At 100 TB that is the difference between rewriting the table and
+    * touching only matched files (the core trick of Delta/Iceberg
+    * MERGE with file-level pruning on top). The oracle replays the
+    * same semantics as the textbook FULL-JOIN CASE — proving the
+    * broadcast decomposition is exactly MERGE.
+    */
+  private val b60 = QuerySpec(
+    "b60_merge_upsert",
+    "CDC MERGE apply: base (orders with key%4!=0) merged with a U/D changes feed (key%3==0, price doubled, %9==0 deleted) via base LEFT JOIN broadcast(changes) + changes ANTI JOIN broadcast(matched keys) — base is scanned twice but never exchanged; oracle replays MERGE semantics with plain joins.",
+    Some("""WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              FROM orders WHERE o_orderkey % 4 <> 0),
+            chg AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+              CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS new_price
+              FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT o_orderkey, src, CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price
+            FROM (
+              SELECT b.o_orderkey AS o_orderkey,
+                CASE WHEN c.op IS NULL THEN 'keep' ELSE 'update' END AS src,
+                CASE WHEN c.op IS NULL THEN b.price ELSE c.new_price END AS price
+              FROM base b LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+              WHERE c.op IS NULL OR c.op = 'U'
+              UNION ALL
+              SELECT c.o_orderkey, 'insert' AS src, c.new_price AS price
+              FROM chg c LEFT JOIN base b ON c.o_orderkey = b.o_orderkey
+              WHERE c.op = 'U' AND b.o_orderkey IS NULL
+            ) ORDER BY o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      val orders = Tables.orders(s, d)
+      val base = orders.filter($"o_orderkey" % 4 =!= 0)
+        .select($"o_orderkey", dec($"o_totalprice", 18, 2).as("price"))
+      val chg = orders.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey".as("c_orderkey"),
+          when($"o_orderkey" % 9 === 0, "D").otherwise("U").as("op"),
+          (dec($"o_totalprice", 18, 2) * 2).as("new_price"))
+      val kept = base.join(broadcast(chg), $"o_orderkey" === $"c_orderkey", "left")
+        .filter($"op".isNull || $"op" === "U")
+        .select($"o_orderkey",
+          when($"op".isNull, "keep").otherwise("update").as("src"),
+          when($"op".isNull, $"price").otherwise($"new_price").as("price"))
+      // inserts = changes whose key is absent from base. `chg ANTI base`
+      // directly would shuffle the ENTIRE base (anti joins can only build
+      // on the right side, and base is the right side) — instead derive
+      // the matched-key set the same way the kept arm does (base streams
+      // past broadcast chg; output ≤ |chg| rows) and anti-join chg against
+      // THAT, which broadcasts too. Base is scanned twice, exchanged never.
+      val matched = base.join(broadcast(chg.select($"c_orderkey")),
+        $"o_orderkey" === $"c_orderkey").select($"c_orderkey".as("m_orderkey"))
+      val inserts = chg.filter($"op" === "U")
+        .join(broadcast(matched), $"c_orderkey" === $"m_orderkey", "left_anti")
+        .select($"c_orderkey".as("o_orderkey"), lit("insert").as("src"),
+          $"new_price".as("price"))
+      kept.unionByName(inserts)
+        .select($"o_orderkey", $"src", decDbl($"price", 2).as("price"))
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B61
+  /** Column profiling — the data-quality primitive every warehouse runs
+    * before trusting a new drop: per column of `orders`, row/null/distinct
+    * counts plus a typed min/max (numeric columns report doubles, string
+    * columns report the strings, the timestamp reports epoch micros — no
+    * cross-engine float/timestamp FORMATTING ever enters the output,
+    * which is what makes the row hash-replayable).
+    *
+    * Scale shape: ONE pass over the table, not one scan per column — the
+    * six `countDistinct`s compile to a single Expand (rows × 6 before
+    * partial aggregation), which is the textbook profiler trade: 6× the
+    * scan rows through map-side combine vs 6 scans of a 100 TB table.
+    * The Expand rows are narrow (one column's value each), partial agg
+    * collapses them before the single exchange, and the final frame is
+    * six rows. For hundreds of columns the same plan shape holds — you
+    * batch columns per pass so Expand width stays bounded.
+    */
+  private val b61 = QuerySpec(
+    "b61_profile",
+    "Single-pass column profile of orders (6 columns): row/null/distinct counts + typed min/max (numeric as double, string as string, timestamp as epoch micros) via one Expand-based multi-countDistinct scan — never a per-column pass.",
+    Some("""WITH a AS (SELECT COUNT(*) AS n_rows,
+              COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+                CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+              COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+                CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+              COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+                MIN(o_orderstatus) AS smn3, MAX(o_orderstatus) AS smx3,
+              COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+                MIN(o_totalprice) AS mn4, MAX(o_totalprice) AS mx4,
+              COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+                CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE) AS mn5,
+                CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) AS mx5,
+              COUNT(o_orderpriority) AS nn6, COUNT(DISTINCT o_orderpriority) AS nd6,
+                MIN(o_orderpriority) AS smn6, MAX(o_orderpriority) AS smx6
+              FROM orders)
+            SELECT col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str
+            FROM (
+              SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_null, nd1 AS n_distinct,
+                mn1 AS min_num, mx1 AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+              UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2, NULL, NULL FROM a
+              UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smn3, smx3 FROM a
+              UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn4, nd4, mn4, mx4, NULL, NULL FROM a
+              UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5, NULL, NULL FROM a
+              UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn6, nd6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smn6, smx6 FROM a
+            ) ORDER BY col_name"""),
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val a = o.agg(
+        count(lit(1)).as("n_rows"),
+        count($"o_orderkey").as("nn1"), countDistinct($"o_orderkey").as("nd1"),
+        min($"o_orderkey").cast(DoubleType).as("mn1"), max($"o_orderkey").cast(DoubleType).as("mx1"),
+        count($"o_custkey").as("nn2"), countDistinct($"o_custkey").as("nd2"),
+        min($"o_custkey").cast(DoubleType).as("mn2"), max($"o_custkey").cast(DoubleType).as("mx2"),
+        count($"o_orderstatus").as("nn3"), countDistinct($"o_orderstatus").as("nd3"),
+        min($"o_orderstatus").as("smn3"), max($"o_orderstatus").as("smx3"),
+        count($"o_totalprice").as("nn4"), countDistinct($"o_totalprice").as("nd4"),
+        min($"o_totalprice").as("mn4"), max($"o_totalprice").as("mx4"),
+        count($"o_orderdate").as("nn5"), countDistinct($"o_orderdate").as("nd5"),
+        unix_micros(min($"o_orderdate").cast(TimestampType)).cast(DoubleType).as("mn5"),
+        unix_micros(max($"o_orderdate").cast(TimestampType)).cast(DoubleType).as("mx5"),
+        count($"o_orderpriority").as("nn6"), countDistinct($"o_orderpriority").as("nd6"),
+        min($"o_orderpriority").as("smn6"), max($"o_orderpriority").as("smx6"))
+      val nullD = lit(null).cast(DoubleType)
+      val nullS = lit(null).cast(StringType)
+      def row(name: String, nn: String, nd: String,
+              mn: Column, mx: Column, smn: Column, smx: Column) =
+        struct(lit(name).as("col_name"), $"n_rows",
+          ($"n_rows" - col(nn)).as("n_null"), col(nd).as("n_distinct"),
+          mn.as("min_num"), mx.as("max_num"), smn.as("min_str"), smx.as("max_str"))
+      a.select(explode(array(
+          row("o_orderkey", "nn1", "nd1", $"mn1", $"mx1", nullS, nullS),
+          row("o_custkey", "nn2", "nd2", $"mn2", $"mx2", nullS, nullS),
+          row("o_orderstatus", "nn3", "nd3", nullD, nullD, $"smn3", $"smx3"),
+          row("o_totalprice", "nn4", "nd4", $"mn4", $"mx4", nullS, nullS),
+          row("o_orderdate", "nn5", "nd5", $"mn5", $"mx5", nullS, nullS),
+          row("o_orderpriority", "nn6", "nd6", nullD, nullD, $"smn6", $"smx6"))).as("r"))
+        .select($"r.*")
+        .orderBy($"col_name")
+    }
+  )
+
+  // ----------------------------------------------------------------- B62
+  /** Groupwise argmin across joins — the TPC-H Q2 planner shape (this
+    * testdata has no partsupp, so lineitem plays the offer table):
+    * "cheapest supplier per part" with a total tie order. The textbook
+    * spelling is a correlated scalar subquery (`WHERE price = (SELECT
+    * MIN(price) ... WHERE partkey = outer.partkey)`), which a naive
+    * engine runs as a per-row rescan; the declared plan is ONE partial-
+    * aggregated `min(struct(price, suppkey))` over the fact — structs
+    * order lexicographically, so (price ASC, suppkey ASC) IS the min,
+    * and the fact is scanned once with no self-join, no window, no
+    * subquery re-evaluation. Supplier→nation enrichment broadcasts; the
+    * part join is key-to-key on the already-part-sized aggregate.
+    *
+    * Exactness: price enters as DECIMAL(18,2) (the b11 discipline) and
+    * leaves through the shared decDbl presentation cast.
+    */
+  private val b62 = QuerySpec(
+    "b62_groupwise_min",
+    "TPC-H Q2 shape (groupwise argmin): cheapest supplier per part as one partial-agged min(struct(price, suppkey)) over lineitem — no correlated rescan, no self-join, no window; broadcast supplier+nation enrichment.",
+    Some("""WITH o AS (SELECT l_partkey, l_suppkey,
+              CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+              FROM lineitem),
+            mp AS (SELECT l_partkey, MIN(price) AS min_price
+              FROM o GROUP BY l_partkey),
+            m AS (SELECT o.l_partkey, MIN(o.l_suppkey) AS best_supp, mp.min_price
+              FROM o JOIN mp ON o.l_partkey = mp.l_partkey AND o.price = mp.min_price
+              GROUP BY o.l_partkey, mp.min_price),
+            j AS (SELECT p.p_partkey, p.p_brand, m.best_supp, m.min_price,
+              s.s_name, n.n_name
+              FROM m JOIN part p ON m.l_partkey = p.p_partkey
+              JOIN supplier s ON m.best_supp = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey)
+            SELECT p_partkey, p_brand, best_supp, s_name, n_name,
+              CAST(CAST(min_price AS DECIMAL(18,2)) AS DOUBLE) AS min_price
+            FROM j ORDER BY p_partkey"""),
+    (s, d) => {
+      import s.implicits._
+      val offers = Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_suppkey", dec($"l_extendedprice", 18, 2).as("price"))
+      val best = offers.groupBy($"l_partkey")
+        .agg(min(struct($"price", $"l_suppkey")).as("best"))
+        .select($"l_partkey", $"best.l_suppkey".as("best_supp"),
+          $"best.price".as("min_price"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+      best
+        .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supp), $"best_supp" === $"s_suppkey")
+        .select($"p_partkey", $"p_brand", $"best_supp", $"s_name", $"n_name",
+          decDbl($"min_price", 2).as("min_price"))
+        .orderBy($"p_partkey")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
-    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58)
+    b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
+    b59, b60, b61, b62)
 }
