@@ -2382,7 +2382,195 @@ object TierCText {
     }
   )
 
+  // ---------------------------------------- duplicated-chunk removal (C4)
+  /** Corpus-wide duplicated-chunk REMOVAL — the C4/CCNet step the
+    * per-source statistics query (`c4_sentdedup`) only measures: split
+    * every document into fixed 8-token chunks (the corpus has no sentence
+    * punctuation, so windows stand in for lines; the tail keeps its
+    * partial chunk, as real pipelines do), then keep only the FIRST
+    * occurrence of each distinct chunk corpus-wide (first = min
+    * (doc_id, chunk_idx)) and report per-source retention.
+    *
+    * Scale shape — deliberately NOT a window over the fingerprint:
+    * boilerplate is the definition of a mega-key (one license header can
+    * occur 10⁹ times at 100 TB), and `row_number() OVER (PARTITION BY
+    * fp)` funnels every instance of it through one task. Instead the
+    * first occurrence per chunk is a `min_by` HASH aggregate — associative,
+    * so map-side partial aggregation collapses the mega-key to one row
+    * per map task before the exchange — and per-source totals come from a
+    * second independent partial-agged rollup; the two tiny per-source
+    * frames join at the end. Nothing in the plan is sensitive to chunk
+    * skew, and the shuffled payload is (md5, source, 2 longs), never the
+    * chunk text.
+    *
+    * Exactness: all counts are integers; the retained ratio is integer
+    * division at 1e-6 resolution (`x*1000000 div y`), identical in both
+    * engines for non-negative operands. The (doc_id, idx) order rides a
+    * composite scalar key `doc_id*1e6+idx` because DuckDB's `min_by`
+    * rejects STRUCT ordering keys (idx < 1e6 always: it is a per-doc
+    * chunk ordinal, bounded by doc length / 8).
+    */
+  private val c4cd = QuerySpec(
+    "c4_chunk_dedup",
+    "C4-style duplicated-chunk removal: 8-token chunks fingerprinted corpus-wide, first occurrence (min doc_id, idx) kept via skew-proof min_by hash agg (never a window over the fingerprint); per-source chunk/token retention at 1e-6 integer resolution.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            ch AS (SELECT doc_id, source,
+              CAST(unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS BIGINT) AS idx,
+              toks FROM t WHERE len(toks) > 0),
+            inst AS (SELECT doc_id, source, idx,
+              md5(array_to_string(toks[idx*8+1 : idx*8+8], ' ')) AS fp,
+              CAST(len(toks[idx*8+1 : idx*8+8]) AS BIGINT) AS ctoks
+              FROM ch),
+            tot AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+              COUNT(*) AS n_chunks, CAST(SUM(ctoks) AS BIGINT) AS tok_total
+              FROM inst GROUP BY source),
+            firsts AS (SELECT fp,
+              min_by(source, doc_id * 1000000 + idx) AS src_first,
+              min_by(ctoks, doc_id * 1000000 + idx) AS ctoks_first
+              FROM inst GROUP BY fp),
+            kept AS (SELECT src_first AS source, COUNT(*) AS n_kept,
+              CAST(SUM(ctoks_first) AS BIGINT) AS tok_kept
+              FROM firsts GROUP BY src_first)
+            SELECT t.source, t.n_docs, t.n_chunks, COALESCE(k.n_kept, 0) AS n_kept,
+              t.tok_total, CAST(COALESCE(k.tok_kept, 0) AS BIGINT) AS tok_kept,
+              CAST(COALESCE(k.tok_kept, 0) * 1000000 // t.tok_total AS BIGINT) AS retained_e6
+            FROM tot t LEFT JOIN kept k ON t.source = k.source
+            ORDER BY t.source"""),
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"doc_id", $"source", toksCol.as("toks"))
+        .filter(size($"toks") > 0)
+      val inst = CacheRegistry.persist(base
+        .select($"doc_id", $"source", posexplode(transform(
+          sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
+          j => struct(
+            md5(array_join(slice($"toks", (j * 8 + 1).cast(IntegerType), lit(8)), " ")).as("fp"),
+            size(slice($"toks", (j * 8 + 1).cast(IntegerType), lit(8))).cast(LongType).as("ctoks")))))
+        .select($"doc_id", $"source", $"pos".cast(LongType).as("idx"),
+          $"col.fp".as("fp"), $"col.ctoks".as("ctoks")))
+      val tot = inst.groupBy($"source").agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum($"ctoks").as("tok_total"))
+      val kept = inst.groupBy($"fp").agg(
+          min_by($"source", $"doc_id" * 1000000L + $"idx").as("src_first"),
+          min_by($"ctoks", $"doc_id" * 1000000L + $"idx").as("ctoks_first"))
+        .groupBy($"src_first").agg(
+          count(lit(1)).as("n_kept"), sum($"ctoks_first").as("tok_kept"))
+      tot.join(kept, $"source" === $"src_first", "left")
+        .select($"source", $"n_docs", $"n_chunks",
+          coalesce($"n_kept", lit(0L)).as("n_kept"), $"tok_total",
+          coalesce($"tok_kept", lit(0L)).as("tok_kept"),
+          expr("coalesce(tok_kept, 0L) * 1000000 div tok_total").as("retained_e6"))
+        .orderBy($"source")
+    }
+  )
+
+  // -------------------------------------- rejection-reasons filter report
+  /** Quality-filter composite WITH per-rule attribution — the report a
+    * training-data pipeline actually ships: not just "x % passed" (the
+    * `c4_quality` blend) but WHICH Gopher-style rule rejected how many
+    * documents per source, so a corpus regression points at its cause.
+    * Six rules, all exact-integer comparisons (thresholds cross-multiplied
+    * so no division ever happens): too short (<15 tokens), too long
+    * (>120), mean word length outside [3,10] (`sumlen<3n ∨ sumlen>10n`),
+    * stopword fraction <2 % (`50·stop<n`), top-unigram share >20 %
+    * (`5·top1>n`), distinct-token fraction <40 % (`5·distinct<2n`).
+    * Rules overlap (a doc can trip several); `n_pass` counts docs
+    * tripping none; pass rate at 1e-6 integer resolution.
+    *
+    * Scale shape: every per-doc feature — token count, summed word
+    * length, stopword hits, distinct count, max unigram run — is
+    * computed MAP-SIDE with codegen higher-order functions (the max
+    * multiplicity is a run-length fold over `array_sort`, not an
+    * explode+groupBy: nothing corpus-wide happens before the one tiny
+    * per-source rollup). The oracle replays the same features with
+    * list lambdas (its max-multiplicity is the O(distinct·n) list form
+    * — same value, oracle-scale only).
+    */
+  private val c4rr = QuerySpec(
+    "c4_reject_reasons",
+    "Gopher-style quality filter with per-rule attribution: per source, how many docs each of 6 exact-integer rules rejects (short/long/word-len/stopword/top-unigram/diversity), docs passing all, and the 1e-6 pass rate — all features map-side.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            f AS (SELECT doc_id, source,
+              CAST(len(toks) AS BIGINT) AS n,
+              CAST(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS sumlen,
+              CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS BIGINT) AS nstop,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS ndist,
+              CAST(list_max(list_transform(list_distinct(toks),
+                t2 -> len(list_filter(toks, x -> x = t2)))) AS BIGINT) AS top1
+              FROM t WHERE len(toks) > 0),
+            r AS (SELECT source,
+              CAST(n < 15 AS BIGINT) AS f_short,
+              CAST(n > 120 AS BIGINT) AS f_long,
+              CAST(sumlen < 3 * n OR sumlen > 10 * n AS BIGINT) AS f_wordlen,
+              CAST(50 * nstop < n AS BIGINT) AS f_stoplow,
+              CAST(5 * top1 > n AS BIGINT) AS f_rep,
+              CAST(5 * ndist < 2 * n AS BIGINT) AS f_lowdiv
+              FROM f)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(f_short) AS BIGINT) AS r_short,
+              CAST(SUM(f_long) AS BIGINT) AS r_long,
+              CAST(SUM(f_wordlen) AS BIGINT) AS r_wordlen,
+              CAST(SUM(f_stoplow) AS BIGINT) AS r_stoplow,
+              CAST(SUM(f_rep) AS BIGINT) AS r_rep,
+              CAST(SUM(f_lowdiv) AS BIGINT) AS r_lowdiv,
+              CAST(SUM(CASE WHEN f_short + f_long + f_wordlen + f_stoplow + f_rep + f_lowdiv = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              CAST(SUM(CASE WHEN f_short + f_long + f_wordlen + f_stoplow + f_rep + f_lowdiv = 0
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pass_e6
+            FROM r GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val stop = typedLit(TextStats.Stopwords)
+      val sorted = array_sort(col("toks"))
+      // run-length fold over the sorted tokens: state = (prev, run, best)
+      val top1 = aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, x) => {
+          val run = when(x === st.getField("prev"), st.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))
+      val f = Tables.documents(s, d)
+        .select($"doc_id", $"source", toksCol.as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"source",
+          size($"toks").cast(LongType).as("n"),
+          aggregate(transform($"toks", x => length(x).cast(LongType)),
+            lit(0L), (a, b) => a + b).as("sumlen"),
+          size(filter($"toks", x => array_contains(stop, x))).cast(LongType).as("nstop"),
+          size(array_distinct($"toks")).cast(LongType).as("ndist"),
+          top1.as("top1"))
+      val flags = f.select($"source",
+        ($"n" < 15).cast(LongType).as("f_short"),
+        ($"n" > 120).cast(LongType).as("f_long"),
+        ($"sumlen" < $"n" * 3 || $"sumlen" > $"n" * 10).cast(LongType).as("f_wordlen"),
+        ($"nstop" * 50 < $"n").cast(LongType).as("f_stoplow"),
+        ($"top1" * 5 > $"n").cast(LongType).as("f_rep"),
+        ($"ndist" * 5 < $"n" * 2).cast(LongType).as("f_lowdiv"))
+      val all = $"f_short" + $"f_long" + $"f_wordlen" + $"f_stoplow" + $"f_rep" + $"f_lowdiv"
+      flags.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"f_short").as("r_short"), sum($"f_long").as("r_long"),
+          sum($"f_wordlen").as("r_wordlen"), sum($"f_stoplow").as("r_stoplow"),
+          sum($"f_rep").as("r_rep"), sum($"f_lowdiv").as("r_lowdiv"),
+          sum(when(all === 0, 1L).otherwise(0L)).as("n_pass"))
+        .select($"source", $"n_docs", $"r_short", $"r_long", $"r_wordlen",
+          $"r_stoplow", $"r_rep", $"r_lowdiv", $"n_pass",
+          expr("n_pass * 1000000 div n_docs").as("pass_e6"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
-      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv)
+      c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
+      c4cd, c4rr)
 }
