@@ -3139,6 +3139,222 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------- binary (sign) quantization
+  /** 1-bit embedding quantization + Hamming-distance kNN — the cheapest
+    * point on the quantization curve after PQ (`c3_pq`) and int8
+    * (`c3_quantize`): each 64-float vector becomes 64 sign bits packed
+    * into two 32-bit halves (two halves, not one 64-bit word, because
+    * `acc*2` on a full 64-bit accumulator would overflow the sign bit
+    * under ANSI arithmetic), and top-3 neighbors per vector are found by
+    * `bit_count(xor)` within the label block.
+    *
+    * Why it matters at 100 TB: the candidate join shuffles 16 BYTES per
+    * vector (2 longs) instead of 256 (64 floats) — a 16× shuffle-payload
+    * cut — and the distance is two XOR+POPCNT instructions instead of 64
+    * FMAs; this is the standard first-stage filter in front of an exact
+    * re-rank (`c3_rerank` proves the second stage). Packing is map-side
+    * codegen (`aggregate` HOF over the array — a tight generated loop).
+    *
+    * Exactness: bit arithmetic end-to-end — the oracle replays the
+    * distance as the unrolled 64-term sign-disagreement chain, which is
+    * definitionally equal to popcount(xor) of the packed words.
+    */
+  private def hamChain(l: String, r: String): String =
+    (1 to 64).map(i =>
+      s"CAST(($l.embedding[$i] > 0) <> ($r.embedding[$i] > 0) AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  private val c3bh = QuerySpec(
+    "c3_binary_hamming",
+    "Binary (sign-bit) embedding quantization + Hamming top-3 per vector within the label block: 64 bits packed into two 32-bit words map-side, distance = bit_count(xor) — 16 bytes per vector through the candidate join instead of 256.",
+    Some(s"""WITH p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+              ${hamChain("a", "b")} AS hamming
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id <> b.vec_id),
+            r AS (SELECT ida, idb, hamming,
+              ROW_NUMBER() OVER (PARTITION BY ida ORDER BY hamming, idb) AS rn
+              FROM p)
+            SELECT ida, idb, hamming, rn FROM r WHERE rn <= 3
+            ORDER BY ida, rn"""),
+    (s, d) => {
+      import s.implicits._
+      def packHalf(off: Int): Column =
+        aggregate(slice($"embedding", off + 1, 32), lit(0L),
+          (acc, x) => acc * 2 + when(x > lit(0f), 1L).otherwise(0L))
+      val packed = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"label", packHalf(0).as("h0"), packHalf(32).as("h1")))
+      val a = packed.select($"vec_id".as("ida"), $"label",
+        $"h0".as("a0"), $"h1".as("a1"))
+      val b = packed.select($"vec_id".as("idb"), $"label".as("label_b"),
+        $"h0".as("b0"), $"h1".as("b1"))
+      val w = Window.partitionBy($"ida").orderBy($"hamming", $"idb")
+      a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
+        .withColumn("hamming",
+          (bit_count($"a0".bitwiseXOR($"b0")) +
+            bit_count($"a1".bitwiseXOR($"b1"))).cast(LongType))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 3)
+        .select($"ida", $"idb", $"hamming", $"rn")
+        .orderBy($"ida", $"rn")
+    }
+  )
+
+  // --------------------------------- Johnson-Lindenstrauss ±1 projection
+  /** Sparse random projection (Achlioptas ±1 variant of JL): 64-dim
+    * embeddings down to 16 dims through a deterministic ±1 sign matrix
+    * derived from md5("rp:i:j") — both engines compute the identical
+    * matrix from the string hash, no RNG state anywhere. Inputs are
+    * quantized once (`floor(v·1e6)` per element, the repo's standard
+    * float fixed-point), so every projected coordinate is an exact
+    * 64-term signed integer sum — order-free, hash-replayable.
+    *
+    * Scale shape: the sign matrix is a PLAN CONSTANT (16 literal arrays
+    * riding the closure, not a join input), so the whole projection is
+    * map-side codegen — zero shuffles, zero driver traffic; the classic
+    * use is shrinking the vector payload 4× before an expensive
+    * clustering/pair stage (`c3_kmeans`, `c2_embed_neardup`). The naive
+    * alternative (posexplode + join against a sign table + re-group)
+    * would shuffle N×64 rows to rebuild what a generated loop computes
+    * in place.
+    */
+  private def rpSign(i: Int, j: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+  }
+
+  private val c3rp = QuerySpec(
+    "c3_rand_proj",
+    "Sparse ±1 random projection (JL, Achlioptas): 64-dim embeddings to 16 exact fixed-point dims via an md5-derived sign matrix riding the plan as literals — map-side only; outputs dims 0-3 plus the 16-dim L1 mass.",
+    Some("""WITH s AS (SELECT i.i, j.j,
+              CASE WHEN substr(md5('rp:' || CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1)
+                   BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS sgn
+              FROM (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) i
+              CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS j) j),
+            q AS (SELECT vec_id, x.i,
+              CAST(FLOOR(CAST(embedding[CAST(x.i + 1 AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+              FROM embeddings CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) x),
+            pr AS (SELECT vec_id, s.j, CAST(SUM(q.qv * s.sgn) AS BIGINT) AS p
+              FROM q JOIN s ON q.i = s.i GROUP BY vec_id, s.j)
+            SELECT vec_id,
+              CAST(SUM(CASE WHEN j = 0 THEN p END) AS BIGINT) AS p0,
+              CAST(SUM(CASE WHEN j = 1 THEN p END) AS BIGINT) AS p1,
+              CAST(SUM(CASE WHEN j = 2 THEN p END) AS BIGINT) AS p2,
+              CAST(SUM(CASE WHEN j = 3 THEN p END) AS BIGINT) AS p3,
+              CAST(SUM(ABS(p)) AS BIGINT) AS l1_16
+            FROM pr GROUP BY vec_id ORDER BY vec_id"""),
+    (s, d) => {
+      import s.implicits._
+      def proj(j: Int): Column = {
+        val signs = (0 until 64).map(i => rpSign(i, j)).toArray
+        aggregate(
+          zip_with($"embedding", typedLit(signs),
+            (x, sg) => floor(x * lit(1000000.0)) * sg),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val projs = (0 until 16).map(j => proj(j).as(s"p$j"))
+      Tables.embeddings(s, d)
+        .select(($"vec_id" +: projs): _*)
+        .select($"vec_id", $"p0", $"p1", $"p2", $"p3",
+          (2 until 16).map(j => abs(col(s"p$j")))
+            .foldLeft(abs($"p0") + abs($"p1"))(_ + _).as("l1_16"))
+        .orderBy($"vec_id")
+    }
+  )
+
+  // ------------------------------------------------ k-core decomposition
+  /** 2-core of the BOILERPLATE CO-OCCURRENCE graph by synchronous peeling
+    * — the graph-analytics companion to triangles (`c2_triangles`) and
+    * LPA (`c2_lpa`). Nodes are documents; an edge links two documents
+    * that share at least one duplicated 8-token chunk (the
+    * `c4_chunk_dedup` fingerprint). Each peel round drops EVERY node of
+    * degree < 2 at once, then restricts the edge list to survivors;
+    * after `KcoreRounds` rounds the survivors with their residual degree
+    * are the declared output. The 2-core is the standard "dense
+    * duplication neighborhood" extract: chains and stars (one template
+    * line linking otherwise unrelated docs) peel away, mutually-copying
+    * clusters remain. (The Jaccard≥0.3 graph was measured cycle-free on
+    * this corpus — a k-core over it is vacuous, which is itself the
+    * reason real pipelines build this graph at CHUNK granularity.)
+    *
+    * Scale shape: the pair mine is the df-capped inverted-index join
+    * every c2 query rides — only fingerprints with 2..`ChunkGraphDfCap`
+    * distinct docs generate pairs, so a viral boilerplate chunk can
+    * never go quadratic (the cap is part of the declared contract and
+    * replayed by the oracle). Per peel round: one partial-agged degree
+    * count plus two equi-joins of the edge list against the (smaller)
+    * survivor set — never a window. Each round's frame is persisted so
+    * round k+1 reads a materialized edge list, not a growing join tree
+    * (the `c2_lpa` discipline). Synchronous peel shrinks monotonically;
+    * the round count is a declared constant (like LpaIters), so the
+    * oracle unrolls the identical rounds as CTEs.
+    */
+  private val KcoreRounds = 4
+  private val ChunkGraphDfCap = 64
+
+  private def kcoreRoundCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""k$k AS (SELECT s FROM e${k - 1} GROUP BY s HAVING COUNT(*) >= 2),
+         |            e$k AS (SELECT e.s, e.d FROM e${k - 1} e
+         |              JOIN k$k a ON e.s = a.s JOIN k$k b ON e.d = b.s)""".stripMargin
+    }.mkString(",\n            ")
+
+  private val c2kc = QuerySpec(
+    "c2_kcore",
+    s"2-core of the boilerplate co-occurrence graph (docs sharing a duplicated 8-token chunk, df-capped at $ChunkGraphDfCap) via $KcoreRounds synchronous peel rounds — doc_id + residual degree; template chains and stars peel away, mutually-copying clusters remain.",
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            ch AS (SELECT doc_id,
+              CAST(unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS BIGINT) AS idx,
+              toks FROM t WHERE len(toks) > 0),
+            inst AS (SELECT DISTINCT doc_id,
+              md5(array_to_string(toks[idx*8+1 : idx*8+8], ' ')) AS fp
+              FROM ch),
+            fpk AS (SELECT fp FROM inst GROUP BY fp
+              HAVING COUNT(*) BETWEEN 2 AND $ChunkGraphDfCap),
+            p AS (SELECT i.doc_id, i.fp FROM inst i JOIN fpk USING (fp)),
+            prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            e0 AS (SELECT id_a AS s, id_b AS d FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+            ${kcoreRoundCtes(KcoreRounds)}
+            SELECT s AS doc_id, COUNT(*) AS deg
+            FROM e$KcoreRounds GROUP BY s ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val toks = filter(split(lower($"text"), " "), t => t =!= "")
+      val inst = Tables.documents(s, d)
+        .select($"doc_id", toks.as("toks")).filter(size($"toks") > 0)
+        .select($"doc_id", explode(transform(
+          sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
+          j => md5(array_join(slice($"toks", (j * 8 + 1).cast(IntegerType), lit(8)), " ")))).as("fp"))
+        .distinct()
+      val fpk = inst.groupBy($"fp").agg(count(lit(1)).as("dfc"))
+        .filter($"dfc" >= 2 && $"dfc" <= ChunkGraphDfCap).select($"fp")
+      val posting = CacheRegistry.persist(inst.join(fpk, "fp"))
+      val prs = posting.select($"fp", $"doc_id".as("id_a"))
+        .join(posting.select($"fp".as("fp_b"), $"doc_id".as("id_b")),
+          $"fp" === $"fp_b" && $"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("shared"))
+      var e = CacheRegistry.persist(
+        prs.select($"id_a".as("s"), $"id_b".as("d"))
+          .unionAll(prs.select($"id_b".as("s"), $"id_a".as("d"))))
+      (1 to KcoreRounds).foreach { _ =>
+        val keep = e.groupBy($"s").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= 2).select($"s".as("k"))
+        e = CacheRegistry.persist(
+          e.join(keep, $"s" === $"k").drop("k")
+            .join(keep.select($"k".as("kd")), $"d" === $"kd").drop("kd"))
+      }
+      e.groupBy($"s").agg(count(lit(1)).as("deg"))
+        .select($"s".as("doc_id"), $"deg")
+        .orderBy($"doc_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc)
+    Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
+      c3bh, c3rp, c2kc)
 }
