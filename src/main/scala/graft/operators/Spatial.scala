@@ -1090,6 +1090,75 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11ad
+  /** Hexagonal binning — the cartography aggregation dashboards prefer
+    * over square tiles (equal center-to-neighbor distance, no corner
+    * ambiguity): pointy-top axial hex keys at size 16 via the standard
+    * fractional-axial + cube-round construction. The only rounding
+    * primitive is an EXPLICIT `floor(x+0.5)` (written identically in
+    * both engines — never the engines' `round()`, whose half-even vs
+    * half-away conventions differ), and the cube-round's tie-fix
+    * branches are the same CASE text on both sides, so the key is
+    * deterministic: inputs are identical doubles, every op (`sqrt`, `/`,
+    * `*`, `floor`, `abs`, comparisons) is correctly-rounded IEEE.
+    *
+    * Scale: map-side hex key, ONE shuffle on (hq, hr) with partial
+    * aggregation — the a11t tile shape with a hexagonal lattice; bin
+    * skew is controlled by the size constant exactly like zoom.
+    */
+  private val a11ad = QuerySpec(
+    "a11ad_hexbin",
+    "Hexagonal binning (pointy-top axial, size 16): cube-rounded hex key per event via explicit floor(x+0.5) rounding and identical tie-fix CASE chains in both engines; per-hex count + exact cents — one map-side key, one partial-agged shuffle.",
+    Some("""WITH c AS (SELECT event_id, value,
+              (value % 300.0) - 150.0 AS x,
+              (value % 160.0) - 80.0 AS y
+            FROM events),
+          f AS (SELECT event_id, value,
+              (sqrt(3.0) / 3.0 * x - y / 3.0) / 16.0 AS qf,
+              (2.0 / 3.0 * y) / 16.0 AS rf
+            FROM c),
+          r0 AS (SELECT event_id, value, qf, rf,
+              CAST(floor(qf + 0.5) AS BIGINT) AS rx,
+              CAST(floor((-qf - rf) + 0.5) AS BIGINT) AS ry,
+              CAST(floor(rf + 0.5) AS BIGINT) AS rz
+            FROM f),
+          r1 AS (SELECT event_id, value, rx, ry, rz,
+              abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+            FROM r0),
+          h AS (SELECT event_id, value,
+              CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS hq,
+              CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                   THEN -rx - ry ELSE rz END AS hr
+            FROM r1)
+          SELECT hq, hr, COUNT(*) AS n, MIN(event_id) AS first_id,
+            CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+          FROM h GROUP BY hq, hr ORDER BY hq, hr"""),
+    (s, d) => {
+      import s.implicits._
+      val x = ($"value" % 300.0) - 150.0
+      val y = ($"value" % 160.0) - 80.0
+      val qf = (sqrt(lit(3.0)) / 3.0 * x - y / 3.0) / 16.0
+      val rf = (lit(2.0) / 3.0 * y) / 16.0
+      val yf = -qf - rf
+      val rx = floor(qf + 0.5).cast(LongType)
+      val ry = floor(yf + 0.5).cast(LongType)
+      val rz = floor(rf + 0.5).cast(LongType)
+      val dx = abs(rx - qf)
+      val dy = abs(ry - yf)
+      val dz = abs(rz - rf)
+      val fixQ = dx > dy && dx > dz
+      Tables.events(s, d)
+        .select($"event_id", $"value",
+          when(fixQ, -ry - rz).otherwise(rx).as("hq"),
+          when(!fixQ && !(dy > dz), -rx - ry).otherwise(rz).as("hr"))
+        .groupBy($"hq", $"hr")
+        .agg(count(lit(1)).as("n"), min($"event_id").as("first_id"),
+          sum(floor($"value" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+        .orderBy($"hq", $"hr")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy)
+    Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
+      a11ad)
 }
