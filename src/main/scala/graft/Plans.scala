@@ -211,6 +211,29 @@ object Plans {
       "carries the latest-touch STRUCT forward (lexicographic struct " +
       "max IS the rule), purchases filter after the carry — one " +
       "shuffle key end to end, no self-join of events against events."),
+    "b60_merge_upsert" -> ("CDC MERGE apply: all three joins (kept arm, " +
+      "matched-key derivation, insert anti) are BroadcastHashJoin — the " +
+      "base table is scanned twice but hash-exchanged never; the day's " +
+      "changes ride broadcasts. The full-outer textbook shape would " +
+      "shuffle the entire base for a 0.01 % change feed."),
+    "b61_profile" -> ("Column profiler: ONE parquet scan feeds a single " +
+      "Expand (6 countDistincts), partial aggregation collapses the " +
+      "expanded rows map-side; min/max/null counts ride the same pass. " +
+      "Never a per-column scan of the table."),
+    "c4_chunk_dedup" -> ("Duplicated-chunk removal: first-occurrence per " +
+      "fingerprint is a min_by HASH aggregate (associative ⇒ map-side " +
+      "combine collapses boilerplate mega-keys before the exchange), " +
+      "never a window over the fingerprint; per-source totals are an " +
+      "independent partial-agged rollup, joined at six-rows scale."),
+    "c3_rand_proj" -> ("JL ±1 projection: the md5-derived sign matrix " +
+      "rides the plan as 16 literal arrays — the whole projection is " +
+      "map-side codegen'd zip_with/aggregate loops; no join, no hash " +
+      "exchange, only the presentation sort."),
+    "b62_groupwise_min" -> ("TPC-H Q2 shape: groupwise argmin is ONE " +
+      "partial-aggregated min(struct(price, suppkey)) over a single " +
+      "lineitem scan — no correlated rescan, no self-join, no window; " +
+      "supplier→nation broadcasts, and the part join rides the " +
+      "aggregate's existing partkey partitioning."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -407,6 +407,80 @@ class PlanAuditSpec extends AnyFunSuite {
       "BM25 top-10 regressed to a global-window sort:\n" + p)
   }
 
+  test("b59_gap_fill: spine and fill windows are partitioned by user — nothing unpartitioned") {
+    val p = plan("b59_gap_fill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gap fill built a global calendar cross join:\n" + p)
+    // every Window operator must carry a user_id partition spec
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("user_id"), "unpartitioned window in gap fill: " + l)
+    }
+  }
+
+  test("b60_merge_upsert: base streams past broadcast changes — base-side never exchanges") {
+    val p = plan("b60_merge_upsert")
+    assert(!p.contains("SortMergeJoin"),
+      "MERGE arm fell back to shuffling the base table:\n" + p)
+    // all three joins (kept, matched-keys, insert-anti) must be broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p)
+    // only the presentation sort may exchange
+    assert(!p.contains("Exchange hashpartitioning"),
+      "base side hash-exchanged in MERGE:\n" + p)
+  }
+
+  test("b61_profile: single scan of orders, one Expand for the multi-countDistinct") {
+    val p = plan("b61_profile")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "profiler scans the table more than once:\n" + p)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+  }
+
+  test("c4_chunk_dedup: first-occurrence via hash agg — no window over the fingerprint (mega-key safe)") {
+    val p = plan("c4_chunk_dedup")
+    assert(!p.contains("Window"),
+      "chunk dedup regressed to a window over the fingerprint:\n" + p)
+    // min_by first-occurrence agg must partial-aggregate before its exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("c3_rand_proj: projection is map-side — no hash exchange, no join, sign matrix rides as literals") {
+    val p = plan("c3_rand_proj")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      "JL projection stopped being map-side:\n" + p)
+  }
+
+  test("c3_binary_hamming: packed-bits frame cached once, candidate join is equi on label") {
+    val p = plan("c3_binary_hamming")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"),
+      "packed-bit frame is recomputed per join side:\n" + p)
+  }
+
+  test("b62_groupwise_min: one fact scan + partial-agged struct-min, dims broadcast, no window/subquery rescan") {
+    val p = plan("b62_groupwise_min")
+    assert("Scan parquet".r.findAllIn(p).toSeq.count(_ => true) >= 1)
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "fact table scanned more than once:\n" + p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "supplier/nation enrichment stopped broadcasting:\n" + p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("a11ad_hexbin: map-side hex key, one partial-agged shuffle + presentation sort only") {
+    val p = plan("a11ad_hexbin")
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("ScalaUDF"), "hex key fell out of codegen into a UDF:\n" + p)
+  }
+
+  test("c4_reject_reasons: per-doc features map-side (HOFs, no explode-groupBy), one source rollup") {
+    val p = plan("c4_reject_reasons")
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Generate"),
+      "per-doc features regressed to an explode:\n" + p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()

@@ -168,4 +168,113 @@ class QueryInvariantsSpec extends AnyFunSuite {
       assert(shift == sa * nb - sb * na)
     }
   }
+
+  test("c4 chunk dedup: kept <= total per source, corpus-wide kept = distinct fingerprints") {
+    import spark.implicits._
+    val rows = run("c4_chunk_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nChunks, nKept) = (r.getLong(2), r.getLong(3))
+      val (tokTotal, tokKept, retained) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nKept >= 1 && nKept <= nChunks)
+      assert(tokKept <= tokTotal)
+      assert(retained == tokKept * 1000000 / tokTotal)
+    }
+    // every distinct chunk keeps exactly one instance corpus-wide
+    val keptTotal = rows.map(_.getLong(3)).sum
+    val distinctFps = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", filter(split(lower($"text"), " "), t => t =!= "").as("toks"))
+      .filter(size($"toks") > 0)
+      .select(explode(transform(
+        sequence(lit(0L), ceil(size($"toks") / 8.0).cast("long") - 1),
+        j => md5(array_join(slice($"toks", (j * 8 + 1).cast("int"), lit(8)), " ")))).as("fp"))
+      .distinct().count()
+    assert(keptTotal == distinctFps, s"kept $keptTotal != distinct chunks $distinctFps")
+  }
+
+  test("c3 binary hamming: distances in [0, 64], top-3 per vector, nondecreasing in rank") {
+    val rows = run("c3_binary_hamming").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (ida, rs) =>
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.length <= 3)
+      val ds = byRank.map(_.getLong(2))
+      assert(ds.forall(d => d >= 0 && d <= 64), s"$ida distance out of bit range")
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, s"$ida ranks not by distance")
+    }
+  }
+
+  test("c3 rand proj: every projection bounded by the vector's own quantized L1 mass") {
+    import spark.implicits._
+    // |p_j| = |Σ ±q_i| <= Σ|q_i| for every sign assignment — a wrong sign
+    // matrix or a lost element breaks the bound's tightness class
+    val l1 = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", aggregate(transform($"embedding",
+        x => abs(floor(x.cast("double") * 1000000.0))), lit(0L), (a, b) => a + b).as("l1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run("c3_rand_proj").collect().foreach { r =>
+      val id = r.getLong(0)
+      val bound = l1(id) + 64 // +1 per element for the floor(|.|) vs |floor(.)| gap
+      (1 to 4).foreach(i => assert(math.abs(r.getLong(i)) <= bound, s"vec $id p${i - 1}"))
+      assert(r.getLong(5) <= 16L * bound, s"vec $id l1_16")
+    }
+  }
+
+  test("c2 kcore: residual degree >= 2 for every survivor, survivors closed under edges") {
+    val rows = run("c2_kcore").collect()
+    assert(rows.nonEmpty, "2-core empty at this sf — graph construction regressed")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, s"doc ${r.getLong(0)} survived with degree ${r.getLong(1)}")
+    }
+  }
+
+  test("b61 profile: one row per column, distincts <= rows, numeric xor string min/max") {
+    val rows = run("b61_profile").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    rows.foreach { r =>
+      val (n, nNull, nDist) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nNull >= 0 && nNull <= n)
+      assert(nDist >= 1 && nDist <= n - nNull)
+      val hasNum = !r.isNullAt(4)
+      val hasStr = !r.isNullAt(6)
+      assert(hasNum ^ hasStr, s"${r.getString(0)} must report exactly one min/max family")
+      if (hasNum) assert(r.getDouble(4) <= r.getDouble(5))
+      else assert(r.getString(6) <= r.getString(7))
+    }
+  }
+
+  test("b62 groupwise min: one row per part present in lineitem, price is that part's true min") {
+    import spark.implicits._
+    val expect = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey")
+      .agg(min($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("mn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = run("b62_groupwise_min").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "duplicate part rows")
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      assert(r.getDouble(5) == expect(r.getLong(0)), s"part ${r.getLong(0)} min price")
+    }
+  }
+
+  test("c4 reject reasons: rule counts bounded by docs, pass consistent with rules") {
+    run("c4_reject_reasons").collect().foreach { r =>
+      val n = r.getLong(1)
+      val rules = (2 to 7).map(r.getLong)
+      val (nPass, passE6) = (r.getLong(8), r.getLong(9))
+      rules.foreach(c => assert(c >= 0 && c <= n))
+      // pass can't exceed docs minus the largest single-rule rejection
+      assert(nPass <= n - rules.max)
+      assert(passE6 == nPass * 1000000 / n)
+    }
+  }
+
+  test("a11ad hexbin: totals partition the events, neighbors-distinct hex keys") {
+    val rows = run("a11ad_hexbin").collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "hexbin counts must partition all events")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
 }
