@@ -3282,12 +3282,16 @@ object TierCSim {
     * distinct docs generate pairs, so a viral boilerplate chunk can
     * never go quadratic (the cap is part of the declared contract and
     * replayed by the oracle). Per peel round: one partial-agged degree
-    * count plus two equi-joins of the edge list against the (smaller)
-    * survivor set — never a window. Each round's frame is persisted so
-    * round k+1 reads a materialized edge list, not a growing join tree
-    * (the `c2_lpa` discipline). Synchronous peel shrinks monotonically;
-    * the round count is a declared constant (like LpaIters), so the
-    * oracle unrolls the identical rounds as CTEs.
+    * count plus two ANTI joins of the edge list against the round's
+    * REMOVED fringe (deg<2) — the fringe is the small side in every
+    * round after the first, so AQE broadcast-antis it and the edge list
+    * streams instead of shuffling; never a window. Each round's frame is
+    * eagerly localCheckpointed (the b52/starComponents discipline — see
+    * the measured 2^rounds blowup note at the loop) so round k+1 reads a
+    * materialized edge list, not a twice-referenced growing join tree.
+    * Synchronous peel shrinks monotonically; the round count is a
+    * declared constant (like LpaIters), so the oracle unrolls the
+    * identical rounds as CTEs.
     */
   private val KcoreRounds = 4
   private val ChunkGraphDfCap = 64
@@ -3325,12 +3329,15 @@ object TierCSim {
     (s, d) => {
       import s.implicits._
       val toks = filter(split(lower($"text"), " "), t => t =!= "")
-      val inst = Tables.documents(s, d)
+      // persisted: the (doc, fp) posting list feeds BOTH the df-cap
+      // derivation and the pair join — without the barrier the corpus
+      // chunk explode + distinct runs twice
+      val inst = CacheRegistry.persist(Tables.documents(s, d)
         .select($"doc_id", toks.as("toks")).filter(size($"toks") > 0)
         .select($"doc_id", explode(transform(
           sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
           j => md5(array_join(slice($"toks", (j * 8 + 1).cast(IntegerType), lit(8)), " ")))).as("fp"))
-        .distinct()
+        .distinct())
       val fpk = inst.groupBy($"fp").agg(count(lit(1)).as("dfc"))
         .filter($"dfc" >= 2 && $"dfc" <= ChunkGraphDfCap).select($"fp")
       val posting = CacheRegistry.persist(inst.join(fpk, "fp"))
@@ -3338,15 +3345,28 @@ object TierCSim {
         .join(posting.select($"fp".as("fp_b"), $"doc_id".as("id_b")),
           $"fp" === $"fp_b" && $"id_a" < $"id_b")
         .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("shared"))
-      var e = CacheRegistry.persist(
-        prs.select($"id_a".as("s"), $"id_b".as("d"))
-          .unionAll(prs.select($"id_b".as("s"), $"id_a".as("d"))))
+      // localCheckpoint per round, NOT persist: every round references the
+      // previous edge list TWICE (fringe aggregate + the anti join), so an
+      // un-truncated plan DOUBLES per round — measured 1.7 s (1 round) →
+      // 3.2 (2) → 15.8 (4) at sf0.001 with lazy persist, i.e. 2^rounds
+      // recomputation; the b52/starComponents lineage discipline cuts it
+      // back to linear.
+      var e = prs.select($"id_a".as("s"), $"id_b".as("d"))
+        .unionAll(prs.select($"id_b".as("s"), $"id_a".as("d")))
+        .localCheckpoint()
       (1 to KcoreRounds).foreach { _ =>
-        val keep = e.groupBy($"s").agg(count(lit(1)).as("deg"))
-          .filter($"deg" >= 2).select($"s".as("k"))
-        e = CacheRegistry.persist(
-          e.join(keep, $"s" === $"k").drop("k")
-            .join(keep.select($"k".as("kd")), $"d" === $"kd").drop("kd"))
+        // peel via ANTI joins against the round's REMOVED fringe (deg<2),
+        // not inner joins against the (graph-sized) survivor set: the
+        // fringe is the small side in every round after the first, so AQE
+        // picks a broadcast anti join from runtime stats — per round the
+        // edge list is then never shuffled, only streamed. Semantics are
+        // identical (keep = not-in-fringe; every node appears as `s` in
+        // the symmetric list, so the degree table covers all of them).
+        val bad = e.groupBy($"s").agg(count(lit(1)).as("deg"))
+          .filter($"deg" < 2).select($"s".as("k"))
+        e = e.join(bad, $"s" === $"k", "left_anti")
+          .join(bad.select($"k".as("kd")), $"d" === $"kd", "left_anti")
+          .localCheckpoint()
       }
       e.groupBy($"s").agg(count(lit(1)).as("deg"))
         .select($"s".as("doc_id"), $"deg")
