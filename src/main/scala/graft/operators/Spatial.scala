@@ -1158,7 +1158,82 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11ae
+  /** Geometry validity audit (the ST_IsValid analog) — the ingest gate a
+    * PostGIS-habituated pipeline runs before trusting uploaded rings:
+    * per-event quad rings where every 5th user's ring is a planted BOWTIE
+    * (the diamond with its bottom/left vertices swapped, so the
+    * right→left and bottom→top edges properly cross at the center), and
+    * validity = no proper intersection between either pair of
+    * non-adjacent edges. The test is four orientation (2D cross product)
+    * signs per edge pair — the exact-geometric-predicate shape; strict
+    * `< 0` products mean collinear touches don't count as invalid, and
+    * the planted bowtie crossing is strictly proper by construction, so
+    * no epsilon anywhere. Output: per event_type, ring count, invalid
+    * count, first invalid event — the DQ summary, not a per-row dump.
+    *
+    * Scale: pure map-side predicate (eight multiplies per pair) + one
+    * partial-agged rollup — the b61_profile posture for geometry.
+    */
+  private val a11ae = QuerySpec(
+    "a11ae_validity",
+    "Ring validity audit (ST_IsValid analog): per-event quads with planted bowties (user_id%5==0), proper self-intersection via exact orientation-sign products, per-type ring/invalid counts + first invalid id — map-side predicate, one rollup shuffle.",
+    Some("""WITH c AS (SELECT event_id, event_type, user_id,
+              2*CAST(user_id % 100 AS DOUBLE) AS cx, value % 200.0 AS cy
+            FROM events),
+          v AS (SELECT event_id, event_type,
+              cx AS x0, cy + 60.17 AS y0,
+              cx + 60.17 AS x1, cy AS y1,
+              CASE WHEN user_id % 5 = 0 THEN cx - 60.17 ELSE cx END AS x2,
+              CASE WHEN user_id % 5 = 0 THEN cy ELSE cy - 60.17 END AS y2,
+              CASE WHEN user_id % 5 = 0 THEN cx ELSE cx - 60.17 END AS x3,
+              CASE WHEN user_id % 5 = 0 THEN cy - 60.17 ELSE cy END AS y3
+            FROM c),
+          p AS (SELECT event_id, event_type,
+              CASE WHEN
+                (((x1-x0)*(y2-y0)-(y1-y0)*(x2-x0)) * ((x1-x0)*(y3-y0)-(y1-y0)*(x3-x0)) < 0.0
+                 AND ((x3-x2)*(y0-y2)-(y3-y2)*(x0-x2)) * ((x3-x2)*(y1-y2)-(y3-y2)*(x1-x2)) < 0.0)
+                OR
+                (((x2-x1)*(y3-y1)-(y2-y1)*(x3-x1)) * ((x2-x1)*(y0-y1)-(y2-y1)*(x0-x1)) < 0.0
+                 AND ((x0-x3)*(y1-y3)-(y0-y3)*(x1-x3)) * ((x0-x3)*(y2-y3)-(y0-y3)*(x2-x3)) < 0.0)
+              THEN 1 ELSE 0 END AS invalid
+            FROM v)
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(invalid) AS BIGINT) AS n_invalid,
+            MIN(CASE WHEN invalid = 1 THEN event_id END) AS first_invalid
+          FROM p GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val cx = lit(2.0) * ($"user_id" % 100).cast(DoubleType)
+      val cy = $"value" % 200.0
+      val bow = $"user_id" % 5 === 0
+      val (x0, y0) = (cx, cy + 60.17)
+      val (x1, y1) = (cx + 60.17, cy)
+      val (x2, y2) = (when(bow, cx - 60.17).otherwise(cx),
+        when(bow, cy).otherwise(cy - 60.17))
+      val (x3, y3) = (when(bow, cx).otherwise(cx - 60.17),
+        when(bow, cy - 60.17).otherwise(cy))
+      // o(A,B,C) with the oracle's exact association
+      def o(ax: Column, ay: Column, bx: Column, by: Column,
+            px: Column, py: Column): Column =
+        (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+      def proper(ax: Column, ay: Column, bx: Column, by: Column,
+                 ux: Column, uy: Column, vx: Column, vy: Column): Column =
+        (o(ax, ay, bx, by, ux, uy) * o(ax, ay, bx, by, vx, vy) < 0.0) &&
+          (o(ux, uy, vx, vy, ax, ay) * o(ux, uy, vx, vy, bx, by) < 0.0)
+      val invalid = when(
+        proper(x0, y0, x1, y1, x2, y2, x3, y3) ||
+          proper(x1, y1, x2, y2, x3, y3, x0, y0), 1L).otherwise(0L)
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", invalid.as("invalid"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"invalid").as("n_invalid"),
+          min(when($"invalid" === 1, $"event_id")).as("first_invalid"))
+        .orderBy($"event_type")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad)
+      a11ad, a11ae)
 }

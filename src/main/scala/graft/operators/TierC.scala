@@ -440,5 +440,79 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b)
+  // ---------------------------------------------------------- C5c (QL)
+  /** Query-likelihood retrieval with Dirichlet smoothing — the language-
+    * modeling scorer that completes the lexical-retrieval family next to
+    * TF-IDF ([[c5]]) and BM25 ([[c5b]]): score(q,d) = Σ_t ln((tf_td +
+    * µ·p_t) / (len_d + µ)) with the corpus unigram LM p_t = cf_t/|C| and
+    * µ = 256 (a binary fraction, so µ·p_t is one multiply + one divide —
+    * the shortest replayable chain). Zhai & Lafferty's standard form.
+    *
+    * Scale shape — identical to the audited BM25 plan: per-doc tf/len in
+    * ONE partial-agged aggregate, global stats FOLD that aggregate
+    * (cf_t = Σ tf_td, so the token rows are never re-scanned and the two
+    * consumers share one exchange), the one-row global frame broadcasts,
+    * and the top-10 is TakeOrderedAndProject — the rank window runs over
+    * the 10 survivors only.
+    */
+  private val QlMu = 256.0
+  private val c5c = QuerySpec(
+    "c5c_ql_dirichlet",
+    "Query-likelihood retrieval (Dirichlet smoothing, mu=256) for the fixed query {spark, table, query}: corpus-LM-smoothed per-doc log-likelihood, exact integer stats, replayed IEEE ln chain, floor-1e-6 quantized top-10.",
+    Some {
+      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(COUNT(CASE WHEN token='$t' THEN 1 END) AS BIGINT) AS tf${i + 1}"
+      }.mkString(",\n                ")
+      val cfs = Bm25Terms.indices.map { i =>
+        s"CAST(SUM(tf${i + 1}) AS BIGINT) AS cf${i + 1}"
+      }.mkString(",\n                ")
+      val terms = Bm25Terms.indices.map { i =>
+        s"""ln((CAST(d.tf${i + 1} AS DOUBLE) + 256.0 * (CAST(g.cf${i + 1} AS DOUBLE) / CAST(g.total_toks AS DOUBLE)))
+              / (CAST(d.len AS DOUBLE) + 256.0))"""
+      }.mkString("\n            + ")
+      s"""WITH t2 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+            t AS (SELECT * FROM t2 WHERE token <> ''),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len,
+                $tfs
+              FROM t GROUP BY doc_id),
+            g AS (SELECT CAST(SUM(len) AS BIGINT) AS total_toks,
+                $cfs
+              FROM d),
+            s AS (SELECT d.doc_id, $terms AS score FROM d CROSS JOIN g),
+            r AS (SELECT doc_id, CAST(floor(score*1000000) AS BIGINT) AS score_e6,
+                row_number() OVER (ORDER BY CAST(floor(score*1000000) AS BIGINT) DESC, doc_id) AS rn
+              FROM s)
+            SELECT doc_id, score_e6, rn FROM r WHERE rn <= 10 ORDER BY rn"""
+    },
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .filter($"token" =!= "")
+      val perDoc = toks.groupBy($"doc_id").agg(
+        count(lit(1)).as("len"),
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          count(when($"token" === t, 1)).as(s"tf${i + 1}")
+        }: _*)
+      val global = perDoc.agg(
+        sum($"len").as("total_toks"),
+        Bm25Terms.indices.map { i =>
+          sum(col(s"tf${i + 1}")).as(s"cf${i + 1}")
+        }: _*)
+      val dbl = (c: Column) => c.cast(DoubleType)
+      val score = Bm25Terms.indices.map { i =>
+        log((dbl(col(s"tf${i + 1}")) + lit(QlMu) * (dbl(col(s"cf${i + 1}")) / dbl($"total_toks")))
+          / (dbl($"len") + lit(QlMu)))
+      }.reduceLeft(_ + _)
+      perDoc.crossJoin(broadcast(global))
+        .select($"doc_id", floor(score * 1000000).cast(LongType).as("score_e6"))
+        .orderBy($"score_e6".desc, $"doc_id")
+        .limit(10)
+        .withColumn("rn",
+          row_number().over(Window.orderBy($"score_e6".desc, $"doc_id")).cast(LongType))
+        .orderBy($"rn")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c)
 }
