@@ -481,6 +481,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("c5c_ql_dirichlet: top-10 is TakeOrdered, global LM stats broadcast — the audited BM25 shape") {
+    val p = plan("c5c_ql_dirichlet")
+    assert(p.contains("TakeOrderedAndProject"),
+      "QL top-10 regressed to a global-window sort:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "one-row global stats frame stopped broadcasting:\n" + p)
+  }
+
+  test("a11ae_validity: orientation predicate is map-side codegen, one rollup + presentation sort") {
+    val p = plan("a11ae_validity")
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("ScalaUDF"),
+      "validity predicate fell out of codegen into a UDF:\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
