@@ -234,6 +234,21 @@ object Plans {
       "lineitem scan — no correlated rescan, no self-join, no window; " +
       "supplier→nation broadcasts, and the part join rides the " +
       "aggregate's existing partkey partitioning."),
+    "c2_kcore" -> ("k-core peel: each round eagerly localCheckpoints " +
+      "(every round references the previous edge list TWICE — fringe " +
+      "aggregate + anti join — and lazy persist measured 2^rounds " +
+      "recomputation: 1.7/3.2/15.8 s at 1/2/4 rounds); the final plan " +
+      "reads an ExistingRDD scan, and the fringe anti joins leave the " +
+      "edge list streaming, never shuffled, once AQE broadcasts the " +
+      "small removed set."),
+    "c5c_ql_dirichlet" -> ("Dirichlet query likelihood: the audited BM25 " +
+      "plan verbatim — one partial-agged per-doc stats pass, the global " +
+      "LM folds that aggregate (token rows never re-scanned), the " +
+      "one-row stats frame broadcasts, top-10 is TakeOrderedAndProject."),
+    "a11ae_validity" -> ("Ring validity audit: the orientation-sign " +
+      "predicate is pure map-side codegen (eight multiplies per edge " +
+      "pair, strict inequalities, no UDF anywhere) feeding one " +
+      "partial-aggregated rollup — two exchanges total."),
   )
 
   def main(args: Array[String]): Unit = {

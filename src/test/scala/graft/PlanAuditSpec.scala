@@ -496,6 +496,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "validity predicate fell out of codegen into a UDF:\n" + p)
   }
 
+  test("c2_kcore: peel rounds cut lineage — final plan reads a checkpointed RDD, not a 4-round join tree") {
+    val p = plan("c2_kcore")
+    // the measured failure mode was 2^rounds recomputation from a
+    // twice-referenced lazy-persist plan; localCheckpoint leaves the last
+    // round reading an ExistingRDD scan with at most one join pair above it
+    assert(p.contains("Scan ExistingRDD"),
+      "k-core rounds no longer checkpoint — lineage will double per round:\n" + p)
+    assert(!p.contains("lineitem.parquet") && !p.contains("documents.parquet"),
+      "final k-core plan re-reads base tables — checkpoint not cutting lineage:\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
