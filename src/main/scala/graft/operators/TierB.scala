@@ -2439,11 +2439,66 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B63
+  /** OHLC bar resample — the time-series rollup finance/metrics stores
+    * run constantly: per (event_type, hour), open = value of the
+    * earliest event, high/low = extrema, close = value of the latest,
+    * volume = count. Open/close are ARGMIN/ARGMAX with a total tie order
+    * ((ts, event_id) — event_id is unique, so bars are deterministic),
+    * which in Spark is `min_by`/`max_by` with a struct ordering key
+    * inside ONE partial-aggregated hash agg — argmin/argmax are
+    * associative, so map-side combine applies and the bar build is one
+    * shuffle on the bar key, no window, no self-join. The oracle can't
+    * use a struct min_by (DuckDB rejects struct ordering keys), so it
+    * replays the argmin as min-ts → min-event-id-at-min-ts → value — two
+    * tie-break joins proving the same row wins.
+    */
+  private val b63 = QuerySpec(
+    "b63_ohlc",
+    "OHLC bar resample per (event_type, hour): open/close via min_by/max_by on the (ts, event_id) total order inside one partial-agged hash agg — no window, no self-join; high/low/volume ride the same pass; oracle replays argmin/argmax with tie-break joins.",
+    Some("""WITH e AS (SELECT event_id, event_type, ts, value,
+              date_trunc('hour', ts) AS bar FROM events),
+            ext AS (SELECT event_type, bar, MIN(ts) AS ts0, MAX(ts) AS ts1,
+              MIN(value) AS low, MAX(value) AS high, COUNT(*) AS volume
+              FROM e GROUP BY event_type, bar),
+            o1 AS (SELECT e.event_type, e.bar, MIN(e.event_id) AS open_id
+              FROM e JOIN ext ON e.event_type = ext.event_type
+                AND e.bar = ext.bar AND e.ts = ext.ts0
+              GROUP BY e.event_type, e.bar),
+            c1 AS (SELECT e.event_type, e.bar, MAX(e.event_id) AS close_id
+              FROM e JOIN ext ON e.event_type = ext.event_type
+                AND e.bar = ext.bar AND e.ts = ext.ts1
+              GROUP BY e.event_type, e.bar)
+            SELECT ext.event_type, ext.bar,
+              eo.value AS open, ext.high, ext.low, ec.value AS close,
+              ext.volume
+            FROM ext
+            JOIN o1 ON ext.event_type = o1.event_type AND ext.bar = o1.bar
+            JOIN c1 ON ext.event_type = c1.event_type AND ext.bar = c1.bar
+            JOIN e eo ON o1.open_id = eo.event_id
+            JOIN e ec ON c1.close_id = ec.event_id
+            ORDER BY ext.event_type, ext.bar"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", $"ts", $"value",
+          date_trunc("hour", $"ts").as("bar"))
+        .groupBy($"event_type", $"bar")
+        .agg(
+          min_by($"value", struct($"ts", $"event_id")).as("open"),
+          max($"value").as("high"), min($"value").as("low"),
+          max_by($"value", struct($"ts", $"event_id")).as("close"),
+          count(lit(1)).as("volume"))
+        .select($"event_type", $"bar", $"open", $"high", $"low", $"close", $"volume")
+        .orderBy($"event_type", $"bar")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62)
+    b59, b60, b61, b62, b63)
 }

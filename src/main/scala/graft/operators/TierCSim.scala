@@ -3374,7 +3374,57 @@ object TierCSim {
     }
   )
 
+  // --------------------------------------- per-channel int8 quantization
+  /** Per-CHANNEL symmetric int8 quantization — the production GEMM
+    * calibration next to [[c3z]]'s per-vector scheme: one scale per
+    * DIMENSION (`mx_j = max_i |v_ij|` over the corpus), code `⌊v·127/
+    * mx_j⌋`. Per-vector scaling wastes range on whichever dimension the
+    * vector happens to peak in; per-channel keeps each dimension's full
+    * int8 range, which is why inference runtimes calibrate this way.
+    *
+    * Scale shape: the calibration pass is a posexplode → per-dimension
+    * max — N×64 NARROW rows with map-side partial agg collapsing to 64
+    * rows per task before the one exchange (the c3_dimstats shuffle);
+    * the 64 scales then fold into ONE array row that broadcasts, and the
+    * quantization itself is a map-side zip_with. Nothing corpus-sized
+    * ever sits anywhere but the scan.
+    */
+  private val c3zc = QuerySpec(
+    "c3_quantize_channel",
+    "Per-channel symmetric int8 quantization: one max-abs scale per dimension (posexplode + partial-agged per-dim max, 64 scales folded to one broadcast array row), codes floor(v*127/mx_j) map-side; per-vector code sum/min/max, zero-scale dims code to 0.",
+    Some("""WITH pe AS (SELECT vec_id, x.i,
+              CAST(embedding[CAST(x.i + 1 AS INTEGER)] AS DOUBLE) AS v
+              FROM embeddings CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) x),
+            dm AS (SELECT i, MAX(abs(v)) AS mx FROM pe GROUP BY i),
+            sc AS (SELECT list(mx ORDER BY i) AS scales FROM dm),
+            q AS (SELECT vec_id,
+              list_transform(range(1, 65), k -> CASE WHEN scales[k] = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(embedding[CAST(k AS INTEGER)] AS DOUBLE) * 127.0 / scales[k]) AS BIGINT) END) AS qs
+              FROM embeddings CROSS JOIN sc)
+            SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS sum_q,
+              CAST(list_min(qs) AS BIGINT) AS min_q,
+              CAST(list_max(qs) AS BIGINT) AS max_q
+            FROM q ORDER BY vec_id"""),
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val dm = emb
+        .select($"vec_id", posexplode($"embedding"))
+        .groupBy($"pos").agg(max(abs($"col".cast(DoubleType))).as("mx"))
+      val sc = dm.agg(sort_array(collect_list(struct($"pos", $"mx"))).as("sm"))
+        .select(transform($"sm", e => e.getField("mx")).as("scales"))
+      emb.crossJoin(broadcast(sc))
+        .select($"vec_id", zip_with($"embedding", $"scales", (v, mx) =>
+          when(mx === 0.0, lit(0L))
+            .otherwise(floor(v.cast(DoubleType) * 127.0 / mx))).as("qs"))
+        .select($"vec_id",
+          aggregate($"qs", lit(0L), (a, b) => a + b).as("sum_q"),
+          array_min($"qs").as("min_q"), array_max($"qs").as("max_q"))
+        .orderBy($"vec_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc)
+      c3bh, c3rp, c2kc, c3zc)
 }

@@ -507,6 +507,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "final k-core plan re-reads base tables — checkpoint not cutting lineage:\n" + p)
   }
 
+  test("b63_ohlc: one scan, one partial-agged hash agg — argmin/argmax inside the aggregate, no window, no self-join") {
+    val p = plan("b63_ohlc")
+    assert(p.linesIterator.count(_.contains("events.parquet")) == 1,
+      "OHLC re-scans or self-joins the fact table:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+  }
+
+  test("c3_quantize_channel: dim-max calibration partial-aggregates, scales broadcast, quantize map-side") {
+    val p = plan("c3_quantize_channel")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "per-channel scales stopped broadcasting:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "dim-max lost its partial aggregation:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
