@@ -249,6 +249,11 @@ object Plans {
       "predicate is pure map-side codegen (eight multiplies per edge " +
       "pair, strict inequalities, no UDF anywhere) feeding one " +
       "partial-aggregated rollup — two exchanges total."),
+    "b64_top_paths" -> ("Top user journeys: sessionization windows all " +
+      "carry user_id (state per task = one user's events), the " +
+      "per-session path collect is bounded by the 6-hour gap contract " +
+      "(session-sized groups, never per-user), the path census " +
+      "partial-aggregates, and the top-20 is TakeOrderedAndProject."),
   )
 
   def main(args: Array[String]): Unit = {

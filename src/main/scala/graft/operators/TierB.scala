@@ -2494,11 +2494,74 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B64
+  /** Top user journeys — the product-analytics query behind every "top
+    * paths" funnel dashboard: sessionize (6-hour gap, the b30 contract),
+    * take each session's first four event types under the (ts, event_id)
+    * total order, and count the most common paths. One step past
+    * [[b40]]'s Markov transitions: paths are ordered PREFIXES, not edge
+    * frequencies, so "view→click→purchase" and "click→view→purchase"
+    * stay distinct.
+    *
+    * Scale shape: sessionization is per-user windows (the gaps-and-
+    * islands machinery b30/b47 already ride — state per task is one
+    * user's events); the per-session path is a bounded `slice(sort_array
+    * (collect_list(...)), 1, 4)` inside a hash aggregate whose groups
+    * are session-sized (collect_list is safe exactly because a session's
+    * cardinality is bounded by the gap contract, unlike a per-user
+    * collect); the path census is a partial-agged count and the top-20
+    * is TakeOrdered. No global window anywhere.
+    */
+  private val b64 = QuerySpec(
+    "b64_top_paths",
+    "Top-20 user journeys: 6-hour-gap sessions, first 4 event types per session under the (ts, event_id) total order joined with '->', counted corpus-wide — per-user sessionization windows, session-bounded collect, TakeOrdered census.",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+              epoch_us(ts) AS us FROM events),
+            o AS (SELECT user_id, event_id, event_type, us,
+              CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   < 21600000000 THEN 0 ELSE 1 END AS brk
+              FROM e),
+            s AS (SELECT user_id, event_id, event_type, us,
+              CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM o),
+            p AS (SELECT user_id, sid,
+              array_to_string(list(event_type ORDER BY us, event_id)[1:4], '->') AS path,
+              COUNT(*) AS session_len
+              FROM s GROUP BY user_id, sid)
+            SELECT path, COUNT(*) AS n_sessions,
+              CAST(SUM(session_len) AS BIGINT) AS n_events
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast(TimestampType)).as("us"))
+      val sess = e
+        .withColumn("brk",
+          when($"us" - lag($"us", 1).over(w) < 21600000000L, 0L).otherwise(1L))
+        .withColumn("sid", sum($"brk").over(wRun))
+      sess.groupBy($"user_id", $"sid")
+        .agg(
+          array_join(slice(transform(
+            sort_array(collect_list(struct($"us", $"event_id", $"event_type"))),
+            x => x.getField("event_type")), 1, 4), "->").as("path"),
+          count(lit(1)).as("session_len"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"), sum($"session_len").as("n_events"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(20)
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62, b63)
+    b59, b60, b61, b62, b63, b64)
 }

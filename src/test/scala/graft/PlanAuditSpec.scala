@@ -524,6 +524,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("b64_top_paths: sessionization windows carry user_id, census top-20 is TakeOrdered") {
+    val p = plan("b64_top_paths")
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("user_id"), "unpartitioned sessionization window: " + l)
+    }
+    assert(p.contains("TakeOrderedAndProject"),
+      "path census regressed to a global sort:\n" + p)
+  }
+
   test("graft_dot registers through SparkSessionExtensions and matches the Column API") {
     val fixture = spark // force fixture init before we swap sessions
     SparkSession.clearActiveSession()
