@@ -85,4 +85,41 @@ class TextStatsSpec extends AnyFunSuite {
     // monotone-ish sanity: doubling repetitive content grows output slowly
     assert(TextStats.deflateLen(t + t) < 2 * TextStats.deflateLen(t))
   }
+
+  // ------------------------------------------------------------ SQL surface
+
+  test("TextSql: the five fingerprint functions usable from spark.sql, match the library path") {
+    val spark = graft.SparkFixture.session
+    import spark.implicits._
+    TextSql.register(spark)
+    val texts = Seq(
+      "The quick brown Fox jumps  over the lazy dog",
+      "key agg row scan slow fast table value part hash",
+      "a a a a a a a a a a a a")
+    texts.toDF("text").createOrReplaceTempView("tsql")
+    val rows = spark.sql(
+      """SELECT text, graft_simhash(text) AS sh, graft_minhash(text) AS mh,
+        |  graft_minhash_bands(text) AS bands, graft_winnow(text) AS wn,
+        |  graft_deflate_len(text) AS dl FROM tsql""".stripMargin)
+      .collect().map(r => r.getString(0) -> r).toMap
+    texts.foreach { t =>
+      val toks = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val r = rows(t)
+      assert(r.getLong(1) == TextStats.simHash(toks), s"simhash: $t")
+      assert(r.getSeq[Long](2) == MinHash.signature(MinHash.shingles(toks)).toSeq, s"minhash: $t")
+      assert(r.getSeq[String](3) ==
+        MinHash.bandHashes(MinHash.signature(MinHash.shingles(toks))).toSeq, s"bands: $t")
+      assert(r.getSeq[Long](4) == TextStats.winnow(t).toSeq, s"winnow: $t")
+      assert(r.getLong(5) == TextStats.deflateLen(t), s"deflate: $t")
+    }
+    // band keys bucket near-dups together: a case-only variant shares all bands
+    val b1 = spark.sql(
+      "SELECT graft_minhash_bands('the quick brown fox jumps over the lazy dog') AS b")
+      .collect().head.getSeq[String](0)
+    val b2 = spark.sql(
+      "SELECT graft_minhash_bands('The QUICK brown fox jumps over the lazy DOG') AS b")
+      .collect().head.getSeq[String](0)
+    assert(b1 == b2, "case-normalized variants must share every LSH band")
+    spark.catalog.dropTempView("tsql")
+  }
 }
