@@ -2569,8 +2569,67 @@ object TierCText {
     }
   )
 
+  // ------------------------------------- cross-source duplicate overlap
+  /** Cross-source duplication overlap matrix — the dedup diagnostic that
+    * tells you WHICH sources copy from each other (mirror sites, feed
+    * re-publishers, scraped aggregators) rather than just how many
+    * duplicates exist: for every source pair (a <= b), the number of
+    * duplicated 8-token chunks (the `c4_chunk_dedup` fingerprint) with
+    * at least one occurrence in BOTH; the diagonal counts chunks
+    * duplicated WITHIN the source (>= 2 instances). `c4_chunk_dedup`
+    * removes the duplication; this query explains where it comes from —
+    * which is what decides whether you drop a source entirely, dedup it,
+    * or fix one upstream scraper. (Whole-document granularity was
+    * measured vacuous on this corpus: zero exact-dup groups below
+    * sf0.1; chunk granularity is where the sharing lives — the same
+    * reason `c2_kcore` builds its graph there.)
+    *
+    * Scale shape: one distinct over (chunk fp, source) with a per-pair
+    * instance count (partial-agged), then a self-equi-join on the
+    * fingerprint — per-fp fan-out is bounded by |sources|² (a
+    * catalog-sized constant, ~400 here), NEVER instance multiplicity (a
+    * chunk duplicated 10⁹ times across 5 sources contributes 25 pairs,
+    * not 10¹⁸); the matrix rollup is |sources|² rows.
+    */
+  private lazy val c1s = QuerySpec(
+    "c1s_source_overlap",
+    "Cross-source duplication overlap matrix at chunk granularity: per source pair (a<=b), duplicated 8-token chunks present in both (diagonal = chunks repeated within the source); distinct (fp, source) + per-fp self-join — fan-out bounded by |sources|^2, never instance multiplicity.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            ch AS (SELECT doc_id, source,
+              CAST(unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS BIGINT) AS idx,
+              toks FROM t WHERE len(toks) > 0),
+            inst AS (SELECT source,
+              md5(array_to_string(toks[idx*8+1 : idx*8+8], ' ')) AS fp
+              FROM ch),
+            fs AS (SELECT fp, source, COUNT(*) AS c FROM inst GROUP BY fp, source),
+            p AS (SELECT a.fp, a.source AS src_a, b.source AS src_b
+              FROM fs a JOIN fs b ON a.fp = b.fp AND a.source <= b.source
+              WHERE a.source < b.source OR a.c >= 2)
+            SELECT src_a, src_b, COUNT(*) AS n_chunks
+            FROM p GROUP BY src_a, src_b
+            ORDER BY src_a, src_b"""),
+    (s, d) => {
+      import s.implicits._
+      val fs = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"source", toksCol.as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"source", explode(transform(
+          sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
+          j => md5(array_join(slice($"toks", (j * 8 + 1).cast(IntegerType), lit(8)), " ")))).as("fp"))
+        .groupBy($"fp", $"source").agg(count(lit(1)).as("c")))
+      val a = fs.select($"fp", $"source".as("src_a"), $"c")
+      val b = fs.select($"fp".as("fp_b"), $"source".as("src_b"))
+      a.join(b, $"fp" === $"fp_b" && $"src_a" <= $"src_b")
+        .filter($"src_a" < $"src_b" || $"c" >= 2)
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_chunks"))
+        .orderBy($"src_a", $"src_b")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr)
+      c4cd, c4rr, c1s)
 }
