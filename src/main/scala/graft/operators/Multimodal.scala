@@ -246,5 +246,82 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c)
+  // ------------------------------------------------------- magic sniffing
+  /** Container-format detection by MAGIC BYTES — the first thing a real
+    * multimodal ingest does to an opaque blob (upload MIME types lie;
+    * the bytes don't): JPEG = FF D8 FF, PNG = 89 50 4E 47 0D 0A 1A 0A,
+    * WAV = 'RIFF' ++ u32size ++ 'WAVE'. The sniffer below implements the
+    * genuine rules; the declared query PLANTS a real header per record
+    * (media_id mod 3 picks the container) in front of the text payload
+    * and must recover the modality by actually parsing bytes — the
+    * oracle states the planted rule, so the hash match proves
+    * sniff ∘ plant = identity end-to-end, not that two CASE expressions
+    * agree.
+    */
+  object MediaSniff {
+    val JpegMagic: Array[Byte] = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)
+    val PngMagic: Array[Byte] =
+      Array(0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    private val Riff = "RIFF".getBytes("ISO-8859-1")
+    private val Wave = "WAVE".getBytes("ISO-8859-1")
+
+    /** A syntactically valid 12-byte RIFF/WAVE header (size field zeroed —
+      * sniffing must not depend on it, real files in flight often carry a
+      * stale one).
+      */
+    val WavHeader: Array[Byte] = Riff ++ Array[Byte](0, 0, 0, 0) ++ Wave
+
+    private def startsWith(p: Array[Byte], m: Array[Byte], off: Int = 0): Boolean =
+      p.length >= off + m.length && {
+        var i = 0
+        while (i < m.length && p(off + i) == m(i)) i += 1
+        i == m.length
+      }
+
+    def headerFor(mediaId: Long): Array[Byte] = (mediaId % 3) match {
+      case 0 => JpegMagic
+      case 1 => PngMagic
+      case _ => WavHeader
+    }
+
+    def sniff(p: Array[Byte]): String =
+      if (startsWith(p, JpegMagic)) "jpeg"
+      else if (startsWith(p, PngMagic)) "png"
+      else if (startsWith(p, Riff) && startsWith(p, Wave, 8)) "wav"
+      else "unknown"
+  }
+
+  private val c6d = QuerySpec(
+    "c6d_sniff",
+    "Magic-byte container detection: real JPEG/PNG/RIFF-WAVE headers planted per record (media_id mod 3), modality recovered by genuinely parsing the bytes in mapPartitions; per (modality, source) record/byte totals — the hash match proves sniff(plant(x)) equals the planted rule.",
+    Some("""WITH m AS (SELECT doc_id, source,
+              CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS modality,
+              CAST(length(text) + CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 8 ELSE 12 END AS BIGINT) AS nbytes
+              FROM documents)
+            SELECT modality, source, COUNT(*) AS n,
+              CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+              MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+            FROM m GROUP BY modality, source
+            ORDER BY modality, source"""),
+    (s, d) => {
+      import s.implicits._
+      val planted = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source",
+          encode($"text", "UTF-8").as("body")).as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, src, body) =>
+          (id, src, MediaSniff.headerFor(id) ++ body)
+        })
+      planted
+        .mapPartitions(_.map { case (id, src, payload) =>
+          (id, src, MediaSniff.sniff(payload), payload.length.toLong)
+        })
+        .toDF("media_id", "source", "modality", "nbytes")
+        .groupBy($"modality", $"source")
+        .agg(count(lit(1)).as("n"), sum($"nbytes").as("total_bytes"),
+          min($"media_id").as("first_id"), max($"media_id").as("last_id"))
+        .orderBy($"modality", $"source")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d)
 }

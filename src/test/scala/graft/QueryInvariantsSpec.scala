@@ -270,6 +270,49 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("b63 OHLC: low <= open/close <= high, volumes partition the events") {
+    val rows = run("b63_ohlc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h, s"open outside [low, high] in ${r.getString(0)}")
+      assert(l <= c && c <= h, s"close outside [low, high] in ${r.getString(0)}")
+    }
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(6)).sum == total, "bar volumes must partition all events")
+  }
+
+  test("c5c QL: scores strictly negative (log-probs), ranks dense 1..10") {
+    val rows = run("c5c_ql_dirichlet").collect()
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length))
+    rows.foreach(r => assert(r.getLong(1) < 0, "a smoothed log-likelihood sum must be negative"))
+    // rank order agrees with score order (ties broken by doc_id upstream)
+    val byRank = rows.sortBy(_.getLong(2)).map(_.getLong(1))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("c1s source overlap: canonical pair order, counts bounded by either side's duplicated chunks") {
+    import spark.implicits._
+    val rows = run("c1s_source_overlap").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) <= r.getString(1)), "pairs must be canonical a <= b")
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+  }
+
+  test("a11ae validity: exactly the planted bowtie cohort is invalid") {
+    import spark.implicits._
+    val rows = run("a11ae_validity").collect()
+    val invalid = rows.map(_.getLong(2)).sum
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id" % 5 === 0).count()
+    assert(invalid == expected,
+      s"invalid rings $invalid != planted bowties $expected — the predicate drifted")
+    rows.foreach { r =>
+      if (r.getLong(2) > 0) assert(!r.isNullAt(3)) else assert(r.isNullAt(3))
+    }
+  }
+
   test("a11ad hexbin: totals partition the events, neighbors-distinct hex keys") {
     val rows = run("a11ad_hexbin").collect()
     assert(rows.nonEmpty)

@@ -94,4 +94,27 @@ class MultimodalSpec extends AnyFunSuite {
     val overlap = chunks(0).chunk.takeRight(15).toSeq
     assert(overlap == chunks(1).chunk.take(15).toSeq)
   }
+
+  test("MediaSniff: real magic rules — positives, truncations, and liars") {
+    import Multimodal.MediaSniff._
+    assert(sniff(JpegMagic ++ "body".getBytes) == "jpeg")
+    assert(sniff(PngMagic ++ Array[Byte](1, 2, 3)) == "png")
+    assert(sniff(WavHeader ++ "pcm".getBytes) == "wav")
+    // truncated headers must not classify
+    assert(sniff(JpegMagic.take(2)) == "unknown")
+    assert(sniff(PngMagic.take(7)) == "unknown")
+    assert(sniff(WavHeader.take(11)) == "unknown")
+    // RIFF container that is NOT WAVE (e.g. AVI) must not classify as wav
+    val avi = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "AVI ".getBytes
+    assert(sniff(avi) == "unknown")
+    // a stale/garbage RIFF size field must not matter
+    val staleSize = "RIFF".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ "WAVE".getBytes
+    assert(sniff(staleSize) == "wav")
+    assert(sniff(Array.empty[Byte]) == "unknown")
+    // headerFor covers all three containers and sniffs back to the rule
+    (0L to 5L).foreach { id =>
+      val expect = Seq("jpeg", "png", "wav")((id % 3).toInt)
+      assert(sniff(headerFor(id) ++ "x".getBytes) == expect)
+    }
+  }
 }
