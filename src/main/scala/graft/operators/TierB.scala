@@ -2557,11 +2557,68 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B65
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue locked in
+    * lines whose quantity is below 20% of their part's average — the
+    * classic correlated-scalar-subquery planner stress. The textbook form
+    * re-aggregates lineitem once per probing row; this engine computes
+    * the per-part (sum, count) profile ONCE (one shuffle on l_partkey,
+    * partial-aggregated map-side, |part| output rows), narrows it to the
+    * probed brands through a broadcast of the filtered part dim, and
+    * broadcasts the resulting tiny threshold frame back into a second
+    * lineitem scan — so the fact table is read twice but never shuffled
+    * for the probe, and the correlated arm costs |part| rows, not
+    * |lineitem| re-aggregations. At 100 TB: profile agg collapses to the
+    * dimension cardinality before any join; the threshold frame is
+    * (3/|brands|)·|part| rows and rides a broadcast.
+    *
+    * The correlated predicate `l_quantity < 0.2 * avg(...)` is replayed
+    * EXACTLY, not in floats: avg = sum/cnt, so the filter is the
+    * cross-multiplied `5·q·cnt < sum` in DECIMAL arithmetic (quantities
+    * are ≤2-decimal, so DECIMAL(18,2) is lossless; both engines compare
+    * scaled integers). The only float op is the final single division of
+    * the DECIMAL→DOUBLE revenue by 7.0 — one IEEE op, bit-identical.
+    */
+  private val b65 = QuerySpec(
+    "b65_tpch_q17",
+    "TPC-H Q17 shape (small-quantity-order revenue): per-brand sum of extended price over lines with quantity < 20% of the part's average, correlated subquery rewritten to a once-computed per-part profile broadcast into a second fact scan; exact cross-multiplied DECIMAL threshold.",
+    Some("""WITH prof AS (SELECT l_partkey AS pk,
+              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
+              COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey)
+            SELECT p_brand,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+              COUNT(*) AS n_small
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN prof ON pk = l_partkey
+            WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#3')
+              AND CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_q
+            GROUP BY p_brand ORDER BY p_brand"""),
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val prof = li.groupBy($"l_partkey".as("pk"))
+        .agg(sum(dec($"l_quantity", 18, 2)).as("sum_q"), count(lit(1)).as("cnt"))
+      val brands = Tables.part(s, d)
+        .filter($"p_brand".isin("Brand#12", "Brand#23", "Brand#3"))
+        .select($"p_partkey", $"p_brand")
+      val thr = prof.join(broadcast(brands), $"pk" === $"p_partkey")
+        .select($"pk", $"p_brand", $"sum_q", $"cnt")
+      li.join(broadcast(thr), $"l_partkey" === $"pk")
+        .filter(dec($"l_quantity", 18, 2) * $"cnt" * 5 < $"sum_q")
+        .groupBy($"p_brand")
+        .agg((decDbl(sum(dec($"l_extendedprice", 18, 2)), 2) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+        .orderBy($"p_brand")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62, b63, b64)
+    b59, b60, b61, b62, b63, b64, b65)
 }

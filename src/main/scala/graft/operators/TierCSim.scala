@@ -3424,7 +3424,107 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------------- HITS on content reuse
+  /** HITS hubs/authorities over the DIRECTED content-reuse graph — the
+    * provenance diagnostic the undirected near-dup family can't give.
+    * Edge u→v: document u contains a duplicated 8-token chunk (the
+    * `c4_chunk_dedup` fingerprint) whose corpus-wide FIRST owner
+    * (min doc_id) is v ≠ u. Authorities = original sources whose content
+    * spreads (heavily copied seeds); hubs = aggregator/scraper docs
+    * assembled from many originals. PageRank on the undirected Jaccard
+    * graph ranks "well-connected"; HITS on this graph separates WHO
+    * ORIGINATED from WHO COLLECTED — the pair of lists a dedup pipeline
+    * uses to pick canonical survivors and to down-weight scrapers.
+    *
+    * Scale shape: NO pair mine at all — each chunk instance contributes
+    * at most one (copier, owner) edge via one min-agg on the fingerprint
+    * (partial-agged; a boilerplate chunk duplicated 10⁹ times folds
+    * map-side into one owner row) plus one instance⋈owner equi-join on
+    * fp, then a distinct. |E| ≤ duplicated-instance count, never
+    * quadratic. Each of the 3 fixed iterations is two equi-join+agg
+    * passes over the cached edge frame; the sum-normalizers are one-row
+    * aggregates riding broadcast cross-joins (the b-tier single-row
+    * precedent). All arithmetic integer (1.0 = 1e6, floor-div
+    * normalization), so shuffle order can't move a ulp and the oracle
+    * unrolls the same 3 rounds as CTEs.
+    */
+  private val HitsIters = 3
+  private def hitsIterSql(i: Int): String =
+    s"""hr$i AS (SELECT e.src AS id, SUM(a${i - 1}.v) AS raw
+              FROM e JOIN a${i - 1} ON a${i - 1}.id = e.dst GROUP BY e.src),
+            hs$i AS (SELECT COALESCE(SUM(raw), 0) AS s FROM hr$i),
+            h$i AS (SELECT n.id,
+              CAST(COALESCE(hr$i.raw, 0) * 1000000 // GREATEST(hs$i.s, 1) AS BIGINT) AS v
+              FROM n LEFT JOIN hr$i ON hr$i.id = n.id CROSS JOIN hs$i),
+            ar$i AS (SELECT e.dst AS id, SUM(h$i.v) AS raw
+              FROM e JOIN h$i ON h$i.id = e.src GROUP BY e.dst),
+            asum$i AS (SELECT COALESCE(SUM(raw), 0) AS s FROM ar$i),
+            a$i AS (SELECT n.id,
+              CAST(COALESCE(ar$i.raw, 0) * 1000000 // GREATEST(asum$i.s, 1) AS BIGINT) AS v
+              FROM n LEFT JOIN ar$i ON ar$i.id = n.id CROSS JOIN asum$i)"""
+
+  def contentReuseHits(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
+    import s.implicits._
+    val inst = docs
+      .select($"doc_id",
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", explode(transform(
+        sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
+        j => md5(array_join(slice($"toks", (j * 8 + 1).cast(IntegerType), lit(8)), " "))))
+        .as("fp"))
+    val owner = inst.groupBy($"fp").agg(min($"doc_id").as("owner"))
+    val e = CacheRegistry.persist(inst.join(owner, "fp")
+      .filter($"doc_id" =!= $"owner")
+      .select($"doc_id".as("src"), $"owner".as("dst")).distinct())
+    val n = CacheRegistry.persist(docs.select($"doc_id".as("id")))
+    var a = n.select($"id", lit(1000000L).as("v"))
+    var h = a
+    for (_ <- 1 to iters) {
+      val hraw = e.join(a.select($"id".as("aid"), $"v"), $"dst" === $"aid")
+        .groupBy($"src").agg(sum($"v").as("raw"))
+      val hsum = hraw.agg(coalesce(sum($"raw"), lit(0L)).as("s"))
+      h = n.join(hraw, $"id" === $"src", "left").crossJoin(broadcast(hsum))
+        .select($"id",
+          expr("coalesce(raw, 0L) * 1000000 div greatest(s, 1L)").as("v"))
+      val araw = e.join(h.select($"id".as("hid"), $"v"), $"src" === $"hid")
+        .groupBy($"dst").agg(sum($"v").as("raw"))
+      val asum = araw.agg(coalesce(sum($"raw"), lit(0L)).as("s"))
+      a = n.join(araw, $"id" === $"dst", "left").crossJoin(broadcast(asum))
+        .select($"id",
+          expr("coalesce(raw, 0L) * 1000000 div greatest(s, 1L)").as("v"))
+    }
+    n.join(h.select($"id".as("hid"), $"v".as("hub_e6")), $"id" === $"hid")
+      .join(a.select($"id".as("aid"), $"v".as("auth_e6")), $"id" === $"aid")
+      .select($"id".as("doc_id"), $"hub_e6", $"auth_e6")
+      .orderBy($"doc_id")
+  }
+
+  private val c2ht = QuerySpec(
+    "c2_hits",
+    s"HITS hubs/authorities over the directed content-reuse graph (chunk copier -> corpus-first owner, edges from one min-agg + one fp equi-join, never a pair mine): $HitsIters integer-quantized iterations (1.0 = 1e6, floor-div sum normalization); authorities = copied originals, hubs = scraper docs.",
+    Some(s"""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            inst AS (SELECT doc_id,
+              md5(array_to_string(toks[idx*8+1 : idx*8+8], ' ')) AS fp
+              FROM (SELECT doc_id, toks,
+                CAST(unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS BIGINT) AS idx
+                FROM t WHERE len(toks) > 0)),
+            ow AS (SELECT fp, MIN(doc_id) AS owner FROM inst GROUP BY fp),
+            e AS (SELECT DISTINCT inst.doc_id AS src, ow.owner AS dst
+              FROM inst JOIN ow ON inst.fp = ow.fp WHERE inst.doc_id <> ow.owner),
+            n AS (SELECT doc_id AS id FROM documents GROUP BY doc_id),
+            a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS v FROM n),
+            ${(1 to HitsIters).map(hitsIterSql).mkString(",\n            ")}
+            SELECT n.id AS doc_id, h$HitsIters.v AS hub_e6, a$HitsIters.v AS auth_e6
+            FROM n JOIN h$HitsIters ON h$HitsIters.id = n.id
+            JOIN a$HitsIters ON a$HitsIters.id = n.id
+            ORDER BY doc_id"""),
+    (s, d) => contentReuseHits(s, Tables.documents(s, d), HitsIters)
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc)
+      c3bh, c3rp, c2kc, c3zc, c2ht)
 }

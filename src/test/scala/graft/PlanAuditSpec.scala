@@ -572,4 +572,20 @@ class PlanAuditSpec extends AnyFunSuite {
       SparkSession.setActiveSession(fixture)
     }
   }
+
+  test("b65_tpch_q17: correlated arm is one profile agg, threshold rides broadcasts, no cartesian") {
+    val p = plan("b65_tpch_q17")
+    // the rewrite reads lineitem exactly twice (profile + probe) — the
+    // textbook per-row correlated re-aggregation would show as a third
+    // scan or a non-broadcast fact-fact join
+    assert("Scan parquet .*lineitem".r.findAllIn(p).length == 2,
+      "Q17 rewrite must scan lineitem exactly twice:\n" + p)
+    // both the brand dim and the threshold frame ride broadcasts; the
+    // probe side never shuffles for a join
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-part profile partial-aggregates below its exchange
+    assert(p.contains("partial_sum"), p)
+  }
 }
