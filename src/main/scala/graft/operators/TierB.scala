@@ -2614,11 +2614,144 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B66
+  /** TPC-H Q15 shape (top supplier by quarterly revenue): the CREATE
+    * VIEW + correlated MAX the benchmark uses to stress scalar-subquery
+    * decorrelation. The revenue "view" is computed ONCE (one partial-agged
+    * shuffle on l_suppkey over the shipdate-pruned fact — the filter
+    * reaches the parquet scan), its MAX is a single-row aggregate that
+    * rides a broadcast back over the view (the b-tier single-row
+    * precedent), and the surviving supplier keys join the supplier dim.
+    * At 100 TB the view is |supplier| rows and everything after the one
+    * fact shuffle is broadcast-sized.
+    *
+    * Tie-safety: revenue stays DECIMAL end-to-end, so the MAX-equality
+    * filter compares exact scaled integers — any true tie yields BOTH
+    * suppliers on both engines (the TPC-H spec's own tie semantics), and
+    * the one DECIMAL→DOUBLE cast happens after the comparison.
+    */
+  private val b66 = QuerySpec(
+    "b66_tpch_q15",
+    "TPC-H Q15 shape (top supplier by quarterly revenue): revenue view computed once over the shipdate-pruned fact, single-row MAX broadcast back for an exact-DECIMAL equality filter (tie-safe), winner joined to the supplier dim.",
+    Some("""WITH revenue AS (SELECT l_suppkey AS supplier_no,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+            ORDER BY s_suppkey"""),
+    (s, d) => {
+      import s.implicits._
+      val revenue = graft.CacheRegistry.persist(Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1996-04-01 00:00:00"))
+        .groupBy($"l_suppkey".as("supplier_no"))
+        .agg(sum(dec($"l_extendedprice", 12, 2) *
+          (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2))).as("total_rev")))
+      val top = revenue.agg(max($"total_rev").as("max_rev"))
+      revenue.crossJoin(broadcast(top))
+        .filter($"total_rev" === $"max_rev")
+        .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
+          $"supplier_no" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_rev".cast(DoubleType).as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B67
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average positive balances who never ordered, rolled up by
+    * nation. (The synthetic customer table has no phone column, so
+    * `c_nationkey` stands in for the phone country code — identical
+    * planner shape: one scalar-aggregate subquery, one anti join, one
+    * group-by.) The average-balance predicate is replayed EXACTLY, not in
+    * floats: balances quantize to integer cents once (`floor(bal*100)` —
+    * one IEEE op, bit-identical on both engines), and `bal > avg` becomes
+    * the cross-multiplied `cents*cnt > sum` over BIGINTs. At 100 TB the
+    * (sum, cnt) pair is a single broadcast row, the anti join shuffles on
+    * the natural key with partial aggregation above it, and the orders
+    * scan prunes to one column.
+    */
+  private val b67 = QuerySpec(
+    "b67_tpch_q22",
+    "TPC-H Q22 shape (customers with above-average positive balance and no 1-URGENT order, by nation; nationkey stands in for the phone country code, the priority predicate for the 'no orders in 7 years' window): single-row (sum,cnt) broadcast + cross-multiplied integer-cents comparison + left-anti join on the priority-pruned orders scan.",
+    Some("""WITH pos AS (SELECT c_custkey, c_nationkey,
+              CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents
+              FROM customer WHERE c_acctbal > 0.0),
+            avg_t AS (SELECT SUM(cents) AS s, COUNT(*) AS cnt FROM pos)
+            SELECT c_nationkey, COUNT(*) AS numcust,
+              CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM pos CROSS JOIN avg_t
+            WHERE cents * cnt > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey ORDER BY c_nationkey"""),
+    (s, d) => {
+      import s.implicits._
+      val pos = graft.CacheRegistry.persist(Tables.customer(s, d)
+        .filter($"c_acctbal" > 0.0)
+        .select($"c_custkey", $"c_nationkey",
+          floor($"c_acctbal" * 100.0).cast(LongType).as("cents")))
+      val avgT = pos.agg(sum($"cents").as("s"), count(lit(1)).as("cnt"))
+      pos.crossJoin(broadcast(avgT))
+        .filter($"cents" * $"cnt" > $"s")
+        .join(Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum($"cents").cast(LongType).as("total_cents"))
+        .orderBy($"c_nationkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B68
+  /** Cohort retention matrix — the product-analytics staple the funnel/
+    * path queries (b64) don't cover: users bucketed by their FIRST-seen
+    * week, activity counted per (cohort, weeks-since-cohort) cell. The
+    * week index is calendar-free integer arithmetic (`epoch-seconds div
+    * 604800` after the engine-shared `date_trunc('second')`), so both
+    * engines bucket identically with zero timezone/week-start semantics
+    * in play. Scale shape: first-touch is one partial-agged min on
+    * user_id; the join back is user_id⋈user_id (both sides shuffle on the
+    * same key — co-partitioned, no replan); the distinct-user count
+    * partial-aggregates per cell. No windows, no collect; at 100 TB the
+    * matrix is |weeks|² cells regardless of event volume.
+    */
+  private val b68 = QuerySpec(
+    "b68_retention",
+    "Cohort retention matrix: users bucketed by first-seen week (epoch-seconds div 604800 — calendar-free), distinct active users per (cohort_week, week_offset) cell; one min-agg, one co-partitioned join back, one distinct agg.",
+    Some("""WITH w AS (SELECT user_id,
+              CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+              FROM events),
+            first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+            SELECT cohort_wk, wk - cohort_wk AS week_offset,
+              COUNT(DISTINCT w.user_id) AS n_active
+            FROM w JOIN first ON w.user_id = first.user_id
+            GROUP BY cohort_wk, week_offset ORDER BY cohort_wk, week_offset"""),
+    (s, d) => {
+      import s.implicits._
+      val w = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select($"user_id",
+          (unix_timestamp(date_trunc("second", $"ts")) / 604800L)
+            .cast(LongType).as("wk")))
+      val first = w.groupBy($"user_id".as("fuid")).agg(min($"wk").as("cohort_wk"))
+      w.join(first, $"user_id" === $"fuid")
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .orderBy($"cohort_wk", $"week_offset")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62, b63, b64, b65)
+    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68)
 }

@@ -573,6 +573,40 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("b66_tpch_q15: revenue view cached (fact scanned once), MAX probe is a broadcast hash join") {
+    val p = plan("b66_tpch_q15")
+    // the view is persisted and reused for both the MAX arm and the
+    // equality probe — the plan text prints the cached build plan under
+    // each InMemoryTableScan, but there is exactly one InMemoryRelation
+    // (one physical fact scan); both arms read the cache
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2,
+      "both Q15 arms must read the cached revenue view:\n" + p)
+    // the shipdate window reaches the scan; the exact-DECIMAL max-equality
+    // cross join collapses to a broadcast HASH join on the revenue value
+    // (better than nested-loop), and the supplier dim broadcasts too
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+  }
+
+  test("b67_tpch_q22: priority filter pushed to orders, anti join, single-row avg broadcast") {
+    val p = plan("b67_tpch_q22")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must compile to an anti join:\n" + p)
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderpriority)"),
+      "priority predicate must reach the orders scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b68_retention: first-touch and cell aggs both partial-aggregate; join is co-partitioned") {
+    val p = plan("b68_retention")
+    // min(wk) per user and the final distinct-count both show a
+    // partial/final HashAggregate pair
+    assert("partial_min".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("b65_tpch_q17: correlated arm is one profile agg, threshold rides broadcasts, no cartesian") {
     val p = plan("b65_tpch_q17")
     // the rewrite reads lineitem exactly twice (profile + probe) — the
