@@ -350,6 +350,56 @@ object TierA {
     }
   )
 
+  // ---------------------------------------------------------- A1g (.gpx)
+  /** The GPX member of the fixture-writer family ([[shpFixture]]'s
+    * rationale and row cap): events written once per JVM as an
+    * engine-generated waypoint GPX, read back through the pure-Scala
+    * XML-subset parser and hash-checked against DuckDB on the parquet.
+    * GPX carries coordinates as (lat, lon) ATTRIBUTES — the transpose of
+    * KML's "lon,lat" text — so a swapped axis shows up as a hash mismatch
+    * here, not in production.
+    */
+  private[graft] def gpxFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gpx_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.gpx")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "gpx")
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+          .toSeq.map(r => (r.getLong(0).toString,
+            Map("type" -> r.getString(3)),
+            graft.sources.Kml.KPoint(r.getDouble(1), r.getLong(2).toDouble)))
+        java.nio.file.Files.writeString(f.toPath,
+          graft.sources.Gpx.writeGpxWaypoints(rows))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1g = QuerySpec(
+    "a1g_gpx_scan",
+    "GPX scan: events written as an engine-generated waypoint GPX, read back through the pure-Scala XML-subset parser (wpt split, (lat,lon) ATTRIBUTE coordinates — the transpose of KML's lon,lat text — name/type children as props); coordinates must equal the parquet doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = gpxFixture(s, d)
+      graft.sources.Gpx.read(s, s"$dir/events.gpx", "events")
+        .select($"feature_id",
+          element_at($"props", "type").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -1211,5 +1261,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }

@@ -36,7 +36,7 @@ object Kml {
   final case class KPolygon(rings: Seq[Seq[(Double, Double)]]) extends KGeom
   final case class KMulti(members: Seq[KGeom]) extends KGeom
 
-  private def xmlEscape(s: String): String = s.flatMap {
+  private[sources] def xmlEscape(s: String): String = s.flatMap {
     case '&' => "&amp;"
     case '<' => "&lt;"
     case '>' => "&gt;"
