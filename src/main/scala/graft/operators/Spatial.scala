@@ -405,6 +405,146 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11af
+  /** Geohash cell id — the third member of the spatial-layout-key family
+    * (Morton sorts, Hilbert preserves locality, geohash SHARES: it's the
+    * interoperable string key Elasticsearch/Redis/Postgres users exchange,
+    * and its prefix property makes "same cell at precision p" a substring
+    * test). Mathematically a Morton code in disguise: quantize lon to 20
+    * bisection bits and lat to 20, interleave lon-first to a 40-bit key,
+    * emit 8 base32 chars (5 bits each, alphabet drops a/i/l/o). Everything
+    * is pure Column integer/IEEE arithmetic inside whole-stage codegen —
+    * the quantization is one add/div/mul/floor chain per axis (exact same
+    * IEEE ops on both engines), the interleave reuses [[mortonCol]]'s
+    * magic-number spreading widened to 64-bit, and the char lookup is
+    * eight element_at's on a 32-entry array literal.
+    */
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geohashCol(lon: Column, lat: Column): Column = {
+    // 20 bisection bits per axis == floor of the scaled unit position;
+    // out-of-range input clamps into the first/last cell (lon=180 edge
+    // included) so the key is total — negative bits would corrupt the
+    // interleave
+    val qlon = greatest(
+      least(floor((lon + 180.0) / 360.0 * 1048576.0).cast(LongType), lit(1048575L)), lit(0L))
+    val qlat = greatest(
+      least(floor((lat + 90.0) / 180.0 * 1048576.0).cast(LongType), lit(1048575L)), lit(0L))
+    geohashFromKey(geohashKeyCol(qlon, qlat))
+  }
+
+  /** 40-bit interleaved key (lon bits at odd positions from bit 39 down —
+    * geohash emits the lon bit FIRST). Exposed separately so the key can
+    * serve as a numeric sort/range-partition column while the string form
+    * serves interop.
+    */
+  def geohashKeyCol(qlon: Column, qlat: Column): Column = {
+    def spread(v0: Column): Column = {
+      val m1 = v0.bitwiseOR(shiftleft(v0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      val m2 = m1.bitwiseOR(shiftleft(m1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val m3 = m2.bitwiseOR(shiftleft(m2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val m4 = m3.bitwiseOR(shiftleft(m3, 2)).bitwiseAND(lit(0x3333333333333333L))
+      m4.bitwiseOR(shiftleft(m4, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(qlat).bitwiseOR(shiftleft(spread(qlon), 1))
+  }
+
+  private def geohashFromKey(key: Column): Column = {
+    val alpha = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    concat((0 until 8).map { k =>
+      element_at(alpha,
+        (shiftright(key, 35 - 5 * k).bitwiseAND(lit(31L)) + 1L).cast(IntegerType))
+    }: _*)
+  }
+
+  /** Driver-side inverse (geohash string → cell bbox) — the bbox-planner
+    * piece, symmetric to [[mortonDecode]]/[[hilbertDecode]]. Accepts any
+    * prefix length ≤ 12.
+    */
+  def geohashDecode(gh: String): (Double, Double, Double, Double) = {
+    var lonMin = -180.0; var lonMax = 180.0
+    var latMin = -90.0; var latMax = 90.0
+    var lonTurn = true
+    gh.foreach { c =>
+      val v = GeohashAlphabet.indexOf(c)
+      require(v >= 0, s"not a geohash char: $c")
+      (4 to 0 by -1).foreach { b =>
+        val bit = (v >> b) & 1
+        if (lonTurn) {
+          val mid = (lonMin + lonMax) / 2
+          if (bit == 1) lonMin = mid else lonMax = mid
+        } else {
+          val mid = (latMin + latMax) / 2
+          if (bit == 1) latMin = mid else latMax = mid
+        }
+        lonTurn = !lonTurn
+      }
+    }
+    (lonMin, latMin, lonMax, latMax)
+  }
+
+  /** The spreading chain as SQL CTEs over 64-bit BIGINTs — the a11m
+    * discipline widened: identical masks, identical shifts, so the oracle
+    * replays the key bit for bit; the base32 chars are eight substr's on
+    * the alphabet literal.
+    */
+  private def geohashOracle: String = {
+    val chars = (0 until 8).map { k =>
+      s"substr('$GeohashAlphabet', CAST(((key >> ${35 - 5 * k}) & 31) AS INTEGER) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH pt AS (SELECT event_id,
+              CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+              CAST(CAST(floor(value) AS BIGINT) % 180 AS DOUBLE) - 90.0 + 0.25 AS lat
+              FROM events),
+            q AS (SELECT event_id, lon, lat,
+              GREATEST(LEAST(CAST(floor(((lon + 180.0) / 360.0) * 1048576.0) AS BIGINT), 1048575), 0) AS qlon,
+              GREATEST(LEAST(CAST(floor(((lat + 90.0) / 180.0) * 1048576.0) AS BIGINT), 1048575), 0) AS qlat
+              FROM pt),
+            sx1 AS (SELECT event_id, lon, lat, qlat,
+              ((qlon | (qlon << 16)) & 281470681808895) AS m FROM q),
+            sx2 AS (SELECT event_id, lon, lat, qlat,
+              ((m | (m << 8)) & 71777214294589695) AS m FROM sx1),
+            sx3 AS (SELECT event_id, lon, lat, qlat,
+              ((m | (m << 4)) & 1085102592571150095) AS m FROM sx2),
+            sx4 AS (SELECT event_id, lon, lat, qlat,
+              ((m | (m << 2)) & 3689348814741910323) AS m FROM sx3),
+            sx5 AS (SELECT event_id, lon, lat, qlat,
+              ((m | (m << 1)) & 6148914691236517205) AS sx FROM sx4),
+            sy1 AS (SELECT event_id, lon, lat, sx,
+              ((qlat | (qlat << 16)) & 281470681808895) AS m FROM sx5),
+            sy2 AS (SELECT event_id, lon, lat, sx,
+              ((m | (m << 8)) & 71777214294589695) AS m FROM sy1),
+            sy3 AS (SELECT event_id, lon, lat, sx,
+              ((m | (m << 4)) & 1085102592571150095) AS m FROM sy2),
+            sy4 AS (SELECT event_id, lon, lat, sx,
+              ((m | (m << 2)) & 3689348814741910323) AS m FROM sy3),
+            sy5 AS (SELECT event_id, lon, lat, sx,
+              ((m | (m << 1)) & 6148914691236517205) AS sy FROM sy4),
+            keyed AS (SELECT event_id, lon, lat, (sy | (sx << 1)) AS key FROM sy5)
+            SELECT event_id, lon, lat, key AS gh_key, $chars AS geohash
+            FROM keyed ORDER BY event_id"""
+  }
+
+  private val a11af = QuerySpec(
+    "a11af_geohash",
+    "Geohash-8 cell id (the interop member of the layout-key family next to a11m Morton / a11ab Hilbert): 20 bisection bits per axis from one exact IEEE chain, 64-bit magic-number interleave lon-first, eight base32 chars; oracle replays the identical mask/shift chain and substr alphabet lookups.",
+    Some(geohashOracle),
+    (s, d) => {
+      import s.implicits._
+      val lon = ($"user_id" % 360L).cast(DoubleType) - 180.0 + 0.5
+      val lat = (floor($"value").cast(LongType) % 180L).cast(DoubleType) - 90.0 + 0.25
+      val qlon = greatest(
+        least(floor((lon + 180.0) / 360.0 * 1048576.0).cast(LongType), lit(1048575L)), lit(0L))
+      val qlat = greatest(
+        least(floor((lat + 90.0) / 180.0 * 1048576.0).cast(LongType), lit(1048575L)), lit(0L))
+      Tables.events(s, d)
+        .select($"event_id", lon.as("lon"), lat.as("lat"),
+          geohashKeyCol(qlon, qlat).as("gh_key"))
+        .withColumn("geohash", geohashFromKey($"gh_key"))
+        .orderBy($"event_id")
+    }
+  )
+
   // --------------------------------------------------------------- A11ab
   /** Order-16 Hilbert curve key over the same quantized grid as
     * [[mortonCol]] — one codegen'd expression node
@@ -1235,5 +1375,5 @@ object Spatial {
 
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae)
+      a11ad, a11ae, a11af)
 }

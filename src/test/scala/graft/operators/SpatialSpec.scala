@@ -459,6 +459,35 @@ class SpatialSpec extends AnyFunSuite {
     assert(hTot < mTot, s"hilbert ranges $hTot should beat morton $mTot")
   }
 
+  test("geohash: known value, prefix-cell property, decode inverts encode") {
+    import spark.implicits._
+    // the textbook example: (lat 42.605, lon -5.603) lives in cell ezs42
+    val gh = Seq((-5.603, 42.605)).toDF("lon", "lat")
+      .select(Spatial.geohashCol($"lon", $"lat").as("gh"))
+      .head().getString(0)
+    assert(gh.startsWith("ezs42"), s"expected ezs42*, got $gh")
+    // prefix property: nearby points share the coarse prefix
+    val gh2 = Seq((-5.6031, 42.6051)).toDF("lon", "lat")
+      .select(Spatial.geohashCol($"lon", $"lat").as("gh"))
+      .head().getString(0)
+    assert(gh.take(5) == gh2.take(5))
+    // decode returns a cell bbox containing the encoded point, and
+    // re-encoding the cell center reproduces the hash
+    val (x0, y0, x1, y1) = Spatial.geohashDecode(gh)
+    assert(x0 <= -5.603 && -5.603 < x1 && y0 <= 42.605 && 42.605 < y1)
+    val ghC = Seq(((x0 + x1) / 2, (y0 + y1) / 2)).toDF("lon", "lat")
+      .select(Spatial.geohashCol($"lon", $"lat").as("gh"))
+      .head().getString(0)
+    assert(ghC == gh)
+    // poles/antimeridian clamp into the edge cells rather than corrupting bits
+    val edge = Seq((180.0, 90.0), (-180.0, -90.0), (999.0, -999.0))
+      .toDF("lon", "lat")
+      .select(Spatial.geohashCol($"lon", $"lat").as("gh")).collect()
+    assert(edge(0).getString(0) == "zzzzzzzz")
+    assert(edge(1).getString(0) == "00000000")
+    assert(edge(2).getString(0) == "pbpbpbpb") // lon clamps high, lat low
+  }
+
   test("geodesic diamond area: equator matches the small-polygon planar value, high latitude shrinks by cos") {
     // 1.5-degree diamond at the equator: planar limit 2*(r*D*R)^2
     val D = math.Pi / 180.0
