@@ -2747,11 +2747,124 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B69
+  /** TPC-H Q14 shape (promotion revenue share): one fact-dim join, two
+    * conditional DECIMAL sums, ONE final double division. The ratio is
+    * where float discipline matters: both sums stay exact DECIMAL through
+    * the shuffle (order-free), each casts to DOUBLE once, and the division
+    * is a single IEEE op — bit-identical on both engines. The part dim
+    * broadcasts; the month filter reaches the fact scan.
+    */
+  private val b69 = QuerySpec(
+    "b69_tpch_q14",
+    "TPC-H Q14 shape (promo revenue share): month-pruned fact scan, broadcast part dim, conditional DECIMAL revenue sums, one final double division for the percentage.",
+    Some("""SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+              ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+              AS DOUBLE) AS promo_share_pct,
+            COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"""),
+    (s, d) => {
+      import s.implicits._
+      val rev = dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2))
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1996-03-01 00:00:00") &&
+          $"l_shipdate" < ts("1996-04-01 00:00:00"))
+        .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .agg(
+          (lit(100.0) * sum(when($"p_type" === "PROMO", rev)
+            .otherwise(dec(lit(0), 16, 4))).cast(DoubleType) /
+            sum(rev).cast(DoubleType)).cast(DoubleType).as("promo_share_pct"),
+          count(lit(1)).as("n_lines"))
+    }
+  )
+
+  // ----------------------------------------------------------------- B70
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * classic OR-of-conjunctions planner stress. The three clauses share
+    * the `l_partkey = p_partkey` equi-join, so Catalyst must extract the
+    * common join key and keep the brand/size/quantity residue as a
+    * post-join filter — a naive planner degenerates to a cartesian or
+    * re-scans per clause. The per-clause quantity bounds also imply a
+    * derivable `l_quantity <= 30` that prunes the fact scan. (The
+    * synthetic part table has no container column; size stands alone.)
+    */
+  private val b70 = QuerySpec(
+    "b70_tpch_q19",
+    "TPC-H Q19 shape (OR-of-conjunctions over a shared equi-join): three brand/size/quantity clauses ORed post-join, one fact scan, broadcast part dim, exact DECIMAL revenue.",
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity >= 1 AND l_quantity <= 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity >= 10 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity >= 20 AND l_quantity <= 30)"""),
+    (s, d) => {
+      import s.implicits._
+      val rev = dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2))
+      val clause =
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity" >= 1 && $"l_quantity" <= 11) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity" >= 10 && $"l_quantity" <= 20) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
+          $"l_quantity" >= 20 && $"l_quantity" <= 30)
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_quantity", rev.as("rev"))
+        .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")),
+          $"l_partkey" === $"p_partkey")
+        .filter(clause)
+        .agg(sum($"rev").cast(DoubleType).as("revenue"), count(lit(1)).as("n_lines"))
+    }
+  )
+
+  // ----------------------------------------------------------------- B71
+  /** TPC-H Q12 shape (late-shipment priority census): fact-fact join
+    * (lineitem⋈orders on orderkey — both sides shuffle on the SAME key,
+    * co-partitioned) with interval date arithmetic defining "late" and a
+    * two-way conditional count per return flag. (The synthetic lineitem
+    * has no shipmode/commitdate; l_returnflag stands in for the mode and
+    * `shipdate > orderdate + 90 days` for the late predicate — identical
+    * planner shape.) All outputs are integer counts, immune to order.
+    */
+  private val b71 = QuerySpec(
+    "b71_tpch_q12",
+    "TPC-H Q12 shape (late-shipment priority census): co-partitioned lineitem-orders join, interval arithmetic late predicate (shipdate > orderdate + 90 days), conditional high/low priority counts per return flag.",
+    Some("""SELECT l_returnflag,
+            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      import s.implicits._
+      val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAY"))
+        .groupBy($"l_returnflag")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68)
+    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71)
 }

@@ -607,6 +607,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b70_tpch_q19: OR-of-conjunctions keeps the shared equi-join; quantity disjunction pushes to the fact scan") {
+    val p = plan("b70_tpch_q19")
+    // the three clauses share l_partkey = p_partkey — the join must stay
+    // a single broadcast hash join with the brand/size/qty residue as a
+    // post-join filter, never a nested-loop over the disjunction
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Catalyst extracts the left-only disjunction (qty ranges) and pushes
+    // it through the join to the lineitem scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      "quantity disjunction not pushed to the fact scan:\n" + p)
+  }
+
+  test("b71_tpch_q12: fact-fact join co-partitions on orderkey, counts partial-aggregate") {
+    val p = plan("b71_tpch_q12")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("b65_tpch_q17: correlated arm is one profile agg, threshold rides broadcasts, no cartesian") {
     val p = plan("b65_tpch_q17")
     // the rewrite reads lineitem exactly twice (profile + probe) — the
