@@ -2382,6 +2382,109 @@ object TierCText {
     }
   )
 
+  // ------------------------------- tokenizer fertility / coverage (c4fe)
+  /** Tokenizer fertility & coverage under the unigram seed vocab — the
+    * diagnostic that tells a tokenizer team whether a candidate vocab is
+    * WORTH training: greedy longest-match segmentation (the SentencePiece
+    * eval default) of every word against [[c4uv]]'s top-60 seed pieces
+    * with single-char fallback, rolled up per source as fertility
+    * (emitted tokens per word instance) and coverage (fraction of chars
+    * consumed by real pieces rather than fallback chars).
+    *
+    * Scale shape (the BPE-trainer argument): segmentation runs once per
+    * DISTINCT word — the corpus rolls up to the Heaps-law (source, word,
+    * cnt) table and a corpus-wide distinct-word table; the greedy walk
+    * multiplies back through the counts. The walk itself is the one UDF
+    * this family allows (an inherently sequential per-word loop over a
+    * 60-piece broadcast set — built-ins cannot express pointer-chasing);
+    * it runs on vocab-sized input, never corpus-sized. The vocab collect
+    * is a bounded limit(60) (the index-build discipline).
+    *
+    * Exactness: the walk is a pure integer function of the word; the
+    * oracle replays it as a precomputed per-position jump table (LEFT
+    * JOIN vocab, MAX piece length, fallback 1) driving a recursive-CTE
+    * walk — same greedy choice at every step. Ratios are integer
+    * division at 1e-6.
+    */
+  private val c4fe = QuerySpec(
+    "c4_fertility",
+    "Tokenizer fertility/coverage diagnostic: greedy longest-match segmentation of the Heaps-law distinct-word table under the c4_unigram_vocab top-60 seed (single-char fallback), per-source tokens-per-word and piece-char coverage at 1e-6 integer resolution.",
+    Some("""WITH RECURSIVE wsrc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT source,
+                unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+              FROM documents)
+              WHERE regexp_matches(w, '^[a-z]+$') GROUP BY source, w),
+            w0 AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM wsrc GROUP BY w),
+            ls AS (SELECT w, cnt, CAST(unnest(range(2, 7)) AS INTEGER) AS l FROM w0),
+            subs AS (SELECT substr(w, CAST(unnest(range(1, length(w) - l + 2)) AS INTEGER), l) AS sub, cnt
+              FROM ls WHERE length(w) >= l),
+            vagg AS (SELECT sub, CAST(SUM(cnt) AS BIGINT) AS cnt FROM subs GROUP BY sub),
+            vocab AS (SELECT sub FROM vagg
+              ORDER BY cnt * length(sub) DESC, sub LIMIT 60),
+            dw AS (SELECT DISTINCT w FROM w0),
+            steps AS (SELECT w, CAST(unnest(range(1, length(w) + 1)) AS INTEGER) AS pos FROM dw),
+            jmp AS (SELECT s.w, s.pos,
+              CAST(COALESCE(MAX(length(v.sub)), 1) AS INTEGER) AS l
+              FROM steps s LEFT JOIN vocab v ON substr(s.w, s.pos, length(v.sub)) = v.sub
+              GROUP BY s.w, s.pos),
+            walk(w, pos, toks, cov) AS (
+              SELECT w, CAST(1 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+              UNION ALL
+              SELECT wk.w, wk.pos + j.l, wk.toks + 1,
+                wk.cov + CASE WHEN j.l >= 2 THEN j.l ELSE 0 END
+              FROM walk wk JOIN jmp j ON j.w = wk.w AND j.pos = wk.pos
+              WHERE wk.pos <= length(wk.w)),
+            fin AS (SELECT w, toks, cov FROM walk WHERE pos > length(w))
+            SELECT wsrc.source,
+              COUNT(*) AS n_distinct_words,
+              CAST(SUM(wsrc.cnt) AS BIGINT) AS word_instances,
+              CAST(SUM(wsrc.cnt * fin.toks) AS BIGINT) AS tok_total,
+              CAST(SUM(wsrc.cnt * fin.toks) * 1000000 // SUM(wsrc.cnt) AS BIGINT) AS fertility_e6,
+              CAST(SUM(wsrc.cnt * fin.cov) * 1000000 // SUM(wsrc.cnt * length(wsrc.w)) AS BIGINT) AS coverage_e6
+            FROM wsrc JOIN fin ON wsrc.w = fin.w
+            GROUP BY wsrc.source ORDER BY wsrc.source"""),
+    (s, d) => {
+      import s.implicits._
+      val wsrc = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"source", explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
+        .filter($"w".rlike("^[a-z]+$"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("cnt")))
+      val w0 = wsrc.groupBy($"w").agg(sum($"cnt").as("cnt"))
+      val vocabRows = w0
+        .select($"cnt", explode(flatten(transform(
+          filter(sequence(lit(2), lit(6)), l => l <= length($"w")),
+          l => transform(sequence(lit(1), length($"w") - l + 1),
+            i => $"w".substr(i, l))))).as("sub"))
+        .groupBy($"sub").agg(sum($"cnt").as("cnt"))
+        .orderBy(($"cnt" * length($"sub")).desc, $"sub")
+        .limit(60).select($"sub").collect().map(_.getString(0))
+      val vocab = vocabRows.toSet
+      val walkUdf = udf { (w: String) =>
+        var pos = 0
+        var toks = 0L
+        var cov = 0L
+        while (pos < w.length) {
+          var l = math.min(6, w.length - pos)
+          while (l >= 2 && !vocab.contains(w.substring(pos, pos + l))) l -= 1
+          if (l >= 2) cov += l else l = 1
+          toks += 1
+          pos += l
+        }
+        (toks, cov)
+      }
+      val fin = w0.select($"w".as("fw"), walkUdf($"w").as("tc"))
+        .select($"fw", $"tc._1".as("toks"), $"tc._2".as("cov"))
+      wsrc.join(fin, $"w" === $"fw")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_distinct_words"),
+          sum($"cnt").as("word_instances"),
+          sum($"cnt" * $"toks").as("tok_total"),
+          expr("sum(cnt * toks) * 1000000 div sum(cnt)").as("fertility_e6"),
+          expr("sum(cnt * cov) * 1000000 div sum(cnt * length(w))").as("coverage_e6"))
+        .orderBy($"source")
+    }
+  )
+
   // ---------------------------------------- duplicated-chunk removal (C4)
   /** Corpus-wide duplicated-chunk REMOVAL — the C4/CCNet step the
     * per-source statistics query (`c4_sentdedup`) only measures: split
@@ -2631,5 +2734,5 @@ object TierCText {
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s)
+      c4cd, c4rr, c1s, c4fe)
 }
