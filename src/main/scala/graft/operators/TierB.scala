@@ -639,6 +639,41 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B15b
+  /** Distribution windows — the rank family's missing half: percent_rank
+    * (= (rank−1)/(n−1)), cume_dist (= peers≤current / n), nth_value.
+    * Both ratios are a SINGLE IEEE division of two exact integers, so
+    * they hash-match across engines; the window order is fully tie-broken
+    * (price desc, orderkey) so rank inputs are identical everywhere.
+    * Same scale posture as b15: one hash-partitioned window per customer,
+    * partition sizes bounded by per-customer order counts.
+    */
+  private val b15b = QuerySpec(
+    "b15b_win_distribution",
+    "Distribution windows: percent_rank/cume_dist/nth_value per customer over a fully tie-broken order; both ratios are single IEEE divisions of exact integer ranks.",
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            PERCENT_RANK() OVER w AS pct_rank,
+            CUME_DIST() OVER w AS cume,
+            NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value($"o_orderkey", 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_best"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }
+  )
+
   // ----------------------------------------------------------------- B16
   private val b16 = QuerySpec(
     "b16_win_analytic",
@@ -2863,7 +2898,7 @@ object TierB {
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
-    b15, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
+    b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71)
