@@ -53,7 +53,7 @@ object TierC {
     * projection BEFORE the generator so it fires once per document, not
     * once per generated band row.
     */
-  private def lshIndex(docs: DataFrame): DataFrame = {
+  private[operators] def lshIndex(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", bandsUdf($"text").as("bands"))
       .select($"doc_id", posexplode($"bands").as(Seq("band_id", "band_hash")))
@@ -68,7 +68,7 @@ object TierC {
     * 2^122, see MinHash doc). `DISTINCT` on shingles is harmless — slot
     * minima ignore multiplicity.
     */
-  private def mhBandCtes: String = {
+  private[operators] def mhBandCtes: String = {
     val m = BigInt(1) << 64
     val hexparse = (0 until 15).map(j =>
       s"(CAST(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) AS HUGEINT) - 1) * ${BigInt(16).pow(14 - j)}")

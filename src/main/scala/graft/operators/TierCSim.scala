@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.{CacheRegistry, QuerySpec}
-import graft.functions.TextStats
+import graft.functions.{MinHash, TextStats}
 import graft.sources.Tables
 
 /** Tier C similarity extensions (north-star `BASELINE.json:6`): SimHash
@@ -2889,6 +2889,95 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------- LSH banding recall (tuning)
+  /** MinHash-LSH recall curve — the banding twin of [[c2jh]]'s threshold
+    * histogram and the dedup counterpart of `c3_recall`: for every TRUE
+    * near-dup pair (exact shingle-Jaccard ≥ 0.3, the floor well below the
+    * 0.8 design threshold so the S-curve's rise is visible), did the
+    * production 8-band×4-row banding produce a bucket collision? Reported
+    * per Jaccard decile as n_truth / n_caught / recall@decile — the
+    * measured version of the theoretical 1−(1−s^r)^b curve, and the view
+    * that tells an operator whether to trade bands for rows.
+    *
+    * Scale shape: the TRUTH side mines pairs over the SAME trigram
+    * shingles the MinHash signature hashes (not the bigram family the
+    * other tuners use — recall must be measured against the similarity
+    * the LSH actually approximates), through the shared df-capped
+    * inverted-index join; corpus-wide (no source blocking) because the
+    * banding itself is corpus-wide, PPJoin length-pruned at the join.
+    * The LSH side reuses the production signature index ([[TierC
+    * .lshIndex]]) and its bucket self-join. Both sides shuffle on
+    * bounded keys; the decile rollup is a partial-agged count.
+    */
+  private val LshRecallFloor = 0.3
+  private val LshRecallDfCap = 10000
+  private val c2lr = QuerySpec(
+    "c2_lsh_recall",
+    s"LSH banding recall curve: exact trigram-shingle Jaccard >= $LshRecallFloor truth pairs (df-capped inverted-index mine over the SAME shingles MinHash hashes, corpus-wide like the banding) left-joined against production band-bucket collisions, recall@decile at 1e-6 — the measured 1-(1-s^r)^b view behind the bands/rows trade.",
+    Some(s"""WITH ${TierC.mhBandCtes},
+            |lshp AS (SELECT DISTINCT a.doc_id AS la, b.doc_id AS lb
+            |         FROM band a JOIN band b
+            |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            |              AND a.doc_id < b.doc_id),
+            |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shu GROUP BY doc_id),
+            |dfc AS (SELECT s FROM shu GROUP BY s HAVING COUNT(*) <= $LshRecallDfCap),
+            |kept AS (SELECT shu.doc_id, shu.s, sz.sz FROM shu
+            |         JOIN dfc ON dfc.s = shu.s JOIN sz ON sz.doc_id = shu.doc_id),
+            |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+            |         COUNT(*) AS shared
+            |       FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            |         AND CAST(least(a.sz, b.sz) AS DOUBLE) / greatest(a.sz, b.sz) >= $LshRecallFloor
+            |       GROUP BY 1, 2, 3, 4),
+            |truth AS (SELECT id_a, id_b,
+            |            CAST(shared AS DOUBLE) / (sa + sb - shared) AS j
+            |          FROM pr
+            |          WHERE CAST(shared AS DOUBLE) / (sa + sb - shared) >= $LshRecallFloor),
+            |dec AS (SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS decile,
+            |          CASE WHEN lshp.la IS NOT NULL THEN 1 ELSE 0 END AS caught
+            |        FROM truth LEFT JOIN lshp
+            |          ON lshp.la = truth.id_a AND lshp.lb = truth.id_b)
+            |SELECT decile, COUNT(*) AS n_truth,
+            |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+            |  CAST(SUM(caught) * 1000000 // COUNT(*) AS BIGINT) AS recall_e6
+            |FROM dec GROUP BY decile ORDER BY decile""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val shUdf = udf { (text: String) =>
+        val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+        MinHash.shingles(toks).distinct.toArray
+      }
+      val posting = docs.select($"doc_id", shUdf($"text").as("shs"))
+        .filter(size($"shs") > 0)
+        .select($"doc_id", size($"shs").as("sz"), explode($"shs").as("gram"))
+      val kept = dfCapKept(posting, Seq("gram"), LshRecallDfCap, hotPreFilter = false,
+        n => s"c2_lsh_recall: dropped $n shingles with df > $LshRecallDfCap from " +
+          "truth-pair generation (recall becomes an estimate over the " +
+          "surviving pairs; the LSH side is unaffected)")
+      val left = kept.select($"doc_id".as("id_a"), $"sz".as("sa"), $"gram")
+      val right = kept.select($"doc_id".as("id_b"), $"sz".as("sb"), $"gram".as("gram_r"))
+      val truth = left.join(right,
+          $"gram" === $"gram_r" && $"id_a" < $"id_b" &&
+          least($"sa", $"sb").cast(DoubleType) / greatest($"sa", $"sb") >= LshRecallFloor)
+        .groupBy($"id_a", $"id_b", $"sa", $"sb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("j", $"shared".cast(DoubleType) / ($"sa" + $"sb" - $"shared"))
+        .filter($"j" >= LshRecallFloor)
+      val idx = CacheRegistry.persist(TierC.lshIndex(docs))
+      val lshp = idx.select($"doc_id".as("la"), $"band_id", $"band_hash")
+        .join(idx.select($"doc_id".as("lb"), $"band_id".as("bid_r"), $"band_hash".as("bh_r")),
+          $"band_id" === $"bid_r" && $"band_hash" === $"bh_r" && $"la" < $"lb")
+        .select($"la", $"lb").distinct()
+      truth.join(lshp, $"id_a" === $"la" && $"id_b" === $"lb", "left")
+        .select(least(floor($"j" * 10), lit(9)).cast(LongType).as("decile"),
+          when($"la".isNotNull, 1L).otherwise(0L).as("caught"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_truth"), sum($"caught").as("n_caught"),
+          expr("sum(caught) * 1000000 div count(1)").as("recall_e6"))
+        .orderBy($"decile")
+    }
+  )
+
   // ----------------------------------------- split-leakage audit (c1)
   /** Near-dup split-leakage audit — the measurement HALF of the
     * cluster-safe-split story: `c1d` keys the train/val/test draw on the
@@ -3526,5 +3615,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr)
 }

@@ -313,6 +313,22 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c2_lsh_recall: caught bounded by truth, exact integer recall, top decile saturates") {
+    val rows = run("c2_lsh_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dec, nTruth, nCaught, recE6) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dec >= 3 && dec <= 9, s"decile $dec outside the 0.3 floor range")
+      assert(nCaught >= 0 && nCaught <= nTruth)
+      assert(recE6 == nCaught * 1000000 / nTruth, "recall must replay the integer division")
+    }
+    // near-identical pairs (decile 9 ⇒ s ≥ 0.9) collide in some band with
+    // probability 1−(1−s⁴)⁸ > 0.9999 — at fixture scale they must ALL be caught
+    rows.find(_.getLong(0) == 9).foreach(r => assert(r.getLong(2) == r.getLong(1),
+      "a >= 0.9-Jaccard pair escaped all 8 bands — banding or signature drifted"))
+  }
+
   test("a11ad hexbin: totals partition the events, neighbors-distinct hex keys") {
     val rows = run("a11ad_hexbin").collect()
     assert(rows.nonEmpty)
