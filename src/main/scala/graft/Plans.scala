@@ -254,6 +254,33 @@ object Plans {
       "per-session path collect is bounded by the 6-hour gap contract " +
       "(session-sized groups, never per-user), the path census " +
       "partial-aggregates, and the top-20 is TakeOrderedAndProject."),
+    "b65_tpch_q17" -> ("TPC-H Q17: the correlated scalar subquery costs " +
+      "ONE per-part profile aggregation (partial-agged shuffle on " +
+      "l_partkey, |part| output rows) instead of a per-row " +
+      "re-aggregation; the threshold frame rides a broadcast back into " +
+      "a second fact scan — lineitem is read twice but never shuffled " +
+      "for the probe."),
+    "b66_tpch_q15" -> ("TPC-H Q15: the revenue view is computed once and " +
+      "persisted — both the MAX arm and the equality probe read the " +
+      "same InMemoryRelation; the single-row MAX broadcasts and the " +
+      "exact-DECIMAL max-equality cross join collapses to a broadcast " +
+      "HASH join on the revenue value."),
+    "b70_tpch_q19" -> ("TPC-H Q19: the OR-of-conjunctions keeps the " +
+      "shared partkey equi-join as one broadcast hash join with the " +
+      "brand/size/quantity residue as a post-join filter, and " +
+      "Catalyst's extracted left-only quantity disjunction reaches the " +
+      "fact scan's PushedFilters."),
+    "c2_hits" -> ("HITS on the content-reuse graph: the edge build is " +
+      "one min-agg on the chunk fingerprint (partial-agged — a " +
+      "boilerplate chunk duplicated a billion times folds map-side to " +
+      "one owner row) plus one fp equi-join, never a pair mine; each " +
+      "iteration is two equi-join+partial-agg passes over the cached " +
+      "edge frame with single-row sum-normalizers riding broadcasts."),
+    "c2_lsh_recall" -> ("LSH recall curve: the truth mine is the " +
+      "df-capped inverted-index self-join over the SAME trigram " +
+      "shingles MinHash hashes (PPJoin length prune inside the join " +
+      "condition); the LSH side reuses the persisted signature index; " +
+      "the decile census is one partial-aggregated count."),
   )
 
   def main(args: Array[String]): Unit = {
