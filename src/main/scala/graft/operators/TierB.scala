@@ -2895,11 +2895,136 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B72
+  /** Referential-integrity audit — the DQ gate next to b61's column
+    * profiler: per FK relation, child rows/keys, orphaned child rows
+    * (no parent), and childless parents (the reverse direction — the
+    * synthetic corpus genuinely has 257 order keys with no lineitems at
+    * sf0.01, so the signal is live, not a trivially-zero column). Scale
+    * shape: each child side collapses to its key-grain (cnt) table FIRST
+    * (one partial-agged shuffle, |keys| rows), both audit directions are
+    * anti joins co-partitioned on that key, and the per-relation outputs
+    * are single rows riding broadcast cross joins. The parent scans prune
+    * to one column.
+    */
+  private val b72 = QuerySpec(
+    "b72_fk_audit",
+    "Referential-integrity audit over 4 FK relations: child rows/keys, orphaned child rows, childless parents — child collapsed to key grain first, both directions as co-partitioned anti joins, single-row outputs on broadcasts.",
+    Some {
+      val rels = Seq(
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      rels.map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS relation,
+            CAST((SELECT SUM(cnt) FROM (SELECT COUNT(*) AS cnt FROM $child GROUP BY $ck)) AS BIGINT) AS n_child_rows,
+            (SELECT COUNT(DISTINCT $ck) FROM $child) AS n_child_keys,
+            CAST(COALESCE((SELECT SUM(cnt) FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $child GROUP BY 1) c
+              WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = c.k)), 0) AS BIGINT) AS n_orphan_rows,
+            (SELECT COUNT(*) FROM $parent
+              WHERE NOT EXISTS (SELECT 1 FROM $child WHERE $ck = $pk)) AS n_childless_parents"""
+      }.mkString("\n            UNION ALL\n            ") + "\n            ORDER BY relation"
+    },
+    (s, d) => {
+      import s.implicits._
+      def rel(name: String, child: DataFrame, ckey: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val ck = graft.CacheRegistry.persist(
+          child.groupBy(col(ckey).as("k")).agg(count(lit(1)).as("cnt")))
+        val pk = graft.CacheRegistry.persist(parent.select(col(pkey).as("pk")))
+        val totals = ck.agg(sum($"cnt").cast(LongType).as("n_child_rows"),
+          count(lit(1)).as("n_child_keys"))
+        val orph = ck.join(pk, $"k" === $"pk", "left_anti")
+          .agg(coalesce(sum($"cnt"), lit(0L)).cast(LongType).as("n_orphan_rows"))
+        val childless = pk.join(ck, $"pk" === $"k", "left_anti")
+          .agg(count(lit(1)).as("n_childless_parents"))
+        totals.crossJoin(broadcast(orph)).crossJoin(broadcast(childless))
+          .select(lit(name).as("relation"), $"n_child_rows", $"n_child_keys",
+            $"n_orphan_rows", $"n_childless_parents")
+      }
+      val li = Tables.lineitem(s, d)
+      rel("lineitem->orders", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(rel("lineitem->part", li, "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(rel("lineitem->supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(rel("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy($"relation")
+    }
+  )
+
+  // ----------------------------------------------------------------- B73
+  /** Peak concurrency (max overlapping intervals) — the ops/capacity
+    * staple: each event holds a resource for `floor(value)+60` seconds;
+    * the sweep-line (+1 at start, −1 at end, half-open so an end at
+    * instant t releases BEFORE a start at t acquires — delta sorts
+    * ascending) yields the running occupancy, and the answer is each
+    * type's maximum plus the first instant it is reached.
+    *
+    * Scale shape — deliberately NOT `SUM() OVER (PARTITION BY type)`:
+    * event_type has a handful of values, so a per-type window serializes
+    * the whole corpus through ~5 tasks. Instead the c1o/c1h two-phase
+    * running sum: range-repartition on the (type, t, delta, id) total
+    * order, pid-LOCAL windows (each task scans only its own slice),
+    * per-(type, pid) delta subtotals collected (|types|·|partitions|
+    * rows — the only driver traffic), prefix offsets broadcast back.
+    * The per-type argmax rides ONE hash agg via struct ordering
+    * (max(struct(conc, −t)) = (peak, −first_t)) — no second pass.
+    */
+  private val b73 = QuerySpec(
+    "b73_peak_concurrency",
+    "Peak concurrency sweep-line: intervals [t, t+floor(value)+60) per event, +1/-1 deltas under the (t, delta, id) half-open total order, per-type running occupancy via the two-phase range-partition prefix-offset sum (never one window task per type), peak + first instant reached.",
+    Some("""WITH ev AS (SELECT event_type,
+              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+              CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                + CAST(floor(value) AS BIGINT) + 60 AS e,
+              event_id FROM events),
+            sw AS (SELECT event_type, s AS t, CAST(1 AS BIGINT) AS delta, event_id FROM ev
+              UNION ALL
+              SELECT event_type, e, CAST(-1 AS BIGINT), event_id FROM ev),
+            run AS (SELECT event_type, t,
+              CAST(SUM(delta) OVER (PARTITION BY event_type
+                ORDER BY t, delta, event_id) AS BIGINT) AS conc FROM sw),
+            mx AS (SELECT event_type, MAX(conc) AS peak FROM run GROUP BY event_type)
+            SELECT run.event_type, mx.peak, MIN(run.t) AS peak_t
+            FROM run JOIN mx ON run.event_type = mx.event_type AND run.conc = mx.peak
+            GROUP BY run.event_type, mx.peak ORDER BY run.event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val sec = unix_timestamp(date_trunc("second", $"ts"))
+      val ev = Tables.events(s, d)
+        .select($"event_type", sec.as("s"),
+          (sec + floor($"value").cast(LongType) + 60L).as("e"), $"event_id")
+      val sweep = ev.select($"event_type", $"s".as("t"), lit(1L).as("delta"), $"event_id")
+        .unionByName(ev.select($"event_type", $"e".as("t"), lit(-1L).as("delta"), $"event_id"))
+      val keyed = graft.CacheRegistry.persist(sweep
+        .repartitionByRange($"event_type", $"t", $"delta", $"event_id")
+        .withColumn("pid", spark_partition_id()))
+      // per-(type, pid) delta subtotals -> prefix offset of all earlier pids
+      val subs = keyed.groupBy($"event_type", $"pid")
+        .agg(sum($"delta").as("dsum")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val offsets: Map[String, Long] = subs.map { case (ty, pid, _) =>
+        s"$ty|$pid" -> subs.collect { case (t2, p2, d2) if t2 == ty && p2 < pid => d2 }.sum
+      }.toMap
+      val w = Window.partitionBy($"pid", $"event_type")
+        .orderBy($"t", $"delta", $"event_id")
+      keyed
+        .withColumn("conc",
+          element_at(typedLit(offsets), concat($"event_type", lit("|"), $"pid"))
+            + sum($"delta").over(w))
+        .groupBy($"event_type")
+        .agg(max(struct($"conc", (-$"t").as("negt"))).as("m"))
+        .select($"event_type", $"m.conc".as("peak"), (-$"m.negt").as("peak_t"))
+        .orderBy($"event_type")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71)
+    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73)
 }
