@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.QuerySpec
+import graft.{CacheRegistry, QuerySpec}
 import graft.functions.Wkb
 import graft.sources.Tables
 
@@ -217,6 +217,71 @@ object Spatial {
     withSridGuard(joined, Seq((polys, "wkb")),
       "the polygon side of a nearest-polygon join")
   }
+
+  // --------------------------------------------------------------- A11ag
+  /** Nearest-neighbor distance census — the point-pattern statistic
+    * (the Clark–Evans numerator) behind "is this layer clustered or
+    * dispersed": each point's distance to its nearest OTHER point within
+    * radius w, rolled up per event type as n_points / n_with_nn /
+    * quantized NN-distance sum and mean. Radius-bounded semantics by
+    * design (the a11j contract): a point with no neighbor within w
+    * contributes to n_points only — at 100 TB an unbounded NN needs
+    * iterative cell-ring expansion, while the bounded form is one
+    * adjacent-cell join.
+    *
+    * Scale shape: 1D grid blocking on floor(v/w) — the candidate side
+    * replicates to its 3 covering probe cells (map-side ×3, never a
+    * cross join), candidates meet in ONE equi-join on the cell key,
+    * per-point argmin is a struct-ordered min INSIDE a partial-agged
+    * hash agg (no window), the rollup partial-aggregates. Exactness:
+    * |va−vb| is one IEEE subtract per pair; per-point minima quantize
+    * floor(d·1e6) and the mean ships as exact (sum, n, sum div n).
+    */
+  private val NnRadius = 1.0
+  private val a11ag = QuerySpec(
+    "a11ag_nn_dist",
+    s"Nearest-neighbor distance census (Clark-Evans numerator), radius-bounded at $NnRadius: 1D grid blocking (candidates replicated to 3 probe cells, one equi-join), per-point argmin via struct-ordered min inside a partial-agged hash agg, per-type n/with-nn/e6 sum/e6 mean.",
+    Some(s"""WITH p AS (SELECT event_id, event_type, value AS v FROM events),
+            |nn AS (SELECT a.event_id, a.event_type,
+            |         MIN(abs(a.v - b.v)) AS d
+            |       FROM p a JOIN p b
+            |         ON a.event_id <> b.event_id AND abs(a.v - b.v) <= $NnRadius
+            |       GROUP BY a.event_id, a.event_type),
+            |q AS (SELECT event_type, CAST(floor(d * 1000000.0) AS BIGINT) AS d6 FROM nn),
+            |tot AS (SELECT event_type, COUNT(*) AS n_points FROM p GROUP BY event_type),
+            |agg AS (SELECT event_type, COUNT(*) AS n_with_nn,
+            |          CAST(SUM(d6) AS BIGINT) AS nn_sum_e6 FROM q GROUP BY event_type)
+            |SELECT tot.event_type, tot.n_points,
+            |  COALESCE(agg.n_with_nn, 0) AS n_with_nn,
+            |  CAST(COALESCE(agg.nn_sum_e6, 0) AS BIGINT) AS nn_sum_e6,
+            |  CAST(COALESCE(agg.nn_sum_e6 // agg.n_with_nn, 0) AS BIGINT) AS nn_mean_e6
+            |FROM tot LEFT JOIN agg ON tot.event_type = agg.event_type
+            |ORDER BY tot.event_type""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val p = CacheRegistry.persist(Tables.events(s, d)
+        .select($"event_id", $"event_type", $"value".as("v"),
+          floor($"value" / NnRadius).cast(LongType).as("cell")))
+      // candidate side replicated to its 3 covering probe cells map-side
+      val cand = p.select($"event_id".as("id_b"), $"v".as("vb"),
+          explode(array($"cell" - 1, $"cell", $"cell" + 1)).as("probe"))
+      val nn = p.join(cand, $"cell" === $"probe" && $"event_id" =!= $"id_b")
+        .withColumn("dist", abs($"v" - $"vb"))
+        .filter($"dist" <= NnRadius)
+        .groupBy($"event_id", $"event_type")
+        .agg(min($"dist").as("d"))
+        .select($"event_type", floor($"d" * 1000000.0).cast(LongType).as("d6"))
+      val tot = p.groupBy($"event_type").agg(count(lit(1)).as("n_points"))
+      val agg = nn.groupBy($"event_type".as("ety"))
+        .agg(count(lit(1)).as("n_with_nn"), sum($"d6").cast(LongType).as("nn_sum_e6"))
+      tot.join(agg, $"event_type" === $"ety", "left")
+        .select($"event_type", $"n_points",
+          coalesce($"n_with_nn", lit(0L)).as("n_with_nn"),
+          coalesce($"nn_sum_e6", lit(0L)).cast(LongType).as("nn_sum_e6"),
+          coalesce(expr("nn_sum_e6 div n_with_nn"), lit(0L)).cast(LongType).as("nn_mean_e6"))
+        .orderBy($"event_type")
+    }
+  )
 
   // ---------------------------------------------------------------- A11d
   private val diamondUdf: UserDefinedFunction = udf { (c: Double, r: Double) =>
@@ -1375,5 +1440,5 @@ object Spatial {
 
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af)
+      a11ad, a11ae, a11af, a11ag)
 }

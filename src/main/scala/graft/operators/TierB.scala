@@ -3020,11 +3020,106 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B74
+  /** TPC-H Q10 shape (returned-item revenue): who cost us money on
+    * returns last quarter — 4-table join (R-flag lineitems × quarter
+    * orders × customer × broadcast nation), exact DECIMAL revenue per
+    * customer, top-20 by (revenue DESC, custkey) compiling to
+    * TakeOrdered. Both fact filters reach their scans; the
+    * orders⋈lineitem join co-partitions on orderkey; customer enrichment
+    * joins after the aggregate would be ideal at extreme scale but the
+    * group key carries the customer columns here (the TPC-H shape) —
+    * partial aggregation still collapses map-side because custkey
+    * functionally determines them.
+    */
+  private val b74 = QuerySpec(
+    "b74_tpch_q10",
+    "TPC-H Q10 shape (returned-item revenue top-20): R-flag lineitems x one-quarter orders x customer x broadcast nation, exact DECIMAL revenue per customer, top-20 by (revenue desc, custkey) via TakeOrdered.",
+    Some("""SELECT c_custkey, c_name,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+            c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1996-04-01 00:00:00"))
+        .select($"o_orderkey", $"o_custkey")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey",
+          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .as("rev"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(sum($"rev").cast(DoubleType).as("revenue"))
+        .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }
+  )
+
+  // ----------------------------------------------------------------- B75
+  /** Hourly rate-anomaly detector — the ops monitor downstream of b28's
+    * tumbling counts: flag hours whose event count sits more than 3
+    * population standard deviations from the type's hourly mean. The
+    * z-test is replayed EXACTLY, never in floats: z² > 9 cross-multiplies
+    * to (n·H − S)² > 9·(H·Σn² − S²) over pure BIGINTs (H = hours,
+    * S = Σn), so both engines flag identical hours with zero epsilon. At
+    * 100 TB the hourly rollup partial-aggregates map-side, the per-type
+    * (H, S, Σn²) profile is |types| rows riding a broadcast back over
+    * the |types·hours| frame — the corpus is touched exactly once.
+    */
+  private val b75 = QuerySpec(
+    "b75_rate_anomaly",
+    "Hourly rate anomaly (3-sigma): per-type hourly counts, per-type (hours, sum, sum-of-squares) profile broadcast back, spike test cross-multiplied to exact BIGINT (n*H - S)^2 > 9*(H*Sum(n^2) - S^2) — identical flags on both engines, no epsilon.",
+    Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+              COUNT(*) AS n FROM events GROUP BY event_type, hr),
+            s AS (SELECT event_type AS ety, COUNT(*) AS hcnt,
+              CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(n * n) AS BIGINT) AS sn2
+              FROM h GROUP BY event_type)
+            SELECT h.event_type, h.hr, h.n,
+              CAST((h.n * s.hcnt - s.sn) * (h.n * s.hcnt - s.sn) AS BIGINT) AS dev2,
+              CAST(9 * (s.hcnt * s.sn2 - s.sn * s.sn) AS BIGINT) AS thr2
+            FROM h JOIN s ON h.event_type = s.ety
+            WHERE (h.n * s.hcnt - s.sn) * (h.n * s.hcnt - s.sn)
+                  > 9 * (s.hcnt * s.sn2 - s.sn * s.sn)
+            ORDER BY h.event_type, h.hr"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("n")))
+      val prof = h.groupBy($"event_type".as("ety"))
+        .agg(count(lit(1)).as("hcnt"), sum($"n").cast(LongType).as("sn"),
+          sum($"n" * $"n").cast(LongType).as("sn2"))
+      h.join(broadcast(prof), $"event_type" === $"ety")
+        .withColumn("dev2",
+          (($"n" * $"hcnt" - $"sn") * ($"n" * $"hcnt" - $"sn")).cast(LongType))
+        .withColumn("thr2", (lit(9L) * ($"hcnt" * $"sn2" - $"sn" * $"sn")).cast(LongType))
+        .filter($"dev2" > $"thr2")
+        .select($"event_type", $"hr", $"n", $"dev2", $"thr2")
+        .orderBy($"event_type", $"hr")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73)
+    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75)
 }
