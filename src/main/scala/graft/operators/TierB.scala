@@ -3115,11 +3115,498 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B76
+  /** TPC-H Q6 (forecast revenue change) — the pure-scan stress: zero
+    * joins, three range predicates (shipdate year, discount band,
+    * quantity cap) that must ALL reach the parquet scan, one exact
+    * DECIMAL product sum. At 100 TB this query is entirely I/O — row
+    * groups prune on shipdate min/max stats, the residual predicates
+    * vector-filter inside the scan, and the aggregate ships one partial
+    * row per task. PlanAuditSpec pins the pushed-filter set.
+    */
+  private val b76 = QuerySpec(
+    "b76_tpch_q6",
+    "TPC-H Q6 (forecast revenue change): scan-only — shipdate year, discount band, quantity cap all pushed to parquet, exact DECIMAL sum(extendedprice*discount), one cast to double.",
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1998-01-01 00:00:00") &&
+          $"l_discount" >= 0.03 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(sum(dec($"l_extendedprice", 12, 2) * dec($"l_discount", 3, 2))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }
+  )
+
+  // ----------------------------------------------------------------- B77
+  /** TPC-H Q4 (order-priority checking) — the EXISTS→left-semi stress:
+    * a quarter of orders kept only if at least one of their lines
+    * matches, counted per priority. (The synthetic lineitem has no
+    * commitdate/receiptdate; a returned line `l_returnflag = 'R'` stands
+    * in for "late" — identical semi-join shape.) The semi join
+    * deduplicates the probe side inside the join (no distinct), both
+    * facts shuffle on orderkey (co-partitioned), and the date filter
+    * prunes the orders scan.
+    */
+  private val b77 = QuerySpec(
+    "b77_tpch_q4",
+    "TPC-H Q4 shape (order-priority checking): one-quarter orders semi-joined (EXISTS) against returned lineitems on the co-partitioned orderkey, counted per priority — integer output, order-immune.",
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1997-07-01 00:00:00") &&
+          $"o_orderdate" < ts("1997-10-01 00:00:00"))
+        .select($"o_orderkey", $"o_orderpriority")
+        .join(Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+            .select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }
+  )
+
+  // ----------------------------------------------------------------- B78
+  /** TPC-H Q7 (volume shipping between two nations): the
+    * dimension-role-duplication stress — nation joins the plan TWICE
+    * (supplier side and customer side), and the disjunctive pair filter
+    * can only resolve after both roles are bound. Both nation-tagged
+    * dims ride broadcasts (supplier ⋈ n1 and customer ⋈ n2 are tiny
+    * after the two-nation filter), so the only shuffle is
+    * lineitem ⋈ orders on orderkey. Year extraction casts to BIGINT on
+    * both engines (DuckDB `year()` is BIGINT, Spark `year` is INT).
+    */
+  private val b78 = QuerySpec(
+    "b78_tpch_q7",
+    "TPC-H Q7 (two-nation volume shipping): nation dim bound twice via broadcasts (supplier and customer roles), disjunctive nation-pair filter post-bind, one fact-fact shuffle on orderkey, decimal revenue per (supp_nation, cust_nation, year).",
+    Some("""WITH v AS (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS volume
+              FROM supplier, lineitem, orders, customer, nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+            SELECT supp_nation, cust_nation, l_year,
+              CAST(SUM(volume) AS DOUBLE) AS revenue
+            FROM v GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year"""),
+    (s, d) => {
+      import s.implicits._
+      val n = Tables.nation(s, d).select($"n_nationkey", $"n_name")
+        .filter($"n_name".isin("NATION_3", "NATION_7"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"cust_nation")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1998-01-01 00:00:00"))
+        .select($"l_orderkey", $"l_suppkey",
+          year($"l_shipdate").cast(LongType).as("l_year"),
+          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .as("volume"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+          ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(sum($"volume").cast(DoubleType).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }
+  )
+
+  // ----------------------------------------------------------------- B79
+  /** TPC-H Q8 (national market share): an 8-relation join feeding a
+    * conditional-sum ratio per order year — the share of ASIA-bound
+    * ECONOMY-part revenue supplied by one nation. Float discipline as in
+    * b69: both sums stay exact DECIMAL through the shuffle, each casts
+    * to DOUBLE once, and the division is a single IEEE op — identical on
+    * both engines. Every dimension broadcasts; the one shuffle is
+    * lineitem ⋈ orders on orderkey.
+    */
+  private val b79 = QuerySpec(
+    "b79_tpch_q8",
+    "TPC-H Q8 shape (national market share): ECONOMY parts to ASIA customers, supplier nation tagged via broadcast, conditional DECIMAL volume sums per order year, one final double division for the share.",
+    Some("""WITH v AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+                     n1.n_name AS supp_nation
+              FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+                AND r_name = 'ASIA' AND s_nationkey = n1.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND p_type = 'ECONOMY')
+            SELECT o_year,
+              CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+              COUNT(*) AS n_lines
+            FROM v GROUP BY o_year ORDER BY o_year"""),
+    (s, d) => {
+      import s.implicits._
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(Tables.region(s, d).filter($"r_name" === "ASIA"),
+              $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1998-01-01 00:00:00"))
+        .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter($"p_type" === "ECONOMY")
+            .select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"l_suppkey",
+          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .as("volume"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"o_year")
+        .agg(
+          (sum(when($"supp_nation" === "NATION_7", $"volume")
+              .otherwise(dec(lit(0), 16, 4))).cast(DoubleType) /
+            sum($"volume").cast(DoubleType)).cast(DoubleType).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"o_year")
+    }
+  )
+
+  // ----------------------------------------------------------------- B80
+  /** TPC-H Q9 shape (product-type profit): profit per nation per order
+    * year over name-matched parts. The synthetic schema has no partsupp
+    * supplycost, so `p_retailprice × l_quantity` stands in for the cost
+    * leg — same join graph, same measure shape. Exactness: revenue and
+    * cost are summed SEPARATELY in DECIMAL (order-free) and subtracted
+    * once in DOUBLE — real Q9 subtracts per line, but per-line
+    * subtraction then float summation would be partition-order
+    * sensitive; the two-sum form is algebraically identical and exact.
+    */
+  private val b80 = QuerySpec(
+    "b80_tpch_q9",
+    "TPC-H Q9 shape (product-type profit by nation and year): name-LIKE parts, supplier nation via broadcast, revenue and cost summed separately in DECIMAL, one double subtraction at the end.",
+    Some("""WITH pl AS (
+              SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS rev,
+                     CAST(p_retailprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS cost
+              FROM part, supplier, lineitem, orders, nation
+              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%bolt%')
+            SELECT nation, o_year,
+              CAST(CAST(SUM(rev) AS DOUBLE) - CAST(SUM(cost) AS DOUBLE) AS DOUBLE) AS sum_profit,
+              COUNT(*) AS n_lines
+            FROM pl GROUP BY nation, o_year ORDER BY nation, o_year DESC"""),
+    (s, d) => {
+      import s.implicits._
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("nation"))
+      val ord = Tables.orders(s, d)
+        .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter($"p_name".like("%bolt%"))
+            .select($"p_partkey", $"p_retailprice")),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"l_suppkey",
+          (dec($"l_extendedprice", 12, 2) * (dec(lit(1), 3, 2) - dec($"l_discount", 3, 2)))
+            .as("rev"),
+          (dec($"p_retailprice", 12, 2) * dec($"l_quantity", 12, 2)).as("cost"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"nation", $"o_year")
+        .agg(
+          (sum($"rev").cast(DoubleType) - sum($"cost").cast(DoubleType))
+            .cast(DoubleType).as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"nation", $"o_year".desc)
+    }
+  )
+
+  // ----------------------------------------------------------------- B81
+  /** TPC-H Q13 shape (customer order-count distribution): the
+    * double-aggregation stress — a LEFT join that must keep
+    * zero-order customers, COUNT over the nullable side, then a
+    * histogram of those counts. (o_orderpriority stands in for the
+    * comment NOT-LIKE filter — same shape: the predicate lives in the
+    * JOIN condition, not a WHERE, or zero-order customers vanish.) The
+    * first agg shuffles on custkey (partial-agged); the second input is
+    * |customers| rows collapsing to a handful of histogram buckets.
+    */
+  private val b81 = QuerySpec(
+    "b81_tpch_q13",
+    "TPC-H Q13 shape (customer order-count distribution): left join keeping zero-order customers with the priority filter INSIDE the join condition, count per customer, histogram of counts ordered by (custdist desc, c_count desc).",
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_custkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey) cc
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d).select($"c_custkey")
+        .join(Tables.orders(s, d)
+            .filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+            .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_custkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }
+  )
+
+  // ----------------------------------------------------------------- B82
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated-scalar-MIN
+    * stress, rewritten the way a distributed planner wants it — per-part
+    * minimum as a groupBy + join-back instead of a per-row subquery
+    * re-scan. The synthetic schema has no partsupp, so the part×supplier
+    * cost relation derives from lineitem: unit cost = centiprice
+    * floor((extendedprice / quantity) · 100) (pure IEEE, replayable),
+    * MIN'd per (part, supplier). floor is monotone, so MIN commutes with
+    * the quantization — both engines compute the identical BIGINT.
+    * Region-restricted suppliers ride a broadcast; ties on minimum cost
+    * keep ALL minimal suppliers (real Q2 semantics); the top-20 order is
+    * fully determined (s_name is unique per supplier).
+    */
+  private val b82 = QuerySpec(
+    "b82_tpch_q2",
+    "TPC-H Q2 shape (min-cost supplier): lineitem-derived part-supplier centiprice cost, per-part MIN via groupBy + join-back (no correlated re-scan), EUROPE suppliers broadcast, STANDARD small parts, top-20 by (acctbal desc, nation, supplier, part).",
+    Some("""WITH ps AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     MIN(CAST(floor((l_extendedprice / l_quantity) * 100.0) AS BIGINT)) AS cost_c
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            esupp AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier, nation, region
+              WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'EUROPE'),
+            costs AS (
+              SELECT ps_partkey, ps_suppkey, cost_c, s_name, s_acctbal, n_name
+              FROM ps JOIN esupp ON ps_suppkey = s_suppkey),
+            mins AS (SELECT ps_partkey AS mk, MIN(cost_c) AS mc
+                     FROM costs GROUP BY ps_partkey)
+            SELECT p_partkey, p_name, s_name, n_name, s_acctbal, cost_c
+            FROM part
+            JOIN costs ON p_partkey = ps_partkey
+            JOIN mins ON ps_partkey = mk AND cost_c = mc
+            WHERE p_size BETWEEN 1 AND 15 AND p_type = 'STANDARD'
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val esupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(Tables.region(s, d).filter($"r_name" === "EUROPE"),
+              $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val costs = Tables.lineitem(s, d)
+        .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+        .agg(min(floor(($"l_extendedprice" / $"l_quantity") * lit(100.0))
+          .cast(LongType)).as("cost_c"))
+        .join(broadcast(esupp), $"ps_suppkey" === $"s_suppkey")
+      val mins = costs.groupBy($"ps_partkey".as("mk"))
+        .agg(min($"cost_c").as("mc"))
+      costs
+        .join(mins, $"ps_partkey" === $"mk" && $"cost_c" === $"mc")
+        .join(broadcast(Tables.part(s, d)
+            .filter($"p_size".between(1, 15) && $"p_type" === "STANDARD")
+            .select($"p_partkey", $"p_name")),
+          $"ps_partkey" === $"p_partkey")
+        .select($"p_partkey", $"p_name", $"s_name", $"n_name", $"s_acctbal", $"cost_c")
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(20)
+    }
+  )
+
+  // ----------------------------------------------------------------- B83
+  /** TPC-H Q11 shape (important stock): the HAVING-against-global-scalar
+    * stress — per-part value restricted to one nation's suppliers, kept
+    * only if it exceeds a fraction of the nation's TOTAL value. The
+    * threshold test is replayed exactly: line values quantize to
+    * centi-units ONCE (floor(extendedprice·(1−discount)·100), pure
+    * IEEE), so per-part and total sums are BIGINTs and the fraction
+    * compares as `value·1000 > total` — zero epsilon, b75's
+    * cross-multiply discipline. The global total is ONE row riding a
+    * broadcast cross join back over the per-part frame.
+    */
+  private val b83 = QuerySpec(
+    "b83_tpch_q11",
+    "TPC-H Q11 shape (important stock): one nation's per-part centi-value sums (exact BIGINT), global total as a single broadcast row, HAVING replayed as value*1000 > total cross-multiply — no float threshold.",
+    Some("""WITH lv AS (
+              SELECT l_partkey AS pk,
+                     CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS v_c
+              FROM lineitem, supplier, nation
+              WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND n_name = 'NATION_3'),
+            agg AS (SELECT pk, CAST(SUM(v_c) AS BIGINT) AS value_c FROM lv GROUP BY pk),
+            tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c FROM agg)
+            SELECT pk AS p_partkey, value_c
+            FROM agg, tot WHERE value_c * 1000 > total_c
+            ORDER BY value_c DESC, p_partkey"""),
+    (s, d) => {
+      import s.implicits._
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter($"n_name" === "NATION_3")
+            .select($"n_nationkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val perPart = graft.CacheRegistry.persist(Tables.lineitem(s, d)
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .select($"l_partkey".as("pk"),
+          floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * lit(100.0))
+            .cast(LongType).as("v_c"))
+        .groupBy($"pk")
+        .agg(sum($"v_c").cast(LongType).as("value_c")))
+      val tot = perPart.agg(sum($"value_c").cast(LongType).as("total_c"))
+      perPart.crossJoin(broadcast(tot))
+        .filter($"value_c" * 1000 > $"total_c")
+        .select($"pk".as("p_partkey"), $"value_c")
+        .orderBy($"value_c".desc, $"p_partkey")
+    }
+  )
+
+  // ----------------------------------------------------------------- B84
+  /** TPC-H Q16 shape (supplier-count distribution): COUNT(DISTINCT)
+    * under a NOT-IN anti-join — how many distinct suppliers serve each
+    * surviving (brand, type, size) bucket, excluding blacklisted
+    * suppliers. (lineitem is the part↔supplier bridge standing in for
+    * partsupp; negative account balance stands in for the complaint
+    * comment.) The anti-join rides a broadcast (blacklist is tiny by
+    * construction); the distinct-count expands (keys × suppkey)
+    * partial-aggregated before the final count — Spark's two-phase
+    * distinct rewrite, no row explosion past the first shuffle.
+    */
+  private val b84 = QuerySpec(
+    "b84_tpch_q16",
+    "TPC-H Q16 shape (supplier-count distribution): broadcast NOT-IN blacklist anti-join, brand/type/size bucket filter, two-phase COUNT(DISTINCT supplier) per bucket, ordered by (count desc, brand, type, size).",
+    Some("""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+              COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 13, 17, 21)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey")
+        .join(broadcast(Tables.supplier(s, d).filter($"s_acctbal" < 0)
+            .select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(Tables.part(s, d)
+            .filter($"p_brand" =!= "Brand#4" && $"p_type" =!= "PROMO" &&
+              $"p_size".isin(1, 5, 9, 13, 17, 21))
+            .select($"p_partkey", $"p_brand", $"p_type",
+              $"p_size".cast(LongType).as("p_size"))),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }
+  )
+
+  // ----------------------------------------------------------------- B85
+  /** TPC-H Q20 shape (potential part promotion): the nested semi-join
+    * chain — suppliers who shipped MORE THAN HALF of a name-matched
+    * part's one-year volume. (partsupp availqty is absent; "half of the
+    * part's total shipped quantity" stands in for "half the availqty" —
+    * identical IN(IN(HAVING-vs-correlated-scalar)) shape.) Quantities
+    * floor to BIGINT (integral by generation, floor for cast-rounding
+    * immunity), the share test cross-multiplies (sq·2 > tq, exact), the
+    * part name filter rides a broadcast semi, and the final supplier
+    * lookup is a broadcast semi-join into the 100-row dim.
+    */
+  private val b85 = QuerySpec(
+    "b85_tpch_q20",
+    "TPC-H Q20 shape (part promotion): per-(part,supplier) one-year shipped quantity, per-part total via groupBy + join-back, share test as exact sq*2 > tq cross-multiply, name-matched parts broadcast-semi, supplier dim resolved last.",
+    Some("""WITH pq AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_partkey, l_suppkey),
+            tot AS (SELECT pk AS tk, CAST(SUM(sq) AS BIGINT) AS tq FROM pq GROUP BY pk),
+            sel AS (SELECT DISTINCT sk FROM pq JOIN tot ON pq.pk = tot.tk
+                    WHERE pq.pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                      AND pq.sq * 2 > tot.tq)
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT sk FROM sel)
+            ORDER BY s_suppkey"""),
+    (s, d) => {
+      import s.implicits._
+      val pq = graft.CacheRegistry.persist(Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1998-01-01 00:00:00"))
+        .join(broadcast(Tables.part(s, d).filter($"p_name".like("small%"))
+            .select($"p_partkey")),
+          $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
+        .agg(sum(floor($"l_quantity").cast(LongType)).cast(LongType).as("sq")))
+      val tot = pq.groupBy($"pk".as("tk")).agg(sum($"sq").cast(LongType).as("tq"))
+      val sel = pq.join(tot, $"pk" === $"tk")
+        .filter($"sq" * 2 > $"tq")
+        .select($"sk").distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(sel), $"s_suppkey" === $"sk", "left_semi")
+        .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+        .orderBy($"s_suppkey")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
-    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75)
+    b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
+    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85)
 }
