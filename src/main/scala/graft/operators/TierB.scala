@@ -3443,11 +3443,13 @@ object TierB {
             .select($"n_nationkey", $"n_name")),
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
-      val costs = Tables.lineitem(s, d)
+      // costs feeds BOTH the per-part minimum and the winner join-back —
+      // persist so the lineitem rollup runs once, not once per consumer
+      val costs = graft.CacheRegistry.persist(Tables.lineitem(s, d)
         .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
         .agg(min(floor(($"l_extendedprice" / $"l_quantity") * lit(100.0))
           .cast(LongType)).as("cost_c"))
-        .join(broadcast(esupp), $"ps_suppkey" === $"s_suppkey")
+        .join(broadcast(esupp), $"ps_suppkey" === $"s_suppkey"))
       val mins = costs.groupBy($"ps_partkey".as("mk"))
         .agg(min($"cost_c").as("mc"))
       costs

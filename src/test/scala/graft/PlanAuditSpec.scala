@@ -641,4 +641,85 @@ class PlanAuditSpec extends AnyFunSuite {
     // the per-part profile partial-aggregates below its exchange
     assert(p.contains("partial_sum"), p)
   }
+
+  test("b76_tpch_q6: scan-only — all three predicates pushed, no join, partial agg") {
+    val p = plan("b76_tpch_q6")
+    assert(!p.contains("Join"), "Q6 must have zero joins:\n" + p)
+    // the scan line truncates its filter lists at ~100 chars, so pin the
+    // leading pushed filter plus the residual predicates on the Filter node
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "Q6 predicates must reach the parquet scan:\n" + p)
+    assert(p.contains("l_quantity") && p.contains("l_discount"),
+      "Q6 residual predicates missing from the plan:\n" + p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("b77_tpch_q4 / b85_tpch_q20: EXISTS chains compile to semi joins, never cartesian") {
+    val q4 = plan("b77_tpch_q4")
+    assert(q4.contains("LeftSemi"), "Q4 EXISTS must compile to a semi join:\n" + q4)
+    assert(!q4.contains("CartesianProduct") && !q4.contains("BroadcastNestedLoopJoin"), q4)
+    val q20 = plan("b85_tpch_q20")
+    assert("LeftSemi".r.findAllIn(q20).length >= 2,
+      "Q20's nested IN chain must stay semi joins:\n" + q20)
+    assert(!q20.contains("CartesianProduct") && !q20.contains("BroadcastNestedLoopJoin"), q20)
+  }
+
+  test("b78/b79/b80 TPC-H dim-heavy composites: dims broadcast, one fact-fact shuffle, partial agg") {
+    for (name <- Seq("b78_tpch_q7", "b79_tpch_q8", "b80_tpch_q9")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name dims must broadcast:\n$p")
+      assert(p.contains("partial_sum"), s"$name must partial-aggregate:\n$p")
+      // the only non-broadcast join is lineitem⋈orders on orderkey
+      assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+        s"$name should shuffle at most one fact-fact join:\n$p")
+    }
+  }
+
+  test("b82_tpch_q2: min-cost via groupBy + join-back — lineitem scanned once, no correlated re-scan") {
+    val p = plan("b82_tpch_q2")
+    // both consumers (per-part MIN and the winner join-back) must read the
+    // cached cost frame — the plan string re-prints the cached lineitem
+    // rollup inside each InMemoryRelation, so count cache READS, not scans
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "the cost frame must be reused from cache by both consumers:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min"), "per-part MIN must partial-aggregate:\n" + p)
+  }
+
+  test("b83_tpch_q11: global total is a single broadcast row over the cached per-part frame") {
+    val p = plan("b83_tpch_q11")
+    // the crossJoin against the 1-row total must ride a broadcast, and
+    // the per-part frame must come from the cache, not a re-scan
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"),
+      "per-part frame must be reused from cache:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b84_tpch_q16: blacklist anti join broadcasts, COUNT(DISTINCT) is two-phase") {
+    val p = plan("b84_tpch_q16")
+    assert(p.contains("LeftAnti"), "NOT IN must compile to an anti join:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Spark's distinct rewrite: at least two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "COUNT(DISTINCT) must run the two-phase rewrite:\n" + p)
+  }
+
+  test("b75_rate_anomaly: hourly rollup cached and partial-agged, profile rides a broadcast") {
+    val p = plan("b75_rate_anomaly")
+    assert(p.contains("InMemoryTableScan"),
+      "hourly rollup must be computed once and reused:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "per-type profile must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
+    val p = plan("a11ag_nn_dist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "NN census must block on the cell key, never all-pairs:\n" + p)
+    assert(!p.contains("Window"), "per-point argmin must be an aggregate, not a window:\n" + p)
+    assert(p.contains("partial_min"), "per-point MIN must partial-aggregate:\n" + p)
+  }
 }
