@@ -281,6 +281,35 @@ object Plans {
       "shingles MinHash hashes (PPJoin length prune inside the join " +
       "condition); the LSH side reuses the persisted signature index; " +
       "the decile census is one partial-aggregated count."),
+    "b76_tpch_q6" -> ("TPC-H Q6: the pure-scan query — zero joins; " +
+      "shipdate/discount/quantity predicates all reach the parquet " +
+      "scan (row groups prune on shipdate min/max stats) and the " +
+      "DECIMAL sum ships one partial row per task."),
+    "b82_tpch_q2" -> ("TPC-H Q2: the correlated-MIN rewritten as " +
+      "groupBy + join-back — the lineitem-derived cost frame is " +
+      "persisted so BOTH consumers (per-part minimum and winner " +
+      "probe) read the InMemoryRelation; EUROPE suppliers and the " +
+      "part dim ride broadcasts; top-20 is TakeOrderedAndProject."),
+    "b83_tpch_q11" -> ("TPC-H Q11: per-part centi-value sums are exact " +
+      "BIGINTs (one partial-agged shuffle over the cached frame); the " +
+      "global total is ONE row riding a broadcast back, and the " +
+      "HAVING fraction compares as value*1000 > total — cross-" +
+      "multiplied integers, no float threshold."),
+    "b84_tpch_q16" -> ("TPC-H Q16: the NOT-IN blacklist is a broadcast " +
+      "anti join ahead of the bucket filter; COUNT(DISTINCT supplier) " +
+      "runs Spark's two-phase distinct rewrite — (keys, suppkey) " +
+      "partial-aggregates map-side before the final per-bucket count."),
+    "b75_rate_anomaly" -> ("Rate anomaly: the hourly rollup is " +
+      "computed once (cached, partial-agged map-side); the per-type " +
+      "(hours, sum, sum-of-squares) profile is |types| rows riding a " +
+      "broadcast back over the rollup, and the 3-sigma test is exact " +
+      "BIGINT cross-multiplication — the corpus is scanned once."),
+    "a11ag_nn_dist" -> ("NN-distance census: candidates replicate " +
+      "map-side to their 3 covering 1D grid cells, meet the probe " +
+      "side in ONE cell equi-join (local-density-bounded, never " +
+      "all-pairs), and the per-point argmin is a struct-ordered MIN " +
+      "inside a partial-agged hash aggregate — no window node in the " +
+      "plan."),
   )
 
   def main(args: Array[String]): Unit = {
