@@ -3603,6 +3603,190 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B86
+  /** Robust outlier detection via median/MAD — the heavy-tail-safe
+    * sibling of b75's 3σ z-test (one planted spike can drag a mean; it
+    * cannot drag a median). Everything is exact: values quantize to e6
+    * integers ONCE, both medians are nearest-rank order statistics
+    * (k = (n+1) div 2, a SELECTED value — no float interpolation), and
+    * the outlier test is |v6−med6| > 3·mad6 over pure BIGINTs.
+    *
+    * Scale shape — medians over the HISTOGRAM, not the corpus: the
+    * corpus collapses to per-(type, v6) counts in one partial-agged
+    * shuffle; the cumulative-count windows that select med/MAD run over
+    * |distinct values| rows (bounded by quantization, orders of
+    * magnitude below row count), and the MAD histogram derives from the
+    * value histogram by a broadcast join + re-agg — the raw corpus is
+    * scanned exactly once.
+    */
+  private val b86 = QuerySpec(
+    "b86_mad_outlier",
+    "Median/MAD robust outliers per event type: e6-quantized value histogram (corpus scanned once), nearest-rank median + MAD selected by cumulative-count windows over the histogram, exact BIGINT |v-med| > 3*MAD test.",
+    Some("""WITH h AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS v6,
+              COUNT(*) AS cnt FROM events GROUP BY event_type, v6),
+            n AS (SELECT event_type AS nty, CAST(SUM(cnt) AS BIGINT) AS n,
+              CAST((SUM(cnt) + 1) // 2 AS BIGINT) AS k FROM h GROUP BY event_type),
+            c AS (SELECT event_type, v6, cnt,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY v6) AS cum FROM h),
+            med AS (SELECT c.event_type, MIN(v6) AS med6
+              FROM c JOIN n ON c.event_type = n.nty WHERE c.cum >= n.k GROUP BY c.event_type),
+            dh AS (SELECT h.event_type, abs(h.v6 - med.med6) AS d6,
+              CAST(SUM(cnt) AS BIGINT) AS dc
+              FROM h JOIN med ON h.event_type = med.event_type GROUP BY h.event_type, d6),
+            dc2 AS (SELECT event_type, d6, dc,
+              SUM(dc) OVER (PARTITION BY event_type ORDER BY d6) AS cum FROM dh),
+            mad AS (SELECT dc2.event_type, MIN(d6) AS mad6
+              FROM dc2 JOIN n ON dc2.event_type = n.nty WHERE dc2.cum >= n.k GROUP BY dc2.event_type),
+            o AS (SELECT h.event_type,
+              CAST(COALESCE(SUM(CASE WHEN abs(h.v6 - med.med6) > 3 * mad.mad6
+                                     THEN h.cnt END), 0) AS BIGINT) AS n_outliers
+              FROM h JOIN med ON h.event_type = med.event_type
+                     JOIN mad ON h.event_type = mad.event_type GROUP BY h.event_type)
+            SELECT n.nty AS event_type, n.n, med.med6, mad.mad6, o.n_outliers
+            FROM n JOIN med ON n.nty = med.event_type
+                   JOIN mad ON n.nty = mad.event_type
+                   JOIN o ON n.nty = o.event_type
+            ORDER BY event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", floor($"value" * 1000000.0).cast(LongType).as("v6"))
+        .agg(count(lit(1)).as("cnt")))
+      val n = h.groupBy($"event_type".as("nty"))
+        .agg(sum($"cnt").cast(LongType).as("n"),
+          expr("(sum(cnt) + 1) div 2").cast(LongType).as("k"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"v6")
+      val med = h.withColumn("cum", sum($"cnt").over(wCum))
+        .join(broadcast(n), $"event_type" === $"nty")
+        .filter($"cum" >= $"k")
+        .groupBy($"event_type").agg(min($"v6").as("med6"))
+      val dh = h.join(broadcast(med.withColumnRenamed("event_type", "mty")),
+          $"event_type" === $"mty")
+        .groupBy($"event_type", abs($"v6" - $"med6").as("d6"))
+        .agg(sum($"cnt").cast(LongType).as("dc"))
+      val wDum = Window.partitionBy($"event_type").orderBy($"d6")
+      val mad = dh.withColumn("cum", sum($"dc").over(wDum))
+        .join(broadcast(n), $"event_type" === $"nty")
+        .filter($"cum" >= $"k")
+        .groupBy($"event_type").agg(min($"d6").as("mad6"))
+      val o = h.join(broadcast(med.withColumnRenamed("event_type", "mty")),
+          $"event_type" === $"mty")
+        .join(broadcast(mad.withColumnRenamed("event_type", "dty")),
+          $"event_type" === $"dty")
+        .groupBy($"event_type")
+        .agg(coalesce(sum(when(abs($"v6" - $"med6") > lit(3L) * $"mad6", $"cnt")), lit(0L))
+          .cast(LongType).as("n_outliers"))
+      n.join(med, $"nty" === med("event_type")).drop(med("event_type"))
+        .join(mad, $"nty" === mad("event_type")).drop(mad("event_type"))
+        .join(o, $"nty" === o("event_type")).drop(o("event_type"))
+        .select($"nty".as("event_type"), $"n", $"med6", $"mad6", $"n_outliers")
+        .orderBy($"event_type")
+    }
+  )
+
+  // ----------------------------------------------------------------- B87
+  /** Benford first-digit audit — the forensic-accounting DQ staple: the
+    * leading-digit census of order totals with each digit's exact ppm
+    * share (a fabricated or truncated feed shows up as a digit
+    * histogram that can't happen naturally). Digit extraction is string
+    * arithmetic over floor()'d BIGINTs — no logarithms anywhere, so both
+    * engines agree bit-for-bit; shares are integer divisions against a
+    * single-row total riding a broadcast. Map-side digit, one
+    * partial-agged shuffle of ≤10 groups.
+    */
+  private val b87 = QuerySpec(
+    "b87_benford",
+    "Benford first-digit audit of order totals: leading digit via floor->BIGINT->string (no logs), exact counts + ppm share by integer division against a broadcast single-row total.",
+    Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM orders),
+            c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+            SELECT digit, n, CAST(n * 1000000 // t.total AS BIGINT) AS share_ppm
+            FROM c, t ORDER BY digit"""),
+    (s, d) => {
+      import s.implicits._
+      val c = graft.CacheRegistry.persist(Tables.orders(s, d)
+        .select(substring(floor($"o_totalprice").cast(LongType).cast(StringType), 1, 1)
+          .cast(LongType).as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n")))
+      val t = c.agg(sum($"n").cast(LongType).as("total"))
+      c.crossJoin(broadcast(t))
+        .select($"digit", $"n",
+          expr("n * 1000000 div total").cast(LongType).as("share_ppm"))
+        .orderBy($"digit")
+    }
+  )
+
+  // ----------------------------------------------------------------- B88
+  /** Gini concentration of customer spend per market segment — the
+    * revenue-concentration KPI. Formula: with per-customer cent totals
+    * x₁ ≤ … ≤ xₙ (ties broken by custkey — a TOTAL order),
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Numerator and denominator stay
+    * exact BIGINTs; only the final ratio is one IEEE multiply+divide
+    * chain (floor at 1e6), written identically in both engines.
+    *
+    * Scale shape — NO per-segment single-task window (the b73 lesson):
+    * ranks come from the c1h two-phase machinery — repartitionByRange on
+    * (segment, spend, custkey) spreads the total order contiguously,
+    * pid-local windows rank each slice, and per-(segment, pid) counts
+    * (a bounded |segments·partitions|-row collect) provide the prefix
+    * offsets broadcast back as a literal map.
+    */
+  private val b88 = QuerySpec(
+    "b88_gini",
+    "Gini concentration of customer spend per mktsegment: exact cent totals, rank under the (spend, custkey) total order via range partitioning + per-(segment,pid) prefix offsets (never one window task per segment), BIGINT numerator/denominator, one final IEEE ratio at 1e-6.",
+    Some("""WITH s AS (SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS spend_c
+              FROM orders GROUP BY o_custkey),
+            cs AS (SELECT c_mktsegment AS seg, c_custkey, spend_c
+              FROM customer JOIN s ON c_custkey = o_custkey),
+            r AS (SELECT seg, spend_c,
+              ROW_NUMBER() OVER (PARTITION BY seg ORDER BY spend_c, c_custkey) AS i FROM cs),
+            g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+              CAST(SUM(spend_c) AS BIGINT) AS sum_c,
+              CAST(SUM(i * spend_c) AS BIGINT) AS sum_ixi FROM r GROUP BY seg)
+            SELECT seg, n_cust, sum_c, sum_ixi,
+              CAST(floor((CAST(2 * sum_ixi - (n_cust + 1) * sum_c AS DOUBLE) * 1000000.0)
+                / CAST(n_cust * sum_c AS DOUBLE)) AS BIGINT) AS gini_e6
+            FROM g ORDER BY seg"""),
+    (s, d) => {
+      import s.implicits._
+      val nPart = s.sparkContext.defaultParallelism
+      val spend = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"o_totalprice" * 100.0).cast(LongType)).cast(LongType).as("spend_c"))
+      val keyed = graft.CacheRegistry.persist(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment".as("seg"))
+        .join(spend, $"c_custkey" === $"o_custkey")
+        .select($"seg", $"c_custkey", $"spend_c")
+        .repartitionByRange(nPart, $"seg", $"spend_c", $"c_custkey")
+        .withColumn("pid", spark_partition_id()))
+      // prefix offsets per (segment, pid): |segments·partitions| rows to
+      // the driver, broadcast back as a literal map — never a corpus collect
+      val counts = keyed.groupBy($"seg", $"pid").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val offsets: Map[String, Long] = counts.keys.groupBy(_._1).flatMap {
+        case (seg, ks) =>
+          val pids = ks.map(_._2).toSeq.sorted
+          pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts((seg, p))).init)
+            .map { case (p, off) => s"$seg|$p" -> off }
+      }
+      val wp = Window.partitionBy($"seg", $"pid").orderBy($"spend_c", $"c_custkey")
+      keyed
+        .withColumn("lrn", row_number().over(wp).cast(LongType))
+        .withColumn("i",
+          element_at(typedLit(offsets), concat($"seg", lit("|"), $"pid")) + $"lrn")
+        .groupBy($"seg")
+        .agg(count(lit(1)).cast(LongType).as("n_cust"),
+          sum($"spend_c").cast(LongType).as("sum_c"),
+          sum($"i" * $"spend_c").cast(LongType).as("sum_ixi"))
+        .select($"seg", $"n_cust", $"sum_c", $"sum_ixi",
+          floor(((lit(2L) * $"sum_ixi" - ($"n_cust" + 1) * $"sum_c").cast(DoubleType)
+              * 1000000.0) / ($"n_cust" * $"sum_c").cast(DoubleType))
+            .cast(LongType).as("gini_e6"))
+        .orderBy($"seg")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
@@ -3610,5 +3794,5 @@ object TierB {
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
-    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85)
+    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88)
 }

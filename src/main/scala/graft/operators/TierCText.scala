@@ -2731,8 +2731,99 @@ object TierCText {
     }
   )
 
+  // ------------------------------- DSIR importance weights (c4_dsir)
+  /** Data-selection importance weights — the DSIR recipe (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169): score every document by how much
+    * more likely its hashed-bigram features are under a TARGET
+    * distribution (source 'src0' stands in for the high-quality
+    * exemplar corpus) than under the raw pool —
+    * log p_target(doc) − log p_raw(doc) under bag-of-hashed-bigram
+    * unigram models with add-1 smoothing. Positive weight ⇒ looks like
+    * the target; the selection signal that feeds temperature sampling
+    * (c1l) or top-k retention upstream of training.
+    *
+    * Exactness (c4u discipline): each bigram instance contributes its
+    * bucket's integer floor(ln(((ct+1)·(Tr+B)) / ((cr+1)·(Tt+B)))·1e6)
+    * — the four operands are exact doubles (counts < 2^53) and the
+    * mul/div/ln/mul/floor chain is written identically in both engines;
+    * per-doc and per-source sums are exact BIGINTs. The mean avoids
+    * integer division (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they disagree on negatives): floor(double/double), same
+    * as c4u's avg.
+    *
+    * Scale shape: bigrams hash map-side into B=256 buckets (2 md5 hex
+    * chars); both count tables collapse to ≤B rows in one partial-agged
+    * pass over the cached bigram frame; the ≤B-row log-ratio table and
+    * the single-row totals ride BROADCASTS back over the posting list;
+    * per-doc weights partial-aggregate. The corpus is tokenized once,
+    * and the only driver traffic is the ratio table's bucket count.
+    */
+  private val DsirBuckets = 256
+  private val c4di = QuerySpec(
+    "c4_dsir",
+    s"DSIR importance weights (hashed-bigram log-likelihood ratio vs target source src0, $DsirBuckets md5 buckets, add-1 smoothing): integer-quantized per-bucket log ratios broadcast over the posting list, exact per-doc/per-source sums, positive-weight census.",
+    Some(s"""WITH a AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM documents),
+            bgi AS (SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i FROM a),
+            bk AS (SELECT doc_id, source,
+              CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS bucket
+              FROM (SELECT doc_id, source,
+                md5(toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)]) AS h
+                FROM bgi) hh),
+            cr AS (SELECT bucket, COUNT(*) AS cr FROM bk GROUP BY bucket),
+            ct AS (SELECT bucket AS tb, COUNT(*) AS ct FROM bk WHERE source = 'src0' GROUP BY bucket),
+            tot AS (SELECT CAST((SELECT COUNT(*) FROM bk) AS BIGINT) AS tr,
+                           CAST((SELECT COUNT(*) FROM bk WHERE source = 'src0') AS BIGINT) AS tt),
+            lr AS (SELECT cr.bucket,
+              CAST(floor(ln(((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0) * (CAST(tot.tr AS DOUBLE) + $DsirBuckets.0))
+                / ((CAST(cr.cr AS DOUBLE) + 1.0) * (CAST(tot.tt AS DOUBLE) + $DsirBuckets.0))) * 1000000.0) AS BIGINT) AS lr_e6
+              FROM cr LEFT JOIN ct ON cr.bucket = ct.tb CROSS JOIN tot),
+            dw AS (SELECT bk.doc_id, bk.source, CAST(SUM(lr.lr_e6) AS BIGINT) AS w
+              FROM bk JOIN lr ON bk.bucket = lr.bucket GROUP BY bk.doc_id, bk.source)
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS w_sum_e6,
+              CAST(floor(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS w_mean_e6,
+              CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+            FROM dw GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val bk = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", $"source", toksCol.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", $"source",
+          explode(transform(sequence(lit(1), size($"toks") - 1),
+            i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
+            .as("bg"))
+        .select($"doc_id", $"source",
+          conv(substring(md5($"bg"), 1, 2), 16, 10).cast(LongType).as("bucket")))
+      val cr = bk.groupBy($"bucket").agg(count(lit(1)).as("cr"))
+      val ct = bk.filter($"source" === "src0")
+        .groupBy($"bucket".as("tb")).agg(count(lit(1)).as("ct"))
+      val tot = bk.agg(count(lit(1)).cast(LongType).as("tr"),
+        sum(when($"source" === "src0", 1L).otherwise(0L)).cast(LongType).as("tt"))
+      val b = lit(DsirBuckets.toDouble)
+      val lr = cr.join(ct, $"bucket" === $"tb", "left")
+        .crossJoin(broadcast(tot))
+        .select($"bucket".as("lb"),
+          floor(log(((coalesce($"ct", lit(0L)).cast(DoubleType) + 1.0) * ($"tr".cast(DoubleType) + b))
+            / (($"cr".cast(DoubleType) + 1.0) * ($"tt".cast(DoubleType) + b))) * 1000000.0)
+            .cast(LongType).as("lr_e6"))
+      bk.join(broadcast(lr), $"bucket" === $"lb")
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"lr_e6").cast(LongType).as("w"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"w").cast(LongType).as("w_sum_e6"),
+          floor(sum($"w").cast(DoubleType) / count(lit(1)).cast(DoubleType))
+            .cast(LongType).as("w_mean_e6"),
+          sum(when($"w" > 0, 1L).otherwise(0L)).cast(LongType).as("n_positive"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe)
+      c4cd, c4rr, c1s, c4fe, c4di)
 }
