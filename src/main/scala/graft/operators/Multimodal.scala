@@ -323,5 +323,126 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d)
+  // ----------------------------------------------------- c6e_wav_header
+  /** RIFF/WAVE metadata extraction — one parsing level below c6d's
+    * magic-byte sniff: build a REAL 44-byte canonical WAV header
+    * (RIFF size, fmt chunk with u16/u32 little-endian fields, data
+    * chunk) per record, then recover sample rate / channels / duration
+    * by GENUINELY walking the chunk list with a little-endian reader in
+    * mapPartitions — the hash match proves parse(build(x)) equals the
+    * planted closed form, not that two CASE expressions agree. Duration
+    * uses the byte rate READ FROM the header (that's what's under
+    * test), in exact integer microseconds: data_bytes·1e6 div byte_rate
+    * (positive operands, so Spark div and DuckDB // agree). The text
+    * corpus is ASCII (the c6b char≡byte precedent), so data size
+    * replays as length(text).
+    *
+    * Scale posture: header build and parse are both per-row map work in
+    * mapPartitions (streaming iterator, no driver involvement); the
+    * only shuffle is the final small rollup.
+    */
+  object WavCodec {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rd16(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    private def rd32(p: Array[Byte], o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    private def tag(p: Array[Byte], o: Int): String =
+      new String(p.slice(o, o + 4), "ISO-8859-1")
+
+    /** Canonical 44-byte PCM WAV header + payload. */
+    def build(rate: Int, channels: Int, bits: Int, pcm: Array[Byte]): Array[Byte] = {
+      val byteRate = rate.toLong * channels * (bits / 8)
+      val blockAlign = channels * (bits / 8)
+      "RIFF".getBytes("ISO-8859-1") ++ le32(36L + pcm.length) ++
+        "WAVE".getBytes("ISO-8859-1") ++
+        "fmt ".getBytes("ISO-8859-1") ++ le32(16L) ++
+        le16(1) ++ le16(channels) ++ le32(rate.toLong) ++ le32(byteRate) ++
+        le16(blockAlign) ++ le16(bits) ++
+        "data".getBytes("ISO-8859-1") ++ le32(pcm.length.toLong) ++ pcm
+    }
+
+    final case class WavMeta(rate: Long, channels: Int, bits: Int,
+        byteRate: Long, dataBytes: Long) {
+      def durationUs: Long = dataBytes * 1000000L / byteRate
+    }
+
+    /** Genuine chunk walk — throws loudly on malformed input rather than
+      * guessing (the FlatGeobuf/GML loud-throw discipline).
+      */
+    def parse(p: Array[Byte]): WavMeta = {
+      require(p.length >= 12 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE",
+        "not a RIFF/WAVE container")
+      var off = 12
+      var fmt: Option[(Long, Int, Int, Long)] = None
+      var data: Option[Long] = None
+      while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(p, off)
+        val sz = rd32(p, off + 4)
+        id match {
+          case "fmt " =>
+            require(sz >= 16, s"fmt chunk too short: $sz")
+            fmt = Some((rd32(p, off + 12), rd16(p, off + 10), rd16(p, off + 22),
+              rd32(p, off + 16)))
+          case "data" => data = Some(sz)
+          case _ => () // unknown chunks are legal in RIFF; skip
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      val (rate, ch, bits, byteRate) =
+        fmt.getOrElse(throw new IllegalArgumentException("no fmt chunk"))
+      WavMeta(rate, ch, bits, byteRate,
+        data.getOrElse(throw new IllegalArgumentException("no data chunk")))
+    }
+
+    def rateFor(id: Long): Int = (id % 3) match {
+      case 0 => 8000; case 1 => 16000; case _ => 44100
+    }
+    def channelsFor(id: Long): Int = 1 + (id % 2).toInt
+  }
+
+  private val c6e = QuerySpec(
+    "c6e_wav_header",
+    "RIFF/WAVE metadata extraction: a real 44-byte little-endian PCM header built per record (rate/channels planted by id), sample rate, channels, and exact integer-microsecond duration recovered by genuinely walking the chunk list in mapPartitions; per (rate, channels) rollup — parse(build(x)) must equal the planted closed form.",
+    Some("""WITH m AS (SELECT doc_id,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT) AS sample_rate,
+              CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+              CAST(length(text) AS BIGINT) AS data_bytes
+              FROM documents),
+            t AS (SELECT doc_id, sample_rate, channels, data_bytes,
+              CAST(data_bytes * 1000000 // (sample_rate * channels * 2) AS BIGINT) AS duration_us
+              FROM m)
+            SELECT sample_rate, channels, COUNT(*) AS n,
+              CAST(SUM(data_bytes) AS BIGINT) AS total_bytes,
+              CAST(SUM(duration_us) AS BIGINT) AS total_duration_us
+            FROM t GROUP BY sample_rate, channels
+            ORDER BY sample_rate, channels"""),
+    (s, d) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, pcm) =>
+          (id, WavCodec.build(WavCodec.rateFor(id), WavCodec.channelsFor(id), 16, pcm))
+        })
+      wavs
+        .mapPartitions(_.map { case (id, payload) =>
+          val m = WavCodec.parse(payload)
+          (id, m.rate, m.channels.toLong, m.dataBytes, m.durationUs)
+        })
+        .toDF("media_id", "sample_rate", "channels", "data_bytes", "duration_us")
+        .groupBy($"sample_rate", $"channels")
+        .agg(count(lit(1)).as("n"),
+          sum($"data_bytes").cast(LongType).as("total_bytes"),
+          sum($"duration_us").cast(LongType).as("total_duration_us"))
+        .orderBy($"sample_rate", $"channels")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e)
 }

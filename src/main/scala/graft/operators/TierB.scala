@@ -3787,6 +3787,68 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B89
+  /** Lag-1 autocorrelation of hourly event rates — the seasonality probe
+    * next to b75's spike detector: per type, Pearson r between each
+    * hour's count and the NEXT CALENDAR hour's (pairs form by an
+    * equi-join on hr+1h, so a gap in the feed breaks the pair — lag-
+    * over-observed-rows would silently bridge it). All five moment sums
+    * (m, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs over the hourly
+    * rollup; only the final r is one IEEE chain (two correctly-rounded
+    * sqrts + one division + floor at 1e-6), written identically in both
+    * engines. Degenerate series (zero variance on either side) are
+    * filtered exactly, not NaN'd.
+    *
+    * Scale shape: the corpus collapses to the per-(type, hour) rollup in
+    * one partial-agged shuffle (the b75 cached frame pattern); the pair
+    * join is the rollup joined to itself on the co-partitioned
+    * (type, hour) key — histogram-sized, never corpus-sized.
+    */
+  private val b89 = QuerySpec(
+    "b89_autocorr",
+    "Lag-1 autocorrelation of hourly rates per type: cached hourly rollup, calendar-adjacent pairs via a co-partitioned hr+1h equi-join, exact BIGINT moment sums, one IEEE sqrt/div chain for r at 1e-6; zero-variance series filtered exactly.",
+    Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+              CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, hr),
+            p AS (SELECT a.event_type, a.n AS x, b.n AS y
+              FROM h a JOIN h b ON a.event_type = b.event_type
+                AND b.hr = a.hr + INTERVAL 1 HOUR),
+            s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sx2, CAST(SUM(y * y) AS BIGINT) AS sy2
+              FROM p GROUP BY event_type)
+            SELECT event_type, m, sx, sy, sxy,
+              CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE) * 1000000.0
+                / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+                   * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE)))) AS BIGINT) AS r_e6
+            FROM s
+            WHERE m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0
+            ORDER BY event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).cast(LongType).as("n")))
+      val pairs = h.join(
+        h.select($"event_type".as("ety"), $"hr".as("hr2"), $"n".as("y")),
+        $"event_type" === $"ety" && $"hr2" === $"hr" + expr("INTERVAL 1 HOUR"))
+        .select($"event_type", $"n".as("x"), $"y")
+      pairs.groupBy($"event_type")
+        .agg(count(lit(1)).cast(LongType).as("m"),
+          sum($"x").cast(LongType).as("sx"), sum($"y").cast(LongType).as("sy"),
+          sum($"x" * $"y").cast(LongType).as("sxy"),
+          sum($"x" * $"x").cast(LongType).as("sx2"),
+          sum($"y" * $"y").cast(LongType).as("sy2"))
+        .filter($"m" * $"sx2" - $"sx" * $"sx" > 0 && $"m" * $"sy2" - $"sy" * $"sy" > 0)
+        .select($"event_type", $"m", $"sx", $"sy", $"sxy",
+          floor(($"m" * $"sxy" - $"sx" * $"sy").cast(DoubleType) * 1000000.0
+            / (sqrt(($"m" * $"sx2" - $"sx" * $"sx").cast(DoubleType))
+               * sqrt(($"m" * $"sy2" - $"sy" * $"sy").cast(DoubleType))))
+            .cast(LongType).as("r_e6"))
+        .orderBy($"event_type")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
@@ -3794,5 +3856,5 @@ object TierB {
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
-    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88)
+    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89)
 }

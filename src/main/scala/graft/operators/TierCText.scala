@@ -2822,8 +2822,69 @@ object TierCText {
     }
   )
 
+  // --------------------------------------- Zipf law fit (c4_zipf)
+  /** Zipf-law fit over the token frequency spectrum — the
+    * is-this-corpus-natural-language diagnostic (a scraped corpus whose
+    * rank–frequency slope sits far from −1 is boilerplate soup or
+    * templated spam; the standard sanity plot behind every corpus
+    * report). OLS of ln(freq) on ln(rank) over the top-k vocabulary:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²-of-sums).
+    *
+    * Exactness: ln values quantize ONCE at 1e3 (coarse by design —
+    * e6 would overflow BIGINT in the n·Σxy cross terms at k = 500:
+    * 500·(ln(500)·1e6)² ≈ 2e19 > 2^63; at 1e3, n·Σxy ≤ ~1e13), so all
+    * five moment sums are exact BIGINTs; the final slope is one IEEE
+    * division + floor at 1e-6, identical text both engines.
+    *
+    * Scale shape: token counts partial-aggregate to vocabulary grain;
+    * the top-k selection is orderBy+limit — TakeOrderedAndProject, a
+    * per-partition k-merge, never a global sort; the rank window and
+    * the regression run over k rows.
+    */
+  private val ZipfK = 500
+  private val c4zp = QuerySpec(
+    "c4_zipf",
+    s"Zipf-law OLS fit over the top-$ZipfK token spectrum: vocab-grain counts (partial-agged), top-k by (freq desc, token) via TakeOrdered, ln(rank)/ln(freq) quantized at 1e3 into exact BIGINT moment sums, one final IEEE division for slope_e6.",
+    Some(s"""WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS token
+              FROM documents),
+            f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token
+              ORDER BY cnt DESC, token LIMIT $ZipfK),
+            r AS (SELECT token, cnt,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk FROM f),
+            q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+                         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS y FROM r),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sx2
+              FROM q)
+            SELECT n, sx, sy, sxy, sx2,
+              CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                / CAST(n * sx2 - sx * sx AS DOUBLE)) AS BIGINT) AS slope_e6
+            FROM s"""),
+    (s, d) => {
+      import s.implicits._
+      val f = Tables.documents(s, d)
+        .select(explode(toksCol).as("token"))
+        .groupBy($"token").agg(count(lit(1)).cast(LongType).as("cnt"))
+        .orderBy($"cnt".desc, $"token").limit(ZipfK)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"cnt".desc, $"token")
+      f.withColumn("rnk", row_number().over(w).cast(LongType))
+        .select(floor(log($"rnk".cast(DoubleType)) * 1000.0).cast(LongType).as("x"),
+          floor(log($"cnt".cast(DoubleType)) * 1000.0).cast(LongType).as("y"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum($"x").cast(LongType).as("sx"), sum($"y").cast(LongType).as("sy"),
+          sum($"x" * $"y").cast(LongType).as("sxy"),
+          sum($"x" * $"x").cast(LongType).as("sx2"))
+        .select($"n", $"sx", $"sy", $"sxy", $"sx2",
+          floor(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) * 1000000.0
+            / ($"n" * $"sx2" - $"sx" * $"sx").cast(DoubleType))
+            .cast(LongType).as("slope_e6"))
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp)
 }

@@ -117,4 +117,28 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sniff(headerFor(id) ++ "x".getBytes) == expect)
     }
   }
+
+  test("WavCodec: parse(build) roundtrips, unknown chunks skip, malformed throws") {
+    import Multimodal.WavCodec
+    val pcm = "0123456789abcdef".getBytes("ISO-8859-1")
+    val m = WavCodec.parse(WavCodec.build(16000, 2, 16, pcm))
+    assert(m.rate == 16000 && m.channels == 2 && m.bits == 16)
+    assert(m.byteRate == 16000L * 2 * 2 && m.dataBytes == pcm.length.toLong)
+    // exact integer microseconds: 16 bytes / 64000 B/s = 250 µs
+    assert(m.durationUs == pcm.length * 1000000L / 64000L)
+    // an unknown LIST chunk between fmt and data is legal RIFF — skipped,
+    // including the odd-size word-alignment pad
+    val built = WavCodec.build(8000, 1, 16, pcm)
+    val (head, rest) = built.splitAt(36) // through fmt; "data" starts at 36
+    val list = "LIST".getBytes("ISO-8859-1") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("ISO-8859-1") ++ Array[Byte](0)
+    val withList = head ++ list ++ rest
+    val m2 = WavCodec.parse(withList)
+    assert(m2.rate == 8000 && m2.dataBytes == pcm.length.toLong)
+    // malformed inputs throw loudly, never guess
+    intercept[IllegalArgumentException](WavCodec.parse("RIFFxxxxAVI ".getBytes("ISO-8859-1")))
+    intercept[IllegalArgumentException](
+      WavCodec.parse("RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes))
+    intercept[IllegalArgumentException](WavCodec.parse(Array.empty[Byte]))
+  }
 }
