@@ -3627,14 +3627,14 @@ object TierB {
             n AS (SELECT event_type AS nty, CAST(SUM(cnt) AS BIGINT) AS n,
               CAST((SUM(cnt) + 1) // 2 AS BIGINT) AS k FROM h GROUP BY event_type),
             c AS (SELECT event_type, v6, cnt,
-              SUM(cnt) OVER (PARTITION BY event_type ORDER BY v6) AS cum FROM h),
+              CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v6) AS BIGINT) AS cum FROM h),
             med AS (SELECT c.event_type, MIN(v6) AS med6
               FROM c JOIN n ON c.event_type = n.nty WHERE c.cum >= n.k GROUP BY c.event_type),
             dh AS (SELECT h.event_type, abs(h.v6 - med.med6) AS d6,
               CAST(SUM(cnt) AS BIGINT) AS dc
               FROM h JOIN med ON h.event_type = med.event_type GROUP BY h.event_type, d6),
             dc2 AS (SELECT event_type, d6, dc,
-              SUM(dc) OVER (PARTITION BY event_type ORDER BY d6) AS cum FROM dh),
+              CAST(SUM(dc) OVER (PARTITION BY event_type ORDER BY d6) AS BIGINT) AS cum FROM dh),
             mad AS (SELECT dc2.event_type, MIN(d6) AS mad6
               FROM dc2 JOIN n ON dc2.event_type = n.nty WHERE dc2.cum >= n.k GROUP BY dc2.event_type),
             o AS (SELECT h.event_type,

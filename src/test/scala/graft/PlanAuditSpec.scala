@@ -715,6 +715,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b86_mad_outlier: corpus scanned once into a cached histogram; windows run over histogram rows") {
+    val p = plan("b86_mad_outlier")
+    // every median/MAD/outlier consumer must read the cached histogram
+    // (the plan string re-prints the scan inside each InMemoryRelation,
+    // so count cache READS — the b82 lesson)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      "median, MAD, and outlier arms must all reuse the cached histogram:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b87_benford: map-side digit, one partial-agged rollup, single-row total broadcast") {
+    val p = plan("b87_benford")
+    assert(p.contains("partial_count"), "digit census must partial-aggregate:\n" + p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the single-row total must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b88_gini: ranks via range partitioning + pid-local windows — never one window task per segment") {
+    val p = plan("b88_gini")
+    // the rank window must carry BOTH seg and pid (pid-local slices), and
+    // the order must come from a range exchange, not a single partition
+    assert(p.contains("rangepartitioning"),
+      "total order must come from repartitionByRange:\n" + p)
+    assert(p.contains("windowspecdefinition(seg") && p.contains("pid"),
+      "rank window must be pid-local, not per-segment:\n" + p)
+    assert(!p.contains("SinglePartition") || !p.contains("Window"),
+      "no single-partition window allowed:\n" + p)
+  }
+
+  test("b89_autocorr: hourly rollup cached, pair join co-partitioned on the rollup key") {
+    val p = plan("b89_autocorr")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "both pair-join sides must read the cached rollup:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c4_dsir: ratio table and totals ride broadcasts over the cached posting list") {
+    val p = plan("c4_dsir")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "bucket counts and the posting join must reuse the cached bigram frame:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=256-row log-ratio table must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), "per-doc weights must partial-aggregate:\n" + p)
+  }
+
+  test("c4_zipf: top-k spectrum is TakeOrdered; the regression runs over k rows") {
+    val p = plan("c4_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k vocab selection must be TakeOrdered, not a global sort:\n" + p)
+    assert(p.contains("partial_count"), "vocab counts must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
