@@ -304,12 +304,38 @@ object Plans {
       "(hours, sum, sum-of-squares) profile is |types| rows riding a " +
       "broadcast back over the rollup, and the 3-sigma test is exact " +
       "BIGINT cross-multiplication — the corpus is scanned once."),
+    "b86_mad_outlier" -> ("Median/MAD outliers: the corpus collapses to " +
+      "the cached e6-quantized histogram in one partial-agged shuffle; " +
+      "median, MAD, and the outlier census all reuse the cache, and the " +
+      "cumulative-count windows run over histogram rows — never corpus " +
+      "rows."),
+    "b88_gini" -> ("Gini concentration: ranks come from " +
+      "repartitionByRange + pid-local windows with per-(segment, pid) " +
+      "prefix offsets broadcast back — the c1h two-phase machinery, " +
+      "never one window task per segment; all moment sums are exact " +
+      "BIGINTs."),
+    "c4_dsir" -> ("DSIR importance weights: the bigram posting list is " +
+      "cached and hashed map-side into 256 buckets; both count tables " +
+      "collapse to <=256 rows, the log-ratio table rides a broadcast " +
+      "back over the posting list, and per-doc weights " +
+      "partial-aggregate."),
     "a11ag_nn_dist" -> ("NN-distance census: candidates replicate " +
       "map-side to their 3 covering 1D grid cells, meet the probe " +
       "side in ONE cell equi-join (local-density-bounded, never " +
       "all-pairs), and the per-point argmin is a struct-ordered MIN " +
       "inside a partial-agged hash aggregate — no window node in the " +
       "plan."),
+    "b90_funnel" -> ("Strict funnel: each step is a per-user MIN " +
+      "aggregation whose join back to the next step's events keys the " +
+      "SAME user_id the groupBy hashed on — co-partitioned, no " +
+      "re-exchange above the aggregate; the three step censuses are " +
+      "single-row frames folded by broadcast cross joins into one " +
+      "3-row stack()."),
+    "b91_cusum" -> ("CUSUM change-point: the corpus collapses to the " +
+      "cached per-(type, hour) rollup once; the running-deviation " +
+      "windows partition by type over ROLLUP rows (hours-sized, never " +
+      "corpus-sized), the per-type totals ride a broadcast, and the " +
+      "argmax is a window rank over the same hours-sized frame."),
   )
 
   def main(args: Array[String]): Unit = {

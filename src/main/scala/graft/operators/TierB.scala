@@ -3849,6 +3849,134 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B90
+  /** Strict-sequence conversion funnel view → click → purchase — the
+    * product-analytics companion to b64's path census. STRICT means each
+    * step must happen after the user's first completion of the previous
+    * step (a click before the first view does not convert), which is the
+    * semantics ad-hoc `COUNT(DISTINCT CASE ...)` funnels get wrong. Step
+    * anchors are first-occurrence minima, so the whole funnel is three
+    * per-user min-aggregations chained by `ts >` filters; conversion is
+    * exact ppm by integer division against the step-1 census.
+    *
+    * Scale shape: events shuffle on user_id ONCE per step, and each
+    * step's join keys the same user_id the previous groupBy hashed on —
+    * co-partitioned, no re-exchange; the step censuses are single-row
+    * aggregates folded into one 3-row `stack()`. No windows, no
+    * per-user collect.
+    */
+  private val b90 = QuerySpec(
+    "b90_funnel",
+    "Strict-sequence funnel view->click->purchase: per-user first-view anchor, first click AFTER it, first purchase after that, chained co-partitioned min-agg joins; 3-row output with exact ppm conversion by integer division.",
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+            n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n1,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n2,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n3)
+            SELECT step, step_name, n_users,
+              CAST(n_users * 1000000 // n1 AS BIGINT) AS conv_ppm
+            FROM (SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_users, n1 FROM n
+                  UNION ALL SELECT 2, 'click', n2, n1 FROM n
+                  UNION ALL SELECT 3, 'purchase', n3, n1 FROM n)
+            ORDER BY step"""),
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts")
+        .join(v, $"cu" === $"user_id" && $"ts" > $"t1")
+        .groupBy($"cu").agg(min($"ts").as("t2"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts")
+        .join(c, $"pu" === $"cu" && $"ts" > $"t2")
+        .groupBy($"pu").agg(min($"ts").as("t3"))
+      val n1 = v.agg(count(lit(1)).cast(LongType).as("n1"))
+      val n2 = c.agg(count(lit(1)).cast(LongType).as("n2"))
+      val n3 = p.agg(count(lit(1)).cast(LongType).as("n3"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+        .select(expr(
+          "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3)")
+          .as(Seq("step", "step_name", "n_users")), $"n1")
+        .select($"step", $"step_name", $"n_users".cast(LongType).as("n_users"),
+          expr("n_users * 1000000 div n1").cast(LongType).as("conv_ppm"))
+        .orderBy($"step")
+    }
+  )
+
+  // ----------------------------------------------------------------- B91
+  /** Offline CUSUM change-point scan of hourly event rates — WHEN did
+    * the rate shift, the question b75's spike detector (which hour is
+    * anomalous) and b89's autocorrelation (is there seasonality) don't
+    * answer. The statistic is the classic max cumulative deviation: with
+    * hourly counts x₁..x_H and total S, D_k = H·(Σ_{i≤k} xᵢ) − k·S
+    * (the CUSUM against the series mean, scaled by H to stay an exact
+    * BIGINT — no division anywhere), and the change point is the hour
+    * maximizing |D_k|, ties broken to the EARLIEST hour by a total-order
+    * window. The e6 share D_max·1e6/(H·S) normalizes across types with
+    * one final integer division.
+    *
+    * Scale shape: the corpus collapses to the cached per-(type, hour)
+    * rollup in one partial-agged shuffle (the b75/b89 frame); the
+    * running sums are windows over ROLLUP rows partitioned by type —
+    * hours-sized, never corpus-sized (the b86 histogram-window
+    * justification).
+    */
+  private val b91 = QuerySpec(
+    "b91_cusum",
+    "Offline CUSUM change-point per type: cached hourly rollup, exact BIGINT D_k = H*cum_k - k*S running deviation via type-partitioned windows over rollup rows, argmax |D_k| with earliest-hour tie-break, e6 share by integer division.",
+    Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+              CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, hr),
+            s AS (SELECT event_type AS sty, CAST(COUNT(*) AS BIGINT) AS hh,
+              CAST(SUM(n) AS BIGINT) AS tot FROM h GROUP BY event_type),
+            w AS (SELECT h.event_type, hr, hh, tot,
+              CAST(SUM(n) OVER (PARTITION BY h.event_type ORDER BY hr) AS BIGINT) AS cum,
+              CAST(ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY hr) AS BIGINT) AS k
+              FROM h JOIN s ON h.event_type = s.sty),
+            dev AS (SELECT event_type, hh, tot,
+              abs(hh * cum - k * tot) AS d, CAST(epoch(hr) AS BIGINT) AS hr_epoch,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY abs(hh * cum - k * tot) DESC, hr) AS rn
+              FROM w)
+            SELECT event_type, hh AS n_hours, tot AS total,
+              CAST(d AS BIGINT) AS max_dev, hr_epoch AS dev_hr_epoch,
+              CAST(d * 1000000 // (hh * tot) AS BIGINT) AS dev_share_e6
+            FROM dev WHERE rn = 1 ORDER BY event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).cast(LongType).as("n")))
+      val tot = h.groupBy($"event_type".as("sty"))
+        .agg(count(lit(1)).cast(LongType).as("hh"),
+          sum($"n").cast(LongType).as("tot"))
+      val ord = Window.partitionBy($"event_type").orderBy($"hr")
+      val dev = h
+        .withColumn("cum", sum($"n").over(ord).cast(LongType))
+        .withColumn("k", row_number().over(ord).cast(LongType))
+        .join(broadcast(tot), $"event_type" === $"sty")
+        .select($"event_type", $"hh", $"tot",
+          abs($"hh" * $"cum" - $"k" * $"tot").as("d"),
+          unix_timestamp($"hr").cast(LongType).as("hr_epoch"))
+      val pick = Window.partitionBy($"event_type").orderBy($"d".desc, $"hr_epoch")
+      dev.withColumn("rn", row_number().over(pick))
+        .filter($"rn" === 1)
+        .select($"event_type", $"hh".as("n_hours"), $"tot".as("total"),
+          $"d".cast(LongType).as("max_dev"), $"hr_epoch".as("dev_hr_epoch"),
+          expr("d * 1000000 div (hh * tot)").cast(LongType).as("dev_share_e6"))
+        .orderBy($"event_type")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
@@ -3856,5 +3984,5 @@ object TierB {
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
-    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89)
+    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91)
 }

@@ -770,6 +770,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b90_funnel: step filters pushed to the scan, per-step MIN partial-aggregates, censuses fold by single-row broadcast") {
+    val p = plan("b90_funnel")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "per-step event_type filter must reach the parquet scan:\n" + p)
+    assert(p.contains("partial_min"),
+      "step-anchor MIN must partial-aggregate before its shuffle:\n" + p)
+    // the only nested-loop joins allowed are the two census folds, each
+    // against an Identity-broadcast single-row frame
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2 &&
+      "IdentityBroadcastMode".r.findAllIn(p).length == 2,
+      "census folds must be single-row identity broadcasts:\n" + p)
+  }
+
+  test("b91_cusum: both rollup consumers read the cache, totals broadcast, argmax is group-limited") {
+    val p = plan("b91_cusum")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "deviation windows and totals must both reuse the cached rollup:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type totals must ride a broadcast:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "the rn=1 argmax must push a group limit below the rank window:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
