@@ -336,6 +336,23 @@ object Plans {
       "windows partition by type over ROLLUP rows (hours-sized, never " +
       "corpus-sized), the per-type totals ride a broadcast, and the " +
       "argmax is a window rank over the same hours-sized frame."),
+    "b92_transition" -> ("Markov transition matrix: ONE user-partitioned " +
+      "lead() window over the corpus, pair census partial-aggregates to " +
+      "types^2 rows (cached — the normalizing totals never re-scan the " +
+      "corpus), and the per-src total table rides a broadcast."),
+    "b95_funnel_latency" -> ("Funnel latency: the b90 min-agg chain " +
+      "feeds a cached converter-duration frame; histogram, totals, and " +
+      "rank selection all reuse the cache, and the cumulative window " +
+      "runs over the minute-resolution histogram — bounded by corpus " +
+      "timespan, never by converter count."),
+    "b96_ewma" -> ("Integer EWMA: corpus collapses to the cached hourly " +
+      "rollup, collect_list builds one timespan-bounded array per type, " +
+      "the recurrence UDF is O(hours) per series, and the trace explodes " +
+      "back to rollup grain — parallelism across series."),
+    "b97_skew_audit" -> ("Skew audit: each key column's census is one " +
+      "partial-agged groupBy into a shared cached frame; the stats row " +
+      "and the heavy-key count both reuse it, and the 3-row stats table " +
+      "rides broadcasts."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -3977,6 +3977,351 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B92
+  /** First-order Markov transition matrix between event types — the
+    * aggregate-grain sibling of b64's top-journeys census: for each
+    * (src, dst) pair of CONSECUTIVE events in a user's (ts, event_id)
+    * total order, the pair count and the row-normalized transition
+    * probability in exact ppm. The per-user lead() gives each event its
+    * successor; ties on ts break by event_id so the order is total and
+    * both engines walk identical sequences.
+    *
+    * Scale shape: ONE user-partitioned window over the corpus (the same
+    * shuffle a sessionization needs anyway), then the pair census
+    * partial-aggregates to ≤|types|² rows; the pair frame is cached so
+    * the row-normalizing totals don't re-scan the corpus, and the
+    * ≤|types|-row total table rides a broadcast.
+    */
+  private val b92 = QuerySpec(
+    "b92_transition",
+    "Markov transition matrix over event types: per-user lead() under the (ts, event_id) total order, pair census partial-agged to types^2 rows (cached), row-normalized exact-ppm probabilities via a broadcast total table.",
+    Some("""WITH p AS (SELECT event_type AS src_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+              FROM events),
+            c AS (SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM p WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type),
+            t AS (SELECT src_type AS tsrc, CAST(SUM(n_pairs) AS BIGINT) AS tot
+              FROM c GROUP BY src_type)
+            SELECT src_type, dst_type, n_pairs,
+              CAST(n_pairs * 1000000 // tot AS BIGINT) AS ppm
+            FROM c JOIN t ON src_type = tsrc
+            ORDER BY src_type, dst_type"""),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type".as("src_type"))
+        .withColumn("dst_type", lead($"src_type", 1).over(w))
+        .filter($"dst_type".isNotNull)
+        .groupBy($"src_type", $"dst_type")
+        .agg(count(lit(1)).cast(LongType).as("n_pairs")))
+      val tot = pairs.groupBy($"src_type".as("tsrc"))
+        .agg(sum($"n_pairs").cast(LongType).as("tot"))
+      pairs.join(broadcast(tot), $"src_type" === $"tsrc")
+        .select($"src_type", $"dst_type", $"n_pairs",
+          expr("n_pairs * 1000000 div tot").cast(LongType).as("ppm"))
+        .orderBy($"src_type", $"dst_type")
+    }
+  )
+
+  // ----------------------------------------------------------------- B93
+  /** Daily active / new / cumulative-distinct users — the growth
+    * dashboard's first page. `new_users` counts users whose FIRST-ever
+    * active day is that day (a min-aggregation, not a window over the
+    * corpus), and `cum_users` — distinct users to date — is exactly the
+    * running sum of new_users, so the cumulative-distinct problem
+    * collapses to a window over the DAYS-sized rollup (the b86
+    * bounded-frame discipline: the unpartitioned window runs over
+    * calendar rows, never corpus rows).
+    *
+    * Scale shape: the distinct (day, user) frame is computed once
+    * (cached) and feeds both the DAU census and the first-seen min; the
+    * days-sized new-user table rides a broadcast back onto the DAU
+    * frame.
+    */
+  private val b93 = QuerySpec(
+    "b93_active_users",
+    "Daily active/new/cumulative users: cached distinct (day, user) frame feeds DAU and first-seen min; cumulative distinct = running sum of new_users over the DAYS-sized rollup (bounded unpartitioned window), new-user table broadcast.",
+    Some("""WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+            dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY day),
+            fst AS (SELECT user_id, MIN(day) AS fday FROM act GROUP BY user_id),
+            nu AS (SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+              FROM fst GROUP BY fday)
+            SELECT d.day, d.dau,
+              CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+              CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+            FROM dau d LEFT JOIN nu n ON d.day = n.day
+            ORDER BY d.day"""),
+    (s, d) => {
+      import s.implicits._
+      val act = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select(to_date($"ts").as("day"), $"user_id").distinct())
+      val dau = act.groupBy($"day").agg(count(lit(1)).cast(LongType).as("dau"))
+      val nu = act.groupBy($"user_id").agg(min($"day").as("fday"))
+        .groupBy($"fday".as("nday"))
+        .agg(count(lit(1)).cast(LongType).as("new_users"))
+      // unpartitioned running sum over DAYS rows only (calendar-bounded)
+      val cum = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(broadcast(nu), $"day" === $"nday", "left")
+        .select($"day", $"dau",
+          coalesce($"new_users", lit(0L)).cast(LongType).as("new_users"))
+        .withColumn("cum_users", sum($"new_users").over(cum).cast(LongType))
+        .orderBy($"day")
+    }
+  )
+
+  // ----------------------------------------------------------------- B94
+  /** Weekly churn: of the users active in week w, how many are absent in
+    * week w+1. Weeks are calendar-free epoch-microsecond buckets (the
+    * b68 discipline — `epoch_us div 604800e6` — so both engines bucket
+    * identically with zero timezone/calendar edge cases), and the final
+    * week is excluded because its successor is unobserved, not churned.
+    *
+    * Scale shape: the distinct (user, week) activity frame is computed
+    * once (cached) and self-joined on (user, week+1) — both sides
+    * shuffle-hash on the same composite key from the same cache; the
+    * single-row max-week guard rides a broadcast.
+    */
+  private val b94 = QuerySpec(
+    "b94_churn",
+    "Weekly churn ppm: cached distinct (user, epoch-week) frame left-self-joined on (user, week+1) — co-keyed, both sides from one cache; last (successor-unobserved) week excluded via a broadcast single-row max; exact integer ppm.",
+    Some("""WITH am AS (SELECT DISTINCT user_id,
+              epoch_us(ts) // 604800000000 AS wk FROM events),
+            mx AS (SELECT MAX(wk) AS m FROM am),
+            j AS (SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+              CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
+              FROM am a LEFT JOIN am b
+                ON b.user_id = a.user_id AND b.wk = a.wk + 1
+              GROUP BY a.wk)
+            SELECT CAST(wk AS BIGINT) AS week_idx, n_active, n_retained,
+              CAST((n_active - n_retained) * 1000000 // n_active AS BIGINT) AS churn_ppm
+            FROM j, mx WHERE wk < m ORDER BY week_idx"""),
+    (s, d) => {
+      import s.implicits._
+      val am = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select($"user_id",
+          expr("unix_micros(ts) div 604800000000").as("wk")).distinct())
+      val nxt = am.select($"user_id".as("nu"), ($"wk" - 1).as("pwk"))
+      val mx = am.agg(max($"wk").as("m"))
+      am.join(nxt, $"user_id" === $"nu" && $"wk" === $"pwk", "left")
+        .groupBy($"wk")
+        .agg(count(lit(1)).cast(LongType).as("n_active"),
+          count($"nu").cast(LongType).as("n_retained"))
+        .crossJoin(broadcast(mx)).filter($"wk" < $"m")
+        .select($"wk".cast(LongType).as("week_idx"), $"n_active", $"n_retained",
+          expr("(n_active - n_retained) * 1000000 div n_active")
+            .cast(LongType).as("churn_ppm"))
+        .orderBy($"week_idx")
+    }
+  )
+
+  // ----------------------------------------------------------------- B95
+  /** Funnel time-to-convert distribution — the "how long" companion to
+    * b90's "how many": for every user who completes the strict
+    * view→click→purchase sequence, the first-view→first-valid-purchase
+    * latency, summarized as exact min/max/mean (µs-derived integer
+    * seconds) plus nearest-rank median and p90 at MINUTE resolution.
+    * The quantile selection uses the b86 histogram discipline: durations
+    * quantize to minutes, whose domain is bounded by the corpus TIMESPAN
+    * (not by the converter count), so the cumulative window runs over a
+    * calendar-bounded histogram; nearest-rank is the cross-multiplied
+    * integer test 2·cum ≥ n (resp. 10·cum ≥ 9n) — a SELECTED value, no
+    * interpolation.
+    *
+    * Scale shape: the b90 chain (per-user MINs joined forward), the
+    * converter-duration frame cached, and every summary consumer — the
+    * histogram, the totals row — reads that cache; the single-row totals
+    * ride broadcasts.
+    */
+  private val b95 = QuerySpec(
+    "b95_funnel_latency",
+    "Strict-funnel time-to-convert: b90 chain -> cached per-converter duration frame; exact integer min/max/mean(e3) seconds + nearest-rank median/p90 selected from a minute-resolution histogram (timespan-bounded window, cross-multiplied rank tests).",
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+            dur AS (SELECT (epoch_us(p.t3) - epoch_us(v.t1)) // 1000000 AS dur_sec,
+              (epoch_us(p.t3) - epoch_us(v.t1)) // 60000000 AS dur_min
+              FROM p JOIN v ON p.user_id = v.user_id),
+            h AS (SELECT dur_min, CAST(COUNT(*) AS BIGINT) AS cnt FROM dur GROUP BY dur_min),
+            cumh AS (SELECT dur_min,
+              CAST(SUM(cnt) OVER (ORDER BY dur_min) AS BIGINT) AS cum FROM h),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MIN(dur_sec) AS BIGINT) AS min_sec,
+              CAST(MAX(dur_sec) AS BIGINT) AS max_sec,
+              CAST(SUM(dur_sec) * 1000 // COUNT(*) AS BIGINT) AS mean_sec_e3 FROM dur)
+            SELECT n AS n_conv,
+              CAST((SELECT MIN(dur_min) FROM cumh, tot WHERE 2 * cum >= n) AS BIGINT) AS med_min,
+              CAST((SELECT MIN(dur_min) FROM cumh, tot WHERE 10 * cum >= 9 * n) AS BIGINT) AS p90_min,
+              min_sec, max_sec, mean_sec_e3 FROM tot"""),
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts")
+        .join(v, $"cu" === $"user_id" && $"ts" > $"t1")
+        .groupBy($"cu").agg(min($"ts").as("t2"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts")
+        .join(c, $"pu" === $"cu" && $"ts" > $"t2")
+        .groupBy($"pu").agg(min($"ts").as("t3"))
+      val dur = graft.CacheRegistry.persist(
+        p.join(v.select($"user_id".as("vu"), $"t1"), $"pu" === $"vu")
+          .select((unix_micros($"t3") - unix_micros($"t1")).as("dur_us"))
+          .select(expr("dur_us div 1000000").cast(LongType).as("dur_sec"),
+            expr("dur_us div 60000000").cast(LongType).as("dur_min")))
+      val h = dur.groupBy($"dur_min").agg(count(lit(1)).cast(LongType).as("cnt"))
+      // histogram window: minute-resolution, bounded by corpus timespan
+      val cumW = Window.orderBy($"dur_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumh = h.withColumn("cum", sum($"cnt").over(cumW).cast(LongType))
+      val tot = dur.agg(count(lit(1)).cast(LongType).as("n"),
+        min($"dur_sec").cast(LongType).as("min_sec"),
+        max($"dur_sec").cast(LongType).as("max_sec"),
+        expr("sum(dur_sec) * 1000 div count(1)").cast(LongType).as("mean_sec_e3"))
+      val sel = cumh.crossJoin(broadcast(tot))
+        .agg(min(when(lit(2) * $"cum" >= $"n", $"dur_min"))
+            .cast(LongType).as("med_min"),
+          min(when(lit(10) * $"cum" >= lit(9) * $"n", $"dur_min"))
+            .cast(LongType).as("p90_min"))
+      tot.crossJoin(broadcast(sel))
+        .select($"n".as("n_conv"), $"med_min", $"p90_min",
+          $"min_sec", $"max_sec", $"mean_sec_e3")
+    }
+  )
+
+  // ----------------------------------------------------------------- B96
+  /** EWMA-smoothed hourly rates (α = 1/2) — the streaming-dashboard
+    * smoother next to b75/b89/b91. The recurrence s_k = (x_k·1e6 +
+    * s_{k−1}) div 2 is EXACT integer arithmetic (truncating division
+    * each step), so the full smoothed trace replays bit-for-bit in a
+    * DuckDB RECURSIVE CTE — the engine's first recursive-oracle query.
+    * A linear recurrence is inherently sequential per series; built-in
+    * window functions cannot express it (running SUM is associative,
+    * EWMA with truncation is not), so the scan runs in a UDF over the
+    * per-type hour array — the documented only-when-built-ins-can't UDF
+    * criterion.
+    *
+    * Scale shape: the corpus collapses to the cached hourly rollup
+    * first; collect_list then builds ONE hours-sized array per type
+    * (bounded by timespan — 8.8k elements/year — never corpus-sized),
+    * the UDF scan is O(hours), and the result explodes back to rollup
+    * grain. Parallelism is across series (types), exactly how a
+    * cluster-scale per-entity smoother shards.
+    */
+  private val b96 = QuerySpec(
+    "b96_ewma",
+    "Exact integer EWMA (alpha=1/2) per type over hourly rates: cached rollup -> one timespan-bounded array per type -> O(hours) UDF recurrence s_k=(x_k*1e6+s_{k-1}) div 2 -> explode; replays bit-for-bit in a DuckDB RECURSIVE CTE.",
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+              CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_epoch,
+              CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+            k AS (SELECT event_type, hr_epoch, n,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr_epoch) AS rk FROM h),
+            r AS (SELECT event_type, hr_epoch, n, rk, n * 1000000 AS s
+              FROM k WHERE rk = 1
+              UNION ALL
+              SELECT k.event_type, k.hr_epoch, k.n, k.rk, (k.n * 1000000 + r.s) // 2 AS s
+              FROM k JOIN r ON k.event_type = r.event_type AND k.rk = r.rk + 1)
+            SELECT event_type, hr_epoch, n, CAST(s AS BIGINT) AS s_e6
+            FROM r ORDER BY event_type, hr_epoch"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+        .select($"event_type",
+          unix_timestamp($"hr").cast(LongType).as("hr_epoch"), $"n"))
+      // linear recurrence: sequential per series, inexpressible as an
+      // associative window — the only-when-built-ins-can't UDF criterion
+      val smooth = udf { (ns: Seq[Long]) =>
+        val out = new Array[Long](ns.length)
+        var s = 0L; var i = 0
+        while (i < ns.length) {
+          s = if (i == 0) ns(i) * 1000000L else (ns(i) * 1000000L + s) / 2L
+          out(i) = s; i += 1
+        }
+        out.toSeq
+      }
+      h.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"hr_epoch", $"n"))).as("hn"))
+        .select($"event_type",
+          expr("transform(hn, x -> x.hr_epoch)").as("hrs"),
+          expr("transform(hn, x -> x.n)").as("ns"))
+        .withColumn("ss", smooth($"ns"))
+        .select($"event_type", explode(arrays_zip($"hrs", $"ns", $"ss")).as("z"))
+        .select($"event_type", $"z.hrs".as("hr_epoch"),
+          $"z.ns".as("n"), $"z.ss".as("s_e6"))
+        .orderBy($"event_type", $"hr_epoch")
+    }
+  )
+
+  // ----------------------------------------------------------------- B97
+  /** Join-key skew audit — the C7 posture check promoted to a declared
+    * query: for each candidate join/shuffle key, the key cardinality,
+    * the heaviest key's exact ppm share of the rows, and how many keys
+    * exceed 2× the mean frequency (the cross-multiplied integer test
+    * cnt·n_keys > 2·n_rows — no division, no epsilon). This is the
+    * number an operator reads before choosing salting vs AQE skew-join
+    * for a 100 TB shuffle.
+    *
+    * Scale shape: each column's census is one partial-agged groupBy; the
+    * per-key frame is cached so the stats row and the heavy-key count
+    * both reuse it, and the ≤3-row stats table rides broadcasts.
+    */
+  private val b97 = QuerySpec(
+    "b97_skew_audit",
+    "Join-key skew audit over l_partkey/l_suppkey/o_custkey: cached per-key census, exact top-1 ppm share, heavy-key count via the cross-multiplied cnt*n_keys > 2*n_rows test; stats rows ride broadcasts.",
+    Some("""WITH k AS (
+              SELECT 'lineitem.l_partkey' AS col_name, l_partkey AS key FROM lineitem
+              UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+              UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders),
+            c AS (SELECT col_name, key, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM k GROUP BY col_name, key),
+            s AS (SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(MAX(cnt) AS BIGINT) AS max_cnt
+              FROM c GROUP BY col_name)
+            SELECT s.col_name, n_rows, n_keys, max_cnt,
+              CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top1_share_e6,
+              CAST((SELECT COUNT(*) FROM c
+                WHERE c.col_name = s.col_name
+                  AND c.cnt * s.n_keys > 2 * s.n_rows) AS BIGINT) AS n_heavy
+            FROM s ORDER BY col_name"""),
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val or = Tables.orders(s, d)
+      def keyed(name: String, df: DataFrame, colName: String): DataFrame =
+        df.select(lit(name).as("col_name"), df(colName).cast(LongType).as("key"))
+      val k = keyed("lineitem.l_partkey", li, "l_partkey")
+        .union(keyed("lineitem.l_suppkey", li, "l_suppkey"))
+        .union(keyed("orders.o_custkey", or, "o_custkey"))
+      val c = graft.CacheRegistry.persist(
+        k.groupBy($"col_name", $"key").agg(count(lit(1)).cast(LongType).as("cnt")))
+      val st = c.groupBy($"col_name".as("sc"))
+        .agg(sum($"cnt").cast(LongType).as("n_rows"),
+          count(lit(1)).cast(LongType).as("n_keys"),
+          max($"cnt").cast(LongType).as("max_cnt"))
+      val heavy = c.join(broadcast(st), $"col_name" === $"sc")
+        .filter($"cnt" * $"n_keys" > lit(2) * $"n_rows")
+        .groupBy($"col_name".as("hc"))
+        .agg(count(lit(1)).cast(LongType).as("n_heavy"))
+      st.join(broadcast(heavy), $"sc" === $"hc", "left")
+        .select($"sc".as("col_name"), $"n_rows", $"n_keys", $"max_cnt",
+          expr("max_cnt * 1000000 div n_rows").cast(LongType).as("top1_share_e6"),
+          coalesce($"n_heavy", lit(0L)).cast(LongType).as("n_heavy"))
+        .orderBy($"col_name")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
@@ -3984,5 +4329,6 @@ object TierB {
     b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
-    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91)
+    b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
+    b92, b93, b94, b95, b96, b97)
 }

@@ -795,6 +795,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b92_transition: one user-partitioned window, pair census cached, totals broadcast") {
+    val p = plan("b92_transition")
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).length >= 1 &&
+      "Window".r.findAllIn(p).length <= 2,
+      "exactly one per-user lead window over the corpus:\n" + p)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "pair frame and normalizing totals must both read the cache:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "per-src totals must broadcast:\n" + p)
+    assert(p.contains("partial_count"), "pair census must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b95_funnel_latency: duration frame cached for all consumers, censuses fold by single-row broadcast") {
+    val p = plan("b95_funnel_latency")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "histogram and totals must both read the cached duration frame:\n" + p)
+    assert(p.contains("partial_min"),
+      "funnel step anchors must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b96_ewma: rollup cached, per-type arrays partial-collected map-side, no cartesian") {
+    val p = plan("b96_ewma")
+    assert(p.contains("partial_collect_list"),
+      "per-type hour arrays must partial-collect map-side:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the recurrence must run over the cached hourly rollup:\n" + p)
+    assert(p.contains("Generate explode"),
+      "the smoothed trace must explode back to rollup grain:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("b97_skew_audit: per-key census cached for both consumers, stats ride broadcasts") {
+    val p = plan("b97_skew_audit")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "stats row and heavy-key count must both read the cached census:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "3-row stats table must broadcast:\n" + p)
+    assert(p.contains("partial_count"), "key census must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
