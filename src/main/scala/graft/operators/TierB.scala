@@ -4322,6 +4322,58 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B98
+  /** Sessionization census — the corpus-level view over [[b30]]'s
+    * per-session rows: distribution of session LENGTH (events/session,
+    * capped at 10+) with per-bucket session counts, total events, and
+    * total in-session dwell seconds. The product question b30 can't
+    * answer directly ("are users one-shot or multi-event?") and the
+    * sanity gate before any per-session model. Identical session
+    * definition to b30 (6-hour gap, second-truncated timestamps) via the
+    * same session_window call, so the two queries can never disagree on
+    * what a session is.
+    *
+    * Scale shape: aggregation-of-aggregation — the first agg shuffles on
+    * (user_id, session) exactly like b30, the second groups the
+    * per-session rows into ≤10 buckets (tiny, partial-agg absorbs it).
+    * Dwell seconds are exact BIGINT unix-timestamp differences summed as
+    * integers — order-free, no float anywhere.
+    */
+  private val b98 = QuerySpec(
+    "b98_session_hist",
+    "Sessionization census: histogram of session lengths (events per 6-hour-gap session, bucket capped at 10+) with session counts, event totals, and exact dwell-second sums — the corpus-level companion to b30.",
+    Some("""WITH x AS (SELECT user_id, date_trunc('second', ts) AS tsec FROM events),
+            o AS (SELECT user_id, tsec,
+                    CASE WHEN tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY tsec) < INTERVAL 6 HOUR
+                         THEN 0 ELSE 1 END AS brk
+                  FROM x),
+            s AS (SELECT user_id, tsec,
+                    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsec
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+                  FROM o),
+            sess AS (SELECT user_id, sid, COUNT(*) AS n,
+                       date_diff('second', MIN(tsec), MAX(tsec)) AS dur_sec
+                     FROM s GROUP BY user_id, sid)
+            SELECT LEAST(n, 10) AS len_bucket,
+              COUNT(*) AS n_sessions,
+              CAST(SUM(n) AS BIGINT) AS n_events,
+              CAST(SUM(dur_sec) AS BIGINT) AS dwell_sec
+            FROM sess GROUP BY 1 ORDER BY len_bucket"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", date_trunc("second", $"ts").as("tsec"))
+        .groupBy(session_window($"tsec", "6 hours"), $"user_id")
+        .agg(count(lit(1)).as("n"),
+          (unix_timestamp(max($"tsec")) - unix_timestamp(min($"tsec"))).as("dur_sec"))
+        .groupBy(least($"n", lit(10L)).as("len_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n").cast(LongType).as("n_events"),
+          sum($"dur_sec").cast(LongType).as("dwell_sec"))
+        .orderBy($"len_bucket")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
@@ -4330,5 +4382,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97)
+    b92, b93, b94, b95, b96, b97, b98)
 }

@@ -2883,8 +2883,65 @@ object TierCText {
     }
   )
 
+  // ------------------------------------ collocation mining by lift (c4_pmi)
+  /** PMI-ranked collocations — the phrase-mining step of a tokenizer/
+    * vocab pipeline (which bigrams behave as single lexical units). For a
+    * fixed corpus, PMI = ln(N·c(xy)/(c(x)·c(y))) is a monotone function of
+    * the lift ratio c(xy)/(c(x)·c(y)) (N is constant), so the ranking is
+    * computed WITHOUT any float log: `lift_e9 = c(xy)·1e9 div (c(x)·c(y))`
+    * is one exact BIGINT multiply + integer divide on both engines
+    * (`div` / `//`), bit-identical by construction — the b97/c4_entropy
+    * integer discipline. Min-support c(xy) ≥ 5 kills the hapax pairs that
+    * dominate raw PMI (the classic failure mode of unsmoothed PMI).
+    *
+    * Scale shape: bigram extraction is map-side (transform over the token
+    * array — no window); the unigram/bigram count tables are partial-agg
+    * shuffles; the two probe joins run AFTER the ≥5 support filter, so the
+    * probe side is the collocation candidates (tiny), not the corpus —
+    * at 100 TB the unigram table is Heaps-law bounded and the candidate
+    * table support-bounded, so both joins broadcast. Top-100 is
+    * TakeOrdered (no global sort), ties broken by the (prev, cur) key.
+    */
+  private val c4pm = QuerySpec(
+    "c4_pmi",
+    "Collocation mining: top-100 bigrams by exact integer PMI lift (c_xy*1e9 div (c_x*c_y), min-support 5) — phrase detection for vocab building with zero float ops in the ranking.",
+    Some("""WITH a AS (SELECT list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            t AS (SELECT unnest(toks) AS token FROM a),
+            f AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+            bgi AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM a),
+            bg AS (SELECT toks[CAST(i AS INTEGER)] AS prev, toks[CAST(i + 1 AS INTEGER)] AS cur FROM bgi),
+            b AS (SELECT prev, cur, COUNT(*) AS c_xy FROM bg GROUP BY prev, cur HAVING COUNT(*) >= 5)
+            SELECT b.prev, b.cur, b.c_xy, fx.cnt AS c_x, fy.cnt AS c_y,
+              CAST((b.c_xy * 1000000000) // (fx.cnt * fy.cnt) AS BIGINT) AS lift_e9
+            FROM b JOIN f fx ON b.prev = fx.token JOIN f fy ON b.cur = fy.token
+            ORDER BY lift_e9 DESC, prev, cur LIMIT 100"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = CacheRegistry.persist(docs.select(toksCol.as("toks")))
+      val f = toks.select(explode($"toks").as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      // size<2 guard BEFORE sequence — Spark's sequence(1, 0) counts down
+      // instead of yielding empty (the c4_bigram_ce pitfall)
+      val b = toks.filter(size($"toks") >= 2)
+        .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => struct(element_at($"toks", i).as("prev"),
+            element_at($"toks", i + 1).as("cur")))).as("p"))
+        .select($"p.prev".as("prev"), $"p.cur".as("cur"))
+        .groupBy($"prev", $"cur").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+      b.join(f.select($"token".as("prev"), $"cnt".as("c_x")), Seq("prev"))
+        .join(f.select($"token".as("cur"), $"cnt".as("c_y")), Seq("cur"))
+        .select($"prev", $"cur", $"c_xy", $"c_x", $"c_y",
+          expr("c_xy * 1000000000L div (c_x * c_y)").cast(LongType).as("lift_e9"))
+        .orderBy($"lift_e9".desc, $"prev", $"cur")
+        .limit(100)
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm)
 }

@@ -836,6 +836,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c4_pmi: support filter precedes the probe joins, top-100 is TakeOrdered") {
+    val p = plan("c4_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      "collocation top-100 must be TakeOrdered, not a global sort:\n" + p)
+    assert(p.contains("partial_count"),
+      "unigram/bigram counts must partial-aggregate before their shuffles:\n" + p)
+    // the >=5 support filter must run on the aggregated bigram table BEFORE
+    // the two unigram probe joins — i.e. at least one Filter sits between
+    // a HashAggregate and the joins (c_xy >= 5 shows in the filter text)
+    assert(p.contains("c_xy#") && p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains(">= 5")),
+      "min-support must filter the candidate table before probing:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("b98_session_hist: session agg partial-aggregates; bucket census is a tiny second agg") {
+    val p = plan("b98_session_hist")
+    // first agg: session_window grouping (Spark plans session windows as
+    // HashAggregate pairs around an exchange + a sort for the merge)
+    assert("HashAggregate".r.findAllIn(p).length >= 3,
+      "expected session agg + bucket census HashAggregate stages:\n" + p)
+    assert(p.contains("session_window") || p.contains("SessionWindow"),
+      "session assignment must use the native session-window operator:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window("),
+      "census must not regress to an unpartitioned window:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
