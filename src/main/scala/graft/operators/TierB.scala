@@ -4374,6 +4374,138 @@ object TierB {
     }
   )
 
+  // ----------------------------------------------------------------- B99
+  /** RFM (recency/frequency/monetary) customer segmentation — the classic
+    * CRM warehouse operator. Scores are QUANTIZED QUINTILES computed
+    * without any corpus-scale sort or unpartitioned window (a global
+    * ntile(5) over customers is exactly the scale-killer this engine
+    * bans): each metric is quantized to a bounded integer bin domain
+    * (recency days / order count / \$10k monetary bins — all value-bounded,
+    * independent of row count), bins are counted, the cumulative-below
+    * prefix runs over the BIN table (hundreds of rows, the b57/b93
+    * bounded-window precedent), and each customer's score is
+    * `1 + (5·cum_lower) div n` via three broadcast bin joins. Ties share
+    * a bin and therefore a score — deterministic under any partitioning,
+    * no order-dependent rank anywhere. Monetary is exact cents
+    * (`floor(price·100)` per order, BIGINT sums — never a raw
+    * double→DECIMAL cast, the c3_centroid ulp trap).
+    *
+    * Scale shape: one partial-agg shuffle on o_custkey builds the metric
+    * table (cached — three bin builders and the probe all read it); bin
+    * tables and the single-row n ride broadcasts; the final census groups
+    * ≤125 score cells. Recency is calendar-free epoch-microsecond
+    * arithmetic (the b68 discipline).
+    */
+  private val b99 = QuerySpec(
+    "b99_rfm",
+    "RFM segmentation census: exact quantized-quintile R/F/M scores (bounded bin domains + cumulative-below prefix + broadcast bin joins — no global sort/ntile), per-cell customer counts and exact monetary cents.",
+    Some("""WITH mx AS (SELECT MAX(epoch_us(o_orderdate)) AS mxus FROM orders),
+            cust AS (SELECT o_custkey AS ck,
+                (mx.mxus - MAX(epoch_us(o_orderdate))) // 86400000000 AS rec_days,
+                COUNT(*) AS freq,
+                CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS mon_e2
+              FROM orders, mx GROUP BY o_custkey, mx.mxus),
+            n AS (SELECT COUNT(*) AS nc FROM cust),
+            rb AS (SELECT -rec_days AS bin, COUNT(*) AS c FROM cust GROUP BY 1),
+            rc AS (SELECT bin, CAST(COALESCE(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl FROM rb),
+            fb AS (SELECT freq AS bin, COUNT(*) AS c FROM cust GROUP BY 1),
+            fc AS (SELECT bin, CAST(COALESCE(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl FROM fb),
+            mb AS (SELECT mon_e2 // 1000000 AS bin, COUNT(*) AS c FROM cust GROUP BY 1),
+            mc AS (SELECT bin, CAST(COALESCE(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl FROM mb),
+            sc AS (SELECT c.mon_e2,
+                LEAST(1 + (5 * rc.cl) // n.nc, 5) AS r_score,
+                LEAST(1 + (5 * fc.cl) // n.nc, 5) AS f_score,
+                LEAST(1 + (5 * mc.cl) // n.nc, 5) AS m_score
+              FROM cust c
+              JOIN rc ON -c.rec_days = rc.bin
+              JOIN fc ON c.freq = fc.bin
+              JOIN mc ON c.mon_e2 // 1000000 = mc.bin
+              CROSS JOIN n)
+            SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+              CAST(SUM(mon_e2) AS BIGINT) AS monetary_e2
+            FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    (s, d) => {
+      import s.implicits._
+      val cust = graft.CacheRegistry.persist(Tables.orders(s, d)
+        .select($"o_custkey",
+          unix_micros($"o_orderdate".cast(TimestampType)).as("ous"),
+          floor($"o_totalprice" * 100.0).cast(LongType).as("p_e2"))
+        .groupBy($"o_custkey".as("ck"))
+        .agg(max($"ous").as("cus"), count(lit(1)).as("freq"),
+          sum($"p_e2").cast(LongType).as("mon_e2")))
+      // corpus max orderdate == max over per-customer maxes: reuse the cache
+      val mx = cust.agg(max($"cus").as("mxus"))
+      val cm = cust.crossJoin(broadcast(mx))
+        .select($"ck", $"freq", $"mon_e2",
+          expr("(mxus - cus) div 86400000000L").as("rec_days"))
+      def cumBins(bin: Column, nm: String): DataFrame = {
+        val b = cm.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
+        // prefix over the value-bounded bin table only (b57/b93 precedent)
+        val w = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, -1)
+        b.select($"bin".as(s"${nm}_bin"),
+          coalesce(sum($"c").over(w), lit(0L)).cast(LongType).as(s"${nm}_cl"))
+      }
+      val rc = cumBins(-$"rec_days", "r")
+      val fc = cumBins($"freq", "f")
+      val mc = cumBins(expr("mon_e2 div 1000000"), "m")
+      val n = cm.agg(count(lit(1)).as("nc"))
+      cm.join(broadcast(rc), -cm("rec_days") === $"r_bin")
+        .join(broadcast(fc), cm("freq") === $"f_bin")
+        .join(broadcast(mc), expr("mon_e2 div 1000000") === $"m_bin")
+        .crossJoin(broadcast(n))
+        .select($"mon_e2",
+          least(lit(1L) + expr("(5 * r_cl) div nc"), lit(5L)).as("r_score"),
+          least(lit(1L) + expr("(5 * f_cl) div nc"), lit(5L)).as("f_score"),
+          least(lit(1L) + expr("(5 * m_cl) div nc"), lit(5L)).as("m_score"))
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_customers"), sum($"mon_e2").cast(LongType).as("monetary_e2"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    }
+  )
+
+  // ---------------------------------------------------------------- B100
+  /** Activity heatmap — the day-of-week × hour-of-day census behind every
+    * product-analytics dashboard. Both axes are CALENDAR-FREE epoch
+    * arithmetic (the b68/b94 discipline): `dow = (epoch_days + 4) mod 7`
+    * (0 = Sunday; 1970-01-01 was a Thursday) and
+    * `hr = in-day microseconds div 3600e6`, so Spark and DuckDB can never
+    * disagree on week rules, locales, or DST (both read UTC-normalized
+    * timestamps). Exact distinct users per cell and exact value cents.
+    *
+    * Scale shape: one partial-agg shuffle into 168 cells; the distinct
+    * count expands to (dow, hr, user) partials first — Spark's standard
+    * two-phase distinct, partial-agg'd map-side; no window, no join.
+    */
+  private val b100 = QuerySpec(
+    "b100_heatmap",
+    "Day-of-week x hour activity heatmap: event counts, exact distinct users, exact value cents per cell — calendar-free epoch arithmetic (dow = (epoch_days+4) mod 7, 0=Sunday), one partial-agg shuffle into 168 cells.",
+    Some("""WITH t AS (SELECT
+              ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+              (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+              user_id, value FROM events)
+            SELECT dow, hr, COUNT(*) AS n_events,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS value_e2
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(unix_micros($"ts").as("us"), $"user_id",
+          floor($"value" * 100.0).cast(LongType).as("v_e2"))
+        .select(expr("((us div 86400000000L) + 4L) % 7L").as("dow"),
+          expr("(us % 86400000000L) div 3600000000L").as("hr"),
+          $"user_id", $"v_e2")
+        .groupBy($"dow", $"hr")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").cast(LongType).as("n_users"),
+          sum($"v_e2").cast(LongType).as("value_e2"))
+        .orderBy($"dow", $"hr")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
@@ -4382,5 +4514,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100)
 }

@@ -2883,6 +2883,49 @@ object TierCText {
     }
   )
 
+  // ----------------------------------- lexical diversity profile (c4_ttr)
+  /** Type-token ratio + hapax profile per document — the lexical-diversity
+    * leg of a quality filter (template/boilerplate docs have low TTR; OCR
+    * noise and word salad have TTR near 1 with a fat hapax tail — the two
+    * signals separate failure modes the stopword/length heuristics of
+    * [[c4q]] can't). Ratios are exact integer e6 divisions (`div` / `//`)
+    * — zero float ops, bit-identical on both engines.
+    *
+    * Scale shape: ONE partial-agg shuffle keyed (doc_id, token) builds the
+    * per-doc term-frequency rows (map-side combine absorbs the Zipf head),
+    * then a second doc-keyed agg folds them to counts — never the O(L²)
+    * per-row array scan a naive `filter(toks, …)` formulation would cost
+    * on 10k-token documents.
+    */
+  private val c4tt = QuerySpec(
+    "c4_ttr",
+    "Lexical diversity per document: token/type/hapax counts with exact integer TTR and hapax ratios (e6) — the diversity leg of a quality filter; one (doc, token) partial-agg shuffle, no float ops.",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS token
+              FROM documents),
+            g AS (SELECT doc_id, token, COUNT(*) AS cnt FROM t GROUP BY doc_id, token)
+            SELECT doc_id,
+              CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+              COUNT(*) AS n_types,
+              CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0) AS BIGINT) AS hapax,
+              CAST((COUNT(*) * 1000000) // SUM(cnt) AS BIGINT) AS ttr_e6,
+              CAST((COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0) * 1000000) // SUM(cnt) AS BIGINT) AS hapax_e6
+            FROM g GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(toksCol).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(sum($"cnt").cast(LongType).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"cnt" === 1, 1L).otherwise(0L)).cast(LongType).as("hapax"))
+        .select($"doc_id", $"n_tokens", $"n_types", $"hapax",
+          expr("(n_types * 1000000L) div n_tokens").as("ttr_e6"),
+          expr("(hapax * 1000000L) div n_tokens").as("hapax_e6"))
+        .orderBy($"doc_id")
+    }
+  )
+
   // ------------------------------------ collocation mining by lift (c4_pmi)
   /** PMI-ranked collocations — the phrase-mining step of a tokenizer/
     * vocab pipeline (which bigrams behave as single lexical units). For a
@@ -2943,5 +2986,5 @@ object TierCText {
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt)
 }

@@ -863,6 +863,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "census must not regress to an unpartitioned window:\n" + p)
   }
 
+  test("b99_rfm: metric table cached, bin tables + n broadcast, no corpus-scale sort or cartesian") {
+    val p = plan("b99_rfm")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "the three bin-score joins must broadcast:\n" + p)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "per-customer metric table must be cached for its four consumers:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "customer metrics must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b100_heatmap: single partial-agg census, no join/window") {
+    val p = plan("b100_heatmap")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "distinct-user census must partial-aggregate before the shuffle:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window("),
+      "heatmap must be a pure aggregation:\n" + p)
+  }
+
+  test("c4_ttr: one (doc, token) partial-agg shuffle feeds the doc fold, no join") {
+    val p = plan("c4_ttr")
+    assert(p.contains("partial_count"),
+      "per-doc tf rows must partial-aggregate map-side:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window("),
+      "diversity profile must be aggregation-only:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
