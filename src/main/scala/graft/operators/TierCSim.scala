@@ -3613,7 +3613,117 @@ object TierCSim {
     (s, d) => contentReuseHits(s, Tables.documents(s, d), HitsIters)
   )
 
+  // ------------------------------------- near-dup degree census (tuning)
+  /** Degree distribution of the near-dup graph — the node-level companion
+    * to [[c2jh]]'s edge-level histogram: for every document, how many
+    * within-source partners it has at Jaccard ≥ 0.5, histogrammed by
+    * degree INCLUDING the zero-degree mass (the left join against the
+    * full corpus — the number a dedup dry-run needs first: "what fraction
+    * of my corpus is even touched?"). High-degree nodes are the template
+    * families the star-contraction CC collapses; the zero bucket is the
+    * clean mass.
+    *
+    * Scale shape: the shared df-capped inverted-index pair mine
+    * ([[ngramJaccardPairs]]), a both-directions explode, a doc-keyed
+    * partial-agg count, and a co-keyed left join back to the corpus ids —
+    * the degree table is NOT broadcast (it is corpus-sized at the limit);
+    * the final histogram groups a bounded degree domain.
+    */
+  private val DegreeThreshold = 0.5
+  private val c2dh = QuerySpec(
+    "c2_degree_hist",
+    s"Near-dup graph degree census: within-source bigram-Jaccard >= $DegreeThreshold partner count per document (shared df-capped pair mine), histogrammed by degree with the zero-degree corpus mass included via a co-keyed left join.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS ida, c.doc_id AS idb
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= $DegreeThreshold),
+            e AS (SELECT ida AS id FROM prs UNION ALL SELECT idb AS id FROM prs),
+            g AS (SELECT id, COUNT(*) AS deg FROM e GROUP BY id),
+            deg AS (SELECT d.doc_id, CAST(COALESCE(g.deg, 0) AS BIGINT) AS degree
+              FROM documents d LEFT JOIN g ON d.doc_id = g.id)
+            SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = ngramJaccardPairs(s, docs, DegreeThreshold, NgramDfCap)
+      val g = pairs.select($"id_a".as("id")).union(pairs.select($"id_b".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("deg"))
+      docs.select($"doc_id")
+        .join(g, $"doc_id" === $"id", "left")
+        .select(coalesce($"deg", lit(0L)).cast(LongType).as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"degree")
+    }
+  )
+
+  // ------------------------------------- kNN margin census (tuning)
+  /** Top-1/top-2 margin census — the ANN "hardness" diagnostic: per query
+    * vector, the gap between its best and second-best within-block cosine
+    * (small margin ⇒ ambiguous neighborhoods ⇒ approximate indexes
+    * misrank them first; the margin distribution predicts where recall@1
+    * degrades before any index is built, and fat low-margin mass is the
+    * standard signal to mine hard negatives from). Buckets are
+    * floor((s1−s2)·1000) on the SAME replayed IEEE score chain as
+    * [[TierC.c3_knn_cosine]] (native codegen dot, sqrt-product division).
+    *
+    * Scale shape: label-blocked self-join (never all-pairs), per-query
+    * top-2 via a blocked window (WindowGroupLimit prunes below rank 2
+    * map-side), a doc-keyed pivot agg, and a bounded-bucket census.
+    * Queries whose block has a single neighbor have no s2 and are
+    * excluded on both engines (NULL-s2 filter).
+    */
+  private val c3mg = QuerySpec(
+    "c3_margin",
+    "ANN hardness census: per-vector top1-top2 cosine margin within the label block (exact codegen dot chain), bucketed at 1e-3 — fat low-margin mass predicts recall@1 loss and marks hard-negative mining targets.",
+    Some(s"""WITH p AS (
+              SELECT a.vec_id AS ida, b.vec_id AS idb,
+                     (${dotChain("a", "b")}) AS dot,
+                     (${dotChain("a", "a")}) AS na2,
+                     (${dotChain("b", "b")}) AS nb2
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+            sc AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS score FROM p),
+            r AS (SELECT ida, score,
+                    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rn
+                  FROM sc),
+            tp AS (SELECT ida,
+                     MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+                     MAX(CASE WHEN rn = 2 THEN score END) AS s2
+                   FROM r WHERE rn <= 2 GROUP BY ida)
+            SELECT CAST(floor((s1 - s2) * 1000.0) AS BIGINT) AS margin_mil,
+              COUNT(*) AS n_queries
+            FROM tp WHERE s2 IS NOT NULL GROUP BY 1 ORDER BY margin_mil"""),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding",
+          TierC.dot($"embedding", $"embedding").as("n2")))
+      val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
+      val b = e.select($"vec_id".as("idb"), $"label".as("label_b"),
+        $"embedding".as("eb"), $"n2".as("nb2"))
+      val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
+      a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
+        .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .groupBy($"ida")
+        .agg(max(when($"rn" === 1, $"score")).as("s1"),
+          max(when($"rn" === 2, $"score")).as("s2"))
+        .filter($"s2".isNotNull)
+        .select(floor(($"s1" - $"s2") * 1000.0).cast(LongType).as("margin_mil"))
+        .groupBy($"margin_mil").agg(count(lit(1)).as("n_queries"))
+        .orderBy($"margin_mil")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg)
 }

@@ -890,6 +890,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "diversity profile must be aggregation-only:\n" + p)
   }
 
+  test("c2_degree_hist: inverted-index pair mine, degree table NOT broadcast, no cartesian") {
+    val p = plan("c2_degree_hist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair mine must stay an equi-join on (source, gram):\n" + p)
+    assert(p.contains("partial_count"), "degree count must partial-aggregate:\n" + p)
+    // the corpus-ids LEFT JOIN degree-table must be a shuffle join: the
+    // degree table is corpus-sized at the limit, never broadcastable
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("LeftOuter")),
+      "zero-degree left join must not broadcast the corpus-sized degree table:\n" + p)
+  }
+
+  test("c3_margin: label-blocked self-join with WindowGroupLimit top-2, no cartesian") {
+    val p = plan("c3_margin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"),
+      "top-2 must prune below rank 2 map-side:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "norms must be cached once per vector (CollapseProject re-run trap):\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
