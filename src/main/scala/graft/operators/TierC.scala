@@ -514,5 +514,92 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c)
+  // --------------------------------- MinHash estimator calibration (c2me)
+  /** MinHash estimate-vs-exact calibration census — the third leg of the
+    * dedup tuning suite (threshold choice = `c2_jaccard_hist`, banding
+    * recall = `c2_lsh_recall`, and now SIGNATURE SIZE): over a bounded,
+    * deterministic pair sample (each doc paired with its next 2 doc_id
+    * successors within its source — a source-partitioned lead window, so
+    * the sample is ~2N pairs on any corpus, never a block²), count the
+    * matching signature slots (the 32-hash estimator: Ĵ = matches/32) and
+    * compute the EXACT Jaccard over the same distinct trigram shingles the
+    * signature hashes. Grouped by match count, the result is the
+    * calibration curve: if the exact-Jaccard spread within a match bucket
+    * is wide, 32 hashes are too few for the corpus's similarity regime.
+    * All ratios are exact integer e6 divisions; the estimate grid is
+    * matches·1e6 div 32.
+    *
+    * Scale shape: signatures + distinct shingle sets computed once per doc
+    * (cached), pairs via a source-partitioned window (no self-join), two
+    * co-keyed probe joins back to the cache, bounded ≤33-bucket census.
+    */
+  private val sigShUdf = udf { (text: String) =>
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val sh = MinHash.shingles(toks).distinct
+    (MinHash.signature(sh), sh.toArray)
+  }
+  private val c2me = QuerySpec(
+    "c2_minhash_err",
+    "MinHash signature-size calibration: per deterministic within-source successor pair, matching-slot count (estimate grid matches*1e6 div 32) vs exact shingle Jaccard (integer e6), censused by match count with n/sum/min/max of the exact values.",
+    Some(s"""WITH $mhBandCtes,
+            |pr0 AS (SELECT source, doc_id AS ida,
+            |         lead(doc_id, 1) OVER w AS b1, lead(doc_id, 2) OVER w AS b2
+            |       FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+            |pr AS (SELECT ida, b1 AS idb FROM pr0 WHERE b1 IS NOT NULL
+            |       UNION ALL SELECT ida, b2 AS idb FROM pr0 WHERE b2 IS NOT NULL),
+            |m AS (SELECT pr.ida, pr.idb,
+            |        CAST(COUNT(CASE WHEN sa.mv = sb.mv THEN 1 END) AS BIGINT) AS matches
+            |      FROM pr JOIN sig sa ON sa.doc_id = pr.ida
+            |              JOIN sig sb ON sb.doc_id = pr.idb AND sb.slot = sa.slot
+            |      GROUP BY pr.ida, pr.idb),
+            |scnt AS (SELECT doc_id, COUNT(*) AS ns FROM shu GROUP BY doc_id),
+            |it AS (SELECT pr.ida, pr.idb, CAST(COUNT(*) AS BIGINT) AS inter
+            |       FROM pr JOIN shu a ON a.doc_id = pr.ida
+            |               JOIN shu b ON b.doc_id = pr.idb AND b.s = a.s
+            |       GROUP BY pr.ida, pr.idb),
+            |ex AS (SELECT m.matches,
+            |         (COALESCE(it.inter, 0) * 1000000)
+            |           // (ca.ns + cb.ns - COALESCE(it.inter, 0)) AS exact_e6
+            |       FROM m LEFT JOIN it ON it.ida = m.ida AND it.idb = m.idb
+            |              JOIN scnt ca ON ca.doc_id = m.ida
+            |              JOIN scnt cb ON cb.doc_id = m.idb)
+            |SELECT matches, CAST((matches * 1000000) // 32 AS BIGINT) AS est_e6,
+            |  COUNT(*) AS n_pairs,
+            |  CAST(SUM(exact_e6) AS BIGINT) AS sum_exact_e6,
+            |  CAST(MIN(exact_e6) AS BIGINT) AS min_exact_e6,
+            |  CAST(MAX(exact_e6) AS BIGINT) AS max_exact_e6
+            |FROM ex GROUP BY matches ORDER BY matches""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val base = graft.CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", $"source", sigShUdf($"text").as("ss"))
+        .select($"doc_id", $"source", $"ss._1".as("sig"), $"ss._2".as("shs")))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val pr = base
+        .select($"doc_id".as("ida"),
+          lead($"doc_id", 1).over(w).as("b1"), lead($"doc_id", 2).over(w).as("b2"))
+        .select($"ida", explode(array($"b1", $"b2")).as("idb"))
+        .filter($"idb".isNotNull)
+      val j = pr
+        .join(base.select($"doc_id".as("ida"), $"sig".as("siga"), $"shs".as("sha")), "ida")
+        .join(base.select($"doc_id".as("idb"), $"sig".as("sigb"), $"shs".as("shb")), "idb")
+      j.select(
+          size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), b => b))
+            .cast(LongType).as("matches"),
+          size(array_intersect($"sha", $"shb")).cast(LongType).as("inter"),
+          (size($"sha") + size($"shb")).cast(LongType).as("sz2"))
+        .select($"matches",
+          expr("(inter * 1000000L) div (sz2 - inter)").as("exact_e6"))
+        .groupBy($"matches")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"exact_e6").cast(LongType).as("sum_exact_e6"),
+          min($"exact_e6").as("min_exact_e6"),
+          max($"exact_e6").as("max_exact_e6"))
+        .select($"matches", expr("(matches * 1000000L) div 32").as("est_e6"),
+          $"n_pairs", $"sum_exact_e6", $"min_exact_e6", $"max_exact_e6")
+        .orderBy($"matches")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c2me)
 }

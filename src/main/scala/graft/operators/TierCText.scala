@@ -2883,6 +2883,55 @@ object TierCText {
     }
   )
 
+  // -------------------------------------- k-fold CV assignment (c1t_kfold)
+  /** K-fold cross-validation assignment with a stratification audit — the
+    * CV companion to [[c1d]]'s train/val/test split, with the same
+    * leakage-safety: folds are keyed on the content FINGERPRINT (md5 of
+    * normalized text), so exact duplicates always land in the same fold.
+    * `fold = first-4-hex-chars(fp) mod 5` — 65536 mod 5 = 1 leaves a
+    * one-in-65536 bias toward fold 0, negligible and exactly replayable
+    * (DuckDB parses the hex via the strpos chain, Spark via conv(_,16,10);
+    * both yield the identical integer). The census is per (fold, source):
+    * the balance view that tells you whether a fold accidentally
+    * concentrates one source — the stratification failure CV quietly
+    * suffers when sources differ in size.
+    *
+    * Scale shape: map-side assignment (no shuffle to assign), one
+    * partial-agg census into |folds|×|sources| cells.
+    */
+  private val c1t = QuerySpec(
+    "c1t_kfold",
+    "Leakage-safe 5-fold CV assignment: content-fingerprint groups folded by first-4-hex mod 5 (duplicates can never straddle folds), censused per (fold, source) with doc/group/token counts — the stratification balance audit.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              array_to_string(list_filter(string_split(lower(text), ' '), s -> s <> ''), ' ') AS norm
+              FROM documents),
+            f AS (SELECT doc_id, source, md5(norm) AS fp,
+              CAST(len(list_filter(string_split(norm, ' '), s -> s <> '')) AS BIGINT) AS toks
+              FROM t),
+            a AS (SELECT doc_id, source, fp, toks,
+              ((CAST(strpos('0123456789abcdef', substr(fp, 1, 1)) AS BIGINT) - 1) * 4096
+               + (CAST(strpos('0123456789abcdef', substr(fp, 2, 1)) AS BIGINT) - 1) * 256
+               + (CAST(strpos('0123456789abcdef', substr(fp, 3, 1)) AS BIGINT) - 1) * 16
+               + (CAST(strpos('0123456789abcdef', substr(fp, 4, 1)) AS BIGINT) - 1)) % 5 AS fold
+              FROM f)
+            SELECT fold, source, COUNT(*) AS n_docs,
+              COUNT(DISTINCT fp) AS n_groups,
+              CAST(SUM(toks) AS BIGINT) AS n_tokens
+            FROM a GROUP BY fold, source ORDER BY fold, source"""),
+    (s, d) => {
+      import s.implicits._
+      val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
+      Tables.documents(s, d)
+        .select($"source", md5(norm).as("fp"),
+          size(filter(split(norm, " "), t => t =!= "")).cast(LongType).as("toks"))
+        .withColumn("fold", (conv(substring($"fp", 1, 4), 16, 10).cast(LongType) % 5))
+        .groupBy($"fold", $"source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_groups"),
+          sum($"toks").cast(LongType).as("n_tokens"))
+        .orderBy($"fold", $"source")
+    }
+  )
+
   // ----------------------------------- lexical diversity profile (c4_ttr)
   /** Type-token ratio + hapax profile per document — the lexical-diversity
     * leg of a quality filter (template/boilerplate docs have low TTR; OCR
@@ -2986,5 +3035,5 @@ object TierCText {
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t)
 }

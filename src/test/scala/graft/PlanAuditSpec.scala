@@ -911,6 +911,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "norms must be cached once per vector (CollapseProject re-run trap):\n" + p)
   }
 
+  test("c2_minhash_err: signature cache feeds both probes, window is source-partitioned, no cartesian") {
+    val p = plan("c2_minhash_err")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      "signature/shingle table must be cached for the window + two probes:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("source#")),
+      "pair sampling must stay a source-partitioned lead window:\n" + p)
+  }
+
+  test("c1t_kfold: map-side fold assignment, single partial-agg census, no join") {
+    val p = plan("c1t_kfold")
+    assert(!p.contains("Join"),
+      "fold assignment must be map-side, never a lookup join:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "the (fold, source) census must partial-aggregate:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
