@@ -353,6 +353,41 @@ object Plans {
       "partial-agged groupBy into a shared cached frame; the stats row " +
       "and the heavy-key count both reuse it, and the 3-row stats table " +
       "rides broadcasts."),
+    "c4_pmi" -> ("Collocation mining: unigram/bigram counts are " +
+      "partial-agged shuffles; the >=5 support filter runs on the " +
+      "aggregated candidate table BEFORE the two probe joins, so the " +
+      "probe side is collocation-sized, not corpus-sized; top-100 is " +
+      "TakeOrderedAndProject."),
+    "b98_session_hist" -> ("Sessionization census: the native " +
+      "session-window aggregation shuffles once on (user, session) " +
+      "exactly like b30, then the length histogram folds per-session " +
+      "rows into <=10 buckets — partial aggregation absorbs the second " +
+      "stage."),
+    "b99_rfm" -> ("RFM quintiles with NO global sort/ntile: the " +
+      "per-customer metric table is cached for its four consumers, each " +
+      "metric's cumulative-below prefix runs over a value-bounded BIN " +
+      "table, and the three score lookups ride BroadcastHashJoins."),
+    "b100_heatmap" -> ("Activity heatmap: one partial-agg shuffle into " +
+      "168 (dow, hr) cells; the exact distinct-user count expands to " +
+      "(dow, hr, user) partials map-side — no join, no window."),
+    "c4_ttr" -> ("Lexical diversity: one (doc, token) partial-agg " +
+      "shuffle builds tf rows, a doc-keyed agg folds them to counts — " +
+      "never a per-row O(L^2) array scan."),
+    "c2_degree_hist" -> ("Near-dup degree census: the shared df-capped " +
+      "inverted-index pair mine, a doc-keyed partial-agg degree count, " +
+      "and a co-keyed SortMergeJoin LeftOuter back to corpus ids for the " +
+      "zero-degree mass — the degree table is corpus-sized at the limit " +
+      "and must never broadcast."),
+    "c3_margin" -> ("ANN hardness census: label-blocked self-join on the " +
+      "cached norm table, WindowGroupLimit prunes below rank 2 map-side, " +
+      "pivot agg + bounded-bucket census."),
+    "c2_minhash_err" -> ("MinHash calibration: signatures + distinct " +
+      "shingle sets cached once per doc; the pair sample is a " +
+      "source-partitioned lead window (~2N pairs, never block^2); two " +
+      "co-keyed probes; <=33-bucket census."),
+    "c1t_kfold" -> ("K-fold assignment is pure map-side expression " +
+      "(md5 -> hex -> mod 5), no lookup join anywhere; the (fold, " +
+      "source) balance census partial-aggregates."),
   )
 
   def main(args: Array[String]): Unit = {
