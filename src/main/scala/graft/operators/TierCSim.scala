@@ -626,10 +626,13 @@ object TierCSim {
     starComponents(s, nodes, edges, maxIters, reliable, stride = ccStride)._1
 
   private val ClusterThreshold = 0.3
-  private val c2c = QuerySpec(
-    "c2_cluster",
-    "Near-dup cluster assignment: large-star/small-star star-contraction components (O(log n) rounds on any graph shape) over the word-bigram Jaccard >= 0.3 pair graph; every document labeled with the min doc_id of its cluster (singletons label themselves). Oracle replays reachability with a recursive CTE.",
-    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+  /** Recursive-reachability CTE prefix shared by the `c2_cluster` and
+    * `c2_cluster_sizes` oracles (single definition site, the mhBandCtes
+    * discipline): bigram-Jaccard ≥ threshold pair graph → symmetric edge
+    * list → full reachability; `reach` closes over (id, root) pairs.
+    */
+  private def clusterReachCtes: String =
+    s"""t AS (SELECT doc_id, source,
               list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
               FROM documents),
             b AS (SELECT doc_id, source,
@@ -645,7 +648,11 @@ object TierCSim {
             n AS (SELECT DISTINCT doc_id AS id FROM documents),
             reach AS (SELECT id, id AS root FROM n
               UNION
-              SELECT e.d, reach.root FROM reach JOIN e ON e.s = reach.id)
+              SELECT e.d, reach.root FROM reach JOIN e ON e.s = reach.id)"""
+  private val c2c = QuerySpec(
+    "c2_cluster",
+    "Near-dup cluster assignment: large-star/small-star star-contraction components (O(log n) rounds on any graph shape) over the word-bigram Jaccard >= 0.3 pair graph; every document labeled with the min doc_id of its cluster (singletons label themselves). Oracle replays reachability with a recursive CTE.",
+    Some(s"""WITH RECURSIVE $clusterReachCtes
             SELECT id AS doc_id, MIN(root) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id"""),
     (s, d) => {
@@ -3613,6 +3620,47 @@ object TierCSim {
     (s, d) => contentReuseHits(s, Tables.documents(s, d), HitsIters)
   )
 
+  // ------------------------------------- cluster-size census (tuning)
+  /** Duplicate-family size distribution — the CC-output census the other
+    * two graph diagnostics ([[c2dh]] degrees, [[c2jh]] edge weights) don't
+    * give: how many near-dup clusters of each size exist, and how much
+    * corpus mass they hold. The "size 1" row is the untouched corpus; a
+    * fat tail of large families is the template/boilerplate signal that
+    * decides between per-cluster keep-best ([[dedupCorpus]]) and outright
+    * source quarantine. Same pair graph, threshold, and star-contraction
+    * CC as `c2_cluster`; the oracle reuses the SAME recursive-reachability
+    * CTE prefix and only changes the final census.
+    *
+    * Scale shape: everything up to labels is the audited c2_cluster plan;
+    * the two census aggs after it group corpus-sized labels into
+    * cluster-count rows and then into a bounded size domain — both
+    * partial-agged.
+    */
+  private val c2cs = QuerySpec(
+    "c2_cluster_sizes",
+    s"Near-dup cluster-size census: star-contraction components over the bigram-Jaccard >= $ClusterThreshold pair graph, grouped to (cluster size -> n_clusters, n_docs) — the duplicate-family distribution that decides keep-best vs quarantine; singletons included.",
+    Some(s"""WITH RECURSIVE $clusterReachCtes,
+            lbl AS (SELECT id, MIN(root) AS cl FROM reach GROUP BY id),
+            cs AS (SELECT cl, COUNT(*) AS sz FROM lbl GROUP BY cl)
+            SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+              CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+            FROM cs GROUP BY sz ORDER BY cluster_size"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = ngramJaccardPairs(s, docs, ClusterThreshold, NgramDfCap)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+      val nodes = docs.select($"doc_id".as("id"))
+      connectedComponentsStar(s, nodes, pairs)
+        .groupBy($"cluster").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").cast(LongType).as("n_docs"))
+        .orderBy($"cluster_size")
+    }
+  )
+
   // ------------------------------------- near-dup degree census (tuning)
   /** Degree distribution of the near-dup graph — the node-level companion
     * to [[c2jh]]'s edge-level histogram: for every document, how many
@@ -3725,5 +3773,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs)
 }

@@ -2883,6 +2883,66 @@ object TierCText {
     }
   )
 
+  // -------------------------- weighted top-k priority sampling (c1u)
+  /** Fixed-size weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * priority sampling): each doc gets the deterministic priority
+    * ln(u)/w — u a uniform md5-derived draw in (0,1), w = token count —
+    * and the k largest priorities per source ARE a weighted
+    * without-replacement sample (ES 2006, the one-pass/distributed
+    * standard). [[c1f]]'s Bernoulli sampler keeps a RANDOM NUMBER of
+    * rows; this keeps EXACTLY k per source — the shape a per-source
+    * quota resample needs. u = (v + 0.5)/2^32 keeps the draw strictly
+    * inside (0,1) (v = first 8 md5 hex chars), so ln never sees 0; the
+    * ln/division chain is the same IEEE replay c4_unigram_ce proved
+    * engine-identical; priorities are reported floor-e9 quantized.
+    *
+    * Scale shape: the draw and priority are map-side expressions; per-
+    * source top-k is a source-partitioned window (WindowGroupLimit prunes
+    * below rank k map-side); no join, no global sort.
+    */
+  private val PrioK = 10
+  private val c1u = QuerySpec(
+    "c1u_priority_sample",
+    s"Weighted without-replacement sampling (Efraimidis-Spirakis priorities): top-$PrioK docs per source by ln(md5-uniform)/ntok — exactly k per source, heavier docs more likely, zero RNG; priorities floor-e9 quantized.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS BIGINT) AS ntok,
+              ((CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT) - 1) * 268435456
+               + (CAST(strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) - 1) * 16777216
+               + (CAST(strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS BIGINT) - 1) * 1048576
+               + (CAST(strpos('0123456789abcdef', substr(md5(text), 4, 1)) AS BIGINT) - 1) * 65536
+               + (CAST(strpos('0123456789abcdef', substr(md5(text), 5, 1)) AS BIGINT) - 1) * 4096
+               + (CAST(strpos('0123456789abcdef', substr(md5(text), 6, 1)) AS BIGINT) - 1) * 256
+               + (CAST(strpos('0123456789abcdef', substr(md5(text), 7, 1)) AS BIGINT) - 1) * 16
+               + (CAST(strpos('0123456789abcdef', substr(md5(text), 8, 1)) AS BIGINT) - 1)) AS v
+              FROM documents),
+            p AS (SELECT doc_id, source, ntok,
+              ln((CAST(v AS DOUBLE) + 0.5) / 4294967296.0) / CAST(ntok AS DOUBLE) AS pri
+              FROM t WHERE ntok >= 1),
+            r AS (SELECT doc_id, source, ntok, pri,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+              FROM p)
+            SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, ntok,
+              CAST(floor(pri * 1000000000.0) AS BIGINT) AS pri_e9
+            FROM r WHERE rn <= $PrioK ORDER BY source, rn"""),
+    (s, d) => {
+      import s.implicits._
+      val ntok = size(toksCol).cast(LongType)
+      val v = conv(substring(md5($"text"), 1, 8), 16, 10).cast(LongType)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"pri".desc, $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", ntok.as("ntok"), v.as("v"))
+        .filter($"ntok" >= 1)
+        .withColumn("pri",
+          log(($"v".cast(DoubleType) + 0.5) / 4294967296.0) / $"ntok".cast(DoubleType))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= PrioK)
+        .select($"source", $"rn", $"doc_id", $"ntok",
+          floor($"pri" * 1000000000.0).cast(LongType).as("pri_e9"))
+        .orderBy($"source", $"rn")
+    }
+  )
+
   // -------------------------------------- k-fold CV assignment (c1t_kfold)
   /** K-fold cross-validation assignment with a stratification audit — the
     * CV companion to [[c1d]]'s train/val/test split, with the same
@@ -3035,5 +3095,5 @@ object TierCText {
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u)
 }

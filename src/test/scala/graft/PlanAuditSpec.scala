@@ -928,6 +928,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "the (fold, source) census must partial-aggregate:\n" + p)
   }
 
+  test("c1u_priority_sample: map-side priorities, WindowGroupLimit top-k, no join") {
+    val p = plan("c1u_priority_sample")
+    assert(!p.contains("Join"), "priority sampling must never join:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "per-source top-k must prune below rank k map-side:\n" + p)
+  }
+
+  test("c2_cluster_sizes: census aggs partial-aggregate after the audited CC plan") {
+    val p = plan("c2_cluster_sizes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"),
+      "both census stages must partial-aggregate:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
