@@ -4407,14 +4407,14 @@ object TierB {
               FROM orders, mx GROUP BY o_custkey, mx.mxus),
             n AS (SELECT COUNT(*) AS nc FROM cust),
             rb AS (SELECT -rec_days AS bin, COUNT(*) AS c FROM cust GROUP BY 1),
-            rc AS (SELECT bin, CAST(COALESCE(SUM(c) OVER (ORDER BY bin
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl FROM rb),
+            rc AS (SELECT bin, COALESCE(CAST(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cl FROM rb),
             fb AS (SELECT freq AS bin, COUNT(*) AS c FROM cust GROUP BY 1),
-            fc AS (SELECT bin, CAST(COALESCE(SUM(c) OVER (ORDER BY bin
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl FROM fb),
+            fc AS (SELECT bin, COALESCE(CAST(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cl FROM fb),
             mb AS (SELECT mon_e2 // 1000000 AS bin, COUNT(*) AS c FROM cust GROUP BY 1),
-            mc AS (SELECT bin, CAST(COALESCE(SUM(c) OVER (ORDER BY bin
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl FROM mb),
+            mc AS (SELECT bin, COALESCE(CAST(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cl FROM mb),
             sc AS (SELECT c.mon_e2,
                 LEAST(1 + (5 * rc.cl) // n.nc, 5) AS r_score,
                 LEAST(1 + (5 * fc.cl) // n.nc, 5) AS f_score,
