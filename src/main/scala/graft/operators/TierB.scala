@@ -4506,6 +4506,67 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B101
+  /** Maximum drawdown per event type — the peak-to-trough metric of
+    * financial series analytics, run over the hourly cumulative value
+    * series: cum_k = running sum of hourly value cents, peak_k = running
+    * max of cum, drawdown_k = peak_k − cum_k, reported at its argmax with
+    * the earliest-hour tie-break (the b91 WindowGroupLimit discipline).
+    * Everything is exact BIGINT cents (floor(value·100) per event before
+    * any sum), so the windows are order-free integer arithmetic.
+    *
+    * Scale shape: the corpus collapses to the cached hourly rollup first
+    * (one partial-agg shuffle); all three windows run type-partitioned
+    * over ROLLUP rows (timespan-bounded, never corpus-sized); the
+    * per-type stats table rides a broadcast.
+    */
+  private val b101 = QuerySpec(
+    "b101_drawdown",
+    "Max drawdown per event type over the hourly cumulative value-cents series: exact BIGINT cum/peak/drawdown via type-partitioned windows on the cached hourly rollup, argmax with earliest-hour tie-break, per-type stats broadcast.",
+    Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+              CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY event_type, hr),
+            w AS (SELECT event_type, hr, v,
+              CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS cum
+              FROM h),
+            m AS (SELECT event_type, hr, cum,
+              MAX(cum) OVER (PARTITION BY event_type ORDER BY hr) AS peak
+              FROM w),
+            dd AS (SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr_epoch,
+              peak - cum AS dd,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY peak - cum DESC, hr) AS rn
+              FROM m),
+            st AS (SELECT event_type AS sty, CAST(COUNT(*) AS BIGINT) AS n_hours,
+              CAST(SUM(v) AS BIGINT) AS total_e2 FROM h GROUP BY event_type)
+            SELECT event_type, n_hours, total_e2,
+              CAST(dd AS BIGINT) AS max_dd_e2, hr_epoch AS dd_hr_epoch
+            FROM dd JOIN st ON event_type = sty WHERE rn = 1 ORDER BY event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select($"event_type", date_trunc("hour", $"ts").as("hr"),
+          floor($"value" * 100.0).cast(LongType).as("p_e2"))
+        .groupBy($"event_type", $"hr")
+        .agg(sum($"p_e2").cast(LongType).as("v")))
+      val st = h.groupBy($"event_type".as("sty"))
+        .agg(count(lit(1)).cast(LongType).as("n_hours"),
+          sum($"v").cast(LongType).as("total_e2"))
+      val ord = Window.partitionBy($"event_type").orderBy($"hr")
+      val m = h
+        .withColumn("cum", sum($"v").over(ord).cast(LongType))
+        .withColumn("peak", max($"cum").over(ord))
+        .select($"event_type", unix_timestamp($"hr").cast(LongType).as("hr_epoch"),
+          ($"peak" - $"cum").as("dd"))
+      val pick = Window.partitionBy($"event_type").orderBy($"dd".desc, $"hr_epoch")
+      m.withColumn("rn", row_number().over(pick))
+        .filter($"rn" === 1)
+        .join(broadcast(st), $"event_type" === $"sty")
+        .select($"event_type", $"n_hours", $"total_e2",
+          $"dd".cast(LongType).as("max_dd_e2"), $"hr_epoch".as("dd_hr_epoch"))
+        .orderBy($"event_type")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
@@ -4514,5 +4575,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101)
 }

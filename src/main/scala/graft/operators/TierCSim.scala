@@ -3771,7 +3771,74 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------- sampled kNN label purity (c3kp)
+  /** Subsampled kNN label purity — the embedding-quality eval: within
+    * deterministic hash blocks (`vec_id mod 16`, label-BLIND — unlike the
+    * label-blocked production kNN, whose within-block purity is 1 by
+    * construction), each vector's top-3 cosine neighbors are checked for
+    * label agreement, censused per label in exact ppm. Each block is a
+    * uniform 1/16 corpus subsample, so per-block 3-NN purity is the
+    * standard sampled estimator of full-corpus kNN purity — the number
+    * that says whether the embedding space actually separates the labels,
+    * per label (one chronically impure label = a class the encoder
+    * confuses). Same replayed IEEE score chain as c3_knn_cosine.
+    *
+    * Scale shape: the hash-block self-join bounds pairs at Σ|block|²
+    * (block count scales with corpus under a fixed per-block size budget;
+    * locally 16 blocks exercise the shape); WindowGroupLimit prunes below
+    * rank 3 map-side; the census is ≤|labels| rows.
+    */
+  private val c3kp = QuerySpec(
+    "c3_knn_purity",
+    "Sampled kNN label purity: label-blind hash blocks (vec_id mod 16), exact top-3 cosine per vector within its block, per-label match census with exact-ppm purity — the embedding-vs-label consistency eval.",
+    Some(s"""WITH p AS (
+              SELECT a.vec_id AS ida, a.label AS la, b.vec_id AS idb, b.label AS lb,
+                     (${dotChain("a", "b")}) AS dot,
+                     (${dotChain("a", "a")}) AS na2,
+                     (${dotChain("b", "b")}) AS nb2
+              FROM embeddings a
+              JOIN embeddings b
+                ON (a.vec_id % 16) = (b.vec_id % 16) AND a.vec_id <> b.vec_id),
+            sc AS (SELECT ida, la, idb, lb, dot / (sqrt(na2) * sqrt(nb2)) AS score FROM p),
+            r AS (SELECT ida, la, lb,
+                    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rn
+                  FROM sc),
+            q AS (SELECT ida, la, CAST(COUNT(*) AS BIGINT) AS k,
+                    CAST(COUNT(CASE WHEN lb = la THEN 1 END) AS BIGINT) AS m
+                  FROM r WHERE rn <= 3 GROUP BY ida, la)
+            SELECT CAST(la AS BIGINT) AS label, COUNT(*) AS n_queries,
+              CAST(SUM(m) AS BIGINT) AS n_match,
+              CAST(SUM(k) AS BIGINT) AS n_neighbors,
+              CAST((SUM(m) * 1000000) // SUM(k) AS BIGINT) AS purity_e6
+            FROM q GROUP BY la ORDER BY label"""),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"label", ($"vec_id" % 16).as("blk"), $"embedding",
+          TierC.dot($"embedding", $"embedding").as("n2")))
+      val a = e.select($"vec_id".as("ida"), $"label".as("la"), $"blk",
+        $"embedding".as("ea"), $"n2".as("na2"))
+      val b = e.select($"vec_id".as("idb"), $"label".as("lb"), $"blk".as("blk_b"),
+        $"embedding".as("eb"), $"n2".as("nb2"))
+      val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
+      a.join(b, $"blk" === $"blk_b" && $"ida" =!= $"idb")
+        .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .groupBy($"ida", $"la")
+        .agg(count(lit(1)).cast(LongType).as("k"),
+          sum(when($"lb" === $"la", 1L).otherwise(0L)).cast(LongType).as("m"))
+        .groupBy($"la".cast(LongType).as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum($"m").cast(LongType).as("n_match"),
+          sum($"k").cast(LongType).as("n_neighbors"))
+        .select($"label", $"n_queries", $"n_match", $"n_neighbors",
+          expr("(n_match * 1000000L) div n_neighbors").as("purity_e6"))
+        .orderBy($"label")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp)
 }

@@ -942,6 +942,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "both census stages must partial-aggregate:\n" + p)
   }
 
+  test("b101_drawdown: windows run over the cached hourly rollup, stats broadcast") {
+    val p = plan("b101_drawdown")
+    assert(p.contains("InMemoryTableScan"),
+      "drawdown windows must read the cached hourly rollup:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "per-type stats must broadcast:\n" + p)
+    assert(p.contains("partial_sum"), "hourly rollup must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c3_knn_purity: hash-block equi-join, WindowGroupLimit top-3, no cartesian") {
+    val p = plan("c3_knn_purity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "purity join must block on the hash key, never all-pairs:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "top-3 must prune below rank 3 map-side:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "norms must be cached once per vector:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
