@@ -3838,7 +3838,96 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------- IVF cell-balance census (c3ib)
+  /** IVF index-health census — the balance view over the SAME coarse
+    * quantizer `c3_ivf`/`c3_ivfpq` build (identical seeds, identical
+    * assignment expression): per-cell populations rolled up to cell
+    * count, min/max cell size, and the imbalance factor max/mean in exact
+    * ppm (max·n_cells·1e6 div total). A high imbalance factor is the
+    * direct predictor of nprobe latency variance (the fattest cell IS the
+    * probe tail) and the standard trigger for re-training the quantizer —
+    * the index diagnostic `c3_recall` (accuracy) doesn't measure.
+    *
+    * Scale shape: quantizer build is the audited md5-sample + driver
+    * k-center greedy (≤1024 rows); assignment is one map-side native
+    * expression pass; the census partial-aggregates into ≤cells rows and
+    * folds to ONE row.
+    */
+  private val c3ib = QuerySpec(
+    "c3_ivf_balance",
+    "IVF cell-balance census over the production coarse quantizer: cell count, min/max population, and exact-ppm imbalance factor (max/mean) — the index-health number that predicts nprobe tail latency; map-side assignment, one bounded census.",
+    Some(s"""WITH RECURSIVE
+            |${AnnSql.prefix},
+            |${AnnSql.asgCte("asg", "seeds0")},
+            |cs AS (SELECT cell, COUNT(*) AS sz FROM asg GROUP BY cell)
+            |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+            |  CAST(SUM(sz) AS BIGINT) AS n_vectors,
+            |  CAST(MIN(sz) AS BIGINT) AS min_cell,
+            |  CAST(MAX(sz) AS BIGINT) AS max_cell,
+            |  CAST((MAX(sz) * COUNT(*) * 1000000) // SUM(sz) AS BIGINT) AS imbalance_e6
+            |FROM cs""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val e = emb.select($"vec_id", $"embedding",
+        TierC.dot($"embedding", $"embedding").as("n2")).persist()
+      val seeds = graft.functions.VectorExprs.broadcastSeeds(s,
+        ivfSeeds(s, e, ivfCells(emb.count()), 1024))
+      e.unpersist()
+      emb.select($"vec_id", $"embedding",
+          TierC.dot($"embedding", $"embedding").as("n2"))
+        .withColumn("cell", cellAssignCol(seeds))
+        .groupBy($"cell").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_cells"), sum($"sz").cast(LongType).as("n_vectors"),
+          min($"sz").as("min_cell"), max($"sz").as("max_cell"))
+        .select($"n_cells", $"n_vectors", $"min_cell", $"max_cell",
+          expr("(max_cell * n_cells * 1000000L) div n_vectors").as("imbalance_e6"))
+    }
+  )
+
+  // ------------------------------------- gram df profile (tuning, c2gp)
+  /** Posting-list df profile — the input statistic the [[NgramDfCap]]
+    * df-cap is tuned against, finally visible as a declared query: the
+    * document frequency of every (source, bigram) posting key (exactly
+    * the pair-mine's blocking key), histogrammed by power-of-two bucket
+    * (`bit_length(df) − 1` — pure integer, no float log2 edge cases).
+    * The Zipf head lives in the top buckets; the postings mass there is
+    * the work the `hotPreFilter` anti-join path discards before any wide
+    * exchange — this census says how much that is on a given corpus.
+    *
+    * Scale shape: the shared [[bigramExploded]] posting rows, one
+    * partial-agg df count on the join key, one bounded (≤~40 bucket)
+    * census. No joins.
+    */
+  private val c2gp = QuerySpec(
+    "c2_gram_df_profile",
+    "Near-dup posting-list df profile: document frequency per (source, bigram) blocking key, histogrammed by power-of-two bucket (bit_length(df)-1, pure integer) with gram and posting totals — the statistic the df-cap and hotPreFilter paths are tuned against.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            g AS (SELECT source, unnest(grams) AS gram, doc_id FROM b),
+            df AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS df
+              FROM g GROUP BY source, gram)
+            SELECT CAST(length(printf('%b', df)) - 1 AS BIGINT) AS log2_bucket,
+              COUNT(*) AS n_grams,
+              CAST(SUM(df) AS BIGINT) AS n_postings
+            FROM df GROUP BY 1 ORDER BY log2_bucket"""),
+    (s, d) => {
+      import s.implicits._
+      bigramExploded(Tables.documents(s, d))
+        .groupBy($"source", $"gram").agg(count(lit(1)).cast(LongType).as("df"))
+        .select((length(bin($"df")) - 1).cast(LongType).as("log2_bucket"), $"df")
+        .groupBy($"log2_bucket")
+        .agg(count(lit(1)).as("n_grams"), sum($"df").cast(LongType).as("n_postings"))
+        .orderBy($"log2_bucket")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp)
 }

@@ -961,6 +961,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "norms must be cached once per vector:\n" + p)
   }
 
+  test("c3_ivf_balance: map-side assignment feeds two partial-agg stages, no join") {
+    val p = plan("c3_ivf_balance")
+    assert(!p.contains("Join"), "balance census must not join:\n" + p)
+    assert(p.contains("partial_count"), "cell census must partial-aggregate:\n" + p)
+    assert(p.contains("graft_nearest_seed") || p.contains("nearestseed") ||
+      p.contains("NearestSeed"),
+      "assignment must be the native seed expression:\n" + p)
+  }
+
+  test("c2_gram_df_profile: posting df census is aggregation-only, no join/window") {
+    val p = plan("c2_gram_df_profile")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "df profile must be two partial-agg stages only:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "both census stages must partial-aggregate:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
