@@ -400,6 +400,56 @@ object TierA {
     }
   )
 
+  // ------------------------------------------------------- A1h (.csv+WKT)
+  /** The CSV+WKT member of the A1 family — and the one member whose
+    * fixture needs NO driver collect and NO row cap: [[graft.sources
+    * .WktCsv]] writes and reads through Spark's own distributed CSV
+    * machinery, so this fixture pair is the A1 path that still works
+    * unchanged when the input is 100 TB (the binary single-file formats
+    * are driver-bounded by design — see [[guardFixtureRows]]). Geometry
+    * text goes through the `a11h`-pinned bit-exact WKT codec.
+    */
+  private val pointWkbUdf: UserDefinedFunction =
+    udf { (x: Double, y: Long) => Wkb.point(x, y.toDouble) }
+  private[graft] def wktCsvFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_wktcsv_fixture_" + Integer.toHexString(d.hashCode))
+    val ok = new java.io.File(dir, "_SUCCESS")
+    TierA.synchronized {
+      if (!ok.exists() || ok.lastModified < sourceMtime(d)) {
+        val env = Tables.events(s, d).select(
+          lit("events").as("layer"),
+          $"event_id".cast(StringType).as("feature_id"),
+          pointWkbUdf($"value", $"user_id").as("geom_wkb"),
+          map(lit("etype"), $"event_type").as("props"),
+          timestamp_micros(lit(0L)).as("event_ts"),
+          lit(d).as("source"), lit(1).as("fmt_version"))
+        graft.sources.WktCsv.write(env, dir.getPath, Seq("etype"))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1h = QuerySpec(
+    "a1h_wktcsv_scan",
+    "CSV+WKT scan (the OGR CSV-driver shape): events written through the distributed envelope->CSV writer (WKT geometry column, Spark-quoted), read back through the distributed CSV scan + bit-exact WKT codec — the only A1 fixture pair with no driver collect and no row cap; coordinates must equal the parquet doubles bit-for-bit.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = wktCsvFixture(s, d)
+      graft.sources.WktCsv.read(s, dir, "events", "feature_id", "wkt")
+        .select($"feature_id",
+          element_at($"props", "etype").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -1261,5 +1311,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }
