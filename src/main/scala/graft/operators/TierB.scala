@@ -4506,6 +4506,79 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B102
+  /** Holt double-exponential smoothing (α = β = 1/2) — [[b96]]'s EWMA
+    * with a TREND term, the standard next step for dashboard series that
+    * drift: level l_k = ⌊(x_k·1e6 + (l_{k−1} + b_{k−1}))/2⌋, trend
+    * b_k = ((l_k − l_{k−1}) + b_{k−1}) quot 2, one-step forecast l_k + b_k.
+    * The trend can go NEGATIVE, so the division semantics on negatives
+    * finally matter (b96's nonnegative recurrence never hits them):
+    * BOTH engines truncate toward zero — DuckDB's `//` is C-style
+    * (−7 // 2 = −3, probed), and Scala's Long `/` matches; `Math
+    * .floorDiv` would disagree by one on every negative step. Everything
+    * else is the b96 discipline: a
+    * linear recurrence is inherently sequential per series (not
+    * expressible as an associative window), so an O(hours) UDF scans one
+    * timespan-bounded array per type and the trace replays bit-for-bit in
+    * a recursive CTE.
+    */
+  private val b102 = QuerySpec(
+    "b102_holt",
+    "Holt double-exponential smoothing (alpha=beta=1/2) per type over hourly rates: exact integer level/trend recurrence with truncating division (matches DuckDB // on negative trends), one-step forecast l+b; cached rollup -> per-type array UDF -> explode; recursive-CTE oracle.",
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+              CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_epoch,
+              CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+            k AS (SELECT event_type, hr_epoch, n,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr_epoch) AS rk FROM h),
+            r AS (SELECT event_type, hr_epoch, n, rk,
+              n * 1000000 AS l, CAST(0 AS BIGINT) AS b
+              FROM k WHERE rk = 1
+              UNION ALL
+              SELECT k.event_type, k.hr_epoch, k.n, k.rk,
+                (k.n * 1000000 + (r.l + r.b)) // 2 AS l,
+                (((k.n * 1000000 + (r.l + r.b)) // 2) - r.l + r.b) // 2 AS b
+              FROM k JOIN r ON k.event_type = r.event_type AND k.rk = r.rk + 1)
+            SELECT event_type, hr_epoch, n, CAST(l AS BIGINT) AS level_e6,
+              CAST(b AS BIGINT) AS trend_e6, CAST(l + b AS BIGINT) AS forecast_e6
+            FROM r ORDER BY event_type, hr_epoch"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+        .select($"event_type",
+          unix_timestamp($"hr").cast(LongType).as("hr_epoch"), $"n"))
+      // sequential linear recurrence — the b96 only-when-built-ins-can't
+      // UDF criterion; Scala Long `/` truncates toward zero exactly like
+      // DuckDB's `//` (probed: -7 // 2 = -3), so negative trends replay
+      val holt = udf { (ns: Seq[Long]) =>
+        val out = new Array[(Long, Long)](ns.length)
+        var l = 0L; var b = 0L; var i = 0
+        while (i < ns.length) {
+          if (i == 0) { l = ns(0) * 1000000L; b = 0L }
+          else {
+            val lp = l
+            l = (ns(i) * 1000000L + (l + b)) / 2L
+            b = ((l - lp) + b) / 2L
+          }
+          out(i) = (l, b); i += 1
+        }
+        out.toSeq
+      }
+      h.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"hr_epoch", $"n"))).as("hn"))
+        .select($"event_type",
+          expr("transform(hn, x -> x.hr_epoch)").as("hrs"),
+          expr("transform(hn, x -> x.n)").as("ns"))
+        .withColumn("lb", holt($"ns"))
+        .select($"event_type", explode(arrays_zip($"hrs", $"ns", $"lb")).as("z"))
+        .select($"event_type", $"z.hrs".as("hr_epoch"), $"z.ns".as("n"),
+          $"z.lb._1".as("level_e6"), $"z.lb._2".as("trend_e6"),
+          ($"z.lb._1" + $"z.lb._2").as("forecast_e6"))
+        .orderBy($"event_type", $"hr_epoch")
+    }
+  )
+
   // ---------------------------------------------------------------- B101
   /** Maximum drawdown per event type — the peak-to-trough metric of
     * financial series analytics, run over the hourly cumulative value
@@ -4575,5 +4648,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102)
 }

@@ -978,6 +978,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "both census stages must partial-aggregate:\n" + p)
   }
 
+  test("b102_holt: recurrence runs over the cached hourly rollup, per-type arrays, no cartesian") {
+    val p = plan("b102_holt")
+    assert(p.contains("InMemoryTableScan"),
+      "the recurrence must read the cached hourly rollup:\n" + p)
+    assert(p.contains("partial_collect_list"),
+      "per-type hour arrays must partial-collect map-side:\n" + p)
+    assert(p.contains("Generate explode"),
+      "the smoothed trace must explode back to rollup grain:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c6f_png_header: per-row mapPartitions codec, only the rollup shuffles") {
+    val p = plan("c6f_png_header")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "PNG parse must be pure map work + one rollup:\n" + p)
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "codec must run in mapPartitions:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
