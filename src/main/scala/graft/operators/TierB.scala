@@ -4506,6 +4506,62 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B103
+  /** Cohort LTV curve — the revenue sibling of b39's retention matrix:
+    * customers cohorted by FIRST-order month, revenue tracked by months
+    * since acquisition, cumulative per cohort. Month indexes are
+    * `year·12 + month − 1` (plain EXTRACT arithmetic, identical integers
+    * on both engines — months_between-style fractional diffs never enter);
+    * revenue is exact cents (floor(price·100) per order before any sum).
+    *
+    * Scale shape: one partial-agg groupBy on o_custkey finds cohorts; the
+    * orders⋈cohort join is co-keyed on ck (both sides from the same
+    * scan); the (cohort, k) census is ≤ months² rows, its cumulative
+    * window runs over that bounded grid, and the per-cohort customer
+    * counts ride a broadcast.
+    */
+  private val b103 = QuerySpec(
+    "b103_ltv",
+    "Cohort LTV: customers cohorted by first-order month (integer yr*12+mo index), exact-cents revenue by months-since-acquisition with per-cohort cumulative — the b39-retention revenue sibling; co-keyed cohort join, bounded-grid window, broadcast cohort sizes.",
+    Some("""WITH o AS (SELECT o_custkey AS ck,
+              (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) - 1) AS mi,
+              CAST(floor(o_totalprice * 100.0) AS BIGINT) AS p_e2
+              FROM orders),
+            c AS (SELECT ck, MIN(mi) AS cmi FROM o GROUP BY ck),
+            cs AS (SELECT cmi AS scmi, CAST(COUNT(*) AS BIGINT) AS n_cust FROM c GROUP BY cmi),
+            j AS (SELECT c.cmi, o.mi - c.cmi AS k, o.p_e2 FROM o JOIN c ON o.ck = c.ck),
+            g AS (SELECT cmi, k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(p_e2) AS BIGINT) AS rev_e2 FROM j GROUP BY cmi, k),
+            w AS (SELECT cmi, k, n_orders, rev_e2,
+              CAST(SUM(rev_e2) OVER (PARTITION BY cmi ORDER BY k) AS BIGINT) AS cum_rev_e2
+              FROM g)
+            SELECT CAST(cmi AS BIGINT) AS cohort_mi, CAST(k AS BIGINT) AS month_k,
+              n_cust, n_orders, rev_e2, cum_rev_e2
+            FROM w JOIN cs ON w.cmi = cs.scmi ORDER BY cohort_mi, month_k"""),
+    (s, d) => {
+      import s.implicits._
+      val o = graft.CacheRegistry.persist(Tables.orders(s, d)
+        .select($"o_custkey".as("ck"),
+          (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).cast(LongType).as("mi"),
+          floor($"o_totalprice" * 100.0).cast(LongType).as("p_e2")))
+      val c = o.groupBy($"ck").agg(min($"mi").as("cmi"))
+      val cs = c.groupBy($"cmi".as("scmi")).agg(count(lit(1)).cast(LongType).as("n_cust"))
+      val g = o.join(c, "ck")
+        .select($"cmi", ($"mi" - $"cmi").as("k"), $"p_e2")
+        .groupBy($"cmi", $"k")
+        .agg(count(lit(1)).cast(LongType).as("n_orders"),
+          sum($"p_e2").cast(LongType).as("rev_e2"))
+      // cumulative over the bounded (cohort, months) grid only
+      val cum = Window.partitionBy($"cmi").orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_rev_e2", sum($"rev_e2").over(cum).cast(LongType))
+        .join(broadcast(cs), $"cmi" === $"scmi")
+        .select($"cmi".cast(LongType).as("cohort_mi"), $"k".cast(LongType).as("month_k"),
+          $"n_cust", $"n_orders", $"rev_e2", $"cum_rev_e2")
+        .orderBy($"cohort_mi", $"month_k")
+    }
+  )
+
   // ---------------------------------------------------------------- B102
   /** Holt double-exponential smoothing (α = β = 1/2) — [[b96]]'s EWMA
     * with a TREND term, the standard next step for dashboard series that
@@ -4648,5 +4704,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103)
 }

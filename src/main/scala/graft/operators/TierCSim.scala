@@ -2274,6 +2274,53 @@ object TierCSim {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------- PQ distortion census (c3pd)
+  /** PQ reconstruction-distortion census — the third leg of the ANN
+    * index diagnostics (recall = `c3_recall`, coarse balance =
+    * `c3_ivf_balance`, and now QUANTIZATION ERROR): the per-vector
+    * ADC reconstruction error `c3_pq` already computes, histogrammed at
+    * 0.1 resolution (err_ppm div 100000) with per-bucket count and exact
+    * error sums. A fat high-error tail says the codebooks under-fit the
+    * corpus (raise codes-per-subspace or retrain); the mean distortion
+    * tracked round-over-round is the drift signal for re-training.
+    * Oracle reuses c3_pq's full recursive codebook-replay CTEs and only
+    * changes the final census.
+    *
+    * Scale shape: encode is map-side native codegen; the census
+    * partial-aggregates into a bounded bucket domain. No joins beyond
+    * c3_pq's own.
+    */
+  private val c3pd = QuerySpec(
+    "c3_pq_distortion",
+    "PQ quantization-distortion census: per-vector ADC reconstruction error (the replayed c3_pq chain) histogrammed at 0.1 resolution with exact per-bucket error sums — the under-fit/retrain diagnostic completing the ANN index trio.",
+    Some({
+      import PqSql._
+      s"""WITH RECURSIVE
+         |$corpusCte,
+         |$sampleCte,
+         |$allSubCtes,
+         |errs AS (SELECT e0.vec_id,
+         |    CAST(floor((((e0.e0 + e1.e1) + e2.e2) + e3.e3) * 1000000) AS BIGINT) AS err_ppm
+         |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
+         |       JOIN enc3 e3 USING (vec_id))
+         |SELECT err_ppm // 100000 AS bucket, COUNT(*) AS n_vectors,
+         |  CAST(SUM(err_ppm) AS BIGINT) AS sum_err_ppm,
+         |  CAST(MIN(err_ppm) AS BIGINT) AS min_err_ppm,
+         |  CAST(MAX(err_ppm) AS BIGINT) AS max_err_ppm
+         |FROM errs GROUP BY 1 ORDER BY bucket""".stripMargin
+    }),
+    (s, d) => {
+      import s.implicits._
+      pqEncode(s, Tables.embeddings(s, d))
+        .select(expr("err_ppm div 100000").as("bucket"), $"err_ppm")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum($"err_ppm").cast(LongType).as("sum_err_ppm"),
+          min($"err_ppm").as("min_err_ppm"), max($"err_ppm").as("max_err_ppm"))
+        .orderBy($"bucket")
+    }
+  )
+
   private val c3p = QuerySpec(
     "c3_pq",
     "Product quantization: 4 subspaces x 16-code L2 codebooks from a deterministic hash-sample k-center build; per-vector sub-codes + reconstruction error (1e-6 floor). Oracle replays the whole build — recursive-CTE farthest-point greedy, ordered-list_reduce Lloyd mean (the JVM's sample-order double fold), empty-cluster keep-seed arm, ADC chains — hash-exact; SimSpec keeps determinism/spread/error pinned.",
@@ -3929,5 +3976,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd)
 }

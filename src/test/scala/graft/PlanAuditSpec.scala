@@ -997,6 +997,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "codec must run in mapPartitions:\n" + p)
   }
 
+  test("b103_ltv: co-keyed cohort join from one cached scan, cohort sizes broadcast, bounded-grid window") {
+    val p = plan("b103_ltv")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "orders projection must be cached for the cohort agg and the join:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "per-cohort customer counts must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c3_pq_distortion: map-side native encode, bounded-bucket census, no window") {
+    val p = plan("c3_pq_distortion")
+    assert(!p.contains("Window"), "distortion census must not need a window:\n" + p)
+    assert(p.contains("partial_count"), "bucket census must partial-aggregate:\n" + p)
+    assert(p.contains("graft_pq_code") || p.contains("pqcode") || p.contains("PqCode"),
+      "encode must be the native PQ expression:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
