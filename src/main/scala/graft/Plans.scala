@@ -388,6 +388,39 @@ object Plans {
     "c1t_kfold" -> ("K-fold assignment is pure map-side expression " +
       "(md5 -> hex -> mod 5), no lookup join anywhere; the (fold, " +
       "source) balance census partial-aggregates."),
+    "c1u_priority_sample" -> ("Efraimidis-Spirakis priority sampling: " +
+      "draw and priority are map-side expressions, per-source top-k is " +
+      "a WindowGroupLimit-pruned window — no join, no global sort."),
+    "c2_cluster_sizes" -> ("Cluster-size census: the audited c2_cluster " +
+      "CC plan, then two partial-agged census stages (labels -> cluster " +
+      "sizes -> size histogram)."),
+    "b101_drawdown" -> ("Max drawdown: corpus collapses to the cached " +
+      "hourly rollup; cum/peak/argmax windows all run type-partitioned " +
+      "over rollup rows; per-type stats ride a broadcast."),
+    "c3_knn_purity" -> ("Sampled kNN purity: label-blind hash-block " +
+      "equi-join on the cached norm table, WindowGroupLimit top-3, " +
+      "per-label census."),
+    "c3_ivf_balance" -> ("IVF balance: quantizer build is the bounded " +
+      "md5-sample greedy; assignment is one map-side native expression " +
+      "pass; census partial-aggregates to one row. No join."),
+    "c2_gram_df_profile" -> ("Posting df profile: shared bigramExploded " +
+      "posting rows, one partial-agg df count on the (source, gram) " +
+      "blocking key, bounded power-of-two census. No joins."),
+    "c6f_png_header" -> ("PNG IHDR extraction: build and CRC-verified " +
+      "parse are per-row mapPartitions work; the only shuffle is the " +
+      "2-row color-type rollup."),
+    "b102_holt" -> ("Holt level+trend: cached hourly rollup, per-type " +
+      "timespan-bounded arrays, O(hours) truncating-division recurrence " +
+      "UDF, explode back to rollup grain."),
+    "c3_pq_distortion" -> ("PQ distortion census: map-side native " +
+      "pq-code encode, per-vector error expression, bounded-bucket " +
+      "partial-agged census — no window, no extra join."),
+    "b103_ltv" -> ("Cohort LTV: cohorts from one cached orders " +
+      "projection, co-keyed join back, cumulative over the bounded " +
+      "(cohort, months) grid, cohort sizes broadcast."),
+    "a1h_wktcsv_scan" -> ("CSV+WKT scan: Spark's distributed CSV reader " +
+      "(splittable), WKT->WKB is one map-side UDF, no driver fixture " +
+      "collect anywhere — the A1 path with no row cap."),
   )
 
   def main(args: Array[String]): Unit = {
