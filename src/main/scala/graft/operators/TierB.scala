@@ -4506,6 +4506,57 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B104
+  /** A/B test scorecard — the experiment-analysis warehouse operator:
+    * users deterministically assigned to variants by md5 hash (first hex
+    * char < '8' ⇒ A, else B — the c1d split discipline, uniform, zero
+    * RNG, identical on both engines with no numeric parsing), conversion
+    * measured as view→purchase at USER grain (any purchase among users
+    * who viewed), reported per variant with exact-ppm conversion. Grain
+    * matters: event-grain "conversion" double-counts heavy users — the
+    * classic A/B analysis bug this operator's per-user MAX aggregation
+    * avoids by construction.
+    *
+    * Scale shape: one partial-agg groupBy on user_id computes both flags
+    * and the assignment (map-side expression, no lookup join); the
+    * scorecard folds to 2 rows.
+    */
+  private val b104 = QuerySpec(
+    "b104_abtest",
+    "A/B test scorecard: md5-deterministic user->variant assignment (first hex < '8'), user-grain view->purchase conversion per variant with exact-ppm rate — per-user MAX flags, no event-grain double counting; map-side assignment, one user shuffle, 2-row fold.",
+    Some("""WITH u AS (SELECT user_id,
+              CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                   THEN 'A' ELSE 'B' END AS variant,
+              MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+              FROM events GROUP BY user_id)
+            SELECT variant,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(viewed) AS BIGINT) AS n_viewers,
+              CAST(SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+              CAST((SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) * 1000000)
+                // SUM(viewed) AS BIGINT) AS conv_ppm
+            FROM u GROUP BY variant ORDER BY variant"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "view", 1).otherwise(0)).as("viewed"),
+          max(when($"event_type" === "purchase", 1).otherwise(0)).as("purchased"))
+        .select(when(substring(md5($"user_id".cast(StringType)), 1, 1) < "8", "A")
+            .otherwise("B").as("variant"),
+          $"viewed", $"purchased")
+        .groupBy($"variant")
+        .agg(count(lit(1)).cast(LongType).as("n_users"),
+          sum($"viewed").cast(LongType).as("n_viewers"),
+          sum(when($"viewed" === 1 && $"purchased" === 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_converted"))
+        .select($"variant", $"n_users", $"n_viewers", $"n_converted",
+          expr("(n_converted * 1000000L) div n_viewers").as("conv_ppm"))
+        .orderBy($"variant")
+    }
+  )
+
   // ---------------------------------------------------------------- B103
   /** Cohort LTV curve — the revenue sibling of b39's retention matrix:
     * customers cohorted by FIRST-order month, revenue tracked by months
@@ -4704,5 +4755,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104)
 }

@@ -3974,7 +3974,80 @@ object TierCSim {
     }
   )
 
+  // --------------------------------- SimHash calibration census (c2se)
+  /** SimHash Hamming-vs-exact calibration — the SimHash twin of
+    * [[graft.operators.TierC]]'s `c2_minhash_err` (same deterministic
+    * ~2N successor-pair sample, same census discipline): per pair, the
+    * signature Hamming distance and the EXACT distinct-token Jaccard,
+    * grouped by Hamming distance. The calibration curve that justifies
+    * the `hamming ≤ 3` production threshold: if exact similarity within
+    * a Hamming bucket is wide, 64 bits under-resolve this corpus's
+    * similarity regime. Tokens (not shingles) are the exact companion
+    * because SimHash votes ARE token-level.
+    *
+    * Scale shape: signatures + distinct token sets cached once per doc;
+    * pairs via the source-partitioned lead window (never block²); one
+    * co-keyed probe pair; ≤65-bucket census.
+    */
+  private val tokSetUdf = udf { (text: String) =>
+    text.toLowerCase.split(" ").filter(_.nonEmpty).distinct
+  }
+  private val c2se = QuerySpec(
+    "c2_simhash_err",
+    "SimHash bit-width calibration: per deterministic within-source successor pair, signature Hamming distance (bit_count(xor)) vs exact distinct-token Jaccard (integer e6), censused by Hamming with n/sum/min/max — the curve behind the hamming<=3 threshold.",
+    Some(s"""WITH $shSigCtes,
+            |pr0 AS (SELECT source, doc_id AS ida,
+            |         lead(doc_id, 1) OVER w AS b1, lead(doc_id, 2) OVER w AS b2
+            |       FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+            |pr AS (SELECT ida, b1 AS idb FROM pr0 WHERE b1 IS NOT NULL
+            |       UNION ALL SELECT ida, b2 AS idb FROM pr0 WHERE b2 IS NOT NULL),
+            |tku AS (SELECT DISTINCT doc_id, t FROM tk),
+            |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM tku GROUP BY doc_id),
+            |it AS (SELECT pr.ida, pr.idb, CAST(COUNT(*) AS BIGINT) AS inter
+            |       FROM pr JOIN tku a ON a.doc_id = pr.ida
+            |               JOIN tku b ON b.doc_id = pr.idb AND b.t = a.t
+            |       GROUP BY pr.ida, pr.idb),
+            |hm AS (SELECT pr.ida, pr.idb,
+            |         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming,
+            |         (COALESCE(it.inter, 0) * 1000000)
+            |           // (ca.nt + cb.nt - COALESCE(it.inter, 0)) AS exact_e6
+            |       FROM pr JOIN sig sa ON sa.doc_id = pr.ida
+            |               JOIN sig sb ON sb.doc_id = pr.idb
+            |               JOIN tc ca ON ca.doc_id = pr.ida
+            |               JOIN tc cb ON cb.doc_id = pr.idb
+            |               LEFT JOIN it ON it.ida = pr.ida AND it.idb = pr.idb)
+            |SELECT hamming, COUNT(*) AS n_pairs,
+            |  CAST(SUM(exact_e6) AS BIGINT) AS sum_exact_e6,
+            |  CAST(MIN(exact_e6) AS BIGINT) AS min_exact_e6,
+            |  CAST(MAX(exact_e6) AS BIGINT) AS max_exact_e6
+            |FROM hm GROUP BY hamming ORDER BY hamming""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val base = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", $"source", simhashUdf($"text").as("simhash"),
+          tokSetUdf($"text").as("toks")))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val pr = base
+        .select($"doc_id".as("ida"),
+          lead($"doc_id", 1).over(w).as("b1"), lead($"doc_id", 2).over(w).as("b2"))
+        .select($"ida", explode(array($"b1", $"b2")).as("idb"))
+        .filter($"idb".isNotNull)
+      pr
+        .join(base.select($"doc_id".as("ida"), $"simhash".as("sha"), $"toks".as("ta")), "ida")
+        .join(base.select($"doc_id".as("idb"), $"simhash".as("shb"), $"toks".as("tb")), "idb")
+        .select(bit_count($"sha".bitwiseXOR($"shb")).cast(LongType).as("hamming"),
+          size(array_intersect($"ta", $"tb")).cast(LongType).as("inter"),
+          (size($"ta") + size($"tb")).cast(LongType).as("sz2"))
+        .select($"hamming", expr("(inter * 1000000L) div (sz2 - inter)").as("exact_e6"))
+        .groupBy($"hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"exact_e6").cast(LongType).as("sum_exact_e6"),
+          min($"exact_e6").as("min_exact_e6"), max($"exact_e6").as("max_exact_e6"))
+        .orderBy($"hamming")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se)
 }

@@ -1014,6 +1014,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "encode must be the native PQ expression:\n" + p)
   }
 
+  test("b104_abtest: map-side assignment, one user shuffle, no join") {
+    val p = plan("b104_abtest")
+    assert(!p.contains("Join"), "variant assignment must never be a lookup join:\n" + p)
+    assert(p.contains("partial_max"),
+      "per-user flags must partial-aggregate:\n" + p)
+  }
+
+  test("c2_simhash_err: signature/token cache feeds the window and both probes, no cartesian") {
+    val p = plan("c2_simhash_err")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      "signature/token-set table must be cached for window + two probes:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
