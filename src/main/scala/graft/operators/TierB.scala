@@ -4506,6 +4506,54 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B105
+  /** Market-basket affinity ("frequently bought together") — the
+    * transactional twin of `c4_pmi`'s text collocations, same exact
+    * integer-lift discipline: part pairs co-occurring within an order,
+    * min-support 2, ranked by lift = c_xy·1e9 div (c_x·c_y) (one BIGINT
+    * multiply + integer divide — for a fixed order count the true lift
+    * ratio is a monotone function of this, so the ranking needs no N and
+    * no floats). Top-100 by (lift desc, part pair) via TakeOrdered.
+    *
+    * Scale shape: the pair mine self-joins WITHIN the order block —
+    * baskets are bounded (≤ dozens of items), so fan-out is Σ|basket|²,
+    * never |items|²; the support filter runs on the aggregated pair
+    * table BEFORE the two part-support probe joins (the c4_pmi probe
+    * discipline — candidates are support-bounded, the probes broadcast
+    * at any scale where parts ≪ orders).
+    */
+  private val b105 = QuerySpec(
+    "b105_basket_lift",
+    "Market-basket affinity: within-order part pairs (bounded basket self-join), min-support 2, exact integer lift c_xy*1e9 div (c_x*c_y), top-100 TakeOrdered — frequently-bought-together with zero float ops.",
+    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            s AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS sup FROM i GROUP BY pk),
+            p AS (SELECT a.pk AS pa, b.pk AS pb FROM i a JOIN i b
+                  ON a.ok = b.ok AND a.pk < b.pk),
+            c AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS c_xy
+                  FROM p GROUP BY pa, pb HAVING COUNT(*) >= 2)
+            SELECT c.pa, c.pb, c.c_xy, sa.sup AS c_x, sb.sup AS c_y,
+              CAST((c.c_xy * 1000000000) // (sa.sup * sb.sup) AS BIGINT) AS lift_e9
+            FROM c JOIN s sa ON c.pa = sa.pk JOIN s sb ON c.pb = sb.pk
+            ORDER BY lift_e9 DESC, pa, pb LIMIT 100"""),
+    (s, d) => {
+      import s.implicits._
+      val i = graft.CacheRegistry.persist(Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct())
+      val sup = i.groupBy($"pk").agg(count(lit(1)).as("sup"))
+      val c = i.select($"ok", $"pk".as("pa"))
+        .join(i.select($"ok".as("ok_r"), $"pk".as("pb")),
+          $"ok" === $"ok_r" && $"pa" < $"pb")
+        .groupBy($"pa", $"pb").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 2)
+      c.join(sup.select($"pk".as("pa"), $"sup".as("c_x")), Seq("pa"))
+        .join(sup.select($"pk".as("pb"), $"sup".as("c_y")), Seq("pb"))
+        .select($"pa", $"pb", $"c_xy", $"c_x", $"c_y",
+          expr("c_xy * 1000000000L div (c_x * c_y)").cast(LongType).as("lift_e9"))
+        .orderBy($"lift_e9".desc, $"pa", $"pb")
+        .limit(100)
+    }
+  )
+
   // ---------------------------------------------------------------- B104
   /** A/B test scorecard — the experiment-analysis warehouse operator:
     * users deterministically assigned to variants by md5 hash (first hex
@@ -4755,5 +4803,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105)
 }

@@ -1028,6 +1028,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b105_basket_lift: order-blocked pair mine from one cache, support filter before probes, TakeOrdered") {
+    val p = plan("b105_basket_lift")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be TakeOrdered, not a global sort:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the distinct (order, part) frame must be cached for supports + both join sides:\n" + p)
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains(">= 2")),
+      "min-support must filter the candidate table before probing:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
