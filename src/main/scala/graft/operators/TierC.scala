@@ -601,5 +601,47 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c2me)
+  // --------------------------------- LSH band-bucket occupancy (c2bo)
+  /** LSH band-bucket occupancy census — the banding twin of
+    * `c3_ivf_balance`: per band, how many buckets the corpus hashes
+    * into, the fattest bucket, the singleton count, and the exact
+    * candidate-pair cost Σ sz·(sz−1)/2 the bucket self-join will
+    * generate. THE number that prices `c2_dedup_pairs` before running
+    * it: a boilerplate-heavy corpus shows one fat bucket per band
+    * (quadratic pair cost, the df-cap failure mode's LSH sibling), a
+    * clean corpus shows singletons. Reuses the production signature
+    * index ([[lshIndex]]) and the `mhBandCtes` oracle replay verbatim.
+    *
+    * Scale shape: signature build is map-side; the bucket census is one
+    * partial-agg shuffle on (band_id, band_hash); the per-band rollup is
+    * 8 rows. No joins.
+    */
+  private val c2bo = QuerySpec(
+    "c2_band_occupancy",
+    "LSH band-bucket occupancy: per band, bucket count, max bucket, singletons, and the exact candidate-pair cost sum(sz*(sz-1)/2) the bucket self-join would generate — prices near-dup candidate generation before running it.",
+    Some(s"""WITH $mhBandCtes,
+            |bs AS (SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS sz
+            |       FROM band GROUP BY band_id, band_hash)
+            |SELECT CAST(band_id AS BIGINT) AS band_id,
+            |  COUNT(*) AS n_buckets,
+            |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+            |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+            |  CAST(COALESCE(SUM(CASE WHEN sz = 1 THEN 1 END), 0) AS BIGINT) AS n_singletons,
+            |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+            |FROM bs GROUP BY band_id ORDER BY band_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      lshIndex(Tables.documents(s, d))
+        .groupBy($"band_id", $"band_hash").agg(count(lit(1)).as("sz"))
+        .groupBy($"band_id".cast(LongType).as("band_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum($"sz").cast(LongType).as("n_docs"),
+          max($"sz").as("max_bucket"),
+          sum(when($"sz" === 1, 1L).otherwise(0L)).cast(LongType).as("n_singletons"),
+          sum(expr("sz * (sz - 1) div 2")).cast(LongType).as("cand_pairs"))
+        .orderBy($"band_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c2me, c2bo)
 }

@@ -1039,6 +1039,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("c2_band_occupancy: two partial-agg census stages, no join/window") {
+    val p = plan("c2_band_occupancy")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "bucket occupancy must be aggregation-only:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "both census stages must partial-aggregate:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
