@@ -421,6 +421,19 @@ object Plans {
     "a1h_wktcsv_scan" -> ("CSV+WKT scan: Spark's distributed CSV reader " +
       "(splittable), WKT->WKB is one map-side UDF, no driver fixture " +
       "collect anywhere — the A1 path with no row cap."),
+    "b104_abtest" -> ("A/B scorecard: variant assignment is a map-side " +
+      "md5 expression (no lookup join); per-user flags partial-aggregate " +
+      "on the one user shuffle; the scorecard folds to 2 rows."),
+    "c2_simhash_err" -> ("SimHash calibration: signatures + token sets " +
+      "cached once per doc, source-partitioned lead-window pair sample, " +
+      "two co-keyed probes, <=65-bucket census."),
+    "b105_basket_lift" -> ("Basket affinity: within-order pair mine " +
+      "(bounded basket self-join from one cached distinct frame), " +
+      "support filter before the two part-support probes, top-100 " +
+      "TakeOrdered."),
+    "c2_band_occupancy" -> ("Band occupancy: map-side signature build, " +
+      "one partial-agg shuffle on (band_id, band_hash), 8-row per-band " +
+      "rollup. No joins."),
   )
 
   def main(args: Array[String]): Unit = {
