@@ -608,6 +608,26 @@ object FeaturePipeline {
       .groupBy(window(col("event_ts"), windowDur, slideDur), col("layer"))
       .count()
 
+  /** Streaming sessionization — the streaming half of the batch
+    * `b30_session`/`b98_session_hist` pair, with the identical session
+    * definition (native `session_window`, gap-based): per (user,
+    * session), event count and first/last timestamps, emitted in Append
+    * mode once the watermark passes the session's end (a session is only
+    * final when no event can extend it — exactly the gap semantics).
+    * State per key is one open session interval, evicted at emission —
+    * bounded by the active-user count, not history.
+    */
+  def sessionizeStream(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(session_window(col("event_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_ts")).as("first_ts"), max(col("event_ts")).as("last_ts"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("first_ts"), col("last_ts"))
+
   /** Stage 2 (run inside foreachBatch on [[trendingCounts]] output): keep
     * the top-k layers per closed window, deterministic (count desc, layer
     * asc) order. Plain batch plan — WindowGroupLimit prunes per window.

@@ -150,6 +150,22 @@ object StreamBench {
         windowDur = "20 minutes", slideDur = "10 minutes", watermark = "5 minutes"),
       trendChunks)
 
+    // 6. streaming sessionization: session_window agg in Append mode —
+    //    sessions close as each chunk advances event time by 10 minutes
+    //    past the 3-minute gap; state is one open interval per user
+    val sessChunks = (0 until 10).map { c =>
+      (0 until 20000 * scale).map { i =>
+        val id = c * 20000L * scale + i
+        (id % 500, id, c * 10L * min + (i % 180) * us)
+      }
+    }
+    runPipeline[(Long, Long, Long)]("sessionize",
+      ms => FeaturePipeline.sessionizeStream(
+        ms.toDF().toDF("user_id", "event_id", "ts_us")
+          .select($"user_id", timestamp_micros($"ts_us").as("event_ts")),
+        gap = "3 minutes", watermark = "1 minute"),
+      sessChunks)
+
     // 5. stream-stream interval enrichment join (dual watermark): the
     //    two-live-streams shape — observations join the context feed for
     //    the same layer within a 120 s lookback; state stays bounded by

@@ -385,6 +385,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B30 streaming: session_window closes on gap, merges within gap, emits after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long)]
+    val ms = MemoryStream[(Long, Long)]
+    val events = ms.toDF().toDF("user_id", "ts_us")
+      .select($"user_id", timestamp_micros($"ts_us").as("event_ts"))
+    val out = FeaturePipeline.sessionizeStream(events, gap = "3 minutes", watermark = "1 minute")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("session_sink")
+      .option("checkpointLocation", tmpDir("ckpt_sess")).start()
+    try {
+      val min = 60L * 1000000L
+      // user 1: two events 1 min apart (one session), then a burst 10 min
+      // later (second session); user 2: one lone event
+      ms.addData((1L, 0L), (1L, min), (2L, min))
+      ms.addData((1L, 11L * min), (1L, 12L * min))
+      // advance the watermark far enough to close everything; the
+      // watermark computed from a batch's max event time only takes
+      // effect on the NEXT batch, so drive two advancing batches
+      ms.addData((9L, 60L * min))
+      q.processAllAvailable()
+      ms.addData((9L, 61L * min))
+      q.processAllAvailable()
+      val rows = spark.table("session_sink")
+        .select($"user_id", $"session_start", $"n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSeq
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._2)
+      assert(u1.map(_._3) == Seq(2L, 2L),
+        s"user 1 must close two distinct sessions of 2 events each: $rows")
+      assert(u1(0)._2 != u1(1)._2, s"sessions must have distinct starts: $rows")
+      assert(rows.exists(r => r._1 == 2L && r._3 == 1L),
+        s"user 2's singleton session missing: $rows")
+    } finally q.stop()
+  }
+
   test("C2 streaming cross-batch: duplicate beyond the watermark gap is still dropped") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
