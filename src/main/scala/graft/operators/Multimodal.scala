@@ -557,5 +557,120 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f)
+  // ----------------------------------------------------- c6g_tiff_header
+  /** TIFF IFD metadata extraction — the DUAL-ENDIAN member of the codec
+    * family (WAV = little-endian chunk list, PNG = big-endian + CRC, and
+    * now a format whose byte order is DECLARED IN THE FILE): records
+    * alternate between II (little) and MM (big) containers by id, the
+    * builder emits genuinely different bytes for each, and ONE parser
+    * must read the order mark, verify magic 42 under that order, and
+    * walk the IFD entries (tag/type/count/value) to recover
+    * width/height. A parser that hardcodes either order fails half the
+    * corpus — that is the planted trap. parse(build(x)) must equal the
+    * closed form, censused per byte order.
+    *
+    * Scale posture: per-row mapPartitions build+parse; one ≤2-row rollup.
+    */
+  object TiffCodec {
+    private def u16(v: Int, le: Boolean): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def u32(v: Long, le: Boolean): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def rd16(p: Array[Byte], o: Int, le: Boolean): Int =
+      if (le) (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    private def rd32(p: Array[Byte], o: Int, le: Boolean): Long =
+      if (le) (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      else ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+
+    private def entry(tag: Int, value: Long, le: Boolean): Array[Byte] =
+      u16(tag, le) ++ u16(4, le) ++ u32(1L, le) ++ u32(value, le) // type 4 = LONG
+
+    /** Minimal single-IFD TIFF: header, 2-entry IFD (ImageWidth 256,
+      * ImageLength 257), zero next-IFD, payload appended after.
+      */
+    def build(width: Long, height: Long, le: Boolean, payload: Array[Byte]): Array[Byte] = {
+      val order = if (le) "II" else "MM"
+      order.getBytes("ISO-8859-1") ++ u16(42, le) ++ u32(8L, le) ++
+        u16(2, le) ++ entry(256, width, le) ++ entry(257, height, le) ++
+        u32(0L, le) ++ payload
+    }
+
+    final case class TiffMeta(width: Long, height: Long, littleEndian: Boolean)
+
+    /** Order-mark dispatch + magic check + IFD walk — loud-throw. */
+    def parse(p: Array[Byte]): TiffMeta = {
+      require(p.length >= 8, "truncated TIFF header")
+      val order = new String(p.slice(0, 2), "ISO-8859-1")
+      val le = order match {
+        case "II" => true
+        case "MM" => false
+        case o => throw new IllegalArgumentException(s"not a TIFF order mark: $o")
+      }
+      require(rd16(p, 2, le) == 42, "bad TIFF magic")
+      val ifd = rd32(p, 4, le).toInt
+      val n = rd16(p, ifd, le)
+      var w = -1L; var h = -1L
+      var i = 0
+      while (i < n) {
+        val off = ifd + 2 + i * 12
+        rd16(p, off, le) match {
+          case 256 => w = rd32(p, off + 8, le)
+          case 257 => h = rd32(p, off + 8, le)
+          case _ => ()
+        }
+        i += 1
+      }
+      require(w >= 0 && h >= 0, "IFD missing ImageWidth/ImageLength")
+      TiffMeta(w, h, le)
+    }
+
+    def widthFor(id: Long): Long = 32L + id % 1920
+    def heightFor(id: Long): Long = 32L + id % 1080
+    def littleFor(id: Long): Boolean = id % 2 == 0
+  }
+
+  private val c6g = QuerySpec(
+    "c6g_tiff_header",
+    "TIFF IFD metadata extraction with in-file byte order: records alternate II/MM containers by id, one parser dispatches on the order mark, verifies magic 42, and walks the IFD to recover width/height in mapPartitions — per-byte-order rollup; a parser hardcoding either endianness fails half the corpus.",
+    Some("""WITH m AS (SELECT doc_id,
+              CAST(32 + doc_id % 1920 AS BIGINT) AS width,
+              CAST(32 + doc_id % 1080 AS BIGINT) AS height,
+              CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+              FROM documents)
+            SELECT byte_order, COUNT(*) AS n,
+              CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+              CAST(MAX(width) AS BIGINT) AS max_width,
+              CAST(MAX(height) AS BIGINT) AS max_height
+            FROM m GROUP BY byte_order ORDER BY byte_order"""),
+    (s, d) => {
+      import s.implicits._
+      val tiffs = Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          (id, TiffCodec.build(TiffCodec.widthFor(id), TiffCodec.heightFor(id),
+            TiffCodec.littleFor(id), payload))
+        })
+      tiffs
+        .mapPartitions(_.map { case (id, p) =>
+          val m = TiffCodec.parse(p)
+          (id, m.width, m.height, if (m.littleEndian) "II" else "MM")
+        })
+        .toDF("media_id", "width", "height", "byte_order")
+        .groupBy($"byte_order")
+        .agg(count(lit(1)).as("n"),
+          sum($"width" * $"height").cast(LongType).as("total_pixels"),
+          max($"width").as("max_width"), max($"height").as("max_height"))
+        .orderBy($"byte_order")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g)
 }

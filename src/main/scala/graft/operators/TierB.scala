@@ -4506,6 +4506,58 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B106
+  /** Revenue concentration curve (Pareto deciles) — the curve view of
+    * b88's single Gini number: customers deciled by total spend and each
+    * decile's exact revenue share in ppm. Deciles use the b99_rfm
+    * quantized-quantile machinery (value-bounded \$10k spend bins,
+    * cumulative-below prefix over the BIN table, score = 1 + (10·cum)
+    * div n via one broadcast bin join) — never a corpus-scale ntile.
+    * Everything integer-exact: cents from floor(price·100), shares by
+    * BIGINT division.
+    *
+    * Scale shape: one o_custkey partial-agg shuffle; bin table and the
+    * single-row totals ride broadcasts; ≤10 output rows.
+    */
+  private val b106 = QuerySpec(
+    "b106_pareto",
+    "Revenue Pareto curve: customers deciled by exact-cents spend via quantized bins (no global sort/ntile — the b99 machinery at decile granularity), per-decile customer counts, revenue, and exact-ppm share.",
+    Some("""WITH cust AS (SELECT o_custkey AS ck,
+              CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS mon_e2
+              FROM orders GROUP BY o_custkey),
+            n AS (SELECT COUNT(*) AS nc, CAST(SUM(mon_e2) AS BIGINT) AS tot FROM cust),
+            mb AS (SELECT mon_e2 // 1000000 AS bin, COUNT(*) AS c FROM cust GROUP BY 1),
+            mc AS (SELECT bin, COALESCE(CAST(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cl FROM mb),
+            sc AS (SELECT c.mon_e2,
+                LEAST(1 + (10 * mc.cl) // n.nc, 10) AS decile
+              FROM cust c JOIN mc ON c.mon_e2 // 1000000 = mc.bin CROSS JOIN n)
+            SELECT decile, COUNT(*) AS n_customers,
+              CAST(SUM(mon_e2) AS BIGINT) AS rev_e2,
+              CAST((SUM(mon_e2) * 1000000) // (SELECT tot FROM n) AS BIGINT) AS share_ppm
+            FROM sc GROUP BY decile ORDER BY decile"""),
+    (s, d) => {
+      import s.implicits._
+      val cust = graft.CacheRegistry.persist(Tables.orders(s, d)
+        .select($"o_custkey".as("ck"), floor($"o_totalprice" * 100.0).cast(LongType).as("p_e2"))
+        .groupBy($"ck").agg(sum($"p_e2").cast(LongType).as("mon_e2")))
+      val n = cust.agg(count(lit(1)).as("nc"), sum($"mon_e2").cast(LongType).as("tot"))
+      val mb = cust.groupBy(expr("mon_e2 div 1000000").as("bin")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, -1)
+      val mc = mb.select($"bin".as("m_bin"),
+        coalesce(sum($"c").over(w), lit(0L)).cast(LongType).as("cl"))
+      cust.join(broadcast(mc), expr("mon_e2 div 1000000") === $"m_bin")
+        .crossJoin(broadcast(n))
+        .select($"mon_e2", $"tot",
+          least(lit(1L) + expr("(10 * cl) div nc"), lit(10L)).as("decile"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"mon_e2").cast(LongType).as("rev_e2"),
+          expr("(sum(mon_e2) * 1000000L) div first(tot)").cast(LongType).as("share_ppm"))
+        .orderBy($"decile")
+    }
+  )
+
   // ---------------------------------------------------------------- B105
   /** Market-basket affinity ("frequently bought together") — the
     * transactional twin of `c4_pmi`'s text collocations, same exact
@@ -4803,5 +4855,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105, b106)
 }

@@ -1047,6 +1047,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "both census stages must partial-aggregate:\n" + p)
   }
 
+  test("b106_pareto: bin table + totals broadcast, customer agg cached, no corpus sort") {
+    val p = plan("b106_pareto")
+    assert(p.contains("BroadcastHashJoin"), "decile bin join must broadcast:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "per-customer spend table must be cached for its three consumers:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c6g_tiff_header: per-row mapPartitions codec, only the rollup shuffles") {
+    val p = plan("c6g_tiff_header")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "TIFF parse must be pure map work + one rollup:\n" + p)
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "codec must run in mapPartitions:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
