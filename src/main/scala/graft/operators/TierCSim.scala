@@ -2680,6 +2680,60 @@ object TierCSim {
     }
   )
 
+  // ------------------------------- spectral energy fraction (c3en)
+  /** Dominant-component energy fraction — the number that says whether
+    * [[c3wh]]'s all-but-the-top whitening is even worth running on this
+    * corpus: the Rayleigh quotient of the power-iteration direction over
+    * the Gram trace, energy = (Σᵢ(xᵢ·v)²) / (v'v · Σᵢ|xᵢ|²), in exact
+    * integer ppm. Near-isotropic corpora score ≈ 1/dim (whitening buys
+    * nothing); anisotropic embedding spaces (the usual case for real
+    * encoders) score high and whitening recovers retrieval contrast.
+    * Reuses the c3_power_iter machinery verbatim: same 2^20-quantized
+    * matvec chain, same final iterate; the numerator/trace/norm sums run
+    * in DECIMAL(38,0)/HUGEINT (s² reaches 2^92), and the single final
+    * division happens on three one-row scalars — driver-side BigInt in
+    * the engine, HUGEINT `//` in the oracle, both exact.
+    *
+    * Scale shape: the Gram matvec is the audited c3_power_iter plan
+    * (per-i partial aggs, dim-row driver traffic per step); the three
+    * closing aggregates are single-row pulls.
+    */
+  private val c3en = QuerySpec(
+    "c3_energy",
+    "Spectral energy fraction of the dominant embedding direction: Rayleigh quotient over the Gram trace in exact integer ppm (2^20-quantized power-iteration chain, DECIMAL/HUGEINT sums, one exact scalar division) — decides whether all-but-the-top whitening pays.",
+    Some(s"""WITH $powerIterCtes,
+            |sf AS (SELECT i, SUM(q * v) AS s FROM e JOIN v$PowerIters USING (j) GROUP BY i),
+            |n2 AS (SELECT SUM(s * s) AS num FROM sf),
+            |tr AS (SELECT SUM(q * q) AS t FROM e),
+            |vv AS (SELECT SUM(v * v) AS nv FROM v$PowerIters)
+            |SELECT CAST((n2.num * 1000000) // (vv.nv * tr.t) AS BIGINT) AS energy_ppm,
+            |  CAST(tr.t AS BIGINT) AS trace_q,
+            |  CAST(vv.nv AS BIGINT) AS vv_q
+            |FROM n2, tr, vv""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id".as("i"), posexplode($"embedding").as(Seq("j", "v")))
+        .select($"i", $"j".cast(LongType).as("j"),
+          floor($"v".cast(DoubleType) * 1048576.0).cast(LongType).as("q")))
+      val v = powerIteration(s, e, 64, PowerIters)
+      val vLit = typedlit(v.toSeq)
+      val per = e
+        .select($"i", ($"q" * element_at(vLit, ($"j" + 1).cast(IntegerType))).as("qv"),
+          ($"q" * $"q").as("qq"))
+        .groupBy($"i").agg(sum($"qv").as("s"), sum($"qq").cast(dec).as("qq"))
+      val row = per
+        .agg(sum($"s".cast(dec) * $"s".cast(dec)).as("num"), sum($"qq").as("tr"))
+        .collect()(0)
+      val num = BigInt(row.getDecimal(0).toBigInteger)
+      val tr = BigInt(row.getDecimal(1).toBigInteger)
+      val vv = v.map(x => BigInt(x) * BigInt(x)).sum
+      Seq(((num * 1000000 / (vv * tr)).toLong, tr.toLong, vv.toLong))
+        .toDF("energy_ppm", "trace_q", "vv_q")
+    }
+  )
+
   // ----------------------------- dominant-direction removal (c3wh)
   /** The APPLY side of [[c3pi]] — "all-but-the-top" embedding
     * post-processing (Mu & Viswanath): remove each vector's component
@@ -4049,5 +4103,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en)
 }

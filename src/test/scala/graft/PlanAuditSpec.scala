@@ -1063,6 +1063,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "codec must run in mapPartitions:\n" + p)
   }
 
+  test("c3_energy: distributed matvec folds to a single-row local result (c3_power_iter contract)") {
+    // the Gram matvec itself is the audited c3_power_iter plan (cached
+    // (i,j,q) explode, per-vector partial aggs, dim-row driver traffic);
+    // the query's RETURNED frame must be the one-row scalar result — any
+    // corpus-sized operator here would mean the division left the driver
+    val p = plan("c3_energy")
+    assert(p.contains("LocalTableScan"),
+      "final energy row must be a driver-local scalar result:\n" + p)
+    assert(!p.contains("Exchange"),
+      "no shuffle may survive into the returned scalar frame:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
