@@ -4506,6 +4506,59 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B107
+  /** Order→ship latency distribution — supply-chain SLA analytics over
+    * the orders⋈lineitem latency in whole days (calendar-free
+    * epoch-microsecond difference; the synthetic shipdates are not tied
+    * to orderdates, so NEGATIVE latencies exist and the truncating
+    * `div`/`//` agreement on negatives — the b102_holt finding — is
+    * load-bearing here). Exact min/max/mean(e3) plus nearest-rank
+    * median/p90 selected from the day-resolution histogram by the b95
+    * cross-multiplied rank tests (2·cum ≥ n, 10·cum ≥ 9n) — no
+    * interpolation, no corpus-scale sort.
+    *
+    * Scale shape: one co-keyed orderkey join (both sides shuffle once),
+    * the latency frame cached for the histogram and the totals, the
+    * cumulative window over the timespan-bounded day domain.
+    */
+  private val b107 = QuerySpec(
+    "b107_ship_latency",
+    "Order-to-ship latency: exact day-grain stats (min/max/mean e3) + nearest-rank median/p90 from the bounded day histogram (b95 rank tests); epoch-us day arithmetic with truncating division (negative latencies exist by design).",
+    Some("""WITH l AS (SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS d
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM l GROUP BY d),
+            c AS (SELECT d, cnt, CAST(SUM(cnt) OVER (ORDER BY d) AS BIGINT) AS cum FROM h),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MIN(d) AS BIGINT) AS min_d, CAST(MAX(d) AS BIGINT) AS max_d,
+              CAST(SUM(d) * 1000 // COUNT(*) AS BIGINT) AS mean_e3 FROM l)
+            SELECT t.n, t.min_d, t.max_d, t.mean_e3,
+              (SELECT CAST(MIN(d) AS BIGINT) FROM c, t WHERE 2 * cum >= t.n) AS med_d,
+              (SELECT CAST(MIN(d) AS BIGINT) FROM c, t WHERE 10 * cum >= 9 * t.n) AS p90_d
+            FROM t"""),
+    (s, d) => {
+      import s.implicits._
+      val lat = graft.CacheRegistry.persist(
+        Tables.lineitem(s, d).select($"l_orderkey",
+            unix_micros($"l_shipdate".cast(TimestampType)).as("sus"))
+          .join(Tables.orders(s, d).select($"o_orderkey",
+            unix_micros($"o_orderdate".cast(TimestampType)).as("ous")),
+            $"l_orderkey" === $"o_orderkey")
+          .select(expr("(sus - ous) div 86400000000L").as("d")))
+      val h = lat.groupBy($"d").agg(count(lit(1)).cast(LongType).as("cnt"))
+      val cumW = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = h.withColumn("cum", sum($"cnt").over(cumW).cast(LongType))
+      val t = lat.agg(count(lit(1)).cast(LongType).as("n"),
+        min($"d").cast(LongType).as("min_d"), max($"d").cast(LongType).as("max_d"),
+        expr("sum(d) * 1000 div count(1)").cast(LongType).as("mean_e3"))
+      val sel = c.crossJoin(broadcast(t))
+        .agg(min(when(lit(2) * $"cum" >= $"n", $"d")).cast(LongType).as("med_d"),
+          min(when(lit(10) * $"cum" >= lit(9) * $"n", $"d")).cast(LongType).as("p90_d"))
+      t.crossJoin(broadcast(sel))
+        .select($"n", $"min_d", $"max_d", $"mean_e3", $"med_d", $"p90_d")
+    }
+  )
+
   // ---------------------------------------------------------------- B106
   /** Revenue concentration curve (Pareto deciles) — the curve view of
     * b88's single Gini number: customers deciled by total spend and each
@@ -4855,5 +4908,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105, b106)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105, b106, b107)
 }

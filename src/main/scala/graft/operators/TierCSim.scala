@@ -2365,6 +2365,70 @@ object TierCSim {
     }
   )
 
+  // ------------------------------- centroid separation matrix (c3cp)
+  /** Inter-centroid separation — the BETWEEN-class companion to
+    * [[c3kp]]'s within-class purity: for every label pair, the squared
+    * distance between class centroids, computed WITHOUT ever forming the
+    * float means: with per-(label, pos) exact integer sums s and counts
+    * n (the c3_centroid quantities), the mean difference cross-multiplies
+    * to (s_a·n_b − s_b·n_a) per dimension — exact integers — and the
+    * squared distance sums their squares in DECIMAL(38,0)/HUGEINT
+    * (per-term ~7·10^18 overflows BIGINT; the decimal path is the
+    * c3_power_iter transpose-matvec discipline). Reported scaled by
+    * (n_a·n_b)² — i.e. the e12-quantized squared mean distance — so the
+    * output fits BIGINT and ranks identically. Confusable label pairs
+    * (low separation) predict exactly where c3_knn_purity loses.
+    *
+    * Scale shape: one (label, pos) partial-agg shuffle (the c3_centroid
+    * plan), then a labels×labels self-join on pos — ≤|labels|²·dim rows,
+    * bounded by construction, never corpus-scaled.
+    */
+  private val c3cp = QuerySpec(
+    "c3_centroid_sep",
+    "Centroid separation matrix: per label pair, exact cross-multiplied squared mean distance ((s_a*n_b - s_b*n_a)^2 summed in DECIMAL, scaled by (n_a*n_b)^2 to e12) — the between-class view that predicts kNN purity loss; bounded labels^2 x dim join.",
+    Some("""WITH e AS (SELECT label,
+              unnest(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS v6,
+              unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings),
+            c AS (SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(v6) AS BIGINT) AS s6 FROM e GROUP BY label, pos),
+            p AS (SELECT a.label AS la, b.label AS lb, a.n AS na, b.n AS nb,
+              (CAST(a.s6 AS HUGEINT) * b.n - CAST(b.s6 AS HUGEINT) * a.n) AS dd
+              FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label)
+            SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+              CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+              CAST(SUM(dd * dd) // (MIN(na) * MIN(na) * MIN(nb) * MIN(nb)) AS BIGINT) AS dist2_e12
+            FROM p GROUP BY la, lb ORDER BY label_a, label_b"""),
+    (s, d) => {
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val c = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"label", $"pos",
+          floor($"v".cast(DoubleType) * 1000000).cast(LongType).as("v6"))
+        .groupBy($"label", $"pos")
+        .agg(count(lit(1)).as("n"), sum($"v6").cast(LongType).as("s6")))
+      val a = c.select($"label".as("la"), $"pos", $"n".as("na"), $"s6".as("sa"))
+      val b = c.select($"label".as("lb"), $"pos".as("pos_r"), $"n".as("nb"), $"s6".as("sb"))
+      a.join(b, $"pos" === $"pos_r" && $"la" < $"lb")
+        .select($"la", $"lb", $"na", $"nb",
+          ($"sa".cast(dec) * $"nb".cast(dec) - $"sb".cast(dec) * $"na".cast(dec)).as("dd"))
+        .groupBy($"la".cast(LongType).as("label_a"), $"lb".cast(LongType).as("label_b"))
+        .agg(min($"na").cast(LongType).as("n_a"), min($"nb").cast(LongType).as("n_b"),
+          sum($"dd" * $"dd").as("ss"))
+        .select($"label_a", $"label_b", $"n_a", $"n_b",
+          // exact integer quotient: Spark decimal `/` ROUNDS (half-up at
+          // the result scale) and could bump across an integer right where
+          // DuckDB's `//` floors — subtracting the exact decimal remainder
+          // first makes the division exact, so the cast can't disagree
+          (($"ss" - $"ss" % ($"n_a" * $"n_a" * $"n_b" * $"n_b").cast(dec))
+            / ($"n_a" * $"n_a" * $"n_b" * $"n_b").cast(dec)).cast(LongType)
+            .as("dist2_e12"))
+        .orderBy($"label_a", $"label_b")
+    }
+  )
+
   // --------------------------------------------------- int8 quantization
   /** Elementwise ops only, so no accumulation-order dependence anywhere:
     * mx is an exact max over exact float→double casts, each
@@ -4103,5 +4167,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp)
 }

@@ -1075,6 +1075,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "no shuffle may survive into the returned scalar frame:\n" + p)
   }
 
+  test("b107_ship_latency: co-keyed order join, cached latency frame, bounded-day window") {
+    val p = plan("b107_ship_latency")
+    assert(p.contains("InMemoryTableScan"),
+      "latency frame must be cached for histogram + totals:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "only broadcast single-row folds allowed:\n" + p)
+  }
+
+  test("c3_centroid_sep: bounded labels x dim join after the centroid partial-agg, no cartesian") {
+    val p = plan("c3_centroid_sep")
+    assert(p.contains("InMemoryTableScan"),
+      "the (label, pos) centroid table must be cached for both join sides:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "centroid sums must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
