@@ -434,6 +434,20 @@ object Plans {
     "c2_band_occupancy" -> ("Band occupancy: map-side signature build, " +
       "one partial-agg shuffle on (band_id, band_hash), 8-row per-band " +
       "rollup. No joins."),
+    "b106_pareto" -> ("Pareto deciles: per-customer spend cached, " +
+      "value-bounded bin table + single-row totals broadcast, score by " +
+      "one broadcast bin join — no corpus-scale sort or ntile."),
+    "c6g_tiff_header" -> ("TIFF dual-endian parse: build and IFD walk " +
+      "are per-row mapPartitions work; one 2-row byte-order rollup."),
+    "c3_energy" -> ("Spectral energy: the audited c3_power_iter matvec " +
+      "(cached explode, per-vector partial aggs), three single-row " +
+      "closing aggregates, exact BigInt scalar division on the driver."),
+    "b107_ship_latency" -> ("Ship latency: one co-keyed orderkey join, " +
+      "cached day-latency frame for histogram + totals, nearest-rank " +
+      "selection over the timespan-bounded day domain."),
+    "c3_centroid_sep" -> ("Centroid separation: (label, pos) partial-agg " +
+      "centroid table cached for both sides of the bounded labels^2 x " +
+      "dim join; DECIMAL cross-multiplied exact distance."),
   )
 
   def main(args: Array[String]): Unit = {
