@@ -4506,6 +4506,83 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B108
+  /** Holt forecast backtest — the accuracy census over [[b102]]'s
+    * smoother: at every hour k, compare the one-step-ahead forecast
+    * (l_k + b_k, made BEFORE seeing hour k+1) against the actual
+    * n_{k+1}·1e6, and report per type the exact MAE (e6) and bias. The
+    * backtest is the number that decides whether the trend term earns
+    * its keep vs plain EWMA — a smoother is only as good as its
+    * holdout error, and this evaluates it with zero lookahead leakage
+    * (forecast at k never sees k+1). Same recurrence, same truncating-
+    * division discipline; the error pairing is one lead() over the
+    * per-type trace.
+    *
+    * Scale shape: identical to b102 (cached rollup, per-type bounded
+    * arrays, O(hours) UDF) plus a types-sized census fold.
+    */
+  private val b108 = QuerySpec(
+    "b108_holt_backtest",
+    "Holt one-step backtest per type: exact |forecast_k - actual_{k+1}| integer errors (zero lookahead), per-type n/MAE(e6)/bias(e6) — the holdout number that justifies (or rejects) the trend term; recursive-CTE oracle.",
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+              CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_epoch,
+              CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+            k AS (SELECT event_type, hr_epoch, n,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr_epoch) AS rk FROM h),
+            r AS (SELECT event_type, hr_epoch, n, rk,
+              n * 1000000 AS l, CAST(0 AS BIGINT) AS b
+              FROM k WHERE rk = 1
+              UNION ALL
+              SELECT k.event_type, k.hr_epoch, k.n, k.rk,
+                (k.n * 1000000 + (r.l + r.b)) // 2 AS l,
+                (((k.n * 1000000 + (r.l + r.b)) // 2) - r.l + r.b) // 2 AS b
+              FROM k JOIN r ON k.event_type = r.event_type AND k.rk = r.rk + 1),
+            e AS (SELECT cur.event_type,
+              nxt.n * 1000000 - (cur.l + cur.b) AS err
+              FROM r cur JOIN r nxt
+                ON nxt.event_type = cur.event_type AND nxt.rk = cur.rk + 1)
+            SELECT event_type, COUNT(*) AS n_steps,
+              CAST(SUM(abs(err)) // COUNT(*) AS BIGINT) AS mae_e6,
+              CAST(SUM(err) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS bias_e6
+            FROM e GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val h = graft.CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+        .select($"event_type",
+          unix_timestamp($"hr").cast(LongType).as("hr_epoch"), $"n"))
+      // per-type error array: forecast at k (l+b) vs actual at k+1 —
+      // the same truncating-division recurrence as b102_holt
+      val backtest = udf { (ns: Seq[Long]) =>
+        var l = 0L; var b = 0L; var i = 0
+        var sumAbs = 0L; var sumErr = 0L
+        while (i < ns.length) {
+          if (i > 0) {
+            val err = ns(i) * 1000000L - (l + b)
+            sumAbs += math.abs(err); sumErr += err
+          }
+          if (i == 0) { l = ns(0) * 1000000L; b = 0L }
+          else {
+            val lp = l
+            l = (ns(i) * 1000000L + (l + b)) / 2L
+            b = ((l - lp) + b) / 2L
+          }
+          i += 1
+        }
+        (math.max(ns.length - 1, 0).toLong, sumAbs, sumErr)
+      }
+      h.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"hr_epoch", $"n"))).as("hn"))
+        .select($"event_type",
+          backtest(expr("transform(hn, x -> x.n)")).as("r"))
+        .select($"event_type", $"r._1".as("n_steps"),
+          expr("r._2 div r._1").cast(LongType).as("mae_e6"),
+          expr("r._3 div r._1").cast(LongType).as("bias_e6"))
+        .orderBy($"event_type")
+    }
+  )
+
   // ---------------------------------------------------------------- B107
   /** Order→ship latency distribution — supply-chain SLA analytics over
     * the orders⋈lineitem latency in whole days (calendar-free
@@ -4908,5 +4985,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105, b106, b107)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105, b106, b107, b108)
 }

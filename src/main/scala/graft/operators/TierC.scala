@@ -643,5 +643,47 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c2me, c2bo)
+  // ------------------------------------ exact-dedup savings KPI (c1w)
+  /** Dedup savings scorecard — the KPI view over [[c1]]'s group table:
+    * how many documents and how many BYTES exact dedup sheds, as one
+    * row (doc counts, byte totals, exact-ppm savings). The number a
+    * curation run reports before/after; byte mass matters more than doc
+    * count because duplicated docs skew long (templates). Exact
+    * integers end-to-end — `length(text)` is identical per group by
+    * definition of exact dedup, so `MIN` inside the group is just the
+    * shared value.
+    *
+    * Scale shape: the same single text-keyed partial-agg shuffle as
+    * c1_dedup_exact, folded to one row by a second (global) aggregate.
+    */
+  private val c1w = QuerySpec(
+    "c1w_dedup_savings",
+    "Exact-dedup savings scorecard: docs/bytes total vs kept vs shed with exact-ppm byte savings — one text-keyed partial-agg shuffle folded to a single KPI row.",
+    Some("""WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,
+              CAST(MIN(length(text)) AS BIGINT) AS len
+              FROM documents GROUP BY text)
+            SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+              COUNT(*) AS n_unique,
+              CAST(SUM(n_copies * len) AS BIGINT) AS bytes_total,
+              CAST(SUM(len) AS BIGINT) AS bytes_kept,
+              CAST(SUM((n_copies - 1) * len) AS BIGINT) AS bytes_shed,
+              CAST((SUM((n_copies - 1) * len) * 1000000) // SUM(n_copies * len) AS BIGINT)
+                AS savings_ppm
+            FROM g"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"text")
+        .agg(count(lit(1)).as("n_copies"), min(length($"text")).cast(LongType).as("len"))
+        .agg(sum($"n_copies").cast(LongType).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum($"n_copies" * $"len").cast(LongType).as("bytes_total"),
+          sum($"len").cast(LongType).as("bytes_kept"),
+          sum(($"n_copies" - 1) * $"len").cast(LongType).as("bytes_shed"))
+        .select($"n_docs", $"n_unique", $"bytes_total", $"bytes_kept", $"bytes_shed",
+          expr("(bytes_shed * 1000000L) div bytes_total").as("savings_ppm"))
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c2me, c2bo, c1w)
 }

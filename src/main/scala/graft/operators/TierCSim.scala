@@ -2321,6 +2321,58 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------- PQ code-usage census (c3cu)
+  /** PQ codebook usage census — the dead-code diagnostic next to
+    * [[c3pd]]'s distortion: per subspace, how many of the 16 codes the
+    * corpus actually uses, and the fattest code's exact ppm share. Dead
+    * codes mean wasted codebook capacity (retrain with better seeds);
+    * one dominant code means the subspace carries no information and ADC
+    * distances there are noise. Oracle reuses the c3_pq codebook-replay
+    * CTEs verbatim and only changes the final census.
+    *
+    * Scale shape: encode is map-side native codegen (cached once for the
+    * four subspace projections), the usage census partial-aggregates
+    * into ≤4×16 rows.
+    */
+  private val c3cu = QuerySpec(
+    "c3_code_usage",
+    "PQ code-usage census per subspace: codes used (of 16), vector counts, and the top code's exact ppm share — the dead-code/collapsed-subspace diagnostic completing the PQ health view.",
+    Some({
+      import PqSql._
+      s"""WITH RECURSIVE
+         |$corpusCte,
+         |$sampleCte,
+         |$allSubCtes,
+         |u AS (SELECT 0 AS subspace, c0 AS code FROM enc0
+         |      UNION ALL SELECT 1, c1 FROM enc1
+         |      UNION ALL SELECT 2, c2 FROM enc2
+         |      UNION ALL SELECT 3, c3 FROM enc3),
+         |g AS (SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM u GROUP BY subspace, code)
+         |SELECT CAST(subspace AS BIGINT) AS subspace,
+         |  COUNT(*) AS n_codes_used,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_vectors,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_code,
+         |  CAST((MAX(cnt) * 1000000) // SUM(cnt) AS BIGINT) AS top_share_ppm
+         |FROM g GROUP BY subspace ORDER BY subspace""".stripMargin
+    }),
+    (s, d) => {
+      import s.implicits._
+      val enc = CacheRegistry.persist(pqEncode(s, Tables.embeddings(s, d)))
+      (0 until 4).map(si =>
+          enc.select(lit(si.toLong).as("subspace"), col(s"c$si").cast(LongType).as("code")))
+        .reduce(_ union _)
+        .groupBy($"subspace", $"code").agg(count(lit(1)).as("cnt"))
+        .groupBy($"subspace")
+        .agg(count(lit(1)).as("n_codes_used"),
+          sum($"cnt").cast(LongType).as("n_vectors"),
+          max($"cnt").as("max_code"))
+        .select($"subspace", $"n_codes_used", $"n_vectors", $"max_code",
+          expr("(max_code * 1000000L) div n_vectors").as("top_share_ppm"))
+        .orderBy($"subspace")
+    }
+  )
+
   private val c3p = QuerySpec(
     "c3_pq",
     "Product quantization: 4 subspaces x 16-code L2 codebooks from a deterministic hash-sample k-center build; per-vector sub-codes + reconstruction error (1e-6 floor). Oracle replays the whole build — recursive-CTE farthest-point greedy, ordered-list_reduce Lloyd mean (the JVM's sample-order double fold), empty-cluster keep-seed arm, ADC chains — hash-exact; SimSpec keeps determinism/spread/error pinned.",
@@ -2426,6 +2478,42 @@ object TierCSim {
             / ($"n_a" * $"n_a" * $"n_b" * $"n_b").cast(dec)).cast(LongType)
             .as("dist2_e12"))
         .orderBy($"label_a", $"label_b")
+    }
+  )
+
+  // ------------------------------------ embedding norm census (c3nh)
+  /** Embedding norm distribution — the encoder-health check [[c3ds]]'s
+    * per-dimension stats don't give: the HISTOGRAM of vector L2 norms at
+    * 0.1 resolution. Norm collapse (all mass in one bucket near 0) and
+    * norm bimodality (two encoder versions mixed in one corpus) are the
+    * two classic failures this catches before any similarity search is
+    * attempted; cosine hides them, dot-product retrieval does not.
+    * Bucket = floor(sqrt(n2)·10) on the exact replayed left-fold n2
+    * chain (sqrt and floor are exact IEEE ops on both engines — the
+    * c3_knn_cosine precedent); the per-bucket n2 sums quantize at e6
+    * BEFORE summing (order-free).
+    *
+    * Scale shape: pure map-side expression + one bounded-bucket
+    * partial-agg census. No joins, no window.
+    */
+  private val c3nh = QuerySpec(
+    "c3_norm_hist",
+    "Embedding norm histogram at 0.1 resolution (exact IEEE sqrt/floor on the replayed n2 chain) with per-bucket counts and e6-quantized n2 sums — catches norm collapse and mixed-encoder bimodality before retrieval.",
+    Some(s"""WITH e AS (SELECT vec_id, ${AnnSql.n2Emb} AS n2 FROM embeddings)
+            |SELECT CAST(floor(sqrt(n2) * 10.0) AS BIGINT) AS norm_bucket,
+            |  COUNT(*) AS n_vectors,
+            |  CAST(SUM(CAST(floor(n2 * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_n2_e6
+            |FROM e GROUP BY 1 ORDER BY norm_bucket""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(TierC.dot($"embedding", $"embedding").as("n2"))
+        .select(floor(sqrt($"n2") * 10.0).cast(LongType).as("norm_bucket"),
+          floor($"n2" * 1000000.0).cast(LongType).as("n2_e6"))
+        .groupBy($"norm_bucket")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum($"n2_e6").cast(LongType).as("sum_n2_e6"))
+        .orderBy($"norm_bucket")
     }
   )
 
@@ -4167,5 +4255,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu)
 }

@@ -1092,6 +1092,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b108_holt_backtest: recurrence over the cached rollup, per-type arrays, no join") {
+    val p = plan("b108_holt_backtest")
+    assert(p.contains("InMemoryTableScan"),
+      "backtest must read the cached hourly rollup:\n" + p)
+    assert(p.contains("partial_collect_list"),
+      "per-type hour arrays must partial-collect map-side:\n" + p)
+    assert(!p.contains("Join"), "error pairing happens inside the array UDF:\n" + p)
+  }
+
+  test("c3_code_usage: encode cached for the four subspace projections, census partial-aggs") {
+    val p = plan("c3_code_usage")
+    assert(p.contains("InMemoryTableScan"),
+      "encoded frame must be cached for the four subspace unions:\n" + p)
+    assert(p.contains("partial_count"), "usage census must partial-aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c1w_dedup_savings: one text-keyed partial-agg shuffle folded to a single row") {
+    val p = plan("c1w_dedup_savings")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "the savings KPI must be two aggregation stages only:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "group stats must partial-aggregate:\n" + p)
+  }
+
+  test("c3_norm_hist: map-side norm expression + bounded-bucket census only") {
+    val p = plan("c3_norm_hist")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "norm histogram must be map + one census:\n" + p)
+    assert(p.contains("graft_dot") || p.contains("dotproduct") || p.contains("DotProduct"),
+      "n2 must be the native dot expression:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
