@@ -4506,6 +4506,43 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B109
+  /** Basket-size census — the order-grain denominator behind
+    * [[b105]]'s affinity mine: distinct parts per order, histogrammed,
+    * with each size's exact share and its pair-mine cost contribution
+    * sz·(sz−1)/2 (the within-order self-join fan-out b105 pays). The
+    * c2_band_occupancy pricing discipline applied to the transactional
+    * pair mine.
+    *
+    * Scale shape: one (order, part) distinct + order-keyed partial-agg,
+    * then a bounded size-domain census. No joins.
+    */
+  private val b109 = QuerySpec(
+    "b109_basket_hist",
+    "Basket-size census: distinct parts per order histogrammed with exact-ppm share and the pair-mine cost contribution sz*(sz-1)/2 per bucket — prices b105's within-order fan-out before running it.",
+    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            b AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS sz FROM i GROUP BY ok),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM b)
+            SELECT sz AS basket_size, COUNT(*) AS n_orders,
+              CAST((COUNT(*) * 1000000) // (SELECT total FROM n) AS BIGINT) AS share_ppm,
+              CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_cost
+            FROM b GROUP BY sz ORDER BY basket_size"""),
+    (s, d) => {
+      import s.implicits._
+      val b = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        .groupBy($"ok").agg(count(lit(1)).as("sz"))
+      val n = b.agg(count(lit(1)).as("total"))
+      b.groupBy($"sz".as("basket_size"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("sz * (sz - 1) div 2")).cast(LongType).as("pair_cost"))
+        .crossJoin(broadcast(n))
+        .select($"basket_size", $"n_orders",
+          expr("(n_orders * 1000000L) div total").as("share_ppm"), $"pair_cost")
+        .orderBy($"basket_size")
+    }
+  )
+
   // ---------------------------------------------------------------- B108
   /** Holt forecast backtest — the accuracy census over [[b102]]'s
     * smoother: at every hour k, compare the one-step-ahead forecast
@@ -4985,5 +5022,5 @@ object TierB {
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,
-    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105, b106, b107, b108)
+    b92, b93, b94, b95, b96, b97, b98, b99, b100, b101, b102, b103, b104, b105, b106, b107, b108, b109)
 }

@@ -3873,6 +3873,61 @@ object TierCSim {
     (s, d) => contentReuseHits(s, Tables.documents(s, d), HitsIters)
   )
 
+  // ------------------------------------- threshold sweep (tuning, c2ts)
+  /** Dedup operating curve — the sweep `c2_jaccard_hist`'s histogram
+    * implies but doesn't state: for each candidate threshold, how many
+    * pairs survive AND how many distinct documents get touched (the
+    * operational number — docs touched IS the mass a dedup pass at that
+    * threshold would re-cluster). One pair mine at the 0.1 floor, then
+    * nine conditional roll-ups; the pair set is bounded by the same
+    * df-capped machinery as everything in this family, and the
+    * per-threshold distinct-doc counts explode pairs ×9 thresholds — a
+    * constant fan-out over an already-bounded set.
+    */
+  private val c2ts = QuerySpec(
+    "c2_threshold_sweep",
+    "Dedup threshold operating curve: pairs mined once at the 0.1 floor, then per-threshold (0.1..0.9) surviving-pair counts and exact distinct docs touched — the pair-count/doc-mass trade behind the production threshold.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS ida, c.doc_id AS idb,
+              CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                / len(list_distinct(a.grams || c.grams)) AS j
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= 0.1),
+            th AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS t10),
+            sw AS (SELECT th.t10, prs.ida, prs.idb FROM prs JOIN th
+                   ON prs.j >= CAST(th.t10 AS DOUBLE) / 10.0),
+            e AS (SELECT t10, ida AS id FROM sw UNION ALL SELECT t10, idb FROM sw)
+            SELECT t10 AS threshold_d10,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM sw s WHERE s.t10 = th.t10) AS n_pairs,
+              (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM e WHERE e.t10 = th.t10) AS n_docs_touched
+            FROM th ORDER BY threshold_d10"""),
+    (s, d) => {
+      import s.implicits._
+      val pairs = CacheRegistry.persist(
+        ngramJaccardPairs(s, Tables.documents(s, d), 0.1, NgramDfCap))
+      val th = (1 to 9).map(_.toLong).toDF("t10")
+      val sw = CacheRegistry.persist(pairs.join(broadcast(th),
+        $"jaccard" >= $"t10".cast(DoubleType) / 10.0))
+      val np = sw.groupBy($"t10").agg(count(lit(1)).as("n_pairs"))
+      val nd = sw.select($"t10", explode(array($"id_a", $"id_b")).as("id"))
+        .groupBy($"t10").agg(countDistinct($"id").as("n_docs_touched"))
+      broadcast(th)
+        .join(np, Seq("t10"), "left")
+        .join(nd, Seq("t10"), "left")
+        .select($"t10".as("threshold_d10"),
+          coalesce($"n_pairs", lit(0L)).cast(LongType).as("n_pairs"),
+          coalesce($"n_docs_touched", lit(0L)).cast(LongType).as("n_docs_touched"))
+        .orderBy($"threshold_d10")
+    }
+  )
+
   // ------------------------------------- cluster-size census (tuning)
   /** Duplicate-family size distribution — the CC-output census the other
     * two graph diagnostics ([[c2dh]] degrees, [[c2jh]] edge weights) don't
@@ -4255,5 +4310,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts)
 }

@@ -1125,6 +1125,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "n2 must be the native dot expression:\n" + p)
   }
 
+  test("b109_basket_hist: distinct + two partial-agg stages, totals broadcast, no corpus join") {
+    val p = plan("b109_basket_hist")
+    assert(p.contains("partial_count"), "basket census must partial-aggregate:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "only the single-row totals broadcast may join:\n" + p)
+  }
+
+  test("c2_threshold_sweep: ONE pair mine cached, 9-row threshold table broadcast") {
+    val p = plan("c2_threshold_sweep")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "the mined pair set must be cached for both roll-ups:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "threshold fan-out must ride the 9-row broadcast:\n" + p)
+  }
+
   test("a11ag_nn_dist: 1D grid blocking — cell equi-join, argmin in a hash agg, no window") {
     val p = plan("a11ag_nn_dist")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
