@@ -448,6 +448,20 @@ object Plans {
     "c3_centroid_sep" -> ("Centroid separation: (label, pos) partial-agg " +
       "centroid table cached for both sides of the bounded labels^2 x " +
       "dim join; DECIMAL cross-multiplied exact distance."),
+    "c1w_dedup_savings" -> ("Dedup savings: one text-keyed partial-agg " +
+      "shuffle folded to a single KPI row — no join, no window."),
+    "c3_norm_hist" -> ("Norm histogram: native-dot n2 map-side, one " +
+      "bounded-bucket partial-agg census."),
+    "b108_holt_backtest" -> ("Holt backtest: cached hourly rollup, " +
+      "per-type bounded arrays, zero-lookahead error pairing inside the " +
+      "O(hours) recurrence UDF, types-sized fold."),
+    "c3_code_usage" -> ("PQ code usage: encoded frame cached for the " +
+      "four subspace projections, partial-agg census to <=64 rows."),
+    "b109_basket_hist" -> ("Basket census: distinct + two partial-agg " +
+      "stages; only the single-row totals broadcast joins."),
+    "c2_threshold_sweep" -> ("Threshold sweep: ONE cached pair mine at " +
+      "the 0.1 floor, 9-row threshold broadcast fan-out, two bounded " +
+      "roll-ups."),
   )
 
   def main(args: Array[String]): Unit = {
