@@ -1438,7 +1438,114 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11ah
+  /** EXACT rectangle-union area per group — the boolean-union measure the
+    * grid dissolve ([[a11yy]]) only approximates, solvable exactly for
+    * axis-aligned boxes by the classic coordinate-compressed slab sweep
+    * (Bentley's union-of-rectangles, expressed declaratively):
+    *
+    *   1. xs: the group's DISTINCT x-coordinates (every rect start/end);
+    *   2. slabs: consecutive xs pairs via `lead` — between two adjacent
+    *      xs the covered y-set is CONSTANT;
+    *   3. cover join: rects spanning a slab (x0 <= xa AND x1 >= xb) —
+    *      an equi-join on gid with residual range filters, never a
+    *      cartesian;
+    *   4. per-slab interval merge: gaps-and-islands over (y0, y1) — the
+    *      running `max(y1)` of preceding rows starts a new island when
+    *      the next y0 jumps past it (touching intervals merge: half-open
+    *      boxes, so y0 == prevMax is the SAME island);
+    *   5. area = Σ slab_width × merged y-length.
+    *
+    * Everything is BIGINT (fixture coordinates are integer products of
+    * event/user ids), so the result is EXACT and the DuckDB oracle can
+    * replay the identical five stages as CTEs — no quantization needed,
+    * unlike every float-geometry sibling.
+    *
+    * Scale shape: groups are per-entity bounded (a feature's parts, a
+    * device's footprints), so the per-group O(|xs|·|rects|) slab join is
+    * a within-key nested refinement riding ONE gid shuffle; both window
+    * passes key on (gid, slab) — tens of thousands of keys here, growing
+    * with the data, never one task per group. At 100 TB a group too hot
+    * for this (a million boxes under one gid) tiles first on coarse x
+    * bands — the same declarative plan one `floor(x0/band)` key deeper.
+    */
+  private val a11ah: QuerySpec = {
+    import org.apache.spark.sql.expressions.Window
+    QuerySpec(
+      "a11ah_rect_union",
+      "Exact union-of-rectangles area per group (coordinate-compressed slab sweep): distinct-x slabs via lead, cover join with residual range filter, gaps-and-islands y-interval merge per slab, BIGINT end-to-end — n_rect, exact union area, envelope; the exact counterpart of the a11yy grid dissolve.",
+      Some("""WITH r AS (SELECT event_id % 500 AS gid,
+             |    (user_id % 20) * 10 AS x0,
+             |    (user_id % 20) * 10 + 20 + event_id % 80 AS x1,
+             |    (event_id % 15) * 5 AS y0,
+             |    (event_id % 15) * 5 + 20 + user_id % 70 AS y1
+             |  FROM events),
+             |xs AS (SELECT DISTINCT gid, xv FROM (
+             |    SELECT gid, x0 AS xv FROM r UNION ALL SELECT gid, x1 FROM r)),
+             |slabs AS (SELECT gid, xv, xb FROM (
+             |    SELECT gid, xv, lead(xv) OVER (PARTITION BY gid ORDER BY xv) AS xb FROM xs)
+             |  WHERE xb IS NOT NULL),
+             |cov AS (SELECT s.gid, s.xv, s.xb, r.y0, r.y1
+             |  FROM slabs s JOIN r ON r.gid = s.gid AND r.x0 <= s.xv AND r.x1 >= s.xb),
+             |isl AS (SELECT gid, xv, xb, y0, y1,
+             |    CAST(SUM(CASE WHEN pmax IS NULL OR y0 > pmax THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY gid, xv ORDER BY y0, y1
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+             |  FROM (SELECT gid, xv, xb, y0, y1,
+             |      MAX(y1) OVER (PARTITION BY gid, xv ORDER BY y0, y1
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |    FROM cov)),
+             |ylen AS (SELECT gid, xv, xb, SUM(iy1 - iy0) AS ylen FROM (
+             |    SELECT gid, xv, xb, island, MIN(y0) AS iy0, MAX(y1) AS iy1
+             |    FROM isl GROUP BY gid, xv, xb, island)
+             |  GROUP BY gid, xv, xb),
+             |area AS (SELECT gid, CAST(SUM((xb - xv) * ylen) AS BIGINT) AS area FROM ylen GROUP BY gid)
+             |SELECT r.gid, CAST(COUNT(*) AS BIGINT) AS n_rect, a.area,
+             |  MIN(r.x0) AS minx, MAX(r.x1) AS maxx, MIN(r.y0) AS miny, MAX(r.y1) AS maxy
+             |FROM r JOIN area a ON a.gid = r.gid
+             |GROUP BY r.gid, a.area ORDER BY r.gid""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val r = CacheRegistry.persist(Tables.events(s, d)
+          .select(($"event_id" % 500).as("gid"),
+            (($"user_id" % 20) * 10).as("x0"),
+            (($"user_id" % 20) * 10 + 20 + $"event_id" % 80).as("x1"),
+            (($"event_id" % 15) * 5).as("y0"),
+            (($"event_id" % 15) * 5 + 20 + $"user_id" % 70).as("y1")))
+        val xs = r.select($"gid", explode(array($"x0", $"x1")).as("xv")).distinct()
+        val slabs = xs
+          .withColumn("xb", lead($"xv", 1).over(Window.partitionBy($"gid").orderBy($"xv")))
+          .where($"xb".isNotNull)
+        val cov = slabs.join(r, Seq("gid"))
+          .where($"x0" <= $"xv" && $"x1" >= $"xb")
+          .select($"gid", $"xv", $"xb", $"y0", $"y1")
+        val wPrev = Window.partitionBy($"gid", $"xv").orderBy($"y0", $"y1")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy($"gid", $"xv").orderBy($"y0", $"y1")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isl = cov
+          .withColumn("pmax", max($"y1").over(wPrev))
+          .withColumn("island",
+            sum(when($"pmax".isNull || $"y0" > $"pmax", 1L).otherwise(0L)).over(wRun))
+        val ylen = isl
+          .groupBy($"gid", $"xv", $"xb", $"island")
+          .agg(min($"y0").as("iy0"), max($"y1").as("iy1"))
+          .groupBy($"gid", $"xv", $"xb")
+          .agg(sum($"iy1" - $"iy0").as("ylen"))
+        val area = ylen.groupBy($"gid")
+          .agg(sum(($"xb" - $"xv") * $"ylen").as("area"))
+        r.groupBy($"gid")
+          .agg(count(lit(1)).as("n_rect"),
+            min($"x0").as("minx"), max($"x1").as("maxx"),
+            min($"y0").as("miny"), max($"y1").as("maxy"))
+          .join(area, Seq("gid"))
+          .select($"gid", $"n_rect", $"area", $"minx", $"maxx", $"miny", $"maxy")
+          .orderBy($"gid")
+      }
+    )
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag)
+      a11ad, a11ae, a11af, a11ag, a11ah)
 }

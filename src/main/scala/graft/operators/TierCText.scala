@@ -3092,8 +3092,74 @@ object TierCText {
     }
   )
 
+  // ----------------------------- Good-Turing count-of-counts (c4gt)
+  /** Good–Turing frequency-of-frequencies — the smoothing table every
+    * n-gram LM and every "how much tail am I cutting" data decision rests
+    * on: S(r) = how many distinct words occur exactly r times, the GT
+    * adjusted count r* = (r+1)·S(r+1)/S(r), and the probability mass
+    * observed at count r. S(1)/N (the r=1 row's mass) is the classic
+    * estimate of UNSEEN-type mass — the number a corpus curator reads to
+    * decide whether more data still buys new vocabulary, and the
+    * principled companion to the Heaps/Zipf diagnostics ([[c4zp]]).
+    *
+    * Exactness: the whole table is integer — S(r) and N are counts, and
+    * both ratios are BIGINT integer division at 1e-6 (`div` / `//`), so
+    * no IEEE chain is needed at all; ties/rounding cannot differ.
+    *
+    * The unit is the word TRIGRAM — the n where GT smoothing actually
+    * gets used (unigram vocabularies saturate; trigram type space stays
+    * r=1-dominated at any corpus size, so S(r) is rich where the
+    * estimator matters).
+    *
+    * Scale shape: one corpus-wide adjacency explosion into the
+    * distinct-trigram rollup (the c4_bigram_ce map-side transform, one
+    * gram deeper), then a second agg on the COUNT — output is
+    * |{distinct r}| rows, hundreds at any corpus size, so the self-join
+    * on r+1 and the single-row total crossJoin are driver-trivial
+    * broadcasts.
+    */
+  private val c4gt = QuerySpec(
+    "c4_good_turing",
+    "Good-Turing count-of-counts over word trigrams: S(r) distinct grams at count r (r<=20), adjusted count r*=(r+1)S(r+1)/S(r), and observed mass r*S(r)/N — all-BIGINT integer division at 1e-6, no IEEE anywhere; one adjacency rollup + one tiny agg.",
+    Some("""WITH a AS (SELECT list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            gi AS (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM a WHERE len(toks) >= 3),
+            g AS (SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)]
+                || ' ' || toks[CAST(i + 2 AS INTEGER)] AS g FROM gi),
+            w0 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY g),
+            ff AS (SELECT cnt AS r, CAST(COUNT(*) AS BIGINT) AS s_r FROM w0 GROUP BY cnt),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tok FROM w0)
+            SELECT a.r, a.s_r,
+              CAST((a.r + 1) * coalesce(b.s_r, 0) * 1000000 // a.s_r AS BIGINT) AS gt_e6,
+              CAST(a.r * a.s_r * 1000000 // tot.tok AS BIGINT) AS mass_e6
+            FROM ff a LEFT JOIN ff b ON b.r = a.r + 1 CROSS JOIN tot
+            WHERE a.r <= 20 ORDER BY a.r"""),
+    (s, d) => {
+      import s.implicits._
+      // size<3 guard BEFORE sequence — the c4_bigram_ce phantom-gram
+      // discipline (Spark's sequence counts DOWN when hi < lo)
+      val words = Tables.documents(s, d)
+        .select(toksCol.as("toks"))
+        .filter(size($"toks") >= 3)
+        .select(explode(transform(sequence(lit(1), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i),
+            element_at($"toks", i + 1), element_at($"toks", i + 2)))).as("g"))
+        .groupBy($"g").agg(count(lit(1)).as("cnt"))
+      val ff = words.groupBy($"cnt".as("r")).agg(count(lit(1)).as("s_r"))
+      val nxt = ff.select(($"r" - 1).as("r"), $"s_r".as("s_next"))
+      val tot = words.agg(sum($"cnt").as("tok"))
+      ff.join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .filter($"r" <= 20)
+        .select($"r", $"s_r",
+          expr("CAST(((r + 1) * coalesce(s_next, 0L) * 1000000) div s_r AS BIGINT)").as("gt_e6"),
+          expr("CAST((r * s_r * 1000000) div tok AS BIGINT)").as("mass_e6"))
+        .orderBy($"r")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt)
 }

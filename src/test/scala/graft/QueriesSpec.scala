@@ -43,7 +43,10 @@ class QueriesSpec extends AnyFunSuite {
       "c1k_curriculum", "b42_salted_join", "c3_cluster_quality",
       // c1p reuses the same pid-offset machinery with a rank instead of a
       // token sum — same invariance risk class
-      "c1p_interleave")
+      "c1p_interleave",
+      // a11ah's gaps-and-islands windows order by (y0, y1) with duplicate
+      // rows possible — pin that the running max/sum stay permutation-safe
+      "a11ah_rect_union")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def run(name: String): Seq[String] =
       Registry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -336,4 +336,52 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == total, "hexbin counts must partition all events")
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
   }
+
+  test("a11ah rect union: bounded by envelope above, by largest member and sum below") {
+    import spark.implicits._
+    // recompute the fixture's per-rect areas independently of the query
+    val rects = graft.sources.Tables.events(spark, sf)
+      .select(($"event_id" % 500).as("gid"),
+        ((lit(20) + $"event_id" % 80) * (lit(20) + $"user_id" % 70)).as("ra"))
+      .groupBy($"gid")
+      .agg(sum($"ra").as("sumA"), max($"ra").as("maxA"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = run("a11ah_rect_union").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (gid, n, area) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (minx, maxx, miny, maxy) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val env = (maxx - minx) * (maxy - miny)
+      val (sumA, maxA) = rects(gid)
+      assert(n >= 1 && area > 0)
+      assert(area <= env, s"gid $gid: union $area exceeds envelope $env")
+      assert(area >= maxA, s"gid $gid: union $area below largest member $maxA")
+      assert(area <= sumA, s"gid $gid: union $area above the member-area sum $sumA")
+    }
+    // overlap must actually occur somewhere, or the sweep degenerates to a sum
+    assert(rows.exists(r => r.getLong(2) < rects(r.getLong(0))._1),
+      "no group overlaps — fixture lost its interval-merge coverage")
+  }
+
+  test("c4 good-turing: masses bounded, S(r) positive, adjusted counts replay the division") {
+    val rows = run("c4_good_turing").collect()
+    assert(rows.nonEmpty)
+    val rs = rows.map(_.getLong(0))
+    assert(rs.sorted.sameElements(rs) && rs.distinct.length == rs.length)
+    assert(rows.map(_.getLong(3)).sum <= 1000000L, "observed mass cannot exceed 1")
+    val byR = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (rr, sr, gt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sr >= 1)
+      val sNext = byR.getOrElse(rr + 1, 0L)
+      // r+1 <= 20 lies inside the emitted window, so an absent row there
+      // means S(r+1) is truly zero; at the window edge S(21) is unknowable
+      if (rr < 20)
+        assert(gt == (rr + 1) * sNext * 1000000L / sr,
+          s"r=$rr: gt_e6 $gt does not replay (r+1)S(r+1)*1e6/S(r)")
+    }
+    // the defining GT shape on any natural corpus: singletons dominate
+    assert(byR.getOrElse(1L, 0L) > 0L, "no singleton trigrams — fixture degenerate")
+  }
 }
