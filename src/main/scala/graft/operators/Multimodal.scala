@@ -672,5 +672,103 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g)
+  // ----------------------------------------------------- c6h dHash dedup
+  /** Perceptual-hash near-dup detection over the BINARY media column —
+    * the image-dedup stage every multimodal training pipeline runs, and
+    * the visual analog of the text tier's SimHash: a 56-bit difference
+    * hash (dHash) per payload, 4×14-bit band blocking, Hamming refine.
+    *
+    * The "resize to an 8×8 grid" step of real dHash is, like every
+    * decode in this family, a deterministic byte-level stand-in (no
+    * image libs in this container): grid value k samples the payload at
+    * byte (k·7 mod min(nbytes, 449)) — length-normalized over the first
+    * 448 bytes so trailing edits don't shift every sample, which is
+    * exactly the robustness property real downscaling provides. Each of
+    * the 8 rows compares its 8 samples pairwise (7 bits/row → 56 bits;
+    * 56 not 64 keeps every band mask and the pack itself clear of the
+    * BIGINT sign bit). A production codec swaps [[MediaCodec.dHash]]'s
+    * sampler for real luma pixels; everything downstream — banding,
+    * bucket cap, Hamming join — is the shipping path.
+    *
+    * Banding semantics are the standard LSH contract: hamming ≤ 3 pairs
+    * are GUARANTEED caught (pigeonhole over 4 bands), 4–6 probabilistic —
+    * same recall trade the SimHash operator documents. Buckets hotter
+    * than [[DHashBucketCap]] are dropped whole (boilerplate media, not
+    * dup signal — the df-cap discipline), so worst-case join fan-out is
+    * cap² per bucket, never corpus².
+    *
+    * Oracle replay: payload bytes ≡ ASCII chars (TablesSpec canary), so
+    * DuckDB rebuilds every grid sample via ord(substr(...)), packs the
+    * same 56 bits, and replays banding + xor/bit_count exactly — all
+    * integers.
+    */
+  private val DHashBucketCap = 256
+  object DHash {
+    /** 56-bit difference hash of a payload (stub sampler, real packing). */
+    def dHash(payload: Array[Byte]): Long = {
+      val m = math.min(payload.length, 449)
+      if (m == 0) return 0L
+      var h = 0L
+      var k = 0
+      var bit = 0
+      while (k < 63) {
+        if (k % 8 < 7) {
+          val a = payload((k * 7) % m) & 0xff
+          val b = payload(((k + 1) * 7) % m) & 0xff
+          if (b > a) h |= 1L << bit
+          bit += 1
+        }
+        k += 1
+      }
+      h
+    }
+  }
+  private val c6h = QuerySpec(
+    "c6h_dhash_pairs",
+    s"Perceptual dHash near-dup pairs over the binary media column: 56-bit difference hash in mapPartitions (stub byte sampler, real packing), 4x14-bit band blocking with a $DHashBucketCap-doc bucket cap, bit_count(xor) Hamming refine <= 6 — (id_a, id_b, ham); hamming<=3 recall guaranteed by pigeonhole, the image analog of c2_simhash.",
+    Some(s"""WITH k AS (SELECT unnest(range(0, 64)) AS k),
+            |g AS (SELECT d.doc_id, k.k,
+            |    ord(substr(d.text, CAST((k.k*7) % least(length(d.text), 449) + 1 AS INTEGER), 1)) AS v
+            |  FROM documents d CROSS JOIN k WHERE length(d.text) > 0),
+            |b AS (SELECT a.doc_id,
+            |    CAST(SUM(CASE WHEN nx.v > a.v THEN CAST(1 AS BIGINT) << CAST(a.k - a.k // 8 AS INTEGER) ELSE 0 END) AS BIGINT) AS h
+            |  FROM g a JOIN g nx ON nx.doc_id = a.doc_id AND nx.k = a.k + 1
+            |  WHERE a.k % 8 < 7 GROUP BY a.doc_id),
+            |e AS (SELECT doc_id, h, band, (h >> CAST(band*14 AS INTEGER)) & 16383 AS bv
+            |  FROM (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM b)),
+            |kept AS (SELECT e.* FROM e JOIN (
+            |    SELECT band, bv FROM e GROUP BY band, bv HAVING COUNT(*) <= $DHashBucketCap) ok
+            |  ON ok.band = e.band AND ok.bv = e.bv),
+            |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.h AS ha, y.h AS hb
+            |  FROM kept x JOIN kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS ham
+            |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+            |ORDER BY id_a, id_b""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val hashes = graft.CacheRegistry.persist(
+        mediaRecords(s, d)
+          .filter(_.payload.nonEmpty)
+          .mapPartitions(_.map(r => (r.media_id, DHash.dHash(r.payload))))
+          .toDF("doc_id", "h"))
+      val e = hashes
+        .select($"doc_id", $"h", explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("(h >> (band * 14)) & CAST(16383 AS BIGINT)"))
+      val ok = e.groupBy($"band", $"bv").agg(count(lit(1)).as("n"))
+        .filter($"n" <= DHashBucketCap).select($"band", $"bv")
+      val kept = e.join(ok, Seq("band", "bv"))
+      val pairs = kept.select($"band", $"bv", $"doc_id".as("id_a"), $"h".as("ha"))
+        .join(kept.select($"band", $"bv", $"doc_id".as("id_b"), $"h".as("hb")),
+          Seq("band", "bv"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", $"ha", $"hb").distinct()
+      pairs
+        .withColumn("ham", bit_count($"ha".bitwiseXOR($"hb")).cast(LongType))
+        .filter($"ham" <= 6)
+        .select($"id_a", $"id_b", $"ham")
+        .orderBy($"id_a", $"id_b")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h)
 }

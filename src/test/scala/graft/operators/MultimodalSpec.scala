@@ -141,4 +141,27 @@ class MultimodalSpec extends AnyFunSuite {
       WavCodec.parse("RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes))
     intercept[IllegalArgumentException](WavCodec.parse(Array.empty[Byte]))
   }
+
+  test("DHash: identical payloads collide, single-byte edits stay near, packing stays in 56 bits") {
+    import Multimodal.DHash.dHash
+    val base = ("the quick brown fox jumps over the lazy dog " * 12).getBytes("UTF-8")
+    assert(base.length > 449, "fixture must exercise the 449-byte truncation")
+    // determinism + self-identity
+    assert(dHash(base) == dHash(base.clone()))
+    // 56-bit budget: bits 56..63 never set (sign bit stays clear)
+    assert((dHash(base) >>> 56) == 0L)
+    // trailing edits beyond byte 449 are invisible (the length-normalization
+    // property the sampler exists for)
+    val tail = base.clone(); tail(base.length - 1) = 'X'.toByte
+    assert(dHash(tail) == dHash(base))
+    // a single sampled-byte edit flips at most 2 bits (its two comparisons)
+    val mid = base.clone(); mid(7 * 13) = 0x7e.toByte
+    val ham = java.lang.Long.bitCount(dHash(mid) ^ dHash(base))
+    assert(ham >= 1 && ham <= 2, s"single sample edit moved $ham bits")
+    // an unsampled byte (not a multiple of 7 below 449) changes nothing
+    val off = base.clone(); off(12) = 'Z'.toByte
+    assert(dHash(off) == dHash(base))
+    // empty payload is defined, not a crash
+    assert(dHash(Array.empty[Byte]) == 0L)
+  }
 }
