@@ -462,6 +462,20 @@ object Plans {
     "c2_threshold_sweep" -> ("Threshold sweep: ONE cached pair mine at " +
       "the 0.1 floor, 9-row threshold broadcast fan-out, two bounded " +
       "roll-ups."),
+    "a11ah_rect_union" -> ("Exact union-of-rectangles: the cached rect " +
+      "frame feeds distinct-x slabs (lead window on gid), a gid equi-join " +
+      "with residual range filters (never cartesian), and (gid, slab)-keyed " +
+      "gaps-and-islands windows — slab-key cardinality grows with the data, " +
+      "so the sweep parallelizes; per-group stats partial-aggregate."),
+    "c6h_dhash_pairs" -> ("Perceptual dHash near-dup: the cached hash " +
+      "frame feeds the bucket census and both sides of the (band, bv) " +
+      "equi-join; buckets hotter than the cap are dropped whole, so join " +
+      "fan-out is cap-squared per bucket, never corpus-squared. Hamming " +
+      "refine is one codegen'd bit_count(xor)."),
+    "c4_good_turing" -> ("Good-Turing: ONE corpus-wide trigram rollup " +
+      "(partial-agged), then a count-of-counts agg whose output is " +
+      "|distinct r| rows — the r+1 self-join and single-row total ride " +
+      "broadcasts; integer division only, no IEEE."),
   )
 
   def main(args: Array[String]): Unit = {

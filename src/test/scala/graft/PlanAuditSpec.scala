@@ -1147,4 +1147,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "per-point argmin must be an aggregate, not a window:\n" + p)
     assert(p.contains("partial_min"), "per-point MIN must partial-aggregate:\n" + p)
   }
+
+  test("a11ah_rect_union: slab sweep — gid equi-joins with residual ranges, no cartesian, cached rects") {
+    val p = plan("a11ah_rect_union")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "slab cover join must stay an equi-join on gid with residual range filters:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the rect fixture feeds xs, the cover join, and the stats agg — must be cached once:\n" + p)
+    // every sweep window keys on gid (the islands passes on (gid, xv)) —
+    // an unpartitioned windowspecdefinition would single-task the sweep
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("gid")),
+      "every window must partition by gid:\n" + specs.mkString("\n"))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "per-group stats must partial-aggregate below their exchange:\n" + p)
+  }
+
+  test("c6h_dhash_pairs: band-bucket equi-join both sides capped, no cartesian, hashes cached") {
+    val p = plan("c6h_dhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must meet in the (band, bv) bucket join, never all-pairs:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the dHash frame feeds the bucket census and both join sides — must be cached once:\n" + p)
+    assert(p.contains("HashAggregate"), "bucket cap census must be a hash agg:\n" + p)
+  }
+
+  test("c4_good_turing: everything after the trigram rollup is broadcast-sized") {
+    val p = plan("c4_good_turing")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the single-row total must ride a broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "both the gram rollup and the count-of-counts must partial-aggregate:\n" + p)
+  }
 }
