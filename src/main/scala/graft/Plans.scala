@@ -472,6 +472,11 @@ object Plans {
       "equi-join; buckets hotter than the cap are dropped whole, so join " +
       "fan-out is cap-squared per bucket, never corpus-squared. Hamming " +
       "refine is one codegen'd bit_count(xor)."),
+    "c4_stupid_backoff" -> ("Stupid Backoff held-out scorer: three " +
+      "partial-agged count rollups (unigram cached and reused for both " +
+      "probe sides, bigram, 1-row broadcast total), held-out adjacency " +
+      "scored via posting-list equi-joins — Zipf-head probe skew is " +
+      "AQE-split, nothing is corpus-squared."),
     "c4_good_turing" -> ("Good-Turing: ONE corpus-wide trigram rollup " +
       "(partial-agged), then a count-of-counts agg whose output is " +
       "|distinct r| rows — the r+1 self-join and single-row total ride " +

@@ -3158,8 +3158,106 @@ object TierCText {
     }
   )
 
+  // ------------------------------ Stupid Backoff held-out scorer (c4sb)
+  /** Stupid Backoff bigram scoring on a held-out split — the web-scale LM
+    * quality filter (Brants et al. 2007, "Large Language Models in
+    * Machine Translation"): S(w|v) = c(v,w)/c(v) when the bigram was seen
+    * in training, else 0.4·c(w)/N — no discounting, no normalization,
+    * which is exactly why it's THE smoothing used at data-pipeline scale
+    * (Katz's α/β bookkeeping needs a per-context pass; this needs three
+    * count tables). Unlike [[c4bg]] (self-scored, so backoff can never
+    * fire), this trains on the md5-first-half docs and scores the other
+    * half — held-out bigrams genuinely take the backoff path, and the
+    * per-doc backoff count is emitted as its own diagnostic. OOV words
+    * (impossible on this closed-vocab corpus, live in production) get the
+    * 1e-9 floor branch.
+    *
+    * Exactness: one ln over a CASE of IEEE division chains written
+    * identically in both engines, floor-quantized at 1e-6 PER INSTANCE so
+    * per-doc sums are order-free (the c4u discipline).
+    *
+    * Scale shape: three count tables (unigram, bigram, one-row total) via
+    * partial-agged rollups; scoring is posting-list equi-joins from the
+    * held-out adjacency onto those tables — the Zipf-head skew on the
+    * bigram probe is AQE-split like c4u/c4bg, and nothing is ever
+    * corpus×corpus.
+    */
+  private val c4sb = QuerySpec(
+    "c4_stupid_backoff",
+    "Stupid Backoff held-out scorer: bigram counts from the md5-half train split score the other half's docs; seen c(v,w)/c(v), unseen 0.4*c(w)/N, OOV 1e-9 floor, per-instance 1e-6 quantization — per-doc NLL sum/avg + backoff/OOV counts; three rollups + posting-list joins.",
+    Some("""WITH tr AS (SELECT text FROM documents
+              WHERE substring(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')),
+            sc AS (SELECT doc_id, text FROM documents
+              WHERE substring(md5(text), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')),
+            cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cuc FROM (
+              SELECT unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS w FROM tr)
+              GROUP BY w),
+            tot AS (SELECT CAST(SUM(cuc) AS BIGINT) AS ntok FROM cu),
+            trb AS (SELECT toks[CAST(i AS INTEGER)] AS v, toks[CAST(i + 1 AS INTEGER)] AS w FROM (
+              SELECT list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM tr) t,
+              (SELECT unnest(range(1, 100000)) AS i) WHERE i < len(toks)),
+            cb AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cbc FROM trb GROUP BY v, w),
+            scb AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS v, toks[CAST(i + 1 AS INTEGER)] AS w FROM (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM sc) t,
+              (SELECT unnest(range(1, 100000)) AS i) WHERE i < len(toks)),
+            j AS (SELECT g.doc_id, cb.cbc, cuv.cuc AS cuv, cuw.cuc AS cuw,
+                CAST(floor(ln(CASE
+                  WHEN cb.cbc IS NOT NULL THEN CAST(cb.cbc AS DOUBLE) / CAST(cuv.cuc AS DOUBLE)
+                  WHEN cuw.cuc IS NOT NULL THEN 0.4 * CAST(cuw.cuc AS DOUBLE) / CAST(tot.ntok AS DOUBLE)
+                  ELSE 0.000000001 END) * 1000000.0) AS BIGINT) AS mlp
+              FROM scb g
+              LEFT JOIN cb ON cb.v = g.v AND cb.w = g.w
+              LEFT JOIN cu cuv ON cuv.w = g.v
+              LEFT JOIN cu cuw ON cuw.w = g.w
+              CROSS JOIN tot)
+            SELECT doc_id, COUNT(*) AS n_big,
+              CAST(SUM(CASE WHEN cbc IS NULL AND cuw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+              CAST(SUM(CASE WHEN cbc IS NULL AND cuw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              CAST(-SUM(mlp) AS BIGINT) AS nll_sum_e6,
+              CAST(floor(CAST(-SUM(mlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_nll_e6
+            FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val isTrain = substring(md5($"text"), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7")
+      def bigrams(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = df
+        .select(cols :+ toksCol.as("toks"): _*)
+        .filter(size($"toks") >= 2) // the c4bg phantom-bigram guard
+        .select(cols :+ explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => struct(element_at($"toks", i).as("v"),
+            element_at($"toks", i + 1).as("w")))).as("p"): _*)
+        .select(cols :+ $"p.v".as("v") :+ $"p.w".as("w"): _*)
+      val tr = docs.filter(isTrain)
+      val cu = CacheRegistry.persist(tr
+        .select(explode(toksCol).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cuc")))
+      val tot = cu.agg(sum($"cuc").as("ntok"))
+      val cb = bigrams(tr).groupBy($"v", $"w").agg(count(lit(1)).as("cbc"))
+      bigrams(docs.filter(!isTrain), $"doc_id")
+        .join(cb, Seq("v", "w"), "left")
+        .join(cu.select($"w".as("v"), $"cuc".as("cuv")), Seq("v"), "left")
+        .join(cu.select($"w", $"cuc".as("cuw")), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id", $"cbc", $"cuw",
+          expr("""CAST(floor(ln(CASE
+            WHEN cbc IS NOT NULL THEN CAST(cbc AS DOUBLE) / CAST(cuv AS DOUBLE)
+            WHEN cuw IS NOT NULL THEN 0.4 * CAST(cuw AS DOUBLE) / CAST(ntok AS DOUBLE)
+            ELSE 0.000000001 END) * 1000000.0) AS BIGINT)""").as("mlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          sum(when($"cbc".isNull && $"cuw".isNotNull, 1L).otherwise(0L)).as("n_backoff"),
+          sum(when($"cbc".isNull && $"cuw".isNull, 1L).otherwise(0L)).as("n_oov"),
+          (-sum($"mlp")).cast(LongType).as("nll_sum_e6"))
+        .select($"doc_id", $"n_big", $"n_backoff", $"n_oov", $"nll_sum_e6",
+          floor($"nll_sum_e6".cast(DoubleType) / $"n_big".cast(DoubleType))
+            .cast(LongType).as("avg_nll_e6"))
+        .orderBy($"doc_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb)
 }

@@ -1180,4 +1180,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       "both the gram rollup and the count-of-counts must partial-aggregate:\n" + p)
   }
+
+  test("c4_stupid_backoff: posting-list equi-joins on cached counts, broadcast 1-row total, no cartesian") {
+    val p = plan("c4_stupid_backoff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"),
+      "the unigram table feeds both probe joins and the total — must be cached once:\n" + p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row train-token total must ride a broadcast:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "count tables and the per-doc rollup must partial-aggregate:\n" + p)
+  }
 }

@@ -384,4 +384,25 @@ class QueryInvariantsSpec extends AnyFunSuite {
     // the defining GT shape on any natural corpus: singletons dominate
     assert(byR.getOrElse(1L, 0L) > 0L, "no singleton trigrams — fixture degenerate")
   }
+
+  test("c4 stupid backoff: held-out rows only, NLL nonnegative, closed vocab has no OOV") {
+    import spark.implicits._
+    val rows = run("c4_stupid_backoff").collect()
+    assert(rows.nonEmpty)
+    val heldOut = graft.sources.Tables.documents(spark, sf)
+      .filter(!substring(md5($"text"), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .filter(size(filter(split(lower($"text"), " "), t => t =!= "")) >= 2)
+      .count()
+    assert(rows.length.toLong == heldOut, "one row per scoreable held-out doc")
+    rows.foreach { r =>
+      val (nBig, nBo, nOov, nll, avg) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nBig >= 1 && nBo >= 0 && nBo <= nBig)
+      assert(nOov == 0, "closed-vocab corpus must never hit the OOV floor branch")
+      assert(nll >= 0, "log probs are <= 0, so the NLL sum must be >= 0")
+      assert(avg == math.floor(nll.toDouble / nBig.toDouble).toLong,
+        "avg must replay the floor division")
+    }
+  }
 }
