@@ -477,6 +477,10 @@ object Plans {
       "probe sides, bigram, 1-row broadcast total), held-out adjacency " +
       "scored via posting-list equi-joins — Zipf-head probe skew is " +
       "AQE-split, nothing is corpus-squared."),
+    "c2_assortativity" -> ("Assortativity: the shared df-capped pair " +
+      "mine cached, degree agg co-keyed joins back onto the directed " +
+      "edges (degree table corpus-sized — joined, never broadcast), one " +
+      "single-row moment rollup; the quantized division is driver-free."),
     "c4_good_turing" -> ("Good-Turing: ONE corpus-wide trigram rollup " +
       "(partial-agged), then a count-of-counts agg whose output is " +
       "|distinct r| rows — the r+1 self-join and single-row total ride " +

@@ -4308,7 +4308,83 @@ object TierCSim {
     }
   )
 
+  // ------------------------------- degree assortativity (tuning, c2as)
+  /** Degree assortativity of the near-dup graph — Newman's r over the
+    * directed edge-endpoint list: do high-degree documents (template
+    * families) link to other hubs (r > 0) or to leaves (r < 0, the
+    * hub-and-spoke shape boilerplate clusters produce)? The number tells
+    * a dedup operator whether the graph is a few star clusters (strongly
+    * negative — star-contraction CC collapses it in one round) or a
+    * dense core (near 0/positive — deeper CC chains, fatter buckets).
+    * Companion to [[c2dh]] (degree marginal) and [[c2jh]] (edge weights):
+    * same mine, the joint moment the marginals can't see.
+    *
+    * Exactness: both directions of every edge are counted, so the x and y
+    * marginals coincide and r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — all
+    * four moments are exact BIGINT sums of integer degrees (emitted as
+    * their own columns); the single quantized division happens once, with
+    * the all-degrees-equal den=0 case pinned to 0 on both engines.
+    *
+    * Scale shape: the shared df-capped pair mine, a corpus-keyed degree
+    * agg, two co-keyed equi-joins hanging the endpoint degrees back onto
+    * the directed edges (degree table is corpus-sized at the limit —
+    * joined, never broadcast), and ONE single-row moment rollup.
+    */
+  private val c2as = QuerySpec(
+    "c2_assortativity",
+    s"Degree assortativity of the near-dup graph (Jaccard >= $DegreeThreshold, shared df-capped mine): exact BIGINT moment sums over the directed edge-endpoint list + Newman's r quantized at 1e-6 (den=0 pinned to 0) — hub-to-leaf vs hub-to-hub in one row.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+            |  list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+            |  FROM documents),
+            |b AS (SELECT doc_id, source,
+            |  list_distinct(list_transform(generate_series(1, len(toks) - 1),
+            |    i -> toks[i] || ' ' || toks[i+1])) AS grams
+            |  FROM t WHERE len(toks) >= 2),
+            |prs AS (SELECT a.doc_id AS ida, c.doc_id AS idb
+            |  FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+            |  WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+            |        / len(list_distinct(a.grams || c.grams)) >= $DegreeThreshold),
+            |e AS (SELECT ida AS id FROM prs UNION ALL SELECT idb AS id FROM prs),
+            |g AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY id),
+            |de AS (SELECT ida AS src, idb AS dst FROM prs
+            |       UNION ALL SELECT idb, ida FROM prs),
+            |j AS (SELECT gx.deg AS x, gy.deg AS y FROM de
+            |  JOIN g gx ON gx.id = de.src JOIN g gy ON gy.id = de.dst),
+            |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            |    CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sum_deg,
+            |    CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS sum_xy,
+            |    CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sum_x2 FROM j)
+            |SELECT m, sum_deg, sum_xy, sum_x2,
+            |  CASE WHEN m * sum_x2 - sum_deg * sum_deg = 0 THEN CAST(0 AS BIGINT)
+            |    ELSE CAST(floor(CAST(m * sum_xy - sum_deg * sum_deg AS DOUBLE)
+            |      / CAST(m * sum_x2 - sum_deg * sum_deg AS DOUBLE) * 1000000.0) AS BIGINT)
+            |  END AS r_e6
+            |FROM m""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = CacheRegistry.persist(
+        ngramJaccardPairs(s, docs, DegreeThreshold, NgramDfCap)
+          .select($"id_a", $"id_b"))
+      val g = pairs.select($"id_a".as("id")).union(pairs.select($"id_b".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("deg"))
+      val de = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+        .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      de.join(g.select($"id".as("src"), $"deg".as("x")), Seq("src"))
+        .join(g.select($"id".as("dst"), $"deg".as("y")), Seq("dst"))
+        .agg(count(lit(1)).as("m"),
+          coalesce(sum($"x"), lit(0L)).cast(LongType).as("sum_deg"),
+          coalesce(sum($"x" * $"y"), lit(0L)).cast(LongType).as("sum_xy"),
+          coalesce(sum($"x" * $"x"), lit(0L)).cast(LongType).as("sum_x2"))
+        .select($"m", $"sum_deg", $"sum_xy", $"sum_x2",
+          when($"m" * $"sum_x2" - $"sum_deg" * $"sum_deg" === 0L, 0L)
+            .otherwise(floor(($"m" * $"sum_xy" - $"sum_deg" * $"sum_deg").cast(DoubleType)
+              / ($"m" * $"sum_x2" - $"sum_deg" * $"sum_deg").cast(DoubleType) * 1000000.0))
+            .cast(LongType).as("r_e6"))
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as)
 }

@@ -405,4 +405,19 @@ class QueryInvariantsSpec extends AnyFunSuite {
         "avg must replay the floor division")
     }
   }
+
+  test("c2 assortativity: moment identities and r in [-1e6, 1e6]") {
+    val r = run("c2_assortativity").collect()
+    assert(r.length == 1)
+    val (m, sx, sxy, sx2, re6) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(m % 2 == 0, "both directions of every edge must be counted")
+    assert(sx >= m, "every endpoint has degree >= 1")
+    // Cauchy-Schwarz on the symmetric edge list: |Sxy| <= Sx2
+    assert(sxy <= sx2 && sxy >= -sx2)
+    assert(re6 >= -1000000L && re6 <= 1000000L, s"r out of range: $re6")
+    if (m > 0 && m * sx2 - sx * sx > 0)
+      assert(re6 == math.floor((m * sxy - sx * sx).toDouble
+        / (m * sx2 - sx * sx).toDouble * 1000000.0).toLong, "r must replay the moment division")
+  }
 }
