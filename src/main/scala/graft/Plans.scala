@@ -477,6 +477,10 @@ object Plans {
       "probe sides, bigram, 1-row broadcast total), held-out adjacency " +
       "scored via posting-list equi-joins — Zipf-head probe skew is " +
       "AQE-split, nothing is corpus-squared."),
+    "a11ai_buffer_concave" -> ("Concave grid buffer: the a11yy dissolve "
+      + "plan with a buffered membership scalar — map-side cell explosion, "
+      + "per-row ray-cast/boundary-distance predicate, ONE partial-agged "
+      + "distinct-count shuffle per group; no join at all."),
     "c2_assortativity" -> ("Assortativity: the shared df-capped pair " +
       "mine cached, degree agg co-keyed joins back onto the directed " +
       "edges (degree table corpus-sized — joined, never broadcast), one " +

@@ -1545,7 +1545,111 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11ai
+  /** CONCAVE-polygon Euclidean buffer, measured on the dissolve grid —
+    * the gap [[graft.functions.Wkb.bufferSquare]]'s loud non-convex
+    * rejection leaves open: PostGIS users buffer arbitrary polygons. The
+    * exact buffered GEOMETRY of a reflex polygon has arcs and
+    * self-intersection repairs no SQL oracle can replay, but the buffered
+    * MEASURE on a grid is exact and algorithm-independent (the a11yy
+    * discipline): a cell center is in the buffer iff it is INSIDE the
+    * polygon (generic even-odd ray cast — concave welcome) OR within r of
+    * its BOUNDARY (generic per-edge point-segment clamp chains,
+    * [[graft.functions.Wkb.boundaryDistance]]). Both predicates replay in
+    * SQL bit-for-bit: the fixture L-shape's inside test closes to
+    * rectangle-minus-notch (any strict/boundary disagreement with the ray
+    * cast lies ON the boundary, where the distance arm absorbs it — dist
+    * 0 ≤ r on both engines), and the six edge chains are the a11j
+    * greatest/least clamp replay. r = 6.17 < the arm half-width 10, so
+    * the inside arm genuinely fires on deep-interior cells.
+    *
+    * Engine path is the honest binary-column one: per-event L-shape WKB
+    * (reflex vertex — bufferSquare would throw), decoded per cell probe
+    * by the SAME generic ray-cast/boundary-distance functions every other
+    * query uses. Scale: bbox+r cell explosion is map-side codegen, the
+    * member predicate is a per-row scalar, and ONE partial-agged
+    * distinct-count shuffle per group dissolves the union — the a11yy
+    * plan with a buffered membership test.
+    */
+  private val BufConcaveR = 6.17
+  private val a11ai: QuerySpec = {
+    val r = BufConcaveR
+    val lShapeUdf: UserDefinedFunction = udf { (ox: Double, oy: Double) =>
+      Wkb.polygon(Seq(Seq(
+        (ox, oy), (ox + 40.0, oy), (ox + 40.0, oy + 20.0), (ox + 20.0, oy + 20.0),
+        (ox + 20.0, oy + 40.0), (ox, oy + 40.0), (ox, oy))))
+    }
+    val memberUdf: UserDefinedFunction = udf { (wkb: Array[Byte], px: Double, py: Double) =>
+      Wkb.containsPoint(wkb, px, py) || Wkb.boundaryDistance(wkb, px, py) <= BufConcaveR
+    }
+    def seg(x1: String, y1: String, x2: String, y2: String): String = {
+      val dx = s"($x2 - $x1)"
+      val dy = s"($y2 - $y1)"
+      val len2 = s"($dx * $dx + $dy * $dy)"
+      val t = s"greatest(0.0, least(1.0, ((px - $x1) * $dx + (py - $y1) * $dy) / $len2))"
+      val cx = s"($x1 + $t * $dx)"
+      val cy = s"($y1 + $t * $dy)"
+      s"sqrt((px - $cx) * (px - $cx) + (py - $cy) * (py - $cy))"
+    }
+    val verts = Seq(
+      ("ox", "oy"), ("(ox + 40.0)", "oy"), ("(ox + 40.0)", "(oy + 20.0)"),
+      ("(ox + 20.0)", "(oy + 20.0)"), ("(ox + 20.0)", "(oy + 40.0)"), ("ox", "(oy + 40.0)"))
+    val segs = verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.length)
+      seg(x1, y1, x2, y2)
+    }.mkString(",\n|    ")
+    QuerySpec(
+      "a11ai_buffer_concave",
+      s"Concave-polygon Euclidean buffer (r=$r) on the exact 8.0 dissolve grid: per-event reflex L-shapes (bufferSquare rejects them) probed per cell by the generic ray cast + boundary-distance chains, one distinct-count shuffle per group — union cell count + envelope; oracle replays rectangle-minus-notch containment and the six point-segment clamp chains.",
+      Some(s"""WITH e AS (SELECT user_id % 25 AS gid,
+             |    2*CAST(user_id % 100 AS DOUBLE) AS ox, value % 200.0 AS oy FROM events),
+             |rng AS (SELECT gid, ox, oy,
+             |    CAST(floor((ox - $r) / 8.0) AS BIGINT) AS i0,
+             |    CAST(floor((ox + 40.0 + $r) / 8.0) AS BIGINT) AS i1,
+             |    CAST(floor((oy - $r) / 8.0) AS BIGINT) AS j0,
+             |    CAST(floor((oy + 40.0 + $r) / 8.0) AS BIGINT) AS j1 FROM e),
+             |ci AS (SELECT gid, ox, oy, unnest(range(i0, i1 + 1)) AS i, j0, j1 FROM rng),
+             |cj AS (SELECT gid, ox, oy, i, unnest(range(j0, j1 + 1)) AS j FROM ci),
+             |pt AS (SELECT gid, ox, oy, i, j,
+             |    (CAST(i AS DOUBLE) + 0.5) * 8.0 AS px,
+             |    (CAST(j AS DOUBLE) + 0.5) * 8.0 AS py FROM cj),
+             |inc AS (SELECT gid, i, j FROM pt WHERE
+             |    (px > ox AND px < ox + 40.0 AND py > oy AND py < oy + 40.0
+             |     AND NOT (px > ox + 20.0 AND py > oy + 20.0))
+             |    OR least(
+             |    $segs) <= $r)
+             |SELECT gid, CAST(COUNT(DISTINCT (i + 1000) * 100000 + (j + 1000)) AS BIGINT) AS n_cells,
+             |  MIN(i) AS min_i, MAX(i) AS max_i, MIN(j) AS min_j, MAX(j) AS max_j
+             |FROM inc GROUP BY gid ORDER BY gid""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select(($"user_id" % 25).as("gid"),
+            (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("ox"),
+            ($"value" % 200.0).as("oy"))
+          .withColumn("wkb", lShapeUdf($"ox", $"oy"))
+          .withColumn("i", explode(sequence(
+            floor(($"ox" - r) / 8.0).cast(LongType),
+            floor(($"ox" + 40.0 + r) / 8.0).cast(LongType))))
+          .withColumn("j", explode(sequence(
+            floor(($"oy" - r) / 8.0).cast(LongType),
+            floor(($"oy" + 40.0 + r) / 8.0).cast(LongType))))
+          .filter(memberUdf($"wkb",
+            ($"i".cast(DoubleType) + 0.5) * 8.0,
+            ($"j".cast(DoubleType) + 0.5) * 8.0))
+          .select($"gid", $"i", $"j",
+            (($"i" + 1000) * 100000 + ($"j" + 1000)).as("cell"))
+          .groupBy($"gid")
+          .agg(countDistinct($"cell").as("n_cells"),
+            min($"i").as("min_i"), max($"i").as("max_i"),
+            min($"j").as("min_j"), max($"j").as("max_j"))
+          .orderBy($"gid")
+      }
+    )
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai)
 }

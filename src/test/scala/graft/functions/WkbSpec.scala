@@ -627,6 +627,31 @@ class WkbSpec extends AnyFunSuite {
       Wkb.bufferSquare(Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))), 1.0)
     }
   }
+
+  // ------------------------------------ a11ai buffered-membership semantics
+  test("concave buffer membership: ray cast + boundary distance compose correctly on the L-shape") {
+    val l = Wkb.polygon(Seq(Seq(
+      (0.0, 0.0), (40.0, 0.0), (40.0, 20.0), (20.0, 20.0), (20.0, 40.0), (0.0, 40.0), (0.0, 0.0))))
+    def member(px: Double, py: Double, r: Double): Boolean =
+      Wkb.containsPoint(l, px, py) || Wkb.boundaryDistance(l, px, py) <= r
+    // deep interior of the thick arm: inside arm fires, distance arm would not
+    assert(Wkb.containsPoint(l, 10.0, 10.0))
+    assert(Wkb.boundaryDistance(l, 10.0, 10.0) == 10.0)
+    assert(member(10.0, 10.0, 6.17))
+    // notch interior: outside the polygon (the reflex region) ...
+    assert(!Wkb.containsPoint(l, 30.0, 30.0))
+    // ... but within r of the notch corner edges at close range
+    assert(member(22.0, 25.0, 6.17) && !member(30.0, 30.0, 6.17))
+    // inside the notch the nearest feature is always an EDGE, never the
+    // reflex corner: min(x - 20, y - 20) — the perpendicular foot stays on
+    // both bounding segments for any notch point
+    val d = Wkb.boundaryDistance(l, 24.0, 23.0)
+    assert(d == 3.0, s"notch edge distance $d")
+    // far outside: neither arm
+    assert(!member(60.0, 60.0, 6.17))
+    // bufferSquare still rejects the reflex ring loudly (the gap a11ai measures around)
+    intercept[IllegalArgumentException](Wkb.bufferSquare(l, 6.17))
+  }
 }
 
 /** Randomized invariants over the geometry predicates: generated convex
