@@ -266,6 +266,31 @@ object FeaturePipeline {
           ctx_ts <= obs_ts"""))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[enrichStream]] for the
+    * monitoring shape where an observation with NO context is itself the
+    * signal (uncalibrated sensor, orphan reading): matched rows emit as
+    * they meet; an unmatched observation emits ONCE, null-padded, only
+    * after the watermark proves no future context row can still fall in
+    * its lookback window. Until that proof the row sits in the join
+    * state — outer-join results are therefore delayed by up to the
+    * watermark, which is the semantics (not a bug): emitting earlier
+    * could require a retraction Append mode cannot express.
+    *
+    * State bound: identical to the inner join — both sides evict on the
+    * opposing watermark + time constraint; the null-pad adds no state,
+    * only the emission rule. Requires (and Spark enforces) the watermark
+    * on the null-producing side plus the event-time range.
+    */
+  def enrichStreamOuter(obs: DataFrame, ctx: DataFrame, lookbackSec: Int,
+      watermark: String): DataFrame = {
+    val o = obs.withWatermark("obs_ts", watermark)
+    val c = ctx.withWatermark("ctx_ts", watermark)
+    o.join(c, expr(
+      s"""layer = ctx_layer AND
+          ctx_ts >= obs_ts - interval $lookbackSec seconds AND
+          ctx_ts <= obs_ts"""), "leftOuter")
+  }
+
   /** A8: evolve the sink column set from the props seen in this batch —
     * the reference's "add missing columns on demand" PostGIS behavior —
     * and promote each new column to the narrowest type ALL of its

@@ -552,6 +552,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched obs null-pads only after the watermark proof") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    implicit val enc2 = org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+    implicit val enc3 = org.apache.spark.sql.Encoders.product[(String, Long, String)]
+    val obsMs = MemoryStream[(String, Long, Double)]
+    val ctxMs = MemoryStream[(String, Long, String)]
+    val obs = obsMs.toDF().toDF("layer", "ts_us", "value")
+      .select($"layer", timestamp_micros($"ts_us").as("obs_ts"), $"value")
+    val ctxDf = ctxMs.toDF().toDF("ctx_layer", "ts_us", "info")
+      .select($"ctx_layer", timestamp_micros($"ts_us").as("ctx_ts"), $"info")
+    val joined = FeaturePipeline.enrichStreamOuter(obs, ctxDf, lookbackSec = 60, "1 minute")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_outer_sink")
+      .option("checkpointLocation", tmpDir("ckpt_outer")).start()
+    try {
+      val t0 = 1000000000L // 1000 s in µs
+      ctxMs.addData(("roads", t0 - 30000000L, "cal_recent")) // matches the roads obs
+      obsMs.addData(("roads", t0, 42.0), ("water", t0, 7.0)) // water has NO context
+      q.processAllAvailable()
+      def rows() = spark.table("enrich_outer_sink")
+        .select($"layer", $"value", $"info").collect()
+        .map(r => (r.getString(0), r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2))).toSet
+      // before the watermark passes, the unmatched obs MUST NOT have emitted:
+      // a future ctx row at t0 could still match it
+      assert(rows() == Set(("roads", 42.0, "cal_recent")), s"premature null-pad: ${rows()}")
+      // advance event time far past t0 + lookback + watermark on BOTH streams
+      val far = t0 + 600000000L // +600 s
+      ctxMs.addData(("other", far, "tick"))
+      obsMs.addData(("other2", far, 0.0))
+      q.processAllAvailable()
+      // one more nudge: outer-join null emission happens on the NEXT state
+      // cleanup after the watermark moves (micro-batch boundary semantics)
+      ctxMs.addData(("other", far + 1000000L, "tick2"))
+      obsMs.addData(("other2", far + 1000000L, 0.0))
+      q.processAllAvailable()
+      val got = rows()
+      assert(got.contains(("water", 7.0, null)),
+        s"unmatched obs never null-padded after watermark: $got")
+      assert(got.contains(("roads", 42.0, "cal_recent")))
+      assert(!got.exists(r => r._1 == "roads" && r._3 == null),
+        s"matched obs must not ALSO null-pad: $got")
+    } finally q.stop()
+  }
+
   test("B31: late data beyond the watermark is dropped from windowed counts") {
     val (ms, transport) = newStream()
     val hour = 3600L * 1000000L
