@@ -5014,7 +5014,80 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B110
+  /** Time-constrained funnel (the windowFunnel operator product analytics
+    * tools ship): [[b38]]'s greedy view→click→purchase chain with the
+    * product-question constraint b38 cannot ask — each step must land
+    * within 24 h of the PREVIOUS step, because a purchase three weeks
+    * after the click is a different campaign, not a conversion. Emits the
+    * per-level histogram (how far did users get under the deadline) plus
+    * exact total/max conversion seconds for full converters — the numbers
+    * behind "median time-to-convert" dashboards.
+    *
+    * Exactness: timestamps compare directly; the deadline and the
+    * conversion durations are BIGINT epoch-microsecond arithmetic
+    * (`unix_micros`/`epoch_us`) — no interval rounding on either engine.
+    * Strict `>` chaining excludes ties identically.
+    *
+    * Scale shape: identical to b38 — one hash partition by user, three
+    * conditional-min window passes over the SAME exchange (Catalyst
+    * reuses it), then a bounded 3-row histogram agg. No self-joins, no
+    * explosion; the 24 h predicate is a per-row scalar inside the window
+    * condition.
+    */
+  private val FunnelWindowUs = 24L * 3600 * 1000000
+  private val b110 = QuerySpec(
+    "b110_window_funnel",
+    "Windowed funnel (view->click->purchase, each step within 24h of the previous): per-level user histogram + exact conversion-second totals for full converters — b38's window-pass plan with an epoch-microsecond deadline in the step condition.",
+    Some(s"""WITH v AS (SELECT user_id, min(CASE WHEN event_type='view' THEN ts END) AS v_ts
+            |  FROM events GROUP BY 1),
+            |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+            |  JOIN v ON e.user_id = v.user_id
+            |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            |    AND epoch_us(e.ts) - epoch_us(v.v_ts) <= $FunnelWindowUs GROUP BY 1),
+            |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+            |  JOIN c ON e.user_id = c.user_id
+            |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            |    AND epoch_us(e.ts) - epoch_us(c.c_ts) <= $FunnelWindowUs GROUP BY 1),
+            |lvl AS (SELECT v.user_id,
+            |    CASE WHEN p.p_ts IS NOT NULL THEN 3
+            |         WHEN c.c_ts IS NOT NULL THEN 2 ELSE 1 END AS level,
+            |    CASE WHEN p.p_ts IS NOT NULL
+            |         THEN (epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 1000000 ELSE 0 END AS conv_s
+            |  FROM v LEFT JOIN c ON c.user_id = v.user_id
+            |  LEFT JOIN p ON p.user_id = v.user_id
+            |  WHERE v.v_ts IS NOT NULL)
+            |SELECT CAST(level AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_users,
+            |  CAST(SUM(conv_s) AS BIGINT) AS sum_conv_s,
+            |  CAST(MAX(conv_s) AS BIGINT) AS max_conv_s
+            |FROM lvl GROUP BY level ORDER BY level""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("v_ts", min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("c_ts", min(when($"event_type" === "click" && $"ts" > $"v_ts"
+          && unix_micros($"ts") - unix_micros($"v_ts") <= FunnelWindowUs, $"ts")).over(w))
+        .withColumn("p_ts", min(when($"event_type" === "purchase" && $"ts" > $"c_ts"
+          && unix_micros($"ts") - unix_micros($"c_ts") <= FunnelWindowUs, $"ts")).over(w))
+        .filter($"v_ts".isNotNull)
+        .groupBy($"user_id")
+        .agg(max(when($"p_ts".isNotNull, 3L).otherwise(when($"c_ts".isNotNull, 2L)
+            .otherwise(1L))).as("level"),
+          max(when($"p_ts".isNotNull,
+            expr(s"(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000"))
+            .otherwise(0L)).as("conv_s"))
+        .groupBy($"level")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"conv_s").cast(LongType).as("sum_conv_s"),
+          max($"conv_s").as("max_conv_s"))
+        .orderBy($"level")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
+    b110,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -209,6 +209,54 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // 7. LEFT OUTER interval enrichment: same dual-watermark shape, but
+    //    obs spread over 50 layers while ctx covers only 40 — one in five
+    //    observations is unmatched and must take the watermark-delayed
+    //    null-pad path, so this times the outer join's extra state hold +
+    //    cleanup-emission machinery, not just the match path
+    {
+      val obsMs = MemoryStream[(String, Long, Long)]
+      val ctxMs = MemoryStream[(String, Long, Long)]
+      val joined = FeaturePipeline.enrichStreamOuter(
+        obsMs.toDF().toDF("layer", "obs_id", "ts_us")
+          .select($"layer", $"obs_id", timestamp_micros($"ts_us").as("obs_ts")),
+        ctxMs.toDF().toDF("ctx_layer", "ctx_id", "cts_us")
+          .select($"ctx_layer", $"ctx_id", timestamp_micros($"cts_us").as("ctx_ts")),
+        lookbackSec = 120, watermark = "5 minutes")
+      var sink = 0L
+      var nullPads = 0L
+      val q = joined.writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt("enrich_outer"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          sink += b.count()
+          nullPads += b.filter(b("ctx_id").isNull).count()
+          ()
+        }
+        .start()
+      val obsChunks = (0 until 10).map { c =>
+        (0 until 10000 * scale).map { i =>
+          val id = c * 10000L * scale + i
+          (s"layer_${id % 50}", id, c * 10L * min + (i % 600) * us)
+        }
+      }
+      val ctxChunks = (0 until 10).map { c =>
+        (0 until 2000 * scale).map { i =>
+          val id = c * 2000L * scale + i
+          (s"layer_${id % 40}", id, c * 10L * min + (i % 600) * us)
+        }
+      }
+      val rows = (obsChunks ++ ctxChunks).map(_.size.toLong).sum
+      try {
+        val sec = timed {
+          obsChunks.zip(ctxChunks).foreach { case (o, c) =>
+            ctxMs.addData(c); obsMs.addData(o); q.processAllAvailable()
+          }
+        }
+        results += "enrich_outer" -> (rows, sec)
+        System.err.println(f"[stream-bench] ${"enrich_outer"}%-12s $rows%8d rows  $sec%7.2f s  ${rows / sec}%9.0f rows/s  (sink=$sink, null_pads=$nullPads)")
+      } finally q.stop()
+    }
+
     val total = results.values.map(_._2).sum
     val json = results.map { case (tag, (rows, sec)) =>
       f""""$tag":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""

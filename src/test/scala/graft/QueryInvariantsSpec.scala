@@ -420,4 +420,27 @@ class QueryInvariantsSpec extends AnyFunSuite {
       assert(re6 == math.floor((m * sxy - sx * sx).toDouble
         / (m * sx2 - sx * sx).toDouble * 1000000.0).toLong, "r must replay the moment division")
   }
+
+  test("b110 window funnel: levels partition the viewers and never exceed the unconstrained funnel") {
+    val rows = run("b110_window_funnel").collect()
+    assert(rows.nonEmpty)
+    val byLevel = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byLevel.keySet.subsetOf(Set(1L, 2L, 3L)))
+    rows.foreach { r =>
+      val (lvl, n, sumS, maxS) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0)
+      if (lvl < 3) assert(sumS == 0 && maxS == 0, "conversion time only exists at level 3")
+      else {
+        assert(maxS > 0 && sumS >= maxS)
+        // two 24 h step deadlines bound any conversion at 48 h
+        assert(maxS <= 48L * 3600, s"conversion $maxS s exceeds the two-step deadline")
+      }
+    }
+    // the unconstrained b38 stage counts dominate the windowed ones
+    val b38 = run("b38_funnel").collect()(0)
+    val (nView, nClick, nPurch) = (b38.getLong(0), b38.getLong(1), b38.getLong(2))
+    assert(byLevel.values.sum == nView, "levels must partition exactly the viewers")
+    assert(byLevel.getOrElse(2L, 0L) + byLevel.getOrElse(3L, 0L) <= nClick)
+    assert(byLevel.getOrElse(3L, 0L) <= nPurch)
+  }
 }
