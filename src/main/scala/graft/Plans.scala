@@ -467,6 +467,10 @@ object Plans {
       "with residual range filters (never cartesian), and (gid, slab)-keyed " +
       "gaps-and-islands windows — slab-key cardinality grows with the data, " +
       "so the sweep parallelizes; per-group stats partial-aggregate."),
+    "c6i_media_dedup" -> ("Media dedup clusters: the c6h capped pair "
+      + "mine cached, O(log n) star-contraction CC on the pair-bounded "
+      + "node set, one partial-agged cluster rollup + a WindowGroupLimit "
+      + "keep-best top-1 per cluster."),
     "c6h_dhash_pairs" -> ("Perceptual dHash near-dup: the cached hash " +
       "frame feeds the bucket census and both sides of the (band, bv) " +
       "equi-join; buckets hotter than the cap are dropped whole, so join " +

@@ -723,6 +723,32 @@ object Multimodal {
       h
     }
   }
+  /** dHash near-dup candidate pairs (shared by [[c6h]] and the cluster
+    * rollup [[c6i]]): banded bucket join under the cap, Hamming ≤ 6.
+    */
+  private[operators] def dHashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = graft.CacheRegistry.persist(
+      mediaRecords(s, d)
+        .filter(_.payload.nonEmpty)
+        .mapPartitions(_.map(r => (r.media_id, DHash.dHash(r.payload))))
+        .toDF("doc_id", "h"))
+    val e = hashes
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("(h >> (band * 14)) & CAST(16383 AS BIGINT)"))
+    val ok = e.groupBy($"band", $"bv").agg(count(lit(1)).as("n"))
+      .filter($"n" <= DHashBucketCap).select($"band", $"bv")
+    val kept = e.join(ok, Seq("band", "bv"))
+    kept.select($"band", $"bv", $"doc_id".as("id_a"), $"h".as("ha"))
+      .join(kept.select($"band", $"bv", $"doc_id".as("id_b"), $"h".as("hb")),
+        Seq("band", "bv"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"ha", $"hb").distinct()
+      .withColumn("ham", bit_count($"ha".bitwiseXOR($"hb")).cast(LongType))
+      .filter($"ham" <= 6)
+      .select($"id_a", $"id_b", $"ham")
+  }
+
   private val c6h = QuerySpec(
     "c6h_dhash_pairs",
     s"Perceptual dHash near-dup pairs over the binary media column: 56-bit difference hash in mapPartitions (stub byte sampler, real packing), 4x14-bit band blocking with a $DHashBucketCap-doc bucket cap, bit_count(xor) Hamming refine <= 6 — (id_a, id_b, ham); hamming<=3 recall guaranteed by pigeonhole, the image analog of c2_simhash.",
@@ -746,29 +772,90 @@ object Multimodal {
             |ORDER BY id_a, id_b""".stripMargin),
     (s, d) => {
       import s.implicits._
-      val hashes = graft.CacheRegistry.persist(
-        mediaRecords(s, d)
-          .filter(_.payload.nonEmpty)
-          .mapPartitions(_.map(r => (r.media_id, DHash.dHash(r.payload))))
-          .toDF("doc_id", "h"))
-      val e = hashes
-        .select($"doc_id", $"h", explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bv", expr("(h >> (band * 14)) & CAST(16383 AS BIGINT)"))
-      val ok = e.groupBy($"band", $"bv").agg(count(lit(1)).as("n"))
-        .filter($"n" <= DHashBucketCap).select($"band", $"bv")
-      val kept = e.join(ok, Seq("band", "bv"))
-      val pairs = kept.select($"band", $"bv", $"doc_id".as("id_a"), $"h".as("ha"))
-        .join(kept.select($"band", $"bv", $"doc_id".as("id_b"), $"h".as("hb")),
-          Seq("band", "bv"))
-        .filter($"id_a" < $"id_b")
-        .select($"id_a", $"id_b", $"ha", $"hb").distinct()
-      pairs
-        .withColumn("ham", bit_count($"ha".bitwiseXOR($"hb")).cast(LongType))
-        .filter($"ham" <= 6)
-        .select($"id_a", $"id_b", $"ham")
-        .orderBy($"id_a", $"id_b")
+      dHashPairs(s, d).orderBy($"id_a", $"id_b")
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h)
+  // ----------------------------------------------------- c6i media dedup
+  /** Media dedup end-to-end — the [[c6h]] pair graph closed into CLUSTERS
+    * and priced: star-contraction connected components over the dHash
+    * pairs (the same audited CC every text dedup stage runs), then a
+    * keep-best representative per cluster (largest payload, doc_id
+    * tie-break — "keep the highest-resolution copy") and the byte savings
+    * deleting the rest would buy. The image-pipeline twin of
+    * `c2_dedup_corpus` + `c1w_dedup_savings`.
+    *
+    * Oracle: the c6h banding chain feeds a recursive-reachability CTE
+    * restricted to paired docs (the c2_cluster replay discipline);
+    * keep-best replays as a row_number over (nbytes DESC, doc_id) — no
+    * arg_max, whose tie rule differs between engines.
+    *
+    * Scale shape: pair mine as c6h (capped buckets); CC is O(log n)
+    * star contraction on a pair-bounded node set; the rollup is one
+    * partial-agged groupBy(cluster) plus a deterministic per-cluster
+    * top-1 window (WindowGroupLimit prunes map-side).
+    */
+  private val c6i = QuerySpec(
+    "c6i_media_dedup",
+    "Media dedup clusters: star-contraction CC over the c6h dHash pair graph, keep-best representative per cluster (max payload bytes, doc_id tie-break) and exact bytes shed — cluster id/size/rep/total/shed; the image twin of c2_dedup_corpus + c1w_dedup_savings.",
+    Some(s"""WITH RECURSIVE k AS (SELECT unnest(range(0, 64)) AS k),
+            |g AS (SELECT d.doc_id, k.k,
+            |    ord(substr(d.text, CAST((k.k*7) % least(length(d.text), 449) + 1 AS INTEGER), 1)) AS v
+            |  FROM documents d CROSS JOIN k WHERE length(d.text) > 0),
+            |b AS (SELECT a.doc_id,
+            |    CAST(SUM(CASE WHEN nx.v > a.v THEN CAST(1 AS BIGINT) << CAST(a.k - a.k // 8 AS INTEGER) ELSE 0 END) AS BIGINT) AS h
+            |  FROM g a JOIN g nx ON nx.doc_id = a.doc_id AND nx.k = a.k + 1
+            |  WHERE a.k % 8 < 7 GROUP BY a.doc_id),
+            |e0 AS (SELECT doc_id, h, band, (h >> CAST(band*14 AS INTEGER)) & 16383 AS bv
+            |  FROM (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM b)),
+            |kept AS (SELECT e0.* FROM e0 JOIN (
+            |    SELECT band, bv FROM e0 GROUP BY band, bv HAVING COUNT(*) <= $DHashBucketCap) ok
+            |  ON ok.band = e0.band AND ok.bv = e0.bv),
+            |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.h AS ha, y.h AS hb
+            |  FROM kept x JOIN kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+            |prs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+            |e AS (SELECT id_a AS s, id_b AS d FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+            |n AS (SELECT DISTINCT s AS id FROM e),
+            |reach AS (SELECT id, id AS root FROM n
+            |  UNION
+            |  SELECT e.d, reach.root FROM reach JOIN e ON e.s = reach.id),
+            |lbl AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+            |mem AS (SELECT l.cluster_id, l.doc_id, CAST(length(d.text) AS BIGINT) AS nbytes
+            |  FROM lbl l JOIN documents d ON d.doc_id = l.doc_id),
+            |rep AS (SELECT cluster_id, doc_id AS rep_id, nbytes AS rep_bytes FROM (
+            |    SELECT cluster_id, doc_id, nbytes,
+            |      row_number() OVER (PARTITION BY cluster_id ORDER BY nbytes DESC, doc_id) AS rn
+            |    FROM mem) WHERE rn = 1)
+            |SELECT m.cluster_id, CAST(COUNT(*) AS BIGINT) AS sz, r.rep_id,
+            |  CAST(SUM(m.nbytes) AS BIGINT) AS total_bytes,
+            |  CAST(SUM(m.nbytes) - r.rep_bytes AS BIGINT) AS shed_bytes
+            |FROM mem m JOIN rep r ON r.cluster_id = m.cluster_id
+            |GROUP BY m.cluster_id, r.rep_id, r.rep_bytes ORDER BY m.cluster_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = graft.CacheRegistry.persist(
+        dHashPairs(s, d).select($"id_a", $"id_b"))
+      val nodes = pairs.select($"id_a".as("id"))
+        .union(pairs.select($"id_b".as("id"))).distinct()
+      val labels = TierCSim.connectedComponentsStar(s, nodes,
+        pairs.select($"id_a".as("src"), $"id_b".as("dst")))
+      val mem = labels.select($"id".as("doc_id"), $"cluster".as("cluster_id"))
+        .join(Tables.documents(s, d)
+          .select($"doc_id", length($"text").cast(LongType).as("nbytes")), Seq("doc_id"))
+      val rep = mem
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cluster_id").orderBy($"nbytes".desc, $"doc_id")))
+        .filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("rep_id"), $"nbytes".as("rep_bytes"))
+      mem.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("sz"), sum($"nbytes").cast(LongType).as("total_bytes"))
+        .join(rep, Seq("cluster_id"))
+        .select($"cluster_id", $"sz", $"rep_id", $"total_bytes",
+          ($"total_bytes" - $"rep_bytes").cast(LongType).as("shed_bytes"))
+        .orderBy($"cluster_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i)
 }

@@ -443,4 +443,21 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(byLevel.getOrElse(2L, 0L) + byLevel.getOrElse(3L, 0L) <= nClick)
     assert(byLevel.getOrElse(3L, 0L) <= nPurch)
   }
+
+  test("c6i media dedup: clusters cover exactly the paired docs, rep is the keep-best member") {
+    val pairs = run("c6h_dhash_pairs").collect()
+    val paired = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clusters = run("c6i_media_dedup").collect()
+    assert(clusters.nonEmpty)
+    assert(clusters.map(_.getLong(1)).sum == paired.size.toLong,
+      "cluster sizes must partition exactly the paired docs")
+    clusters.foreach { r =>
+      val (cid, sz, rep, total, shed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sz >= 2, s"cluster $cid smaller than a pair")
+      assert(paired.contains(rep) && cid <= rep,
+        "rep must be a paired member; cluster id is the min member")
+      assert(shed >= 0 && shed < total, "shed keeps at least the representative's bytes")
+    }
+  }
 }
