@@ -3256,8 +3256,75 @@ object TierCText {
     }
   )
 
+  // ------------------------------------------- per-source data card (c4dc2)
+  /** Per-source data card — the one-row-per-source datasheet a corpus
+    * release ships (Datasheets for Datasets, Gebru et al.; every open
+    * pretraining corpus publishes this table): volume (docs, tokens,
+    * chars, average length), exact-duplicate rate, vocabulary size, and
+    * the dominant language with its share. Composes ONLY cheap exact
+    * metrics so the card is a single corpus scan plus one token
+    * explosion — the expensive diagnostics (near-dup rate, quality
+    * blends, drift) stay their own queries; this is the index page.
+    *
+    * Exactness: counts, distincts (md5 text identity), and integer
+    * divisions at ppm — nothing float anywhere. Dominant language ties
+    * break lexicographically on both engines (row_number ORDER BY cnt
+    * DESC, lang).
+    *
+    * Scale shape: three partial-agged rollups keyed on source (plus one
+    * on (source, lang)) and |sources|-sized joins — the corpus shuffles
+    * only for the token explosion all vocabulary metrics already pay.
+    */
+  private val c4dc2 = QuerySpec(
+    "c4_datacard",
+    "Per-source data card (the corpus datasheet): docs, tokens, chars, integer avg length, exact-dup ppm (md5 identity), vocab size, dominant language + ppm share — all-exact counts and integer division, three source-keyed rollups, no floats.",
+    Some("""WITH base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+              CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+              FROM documents GROUP BY source),
+            tk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types FROM (
+                SELECT source, unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS w
+                FROM documents) GROUP BY source),
+            lg AS (SELECT source, lang AS top_lang, cnt FROM (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+                row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+              FROM documents GROUP BY source, lang) WHERE rn = 1)
+            SELECT b.source, b.n_docs, t.n_tokens, b.n_chars,
+              CAST(b.n_chars // b.n_docs AS BIGINT) AS avg_len,
+              CAST((b.n_docs - b.n_distinct) * 1000000 // b.n_docs AS BIGINT) AS exact_dup_ppm,
+              t.n_types, l.top_lang,
+              CAST(l.cnt * 1000000 // b.n_docs AS BIGINT) AS top_lang_ppm
+            FROM base b JOIN tk t ON t.source = b.source JOIN lg l ON l.source = b.source
+            ORDER BY b.source"""),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast(LongType).as("n_chars"),
+          countDistinct(md5($"text")).as("n_distinct"))
+      val tk = docs.select($"source", explode(toksCol).as("w"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct($"w").as("n_types"))
+      val lg = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"cnt".desc, $"lang")))
+        .filter($"rn" === 1)
+        .select($"source", $"lang".as("top_lang"), $"cnt")
+      base.join(tk, Seq("source")).join(lg, Seq("source"))
+        .select($"source", $"n_docs", $"n_tokens", $"n_chars",
+          expr("CAST(n_chars div n_docs AS BIGINT)").as("avg_len"),
+          expr("CAST((n_docs - n_distinct) * 1000000 div n_docs AS BIGINT)").as("exact_dup_ppm"),
+          $"n_types", $"top_lang",
+          expr("CAST(cnt * 1000000 div n_docs AS BIGINT)").as("top_lang_ppm"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2)
 }

@@ -460,4 +460,21 @@ class QueryInvariantsSpec extends AnyFunSuite {
       assert(shed >= 0 && shed < total, "shed keeps at least the representative's bytes")
     }
   }
+
+  test("c4 datacard: source totals partition the corpus, shares and divisions replay") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = run("c4_datacard").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "doc counts must partition the corpus")
+    rows.foreach { r =>
+      val (nDocs, nTok, nChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (avgLen, dupPpm, nTypes, langPpm) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(8))
+      assert(nTok > 0 && nTypes > 0 && nTypes <= nTok)
+      assert(avgLen == nChars / nDocs)
+      assert(dupPpm >= 0 && dupPpm < 1000000L)
+      assert(langPpm > 0 && langPpm <= 1000000L, "dominant language share must be a plurality")
+    }
+  }
 }
