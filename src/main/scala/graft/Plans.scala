@@ -467,6 +467,14 @@ object Plans {
       "with residual range filters (never cartesian), and (gid, slab)-keyed " +
       "gaps-and-islands windows — slab-key cardinality grows with the data, " +
       "so the sweep parallelizes; per-group stats partial-aggregate."),
+    "b110_window_funnel" -> ("Windowed funnel: ONE hash partition by "
+      + "user, three conditional-min window passes over the same exchange "
+      + "(Catalyst reuses it), the 24 h deadline a per-row scalar in the "
+      + "window condition, then a 3-row histogram agg."),
+    "c4_datacard" -> ("Data card: three partial-agged source-keyed "
+      + "rollups (base stats, token explosion, language mode) joined at "
+      + "|sources| size — the corpus shuffles once, for the explosion "
+      + "every vocab metric pays anyway."),
     "c6i_media_dedup" -> ("Media dedup clusters: the c6h capped pair "
       + "mine cached, O(log n) star-contraction CC on the pair-bounded "
       + "node set, one partial-agged cluster rollup + a WindowGroupLimit "
