@@ -857,5 +857,67 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i)
+
+  // ----------------------------------------------------- c6j scene cuts
+  /** Frame-delta scene-cut detection — the video-segmentation batch
+    * stage: the payload fans out to consecutive fixed-size frames
+    * ([[MediaCodecTransforms.sampleFrames]], every frame), each frame
+    * reduces to its exact byte checksum ([[MediaCodec.checksum]] — a
+    * real pipeline would use a perceptual frame feature; the checksum is
+    * the codec-free stand-in with the same shape), and a cut fires where
+    * the frame-to-frame checksum delta exceeds the threshold. Per media:
+    * frame count, cut count, first cut position, max delta — the shot
+    * table a video curation pipeline samples keyframes from.
+    *
+    * Oracle: ASCII char≡byte (the c6b replay), so DuckDB rebuilds every
+    * frame checksum as a SUM of ord() over the exact slice and replays
+    * the lag/threshold chain — all integers, no quantization at all.
+    *
+    * Scale shape: mapPartitions frame fan-out (no shuffle), ONE window
+    * keyed on media_id for the lag, one partial-agged rollup. Media with
+    * fewer than two full frames have no transitions and drop from both
+    * engines identically.
+    */
+  private val SceneFrame = 128
+  private val SceneCutDelta = 300L
+  private val c6j = QuerySpec(
+    "c6j_scene_cut",
+    s"Frame-delta scene cuts: payloads fan out to consecutive $SceneFrame-byte frames in mapPartitions, exact byte-sum checksums, cut where |delta| > $SceneCutDelta via a media-keyed lag window — per-media frame/cut counts, first cut, max delta; all-integer, the video-segmentation batch shape.",
+    Some(s"""WITH d AS (SELECT doc_id, text, length(text) // $SceneFrame AS nf
+            |  FROM documents WHERE length(text) >= ${2 * SceneFrame}),
+            |f AS (SELECT doc_id, CAST(unnest(range(0, nf)) AS BIGINT) AS fno, text FROM d),
+            |ch AS (SELECT doc_id, fno,
+            |    CAST(SUM(ord(substr(text, CAST(fno*$SceneFrame + i AS INTEGER), 1))) AS BIGINT) AS csum
+            |  FROM f, (SELECT unnest(range(1, ${SceneFrame + 1})) AS i) GROUP BY doc_id, fno),
+            |dl AS (SELECT doc_id, fno, csum,
+            |    abs(csum - lag(csum) OVER (PARTITION BY doc_id ORDER BY fno)) AS delta FROM ch)
+            |SELECT doc_id AS media_id,
+            |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+            |  CAST(SUM(CASE WHEN delta > $SceneCutDelta THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+            |  CAST(COALESCE(MIN(CASE WHEN delta > $SceneCutDelta THEN fno END), -1) AS BIGINT) AS first_cut,
+            |  CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+            |FROM dl GROUP BY doc_id ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = mediaRecords(s, d)
+        .mapPartitions(_.flatMap(r =>
+          MediaCodecTransforms.sampleFrames(r.payload, SceneFrame, 1).map {
+            case (no, _, bytes) => (r.media_id, no.toLong, MediaCodec.checksum(bytes))
+          }))
+        .toDF("media_id", "fno", "csum")
+      val dl = frames.withColumn("delta",
+        abs($"csum" - lag($"csum", 1).over(
+          Window.partitionBy($"media_id").orderBy($"fno"))))
+      dl.groupBy($"media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when($"delta" > SceneCutDelta, 1L).otherwise(0L)).cast(LongType).as("n_cuts"),
+          coalesce(min(when($"delta" > SceneCutDelta, $"fno")), lit(-1L)).cast(LongType).as("first_cut"),
+          coalesce(max($"delta"), lit(0L)).cast(LongType).as("max_delta"))
+        .filter($"n_frames" >= 2)
+        .orderBy($"media_id")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j)
 }

@@ -5086,8 +5086,57 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B111
+  /** Benford first-digit audit — the forensic data-quality screen
+    * auditors and data-ingest monitors run on any money/measurement
+    * column: the leading-digit histogram of exact cents against Benford's
+    * law P(d) = log10(1 + 1/d), with per-digit deviation. TPC-H's
+    * uniform-ish price generator is NOT Benford — which is exactly what
+    * the audit should surface (a synthetic or manipulated column shows
+    * up as fat mid-digit mass; the per-digit dev_ppm rows are the
+    * evidence table).
+    *
+    * Exactness: cents via the one floor(×100) IEEE step every money
+    * query uses; the leading digit by decimal-string head (identical
+    * rendering of a positive BIGINT on both engines); shares and the
+    * Benford expectation ln(1+1/d)/ln(10) quantized at 1e-6 with
+    * identical chains (the c4u ln discipline).
+    *
+    * Scale shape: ONE map-side digit key + partial-agged count into a
+    * 9-row table; the total rides a broadcast. Nothing else moves.
+    */
+  private val b111 = QuerySpec(
+    "b111_benford",
+    "Benford first-digit audit of order totals: exact-cents leading-digit histogram vs floor(ln(1+1/d)/ln(10)*1e6) expectation, per-digit observed/expected/deviation ppm — one map-side key, one 9-row partial-agged count, broadcast total.",
+    Some("""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM orders),
+            h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+            SELECT digit, n,
+              CAST(n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+              CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0) AS BIGINT) AS exp_ppm,
+              CAST(n * 1000000 // t.total
+                - CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0) AS BIGINT) AS BIGINT) AS dev_ppm
+            FROM h CROSS JOIN t ORDER BY digit"""),
+    (s, d) => {
+      import s.implicits._
+      val h = Tables.orders(s, d)
+        .select(substring(floor($"o_totalprice" * 100.0).cast(LongType)
+          .cast(StringType), 1, 1).cast(LongType).as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val t = h.agg(sum($"n").as("total"))
+      h.crossJoin(broadcast(t))
+        .select($"digit", $"n",
+          expr("CAST(n * 1000000 div total AS BIGINT)").as("obs_ppm"),
+          expr("CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0) AS BIGINT)").as("exp_ppm"),
+          expr("""CAST(n * 1000000 div total
+            - CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0) AS BIGINT) AS BIGINT)""").as("dev_ppm"))
+        .orderBy($"digit")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110,
+    b110, b111,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -477,4 +477,37 @@ class QueryInvariantsSpec extends AnyFunSuite {
       assert(langPpm > 0 && langPpm <= 1000000L, "dominant language share must be a plurality")
     }
   }
+
+  test("b111 benford: nine digits partition the orders, expectations sum to ~1, dev replays") {
+    import spark.implicits._
+    val rows = run("b111_benford").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L), "all nine leading digits must appear")
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.sources.Tables.orders(spark, sf).count())
+    // Benford expectations are a fixed distribution: sum within floor slack
+    val expSum = rows.map(_.getLong(3)).sum
+    assert(expSum > 999990L && expSum <= 1000000L, s"exp ppm sum $expSum")
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), "dev = obs - exp")
+      assert(r.getLong(3) > 0)
+    }
+  }
+
+  test("c6j scene cuts: frame counts match payload length, cuts bounded by transitions") {
+    import spark.implicits._
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("c6j_scene_cut").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nF, nC, first, maxD) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nF == lens(id) / 128, s"media $id frame count")
+      assert(nF >= 2 && nC <= nF - 1, "cuts are transitions, at most n_frames - 1")
+      if (nC > 0) assert(first >= 1 && first <= nF - 1 && maxD > 300)
+      else assert(first == -1L)
+    }
+    assert(rows.exists(_.getLong(2) > 0), "fixture lost its cut coverage")
+  }
 }
