@@ -5135,8 +5135,74 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B112
+  /** Interval-coverage / uptime rollup — the SLA question every device or
+    * service monitor answers: each event opens a busy interval
+    * [ts, ts + 60 + floor(value) % 540 s); per user, OVERLAPS MERGE
+    * (being busy twice at once is not twice as busy), and the report is
+    * merged busy seconds, interval vs island counts, and the longest
+    * continuous busy stretch. The 1D time twin of the a11ah slab sweep's
+    * y-interval merge — same gaps-and-islands, same running-max window,
+    * keyed on user.
+    *
+    * Exactness: all epoch-microsecond BIGINT arithmetic; the running max
+    * orders by (start, end) with ties permutation-safe (the a11ah
+    * argument); half-open intervals merge on touch via strict `>`.
+    *
+    * Scale shape: ONE hash partition by user feeds both window passes and
+    * the rollup (Catalyst reuses the exchange); user keys grow with the
+    * data — never a global window.
+    */
+  private val b112 = QuerySpec(
+    "b112_uptime",
+    "Interval-coverage uptime: per-event busy intervals [ts, ts+60+floor(value)%540 s) merged per user via gaps-and-islands (running-max window), exact merged busy seconds, interval/island counts, longest stretch — all epoch-us BIGINT, one user-keyed exchange end-to-end.",
+    Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+              epoch_us(ts) + (60 + CAST(floor(value) AS BIGINT) % 540) * 1000000 AS e
+              FROM events),
+            mx AS (SELECT user_id, s, e,
+              MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+              FROM iv),
+            isl AS (SELECT user_id, s, e,
+              CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+              FROM mx),
+            per AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS n_iv,
+              MIN(s) AS is0, MAX(e) AS ie1
+              FROM isl GROUP BY user_id, island)
+            SELECT user_id,
+              CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+              CAST(COUNT(*) AS BIGINT) AS n_islands,
+              CAST(SUM((ie1 - is0) // 1000000) AS BIGINT) AS busy_s,
+              CAST(MAX((ie1 - is0) // 1000000) AS BIGINT) AS longest_s
+            FROM per GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      import s.implicits._
+      val iv = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("s"),
+          (unix_micros($"ts")
+            + (lit(60L) + floor($"value").cast(LongType) % 540) * 1000000L).as("e"))
+      val wPrev = Window.partitionBy($"user_id").orderBy($"s", $"e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy($"user_id").orderBy($"s", $"e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("pmax", max($"e").over(wPrev))
+        .withColumn("island",
+          sum(when($"pmax".isNull || $"s" > $"pmax", 1L).otherwise(0L)).over(wRun))
+        .groupBy($"user_id", $"island")
+        .agg(count(lit(1)).as("n_iv"), min($"s").as("is0"), max($"e").as("ie1"))
+        .groupBy($"user_id")
+        .agg(sum($"n_iv").cast(LongType).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(expr("(ie1 - is0) div 1000000")).cast(LongType).as("busy_s"),
+          max(expr("(ie1 - is0) div 1000000")).as("longest_s"))
+        .orderBy($"user_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111,
+    b110, b111, b112,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

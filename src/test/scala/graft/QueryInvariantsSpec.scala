@@ -510,4 +510,29 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
     assert(rows.exists(_.getLong(2) > 0), "fixture lost its cut coverage")
   }
+
+  test("b112 uptime: intervals partition the user's events, merged time bounded both ways") {
+    import spark.implicits._
+    val perUser = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id").agg(
+        count(lit(1)).as("n"),
+        sum(lit(60L) + floor($"value").cast("long") % 540).as("rawS"),
+        max(lit(60L) + floor($"value").cast("long") % 540).as("maxS"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = run("b112_uptime").collect()
+    assert(rows.length == perUser.size, "one row per user")
+    rows.foreach { r =>
+      val (u, nIv, nIsl, busy, longest) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (n, rawS, maxS) = perUser(u)
+      assert(nIv == n, s"user $u interval count")
+      assert(nIsl >= 1 && nIsl <= nIv)
+      // merged busy time: at most the raw sum, at least the longest member
+      assert(busy <= rawS && busy >= maxS - 1, s"user $u busy $busy vs raw $rawS / max $maxS")
+      assert(longest <= busy && longest >= maxS - 1)
+    }
+    // overlap must occur somewhere or the merge is vacuous
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "no user has overlapping intervals - merge coverage lost")
+  }
 }
