@@ -919,5 +919,69 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j)
+
+  // ----------------------------------------------------- c6k keyframes
+  /** Keyframe extraction — the stage a video curation pipeline runs right
+    * after [[c6j]]'s cut detection: every cut opens a new SHOT, and each
+    * shot contributes its FIRST frame as the keyframe the vision encoder
+    * sees (one representative per shot, not per frame — the standard
+    * token-budget move). Emits (media, shot, keyframe position, md5 of
+    * the exact keyframe bytes, shot length) — the c6b slice-hash
+    * evidence discipline on the c6j shot structure.
+    *
+    * Scale shape: the same mapPartitions frame fan-out as c6j (frame
+    * bytes ride the one media-keyed exchange at 128 B/row), two window
+    * passes (lag delta, running shot id) on that single exchange, one
+    * rollup, and a (media, fno) self-join to fetch the keyframe hash —
+    * co-keyed with the exchange it came from.
+    */
+  private val c6k = QuerySpec(
+    "c6k_keyframes",
+    s"Keyframe extraction: shots = cut-delimited frame islands (c6j deltas, running-sum shot ids), keyframe = first frame per shot with md5-of-slice evidence and shot length — per-media shot table; same single media-keyed exchange as c6j plus one co-keyed hash fetch.",
+    Some(s"""WITH d AS (SELECT doc_id, text, length(text) // $SceneFrame AS nf
+            |  FROM documents WHERE length(text) >= ${2 * SceneFrame}),
+            |f AS (SELECT doc_id, CAST(unnest(range(0, nf)) AS BIGINT) AS fno, text FROM d),
+            |ch AS (SELECT doc_id, fno, text,
+            |    CAST(SUM(ord(substr(text, CAST(fno*$SceneFrame + i AS INTEGER), 1))) AS BIGINT) AS csum
+            |  FROM f, (SELECT unnest(range(1, ${SceneFrame + 1})) AS i) GROUP BY doc_id, fno, text),
+            |dl AS (SELECT doc_id, fno, text,
+            |    abs(csum - lag(csum) OVER (PARTITION BY doc_id ORDER BY fno)) AS delta FROM ch),
+            |sh AS (SELECT doc_id, fno, text,
+            |    CAST(SUM(CASE WHEN delta IS NOT NULL AND delta > $SceneCutDelta THEN 1 ELSE 0 END)
+            |      OVER (PARTITION BY doc_id ORDER BY fno
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot
+            |  FROM dl)
+            |SELECT doc_id AS media_id, shot,
+            |  MIN(fno) AS kf_fno,
+            |  md5(substr(MIN(text), CAST(MIN(fno) * $SceneFrame + 1 AS INTEGER), $SceneFrame)) AS kf_md5,
+            |  CAST(COUNT(*) AS BIGINT) AS shot_frames
+            |FROM sh GROUP BY doc_id, shot ORDER BY media_id, shot""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = mediaRecords(s, d)
+        .mapPartitions(_.flatMap(r =>
+          MediaCodecTransforms.sampleFrames(r.payload, SceneFrame, 1).map {
+            case (no, _, bytes) => (r.media_id, no.toLong, MediaCodec.checksum(bytes), bytes)
+          }))
+        .toDF("media_id", "fno", "csum", "frame")
+      val wLag = Window.partitionBy($"media_id").orderBy($"fno")
+      val wRun = Window.partitionBy($"media_id").orderBy($"fno")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sh = frames
+        .withColumn("nf", count(lit(1)).over(Window.partitionBy($"media_id")))
+        .filter($"nf" >= 2)
+        .withColumn("delta", abs($"csum" - lag($"csum", 1).over(wLag)))
+        .withColumn("shot", sum(when($"delta".isNotNull && $"delta" > SceneCutDelta, 1L)
+          .otherwise(0L)).over(wRun))
+      val shots = sh.groupBy($"media_id", $"shot")
+        .agg(min($"fno").as("kf_fno"), count(lit(1)).as("shot_frames"))
+      shots.join(sh.select($"media_id", $"fno".as("kf_fno"), md5($"frame").as("kf_md5")),
+          Seq("media_id", "kf_fno"))
+        .select($"media_id", $"shot", $"kf_fno", $"kf_md5", $"shot_frames")
+        .orderBy($"media_id", $"shot")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k)
 }

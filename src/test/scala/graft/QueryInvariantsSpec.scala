@@ -535,4 +535,25 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
       "no user has overlapping intervals - merge coverage lost")
   }
+
+  test("c6k keyframes: shot structure is exactly c6j's cut structure") {
+    val cuts = run("c6j_scene_cut").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap // media -> (n_frames, n_cuts)
+    val shots = run("c6k_keyframes").collect()
+    assert(shots.nonEmpty)
+    val byMedia = shots.groupBy(_.getLong(0))
+    assert(byMedia.keySet == cuts.keySet, "same media on both sides")
+    byMedia.foreach { case (m, ss) =>
+      val (nFrames, nCuts) = cuts(m)
+      assert(ss.length.toLong == nCuts + 1, s"media $m: shots must be cuts + 1")
+      assert(ss.map(_.getLong(4)).sum == nFrames, s"media $m: shot frames must partition the frames")
+      val first = ss.minBy(_.getLong(1))
+      assert(first.getLong(1) == 0L && first.getLong(2) == 0L,
+        s"media $m: shot 0 keyframe must be frame 0")
+      // keyframes strictly increase across shots; md5s are well-formed
+      val kfs = ss.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(kfs.zip(kfs.tail).forall { case (a, b) => b > a })
+      ss.foreach(r => assert(r.getString(3).length == 32))
+    }
+  }
 }
