@@ -467,6 +467,18 @@ object Plans {
       "with residual range filters (never cartesian), and (gid, slab)-keyed " +
       "gaps-and-islands windows — slab-key cardinality grows with the data, " +
       "so the sweep parallelizes; per-group stats partial-aggregate."),
+    "b111_benford" -> ("Benford audit: one map-side digit key, a 9-row "
+      + "partial-agged count, the total a broadcast single row — the "
+      + "corpus is scanned once and nothing else moves."),
+    "b112_uptime" -> ("Uptime: gaps-and-islands on epoch-us BIGINTs — "
+      + "ONE user-keyed exchange feeds the running-max window, the island "
+      + "sum, and both rollups; user keys grow with the data."),
+    "c6j_scene_cut" -> ("Scene cuts: mapPartitions frame fan-out (no "
+      + "shuffle), one media-keyed lag window, one partial-agged rollup; "
+      + "frames never exceed 128 B/row on the wire."),
+    "c6k_keyframes" -> ("Keyframes: the c6j frame exchange reused for "
+      + "the lag and shot windows plus a co-keyed (media, fno) hash "
+      + "fetch — one exchange end-to-end."),
     "b110_window_funnel" -> ("Windowed funnel: ONE hash partition by "
       + "user, three conditional-min window passes over the same exchange "
       + "(Catalyst reuses it), the 24 h deadline a per-row scalar in the "
