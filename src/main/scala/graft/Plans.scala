@@ -467,6 +467,10 @@ object Plans {
       "with residual range filters (never cartesian), and (gid, slab)-keyed " +
       "gaps-and-islands windows — slab-key cardinality grows with the data, " +
       "so the sweep parallelizes; per-group stats partial-aggregate."),
+    "b113_skyline" -> ("Skyline: dedup agg then ONE (prio, month)-keyed "
+      + "window pass — the O(n^2) dominance self-join the naive plan "
+      + "would run never exists; groups are time-bounded so the sort "
+      + "windows parallelize."),
     "b111_benford" -> ("Benford audit: one map-side digit key, a 9-row "
       + "partial-agged count, the total a broadcast single row — the "
       + "corpus is scanned once and nothing else moves."),

@@ -5201,8 +5201,70 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B113
+  /** Skyline / Pareto-front — the classic non-dominated-set operator
+    * (Börzsönyi et al., ICDE 2001): within each (priority, order-month)
+    * group, the orders no other order beats on BOTH price (cheaper
+    * better) and date (earlier better). The textbook 2D algorithm is
+    * declarative: sort by (price, date), a point is dominated iff the
+    * running MIN date over strictly-preceding rows is ≤ its own —
+    * every preceding row is no pricier, so an earlier-or-equal date
+    * means full dominance. Exact-duplicate (price, date) points
+    * collapse FIRST (min-key representative + multiplicity), which
+    * makes the ≤ test exact: post-dedup, a preceding equal-price row
+    * is strictly earlier.
+    *
+    * Exactness: cents via the one floor(×100) step, dates as epoch
+    * days — all BIGINT; the windows order by the deduped unique
+    * (cents, day) pair, so ties cannot exist by construction.
+    *
+    * Scale shape: groups are (priority × month) — bounded per time
+    * slice and growing with the data, so the per-group sort windows
+    * parallelize; no global sort, no self-join (the naive skyline is
+    * O(n²) dominance pairs — this is O(n log n) per group and one
+    * exchange).
+    */
+  private val b113 = QuerySpec(
+    "b113_skyline",
+    "Skyline (Pareto-front) per (priority, order-month): non-dominated orders on (cents asc, day asc) via dedup + running-min-date window — group, cents, epoch day, multiplicity, min-key representative; O(n log n) per bounded group, no self-join, no global sort.",
+    Some("""WITH o AS (SELECT o_orderpriority AS prio,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+              CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+              CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+              o_orderkey AS okey
+              FROM orders),
+            dd AS (SELECT prio, mth, cents, d,
+              CAST(COUNT(*) AS BIGINT) AS n_dup, MIN(okey) AS rep_key
+              FROM o GROUP BY prio, mth, cents, d),
+            w AS (SELECT prio, mth, cents, d, n_dup, rep_key,
+              MIN(d) OVER (PARTITION BY prio, mth ORDER BY cents, d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+              FROM dd)
+            SELECT prio, mth, cents, d AS epoch_day, n_dup, rep_key
+            FROM w WHERE pmin IS NULL OR d < pmin
+            ORDER BY prio, mth, cents, d"""),
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select($"o_orderpriority".as("prio"),
+          date_trunc("month", $"o_orderdate").cast(DateType).as("mth"),
+          floor($"o_totalprice" * 100.0).cast(LongType).as("cents"),
+          datediff($"o_orderdate".cast(DateType), to_date(lit("1970-01-01")))
+            .cast(LongType).as("d"),
+          $"o_orderkey".as("okey"))
+      val dd = o.groupBy($"prio", $"mth", $"cents", $"d")
+        .agg(count(lit(1)).as("n_dup"), min($"okey").as("rep_key"))
+      val wPrev = Window.partitionBy($"prio", $"mth").orderBy($"cents", $"d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dd.withColumn("pmin", min($"d").over(wPrev))
+        .filter($"pmin".isNull || $"d" < $"pmin")
+        .select($"prio", $"mth", $"cents", $"d".as("epoch_day"), $"n_dup", $"rep_key")
+        .orderBy($"prio", $"mth", $"cents", $"epoch_day")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112,
+    b110, b111, b112, b113,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -556,4 +556,37 @@ class QueryInvariantsSpec extends AnyFunSuite {
       ss.foreach(r => assert(r.getString(3).length == 32))
     }
   }
+
+  test("b113 skyline: rows are mutually non-dominated and dominate every excluded order") {
+    import spark.implicits._
+    val rows = run("b113_skyline").collect()
+    assert(rows.nonEmpty)
+    // within a group, skyline points form a strictly decreasing staircase:
+    // sorted by cents asc, dates must strictly DECREASE (else dominated)
+    rows.groupBy(r => (r.getString(0), r.getDate(1).toString)).foreach { case (g, rs) =>
+      val stair = rs.sortBy(r => (r.getLong(2), r.getLong(3)))
+      val cents = stair.map(_.getLong(2))
+      val days = stair.map(_.getLong(3))
+      assert(cents.distinct.length == cents.length, s"$g: duplicate cents on the front")
+      assert(days.zip(days.tail).forall { case (a, b) => b < a },
+        s"$g: dates must strictly decrease along the price-sorted front")
+    }
+    // spot-check completeness on one group: every order is dominated by
+    // or IS a skyline point
+    val one = rows.head
+    val (gp, gm) = (one.getString(0), one.getDate(1))
+    val front = rows.filter(r => r.getString(0) == gp && r.getDate(1) == gm)
+      .map(r => (r.getLong(2), r.getLong(3)))
+    val members = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === gp &&
+        date_trunc("month", $"o_orderdate").cast("date") === lit(gm))
+      .select(floor($"o_totalprice" * 100.0).cast("long"),
+        datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    members.foreach { case (c, d) =>
+      assert(front.exists { case (fc, fd) =>
+        (fc == c && fd == d) || (fc <= c && fd <= d && (fc < c || fd < d)) },
+        s"order ($c, $d) in $gp/$gm neither on nor under the front")
+    }
+  }
 }
