@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cache-ownership contract for operator-internal `persist()` calls.
   *
@@ -37,10 +37,24 @@ object CacheRegistry {
     df
   }
 
+  private val memo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Persist-once by key: the first call builds and persists, later calls
+    * in the same release epoch return the SAME persisted frame — so two
+    * queries sharing a lineage (c6h/c6i's dHash pair mine) cache it once
+    * instead of stacking identical copies in executor memory. The memo
+    * lives exactly one release epoch: [[releaseAll]] clears it along with
+    * the frames it points at (a stale entry would hand out an unpersisted,
+    * possibly source-rotated frame).
+    */
+  def memoPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    synchronized { memo.getOrElseUpdate((s, key), persist(build)) }
+
   /** Unpersist every registered frame (non-blocking) and clear the ledger. */
   def releaseAll(): Unit = synchronized {
     frames.foreach(_.unpersist(false))
     frames.clear()
+    memo.clear()
   }
 
   /** Registered frames not yet released (for tests). */

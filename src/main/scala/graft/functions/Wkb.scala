@@ -470,9 +470,14 @@ object Wkb {
           (lon, lat) => lonLatToUtm(lon, lat, utmZoneOf(z), z >= 32701)
         case (z, 4326) if isUtmSrid(z) =>
           (e, n) => utmToLonLat(e, n, utmZoneOf(z), z >= 32701)
+        // parameterized registry (Lambert conformal conic + ETRS89 TM):
+        // geocentric datums treated as WGS84-identical, see graft.functions.Crs
+        case (4326, z) if Crs.forwardOf(z).isDefined => Crs.forwardOf(z).get
+        case (z, 4326) if Crs.inverseOf(z).isDefined => Crs.inverseOf(z).get
         case _ => throw new IllegalArgumentException(
           s"reproject: unsupported $from -> $toSrid " +
-            "(supported: 4326 <-> 3857, 4326 <-> 326xx/327xx WGS84 UTM)")
+            "(supported: 4326 <-> 3857, 4326 <-> 326xx/327xx WGS84 UTM, " +
+            "4326 <-> registered LCC/TM grids — see graft.functions.Crs)")
       }
       setSrid(mapCoords(wkb, f), toSrid)
     }

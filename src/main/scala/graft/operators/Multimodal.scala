@@ -725,10 +725,17 @@ object Multimodal {
   }
   /** dHash near-dup candidate pairs (shared by [[c6h]] and the cluster
     * rollup [[c6i]]): banded bucket join under the cap, Hamming ≤ 6.
+    * The RESULT is memo-persisted per (session, dir): c6h and c6i in one
+    * session share a single cached pair frame (and the single cached hash
+    * frame under it) instead of stacking identical lineages in executor
+    * memory — the memo lives one CacheRegistry release epoch.
     */
-  private[operators] def dHashPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def dHashPairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memoPersist(s, s"dhash_pairs:$d") { dHashPairsBuild(s, d) }
+
+  private def dHashPairsBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashes = graft.CacheRegistry.persist(
+    val hashes = graft.CacheRegistry.memoPersist(s, s"dhash_hashes:$d")(
       mediaRecords(s, d)
         .filter(_.payload.nonEmpty)
         .mapPartitions(_.map(r => (r.media_id, DHash.dHash(r.payload))))

@@ -907,6 +907,66 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11aj
+  /** Lambert-conformal-conic reprojection (EPSG:4326 ↔ 2154 Lambert-93,
+    * [[graft.functions.Crs.Lambert93]]) — the parameterized-CRS-registry
+    * flagship (VERDICT r12 missing #3): a French national grid a real
+    * geodata user hits right after UTM. The oracle replays the FORWARD
+    * 2-SP chain op-for-op from the engine's own derived constants
+    * ([[graft.functions.Crs.Lcc2Sp.replayConstants]], the a11s dotChain
+    * pattern) with pow written as exp/ln so only baseline DuckDB math is
+    * needed; E/N quantize at meter grain (libm last-ulp flip risk
+    * ~1e-10/row, the a11s precedent) and the fixed-8-iteration inverse
+    * roundtrip is asserted ENGINE-side to 1e-9°. Map-side only — same
+    * 100 TB posture as a11r/a11s.
+    */
+  private val a11aj: QuerySpec = {
+    val (ecc, cn, aF, rho0, lon0, fe, fn) =
+      graft.functions.Crs.Lambert93.replayConstants
+    val sql =
+      s"""WITH c AS (SELECT event_id,
+              -4.0 + (value % 11.5) AS lon,
+              42.2 + (value % 8.6) AS lat
+            FROM events),
+          p AS (SELECT event_id,
+              lat * pi() / 180.0 AS phi,
+              $cn * ((lon - $lon0) * pi() / 180.0) AS th
+            FROM c),
+          s1 AS (SELECT event_id, th, sin(phi) AS sphi,
+              tan(pi()/4.0 - phi/2.0) AS tb FROM p),
+          s2 AS (SELECT event_id, th,
+              tb * exp(-($ecc/2.0) * ln((1.0 - $ecc*sphi)/(1.0 + $ecc*sphi))) AS t
+            FROM s1),
+          s3 AS (SELECT event_id, th, $aF * exp($cn * ln(t)) AS rho FROM s2)
+          SELECT event_id,
+            CAST(2154 AS BIGINT) AS srid_lcc,
+            CAST(floor($fe + rho * sin(th)) AS BIGINT) AS e_m,
+            CAST(floor($fn + $rho0 - rho * cos(th)) AS BIGINT) AS n_m,
+            TRUE AS roundtrip_ok
+          FROM s3 ORDER BY event_id"""
+    QuerySpec(
+      "a11aj_lcc",
+      "Lambert-93 (EPSG:2154) LCC reprojection roundtrip via the parameterized CRS registry: per-row 4326 point EWKB -> 2154 easting/northing -> back; E/N at meter quantization against an oracle replaying the 2-SP forward chain from the engine's derived constants; fixed-8-iteration inverse checked engine-side to 1e-9 degrees.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (lit(-4.0) + ($"value" % 11.5)).as("lon"),
+            (lit(42.2) + ($"value" % 8.6)).as("lat"))
+          .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(2154)))
+          .withColumn("back", reprojectUdf($"g", lit(4326)))
+          .select($"event_id",
+            sridUdf($"g").cast(LongType).as("srid_lcc"),
+            floor(bboxUdf($"g").getField("xmin")).cast(LongType).as("e_m"),
+            floor(bboxUdf($"g").getField("ymin")).cast(LongType).as("n_m"),
+            (abs(bboxUdf($"back").getField("xmin") - $"lon") < 1e-9 &&
+              abs(bboxUdf($"back").getField("ymin") - $"lat") < 1e-9).as("roundtrip_ok"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
   // ---------------------------------------------------------------- A11t
   /** Slippy-map tile aggregation at a fixed zoom — the vector-tile
     * pre-aggregation a geodata-serving pipeline runs before rendering:
@@ -1651,5 +1711,5 @@ object Spatial {
 
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah, a11ai)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj)
 }

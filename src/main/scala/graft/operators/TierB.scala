@@ -5148,6 +5148,9 @@ object TierB {
     * Exactness: all epoch-microsecond BIGINT arithmetic; the running max
     * orders by (start, end) with ties permutation-safe (the a11ah
     * argument); half-open intervals merge on touch via strict `>`.
+    * busy_s sums merged-span MICROSECONDS across islands and floors once
+    * (per-island flooring would shave a sub-second remainder per island);
+    * longest_s is a single island's span, floored.
     *
     * Scale shape: ONE hash partition by user feeds both window passes and
     * the rollup (Catalyst reuses the exchange); user keys grow with the
@@ -5174,7 +5177,7 @@ object TierB {
             SELECT user_id,
               CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
               CAST(COUNT(*) AS BIGINT) AS n_islands,
-              CAST(SUM((ie1 - is0) // 1000000) AS BIGINT) AS busy_s,
+              CAST(SUM(ie1 - is0) // 1000000 AS BIGINT) AS busy_s,
               CAST(MAX((ie1 - is0) // 1000000) AS BIGINT) AS longest_s
             FROM per GROUP BY user_id ORDER BY user_id"""),
     (s, d) => {
@@ -5195,7 +5198,10 @@ object TierB {
         .groupBy($"user_id")
         .agg(sum($"n_iv").cast(LongType).as("n_intervals"),
           count(lit(1)).as("n_islands"),
-          sum(expr("(ie1 - is0) div 1000000")).cast(LongType).as("busy_s"),
+          // sum merged microseconds FIRST, floor once: per-island floor
+          // would drop a sub-second remainder per island, making busy_s
+          // less than the exact merged-span total the report claims
+          expr("sum(ie1 - is0) div 1000000").cast(LongType).as("busy_s"),
           max(expr("(ie1 - is0) div 1000000")).as("longest_s"))
         .orderBy($"user_id")
     }

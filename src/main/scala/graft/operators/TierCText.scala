@@ -1961,21 +1961,27 @@ object TierCText {
     * the final r_K.
     */
   private def bpeChainCtes(k: Int): String = {
+    // Every CTE is MATERIALIZED: r_{i-1} is referenced twice per round
+    // (by q_i and r_i), so DuckDB's default CTE inlining re-expands the
+    // whole prefix chain at each reference — exponential plan growth that
+    // blew the driver's gate at ~904 s (train) / ~507 s (encode) at
+    // sf0.01. Materializing pins each round to one evaluation: measured
+    // 0.14 s / 0.17 s on the same data. OracleBudgetSpec guards this.
     val base =
-      """WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      """WITH w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
         |        FROM documents)
         |  WHERE regexp_matches(w, '^[a-z]+$')
         |  GROUP BY w),
-        |r0 AS (SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS rep, cnt
+        |r0 AS MATERIALIZED (SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS rep, cnt
         |       FROM w0)""".stripMargin
     val rounds = (1 to k).map { i =>
-      s"""q$i AS (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM (
+      s"""q$i AS MATERIALIZED (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM (
          |  SELECT string_split(substr(rep, 2, length(rep) - 2), '><') AS syms, cnt
          |  FROM r${i - 1}) WHERE len(syms) >= 2),
-         |m$i AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |m$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS cnt
          |  FROM q$i GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
-         |r$i AS (SELECT w, replace(rep, '<' || a || '><' || b || '>', '<' || a || b || '>') AS rep,
+         |r$i AS MATERIALIZED (SELECT w, replace(rep, '<' || a || '><' || b || '>', '<' || a || b || '>') AS rep,
          |  r.cnt AS cnt FROM r${i - 1} r CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n", ",\n", "")
     base + rounds
@@ -3193,13 +3199,17 @@ object TierCText {
               SELECT unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS w FROM tr)
               GROUP BY w),
             tot AS (SELECT CAST(SUM(cuc) AS BIGINT) AS ntok FROM cu),
-            trb AS (SELECT toks[CAST(i AS INTEGER)] AS v, toks[CAST(i + 1 AS INTEGER)] AS w FROM (
-              SELECT list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM tr) t,
-              (SELECT unnest(range(1, 100000)) AS i) WHERE i < len(toks)),
+            trb AS (SELECT p.v AS v, p.w AS w FROM (
+              SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {'v': toks[i], 'w': toks[i+1]})) AS p FROM (
+              SELECT list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM tr)
+              WHERE len(toks) >= 2)),
             cb AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cbc FROM trb GROUP BY v, w),
-            scb AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS v, toks[CAST(i + 1 AS INTEGER)] AS w FROM (
-              SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM sc) t,
-              (SELECT unnest(range(1, 100000)) AS i) WHERE i < len(toks)),
+            scb AS (SELECT doc_id, p.v AS v, p.w AS w FROM (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {'v': toks[i], 'w': toks[i+1]})) AS p FROM (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM sc)
+              WHERE len(toks) >= 2)),
             j AS (SELECT g.doc_id, cb.cbc, cuv.cuc AS cuv, cuw.cuc AS cuw,
                 CAST(floor(ln(CASE
                   WHEN cb.cbc IS NOT NULL THEN CAST(cb.cbc AS DOUBLE) / CAST(cuv.cuc AS DOUBLE)

@@ -528,8 +528,11 @@ class QueryInvariantsSpec extends AnyFunSuite {
       assert(nIv == n, s"user $u interval count")
       assert(nIsl >= 1 && nIsl <= nIv)
       // merged busy time: at most the raw sum, at least the longest member
-      assert(busy <= rawS && busy >= maxS - 1, s"user $u busy $busy vs raw $rawS / max $maxS")
-      assert(longest <= busy && longest >= maxS - 1)
+      // (intervals are whole seconds long, so the island holding the max
+      // interval spans >= maxS s and the single end-stage floor keeps both
+      // bounds exact — no sub-second slack needed)
+      assert(busy <= rawS && busy >= maxS, s"user $u busy $busy vs raw $rawS / max $maxS")
+      assert(longest <= busy && longest >= maxS)
     }
     // overlap must occur somewhere or the merge is vacuous
     assert(rows.exists(r => r.getLong(2) < r.getLong(1)),

@@ -161,10 +161,79 @@ class SpatialSpec extends AnyFunSuite {
     // same-SRID reprojection is the byte-identical identity
     assert(Wkb.reproject(poly, 4326).sameElements(poly))
     // plain WKB (no SRID) and unsupported CRS pairs fail loudly
+    // (27700 = OSGB36 National Grid: non-geocentric datum, needs a real
+    // Helmert shift — permanently outside the registry's no-shift charter)
     intercept[IllegalArgumentException] { Wkb.reproject(Wkb.point(1, 2), 3857) }
     intercept[IllegalArgumentException] {
-      Wkb.reproject(Wkb.setSrid(Wkb.point(1, 2), 2154), 4326)
+      Wkb.reproject(Wkb.setSrid(Wkb.point(1, 2), 27700), 4326)
     }
+  }
+
+  test("Crs registry LCC: exact origin anchors, hemispheres, roundtrip, EWKB path") {
+    import graft.functions.Crs
+    for (p <- Seq(Crs.Lambert93, Crs.CanadaLcc, Crs.EuropeLcc)) {
+      // the grid origin (lon0, phi0) maps to (FE, FN) with zero residue:
+      // θ = n·0 and ρ(φ0) is the SAME chain that defined ρ0
+      val (e0, n0) = p.forward(p.lon0Deg, p.phi0Deg)
+      assert(e0 == p.falseE && n0 == p.falseN, s"EPSG:${p.srid} origin ($e0, $n0)")
+      // east of the central meridian → E > FE; north of φ0 → N > FN
+      val (eE, _) = p.forward(p.lon0Deg + 1.0, p.phi0Deg)
+      val (_, nN) = p.forward(p.lon0Deg, p.phi0Deg + 1.0)
+      assert(eE > p.falseE && nN > p.falseN, s"EPSG:${p.srid} orientation")
+      // 1 degree of meridian arc ≈ 111 km scaled by the cone's local
+      // scale factor (k < 1 between the standard parallels — down to
+      // ~0.966 for 3034's wide 35°/65° band) — gross-error detector on
+      // the cone constants
+      assert(math.abs((nN - p.falseN) - 111000.0) < 5000.0,
+        s"EPSG:${p.srid} arc ${nN - p.falseN}")
+      // fixed-8-iteration inverse: < 1e-9° across the grid's home range
+      for (dLon <- Seq(-6.0, -2.0, 0.0, 0.7, 4.5); dLat <- Seq(-3.5, -1.0, 0.0, 2.0, 4.0)) {
+        val (lon, lat) = (p.lon0Deg + dLon, p.phi0Deg + dLat)
+        val (e, n) = p.forward(lon, lat)
+        val (lo, la) = p.inverse(e, n)
+        assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+          s"EPSG:${p.srid} roundtrip drift at ($lon, $lat): (${lo - lon}, ${la - lat})")
+      }
+    }
+    // Lambert-93 sanity: metropolitan France lands in the published grid
+    // envelope (E ~ 0.1-1.3 Mm, N ~ 6.0-7.2 Mm)
+    val (pe, pn) = Crs.Lambert93.forward(2.35, 48.85) // Paris
+    assert(pe > 100000 && pe < 1300000 && pn > 6000000 && pn < 7200000, s"($pe, $pn)")
+    // EWKB path carries SRID 2154 and roundtrips through bytes
+    val g = Wkb.setSrid(Wkb.point(2.35, 48.85), 4326)
+    val l = Wkb.reproject(g, 2154)
+    assert(Wkb.srid(l) == 2154)
+    val back = Wkb.reproject(l, 4326)
+    val bb = Wkb.bbox(back)
+    assert(math.abs(bb.xmin - 2.35) < 1e-9 && math.abs(bb.ymin - 48.85) < 1e-9)
+  }
+
+  test("Crs registry TM (ETRS89 UTM): anchors, agreement with WGS84 UTM, roundtrip") {
+    import graft.functions.Crs
+    val z32 = Crs.tm(25832)
+    // central meridian × equator anchors exactly, like the WGS84 twin
+    val (e0, n0) = z32.forward(9.0, 0.0)
+    assert(e0 == 500000.0 && n0 == 0.0, s"($e0, $n0)")
+    // GRS80 vs WGS84 differ only in the 12th digit of f — the grids agree
+    // to sub-millimeter (the reason the zero-shift stance is sound)
+    for ((lon, lat) <- Seq((9.0, 45.0), (6.3, 70.0), (11.7, 37.5))) {
+      val (eG, nG) = z32.forward(lon, lat)
+      val (eW, nW) = Wkb.lonLatToUtm(lon, lat, 32, south = false)
+      assert(math.abs(eG - eW) < 1e-3 && math.abs(nG - nW) < 1e-3,
+        s"ETRS/WGS disagree at ($lon, $lat): (${eG - eW}, ${nG - nW})")
+    }
+    // roundtrip across all registered zones
+    for (srid <- 25828 to 25838; lat <- Seq(36.0, 52.0, 68.0)) {
+      val p = Crs.tm(srid)
+      val (e, n) = p.forward(p.lon0Deg + 2.1, lat)
+      val (lo, la) = p.inverse(e, n)
+      assert(math.abs(lo - (p.lon0Deg + 2.1)) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"EPSG:$srid roundtrip drift")
+    }
+    // EWKB dispatch
+    val u = Wkb.reproject(Wkb.setSrid(Wkb.point(10.0, 50.0), 4326), 25832)
+    assert(Wkb.srid(u) == 25832)
+    assert(math.abs(Wkb.bbox(Wkb.reproject(u, 4326)).xmin - 10.0) < 1e-9)
   }
 
   test("Wkb UTM reproject: exact anchors, series sanity, roundtrip, loud rejections") {
@@ -203,8 +272,10 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(bb.xmin - 10.0) < 1e-9 && math.abs(bb.ymin - 50.0) < 1e-9)
     assert(Wkb.srid(Wkb.reproject(g, 32732)) == 32732, "south zone srid")
     // invalid zone, cross-datum grid, and 3857<->UTM all reject loudly
+    // (25832 moved from "rejected" to the Crs registry in r13 — the
+    // rejection pin now uses a zone outside the registered 28-38 band)
     intercept[IllegalArgumentException] { Wkb.reproject(g, 32661) }
-    intercept[IllegalArgumentException] { Wkb.reproject(g, 25832) }
+    intercept[IllegalArgumentException] { Wkb.reproject(g, 25801) }
     intercept[IllegalArgumentException] {
       Wkb.reproject(Wkb.setSrid(Wkb.point(1, 2), 3857), 32632)
     }

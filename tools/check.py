@@ -3,11 +3,18 @@
 DuckDB over the sf tables, load the Spark parquet output, and compare
 row-by-row (column order normalized by sorting names, exact value equality
 including row order). Usage: check.py <sfDir> <verifyOutDir> [query ...]"""
-import sys, json, math, glob
+import sys, json, math, glob, time, os
 import duckdb
 
 sf, out = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
+# Per-oracle time budget in seconds (r12 postmortem: two oracle SQLs at
+# ~904 s / ~507 s blew the driver's whole correctness gate — the engine was
+# green but the artifact came back empty). Any oracle exceeding the budget
+# FAILS even when its rows match, so a slow oracle is a red row here long
+# before it times out the driver. Override with ORACLE_BUDGET_S=<sec>.
+budget_s = float(os.environ.get("ORACLE_BUDGET_S", "60"))
+otimes = {}
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
@@ -38,9 +45,16 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: oracle output types will hash-mismatch: {bad_types}")
             fails += 1
             continue
+        t0 = time.time()
         ocur = con.execute(sql)
         ocols = [c[0] for c in ocur.description]
         orows = ocur.fetchall()
+        otimes[name] = time.time() - t0
+        if otimes[name] > budget_s:
+            print(f"FAIL {name}: oracle SQL took {otimes[name]:.1f}s "
+                  f"(budget {budget_s:.0f}s) — gate-blowout risk")
+            fails += 1
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); fails += 1; continue
@@ -71,6 +85,11 @@ for name, sql in sorted(oracle.items()):
         fails += 1
     else:
         print(f"PASS {name} ({len(orows)} rows)")
+if otimes:
+    slow = sorted(otimes.items(), key=lambda kv: -kv[1])[:5]
+    print("\nslowest oracles: " +
+          ", ".join(f"{n}={t:.1f}s" for n, t in slow) +
+          f"  (total {sum(otimes.values()):.1f}s over {len(otimes)})")
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
       f"({len([n for n in oracle if not only or n in only])} oracle-checked)")
 sys.exit(1 if fails else 0)
