@@ -1709,7 +1709,96 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11ak
+  /** Arc-discretized Euclidean buffer RETURNING GEOMETRY
+    * ([[Wkb.bufferEuclidean]], VERDICT r12 missing #4): the
+    * PostGIS-ST_Buffer-shaped constructor the family lacked — a11y is
+    * exact but L∞, a11ai is Euclidean but grid-measured; this one emits a
+    * real buffered polygon WKB (8 arc vertices per corner, the quad_segs=8
+    * default). Per-event diamond → 36-vertex buffered ring → vertex count,
+    * quantized doubled-shoelace area, min corner. Every output vertex is
+    * the closed-form chain v + r·(cos θ, sin θ) with θ from the corner's
+    * edge-normal atan2s, so the oracle replays the construction literally
+    * — atan2/cos/sin last-ulp flip risk ~1e-10/row at the e6 floor (the
+    * a11s libm precedent). Map-side only; the output sort is presentation.
+    */
+  private val BufEuR = 1.5
+  private val a11ak: QuerySpec = {
+    val diamondUdf: UserDefinedFunction = udf { (cx: Double, cy: Double) =>
+      Wkb.polygon(Seq(Seq(
+        (cx + 3.0, cy), (cx, cy + 3.0), (cx - 3.0, cy), (cx, cy - 3.0), (cx + 3.0, cy))))
+    }
+    val statsUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) =>
+      val ring = Wkb.outerRing(Wkb.bufferEuclidean(wkb, BufEuR, 8)).dropRight(1)
+      var a2 = 0L
+      var mnx = Long.MaxValue
+      var mny = Long.MaxValue
+      var i = 0
+      while (i < ring.length) {
+        val v = ring(i)
+        val w = ring((i + 1) % ring.length)
+        a2 += math.floor((v._1 * w._2 - w._1 * v._2) * 1000000.0).toLong
+        val qx = math.floor(v._1 * 1000000.0).toLong
+        val qy = math.floor(v._2 * 1000000.0).toLong
+        if (qx < mnx) mnx = qx
+        if (qy < mny) mny = qy
+        i += 1
+      }
+      (ring.length, a2, mnx, mny)
+    }
+    // per-corner previous/next diamond vertices, cyclically (E, N, W, S)
+    val sql =
+      s"""WITH t AS (SELECT event_id,
+         |    2.0 * CAST(user_id % 100 AS DOUBLE) AS cx, value % 200.0 AS cy
+         |  FROM events),
+         |v AS (SELECT event_id, cx, cy, seq, seq // 9 AS c, seq % 9 AS j
+         |  FROM t, (SELECT unnest(range(0, 36)) AS seq)),
+         |w AS (SELECT event_id, seq, j,
+         |    CASE c WHEN 0 THEN cx + 3.0 WHEN 1 THEN cx WHEN 2 THEN cx - 3.0 ELSE cx END AS px,
+         |    CASE c WHEN 0 THEN cy WHEN 1 THEN cy + 3.0 WHEN 2 THEN cy ELSE cy - 3.0 END AS py,
+         |    CASE c WHEN 0 THEN cx WHEN 1 THEN cx + 3.0 WHEN 2 THEN cx ELSE cx - 3.0 END AS qx,
+         |    CASE c WHEN 0 THEN cy - 3.0 WHEN 1 THEN cy WHEN 2 THEN cy + 3.0 ELSE cy END AS qy,
+         |    CASE c WHEN 0 THEN cx WHEN 1 THEN cx - 3.0 WHEN 2 THEN cx ELSE cx + 3.0 END AS rx,
+         |    CASE c WHEN 0 THEN cy + 3.0 WHEN 1 THEN cy WHEN 2 THEN cy - 3.0 ELSE cy END AS ry
+         |  FROM v),
+         |a AS (SELECT event_id, seq, j, px, py,
+         |    atan2(py - qy, px - qx) - pi() / 2.0 AS thin,
+         |    atan2(ry - py, rx - px) - pi() / 2.0 AS thout
+         |  FROM w),
+         |b AS (SELECT event_id, seq, px, py,
+         |    thin + (CASE WHEN thout - thin < 0 THEN thout - thin + 2.0 * pi()
+         |                 ELSE thout - thin END) * j / 8.0 AS ang
+         |  FROM a),
+         |pt AS (SELECT event_id, seq,
+         |    px + $BufEuR * cos(ang) AS x, py + $BufEuR * sin(ang) AS y FROM b),
+         |fe AS (SELECT event_id, x, y,
+         |    coalesce(lead(x) OVER pw, first_value(x) OVER pw) AS wx,
+         |    coalesce(lead(y) OVER pw, first_value(y) OVER pw) AS wy
+         |  FROM pt WINDOW pw AS (PARTITION BY event_id ORDER BY seq))
+         |SELECT event_id, CAST(COUNT(*) AS INTEGER) AS n_vtx,
+         |  CAST(SUM(CAST(floor((x * wy - wx * y) * 1000000.0) AS BIGINT)) AS BIGINT) AS area2_e6,
+         |  MIN(CAST(floor(x * 1000000.0) AS BIGINT)) AS minx_e6,
+         |  MIN(CAST(floor(y * 1000000.0) AS BIGINT)) AS miny_e6
+         |FROM fe GROUP BY event_id ORDER BY event_id""".stripMargin
+    QuerySpec(
+      "a11ak_buffer_euclid",
+      s"Arc-discretized Euclidean buffer (r=$BufEuR, 8 segs/corner) of a per-event diamond to a NEW 36-vertex polygon WKB — ST_Buffer shape; vertex count, quantized doubled-shoelace area, min corner; oracle replays every vertex's atan2/cos/sin chain verbatim.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+            ($"value" % 200.0).as("cy"))
+          .select($"event_id", statsUdf(diamondUdf($"cx", $"cy")).as("st"))
+          .select($"event_id", $"st._1".as("n_vtx"), $"st._2".as("area2_e6"),
+            $"st._3".as("minx_e6"), $"st._4".as("miny_e6"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak)
 }

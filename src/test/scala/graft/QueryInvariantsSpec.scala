@@ -29,6 +29,45 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature-mix kept sets are nested in α (1/4 ≤ 1/2 ≤ 5/8 ≤ 3/4)") {
+    // rate_s = (n_min/n_s)^(1-α) is monotone increasing in α for every
+    // source, and the md5-draw keep rule is a threshold on that rate — so
+    // per-source kept counts must be nondecreasing along the α ladder,
+    // with the smallest source kept whole (rate = 1) at every α
+    def keptBySource(name: String): Map[String, (Long, Long)] =
+      run(name).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ladder = Seq("c1m_temperature_mix_a25", "c1l_temperature_mix",
+      "c1v_temperature_mix_dyadic", "c1n_temperature_mix_a75").map(keptBySource)
+    val sources = ladder.head.keySet
+    assert(ladder.forall(_.keySet == sources), "α variants disagree on sources")
+    for (s <- sources; i <- 0 until ladder.length - 1) {
+      val (tot0, k0) = ladder(i)(s)
+      val (tot1, k1) = ladder(i + 1)(s)
+      assert(tot0 == tot1, s"source $s totals differ across α")
+      assert(k0 <= k1, s"source $s kept counts not monotone in α: $k0 > $k1 at step $i")
+    }
+    val minSource = ladder.head.minBy(_._2._1)._1
+    ladder.foreach { m =>
+      val (tot, kept) = m(minSource)
+      assert(kept == tot, s"smallest source $minSource not kept whole")
+    }
+    // strict separation needs skewed source sizes (sf0.001's sources are
+    // near-uniform, so thresholds there may not flip any doc): on a
+    // synthetic 8-vs-512 corpus the big source's keep rate is
+    // (1/64)^(1-α) ≈ 0.044 / 0.125 / 0.21 / 0.354 along the ladder —
+    // the dyadic rung must sit strictly inside the band
+    import spark.implicits._
+    val docs = ((1 to 8).map(i => (i.toLong, "small", s"s text $i")) ++
+      (1 to 512).map(i => (1000L + i, "big", s"b text $i ${i * 7}")))
+      .toDF("doc_id", "source", "text")
+    def keptBig(num: Int, den: Int): Long =
+      graft.operators.TierCText.temperatureMixResampleDyadic(spark, docs, num, den)
+        .collect().find(_.getString(0) == "big").get.getLong(2)
+    val ks = Seq(keptBig(1, 2), keptBig(2, 2), keptBig(5, 3), keptBig(3, 2))
+    assert(ks(0) < ks(1) && ks(1) < ks(2) && ks(2) < ks(3),
+      s"α ladder not strictly separated on the skewed corpus: $ks")
+  }
+
   test("b49 diff classes match their modular derivation") {
     run("b49_snapshot_diff").collect().foreach { r =>
       val (k, cls) = (r.getLong(0), r.getString(1))

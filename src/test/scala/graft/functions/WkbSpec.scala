@@ -628,6 +628,80 @@ class WkbSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------- bufferEuclidean (a11ak)
+  test("bufferEuclidean: point becomes the inscribed regular 4*segs-gon") {
+    val b = Wkb.bufferEuclidean(Wkb.point(3.0, 4.0), 2.0, 8)
+    val ring = Wkb.outerRing(b)
+    assert(Wkb.geomType(b) == "POLYGON")
+    assert(ring.head == ring.last && ring.length == 33, s"got ${ring.length}")
+    // first vertex at angle 0: (x + r, y) exactly (cos 0 = 1, sin 0 = 0)
+    assert(ring.head == ((5.0, 4.0)))
+    // every vertex at distance r (to libm grain)
+    ring.dropRight(1).foreach { case (x, y) =>
+      assert(math.abs(math.hypot(x - 3.0, y - 4.0) - 2.0) < 1e-12)
+    }
+    // inscribed regular n-gon area = (n/2)·r²·sin(2π/n), strictly < πr²
+    val n = 32
+    val expect = n / 2.0 * 4.0 * math.sin(2.0 * math.Pi / n)
+    assert(math.abs(Wkb.area(b) - expect) < 1e-9)
+    assert(Wkb.area(b) < math.Pi * 4.0)
+  }
+
+  test("bufferEuclidean: convex square grows by edge rects + quarter arcs") {
+    val b = Wkb.bufferEuclidean(square(0.0, 0.0, 2.0, 2.0), 1.0, 8)
+    val ring = Wkb.outerRing(b)
+    // 4 corners × (8+1) arc vertices + closing dup
+    assert(ring.length == 37, s"got ${ring.length}")
+    assert(Wkb.bbox(b) == Wkb.BBox(-1.0, -1.0, 3.0, 3.0))
+    // Minkowski area = A + P·r + (inscribed-circle area): 4 + 8·1 + ~π·1²
+    // with the arc-polygon deficit πr²(1 − sinc(π/16)) ≈ 0.02
+    val a = Wkb.area(b)
+    assert(a > 4.0 + 8.0 + math.Pi - 0.03 && a < 4.0 + 8.0 + math.Pi,
+      s"area $a outside the inscribed-arc envelope")
+    // buffered ring stays distance <= r from the square, >= r at arc vertices
+    ring.dropRight(1).foreach { case (x, y) =>
+      val dx = math.max(0.0, math.max(-x, x - 2.0))
+      val dy = math.max(0.0, math.max(-y, y - 2.0))
+      assert(math.hypot(dx, dy) <= 1.0 + 1e-12, s"vertex ($x, $y) beyond r")
+    }
+  }
+
+  test("bufferEuclidean: segs knob controls arc resolution and area convergence") {
+    val d = Wkb.polygon(Seq(Seq(
+      (3.0, 0.0), (0.0, 3.0), (-3.0, 0.0), (0.0, -3.0), (3.0, 0.0))))
+    val a1 = Wkb.area(Wkb.bufferEuclidean(d, 1.5, 1))
+    val a8 = Wkb.area(Wkb.bufferEuclidean(d, 1.5, 8))
+    val a64 = Wkb.area(Wkb.bufferEuclidean(d, 1.5, 64))
+    // diamond: A = 18, P = 12√2; exact buffer area = A + P·r + πr²
+    val exact = 18.0 + 12.0 * math.sqrt(2.0) * 1.5 + math.Pi * 1.5 * 1.5
+    assert(a1 < a8 && a8 < a64 && a64 < exact, s"$a1 / $a8 / $a64 vs $exact")
+    assert(exact - a64 < 1e-2 && exact - a8 < 0.1, s"deficit ${exact - a8}")
+    assert(Wkb.outerRing(Wkb.bufferEuclidean(d, 1.5, 1)).length == 4 * 2 + 1)
+  }
+
+  test("bufferEuclidean: CW normalized; reflex, collinear, and non-areal throw") {
+    val cw = Wkb.polygon(Seq(Seq((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0))))
+    assert(math.abs(Wkb.area(Wkb.bufferEuclidean(cw, 1.0, 8)) -
+      Wkb.area(Wkb.bufferEuclidean(square(0.0, 0.0, 2.0, 2.0), 1.0, 8))) < 1e-12)
+    val reflex = Wkb.polygon(Seq(Seq(
+      (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 1.0), (0.0, 4.0), (0.0, 0.0))))
+    assert(intercept[IllegalArgumentException] {
+      Wkb.bufferEuclidean(reflex, 1.0, 8)
+    }.getMessage.contains("non-convex"))
+    // collinear midpoint: allowed by bufferSquare, rejected here (strict) —
+    // the zero-sweep corner would make the fp arc direction ambiguous
+    val collinear = Wkb.polygon(Seq(Seq(
+      (0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0))))
+    assert(intercept[IllegalArgumentException] {
+      Wkb.bufferEuclidean(collinear, 1.0, 8)
+    }.getMessage.contains("collinear"))
+    intercept[IllegalArgumentException] {
+      Wkb.bufferEuclidean(Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))), 1.0, 8)
+    }
+    intercept[IllegalArgumentException] { Wkb.bufferEuclidean(cw, -1.0, 8) }
+    intercept[IllegalArgumentException] { Wkb.bufferEuclidean(cw, 1.0, 0) }
+  }
+
   // ------------------------------------ a11ai buffered-membership semantics
   test("concave buffer membership: ray cast + boundary distance compose correctly on the L-shape") {
     val l = Wkb.polygon(Seq(Seq(
