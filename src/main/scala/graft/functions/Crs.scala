@@ -34,6 +34,8 @@ object Crs {
 
   /** GRS80 inverse flattening (ETRS89 / RGF93 / NAD83 ellipsoid). */
   private val Grs80InvF = 298.257222101
+  /** WGS84 inverse flattening (the polar-stereo EO grids are WGS84-native). */
+  private val Wgs84InvF = 298.257223563
   /** Shared semi-major axis (WGS84 and GRS80 agree exactly). */
   private val SemiMajor = 6378137.0
 
@@ -211,6 +213,116 @@ object Crs {
     }
   }
 
+  // ------------------------------------------------- polar stereographic
+  /** Polar stereographic variant B (EPSG method 9829; Snyder PP 1395
+    * pp. 160-162): the Earth-observation workhorse for sea-ice and
+    * polar-cap products (NSIDC north grid, Antarctic grid). Aspect is
+    * chosen by the sign of the standard parallel `phiTsDeg`; both aspects
+    * share one chain by reflecting latitude through the equator (t is
+    * evaluated at |aspect|-north latitude; only the northing's cos sign
+    * differs — Snyder's south-aspect equations fold to exactly this).
+    * The pow is written exp/ln like [[Lcc2Sp.tOf]] so the oracle replays
+    * the literal chain with baseline SQL math only.
+    */
+  final class PolarStereo(
+      val srid: Int,
+      a: Double, invF: Double,
+      val phiTsDeg: Double, val lon0Deg: Double,
+      val falseE: Double, val falseN: Double) {
+
+    private val f = 1.0 / invF
+    /** First eccentricity. */
+    val e: Double = math.sqrt(2.0 * f - f * f)
+    /** South aspect ⇔ the standard parallel is below the equator. */
+    val south: Boolean = phiTsDeg < 0.0
+
+    private def rad(d: Double): Double = d * math.Pi / 180.0
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) *
+        math.exp(-(e / 2.0) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e * e * s * s)
+    }
+
+    /** ρ scale: a·m(φts)/t(|φts|) — every ρ is this times t(|φ|). */
+    val rhoScale: Double = {
+      val phiN = math.abs(phiTsDeg)
+      SemiMajorCheck(a) * mOf(rad(phiN)) / tOf(rad(phiN))
+    }
+
+    /** lon/lat degrees → (easting, northing) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val latN = if (south) -latDeg else latDeg
+      val lonR = if (south) -(lonDeg - lon0Deg) else (lonDeg - lon0Deg)
+      val rho = rhoScale * tOf(rad(latN))
+      val th = rad(lonR)
+      val x = rho * math.sin(th)
+      val y = -rho * math.cos(th)
+      if (south) (falseE - x, falseN - y) else (falseE + x, falseN + y)
+    }
+
+    /** Fixed iterations for the conformal-latitude inverse (the
+      * [[Lcc2Sp.InvIters]] contraction argument: ~e²/2 per round).
+      */
+    val InvIters = 8
+
+    /** (easting, northing) meters → lon/lat degrees. */
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val x0 = east - falseE
+      val y0 = north - falseN
+      val (x, y) = if (south) (-x0, -y0) else (x0, y0)
+      val rho = math.sqrt(x * x + y * y)
+      val tp = rho / rhoScale
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(tp)
+      var i = 0
+      while (i < InvIters) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          tp * math.exp((e / 2.0) * math.log((1.0 - e * s) / (1.0 + e * s))))
+        i += 1
+      }
+      val lonR = if (rho == 0.0) 0.0 else math.atan2(x, -y)
+      val latDeg = (if (south) -phi else phi) * 180.0 / math.Pi
+      val lonRaw = (if (south) -lonR else lonR) * 180.0 / math.Pi + lon0Deg
+      // atan2 folds the azimuth into (−π, π] around the central meridian;
+      // normalize back into the canonical (−180, 180] so any world-range
+      // input longitude roundtrips (off-center grids like 3413's −45°
+      // otherwise return lon±360 for the far hemisphere)
+      val lonDeg =
+        if (lonRaw > 180.0) lonRaw - 360.0
+        else if (lonRaw <= -180.0) lonRaw + 360.0
+        else lonRaw
+      (lonDeg, latDeg)
+    }
+
+    /** Oracle-replay constants: (e, ρ-scale, lon0°, FE, FN, south). */
+    def replayConstants: (Double, Double, Double, Double, Double, Boolean) =
+      (e, rhoScale, lon0Deg, falseE, falseN, south)
+  }
+
+  // ------------------------------------------------- spherical sinusoidal
+  /** Spherical sinusoidal (Snyder PP 1395 p. 247) — the equal-area grid
+    * MODIS-style EO tile products live on. Pure closed-form arithmetic
+    * (one cos each way), exactly invertible away from the poles: x =
+    * R·(λ−λ0)·cosφ, y = R·φ. No iteration, no series — the cheapest
+    * projection in the registry and the one whose oracle replay is
+    * bit-trivial.
+    */
+  final class Sinusoidal(val srid: Int, val radius: Double, val lon0Deg: Double) {
+    private val D2R = math.Pi / 180.0
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      (radius * ((lonDeg - lon0Deg) * D2R) * math.cos(phi), radius * phi)
+    }
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val phi = north / radius
+      (east / (radius * math.cos(phi)) / D2R + lon0Deg, phi / D2R)
+    }
+  }
+
   // --------------------------------------------------------- the registry
   /** EPSG:2154 — RGF93 / Lambert-93, the French national grid. */
   val Lambert93: Lcc2Sp =
@@ -234,11 +346,36 @@ object Crs {
         z * 6.0 - 183.0, 500000.0, 0.0)
     }.toMap
 
+  /** EPSG:3413 — WGS84 / NSIDC Sea Ice Polar Stereographic North
+    * (lat_ts 70°N, lon0 −45°); EPSG:3031 — WGS84 / Antarctic Polar
+    * Stereographic (lat_ts 71°S, lon0 0°). The two canonical EO polar
+    * grids.
+    */
+  val NsidcNorth: PolarStereo =
+    new PolarStereo(3413, SemiMajor, Wgs84InvF, 70.0, -45.0, 0.0, 0.0)
+  val Antarctic: PolarStereo =
+    new PolarStereo(3031, SemiMajor, Wgs84InvF, -71.0, 0.0, 0.0, 0.0)
+  val stereo: Map[Int, PolarStereo] =
+    Seq(NsidcNorth, Antarctic).map(p => p.srid -> p).toMap
+
+  /** ESRI:53008 — Sphere Sinusoidal (authalic R 6371000 m, lon0 0°), the
+    * published spherical-sinusoidal grid code (the MODIS land grid is the
+    * same projection on R 6371007.181 m — swap the radius to match a
+    * specific product).
+    */
+  val SphereSinusoidal: Sinusoidal = new Sinusoidal(53008, 6371000.0, 0.0)
+  val sinusoidal: Map[Int, Sinusoidal] =
+    Seq(SphereSinusoidal).map(p => p.srid -> p).toMap
+
   /** Registry lookup: lon/lat↔grid function pair for `srid`, if registered. */
   def forwardOf(srid: Int): Option[(Double, Double) => (Double, Double)] =
     lcc.get(srid).map(p => p.forward _)
       .orElse(tm.get(srid).map(p => p.forward _))
+      .orElse(stereo.get(srid).map(p => p.forward _))
+      .orElse(sinusoidal.get(srid).map(p => p.forward _))
   def inverseOf(srid: Int): Option[(Double, Double) => (Double, Double)] =
     lcc.get(srid).map(p => p.inverse _)
       .orElse(tm.get(srid).map(p => p.inverse _))
+      .orElse(stereo.get(srid).map(p => p.inverse _))
+      .orElse(sinusoidal.get(srid).map(p => p.inverse _))
 }

@@ -477,7 +477,7 @@ object Wkb {
         case _ => throw new IllegalArgumentException(
           s"reproject: unsupported $from -> $toSrid " +
             "(supported: 4326 <-> 3857, 4326 <-> 326xx/327xx WGS84 UTM, " +
-            "4326 <-> registered LCC/TM grids — see graft.functions.Crs)")
+            "4326 <-> registered LCC/TM/polar-stereo/sinusoidal grids — see graft.functions.Crs)")
       }
       setSrid(mapCoords(wkb, f), toSrid)
     }

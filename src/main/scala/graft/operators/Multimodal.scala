@@ -990,5 +990,139 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k)
+  // ----------------------------------------------------- c6l_gif_header
+  /** GIF logical-screen-descriptor extraction — the third byte-order
+    * regime after [[WavCodec]] (LE RIFF) and [[PngCodec]] (BE chunks):
+    * GIF is little-endian with BIT-PACKED descriptor flags and
+    * length-prefixed data sub-blocks. Build a REAL container per record
+    * (GIF87a/89a header, LE u16 dims, packed GCT-flag/color-resolution/
+    * GCT-size byte, a deterministic global color table of 2^(bits+1)
+    * entries, image descriptor, LZW stub carrying the payload as ≤255-byte
+    * sub-blocks, trailer), then recover version/dims/GCT size/data bytes
+    * by walking the blocks with the loud-throw discipline: a descriptor
+    * that disagrees with the LSD, a surprise local color table, or an
+    * unknown block tag all fail the parse instead of yielding plausible
+    * garbage. parse(build(x)) must equal the planted closed form.
+    *
+    * Scale posture: build and parse are per-row mapPartitions work; the
+    * only shuffle is the ≤8-row rollup.
+    */
+  object GifCodec {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def rd16(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+
+    def build(version89: Boolean, width: Int, height: Int, gctBits: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff &&
+        gctBits >= 0 && gctBits <= 7, s"bad GIF params ($width, $height, $gctBits)")
+      val hdr = (if (version89) "GIF89a" else "GIF87a").getBytes("ISO-8859-1")
+      // GCT present | color resolution 8 bpp | GCT size bits
+      val packed = (0x80 | (7 << 4) | gctBits).toByte
+      val lsd = le16(width) ++ le16(height) ++ Array(packed, 0.toByte, 0.toByte)
+      val entries = 1 << (gctBits + 1)
+      val gct = new Array[Byte](3 * entries)
+      var i = 0
+      while (i < entries) { // deterministic palette
+        gct(3 * i) = i.toByte; gct(3 * i + 1) = (255 - i).toByte
+        gct(3 * i + 2) = (i ^ 0x55).toByte
+        i += 1
+      }
+      val imgDesc = Array(0x2c.toByte) ++ le16(0) ++ le16(0) ++
+        le16(width) ++ le16(height) ++ Array(0.toByte)
+      val sub = payload.grouped(255)
+        .flatMap(b => Array(b.length.toByte) ++ b).toArray
+      hdr ++ lsd ++ gct ++ imgDesc ++ Array(8.toByte) ++ sub ++
+        Array(0.toByte, 0x3b.toByte)
+    }
+
+    final case class GifMeta(
+        version89: Boolean, width: Int, height: Int, gctEntries: Int, dataBytes: Long)
+
+    /** Block walk with the loud-throw discipline. */
+    def parse(p: Array[Byte]): GifMeta = {
+      val ver = new String(p.slice(0, 6), "ISO-8859-1")
+      require(ver == "GIF89a" || ver == "GIF87a", s"not a GIF: $ver")
+      val width = rd16(p, 6); val height = rd16(p, 8)
+      val packed = p(10) & 0xff
+      require((packed & 0x80) != 0, "expected a global color table")
+      val entries = 1 << ((packed & 0x07) + 1)
+      var off = 13 + 3 * entries
+      var data = 0L
+      var done = false
+      while (!done) {
+        (p(off) & 0xff) match {
+          case 0x2c =>
+            val iw = rd16(p, off + 5); val ih = rd16(p, off + 7)
+            require(iw == width && ih == height,
+              s"image descriptor ($iw x $ih) disagrees with LSD ($width x $height)")
+            require((p(off + 9) & 0x80) == 0, "unexpected local color table")
+            off += 11 // descriptor (10) + LZW min code size (1)
+            var len = p(off) & 0xff
+            while (len != 0) { data += len; off += 1 + len; len = p(off) & 0xff }
+            off += 1
+          case 0x3b => done = true
+          case b => throw new IllegalArgumentException(
+            f"unexpected GIF block 0x$b%02x at $off")
+        }
+      }
+      GifMeta(ver == "GIF89a", width, height, entries, data)
+    }
+
+    def widthFor(id: Long): Int = (8 + id % 640).toInt
+    def heightFor(id: Long): Int = (8 + id % 480).toInt
+    def gctBitsFor(id: Long): Int = (id % 8).toInt
+    def version89For(id: Long): Boolean = id % 2 == 0
+  }
+
+  private val c6l = QuerySpec(
+    "c6l_gif_header",
+    "GIF logical screen descriptor extraction: a real GIF container built per record (87a/89a header by id parity, LE u16 dims, bit-packed GCT byte, deterministic palette, length-prefixed LZW sub-blocks), version/dims/GCT size/data bytes recovered by walking the blocks in mapPartitions with loud-throw verification; per GCT-bits rollup with exact totals — parse(build(x)) must equal the planted closed form.",
+    Some("""WITH m AS (SELECT doc_id,
+              CAST(doc_id % 8 AS BIGINT) AS gct_bits,
+              CAST(8 + doc_id % 640 AS BIGINT) AS width,
+              CAST(8 + doc_id % 480 AS BIGINT) AS height,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is89,
+              CAST(length(text) AS BIGINT) AS data_bytes
+              FROM documents)
+            SELECT gct_bits, COUNT(*) AS n,
+              CAST(SUM(is89) AS BIGINT) AS n_89a,
+              CAST((CAST(1 AS BIGINT) << CAST(gct_bits + 1 AS INTEGER)) AS BIGINT) AS gct_entries,
+              CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+              CAST(SUM(data_bytes) AS BIGINT) AS total_data
+            FROM m GROUP BY gct_bits ORDER BY gct_bits"""),
+    (s, d) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          (id, GifCodec.build(GifCodec.version89For(id), GifCodec.widthFor(id),
+            GifCodec.heightFor(id), GifCodec.gctBitsFor(id), payload))
+        })
+      gifs
+        .mapPartitions(_.map { case (id, p) =>
+          val m = GifCodec.parse(p)
+          // the GCT-bits group key is re-derived from the PARSED entry
+          // count (entries = 2^(bits+1)) — the planted id % 8 never
+          // touches the output path
+          (id, if (m.version89) 1L else 0L, m.width.toLong, m.height.toLong,
+            (31 - Integer.numberOfLeadingZeros(m.gctEntries)).toLong - 1L, m.dataBytes)
+        })
+        .toDF("media_id", "is89", "width", "height", "gct_bits", "data_bytes")
+        .groupBy($"gct_bits")
+        .agg(count(lit(1)).as("n"),
+          sum($"is89").cast(LongType).as("n_89a"),
+          sum($"width" * $"height").cast(LongType).as("total_pixels"),
+          sum($"data_bytes").cast(LongType).as("total_data"))
+        .select($"gct_bits", $"n", $"n_89a",
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(gct_bits + 1 AS INT)) AS BIGINT)")
+            .as("gct_entries"),
+          $"total_pixels", $"total_data")
+        .orderBy($"gct_bits")
+    }
+  )
+
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l)
 }

@@ -1798,7 +1798,108 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11am
+  /** Polar-stereographic reprojection (EPSG:4326 ↔ 3413, the NSIDC sea-ice
+    * north grid, [[graft.functions.Crs.NsidcNorth]]) — the polar-cap
+    * member of the CRS registry an EO pipeline hits for every
+    * high-latitude product. The oracle replays the variant-B forward
+    * chain op-for-op from the engine's derived constants
+    * ([[graft.functions.Crs.PolarStereo.replayConstants]], the a11aj
+    * pattern: pow as exp/ln so baseline DuckDB math suffices); E/N
+    * quantize at meter grain and the fixed-8-iteration inverse roundtrip
+    * is asserted ENGINE-side to 1e-9°. Map-side only — scan → transform.
+    */
+  private val a11am: QuerySpec = {
+    val (ecc, rs, lon0, fe, fn, _) =
+      graft.functions.Crs.NsidcNorth.replayConstants
+    val sql =
+      s"""WITH c AS (SELECT event_id,
+              (value % 360.0) - 180.0 AS lon,
+              60.0 + (value % 28.0) AS lat
+            FROM events),
+          p AS (SELECT event_id,
+              lat * pi() / 180.0 AS phi,
+              (lon - $lon0) * pi() / 180.0 AS th
+            FROM c),
+          s1 AS (SELECT event_id, th, sin(phi) AS sphi,
+              tan(pi()/4.0 - phi/2.0) AS tb FROM p),
+          s2 AS (SELECT event_id, th,
+              $rs * (tb * exp(-($ecc/2.0) * ln((1.0 - $ecc*sphi)/(1.0 + $ecc*sphi)))) AS rho
+            FROM s1)
+          SELECT event_id,
+            CAST(3413 AS BIGINT) AS srid_ps,
+            CAST(floor($fe + rho * sin(th)) AS BIGINT) AS e_m,
+            CAST(floor($fn - rho * cos(th)) AS BIGINT) AS n_m,
+            TRUE AS roundtrip_ok
+          FROM s2 ORDER BY event_id"""
+    QuerySpec(
+      "a11am_polar_stereo",
+      "NSIDC polar stereographic north (EPSG:3413) reprojection roundtrip via the CRS registry: per-row 4326 point EWKB -> 3413 easting/northing -> back; E/N at meter quantization against an oracle replaying the variant-B forward chain from the engine's derived rho-scale; fixed-8-iteration inverse checked engine-side to 1e-9 degrees.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (($"value" % 360.0) - 180.0).as("lon"),
+            (lit(60.0) + ($"value" % 28.0)).as("lat"))
+          .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(3413)))
+          .withColumn("back", reprojectUdf($"g", lit(4326)))
+          .select($"event_id",
+            sridUdf($"g").cast(LongType).as("srid_ps"),
+            floor(bboxUdf($"g").getField("xmin")).cast(LongType).as("e_m"),
+            floor(bboxUdf($"g").getField("ymin")).cast(LongType).as("n_m"),
+            (abs(bboxUdf($"back").getField("xmin") - $"lon") < 1e-9 &&
+              abs(bboxUdf($"back").getField("ymin") - $"lat") < 1e-9).as("roundtrip_ok"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
+  // --------------------------------------------------------------- A11an
+  /** Spherical sinusoidal reprojection (EPSG:4326 ↔ ESRI:53008,
+    * [[graft.functions.Crs.SphereSinusoidal]]) — the equal-area grid
+    * MODIS-style tile products use. The cheapest registry chain (one cos
+    * each way, no iteration): the oracle replays x = R·λ·cosφ, y = R·φ
+    * directly; the closed-form inverse roundtrips engine-side to 1e-9°
+    * everywhere off the poles. Map-side only.
+    */
+  private val a11an: QuerySpec = {
+    val r = graft.functions.Crs.SphereSinusoidal.radius
+    val sql =
+      s"""WITH c AS (SELECT event_id,
+              (value % 300.0) - 150.0 AS lon,
+              (value % 160.0) - 80.0 AS lat
+            FROM events)
+          SELECT event_id,
+            CAST(53008 AS BIGINT) AS srid_sinu,
+            CAST(floor($r * (lon * pi() / 180.0) * cos(lat * pi() / 180.0)) AS BIGINT) AS x_m,
+            CAST(floor($r * (lat * pi() / 180.0)) AS BIGINT) AS y_m,
+            TRUE AS roundtrip_ok
+          FROM c ORDER BY event_id"""
+    QuerySpec(
+      "a11an_sinusoidal",
+      "Spherical sinusoidal (ESRI:53008) reprojection roundtrip via the CRS registry: per-row 4326 point EWKB -> equal-area x/y meters -> back; meter quantization against an oracle replaying x = R*lambda*cos(phi), y = R*phi; exact closed-form inverse checked engine-side to 1e-9 degrees.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (($"value" % 300.0) - 150.0).as("lon"),
+            (($"value" % 160.0) - 80.0).as("lat"))
+          .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(53008)))
+          .withColumn("back", reprojectUdf($"g", lit(4326)))
+          .select($"event_id",
+            sridUdf($"g").cast(LongType).as("srid_sinu"),
+            floor(bboxUdf($"g").getField("xmin")).cast(LongType).as("x_m"),
+            floor(bboxUdf($"g").getField("ymin")).cast(LongType).as("y_m"),
+            (abs(bboxUdf($"back").getField("xmin") - $"lon") < 1e-9 &&
+              abs(bboxUdf($"back").getField("ymin") - $"lat") < 1e-9).as("roundtrip_ok"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an)
 }

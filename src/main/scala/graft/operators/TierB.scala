@@ -5269,8 +5269,47 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B114
+  /** Day-of-week seasonality profile — the weekly-cycle census a
+    * forecasting pipeline derives before choosing seasonal terms (and the
+    * ops dashboard behind "why are Mondays slow"): per-DOW order count,
+    * exact revenue cents, and a seasonal index = 7·rev_d / rev_total as
+    * an exact integer e6 ratio (a flat week is 1e6 across the board).
+    * DOW convention is aligned to 0=Sunday..6=Saturday on both engines
+    * (Spark's 1-based `dayofweek` minus one).
+    *
+    * Scale shape: one map-side DOW key + partial agg to ≤7 rows, a 1-row
+    * total broadcast fold — the whole answer is 7 rows at any scale.
+    */
+  private val b114 = QuerySpec(
+    "b114_dow_seasonality",
+    "Day-of-week seasonality: per-DOW (0=Sunday) order count, exact revenue cents, and integer-e6 seasonal index 7*rev_dow div rev_total — weekly-cycle census; map-side key, 7-row agg, 1-row broadcast fold.",
+    Some("""WITH o AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+              CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+              FROM orders),
+            g AS (SELECT CAST(dow AS BIGINT) AS dow, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS cents FROM o GROUP BY dow),
+            t AS (SELECT SUM(cents) AS total FROM g)
+            SELECT dow, n, cents,
+              CAST((7 * cents * 1000000) // total AS BIGINT) AS idx_e6
+            FROM g CROSS JOIN t ORDER BY dow"""),
+    (s, d) => {
+      import s.implicits._
+      val g = Tables.orders(s, d)
+        .select((dayofweek($"o_orderdate".cast(DateType)) - 1).cast(LongType).as("dow"),
+          floor($"o_totalprice" * 100.0).cast(LongType).as("cents"))
+        .groupBy($"dow")
+        .agg(count(lit(1)).as("n"), sum($"cents").cast(LongType).as("cents"))
+      val t = g.agg(sum($"cents").as("total"))
+      g.crossJoin(broadcast(t))
+        .select($"dow", $"n", $"cents",
+          expr("(7 * cents * 1000000) div total").cast(LongType).as("idx_e6"))
+        .orderBy($"dow")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113,
+    b110, b111, b112, b113, b114,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

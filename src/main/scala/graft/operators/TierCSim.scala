@@ -4384,7 +4384,54 @@ object TierCSim {
     }
   )
 
+  // -------------------------- pair-cosine calibration hist (c3_cosine_hist)
+  /** Cosine-similarity calibration histogram over the id-adjacent pair
+    * sample — the embedding-space twin of [[c2jh]]'s Jaccard histogram:
+    * before picking a SemDeDup/ANN threshold τ, read where the corpus's
+    * background cosine mass sits (near-dup corpora show a spike near 1;
+    * the τ that separates it from the bulk is the right knob). Pairing
+    * vec i with vec i+1 is a deterministic LINEAR pair sample (one
+    * equi-join on `vec_id + 1`) — |pairs| = N−1 at any corpus size, never
+    * the all-pairs quadratic a random-pair formulation tempts.
+    *
+    * Determinism: cosine = dot/(√na²·√nb²) is the same left-fold IEEE
+    * chain on both engines ([[dotChain]] / the codegen
+    * [[graft.functions.VectorExprs.dotF]]); per-row bin and e6 floors are
+    * exact, per-bin min/max are order-free.
+    */
+  private val c3ch = QuerySpec(
+    "c3_cosine_hist",
+    "Pair-cosine calibration histogram: cosine of each id-adjacent embedding pair (linear deterministic pair sample, one equi-join on vec_id+1) binned into 20 [-1,1] buckets with per-bin count and exact e6 min/max — the threshold-calibration read before SemDeDup/ANN.",
+    Some(s"""WITH p AS (SELECT a.vec_id AS ida,
+                (${dotChain("a", "b")}) AS dot,
+                (${dotChain("a", "a")}) AS na2,
+                (${dotChain("b", "b")}) AS nb2
+              FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+            sc AS (SELECT dot / (sqrt(na2) * sqrt(nb2)) AS c FROM p),
+            bn AS (SELECT LEAST(CAST(floor((c + 1.0) * 10.0) AS BIGINT), 19) AS bin,
+                CAST(floor(c * 1000000.0) AS BIGINT) AS q FROM sc)
+            SELECT bin, COUNT(*) AS n, MIN(q) AS min_e6, MAX(q) AS max_e6
+            FROM bn GROUP BY bin ORDER BY bin"""),
+    (s, d) => {
+      import s.implicits._
+      val dot = graft.functions.VectorExprs.dotF _
+      // norms once per vector, persisted (the c3_knn_cosine precedent:
+      // without materialization CollapseProject re-runs them per pair)
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("n2")))
+      val a = e.select($"vec_id".as("ida"), $"embedding".as("ea"), $"n2".as("na2"))
+      val b = e.select(($"vec_id" - 1).as("idb"), $"embedding".as("eb"), $"n2".as("nb2"))
+      a.join(b, $"ida" === $"idb")
+        .withColumn("c", dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .select(least(floor(($"c" + 1.0) * 10.0).cast(LongType), lit(19L)).as("bin"),
+          floor($"c" * 1000000.0).cast(LongType).as("q"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), min($"q").as("min_e6"), max($"q").as("max_e6"))
+        .orderBy($"bin")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch)
 }

@@ -3385,8 +3385,203 @@ object TierCText {
     }
   )
 
+  // ------------------------------------- readability score (c4_readability)
+  /** Flesch reading ease per document — the readability leg of a quality
+    * filter (too-hard text is OCR noise or jargon walls; too-easy is
+    * boilerplate/listicles; pretraining mixes often band-pass on it).
+    * Syllables use the standard vowel-group heuristic (`[aeiouy]+` runs —
+    * a run can never span a space, so the whole-doc regex count equals
+    * the per-word sum); sentences are `[.!?]+` runs floored at 1. The
+    * three inputs are exact integers; the score is ONE fixed-association
+    * IEEE chain `(206.835 − 1.015·w/s) − 84.6·(sy/w)` floored at e2 —
+    * replayed verbatim by the oracle (the c4_kl_drift discipline).
+    *
+    * Scale shape: pure map-side regex counting + presentation sort — the
+    * 100 TB shape is scan → per-row count → write.
+    */
+  private val c4rd = QuerySpec(
+    "c4_readability",
+    "Flesch reading ease per document: exact integer word/sentence/vowel-group-syllable counts, score as one fixed-association IEEE chain floored at e2 — the readability band-pass of a quality filter; map-side only.",
+    Some("""WITH c AS (SELECT doc_id,
+              GREATEST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1) AS w,
+              GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sn,
+              len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+            FROM documents)
+            SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(sn AS BIGINT) AS n_sents,
+              CAST(sy AS BIGINT) AS n_syll,
+              CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sn AS DOUBLE))
+                - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))) * 100.0) AS BIGINT) AS flesch_e2
+            FROM c ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          greatest(size(toksCol), lit(1)).cast(LongType).as("n_words"),
+          greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))"), lit(1))
+            .cast(LongType).as("n_sents"),
+          expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+            .cast(LongType).as("n_syll"))
+        .select($"doc_id", $"n_words", $"n_sents", $"n_syll",
+          floor((lit(206.835)
+            - lit(1.015) * ($"n_words".cast(DoubleType) / $"n_sents".cast(DoubleType))
+            - lit(84.6) * ($"n_syll".cast(DoubleType) / $"n_words".cast(DoubleType))) * 100.0)
+            .cast(LongType).as("flesch_e2"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ------------------------------------------- Heaps-law curve (c4_heaps)
+  /** Vocabulary-growth (Heaps' law) curve — the corpus census a tokenizer
+    * team reads before sizing a vocab: cumulative distinct types vs
+    * cumulative tokens at 20 corpus-prefix checkpoints (prefix = docs with
+    * id ≤ max_id·k/20). Every metric is an exact integer; each type is
+    * attributed to the checkpoint of its FIRST document, so the corpus is
+    * token-exploded exactly once.
+    *
+    * Scale shape: per-doc token counts and per-type first-doc are both
+    * partial-agg shuffles; each then folds to ≤20 bucket rows via an
+    * integer ceil-div key (1-row max_id broadcast fold), and the only
+    * window is the cumulative sum over the FIXED 20-row checkpoint grid —
+    * the bounded-rollup-frame discipline, never a corpus-grain window.
+    */
+  private val HeapsK = 20
+  private val c4hp = QuerySpec(
+    "c4_heaps",
+    s"Heaps-law vocabulary growth: cumulative docs/tokens/distinct types at $HeapsK corpus-prefix checkpoints (doc_id ceil-div buckets, first-doc type attribution); all-integer, one token explosion, windows only over the fixed $HeapsK-row grid.",
+    Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            d AS (SELECT doc_id, len(toks) AS ntok FROM t),
+            m AS (SELECT MAX(doc_id) AS max_id FROM d),
+            dk AS (SELECT GREATEST((doc_id * $HeapsK + max_id - 1) // max_id, 1) AS k, ntok
+              FROM d CROSS JOIN m),
+            db AS (SELECT k, COUNT(*) AS docs_in, SUM(ntok) AS toks_in FROM dk GROUP BY k),
+            w AS (SELECT token, MIN(doc_id) AS first_doc
+              FROM (SELECT doc_id, unnest(toks) AS token FROM t) u GROUP BY token),
+            wk AS (SELECT GREATEST((first_doc * $HeapsK + max_id - 1) // max_id, 1) AS k
+              FROM w CROSS JOIN m),
+            wb AS (SELECT k, COUNT(*) AS vocab_in FROM wk GROUP BY k),
+            g AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, ${HeapsK + 1}) r(k))
+            SELECT g.k,
+              CAST(SUM(COALESCE(db.docs_in, 0)) OVER (ORDER BY g.k) AS BIGINT) AS cum_docs,
+              CAST(SUM(COALESCE(db.toks_in, 0)) OVER (ORDER BY g.k) AS BIGINT) AS cum_tokens,
+              CAST(SUM(COALESCE(wb.vocab_in, 0)) OVER (ORDER BY g.k) AS BIGINT) AS cum_vocab
+            FROM g LEFT JOIN db ON db.k = g.k LEFT JOIN wb ON wb.k = g.k
+            ORDER BY g.k"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val perDoc = docs.select($"doc_id", size(toksCol).cast(LongType).as("ntok"))
+      val mx = perDoc.agg(max($"doc_id").as("max_id"))
+      val bucket = greatest(expr(s"(doc_id * $HeapsK + max_id - 1) div max_id"), lit(1L))
+      val db = perDoc.crossJoin(broadcast(mx))
+        .select(bucket.as("k"), $"ntok")
+        .groupBy($"k").agg(count(lit(1)).as("docs_in"), sum($"ntok").as("toks_in"))
+      val wb = docs.select($"doc_id", explode(toksCol).as("token"))
+        .groupBy($"token").agg(min($"doc_id").as("doc_id"))
+        .crossJoin(broadcast(mx))
+        .select(bucket.as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("vocab_in"))
+      // cumulative over the FIXED 20-row checkpoint grid only
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      s.range(1, HeapsK + 1).toDF("k")
+        .join(db, Seq("k"), "left").join(wb, Seq("k"), "left")
+        .na.fill(0L, Seq("docs_in", "toks_in", "vocab_in"))
+        .select($"k",
+          sum($"docs_in").over(w).cast(LongType).as("cum_docs"),
+          sum($"toks_in").over(w).cast(LongType).as("cum_tokens"),
+          sum($"vocab_in").over(w).cast(LongType).as("cum_vocab"))
+        .orderBy($"k")
+    }
+  )
+
+  // ------------------------------------- term burstiness (c4_burstiness)
+  /** Word burstiness census — variance-to-mean ratio of per-document
+    * counts over ALL documents for the 50 highest-frequency terms: the
+    * classic content-vs-function-word separator (function words spread
+    * evenly, VMR ≈ 1+; topical terms clump into few docs, VMR ≫ 1) a
+    * stopword-list builder and a TF-IDF sanity check both read. With
+    * N docs, VMR = σ²/μ = (N·Σc² − (Σc)²)/(N·Σc) — all-integer inputs,
+    * quantized by ONE exact integer e3 division (zero float ops).
+    *
+    * Scale shape: one (doc, token) partial-agg shuffle, one token-grain
+    * rollup, a 1-row doc-count broadcast fold, TakeOrdered top-50.
+    */
+  private val c4bu = QuerySpec(
+    "c4_burstiness",
+    "Term burstiness (variance-to-mean ratio of per-doc counts, all docs) for the top-50 corpus terms: exact integer (N*S2 - C^2)*1000 div (N*C) — the content/function-word separator; one partial-agg shuffle + token rollup + TakeOrdered.",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+              FROM documents),
+            g AS (SELECT doc_id, token, COUNT(*) AS cnt FROM t GROUP BY doc_id, token),
+            st AS (SELECT token, COUNT(*) AS df, SUM(cnt) AS c_t, SUM(cnt * cnt) AS s2
+              FROM g GROUP BY token),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT token, CAST(df AS BIGINT) AS df, CAST(c_t AS BIGINT) AS c_t,
+              CAST(((n_docs * s2 - c_t * c_t) * 1000) // (n_docs * c_t) AS BIGINT) AS vmr_e3
+            FROM st CROSS JOIN n
+            ORDER BY c_t DESC, token LIMIT 50"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val g = docs.select($"doc_id", explode(toksCol).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      val st = g.groupBy($"token")
+        .agg(count(lit(1)).as("df"), sum($"cnt").as("c_t"), sum($"cnt" * $"cnt").as("s2"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      st.crossJoin(broadcast(n))
+        .select($"token", $"df", $"c_t".cast(LongType).as("c_t"),
+          expr("((n_docs * s2 - c_t * c_t) * 1000) div (n_docs * c_t)")
+            .cast(LongType).as("vmr_e3"))
+        .orderBy($"c_t".desc, $"token").limit(50)
+    }
+  )
+
+  // ------------------------------------------------ OOV rate (c4_oov)
+  /** Out-of-vocabulary rate per document against the corpus top-1000
+    * vocab — the coverage check run before committing to a vocab size
+    * (documents with high OOV under the candidate vocab will fragment
+    * into long byte-fallback token runs). Vocab membership is a broadcast
+    * join against the exact global top-k (count desc, token asc — total
+    * order, so the rank-1000 boundary is deterministic); the rate is one
+    * exact integer permille division.
+    *
+    * Scale shape: one token explosion, one partial-agg vocab build,
+    * TakeOrdered top-1000 (broadcast), one doc-grain rollup — the
+    * Heaps-law bound keeps the vocab table tiny at any corpus size.
+    */
+  private val c4ov = QuerySpec(
+    "c4_oov",
+    "Per-document OOV rate vs the exact corpus top-1000 vocab (count desc / token asc tiebreak): token + OOV counts with exact integer permille — the vocab-coverage check; broadcast vocab join, one doc rollup.",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+              FROM documents),
+            f AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+            v AS (SELECT token FROM f ORDER BY cnt DESC, token LIMIT 1000),
+            d AS (SELECT t.doc_id, COUNT(*) AS n_tok, COUNT(v.token) AS n_inv
+              FROM t LEFT JOIN v ON v.token = t.token GROUP BY t.doc_id)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(n_tok - n_inv AS BIGINT) AS n_oov,
+              CAST(((n_tok - n_inv) * 1000) // n_tok AS BIGINT) AS oov_permille
+            FROM d ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val tok = CacheRegistry.persist(
+        Tables.documents(s, d).select($"doc_id", explode(toksCol).as("token")))
+      val v = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token").limit(1000)
+        .select($"token".as("vtok"))
+      tok.join(broadcast(v), $"token" === $"vtok", "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), count($"vtok").as("n_inv"))
+        .select($"doc_id", $"n_tok",
+          ($"n_tok" - $"n_inv").as("n_oov"),
+          expr("((n_tok - n_inv) * 1000) div n_tok").cast(LongType).as("oov_permille"))
+        .orderBy($"doc_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
-      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2)
+      c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
+      c4rd, c4hp, c4bu, c4ov)
 }

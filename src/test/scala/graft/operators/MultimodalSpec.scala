@@ -142,6 +142,28 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.parse(Array.empty[Byte]))
   }
 
+  test("GifCodec: parse(build) roundtrips both versions, sub-blocks sum, malformed throws") {
+    import Multimodal.GifCodec
+    val payload = ("fox " * 200).getBytes("UTF-8") // 800 bytes → 4 sub-blocks
+    val m = GifCodec.parse(GifCodec.build(version89 = true, 320, 200, 5, payload))
+    assert(m.version89 && m.width == 320 && m.height == 200)
+    assert(m.gctEntries == 64, s"2^(5+1) expected, got ${m.gctEntries}")
+    assert(m.dataBytes == payload.length.toLong, "sub-block lengths must sum to the payload")
+    // 87a variant and the empty-payload edge (zero sub-blocks)
+    val m87 = GifCodec.parse(GifCodec.build(version89 = false, 1, 1, 0, Array.empty))
+    assert(!m87.version89 && m87.gctEntries == 2 && m87.dataBytes == 0L)
+    // loud-throw discipline: bad signature, bad params
+    intercept[IllegalArgumentException](GifCodec.parse("NOTGIF".getBytes ++ new Array[Byte](20)))
+    intercept[IllegalArgumentException](GifCodec.build(version89 = true, 0, 1, 0, Array.empty))
+    intercept[IllegalArgumentException](GifCodec.build(version89 = true, 1, 1, 8, Array.empty))
+    // corrupting the image descriptor's width fails the LSD cross-check
+    val good = GifCodec.build(version89 = true, 300, 100, 2, payload)
+    val gctEnd = 13 + 3 * 8
+    val corrupt = good.clone()
+    corrupt(gctEnd + 5) = 0x01 // image-descriptor width LSB: 300 → 257
+    intercept[IllegalArgumentException](GifCodec.parse(corrupt))
+  }
+
   test("DHash: identical payloads collide, single-byte edits stay near, packing stays in 56 bits") {
     import Multimodal.DHash.dHash
     val base = ("the quick brown fox jumps over the lazy dog " * 12).getBytes("UTF-8")

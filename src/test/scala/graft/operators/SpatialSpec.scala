@@ -236,6 +236,67 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(Wkb.bbox(Wkb.reproject(u, 4326)).xmin - 10.0) < 1e-9)
   }
 
+  test("Crs registry polar stereo (3413/3031): pole anchor, ts-parallel scale, roundtrip, EWKB") {
+    import graft.functions.Crs
+    for (p <- Seq(Crs.NsidcNorth, Crs.Antarctic)) {
+      // the pole itself maps to (FE, FN): t(90°) has tan(0) = 0 exactly
+      val poleLat = if (p.south) -90.0 else 90.0
+      val (pe, pn) = p.forward(p.lon0Deg, poleLat)
+      assert(pe == p.falseE && pn == p.falseN, s"EPSG:${p.srid} pole ($pe, $pn)")
+      // at the standard parallel, ρ ≈ a·cos(φts)·(scale ~1): distance from
+      // the pole is within 0.7% of the spherical-cap chord a·m(φts) —
+      // gross-error detector on the ρ-scale
+      val ts = math.abs(p.phiTsDeg)
+      val (e1, n1) = p.forward(p.lon0Deg + 90.0, if (p.south) -ts else ts)
+      val rho = math.hypot(e1 - p.falseE, n1 - p.falseN)
+      val expect = 6378137.0 * math.cos(ts * math.Pi / 180.0) /
+        math.sqrt(1.0 - p.e * p.e * math.pow(math.sin(ts * math.Pi / 180.0), 2))
+      assert(math.abs(rho - expect) / expect < 0.007, s"EPSG:${p.srid} rho $rho vs $expect")
+      // fixed-8-iteration inverse: < 1e-9° at world-range longitudes (the
+      // inverse normalizes into (−180, 180], so the far hemisphere of an
+      // off-center grid like 3413's −45° roundtrips too)
+      for (lon <- Seq(-170.0, -60.0, 0.0, 45.0, 179.0); lat <- Seq(58.0, 70.0, 84.0, 89.5)) {
+        val signed = if (p.south) -lat else lat
+        val (e, n) = p.forward(lon, signed)
+        val (lo, la) = p.inverse(e, n)
+        assert(math.abs(lo - lon) < 1e-9 && math.abs(la - signed) < 1e-9,
+          s"EPSG:${p.srid} roundtrip drift at ($lon, $signed)")
+      }
+    }
+    // published-envelope sanity: central Greenland lands in 3413's home box
+    val (ge, gn) = Crs.NsidcNorth.forward(-42.0, 72.0)
+    assert(math.hypot(ge, gn) < 2.6e6, s"($ge, $gn)")
+    // EWKB dispatch both ways
+    val g = Wkb.reproject(Wkb.setSrid(Wkb.point(-42.0, 72.0), 4326), 3413)
+    assert(Wkb.srid(g) == 3413)
+    val bb = Wkb.bbox(Wkb.reproject(g, 4326))
+    assert(math.abs(bb.xmin - -42.0) < 1e-9 && math.abs(bb.ymin - 72.0) < 1e-9)
+  }
+
+  test("Crs registry sinusoidal (53008): equator/meridian anchors, equal-area grid, roundtrip") {
+    import graft.functions.Crs
+    val p = Crs.SphereSinusoidal
+    // the central meridian maps to x=0 with y = R·φ exactly; the equator
+    // to y=0 with x = R·λ exactly (cos 0 = 1)
+    val (x0, y0) = p.forward(0.0, 47.0)
+    assert(x0 == 0.0 && y0 == p.radius * (47.0 * math.Pi / 180.0), s"($x0, $y0)")
+    val (xe, ye) = p.forward(31.0, 0.0)
+    assert(ye == 0.0 && xe == p.radius * (31.0 * math.Pi / 180.0), s"($xe, $ye)")
+    // meridians converge by cos(φ): x at 60°N is exactly half x at 0°N
+    val (x60, _) = p.forward(31.0, 60.0)
+    assert(math.abs(x60 / xe - math.cos(60.0 * math.Pi / 180.0)) < 1e-12)
+    // closed-form inverse: exact roundtrip off the poles
+    for (lon <- Seq(-179.0, -30.5, 0.0, 88.25, 179.9); lat <- Seq(-80.0, -7.5, 0.0, 45.0, 80.0)) {
+      val (x, y) = p.forward(lon, lat)
+      val (lo, la) = p.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"drift at ($lon, $lat)")
+    }
+    // EWKB dispatch
+    val u = Wkb.reproject(Wkb.setSrid(Wkb.point(10.0, 50.0), 4326), 53008)
+    assert(Wkb.srid(u) == 53008)
+    assert(math.abs(Wkb.bbox(Wkb.reproject(u, 4326)).xmin - 10.0) < 1e-9)
+  }
+
   test("Wkb UTM reproject: exact anchors, series sanity, roundtrip, loud rejections") {
     // central meridian × equator is EXACT (every series term carries a
     // sin/sinh of an exact 0)
