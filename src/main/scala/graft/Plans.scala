@@ -500,6 +500,37 @@ object Plans {
       "equi-join; buckets hotter than the cap are dropped whole, so join " +
       "fan-out is cap-squared per bucket, never corpus-squared. Hamming " +
       "refine is one codegen'd bit_count(xor)."),
+    "b115_rank_momentum" -> ("Rank momentum: the lineitem-orders fact "
+      + "join partial-aggs to (month, part) grain BEFORE the rank window; "
+      + "the month-partitioned row_number with the adjacent rnk<=100 "
+      + "filter takes the WindowGroupLimit path (per-partition top-k, "
+      + "never a full month sort), and the momentum self-join runs on two "
+      + "cached <=100-rows/month frames."),
+    "b114_dow_seasonality" -> ("DOW seasonality: map-side day key, "
+      + "partial agg to 7 rows, the revenue total a broadcast single row "
+      + "— one corpus scan, nothing else moves."),
+    "c1x_walkforward" -> ("Walk-forward folds: the 5-row fold grid "
+      + "broadcasts into a nested-loop range join (bounded x5 fan-out, "
+      + "linear in events), then (fold, user) and fold partial aggs — no "
+      + "window, no global sort."),
+    "c4_heaps" -> ("Heaps-law curve: per-doc counts and per-type "
+      + "first-doc are partial-agg shuffles folded to <=20 bucket rows "
+      + "via an integer ceil-div key (1-row max broadcast); the only "
+      + "window is the cumulative sum over the FIXED 20-row grid."),
+    "c4_oov" -> ("OOV rate: the exploded token frame is cached and "
+      + "reused for the vocab build (TakeOrdered top-1000) and the "
+      + "broadcast membership join — one explosion, one doc rollup."),
+    "c3_cosine_hist" -> ("Pair-cosine histogram: the id-adjacent pair "
+      + "sample is ONE equi-join on vec_id+1 (linear, never all-pairs); "
+      + "norms are computed once on the cached vector frame and the "
+      + "graft_dot_f expression fuses into codegen; the histogram is a "
+      + "<=20-row partial agg."),
+    "a11ao_zonal_stats" -> ("Zonal stats: 25 zone polygons broadcast "
+      + "past the point scan (BroadcastNestedLoop on the containment "
+      + "predicate), then one partial-agg shuffle to |zones| rows."),
+    "a11am_polar_stereo" -> ("Polar stereo reprojection: per-row "
+      + "closed-form math behind a scalar UDF pair — map-side only; the "
+      + "single exchange is the presentation sort."),
     "c4_stupid_backoff" -> ("Stupid Backoff held-out scorer: three " +
       "partial-agged count rollups (unigram cached and reused for both " +
       "probe sides, bigram, 1-row broadcast total), held-out adjacency " +

@@ -1899,7 +1899,48 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11ao
+  /** Zonal statistics — the vector-side half of the classic EO
+    * raster/vector op (aggregate point observations per polygon zone):
+    * [[a11w]] emits the per-(point, fence) containment pairs, this folds
+    * them to per-zone count / exact value cents / first observation —
+    * what a monitoring product publishes per admin region. Containment is
+    * the REAL geometry path (point-in-diamond WKB even-odd ray cast); the
+    * oracle replays only the L1-ball arithmetic the diamonds encode (the
+    * a11w precedent).
+    *
+    * Scale shape: 25 zone polygons broadcast past the point stream, one
+    * partial-agg shuffle to |zones| rows — at 100 TB the zone table stays
+    * driver-sized and the scan is embarrassingly parallel.
+    */
+  private val a11ao = QuerySpec(
+    "a11ao_zonal_stats",
+    "Zonal statistics: per-zone point count, exact value cents, first event over 25 broadcast diamond zones (real WKB even-odd containment engine-side; oracle replays the L1-ball arithmetic); one partial-agg shuffle to |zones| rows.",
+    Some("""SELECT f.zone_id, COUNT(*) AS n_points,
+              CAST(SUM(CAST(floor(e.value * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+              MIN(e.event_id) AS first_event
+            FROM events e
+            JOIN (SELECT CAST(k AS BIGINT) AS zone_id, 20.0 * CAST(k AS DOUBLE) AS cx
+                  FROM range(0, 25) t(k)) f
+              ON 2 * abs(e.value - f.cx) < 30.06
+            GROUP BY f.zone_id ORDER BY zone_id"""),
+    (s, d) => {
+      import s.implicits._
+      val zones = s.range(0, 25).toDF("zone_id")
+        .select($"zone_id",
+          diamondUdf(lit(20.0) * $"zone_id".cast(DoubleType), lit(30.06)).as("zwkb"))
+      Tables.events(s, d)
+        .select($"event_id", $"value")
+        .join(broadcast(zones), containsUdf($"zwkb", $"value", $"value"))
+        .groupBy($"zone_id")
+        .agg(count(lit(1)).as("n_points"),
+          sum(floor($"value" * 100.0).cast(LongType)).cast(LongType).as("cents"),
+          min($"event_id").as("first_event"))
+        .orderBy($"zone_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao)
 }

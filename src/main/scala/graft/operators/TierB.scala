@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.QuerySpec
+import graft.{CacheRegistry, QuerySpec}
 import graft.sources.Tables
 
 /** Tier B — the relational core (SURVEY.md §2 B1–B36).
@@ -5308,8 +5308,66 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B115
+  /** Month-over-month rank momentum — the "top movers" leaderboard a
+    * merchandising/BI pipeline publishes: top-100 parts per order-month
+    * by revenue, consecutive months aligned, rank delta per surviving
+    * part. Revenue is the exact e4 integer
+    * `floor(extprice·100)·(100 − floor(disc·100))` (both factors are
+    * 2-decimal fixtures, so the product IS extprice·(1−disc)·1e4 — zero
+    * float sums anywhere); ranking ties break on the part key, so the
+    * top-100 boundary is a total order.
+    *
+    * Scale shape: one lineitem⋈orders equi-join (the standard TPC-H
+    * fact join, AQE-handled), a (month, part) partial agg, a rank window
+    * partitioned BY MONTH with the `rnk <= 100` filter adjacent so Spark's
+    * WindowGroupLimit pushes the top-k below the sort, then a self-join
+    * of two ≤100-rows/month frames on an integer month index.
+    */
+  private val b115 = QuerySpec(
+    "b115_rank_momentum",
+    "Month-over-month part-rank momentum: top-100 parts per order-month by exact e4 revenue (month-partitioned rank window with WindowGroupLimit pushdown, part-key tiebreak), consecutive months self-joined on an integer month index; rank delta per surviving part.",
+    Some("""WITH li AS (SELECT l.l_partkey AS pk,
+              year(CAST(o.o_orderdate AS DATE)) * 12 + month(CAST(o.o_orderdate AS DATE)) AS midx,
+              CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100.0) AS BIGINT)) AS rev_e4
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            agg AS (SELECT midx, pk, SUM(rev_e4) AS rev FROM li GROUP BY midx, pk),
+            rk AS (SELECT midx, pk, rev,
+                ROW_NUMBER() OVER (PARTITION BY midx ORDER BY rev DESC, pk) AS rnk
+              FROM agg),
+            top AS (SELECT * FROM rk WHERE rnk <= 100)
+            SELECT CAST(b.midx AS BIGINT) AS midx, b.pk AS partkey,
+              CAST(a.rnk AS BIGINT) AS rank_prev, CAST(b.rnk AS BIGINT) AS rank_cur,
+              CAST(a.rnk - b.rnk AS BIGINT) AS delta
+            FROM top a JOIN top b ON b.midx = a.midx + 1 AND b.pk = a.pk
+            ORDER BY midx, rank_cur"""),
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey".as("pk"),
+        (floor($"l_extendedprice" * 100.0).cast(LongType) *
+          (lit(100L) - floor($"l_discount" * 100.0).cast(LongType))).as("rev_e4"))
+      val o = Tables.orders(s, d).select($"o_orderkey",
+        (year($"o_orderdate".cast(DateType)) * 12 + month($"o_orderdate".cast(DateType)))
+          .cast(LongType).as("midx"))
+      val agg = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"midx", $"pk").agg(sum($"rev_e4").as("rev"))
+      val w = Window.partitionBy($"midx").orderBy($"rev".desc, $"pk")
+      val top = CacheRegistry.persist(
+        agg.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 100))
+      val a = top.select($"midx".as("m_a"), $"pk".as("pk_a"), $"rnk".as("rank_prev"))
+      val b = top.select($"midx", $"pk".as("partkey"), $"rnk".as("rank_cur"))
+      b.join(a, $"midx" === $"m_a" + 1 && $"partkey" === $"pk_a")
+        .select($"midx", $"partkey",
+          $"rank_prev".cast(LongType).as("rank_prev"),
+          $"rank_cur".cast(LongType).as("rank_cur"),
+          ($"rank_prev" - $"rank_cur").cast(LongType).as("delta"))
+        .orderBy($"midx", $"rank_cur")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114,
+    b110, b111, b112, b113, b114, b115,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -4384,6 +4384,78 @@ object TierCSim {
     }
   )
 
+  // ------------------------------- walk-forward folds (c1x_walkforward)
+  /** Walk-forward (expanding-window) backtest folds with an embargo gap
+    * and a leakage census — the time-series counterpart of [[c1r]]'s
+    * hash-split audit: 5 folds over the event timeline, each training on
+    * everything before its cut day and testing on a window that starts
+    * EMBARGO days after the cut (the purged-CV discipline: the gap keeps
+    * label horizons from straddling the boundary). `leak_users` counts
+    * the entities present on BOTH sides of a fold — the cross-user
+    * contamination an entity-blind temporal split silently carries.
+    * All-integer arithmetic (epoch days, `div`-derived cut points from a
+    * 1-row min/max broadcast fold).
+    *
+    * Scale shape: the fold grid is 5 broadcast rows (nested-loop join
+    * with a range predicate — a bounded ×5 fan-out, linear in events),
+    * then (fold, user) and fold partial aggs. No windows, no sort except
+    * the 5-row presentation.
+    */
+  private val WalkFolds = 5
+  private val WalkEmbargoDays = 2
+  private val c1x = QuerySpec(
+    "c1x_walkforward",
+    s"Walk-forward backtest folds ($WalkFolds expanding windows over epoch days, $WalkEmbargoDays-day embargo before each test window) with a leakage census: per-fold train/test event counts, user counts, and users present on both sides; integer cut arithmetic from a 1-row min/max broadcast, bounded x$WalkFolds broadcast fan-out.",
+    Some(s"""WITH ev AS (SELECT user_id,
+              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+              FROM events),
+            m AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+            f AS (SELECT CAST(k AS BIGINT) AS k,
+                dmin + ((dmax - dmin + 1) * k) // ${WalkFolds + 2} AS tr_end,
+                dmin + ((dmax - dmin + 1) * k) // ${WalkFolds + 2} + $WalkEmbargoDays AS te_start,
+                dmin + ((dmax - dmin + 1) * (k + 1)) // ${WalkFolds + 2} AS te_end
+              FROM range(1, ${WalkFolds + 1}) t(k) CROSS JOIN m),
+            j AS (SELECT f.k, ev.user_id,
+                CASE WHEN ev.d < f.tr_end THEN 1 ELSE 0 END AS is_tr,
+                CASE WHEN ev.d >= f.te_start AND ev.d < f.te_end THEN 1 ELSE 0 END AS is_te
+              FROM ev JOIN f
+                ON ev.d < f.tr_end OR (ev.d >= f.te_start AND ev.d < f.te_end)),
+            pu AS (SELECT k, user_id, SUM(is_tr) AS n_tr, SUM(is_te) AS n_te
+              FROM j GROUP BY k, user_id)
+            SELECT k,
+              CAST(SUM(n_tr) AS BIGINT) AS train_events,
+              CAST(SUM(n_te) AS BIGINT) AS test_events,
+              CAST(SUM(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_users,
+              CAST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_users,
+              CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS leak_users
+            FROM pu GROUP BY k ORDER BY k"""),
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id",
+        datediff($"ts".cast(DateType), to_date(lit("1970-01-01"))).cast(LongType).as("d"))
+      val mm = ev.agg(min($"d").as("dmin"), max($"d").as("dmax"))
+      val denom = WalkFolds + 2
+      val folds = s.range(1, WalkFolds + 1).toDF("k").crossJoin(broadcast(mm))
+        .select($"k",
+          expr(s"dmin + ((dmax - dmin + 1) * k) div $denom").as("tr_end"),
+          expr(s"dmin + ((dmax - dmin + 1) * k) div $denom + $WalkEmbargoDays").as("te_start"),
+          expr(s"dmin + ((dmax - dmin + 1) * (k + 1)) div $denom").as("te_end"))
+      val j = ev.join(broadcast(folds),
+        $"d" < $"tr_end" || ($"d" >= $"te_start" && $"d" < $"te_end"))
+      j.groupBy($"k", $"user_id")
+        .agg(sum(when($"d" < $"tr_end", 1L).otherwise(0L)).as("n_tr"),
+          sum(when($"d" >= $"te_start" && $"d" < $"te_end", 1L).otherwise(0L)).as("n_te"))
+        .groupBy($"k")
+        .agg(sum($"n_tr").cast(LongType).as("train_events"),
+          sum($"n_te").cast(LongType).as("test_events"),
+          sum(when($"n_tr" > 0, 1L).otherwise(0L)).cast(LongType).as("train_users"),
+          sum(when($"n_te" > 0, 1L).otherwise(0L)).cast(LongType).as("test_users"),
+          sum(when($"n_tr" > 0 && $"n_te" > 0, 1L).otherwise(0L)).cast(LongType)
+            .as("leak_users"))
+        .orderBy($"k")
+    }
+  )
+
   // -------------------------- pair-cosine calibration hist (c3_cosine_hist)
   /** Cosine-similarity calibration histogram over the id-adjacent pair
     * sample — the embedding-space twin of [[c2jh]]'s Jaccard histogram:
@@ -4433,5 +4505,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x)
 }

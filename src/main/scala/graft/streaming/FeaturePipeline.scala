@@ -256,6 +256,27 @@ object FeaturePipeline {
       .drop("fence_wkb")
   }
 
+  /** Streaming zonal statistics — [[geofenceAlerts]]'s stateless
+    * broadcast-containment feed folded to a watermarked tumbling-window
+    * per-zone aggregate (the EO monitoring product: per admin zone per
+    * window, observation count + exact value cents), emitted in Append
+    * mode once the watermark closes the window — the streaming twin of
+    * the batch `a11ao_zonal_stats`. The containment join carries no
+    * state; the aggregate's state is |zones| × open windows, never
+    * history-sized.
+    *
+    * `points` needs `geom_wkb` (POINT), `value`, `event_ts`; `fences`
+    * needs `fence_id`, `fence_wkb`.
+    */
+  def zonalStatsStream(points: DataFrame, fences: DataFrame,
+      windowDur: String, watermark: String): DataFrame =
+    geofenceAlerts(points.withWatermark("event_ts", watermark), fences)
+      .groupBy(window(col("event_ts"), windowDur), col("fence_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(floor(col("value") * 100.0).cast("long")).as("cents"))
+      .select(col("fence_id"), col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_obs"), col("cents"))
+
   def enrichStream(obs: DataFrame, ctx: DataFrame, lookbackSec: Int,
       watermark: String): DataFrame = {
     val o = obs.withWatermark("obs_ts", watermark)

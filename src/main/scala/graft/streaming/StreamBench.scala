@@ -135,6 +135,24 @@ object StreamBench {
         fences),
       geoChunks)
 
+    // 3b. streaming zonal stats: the geofence containment feed folded to
+    //     a watermarked per-zone tumbling aggregate — windows close as
+    //     each chunk advances event time by 10 minutes
+    val zonalChunks = (0 until 10).map { c =>
+      (0 until 20000 * scale).map { i =>
+        val id = c * 20000L * scale + i
+        (id, (id * 7919 % 400).toDouble, (id * 104729 % 400).toDouble,
+          (id % 997).toDouble / 7.0, c * 10L * min + (i % 600) * us)
+      }
+    }
+    runPipeline[(Long, Double, Double, Double, Long)]("zonal",
+      ms => FeaturePipeline.zonalStatsStream(
+        ms.toDF().toDF("feature_id", "x", "y", "value", "ts_us")
+          .withColumn("geom_wkb", pointUdf($"x", $"y"))
+          .select($"geom_wkb", $"value", timestamp_micros($"ts_us").as("event_ts")),
+        fences, windowDur = "10 minutes", watermark = "1 minute"),
+      zonalChunks)
+
     // 4. trending sliding-window counts: watermarked window agg, windows
     //    close as chunks advance event time by 10 minutes each
     val trendChunks = (0 until 10).map { c =>

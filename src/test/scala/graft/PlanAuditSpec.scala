@@ -1191,4 +1191,79 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       "count tables and the per-doc rollup must partial-aggregate:\n" + p)
   }
+
+  test("b115_rank_momentum: WindowGroupLimit top-k below the month window, cached top frames, broadcast fact join") {
+    val p = plan("b115_rank_momentum")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "the rnk<=100 filter must push partial+final WindowGroupLimit around the month exchange:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the orders month side must broadcast into the lineitem scan:\n" + p)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "both momentum self-join sides must read the cached <=100/month frame:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c1x_walkforward: bounded 5-row broadcast fold grid, partial aggs, no window") {
+    val p = plan("c1x_walkforward")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the fold grid must broadcast (range predicate => NLJ is the intended shape):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"),
+      "fold rollups must be aggregates, not windows:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "(fold, user) and fold rollups must partial-aggregate:\n" + p)
+  }
+
+  test("c4_heaps: bucket rollups partial-agg; the only window is the fixed 20-row grid") {
+    val p = plan("c4_heaps")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "per-doc counts and per-type first-doc must partial-aggregate:\n" + p)
+    // the cumulative window consumes the fixed grid: both bucket rollups
+    // must BROADCAST into the 20-row Range frame (proving the window's
+    // SinglePartition input is bucket-grain, never corpus-grain)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2 && p.contains("Range (1, 21"),
+      "bucket rollups must broadcast-join into the fixed 20-row grid:\n" + p)
+    assert(p.contains("Exchange SinglePartition"),
+      "the cumulative window runs single-partition over <=20 rows by design:\n" + p)
+  }
+
+  test("c4_oov: one cached token explosion feeds vocab build and membership join; vocab broadcasts") {
+    val p = plan("c4_oov")
+    assert(p.contains("InMemoryTableScan"),
+      "the exploded token frame must be cached for both consumers:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-1000 vocab must broadcast into the membership join:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocab top-k must be TakeOrdered, not a global sort:\n" + p)
+  }
+
+  test("c3_cosine_hist: linear adjacent-pair equi-join, codegen dot, bounded-bucket census") {
+    val p = plan("c3_cosine_hist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the pair sample must be the vec_id+1 equi-join, never all-pairs:\n" + p)
+    assert(p.contains("graft_dot_f"),
+      "the dot product must be the native codegen expression:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "norms must come from the cached vector frame:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "the histogram must partial-aggregate:\n" + p)
+  }
+
+  test("a11ao_zonal_stats: zones broadcast past the point scan, zonal rollup partial-aggs") {
+    val p = plan("a11ao_zonal_stats")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 25-zone table must broadcast (containment predicate => NLJ):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      "the zonal rollup must partial-aggregate before its exchange:\n" + p)
+  }
+
+  test("a11am_polar_stereo / a11an_sinusoidal: map-side reprojection, no join, one presentation sort") {
+    for (q <- Seq("a11am_polar_stereo", "a11an_sinusoidal")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay map-side:\n" + p)
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        s"$q: the only exchange is the presentation sort:\n" + p)
+    }
+  }
 }

@@ -763,6 +763,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming zonal stats: windows close with the watermark, multi-zone points fan out, cents exact") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    // two 40x40 zones sharing the [30,40)x[0,40) overlap strip
+    val fences = Seq(
+      ("z0", graft.functions.Wkb.polygon(Seq(Seq(
+        (0.0, 0.0), (40.0, 0.0), (40.0, 40.0), (0.0, 40.0), (0.0, 0.0))))),
+      ("z1", graft.functions.Wkb.polygon(Seq(Seq(
+        (30.0, 0.0), (70.0, 0.0), (70.0, 40.0), (30.0, 40.0), (30.0, 0.0))))))
+      .toDF("fence_id", "fence_wkb")
+    val pointUdf = udf { (x: Double, y: Double) => graft.functions.Wkb.point(x, y) }
+    val ms = MemoryStream[(Double, Double, Double, Long)]
+    val out = FeaturePipeline.zonalStatsStream(
+      ms.toDF().toDF("x", "y", "value", "ts_us")
+        .withColumn("geom_wkb", pointUdf(col("x"), col("y")))
+        .select(col("geom_wkb"), col("value"), timestamp_micros(col("ts_us")).as("event_ts")),
+      fences, windowDur = "10 minutes", watermark = "1 minute")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("zonal_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      // window 1: one z0-only point (value 1.23), one point in the overlap
+      // strip (value 2.50 → fans out to BOTH zones), one point in no zone
+      ms.addData((5.0, 5.0, 1.23, hour), (35.0, 5.0, 2.50, hour + 1000000L),
+        (500.0, 500.0, 9.99, hour + 2000000L))
+      q.processAllAvailable()
+      // advance event time far past the window end + watermark → emit
+      ms.addData((5.0, 5.0, 0.01, hour + 2L * 3600L * 1000000L))
+      q.processAllAvailable()
+      val rows = spark.table("zonal_sink").collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+      assert(rows.length == 2, s"expected z0+z1 rows, got ${rows.mkString(", ")}")
+      assert(rows(0) == (("z0", 2L, 373L)), // floor(1.23*100)+floor(2.50*100)
+        s"z0 aggregate wrong: ${rows(0)}")
+      assert(rows(1) == (("z1", 1L, 250L)), s"z1 aggregate wrong: ${rows(1)}")
+    } finally q.stop()
+  }
+
   test("B33 v2: transformWithState StatefulProcessor accumulates across batches (RocksDB store)") {
     val orig = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
