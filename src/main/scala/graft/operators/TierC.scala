@@ -514,6 +514,123 @@ object TierC {
     }
   )
 
+  // ------------------------------ reciprocal-rank fusion (c5d_rrf)
+  /** Reciprocal-rank fusion of the [[c5b]] BM25 and [[c5c]] QL-Dirichlet
+    * top-10 lists — the standard hybrid-retrieval merge (Cormack et al.'s
+    * RRF, k=60): each retrieved list contributes `1/(60+rank)`; documents
+    * retrieved by both rankers float to the top. Contributions are exact
+    * integer divisions `1e6 div (60+rank)`, so the fused ordering is
+    * bit-deterministic; absent ranks contribute 0 (the top-k-lists form
+    * of RRF — exactly what a serving stack fuses).
+    *
+    * Scale shape: ONE shared per-doc tf aggregate feeds BOTH scoring
+    * chains (the expensive token pass is paid once); each top-10 is
+    * TakeOrdered (never a global sort); the fusion is a full-outer join
+    * of two ≤10-row frames. The scored frame is cached so the two
+    * TakeOrdered consumers don't recompute the cross-joined chains.
+    */
+  private val RrfK = 60
+  private val c5d = QuerySpec(
+    "c5d_rrf",
+    s"Reciprocal-rank fusion (k=$RrfK) of the BM25 and QL-Dirichlet top-10 lists for the fixed query {spark, table, query}: exact integer 1e6 div ($RrfK+rank) contributions, full-outer merge of the two TakeOrdered lists; one shared per-doc tf aggregate feeds both scoring chains.",
+    Some {
+      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(COUNT(CASE WHEN token='$t' THEN 1 END) AS BIGINT) AS tf${i + 1}"
+      }.mkString(",\n                ")
+      val gexprs = (Bm25Terms.indices.map { i =>
+        s"CAST(COUNT(CASE WHEN tf${i + 1} > 0 THEN 1 END) AS BIGINT) AS df${i + 1}"
+      } ++ Bm25Terms.indices.map { i =>
+        s"CAST(SUM(tf${i + 1}) AS BIGINT) AS cf${i + 1}"
+      }).mkString(",\n                ")
+      val bmTerms = Bm25Terms.indices.map { i =>
+        val (tf, df) = (s"d.tf${i + 1}", s"g.df${i + 1}")
+        s"""ln((CAST(g.n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5)/(CAST($df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST($tf AS DOUBLE) * 2.2)
+              / (CAST($tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.len AS DOUBLE) / (CAST(g.total_toks AS DOUBLE) / CAST(g.n AS DOUBLE))))"""
+      }.mkString("\n            + ")
+      val qlTerms = Bm25Terms.indices.map { i =>
+        s"""ln((CAST(d.tf${i + 1} AS DOUBLE) + $QlMu * (CAST(g.cf${i + 1} AS DOUBLE) / CAST(g.total_toks AS DOUBLE)))
+              / (CAST(d.len AS DOUBLE) + $QlMu))"""
+      }.mkString("\n            + ")
+      s"""WITH t2 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+            t AS (SELECT * FROM t2 WHERE token <> ''),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len,
+                $tfs
+              FROM t GROUP BY doc_id),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(len) AS BIGINT) AS total_toks,
+                $gexprs
+              FROM d),
+            sc AS (SELECT d.doc_id,
+                CAST(floor(($bmTerms) * 1000000) AS BIGINT) AS bm_e6,
+                CAST(floor(($qlTerms) * 1000000) AS BIGINT) AS ql_e6
+              FROM d CROSS JOIN g),
+            rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm_e6 DESC, doc_id) AS rn FROM sc),
+            tb AS (SELECT * FROM rb WHERE rn <= 10),
+            rq AS (SELECT doc_id, row_number() OVER (ORDER BY ql_e6 DESC, doc_id) AS rn FROM sc),
+            tq AS (SELECT * FROM rq WHERE rn <= 10)
+            SELECT COALESCE(tb.doc_id, tq.doc_id) AS doc_id,
+              CAST(COALESCE(tb.rn, 0) AS BIGINT) AS rn_bm25,
+              CAST(COALESCE(tq.rn, 0) AS BIGINT) AS rn_ql,
+              CAST((CASE WHEN tb.rn IS NULL THEN 0 ELSE 1000000 // ($RrfK + tb.rn) END)
+                 + (CASE WHEN tq.rn IS NULL THEN 0 ELSE 1000000 // ($RrfK + tq.rn) END) AS BIGINT) AS rrf_e6
+            FROM tb FULL OUTER JOIN tq ON tq.doc_id = tb.doc_id
+            ORDER BY rrf_e6 DESC, doc_id"""
+    },
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .filter($"token" =!= "")
+      val perDoc = toks.groupBy($"doc_id").agg(
+        count(lit(1)).as("len"),
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          count(when($"token" === t, 1)).as(s"tf${i + 1}")
+        }: _*)
+      val global = perDoc.agg(
+        count(lit(1)).as("n"),
+        (Seq(sum($"len").as("total_toks")) ++
+          Bm25Terms.indices.map { i =>
+            count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
+          } ++ Bm25Terms.indices.map { i =>
+            sum(col(s"tf${i + 1}")).as(s"cf${i + 1}")
+          }): _*)
+      val dbl = (c: Column) => c.cast(DoubleType)
+      val bmScore = Bm25Terms.indices.map { i =>
+        val tf = dbl(col(s"tf${i + 1}"))
+        val df = dbl(col(s"df${i + 1}"))
+        val idf = log((dbl($"n") - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * 2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dbl($"len") / (dbl($"total_toks") / dbl($"n"))))
+      }.reduceLeft(_ + _)
+      val qlScore = Bm25Terms.indices.map { i =>
+        log((dbl(col(s"tf${i + 1}")) + lit(QlMu) * (dbl(col(s"cf${i + 1}")) / dbl($"total_toks")))
+          / (dbl($"len") + lit(QlMu)))
+      }.reduceLeft(_ + _)
+      val scored = CacheRegistry.persist(
+        perDoc.crossJoin(broadcast(global))
+          .select($"doc_id",
+            floor(bmScore * 1000000).cast(LongType).as("bm_e6"),
+            floor(qlScore * 1000000).cast(LongType).as("ql_e6")))
+      def topTen(scoreCol: String, rnName: String) =
+        scored.orderBy(col(scoreCol).desc, $"doc_id").limit(10)
+          .withColumn(rnName,
+            row_number().over(Window.orderBy(col(scoreCol).desc, $"doc_id")).cast(LongType))
+          .select($"doc_id", col(rnName))
+      val tb = topTen("bm_e6", "rn_bm25").withColumnRenamed("doc_id", "id_b")
+      val tq = topTen("ql_e6", "rn_ql").withColumnRenamed("doc_id", "id_q")
+      tb.join(tq, $"id_b" === $"id_q", "fullouter")
+        .select(coalesce($"id_b", $"id_q").as("doc_id"),
+          coalesce($"rn_bm25", lit(0L)).as("rn_bm25"),
+          coalesce($"rn_ql", lit(0L)).as("rn_ql"),
+          (when($"rn_bm25".isNull, 0L)
+              .otherwise(expr(s"1000000 div ($RrfK + rn_bm25)")) +
+            when($"rn_ql".isNull, 0L)
+              .otherwise(expr(s"1000000 div ($RrfK + rn_ql)"))).cast(LongType).as("rrf_e6"))
+        .orderBy($"rrf_e6".desc, $"doc_id")
+    }
+  )
+
   // --------------------------------- MinHash estimator calibration (c2me)
   /** MinHash estimate-vs-exact calibration census — the third leg of the
     * dedup tuning suite (threshold choice = `c2_jaccard_hist`, banding
@@ -685,5 +802,5 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c2me, c2bo, c1w)
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c5d, c2me, c2bo, c1w)
 }

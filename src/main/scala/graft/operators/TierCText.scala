@@ -3536,6 +3536,59 @@ object TierCText {
     }
   )
 
+  // ---------------------------------- keyword extraction (c4_keywords)
+  /** Per-document keyword extraction — top-3 terms by TF-IDF, the
+    * content-tagging primitive behind dataset search, topic routing, and
+    * dedup-cluster labeling. Scoring quantizes ONE fixed-association IEEE
+    * chain `tf · ln(N/df)` at e6 (the c4_kl_drift discipline: exact
+    * integer tf/df/N in, one float multiply-log chain, floor out);
+    * ranking ties break on the token, so the top-3 boundary is total.
+    *
+    * Scale shape: one (doc, token) partial-agg shuffle cached for both
+    * the df rollup and the scoring join (posting-list equi-join on the
+    * token — the Zipf head is AQE's skew case); the per-doc top-3 is a
+    * doc-partitioned row_number with the adjacent filter, so Spark's
+    * WindowGroupLimit prunes to 3 per doc below the sort.
+    */
+  private val c4kw = QuerySpec(
+    "c4_keywords",
+    "Keyword extraction: per-doc top-3 terms by e6-quantized TF-IDF (tf*ln(N/df), token tiebreak) — content tagging for search/routing; cached (doc,token) rollup, posting-list join, WindowGroupLimit top-3.",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+              FROM documents),
+            g AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+            f AS (SELECT token, COUNT(*) AS df FROM g GROUP BY token),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            sc AS (SELECT g.doc_id, g.token,
+                CAST(floor(CAST(g.tf AS DOUBLE)
+                  * ln(CAST(n.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)) * 1000000.0) AS BIGINT) AS score_e6
+              FROM g JOIN f ON f.token = g.token CROSS JOIN n),
+            r AS (SELECT doc_id, token, score_e6,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, token) AS rnk
+              FROM sc)
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, score_e6
+            FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val g = CacheRegistry.persist(
+        docs.select($"doc_id", explode(toksCol).as("token"))
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
+      val f = g.groupBy($"token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score_e6".desc, $"token")
+      g.join(f, "token").crossJoin(broadcast(n))
+        .withColumn("score_e6",
+          floor($"tf".cast(DoubleType)
+            * log($"n_docs".cast(DoubleType) / $"df".cast(DoubleType)) * 1000000.0)
+            .cast(LongType))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"token", $"score_e6")
+        .orderBy($"doc_id", $"rnk")
+    }
+  )
+
   // ------------------------------------------------ OOV rate (c4_oov)
   /** Out-of-vocabulary rate per document against the corpus top-1000
     * vocab — the coverage check run before committing to a vocab size
@@ -3583,5 +3636,5 @@ object TierCText {
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov)
+      c4rd, c4hp, c4bu, c4ov, c4kw)
 }

@@ -1192,6 +1192,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "count tables and the per-doc rollup must partial-aggregate:\n" + p)
   }
 
+  test("c4_keywords: cached (doc,token) rollup feeds df and scoring; WindowGroupLimit top-3 per doc") {
+    val p = plan("c4_keywords")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "the (doc, token) tf rollup must be cached for the df rollup AND the scoring join:\n" + p)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "the rnk<=3 filter must push partial+final WindowGroupLimit around the doc exchange:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c5d_rrf: one shared tf aggregate, cached scored frame, TakeOrdered top-10s, no global sort before fusion") {
+    val p = plan("c5d_rrf")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "the scored frame must be cached for both top-10 consumers:\n" + p)
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      "each ranker's top-10 must be TakeOrdered, never a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("b115_rank_momentum: WindowGroupLimit top-k below the month window, cached top frames, broadcast fact join") {
     val p = plan("b115_rank_momentum")
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
