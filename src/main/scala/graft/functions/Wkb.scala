@@ -655,6 +655,45 @@ object Wkb {
     total
   }
 
+  /** Ring-winding normalization (the ST_MakeValid-lite a geodata ingest
+    * runs before handing polygons to spatial SQL): POLYGON rings are
+    * rewritten to the OGC right-hand-rule convention — outer ring
+    * counterclockwise (positive signed shoelace), holes clockwise — and
+    * unclosed rings are closed by repeating the first vertex. The SRID is
+    * preserved. Returns (fixed EWKB, ringsRewound, ringsClosed).
+    * Self-intersection repair is deliberately out of scope — the validity
+    * audit (a11ae) detects those loudly rather than this module guessing
+    * a decomposition. POLYGON only; normalize collections member-wise
+    * upstream.
+    */
+  def makeValid(wkb: Array[Byte]): (Array[Byte], Int, Int) = {
+    require(geomType(wkb) == "POLYGON",
+      s"makeValid: ${geomType(wkb)} unsupported (POLYGON only)")
+    val sridIn = srid(wkb)
+    val rings = areaRingsGrouped(wkb).head
+    // closure repairs counted against the RAW stored ring lengths (the
+    // parser closes implicitly, so a length delta IS the repair)
+    val rawCounts = ringVertexCounts(wkb)
+    var rewound = 0
+    var closed = 0
+    val fixed = rings.zipWithIndex.map { case (ring, idx) =>
+      if (rawCounts(idx) != ring.length) closed += 1
+      var acc = 0.0
+      var i = 0
+      while (i < ring.length - 1) {
+        acc += ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2
+        i += 1
+      }
+      val wantCcw = idx == 0
+      if ((wantCcw && acc < 0) || (!wantCcw && acc > 0)) {
+        rewound += 1
+        ring.reverse.toSeq
+      } else ring.toSeq
+    }
+    val out = polygon(fixed)
+    (if (sridIn != 0) setSrid(out, sridIn) else out, rewound, closed)
+  }
+
   /** Outer ring of the first polygon member, as written (closed if the
     * writer closed it) — the decode side of the constructive-geometry ops.
     */

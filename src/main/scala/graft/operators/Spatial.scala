@@ -1940,7 +1940,61 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11ap
+  /** Ring-winding normalization ([[Wkb.makeValid]], the ST_MakeValid-lite
+    * every geodata ingest runs): diamonds planted with parity-derived
+    * defects — odd ids wound clockwise (outer must be CCW), ids ≡ 0 mod 3
+    * written UNCLOSED — are repaired, and the repaired geometry is
+    * re-measured: vertex count (always 5 after closure), doubled shoelace
+    * area (all-integer coordinates, so 4r² is EXACT in doubles and the
+    * e6 quantization is flip-free), and idempotence (a second makeValid
+    * must fire zero repairs) is asserted inside the UDF. The oracle
+    * replays only the planted parity + the closed-form 4r²·1e6.
+    *
+    * Scale shape: per-row byte-level repair in a scalar UDF — map-side
+    * only; the one exchange is the presentation sort.
+    */
+  private val roughDiamondUdf: UserDefinedFunction = udf { (id: Long, c: Double, r: Double) =>
+    val ccw = Seq((c + r, c), (c, c + r), (c - r, c), (c, c - r))
+    val ring0 = if (id % 2 == 1) ccw.reverse else ccw
+    val ring = if (id % 3 == 0) ring0 else ring0 :+ ring0.head
+    Wkb.polygon(Seq(ring))
+  }
+  private val makeValidStatsUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) =>
+    val (fixedWkb, rewound, closedN) = Wkb.makeValid(wkb)
+    val (_, re2, cl2) = Wkb.makeValid(fixedWkb)
+    require(re2 == 0 && cl2 == 0, "makeValid must be idempotent")
+    (rewound > 0, closedN > 0,
+      Wkb.ringVertexCounts(fixedWkb).head.toLong,
+      math.floor(Wkb.area(fixedWkb) * 2.0 * 1000000.0).toLong)
+  }
+  private val a11ap = QuerySpec(
+    "a11ap_make_valid",
+    "Ring-winding normalization (ST_MakeValid-lite): parity-planted CW/unclosed diamonds repaired to OGC right-hand-rule closed rings, idempotence asserted in the UDF; repair flags + post-fix vertex count + exact e6 doubled shoelace vs an oracle replaying the planted parity and closed-form 4r^2.",
+    Some("""WITH c AS (SELECT event_id,
+              CAST(5 + event_id % 7 AS DOUBLE) AS r
+            FROM events)
+          SELECT event_id,
+            (event_id % 2 = 1) AS rewound,
+            (event_id % 3 = 0) AS closed,
+            CAST(5 AS BIGINT) AS n_vtx,
+            CAST(4 * r * r * 1000000 AS BIGINT) AS area2_e6
+          FROM c ORDER BY event_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("c"),
+          (lit(5.0) + ($"event_id" % 7).cast(DoubleType)).as("r"))
+        .select($"event_id",
+          makeValidStatsUdf(roughDiamondUdf($"event_id", $"c", $"r")).as("st"))
+        .select($"event_id", $"st._1".as("rewound"), $"st._2".as("closed"),
+          $"st._3".as("n_vtx"), $"st._4".as("area2_e6"))
+        .orderBy($"event_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap)
 }

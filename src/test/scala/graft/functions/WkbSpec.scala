@@ -628,6 +628,32 @@ class WkbSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------- makeValid (a11ap)
+  test("makeValid: rewinds CW outer + CCW holes, closes unclosed rings, idempotent, SRID kept") {
+    // CW outer + CCW hole (both wrong): both rings rewind
+    val bad = Wkb.setSrid(Wkb.polygon(Seq(
+      Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)), // CW outer
+      Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)))), 4326) // CCW hole
+    val (fixed, rewound, closed) = Wkb.makeValid(bad)
+    assert(rewound == 2 && closed == 0, s"($rewound, $closed)")
+    assert(Wkb.srid(fixed) == 4326)
+    assert(math.abs(Wkb.area(fixed) - 96.0) < 1e-12) // 100 - 4, hole honored
+    // outer now CCW: the idempotence probe fires zero repairs
+    val (_, r2, c2) = Wkb.makeValid(fixed)
+    assert(r2 == 0 && c2 == 0, "makeValid must be idempotent")
+    // unclosed CCW outer: one closure repair, no rewind, vertex appended
+    val open = Wkb.polygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))))
+    val (fx2, r3, c3) = Wkb.makeValid(open)
+    assert(r3 == 0 && c3 == 1, s"($r3, $c3)")
+    assert(Wkb.ringVertexCounts(fx2) == Seq(5))
+    assert(math.abs(Wkb.area(fx2) - 100.0) < 1e-12)
+    // already-valid input is byte-stable modulo SRID-less rebuild
+    val (fx3, r4, c4) = Wkb.makeValid(fx2)
+    assert(r4 == 0 && c4 == 0 && fx3.sameElements(fx2))
+    // non-polygon rejects loudly
+    intercept[IllegalArgumentException] { Wkb.makeValid(Wkb.point(1.0, 2.0)) }
+  }
+
   // --------------------------------------------- bufferEuclidean (a11ak)
   test("bufferEuclidean: point becomes the inscribed regular 4*segs-gon") {
     val b = Wkb.bufferEuclidean(Wkb.point(3.0, 4.0), 2.0, 8)
