@@ -41,5 +41,6 @@ object GeoSql {
     spark.udf.register("geom_srid", (b: Array[Byte]) => Wkb.srid(b))
     spark.udf.register("geom_set_srid", (b: Array[Byte], srid: Int) => Wkb.setSrid(b, srid))
     spark.udf.register("geom_reproject", (b: Array[Byte], srid: Int) => Wkb.reproject(b, srid))
+    spark.udf.register("geom_make_valid", (b: Array[Byte]) => Wkb.makeValid(b)._1)
   }
 }

@@ -5366,8 +5366,53 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B116
+  /** Duplicate-invoice detection — the relational twin of the Tier C text
+    * dedup family (the accounts-payable / billing-audit classic): order
+    * pairs from the SAME customer with the IDENTICAL exact amount within
+    * a 7-day window. Blocking is the (customer, cents) equi-join — the
+    * same inverted-index discipline as the text pair mines: candidates
+    * are bounded by per-(cust, amount) multiplicity, never |orders|²;
+    * the day-window is the cheap residual refine. Exact integer cents
+    * and epoch days everywhere.
+    *
+    * Scale shape: one map-side projection, one (cust, cents) shuffle
+    * self-join (AQE splits any hot amount), ordered pair emission via
+    * `okey_a < okey_b` — no distinct pass, no window.
+    */
+  private val b116 = QuerySpec(
+    "b116_dupe_orders",
+    "Duplicate-invoice detection: same-customer order pairs with identical exact cents within 7 days — (cust, cents) equi-join blocking with a day-window refine, ordered pair emission, all-integer; the billing-audit twin of the text dedup pair mines.",
+    Some("""WITH o AS (SELECT o_orderkey AS okey, o_custkey AS cust,
+              CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+              CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+              FROM orders)
+            SELECT a.cust AS cust, a.okey AS okey_a, b.okey AS okey_b, a.cents AS cents,
+              CAST(abs(a.d - b.d) AS BIGINT) AS day_gap
+            FROM o a JOIN o b
+              ON a.cust = b.cust AND a.cents = b.cents AND a.okey < b.okey
+              AND abs(a.d - b.d) <= 7
+            ORDER BY cust, okey_a, okey_b"""),
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select(
+        $"o_orderkey".as("okey"), $"o_custkey".as("cust"),
+        floor($"o_totalprice" * 100.0).cast(LongType).as("cents"),
+        datediff($"o_orderdate".cast(DateType), to_date(lit("1970-01-01")))
+          .cast(LongType).as("d"))
+      val a = o.select($"okey".as("okey_a"), $"cust", $"cents", $"d".as("d_a"))
+      val b = o.select($"okey".as("okey_b"), $"cust".as("cust_r"),
+        $"cents".as("cents_r"), $"d".as("d_b"))
+      a.join(b, $"cust" === $"cust_r" && $"cents" === $"cents_r" &&
+          $"okey_a" < $"okey_b" && abs($"d_a" - $"d_b") <= 7)
+        .select($"cust", $"okey_a", $"okey_b", $"cents",
+          abs($"d_a" - $"d_b").cast(LongType).as("day_gap"))
+        .orderBy($"cust", $"okey_a", $"okey_b")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115,
+    b110, b111, b112, b113, b114, b115, b116,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

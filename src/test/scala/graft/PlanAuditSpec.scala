@@ -1192,6 +1192,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "count tables and the per-doc rollup must partial-aggregate:\n" + p)
   }
 
+  test("b116_dupe_orders: (cust, cents) equi-join blocking, no cartesian, no window") {
+    val p = plan("b116_dupe_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must meet in the (cust, cents) equi-join, never all-pairs:\n" + p)
+    assert(!p.contains("windowspecdefinition"),
+      "pair emission is okey_a < okey_b in the join condition, not a window:\n" + p)
+  }
+
   test("c4_keywords: cached (doc,token) rollup feeds df and scoring; WindowGroupLimit top-3 per doc") {
     val p = plan("c4_keywords")
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2,

@@ -464,6 +464,13 @@ class SpatialSpec extends AnyFunSuite {
       SELECT geom_intersects(a.wkb, b.wkb) FROM geoms a JOIN geoms b
       ON a.id = 1 AND b.id = 2""").collect().head.getBoolean(0)
     assert(!isect)
+    // geom_make_valid: a CW square comes back CCW with the same area
+    val cw = Wkb.polygon(Seq(Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))))
+    Seq((1, cw)).toDF("id", "wkb").createOrReplaceTempView("badgeom")
+    val fixed = spark.sql(
+      "SELECT geom_area(geom_make_valid(wkb)) AS a FROM badgeom").collect().head.getDouble(0)
+    assert(fixed == 16.0)
+    spark.catalog.dropTempView("badgeom")
     spark.catalog.dropTempView("geoms")
   }
 
