@@ -5369,43 +5369,47 @@ object TierB {
   // ---------------------------------------------------------------- B116
   /** Duplicate-invoice detection — the relational twin of the Tier C text
     * dedup family (the accounts-payable / billing-audit classic): order
-    * pairs from the SAME customer with the IDENTICAL exact amount within
-    * a 7-day window. Blocking is the (customer, cents) equi-join — the
-    * same inverted-index discipline as the text pair mines: candidates
-    * are bounded by per-(cust, amount) multiplicity, never |orders|²;
-    * the day-window is the cheap residual refine. Exact integer cents
-    * and epoch days everywhere.
+    * pairs from the SAME customer in the SAME $10k amount band within a
+    * 60-day window. Banded amounts, not exact cents, because real-world
+    * (and this fixture's) amounts are near-continuous — exact-match is
+    * structurally empty, and AP audits band for the same reason. Blocking
+    * is the (customer, band) equi-join — the inverted-index discipline of
+    * the text pair mines: candidates are bounded by per-(cust, band)
+    * multiplicity, never |orders|²; the day-window is the cheap residual
+    * refine. Exact integer cents bands and epoch days everywhere.
     *
-    * Scale shape: one map-side projection, one (cust, cents) shuffle
-    * self-join (AQE splits any hot amount), ordered pair emission via
+    * Scale shape: one map-side projection, one (cust, band) shuffle
+    * self-join (AQE splits any hot band), ordered pair emission via
     * `okey_a < okey_b` — no distinct pass, no window.
     */
+  private val DupeBandCents = 1000000L // $10k amount bands
+  private val DupeWindowDays = 60L
   private val b116 = QuerySpec(
     "b116_dupe_orders",
-    "Duplicate-invoice detection: same-customer order pairs with identical exact cents within 7 days — (cust, cents) equi-join blocking with a day-window refine, ordered pair emission, all-integer; the billing-audit twin of the text dedup pair mines.",
-    Some("""WITH o AS (SELECT o_orderkey AS okey, o_custkey AS cust,
-              CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+    s"Duplicate-invoice detection: same-customer order pairs in the same $$10k amount band within $DupeWindowDays days — (cust, band) equi-join blocking with a day-window refine, ordered pair emission, all-integer; the billing-audit twin of the text dedup pair mines.",
+    Some(s"""WITH o AS (SELECT o_orderkey AS okey, o_custkey AS cust,
+              CAST(floor(o_totalprice * 100.0) AS BIGINT) // $DupeBandCents AS band,
               CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
               FROM orders)
-            SELECT a.cust AS cust, a.okey AS okey_a, b.okey AS okey_b, a.cents AS cents,
+            SELECT a.cust AS cust, a.okey AS okey_a, b.okey AS okey_b, a.band AS band,
               CAST(abs(a.d - b.d) AS BIGINT) AS day_gap
             FROM o a JOIN o b
-              ON a.cust = b.cust AND a.cents = b.cents AND a.okey < b.okey
-              AND abs(a.d - b.d) <= 7
+              ON a.cust = b.cust AND a.band = b.band AND a.okey < b.okey
+              AND abs(a.d - b.d) <= $DupeWindowDays
             ORDER BY cust, okey_a, okey_b"""),
     (s, d) => {
       import s.implicits._
       val o = Tables.orders(s, d).select(
         $"o_orderkey".as("okey"), $"o_custkey".as("cust"),
-        floor($"o_totalprice" * 100.0).cast(LongType).as("cents"),
+        expr(s"CAST(floor(o_totalprice * 100.0) AS BIGINT) div $DupeBandCents").as("band"),
         datediff($"o_orderdate".cast(DateType), to_date(lit("1970-01-01")))
           .cast(LongType).as("d"))
-      val a = o.select($"okey".as("okey_a"), $"cust", $"cents", $"d".as("d_a"))
+      val a = o.select($"okey".as("okey_a"), $"cust", $"band", $"d".as("d_a"))
       val b = o.select($"okey".as("okey_b"), $"cust".as("cust_r"),
-        $"cents".as("cents_r"), $"d".as("d_b"))
-      a.join(b, $"cust" === $"cust_r" && $"cents" === $"cents_r" &&
-          $"okey_a" < $"okey_b" && abs($"d_a" - $"d_b") <= 7)
-        .select($"cust", $"okey_a", $"okey_b", $"cents",
+        $"band".as("band_r"), $"d".as("d_b"))
+      a.join(b, $"cust" === $"cust_r" && $"band" === $"band_r" &&
+          $"okey_a" < $"okey_b" && abs($"d_a" - $"d_b") <= DupeWindowDays)
+        .select($"cust", $"okey_a", $"okey_b", $"band",
           abs($"d_a" - $"d_b").cast(LongType).as("day_gap"))
         .orderBy($"cust", $"okey_a", $"okey_b")
     }
