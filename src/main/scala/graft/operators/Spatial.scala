@@ -188,6 +188,24 @@ object Spatial {
       r: Double, cell: Double): DataFrame = {
     val s = points.sparkSession
     import s.implicits._
+    knnPolygonsWithinR(points, polys, r, cell, k = 1)
+      .select($"point_id", $"poly_id", $"dist")
+  }
+
+  /** k-nearest-polygons-within-r join — the general form of
+    * [[nearestPolygonWithinR]] (k = 1): per point, the k closest polygons
+    * within radius r with their distances and ranks. The same
+    * grid-blocked shape (r-ball cell expansion on the point side,
+    * canonical-cell dedup on the polygon side, exact refine only on
+    * cell-collided candidates); the per-point top-k is a point-keyed
+    * row_number with the adjacent `rn <= k` filter, so Spark's
+    * WindowGroupLimit prunes to k per point below the sort — at 100 TB
+    * the window never sees more than each point's cell-local candidates.
+    */
+  def knnPolygonsWithinR(points: DataFrame, polys: DataFrame,
+      r: Double, cell: Double, k: Int): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
     val distUdf = udf { (wkb: Array[Byte], px: Double, py: Double) =>
       if (Wkb.containsPoint(wkb, px, py)) 0.0 else Wkb.boundaryDistance(wkb, px, py)
     }
@@ -211,9 +229,9 @@ object Spatial {
         floor(greatest($"py" - r, $"g_ymin") / cell).cast(LongType) === $"cell_y")
       .withColumn("dist", distUdf($"wkb", $"px", $"py"))
       .filter($"dist" <= r)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"point_id", $"poly_id", $"dist")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter($"rn" <= k)
+      .select($"point_id", $"poly_id", $"dist", $"rn")
     withSridGuard(joined, Seq((polys, "wkb")),
       "the polygon side of a nearest-polygon join")
   }
@@ -352,9 +370,12 @@ object Spatial {
     * `least` (order-free, no NaN). SpatialSpec keeps planted
     * nearest/containment/radius + determinism pinned.
     */
-  private def a11jOracle: String = {
-    val vr = 15.11 // diamond vertex radius (odd-hundredth, off the grid)
-    val r = 12.5   // search radius
+  /** Parameterized diamond-kNN oracle builder (a11j k=1, a11aq k=3): the
+    * SEMANTICS over a plain cross join — L1 containment + the exact
+    * point-segment clamp chains, bit-identical doubles so the rank can't
+    * flip.
+    */
+  private def knnDiamondOracle(vr: Double, r: Double, k: Int, emitRn: Boolean): String = {
     val verts = Seq((s"(g.c + $vr)", "g.c"), ("g.c", s"(g.c + $vr)"),
       (s"(g.c - $vr)", "g.c"), ("g.c", s"(g.c - $vr)"))
     def seg(i: Int): String = {
@@ -368,6 +389,8 @@ object Spatial {
       val cy = s"($y1 + $t * $dy)"
       s"sqrt((p.px - $cx) * (p.px - $cx) + (p.py - $cy) * (p.py - $cy))"
     }
+    val cols = if (emitRn) "point_id, poly_id, dist, CAST(rn AS BIGINT) AS rn" else "point_id, poly_id, dist"
+    val order = if (emitRn) "point_id, rn" else "point_id"
     s"""WITH p AS (SELECT CAST(event_id AS VARCHAR) AS point_id, value AS px, value AS py FROM events),
        |g AS (SELECT n_nationkey AS poly_id, 20*CAST(n_nationkey AS DOUBLE) AS c FROM nation),
        |d AS (SELECT p.point_id, g.poly_id,
@@ -377,8 +400,9 @@ object Spatial {
        |f AS (SELECT point_id, poly_id, dist,
        |    row_number() OVER (PARTITION BY point_id ORDER BY dist, poly_id) AS rn
        |  FROM d WHERE dist <= $r)
-       |SELECT point_id, poly_id, dist FROM f WHERE rn = 1 ORDER BY point_id""".stripMargin
+       |SELECT $cols FROM f WHERE rn <= $k ORDER BY $order""".stripMargin
   }
+  private def a11jOracle: String = knnDiamondOracle(vr = 15.11, r = 12.5, k = 1, emitRn = false)
   private val a11j = QuerySpec(
     "a11j_nearest_poly",
     "Grid-blocked nearest-polygon-within-r JOIN: events points vs 25 nation diamonds, r-ball cell expansion + canonical-cell dedup + exact distance refine (0 when contained), per-point argmin with id tie-break. Oracle replays the SEMANTICS over a plain cross join — L1 containment + the exact point-segment clamp chains, bit-identical doubles so the argmin can't flip.",
@@ -1994,7 +2018,33 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11aq
+  /** Spatial kNN join ([[knnPolygonsWithinR]], k=3) — the "3 nearest
+    * facilities per point" analytics classic, generalizing [[a11j]]'s
+    * argmin to a ranked list. Search radius 25 reaches each point's own
+    * diamond plus both 20-spaced neighbors, so most points emit a full
+    * top-3; the oracle replays the exact clamp-chain distances over a
+    * plain cross join and ranks with the identical (dist, poly_id) total
+    * order.
+    */
+  private val a11aq = QuerySpec(
+    "a11aq_knn_join",
+    "Grid-blocked spatial kNN join (k=3, r=25): events points vs 25 nation diamonds, r-ball cell expansion + canonical-cell dedup + exact distance refine, per-point ranked top-3 via WindowGroupLimit; oracle replays the clamp-chain distances over a cross join with the identical tie-break.",
+    Some(knnDiamondOracle(vr = 15.11, r = 25.0, k = 3, emitRn = true)),
+    (s, d) => {
+      import s.implicits._
+      val points = Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("point_id"),
+          $"value".as("px"), $"value".as("py"))
+      val polys = Tables.nation(s, d)
+        .select($"n_nationkey".as("poly_id"),
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(15.11)).as("wkb"))
+      knnPolygonsWithinR(points, polys, r = 25.0, cell = 25.0, k = 3)
+        .orderBy($"point_id", $"rn")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq)
 }

@@ -75,6 +75,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-point argmin not group-limited:\n" + p)
   }
 
+  test("spatial kNN join: cell equi-join, WindowGroupLimit top-k, no cartesian") {
+    val p = plan("a11aq_knn_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), "per-point top-k not group-limited:\n" + p)
+  }
+
   test("b13c count-min: sketch aggregation is partial before its single-row shuffle") {
     val p = plan("b13c_countmin")
     // typed Aggregator → ObjectHashAggregate, partial + final pair
