@@ -5415,8 +5415,76 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B117
+  /** Growth accounting — the product-analytics quad behind every DAU/MAU
+    * chart, here at DAY grain (the fixture spans one month): per day,
+    * split the active users into NEW (first day ever), RETAINED (also
+    * active the day before), and RESURRECTED (inactive the day before,
+    * first day earlier), and report the day-before's CHURNED (active
+    * then, not now). The invariant new + retained + resurrected =
+    * active is structural. Complements [[b93]]'s active counts and
+    * [[b94]]'s churn list with the full decomposition.
+    *
+    * Scale shape: one distinct (user, month) rollup (partial agg), a
+    * user-grain first-month agg joined co-keyed, ONE self-join on
+    * (user, month−1) for the adjacency flags, then a ≤|months|-row
+    * census. No windows; everything is user-keyed equi-joins.
+    */
+  private val b117 = QuerySpec(
+    "b117_growth_accounting",
+    "Growth accounting (day grain): per-day active users decomposed into new / retained / resurrected plus the prior day's churned (invariant: new+retained+resurrected = active); distinct (user, day) rollup, first-day join, one (user, day-1) self-join, all-integer.",
+    Some("""WITH p AS (SELECT DISTINCT user_id,
+              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS midx
+              FROM events),
+            f AS (SELECT user_id, MIN(midx) AS first_m FROM p GROUP BY user_id),
+            j AS (SELECT p.user_id, p.midx, f.first_m,
+                CASE WHEN q.user_id IS NULL THEN 0 ELSE 1 END AS prev_active
+              FROM p JOIN f ON f.user_id = p.user_id
+              LEFT JOIN p q ON q.user_id = p.user_id AND q.midx = p.midx - 1),
+            cur AS (SELECT CAST(midx AS BIGINT) AS midx,
+                COUNT(*) AS active,
+                CAST(SUM(CASE WHEN first_m = midx THEN 1 ELSE 0 END) AS BIGINT) AS new_u,
+                CAST(SUM(prev_active) AS BIGINT) AS retained,
+                CAST(SUM(CASE WHEN prev_active = 0 AND first_m < midx THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+              FROM j GROUP BY midx),
+            ch AS (SELECT CAST(p.midx + 1 AS BIGINT) AS midx,
+                CAST(COUNT(CASE WHEN q.user_id IS NULL THEN 1 END) AS BIGINT) AS churned
+              FROM p LEFT JOIN p q ON q.user_id = p.user_id AND q.midx = p.midx + 1
+              GROUP BY p.midx)
+            SELECT cur.midx, cur.active, cur.new_u, cur.retained, cur.resurrected,
+              CAST(COALESCE(ch.churned, 0) AS BIGINT) AS churned_in
+            FROM cur LEFT JOIN ch ON ch.midx = cur.midx
+            ORDER BY cur.midx"""),
+    (s, d) => {
+      import s.implicits._
+      val p = CacheRegistry.persist(Tables.events(s, d)
+        .select($"user_id",
+          datediff($"ts".cast(DateType), to_date(lit("1970-01-01")))
+            .cast(LongType).as("midx"))
+        .distinct())
+      val f = p.groupBy($"user_id").agg(min($"midx").as("first_m"))
+      val prev = p.select($"user_id".as("u_r"), $"midx".as("m_r"))
+      val cur = p.join(f, "user_id")
+        .join(prev, $"user_id" === $"u_r" && $"m_r" === $"midx" - 1, "left")
+        .withColumn("prev_active", when($"u_r".isNull, 0L).otherwise(1L))
+        .groupBy($"midx")
+        .agg(count(lit(1)).as("active"),
+          sum(when($"first_m" === $"midx", 1L).otherwise(0L)).cast(LongType).as("new_u"),
+          sum($"prev_active").cast(LongType).as("retained"),
+          sum(when($"prev_active" === 0L && $"first_m" < $"midx", 1L).otherwise(0L))
+            .cast(LongType).as("resurrected"))
+      val ch = p.join(prev, $"user_id" === $"u_r" && $"m_r" === $"midx" + 1, "left")
+        .groupBy(($"midx" + 1).as("midx_n"))
+        .agg(count(when($"u_r".isNull, 1)).cast(LongType).as("churned"))
+      cur.join(ch, $"midx" === $"midx_n", "left")
+        .select($"midx", $"active", $"new_u", $"retained", $"resurrected",
+          coalesce($"churned", lit(0L)).as("churned_in"))
+        .orderBy($"midx")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116,
+    b110, b111, b112, b113, b114, b115, b116, b117,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -4384,6 +4384,73 @@ object TierCSim {
     }
   )
 
+  // ------------------------- truncation-fidelity census (c3_matryoshka)
+  /** Embedding-truncation fidelity census — the measurement behind
+    * Matryoshka-style dimension cuts (store/search the first 32 of 64
+    * dims, rerank with the full vector): over the id-adjacent linear pair
+    * sample, how far does the 32-dim cosine drift from the 64-dim truth,
+    * binned by the true cosine? Read the census before committing to a
+    * truncated index: if the drift band is wide where the dedup/ANN
+    * threshold sits, the cut is unsafe.
+    *
+    * Determinism: both cosines are left-fold IEEE chains (the codegen dot
+    * on the full array, the same chain on `slice(…, 1, 32)`); per-row e6
+    * floors are exact, and the per-bin SUM of already-floored integers is
+    * order-free — so even the mean drift replays exactly.
+    *
+    * Scale shape: one cached vector frame with both norms, one vec_id+1
+    * equi-join (linear), ≤20-row census — the c3_cosine_hist plan with a
+    * second fused dot.
+    */
+  private val c3mk = QuerySpec(
+    "c3_matryoshka",
+    "Embedding-truncation (Matryoshka) fidelity: 32-dim vs 64-dim cosine drift over the id-adjacent pair sample, binned by true cosine — per-bin count and exact e6 sum/min/max of the drift; one cached vector frame, one linear equi-join, two codegen dots.",
+    Some {
+      def chain(l: String, r: String, d: Int) =
+        (1 to d).map(i => s"CAST($l.embedding[$i] AS DOUBLE)*CAST($r.embedding[$i] AS DOUBLE)")
+          .mkString(" + ")
+      s"""WITH p AS (SELECT a.vec_id AS ida,
+                (${chain("a", "b", 64)}) AS dot64,
+                (${chain("a", "a", 64)}) AS na64,
+                (${chain("b", "b", 64)}) AS nb64,
+                (${chain("a", "b", 32)}) AS dot32,
+                (${chain("a", "a", 32)}) AS na32,
+                (${chain("b", "b", 32)}) AS nb32
+              FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+            sc AS (SELECT dot64 / (sqrt(na64) * sqrt(nb64)) AS c64,
+                dot32 / (sqrt(na32) * sqrt(nb32)) AS c32 FROM p),
+            bn AS (SELECT LEAST(CAST(floor((c64 + 1.0) * 10.0) AS BIGINT), 19) AS bin,
+                CAST(floor((c32 - c64) * 1000000.0) AS BIGINT) AS drift_e6 FROM sc)
+            SELECT bin, COUNT(*) AS n,
+              CAST(SUM(drift_e6) AS BIGINT) AS sum_drift_e6,
+              MIN(drift_e6) AS min_drift_e6, MAX(drift_e6) AS max_drift_e6
+            FROM bn GROUP BY bin ORDER BY bin"""
+    },
+    (s, d) => {
+      import s.implicits._
+      val dot = graft.functions.VectorExprs.dotF _
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", slice($"embedding", 1, 32).as("emb32"))
+        .select($"vec_id", $"embedding", $"emb32",
+          dot($"embedding", $"embedding").as("n64"),
+          dot($"emb32", $"emb32").as("n32")))
+      val a = e.select($"vec_id".as("ida"), $"embedding".as("ea"), $"emb32".as("ea32"),
+        $"n64".as("na64"), $"n32".as("na32"))
+      val b = e.select(($"vec_id" - 1).as("idb"), $"embedding".as("eb"), $"emb32".as("eb32"),
+        $"n64".as("nb64"), $"n32".as("nb32"))
+      a.join(b, $"ida" === $"idb")
+        .withColumn("c64", dot($"ea", $"eb") / (sqrt($"na64") * sqrt($"nb64")))
+        .withColumn("c32", dot($"ea32", $"eb32") / (sqrt($"na32") * sqrt($"nb32")))
+        .select(least(floor(($"c64" + 1.0) * 10.0).cast(LongType), lit(19L)).as("bin"),
+          floor(($"c32" - $"c64") * 1000000.0).cast(LongType).as("drift_e6"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          sum($"drift_e6").cast(LongType).as("sum_drift_e6"),
+          min($"drift_e6").as("min_drift_e6"), max($"drift_e6").as("max_drift_e6"))
+        .orderBy($"bin")
+    }
+  )
+
   // ------------------------------- walk-forward folds (c1x_walkforward)
   /** Walk-forward (expanding-window) backtest folds with an embargo gap
     * and a leakage census — the time-series counterpart of [[c1r]]'s
@@ -4505,5 +4572,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk)
 }
