@@ -2044,7 +2044,64 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11ar
+  /** Trajectory statistics — the moving-features analytics a geodata
+    * stream grows into (track length, speed, dwell): per entity, order
+    * the observation sequence by event time and roll up planar step
+    * distances into path length, max step, slow-step (dwell) count, and
+    * elapsed time. Every step's √(dx²+dy²) is the same IEEE chain on both
+    * engines and is floored to e6 BEFORE the per-user sum, so the path
+    * length is an exact integer sum (order-free) — the c3_matryoshka
+    * drift-sum discipline.
+    *
+    * Scale shape: ONE user-keyed exchange feeds the two lag windows and
+    * the rollup (entity keys grow with the data — never unpartitioned);
+    * dwell threshold and positions are closed-form from the row.
+    */
+  private val a11ar = QuerySpec(
+    "a11ar_trajectory",
+    "Trajectory statistics per entity: event-time-ordered planar steps rolled up to exact-e6 path length, max step, dwell (step < 1.0) count, and elapsed seconds; one user-keyed exchange for the lag windows + rollup; oracle replays the identical lag/sqrt chains.",
+    Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+              value % 100.0 AS px, (value * 3.0) % 100.0 AS py
+              FROM events),
+            st AS (SELECT user_id, ts_us,
+                px - lag(px) OVER w AS dx, py - lag(py) OVER w AS dy
+              FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+            d AS (SELECT user_id, ts_us,
+                CAST(floor(sqrt(dx * dx + dy * dy) * 1000000.0) AS BIGINT) AS step_e6
+              FROM st WHERE dx IS NOT NULL)
+            SELECT p.user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_points,
+              CAST(COALESCE(SUM(d.step_e6), 0) AS BIGINT) AS path_e6,
+              CAST(COALESCE(MAX(d.step_e6), 0) AS BIGINT) AS max_step_e6,
+              CAST(COALESCE(SUM(CASE WHEN d.step_e6 < 1000000 THEN 1 END), 0) AS BIGINT) AS n_dwell,
+              CAST((MAX(p.ts_us) - MIN(p.ts_us)) // 1000000 AS BIGINT) AS elapsed_s
+            FROM p LEFT JOIN d ON d.user_id = p.user_id AND d.ts_us = p.ts_us
+            GROUP BY p.user_id ORDER BY p.user_id"""),
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us")
+      val p = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          ($"value" % 100.0).as("px"), (($"value" * 3.0) % 100.0).as("py"))
+      p.withColumn("dx", $"px" - lag($"px", 1).over(w))
+        .withColumn("dy", $"py" - lag($"py", 1).over(w))
+        .withColumn("step_e6",
+          when($"dx".isNotNull,
+            floor(sqrt($"dx" * $"dx" + $"dy" * $"dy") * 1000000.0).cast(LongType)))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_points"),
+          coalesce(sum($"step_e6"), lit(0L)).cast(LongType).as("path_e6"),
+          coalesce(max($"step_e6"), lit(0L)).cast(LongType).as("max_step_e6"),
+          coalesce(sum(when($"step_e6" < 1000000L, 1L)), lit(0L)).cast(LongType).as("n_dwell"),
+          expr("(max(ts_us) - min(ts_us)) div 1000000").cast(LongType).as("elapsed_s"))
+        .orderBy($"user_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
-      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq)
+      a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq,
+      a11ar)
 }

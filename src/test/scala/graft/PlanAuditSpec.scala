@@ -82,6 +82,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-point top-k not group-limited:\n" + p)
   }
 
+  test("a11ar_trajectory: every window keys on user_id; one user exchange feeds lags and rollup") {
+    val p = plan("a11ar_trajectory")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      "every lag window must partition by user_id:\n" + specs.mkString("\n"))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "the lag windows and the rollup must share ONE user exchange:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("b13c count-min: sketch aggregation is partial before its single-row shuffle") {
     val p = plan("b13c_countmin")
     // typed Aggregator → ObjectHashAggregate, partial + final pair
