@@ -256,6 +256,69 @@ object FeaturePipeline {
       .drop("fence_wkb")
   }
 
+  /** One observation's zone membership snapshot (input to
+    * [[geofenceTransitions]]): zones computed MAP-SIDE against a
+    * driver-broadcast fence list, so no streaming aggregate precedes the
+    * stateful transition operator (stateful-over-stateful is restricted).
+    */
+  final case class ZoneObs(entity_id: Long, ts_us: Long, zones: Seq[String])
+  /** An emitted ENTER/EXIT edge. */
+  final case class ZoneTransition(entity_id: Long, ts_us: Long, fence_id: String, kind: String)
+
+  /** Streaming geofence ENTER/EXIT transition detection — the alerting
+    * state machine a monitoring deployment wants instead of raw
+    * containment rows ([[geofenceAlerts]] emits "is inside now";
+    * operators page on "crossed the boundary"). Per entity,
+    * `flatMapGroupsWithState` keeps the last zone SET and event time;
+    * each batch's observations are processed in event-time order and
+    * emit set-difference edges (enter = zones − prev, exit = prev −
+    * zones, both in deterministic sorted order). Observations older than
+    * the stored state are ignored (late data cannot retro-emit edges —
+    * the replay-safe choice). State per entity is one small zone set —
+    * bounded by |entities|, never history.
+    *
+    * `points` needs (entity_id, ts_us, x, y); `fences` is the
+    * driver-side (fence_id, fence_wkb) list, broadcast inside the zone
+    * UDF (64-fence scale — the a11ao/geofence posture).
+    */
+  def geofenceTransitions(points: DataFrame,
+      fences: Seq[(String, Array[Byte])]): Dataset[ZoneTransition] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(fences)
+    val zonesUdf = udf { (x: Double, y: Double) =>
+      bc.value.collect { case (id, wkb) if graft.functions.Wkb.containsPoint(wkb, x, y) => id }
+    }
+    points
+      .select(col("entity_id"), col("ts_us"),
+        zonesUdf(col("x"), col("y")).as("zones"))
+      .as[ZoneObs]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state is (last ts_us, sorted zone list) as a plain tuple — the
+        // tuple encoder is codegen-safe where a nested private case class
+        // is not (the runningLayerStats precedent)
+        (entity: Long, rows: Iterator[ZoneObs], state: GroupState[(Long, Seq[String])]) =>
+          val ordered = rows.toSeq.sortBy(_.ts_us)
+          var (curTs, curZones) = state.getOption.getOrElse((Long.MinValue, Seq.empty[String]))
+          val out = Seq.newBuilder[ZoneTransition]
+          ordered.foreach { o =>
+            if (o.ts_us > curTs) {
+              val prev = curZones.toSet
+              val now = o.zones.toSet
+              (now -- prev).toSeq.sorted.foreach(z =>
+                out += ZoneTransition(entity, o.ts_us, z, "enter"))
+              (prev -- now).toSeq.sorted.foreach(z =>
+                out += ZoneTransition(entity, o.ts_us, z, "exit"))
+              curTs = o.ts_us
+              curZones = now.toSeq.sorted
+            }
+          }
+          state.update((curTs, curZones))
+          out.result().iterator
+      }
+  }
+
   /** Streaming zonal statistics — [[geofenceAlerts]]'s stateless
     * broadcast-containment feed folded to a watermarked tumbling-window
     * per-zone aggregate (the EO monitoring product: per admin zone per

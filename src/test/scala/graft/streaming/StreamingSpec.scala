@@ -802,6 +802,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("geofence transitions: enter/exit edges across batches, overlap handled, late obs ignored") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // z0 = [0,40]^2, z1 = [30,70]x[0,40] — overlapping strip [30,40]
+    val fences = Seq(
+      ("z0", graft.functions.Wkb.polygon(Seq(Seq(
+        (0.0, 0.0), (40.0, 0.0), (40.0, 40.0), (0.0, 40.0), (0.0, 0.0))))),
+      ("z1", graft.functions.Wkb.polygon(Seq(Seq(
+        (30.0, 0.0), (70.0, 0.0), (70.0, 40.0), (30.0, 40.0), (30.0, 0.0))))))
+    val ms = MemoryStream[(Long, Long, Double, Double)]
+    val out = FeaturePipeline.geofenceTransitions(
+      ms.toDF().toDF("entity_id", "ts_us", "x", "y"), fences)
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("transition_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      // batch 1: entity 7 appears inside z0 only → enter z0
+      ms.addData((7L, 1000L, 5.0, 5.0))
+      q.processAllAvailable()
+      // batch 2: moves into the overlap strip → enter z1 (still in z0),
+      //          then out of z0 into z1-only → exit z0; a LATE obs (ts 500)
+      //          back at the start must be ignored
+      ms.addData((7L, 2000L, 35.0, 5.0), (7L, 3000L, 55.0, 5.0), (7L, 500L, 5.0, 5.0))
+      q.processAllAvailable()
+      // batch 3: leaves everything → exit z1
+      ms.addData((7L, 4000L, 500.0, 500.0))
+      q.processAllAvailable()
+      val rows = spark.table("transition_sink").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getString(3))).sortBy(t => (t._1, t._2))
+      assert(rows.toSeq == Seq(
+        (1000L, "z0", "enter"),
+        (2000L, "z1", "enter"),
+        (3000L, "z0", "exit"),
+        (4000L, "z1", "exit")), s"got ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("B33 v2: transformWithState StatefulProcessor accumulates across batches (RocksDB store)") {
     val orig = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
