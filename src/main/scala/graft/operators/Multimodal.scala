@@ -477,6 +477,8 @@ object Multimodal {
       val t = tag.getBytes("ISO-8859-1")
       be32(data.length.toLong) ++ t ++ data ++ be32(crc32(t, data))
     }
+    /** Public chunk writer (the metadata-planting side of [[PngStrip]]). */
+    def chunkFor(tag: String, data: Array[Byte]): Array[Byte] = chunk(tag, data)
 
     def build(width: Long, height: Long, colorType: Int, payload: Array[Byte]): Array[Byte] = {
       val ihdr = be32(width) ++ be32(height) ++
@@ -1076,6 +1078,85 @@ object Multimodal {
     def version89For(id: Long): Boolean = id % 2 == 0
   }
 
+  // ----------------------------------------------------- c6m_png_strip
+  /** PNG metadata strip — the privacy transform a media ingest runs
+    * before training (EXIF/author/location metadata must not reach the
+    * corpus): containers are built WITH planted ancillary chunks (a tEXt
+    * comment carrying the source tag and a 7-byte tIME), then
+    * [[PngCodec.strip]] walks the chunk list and keeps only the critical
+    * set (IHDR/PLTE/IDAT/IEND), re-verifying the IHDR CRC on the way.
+    * strip(buildWithMeta(x)) must byte-equal build(x) — asserted per row
+    * — and the removed byte count replays from the planted closed form.
+    *
+    * Scale posture: per-row mapPartitions byte work; one ≤2-row rollup.
+    */
+  object PngStrip {
+    private val Critical = Set("IHDR", "PLTE", "IDAT", "IEND")
+
+    /** Keeps only critical chunks; verifies the walk via [[PngCodec.parse]]
+      * loud-throw semantics (signature + IHDR CRC).
+      */
+    def strip(p: Array[Byte]): Array[Byte] = {
+      PngCodec.parse(p) // loud verification of signature + IHDR CRC
+      val buf = new java.io.ByteArrayOutputStream(p.length)
+      buf.write(p, 0, 8) // signature
+      var off = 8
+      while (off + 12 <= p.length) {
+        val len = ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        val tag = new String(p, off + 4, 4, "ISO-8859-1")
+        val total = 12 + len
+        if (Critical(tag)) buf.write(p, off, total)
+        off += total
+      }
+      buf.toByteArray
+    }
+  }
+
+  private val c6m = QuerySpec(
+    "c6m_png_strip",
+    "PNG metadata strip (the pre-training privacy transform): containers built with planted tEXt + tIME ancillary chunks, stripped back to the critical chunk set in mapPartitions with strip(buildWithMeta(x)) == build(x) asserted per row; per color-type rollup of exact removed-byte totals replaying the planted closed form.",
+    Some("""WITH m AS (SELECT doc_id, source,
+              CAST((doc_id % 2) * 2 AS BIGINT) AS color_type,
+              CAST(12 + 8 + length(source) + 12 + 7 AS BIGINT) AS removed
+              FROM documents)
+            SELECT color_type, COUNT(*) AS n,
+              CAST(SUM(removed) AS BIGINT) AS bytes_removed,
+              CAST(MIN(removed) AS BIGINT) AS min_removed,
+              CAST(MAX(removed) AS BIGINT) AS max_removed
+            FROM m GROUP BY color_type ORDER BY color_type"""),
+    (s, d) => {
+      import s.implicits._
+      val recs = Tables.documents(s, d)
+        .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, String, Array[Byte])]
+      recs.mapPartitions(_.map { case (id, source, payload) =>
+          val clean = PngCodec.build(PngCodec.widthFor(id), PngCodec.heightFor(id),
+            PngCodec.colorTypeFor(id), payload)
+          // plant a tEXt ("Comment\0" + source) and a 7-byte tIME chunk
+          // between IHDR and IDAT: rebuild with the same chunk writer
+          val sig = clean.slice(0, 8)
+          val ihdrTotal = 12 + 13
+          val ihdr = clean.slice(8, 8 + ihdrTotal)
+          val rest = clean.drop(8 + ihdrTotal)
+          val tData = ("Comment " + source).getBytes("ISO-8859-1")
+          val tChunk = PngCodec.chunkFor("tEXt", tData)
+          val timeChunk = PngCodec.chunkFor("tIME", Array[Byte](7, -56, 1, 1, 0, 0, 0))
+          val dirty = sig ++ ihdr ++ tChunk ++ timeChunk ++ rest
+          val stripped = PngStrip.strip(dirty)
+          require(java.util.Arrays.equals(stripped, clean),
+            s"strip(buildWithMeta) must equal build for doc $id")
+          (PngCodec.colorTypeFor(id).toLong, (dirty.length - stripped.length).toLong)
+        })
+        .toDF("color_type", "removed")
+        .groupBy($"color_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"removed").cast(LongType).as("bytes_removed"),
+          min($"removed").as("min_removed"), max($"removed").as("max_removed"))
+        .orderBy($"color_type")
+    }
+  )
+
   private val c6l = QuerySpec(
     "c6l_gif_header",
     "GIF logical screen descriptor extraction: a real GIF container built per record (87a/89a header by id parity, LE u16 dims, bit-packed GCT byte, deterministic palette, length-prefixed LZW sub-blocks), version/dims/GCT size/data bytes recovered by walking the blocks in mapPartitions with loud-throw verification; per GCT-bits rollup with exact totals — parse(build(x)) must equal the planted closed form.",
@@ -1124,5 +1205,5 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l)
+  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m)
 }

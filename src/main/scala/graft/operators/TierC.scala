@@ -514,6 +514,58 @@ object TierC {
     }
   )
 
+  // ------------------------------------- hubness census (c3_hubness)
+  /** k-occurrence (hubness) census — THE high-dimensional ANN pathology
+    * check: how often does each vector appear in other vectors' top-3
+    * lists? A heavy hub tail means a few points dominate every neighbor
+    * list (distances concentrating), which silently poisons kNN-graph
+    * dedup and retrieval; the census is read next to [[c3]]'s own top-3.
+    * Anti-hubs (k-occurrence 0) are counted via the right join back to
+    * the full vector set.
+    *
+    * Scale shape: the [[c3]] label-blocked pair join (never all-pairs),
+    * WindowGroupLimit top-3, then two partial-agg rollups — the neighbor
+    * count and the bounded occurrence histogram.
+    */
+  private val c3hb = QuerySpec(
+    "c3_hubness",
+    "ANN hubness census: k-occurrence histogram of the within-label cosine top-3 graph (how many vectors appear in 0, 1, 2, ... neighbor lists) — the distance-concentration pathology check; label-blocked join + WindowGroupLimit + two partial-agg rollups.",
+    Some(s"""WITH p AS (
+              SELECT a.vec_id AS ida, b.vec_id AS idb,
+                     (${dotChain("a", "b")}) AS dot,
+                     (${dotChain("a", "a")}) AS na2,
+                     (${dotChain("b", "b")}) AS nb2
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+            sc AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS score FROM p),
+            r AS (SELECT ida, idb,
+                    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rn
+                  FROM sc),
+            k AS (SELECT idb, CAST(COUNT(*) AS BIGINT) AS kocc FROM r WHERE rn <= 3 GROUP BY idb),
+            h AS (SELECT COALESCE(k.kocc, 0) AS kocc
+                  FROM embeddings e LEFT JOIN k ON k.idb = e.vec_id)
+            SELECT CAST(kocc AS BIGINT) AS kocc, COUNT(*) AS n
+            FROM h GROUP BY kocc ORDER BY kocc"""),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding",
+          dot($"embedding", $"embedding").as("n2")))
+      val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
+      val b = e.select($"vec_id".as("idb"), $"label".as("label_b"), $"embedding".as("eb"), $"n2".as("nb2"))
+      val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
+      val k = a.join(b, $"label" === $"label_b" && $"ida" =!= $"idb")
+        .withColumn("score", dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .groupBy($"idb").agg(count(lit(1)).as("kocc"))
+      e.select($"vec_id").join(k, $"vec_id" === $"idb", "left")
+        .select(coalesce($"kocc", lit(0L)).cast(LongType).as("kocc"))
+        .groupBy($"kocc").agg(count(lit(1)).as("n"))
+        .orderBy($"kocc")
+    }
+  )
+
   // ------------------------------ reciprocal-rank fusion (c5d_rrf)
   /** Reciprocal-rank fusion of the [[c5b]] BM25 and [[c5c]] QL-Dirichlet
     * top-10 lists — the standard hybrid-retrieval merge (Cormack et al.'s
@@ -802,5 +854,5 @@ object TierC {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c5d, c2me, c2bo, c1w)
+  val specs: Seq[QuerySpec] = Seq(c1, c2, c2pairs, c3, c3r, c4, c5, c5b, c5c, c5d, c3hb, c2me, c2bo, c1w)
 }
