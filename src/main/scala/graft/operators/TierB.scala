@@ -5483,8 +5483,61 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B118
+  /** Inter-purchase-interval profile — the CRM rhythm metric behind
+    * replenishment reminders and churn-risk windows: per customer (≥2
+    * orders), the count, min, exact NEAREST-RANK median, and max of the
+    * day gaps between consecutive orders. Ordering ties on the same day
+    * break on the order key, so the gap sequence is a total order; all
+    * values are exact integer days.
+    *
+    * Scale shape: ONE customer-keyed exchange feeds the date-lag window,
+    * the gap-rank window, and the per-customer rollup (customer keys grow
+    * with the data — never unpartitioned); the median is the rank-k gap
+    * selected by a conditional aggregate, not a second sort.
+    */
+  private val b118 = QuerySpec(
+    "b118_purchase_gaps",
+    "Inter-purchase intervals per customer (>=2 orders): count, min, exact nearest-rank median, max of consecutive-order day gaps — replenishment/churn rhythm; one customer-keyed exchange for lag + rank + rollup, all-integer.",
+    Some("""WITH o AS (SELECT o_custkey AS cust, o_orderkey AS okey,
+              CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+              FROM orders),
+            g AS (SELECT cust,
+                d - lag(d) OVER (PARTITION BY cust ORDER BY d, okey) AS gap
+              FROM o),
+            gg AS (SELECT cust, gap,
+                row_number() OVER (PARTITION BY cust ORDER BY gap, cust) AS rk,
+                COUNT(*) OVER (PARTITION BY cust) AS ng
+              FROM g WHERE gap IS NOT NULL)
+            SELECT cust, CAST(ng AS BIGINT) AS n_gaps,
+              CAST(MIN(gap) AS BIGINT) AS min_gap,
+              CAST(MIN(CASE WHEN rk = (ng + 1) // 2 THEN gap END) AS BIGINT) AS med_gap,
+              CAST(MAX(gap) AS BIGINT) AS max_gap
+            FROM gg GROUP BY cust, ng ORDER BY cust"""),
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select($"o_custkey".as("cust"), $"o_orderkey".as("okey"),
+        datediff($"o_orderdate".cast(DateType), to_date(lit("1970-01-01")))
+          .cast(LongType).as("d"))
+      val wLag = Window.partitionBy($"cust").orderBy($"d", $"okey")
+      val wRank = Window.partitionBy($"cust").orderBy($"gap", $"cust")
+      val wCnt = Window.partitionBy($"cust")
+      o.withColumn("gap", $"d" - lag($"d", 1).over(wLag))
+        .filter($"gap".isNotNull)
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("ng", count(lit(1)).over(wCnt))
+        .groupBy($"cust", $"ng")
+        .agg(min($"gap").cast(LongType).as("min_gap"),
+          min(when($"rk" === expr("(ng + 1) div 2"), $"gap")).cast(LongType).as("med_gap"),
+          max($"gap").cast(LongType).as("max_gap"))
+        .select($"cust", $"ng".cast(LongType).as("n_gaps"),
+          $"min_gap", $"med_gap", $"max_gap")
+        .orderBy($"cust")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
