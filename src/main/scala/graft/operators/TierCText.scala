@@ -3589,6 +3589,60 @@ object TierCText {
     }
   )
 
+  // ------------------------------- vocab coverage curve (c4_vocab_coverage)
+  /** Vocabulary-size coverage curve — the corpus-grain read behind the
+    * vocab-size decision ([[c4ov]] gives per-doc OOV at ONE size; this
+    * gives the whole curve): walking token frequencies from most to least
+    * common, how much of the corpus does a vocab of the first k types
+    * cover? Computed on the count-of-counts table (tokens grouped by
+    * frequency — the [[c4gt]] Good-Turing frame), where the curve is
+    * EXACT at every frequency boundary: cum_vocab types cover cum_tokens
+    * occurrences regardless of within-frequency orderings. All integers;
+    * coverage is one exact ppm division.
+    *
+    * Scale shape: token rollup → frequency rollup (both partial-agged);
+    * the cumulative window runs over the count-of-counts table, bounded
+    * by the number of DISTINCT frequencies (O(√corpus) by Heaps/Zipf —
+    * the declared-bounded c4_good_turing frame); 1-row total broadcast.
+    */
+  private val c4vc = QuerySpec(
+    "c4_vocab_coverage",
+    "Vocabulary coverage curve: per distinct token frequency (desc), cumulative types and exact-ppm corpus coverage — the vocab-size decision curve; token + count-of-counts partial aggs, cumulative window over the bounded frequency table, 1-row total broadcast.",
+    Some("""WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+              FROM documents),
+            f AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+            cc AS (SELECT cnt AS f, COUNT(*) AS n_types FROM f GROUP BY cnt),
+            n AS (SELECT SUM(f * n_types) AS total FROM cc),
+            w AS (SELECT f, n_types,
+                CAST(SUM(n_types) OVER (ORDER BY f DESC) AS BIGINT) AS cum_vocab,
+                CAST(SUM(f * n_types) OVER (ORDER BY f DESC) AS BIGINT) AS cum_tokens
+              FROM cc)
+            SELECT CAST(w.f AS BIGINT) AS f, CAST(w.n_types AS BIGINT) AS n_types,
+              w.cum_vocab, w.cum_tokens,
+              CAST((w.cum_tokens * 1000000) // n.total AS BIGINT) AS coverage_ppm
+            FROM w CROSS JOIN n ORDER BY f DESC"""),
+    (s, d) => {
+      import s.implicits._
+      val f = Tables.documents(s, d)
+        .select(explode(toksCol).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      val cc = f.groupBy($"cnt".as("f")).agg(count(lit(1)).as("n_types"))
+      val n = cc.agg(sum($"f" * $"n_types").as("total"))
+      // cumulative over the count-of-counts table only: bounded by the
+      // number of distinct frequencies (the c4_good_turing frame)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"f".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      cc.crossJoin(broadcast(n))
+        .select($"f".cast(LongType).as("f"), $"n_types".cast(LongType).as("n_types"),
+          sum($"n_types").over(w).cast(LongType).as("cum_vocab"),
+          sum($"f" * $"n_types").over(w).cast(LongType).as("cum_tokens"),
+          $"total")
+        .select($"f", $"n_types", $"cum_vocab", $"cum_tokens",
+          expr("(cum_tokens * 1000000) div total").cast(LongType).as("coverage_ppm"))
+        .orderBy($"f".desc)
+    }
+  )
+
   // ------------------------------------------------ OOV rate (c4_oov)
   /** Out-of-vocabulary rate per document against the corpus top-1000
     * vocab — the coverage check run before committing to a vocab size
@@ -3636,5 +3690,5 @@ object TierCText {
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov, c4kw)
+      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc)
 }
