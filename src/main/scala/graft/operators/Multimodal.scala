@@ -1205,5 +1205,263 @@ object Multimodal {
     }
   )
 
-  val specs: Seq[QuerySpec] = Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m)
+  // ----------------------------------------------------- c6n_mp4_boxes
+  /** ISO-BMFF (MP4) box walk — the video-container transpose of the
+    * [[WavCodec]] RIFF and [[PngCodec]] chunk walks: build a REAL MP4
+    * skeleton per record (`ftyp` with planted major brand, `moov`
+    * containing a spec-layout 100-byte `mvhd` v0 with big-endian u32
+    * timescale/duration, `mdat` carrying the payload), then recover
+    * brand, timescale, duration, and mdat size by genuinely walking the
+    * top-level box list — including the 64-bit `largesize == 1` escape
+    * (parsed, exercised by MultimodalSpec) and the nested moov→mvhd
+    * descent with version-1 (u64 duration) support. Exact integer
+    * duration: ms = duration·1000 // timescale. parse(build(x)) must
+    * equal the planted closed form (the c6d/c6e/c6f discipline).
+    *
+    * Scale posture: build and parse are per-row mapPartitions byte work;
+    * the only shuffle is the ≤6-row (brand × timescale) rollup.
+    */
+  object Mp4Codec {
+    private def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def rd32(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    private def rd64(p: Array[Byte], o: Int): Long =
+      (rd32(p, o) << 32) | rd32(p, o + 4)
+    private def tag4(p: Array[Byte], o: Int): String =
+      new String(p, o, 4, "ISO-8859-1")
+    private def box(tag: String, data: Array[Byte]): Array[Byte] =
+      be32(8L + data.length) ++ tag.getBytes("ISO-8859-1") ++ data
+
+    def build(brand: String, timescale: Long, duration: Long, payload: Array[Byte]): Array[Byte] = {
+      require(brand.length == 4, "major brand is a 4CC")
+      val ftyp = box("ftyp",
+        brand.getBytes("ISO-8859-1") ++ be32(0) ++ "isom".getBytes("ISO-8859-1"))
+      // mvhd v0 body is exactly 100 bytes: ver/flags, ctime, mtime,
+      // timescale, duration, then rate/volume/reserved/matrix/predefined/
+      // next_track_id — zeroed here, but the LENGTH is the spec's
+      val mvhd = box("mvhd",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(timescale) ++ be32(duration) ++ new Array[Byte](80))
+      ftyp ++ box("moov", mvhd) ++ box("mdat", payload)
+    }
+
+    final case class Mp4Meta(
+        brand: String, timescale: Long, duration: Long,
+        mdatBytes: Long, nBoxes: Long)
+
+    /** Top-level box walk + moov→mvhd descent; loud-throw discipline. */
+    def parse(p: Array[Byte]): Mp4Meta = {
+      var off = 0L
+      var brand: Option[String] = None
+      var tsDur: Option[(Long, Long)] = None
+      var mdat = 0L
+      var n = 0L
+      while (off + 8 <= p.length) {
+        val o = off.toInt
+        var size = rd32(p, o)
+        var hdr = 8L
+        if (size == 1) { size = rd64(p, o + 8); hdr = 16L } // largesize escape
+        require(size >= hdr && off + size <= p.length, s"bad box size $size at $off")
+        tag4(p, o + 4) match {
+          case "ftyp" => brand = Some(tag4(p, (off + hdr).toInt))
+          case "moov" =>
+            var co = off + hdr
+            val end = off + size
+            while (co + 8 <= end) {
+              val c = co.toInt
+              val csz = rd32(p, c)
+              require(csz >= 8 && co + csz <= end, s"bad child box size $csz")
+              if (tag4(p, c + 4) == "mvhd") {
+                val ver = p(c + 8) & 0xff
+                tsDur = Some(
+                  if (ver == 0) (rd32(p, c + 20), rd32(p, c + 24))
+                  else (rd32(p, c + 28), rd64(p, c + 32))) // v1: u64 times
+              }
+              co += csz
+            }
+          case "mdat" => mdat += size - hdr
+          case _ => () // free/skip/uuid boxes are legal; walk past
+        }
+        n += 1
+        off += size
+      }
+      val (ts, dur) = tsDur.getOrElse(throw new IllegalArgumentException("no mvhd"))
+      Mp4Meta(brand.getOrElse(throw new IllegalArgumentException("no ftyp")),
+        ts, dur, mdat, n)
+    }
+
+    def brandFor(id: Long): String = if (id % 2 == 0) "isom" else "mp42"
+    def timescaleFor(id: Long): Long = (id % 3) match {
+      case 0 => 600L; case 1 => 1000L; case _ => 90000L
+    }
+    def durationFor(id: Long): Long = 1000L + id % 100000
+  }
+
+  private val c6n = QuerySpec(
+    "c6n_mp4_boxes",
+    "ISO-BMFF (MP4) metadata extraction: a real box skeleton built per record (ftyp brand, moov>mvhd v0 with big-endian timescale/duration, mdat payload), recovered by genuinely walking the top-level boxes (incl. 64-bit largesize escape) and descending into moov in mapPartitions; per (brand, timescale) rollup with exact integer-ms durations — parse(build(x)) must equal the planted closed form.",
+    Some("""WITH m AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS timescale,
+              CAST(1000 + doc_id % 100000 AS BIGINT) AS duration,
+              CAST(length(text) AS BIGINT) AS mdat_bytes
+              FROM documents),
+            t AS (SELECT doc_id, brand, timescale, mdat_bytes,
+              CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms
+              FROM m)
+            SELECT brand, timescale, COUNT(*) AS n,
+              CAST(SUM(mdat_bytes) AS BIGINT) AS total_mdat,
+              CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+              CAST(MAX(duration_ms) AS BIGINT) AS max_duration_ms
+            FROM t GROUP BY brand, timescale ORDER BY brand, timescale"""),
+    (s, d) => {
+      import s.implicits._
+      val mp4s = Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          (id, Mp4Codec.build(Mp4Codec.brandFor(id), Mp4Codec.timescaleFor(id),
+            Mp4Codec.durationFor(id), payload))
+        })
+      mp4s
+        .mapPartitions(_.map { case (id, p) =>
+          val m = Mp4Codec.parse(p)
+          (id, m.brand, m.timescale, m.mdatBytes, m.duration * 1000L / m.timescale)
+        })
+        .toDF("media_id", "brand", "timescale", "mdat_bytes", "duration_ms")
+        .groupBy($"brand", $"timescale")
+        .agg(count(lit(1)).as("n"),
+          sum($"mdat_bytes").cast(LongType).as("total_mdat"),
+          sum($"duration_ms").cast(LongType).as("total_duration_ms"),
+          max($"duration_ms").as("max_duration_ms"))
+        .orderBy($"brand", $"timescale")
+    }
+  )
+
+  // ----------------------------------------------------- c6o_jpeg_sof
+  /** JPEG marker walk — the third byte-order regime in the codec family
+    * (PNG: big-endian chunk list; WAV/GIF/TIFF: little-endian; JPEG:
+    * big-endian MARKER stream where segment length INCLUDES its own two
+    * bytes): build a real JPEG skeleton per record (SOI, JFIF APP0, a COM
+    * segment carrying the payload, SOF0 with planted height/width u16 and
+    * 1 or 3 components with genuine sampling-factor bytes, EOI), then
+    * recover precision/height/width/components by walking markers to the
+    * SOF0 — accepting any SOF0–SOF15 except the DHT/JPG/DAC exclusions,
+    * exactly as a real decoder's dimension probe does. parse(build(x))
+    * must equal the planted closed form.
+    *
+    * The COM payload is capped at 60000 bytes (segment length is u16 and
+    * includes itself) — enforced at build, replayed as least() in the
+    * oracle.
+    *
+    * Scale posture: per-row mapPartitions byte work; one ≤2-row rollup.
+    */
+  object JpegCodec {
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def rd16(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    private def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be16(data.length + 2) ++ data
+
+    val ComCap = 60000
+
+    def build(width: Int, height: Int, nComp: Int, payload: Array[Byte]): Array[Byte] = {
+      require(nComp == 1 || nComp == 3, "grayscale or YCbCr")
+      val app0 = seg(0xe0, "JFIF\u0000".getBytes("ISO-8859-1") ++
+        Array[Byte](1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0))
+      val com = seg(0xfe, payload.take(ComCap))
+      val comps = (1 to nComp).flatMap(c => Array(c.toByte,
+        (if (c == 1) 0x22 else 0x11).toByte, // luma 2x2, chroma 1x1
+        (if (c == 1) 0 else 1).toByte)).toArray
+      val sof = seg(0xc0, Array(8.toByte) ++ be16(height) ++ be16(width) ++
+        Array(nComp.toByte) ++ comps)
+      Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ com ++ sof ++
+        Array(0xff.toByte, 0xd9.toByte)
+    }
+
+    final case class JpegMeta(
+        precision: Int, width: Int, height: Int, nComp: Int,
+        comBytes: Long, nSegments: Long)
+
+    /** Marker walk to SOF; loud-throw on lost sync or missing SOF. */
+    def parse(p: Array[Byte]): JpegMeta = {
+      require(p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8,
+        "not a JPEG SOI")
+      var off = 2
+      var meta: Option[(Int, Int, Int, Int)] = None
+      var com = 0L
+      var segs = 0L
+      var done = false
+      while (!done && off + 2 <= p.length) {
+        require((p(off) & 0xff) == 0xff, s"marker sync lost at $off")
+        val m = p(off + 1) & 0xff
+        if (m == 0xd9) { done = true; off += 2 } // EOI
+        else {
+          val len = rd16(p, off + 2) // includes its own 2 bytes
+          require(len >= 2 && off + 2 + len <= p.length, s"bad segment length $len")
+          segs += 1
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            meta = Some((p(off + 4) & 0xff, rd16(p, off + 7), rd16(p, off + 5),
+              p(off + 9) & 0xff))
+          } else if (m == 0xfe) com += len - 2
+          off += 2 + len
+        }
+      }
+      val (prec, w, h, nc) =
+        meta.getOrElse(throw new IllegalArgumentException("no SOF segment"))
+      JpegMeta(prec, w, h, nc, com, segs)
+    }
+
+    def widthFor(id: Long): Int = (32L + id % 2000).toInt
+    def heightFor(id: Long): Int = (32L + id % 1200).toInt
+    def nCompFor(id: Long): Int = (1L + 2 * (id % 2)).toInt
+  }
+
+  private val c6o = QuerySpec(
+    "c6o_jpeg_sof",
+    "JPEG SOF metadata extraction: a real marker stream built per record (SOI, JFIF APP0, COM carrying the payload capped at the u16 segment limit, SOF0 with planted u16 height/width and 1/3 components, EOI), dimensions recovered by genuinely walking markers to the SOF in mapPartitions; per component-count rollup — parse(build(x)) must equal the planted closed form.",
+    Some("""WITH m AS (SELECT doc_id,
+              CAST(32 + doc_id % 2000 AS BIGINT) AS width,
+              CAST(32 + doc_id % 1200 AS BIGINT) AS height,
+              CAST(1 + 2 * (doc_id % 2) AS BIGINT) AS n_comp,
+              CAST(least(length(text), 60000) AS BIGINT) AS com_bytes
+              FROM documents)
+            SELECT n_comp, COUNT(*) AS n,
+              CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+              CAST(MAX(width) AS BIGINT) AS max_width,
+              CAST(MAX(height) AS BIGINT) AS max_height,
+              CAST(SUM(com_bytes) AS BIGINT) AS total_com,
+              CAST(COUNT(*) * 3 AS BIGINT) AS total_segments
+            FROM m GROUP BY n_comp ORDER BY n_comp"""),
+    (s, d) => {
+      import s.implicits._
+      val jpegs = Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          (id, JpegCodec.build(JpegCodec.widthFor(id), JpegCodec.heightFor(id),
+            JpegCodec.nCompFor(id), payload))
+        })
+      jpegs
+        .mapPartitions(_.map { case (id, p) =>
+          val m = JpegCodec.parse(p)
+          (id, m.width.toLong, m.height.toLong, m.nComp.toLong, m.comBytes, m.nSegments)
+        })
+        .toDF("media_id", "width", "height", "n_comp", "com_bytes", "n_segments")
+        .groupBy($"n_comp")
+        .agg(count(lit(1)).as("n"),
+          sum($"width" * $"height").cast(LongType).as("total_pixels"),
+          max($"width").as("max_width"), max($"height").as("max_height"),
+          sum($"com_bytes").cast(LongType).as("total_com"),
+          sum($"n_segments").cast(LongType).as("total_segments"))
+        .orderBy($"n_comp")
+    }
+  )
+
+  val specs: Seq[QuerySpec] =
+    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o)
 }

@@ -5536,8 +5536,106 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B119
+  /** Lead–lag cross-correlation profile — the time-series companion to
+    * [[b89]]'s AUTOcorrelation: for every ordered pair of event types,
+    * Pearson r between type A's daily count series and type B's shifted
+    * by lag L ∈ [−7, +7], reporting the lag that maximizes r (ties →
+    * smallest lag) plus the lag-0 correlation — the "does signups lead
+    * purchases by N days?" diagnostic every product-analytics stack ships
+    * (a.k.a. the sample cross-correlation function, Box–Jenkins).
+    *
+    * Exactness: the corpus collapses ONCE to exact BIGINT daily counts on
+    * a zero-densified (type × day) grid (missing days are real zeros, not
+    * absent rows — absence would silently shrink n per lag); all five
+    * Pearson sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are BIGINT;
+    * the one IEEE chain (two exactly-rounded sqrts, one multiply, one
+    * divide) is written with identical association in both engines and
+    * floor-quantized at 1e-6. Zero-variance windows yield NULL (ordered
+    * NULLS LAST on both sides).
+    *
+    * Scale shape: the (type, day) rollup is the only corpus-scan (one
+    * partial-agged shuffle); the grid densify, the 15-lag self-join, and
+    * the argmax window all run on |types|·|days| rows — thousands at any
+    * corpus size. The grid frame is persisted once and reused by both
+    * join sides.
+    */
+  private val b119 = QuerySpec(
+    "b119_leadlag",
+    "Lead-lag cross-correlation: per ordered event-type pair, Pearson r between daily counts at lags -7..7 on a zero-densified day grid (BIGINT sufficient statistics, identical sqrt-chain quantized at 1e-6), best lag by (r desc, lag), plus lag-0 r — corpus collapses once to the (type, day) rollup.",
+    Some("""WITH e AS (SELECT event_type AS t,
+              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+            pc AS (SELECT t, day, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY t, day),
+            days AS (SELECT DISTINCT day FROM pc),
+            types AS (SELECT DISTINCT t FROM pc),
+            g AS (SELECT types.t, days.day, CAST(COALESCE(pc.c, 0) AS BIGINT) AS c
+              FROM types CROSS JOIN days
+              LEFT JOIN pc ON pc.t = types.t AND pc.day = days.day),
+            lags AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lg),
+            j AS (SELECT a.t AS ta, b.t AS tb, l.lg,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+                CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+                CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+                CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+              FROM lags l
+              CROSS JOIN g a
+              JOIN g b ON b.day = a.day + l.lg AND b.t <> a.t
+              GROUP BY a.t, b.t, l.lg),
+            r AS (SELECT ta, tb, lg, n,
+                CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+                  CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+                ELSE NULL END AS r_e6
+              FROM j),
+            best AS (SELECT ta, tb, lg, n, r_e6,
+                row_number() OVER (PARTITION BY ta, tb
+                  ORDER BY r_e6 DESC NULLS LAST, lg) AS rn FROM r)
+            SELECT b.ta AS type_a, b.tb AS type_b, b.lg AS best_lag,
+              b.n AS n_days, b.r_e6 AS r_best_e6, z.r_e6 AS r0_e6
+            FROM best b JOIN r z ON z.ta = b.ta AND z.tb = b.tb AND z.lg = 0
+            WHERE b.rn = 1 ORDER BY type_a, type_b"""),
+    (s, d) => {
+      import s.implicits._
+      val pc = CacheRegistry.persist(Tables.events(s, d)
+        .select($"event_type".as("t"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy($"t", $"day").agg(count(lit(1)).as("c")))
+      val days = pc.select($"day").distinct()
+      val types = pc.select($"t").distinct()
+      val g = CacheRegistry.persist(broadcast(types).crossJoin(days)
+        .join(pc.select($"t", $"day", $"c".as("c0")), Seq("t", "day"), "left")
+        .select($"t", $"day", coalesce($"c0", lit(0L)).as("c")))
+      val lags = s.range(-7L, 8L).toDF("lg")
+      val j = g.as("a").crossJoin(broadcast(lags))
+        .join(g.as("b"),
+          col("b.day") === col("a.day") + col("lg") && col("b.t") =!= col("a.t"))
+        .groupBy(col("a.t").as("ta"), col("b.t").as("tb"), col("lg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a.c")).as("sx"), sum(col("b.c")).as("sy"),
+          sum(col("a.c") * col("b.c")).as("sxy"),
+          sum(col("a.c") * col("a.c")).as("sxx"),
+          sum(col("b.c") * col("b.c")).as("syy"))
+      val r = CacheRegistry.persist(j.select($"ta", $"tb", $"lg", $"n",
+        expr("""CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+            CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+          ELSE NULL END""").as("r_e6")))
+      r.withColumn("rn", row_number().over(
+          Window.partitionBy($"ta", $"tb").orderBy($"r_e6".desc_nulls_last, $"lg")))
+        .filter($"rn" === 1)
+        .join(r.filter($"lg" === 0).select($"ta", $"tb", $"r_e6".as("r0_e6")),
+          Seq("ta", "tb"))
+        .select($"ta".as("type_a"), $"tb".as("type_b"), $"lg".as("best_lag"),
+          $"n".as("n_days"), $"r_e6".as("r_best_e6"), $"r0_e6")
+        .orderBy($"type_a", $"type_b")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -3686,9 +3686,216 @@ object TierCText {
     }
   )
 
+  // ------------------------------ Kneser–Ney held-out scorer (c4kn)
+  /** Interpolated Kneser–Ney bigram scoring on the held-out split — the
+    * smoothing that actually ships in n-gram LMs (Kneser & Ney 1995;
+    * Chen & Goodman 1999 found it dominant): unlike [[c4sb]]'s Stupid
+    * Backoff (raw unigram fallback), KN backs off to the CONTINUATION
+    * probability P_cont(w) = N1+(·,w)/N1+(·,·) — how many distinct
+    * contexts w follows, not how often w occurs — which is why "francisco"
+    * (frequent but only after "san") stops leaking probability. Fixed
+    * discount d=0.75 (the Chen–Goodman default):
+    * P(w|v) = (c(v,w)-d)/c(v) + d·N1+(v,·)/c(v) · P_cont(w), with the
+    * context-unseen path P_cont(w) alone and a 1e-9 floor when w never
+    * continues anything. Train = the md5-first-hex {0,1} EIGHTH of the
+    * docs, score = the rest — deliberately smaller than [[c4sb]]'s half
+    * split because this closed-vocab corpus saturates fast: the half
+    * split leaves 6 interpolation-branch instances at sf0.01, the eighth
+    * split 981, so the branch the smoothing exists for is actually
+    * exercised (the unseen-context / OOV floors cannot fire on a
+    * saturated vocab; TextStatsSpec pins them on a synthetic frame).
+    *
+    * Exactness: all five inputs (c(v,w), c(v), N1+(v,·), N1+(·,w),
+    * N1+(·,·)) are exact BIGINT rollups of the bigram-type table; the one
+    * IEEE chain (two divisions, one multiply, one add, one ln) is written
+    * with identical association in both engines and floor-quantized at
+    * 1e-6 PER INSTANCE so per-doc sums are order-free (the c4u
+    * discipline).
+    *
+    * Scale shape: the bigram-TYPE table is Heaps-law bounded (far smaller
+    * than the corpus); ctx/cont/total are partial-agged rollups OF that
+    * table, so the expensive object is the same one shuffle c4sb already
+    * pays. Scoring is posting-list equi-joins (Zipf-head skew AQE-split
+    * like c4u/c4bg); the single-row N1+(·,·) frame rides a broadcast.
+    */
+  private val c4kn = QuerySpec(
+    "c4_kneser_ney",
+    "Interpolated Kneser–Ney bigram held-out scorer: continuation-count backoff P_cont(w)=N1+(.,w)/N1+(.,.), fixed d=0.75, context-unseen and OOV floor branches, per-instance 1e-6 quantization — per-doc NLL + branch censuses; all counts exact BIGINT rollups of the Heaps-bounded bigram-type table.",
+    Some("""WITH tr AS (SELECT text FROM documents
+              WHERE substring(md5(text), 1, 1) IN ('0','1')),
+            sc AS (SELECT doc_id, text FROM documents
+              WHERE substring(md5(text), 1, 1) NOT IN ('0','1')),
+            trb AS (SELECT p.v AS v, p.w AS w FROM (
+              SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {'v': toks[i], 'w': toks[i+1]})) AS p FROM (
+              SELECT list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM tr)
+              WHERE len(toks) >= 2)),
+            cb AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cvw FROM trb GROUP BY v, w),
+            ctx AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv,
+              CAST(COUNT(*) AS BIGINT) AS n1v FROM cb GROUP BY v),
+            cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM cb GROUP BY w),
+            nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM cb),
+            scb AS (SELECT doc_id, p.v AS v, p.w AS w FROM (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {'v': toks[i], 'w': toks[i+1]})) AS p FROM (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks FROM sc)
+              WHERE len(toks) >= 2)),
+            j AS (SELECT g.doc_id, cb.cvw, ctx.cv, ctx.n1v, cont.n1w,
+                CAST(floor(ln(CASE
+                  WHEN cb.cvw IS NOT NULL THEN
+                    (CAST(cb.cvw AS DOUBLE) - 0.75) / CAST(ctx.cv AS DOUBLE)
+                    + (0.75 * CAST(ctx.n1v AS DOUBLE) / CAST(ctx.cv AS DOUBLE))
+                      * (CAST(cont.n1w AS DOUBLE) / CAST(nbt.nb AS DOUBLE))
+                  WHEN ctx.cv IS NOT NULL AND cont.n1w IS NOT NULL THEN
+                    (0.75 * CAST(ctx.n1v AS DOUBLE) / CAST(ctx.cv AS DOUBLE))
+                      * (CAST(cont.n1w AS DOUBLE) / CAST(nbt.nb AS DOUBLE))
+                  WHEN cont.n1w IS NOT NULL THEN
+                    CAST(cont.n1w AS DOUBLE) / CAST(nbt.nb AS DOUBLE)
+                  ELSE 0.000000001 END) * 1000000.0) AS BIGINT) AS mlp
+              FROM scb g
+              LEFT JOIN cb ON cb.v = g.v AND cb.w = g.w
+              LEFT JOIN ctx ON ctx.v = g.v
+              LEFT JOIN cont ON cont.w = g.w
+              CROSS JOIN nbt)
+            SELECT doc_id, COUNT(*) AS n_big,
+              CAST(SUM(CASE WHEN cvw IS NULL AND cv IS NOT NULL AND n1w IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
+              CAST(SUM(CASE WHEN cv IS NULL AND n1w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_unseen,
+              CAST(SUM(CASE WHEN n1w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              CAST(-SUM(mlp) AS BIGINT) AS nll_sum_e6,
+              CAST(floor(CAST(-SUM(mlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_nll_e6
+            FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val isTrain = substring(md5($"text"), 1, 1)
+        .isin("0", "1")
+      def bigrams(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = df
+        .select(cols :+ toksCol.as("toks"): _*)
+        .filter(size($"toks") >= 2) // the c4bg phantom-bigram guard
+        .select(cols :+ explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => struct(element_at($"toks", i).as("v"),
+            element_at($"toks", i + 1).as("w")))).as("p"): _*)
+        .select(cols :+ $"p.v".as("v") :+ $"p.w".as("w"): _*)
+      val cb = CacheRegistry.persist(bigrams(docs.filter(isTrain))
+        .groupBy($"v", $"w").agg(count(lit(1)).as("cvw")))
+      val ctx = cb.groupBy($"v").agg(sum($"cvw").as("cv"), count(lit(1)).as("n1v"))
+      val cont = cb.groupBy($"w").agg(count(lit(1)).as("n1w"))
+      val nbt = cb.agg(count(lit(1)).as("nb"))
+      bigrams(docs.filter(!isTrain), $"doc_id")
+        .join(cb, Seq("v", "w"), "left")
+        .join(ctx, Seq("v"), "left")
+        .join(cont, Seq("w"), "left")
+        .crossJoin(broadcast(nbt))
+        .select($"doc_id", $"cvw", $"cv", $"n1w",
+          expr("""CAST(floor(ln(CASE
+            WHEN cvw IS NOT NULL THEN
+              (CAST(cvw AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE)
+              + (0.75 * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE))
+                * (CAST(n1w AS DOUBLE) / CAST(nb AS DOUBLE))
+            WHEN cv IS NOT NULL AND n1w IS NOT NULL THEN
+              (0.75 * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE))
+                * (CAST(n1w AS DOUBLE) / CAST(nb AS DOUBLE))
+            WHEN n1w IS NOT NULL THEN
+              CAST(n1w AS DOUBLE) / CAST(nb AS DOUBLE)
+            ELSE 0.000000001 END) * 1000000.0) AS BIGINT)""").as("mlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          sum(when($"cvw".isNull && $"cv".isNotNull && $"n1w".isNotNull, 1L)
+            .otherwise(0L)).as("n_interp"),
+          sum(when($"cv".isNull && $"n1w".isNotNull, 1L).otherwise(0L)).as("n_ctx_unseen"),
+          sum(when($"n1w".isNull, 1L).otherwise(0L)).as("n_oov"),
+          (-sum($"mlp")).cast(LongType).as("nll_sum_e6"))
+        .select($"doc_id", $"n_big", $"n_interp", $"n_ctx_unseen", $"n_oov", $"nll_sum_e6",
+          floor($"nll_sum_e6".cast(DoubleType) / $"n_big".cast(DoubleType))
+            .cast(LongType).as("avg_nll_e6"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // --------------------------- two-sample KS drift census (c4ks)
+  /** Leave-one-out Kolmogorov–Smirnov drift test on document length —
+    * the distribution-shift detector a corpus-intake pipeline runs per
+    * source (is THIS feed's length profile different from the rest of
+    * the corpus?), complementing [[c4kl]]'s token-level KL: KS is
+    * non-parametric over the raw value CDF, so it catches truncation,
+    * padding, and bimodality that token frequencies miss. For each
+    * source S: D = max_x |F_S(x) − F_rest(x)| over the union support,
+    * reported with the x attaining it (ties → smallest x).
+    *
+    * Exactness: ALL integer — the max is taken over the exact integer
+    * numerator |cum_S·n_rest − cum_rest·n_S| (common denominator
+    * n_S·n_rest cleared), argmax ties broken by x, and the final ratio
+    * is one BIGINT integer division at 1e-6. No IEEE anywhere.
+    *
+    * Scale shape: the corpus collapses ONCE to the (source, x) count
+    * table (partial-agged; |sources|·|distinct x| rows — value domain
+    * bounded, so this is tiny at any corpus size); the source×grid
+    * densify, cumulative windows (partitioned per source over the
+    * bounded grid), and argmax all run on that rollup. At 100 TB with an
+    * unbounded value domain you'd bucket x first — the rollup IS the
+    * bucketing hook.
+    */
+  private val c4ks = QuerySpec(
+    "c4_ks_drift",
+    "Leave-one-out two-sample Kolmogorov–Smirnov drift on doc length per source: D numerator max|cum_s*n_rest - cum_rest*n_s| over the union grid (all-BIGINT, ties to smallest x), argmax x, and ks_e6 by one integer division — corpus collapses once to the bounded (source, x) count table.",
+    Some("""WITH pc AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+              CAST(COUNT(*) AS BIGINT) AS dsrc
+              FROM documents GROUP BY source, n_chars),
+            grid AS (SELECT x, CAST(SUM(dsrc) AS BIGINT) AS dall FROM pc GROUP BY x),
+            srcs AS (SELECT source, CAST(SUM(dsrc) AS BIGINT) AS n_src FROM pc GROUP BY source),
+            tot AS (SELECT CAST(SUM(dsrc) AS BIGINT) AS n_all FROM pc),
+            g AS (SELECT s.source, s.n_src, grid.x, grid.dall,
+              CAST(COALESCE(pc.dsrc, 0) AS BIGINT) AS dsrc
+              FROM srcs s CROSS JOIN grid
+              LEFT JOIN pc ON pc.source = s.source AND pc.x = grid.x),
+            c AS (SELECT source, n_src, x,
+              CAST(SUM(dsrc) OVER (PARTITION BY source ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+              CAST(SUM(dall) OVER (PARTITION BY source ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca
+              FROM g),
+            k AS (SELECT c.source, c.n_src, (tot.n_all - c.n_src) AS n_rest, c.x,
+              CAST(abs(c.cs * (tot.n_all - c.n_src) - (c.ca - c.cs) * c.n_src) AS BIGINT) AS dn
+              FROM c CROSS JOIN tot),
+            r AS (SELECT source, n_src, n_rest, x, dn,
+              row_number() OVER (PARTITION BY source ORDER BY dn DESC, x) AS rn FROM k)
+            SELECT source, n_src, n_rest, dn AS d_num, x AS d_at,
+              CAST(dn * 1000000 // (n_src * n_rest) AS BIGINT) AS ks_e6
+            FROM r WHERE rn = 1 ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pc = CacheRegistry.persist(Tables.documents(s, d)
+        .groupBy($"source", $"n_chars".cast(LongType).as("x"))
+        .agg(count(lit(1)).as("dsrc")))
+      val grid = pc.groupBy($"x").agg(sum($"dsrc").as("dall"))
+      val srcs = pc.groupBy($"source").agg(sum($"dsrc").as("n_src"))
+      val tot = pc.agg(sum($"dsrc").as("n_all"))
+      val wCum = Window.partitionBy($"source").orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = broadcast(srcs).crossJoin(grid)
+        .join(pc.select($"source", $"x", $"dsrc".as("d0")), Seq("source", "x"), "left")
+        .select($"source", $"n_src", $"x", $"dall",
+          coalesce($"d0", lit(0L)).as("dsrc"))
+      g.withColumn("cs", sum($"dsrc").over(wCum))
+        .withColumn("ca", sum($"dall").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select($"source", $"n_src", ($"n_all" - $"n_src").as("n_rest"), $"x",
+          abs($"cs" * ($"n_all" - $"n_src") - ($"ca" - $"cs") * $"n_src")
+            .cast(LongType).as("dn"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"dn".desc, $"x")))
+        .filter($"rn" === 1)
+        .select($"source", $"n_src", $"n_rest", $"dn".as("d_num"), $"x".as("d_at"),
+          expr("dn * 1000000 div (n_src * n_rest)").cast(LongType).as("ks_e6"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc)
+      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks)
 }

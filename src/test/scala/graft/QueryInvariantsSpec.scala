@@ -631,4 +631,54 @@ class QueryInvariantsSpec extends AnyFunSuite {
         s"order ($c, $d) in $gp/$gm neither on nor under the front")
     }
   }
+
+  test("c4_kneser_ney branch censuses partition n_big and the interp branch fires") {
+    val rows = run("c4_kneser_ney").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBig, nInterp, nCtx, nOov) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (nll, avg) = (r.getLong(5), r.getLong(6))
+      assert(nInterp + nCtx + nOov <= nBig, "branch counts exceed bigram count")
+      assert(nll > 0L, "every KN probability is < 1, so NLL must be positive")
+      assert(avg == math.floor(nll.toDouble / nBig.toDouble).toLong,
+        "avg must be the floored per-doc mean of the quantized sum")
+    }
+    // the eighth train split exists exactly so this is non-zero: a refactor
+    // that silently stops firing the continuation-interpolation branch
+    // (e.g. a join key typo making every bigram 'seen') must fail here
+    assert(rows.map(_.getLong(2)).sum > 0L, "interp branch never fired")
+  }
+
+  test("c4_ks_drift: D is a valid normalized sup-distance and sides sum to the corpus") {
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val rows = run("c4_ks_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSrc, nRest, dNum, ks) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(nSrc + nRest == nDocs, "leave-one-out sides must sum to the corpus")
+      assert(dNum >= 0L && dNum <= nSrc * nRest, "D numerator outside [0, n_src*n_rest]")
+      assert(ks >= 0L && ks <= 1000000L, "KS statistic outside [0, 1]")
+      assert(ks == dNum * 1000000L / (nSrc * nRest), "ks_e6 must be the integer quotient")
+    }
+  }
+
+  test("b119_leadlag: r bounded, best dominates lag-0, ordered pairs complete") {
+    val rows = run("b119_leadlag").collect()
+    val types = rows.map(_.getString(0)).distinct.length
+    assert(rows.length == types * (types - 1), "one row per ordered type pair")
+    rows.foreach { r =>
+      val (lag, rBest, r0) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(lag >= -7L && lag <= 7L)
+      // quantization: |r| can exceed 1e6 only by the floor's 1 ulp at r = ±1
+      assert(math.abs(rBest) <= 1000001L && math.abs(r0) <= 1000001L)
+      assert(rBest >= r0, "best-lag r must dominate the lag-0 r")
+    }
+    // symmetry of the lag-0 Pearson: r0(a,b) == r0(b,a)
+    val r0map = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    r0map.foreach { case ((a, b), v) =>
+      assert(r0map((b, a)) == v, s"lag-0 correlation not symmetric for ($a,$b)")
+    }
+  }
 }

@@ -164,6 +164,77 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GifCodec.parse(corrupt))
   }
 
+  test("Mp4Codec: parse(build) roundtrips, largesize escape and v1 mvhd parse, malformed throws") {
+    import Multimodal.Mp4Codec
+    val payload = ("box " * 100).getBytes("UTF-8")
+    val m = Mp4Codec.parse(Mp4Codec.build("mp42", 90000L, 123456L, payload))
+    assert(m.brand == "mp42" && m.timescale == 90000L && m.duration == 123456L)
+    assert(m.mdatBytes == payload.length.toLong && m.nBoxes == 3L)
+    // 64-bit largesize escape: append a second mdat encoded as
+    // size=1 + u64 largesize; the walk must take the 16-byte header path
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val extra = "tail-bytes".getBytes("UTF-8")
+    val large = be32(1L) ++ "mdat".getBytes("ISO-8859-1") ++
+      be64(16L + extra.length) ++ extra
+    val m2 = Mp4Codec.parse(Mp4Codec.build("isom", 600L, 42L, payload) ++ large)
+    assert(m2.mdatBytes == payload.length.toLong + extra.length && m2.nBoxes == 4L)
+    // version-1 mvhd (u64 times, timescale at +28, u64 duration at +32)
+    val mvhd1body = Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(1000L) ++ be64(5000000000L) ++ new Array[Byte](80)
+    val mvhd1 = be32(8L + mvhd1body.length) ++ "mvhd".getBytes("ISO-8859-1") ++ mvhd1body
+    val moov1 = be32(8L + mvhd1.length) ++ "moov".getBytes("ISO-8859-1") ++ mvhd1
+    val ftyp = be32(16L) ++ "ftyp".getBytes("ISO-8859-1") ++
+      "isom".getBytes("ISO-8859-1") ++ be32(0)
+    val m3 = Mp4Codec.parse(ftyp ++ moov1)
+    assert(m3.timescale == 1000L && m3.duration == 5000000000L,
+      "v1 mvhd must read the u64 duration past the 32-bit boundary")
+    // unknown top-level boxes (free/skip) are walked past, not fatal
+    val free = be32(12L) ++ "free".getBytes("ISO-8859-1") ++ be32(0)
+    assert(Mp4Codec.parse(Mp4Codec.build("isom", 600L, 1L, payload) ++ free).nBoxes == 4L)
+    // loud-throw discipline
+    intercept[IllegalArgumentException](
+      Mp4Codec.parse(be32(99999L) ++ "mdat".getBytes("ISO-8859-1"))) // size past end
+    intercept[IllegalArgumentException](Mp4Codec.parse(ftyp)) // no mvhd
+    intercept[IllegalArgumentException](Mp4Codec.parse(moov1)) // no ftyp
+    intercept[IllegalArgumentException](Mp4Codec.build("toolong", 600L, 1L, payload))
+  }
+
+  test("JpegCodec: parse(build) roundtrips, COM cap enforced, any SOF0-15 accepted, malformed throws") {
+    import Multimodal.JpegCodec
+    val payload = ("marker " * 64).getBytes("UTF-8")
+    val m = JpegCodec.parse(JpegCodec.build(640, 480, 3, payload))
+    assert(m.precision == 8 && m.width == 640 && m.height == 480 && m.nComp == 3)
+    assert(m.comBytes == payload.length.toLong && m.nSegments == 3L)
+    // grayscale single-component variant
+    val g = JpegCodec.parse(JpegCodec.build(65535, 1, 1, Array.empty))
+    assert(g.width == 65535 && g.height == 1 && g.nComp == 1 && g.comBytes == 0L)
+    // u16 COM cap: an oversized payload is truncated at build, so the
+    // segment length stays within the marker format's 2-byte field
+    val big = new Array[Byte](70000)
+    assert(JpegCodec.parse(JpegCodec.build(100, 100, 3, big)).comBytes ==
+      JpegCodec.ComCap.toLong)
+    // progressive SOF2 is still a dimension carrier: flip the SOF0 marker
+    val built = JpegCodec.build(320, 200, 3, payload)
+    val sofAt = (0 until built.length - 1).find(i =>
+      (built(i) & 0xff) == 0xff && (built(i + 1) & 0xff) == 0xc0).get
+    val prog = built.clone(); prog(sofAt + 1) = 0xc2.toByte
+    val p = JpegCodec.parse(prog)
+    assert(p.width == 320 && p.height == 200, "SOF2 must parse like SOF0")
+    // DHT (0xc4) in the SOF range is NOT a frame header: flipping to it
+    // removes the only SOF → loud throw, not garbage dimensions
+    val noSof = built.clone(); noSof(sofAt + 1) = 0xc4.toByte
+    intercept[IllegalArgumentException](JpegCodec.parse(noSof))
+    intercept[IllegalArgumentException](
+      JpegCodec.parse(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)))
+    intercept[IllegalArgumentException](JpegCodec.parse("nope".getBytes))
+    intercept[IllegalArgumentException](JpegCodec.build(1, 1, 2, payload))
+    // lost marker sync (a stray non-FF where a marker must start)
+    val lost = built.clone(); lost(2) = 0x00
+    intercept[IllegalArgumentException](JpegCodec.parse(lost))
+  }
+
   test("DHash: identical payloads collide, single-byte edits stay near, packing stays in 56 bits") {
     import Multimodal.DHash.dHash
     val base = ("the quick brown fox jumps over the lazy dog " * 12).getBytes("UTF-8")
