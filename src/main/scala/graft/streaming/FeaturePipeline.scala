@@ -319,6 +319,68 @@ object FeaturePipeline {
       }
   }
 
+  final case class RateObs(key: String, ts_us: Long)
+  final case class RateAlert(key: String, bucket_us: Long, cnt: Long,
+      ewma_e6: Long, dev_e6: Long, alarm: Boolean)
+
+  /** Streaming rate-anomaly detection — the streaming twin of the batch
+    * `b75_rate_anomaly`/`b91_cusum` pair: per key, fixed event-time
+    * buckets are counted in keyed state; when a bucket CLOSES (a strictly
+    * newer bucket arrives for that key) it is scored against the integer
+    * fixed-point EWMA of the previously closed buckets and emitted with
+    * its deviation. α = 1/8 via an arithmetic shift
+    * (`ewma' = ewma + (cnt·1e6 − ewma) >> 3`, rounding toward −∞ for
+    * negative steps), so the whole chain is exact integer arithmetic —
+    * replayable, no IEEE drift across retries. Alarm fires when a closed
+    * bucket more than doubles the forecast EWMA with a 4-event floor (a
+    * cold key can't alarm on noise) and at least one prior closed bucket
+    * (no baseline, no alarm).
+    *
+    * Semantics notes: the score uses the EWMA BEFORE folding the closed
+    * bucket in (it is the forecast, not the smoothed hindsight); a
+    * bucket only emits when a newer one arrives for the same key — the
+    * trailing open bucket stays in state (the monitoring trade: a silent
+    * key is itself an alert, covered by [[heartbeatAlerts]]). Rows for
+    * already-closed buckets are dropped (the [[geofenceTransitions]]
+    * ts-ordering discipline).
+    *
+    * Scale posture: state per key is one open bucket plus two longs —
+    * bounded by the key universe, never history-sized; the per-row work
+    * is a floorDiv and a counter bump, all map-side within the keyed
+    * shuffle every stateful operator pays.
+    */
+  def rateAnomalyStream(events: DataFrame,
+      bucketUs: Long = 60000000L): Dataset[RateAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("key"), col("ts_us")).as[RateObs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state: (open bucket start, open count, ewma_e6, closed buckets)
+        (key: String, rows: Iterator[RateObs], state: GroupState[(Long, Long, Long, Long)]) =>
+          var (openB, openC, ewma, nClosed) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          val out = Seq.newBuilder[RateAlert]
+          rows.toSeq.sortBy(_.ts_us).foreach { r =>
+            val b = Math.floorDiv(r.ts_us, bucketUs) * bucketUs
+            if (b == openB) openC += 1
+            else if (b > openB) {
+              if (openB != Long.MinValue) {
+                val cntE6 = openC * 1000000L
+                val alarm = nClosed > 0 && openC >= 4 && cntE6 > 2L * ewma
+                out += RateAlert(key, openB, openC, ewma, cntE6 - ewma, alarm)
+                ewma = if (nClosed == 0) cntE6 else ewma + ((cntE6 - ewma) >> 3)
+                nClosed += 1
+              }
+              openB = b
+              openC = 1
+            } // b < openB: late row for an already-closed bucket — dropped
+          }
+          state.update((openB, openC, ewma, nClosed))
+          out.result().iterator
+      }
+  }
+
   /** Streaming zonal statistics — [[geofenceAlerts]]'s stateless
     * broadcast-containment feed folded to a watermarked tumbling-window
     * per-zone aggregate (the EO monitoring product: per admin zone per

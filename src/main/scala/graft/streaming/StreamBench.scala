@@ -279,6 +279,27 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // 8. rate anomaly: keyed flatMapGroupsWithState bucket counter + the
+    //    integer EWMA scorer — per-event state-machine hot path with a
+    //    planted 10× burst in chunk 7 so the alarm branch really runs
+    {
+      val keys = 40
+      val rateChunks = (0 until 10).map { c =>
+        val base = (0 until 10000 * scale).map { i =>
+          val id = c * 10000L * scale + i
+          (s"layer_${id % keys}", c * 10L * min + (i % 600) * us)
+        }
+        val burst = if (c == 7) (0 until 4000 * scale).map { i =>
+          (s"layer_${i % 4}", c * 10L * min + (i % 600) * us)
+        } else Seq.empty
+        base ++ burst
+      }
+      runPipeline[(String, Long)]("rateanomaly",
+        ms => FeaturePipeline.rateAnomalyStream(
+          ms.toDF().toDF("key", "ts_us")).toDF(),
+        rateChunks)
+    }
+
     val total = results.values.map(_._2).sum
     val json = results.map { case (tag, (rows, sec)) =>
       f""""$tag":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""

@@ -839,6 +839,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate anomaly: closed buckets score against the integer EWMA forecast, burst alarms, cold key quiet") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val B = 60000000L // 60 s buckets in µs
+    def rows(key: String, bucket: Long, n: Int): Seq[(String, Long)] =
+      (0 until n).map(i => (key, bucket * B + i))
+    val ms = MemoryStream[(String, Long)]
+    val out = FeaturePipeline.rateAnomalyStream(
+      ms.toDF().toDF("key", "ts_us"))
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rate_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      // api: steady 8/bucket for b0..b2, a 40-row burst at b3, back to 8
+      // at b4; b5 gets one row purely to close b4. tiny: a single 40-row
+      // bucket then a closer — bursty but with NO baseline, so no alarm.
+      ms.addData(rows("api", 0, 8) ++ rows("api", 1, 8))
+      q.processAllAvailable()
+      // a LATE row for the already-closed b0 must be dropped silently
+      ms.addData(rows("api", 2, 8) ++ Seq(("api", 5L)) ++ rows("api", 3, 40))
+      q.processAllAvailable()
+      ms.addData(rows("api", 4, 8) ++ rows("api", 5, 1) ++
+        rows("tiny", 3, 40) ++ rows("tiny", 4, 1))
+      q.processAllAvailable()
+      val got = spark.table("rate_sink").as[FeaturePipeline.RateAlert]
+        .collect().sortBy(a => (a.key, a.bucket_us))
+      // exact integer replay of the α=1/8 shift chain:
+      // b0 closes with no baseline (ewma 0, no alarm), then seeds 8e6;
+      // b1/b2 hold it; b3 (40 > 2×8) ALARMS with dev 32e6, folds to 12e6;
+      // b4 scores against 12e6, dev −4e6, folds via (−4e6)>>3 = −5e5
+      val api = got.filter(_.key == "api").map(a =>
+        (a.bucket_us / B, a.cnt, a.ewma_e6, a.dev_e6, a.alarm)).toSeq
+      assert(api == Seq(
+        (0L, 8L, 0L, 8000000L, false),
+        (1L, 8L, 8000000L, 0L, false),
+        (2L, 8L, 8000000L, 0L, false),
+        (3L, 40L, 8000000L, 32000000L, true),
+        (4L, 8L, 12000000L, -4000000L, false)), s"got ${api.mkString(", ")}")
+      val tiny = got.filter(_.key == "tiny")
+      assert(tiny.length == 1 && !tiny.head.alarm && tiny.head.cnt == 40L,
+        "a cold key's first closed bucket must never alarm")
+    } finally q.stop()
+  }
+
   test("B33 v2: transformWithState StatefulProcessor accumulates across batches (RocksDB store)") {
     val orig = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
