@@ -5634,8 +5634,69 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B120
+  /** Source/sink format coverage — the engine's answer to "can I land and
+    * re-read my data in something other than parquet?". The query writes a
+    * lineitem projection to ORC, CSV, and JSON-lines sinks, reads each back
+    * through the matching source (explicit schema on the text formats — no
+    * inference pass at scale), and proves all three roundtrips are lossless
+    * by aggregating each to the identical fingerprint the oracle computes
+    * straight off the parquet. All measures are BIGINT before writing
+    * (quantity floored, price in e2 cents), so even the text formats are
+    * exact — no float-printing drift can enter the roundtrip.
+    *
+    * Scale shape: the write and the read-back are both per-partition
+    * parallel (every Spark format sink/source is); the fingerprint is one
+    * partial-agg rollup per format plus one distinct-key shuffle. The temp
+    * landing dir is keyed by the input dir and overwritten per run, so
+    * repeated Verify/Bench invocations don't accrete files.
+    */
+  private val b120 = QuerySpec(
+    "b120_format_roundtrip",
+    "Format roundtrip: lineitem keys+BIGINT measures written to ORC/CSV/JSON sinks and re-read through the matching sources (explicit schema, no inference); per-format row count, quantity sum, e2 price sum, and distinct-order count all match the parquet-direct oracle fingerprint.",
+    Some("""WITH base AS (SELECT l_orderkey,
+              CAST(floor(l_quantity) AS BIGINT) AS qty_l,
+              CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_e2
+            FROM lineitem),
+          a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(qty_l) AS BIGINT) AS sum_qty,
+              CAST(SUM(price_e2) AS BIGINT) AS sum_price_e2,
+              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM base)
+          SELECT f.fmt, a.n_rows, a.sum_qty, a.sum_price_e2, a.n_orders
+          FROM (VALUES ('csv'), ('json'), ('orc')) f(fmt) CROSS JOIN a
+          ORDER BY fmt"""),
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.lineitem(s, d).select(
+        $"l_orderkey", $"l_linenumber".cast(LongType).as("l_linenumber"),
+        floor($"l_quantity").cast(LongType).as("qty_l"),
+        floor($"l_extendedprice" * 100.0).cast(LongType).as("price_e2"))
+      val schema = base.schema
+      // deterministic landing dir per input dir; Overwrite keeps reruns clean
+      val land = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_b120_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
+        .getAbsolutePath
+      base.write.mode("overwrite").orc(s"$land/orc")
+      base.write.mode("overwrite").option("header", "true").csv(s"$land/csv")
+      base.write.mode("overwrite").json(s"$land/json")
+      val reads = Seq(
+        "csv" -> s.read.schema(schema).option("header", "true").csv(s"$land/csv"),
+        "json" -> s.read.schema(schema).json(s"$land/json"),
+        "orc" -> s.read.schema(schema).orc(s"$land/orc"))
+      reads.map { case (fmt, df) =>
+        df.agg(count(lit(1)).as("n_rows"),
+            sum($"qty_l").cast(LongType).as("sum_qty"),
+            sum($"price_e2").cast(LongType).as("sum_price_e2"),
+            countDistinct($"l_orderkey").as("n_orders"))
+          .select(lit(fmt).as("fmt"), $"n_rows", $"sum_qty", $"sum_price_e2", $"n_orders")
+      }.reduce(_.unionAll(_)).orderBy($"fmt")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
