@@ -2100,8 +2100,83 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11as
+  /** Grid-density clustering (DBSCAN's cell-level formulation) — the
+    * point-cloud companion to [[a11ad]]'s hexbin census: snap every point
+    * to an eps-sized grid cell, call a cell CORE when its population
+    * clears a density threshold, and merge 8-adjacent core cells into
+    * clusters. This is exactly how planet-scale DBSCAN is run in practice
+    * (grid partitioning first, exact eps-neighborhood refinement only
+    * within candidate cells); at the cell granularity the result is fully
+    * deterministic and SQL-replayable — no float distance ties, no
+    * border-point assignment ambiguity (the classic DBSCAN
+    * nondeterminism) can enter.
+    *
+    * Density threshold is data-derived but exact: minPts = ⌊12·N / (10·C)⌋
+    * (1.2× the mean occupancy of the C non-empty cells), an integer chain
+    * both engines replay identically.
+    *
+    * Scale shape: ONE corpus-grain shuffle (the cell rollup — map-side
+    * partial counts); everything after runs on the CELL table, which is
+    * bounded by the domain extent over eps², not by N. The 8-neighbor
+    * edge join explodes 8 candidate keys per core cell against the core
+    * set (equi-join, never all-pairs), and the component merge is the
+    * audited O(log n)-round star-contraction CC. The oracle replays
+    * reachability with a recursive CTE (the c2_cluster discipline).
+    */
+  private val DbscanEps = 5.0
+  private val a11as = QuerySpec(
+    "a11as_dbscan",
+    "Grid-density DBSCAN: points snapped to eps=5 cells, core cells at >=1.2x mean occupancy, 8-adjacent core cells merged by star-contraction CC; per cluster its min-cell label, cell count, and point count — one corpus-grain shuffle, then cell-table-sized work.",
+    Some(s"""WITH RECURSIVE p AS (SELECT value % 100.0 AS px, (value * 3.0) % 100.0 AS py
+              FROM events),
+            c AS (SELECT CAST(floor(px / $DbscanEps) AS BIGINT) * 1000
+                       + CAST(floor(py / $DbscanEps) AS BIGINT) AS cell,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM p GROUP BY 1),
+            mp AS (SELECT CAST((SUM(cnt) * 12) // (10 * COUNT(*)) AS BIGINT) AS minpts
+              FROM c),
+            core AS (SELECT c.cell, c.cnt FROM c, mp WHERE c.cnt >= mp.minpts),
+            off AS (SELECT CAST(unnest([-1001, -1000, -999, -1, 1, 999, 1000, 1001]) AS BIGINT) AS o),
+            e AS (SELECT a.cell AS s, b.cell AS d
+              FROM core a CROSS JOIN off JOIN core b ON b.cell = a.cell + off.o),
+            reach AS (SELECT cell AS id, cell AS root FROM core
+              UNION
+              SELECT e.d, reach.root FROM reach JOIN e ON e.s = reach.id),
+            lab AS (SELECT id, MIN(root) AS cluster FROM reach GROUP BY id)
+            SELECT lab.cluster AS cluster_id,
+              CAST(COUNT(*) AS BIGINT) AS n_cells,
+              CAST(SUM(core.cnt) AS BIGINT) AS n_points
+            FROM lab JOIN core ON core.cell = lab.id
+            GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import s.implicits._
+      val cells = CacheRegistry.persist(Tables.events(s, d)
+        .select((floor(($"value" % 100.0) / DbscanEps).cast(LongType) * 1000L
+          + floor((($"value" * 3.0) % 100.0) / DbscanEps).cast(LongType)).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("cnt")))
+      // 1-row density threshold rides a broadcast past the cell table
+      val minPts = cells
+        .agg(expr("(sum(cnt) * 12) div (10 * count(*))").cast(LongType).as("minpts"))
+      val core = CacheRegistry.persist(cells
+        .crossJoin(broadcast(minPts)).filter($"cnt" >= $"minpts")
+        .select($"cell", $"cnt"))
+      val offsets = typedLit(Seq(-1001L, -1000L, -999L, -1L, 1L, 999L, 1000L, 1001L))
+      val edges = core.select(explode(offsets).as("o"), $"cell")
+        .select($"cell".as("src"), ($"cell" + $"o").as("nbr"))
+        .join(core.select($"cell".as("dst")), $"nbr" === $"dst")
+        .select($"src", $"dst")
+      val labels = TierCSim.connectedComponentsStar(s,
+        core.select($"cell".as("id")), edges)
+      labels.join(core, $"id" === $"cell")
+        .groupBy($"cluster".as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"), sum($"cnt").cast(LongType).as("n_points"))
+        .orderBy($"cluster_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
       a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq,
-      a11ar)
+      a11ar, a11as)
 }
