@@ -3893,9 +3893,145 @@ object TierCText {
     }
   )
 
+  // ------------------------------ Viterbi (optimal) segmentation (c4vs)
+  /** Optimal-vs-greedy segmentation under the unigram seed vocab — the
+    * measurement that closes the tokenizer workbench: [[c4fe]] scores the
+    * GREEDY longest-match walk (the cheap eval default); SentencePiece's
+    * actual encoder is the VITERBI walk (minimum-token segmentation over
+    * the same piece set, single-char fallback always available). The gap
+    * between the two is the price of greedy decoding, and per-source
+    * `saved_toks` is the number a tokenizer team reads before deciding
+    * whether the optimal encoder is worth its DP cost in the serving
+    * path.
+    *
+    * Exactness: the objective is MINIMUM TOKEN COUNT — pure integers, no
+    * log-probs, so there is no float tie anywhere; the DP argmin is
+    * unique in value by construction (we report counts, not piece
+    * sequences). The oracle replays the DP as a recursive-CTE state
+    * relaxation over (word, pos, cost) with UNION dedup — states are
+    * bounded by |word|² per word, never path-enumerated — and the greedy
+    * arm reuses [[c4fe]]'s jump-table walk verbatim.
+    *
+    * Scale shape (the BPE-trainer argument): both walks run once per
+    * DISTINCT word — corpus rolls up ONCE to the Heaps-law (source, word,
+    * cnt) table; the DP UDF is O(|word|·6) over a 60-piece broadcast set
+    * and multiplies back through the counts. Nothing downstream of the
+    * first rollup is corpus-sized.
+    */
+  private val c4vs = QuerySpec(
+    "c4_viterbi_segment",
+    "Viterbi (minimum-token) segmentation vs the greedy longest-match walk under the c4_unigram_vocab top-60 seed: per source, distinct words, word instances, greedy and optimal token totals, tokens saved by optimal decoding, and optimal fertility at 1e-6 — both walks run on the Heaps-law distinct-word table only.",
+    Some("""WITH RECURSIVE wsrc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT source,
+                unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+              FROM documents)
+              WHERE regexp_matches(w, '^[a-z]+$') GROUP BY source, w),
+            w0 AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM wsrc GROUP BY w),
+            ls AS (SELECT w, cnt, CAST(unnest(range(2, 7)) AS INTEGER) AS l FROM w0),
+            subs AS (SELECT substr(w, CAST(unnest(range(1, length(w) - l + 2)) AS INTEGER), l) AS sub, cnt
+              FROM ls WHERE length(w) >= l),
+            vagg AS (SELECT sub, CAST(SUM(cnt) AS BIGINT) AS cnt FROM subs GROUP BY sub),
+            vocab AS (SELECT sub FROM vagg
+              ORDER BY cnt * length(sub) DESC, sub LIMIT 60),
+            dw AS (SELECT DISTINCT w FROM w0),
+            steps AS (SELECT w, CAST(unnest(range(1, length(w) + 1)) AS INTEGER) AS pos FROM dw),
+            jmp AS (SELECT s.w, s.pos,
+              CAST(COALESCE(MAX(length(v.sub)), 1) AS INTEGER) AS l
+              FROM steps s LEFT JOIN vocab v ON substr(s.w, s.pos, length(v.sub)) = v.sub
+              GROUP BY s.w, s.pos),
+            gwalk(w, pos, toks) AS (
+              SELECT w, CAST(1 AS INTEGER), CAST(0 AS BIGINT) FROM dw
+              UNION ALL
+              SELECT wk.w, wk.pos + j.l, wk.toks + 1
+              FROM gwalk wk JOIN jmp j ON j.w = wk.w AND j.pos = wk.pos
+              WHERE wk.pos <= length(wk.w)),
+            greedy AS (SELECT w, toks AS gtoks FROM gwalk WHERE pos > length(w)),
+            mv AS (SELECT s.w, s.pos, CAST(length(v.sub) AS INTEGER) AS l
+              FROM steps s JOIN vocab v ON substr(s.w, s.pos, length(v.sub)) = v.sub
+              UNION ALL
+              SELECT w, pos, CAST(1 AS INTEGER) FROM steps),
+            vwalk(w, pos, cost) AS (
+              SELECT w, CAST(1 AS INTEGER), CAST(0 AS BIGINT) FROM dw
+              UNION
+              SELECT wk.w, wk.pos + x.l, wk.cost + 1
+              FROM vwalk wk JOIN mv x ON x.w = wk.w AND x.pos = wk.pos
+              WHERE wk.pos <= length(wk.w)),
+            opt AS (SELECT w, MIN(cost) AS otoks FROM vwalk
+              WHERE pos > length(w) GROUP BY w)
+            SELECT wsrc.source,
+              COUNT(*) AS n_distinct_words,
+              CAST(SUM(wsrc.cnt) AS BIGINT) AS word_instances,
+              CAST(SUM(wsrc.cnt * greedy.gtoks) AS BIGINT) AS greedy_toks,
+              CAST(SUM(wsrc.cnt * opt.otoks) AS BIGINT) AS opt_toks,
+              CAST(SUM(wsrc.cnt * (greedy.gtoks - opt.otoks)) AS BIGINT) AS saved_toks,
+              CAST(SUM(wsrc.cnt * opt.otoks) * 1000000 // SUM(wsrc.cnt) AS BIGINT) AS opt_fertility_e6
+            FROM wsrc
+            JOIN greedy ON wsrc.w = greedy.w
+            JOIN opt ON wsrc.w = opt.w
+            GROUP BY wsrc.source ORDER BY wsrc.source"""),
+    (s, d) => {
+      import s.implicits._
+      val wsrc = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"source", explode(filter(split(lower($"text"), " "), t => t =!= "")).as("w"))
+        .filter($"w".rlike("^[a-z]+$"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("cnt")))
+      val w0 = wsrc.groupBy($"w").agg(sum($"cnt").as("cnt"))
+      // identical vocab build + bounded limit(60) collect as c4_fertility
+      val vocab = w0
+        .select($"cnt", explode(flatten(transform(
+          filter(sequence(lit(2), lit(6)), l => l <= length($"w")),
+          l => transform(sequence(lit(1), length($"w") - l + 1),
+            i => $"w".substr(i, l))))).as("sub"))
+        .groupBy($"sub").agg(sum($"cnt").as("cnt"))
+        .orderBy(($"cnt" * length($"sub")).desc, $"sub")
+        .limit(60).select($"sub").collect().map(_.getString(0)).toSet
+      val segUdf = udf { (w: String) =>
+        // greedy longest-match (the c4_fertility walk, token count only)
+        var pos = 0
+        var gtoks = 0L
+        while (pos < w.length) {
+          var l = math.min(6, w.length - pos)
+          while (l >= 2 && !vocab.contains(w.substring(pos, pos + l))) l -= 1
+          if (l < 2) l = 1
+          gtoks += 1
+          pos += l
+        }
+        // Viterbi: best[i] = min tokens to consume the first i chars;
+        // fallback edge of length 1 keeps every state reachable
+        val best = Array.fill(w.length + 1)(Long.MaxValue)
+        best(0) = 0L
+        var i = 0
+        while (i < w.length) {
+          if (best(i) != Long.MaxValue) {
+            if (best(i) + 1 < best(i + 1)) best(i + 1) = best(i) + 1
+            var l = 2
+            while (l <= 6 && i + l <= w.length) {
+              if (vocab.contains(w.substring(i, i + l)) && best(i) + 1 < best(i + l))
+                best(i + l) = best(i) + 1
+              l += 1
+            }
+          }
+          i += 1
+        }
+        (gtoks, best(w.length))
+      }
+      val seg = w0.select($"w".as("sw"), segUdf($"w").as("go"))
+        .select($"sw", $"go._1".as("gtoks"), $"go._2".as("otoks"))
+      wsrc.join(seg, $"w" === $"sw")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_distinct_words"),
+          sum($"cnt").as("word_instances"),
+          sum($"cnt" * $"gtoks").as("greedy_toks"),
+          sum($"cnt" * $"otoks").as("opt_toks"),
+          sum($"cnt" * ($"gtoks" - $"otoks")).as("saved_toks"),
+          expr("sum(cnt * otoks) * 1000000 div sum(cnt)").as("opt_fertility_e6"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks)
+      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs)
 }

@@ -664,6 +664,46 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("a11as_dbscan: clusters label by their min cell, counts consistent") {
+    val rows = run("a11as_dbscan").collect()
+    assert(rows.nonEmpty, "no core cells at sf0.001 — threshold too aggressive")
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    rows.foreach { r =>
+      val (cells, pts) = (r.getLong(1), r.getLong(2))
+      assert(cells >= 1L && pts >= cells, s"cluster ${r.getLong(0)}: $pts points over $cells cells")
+    }
+    // core-cell point total can never exceed the corpus point total
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum <= events)
+  }
+
+  test("c4_viterbi_segment: optimal dominates greedy, identities hold") {
+    val rows = run("c4_viterbi_segment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, inst, g, o, saved, fert) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(o <= g, "Viterbi must never emit more tokens than greedy")
+      assert(saved == g - o, "saved_toks identity")
+      assert(o >= inst, "every word instance is at least one token")
+      assert(inst >= nw && nw > 0L)
+      assert(fert == o * 1000000L / inst, "opt_fertility_e6 integer-quotient identity")
+    }
+  }
+
+  test("b120_format_roundtrip: all three format fingerprints identical and non-trivial") {
+    val rows = run("b120_format_roundtrip").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("csv", "json", "orc"))
+    // losslessness is the whole claim: every format must report the SAME
+    // (n_rows, sum_qty, sum_price_e2, n_orders) fingerprint, and it must
+    // describe a non-empty table
+    val fps = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).distinct
+    assert(fps.length == 1, s"formats disagree: ${fps.mkString(", ")}")
+    assert(fps.head._1 > 0L && fps.head._4 > 0L)
+    assert(fps.head._1 >= fps.head._4, "row count below distinct order count")
+  }
+
   test("b119_leadlag: r bounded, best dominates lag-0, ordered pairs complete") {
     val rows = run("b119_leadlag").collect()
     val types = rows.map(_.getString(0)).distinct.length
