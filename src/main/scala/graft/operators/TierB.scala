@@ -5695,8 +5695,102 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B121
+  /** Mann–Kendall trend test + Theil–Sen slope — the nonparametric trend
+    * detector a monitoring stack runs where Holt/EWMA (`b102`/`b96`) would
+    * be fooled by outliers: S = Σ sign(c_j − c_i) over all ordered day
+    * pairs of the daily count series, the MK variance D(D−1)(2D+5)/18,
+    * the continuity-corrected normal score z = (S∓1)/√var, and the
+    * Theil–Sen slope (median of all pairwise slopes — the 29%-breakdown
+    * robust slope estimator).
+    *
+    * Exactness: S and the variance numerator are pure integers; each
+    * pairwise slope is floored at e6 (one IEEE divide, identical both
+    * engines); the median is the value at the lower-median ROW RANK of
+    * the slope_e6 total order (value-at-rank is deterministic under ties
+    * because the ordering key IS the value); z is floored at e3 after one
+    * sqrt — the b119 quantized-sqrt discipline.
+    *
+    * Scale shape: the corpus collapses ONCE to the (type, day) rollup
+    * (map-side partials); the pair self-join is per-type D(D−1)/2 with D
+    * calendar-bounded (30 here, ≤ a few thousand ever), so downstream
+    * work is bounded by type_count · days², never by row count. The
+    * median window partitions by type over those bounded frames.
+    */
+  private val b121 = QuerySpec(
+    "b121_mann_kendall",
+    "Mann-Kendall trend + Theil-Sen slope per event type over daily counts: integer S over all day pairs, D(D-1)(2D+5)/18 variance, continuity-corrected z at e3, lower-median pairwise slope at e6 — corpus rolls to the calendar-bounded (type, day) table once.",
+    Some("""WITH pc AS (SELECT event_type AS t,
+              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+              CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+          pr AS (SELECT a.t,
+              CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg,
+              CAST(floor((b.c - a.c) * 1000000.0 / (b.day - a.day)) AS BIGINT) AS slope_e6
+            FROM pc a JOIN pc b ON b.t = a.t AND b.day > a.day),
+          agg AS (SELECT t, CAST(SUM(sg) AS BIGINT) AS s_stat,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pr GROUP BY t),
+          dd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_days FROM pc GROUP BY t),
+          med AS (SELECT t, slope_e6 AS slope_med_e6 FROM (
+              SELECT t, slope_e6,
+                row_number() OVER (PARTITION BY t ORDER BY slope_e6) AS rn,
+                COUNT(*) OVER (PARTITION BY t) AS n
+              FROM pr) WHERE rn = (n + 1) // 2),
+          z AS (SELECT agg.t, dd.n_days, agg.n_pairs, agg.s_stat,
+              CAST(CASE
+                WHEN agg.s_stat = 0 THEN 0
+                ELSE floor((agg.s_stat - CASE WHEN agg.s_stat > 0 THEN 1 ELSE -1 END)
+                  * 1000.0 / sqrt(dd.n_days * (dd.n_days - 1) * (2 * dd.n_days + 5) / 18.0))
+                END AS BIGINT) AS z_e3
+            FROM agg JOIN dd ON dd.t = agg.t)
+          SELECT z.t AS event_type, z.n_days, z.n_pairs, z.s_stat, z.z_e3,
+            med.slope_med_e6,
+            CASE WHEN z.z_e3 > 1960 THEN 'up'
+                 WHEN z.z_e3 < -1960 THEN 'down'
+                 ELSE 'flat' END AS trend
+          FROM z JOIN med ON med.t = z.t
+          ORDER BY event_type"""),
+    (s, d) => {
+      import s.implicits._
+      val pc = CacheRegistry.persist(Tables.events(s, d)
+        .select($"event_type".as("t"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy($"t", $"day").agg(count(lit(1)).as("c")))
+      val a = pc.select($"t", $"day".as("da"), $"c".as("ca"))
+      val b = pc.select($"t".as("tb"), $"day".as("db"), $"c".as("cb"))
+      val pr = CacheRegistry.persist(a
+        .join(b, $"t" === $"tb" && $"db" > $"da")
+        .select($"t",
+          when($"cb" > $"ca", 1L).when($"cb" < $"ca", -1L).otherwise(0L).as("sg"),
+          floor(($"cb" - $"ca") * 1000000.0 / ($"db" - $"da")).cast(LongType).as("slope_e6")))
+      val agg = pr.groupBy($"t")
+        .agg(sum($"sg").cast(LongType).as("s_stat"), count(lit(1)).as("n_pairs"))
+      val dd = pc.groupBy($"t").agg(count(lit(1)).as("n_days"))
+      val wm = Window.partitionBy($"t").orderBy($"slope_e6")
+      val med = pr
+        .withColumn("rn", row_number().over(wm).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"t")))
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"t".as("tm"), $"slope_e6".as("slope_med_e6"))
+      agg.join(dd.select($"t".as("td"), $"n_days"), $"t" === $"td")
+        .withColumn("z_e3",
+          when($"s_stat" === 0L, 0L)
+            .otherwise(floor(($"s_stat" - when($"s_stat" > 0L, 1L).otherwise(-1L))
+              * 1000.0
+              / sqrt($"n_days" * ($"n_days" - 1L) * ($"n_days" * 2L + 5L) / 18.0)))
+            .cast(LongType))
+        .join(med, $"t" === $"tm")
+        .select($"t".as("event_type"), $"n_days", $"n_pairs", $"s_stat", $"z_e3",
+          $"slope_med_e6",
+          when($"z_e3" > 1960L, "up").when($"z_e3" < -1960L, "down")
+            .otherwise("flat").as("trend"))
+        .orderBy($"event_type")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

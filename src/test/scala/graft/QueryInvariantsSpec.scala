@@ -664,6 +664,21 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("b121_mann_kendall: pair-count identity, z/S sign agreement, trend thresholds") {
+    val rows = run("b121_mann_kendall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, np, s, z, trend) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6))
+      assert(np == d * (d - 1) / 2, "every ordered day pair exactly once")
+      assert(math.abs(s) <= np, "|S| bounded by the pair count")
+      assert(s == 0L && z == 0L || s != 0L && (z == 0L || (z > 0) == (s > 0)),
+        "z sign must agree with S sign")
+      val expected = if (z > 1960L) "up" else if (z < -1960L) "down" else "flat"
+      assert(trend == expected, s"trend label inconsistent with z=$z")
+    }
+  }
+
   test("a11as_dbscan: clusters label by their min cell, counts consistent") {
     val rows = run("a11as_dbscan").collect()
     assert(rows.nonEmpty, "no core cells at sf0.001 — threshold too aggressive")
