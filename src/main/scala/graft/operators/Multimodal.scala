@@ -1462,6 +1462,109 @@ object Multimodal {
     }
   )
 
+  // -------------------------------------------------------- c6q_wav_rms
+  /** PCM16 waveform statistics — the first c6 op that decodes the audio
+    * PAYLOAD, not just the container: [[WavCodec]] builds a real 16-bit
+    * WAV per record (PCM = the record's text bytes, the c6e char≡byte
+    * precedent), the walker locates the data chunk by genuinely chasing
+    * the RIFF chunk list (NOT by assuming offset 44), and a tight
+    * per-partition loop decodes little-endian int16 samples and computes
+    * the triage statistics every audio ingest pipeline runs first: sample
+    * count, energy (Σ s², exact long), peak |s|, and zero-crossing count
+    * (strict sign flips — the cheap voiced/unvoiced & silence heuristic).
+    * Samples are centered (−16384) so the ASCII payload genuinely crosses
+    * zero (space-valued high bytes go negative, letter-valued stay
+    * positive).
+    *
+    * Exactness: decode/center/square/flip are pure integers; only the
+    * final per-source RMS takes one double divide + sqrt floored at e3
+    * (the b121 quantized-sqrt discipline). The oracle replays the sample
+    * stream positionally (ascii(lo) + 256·ascii(hi) − 16384) with a
+    * per-doc lag window for the flips; the engine's long sums cast to
+    * BIGINT oracle-side (DuckDB SUM would widen to HUGEINT — the
+    * check.py fatal-type lint).
+    *
+    * Scale posture: build, chunk walk, and the sample loop are all
+    * streaming per-row mapPartitions work (no materialized sample table
+    * engine-side — the oracle pays that so the engine doesn't have to);
+    * the only shuffle is the per-source rollup.
+    */
+  private val c6q = QuerySpec(
+    "c6q_wav_rms",
+    "PCM16 waveform triage stats: real WAVs decoded by chasing the RIFF chunk list to the data payload, int16 LE samples centered at -16384, per-source sample count, exact Σs² energy, peak, strict zero-crossings, and e3-floored RMS — payload decode is a streaming per-partition loop, one rollup shuffle.",
+    Some("""WITH t AS (SELECT doc_id, source, text,
+              CAST(length(text) // 2 AS BIGINT) AS ns FROM documents),
+            pos AS (SELECT doc_id, source, text,
+              CAST(unnest(range(1, ns + 1)) AS INTEGER) AS i FROM t WHERE ns > 0),
+            s AS (SELECT doc_id, source, i,
+              CAST(ascii(substr(text, 2*i - 1, 1))
+                 + 256 * ascii(substr(text, 2*i, 1)) - 16384 AS BIGINT) AS v
+              FROM pos),
+            f AS (SELECT doc_id, source, v,
+              CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0
+                THEN 1 ELSE 0 END AS flip
+              FROM s)
+            SELECT source,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
+              CAST(COUNT(*) AS BIGINT) AS n_samples,
+              CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+              CAST(MAX(abs(v)) AS BIGINT) AS max_peak,
+              CAST(SUM(flip) AS BIGINT) AS n_crossings,
+              CAST(floor(1000.0 * sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*))) AS BIGINT) AS rms_e3
+            FROM f GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val stats = Tables.documents(s, d)
+        .select($"doc_id", $"source", encode($"text", "UTF-8").as("pcm"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, src, pcm) =>
+          val wav = WavCodec.build(WavCodec.rateFor(id), WavCodec.channelsFor(id), 16, pcm)
+          // genuine chunk chase to the data payload (never offset-44 trust)
+          var off = 12
+          var dataOff = -1
+          var dataLen = 0L
+          while (off + 8 <= wav.length && dataOff < 0) {
+            val tag = new String(wav.slice(off, off + 4), "ISO-8859-1")
+            val sz = (wav(off + 4) & 0xffL) | ((wav(off + 5) & 0xffL) << 8) |
+              ((wav(off + 6) & 0xffL) << 16) | ((wav(off + 7) & 0xffL) << 24)
+            if (tag == "data") { dataOff = off + 8; dataLen = sz }
+            else off += 8 + sz.toInt + (sz.toInt & 1)
+          }
+          require(dataOff >= 0, s"media $id: no data chunk")
+          val n = (dataLen / 2L).toInt
+          if (n == 0) Iterator.empty
+          else {
+            var i = 0
+            var sumSq = 0L
+            var peak = 0L
+            var flips = 0L
+            var prev = 0L
+            while (i < n) {
+              val v = ((wav(dataOff + 2 * i) & 0xff) |
+                ((wav(dataOff + 2 * i + 1) & 0xff) << 8)).toLong - 16384L
+              sumSq += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              if (i > 0 && v * prev < 0L) flips += 1L
+              prev = v
+              i += 1
+            }
+            Iterator.single((src, n.toLong, sumSq, peak, flips))
+          }
+        })
+        .toDF("source", "n_samples", "sum_sq", "peak", "flips")
+      stats.groupBy($"source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum($"n_samples").cast(LongType).as("n_samples"),
+          sum($"sum_sq").cast(LongType).as("sum_sq"),
+          max($"peak").cast(LongType).as("max_peak"),
+          sum($"flips").cast(LongType).as("n_crossings"),
+          floor(lit(1000.0) * sqrt(sum($"sum_sq").cast(DoubleType) / sum($"n_samples")))
+            .cast(LongType).as("rms_e3"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o)
+    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q)
 }

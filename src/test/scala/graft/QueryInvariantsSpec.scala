@@ -664,6 +664,22 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c6q_wav_rms: PCM16 stats bounded by the sample alphabet") {
+    val rows = run("c6q_wav_rms").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (clips, ns, sumSq, peak, flips, rms) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(clips > 0L && ns >= clips)
+      // centered ASCII-pair samples: |v| < 16384 always
+      assert(peak > 0L && peak < 16384L)
+      assert(sumSq <= ns * peak * peak, "energy bounded by n·peak²")
+      assert(flips < ns, "a flip needs a predecessor")
+      assert(rms <= peak * 1000L, "RMS cannot exceed the peak")
+      assert(rms * rms <= 1000000L * sumSq / ns + 2000L * rms, "rms_e3 consistent with Σs²/n")
+    }
+  }
+
   test("b121_mann_kendall: pair-count identity, z/S sign agreement, trend thresholds") {
     val rows = run("b121_mann_kendall").collect()
     assert(rows.nonEmpty)
