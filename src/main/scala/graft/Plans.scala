@@ -548,6 +548,31 @@ object Plans {
       "(partial-agged), then a count-of-counts agg whose output is " +
       "|distinct r| rows — the r+1 self-join and single-row total ride " +
       "broadcasts; integer division only, no IEEE."),
+    "b120_format_roundtrip" -> ("Format roundtrip: ORC/CSV/JSON sinks " +
+      "written and re-read per-partition parallel with explicit schemas " +
+      "(no inference scan); every re-read's ReadSchema carries only the " +
+      "4 written columns, and each fingerprint is one partial-agged " +
+      "rollup plus a distinct-key shuffle."),
+    "b121_mann_kendall" -> ("Mann-Kendall/Theil-Sen: corpus collapses " +
+      "ONCE to the cached calendar-bounded (type, day) rollup; the day-" +
+      "pair mine is a type-keyed equi-join of that frame with itself " +
+      "(D(D-1)/2 pairs, never row-count-squared), S/median/z all run on " +
+      "pair-table-sized frames."),
+    "a11as_dbscan" -> ("Grid-density DBSCAN: one corpus-grain partial-" +
+      "agged cell rollup, a 1-row broadcast density threshold, an 8-key " +
+      "explode equi-joined against the core-cell set (never a cross " +
+      "join), and the audited O(log n) star-contraction CC on the cell " +
+      "table — everything after the first shuffle is extent/eps²-bounded."),
+    "c4_viterbi_segment" -> ("Viterbi segmentation: corpus rolls ONCE " +
+      "to the cached Heaps-law (source, word, cnt) table; both walks " +
+      "(greedy + DP) run per DISTINCT word over a 60-piece broadcast " +
+      "vocab and multiply back through the counts — nothing downstream " +
+      "of the first rollup is corpus-sized."),
+    "c6q_wav_rms" -> ("PCM16 waveform stats: container build, RIFF " +
+      "chunk chase, and the int16 decode loop are one streaming " +
+      "mapPartitions pass (no sample table is ever materialized " +
+      "engine-side); the only exchanges are the per-source rollup and " +
+      "the presentation sort."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1309,4 +1309,53 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q: the only exchange is the presentation sort:\n" + p)
     }
   }
+
+  test("b120_format_roundtrip: each re-read scans only the 4 written columns") {
+    val p = plan("b120_format_roundtrip")
+    // three sources (csv/json/orc) — every ReadSchema line carries the
+    // projection, never a wildcard re-infer
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty, p)
+    schemas.foreach { rs =>
+      assert(rs.contains("qty_l") && rs.contains("price_e2"), rs)
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b121_mann_kendall: calendar-bounded pair join is an equi-join over the cached rollup") {
+    val p = plan("b121_mann_kendall")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the day-pair mine must equi-join on the type key:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "both pair sides must read the cached (type, day) rollup:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the S/slope rollups must partial-aggregate:\n" + p)
+  }
+
+  test("a11as_dbscan: neighbor edges equi-join on the cell key, rollup partial-aggs") {
+    val p = plan("a11as_dbscan")
+    assert(!p.contains("CartesianProduct"),
+      "the 8-neighbor expansion must never cross-join the cell table:\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected an equi-join on the neighbor cell key:\n" + p)
+    assert(p.contains("partial_count"),
+      "the cell occupancy rollup must partial-aggregate:\n" + p)
+  }
+
+  test("c4_viterbi_segment: word-table walks, no cartesian, partial-agged rollups") {
+    val p = plan("c4_viterbi_segment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the word join must stay an equi-join:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the (source, word, cnt) rollup must be the cached frame:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the per-source rollup must partial-aggregate:\n" + p)
+  }
+
+  test("c6q_wav_rms: streaming decode, the only exchanges are the rollup + presentation sort") {
+    val p = plan("c6q_wav_rms")
+    assert(!p.contains("Join"), "payload decode must be map-side only:\n" + p)
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      "expected only the per-source agg exchange and the presentation sort:\n" + p)
+  }
 }
