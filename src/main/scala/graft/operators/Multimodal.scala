@@ -1565,6 +1565,99 @@ object Multimodal {
     }
   )
 
+  // ------------------------------------------------------ c6r_luma_hist
+  /** Luminance histogram — the image-payload twin of [[c6q]]'s waveform
+    * stats and the standard first-pass image triage (exposure/contrast
+    * screening before any model sees a pixel): [[PngCodec]] builds a real
+    * PNG per record (IDAT = the record's bytes, the stub-decode
+    * discipline — a real inflate would need zlib variability), the walker
+    * chases the chunk list and CONCATENATES every IDAT payload (multi-
+    * chunk IDAT is legal PNG — readers must merge), and a per-partition
+    * loop bins the 8-bit luma samples into 16-wide buckets and tracks
+    * sum/min/max. Per-source output: image count, pixel count, the 8
+    * occupied histogram columns, e3 mean luma, and full-range contrast.
+    *
+    * Exactness: binning, sums, and extrema are pure integers; mean is
+    * one integer-scaled division (x·1000 div n). The oracle replays the
+    * byte stream positionally with ascii() — the c6e char≡byte precedent.
+    *
+    * Scale posture: build, walk, and the histogram loop are one
+    * streaming mapPartitions pass emitting a 12-number row per image
+    * (the sample table never materializes engine-side); the only
+    * exchanges are the per-source rollup and the presentation sort.
+    */
+  private val c6r = QuerySpec(
+    "c6r_luma_hist",
+    "Image luminance triage: PNGs walked chunk-by-chunk with every IDAT payload concatenated, 8-bit luma binned x16 in one mapPartitions pass; per source pixel count, 8-bin histogram, e3 mean, and full-range contrast — exact integers, one rollup shuffle.",
+    Some("""WITH pos AS (SELECT doc_id, source,
+              CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS i, text
+              FROM documents WHERE length(text) > 0),
+            px AS (SELECT doc_id, source,
+              CAST(ascii(substr(text, i, 1)) AS BIGINT) AS v FROM pos)
+            SELECT source,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_imgs,
+              CAST(COUNT(*) AS BIGINT) AS n_px,
+              CAST(SUM(CASE WHEN v // 16 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+              CAST(SUM(CASE WHEN v // 16 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+              CAST(SUM(CASE WHEN v // 16 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+              CAST(SUM(CASE WHEN v // 16 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+              CAST(SUM(CASE WHEN v // 16 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+              CAST(SUM(CASE WHEN v // 16 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+              CAST(SUM(CASE WHEN v // 16 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7,
+              CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_e3,
+              CAST(MAX(v) - MIN(v) AS BIGINT) AS contrast
+            FROM px GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val stats = Tables.documents(s, d)
+        .select($"doc_id", $"source", encode($"text", "UTF-8").as("px"))
+        .filter(length($"text") > 0)
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, src, payload) =>
+          val png = PngCodec.build(PngCodec.widthFor(id), PngCodec.heightFor(id),
+            PngCodec.colorTypeFor(id), payload)
+          // genuine chunk chase: concatenate EVERY IDAT payload (multi-chunk
+          // IDAT is legal; trusting a single fixed offset is not a parser)
+          val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+          var off = 8
+          while (off + 12 <= png.length) {
+            val len = ((png(off) & 0xffL) << 24 | (png(off + 1) & 0xffL) << 16 |
+              (png(off + 2) & 0xffL) << 8 | (png(off + 3) & 0xffL)).toInt
+            val tag = new String(png.slice(off + 4, off + 8), "ISO-8859-1")
+            if (tag == "IDAT") buf ++= png.slice(off + 8, off + 8 + len)
+            off += 12 + len
+          }
+          val hist = new Array[Long](16)
+          var sum = 0L
+          var mn = 255L
+          var mx = 0L
+          var i = 0
+          while (i < buf.length) {
+            val v = (buf(i) & 0xff).toLong
+            hist((v / 16).toInt) += 1L
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (src, 1L, buf.length.toLong, hist(1), hist(2), hist(3), hist(4),
+            hist(5), hist(6), hist(7), sum, mn, mx)
+        })
+        .toDF("source", "one", "n_px", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
+          "lsum", "lmin", "lmax")
+      stats.groupBy($"source")
+        .agg(sum($"one").cast(LongType).as("n_imgs"),
+          sum($"n_px").cast(LongType).as("n_px"),
+          sum($"h1").cast(LongType).as("h1"), sum($"h2").cast(LongType).as("h2"),
+          sum($"h3").cast(LongType).as("h3"), sum($"h4").cast(LongType).as("h4"),
+          sum($"h5").cast(LongType).as("h5"), sum($"h6").cast(LongType).as("h6"),
+          sum($"h7").cast(LongType).as("h7"),
+          expr("sum(lsum) * 1000 div sum(n_px)").cast(LongType).as("mean_e3"),
+          (max($"lmax") - min($"lmin")).cast(LongType).as("contrast"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q)
+    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r)
 }

@@ -680,6 +680,23 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c6r_luma_hist: histogram partitions the pixels, stats bounded") {
+    val rows = run("c6r_luma_hist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (imgs, npx) = (r.getLong(1), r.getLong(2))
+      val bins = (3 to 9).map(r.getLong)
+      val (mean, contrast) = (r.getLong(10), r.getLong(11))
+      assert(imgs > 0L && npx >= imgs)
+      // ASCII payload: every byte >= 32 lands in bins 2..7, so the emitted
+      // bins must partition the pixel count exactly
+      assert(bins.sum == npx, s"histogram drops pixels: ${bins.sum} vs $npx")
+      assert(bins.head == 0L, "bin 16..31 must be empty on printable ASCII")
+      assert(mean >= 32000L && mean <= 127000L, s"mean_e3 $mean outside the ASCII band")
+      assert(contrast > 0L && contrast <= 127L)
+    }
+  }
+
   test("b121_mann_kendall: pair-count identity, z/S sign agreement, trend thresholds") {
     val rows = run("b121_mann_kendall").collect()
     assert(rows.nonEmpty)

@@ -980,6 +980,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("A10 native file source -> file sink: exactly-once manifest across restart, rogue files invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = tmpDir("fsrc")
+    val out = tmpDir("fsink") + "/data"
+    val ckpt = tmpDir("fsinkckpt")
+    val sch = StructType(Seq(StructField("layer", StringType), StructField("v", LongType)))
+    def start() = spark.readStream.schema(sch).parquet(in)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    Seq(("roads", 1L), ("roads", 2L)).toDF("layer", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // a new input file lands while no query is running; the restarted
+    // query must process exactly the delta (offsets from the checkpoint)
+    Seq(("rivers", 3L)).toDF("layer", "v").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val rows = spark.read.parquet(out).as[(String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(("rivers", 3L), ("roads", 1L), ("roads", 2L)),
+      s"restart must append exactly the new file once, got ${rows.mkString(", ")}")
+    // exactly-once READS are the _spark_metadata manifest's job: a file
+    // written around the sink (a failed task's orphan, a stray backfill)
+    // is not in the manifest and must stay invisible to readers
+    Seq(("rogue", 99L)).toDF("layer", "v").coalesce(1).write.mode("append").parquet(out)
+    assert(spark.read.parquet(out).count() == 3,
+      "manifest-governed read must ignore files the sink did not commit")
+  }
+
   test("stream-stream interval join: same key joins only within the event-time window") {
     import org.apache.spark.sql.functions.expr
     val (msL, tL) = newStream()
