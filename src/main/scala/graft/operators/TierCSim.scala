@@ -503,13 +503,33 @@ object TierCSim {
     * component is a star rooted at its minimum id, so the final label is
     * least(id, min(neighbor)).
     *
+    * Adaptive small-graph fast path (`localCap`): after the initial
+    * dedup+fingerprint action, if the DISTINCT edge count is at most
+    * `localCap` and the keys are LongType, the component labels are
+    * computed by a driver-side union-find over ONE bounded collect
+    * (union-by-min, so the root of every component IS its minimum id —
+    * bit-identical labels to the distributed fixed point) and broadcast
+    * back for the isolated-node left join. This is the AQE philosophy
+    * applied to iterative graphs: the distributed rounds cost a fixed
+    * ~2-3 s of driver/action latency regardless of graph size (measured,
+    * r13 bench: the CC family is the suite's slowest class at any SF),
+    * which is the RIGHT price for a 100 TB pair graph and the wrong one
+    * for a banding run that produced 4k edges. The cap is a driver-memory
+    * constant (65536 edges ≈ 1 MB collected; override with
+    * GRAFT_CC_LOCAL_CAP, 0 disables), so the decision is made on a
+    * measured count, never on an SF guess — at 100 TB a corpus-scale
+    * pair graph blows the cap on the very first fingerprint and takes
+    * the distributed rounds as before.
+    *
     * @return (labels (id, cluster), star rounds run, driver actions) —
-    *         rounds for the ScaleSpec log-convergence assertion, actions
-    *         for the SimSpec halved-round-trips assertion
+    *         rounds for the ScaleSpec log-convergence assertion (0 on
+    *         the fast path), actions for the SimSpec halved-round-trips
+    *         assertion
     */
   private[graft] def starComponents(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 50,
-      reliable: Boolean = false, stride: Int = 2): (DataFrame, Int, Int) = {
+      reliable: Boolean = false, stride: Int = 2,
+      localCap: Long = ccLocalCap): (DataFrame, Int, Int) = {
     import s.implicits._
     // Checkpoint, not persist: one star round references its input ~8×
     // (the union doubling + the groupBy/join reuse on each star), so the
@@ -553,6 +573,32 @@ object TierCSim {
       (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
     }
     var prevFp = fp(cur)
+    val longKeys = nodes.schema("id").dataType == LongType &&
+      cur.schema("u").dataType == LongType && cur.schema("v").dataType == LongType
+    if (localCap > 0 && longKeys && prevFp._1 <= localCap) {
+      // small-graph fast path: one bounded collect, union-by-min union-find
+      // (the root of a component is always its min id, so labels are
+      // bit-identical to the distributed fixed point's least(id, min(nbr)))
+      val es = cur.select($"u", $"v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val lbl = ids.toSeq.map(id => (id, find(id))).toDF("nid0", "mn0")
+      val labels = nodes.select($"id")
+        .join(broadcast(lbl), $"id" === $"nid0", "left")
+        .select($"id", coalesce($"mn0", $"id").as("cluster"))
+      return (labels, 0, 1)
+    }
     var rounds = 0
     var actions = 1 // the initial fingerprint
     var converged = false
@@ -617,6 +663,13 @@ object TierCSim {
     */
   private[graft] val ccStride: Int =
     sys.env.get("GRAFT_CC_STRIDE").map(_.toInt).getOrElse(2)
+
+  /** Distinct-edge ceiling for [[starComponents]]'s driver union-find fast
+    * path (~1 MB collected at the default). Env-overridable
+    * (GRAFT_CC_LOCAL_CAP); 0 disables, forcing the distributed rounds.
+    */
+  private[graft] val ccLocalCap: Long =
+    sys.env.get("GRAFT_CC_LOCAL_CAP").map(_.toLong).getOrElse(65536L)
 
   /** Star-contraction CC with the same (nodes, edges) → (id, cluster)
     * contract as [[connectedComponents]]; the variant `c2_cluster` runs.

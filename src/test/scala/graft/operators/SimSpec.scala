@@ -601,7 +601,9 @@ class SimSpec extends AnyFunSuite {
     val n = 64
     val nodes = (0L until n.toLong).toDF("id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
-    val (labels, rounds, actions) = TierCSim.starComponents(spark, nodes, edges)
+    // localCap = 0: this test pins the DISTRIBUTED contraction rounds
+    val (labels, rounds, actions) =
+      TierCSim.starComponents(spark, nodes, edges, localCap = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until n.toLong).map(_ -> 0L).toMap, s"wrong labels: $got")
     assert(rounds <= 12,
@@ -642,6 +644,22 @@ class SimSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("starComponents local fast path: zero rounds, labels identical to the distributed fixed point") {
+    import spark.implicits._
+    // clusters + a chain + a singleton — awkward shapes for both paths
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L) ++ (30L to 40L)).toDF("id")
+    val edges = (Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)) ++
+      (30L until 40L).map(i => (i, i + 1))).toDF("src", "dst")
+    val (fast, rFast, aFast) = TierCSim.starComponents(spark, nodes, edges)
+    assert(rFast == 0 && aFast == 1, "tiny edge set must take the union-find fast path")
+    val gotFast = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (dist, rDist, _) = TierCSim.starComponents(spark, nodes, edges, localCap = 0)
+    assert(rDist > 0, "localCap = 0 must force the distributed rounds")
+    val gotDist = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFast == gotDist, s"paths diverge: $gotFast vs $gotDist")
+    assert(gotFast(20L) == 20L && gotFast(35L) == 30L && gotFast(4L) == 1L)
+  }
+
   test("starComponents reliable=true without a checkpoint dir fails loudly") {
     import spark.implicits._
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
@@ -665,7 +683,7 @@ class SimSpec extends AnyFunSuite {
       val nodes = (0L until n.toLong).toDF("id")
       val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
       val (labels, rounds, _) =
-        TierCSim.starComponents(spark, nodes, edges, reliable = true)
+        TierCSim.starComponents(spark, nodes, edges, reliable = true, localCap = 0)
       val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == (0L until n.toLong).map(_ -> 0L).toMap, s"wrong labels: $got")
       assert(rounds <= 12, s"reliable path took $rounds rounds on a 64-chain")
