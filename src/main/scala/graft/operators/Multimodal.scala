@@ -1658,6 +1658,111 @@ object Multimodal {
     }
   )
 
+  // ------------------------------------------------------- c6s_srt_cues
+  /** SRT subtitle/caption track codec — the TEXT-track modality (captions
+    * are first-class multimodal training data: they align text to
+    * timeline, and their reading speed is the standard quality screen
+    * for auto-generated tracks). Build a REAL SubRip document per record
+    * (1-based cue index, `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing line with
+    * genuine zero-padded field formatting, payload, blank separator) from
+    * the record's 8-token chunks (the c4_chunk_dedup window), then parse
+    * it back with a real line walker — index-line monotonicity checked,
+    * every timestamp decoded field-by-field (h·3.6e6 + m·6e4 + s·1e3 +
+    * mmm), loud-throw on malformed framing. parse(build(x)) must equal
+    * the planted closed form (cue i spans [2500·i, 2500·i + 2000) ms).
+    *
+    * Per-source rollup: track/cue counts, captioned milliseconds, payload
+    * chars, and chars-per-second at e3 (the reading-speed screen; ~>25
+    * cps flags machine-garbage tracks in real pipelines).
+    *
+    * Scale posture: build + parse are one streaming mapPartitions pass;
+    * the only exchanges are the per-source rollup and the presentation
+    * sort. Exactness is pure integers (fixed cue duration, char counts,
+    * one integer-scaled division).
+    */
+  private val c6s = QuerySpec(
+    "c6s_srt_cues",
+    "SRT caption-track codec: real SubRip documents built from 8-token chunks (zero-padded HH:MM:SS,mmm timing lines) and re-parsed with a genuine line/timestamp walker; per-source tracks, cues, captioned ms, payload chars, and e3 chars-per-second reading speed — streaming mapPartitions, one rollup shuffle.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            ch AS (SELECT doc_id, source,
+              CAST(unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS BIGINT) AS idx,
+              toks FROM t WHERE len(toks) > 0),
+            cue AS (SELECT doc_id, source,
+              CAST(length(array_to_string(toks[idx*8+1 : idx*8+8], ' ')) AS BIGINT) AS chars
+              FROM ch),
+            d AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_cues,
+              CAST(SUM(chars) AS BIGINT) AS chars FROM cue GROUP BY source, doc_id)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_tracks,
+              CAST(SUM(n_cues) AS BIGINT) AS n_cues,
+              CAST(SUM(n_cues) * 2000 AS BIGINT) AS cue_ms,
+              CAST(SUM(chars) AS BIGINT) AS total_chars,
+              CAST(SUM(chars) * 1000000 // (SUM(n_cues) * 2000) AS BIGINT) AS cps_e3
+            FROM d GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      def fmtTs(ms: Long): String = {
+        val h = ms / 3600000L; val m = ms % 3600000L / 60000L
+        val sec = ms % 60000L / 1000L; val mmm = ms % 1000L
+        f"$h%02d:$m%02d:$sec%02d,$mmm%03d"
+      }
+      def parseTs(t: String): Long = {
+        val Array(hms, mmm) = t.split(",")
+        val Array(h, m, sec) = hms.split(":")
+        h.toLong * 3600000L + m.toLong * 60000L + sec.toLong * 1000L + mmm.toLong
+      }
+      val stats = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (_, src, text) =>
+          val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val srt = toks.grouped(8).zipWithIndex.map { case (chunk, i) =>
+              val start = i.toLong * 2500L
+              s"${i + 1}\n${fmtTs(start)} --> ${fmtTs(start + 2000L)}\n${chunk.mkString(" ")}\n"
+            }.mkString("\n")
+            // genuine SubRip walk: index line, timing line, payload lines
+            // to the blank separator — loud-throw on any framing defect
+            val lines = srt.split("\n", -1)
+            var li = 0
+            var cueIdx = 0L
+            var ms = 0L
+            var chars = 0L
+            while (li < lines.length && lines(li).nonEmpty) {
+              val idx = lines(li).toLong
+              require(idx == cueIdx + 1, s"cue index $idx after $cueIdx")
+              val Array(ts0, ts1) = lines(li + 1).split(" --> ")
+              val (a, b) = (parseTs(ts0), parseTs(ts1))
+              require(b > a, s"cue $idx: end $b before start $a")
+              var pj = li + 2
+              var payload = new StringBuilder
+              while (pj < lines.length && lines(pj).nonEmpty) {
+                if (payload.nonEmpty) payload ++= " "
+                payload ++= lines(pj)
+                pj += 1
+              }
+              cueIdx = idx
+              ms += b - a
+              chars += payload.length.toLong
+              li = pj + 1
+            }
+            Iterator.single((src, 1L, cueIdx, ms, chars))
+          }
+        })
+        .toDF("source", "one", "n_cues", "cue_ms", "chars")
+      stats.groupBy($"source")
+        .agg(sum($"one").cast(LongType).as("n_tracks"),
+          sum($"n_cues").cast(LongType).as("n_cues"),
+          sum($"cue_ms").cast(LongType).as("cue_ms"),
+          sum($"chars").cast(LongType).as("total_chars"),
+          expr("sum(chars) * 1000000 div sum(cue_ms)").cast(LongType).as("cps_e3"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r)
+    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r, c6s)
 }

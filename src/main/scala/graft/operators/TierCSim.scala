@@ -4623,7 +4623,93 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------- k-center coreset curve
+  /** Exemplar/coreset selection curve — the data-selection question
+    * ("how many exemplars until the corpus is covered?") behind active
+    * learning and SemDeDup-style diversity pruning: run the SAME
+    * deterministic k-center greedy the IVF quantizer uses ([[kCenterSeeds]],
+    * min-max-cosine farthest-point, ties to lowest vec_id) out to 16
+    * exemplars, then for every prefix k report corpus coverage — the
+    * minimum and mean over ALL vectors of each vector's best cosine to
+    * the first k exemplars. Reading the curve tells you where coverage
+    * plateaus, i.e. how many exemplars a labeling/audit pass actually
+    * needs.
+    *
+    * Exactness: the greedy is sample-bounded and replayed verbatim by
+    * the oracle's recursive CTE (the c3_ivf seed discipline, fixed K
+    * instead of the adaptive cell count); per-(vector, step) coverage is
+    * a pure running MAX over per-seed cosines (float compare only — no
+    * accumulation), floored at e6 BEFORE the min/sum rollup.
+    *
+    * Scale shape: the 16-exemplar frame rides a broadcast past ONE
+    * corpus scan (bounded ×16 fan-out), the running max is a per-vector
+    * window over 16 rows, and the rollup partial-aggregates to 16 rows.
+    * The greedy's collect is the audited md5Sample(1024) bound.
+    */
+  private val CoresetK = 16
+  private def c3coOracle: String = {
+    import AnnSql._
+    val seedMs = (0 until dim).map(i =>
+      s"CAST(s.embedding[${i + 1}] AS FLOAT) AS m$i").mkString(", ")
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT vec_id, embedding, $n2Emb AS n2 FROM embeddings),
+       |sample AS (SELECT vec_id, embedding, n2 FROM corpus
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+       |nk AS (SELECT least($CoresetK, count(*)) AS k FROM sample),
+       |greedy(ord, vids) AS (
+       |  SELECT CAST(1 AS BIGINT), [(SELECT min(vec_id) FROM sample)]
+       |  UNION ALL
+       |  SELECT g.ord + 1, list_append(g.vids, (
+       |    SELECT c.vec_id
+       |    FROM sample c JOIN sample s ON list_contains(g.vids, s.vec_id)
+       |    WHERE NOT list_contains(g.vids, c.vec_id)
+       |    GROUP BY c.vec_id
+       |    ORDER BY max((${dotp("c", "s")}) / (sqrt(c.n2) * sqrt(s.n2))) ASC, c.vec_id ASC
+       |    LIMIT 1))
+       |  FROM greedy g WHERE g.ord < (SELECT k FROM nk)),
+       |seedvids AS (SELECT vids FROM greedy WHERE ord = (SELECT k FROM nk)),
+       |seeds0 AS (
+       |  SELECT list_position(v.vids, s.vec_id) - 1 AS j, $seedMs, s.n2
+       |  FROM seedvids v, sample s WHERE list_contains(v.vids, s.vec_id)),
+       |sims AS (SELECT e.vec_id, s.j, ($simM) AS sim
+       |  FROM corpus e CROSS JOIN seeds0 s),
+       |cum AS (SELECT vec_id, j,
+       |  CAST(floor(1000000.0 * max(sim) OVER (PARTITION BY vec_id ORDER BY j)) AS BIGINT) AS cov
+       |  FROM sims)
+       |SELECT CAST(j + 1 AS BIGINT) AS step,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vec,
+       |  CAST(MIN(cov) AS BIGINT) AS cov_min_e6,
+       |  CAST(SUM(cov) // COUNT(*) AS BIGINT) AS cov_avg_e6
+       |FROM cum GROUP BY j ORDER BY step""".stripMargin
+  }
+  private val c3co = QuerySpec(
+    "c3_coreset",
+    s"K-center coreset/exemplar coverage curve: the deterministic IVF greedy run to $CoresetK exemplars, then per prefix k the corpus-wide min and mean best-cosine coverage (e6-floored before the rollup) — broadcast x16 fan-out past one corpus scan, per-vector 16-row running-max window, 16-row partial-agged rollup.",
+    Some(c3coOracle),
+    (s, d) => {
+      import s.implicits._
+      val e = CacheRegistry.persist(Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", TierC.dot($"embedding", $"embedding").as("n2")))
+      val seeds = ivfSeeds(s, e, CoresetK, 1024)
+      val seedDf = seeds.zipWithIndex
+        .map { case ((m, n2), j) => (j.toLong, m, n2) }
+        .toDF("j", "m", "sn2")
+      val wCum = Window.partitionBy($"vec_id").orderBy($"j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.crossJoin(broadcast(seedDf))
+        .select($"vec_id", $"j",
+          (TierC.dot($"embedding", $"m") / (sqrt($"n2") * sqrt($"sn2"))).as("sim"))
+        .select($"vec_id", $"j",
+          floor(lit(1000000.0) * max($"sim").over(wCum)).cast(LongType).as("cov"))
+        .groupBy(($"j" + 1L).as("step"))
+        .agg(count(lit(1)).as("n_vec"),
+          min($"cov").as("cov_min_e6"),
+          expr("sum(cov) div count(*)").cast(LongType).as("cov_avg_e6"))
+        .orderBy($"step")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk, c3co)
 }

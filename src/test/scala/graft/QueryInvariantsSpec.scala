@@ -664,6 +664,35 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c6s_srt_cues: timing identities and reading-speed quotient hold") {
+    val rows = run("c6s_srt_cues").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tracks, cues, ms, chars, cps) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tracks > 0L && cues >= tracks, "every track carries at least one cue")
+      assert(ms == cues * 2000L, "fixed 2000 ms cue duration identity")
+      assert(chars > 0L)
+      assert(cps == chars * 1000000L / ms, "cps_e3 integer-quotient identity")
+    }
+  }
+
+  test("c3_coreset: coverage curve monotone, bounded, over the full corpus") {
+    val rows = run("c3_coreset").collect().sortBy(_.getLong(0))
+    assert(rows.length > 1 && rows.head.getLong(0) == 1L)
+    val nVec = rows.head.getLong(1)
+    var prevMin = Long.MinValue
+    var prevAvg = Long.MinValue
+    rows.foreach { r =>
+      val (n, mn, avg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == nVec, "every step covers the whole corpus")
+      // adding an exemplar can only improve a running max
+      assert(mn >= prevMin && avg >= prevAvg, "coverage curve must be nondecreasing")
+      assert(mn <= avg && avg <= 1000000L, s"min $mn / avg $avg out of order or above cos=1")
+      prevMin = mn; prevAvg = avg
+    }
+  }
+
   test("c6q_wav_rms: PCM16 stats bounded by the sample alphabet") {
     val rows = run("c6q_wav_rms").collect()
     assert(rows.nonEmpty)
