@@ -3893,6 +3893,73 @@ object TierCText {
     }
   )
 
+  // ---------------------------------- quality threshold sweep (c4qs)
+  /** Quality-filter THRESHOLD SWEEP — the read that picks the cutoff: the
+    * `c4_quality` blend scores documents, but a pipeline owner needs the
+    * survival curve ("at threshold t, how many docs and tokens survive,
+    * per source?") before committing to any t — too low keeps garbage,
+    * too high starves a small source. Ten e6-quantized thresholds
+    * (0.0–0.9) against the exact c4_quality chain, rolled up per
+    * (source, threshold) with doc/token survival shares. The threshold
+    * twin of `c2_threshold_sweep` (LSH) applied to the quality leg.
+    *
+    * Exactness: the score is floored at e6 off the identical IEEE blend
+    * BOTH engines already hash-match in c4_quality; everything after is
+    * integers (conditional counts/sums, 1e-6 integer-division shares).
+    *
+    * Scale shape: ONE corpus scan computes (source, q_e6, n_tokens)
+    * map-side; the 10-row threshold grid rides a broadcast (bounded ×10
+    * fan-out), and the rollup partial-aggregates to |sources|·10 rows.
+    */
+  private val c4qs = QuerySpec(
+    "c4_quality_sweep",
+    "Quality-filter threshold sweep: ten e6 thresholds against the exact c4_quality blend, per (source, threshold) surviving docs/tokens and 1e-6 survival shares — one corpus scan, broadcast x10 grid, partial-agged rollup; the cutoff-choosing curve.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            q AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(floor(1000000.0 * (
+                0.5 * (CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE) / len(toks))
+                + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))) AS BIGINT) AS q_e6
+              FROM t WHERE len(toks) > 0),
+            g AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) * 100000 AS thr_e6)
+            SELECT q.source, g.thr_e6,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COALESCE(SUM(CASE WHEN q.q_e6 >= g.thr_e6 THEN 1 END), 0) AS BIGINT) AS docs_kept,
+              CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(SUM(CASE WHEN q.q_e6 >= g.thr_e6 THEN q.n_tokens END), 0) AS BIGINT) AS toks_kept,
+              CAST(COALESCE(SUM(CASE WHEN q.q_e6 >= g.thr_e6 THEN 1 END), 0) * 1000000
+                // COUNT(*) AS BIGINT) AS doc_share_e6,
+              CAST(COALESCE(SUM(CASE WHEN q.q_e6 >= g.thr_e6 THEN q.n_tokens END), 0) * 1000000
+                // SUM(q.n_tokens) AS BIGINT) AS tok_share_e6
+            FROM q CROSS JOIN g GROUP BY q.source, g.thr_e6
+            ORDER BY q.source, g.thr_e6"""),
+    (s, d) => {
+      import s.implicits._
+      val stops = TextStats.Stopwords
+      val q = Tables.documents(s, d)
+        .select($"source", toksCol.as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"source", size($"toks").cast(LongType).as("n_tokens"),
+          floor(lit(1000000.0) * (lit(0.5)
+            * (size(filter($"toks", t => t.isInCollection(stops))).cast(DoubleType) / size($"toks"))
+            + lit(0.5) * least(size($"toks").cast(DoubleType) / 100.0, lit(1.0))))
+            .cast(LongType).as("q_e6"))
+      val grid = s.range(0L, 10L).select(($"id" * 100000L).as("thr_e6"))
+      q.crossJoin(broadcast(grid))
+        .groupBy($"source", $"thr_e6")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when($"q_e6" >= $"thr_e6", 1L)), lit(0L)).cast(LongType).as("docs_kept"),
+          sum($"n_tokens").cast(LongType).as("n_tokens"),
+          coalesce(sum(when($"q_e6" >= $"thr_e6", $"n_tokens")), lit(0L)).cast(LongType).as("toks_kept"),
+          expr("coalesce(sum(case when q_e6 >= thr_e6 then 1L end), 0L) * 1000000 div count(*)")
+            .cast(LongType).as("doc_share_e6"),
+          expr("coalesce(sum(case when q_e6 >= thr_e6 then n_tokens end), 0L) * 1000000 div sum(n_tokens)")
+            .cast(LongType).as("tok_share_e6"))
+        .orderBy($"source", $"thr_e6")
+    }
+  )
+
   // ------------------------------ Viterbi (optimal) segmentation (c4vs)
   /** Optimal-vs-greedy segmentation under the unigram seed vocab — the
     * measurement that closes the tokenizer workbench: [[c4fe]] scores the
@@ -4033,5 +4100,5 @@ object TierCText {
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs)
+      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs, c4qs)
 }

@@ -664,6 +664,28 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c4_quality_sweep: survival monotone in threshold, shares are the exact quotients") {
+    val rows = run("c4_quality_sweep").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val byThr = rs.sortBy(_.getLong(1))
+      assert(byThr.map(_.getLong(1)).toSeq == (0L until 10L).map(_ * 100000L),
+        s"$src: missing thresholds")
+      var prevDocs = Long.MaxValue
+      var prevToks = Long.MaxValue
+      byThr.foreach { r =>
+        val (nd, dk, nt, tk, ds, ts) = (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+        assert(dk <= nd && tk <= nt)
+        // raising the bar can only shed documents
+        assert(dk <= prevDocs && tk <= prevToks, s"$src: survival not monotone")
+        assert(ds == dk * 1000000L / nd && ts == tk * 1000000L / nt)
+        assert(byThr.head.getLong(3) == nd, s"$src: threshold 0 must keep everything")
+        prevDocs = dk; prevToks = tk
+      }
+    }
+  }
+
   test("c6s_srt_cues: timing identities and reading-speed quotient hold") {
     val rows = run("c6s_srt_cues").collect()
     assert(rows.nonEmpty)
