@@ -573,6 +573,18 @@ object Plans {
       "mapPartitions pass (no sample table is ever materialized " +
       "engine-side); the only exchanges are the per-source rollup and " +
       "the presentation sort."),
+    "c6s_srt_cues" -> ("SRT caption codec: SubRip build + line/timestamp " +
+      "walk are one streaming mapPartitions pass per record; the only " +
+      "exchanges are the per-source rollup and the presentation sort."),
+    "c3_coreset" -> ("K-center coreset curve: the 16-exemplar frame " +
+      "rides a broadcast past ONE corpus scan (bounded ×16 fan-out, " +
+      "native codegen dot), running-max window over 16 rows per vector, " +
+      "16-row partial-agged rollup; the greedy's collect is the audited " +
+      "md5Sample(1024) bound."),
+    "c4_quality_sweep" -> ("Quality threshold sweep: one corpus scan " +
+      "computes (source, q_e6, n_tokens) map-side, the 10-row threshold " +
+      "grid broadcasts (never shuffles the corpus), and the (source, " +
+      "threshold) rollup partial-aggregates to |sources|·10 rows."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1352,6 +1352,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "the per-source rollup must partial-aggregate:\n" + p)
   }
 
+  test("c6s_srt_cues / c6r_luma_hist: payload codecs stay map-side, rollup + sort only") {
+    for (q <- Seq("c6s_srt_cues", "c6r_luma_hist")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: payload decode must be map-side only:\n" + p)
+      assert("Exchange".r.findAllIn(p).length <= 2,
+        s"$q: expected only the rollup exchange and the presentation sort:\n" + p)
+    }
+  }
+
+  test("c3_coreset: 16-exemplar frame broadcasts, no shuffle-side join") {
+    val p = plan("c3_coreset")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the exemplar frame must ride a broadcast past the corpus scan:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the x16 fan-out must never shuffle the corpus for a join:\n" + p)
+    assert(p.contains("graft_dot_f"),
+      "coverage cosines must use the native codegen dot:\n" + p)
+  }
+
+  test("c4_quality_sweep: threshold grid broadcasts, rollup partial-aggs") {
+    val p = plan("c4_quality_sweep")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 10-row grid must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "grid fan-out must not shuffle the corpus:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the (source, threshold) rollup must partial-aggregate:\n" + p)
+  }
+
   test("c6q_wav_rms: streaming decode, the only exchanges are the rollup + presentation sort") {
     val p = plan("c6q_wav_rms")
     assert(!p.contains("Join"), "payload decode must be map-side only:\n" + p)
