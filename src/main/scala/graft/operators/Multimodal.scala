@@ -1763,6 +1763,102 @@ object Multimodal {
     }
   )
 
+  // ------------------------------------------------------- c6t_id3_tag
+  /** ID3v2.4 tag codec — the SYNCSAFE-integer byte regime, the fifth
+    * length-encoding discipline in the codec family after WAV-LE, PNG-BE
+    * +CRC, MP4 box trees, and JPEG marker walks: ID3 sizes store 28 bits
+    * across four 7-BIT bytes (high bit always clear, so the byte stream
+    * can never alias an MPEG frame sync), and a parser that treats them
+    * as plain BE u32 silently mis-frames every tag over 127 bytes. Build
+    * a real ID3v2.4 tag per record (10-byte header with syncsafe tag
+    * size, TIT2 title = first 24 chars, TALB album = the source name,
+    * TIT3 subtitle = the full text so the multi-byte syncsafe path
+    * genuinely exercises), then walk it back: header magic/version
+    * checked, every frame's syncsafe size decoded with the
+    * high-bit-clear requirement, album REQUIRED to equal the planted
+    * source — loud-throw discipline throughout.
+    *
+    * Scale posture: build + walk are one streaming mapPartitions pass;
+    * the only exchanges are the per-source rollup and the presentation
+    * sort. Exactness: every output is a byte/char count the oracle
+    * states closed-form from the planted layout.
+    */
+  private val c6t = QuerySpec(
+    "c6t_id3_tag",
+    "ID3v2.4 tag codec (syncsafe regime): real tags built per record (TIT2/TALB/TIT3 text frames, 7-bit syncsafe sizes) and re-walked with high-bit-clear checks and a planted-album equality requirement; per-source tracks, full tag bytes, title and subtitle chars — streaming mapPartitions, one rollup shuffle.",
+    Some("""WITH m AS (SELECT source,
+              CAST(least(length(text), 24) AS BIGINT) AS title_len,
+              CAST(length(text) AS BIGINT) AS sub_len,
+              CAST(length(source) AS BIGINT) AS alb_len
+            FROM documents WHERE length(text) > 0)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_tracks,
+              CAST(SUM(10 + (10 + 1 + title_len) + (10 + 1 + alb_len)
+                       + (10 + 1 + sub_len)) AS BIGINT) AS tag_bytes,
+              CAST(SUM(title_len) AS BIGINT) AS title_chars,
+              CAST(SUM(sub_len) AS BIGINT) AS sub_chars
+            FROM m GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      def syncsafe(v: Int): Array[Byte] = {
+        require(v < (1 << 28), s"syncsafe overflow: $v")
+        Array(((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+          ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+      }
+      def frame(id: String, payload: Array[Byte]): Array[Byte] =
+        id.getBytes("ISO-8859-1") ++ syncsafe(payload.length + 1) ++
+          Array(0.toByte, 0.toByte) ++ (3.toByte +: payload) // 3 = UTF-8 encoding byte
+      val stats = Tables.documents(s, d)
+        .select($"source", $"text")
+        .filter(length($"text") > 0)
+        .as[(String, String)]
+        .mapPartitions(_.map { case (src, text) =>
+          val frames = frame("TIT2", text.take(24).getBytes("UTF-8")) ++
+            frame("TALB", src.getBytes("UTF-8")) ++
+            frame("TIT3", text.getBytes("UTF-8"))
+          val tag = "ID3".getBytes("ISO-8859-1") ++ Array(4.toByte, 0.toByte, 0.toByte) ++
+            syncsafe(frames.length) ++ frames
+          // genuine walk-back with the syncsafe high-bit-clear requirement
+          def rdSync(o: Int): Int = {
+            (0 until 4).foreach { i =>
+              require((tag(o + i) & 0x80) == 0, s"syncsafe byte $i has the sync bit set")
+            }
+            ((tag(o) & 0x7f) << 21) | ((tag(o + 1) & 0x7f) << 14) |
+              ((tag(o + 2) & 0x7f) << 7) | (tag(o + 3) & 0x7f)
+          }
+          require(new String(tag.slice(0, 3), "ISO-8859-1") == "ID3" && tag(3) == 4,
+            "not an ID3v2.4 tag")
+          val tagSize = rdSync(6)
+          require(tagSize == tag.length - 10, s"tag size $tagSize vs ${tag.length - 10}")
+          var off = 10
+          var titleChars = 0L
+          var commChars = 0L
+          var album = ""
+          while (off < tag.length) {
+            val id = new String(tag.slice(off, off + 4), "ISO-8859-1")
+            val sz = rdSync(off + 4)
+            val body = new String(tag.slice(off + 11, off + 10 + sz), "UTF-8")
+            id match {
+              case "TIT2" => titleChars = body.length.toLong
+              case "TALB" => album = body
+              case "TIT3" => commChars = body.length.toLong
+              case other  => throw new IllegalArgumentException(s"unexpected frame $other")
+            }
+            off += 10 + sz
+          }
+          require(album == src, s"album '$album' does not match planted source '$src'")
+          (src, 1L, tag.length.toLong, titleChars, commChars)
+        })
+        .toDF("source", "one", "tag_bytes", "title_chars", "sub_chars")
+      stats.groupBy($"source")
+        .agg(sum($"one").cast(LongType).as("n_tracks"),
+          sum($"tag_bytes").cast(LongType).as("tag_bytes"),
+          sum($"title_chars").cast(LongType).as("title_chars"),
+          sum($"sub_chars").cast(LongType).as("sub_chars"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r, c6s)
+    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r, c6s, c6t)
 }

@@ -2175,8 +2175,73 @@ object Spatial {
     }
   )
 
+  // --------------------------------------------------------------- A11at
+  /** Areal interpolation (zone → grid transfer) — the classic GIS
+    * operation for moving a statistic between INCOMPATIBLE zone systems
+    * (census tracts → analysis grid): each source zone's value is split
+    * across the grid cells it overlaps, weighted by overlap area / zone
+    * area, and re-aggregated per cell. Zones here are 24×24 axis-aligned
+    * squares on integer corners and the target grid is 10-wide, so every
+    * overlap width/height is an exact nonnegative integer and the whole
+    * transfer chain is integer arithmetic — `pop·ow·oh·1000 div 576`
+    * per (zone, cell), summed per cell (truncation happens per pair,
+    * identically in both engines).
+    *
+    * Scale shape: each zone EXPLODES to its ≤16 covered cells map-side
+    * (closed-form floor bounds — the PBSM cell-cover rule, no join at
+    * all), and one partial-agged rollup lands on the cell key. At 100 TB
+    * the zone table is the big side and the fan-out stays bounded by
+    * zone-extent/cell-size², exactly like the audited spatial joins.
+    */
+  private val a11at = QuerySpec(
+    "a11at_areal_interp",
+    "Areal interpolation: 25 positive-integer-cornered 24x24 zones split their population across the 10-grid cells they overlap, weight = exact integer overlap area / 576, transferred milli-units summed per cell — map-side cell explode (no join), one partial-agged rollup on the cell key.",
+    Some("""WITH z AS (SELECT n_nationkey AS zid,
+              CAST(20 * n_nationkey + 4 AS BIGINT) AS x0,
+              CAST(20 * n_nationkey + 28 AS BIGINT) AS x1,
+              CAST(10 * (n_nationkey % 7) + 3 AS BIGINT) AS y0,
+              CAST(10 * (n_nationkey % 7) + 27 AS BIGINT) AS y1,
+              CAST((n_nationkey + 1) * 1000 AS BIGINT) AS pop
+            FROM nation),
+          cand AS (SELECT z.*, cx.cx, cy.cy
+            FROM z,
+              LATERAL (SELECT CAST(unnest(range(x0 // 10, x1 // 10 + 1)) AS BIGINT) AS cx) cx,
+              LATERAL (SELECT CAST(unnest(range(y0 // 10, y1 // 10 + 1)) AS BIGINT) AS cy) cy),
+          ov AS (SELECT zid, cx, cy, pop,
+              greatest(0, least(x1, cx * 10 + 10) - greatest(x0, cx * 10)) AS ow,
+              greatest(0, least(y1, cy * 10 + 10) - greatest(y0, cy * 10)) AS oh
+            FROM cand)
+          SELECT cx AS cell_x, cy AS cell_y,
+            CAST(COUNT(*) AS BIGINT) AS n_zones,
+            CAST(SUM(pop * ow * oh * 1000 // 576) AS BIGINT) AS pop_milli
+          FROM ov WHERE ow > 0 AND oh > 0
+          GROUP BY cx, cy ORDER BY cell_x, cell_y"""),
+    (s, d) => {
+      import s.implicits._
+      val z = Tables.nation(s, d).select(
+        $"n_nationkey".as("zid"),
+        (lit(20L) * $"n_nationkey" + 4L).cast(LongType).as("x0"),
+        (lit(20L) * $"n_nationkey" + 28L).cast(LongType).as("x1"),
+        (lit(10L) * ($"n_nationkey" % 7) + 3L).cast(LongType).as("y0"),
+        (lit(10L) * ($"n_nationkey" % 7) + 27L).cast(LongType).as("y1"),
+        (($"n_nationkey" + 1L) * 1000L).cast(LongType).as("pop"))
+      z.select($"zid", $"pop", $"x0", $"x1", $"y0", $"y1",
+          explode(sequence(expr("x0 div 10"), expr("x1 div 10"))).as("cx"))
+        .select($"zid", $"pop", $"x0", $"x1", $"y0", $"y1", $"cx",
+          explode(sequence(expr("y0 div 10"), expr("y1 div 10"))).as("cy"))
+        .select($"zid", $"pop", $"cx", $"cy",
+          greatest(lit(0L), least($"x1", $"cx" * 10L + 10L) - greatest($"x0", $"cx" * 10L)).as("ow"),
+          greatest(lit(0L), least($"y1", $"cy" * 10L + 10L) - greatest($"y0", $"cy" * 10L)).as("oh"))
+        .filter($"ow" > 0L && $"oh" > 0L)
+        .groupBy($"cx".as("cell_x"), $"cy".as("cell_y"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(expr("pop * ow * oh * 1000 div 576")).cast(LongType).as("pop_milli"))
+        .orderBy($"cell_x", $"cell_y")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
       a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq,
-      a11ar, a11as)
+      a11ar, a11as, a11at)
 }

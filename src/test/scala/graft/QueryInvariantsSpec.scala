@@ -664,6 +664,35 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("a11at_areal_interp: mass conservation up to per-pair truncation") {
+    val rows = run("a11at_areal_interp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(3) > 0L)
+    }
+    // total transferred mass equals total zone mass (25 zones, pop k+1
+    // thousand => 325k units => 325M milli) up to one truncated milli-unit
+    // per (zone, cell) pair — each zone covers <= 16 cells
+    val total = rows.map(_.getLong(3)).sum
+    val exact = (1 to 25).map(_ * 1000L).sum * 1000L
+    assert(total <= exact && total > exact - 25L * 16L,
+      s"mass not conserved: $total vs $exact")
+  }
+
+  test("c6t_id3_tag: frame-layout identities hold per source") {
+    val rows = run("c6t_id3_tag").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, bytes, title, sub) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0L && title <= 24L * n && sub >= title,
+        "subtitle carries the full text, title its 24-char prefix")
+      // per track: 10 header + 3 frames x (10 + 1 encoding byte) = 43
+      // fixed bytes, plus the three payloads (album len >= 4, 'srcN')
+      assert(bytes == 43L * n + title + sub + r.getString(0).length.toLong * n,
+        s"tag byte identity broken for ${r.getString(0)}")
+    }
+  }
+
   test("c4_quality_sweep: survival monotone in threshold, shares are the exact quotients") {
     val rows = run("c4_quality_sweep").collect()
     assert(rows.nonEmpty)
