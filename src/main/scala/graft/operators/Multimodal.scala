@@ -1489,6 +1489,43 @@ object Multimodal {
     * engine-side — the oracle pays that so the engine doesn't have to);
     * the only shuffle is the per-source rollup.
     */
+  /** PCM16 triage core shared by the batch query ([[c6q]]) and the
+    * streaming pipeline ([[graft.streaming.FeaturePipeline.waveformStream]]):
+    * genuine RIFF chunk chase to the data payload, int16 LE decode
+    * centered at −16384, returning (samples, Σs², peak, strict flips).
+    * Pure integers — the two halves can never drift.
+    */
+  private[graft] def pcm16Stats(wav: Array[Byte]): (Long, Long, Long, Long) = {
+    var off = 12
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= wav.length && dataOff < 0) {
+      val tag = new String(wav.slice(off, off + 4), "ISO-8859-1")
+      val sz = (wav(off + 4) & 0xffL) | ((wav(off + 5) & 0xffL) << 8) |
+        ((wav(off + 6) & 0xffL) << 16) | ((wav(off + 7) & 0xffL) << 24)
+      if (tag == "data") { dataOff = off + 8; dataLen = sz }
+      else off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    require(dataOff >= 0, "no data chunk")
+    val n = (dataLen / 2L).toInt
+    var i = 0
+    var sumSq = 0L
+    var peak = 0L
+    var flips = 0L
+    var prev = 0L
+    while (i < n) {
+      val v = ((wav(dataOff + 2 * i) & 0xff) |
+        ((wav(dataOff + 2 * i + 1) & 0xff) << 8)).toLong - 16384L
+      sumSq += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      if (i > 0 && v * prev < 0L) flips += 1L
+      prev = v
+      i += 1
+    }
+    (n.toLong, sumSq, peak, flips)
+  }
+
   private val c6q = QuerySpec(
     "c6q_wav_rms",
     "PCM16 waveform triage stats: real WAVs decoded by chasing the RIFF chunk list to the data payload, int16 LE samples centered at -16384, per-source sample count, exact Σs² energy, peak, strict zero-crossings, and e3-floored RMS — payload decode is a streaming per-partition loop, one rollup shuffle.",
@@ -1520,37 +1557,9 @@ object Multimodal {
         .mapPartitions(_.flatMap { case (id, src, pcm) =>
           val wav = WavCodec.build(WavCodec.rateFor(id), WavCodec.channelsFor(id), 16, pcm)
           // genuine chunk chase to the data payload (never offset-44 trust)
-          var off = 12
-          var dataOff = -1
-          var dataLen = 0L
-          while (off + 8 <= wav.length && dataOff < 0) {
-            val tag = new String(wav.slice(off, off + 4), "ISO-8859-1")
-            val sz = (wav(off + 4) & 0xffL) | ((wav(off + 5) & 0xffL) << 8) |
-              ((wav(off + 6) & 0xffL) << 16) | ((wav(off + 7) & 0xffL) << 24)
-            if (tag == "data") { dataOff = off + 8; dataLen = sz }
-            else off += 8 + sz.toInt + (sz.toInt & 1)
-          }
-          require(dataOff >= 0, s"media $id: no data chunk")
-          val n = (dataLen / 2L).toInt
-          if (n == 0) Iterator.empty
-          else {
-            var i = 0
-            var sumSq = 0L
-            var peak = 0L
-            var flips = 0L
-            var prev = 0L
-            while (i < n) {
-              val v = ((wav(dataOff + 2 * i) & 0xff) |
-                ((wav(dataOff + 2 * i + 1) & 0xff) << 8)).toLong - 16384L
-              sumSq += v * v
-              val a = math.abs(v)
-              if (a > peak) peak = a
-              if (i > 0 && v * prev < 0L) flips += 1L
-              prev = v
-              i += 1
-            }
-            Iterator.single((src, n.toLong, sumSq, peak, flips))
-          }
+          val (n, sumSq, peak, flips) = pcm16Stats(wav)
+          if (n == 0L) Iterator.empty
+          else Iterator.single((src, n, sumSq, peak, flips))
         })
         .toDF("source", "n_samples", "sum_sq", "peak", "flips")
       stats.groupBy($"source")

@@ -402,6 +402,42 @@ object FeaturePipeline {
       .select(col("fence_id"), col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("n_obs"), col("cents"))
 
+  /** C6 streaming: watermarked waveform triage over a binary media stream
+    * — the streaming half of `c6q_wav_rms`, for the ingest topology where
+    * audio chunks arrive as messages and silence/clipping alarms must fire
+    * per window, not per backfill. Input needs (layer, event_ts, payload
+    * WAV bytes). The decode is the SAME
+    * [[graft.operators.Multimodal.pcm16Stats]] integer core the batch
+    * query runs (one definition site — the halves cannot drift), applied
+    * statelessly per record; the only state is the tumbling-window
+    * rollup, bounded by the watermark. Emits per (layer, window): chunk/
+    * sample counts, exact Σs² energy, peak, and zero-crossings.
+    */
+  def waveformStream(media: DataFrame, windowDur: String,
+      watermark: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val decoded = media
+      .select(col("layer"), col("event_ts"), col("payload"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .map { case (layer, ts, wav) =>
+        val (n, sumSq, peak, flips) = graft.operators.Multimodal.pcm16Stats(wav)
+        (layer, ts, n, sumSq, peak, flips)
+      }
+      .toDF("layer", "event_ts", "n_samples", "sum_sq", "peak", "flips")
+    decoded
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowDur), col("layer"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_samples")).cast("long").as("n_samples"),
+        sum(col("sum_sq")).cast("long").as("sum_sq"),
+        max(col("peak")).cast("long").as("max_peak"),
+        sum(col("flips")).cast("long").as("n_crossings"))
+      .select(col("layer"), col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_chunks"), col("n_samples"),
+        col("sum_sq"), col("max_peak"), col("n_crossings"))
+  }
+
   def enrichStream(obs: DataFrame, ctx: DataFrame, lookbackSec: Int,
       watermark: String): DataFrame = {
     val o = obs.withWatermark("obs_ts", watermark)

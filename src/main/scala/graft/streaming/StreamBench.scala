@@ -300,6 +300,27 @@ object StreamBench {
         rateChunks)
     }
 
+    // 9. waveform triage: per-record WAV build + RIFF chase + PCM16 decode
+    //    (the binary-payload hot path) feeding a watermarked tumbling
+    //    rollup — times the decode throughput, not just the window state
+    {
+      val waveChunks = (0 until 10).map { c =>
+        (0 until 5000 * scale).map { i =>
+          val id = c * 5000L * scale + i
+          val payload = graft.operators.Multimodal.WavCodec.build(
+            16000, 1, 16, s"sample payload $id pad ${"x" * (id % 64).toInt}".getBytes("UTF-8"))
+          (s"mic_${id % 20}", c * 10L * min + (i % 600) * us, payload)
+        }
+      }
+      runPipeline[(String, Long, Array[Byte])]("waveform",
+        ms => FeaturePipeline.waveformStream(
+          ms.toDF().toDF("layer", "ts_us", "payload")
+            .select(col("layer"), timestamp_micros(col("ts_us")).as("event_ts"),
+              col("payload")),
+          windowDur = "5 minutes", watermark = "2 minutes"),
+        waveChunks)
+    }
+
     val total = results.values.map(_._2).sum
     val json = results.map { case (tag, (rows, sec)) =>
       f""""$tag":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""

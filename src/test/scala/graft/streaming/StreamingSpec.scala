@@ -802,6 +802,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C6 streaming: waveform triage windows close exactly, decode matches the hand-built PCM, late chunk dropped") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal.WavCodec
+    val sec = 1000000L
+    def wav(payload: String): Array[Byte] =
+      WavCodec.build(16000, 1, 16, payload.getBytes("UTF-8"))
+    // "ab" -> one sample 97 + 98*256 - 16384 = 8801 (no flip)
+    // "a ab" -> samples -8095 then 8801 (one strict sign flip)
+    val ms = MemoryStream[(String, Long, Array[Byte])]
+    val out = FeaturePipeline.waveformStream(
+      ms.toDF().toDF("layer", "ts_us", "payload")
+        .select(col("layer"), timestamp_micros(col("ts_us")).as("event_ts"), col("payload")),
+      windowDur = "10 seconds", watermark = "5 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wave_sink")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      ms.addData(("mic0", 1L * sec, wav("ab")), ("mic0", 5L * sec, wav("a ab")),
+        ("mic0", 15L * sec, wav("ab")))
+      q.processAllAvailable()
+      // watermark jumps to ~57 s: both earlier windows close; the 2 s
+      // chunk is now 55 s late and must be silently dropped
+      ms.addData(("mic0", 62L * sec, wav("ab")), ("mic0", 2L * sec, wav("ab")))
+      q.processAllAvailable()
+      val rows = spark.table("wave_sink").collect()
+        .map(r => (r.getTimestamp(1).getTime / 1000L, r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).sortBy(_._1)
+      assert(rows.length == 2, s"expected two closed windows, got ${rows.mkString(", ")}")
+      val sq1 = 8801L * 8801L
+      val sq2 = 8801L * 8801L + 8095L * 8095L
+      assert(rows(0) == ((0L, 2L, 3L, sq1 + sq2, 8801L, 1L)),
+        s"window [0,10) stats wrong: ${rows(0)}")
+      assert(rows(1) == ((10L, 1L, 1L, sq1, 8801L, 0L)),
+        s"window [10,20) stats wrong: ${rows(1)}")
+    } finally q.stop()
+  }
+
   test("geofence transitions: enter/exit edges across batches, overlap handled, late obs ignored") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
