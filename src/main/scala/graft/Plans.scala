@@ -585,6 +585,13 @@ object Plans {
       "computes (source, q_e6, n_tokens) map-side, the 10-row threshold " +
       "grid broadcasts (never shuffles the corpus), and the (source, " +
       "threshold) rollup partial-aggregates to |sources|·10 rows."),
+    "a11at_areal_interp" -> ("Areal interpolation: each zone explodes " +
+      "to its covered cells via closed-form floor bounds (map-side " +
+      "Generate — no join at all), overlap weights are exact integer " +
+      "arithmetic, and ONE partial-agged rollup lands on the cell key."),
+    "c6t_id3_tag" -> ("ID3v2.4 syncsafe codec: tag build + frame walk " +
+      "are one streaming mapPartitions pass; the only exchanges are the " +
+      "per-source rollup and the presentation sort."),
   )
 
   def main(args: Array[String]): Unit = {

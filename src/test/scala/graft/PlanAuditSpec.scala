@@ -1386,4 +1386,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 2,
       "expected only the per-source agg exchange and the presentation sort:\n" + p)
   }
+
+  test("a11at_areal_interp: cell-cover explode is map-side — no join anywhere") {
+    val p = plan("a11at_areal_interp")
+    assert(!p.contains("Join"), "areal weights must come from closed-form bounds, not a join:\n" + p)
+    assert(p.contains("Generate"), "expected the sequence-explode cell cover:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the per-cell rollup must partial-aggregate:\n" + p)
+  }
+
+  test("c6t_id3_tag: codec stays map-side, rollup + sort only") {
+    val p = plan("c6t_id3_tag")
+    assert(!p.contains("Join"), "tag build/walk must be map-side only:\n" + p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
 }
