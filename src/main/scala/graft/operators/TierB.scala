@@ -5789,8 +5789,114 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B122
+  /** Population Stability Index — the standard ML-monitoring drift score
+    * between a baseline window and a live window, completing the drift
+    * triptych (`c4_ks_drift` = distribution shape, `c4_kl_drift` = token
+    * mix, PSI = binned feature drift with the industry 0.1/0.25
+    * thresholds): decile edges are fit on the BASELINE half of the event
+    * timeline (first 15 days) by exact nearest-rank over the cents-
+    * quantized value histogram, both halves are bucketed against those
+    * frozen edges, and PSI = Σ (pa−pb)·ln(pa/pb) with add-one smoothing,
+    * each bucket term floored at e9 BEFORE the total (one ln+multiply
+    * IEEE chain per bucket — the c4_entropy discipline — then integer
+    * sums only).
+    *
+    * Scale shape: corpus collapses ONCE per half to the cents histogram
+    * (map-side partials; distinct cents are DOMAIN-bounded at ~49k, so
+    * the unpartitioned cumulative window runs over a value-domain-sized
+    * frame, never a corpus-sized one); the 9 frozen edges ride a 1-row
+    * broadcast array and bucketing is one map-side `size(filter(...))`
+    * per histogram row. Output is 10 bucket rows + the shared total.
+    */
+  private val b122 = QuerySpec(
+    "b122_psi",
+    "Population Stability Index: decile edges frozen on the first-15-day baseline (exact nearest-rank over the domain-bounded cents histogram), both halves bucketed via a broadcast edge array, per-bucket add-one-smoothed (pa-pb)*ln(pa/pb) floored at e9, integer-summed to the shared psi_e9 — the binned-drift leg of the monitoring triptych.",
+    Some("""WITH e AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v2,
+              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+            d0 AS (SELECT MIN(day) AS dmin FROM e),
+            h AS (SELECT CASE WHEN day < d0.dmin + 15 THEN 'a' ELSE 'b' END AS half,
+                v2, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM e, d0 GROUP BY 1, 2),
+            na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h WHERE half = 'a'),
+            cumh AS (SELECT v2, SUM(cnt) OVER (ORDER BY v2) AS cum
+              FROM h WHERE half = 'a'),
+            ed AS (SELECT i.i, MIN(c.v2) AS edge
+              FROM (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS i) i
+              JOIN cumh c ON c.cum >= (i.i * (SELECT n FROM na) + 9) // 10
+              GROUP BY i.i),
+            arr AS (SELECT list(edge ORDER BY edge) AS edges FROM ed),
+            bk AS (SELECT h.half,
+                CAST(len(list_filter(arr.edges, x -> h.v2 > x)) AS BIGINT) AS bucket,
+                CAST(SUM(h.cnt) AS BIGINT) AS cnt
+              FROM h, arr GROUP BY 1, 2),
+            grid AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bucket),
+            tot AS (SELECT half, CAST(SUM(cnt) AS BIGINT) AS n FROM bk GROUP BY half),
+            p AS (SELECT g.bucket,
+                CAST(COALESCE(a.cnt, 0) AS BIGINT) AS c_base,
+                CAST(COALESCE(b.cnt, 0) AS BIGINT) AS c_new,
+                (CAST(COALESCE(a.cnt, 0) + 1 AS DOUBLE)
+                  / ((SELECT n FROM tot WHERE half = 'a') + 10)) AS pa,
+                (CAST(COALESCE(b.cnt, 0) + 1 AS DOUBLE)
+                  / ((SELECT n FROM tot WHERE half = 'b') + 10)) AS pb
+              FROM grid g
+              LEFT JOIN bk a ON a.half = 'a' AND a.bucket = g.bucket
+              LEFT JOIN bk b ON b.half = 'b' AND b.bucket = g.bucket),
+            t AS (SELECT bucket, c_base, c_new,
+                CAST(floor(1000000000.0 * ((pa - pb) * ln(pa / pb))) AS BIGINT) AS term_e9
+              FROM p)
+            SELECT bucket, c_base, c_new, term_e9,
+              CAST(SUM(term_e9) OVER () AS BIGINT) AS psi_e9
+            FROM t ORDER BY bucket"""),
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select(
+        floor($"value" * 100.0).cast(LongType).as("v2"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val dmin = e.agg(min($"day").as("dmin"))
+      val h = CacheRegistry.persist(e.crossJoin(broadcast(dmin))
+        .select(when($"day" < $"dmin" + 15L, "a").otherwise("b").as("half"), $"v2")
+        .groupBy($"half", $"v2").agg(count(lit(1)).as("cnt")))
+      val na = h.filter($"half" === "a")
+        .agg(sum($"cnt").cast(LongType).as("n"))
+      // domain-bounded (~49k distinct cents) cumulative walk for the edges
+      val wCum = Window.orderBy($"v2").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumh = h.filter($"half" === "a")
+        .select($"v2", sum($"cnt").over(wCum).as("cum"))
+      val edges = cumh.crossJoin(broadcast(na))
+        .crossJoin(broadcast(s.range(1L, 10L).toDF("i")))
+        .filter($"cum" >= expr("(i * n + 9) div 10"))
+        .groupBy($"i").agg(min($"v2").as("edge"))
+      val arr = edges.agg(sort_array(collect_list($"edge")).as("edges"))
+      val bk = CacheRegistry.persist(h.crossJoin(broadcast(arr))
+        .select($"half",
+          size(filter($"edges", x => $"v2" > x)).cast(LongType).as("bucket"), $"cnt")
+        .groupBy($"half", $"bucket").agg(sum($"cnt").cast(LongType).as("cnt")))
+      val tot = bk.groupBy($"half").agg(sum($"cnt").cast(LongType).as("n"))
+      val grid = s.range(0L, 10L).toDF("bucket")
+      val p = grid
+        .join(bk.filter($"half" === "a").select($"bucket".as("ba"), $"cnt".as("ca")),
+          $"bucket" === $"ba", "left")
+        .join(bk.filter($"half" === "b").select($"bucket".as("bb"), $"cnt".as("cb")),
+          $"bucket" === $"bb", "left")
+        .crossJoin(broadcast(tot.filter($"half" === "a").select($"n".as("nA"))))
+        .crossJoin(broadcast(tot.filter($"half" === "b").select($"n".as("nB"))))
+        .select($"bucket",
+          coalesce($"ca", lit(0L)).as("c_base"), coalesce($"cb", lit(0L)).as("c_new"),
+          ((coalesce($"ca", lit(0L)) + 1L).cast(DoubleType) / ($"nA" + 10L)).as("pa"),
+          ((coalesce($"cb", lit(0L)) + 1L).cast(DoubleType) / ($"nB" + 10L)).as("pb"))
+      p.select($"bucket", $"c_base", $"c_new",
+          floor(lit(1000000000.0) * (($"pa" - $"pb") * log($"pa" / $"pb")))
+            .cast(LongType).as("term_e9"))
+        .withColumn("psi_e9", sum($"term_e9").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast(LongType))
+        .orderBy($"bucket")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

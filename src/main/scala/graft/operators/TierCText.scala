@@ -3960,6 +3960,65 @@ object TierCText {
     }
   )
 
+  // ------------------------------------- feature hashing (c4fh)
+  /** Feature hashing (the "hashing trick") — the bridge from text to the
+    * vector tier without a vocabulary: every token maps to one of 8
+    * dimensions by a hash of its md5, with a second hash bit choosing the
+    * sign (the signed construction that makes hash collisions cancel in
+    * expectation — Weinberger et al.'s trick, the workhorse featurizer
+    * when a 100 TB corpus can't afford a vocab build pass). Emitted per
+    * source: doc/token counts and the 8 summed component weights (the
+    * source centroid, unnormalized) — exact integers end-to-end.
+    *
+    * Hash simplification, documented: dimension = ascii(md5[0]) mod 8 and
+    * sign = parity of ascii(md5[1]) — not uniform over hex chars, but
+    * deterministic, engine-identical (ascii/% replay trivially in SQL),
+    * and collision-cancelling, which is what the operator demonstrates;
+    * a production build swaps in xxhash64 behind the same shape.
+    *
+    * Scale shape: explode + map-side hash arithmetic, then ONE
+    * partial-agged rollup to |sources| rows of 8 conditional sums — no
+    * vocabulary state, no join, the defining property of the trick.
+    */
+  private val c4fh = QuerySpec(
+    "c4_feature_hash",
+    "Feature hashing: signed 8-dim hashing-trick featurizer (dim = ascii(md5[0]) mod 8, sign = parity of ascii(md5[1])), per-source doc/token counts and the 8 integer component sums — explode + map-side hash + one partial-agged rollup, no vocabulary state.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
+              FROM documents),
+            f AS (SELECT doc_id, source,
+              ascii(substr(md5(tk), 1, 1)) % 8 AS dim,
+              CASE WHEN ascii(substr(md5(tk), 2, 1)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              FROM t)
+            SELECT source,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(SUM(CASE WHEN dim = 0 THEN sgn END), 0) AS BIGINT) AS w0,
+              CAST(COALESCE(SUM(CASE WHEN dim = 1 THEN sgn END), 0) AS BIGINT) AS w1,
+              CAST(COALESCE(SUM(CASE WHEN dim = 2 THEN sgn END), 0) AS BIGINT) AS w2,
+              CAST(COALESCE(SUM(CASE WHEN dim = 3 THEN sgn END), 0) AS BIGINT) AS w3,
+              CAST(COALESCE(SUM(CASE WHEN dim = 4 THEN sgn END), 0) AS BIGINT) AS w4,
+              CAST(COALESCE(SUM(CASE WHEN dim = 5 THEN sgn END), 0) AS BIGINT) AS w5,
+              CAST(COALESCE(SUM(CASE WHEN dim = 6 THEN sgn END), 0) AS BIGINT) AS w6,
+              CAST(COALESCE(SUM(CASE WHEN dim = 7 THEN sgn END), 0) AS BIGINT) AS w7
+            FROM f GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      val f = Tables.documents(s, d)
+        .select($"doc_id", $"source", explode(toksCol).as("tk"))
+        .select($"doc_id", $"source",
+          (ascii(substring(md5($"tk"), 1, 1)) % 8).as("dim"),
+          when(ascii(substring(md5($"tk"), 2, 1)) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      val aggs = Seq(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens")) ++ (0 to 7).map(j =>
+        coalesce(sum(when($"dim" === j, $"sgn")), lit(0L)).cast(LongType).as(s"w$j"))
+      f.groupBy($"source")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy($"source")
+    }
+  )
+
   // ------------------------------ Viterbi (optimal) segmentation (c4vs)
   /** Optimal-vs-greedy segmentation under the unigram seed vocab — the
     * measurement that closes the tokenizer workbench: [[c4fe]] scores the
@@ -4100,5 +4159,5 @@ object TierCText {
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs, c4qs)
+      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs, c4qs, c4fh)
 }

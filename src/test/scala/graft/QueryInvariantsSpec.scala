@@ -664,6 +664,34 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("b122_psi: partition identity, shared total, all events bucketed") {
+    val rows = run("b122_psi").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    val termSum = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      assert(r.getLong(4) == termSum, "psi_e9 must be the shared term total on every row")
+    }
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == events,
+      "every event lands in exactly one bucket of exactly one half")
+    // deciles were FIT on the baseline: its mass must spread over buckets
+    assert(rows.count(_.getLong(1) > 0L) >= 9, "baseline deciles collapsed")
+  }
+
+  test("c4_feature_hash: signed-sum parity and magnitude bounds") {
+    val rows = run("c4_feature_hash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, toks) = (r.getLong(1), r.getLong(2))
+      val ws = (3 to 10).map(r.getLong)
+      assert(docs > 0L && toks >= docs)
+      // each token contributes exactly one ±1 somewhere
+      assert(ws.map(math.abs).sum <= toks)
+      assert(((ws.sum - toks) % 2 + 2) % 2 == 0L,
+        "total signed weight must share the token count's parity")
+    }
+  }
+
   test("a11at_areal_interp: mass conservation up to per-pair truncation") {
     val rows = run("a11at_areal_interp").collect()
     assert(rows.nonEmpty)
