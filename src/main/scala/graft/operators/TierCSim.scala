@@ -4623,6 +4623,82 @@ object TierCSim {
     }
   )
 
+  // --------------------------------------- Adamic–Adar link prediction
+  /** Adamic–Adar link prediction over the near-dup pair graph — the
+    * classic "which near-miss pairs is the threshold hiding?" read: for
+    * every NON-edge pair sharing at least one neighbor in the Jaccard
+    * ≥ 0.3 graph, score Σ_z 1/ln(deg(z)) over common neighbors z (rare
+    * shared neighbors count more than promiscuous ones), and report the
+    * top 20 — the pairs a dedup operator inspects first when tuning the
+    * threshold down. Completes the graph-analytics family (PageRank,
+    * HITS, k-core, triangles, LPA, assortativity, CC) with its standard
+    * link-prediction member.
+    *
+    * Exactness: each z's contribution is floored at e6 off one ln IEEE
+    * chain, then integer-summed (order-free); ties break on (id_a, id_b).
+    *
+    * Scale shape: the common-neighbor enumeration is the audited pair
+    * mine's symmetric edge list self-joined on z, with z capped at
+    * degree ≤ 64 BEFORE the join (the standard AA hub cut — a Zipf hub
+    * would otherwise fan out deg² candidate pairs; at 100 TB that cap is
+    * the difference between bounded and quadratic). Non-edge filtering
+    * is a left-anti join on the canonical pair, and the final top-20 is
+    * a TakeOrdered merge, never a global sort.
+    */
+  private val AaHubCap = 64
+  private val c2aa = QuerySpec(
+    "c2_adamic_adar",
+    s"Adamic-Adar link prediction: non-edge pairs of the Jaccard>=0.08 near-miss graph scored Sigma 1/ln(deg(z)) over common neighbors (e6-floored per z, integer-summed), hub z capped at deg<=$AaHubCap before the self-join, top-20 via TakeOrdered with (id_a, id_b) tie-break.",
+    Some(s"""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            b AS (SELECT doc_id, source,
+              list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM t WHERE len(toks) >= 2),
+            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || c.grams)) >= 0.08),
+            e AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+            deg AS (SELECT s AS z, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY s),
+            el AS (SELECT e.s, e.d, deg.dg FROM e JOIN deg ON deg.z = e.s
+                   WHERE deg.dg <= $AaHubCap),
+            cn AS (SELECT t1.d AS x, t1.s AS z, t1.dg, t2.d AS y
+              FROM el t1 JOIN el t2 ON t1.s = t2.s AND t1.d < t2.d),
+            ne AS (SELECT cn.* FROM cn LEFT JOIN prs p
+              ON p.id_a = cn.x AND p.id_b = cn.y WHERE p.id_a IS NULL),
+            sc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
+              CAST(SUM(CAST(floor(1000000.0 / ln(dg)) AS BIGINT)) AS BIGINT) AS score_e6
+              FROM ne GROUP BY x, y)
+            SELECT x AS id_a, y AS id_b, n_common, score_e6
+            FROM sc ORDER BY score_e6 DESC, id_a, id_b LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val pairs = CacheRegistry.persist(
+        ngramJaccardPairs(s, Tables.documents(s, d), 0.08, NgramDfCap)
+          .select($"id_a", $"id_b"))
+      val und = pairs.select($"id_a".as("z"), $"id_b".as("nb"))
+        .unionAll(pairs.select($"id_b".as("z"), $"id_a".as("nb")))
+      val deg = und.groupBy($"z").agg(count(lit(1)).as("dg"))
+      // hub cut BEFORE the self-join — the deg² fan-out guard
+      val el = CacheRegistry.persist(
+        und.join(deg.filter($"dg" <= AaHubCap), "z"))
+      val cn = el.select($"z", $"nb".as("x"), $"dg")
+        .join(el.select($"z".as("z2"), $"nb".as("y")),
+          $"z" === $"z2" && $"x" < $"y")
+      cn.join(pairs, $"x" === $"id_a" && $"y" === $"id_b", "left_anti")
+        .groupBy($"x", $"y")
+        .agg(count(lit(1)).as("n_common"),
+          sum(floor(lit(1000000.0) / log($"dg")).cast(LongType))
+            .cast(LongType).as("score_e6"))
+        .select($"x".as("id_a"), $"y".as("id_b"), $"n_common", $"score_e6")
+        .orderBy($"score_e6".desc, $"id_a", $"id_b")
+        .limit(20)
+    }
+  )
+
   // ------------------------------------------- k-center coreset curve
   /** Exemplar/coreset selection curve — the data-selection question
     * ("how many exemplars until the corpus is covered?") behind active
@@ -4711,5 +4787,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk, c3co)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk, c3co, c2aa)
 }

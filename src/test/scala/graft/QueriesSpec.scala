@@ -24,7 +24,7 @@ class QueriesSpec extends AnyFunSuite {
         // pair-mining queries are legitimately empty on a corpus with no
         // near-dups at this SF
         val mayBeEmpty = Set("c2_dedup_pairs", "c2_simhash_pairs",
-          "c2_ngram_jaccard", "c2_embed_neardup")
+          "c2_ngram_jaccard", "c2_embed_neardup", "c2_adamic_adar")
         assert(n >= 0 && (n > 0 || mayBeEmpty(q.name)))
       }
     }
@@ -46,7 +46,11 @@ class QueriesSpec extends AnyFunSuite {
       "c1p_interleave",
       // a11ah's gaps-and-islands windows order by (y0, y1) with duplicate
       // rows possible — pin that the running max/sum stay permutation-safe
-      "a11ah_rect_union")
+      "a11ah_rect_union",
+      // r13 continuation: the CC fast path (a11as), the collected-edge
+      // array bucketing (b122), and the sample-driven greedy (c3_coreset)
+      // are exactly the shapes where partitioning could leak into results
+      "a11as_dbscan", "b122_psi", "c3_coreset")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def run(name: String): Seq[String] =
       Registry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -664,6 +664,23 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c2_adamic_adar: scores bounded by the hub-cut term range, ordering total") {
+    // sf0.001's near-miss graph may legitimately be empty — the invariants
+    // bind whenever rows exist
+    val rows = run("c2_adamic_adar").collect()
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (a, b, nc, sc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a < b, "canonical pair order")
+      assert(nc >= 1L, "a scored pair needs a common neighbor")
+      // each z contributes floor(1e6/ln(dg)) with 2 <= dg <= 64
+      assert(sc >= nc * 240449L && sc <= nc * 1442695L,
+        s"($a,$b): score $sc outside the deg-[2,64] term band for $nc neighbors")
+      assert(sc <= prev, "top-20 must be score-descending")
+      prev = sc
+    }
+  }
+
   test("b122_psi: partition identity, shared total, all events bucketed") {
     val rows = run("b122_psi").collect().sortBy(_.getLong(0))
     assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
