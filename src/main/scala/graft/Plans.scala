@@ -592,6 +592,18 @@ object Plans {
     "c6t_id3_tag" -> ("ID3v2.4 syncsafe codec: tag build + frame walk " +
       "are one streaming mapPartitions pass; the only exchanges are the " +
       "per-source rollup and the presentation sort."),
+    "b122_psi" -> ("PSI drift: corpus collapses once per half to the " +
+      "DOMAIN-bounded cents histogram (cached, reread by both halves); " +
+      "the frozen decile edges ride a 1-row broadcast array and every " +
+      "small frame (dmin, totals, grid) broadcasts — no SMJ anywhere."),
+    "c4_feature_hash" -> ("Hashing-trick featurizer: token explode + " +
+      "map-side md5 hash arithmetic + ONE partial-agged rollup of 8 " +
+      "conditional sums — no vocabulary state, no join; the defining " +
+      "scale property of the trick."),
+    "c2_adamic_adar" -> ("Adamic-Adar: the audited pair mine's edge " +
+      "list is hub-cut (deg ≤ 64) BEFORE the common-neighbor self-join " +
+      "— the deg² fan-out guard — non-edges filtered by left-anti on " +
+      "the canonical pair, top-20 via TakeOrdered."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1387,6 +1387,32 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected only the per-source agg exchange and the presentation sort:\n" + p)
   }
 
+  test("b122_psi: domain-bounded histogram feeds broadcast-array bucketing") {
+    val p = plan("b122_psi")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "every small frame (dmin, edges, totals) must broadcast:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "both halves must read the cached cents histogram:\n" + p)
+  }
+
+  test("c4_feature_hash: no vocabulary state — explode, hash, one rollup") {
+    val p = plan("c4_feature_hash")
+    assert(!p.contains("Join"), "the hashing trick must need no join at all:\n" + p)
+    assert(p.contains("Generate"), "expected the token explode:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the per-source rollup must partial-aggregate:\n" + p)
+  }
+
+  test("c2_adamic_adar: hub cut before the z-self-join, TakeOrdered top-20") {
+    val p = plan("c2_adamic_adar")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must be a TakeOrdered merge, never a global sort:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "both self-join sides must read the cached hub-cut edge list:\n" + p)
+  }
+
   test("a11at_areal_interp: cell-cover explode is map-side — no join anywhere") {
     val p = plan("a11at_areal_interp")
     assert(!p.contains("Join"), "areal weights must come from closed-form bounds, not a join:\n" + p)
