@@ -5895,8 +5895,130 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B123
+  /** Holt–Winters additive triple smoothing (α=β=γ=1/2, season m=24 h) —
+    * the seasonal completion of `b102_holt`: level and trend exactly as
+    * there, plus a 24-slot additive seasonal state so the one-step-ahead
+    * forecast carries the hour-of-day shape (`b114` proves the corpus HAS
+    * dow/hour seasonality; this is the forecaster that uses it). Warmup
+    * is the documented deterministic variant: the first 24 hours run the
+    * plain Holt update and SEED the season slots with their residuals
+    * x−l; from hour 25 on the full three-equation update applies with the
+    * oldest slot rotating out. All state is exact e6 integers with
+    * truncating division (the b102 probe: Scala Long `/` ≡ DuckDB `//`),
+    * and the season rides the recursion as a rotating 24-list — the
+    * AnnSql greedy's list-state CTE discipline.
+    *
+    * Scale shape (the b102 argument): corpus collapses ONCE to the
+    * cached hourly rollup; the sequential recurrence runs per type over
+    * an hours-bounded array inside one UDF call (inherently sequential —
+    * the only-when-built-ins-can't criterion), and the explode returns
+    * rollup-sized rows. Types scale out; time is calendar-bounded.
+    */
+  private val b123 = QuerySpec(
+    "b123_holt_winters",
+    "Holt-Winters additive triple smoothing (alpha=beta=gamma=1/2, m=24h) per type over hourly rates: exact e6 integer level/trend/season recurrence with truncating division, residual-seeded 24-slot warmup, one-step forecast l+b+s_next; cached rollup -> per-type array UDF -> explode; rotating-list recursive-CTE oracle.",
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+              CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_epoch,
+              CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+            k AS (SELECT event_type, hr_epoch, n,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr_epoch) AS rk FROM h),
+            r AS (SELECT event_type, hr_epoch, n, rk,
+              n * 1000000 AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s_cur,
+              [CAST(0 AS BIGINT)] AS sl,
+              n * 1000000 AS fc
+              FROM k WHERE rk = 1
+              UNION ALL
+              SELECT k.event_type, k.hr_epoch, k.n, k.rk,
+                CASE WHEN len(r.sl) < 24
+                  THEN (k.n * 1000000 + r.l + r.b) // 2
+                  ELSE ((k.n * 1000000 - r.sl[1]) + r.l + r.b) // 2 END,
+                ((CASE WHEN len(r.sl) < 24
+                  THEN (k.n * 1000000 + r.l + r.b) // 2
+                  ELSE ((k.n * 1000000 - r.sl[1]) + r.l + r.b) // 2 END) - r.l + r.b) // 2,
+                CASE WHEN len(r.sl) < 24
+                  THEN k.n * 1000000 - (k.n * 1000000 + r.l + r.b) // 2
+                  ELSE ((k.n * 1000000 - ((k.n * 1000000 - r.sl[1]) + r.l + r.b) // 2)
+                        + r.sl[1]) // 2 END,
+                CASE WHEN len(r.sl) < 24
+                  THEN list_append(r.sl,
+                    k.n * 1000000 - (k.n * 1000000 + r.l + r.b) // 2)
+                  ELSE r.sl[2:] ||
+                    [((k.n * 1000000 - ((k.n * 1000000 - r.sl[1]) + r.l + r.b) // 2)
+                      + r.sl[1]) // 2] END,
+                (CASE WHEN len(r.sl) < 24
+                  THEN (k.n * 1000000 + r.l + r.b) // 2
+                  ELSE ((k.n * 1000000 - r.sl[1]) + r.l + r.b) // 2 END)
+                + ((CASE WHEN len(r.sl) < 24
+                  THEN (k.n * 1000000 + r.l + r.b) // 2
+                  ELSE ((k.n * 1000000 - r.sl[1]) + r.l + r.b) // 2 END) - r.l + r.b) // 2
+                + CASE WHEN len(r.sl) >= 24 THEN
+                    (CASE WHEN len(r.sl) < 24
+                      THEN list_append(r.sl,
+                        k.n * 1000000 - (k.n * 1000000 + r.l + r.b) // 2)
+                      ELSE r.sl[2:] ||
+                        [((k.n * 1000000 - ((k.n * 1000000 - r.sl[1]) + r.l + r.b) // 2)
+                          + r.sl[1]) // 2] END)[1]
+                  ELSE 0 END
+              FROM k JOIN r ON k.event_type = r.event_type AND k.rk = r.rk + 1)
+            SELECT event_type, hr_epoch, n, CAST(l AS BIGINT) AS level_e6,
+              CAST(b AS BIGINT) AS trend_e6, CAST(s_cur AS BIGINT) AS season_e6,
+              CAST(fc AS BIGINT) AS forecast_e6
+            FROM r ORDER BY event_type, hr_epoch"""),
+    (s, d) => {
+      import s.implicits._
+      val h = CacheRegistry.persist(Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+        .select($"event_type",
+          unix_timestamp($"hr").cast(LongType).as("hr_epoch"), $"n"))
+      val hw = udf { (ns: Seq[Long]) =>
+        val out = new Array[(Long, Long, Long, Long)](ns.length)
+        var l = 0L; var b = 0L
+        var sl = Vector.empty[Long]
+        var i = 0
+        while (i < ns.length) {
+          val x = ns(i) * 1000000L
+          if (i == 0) {
+            l = x; b = 0L; sl = Vector(0L)
+            out(i) = (l, b, 0L, l + b)
+          } else if (sl.length < 24) {
+            val lp = l
+            l = (x + l + b) / 2L
+            b = ((l - lp) + b) / 2L
+            val sNew = x - l
+            sl = sl :+ sNew
+            val fcS = if (sl.length >= 24) sl.head else 0L
+            out(i) = (l, b, sNew, l + b + fcS)
+          } else {
+            val sm = sl.head
+            val lp = l
+            l = ((x - sm) + l + b) / 2L
+            b = ((l - lp) + b) / 2L
+            val sNew = ((x - l) + sm) / 2L
+            sl = sl.tail :+ sNew
+            out(i) = (l, b, sNew, l + b + sl.head)
+          }
+          i += 1
+        }
+        out.toSeq
+      }
+      h.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"hr_epoch", $"n"))).as("hn"))
+        .select($"event_type",
+          expr("transform(hn, x -> x.hr_epoch)").as("hrs"),
+          expr("transform(hn, x -> x.n)").as("ns"))
+        .withColumn("st", hw($"ns"))
+        .select($"event_type", explode(arrays_zip($"hrs", $"ns", $"st")).as("z"))
+        .select($"event_type", $"z.hrs".as("hr_epoch"), $"z.ns".as("n"),
+          $"z.st._1".as("level_e6"), $"z.st._2".as("trend_e6"),
+          $"z.st._3".as("season_e6"), $"z.st._4".as("forecast_e6"))
+        .orderBy($"event_type", $"hr_epoch")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122, b123,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -664,6 +664,30 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("b123_holt_winters: init exact, warmup forecasts carry no season, recurrences bounded") {
+    val rows = run("b123_holt_winters").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val seq = rs.sortBy(_.getLong(1))
+      assert(seq.length > 24, s"$t: need more than one season of hours")
+      val r0 = seq.head
+      assert(r0.getLong(3) == r0.getLong(2) * 1000000L && r0.getLong(4) == 0L &&
+        r0.getLong(5) == 0L, s"$t: init row must be (l=x, b=0, s=0)")
+      // the first 24 rows are the documented warmup: forecast = l + b
+      seq.take(24).foreach { r =>
+        assert(r.getLong(6) == r.getLong(3) + r.getLong(4),
+          s"$t: warmup forecast must carry no season term")
+      }
+      // after warmup the forecast differs from l+b by exactly one seasonal
+      // slot, which is bounded by the largest residual ever seeded
+      val maxAbsSeason = seq.map(r => math.abs(r.getLong(5))).max
+      seq.drop(24).foreach { r =>
+        assert(math.abs(r.getLong(6) - r.getLong(3) - r.getLong(4)) <= maxAbsSeason,
+          s"$t: seasonal forecast term outside the observed slot range")
+      }
+    }
+  }
+
   test("c2_adamic_adar: scores bounded by the hub-cut term range, ordering total") {
     // sf0.001's near-miss graph may legitimately be empty — the invariants
     // bind whenever rows exist
