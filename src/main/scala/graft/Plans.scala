@@ -604,6 +604,10 @@ object Plans {
       "list is hub-cut (deg ≤ 64) BEFORE the common-neighbor self-join " +
       "— the deg² fan-out guard — non-edges filtered by left-anti on " +
       "the canonical pair, top-20 via TakeOrdered."),
+    "b123_holt_winters" -> ("Holt-Winters: corpus collapses once to " +
+      "the cached hourly rollup; the triple recurrence runs per type " +
+      "over a calendar-bounded array in ONE UDF call (inherently " +
+      "sequential) and explodes back — no join, types scale out."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1387,6 +1387,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected only the per-source agg exchange and the presentation sort:\n" + p)
   }
 
+  test("b123_holt_winters: sequential recurrence stays on the cached rollup, no join") {
+    val p = plan("b123_holt_winters")
+    assert(!p.contains("Join"), "the HW recurrence must not join anything:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the hourly rollup must be the cached frame:\n" + p)
+    assert(p.contains("Generate"), "expected the per-type explode back to rows:\n" + p)
+  }
+
   test("b122_psi: domain-bounded histogram feeds broadcast-array bucketing") {
     val p = plan("b122_psi")
     assert(!p.contains("CartesianProduct"), p)
