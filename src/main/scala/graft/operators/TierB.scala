@@ -5819,7 +5819,7 @@ object TierB {
                 v2, CAST(COUNT(*) AS BIGINT) AS cnt
               FROM e, d0 GROUP BY 1, 2),
             na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h WHERE half = 'a'),
-            cumh AS (SELECT v2, SUM(cnt) OVER (ORDER BY v2) AS cum
+            cumh AS (SELECT v2, CAST(SUM(cnt) OVER (ORDER BY v2) AS BIGINT) AS cum
               FROM h WHERE half = 'a'),
             ed AS (SELECT i.i, MIN(c.v2) AS edge
               FROM (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS i) i
