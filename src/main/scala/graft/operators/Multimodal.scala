@@ -1868,6 +1868,123 @@ object Multimodal {
     }
   )
 
+  // -------------------------------------------------------- c6u_zip_dir
+  /** ZIP container codec — the sixth length/framing regime in the codec
+    * family, and the one with a genuinely different PARSE DIRECTION:
+    * a correct ZIP reader starts at the END (scan backward for the
+    * End-Of-Central-Directory signature), reads the central directory
+    * offset/count from it, walks the central directory records, and only
+    * then visits each local file header — archives are how web corpora
+    * actually arrive, and front-to-back "parsers" break on any archive
+    * with a prefix. Build a real stored-method (no compression — the
+    * deflate stream would be library-dependent) two-entry ZIP per record
+    * (`meta.json` = a fixed-shape stanza, `data.txt` = the text), with
+    * genuine CRC-32s, LE fields, and correct local/central header pairs;
+    * parse it back the spec's way: EOCD backward scan, central walk,
+    * local-header cross-check (name + sizes must agree), CRC re-verified
+    * over the stored payload. Loud-throw on any disagreement.
+    *
+    * Scale posture: build + walk are one streaming mapPartitions pass;
+    * the only exchanges are the per-source rollup and the presentation
+    * sort. Outputs are byte/entry counts the oracle states closed-form
+    * from the planted layout (ASCII char≡byte).
+    */
+  private val c6u = QuerySpec(
+    "c6u_zip_dir",
+    "ZIP codec (backward-scan regime): real stored-method two-entry archives with genuine CRC-32s; parsed spec-correctly — EOCD found by backward signature scan, central directory walked, every local header cross-checked and payload CRC re-verified; per-source archives, entries, payload and archive bytes.",
+    Some("""WITH m AS (SELECT source,
+              CAST(length(text) AS BIGINT) AS data_len,
+              CAST(43 + length(source) AS BIGINT) AS meta_len
+            FROM documents WHERE length(text) > 0)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_archives,
+              CAST(COUNT(*) * 2 AS BIGINT) AS n_entries,
+              CAST(SUM(meta_len + data_len) AS BIGINT) AS payload_bytes,
+              CAST(SUM((30 + 9 + meta_len) + (30 + 8 + data_len)
+                       + (46 + 9) + (46 + 8) + 22) AS BIGINT) AS archive_bytes
+            FROM m GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def rd16(p: Array[Byte], o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def rd32(p: Array[Byte], o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      def crc(b: Array[Byte]): Long = {
+        val c = new java.util.zip.CRC32; c.update(b); c.getValue
+      }
+      val stats = Tables.documents(s, d)
+        .select($"source", $"text")
+        .filter(length($"text") > 0)
+        .as[(String, String)]
+        .mapPartitions(_.map { case (src, text) =>
+          val entries = Seq(
+            "meta.json" -> s"""{"source":"$src","schema":"graft.v1","ok":true}""".getBytes("UTF-8"),
+            "data.txt" -> text.getBytes("UTF-8"))
+          // build: local headers + payloads, then the central directory,
+          // then EOCD — all little-endian, stored method, genuine CRCs
+          val locals = new scala.collection.mutable.ArrayBuffer[Byte]()
+          val offsets = entries.map { case (name, data) =>
+            val off = locals.length.toLong
+            locals ++= le32(0x04034b50L) ++ le16(20) ++ le16(0) ++ le16(0) ++
+              le16(0) ++ le16(0) ++ le32(crc(data)) ++ le32(data.length.toLong) ++
+              le32(data.length.toLong) ++ le16(name.length) ++ le16(0) ++
+              name.getBytes("UTF-8") ++ data
+            off
+          }
+          val cdStart = locals.length.toLong
+          entries.zip(offsets).foreach { case ((name, data), off) =>
+            locals ++= le32(0x02014b50L) ++ le16(20) ++ le16(20) ++ le16(0) ++ le16(0) ++
+              le16(0) ++ le16(0) ++ le32(crc(data)) ++ le32(data.length.toLong) ++
+              le32(data.length.toLong) ++ le16(name.length) ++ le16(0) ++ le16(0) ++
+              le16(0) ++ le16(0) ++ le32(0L) ++ le32(off) ++ name.getBytes("UTF-8")
+          }
+          val cdLen = locals.length.toLong - cdStart
+          locals ++= le32(0x06054b50L) ++ le16(0) ++ le16(0) ++
+            le16(entries.length) ++ le16(entries.length) ++ le32(cdLen) ++
+            le32(cdStart) ++ le16(0)
+          val zip = locals.toArray
+          // parse, the spec's way: backward scan for the EOCD signature
+          var eo = zip.length - 22
+          while (eo >= 0 && rd32(zip, eo) != 0x06054b50L) eo -= 1
+          require(eo >= 0, "no EOCD record")
+          val nEntries = rd16(zip, eo + 10)
+          val cdOff = rd32(zip, eo + 16)
+          var off = cdOff.toInt
+          var payloadBytes = 0L
+          var seen = 0
+          while (seen < nEntries) {
+            require(rd32(zip, off) == 0x02014b50L, "central directory signature")
+            val ccrc = rd32(zip, off + 16)
+            val csize = rd32(zip, off + 24)
+            val nameLen = rd16(zip, off + 28)
+            val lhOff = rd32(zip, off + 42).toInt
+            val cname = new String(zip.slice(off + 46, off + 46 + nameLen), "UTF-8")
+            // cross-check the local header the central record points at
+            require(rd32(zip, lhOff) == 0x04034b50L, "local header signature")
+            val lNameLen = rd16(zip, lhOff + 26)
+            val lname = new String(zip.slice(lhOff + 30, lhOff + 30 + lNameLen), "UTF-8")
+            require(lname == cname, s"name mismatch: local '$lname' vs central '$cname'")
+            require(rd32(zip, lhOff + 18) == csize, "size mismatch local vs central")
+            val data = zip.slice(lhOff + 30 + lNameLen, lhOff + 30 + lNameLen + csize.toInt)
+            require(crc(data) == ccrc, s"CRC mismatch for $cname")
+            payloadBytes += csize
+            off += 46 + nameLen
+            seen += 1
+          }
+          (src, 1L, nEntries.toLong, payloadBytes, zip.length.toLong)
+        })
+        .toDF("source", "one", "n_entries", "payload_bytes", "archive_bytes")
+      stats.groupBy($"source")
+        .agg(sum($"one").cast(LongType).as("n_archives"),
+          sum($"n_entries").cast(LongType).as("n_entries"),
+          sum($"payload_bytes").cast(LongType).as("payload_bytes"),
+          sum($"archive_bytes").cast(LongType).as("archive_bytes"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r, c6s, c6t)
+    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r, c6s, c6t, c6u)
 }

@@ -4019,6 +4019,84 @@ object TierCText {
     }
   )
 
+  // ------------------------------ quality x dedup overlap (c4fo)
+  /** Filter-overlap accounting — the question every pipeline owner asks
+    * after running `c4_quality_sweep` and `c1w_dedup_savings` separately:
+    * do the quality filter and exact dedup remove the SAME documents
+    * (then one of them is nearly free) or DIFFERENT ones (then their
+    * costs add)? Per (source, quality threshold): token mass surviving
+    * quality alone, dedup-keep-first alone, both, and the agreement as a
+    * 1e-6 Jaccard of the two kept sets' token masses. Three thresholds
+    * around the c4_quality_sweep knee.
+    *
+    * Exactness: the quality score is the audited e6-floored c4_quality
+    * blend; dedup keep-first is the c1c min-per-fingerprint rule (md5 of
+    * the raw text, first = min doc_id); everything downstream is integer
+    * sums and one integer division.
+    *
+    * Scale shape: ONE fingerprint hash-agg (map-side partials — the c1c
+    * skew argument) joined back on the fingerprint, quality map-side,
+    * the 3-row threshold grid broadcast, one partial-agged rollup.
+    */
+  private val c4fo = QuerySpec(
+    "c4_filter_overlap",
+    "Quality x dedup overlap: per (source, threshold in {0.3,0.5,0.7}) token mass kept by the e6 quality blend alone, by exact keep-first dedup alone, by both, and the 1e-6 Jaccard agreement of the two kept sets — fingerprint hash-agg + broadcast grid, no window.",
+    Some(s"""WITH t AS (SELECT doc_id, source, md5(text) AS fp,
+              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+              FROM documents),
+            q AS (SELECT doc_id, source, fp,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(floor(1000000.0 * (
+                0.5 * (CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE) / len(toks))
+                + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))) AS BIGINT) AS q_e6
+              FROM t WHERE len(toks) > 0),
+            f AS (SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS first_id FROM q GROUP BY fp),
+            k AS (SELECT q.*, (q.doc_id = f.first_id) AS kept_dedup
+              FROM q JOIN f ON f.fp = q.fp),
+            g AS (SELECT CAST(unnest([300000, 500000, 700000]) AS BIGINT) AS thr_e6)
+            SELECT k.source, g.thr_e6,
+              CAST(SUM(k.n_tokens) AS BIGINT) AS tok_total,
+              CAST(COALESCE(SUM(CASE WHEN k.q_e6 >= g.thr_e6 THEN k.n_tokens END), 0) AS BIGINT) AS tok_quality,
+              CAST(COALESCE(SUM(CASE WHEN k.kept_dedup THEN k.n_tokens END), 0) AS BIGINT) AS tok_dedup,
+              CAST(COALESCE(SUM(CASE WHEN k.q_e6 >= g.thr_e6 AND k.kept_dedup THEN k.n_tokens END), 0) AS BIGINT) AS tok_both,
+              CAST(CASE WHEN COALESCE(SUM(CASE WHEN k.q_e6 >= g.thr_e6 OR k.kept_dedup THEN k.n_tokens END), 0) = 0
+                THEN 0 ELSE COALESCE(SUM(CASE WHEN k.q_e6 >= g.thr_e6 AND k.kept_dedup THEN k.n_tokens END), 0) * 1000000
+                  // SUM(CASE WHEN k.q_e6 >= g.thr_e6 OR k.kept_dedup THEN k.n_tokens END) END AS BIGINT) AS agree_e6
+            FROM k CROSS JOIN g GROUP BY k.source, g.thr_e6
+            ORDER BY k.source, g.thr_e6"""),
+    (s, d) => {
+      import s.implicits._
+      val stops = TextStats.Stopwords
+      val q = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", $"source", md5($"text").as("fp"), toksCol.as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", $"source", $"fp",
+          size($"toks").cast(LongType).as("n_tokens"),
+          floor(lit(1000000.0) * (lit(0.5)
+            * (size(filter($"toks", t => t.isInCollection(stops))).cast(DoubleType) / size($"toks"))
+            + lit(0.5) * least(size($"toks").cast(DoubleType) / 100.0, lit(1.0))))
+            .cast(LongType).as("q_e6")))
+      val firsts = q.groupBy($"fp".as("ffp")).agg(min($"doc_id").as("first_id"))
+      val k = q.join(firsts, $"fp" === $"ffp")
+        .withColumn("kept_dedup", $"doc_id" === $"first_id")
+      val grid = Seq(300000L, 500000L, 700000L).toDF("thr_e6")
+      k.crossJoin(broadcast(grid))
+        .groupBy($"source", $"thr_e6")
+        .agg(sum($"n_tokens").cast(LongType).as("tok_total"),
+          coalesce(sum(when($"q_e6" >= $"thr_e6", $"n_tokens")), lit(0L))
+            .cast(LongType).as("tok_quality"),
+          coalesce(sum(when($"kept_dedup", $"n_tokens")), lit(0L))
+            .cast(LongType).as("tok_dedup"),
+          coalesce(sum(when($"q_e6" >= $"thr_e6" && $"kept_dedup", $"n_tokens")), lit(0L))
+            .cast(LongType).as("tok_both"),
+          expr("""CAST(CASE WHEN coalesce(sum(CASE WHEN q_e6 >= thr_e6 OR kept_dedup THEN n_tokens END), 0L) = 0L
+            THEN 0L ELSE coalesce(sum(CASE WHEN q_e6 >= thr_e6 AND kept_dedup THEN n_tokens END), 0L) * 1000000
+              div sum(CASE WHEN q_e6 >= thr_e6 OR kept_dedup THEN n_tokens END) END AS BIGINT)""")
+            .as("agree_e6"))
+        .orderBy($"source", $"thr_e6")
+    }
+  )
+
   // ------------------------------ Viterbi (optimal) segmentation (c4vs)
   /** Optimal-vs-greedy segmentation under the unigram seed vocab — the
     * measurement that closes the tokenizer workbench: [[c4fe]] scores the
@@ -4159,5 +4237,5 @@ object TierCText {
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs, c4qs, c4fh)
+      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs, c4qs, c4fh, c4fo)
 }

@@ -664,6 +664,40 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c6u_zip_dir: fixed-framing byte identity per archive") {
+    val rows = run("c6u_zip_dir").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, entries, payload, archive) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(entries == 2L * n, "two entries per archive")
+      // per archive: 2 local headers (39+38 incl. names) + 2 central
+      // records (55+54) + EOCD 22 = 208 framing bytes around the payload
+      assert(archive == payload + 208L * n,
+        s"${r.getString(0)}: framing identity broken ($archive vs $payload + 208*$n)")
+    }
+  }
+
+  test("c4_filter_overlap: set algebra identities, quality-kept monotone in threshold") {
+    val rows = run("c4_filter_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val byThr = rs.sortBy(_.getLong(1))
+      var prevQ = Long.MaxValue
+      byThr.foreach { r =>
+        val (tot, tq, td, tb, agree) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(tb <= math.min(tq, td) && tq <= tot && td <= tot, s"$src: set bounds")
+        assert(td > 0L, s"$src: keep-first dedup always keeps at least one doc")
+        val union = tq + td - tb
+        assert(agree == (if (union == 0L) 0L else tb * 1000000L / union),
+          s"$src: agreement must be the exact Jaccard quotient")
+        assert(tq <= prevQ, s"$src: quality-kept mass must shrink as the bar rises")
+        prevQ = tq
+      }
+    }
+  }
+
   test("b123_holt_winters: init exact, warmup forecasts carry no season, recurrences bounded") {
     val rows = run("b123_holt_winters").collect()
     assert(rows.nonEmpty)
