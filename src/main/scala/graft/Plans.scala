@@ -608,6 +608,14 @@ object Plans {
       "the cached hourly rollup; the triple recurrence runs per type " +
       "over a calendar-bounded array in ONE UDF call (inherently " +
       "sequential) and explodes back — no join, types scale out."),
+    "c6u_zip_dir" -> ("ZIP codec: stored-method build + spec-correct " +
+      "backward EOCD scan / central walk / local cross-check / CRC " +
+      "re-verify in one streaming mapPartitions pass; rollup + " +
+      "presentation sort are the only exchanges."),
+    "c4_filter_overlap" -> ("Quality×dedup overlap: ONE fingerprint " +
+      "hash-agg (map-side partials, never a window) joined back on the " +
+      "cached scored frame, 3-row threshold grid broadcast, one " +
+      "partial-agged rollup."),
   )
 
   def main(args: Array[String]): Unit = {

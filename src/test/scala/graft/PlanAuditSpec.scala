@@ -1387,6 +1387,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected only the per-source agg exchange and the presentation sort:\n" + p)
   }
 
+  test("c6u_zip_dir: archive codec stays map-side, rollup + sort only") {
+    val p = plan("c6u_zip_dir")
+    assert(!p.contains("Join"), "build/EOCD-walk must be map-side only:\n" + p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("c4_filter_overlap: keep-first is a hash agg (no window), grid broadcasts") {
+    val p = plan("c4_filter_overlap")
+    assert(!p.contains("Window"), "keep-first must stay the c1c hash-agg shape:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 3-row threshold grid must broadcast:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "both fingerprint consumers must read the cached scored frame:\n" + p)
+  }
+
   test("b123_holt_winters: sequential recurrence stays on the cached rollup, no join") {
     val p = plan("b123_holt_winters")
     assert(!p.contains("Join"), "the HW recurrence must not join anything:\n" + p)
