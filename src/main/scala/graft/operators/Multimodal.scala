@@ -1985,6 +1985,129 @@ object Multimodal {
     }
   )
 
+  // -------------------------------------------------------- c6v_varint
+  /** Protobuf wire-format codec — the VARINT regime, the seventh length
+    * discipline in the codec family and the one every columnar/metadata
+    * stack ultimately rests on (Parquet footers, proto records, gRPC
+    * payloads): integers serialize as little-endian 7-bit groups with a
+    * continuation MSB, and lengths of nested fields are themselves
+    * varints — misread one continuation bit and every later field
+    * misframes. Build a real wire message per record (field 1 varint =
+    * doc_id, field 2 length-delimited = source, field 3 length-delimited
+    * = text, field 4 varint = zigzag(-doc_id) so the signed path genuinely
+    * exercises), parse it back with a genuine varint/tag walker (wire
+    * types dispatched from the tag's low 3 bits, unknown fields rejected
+    * loudly), and require the planted values to survive.
+    *
+    * Scale posture: build + walk are one streaming mapPartitions pass;
+    * the only exchanges are the per-source rollup and the presentation
+    * sort. Outputs replay closed-form: varint(doc_id) length is the
+    * exact ⌈bits/7⌉ chain the oracle states with integer CASE arithmetic.
+    */
+  private val c6v = QuerySpec(
+    "c6v_varint",
+    "Protobuf wire codec (varint regime): real 4-field messages (varint id, two length-delimited strings, zigzag signed varint) built and re-walked with genuine continuation-bit decode and tag dispatch; per-source messages, payload bytes, wire bytes, and total varint bytes — the ceil(bits/7) chain replayed closed-form.",
+    Some("""WITH m AS (SELECT source, doc_id,
+              CAST(length(text) AS BIGINT) AS tlen,
+              CAST(length(source) AS BIGINT) AS slen,
+              CAST(CASE WHEN doc_id < 128 THEN 1 WHEN doc_id < 16384 THEN 2
+                WHEN doc_id < 2097152 THEN 3 WHEN doc_id < 268435456 THEN 4
+                ELSE 5 END AS BIGINT) AS id_vlen,
+              CAST(CASE WHEN doc_id = 0 THEN 1
+                WHEN 2 * doc_id - 1 < 128 THEN 1 WHEN 2 * doc_id - 1 < 16384 THEN 2
+                WHEN 2 * doc_id - 1 < 2097152 THEN 3 WHEN 2 * doc_id - 1 < 268435456 THEN 4
+                ELSE 5 END AS BIGINT) AS zz_vlen,
+              CAST(CASE WHEN length(text) < 128 THEN 1 ELSE 2 END AS BIGINT) AS tlen_vlen
+            FROM documents WHERE length(text) > 0)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_msgs,
+              CAST(SUM(tlen + slen) AS BIGINT) AS payload_bytes,
+              CAST(SUM(id_vlen + zz_vlen) AS BIGINT) AS varint_bytes,
+              CAST(SUM(4 + id_vlen + 1 + slen + tlen_vlen + tlen + zz_vlen) AS BIGINT) AS wire_bytes
+            FROM m GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      import s.implicits._
+      def putVarint(buf: scala.collection.mutable.ArrayBuffer[Byte], v0: Long): Int = {
+        var v = v0
+        var n = 0
+        do {
+          val b = (v & 0x7fL).toInt
+          v >>>= 7
+          buf += (if (v != 0L) (b | 0x80).toByte else b.toByte)
+          n += 1
+        } while (v != 0L)
+        n
+      }
+      val stats = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"text")
+        .filter(length($"text") > 0)
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, text) =>
+          val sb = src.getBytes("UTF-8")
+          val tb = text.getBytes("UTF-8")
+          val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+          buf += 0x08.toByte // field 1, wire type 0 (varint)
+          val idV = putVarint(buf, id)
+          buf += 0x12.toByte // field 2, wire type 2 (len-delimited)
+          putVarint(buf, sb.length.toLong)
+          buf ++= sb
+          buf += 0x1a.toByte // field 3, wire type 2
+          putVarint(buf, tb.length.toLong)
+          buf ++= tb
+          buf += 0x20.toByte // field 4, wire type 0
+          val zzV = putVarint(buf, ((-id) << 1) ^ ((-id) >> 63)) // zigzag(-id)
+          val wire = buf.toArray
+          // genuine walk-back: tag dispatch + continuation-bit varints
+          var off = 0
+          def readVarint(): Long = {
+            var shift = 0
+            var acc = 0L
+            var more = true
+            while (more) {
+              val b = wire(off) & 0xff
+              acc |= (b & 0x7fL) << shift
+              shift += 7
+              more = (b & 0x80) != 0
+              off += 1
+              require(shift <= 70, "runaway varint")
+            }
+            acc
+          }
+          var gotId = -1L
+          var gotSrc = ""
+          var gotText = ""
+          var gotNeg = 0L
+          while (off < wire.length) {
+            val tag = readVarint()
+            val (field, wt) = (tag >> 3, tag & 7L)
+            (field, wt) match {
+              case (1L, 0L) => gotId = readVarint()
+              case (2L, 2L) =>
+                val n = readVarint().toInt
+                gotSrc = new String(wire.slice(off, off + n), "UTF-8"); off += n
+              case (3L, 2L) =>
+                val n = readVarint().toInt
+                gotText = new String(wire.slice(off, off + n), "UTF-8"); off += n
+              case (4L, 0L) =>
+                val zz = readVarint()
+                gotNeg = (zz >>> 1) ^ -(zz & 1L)
+              case other => throw new IllegalArgumentException(s"unknown field/wire $other")
+            }
+          }
+          require(gotId == id && gotSrc == src && gotText == text && gotNeg == -id,
+            s"wire roundtrip mismatch for doc $id")
+          (src, 1L, (sb.length + tb.length).toLong, (idV + zzV).toLong, wire.length.toLong)
+        })
+        .toDF("source", "one", "payload_bytes", "varint_bytes", "wire_bytes")
+      stats.groupBy($"source")
+        .agg(sum($"one").cast(LongType).as("n_msgs"),
+          sum($"payload_bytes").cast(LongType).as("payload_bytes"),
+          sum($"varint_bytes").cast(LongType).as("varint_bytes"),
+          sum($"wire_bytes").cast(LongType).as("wire_bytes"))
+        .orderBy($"source")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r, c6s, c6t, c6u)
+    Seq(c6, c6b, c6c, c6d, c6e, c6f, c6g, c6h, c6i, c6j, c6k, c6l, c6m, c6n, c6o, c6q, c6r, c6s, c6t, c6u, c6v)
 }

@@ -664,6 +664,20 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c6v_varint: wire framing identity, varint overhead bounded") {
+    val rows = run("c6v_varint").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, payload, varint, wire) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // per message: 4 tag bytes + 2 length varints (1-2 bytes each) + the
+      // two value varints + both payloads
+      assert(varint >= 2L * n && varint <= 10L * n, "value varints are 1..5 bytes each")
+      assert(wire >= payload + varint + 6L * n && wire <= payload + varint + 8L * n,
+        s"${r.getString(0)}: framing outside the 4-tag + 2-length-varint band")
+    }
+  }
+
   test("c6u_zip_dir: fixed-framing byte identity per archive") {
     val rows = run("c6u_zip_dir").collect()
     assert(rows.nonEmpty)
