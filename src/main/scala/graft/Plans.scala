@@ -616,6 +616,9 @@ object Plans {
       "hash-agg (map-side partials, never a window) joined back on the " +
       "cached scored frame, 3-row threshold grid broadcast, one " +
       "partial-agged rollup."),
+    "c6v_varint" -> ("Protobuf wire codec: varint build + tag-dispatch " +
+      "walk are one streaming mapPartitions pass; rollup + presentation " +
+      "sort are the only exchanges."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1387,10 +1387,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected only the per-source agg exchange and the presentation sort:\n" + p)
   }
 
-  test("c6u_zip_dir: archive codec stays map-side, rollup + sort only") {
-    val p = plan("c6u_zip_dir")
-    assert(!p.contains("Join"), "build/EOCD-walk must be map-side only:\n" + p)
-    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  test("c6u_zip_dir / c6v_varint: container codecs stay map-side, rollup + sort only") {
+    for (q <- Seq("c6u_zip_dir", "c6v_varint")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: codec must be map-side only:\n" + p)
+      assert("Exchange".r.findAllIn(p).length <= 2, p)
+    }
   }
 
   test("c4_filter_overlap: keep-first is a hash agg (no window), grid broadcasts") {
