@@ -4019,6 +4019,81 @@ object TierCText {
     }
   )
 
+  // ------------------------------ rendezvous (HRW) sharding (c1y)
+  /** Rendezvous / highest-random-weight sharding — the stable data-
+    * placement primitive a 100 TB corpus store runs under every
+    * rebalance: each doc goes to the shard with the highest
+    * hash(doc, shard) weight, so when a shard is ADDED only the docs
+    * whose new weight wins move (~1/(N+1) of the corpus), versus mod-N
+    * hashing where nearly everything moves. The query assigns every doc
+    * under N=8 and N=9 shards (weight = md5(doc_id ‖ '#' ‖ shard),
+    * lexicographic max with shard-id tie-break) and reports per 8-shard
+    * bucket: doc/token counts and how many of its docs the ninth shard
+    * steals — the minimal-movement property made measurable (the c1d
+    * hash-split discipline applied to placement instead of splits).
+    *
+    * Exactness: pure md5 string comparisons and integer counts — no RNG,
+    * partition-invariant, replayable byte-for-byte in SQL.
+    *
+    * Scale shape: the ×8/×9 shard fan-out is a map-side explode over a
+    * constant list (never a join); the per-doc argmax is a max_by hash
+    * aggregate keyed on doc_id (map-side partials), and the final rollup
+    * is |shards| rows. Nothing is corpus-squared; adding shards scales
+    * the fan-out constant, not the shuffle count.
+    */
+  private val c1y = QuerySpec(
+    "c1y_rendezvous",
+    "Rendezvous (HRW) sharding: per-doc argmax of md5(doc_id||'#'||shard) under 8 and 9 shards (lexicographic max, shard tie-break), per 8-shard bucket doc/token counts and docs stolen by the added ninth shard — the minimal-movement placement census; map-side fan-out + max_by hash aggs, no window.",
+    Some("""WITH t AS (SELECT doc_id, source,
+              CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            w8 AS (SELECT doc_id, n_tokens, s.s AS shard,
+              md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.s AS VARCHAR)) AS w
+              FROM t CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s) s),
+            a8 AS (SELECT doc_id, n_tokens,
+              CAST(max_by(shard, w || '#' || lpad(CAST(shard AS VARCHAR), 2, '0')) AS BIGINT) AS shard8
+              FROM w8 GROUP BY doc_id, n_tokens),
+            w9 AS (SELECT doc_id, s.s AS shard,
+              md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.s AS VARCHAR)) AS w
+              FROM t CROSS JOIN (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS s) s),
+            a9 AS (SELECT doc_id,
+              CAST(max_by(shard, w || '#' || lpad(CAST(shard AS VARCHAR), 2, '0')) AS BIGINT) AS shard9
+              FROM w9 GROUP BY doc_id)
+            SELECT a8.shard8 AS shard,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(a8.n_tokens) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(SUM(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 END), 0) AS BIGINT) AS n_moved,
+              CAST(COALESCE(SUM(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 END), 0) * 1000000
+                // COUNT(*) AS BIGINT) AS moved_e6
+            FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+            GROUP BY a8.shard8 ORDER BY shard"""),
+    (s, d) => {
+      import s.implicits._
+      val t = CacheRegistry.persist(Tables.documents(s, d)
+        .select($"doc_id", size(toksCol).cast(LongType).as("n_tokens")))
+      def assign(n: Int, out: String): DataFrame = t
+        .select($"doc_id", $"n_tokens",
+          explode(typedLit((0L until n.toLong).toSeq)).as("shard"))
+        .select($"doc_id", $"n_tokens", $"shard",
+          concat(md5(concat($"doc_id".cast(StringType), lit("#"), $"shard".cast(StringType))),
+            lit("#"), lpad($"shard".cast(StringType), 2, "0")).as("wk"))
+        .groupBy($"doc_id")
+        .agg(first($"n_tokens").as("n_tokens"),
+          max_by($"shard", $"wk").cast(LongType).as(out))
+      val a8 = assign(8, "shard8")
+      val a9 = assign(9, "shard9").select($"doc_id".as("d9"), $"shard9")
+      a8.join(a9, $"doc_id" === $"d9")
+        .groupBy($"shard8".as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").cast(LongType).as("n_tokens"),
+          coalesce(sum(when($"shard9" =!= $"shard8", 1L)), lit(0L))
+            .cast(LongType).as("n_moved"),
+          expr("coalesce(sum(CASE WHEN shard9 != shard8 THEN 1L END), 0L) * 1000000 div count(*)")
+            .cast(LongType).as("moved_e6"))
+        .orderBy($"shard")
+    }
+  )
+
   // ------------------------------ quality x dedup overlap (c4fo)
   /** Filter-overlap accounting — the question every pipeline owner asks
     * after running `c4_quality_sweep` and `c1w_dedup_savings` separately:
@@ -4237,5 +4312,5 @@ object TierCText {
     Seq(c4q, c4l, c4lc, c4t, c4f, c4w, c4c, c1b, c1i, c4d, c4r, c4tg, c4dg, c4hs, c1c, c4s, c1d, c4v,
       c4o, c4p, c1e, c4h, c4b, c1f, c1g, c1l, c1m, c1n, c1v, c1h, c1k, c1o, c1p, c1q, c4nv, c4y, c4u, c4bg, c4kl, c2fz, c4en, c4ss, c4z, c4x, c4k, c4bp, c4bt, c4be, c4uv,
       c4cd, c4rr, c1s, c4fe, c4di, c4zp, c4pm, c4tt, c1t, c1u, c4gt, c4sb, c4dc2,
-      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs, c4qs, c4fh, c4fo)
+      c4rd, c4hp, c4bu, c4ov, c4kw, c4vc, c4kn, c4ks, c4vs, c4qs, c4fh, c4fo, c1y)
 }

@@ -664,6 +664,23 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c1y_rendezvous: all docs placed, minimal movement in the HRW band") {
+    val rows = run("c1y_rendezvous").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 8L),
+      "every 8-shard bucket must be non-empty at this corpus size")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == docs, "every doc placed exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(1), "moved_e6 quotient")
+    }
+    // THE rendezvous property: adding the 9th shard moves roughly 1/9 of
+    // the corpus (each doc moves iff the new shard's weight wins — an
+    // md5-uniform 1-in-9 event). Allow a generous small-sample band.
+    val movedFrac = rows.map(_.getLong(3)).sum.toDouble / docs
+    assert(movedFrac > 0.02 && movedFrac < 0.25,
+      f"moved fraction $movedFrac%.3f outside the ~1/9 HRW band")
+  }
+
   test("c6v_varint: wire framing identity, varint overhead bounded") {
     val rows = run("c6v_varint").collect()
     assert(rows.nonEmpty)
