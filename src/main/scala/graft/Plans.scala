@@ -619,6 +619,10 @@ object Plans {
     "c6v_varint" -> ("Protobuf wire codec: varint build + tag-dispatch " +
       "walk are one streaming mapPartitions pass; rollup + presentation " +
       "sort are the only exchanges."),
+    "c1y_rendezvous" -> ("HRW sharding: the ×8/×9 shard fan-out is a " +
+      "map-side explode over a constant list, the per-doc argmax a " +
+      "max_by hash aggregate (map-side partials), the rollup |shards| " +
+      "rows — nothing corpus-squared, no window."),
   )
 
   def main(args: Array[String]): Unit = {

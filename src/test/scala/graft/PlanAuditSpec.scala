@@ -1395,6 +1395,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("c1y_rendezvous: shard fan-out is a map-side explode, argmax is a hash agg") {
+    val p = plan("c1y_rendezvous")
+    assert(!p.contains("Window"), "the per-doc argmax must be max_by, not a window:\n" + p)
+    assert(p.contains("Generate"), "expected the constant shard-list explode:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_max_by") || p.contains("max_by"),
+      "the argmax must partial-aggregate map-side:\n" + p)
+  }
+
   test("c4_filter_overlap: keep-first is a hash agg (no window), grid broadcasts") {
     val p = plan("c4_filter_overlap")
     assert(!p.contains("Window"), "keep-first must stay the c1c hash-agg shape:\n" + p)
