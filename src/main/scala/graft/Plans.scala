@@ -573,6 +573,11 @@ object Plans {
       "mapPartitions pass (no sample table is ever materialized " +
       "engine-side); the only exchanges are the per-source rollup and " +
       "the presentation sort."),
+    "c6r_luma_hist" -> ("Luma histogram codec: PNG build, chunk walk " +
+      "(multi-IDAT concatenation), and the 16-wide luma binning loop " +
+      "are one streaming mapPartitions pass emitting a 12-number row " +
+      "per image; the only exchanges are the per-source rollup and " +
+      "the presentation sort."),
     "c6s_srt_cues" -> ("SRT caption codec: SubRip build + line/timestamp " +
       "walk are one streaming mapPartitions pass per record; the only " +
       "exchanges are the per-source rollup and the presentation sort."),

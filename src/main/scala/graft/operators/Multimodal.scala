@@ -2010,20 +2010,29 @@ object Multimodal {
     Some("""WITH m AS (SELECT source, doc_id,
               CAST(length(text) AS BIGINT) AS tlen,
               CAST(length(source) AS BIGINT) AS slen,
-              CAST(CASE WHEN doc_id < 128 THEN 1 WHEN doc_id < 16384 THEN 2
+              CAST(CASE WHEN doc_id < 0 THEN 10
+                WHEN doc_id < 128 THEN 1 WHEN doc_id < 16384 THEN 2
                 WHEN doc_id < 2097152 THEN 3 WHEN doc_id < 268435456 THEN 4
-                ELSE 5 END AS BIGINT) AS id_vlen,
-              CAST(CASE WHEN doc_id = 0 THEN 1
-                WHEN 2 * doc_id - 1 < 128 THEN 1 WHEN 2 * doc_id - 1 < 16384 THEN 2
-                WHEN 2 * doc_id - 1 < 2097152 THEN 3 WHEN 2 * doc_id - 1 < 268435456 THEN 4
-                ELSE 5 END AS BIGINT) AS zz_vlen,
-              CAST(CASE WHEN length(text) < 128 THEN 1 ELSE 2 END AS BIGINT) AS tlen_vlen
+                WHEN doc_id < 34359738368 THEN 5 WHEN doc_id < 4398046511104 THEN 6
+                WHEN doc_id < 562949953421312 THEN 7 WHEN doc_id < 72057594037927936 THEN 8
+                ELSE 9 END AS BIGINT) AS id_vlen,
+              CAST(CASE WHEN doc_id < 0 THEN 10 WHEN doc_id = 0 THEN 1
+                WHEN doc_id <= 64 THEN 1 WHEN doc_id <= 8192 THEN 2
+                WHEN doc_id <= 1048576 THEN 3 WHEN doc_id <= 134217728 THEN 4
+                WHEN doc_id <= 17179869184 THEN 5 WHEN doc_id <= 2199023255552 THEN 6
+                WHEN doc_id <= 281474976710656 THEN 7 WHEN doc_id <= 36028797018963968 THEN 8
+                WHEN doc_id <= 4611686018427387904 THEN 9
+                ELSE 10 END AS BIGINT) AS zz_vlen,
+              CAST(CASE WHEN length(source) < 128 THEN 1 WHEN length(source) < 16384 THEN 2
+                ELSE 3 END AS BIGINT) AS slen_vlen,
+              CAST(CASE WHEN length(text) < 128 THEN 1 WHEN length(text) < 16384 THEN 2
+                ELSE 3 END AS BIGINT) AS tlen_vlen
             FROM documents WHERE length(text) > 0)
             SELECT source,
               CAST(COUNT(*) AS BIGINT) AS n_msgs,
               CAST(SUM(tlen + slen) AS BIGINT) AS payload_bytes,
               CAST(SUM(id_vlen + zz_vlen) AS BIGINT) AS varint_bytes,
-              CAST(SUM(4 + id_vlen + 1 + slen + tlen_vlen + tlen + zz_vlen) AS BIGINT) AS wire_bytes
+              CAST(SUM(4 + id_vlen + slen_vlen + slen + tlen_vlen + tlen + zz_vlen) AS BIGINT) AS wire_bytes
             FROM m GROUP BY source ORDER BY source"""),
     (s, d) => {
       import s.implicits._

@@ -5673,10 +5673,14 @@ object TierB {
         floor($"l_quantity").cast(LongType).as("qty_l"),
         floor($"l_extendedprice" * 100.0).cast(LongType).as("price_e2"))
       val schema = base.schema
-      // deterministic landing dir per input dir; Overwrite keeps reruns clean
+      // deterministic landing dir per (input dir, session): the applicationId
+      // component keeps two concurrent sessions verifying the same dataset
+      // from racing each other's overwrite/re-read cycle; Overwrite keeps
+      // same-session reruns clean
       val land = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_b120_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
+          .digest((d + "|" + s.sparkContext.applicationId).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12))
         .getAbsolutePath
       base.write.mode("overwrite").orc(s"$land/orc")
       base.write.mode("overwrite").option("header", "true").csv(s"$land/csv")
@@ -5836,9 +5840,9 @@ object TierB {
                 CAST(COALESCE(a.cnt, 0) AS BIGINT) AS c_base,
                 CAST(COALESCE(b.cnt, 0) AS BIGINT) AS c_new,
                 (CAST(COALESCE(a.cnt, 0) + 1 AS DOUBLE)
-                  / ((SELECT n FROM tot WHERE half = 'a') + 10)) AS pa,
+                  / (COALESCE((SELECT n FROM tot WHERE half = 'a'), 0) + 10)) AS pa,
                 (CAST(COALESCE(b.cnt, 0) + 1 AS DOUBLE)
-                  / ((SELECT n FROM tot WHERE half = 'b') + 10)) AS pb
+                  / (COALESCE((SELECT n FROM tot WHERE half = 'b'), 0) + 10)) AS pb
               FROM grid g
               LEFT JOIN bk a ON a.half = 'a' AND a.bucket = g.bucket
               LEFT JOIN bk b ON b.half = 'b' AND b.bucket = g.bucket),
@@ -5872,15 +5876,20 @@ object TierB {
         .select($"half",
           size(filter($"edges", x => $"v2" > x)).cast(LongType).as("bucket"), $"cnt")
         .groupBy($"half", $"bucket").agg(sum($"cnt").cast(LongType).as("cnt")))
-      val tot = bk.groupBy($"half").agg(sum($"cnt").cast(LongType).as("n"))
+      // single-row conditional agg: a degenerate span (every event inside the
+      // 15-day baseline) leaves half 'b' empty — the row still materializes
+      // with nB = 0, matching the oracle's COALESCE'd scalar subquery, so
+      // both sides emit the full 10-bucket grid instead of diverging 10 vs 0.
+      val tot = bk.agg(
+        coalesce(sum(when($"half" === "a", $"cnt")), lit(0L)).cast(LongType).as("nA"),
+        coalesce(sum(when($"half" === "b", $"cnt")), lit(0L)).cast(LongType).as("nB"))
       val grid = s.range(0L, 10L).toDF("bucket")
       val p = grid
         .join(bk.filter($"half" === "a").select($"bucket".as("ba"), $"cnt".as("ca")),
           $"bucket" === $"ba", "left")
         .join(bk.filter($"half" === "b").select($"bucket".as("bb"), $"cnt".as("cb")),
           $"bucket" === $"bb", "left")
-        .crossJoin(broadcast(tot.filter($"half" === "a").select($"n".as("nA"))))
-        .crossJoin(broadcast(tot.filter($"half" === "b").select($"n".as("nB"))))
+        .crossJoin(broadcast(tot))
         .select($"bucket",
           coalesce($"ca", lit(0L)).as("c_base"), coalesce($"cb", lit(0L)).as("c_new"),
           ((coalesce($"ca", lit(0L)) + 1L).cast(DoubleType) / ($"nA" + 10L)).as("pa"),

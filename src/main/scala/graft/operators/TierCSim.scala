@@ -4627,7 +4627,7 @@ object TierCSim {
   /** Adamic–Adar link prediction over the near-dup pair graph — the
     * classic "which near-miss pairs is the threshold hiding?" read: for
     * every NON-edge pair sharing at least one neighbor in the Jaccard
-    * ≥ 0.3 graph, score Σ_z 1/ln(deg(z)) over common neighbors z (rare
+    * ≥ 0.08 graph (the same near-miss threshold the query mines), score Σ_z 1/ln(deg(z)) over common neighbors z (rare
     * shared neighbors count more than promiscuous ones), and report the
     * top 20 — the pairs a dedup operator inspects first when tuning the
     * threshold down. Completes the graph-analytics family (PageRank,
