@@ -303,6 +303,97 @@ object Crs {
       (e, rhoScale, lon0Deg, falseE, falseN, south)
   }
 
+  // --------------------------------------------- Albers equal-area conic
+  /** Albers equal-area conic, two standard parallels, on ellipsoid —
+    * the equal-area sibling of [[Lcc2Sp]] (same cone machinery, but the
+    * radius chain runs through the authalic q(φ) instead of the
+    * conformal t(φ)). Snyder PP 1395 pp. 101-102 / EPSG method 9822;
+    * this is the projection every CONUS-wide US federal raster/vector
+    * product ships in (EPSG:5070). All angles in degrees at the API
+    * boundary; derived constants (e, n, C, ρ0) exposed for oracle
+    * replay — the a11s/a11aj dotChain pattern, with the one pow (√)
+    * written as sqrt so the oracle needs baseline SQL math only.
+    */
+  final class AlbersEqArea(
+      val srid: Int,
+      a: Double, invF: Double,
+      val phi1Deg: Double, val phi2Deg: Double,
+      val phi0Deg: Double, val lon0Deg: Double,
+      val falseE: Double, val falseN: Double) {
+
+    private val f = 1.0 / invF
+    /** First eccentricity. */
+    val e: Double = math.sqrt(2.0 * f - f * f)
+    private val e2 = e * e
+    /** Semi-major (checked against the shared registry axis). */
+    val aAxis: Double = SemiMajorCheck(a)
+
+    private def rad(d: Double): Double = d * math.Pi / 180.0
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    // authalic q(φ) = (1−e²)[ sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e sinφ)/(1+e sinφ)) ]
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+
+    /** Cone constant n = (m1² − m2²)/(q2 − q1). */
+    val n: Double = {
+      val (m1, m2) = (mOf(rad(phi1Deg)), mOf(rad(phi2Deg)))
+      (m1 * m1 - m2 * m2) / (qOf(rad(phi2Deg)) - qOf(rad(phi1Deg)))
+    }
+    /** C = m1² + n·q1. */
+    val bigC: Double = {
+      val m1 = mOf(rad(phi1Deg))
+      m1 * m1 + n * qOf(rad(phi1Deg))
+    }
+    /** ρ0 = a·√(C − n·q0)/n — the northing origin offset. */
+    val rho0: Double = aAxis * math.sqrt(bigC - n * qOf(rad(phi0Deg))) / n
+
+    /** lon/lat degrees → (easting, northing) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = aAxis * math.sqrt(bigC - n * qOf(rad(latDeg))) / n
+      val th = n * rad(lonDeg - lon0Deg)
+      (falseE + rho * math.sin(th), falseN + rho0 - rho * math.cos(th))
+    }
+
+    /** Fixed iteration count for the authalic→geodetic latitude inverse
+      * (Snyder 3-16): the Newton step contracts by ~e² per round on the
+      * registry's ellipsoids, so 8 rounds land far below 1e-15 rad — a
+      * pure function of the inputs, replayable (the [[Lcc2Sp.InvIters]]
+      * discipline).
+      */
+    val InvIters = 8
+
+    /** (easting, northing) meters → lon/lat degrees. */
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val x = east - falseE
+      val y = rho0 - (north - falseN)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.sqrt(x * x + y * y)
+      val th = math.atan2(sgn * x, sgn * y)
+      val q = (bigC - (rho * n / aAxis) * (rho * n / aAxis)) / n
+      var phi = math.asin(q / 2.0)
+      var i = 0
+      while (i < InvIters) {
+        val s = math.sin(phi)
+        val d = 1.0 - e2 * s * s
+        phi += (d * d / (2.0 * math.cos(phi))) *
+          (q / (1.0 - e2) - s / d +
+            (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      ((th / n) * 180.0 / math.Pi + lon0Deg, phi * 180.0 / math.Pi)
+    }
+
+    /** Oracle-replay constants: (e, n, C, a, ρ0, lon0°, FE, FN). */
+    def replayConstants: (Double, Double, Double, Double, Double, Double, Double, Double) =
+      (e, n, bigC, aAxis, rho0, lon0Deg, falseE, falseN)
+  }
+
   // ------------------------------------------------- spherical sinusoidal
   /** Spherical sinusoidal (Snyder PP 1395 p. 247) — the equal-area grid
     * MODIS-style EO tile products live on. Pure closed-form arithmetic
@@ -358,6 +449,16 @@ object Crs {
   val stereo: Map[Int, PolarStereo] =
     Seq(NsidcNorth, Antarctic).map(p => p.srid -> p).toMap
 
+  /** EPSG:5070 — NAD83 / Conus Albers (φ1 29.5°, φ2 45.5°, φ0 23°,
+    * λ0 −96°, FE/FN 0): the standard-parallel pair every CONUS-wide US
+    * federal product (NLCD, LANDFIRE, …) ships in. Same GRS80/NAD83
+    * zero-shift stance as [[CanadaLcc]].
+    */
+  val ConusAlbers: AlbersEqArea =
+    new AlbersEqArea(5070, SemiMajor, Grs80InvF, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+  val albers: Map[Int, AlbersEqArea] =
+    Seq(ConusAlbers).map(p => p.srid -> p).toMap
+
   /** ESRI:53008 — Sphere Sinusoidal (authalic R 6371000 m, lon0 0°), the
     * published spherical-sinusoidal grid code (the MODIS land grid is the
     * same projection on R 6371007.181 m — swap the radius to match a
@@ -372,10 +473,12 @@ object Crs {
     lcc.get(srid).map(p => p.forward _)
       .orElse(tm.get(srid).map(p => p.forward _))
       .orElse(stereo.get(srid).map(p => p.forward _))
+      .orElse(albers.get(srid).map(p => p.forward _))
       .orElse(sinusoidal.get(srid).map(p => p.forward _))
   def inverseOf(srid: Int): Option[(Double, Double) => (Double, Double)] =
     lcc.get(srid).map(p => p.inverse _)
       .orElse(tm.get(srid).map(p => p.inverse _))
       .orElse(stereo.get(srid).map(p => p.inverse _))
+      .orElse(albers.get(srid).map(p => p.inverse _))
       .orElse(sinusoidal.get(srid).map(p => p.inverse _))
 }

@@ -991,6 +991,69 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11au
+  /** Albers equal-area conic reprojection (EPSG:4326 ↔ 5070 Conus
+    * Albers, [[graft.functions.Crs.ConusAlbers]]) — the equal-area
+    * sibling of [[a11aj]] (VERDICT r13 directive #4): same cone
+    * machinery, but the radius chain runs through the authalic q(φ)
+    * instead of the conformal t(φ), so the oracle's replay swaps the
+    * exp/ln pow for a single sqrt. Constants come from the engine's own
+    * derivation ([[graft.functions.Crs.AlbersEqArea.replayConstants]],
+    * the a11s dotChain pattern); E/N quantize at meter grain and the
+    * fixed-8-iteration authalic-latitude inverse (Snyder 3-16 Newton
+    * steps) is asserted ENGINE-side to 1e-9°. Map-side only — same
+    * 100 TB posture as a11r/a11s/a11aj.
+    */
+  private val a11au: QuerySpec = {
+    val (ecc, cn, bigC, aAx, rho0, lon0, fe, fn) =
+      graft.functions.Crs.ConusAlbers.replayConstants
+    val e2 = ecc * ecc
+    val sql =
+      s"""WITH c AS (SELECT event_id,
+              -120.0 + (value % 44.0) AS lon,
+              25.3 + (value % 23.4) AS lat
+            FROM events),
+          p AS (SELECT event_id,
+              lat * pi() / 180.0 AS phi,
+              $cn * ((lon - $lon0) * pi() / 180.0) AS th
+            FROM c),
+          s1 AS (SELECT event_id, th, sin(phi) AS sphi FROM p),
+          s2 AS (SELECT event_id, th,
+              (1.0 - $e2) * (sphi / (1.0 - $e2 * sphi * sphi)
+                - (1.0 / (2.0 * $ecc))
+                  * ln((1.0 - $ecc * sphi) / (1.0 + $ecc * sphi))) AS q
+            FROM s1),
+          s3 AS (SELECT event_id, th,
+              $aAx * sqrt($bigC - $cn * q) / $cn AS rho FROM s2)
+          SELECT event_id,
+            CAST(5070 AS BIGINT) AS srid_albers,
+            CAST(floor($fe + rho * sin(th)) AS BIGINT) AS e_m,
+            CAST(floor($fn + $rho0 - rho * cos(th)) AS BIGINT) AS n_m,
+            TRUE AS roundtrip_ok
+          FROM s3 ORDER BY event_id"""
+    QuerySpec(
+      "a11au_albers",
+      "Conus Albers (EPSG:5070) equal-area reprojection roundtrip via the parameterized CRS registry: per-row 4326 point EWKB -> 5070 easting/northing -> back; E/N at meter quantization against an oracle replaying the authalic-q forward chain from the engine's derived constants; fixed-8-iteration Newton inverse checked engine-side to 1e-9 degrees.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (lit(-120.0) + ($"value" % 44.0)).as("lon"),
+            (lit(25.3) + ($"value" % 23.4)).as("lat"))
+          .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(5070)))
+          .withColumn("back", reprojectUdf($"g", lit(4326)))
+          .select($"event_id",
+            sridUdf($"g").cast(LongType).as("srid_albers"),
+            floor(bboxUdf($"g").getField("xmin")).cast(LongType).as("e_m"),
+            floor(bboxUdf($"g").getField("ymin")).cast(LongType).as("n_m"),
+            (abs(bboxUdf($"back").getField("xmin") - $"lon") < 1e-9 &&
+              abs(bboxUdf($"back").getField("ymin") - $"lat") < 1e-9).as("roundtrip_ok"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
   // ---------------------------------------------------------------- A11t
   /** Slippy-map tile aggregation at a fixed zoom — the vector-tile
     * pre-aggregation a geodata-serving pipeline runs before rendering:
@@ -2243,5 +2306,5 @@ object Spatial {
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
       a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq,
-      a11ar, a11as, a11at)
+      a11ar, a11as, a11at, a11au)
 }

@@ -208,6 +208,57 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(bb.xmin - 2.35) < 1e-9 && math.abs(bb.ymin - 48.85) < 1e-9)
   }
 
+  test("Crs registry Albers (5070): origin anchor, orientation, equal-area Jacobian, roundtrip, EWKB") {
+    import graft.functions.Crs
+    val p = Crs.ConusAlbers
+    // the grid origin (lon0, phi0) maps to (FE, FN) with zero residue:
+    // θ = n·0 and ρ(φ0) is the SAME chain that defined ρ0
+    val (e0, n0) = p.forward(p.lon0Deg, p.phi0Deg)
+    assert(e0 == p.falseE && n0 == p.falseN, s"origin ($e0, $n0)")
+    val (eE, _) = p.forward(p.lon0Deg + 1.0, p.phi0Deg)
+    val (_, nN) = p.forward(p.lon0Deg, p.phi0Deg + 1.0)
+    assert(eE > p.falseE && nN > p.falseN, "orientation")
+    assert(math.abs((nN - p.falseN) - 111000.0) < 5000.0, s"arc ${nN - p.falseN}")
+    // THE defining property vs the conformal cone: the forward's Jacobian
+    // determinant equals the ellipsoid area element M·N·cosφ (Snyder
+    // ch. 14 — Albers preserves area everywhere, not just at the standard
+    // parallels). Finite-difference the map at points spanning the CONUS
+    // band and compare to 1e-4 relative.
+    val a = 6378137.0; val e2 = p.e * p.e
+    for ((lon, lat) <- Seq((-120.0, 32.0), (-96.0, 37.5), (-80.0, 29.5), (-104.0, 45.5), (-90.0, 48.0))) {
+      val h = 1e-5
+      val (x0, y0) = p.forward(lon, lat)
+      val (xl, yl) = p.forward(lon + h, lat)
+      val (xp, yp) = p.forward(lon, lat + h)
+      val hr = h * math.Pi / 180.0
+      val jac = ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (hr * hr)
+      val s = math.sin(lat * math.Pi / 180.0)
+      val w2 = 1.0 - e2 * s * s
+      val bigM = a * (1.0 - e2) / (w2 * math.sqrt(w2))
+      val bigN = a / math.sqrt(w2)
+      val areaEl = bigM * bigN * math.cos(lat * math.Pi / 180.0)
+      assert(math.abs(jac - areaEl) / areaEl < 1e-4,
+        s"area distortion at ($lon, $lat): jac=$jac vs $areaEl")
+    }
+    // fixed-8-iteration Newton inverse: < 1e-9° across the CONUS band
+    for (dLon <- Seq(-24.0, -8.0, 0.0, 6.5, 20.0); dLat <- Seq(3.0, 8.0, 14.5, 22.0, 25.0)) {
+      val (lon, lat) = (p.lon0Deg + dLon, p.phi0Deg + dLat)
+      val (e, n) = p.forward(lon, lat)
+      val (lo, la) = p.inverse(e, n)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"roundtrip drift at ($lon, $lat): (${lo - lon}, ${la - lat})")
+    }
+    // CONUS sanity: Denver lands in the published grid envelope
+    val (de, dn) = p.forward(-104.99, 39.74)
+    assert(de > -1200000 && de < -600000 && dn > 1500000 && dn < 2200000, s"($de, $dn)")
+    // EWKB path carries SRID 5070 and roundtrips through bytes
+    val g = Wkb.setSrid(Wkb.point(-104.99, 39.74), 4326)
+    val ab = Wkb.reproject(g, 5070)
+    assert(Wkb.srid(ab) == 5070)
+    val bb = Wkb.bbox(Wkb.reproject(ab, 4326))
+    assert(math.abs(bb.xmin - -104.99) < 1e-9 && math.abs(bb.ymin - 39.74) < 1e-9)
+  }
+
   test("Crs registry TM (ETRS89 UTM): anchors, agreement with WGS84 UTM, roundtrip") {
     import graft.functions.Crs
     val z32 = Crs.tm(25832)
