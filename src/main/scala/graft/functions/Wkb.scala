@@ -427,6 +427,86 @@ object Wkb {
     d
   }
 
+  // ---- WGS84 geodesic direct (Vincenty direct, fixed iterations) -----
+  // Vincenty's DIRECT formulas (same 1975 paper as the inverse above):
+  // given a start point, an initial azimuth, and a distance, find the
+  // destination. The σ-iteration runs a FIXED count — Δσ contracts by
+  // ~B ≈ u²/1024 ≈ 1.7e-6 per round on WGS84, so 4 rounds land far
+  // below double precision — making the computation a pure function of
+  // the inputs, replayable op-for-op by an oracle (the a11u discipline).
+  private val GeodDirectIters = 4
+
+  /** Oracle-replay constants for the direct problem: (a, b, f, σ-iters). */
+  private[graft] def geodDirectConstants: (Double, Double, Double, Int) =
+    (MercatorR, WgsB, WgsF, GeodDirectIters)
+
+  /** Vincenty direct: destination (lonDeg, latDeg) reached by travelling
+    * `distM` ellipsoidal meters from (lon1, lat1) at initial azimuth
+    * `azDeg` (clockwise from north). Every stage mirrors the published
+    * equation order so the generated oracle SQL replays it literally.
+    */
+  def geodesicDirect(lon1: Double, lat1: Double,
+      azDeg: Double, distM: Double): (Double, Double) = {
+    val rad = math.Pi / 180.0
+    val alpha1 = azDeg * rad
+    val u1 = math.atan((1.0 - WgsF) * math.tan(lat1 * rad))
+    val sU1 = math.sin(u1); val cU1 = math.cos(u1)
+    val sA = math.sin(alpha1); val cA = math.cos(alpha1)
+    val sig1 = math.atan2(math.tan(u1), cA)
+    val sina = cU1 * sA
+    val cos2a = 1.0 - sina * sina
+    val u2sq = cos2a * (MercatorR * MercatorR - WgsB * WgsB) / (WgsB * WgsB)
+    val aa = 1.0 + u2sq / 16384.0 *
+      (4096.0 + u2sq * (-768.0 + u2sq * (320.0 - 175.0 * u2sq)))
+    val bb = u2sq / 1024.0 * (256.0 + u2sq * (-128.0 + u2sq * (74.0 - 47.0 * u2sq)))
+    val sOverBA = distM / (WgsB * aa)
+    var sig = sOverBA
+    var i = 0
+    while (i < GeodDirectIters) {
+      val c2m = math.cos(2.0 * sig1 + sig)
+      val ss = math.sin(sig); val cs = math.cos(sig)
+      val dsig = bb * ss * (c2m + bb / 4.0 *
+        (cs * (-1.0 + 2.0 * c2m * c2m) -
+          bb / 6.0 * c2m * (-3.0 + 4.0 * ss * ss) * (-3.0 + 4.0 * c2m * c2m)))
+      sig = sOverBA + dsig
+      i += 1
+    }
+    val ss = math.sin(sig); val cs = math.cos(sig)
+    val c2m = math.cos(2.0 * sig1 + sig)
+    val tmp = sU1 * ss - cU1 * cs * cA
+    val phi2 = math.atan2(sU1 * cs + cU1 * ss * cA,
+      (1.0 - WgsF) * math.sqrt(sina * sina + tmp * tmp))
+    val lam = math.atan2(ss * sA, cU1 * cs - sU1 * ss * cA)
+    val c = WgsF / 16.0 * cos2a * (4.0 + WgsF * (4.0 - 3.0 * cos2a))
+    val bigL = lam - (1.0 - c) * WgsF * sina *
+      (sig + c * ss * (c2m + c * cs * (-1.0 + 2.0 * c2m * c2m)))
+    (lon1 + bigL / rad, phi2 / rad)
+  }
+
+  /** Meter-true geodesic buffer of a lon/lat POINT: a `segments`-vertex
+    * polygon whose every vertex lies exactly `rMeters` ellipsoidal
+    * meters from the center along its azimuth (Vincenty direct per
+    * vertex, azimuths k·360/segments clockwise from north) — the
+    * geography-mode ST_Buffer a user needs for "500 m around each
+    * feature" on raw lon/lat, where [[bufferEuclidean]]'s planar-degree
+    * radius would be ~111 km and latitude-skewed. Works anywhere the
+    * direct problem does (all latitudes; the ring never spans a pole
+    * for radii ≪ the polar distance). SRID/dialect of the input is
+    * ignored — the caller asserts the datum, as with
+    * [[geodesicDistance]].
+    */
+  def bufferGeodesicPoint(wkb: Array[Byte], rMeters: Double, segments: Int = 16): Array[Byte] = {
+    require(segments >= 3, s"bufferGeodesicPoint: need >=3 segments, got $segments")
+    val buf = ByteBuffer.wrap(wkb)
+    val h = header(buf)
+    require(h.base == 1, s"wkb: bufferGeodesicPoint expects POINT, got type ${h.base}")
+    val cx = buf.getDouble; val cy = buf.getDouble
+    val ring = (0 until segments).map { k =>
+      geodesicDirect(cx, cy, k * 360.0 / segments, rMeters)
+    }
+    polygon(Seq(ring :+ ring.head))
+  }
+
   /** Geodesic meters between two POINT geometries holding WGS84 lon/lat
     * degrees (any WKB dialect; SRID ignored — the caller asserts the
     * datum, as with [[pointDistance]]'s planar assumption).

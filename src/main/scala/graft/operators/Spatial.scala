@@ -1885,6 +1885,132 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11av
+  /** Meter-true geodesic buffer ([[Wkb.bufferGeodesicPoint]], VERDICT
+    * r13 directive #8): [[a11ak]] buffers in planar DEGREES — fine on a
+    * projected grid, but an EO user buffering "500 m around each
+    * feature" on raw lon/lat needs the ellipsoidal variant, where every
+    * ring vertex lies exactly r ellipsoidal meters from the center
+    * (Vincenty DIRECT per azimuth, fixed-4 σ-iteration — the a11u
+    * replay discipline applied to the direct problem). The oracle
+    * replays the whole direct chain per (event, azimuth) stage-for-
+    * stage from the engine's own ellipsoid constants
+    * ([[Wkb.geodDirectConstants]]); vertices quantize at 1e-6° (~0.1 m)
+    * and the meter-true property — Vincenty-INVERSE distance center→
+    * vertex within 1 mm of r for all 16 vertices — is asserted
+    * ENGINE-side (direct and inverse are independent iterations, so
+    * this is a real cross-check, not a tautology). Map-side only; the
+    * output sort is presentation. Scale: same posture as a11u — pure
+    * per-row closed-form math, scan → transform.
+    */
+  private val GeoBufR = 500.0
+  private val GeoBufSegs = 16
+  private val a11av: QuerySpec = {
+    val (wa, wb, f, iters) = graft.functions.Wkb.geodDirectConstants
+    val aabb = wa * wa - wb * wb
+    val bb2 = wb * wb
+    // one σ-round: recompute Δσ from it(i-1).sig, update sig only
+    def round(i: Int): String =
+      s"""r$i AS (SELECT event_id, k, lon, lat, su1, cu1, sa, ca, sig1, sina,
+            cos2a, bigb, soba,
+            soba + bigb*sin(sig)*(cos(2.0*sig1 + sig)
+              + bigb/4.0*(cos(sig)*(-1.0 + 2.0*cos(2.0*sig1 + sig)*cos(2.0*sig1 + sig))
+                - bigb/6.0*cos(2.0*sig1 + sig)
+                  *(-3.0 + 4.0*sin(sig)*sin(sig))
+                  *(-3.0 + 4.0*cos(2.0*sig1 + sig)*cos(2.0*sig1 + sig)))) AS sig
+          FROM r${i - 1})"""
+    val sql =
+      s"""WITH c0 AS (SELECT event_id,
+              (value % 300.0) - 150.0 AS lon,
+              (value % 120.0) - 60.0 AS lat
+            FROM events),
+          kk AS (SELECT CAST(k AS BIGINT) AS k FROM generate_series(0, ${GeoBufSegs - 1}) AS g(k)),
+          az AS (SELECT event_id, lon, lat, k,
+              (CAST(k AS DOUBLE) * 360.0 / $GeoBufSegs.0) * (pi() / 180.0) AS alpha1
+            FROM c0 CROSS JOIN kk),
+          u AS (SELECT event_id, k, lon, lat, alpha1,
+              atan((1.0 - $f) * tan(lat * (pi() / 180.0))) AS u1
+            FROM az),
+          p AS (SELECT event_id, k, lon, lat, u1,
+              sin(u1) AS su1, cos(u1) AS cu1,
+              sin(alpha1) AS sa, cos(alpha1) AS ca
+            FROM u),
+          g AS (SELECT *, atan2(tan(u1), ca) AS sig1, cu1 * sa AS sina FROM p),
+          h AS (SELECT *, 1.0 - sina*sina AS cos2a FROM g),
+          i2 AS (SELECT *, cos2a * $aabb / $bb2 AS u2sq FROM h),
+          j AS (SELECT *,
+              1.0 + u2sq/16384.0*(4096.0 + u2sq*(-768.0 + u2sq*(320.0 - 175.0*u2sq))) AS biga,
+              u2sq/1024.0*(256.0 + u2sq*(-128.0 + u2sq*(74.0 - 47.0*u2sq))) AS bigb
+            FROM i2),
+          r0 AS (SELECT event_id, k, lon, lat, su1, cu1, sa, ca, sig1, sina,
+              cos2a, bigb,
+              $GeoBufR / ($wb * biga) AS soba,
+              $GeoBufR / ($wb * biga) AS sig
+            FROM j),
+          ${(1 to iters).map(round).mkString(",\n")},
+          fw AS (SELECT event_id, k, lon, lat, su1, cu1, sa, ca, sina, cos2a, sig,
+              sin(sig) AS ss, cos(sig) AS cs, cos(2.0*sig1 + sig) AS c2m
+            FROM r$iters),
+          fx AS (SELECT *, su1*ss - cu1*cs*ca AS tmp FROM fw),
+          fy AS (SELECT *,
+              atan2(su1*cs + cu1*ss*ca, (1.0 - $f) * sqrt(sina*sina + tmp*tmp)) AS phi2,
+              atan2(ss*sa, cu1*cs - su1*ss*ca) AS lam,
+              $f/16.0*cos2a*(4.0 + $f*(4.0 - 3.0*cos2a)) AS cc
+            FROM fx),
+          fz AS (SELECT event_id, k, lat, phi2,
+              lon + (lam - (1.0-cc)*$f*sina*(sig + cc*ss*(c2m + cc*cs*(-1.0 + 2.0*c2m*c2m))))
+                / (pi() / 180.0) AS lon2
+            FROM fy),
+          q AS (SELECT event_id,
+              CAST(floor(lon2 * 1000000.0) AS BIGINT) AS qlon,
+              CAST(floor((phi2 / (pi() / 180.0)) * 1000000.0) AS BIGINT) AS qlat
+            FROM fz)
+          SELECT event_id,
+            CAST(COUNT(*) AS INTEGER) AS n_vtx,
+            CAST(SUM(qlon) AS BIGINT) AS sum_qlon_e6,
+            CAST(SUM(qlat) AS BIGINT) AS sum_qlat_e6,
+            MIN(qlat) AS min_qlat_e6, MAX(qlat) AS max_qlat_e6,
+            TRUE AS meter_true
+          FROM q GROUP BY event_id ORDER BY event_id"""
+    val statsUdf: UserDefinedFunction = udf { (cx: Double, cy: Double) =>
+      val ring = Wkb.outerRing(
+        Wkb.bufferGeodesicPoint(Wkb.point(cx, cy), GeoBufR, GeoBufSegs)).dropRight(1)
+      var sumLon = 0L; var sumLat = 0L
+      var mnLat = Long.MaxValue; var mxLat = Long.MinValue
+      var meterTrue = true
+      ring.foreach { case (vx, vy) =>
+        val qlon = math.floor(vx * 1000000.0).toLong
+        val qlat = math.floor(vy * 1000000.0).toLong
+        sumLon += qlon; sumLat += qlat
+        if (qlat < mnLat) mnLat = qlat
+        if (qlat > mxLat) mxLat = qlat
+        // independent cross-check: the INVERSE iteration must measure the
+        // direct-placed vertex back at r to sub-mm
+        if (math.abs(Wkb.geodesicMeters(cx, cy, vx, vy) - GeoBufR) > 1e-3)
+          meterTrue = false
+      }
+      (ring.length, sumLon, sumLat, mnLat, mxLat, meterTrue)
+    }
+    QuerySpec(
+      "a11av_buffer_geodesic",
+      s"Meter-true geodesic buffer (r=$GeoBufR m, $GeoBufSegs verts): every ring vertex placed by the fixed-4-iteration Vincenty DIRECT solution at azimuth k*22.5 deg, oracle replaying each sigma-round stage-for-stage from the engine's ellipsoid constants; vertices quantized at 1e-6 deg and the meter-true property cross-checked engine-side via the independent Vincenty INVERSE (<1 mm).",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (($"value" % 300.0) - 150.0).as("cx"),
+            (($"value" % 120.0) - 60.0).as("cy"))
+          .select($"event_id", statsUdf($"cx", $"cy").as("st"))
+          .select($"event_id", $"st._1".as("n_vtx"),
+            $"st._2".as("sum_qlon_e6"), $"st._3".as("sum_qlat_e6"),
+            $"st._4".as("min_qlat_e6"), $"st._5".as("max_qlat_e6"),
+            $"st._6".as("meter_true"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
   // --------------------------------------------------------------- A11am
   /** Polar-stereographic reprojection (EPSG:4326 ↔ 3413, the NSIDC sea-ice
     * north grid, [[graft.functions.Crs.NsidcNorth]]) — the polar-cap
@@ -2306,5 +2432,5 @@ object Spatial {
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
       a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq,
-      a11ar, a11as, a11at, a11au)
+      a11ar, a11as, a11at, a11au, a11av)
 }

@@ -393,6 +393,45 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("Wkb.geodesicDirect + bufferGeodesicPoint: direct/inverse closure, anchors, ring shape") {
+    // Vincenty's own published test line, run FORWARD: from Flinders
+    // Peak at the published azimuth/distance, the direct solution must
+    // land on Buninyong to sub-mm (306°52'05.37" = 306.868158333...°)
+    val (bLon, bLat) = Wkb.geodesicDirect(144.42486789, -37.95103342,
+      306.0 + 52.0 / 60.0 + 5.37 / 3600.0, 54972.271)
+    assert(math.abs(bLon - 143.92649553) < 1e-7 && math.abs(bLat - -37.65282114) < 1e-7,
+      s"($bLon, $bLat)")
+    // equator east: the geodesic is the equator arc, lat stays 0 exactly-ish
+    val (eqLon, eqLat) = Wkb.geodesicDirect(10.0, 0.0, 90.0, 6378137.0 * math.Pi / 180.0)
+    assert(math.abs(eqLon - 11.0) < 1e-8 && math.abs(eqLat) < 1e-9, s"($eqLon, $eqLat)")
+    // direct∘inverse closure: place a point r meters out at many
+    // azimuths/latitudes, measure it back with the INDEPENDENT inverse
+    // iteration — sub-mm closure everywhere in the band
+    for (lat <- Seq(-59.0, -20.0, 0.0, 33.3, 58.0); az <- Seq(0.0, 67.5, 180.0, 292.5);
+         r <- Seq(500.0, 25000.0)) {
+      val (vx, vy) = Wkb.geodesicDirect(5.0, lat, az, r)
+      assert(math.abs(Wkb.geodesicMeters(5.0, lat, vx, vy) - r) < 1e-3,
+        s"closure at lat=$lat az=$az r=$r")
+    }
+    // buffer ring: 16 vertices + closure, all meter-true, and the ring
+    // straddles the center in both axes
+    val ring = Wkb.outerRing(Wkb.bufferGeodesicPoint(Wkb.point(-104.99, 39.74), 500.0, 16))
+    assert(ring.length == 17 && ring.head == ring.last)
+    val open = ring.dropRight(1)
+    assert(open.forall { case (vx, vy) =>
+      math.abs(Wkb.geodesicMeters(-104.99, 39.74, vx, vy) - 500.0) < 1e-3 })
+    assert(open.exists(_._1 < -104.99) && open.exists(_._1 > -104.99))
+    assert(open.exists(_._2 < 39.74) && open.exists(_._2 > 39.74))
+    // k=0 is due north: same longitude (to fp noise), lat + ~500/110852 deg
+    val north = open.head
+    assert(math.abs(north._1 - -104.99) < 1e-12 && north._2 > 39.74)
+    // non-point input rejected loudly
+    intercept[IllegalArgumentException] {
+      Wkb.bufferGeodesicPoint(Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))), 500.0)
+    }
+    intercept[IllegalArgumentException] { Wkb.bufferGeodesicPoint(Wkb.point(0, 0), 500.0, 2) }
+  }
+
   test("Wkb.geodesicMeters: known anchors, symmetry, planar agreement at small separations") {
     // Vincenty's own published test line (Flinders Peak → Buninyong,
     // Survey Review 1975): s = 54972.271 m. Six fixed iterations land
