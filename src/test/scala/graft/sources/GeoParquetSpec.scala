@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.Wkb
+
+class GeoParquetSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+
+  private def layer(rows: Seq[(String, Array[Byte], String)]) = {
+    import spark.implicits._
+    rows.toDF("feature_id", "geometry", "etype")
+  }
+
+  test("write → read: WKB bit-lossless, geo footer intact, bbox correct, Spark schema preserved") {
+    import spark.implicits._
+    val pts = Seq(
+      ("a", Wkb.point(-4.25, 42.5), "view"),
+      ("b", Wkb.point(13.0625, -7.125), "click"),
+      ("c", Wkb.point(1e-300, -0.0), "zone"))
+    val dir = Files.createTempDirectory("geoparquet_spec").toString + "/layer"
+    GeoParquet.write(layer(pts), dir, "geometry", Seq("Point"))
+    // metadata: version/primary/encoding per the public 1.0.0 spec shape,
+    // bbox = the layer envelope
+    val meta = GeoParquet.metaOf(spark, dir)
+    assert(meta.version == GeoParquet.SpecVersion)
+    assert(meta.primaryColumn == "geometry" && meta.encoding == "WKB")
+    assert(meta.geometryTypes == Seq("Point"))
+    assert(meta.bbox == Seq(-4.25, -7.125, 13.0625, 42.5))
+    // payload: bytes re-ingest bit-lossless — the read path never
+    // transforms the column
+    val back = GeoParquet.read(spark, dir)
+      .select($"feature_id", $"geometry", $"etype")
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getString(2)))
+      .sortBy(_._1)
+    assert(back.length == 3)
+    pts.sortBy(_._1).zip(back).foreach { case ((id, wkb, et), (bid, bwkb, bet)) =>
+      assert(id == bid && et == bet)
+      assert(java.util.Arrays.equals(wkb, bwkb), s"WKB not bit-identical for $id")
+    }
+    // the stamp preserved Spark's own footer entry: the frame reads back
+    // with the full typed schema, not a generic one
+    assert(GeoParquet.read(spark, dir).schema.map(_.name) ==
+      Seq("feature_id", "geometry", "etype"))
+    // re-stamping is idempotent (key replaced, not duplicated): write the
+    // same layer again over the same dir
+    GeoParquet.write(layer(pts), dir, "geometry", Seq("Point"))
+    assert(GeoParquet.metaOf(spark, dir).bbox == meta.bbox)
+  }
+
+  test("plain parquet and malformed geo entries are rejected loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("geoparquet_spec2").toString + "/plain"
+    Seq(("a", 1)).toDF("feature_id", "v").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] { GeoParquet.read(spark, dir) }
+    assert(e.getMessage.contains("no 'geo' footer entry"))
+    // malformed JSON in the geo key
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf).listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    GeoParquet.stampFile(conf, part, "{not json")
+    val e2 = intercept[IllegalArgumentException] { GeoParquet.metaOf(spark, dir) }
+    assert(e2.getMessage.contains("unparseable"))
+    // non-WKB encoding
+    GeoParquet.stampFile(conf, part,
+      """{"version":"1.0.0","primary_column":"g","columns":{"g":{"encoding":"point","bbox":[0,0,1,1]}}}""")
+    val e3 = intercept[IllegalArgumentException] { GeoParquet.metaOf(spark, dir) }
+    assert(e3.getMessage.contains("unsupported encoding"))
+    // geo names a primary column the parquet schema doesn't have
+    GeoParquet.stampFile(conf, part,
+      """{"version":"1.0.0","primary_column":"g","columns":{"g":{"encoding":"WKB","bbox":[0,0,1,1]}}}""")
+    val e4 = intercept[IllegalArgumentException] { GeoParquet.read(spark, dir) }
+    assert(e4.getMessage.contains("not in parquet schema"))
+  }
+
+  test("multi-file layers: per-file bboxes union; disagreeing primaries rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("geoparquet_spec3").toString + "/multi"
+    // force 2 part files via repartition
+    val df = layer(Seq(
+      ("a", Wkb.point(0.0, 0.0), "x"), ("b", Wkb.point(10.0, 20.0), "y"),
+      ("c", Wkb.point(-5.0, 3.0), "z"), ("d", Wkb.point(7.0, -9.0), "w")))
+      .repartition(2)
+    GeoParquet.write(df, dir, "geometry", Seq("Point"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf).listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(parts.length == 2)
+    assert(GeoParquet.metaOf(spark, dir).bbox == Seq(-5.0, -9.0, 10.0, 20.0))
+    // hand-stamp one file with narrow per-file boxes: metaOf unions them
+    GeoParquet.stampFile(conf, parts(0),
+      GeoParquet.geoJson("geometry", Seq("Point"), Seq(-5.0, -9.0, 0.0, 3.0)))
+    GeoParquet.stampFile(conf, parts(1),
+      GeoParquet.geoJson("geometry", Seq("Point"), Seq(0.0, 0.0, 10.0, 20.0)))
+    assert(GeoParquet.metaOf(spark, dir).bbox == Seq(-5.0, -9.0, 10.0, 20.0))
+    // a part file disagreeing on the primary column is a loud error
+    GeoParquet.stampFile(conf, parts(1),
+      """{"version":"1.0.0","primary_column":"other","columns":{"other":{"encoding":"WKB","bbox":[0,0,1,1]}}}""")
+    intercept[IllegalArgumentException] { GeoParquet.metaOf(spark, dir) }
+  }
+}
