@@ -495,6 +495,63 @@ object TierA {
     }
   )
 
+  // ------------------------------------------------------- A1j (.osm.pbf)
+  /** The OSM PBF member of the A1 family (VERDICT r13 directive #5):
+    * events written once per JVM as a REAL .osm.pbf (BlobHeader/Blob
+    * framing, DenseNodes delta-coded sint64 ids/coords, string-table
+    * tags, raw AND zlib blobs — [[graft.sources.OsmPbf.write]]), read
+    * back through the varint/zigzag walker and hash-checked against
+    * DuckDB replaying the same integer-nanodegree quantization. Driver-
+    * bounded fixture like the other single-file binary formats
+    * ([[guardFixtureRows]]); the READ path is one task per file — the
+    * shape planet-scale ingest uses (the planet ships as many extracts).
+    * Coordinates are exact integers (floor(deg·1e7)·100 nanodeg), so
+    * the compare needs no float tolerance anywhere.
+    */
+  private[graft] def osmPbfFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_osmpbf_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.osm.pbf")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "osm.pbf")
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id",
+            floor((($"value" % 300.0) - 150.0) * 10000000.0).cast(LongType).as("lon7"),
+            floor((($"value" % 160.0) - 80.0) * 10000000.0).cast(LongType).as("lat7"),
+            $"event_type")
+          .orderBy($"event_id").collect()
+        val nodes = rows.toSeq.map { r =>
+          graft.sources.OsmPbf.Node(r.getLong(0),
+            r.getLong(1) * 100L, r.getLong(2) * 100L,
+            Map("etype" -> r.getString(3)))
+        }
+        java.nio.file.Files.write(f.toPath, graft.sources.OsmPbf.write(nodes))
+      }
+    }
+    f.getPath
+  }
+
+  private val a1j = QuerySpec(
+    "a1j_osm_scan",
+    "OSM PBF scan: events written as a real .osm.pbf (BlobHeader/Blob framing, DenseNodes sint64 delta ids/coords, string-table tags, raw + zlib blobs), read back through the varint/zigzag walker; integer nanodegree coordinates must replay exactly — no float tolerance.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            CAST(CAST(floor(((value % 300.0) - 150.0) * 10000000.0) AS BIGINT) * 100 AS BIGINT) AS lon_nano,
+            CAST(CAST(floor(((value % 160.0) - 80.0) * 10000000.0) AS BIGINT) * 100 AS BIGINT) AS lat_nano
+            FROM events ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val file = osmPbfFixture(s, d)
+      graft.sources.OsmPbf.read(s, file)
+        .select($"id".cast(StringType).as("feature_id"),
+          element_at($"tags", "etype").as("etype"),
+          $"lonNano".as("lon_nano"), $"latNano".as("lat_nano"))
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -1356,5 +1413,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a1i, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a1i, a1j, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }

@@ -1,0 +1,354 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** OSM PBF source subset (VERDICT r13 directive #5 / r13 missing #6):
+  * the biggest public vector corpus ships as OpenStreetMap PBF — a
+  * protobuf container whose wire primitive is exactly the varint/zigzag
+  * codec `c6v_varint` pinned. This module reads (and, for the fixture,
+  * writes) the DenseNodes subset of the published format
+  * (fileformat.proto / osmformat.proto, both public ODbL/CC-BY specs):
+  *
+  *   file := repeat( int32-BE len, BlobHeader[len], Blob[datasize] )
+  *   BlobHeader := type:string(1) indexdata:bytes(2) datasize:int32(3)
+  *   Blob       := raw:bytes(1) raw_size:int32(2) zlib_data:bytes(3)
+  *   OSMHeader  := required_features:repeated string(4) ...
+  *   OSMData    := PrimitiveBlock: stringtable(1) group(2)
+  *                 granularity(17)=100 lat_offset(19) lon_offset(20)
+  *   DenseNodes := id(1) packed sint64 DELTA, lat(8)/lon(9) packed
+  *                 sint64 DELTA, keys_vals(10) packed int32
+  *                 (k,v string-table index pairs, 0 terminates a node)
+  *
+  * Coordinates are integer NANODEGREES (lat_offset + granularity·units)
+  * — exact integers end-to-end, which is what makes the scan
+  * oracle-checkable with no float tolerance. zlib blobs are inflated
+  * with the JDK's Inflater (no new dependency); unknown required
+  * features, unknown compression, and the non-node element types
+  * outside this subset (ways/relations) are rejected LOUDLY — a
+  * silently-partial scan of a planet file is worse than a loud one.
+  *
+  * Scale posture: one task per .osm.pbf file through Spark's
+  * binaryFile source (the planet ships pre-sharded into many files /
+  * extracts; per-file parallelism is the standard ingest shape). The
+  * per-file walk is one streaming pass; blob-level splitting inside a
+  * single huge file would be the next refinement and the framing above
+  * is self-synchronizing to support it.
+  */
+object OsmPbf {
+
+  // ------------------------------------------------------------ varints
+  private def putVarint(b: ArrayBuffer[Byte], v0: Long): Unit = {
+    var v = v0
+    var more = true
+    while (more) {
+      val x = (v & 0x7fL).toInt
+      v >>>= 7
+      if (v != 0L) b += (x | 0x80).toByte else { b += x.toByte; more = false }
+    }
+  }
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+
+  private final class Walker(val a: Array[Byte], var off: Int, val end: Int) {
+    def varint(): Long = {
+      var shift = 0; var acc = 0L; var more = true
+      while (more) {
+        require(off < end, "osmpbf: truncated varint")
+        val b = a(off) & 0xff
+        acc |= (b & 0x7fL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+        off += 1
+        require(shift <= 70, "osmpbf: varint too long")
+      }
+      acc
+    }
+    def bytes(n: Int): Array[Byte] = {
+      require(off + n <= end, s"osmpbf: truncated field ($n bytes past end)")
+      val r = java.util.Arrays.copyOfRange(a, off, off + n)
+      off += n
+      r
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => off += 8
+      case 2 => off += varint().toInt
+      case 5 => off += 4
+      case w => throw new IllegalArgumentException(s"osmpbf: wire type $w unsupported")
+    }
+    def hasMore: Boolean = off < end
+  }
+
+  private def lenDelim(b: ArrayBuffer[Byte], field: Int, payload: Array[Byte]): Unit = {
+    putVarint(b, (field.toLong << 3) | 2L)
+    putVarint(b, payload.length.toLong)
+    b ++= payload
+  }
+  private def varintField(b: ArrayBuffer[Byte], field: Int, v: Long): Unit = {
+    putVarint(b, (field.toLong << 3) | 0L)
+    putVarint(b, v)
+  }
+  private def packed(b: ArrayBuffer[Byte], field: Int, vs: Seq[Long]): Unit = {
+    val p = new ArrayBuffer[Byte]()
+    vs.foreach(putVarint(p, _))
+    lenDelim(b, field, p.toArray)
+  }
+
+  // ------------------------------------------------------------- writer
+  /** One decoded node: id, integer nanodegrees, tag map. */
+  final case class Node(id: Long, lonNano: Long, latNano: Long, tags: Map[String, String])
+
+  val Granularity = 100L
+
+  /** Serialize nodes (sorted by id by the caller) as a complete .osm.pbf
+    * byte stream: OSMHeader blob + the data split across `blobsOf`-sized
+    * OSMData blobs (delta chains restart per blob, per spec), even blobs
+    * raw and odd blobs zlib-deflated so both compression legs of the
+    * Blob message are genuinely exercised. Coordinates must be multiples
+    * of [[Granularity]] nanodegrees (the default granularity this writer
+    * declares).
+    */
+  def write(nodes: Seq[Node], blobsOf: Int = 8000): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    def frame(kind: String, body: Array[Byte], deflate: Boolean): Unit = {
+      val blob = new ArrayBuffer[Byte]()
+      varintField(blob, 2, body.length.toLong) // raw_size
+      if (deflate) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(body); d.finish()
+        val tmp = new Array[Byte](body.length + 64)
+        val zb = new ArrayBuffer[Byte]()
+        while (!d.finished()) {
+          val n = d.deflate(tmp)
+          zb ++= tmp.take(n)
+        }
+        d.end()
+        lenDelim(blob, 3, zb.toArray) // zlib_data
+      } else lenDelim(blob, 1, body) // raw
+      val header = new ArrayBuffer[Byte]()
+      lenDelim(header, 1, kind.getBytes("UTF-8"))
+      varintField(header, 3, blob.length.toLong) // datasize
+      out ++= ByteBuffer.allocate(4).putInt(header.length).array()
+      out ++= header
+      out ++= blob
+    }
+    // OSMHeader: the two required features this subset provides
+    val hb = new ArrayBuffer[Byte]()
+    lenDelim(hb, 4, "OsmSchema-V0.6".getBytes("UTF-8"))
+    lenDelim(hb, 4, "DenseNodes".getBytes("UTF-8"))
+    frame("OSMHeader", hb.toArray, deflate = false)
+
+    nodes.grouped(blobsOf).zipWithIndex.foreach { case (chunk, bi) =>
+      // string table: index 0 is the empty string by spec
+      val strings = ArrayBuffer[String]("")
+      val strIdx = scala.collection.mutable.HashMap[String, Int]("" -> 0)
+      def intern(s: String): Long = strIdx.getOrElseUpdate(s, { strings += s; strings.length - 1 }).toLong
+      val ids = new ArrayBuffer[Long](); val lats = new ArrayBuffer[Long]()
+      val lons = new ArrayBuffer[Long](); val kvs = new ArrayBuffer[Long]()
+      var pid = 0L; var plat = 0L; var plon = 0L
+      chunk.foreach { n =>
+        require(n.latNano % Granularity == 0 && n.lonNano % Granularity == 0,
+          s"osmpbf: node ${n.id} coords not multiples of $Granularity nanodeg")
+        ids += zigzag(n.id - pid); pid = n.id
+        lats += zigzag(n.latNano / Granularity - plat); plat = n.latNano / Granularity
+        lons += zigzag(n.lonNano / Granularity - plon); plon = n.lonNano / Granularity
+        n.tags.toSeq.sortBy(_._1).foreach { case (k, v) => kvs += intern(k); kvs += intern(v) }
+        kvs += 0L
+      }
+      val dense = new ArrayBuffer[Byte]()
+      packed(dense, 1, ids.toSeq)
+      packed(dense, 8, lats.toSeq)
+      packed(dense, 9, lons.toSeq)
+      packed(dense, 10, kvs.toSeq)
+      val group = new ArrayBuffer[Byte]()
+      lenDelim(group, 2, dense.toArray)
+      val st = new ArrayBuffer[Byte]()
+      strings.foreach(s => lenDelim(st, 1, s.getBytes("UTF-8")))
+      val block = new ArrayBuffer[Byte]()
+      lenDelim(block, 1, st.toArray)
+      lenDelim(block, 2, group.toArray)
+      varintField(block, 17, Granularity) // granularity
+      varintField(block, 19, 0L) // lat_offset
+      varintField(block, 20, 0L) // lon_offset
+      frame("OSMData", block.toArray, deflate = bi % 2 == 1)
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------- reader
+  private def inflate(z: Array[Byte], rawSize: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(z)
+    val out = new Array[Byte](rawSize)
+    var n = 0
+    while (n < rawSize && !inf.finished()) n += inf.inflate(out, n, rawSize - n)
+    inf.end()
+    require(n == rawSize, s"osmpbf: zlib blob inflated to $n bytes, raw_size said $rawSize")
+    out
+  }
+
+  /** Parse one complete .osm.pbf byte stream to its nodes. */
+  def parse(bytes: Array[Byte]): Seq[Node] = {
+    val nodes = new ArrayBuffer[Node]()
+    var off = 0
+    while (off < bytes.length) {
+      require(off + 4 <= bytes.length, "osmpbf: truncated frame length")
+      val hLen = ByteBuffer.wrap(bytes, off, 4).getInt
+      off += 4
+      // BlobHeader
+      val hw = new Walker(bytes, off, off + hLen)
+      var kind: String = null; var dataSize = -1L
+      while (hw.hasMore) {
+        val tag = hw.varint(); val f = (tag >> 3).toInt; val w = (tag & 7).toInt
+        (f, w) match {
+          case (1, 2) => kind = new String(hw.bytes(hw.varint().toInt), "UTF-8")
+          case (3, 0) => dataSize = hw.varint()
+          case _ => hw.skip(w)
+        }
+      }
+      require(kind != null && dataSize >= 0, "osmpbf: BlobHeader missing type/datasize")
+      off += hLen
+      // Blob
+      val bw = new Walker(bytes, off, off + dataSize.toInt)
+      var raw: Array[Byte] = null; var zlib: Array[Byte] = null; var rawSize = -1
+      while (bw.hasMore) {
+        val tag = bw.varint(); val f = (tag >> 3).toInt; val w = (tag & 7).toInt
+        (f, w) match {
+          case (1, 2) => raw = bw.bytes(bw.varint().toInt)
+          case (2, 0) => rawSize = bw.varint().toInt
+          case (3, 2) => zlib = bw.bytes(bw.varint().toInt)
+          case (f2, _) if f2 >= 4 && f2 <= 7 =>
+            throw new IllegalArgumentException(
+              s"osmpbf: blob uses compression field $f2 (lzma/bzip2/lz4/zstd) — only raw/zlib supported")
+          case _ => bw.skip(w)
+        }
+      }
+      off += dataSize.toInt
+      val body =
+        if (raw != null) raw
+        else if (zlib != null) { require(rawSize >= 0, "osmpbf: zlib blob without raw_size"); inflate(zlib, rawSize) }
+        else throw new IllegalArgumentException("osmpbf: blob carries neither raw nor zlib_data")
+      kind match {
+        case "OSMHeader" => checkHeader(body)
+        case "OSMData" => parseBlock(body, nodes)
+        case other => throw new IllegalArgumentException(s"osmpbf: unknown blob type '$other'")
+      }
+    }
+    nodes.toSeq
+  }
+
+  /** Per spec a reader MUST refuse a file whose required_features it
+    * does not implement.
+    */
+  private val Supported = Set("OsmSchema-V0.6", "DenseNodes")
+  private def checkHeader(body: Array[Byte]): Unit = {
+    val w = new Walker(body, 0, body.length)
+    while (w.hasMore) {
+      val tag = w.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+      if (f == 4 && wt == 2) {
+        val feat = new String(w.bytes(w.varint().toInt), "UTF-8")
+        require(Supported(feat),
+          s"osmpbf: file requires unsupported feature '$feat' — refusing (spec mandate)")
+      } else w.skip(wt)
+    }
+  }
+
+  private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node]): Unit = {
+    val w = new Walker(body, 0, body.length)
+    val strings = new ArrayBuffer[String]()
+    val groups = new ArrayBuffer[Array[Byte]]()
+    var granularity = 100L; var latOff = 0L; var lonOff = 0L
+    while (w.hasMore) {
+      val tag = w.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 2) => // stringtable: repeated field-1 len-delimited entries
+          val stLen = w.varint().toInt // read length FIRST — it advances off
+          val stEnd = w.off + stLen
+          while (w.off < stEnd) {
+            val t2 = w.varint()
+            require((t2 >> 3).toInt == 1 && (t2 & 7) == 2, "osmpbf: stringtable shape")
+            strings += new String(w.bytes(w.varint().toInt), "UTF-8")
+          }
+        case (2, 2) => groups += w.bytes(w.varint().toInt)
+        case (17, 0) => granularity = w.varint()
+        case (18, 0) => w.varint() // date_granularity — unused
+        case (19, 0) => latOff = w.varint()
+        case (20, 0) => lonOff = w.varint()
+        case _ => w.skip(wt)
+      }
+    }
+    groups.foreach { g =>
+      val gw = new Walker(g, 0, g.length)
+      while (gw.hasMore) {
+        val tag = gw.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+        (f, wt) match {
+          case (2, 2) =>
+            parseDense(gw.bytes(gw.varint().toInt), strings.toSeq, granularity, latOff, lonOff, out)
+          case (3, 2) | (4, 2) =>
+            throw new IllegalArgumentException(
+              "osmpbf: file contains ways/relations — outside this reader's DenseNodes subset")
+          case _ => gw.skip(wt)
+        }
+      }
+    }
+  }
+
+  private def parseDense(d: Array[Byte], strings: Seq[String],
+      granularity: Long, latOff: Long, lonOff: Long, out: ArrayBuffer[Node]): Unit = {
+    val ids = new ArrayBuffer[Long](); val lats = new ArrayBuffer[Long]()
+    val lons = new ArrayBuffer[Long](); val kvs = new ArrayBuffer[Long]()
+    val w = new Walker(d, 0, d.length)
+    def readPacked(into: ArrayBuffer[Long], zz: Boolean): Unit = {
+      val len = w.varint().toInt // read length FIRST — it advances off
+      val end = w.off + len
+      while (w.off < end) {
+        val v = w.varint()
+        into += (if (zz) unzigzag(v) else v)
+      }
+    }
+    while (w.hasMore) {
+      val tag = w.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 2) => readPacked(ids, zz = true)
+        case (8, 2) => readPacked(lats, zz = true)
+        case (9, 2) => readPacked(lons, zz = true)
+        case (10, 2) => readPacked(kvs, zz = false)
+        case _ => w.skip(wt)
+      }
+    }
+    require(ids.length == lats.length && ids.length == lons.length,
+      s"osmpbf: dense arrays disagree (${ids.length}/${lats.length}/${lons.length})")
+    var id = 0L; var la = 0L; var lo = 0L; var ki = 0
+    var i = 0
+    while (i < ids.length) {
+      id += ids(i); la += lats(i); lo += lons(i)
+      var tags = Map.empty[String, String]
+      if (kvs.nonEmpty) {
+        while (ki < kvs.length && kvs(ki) != 0L) {
+          require(ki + 1 < kvs.length, "osmpbf: dangling key index in keys_vals")
+          tags += strings(kvs(ki).toInt) -> strings(kvs(ki + 1).toInt)
+          ki += 2
+        }
+        ki += 1 // the 0 terminator
+      }
+      out += Node(id, lonOff + granularity * lo, latOff + granularity * la, tags)
+      i += 1
+    }
+  }
+
+  /** Distributed scan: one task per .osm.pbf file (binaryFile source),
+    * emitting (feature_id, lon_nano, lat_nano, tags).
+    */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"content")
+      .as[Array[Byte]]
+      .flatMap(parse _)
+      .toDF()
+  }
+}

