@@ -531,6 +531,21 @@ object Plans {
     "a11am_polar_stereo" -> ("Polar stereo reprojection: per-row "
       + "closed-form math behind a scalar UDF pair — map-side only; the "
       + "single exchange is the presentation sort."),
+    "a11au_albers" -> ("Albers equal-area reprojection: per-row "
+      + "closed-form authalic-q chain behind a scalar UDF pair — "
+      + "map-side only; the single exchange is the presentation sort."),
+    "a11av_buffer_geodesic" -> ("Geodesic buffer: 16 fixed-4-iteration "
+      + "Vincenty direct solutions + 16 inverse cross-checks per row, "
+      + "all inside one scalar UDF — map-side only; the single exchange "
+      + "is the presentation sort."),
+    "a1i_geoparquet_scan" -> ("GeoParquet scan: distributed parquet "
+      + "read of the stamped layer (footer validation touches only "
+      + "footers), bbox UDF map-side, presentation sort — the second "
+      + "A1 path with no driver collect and no row cap."),
+    "a1j_osm_scan" -> ("OSM PBF scan: one task per file through "
+      + "binaryFile, the blob/varint walk is a streaming per-task pass, "
+      + "integer nanodegree outputs — the only exchange is the "
+      + "presentation sort."),
     "c4_stupid_backoff" -> ("Stupid Backoff held-out scorer: three " +
       "partial-agged count rollups (unigram cached and reused for both " +
       "probe sides, bigram, 1-row broadcast total), held-out adjacency " +

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-soak runner (VERDICT r13 directive #1): times named registry
+  * queries against a [[ScaleGen]]-materialized directory (sf1/sf5) so the
+  * families engineered for 100 TB show a MEASURED scaling curve, not just
+  * plan pins. One JSON line per query (seconds + output rows), min-of-1 —
+  * soak runs are long enough that JIT noise is amortized; run twice and
+  * compare if a number looks off.
+  *
+  * Usage: `runMain graft.ScaleBench <sfDir> <query> [query...]`
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleBench <sfDir> <query> [query...]")
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the Bench.scala warmers minus the fixture writers (whose driver-side
+    // collect caps are deliberately too small for soak-scale events)
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      (1 to 512).map(i => s"doc $i  has   text").toDF("text")
+        .select(md5(array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")))
+        .count()
+    } catch { case e: Throwable => System.err.println(s"[scalebench] warmup: ${e.getMessage}") }
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val res =
+        try Right(SparkEntry.queries(name)(spark, sfDir).count())
+        catch { case e: Throwable => Left(e) }
+      finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      res match {
+        case Right(n) =>
+          println(f"""{"query":"$name","sec":$sec%.2f,"rows":$n,"sf_dir":"$sfDir"}""")
+        case Left(e) =>
+          println(f"""{"query":"$name","sec":-1.0,"err":"${e.getMessage.take(120).replace("\"", "'")}","sf_dir":"$sfDir"}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming state-bound soak (VERDICT r13 directive #7): StreamBench
+  * quotes rows/s at fixture scale; this main runs a stateful pipeline
+  * over ≥10× that volume ([[graft.ScaleGen]] events, default 1M rows —
+  * 10× the sf0.1 fixture) and records what the watermark/state-bound
+  * claims (B30/B31) actually do under load: per-batch latency and the
+  * state store's row/memory footprint across the run.
+  *
+  * Mechanics: events land as `slices` ts-RANGE files with increasing
+  * mtimes, so the file stream's batches advance event time the way a
+  * live topic would — the watermark moves every batch, closed sessions
+  * emit, and their state evicts. The numbers that matter:
+  *
+  *   - `state_rows_max` must sit near the ACTIVE-user count (open
+  *     sessions), orders of magnitude under total rows — the eviction
+  *     proof. A state store that grows with history would show
+  *     state_rows ≈ rows_seen instead.
+  *   - per-batch latency must stay flat across batches — a latency
+  *     ramp means per-batch work proportional to accumulated state.
+  *
+  * Usage: `runMain graft.streaming.StreamSoak [nEvents] [slices]`;
+  * prints per-batch lines + ONE JSON summary for BENCH_NOTES.
+  */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val slices = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stream-soak")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- land n events as ts-range slices with increasing mtimes ----
+    val srcDir = Files.createTempDirectory("graft_soak_src").toString
+    val ev = graft.ScaleGen.events(spark, n)
+      .select($"user_id", $"ts".as("event_ts")).cache()
+    val t0us = 1704067200000000L
+    val spanUs = 2592000000000L
+    val mt0 = System.currentTimeMillis() - 3600000L
+    (0 until slices).foreach { i =>
+      val lo = t0us + spanUs * i / slices
+      val hi = t0us + spanUs * (i + 1) / slices
+      val stage = Files.createTempDirectory("graft_soak_stage").toString
+      ev.filter(unix_micros($"event_ts") >= lo && unix_micros($"event_ts") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new File(srcDir, f"slice$i%03d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(mt0 + i * 30000L))
+    }
+    val total = ev.count()
+    ev.unpersist()
+
+    // ---- sessionize the stream to completion, one slice per batch ----
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val out = FeaturePipeline.sessionizeStream(stream,
+      gap = "30 minutes", watermark = "10 minutes")
+    var sink = 0L
+    val wall0 = System.nanoTime()
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("graft_soak_ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => sink += b.count(); () }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+
+    // ---- per-batch latency + state footprint from the progress log ----
+    val progs = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    case class B(batch: Long, rows: Long, ms: Long, stateRows: Long, stateMem: Long)
+    val bs = progs.map { p =>
+      val st = p.stateOperators.headOption
+      B(p.batchId, p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
+        st.map(_.numRowsTotal).getOrElse(-1L),
+        st.map(_.memoryUsedBytes).getOrElse(-1L))
+    }
+    bs.foreach { b =>
+      System.err.println(f"[soak] batch ${b.batch}%3d  ${b.rows}%8d rows  " +
+        f"${b.ms}%6d ms  state ${b.stateRows}%8d rows / ${b.stateMem / 1024}%8d KiB")
+    }
+    val latencies = bs.map(_.ms).filter(_ >= 0)
+    val stateRowsMax = bs.map(_.stateRows).max
+    val stateMemMax = bs.map(_.stateMem).max
+    println(
+      s"""{"metric":"stream_soak_sessionize","rows":$total,"sink_rows":$sink,""" +
+      f""""wall_sec":$wallSec%.1f,"rows_per_sec":${total / wallSec}%.0f,""" +
+      s""""n_batches":${bs.length},""" +
+      s""""batch_ms_max":${if (latencies.nonEmpty) latencies.max else -1},""" +
+      s""""batch_ms_mean":${if (latencies.nonEmpty) latencies.sum / latencies.length else -1},""" +
+      s""""state_rows_max":$stateRowsMax,"state_mem_max_bytes":$stateMemMax}""")
+    spark.stop()
+  }
+}
