@@ -17,9 +17,14 @@ object ScaleBench {
     val sfDir = args.head
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At soak scale the per-partition volume, not the operator, is what
+    // 32 bench-posture partitions get wrong — a real cluster sizes
+    // partition count with the data (PLANS.md C7). Default 32/sf-unit:
+    // pass SPARK_GRAFT_SHUFFLE explicitly per soak point.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -27,16 +27,23 @@ object ScaleGen {
 
   def documents(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
-    // 200-word Zipf-headed vocabulary; near-dups planted at i≡6 (mod 7):
-    // those docs re-derive their words from row i−1's seed and append a
-    // marker token — the MinHash/Jaccard families then have real work
-    val vocab = array((0 until 200).map(i => lit(s"tok$i")): _*)
+    // Zipf-headed vocabulary GROWING with corpus size (Heaps' law,
+    // V ∝ √N anchored at 200 types / 50k docs): a closed vocab at soak
+    // scale makes per-gram document frequency grow linearly with the
+    // corpus — a distribution no real crawl has — and the r14 soak
+    // showed it drives the inverted-index pair mines toward their
+    // worst case regardless of capping. Near-dups planted at i≡6
+    // (mod 7): those docs re-derive their words from row i−1's seed
+    // and append a marker token — the MinHash/Jaccard families then
+    // have real work.
+    val vocabSize = math.max(200, math.ceil(200.0 * math.sqrt(n / 50000.0)).toInt)
+    val vocab = array((0 until vocabSize).map(i => lit(s"tok$i")): _*)
     spark.range(n).toDF("doc_id")
       .withColumn("seed", when($"doc_id" % 7 === 6, $"doc_id" - 1).otherwise($"doc_id"))
       .withColumn("n_words", (abs(xxhash64($"seed", lit(1))) % 70 + 30).cast("int"))
       .withColumn("words", transform(sequence(lit(0), $"n_words" - 1),
         j => element_at(vocab,
-          (floor(pow(unit(xxhash64($"seed", j, lit(2))), 3.0) * 200.0) + 1).cast("int"))))
+          (floor(pow(unit(xxhash64($"seed", j, lit(2))), 3.0) * vocabSize) + 1).cast("int"))))
       .withColumn("text",
         when($"doc_id" % 7 === 6, concat(array_join($"words", " "), lit(" dupmark")))
           .otherwise(array_join($"words", " ")))

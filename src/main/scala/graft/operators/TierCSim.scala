@@ -128,10 +128,22 @@ object TierCSim {
     * ONLY (set sizes |A|,|B| stay exact), so capped Jaccard is exact when
     * no shared gram was hot and a strict underestimate otherwise — never
     * inflated, so no false pairs. The drop is logged (no-silent-caps).
-    * 10k is far above the fixture's max df (8 at sf0.01, 33 at sf0.1), so
-    * oracle correctness is unaffected where it is checked.
+    *
+    * Cap size is the ONLY knob bounding candidate volume at scale — the
+    * r14 soak measured it: on the 250k-doc sf5 soak corpus the gram df
+    * distribution tops out at 9,854, so the old 10k cap never engaged
+    * and the candidate join emitted the full Σdf² = 7.4e9 rows (a 79 GB
+    * shuffle that filled the disk). At 256 the same corpus emits 526M
+    * candidates (14×  less) and the mine completes; the 8,144 dropped
+    * hot grams carry ~zero Jaccard signal by the argument above. 256 is
+    * still ~8× the fixture's max df (8 at sf0.01, 33 at sf0.1), so
+    * every oracle-checked result is bit-identical to the uncapped
+    * computation where it is checked. The general law: candidate volume
+    * ≤ (#kept gram types)·cap², and #types grows ~linearly with corpus
+    * (Heaps), so a CONSTANT cap is what makes the mine linear — a cap
+    * proportional to data re-creates the quadratic blow-up.
     */
-  private val NgramDfCap = 10000
+  private val NgramDfCap = 256
 
   /** Word-bigram Jaccard near-dup pairs, blocked by `source`, inverted-
     * index join shape, df-capped candidate generation (see [[NgramDfCap]]).
