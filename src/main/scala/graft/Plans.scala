@@ -531,6 +531,9 @@ object Plans {
     "a11am_polar_stereo" -> ("Polar stereo reprojection: per-row "
       + "closed-form math behind a scalar UDF pair — map-side only; the "
       + "single exchange is the presentation sort."),
+    "a11aw_laea" -> ("LAEA reprojection: per-row closed-form "
+      + "oblique-aspect authalic chain behind a scalar UDF pair — "
+      + "map-side only; the single exchange is the presentation sort."),
     "a11au_albers" -> ("Albers equal-area reprojection: per-row "
       + "closed-form authalic-q chain behind a scalar UDF pair — "
       + "map-side only; the single exchange is the presentation sort."),

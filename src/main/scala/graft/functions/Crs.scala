@@ -394,6 +394,92 @@ object Crs {
       (e, n, bigC, aAxis, rho0, lon0Deg, falseE, falseN)
   }
 
+  // ------------------------------------- Lambert azimuthal equal-area
+  /** Lambert azimuthal equal-area, oblique aspect, on ellipsoid (Snyder
+    * PP 1395 pp. 187-190 / EPSG method 9820) — the projection of the
+    * European statistical grid (EPSG:3035, the INSPIRE/EEA standard):
+    * equal-area like [[AlbersEqArea]] (same authalic q machinery) but
+    * azimuthal, so one center instead of two standard parallels. Derived
+    * constants (e, qp, β0 sines, Rq, D) exposed for oracle replay; the
+    * forward chain is asin/sqrt/sin/cos only — baseline SQL math.
+    */
+  final class Laea(
+      val srid: Int,
+      a: Double, invF: Double,
+      val phi0Deg: Double, val lon0Deg: Double,
+      val falseE: Double, val falseN: Double) {
+
+    private val f = 1.0 / invF
+    /** First eccentricity. */
+    val e: Double = math.sqrt(2.0 * f - f * f)
+    private val e2 = e * e
+    val aAxis: Double = SemiMajorCheck(a)
+
+    private def rad(d: Double): Double = d * math.Pi / 180.0
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+
+    /** q at the pole. */
+    val qp: Double = qOf(math.Pi / 2.0)
+    /** Authalic sphere radius Rq = a·√(qp/2). */
+    val rq: Double = aAxis * math.sqrt(qp / 2.0)
+    private val beta0 = math.asin(qOf(rad(phi0Deg)) / qp)
+    val sinB0: Double = math.sin(beta0)
+    val cosB0: Double = math.cos(beta0)
+    /** D = a·m0/(Rq·cosβ0) — the aspect-ratio correction. */
+    val dD: Double = {
+      val s0 = math.sin(rad(phi0Deg))
+      val m0 = math.cos(rad(phi0Deg)) / math.sqrt(1.0 - e2 * s0 * s0)
+      aAxis * m0 / (rq * cosB0)
+    }
+
+    /** lon/lat degrees → (easting, northing) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = rad(lonDeg - lon0Deg)
+      val beta = math.asin(qOf(rad(latDeg)) / qp)
+      val sb = math.sin(beta); val cb = math.cos(beta)
+      val cl = math.cos(lam); val sl = math.sin(lam)
+      val bBig = rq * math.sqrt(2.0 / (1.0 + sinB0 * sb + cosB0 * (cb * cl)))
+      (falseE + bBig * dD * (cb * sl),
+        falseN + bBig / dD * (cosB0 * sb - sinB0 * (cb * cl)))
+    }
+
+    /** Fixed iterations for the authalic→geodetic inverse (the
+      * [[AlbersEqArea.InvIters]] Newton contraction argument).
+      */
+    val InvIters = 8
+
+    /** (easting, northing) meters → lon/lat degrees. */
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val x = east - falseE
+      val y = north - falseN
+      val rho = math.sqrt((x / dD) * (x / dD) + (dD * y) * (dD * y))
+      if (rho == 0.0) return (lon0Deg, phi0Deg)
+      val ce = 2.0 * math.asin(rho / (2.0 * rq))
+      val q = qp * (math.cos(ce) * sinB0 + dD * y * math.sin(ce) * cosB0 / rho)
+      val lam = math.atan2(x * math.sin(ce),
+        dD * rho * cosB0 * math.cos(ce) - dD * dD * y * sinB0 * math.sin(ce))
+      var phi = math.asin(q / 2.0)
+      var i = 0
+      while (i < InvIters) {
+        val s = math.sin(phi)
+        val d = 1.0 - e2 * s * s
+        phi += (d * d / (2.0 * math.cos(phi))) *
+          (q / (1.0 - e2) - s / d +
+            (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      (lon0Deg + lam * 180.0 / math.Pi, phi * 180.0 / math.Pi)
+    }
+
+    /** Oracle-replay constants: (e, qp, Rq, sinβ0, cosβ0, D, lon0°, FE, FN). */
+    def replayConstants: (Double, Double, Double, Double, Double, Double, Double, Double, Double) =
+      (e, qp, rq, sinB0, cosB0, dD, lon0Deg, falseE, falseN)
+  }
+
   // ------------------------------------------------- spherical sinusoidal
   /** Spherical sinusoidal (Snyder PP 1395 p. 247) — the equal-area grid
     * MODIS-style EO tile products live on. Pure closed-form arithmetic
@@ -459,6 +545,14 @@ object Crs {
   val albers: Map[Int, AlbersEqArea] =
     Seq(ConusAlbers).map(p => p.srid -> p).toMap
 
+  /** EPSG:3035 — ETRS89-extended / LAEA Europe (φ0 52°, λ0 10°,
+    * FE 4321000, FN 3210000): the INSPIRE/EEA statistical-grid CRS.
+    */
+  val EuropeLaea: Laea =
+    new Laea(3035, SemiMajor, Grs80InvF, 52.0, 10.0, 4321000.0, 3210000.0)
+  val laea: Map[Int, Laea] =
+    Seq(EuropeLaea).map(p => p.srid -> p).toMap
+
   /** ESRI:53008 — Sphere Sinusoidal (authalic R 6371000 m, lon0 0°), the
     * published spherical-sinusoidal grid code (the MODIS land grid is the
     * same projection on R 6371007.181 m — swap the radius to match a
@@ -474,11 +568,13 @@ object Crs {
       .orElse(tm.get(srid).map(p => p.forward _))
       .orElse(stereo.get(srid).map(p => p.forward _))
       .orElse(albers.get(srid).map(p => p.forward _))
+      .orElse(laea.get(srid).map(p => p.forward _))
       .orElse(sinusoidal.get(srid).map(p => p.forward _))
   def inverseOf(srid: Int): Option[(Double, Double) => (Double, Double)] =
     lcc.get(srid).map(p => p.inverse _)
       .orElse(tm.get(srid).map(p => p.inverse _))
       .orElse(stereo.get(srid).map(p => p.inverse _))
       .orElse(albers.get(srid).map(p => p.inverse _))
+      .orElse(laea.get(srid).map(p => p.inverse _))
       .orElse(sinusoidal.get(srid).map(p => p.inverse _))
 }

@@ -1885,6 +1885,73 @@ object Spatial {
     )
   }
 
+  // --------------------------------------------------------------- A11aw
+  /** LAEA reprojection (EPSG:4326 ↔ 3035 Europe LAEA,
+    * [[graft.functions.Crs.EuropeLaea]]) — the azimuthal member of the
+    * equal-area pair ([[a11au]] is the conic one): the European
+    * statistical grid every INSPIRE/EEA dataset ships in. The oracle
+    * replays the oblique-aspect forward chain (authalic q → β →
+    * B/D scaling) op-for-op from the engine's derived constants
+    * ([[graft.functions.Crs.Laea.replayConstants]]); E/N quantize at
+    * meter grain and the fixed-8-iteration Newton inverse roundtrips
+    * ENGINE-side to 1e-9°. Map-side only — same posture as
+    * a11aj/a11au/a11am.
+    */
+  private val a11aw: QuerySpec = {
+    val (ecc, qp, rq, sb0, cb0, dD, lon0, fe, fn) =
+      graft.functions.Crs.EuropeLaea.replayConstants
+    val e2 = ecc * ecc
+    val sql =
+      s"""WITH c AS (SELECT event_id,
+              -10.0 + (value % 40.0) AS lon,
+              35.2 + (value % 24.5) AS lat
+            FROM events),
+          p AS (SELECT event_id,
+              lat * pi() / 180.0 AS phi,
+              (lon - $lon0) * pi() / 180.0 AS lam
+            FROM c),
+          s1 AS (SELECT event_id, lam, sin(phi) AS sphi FROM p),
+          s2 AS (SELECT event_id, lam,
+              asin(((1.0 - $e2) * (sphi / (1.0 - $e2 * sphi * sphi)
+                - (1.0 / (2.0 * $ecc))
+                  * ln((1.0 - $ecc * sphi) / (1.0 + $ecc * sphi)))) / $qp) AS beta
+            FROM s1),
+          s3 AS (SELECT event_id,
+              sin(beta) AS sb, cos(beta) AS cb,
+              cos(lam) AS cl, sin(lam) AS sl
+            FROM s2),
+          s4 AS (SELECT event_id, sb, cb, cl, sl,
+              $rq * sqrt(2.0 / (1.0 + $sb0 * sb + $cb0 * (cb * cl))) AS bb
+            FROM s3)
+          SELECT event_id,
+            CAST(3035 AS BIGINT) AS srid_laea,
+            CAST(floor($fe + bb * $dD * (cb * sl)) AS BIGINT) AS e_m,
+            CAST(floor($fn + bb / $dD * ($cb0 * sb - $sb0 * (cb * cl))) AS BIGINT) AS n_m,
+            TRUE AS roundtrip_ok
+          FROM s4 ORDER BY event_id"""
+    QuerySpec(
+      "a11aw_laea",
+      "Europe LAEA (EPSG:3035) equal-area reprojection roundtrip via the CRS registry: per-row 4326 point EWKB -> 3035 easting/northing -> back; E/N at meter quantization against an oracle replaying the oblique-aspect authalic chain from the engine's derived constants; fixed-8-iteration Newton inverse checked engine-side to 1e-9 degrees.",
+      Some(sql),
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            (lit(-10.0) + ($"value" % 40.0)).as("lon"),
+            (lit(35.2) + ($"value" % 24.5)).as("lat"))
+          .withColumn("g", reprojectUdf(sridPointUdf($"lon", $"lat", lit(4326)), lit(3035)))
+          .withColumn("back", reprojectUdf($"g", lit(4326)))
+          .select($"event_id",
+            sridUdf($"g").cast(LongType).as("srid_laea"),
+            floor(bboxUdf($"g").getField("xmin")).cast(LongType).as("e_m"),
+            floor(bboxUdf($"g").getField("ymin")).cast(LongType).as("n_m"),
+            (abs(bboxUdf($"back").getField("xmin") - $"lon") < 1e-9 &&
+              abs(bboxUdf($"back").getField("ymin") - $"lat") < 1e-9).as("roundtrip_ok"))
+          .orderBy($"event_id")
+      }
+    )
+  }
+
   // --------------------------------------------------------------- A11av
   /** Meter-true geodesic buffer ([[Wkb.bufferGeodesicPoint]], VERDICT
     * r13 directive #8): [[a11ak]] buffers in planar DEGREES — fine on a
@@ -2432,5 +2499,5 @@ object Spatial {
   val specs: Seq[QuerySpec] =
     Seq(a11d, a11f, a11j, a11m, a11ab, a11n, a11o, a11q, a11r, a11s, a11t, a11u, a11v, a11w, a11yy,
       a11ad, a11ae, a11af, a11ag, a11ah, a11ai, a11aj, a11ak, a11am, a11an, a11ao, a11ap, a11aq,
-      a11ar, a11as, a11at, a11au, a11av)
+      a11ar, a11as, a11at, a11au, a11av, a11aw)
 }

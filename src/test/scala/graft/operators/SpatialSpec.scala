@@ -259,6 +259,50 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(bb.xmin - -104.99) < 1e-9 && math.abs(bb.ymin - 39.74) < 1e-9)
   }
 
+  test("Crs registry LAEA (3035): origin anchor, equal-area Jacobian, roundtrip, EWKB") {
+    import graft.functions.Crs
+    val p = Crs.EuropeLaea
+    // the projection center maps to (FE, FN): λ=0 ⇒ sl=0 and
+    // cosβ0·sinβ0 − sinβ0·cosβ0 = 0 exactly
+    val (e0, n0) = p.forward(p.lon0Deg, p.phi0Deg)
+    assert(math.abs(e0 - p.falseE) < 1e-6 && math.abs(n0 - p.falseN) < 1e-6, s"($e0, $n0)")
+    // equal-area Jacobian — same ellipsoid-area-element check as the
+    // Albers sibling, across the European window
+    val a = 6378137.0; val e2 = p.e * p.e
+    for ((lon, lat) <- Seq((-9.0, 38.7), (10.0, 52.0), (25.0, 60.1), (14.5, 41.0))) {
+      val h = 1e-5
+      val (x0, y0) = p.forward(lon, lat)
+      val (xl, yl) = p.forward(lon + h, lat)
+      val (xp, yp) = p.forward(lon, lat + h)
+      val hr = h * math.Pi / 180.0
+      val jac = ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (hr * hr)
+      val s = math.sin(lat * math.Pi / 180.0)
+      val w2 = 1.0 - e2 * s * s
+      val areaEl = (a * (1.0 - e2) / (w2 * math.sqrt(w2))) * (a / math.sqrt(w2)) *
+        math.cos(lat * math.Pi / 180.0)
+      assert(math.abs(jac - areaEl) / areaEl < 1e-4,
+        s"area distortion at ($lon, $lat): jac=$jac vs $areaEl")
+    }
+    // fixed-8-iteration Newton inverse: < 1e-9° across the grid window
+    for (dLon <- Seq(-18.0, -6.0, 0.0, 8.0, 20.0); dLat <- Seq(-16.0, -5.0, 0.0, 6.0, 12.0)) {
+      val (lon, lat) = (p.lon0Deg + dLon, p.phi0Deg + dLat)
+      val (e, n) = p.forward(lon, lat)
+      val (lo, la) = p.inverse(e, n)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"roundtrip drift at ($lon, $lat): (${lo - lon}, ${la - lat})")
+    }
+    // published-grid sanity: Paris lands inside the EEA reference grid
+    // envelope (E ~ 3.0-4.5 Mm, N ~ 2.5-3.5 Mm for western Europe)
+    val (pe, pn) = p.forward(2.35, 48.85)
+    assert(pe > 3000000 && pe < 4500000 && pn > 2500000 && pn < 3500000, s"($pe, $pn)")
+    // EWKB path carries SRID 3035 and roundtrips through bytes
+    val g = Wkb.setSrid(Wkb.point(2.35, 48.85), 4326)
+    val l = Wkb.reproject(g, 3035)
+    assert(Wkb.srid(l) == 3035)
+    val bb = Wkb.bbox(Wkb.reproject(l, 4326))
+    assert(math.abs(bb.xmin - 2.35) < 1e-9 && math.abs(bb.ymin - 48.85) < 1e-9)
+  }
+
   test("Crs registry TM (ETRS89 UTM): anchors, agreement with WGS84 UTM, roundtrip") {
     import graft.functions.Crs
     val z32 = Crs.tm(25832)
