@@ -1310,6 +1310,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("a11au_albers / a11aw_laea / a11av_buffer_geodesic: map-side, no join, one presentation sort") {
+    for (q <- Seq("a11au_albers", "a11aw_laea", "a11av_buffer_geodesic")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay map-side:\n" + p)
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        s"$q: the only exchange is the presentation sort:\n" + p)
+    }
+  }
+
+  test("a1i_geoparquet_scan / a1j_osm_scan: per-file scan, no join, one presentation sort") {
+    for (q <- Seq("a1i_geoparquet_scan", "a1j_osm_scan")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay a straight scan:\n" + p)
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        s"$q: the only exchange is the presentation sort:\n" + p)
+    }
+  }
+
   test("b120_format_roundtrip: each re-read scans only the 4 written columns") {
     val p = plan("b120_format_roundtrip")
     // three sources (csv/json/orc) — every ReadSchema line carries the
