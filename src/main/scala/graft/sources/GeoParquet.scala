@@ -65,9 +65,14 @@ object GeoParquet {
       case c => c.toString
     }
     val types = geomTypes.map(t => "\"" + esc(t) + "\"").mkString(",")
-    val bb = bbox.map(v => if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString)
-      .mkString(",")
-    s"""{"version":"$SpecVersion","primary_column":"${esc(primary)}","columns":{"${esc(primary)}":{"encoding":"WKB","geometry_types":[$types],"bbox":[$bb]}}}"""
+    // bbox is OPTIONAL per spec; a NaN box (empty file) must be omitted —
+    // bare NaN is not legal JSON and an absent box means "unknown extent"
+    val bbField =
+      if (bbox.exists(_.isNaN)) ""
+      else ",\"bbox\":[" + bbox.map(v =>
+        if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString)
+        .mkString(",") + "]"
+    s"""{"version":"$SpecVersion","primary_column":"${esc(primary)}","columns":{"${esc(primary)}":{"encoding":"WKB","geometry_types":[$types]$bbField}}}"""
   }
 
   /** Rewrite ONE parquet file with the `geo` entry added to its footer
@@ -103,29 +108,73 @@ object GeoParquet {
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
   }
 
-  /** Write `df` as GeoParquet: Spark parquet write, one distributed
-    * bbox aggregate over `geomCol`, then a one-task-per-file footer
-    * stamp. `geomCol` must be a WKB binary column.
+  /** Write `df` as GeoParquet: Spark parquet write, ONE distributed
+    * per-file bbox aggregate (group by `input_file_name`, partial-agged
+    * map-side — the geometry column is read back exactly once), then a
+    * one-task-per-file footer stamp carrying that file's OWN bbox. The
+    * per-file boxes are what make [[readBbox]]'s footer-level spatial
+    * pruning real; [[metaOf]] unions them back into the layer envelope.
+    * `geomCol` must be a WKB binary column.
     */
   def write(df: DataFrame, path: String, geomCol: String,
       geomTypes: Seq[String]): Unit = {
     val spark = df.sparkSession
     require(df.schema.fieldNames.contains(geomCol),
       s"geoparquet: no column '$geomCol' in ${df.schema.fieldNames.mkString(",")}")
+    df.write.mode("overwrite").parquet(path)
     val bboxOf = udf { (b: Array[Byte]) => val bb = Wkb.bbox(b); (bb.xmin, bb.ymin, bb.xmax, bb.ymax) }
-    val r = df.select(bboxOf(col(geomCol)).as("bb"))
+    val perFile = spark.read.parquet(path)
+      .select(input_file_name().as("f"), bboxOf(col(geomCol)).as("bb"))
+      .groupBy(col("f"))
       .agg(min(col("bb._1")).as("xmin"), min(col("bb._2")).as("ymin"),
         max(col("bb._3")).as("xmax"), max(col("bb._4")).as("ymax"))
-      .head()
-    val bbox = Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    df.write.mode("overwrite").parquet(path)
-    val geo = geoJson(geomCol, geomTypes, bbox)
+      .collect() // |part files| rows — driver-bounded by file count, not rows
+      .map(r => new Path(r.getString(0)).toUri.getPath ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap // keyed by normalized path (input_file_name yields a URI)
     val files = partFiles(spark, path).map(_.toString)
+    val geoOf = files.map { f =>
+      val bb = perFile.getOrElse(new Path(f).toUri.getPath,
+        Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)) // empty file
+      f -> geoJson(geomCol, geomTypes, bb)
+    }
     // fan out: one task per part file; each task opens its own
     // Configuration (Hadoop confs don't serialize) — defaults suffice for
     // any FS the path itself names
-    spark.sparkContext.parallelize(files, math.max(1, files.length))
-      .foreach { f => stampFile(new Configuration(), new Path(f), geo) }
+    spark.sparkContext.parallelize(geoOf, math.max(1, geoOf.length))
+      .foreach { case (f, geo) => stampFile(new Configuration(), new Path(f), geo) }
+  }
+
+  /** Footer-pruned spatial read: list part files, read ONLY their
+    * footers, drop every file whose stamped bbox is disjoint from the
+    * query window, and scan the survivors — file-level spatial partition
+    * pruning, the reason the spec carries per-file bboxes at all. At
+    * 100 TB with spatially-clustered layout (Hilbert/Morton sort before
+    * write — `a11p`'s key), a city-sized window touches a handful of
+    * files instead of the fleet. Returns the full frame when every file
+    * intersects. The exact per-ROW predicate still belongs downstream —
+    * this prunes FILES, it does not filter rows.
+    */
+  def readBbox(spark: SparkSession, path: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame = {
+    val meta = metaOf(spark, path) // validates the geo contract loudly
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keep = partFiles(spark, path).filter { f =>
+      val fmd = ParquetFileReader
+        .readFooter(HadoopInputFile.fromPath(f, conf), ParquetMetadataConverter.NO_FILTER)
+        .getFileMetaData
+      val bb = parseGeo(fmd.getKeyValueMetaData.get(GeoKey), f.toString).bbox
+      // NaN bbox (unstamped/empty) must NOT prune — unknown extent reads
+      !(bb(2) < xmin || bb(0) > xmax || bb(3) < ymin || bb(1) > ymax) ||
+        bb.exists(_.isNaN)
+    }
+    if (keep.isEmpty) spark.read.parquet(path).limit(0)
+    else {
+      val df = spark.read.parquet(keep.map(_.toString): _*)
+      require(df.schema.fieldNames.contains(meta.primaryColumn),
+        s"geoparquet: primary column '${meta.primaryColumn}' missing after prune")
+      df
+    }
   }
 
   /** Parse + validate the `geo` entry of every part file under `path`;
@@ -155,13 +204,16 @@ object GeoParquet {
         m.encoding == head.encoding,
         s"geoparquet: part files disagree on geo metadata ($head vs $m)")
     }
-    // layer bbox = union of per-file bboxes (each file stamps its own in
-    // the general case; [[write]] stamps the layer box in all files, and
-    // min/max folding is a no-op there)
-    val bb = metas.map(_.bbox).reduce { (a, b) =>
-      Seq(math.min(a(0), b(0)), math.min(a(1), b(1)),
-        math.max(a(2), b(2)), math.max(a(3), b(3)))
-    }
+    // layer bbox = union of per-file bboxes ([[write]] stamps each file's
+    // own box); NaN boxes (empty/unstamped files, unknown extent) are
+    // excluded from the union rather than poisoning it
+    val boxes = metas.map(_.bbox).filter(!_.exists(_.isNaN))
+    val bb =
+      if (boxes.isEmpty) Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      else boxes.reduce { (a, b) =>
+        Seq(math.min(a(0), b(0)), math.min(a(1), b(1)),
+          math.max(a(2), b(2)), math.max(a(3), b(3)))
+      }
     head.copy(bbox = bb)
   }
 

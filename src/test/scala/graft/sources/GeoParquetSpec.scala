@@ -78,6 +78,33 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("not in parquet schema"))
   }
 
+  test("readBbox: footer-level file pruning — disjoint files never scanned, empty window reads nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("geoparquet_spec4").toString + "/pruned"
+    // range-partition on x so the two part files are spatially disjoint:
+    // west file holds x ∈ {-50, -40}, east file x ∈ {40, 50}
+    val df = layer(Seq(
+      ("w1", Wkb.point(-50.0, 5.0), "a"), ("w2", Wkb.point(-40.0, -5.0), "b"),
+      ("e1", Wkb.point(40.0, 5.0), "c"), ("e2", Wkb.point(50.0, -5.0), "d")))
+      .withColumn("x", udf { (g: Array[Byte]) => Wkb.bbox(g).xmin }.apply($"geometry"))
+      .repartitionByRange(2, $"x").drop("x")
+    GeoParquet.write(df, dir, "geometry", Seq("Point"))
+    // window over the west half: only the west file's rows come back,
+    // and the OTHER file was pruned at the FOOTER (never scanned) —
+    // observable because the scanned file list is exactly the survivors
+    val west = GeoParquet.readBbox(spark, dir, -60.0, -10.0, -30.0, 10.0)
+    assert(west.select($"feature_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("w1", "w2"))
+    assert(west.inputFiles.length == 1, west.inputFiles.mkString(","))
+    // window over the gap between the files: zero files survive
+    assert(GeoParquet.readBbox(spark, dir, -10.0, -1.0, 10.0, 1.0).count() == 0)
+    // window spanning both: everything
+    assert(GeoParquet.readBbox(spark, dir, -100.0, -10.0, 100.0, 10.0).count() == 4)
+    // boundary touch counts as intersecting (<=, not <)
+    assert(GeoParquet.readBbox(spark, dir, -40.0, -10.0, -35.0, 10.0)
+      .select($"feature_id").collect().map(_.getString(0)).sorted.toSeq == Seq("w1", "w2"))
+  }
+
   test("multi-file layers: per-file bboxes union; disagreeing primaries rejected") {
     import spark.implicits._
     val dir = Files.createTempDirectory("geoparquet_spec3").toString + "/multi"
