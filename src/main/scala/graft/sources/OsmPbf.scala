@@ -191,6 +191,43 @@ object OsmPbf {
     out
   }
 
+  /** Parse a BlobHeader at [off, off+hLen): (type, datasize). */
+  private def parseBlobHeader(bytes: Array[Byte], off: Int, hLen: Int): (String, Long) = {
+    val hw = new Walker(bytes, off, off + hLen)
+    var kind: String = null; var dataSize = -1L
+    while (hw.hasMore) {
+      val tag = hw.varint(); val f = (tag >> 3).toInt; val w = (tag & 7).toInt
+      (f, w) match {
+        case (1, 2) => kind = new String(hw.bytes(hw.varint().toInt), "UTF-8")
+        case (3, 0) => dataSize = hw.varint()
+        case _ => hw.skip(w)
+      }
+    }
+    require(kind != null && dataSize >= 0, "osmpbf: BlobHeader missing type/datasize")
+    (kind, dataSize)
+  }
+
+  /** Decode one Blob message at [off, off+len): raw or inflated body. */
+  private def decodeBlob(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val bw = new Walker(bytes, off, off + len)
+    var raw: Array[Byte] = null; var zlib: Array[Byte] = null; var rawSize = -1
+    while (bw.hasMore) {
+      val tag = bw.varint(); val f = (tag >> 3).toInt; val w = (tag & 7).toInt
+      (f, w) match {
+        case (1, 2) => raw = bw.bytes(bw.varint().toInt)
+        case (2, 0) => rawSize = bw.varint().toInt
+        case (3, 2) => zlib = bw.bytes(bw.varint().toInt)
+        case (f2, _) if f2 >= 4 && f2 <= 7 =>
+          throw new IllegalArgumentException(
+            s"osmpbf: blob uses compression field $f2 (lzma/bzip2/lz4/zstd) — only raw/zlib supported")
+        case _ => bw.skip(w)
+      }
+    }
+    if (raw != null) raw
+    else if (zlib != null) { require(rawSize >= 0, "osmpbf: zlib blob without raw_size"); inflate(zlib, rawSize) }
+    else throw new IllegalArgumentException("osmpbf: blob carries neither raw nor zlib_data")
+  }
+
   /** Parse one complete .osm.pbf byte stream to its nodes. */
   def parse(bytes: Array[Byte]): Seq[Node] = {
     val nodes = new ArrayBuffer[Node]()
@@ -199,39 +236,10 @@ object OsmPbf {
       require(off + 4 <= bytes.length, "osmpbf: truncated frame length")
       val hLen = ByteBuffer.wrap(bytes, off, 4).getInt
       off += 4
-      // BlobHeader
-      val hw = new Walker(bytes, off, off + hLen)
-      var kind: String = null; var dataSize = -1L
-      while (hw.hasMore) {
-        val tag = hw.varint(); val f = (tag >> 3).toInt; val w = (tag & 7).toInt
-        (f, w) match {
-          case (1, 2) => kind = new String(hw.bytes(hw.varint().toInt), "UTF-8")
-          case (3, 0) => dataSize = hw.varint()
-          case _ => hw.skip(w)
-        }
-      }
-      require(kind != null && dataSize >= 0, "osmpbf: BlobHeader missing type/datasize")
+      val (kind, dataSize) = parseBlobHeader(bytes, off, hLen)
       off += hLen
-      // Blob
-      val bw = new Walker(bytes, off, off + dataSize.toInt)
-      var raw: Array[Byte] = null; var zlib: Array[Byte] = null; var rawSize = -1
-      while (bw.hasMore) {
-        val tag = bw.varint(); val f = (tag >> 3).toInt; val w = (tag & 7).toInt
-        (f, w) match {
-          case (1, 2) => raw = bw.bytes(bw.varint().toInt)
-          case (2, 0) => rawSize = bw.varint().toInt
-          case (3, 2) => zlib = bw.bytes(bw.varint().toInt)
-          case (f2, _) if f2 >= 4 && f2 <= 7 =>
-            throw new IllegalArgumentException(
-              s"osmpbf: blob uses compression field $f2 (lzma/bzip2/lz4/zstd) — only raw/zlib supported")
-          case _ => bw.skip(w)
-        }
-      }
+      val body = decodeBlob(bytes, off, dataSize.toInt)
       off += dataSize.toInt
-      val body =
-        if (raw != null) raw
-        else if (zlib != null) { require(rawSize >= 0, "osmpbf: zlib blob without raw_size"); inflate(zlib, rawSize) }
-        else throw new IllegalArgumentException("osmpbf: blob carries neither raw nor zlib_data")
       kind match {
         case "OSMHeader" => checkHeader(body)
         case "OSMData" => parseBlock(body, nodes)
@@ -341,7 +349,9 @@ object OsmPbf {
   }
 
   /** Distributed scan: one task per .osm.pbf file (binaryFile source),
-    * emitting (feature_id, lon_nano, lat_nano, tags).
+    * emitting (feature_id, lon_nano, lat_nano, tags). For a SINGLE huge
+    * file (the 70+ GB planet ships as one), use [[readSplit]] — the
+    * format is splittable at blob boundaries and this path isn't.
     */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
@@ -349,6 +359,82 @@ object OsmPbf {
       .select($"content")
       .as[Array[Byte]]
       .flatMap(parse _)
+      .toDF()
+  }
+
+  /** One OSMData blob's byte range inside a file. */
+  final case class BlobRef(path: String, offset: Long, length: Int)
+
+  /** Index a file's blob frames reading ONLY the 4-byte lengths and
+    * BlobHeaders (payloads are seeked over, never read) — O(#blobs)
+    * tiny reads regardless of file size. OSMHeader blobs are decoded
+    * and their required_features verified HERE, so a file this subset
+    * cannot honor is refused before any task runs (the spec mandate).
+    */
+  def indexBlobs(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path): Seq[BlobRef] = {
+    val fs = file.getFileSystem(conf)
+    val size = fs.getFileStatus(file).getLen
+    val in = fs.open(file)
+    try {
+      val refs = new ArrayBuffer[BlobRef]()
+      var off = 0L
+      while (off < size) {
+        require(off + 4 <= size, s"osmpbf: truncated frame length in $file")
+        in.seek(off)
+        val hLen = in.readInt()
+        val hdr = new Array[Byte](hLen)
+        in.readFully(hdr)
+        val (kind, dataSize) = parseBlobHeader(hdr, 0, hLen)
+        val dataOff = off + 4 + hLen
+        kind match {
+          case "OSMHeader" =>
+            val blob = new Array[Byte](dataSize.toInt)
+            in.readFully(blob)
+            checkHeader(decodeBlob(blob, 0, blob.length))
+          case "OSMData" =>
+            refs += BlobRef(file.toString, dataOff, dataSize.toInt)
+          case other =>
+            throw new IllegalArgumentException(s"osmpbf: unknown blob type '$other' in $file")
+        }
+        off = dataOff + dataSize
+      }
+      refs.toSeq
+    } finally in.close()
+  }
+
+  /** Blob-split distributed scan — ONE TASK PER OSMData BLOB, the shape
+    * that parallelizes a single planet-sized file: a header-only index
+    * pass (driver, O(#blobs) seeks), then each task range-reads and
+    * decodes exactly its blob. Correct because every PrimitiveBlock is
+    * self-contained by construction — its own string table, granularity/
+    * offsets, and delta chains that restart at the block boundary (the
+    * property [[write]] also maintains). Output is identical to [[read]]
+    * modulo row order.
+    */
+  def readSplit(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new org.apache.hadoop.fs.Path(pathGlob)
+    val statuses = glob.getFileSystem(conf).globStatus(glob)
+    require(statuses != null && statuses.nonEmpty, s"osmpbf: no files match $pathGlob")
+    val refs = statuses.toSeq.flatMap(st => indexBlobs(conf, st.getPath))
+    spark.createDataset(refs)
+      .repartition(math.min(refs.length,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val conf2 = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(ref.path)
+        val in = p.getFileSystem(conf2).open(p)
+        try {
+          in.seek(ref.offset)
+          val blob = new Array[Byte](ref.length)
+          in.readFully(blob)
+          val out = new ArrayBuffer[Node]()
+          parseBlock(decodeBlob(blob, 0, blob.length), out)
+          out.toSeq
+        } finally in.close()
+      }
       .toDF()
   }
 }

@@ -42,6 +42,35 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(got.toSeq == ns.sortBy(_.id))
   }
 
+  test("readSplit: one task per blob equals the whole-file read; header refusal happens at index time") {
+    import spark.implicits._
+    val ns = nodes(60)
+    val dir = Files.createTempDirectory("osmpbf_split")
+    // one file, 9 data blobs (raw and zlib interleaved) — the
+    // single-huge-file shape blob splitting exists for
+    Files.write(dir.resolve("planet.osm.pbf"), OsmPbf.write(ns, blobsOf = 7))
+    val whole = OsmPbf.read(spark, dir.toString + "/*.osm.pbf")
+      .collect().map(_.toString).sorted.toSeq
+    val split = OsmPbf.readSplit(spark, dir.toString + "/*.osm.pbf")
+      .collect().map(_.toString).sorted.toSeq
+    assert(split == whole && split.length == 60)
+    // the index pass reads headers only, and it is where an unsupported
+    // required feature gets refused — before any task runs
+    val conf = spark.sparkContext.hadoopConfiguration
+    val refs = OsmPbf.indexBlobs(conf,
+      new org.apache.hadoop.fs.Path(dir.resolve("planet.osm.pbf").toString))
+    assert(refs.length == 9, s"expected 9 OSMData blobs, got ${refs.length}")
+    val bad = OsmPbf.write(ns.take(4))
+    val idx = bad.indexOfSlice("DenseNodes".getBytes("UTF-8"))
+    bad(idx + 9) = 'z'.toByte
+    Files.write(dir.resolve("bad.osm.pbf"), bad)
+    val e = intercept[IllegalArgumentException] {
+      OsmPbf.indexBlobs(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve("bad.osm.pbf").toString))
+    }
+    assert(e.getMessage.contains("unsupported feature"))
+  }
+
   test("spec mandates are enforced loudly: unknown required feature, ways, unsupported compression") {
     val ns = nodes(4)
     val good = OsmPbf.write(ns)
