@@ -190,6 +190,77 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assertSame(s, b, "slide")
   }
 
+  /** Two-source arm runner for the stream-stream joins: each source gets
+    * its own fixture dir (data file + its sentinels, mtime-ordered), the
+    * stream arm joins the two file streams to completion, and the batch
+    * arm applies the SAME function to the two data files read as batch
+    * frames.
+    */
+  private def bothArms2(realA: DataFrame, sentA: Seq[DataFrame],
+      realB: DataFrame, sentB: Seq[DataFrame],
+      pipe: (DataFrame, DataFrame) => DataFrame, sinkName: String,
+      exclude: DataFrame => DataFrame): (Seq[Row], Seq[Row]) = {
+    val srcA = landFixture(realA, sentA)
+    val srcB = landFixture(realB, sentB)
+    val sA = spark.readStream.schema(realA.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcA)
+    val sB = spark.readStream.schema(realB.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcB)
+    val q = pipe(sA, sB).writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(sinkName)
+      .option("checkpointLocation", tmpDir("sbe_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(180000L) finally q.stop()
+    val streamRows = exclude(spark.table(sinkName)).collect().toSeq
+    val batchRows = exclude(pipe(
+      spark.read.schema(realA.schema).parquet(srcA + "/data.parquet"),
+      spark.read.schema(realB.schema).parquet(srcB + "/data.parquet"))).collect().toSeq
+    (streamRows, batchRows)
+  }
+
+  private def enrichInputs = {
+    val obs = events.select($"event_id", $"event_type".as("layer"),
+      $"event_ts".as("obs_ts"))
+    // context exists only for ~1/3 of the traffic: the outer join's
+    // null-padded arm then carries real weight in the compare
+    val ctx = events.filter($"user_id" % 3 === 0)
+      .select($"event_id".as("ctx_id"), $"event_type".as("ctx_layer"),
+        $"event_ts".as("ctx_ts"))
+    (obs, ctx)
+  }
+  private def enrichSentinels = {
+    val sentObs = SentinelUs.map(us =>
+      Seq((-1L, "__s", us)).toDF("event_id", "layer", "ts_us")
+        .select($"event_id", $"layer", timestamp_micros($"ts_us").as("obs_ts")))
+    val sentCtx = SentinelUs.map(us =>
+      Seq((-1L, "__t", us)).toDF("ctx_id", "ctx_layer", "ts_us")
+        .select($"ctx_id", $"ctx_layer", timestamp_micros($"ts_us").as("ctx_ts")))
+    (sentObs, sentCtx)
+  }
+
+  test("enrichStream (stream-stream interval join) == batch interval join (b8 analog)") {
+    val (obs, ctx) = enrichInputs
+    val (sentObs, sentCtx) = enrichSentinels
+    val (s, b) = bothArms2(obs, sentObs, ctx, sentCtx,
+      (o, c) => FeaturePipeline.enrichStream(o, c, lookbackSec = 600, watermark = "1 minute")
+        .select($"event_id", $"layer", $"obs_ts", $"ctx_id", $"ctx_ts"),
+      "sbe_enrich", df => df.filter($"layer" =!= "__s"))
+    assertSame(s, b, "enrich-inner")
+  }
+
+  test("enrichStreamOuter (left-outer stream-stream join) == batch left-outer join") {
+    val (obs, ctx) = enrichInputs
+    val (sentObs, sentCtx) = enrichSentinels
+    val (s, b) = bothArms2(obs, sentObs, ctx, sentCtx,
+      (o, c) => FeaturePipeline.enrichStreamOuter(o, c, lookbackSec = 600, watermark = "1 minute")
+        .select($"event_id", $"layer", $"obs_ts", $"ctx_id", $"ctx_ts"),
+      "sbe_enrich_outer", df => df.filter($"layer" =!= "__s"))
+    // the outer join's whole point: unmatched observations appear
+    // null-padded in BOTH arms identically
+    assert(b.exists(_.isNullAt(3)), "fixture must exercise the null-padded arm")
+    assertSame(s, b, "enrich-outer")
+  }
+
   test("stateless geofenceAlerts: stream rows == batch rows (a11w analog)") {
     val pointUdf = udf { (x: Double, y: Double) => graft.functions.Wkb.point(x, y) }
     val fences = Seq(
