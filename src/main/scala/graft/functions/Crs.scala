@@ -515,13 +515,19 @@ object Crs {
     Seq(Lambert93, CanadaLcc, EuropeLcc).map(p => p.srid -> p).toMap
 
   /** EPSG:25828-25838 — ETRS89 / UTM zones 28N-38N on GRS80 (the ellipsoid
-    * honored exactly; only the cm-level ETRS89↔WGS84 shift is identity).
+    * honored exactly; only the cm-level ETRS89↔WGS84 shift is identity) —
+    * plus the two national TM workhorses that are NOT UTM-parameterized:
+    * EPSG:3067 (ETRS89 / TM35FIN, the all-Finland single zone) and
+    * EPSG:2180 (ETRS89 / Poland CS92: k0 0.9993, FN −5300000).
     */
   val tm: Map[Int, TmSeries] =
-    (28 to 38).map { z =>
+    ((28 to 38).map { z =>
       (25800 + z) -> new TmSeries(25800 + z, SemiMajor, Grs80InvF, 0.9996,
         z * 6.0 - 183.0, 500000.0, 0.0)
-    }.toMap
+    } ++ Seq(
+      3067 -> new TmSeries(3067, SemiMajor, Grs80InvF, 0.9996, 27.0, 500000.0, 0.0),
+      2180 -> new TmSeries(2180, SemiMajor, Grs80InvF, 0.9993, 19.0, 500000.0, -5300000.0)
+    )).toMap
 
   /** EPSG:3413 — WGS84 / NSIDC Sea Ice Polar Stereographic North
     * (lat_ts 70°N, lon0 −45°); EPSG:3031 — WGS84 / Antarctic Polar
@@ -562,7 +568,86 @@ object Crs {
   val sinusoidal: Map[Int, Sinusoidal] =
     Seq(SphereSinusoidal).map(p => p.srid -> p).toMap
 
-  /** Registry lookup: lon/lat↔grid function pair for `srid`, if registered. */
+  // ------------------------------------- arbitrary-parameter registration
+  /** SRIDs in the shipped registry — custom registration may not shadow
+    * them (a silently-redefined national grid is the worst failure mode
+    * a CRS registry can have).
+    */
+  def builtinSrids: Set[Int] =
+    lcc.keySet ++ tm.keySet ++ stereo.keySet ++ albers.keySet ++
+      laea.keySet ++ sinusoidal.keySet
+
+  private type Proj = (Double, Double) => (Double, Double)
+  private val custom =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Proj, Proj)]()
+
+  private def register(srid: Int, fwd: Proj, inv: Proj): Unit = {
+    require(!builtinSrids.contains(srid),
+      s"CRS registry: EPSG:$srid is a shipped code — custom registration may not shadow it")
+    val prev = custom.putIfAbsent(srid, (fwd, inv))
+    require(prev == null,
+      s"CRS registry: EPSG:$srid already custom-registered — unregister first " +
+        "(two silently-different definitions of one code is the bug this guard exists for)")
+  }
+
+  /** Register an arbitrary-parameter transverse Mercator grid (any k0 /
+    * central meridian / false origin on the shared-a GRS80 or WGS84
+    * ellipsoid) under a custom SRID — the "my national grid isn't in the
+    * shipped list" escape hatch, same exact-replay machinery as the
+    * shipped codes. Returns the projection so callers can read its
+    * derived constants for oracle replay.
+    *
+    * JVM-LOCAL by design (all register* variants): the registry is a
+    * static map, so on a multi-executor cluster the registration must
+    * run in every executor JVM — package it in a static initializer of
+    * the job jar (the standard pattern for JVM-static registries; a
+    * broadcast would make the reproject expression's behavior depend on
+    * which broadcast it captured). In local mode — every test and bench
+    * here — driver and executors share one JVM.
+    */
+  def registerTm(srid: Int, k0: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double, invF: Double = Grs80InvF): TmSeries = {
+    val p = new TmSeries(srid, SemiMajor, invF, k0, lon0Deg, falseE, falseN)
+    register(srid, p.forward _, p.inverse _)
+    p
+  }
+
+  /** Register an arbitrary-parameter Lambert conformal conic 2-SP grid. */
+  def registerLcc(srid: Int, phi1Deg: Double, phi2Deg: Double,
+      phi0Deg: Double, lon0Deg: Double, falseE: Double, falseN: Double,
+      invF: Double = Grs80InvF): Lcc2Sp = {
+    val p = new Lcc2Sp(srid, SemiMajor, invF, phi1Deg, phi2Deg, phi0Deg,
+      lon0Deg, falseE, falseN)
+    register(srid, p.forward _, p.inverse _)
+    p
+  }
+
+  /** Register an arbitrary-parameter Albers equal-area conic grid. */
+  def registerAlbers(srid: Int, phi1Deg: Double, phi2Deg: Double,
+      phi0Deg: Double, lon0Deg: Double, falseE: Double, falseN: Double,
+      invF: Double = Grs80InvF): AlbersEqArea = {
+    val p = new AlbersEqArea(srid, SemiMajor, invF, phi1Deg, phi2Deg, phi0Deg,
+      lon0Deg, falseE, falseN)
+    register(srid, p.forward _, p.inverse _)
+    p
+  }
+
+  /** Register an arbitrary-parameter oblique LAEA grid. */
+  def registerLaea(srid: Int, phi0Deg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double, invF: Double = Grs80InvF): Laea = {
+    val p = new Laea(srid, SemiMajor, invF, phi0Deg, lon0Deg, falseE, falseN)
+    register(srid, p.forward _, p.inverse _)
+    p
+  }
+
+  /** Remove a custom registration (no-op if absent; shipped codes are
+    * untouchable by construction).
+    */
+  def unregister(srid: Int): Unit = custom.remove(srid)
+
+  /** Registry lookup: lon/lat↔grid function pair for `srid`, if registered
+    * (shipped codes first, then custom registrations).
+    */
   def forwardOf(srid: Int): Option[(Double, Double) => (Double, Double)] =
     lcc.get(srid).map(p => p.forward _)
       .orElse(tm.get(srid).map(p => p.forward _))
@@ -570,6 +655,7 @@ object Crs {
       .orElse(albers.get(srid).map(p => p.forward _))
       .orElse(laea.get(srid).map(p => p.forward _))
       .orElse(sinusoidal.get(srid).map(p => p.forward _))
+      .orElse(Option(custom.get(srid)).map(_._1))
   def inverseOf(srid: Int): Option[(Double, Double) => (Double, Double)] =
     lcc.get(srid).map(p => p.inverse _)
       .orElse(tm.get(srid).map(p => p.inverse _))
@@ -577,4 +663,5 @@ object Crs {
       .orElse(albers.get(srid).map(p => p.inverse _))
       .orElse(laea.get(srid).map(p => p.inverse _))
       .orElse(sinusoidal.get(srid).map(p => p.inverse _))
+      .orElse(Option(custom.get(srid)).map(_._2))
 }

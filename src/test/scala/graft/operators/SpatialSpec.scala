@@ -259,6 +259,47 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(bb.xmin - -104.99) < 1e-9 && math.abs(bb.ymin - 39.74) < 1e-9)
   }
 
+  test("Crs custom registration: arbitrary-parameter grids, shadowing rejected, EWKB dispatch") {
+    import graft.functions.Crs
+    try {
+      // TM35FIN and CS92 ship as built-ins now — pin their anchors
+      val fin = Crs.tm(3067)
+      val (fe, _) = fin.forward(27.0, 0.0)
+      assert(fe == 500000.0)
+      val (lo, la) = fin.inverse(fin.forward(25.5, 62.3)._1, fin.forward(25.5, 62.3)._2)
+      assert(math.abs(lo - 25.5) < 1e-9 && math.abs(la - 62.3) < 1e-9)
+      // custom LCC: a Texas-Central-like 2-SP grid under a private code
+      val tx = Crs.registerLcc(909101, 30.1166, 31.8833, 29.6666, -100.3333,
+        700000.0, 3000000.0)
+      val (e0, n0) = tx.forward(tx.lon0Deg, tx.phi0Deg)
+      assert(e0 == 700000.0 && n0 == 3000000.0)
+      // the registry dispatch (and therefore Wkb.reproject/EWKB) sees it
+      assert(Crs.forwardOf(909101).isDefined && Crs.inverseOf(909101).isDefined)
+      val g = Wkb.reproject(Wkb.setSrid(Wkb.point(-98.5, 30.3), 4326), 909101)
+      assert(Wkb.srid(g) == 909101)
+      val bb = Wkb.bbox(Wkb.reproject(g, 4326))
+      assert(math.abs(bb.xmin - -98.5) < 1e-9 && math.abs(bb.ymin - 30.3) < 1e-9)
+      // custom TM with a non-default k0, roundtrip
+      val t = Crs.registerTm(909102, 0.99987, 3.0, 200000.0, -100000.0)
+      val (e1, n1) = t.forward(4.2, 51.5)
+      val (lo2, la2) = t.inverse(e1, n1)
+      assert(math.abs(lo2 - 4.2) < 1e-9 && math.abs(la2 - 51.5) < 1e-9)
+      // shadowing a shipped code is rejected loudly; so is double-registering
+      intercept[IllegalArgumentException] {
+        Crs.registerTm(3067, 1.0, 27.0, 0.0, 0.0)
+      }
+      intercept[IllegalArgumentException] {
+        Crs.registerLcc(909101, 30.0, 32.0, 29.0, -100.0, 0.0, 0.0)
+      }
+      // unregister really removes the dispatch
+      Crs.unregister(909102)
+      assert(Crs.forwardOf(909102).isEmpty)
+      intercept[IllegalArgumentException] {
+        Wkb.reproject(Wkb.setSrid(Wkb.point(1, 2), 4326), 909102)
+      }
+    } finally { Crs.unregister(909101); Crs.unregister(909102) }
+  }
+
   test("Crs registry LAEA (3035): origin anchor, equal-area Jacobian, roundtrip, EWKB") {
     import graft.functions.Crs
     val p = Crs.EuropeLaea
