@@ -545,6 +545,10 @@ object Plans {
       + "read of the stamped layer (footer validation touches only "
       + "footers), bbox UDF map-side, presentation sort — the second "
       + "A1 path with no driver collect and no row cap."),
+    "a1k_geoparquet_bbox" -> ("Footer-pruned GeoParquet window scan: "
+      + "file pruning happens at footer level before the scan node "
+      + "exists, the row filter is pushed to the surviving parquet "
+      + "scans, one presentation sort."),
     "a1j_osm_scan" -> ("OSM PBF scan: one task per file through "
       + "binaryFile, the blob/varint walk is a streaming per-task pass, "
       + "integer nanodegree outputs — the only exchange is the "

@@ -495,6 +495,63 @@ object TierA {
     }
   )
 
+  // ----------------------------------------------- A1k (GeoParquet prune)
+  /** Footer-bbox pruned GeoParquet scan ([[graft.sources.GeoParquet
+    * .readBbox]]): the fixture is written RANGE-PARTITIONED on longitude
+    * so its part files carry disjoint footer bboxes, the read drops
+    * whole files by footer before any row is scanned, and the row-level
+    * window filter runs on the survivors. The oracle computes the same
+    * window over ALL events — a hash match therefore proves file-level
+    * pruning lost nothing (the pruning-correctness property, now under
+    * the driver's gate, not just the spec). At 100 TB with a
+    * Hilbert-sorted layout this is the path where a city-sized query
+    * touches a handful of files.
+    */
+  private val PruneWin = (-150.0, -80.0, -50.0, 80.0) // xmin, ymin, xmax, ymax
+  private[graft] def geoParquetRangedFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_geoparquet_ranged_" + Integer.toHexString(d.hashCode))
+    val ok = new java.io.File(dir, "_SUCCESS")
+    TierA.synchronized {
+      if (!ok.exists() || ok.lastModified < sourceMtime(d)) {
+        val env = Tables.events(s, d).select(
+          $"event_id".cast(StringType).as("feature_id"),
+          (($"value" % 300.0) - 150.0).as("lon"),
+          (($"value" % 160.0) - 80.0).as("lat"))
+          .withColumn("geometry", wkbPointUdf($"lon", $"lat"))
+          .repartitionByRange(8, $"lon")
+          .select($"feature_id", $"geometry")
+        graft.sources.GeoParquet.write(env, dir.getPath, "geometry", Seq("Point"))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1k = QuerySpec(
+    "a1k_geoparquet_bbox",
+    "Footer-pruned GeoParquet window scan: lon-range-partitioned layer read through readBbox (files dropped by footer bbox before any scan) + the exact row filter; hash-matching the oracle's full-table window proves the file pruning lost nothing.",
+    Some(s"""SELECT CAST(event_id AS VARCHAR) AS feature_id,
+            (value % 300.0) - 150.0 AS x, (value % 160.0) - 80.0 AS y
+            FROM events
+            WHERE (value % 300.0) - 150.0 >= ${PruneWin._1}
+              AND (value % 300.0) - 150.0 <= ${PruneWin._3}
+              AND (value % 160.0) - 80.0 >= ${PruneWin._2}
+              AND (value % 160.0) - 80.0 <= ${PruneWin._4}
+            ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = geoParquetRangedFixture(s, d)
+      graft.sources.GeoParquet
+        .readBbox(s, dir, PruneWin._1, PruneWin._2, PruneWin._3, PruneWin._4)
+        .select($"feature_id", bboxUdf($"geometry").as("bb"))
+        .select($"feature_id", $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .filter($"x" >= PruneWin._1 && $"x" <= PruneWin._3 &&
+          $"y" >= PruneWin._2 && $"y" <= PruneWin._4)
+        .orderBy($"feature_id")
+    }
+  )
+
   // ------------------------------------------------------- A1j (.osm.pbf)
   /** The OSM PBF member of the A1 family (VERDICT r13 directive #5):
     * events written once per JVM as a REAL .osm.pbf (BlobHeader/Blob
@@ -1413,5 +1470,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a1i, a1j, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a1i, a1j, a1k, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }
