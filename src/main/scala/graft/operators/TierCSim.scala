@@ -1425,11 +1425,29 @@ object TierCSim {
     bucket
   }
 
+  /** Per-bucket candidate ceiling for [[annTopK]] — the LSH analog of
+    * the gram df-cap, and like it the ONLY knob bounding pair volume
+    * when the data defeats the hash: the adaptive plane count targets
+    * MEAN occupancy, but random ±1 hyperplanes are data-oblivious and a
+    * tight embedding cluster rides one code no matter how many planes
+    * you add (r14 soak, 100k clustered vectors: planes 11→24 moved the
+    * max bucket only 10,987→8,139 and Σsz² stayed ≈ 3.4-6.4e8 pairs).
+    * Capping the CANDIDATE side at the md5-deterministic head of each
+    * bucket bounds candidates at N·cap — linear in N — while every
+    * vector still probes; inside a mega-cluster the head is saturated
+    * with true neighbors, which is exactly where trimming recall is
+    * cheapest. Mirrored op-for-op in the oracle SQL, so engine and
+    * replay agree even when the cap engages.
+    */
+  private[graft] val LshBucketCap = 512
+
   /** ANN top-k per vector: random-hyperplane LSH bucket → exact cosine
     * re-rank within the bucket. The scale path of C3: the plane count
     * adapts to the corpus ([[lshPlanes]]) so bucket population stays
-    * ~[[LshTargetBucket]] and per-bucket pair work is bounded regardless
-    * of N; the whole thing is one shuffle on the bucket key.
+    * ~[[LshTargetBucket]] on hash-friendly data, and the
+    * [[LshBucketCap]] occupancy ceiling bounds the candidate join at
+    * N·cap when clustering defeats the planes; the whole thing is one
+    * shuffle on the bucket key.
     */
   def annTopK(s: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
     import s.implicits._
@@ -1438,11 +1456,15 @@ object TierCSim {
     val planes = lshPlanes(embeddings.count())
     // plan-reuse persist (both self-join sides re-run the bucket UDF
     // otherwise) — caller-owned release via the CacheRegistry contract
+    val wH = Window.partitionBy($"bucket")
+      .orderBy(md5($"vec_id".cast(StringType)), $"vec_id")
     val e = CacheRegistry.persist(embeddings.select($"vec_id", $"embedding",
       bucketUdf(planes)($"embedding").as("bucket"),
-      TierC.dot($"embedding", $"embedding").as("n2")))
+      TierC.dot($"embedding", $"embedding").as("n2"))
+      .withColumn("hrank", row_number().over(wH).cast(LongType)))
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"bucket", $"n2".as("na2"))
-    val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"bucket".as("bucket_r"), $"n2".as("nb2"))
+    val b = e.filter($"hrank" <= LshBucketCap)
+      .select($"vec_id".as("id_b"), $"embedding".as("eb"), $"bucket".as("bucket_r"), $"n2".as("nb2"))
     val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")
     a.join(b, $"bucket" === $"bucket_r" && $"id_a" =!= $"id_b")
       .withColumn("score", TierC.dot($"ea", $"eb") / (sqrt($"na2") * sqrt($"nb2")))
@@ -2661,10 +2683,15 @@ object TierCSim {
        |  SELECT e.vec_id, CAST(SUM(CASE WHEN ($acc) >= 0.0 THEN s.pw ELSE 0 END) AS INTEGER) AS bucket
        |  FROM corpus e JOIN signs s ON s.p < (SELECT planes FROM np)
        |  GROUP BY e.vec_id),
+       |hr AS (SELECT vec_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hrank
+       |  FROM buck),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    (${dotp("ea", "eb")}) / (sqrt(ea.n2) * sqrt(eb.n2)) AS score
-       |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  FROM buck a JOIN hr b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |    AND b.hrank <= $LshBucketCap
        |  JOIN corpus ea ON ea.vec_id = a.vec_id
        |  JOIN corpus eb ON eb.vec_id = b.vec_id),
        |r AS (SELECT id_a, id_b, score,
@@ -2675,7 +2702,7 @@ object TierCSim {
 
   private val c3a = QuerySpec(
     "c3_ann_lsh",
-    "Approximate nearest neighbors: random-hyperplane LSH bucket (plane count adapts to corpus size, ~64 vectors/bucket) + exact cosine re-rank within bucket, top-3. Oracle embeds the fixed sign matrix as literals and replays plane count, bucket bits, and raw-double cosine re-rank; recall-vs-exact stays ScalaTest-pinned.",
+    "Approximate nearest neighbors: random-hyperplane LSH bucket (plane count adapts to corpus size, ~64 vectors/bucket) + exact cosine re-rank within bucket against the md5-deterministic 512-head candidate set (the occupancy cap that keeps clustered data linear), top-3. Oracle embeds the fixed sign matrix as literals and replays plane count, bucket bits, head rank, and raw-double cosine re-rank; recall-vs-exact stays ScalaTest-pinned.",
     Some(c3aOracle),
     (s, d) => annTopK(s, Tables.embeddings(s, d), 3)
   )
