@@ -26,29 +26,55 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *   - per-batch latency must stay flat across batches — a latency
   *     ramp means per-batch work proportional to accumulated state.
   *
-  * Usage: `runMain graft.streaming.StreamSoak [nEvents] [slices]`;
-  * prints per-batch lines + ONE JSON summary for BENCH_NOTES.
+  * Usage: `runMain graft.streaming.StreamSoak [nEvents] [slices] [mode]`
+  * with mode `sessionize` (default — session_window state) or `dedup`
+  * (cross-batch MinHash near-dedup through transformWithState on
+  * RocksDB: the B32/C2-streaming horizon claim — state bounded by the
+  * DISTINCT signatures inside the eviction horizon, not by history).
+  * Prints per-batch lines + ONE JSON summary for BENCH_NOTES.
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val slices = args.drop(1).headOption.map(_.toInt).getOrElse(20)
-    val spark = SparkSession.builder()
+    val mode = args.drop(2).headOption.getOrElse("sessionize")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stream-soak")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the dedup soak exercises the production state backend — RocksDB —
+    // so the state_mem number is the real store's, not the HDFS-backed
+    // in-memory map's
+    if (mode == "dedup")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // ---- land n events as ts-range slices with increasing mtimes ----
-    val srcDir = Files.createTempDirectory("graft_soak_src").toString
-    val ev = graft.ScaleGen.events(spark, n)
-      .select($"user_id", $"ts".as("event_ts")).cache()
     val t0us = 1704067200000000L
     val spanUs = 2592000000000L
+    // ---- soak input: an event_ts-carrying frame per mode ----
+    val (input, schema) = mode match {
+      case "sessionize" =>
+        (graft.ScaleGen.events(spark, n).select($"user_id", $"ts".as("event_ts")),
+          "user_id BIGINT, event_ts TIMESTAMP")
+      case "dedup" =>
+        // documents with doc_id-proportional event times spanning the same
+        // 30 days, so the ts-range slices advance the watermark batchwise
+        (graft.ScaleGen.documents(spark, n)
+          .select($"doc_id", $"text",
+            timestamp_micros(lit(t0us) + $"doc_id" * (spanUs / math.max(1L, n)))
+              .as("event_ts")),
+          "doc_id BIGINT, text STRING, event_ts TIMESTAMP")
+      case other => throw new IllegalArgumentException(s"unknown soak mode '$other'")
+    }
+
+    // ---- land n rows as ts-range slices with increasing mtimes ----
+    val srcDir = Files.createTempDirectory("graft_soak_src").toString
+    val ev = input.cache()
     val mt0 = System.currentTimeMillis() - 3600000L
     (0 until slices).foreach { i =>
       val lo = t0us + spanUs * i / slices
@@ -64,12 +90,20 @@ object StreamSoak {
     val total = ev.count()
     ev.unpersist()
 
-    // ---- sessionize the stream to completion, one slice per batch ----
+    // ---- run the pipeline to completion, one slice per batch ----
     val stream = spark.readStream
-      .schema("user_id BIGINT, event_ts TIMESTAMP")
+      .schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val out = FeaturePipeline.sessionizeStream(stream,
-      gap = "30 minutes", watermark = "10 minutes")
+    val out = mode match {
+      case "sessionize" =>
+        FeaturePipeline.sessionizeStream(stream,
+          gap = "30 minutes", watermark = "10 minutes")
+      case _ =>
+        // 3-day horizon over 1.5-day batches: state must hold ~2 batches'
+        // distinct signatures, never the run's history
+        FeaturePipeline.nearDedupStreamCrossBatch(stream,
+          java.time.Duration.ofDays(3), delay = "10 minutes")
+    }
     var sink = 0L
     val wall0 = System.nanoTime()
     val q = out.writeStream.outputMode(OutputMode.Append)
@@ -97,7 +131,7 @@ object StreamSoak {
     val stateRowsMax = bs.map(_.stateRows).max
     val stateMemMax = bs.map(_.stateMem).max
     println(
-      s"""{"metric":"stream_soak_sessionize","rows":$total,"sink_rows":$sink,""" +
+      s"""{"metric":"stream_soak_$mode","rows":$total,"sink_rows":$sink,""" +
       f""""wall_sec":$wallSec%.1f,"rows_per_sec":${total / wallSec}%.0f,""" +
       s""""n_batches":${bs.length},""" +
       s""""batch_ms_max":${if (latencies.nonEmpty) latencies.max else -1},""" +
