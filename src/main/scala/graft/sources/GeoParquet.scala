@@ -145,6 +145,67 @@ object GeoParquet {
       .foreach { case (f, geo) => stampFile(new Configuration(), new Path(f), geo) }
   }
 
+  /** Write with a GeoParquet-1.1 `covering` — a per-ROW `bbox` struct
+    * column (xmin/ymin/xmax/ymax doubles) declared in the `geo` entry,
+    * the spec's hook for ROW-GROUP-level pruning: parquet min/max column
+    * stats on the four fields let a bbox predicate skip row groups
+    * inside a file, one level finer than [[readBbox]]'s footer pruning.
+    * The struct is derived from the geometry, so it can never disagree
+    * with the WKB it covers.
+    */
+  def writeCovering(df: DataFrame, path: String, geomCol: String,
+      geomTypes: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    require(df.schema.fieldNames.contains(geomCol),
+      s"geoparquet: no column '$geomCol' in ${df.schema.fieldNames.mkString(",")}")
+    require(!df.schema.fieldNames.contains("bbox"),
+      "geoparquet: frame already has a 'bbox' column — writeCovering derives its own")
+    val bboxOf = udf { (b: Array[Byte]) =>
+      val bb = Wkb.bbox(b); (bb.xmin, bb.ymin, bb.xmax, bb.ymax) }
+    write(df.withColumn("bbox",
+        bboxOf(col(geomCol)).cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>")),
+      path, geomCol, geomTypes)
+    // re-stamp each footer with the covering declaration appended to the
+    // geo entry write() just produced (footer-only surgery, no row I/O)
+    val conf = spark.sparkContext.hadoopConfiguration
+    partFiles(spark, path).foreach { f =>
+      val fmd = ParquetFileReader
+        .readFooter(HadoopInputFile.fromPath(f, conf), ParquetMetadataConverter.NO_FILTER)
+        .getFileMetaData
+      val geo = fmd.getKeyValueMetaData.get(GeoKey)
+      val covering =
+        s""","covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}}}}"""
+      require(geo != null && geo.endsWith("}}}"), s"geoparquet: unexpected geo shape in $f")
+      // covering is a 1.1 construct — the version field says so
+      stampFile(conf, f,
+        geo.replace("\"version\":\"" + SpecVersion + "\"", "\"version\":\"1.1.0\"")
+          .dropRight(3) + covering)
+    }
+  }
+
+  /** Covering-pruned read: [[readBbox]]'s footer-level file pruning PLUS
+    * a pushed-down predicate on the declared per-row bbox struct — the
+    * four comparisons land in the parquet scan's PushedFilters, so
+    * min/max row-group stats skip row groups a plain file-level prune
+    * cannot. Rows whose box intersects the window survive (the row-exact
+    * geometry refine still belongs downstream). Throws if the layer
+    * declares no covering.
+    */
+  def readCovering(spark: SparkSession, path: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f0 = partFiles(spark, path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"geoparquet: no part files under $path"))
+    val geo = ParquetFileReader
+      .readFooter(HadoopInputFile.fromPath(f0, conf), ParquetMetadataConverter.NO_FILTER)
+      .getFileMetaData.getKeyValueMetaData.get(GeoKey)
+    require(geo != null && geo.contains("\"covering\""),
+      s"geoparquet: $path declares no covering — use readBbox (footer-level) instead")
+    readBbox(spark, path, xmin, ymin, xmax, ymax)
+      .filter(col("bbox.xmin") <= xmax && col("bbox.xmax") >= xmin &&
+        col("bbox.ymin") <= ymax && col("bbox.ymax") >= ymin)
+  }
+
   /** Footer-pruned spatial read: list part files, read ONLY their
     * footers, drop every file whose stamped bbox is disjoint from the
     * query window, and scan the survivors — file-level spatial partition

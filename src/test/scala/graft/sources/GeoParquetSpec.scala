@@ -105,6 +105,43 @@ class GeoParquetSpec extends AnyFunSuite {
       .select($"feature_id").collect().map(_.getString(0)).sorted.toSeq == Seq("w1", "w2"))
   }
 
+  test("covering (1.1): per-row bbox struct declared in geo, predicate pushed to the parquet scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("geoparquet_spec5").toString + "/covering"
+    val df = layer(Seq(
+      ("a", Wkb.point(-50.0, 5.0), "x"), ("b", Wkb.point(-40.0, -5.0), "y"),
+      ("c", Wkb.point(40.0, 5.0), "z"), ("d", Wkb.point(50.0, -5.0), "w")))
+    GeoParquet.writeCovering(df, dir, "geometry", Seq("Point"))
+    // metadata carries the covering declaration + the 1.1 version bump
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf).listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val geo = org.apache.parquet.hadoop.ParquetFileReader
+      .readFooter(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      .getFileMetaData.getKeyValueMetaData.get("geo")
+    assert(geo.contains("\"covering\":{\"bbox\""), geo)
+    assert(geo.contains("\"version\":\"1.1.0\""), geo)
+    // the geo JSON still parses (metaOf) after the surgery
+    assert(GeoParquet.metaOf(spark, dir).primaryColumn == "geometry")
+    // window read: right rows, and the bbox predicate reaches the scan as
+    // PushedFilters — the row-group stats pruning hook
+    val win = GeoParquet.readCovering(spark, dir, -60.0, -10.0, -30.0, 10.0)
+    assert(win.select($"feature_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "b"))
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("bbox.xmin"),
+      "bbox predicate not pushed to the parquet scan:\n" + plan)
+    // a plain (no-covering) layer is refused loudly
+    val plainDir = Files.createTempDirectory("geoparquet_spec6").toString + "/plain"
+    GeoParquet.write(df, plainDir, "geometry", Seq("Point"))
+    val e = intercept[IllegalArgumentException] {
+      GeoParquet.readCovering(spark, plainDir, 0, 0, 1, 1)
+    }
+    assert(e.getMessage.contains("declares no covering"))
+  }
+
   test("multi-file layers: per-file bboxes union; disagreeing primaries rejected") {
     import spark.implicits._
     val dir = Files.createTempDirectory("geoparquet_spec3").toString + "/multi"
