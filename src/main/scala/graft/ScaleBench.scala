@@ -42,19 +42,28 @@ object ScaleBench {
     } catch { case e: Throwable => System.err.println(s"[scalebench] warmup: ${e.getMessage}") }
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    // min-of-k (SPARK_GRAFT_REPEAT, default 1): the r14 c2_dedup_near
+    // episode — a neighbor query's cache pressure inflated one point
+    // 6× — is exactly what a min-of-2 makes impossible to misread
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     names.foreach { name =>
-      val t0 = System.nanoTime()
-      val res =
-        try Right(SparkEntry.queries(name)(spark, sfDir).count())
-        catch { case e: Throwable => Left(e) }
-      finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
-      val sec = (System.nanoTime() - t0) / 1e9
-      res match {
-        case Right(n) =>
-          println(f"""{"query":"$name","sec":$sec%.2f,"rows":$n,"sf_dir":"$sfDir"}""")
-        case Left(e) =>
-          println(f"""{"query":"$name","sec":-1.0,"err":"${e.getMessage.take(120).replace("\"", "'")}","sf_dir":"$sfDir"}""")
+      var best = Double.MaxValue
+      var rows = -1L
+      var err: Throwable = null
+      var i = 0
+      while (i < repeat && err == null) {
+        val t0 = System.nanoTime()
+        try { rows = SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable => err = e }
+        finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+        i += 1
       }
+      if (err == null)
+        println(f"""{"query":"$name","sec":$best%.2f,"rows":$rows,"sf_dir":"$sfDir"}""")
+      else
+        println(f"""{"query":"$name","sec":-1.0,"err":"${err.getMessage.take(120).replace("\"", "'")}","sf_dir":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -261,6 +261,66 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assertSame(s, b, "enrich-outer")
   }
 
+  test("geofenceTransitions (flatMapGroupsWithState) == batch lag-window set-difference twin") {
+    // the zone-set state machine against its pure-window batch analog:
+    // per entity in ts order, enter = now − prev, exit = prev − now. The
+    // fixture lands as THREE ts-ordered slices so state genuinely crosses
+    // batch boundaries; ts_us = event_id keeps (entity, ts) unique (equal
+    // timestamps are dropped by the stream's ordering guard and would
+    // make the batch twin's lag ambiguous).
+    val fences = Seq(
+      ("z0", graft.functions.Wkb.polygon(Seq(Seq(
+        (0.0, 0.0), (40.0, 0.0), (40.0, 40.0), (0.0, 40.0), (0.0, 0.0))))),
+      ("z1", graft.functions.Wkb.polygon(Seq(Seq(
+        (30.0, 0.0), (70.0, 0.0), (70.0, 40.0), (30.0, 40.0), (30.0, 0.0))))))
+    val base = events.select(
+      ($"user_id" % 50L).as("entity_id"), $"event_id".as("ts_us"),
+      ($"value" % 90.0).as("x"), (($"user_id" + $"event_id") % 90L).cast("double").as("y"))
+    val n = base.count()
+    val srcDir = tmpDir("sbe_trans")
+    val t0 = System.currentTimeMillis() - 600000L
+    (0 until 3).foreach { i =>
+      val stage = tmpDir("sbe_trans_stage")
+      base.filter($"ts_us" >= i * n / 3 && $"ts_us" < (i + 1) * n / 3)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + i * 30000L))
+    }
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = FeaturePipeline.geofenceTransitions(stream, fences).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sbe_trans")
+      .option("checkpointLocation", tmpDir("sbe_trans_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000L) finally q.stop()
+    val streamRows = spark.table("sbe_trans").collect().map(_.toString).sorted.toSeq
+    // batch twin: sorted zone array per observation, lag over the entity
+    // timeline, exploded set differences
+    val zonesUdf = udf { (x: Double, y: Double) =>
+      fences.collect { case (id, wkb)
+        if graft.functions.Wkb.containsPoint(wkb, x, y) => id }.sorted }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"entity_id").orderBy($"ts_us")
+    val tl = spark.read.schema(base.schema).parquet(srcDir)
+      .withColumn("zones", zonesUdf($"x", $"y"))
+      .withColumn("prev", lag($"zones", 1, Array.empty[String]).over(w))
+    val batchRows = (
+      tl.select($"entity_id", $"ts_us",
+          explode(array_except($"zones", $"prev")).as("fence_id"), lit("enter").as("kind"))
+        unionAll
+      tl.select($"entity_id", $"ts_us",
+          explode(array_except($"prev", $"zones")).as("fence_id"), lit("exit").as("kind"))
+      ).collect().map(_.toString).sorted.toSeq
+    assert(batchRows.nonEmpty && batchRows.exists(_.contains("exit")),
+      "fixture must exercise both edge kinds")
+    assert(streamRows == batchRows,
+      s"${streamRows.length} vs ${batchRows.length}; only-stream=${streamRows.diff(batchRows).take(3)} only-batch=${batchRows.diff(streamRows).take(3)}")
+  }
+
   test("stateless geofenceAlerts: stream rows == batch rows (a11w analog)") {
     val pointUdf = udf { (x: Double, y: Double) => graft.functions.Wkb.point(x, y) }
     val fences = Seq(
