@@ -3066,11 +3066,15 @@ object TierCSim {
     "c3_mmr",
     "MMR diversity re-rank: coarse top-6 cosine per query (label-blocked), then greedy pick-3 maximizing 0.7*rel - 0.3*max-sim-to-selected, ties to lowest id; per-step work |queries|*5, oracle unrolls the greedy chain.",
     Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+            hr AS (SELECT vec_id, row_number() OVER (PARTITION BY label
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hrank
+                   FROM e),
             p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
                     (${dotChain("a", "b")}) AS dot,
                     (${dotChain("a", "a")}) AS na2,
                     (${dotChain("b", "b")}) AS nb2
-                  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+                  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+                  JOIN hr ON hr.vec_id = b.vec_id AND hr.hrank <= $LshBucketCap),
             sc AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS rel FROM p),
             c6 AS (SELECT ida, idb, rel, rn FROM (
                      SELECT ida, idb, rel,
@@ -3110,14 +3114,25 @@ object TierCSim {
     (s, d) => mmrSelect(s, Tables.embeddings(s, d))
   )
 
-  /** The c3_mmr pipeline over any (vec_id, label, embedding) frame. */
+  /** The c3_mmr pipeline over any (vec_id, label, embedding) frame.
+    * The candidate side of the label-blocked join is capped at the
+    * md5-deterministic [[LshBucketCap]]-head of each label block (the
+    * r14 occupancy-cap discipline: 10 fixed labels make the uncapped
+    * block join N²/10 — it filled the disk at the 100k-vector soak) —
+    * mirrored in the oracle, every query still asks, candidates stay
+    * N·cap.
+    */
   def mmrSelect(s: SparkSession, embeddings: DataFrame): DataFrame = {
     import s.implicits._
+    val wH = Window.partitionBy($"label")
+      .orderBy(md5($"vec_id".cast(StringType)), $"vec_id")
     val e = CacheRegistry.persist(embeddings
       .select($"vec_id", $"label", $"embedding",
-        TierC.dot($"embedding", $"embedding").as("n2")))
+        TierC.dot($"embedding", $"embedding").as("n2"))
+      .withColumn("hrank", row_number().over(wH).cast(LongType)))
     val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
-    val b = e.select($"vec_id".as("idb"), $"label".as("label_b"),
+    val b = e.filter($"hrank" <= LshBucketCap)
+      .select($"vec_id".as("idb"), $"label".as("label_b"),
       $"embedding".as("eb"), $"n2".as("nb2"))
     val w = Window.partitionBy($"ida").orderBy($"rel".desc, $"idb")
     val cand = CacheRegistry.persist(
@@ -3176,7 +3191,11 @@ object TierCSim {
                      (${dotChain("b", "b")}) AS nb2
               FROM embeddings a
               JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
-                AND b.vec_id % 3 = 0),
+                AND b.vec_id % 3 = 0
+              JOIN (SELECT vec_id, row_number() OVER (PARTITION BY label
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hrank
+                    FROM embeddings WHERE vec_id % 3 = 0) h
+                ON h.vec_id = b.vec_id AND h.hrank <= $LshBucketCap),
             sc AS (SELECT ida, idb, dot / (sqrt(na2) * sqrt(nb2)) AS score FROM p),
             r AS (SELECT ida, idb, score,
                     ROW_NUMBER() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rn
@@ -3188,8 +3207,14 @@ object TierCSim {
         .select($"vec_id", $"label", $"embedding",
           TierC.dot($"embedding", $"embedding").as("n2")))
       val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
-      // the predicate lands on the CANDIDATE side before the join
+      // the predicate lands on the CANDIDATE side before the join, and
+      // the md5-head occupancy cap (r14) bounds the block join at N*cap
+      // among the admissible candidates — mirrored in the oracle
+      val wH = Window.partitionBy($"label")
+        .orderBy(md5($"vec_id".cast(StringType)), $"vec_id")
       val b = e.filter($"vec_id" % 3 === 0)
+        .withColumn("hrank", row_number().over(wH).cast(LongType))
+        .filter($"hrank" <= LshBucketCap)
         .select($"vec_id".as("idb"), $"label".as("label_b"),
           $"embedding".as("eb"), $"n2".as("nb2"))
       val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
@@ -3262,7 +3287,11 @@ object TierCSim {
     * bounded keys; the decile rollup is a partial-agged count.
     */
   private val LshRecallFloor = 0.3
-  private val LshRecallDfCap = 10000
+  // 256, the NgramDfCap argument verbatim (r14 soak: at 10000 the cap
+  // never engaged on a 250k-doc corpus and the truth mine emitted the
+  // full quadratic candidate set — 119 s; the cap is mirrored into the
+  // oracle, so engine and replay agree even when it engages)
+  private val LshRecallDfCap = 256
   private val c2lr = QuerySpec(
     "c2_lsh_recall",
     s"LSH banding recall curve: exact trigram-shingle Jaccard >= $LshRecallFloor truth pairs (df-capped inverted-index mine over the SAME shingles MinHash hashes, corpus-wide like the banding) left-joined against production band-bucket collisions, recall@decile at 1e-6 — the measured 1-(1-s^r)^b view behind the bands/rows trade.",
