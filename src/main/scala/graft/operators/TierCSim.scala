@@ -24,6 +24,23 @@ import graft.sources.Tables
   */
 object TierCSim {
 
+  /** Per-bucket candidate ceiling for every bucketed candidate join (annTopK, mmrSelect, c3_filtered_knn, simhashPairs) — the LSH analog of
+    * the gram df-cap, and like it the ONLY knob bounding pair volume
+    * when the data defeats the hash: the adaptive plane count targets
+    * MEAN occupancy, but random ±1 hyperplanes are data-oblivious and a
+    * tight embedding cluster rides one code no matter how many planes
+    * you add (r14 soak, 100k clustered vectors: planes 11→24 moved the
+    * max bucket only 10,987→8,139 and Σsz² stayed ≈ 3.4-6.4e8 pairs).
+    * Capping the CANDIDATE side at the md5-deterministic head of each
+    * bucket bounds candidates at N·cap — linear in N — while every
+    * vector still probes; inside a mega-cluster the head is saturated
+    * with true neighbors, which is exactly where trimming recall is
+    * cheapest. Mirrored op-for-op in the oracle SQL, so engine and
+    * replay agree even when the cap engages.
+    */
+  private[graft] val LshBucketCap = 512
+
+
   // ------------------------------------------------------------- SimHash
   private val simhashUdf = udf { (text: String) =>
     TextStats.simHash(text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
@@ -77,18 +94,31 @@ object TierCSim {
     }
   )
 
-  /** SimHash near-dup pairs: 4×16-bit band blocking (guarantees recall of
-    * every pair with Hamming ≤ 3), verified by exact Hamming ≤ maxHamming.
+  /** SimHash near-dup pairs: 4×16-bit band blocking (the pigeonhole
+    * guarantee: ≤ 3 flipped bits cannot touch all 4 bands), verified by
+    * exact Hamming ≤ maxHamming. The candidate side of the band join is
+    * capped at the md5-deterministic [[LshBucketCap]]-head per
+    * (band_id, band_val) — the r14 occupancy discipline: head-heavy
+    * corpora concentrate SimHash bits, and at the 250k-doc soak the
+    * uncapped band buckets went quadratic (51 s). Inside the head the
+    * pigeonhole guarantee is intact; a band bucket beyond the cap means
+    * thousands of near-identical documents, which is the "COMPOSE WITH
+    * EXACT DEDUP FIRST" contract (see [[c2pairs]]) doing its job.
+    * Mirrored op-for-op in the oracle.
     */
   def simhashPairs(s: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
     import s.implicits._
     val sigs = CacheRegistry.persist(docs.select($"doc_id", simhashUdf($"text").as("simhash")))
-    val banded = sigs.select($"doc_id", $"simhash",
+    val wH = Window.partitionBy($"band_id", $"band_val")
+      .orderBy(md5($"doc_id".cast(StringType)), $"doc_id")
+    val banded = CacheRegistry.persist(sigs.select($"doc_id", $"simhash",
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band_id", "band_val")))
+      .withColumn("hrank", row_number().over(wH).cast(LongType)))
     val left = banded.select($"doc_id".as("id_a"), $"simhash".as("sh_a"), $"band_id", $"band_val")
-    val right = banded.select($"doc_id".as("id_b"), $"simhash".as("sh_b"),
+    val right = banded.filter($"hrank" <= LshBucketCap)
+      .select($"doc_id".as("id_b"), $"simhash".as("sh_b"),
       $"band_id".as("band_id_r"), $"band_val".as("band_val_r"))
     left.join(right,
         $"band_id" === $"band_id_r" && $"band_val" === $"band_val_r" && $"id_a" < $"id_b")
@@ -101,17 +131,23 @@ object TierCSim {
 
   private val c2sp = QuerySpec(
     "c2_simhash_pairs",
-    "SimHash near-dup candidate pairs: 4×16-bit LSH bands → bucket self-join → exact Hamming ≤ 3 verify. Oracle replays signatures, band extraction ((hu >> 16b) % 2^16 = the engine's shiftrightunsigned & 0xffff), bucket join, and xor/bit_count Hamming.",
+    "SimHash near-dup candidate pairs: 4×16-bit LSH bands → bucket self-join against the md5-deterministic 512-head candidate set per bucket (the r14 occupancy cap) → exact Hamming ≤ 3 verify. Oracle replays signatures, band extraction ((hu >> 16b) % 2^16 = the engine's shiftrightunsigned & 0xffff), head rank, bucket join, and xor/bit_count Hamming.",
     Some(s"""WITH $shSigCtes,
             |bands AS (SELECT doc_id, hu, simhash, unnest(range(0, 4)) AS band_id FROM sig),
             |bv AS (SELECT doc_id, simhash, band_id,
             |         (hu >> CAST(band_id * 16 AS INTEGER)) % 65536 AS band_val
             |       FROM bands),
+            |hr AS (SELECT doc_id, band_id, band_val,
+            |         row_number() OVER (PARTITION BY band_id, band_val
+            |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hrank
+            |       FROM bv),
             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
             |           a.simhash AS sa, b.simhash AS sb
             |         FROM bv a JOIN bv b
             |           ON a.band_id = b.band_id AND a.band_val = b.band_val
-            |              AND a.doc_id < b.doc_id),
+            |              AND a.doc_id < b.doc_id
+            |         JOIN hr ON hr.doc_id = b.doc_id AND hr.band_id = b.band_id
+            |           AND hr.band_val = b.band_val AND hr.hrank <= $LshBucketCap),
             |h AS (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand)
             |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
     (s, d) => simhashPairs(s, Tables.documents(s, d), 3)
@@ -1424,22 +1460,6 @@ object TierCSim {
     }
     bucket
   }
-
-  /** Per-bucket candidate ceiling for [[annTopK]] — the LSH analog of
-    * the gram df-cap, and like it the ONLY knob bounding pair volume
-    * when the data defeats the hash: the adaptive plane count targets
-    * MEAN occupancy, but random ±1 hyperplanes are data-oblivious and a
-    * tight embedding cluster rides one code no matter how many planes
-    * you add (r14 soak, 100k clustered vectors: planes 11→24 moved the
-    * max bucket only 10,987→8,139 and Σsz² stayed ≈ 3.4-6.4e8 pairs).
-    * Capping the CANDIDATE side at the md5-deterministic head of each
-    * bucket bounds candidates at N·cap — linear in N — while every
-    * vector still probes; inside a mega-cluster the head is saturated
-    * with true neighbors, which is exactly where trimming recall is
-    * cheapest. Mirrored op-for-op in the oracle SQL, so engine and
-    * replay agree even when the cap engages.
-    */
-  private[graft] val LshBucketCap = 512
 
   /** ANN top-k per vector: random-hyperplane LSH bucket → exact cosine
     * re-rank within the bucket. The scale path of C3: the plane count
