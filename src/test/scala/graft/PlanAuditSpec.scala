@@ -1328,6 +1328,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("a1k_geoparquet_bbox: footer pruning reduced the scanned file set before the plan exists") {
+    // the pruning happens OUTSIDE the plan (file listing), so the plan
+    // property is the survivor count: the lon-range-partitioned fixture
+    // has 8 files and the [-150,-50] window must scan strictly fewer
+    val df = Registry.queries("a1k_geoparquet_bbox")(spark, sf)
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.length < 8,
+      s"expected footer pruning to drop files, scanned ${files.length}: ${files.take(8).mkString(",")}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "a1k must stay a straight scan:\n" + p)
+  }
+
   test("b120_format_roundtrip: each re-read scans only the 4 written columns") {
     val p = plan("b120_format_roundtrip")
     // three sources (csv/json/orc) — every ReadSchema line carries the
