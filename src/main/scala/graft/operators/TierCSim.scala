@@ -2091,8 +2091,16 @@ object TierCSim {
     import s.implicits._
     val books = pqCodebooks(s, embeddings, m, codes, sampleSize)
       .map(graft.functions.VectorExprs.broadcastBook(s, _))
+    // the r14 occupancy cap: label cardinality does not grow with the
+    // data, so the uncapped block join is N^2/|labels| — candidate side
+    // held to the md5-deterministic head per label, oracle-mirrored
+    // (c3_ivfpq is the uncapped-feel scale path: its cells DO grow)
+    val wH = Window.partitionBy($"label")
+      .orderBy(md5($"vec_id".cast(StringType)), $"vec_id")
     val cand = pqEncodeWith(s, embeddings, books, m)
       .join(embeddings.select($"vec_id", $"label"), Seq("vec_id"))
+      .withColumn("hrank", row_number().over(wH).cast(LongType))
+      .filter($"hrank" <= LshBucketCap)
       .select(($"vec_id".as("id_b") +: $"label".as("label_b") +:
         (0 until m).map(si => col(s"c$si"))): _*)
     val q = (0 until m).foldLeft(
@@ -2204,9 +2212,13 @@ object TierCSim {
        |$corpusCte,
        |$sampleCte,
        |$allSubCtes,
+       |hrk AS (SELECT vec_id, row_number() OVER (PARTITION BY label
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hrank
+       |  FROM embeddings),
        |pairs AS (
        |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b, $approx AS approx
        |  FROM embeddings a JOIN embeddings bb ON a.label = bb.label AND a.vec_id <> bb.vec_id
+       |  JOIN hrk ON hrk.vec_id = bb.vec_id AND hrk.hrank <= $LshBucketCap
        |$encJoins),
        |r AS (SELECT id_a, id_b, approx,
        |    row_number() OVER (PARTITION BY id_a ORDER BY approx ASC, id_b) AS rn
@@ -2253,7 +2265,7 @@ object TierCSim {
 
   private val c3ps = QuerySpec(
     "c3_pq_search",
-    "PQ asymmetric-distance top-3 within label blocks: per-query distance tables built before the join, candidates reduced to 4 sub-codes, approximate L2 = 4 lookups. Oracle replays codebooks, encodings, and the per-pair ADC chain hash-exact via the shared PqSql builder; SimSpec pins planted-cluster recall + determinism.",
+    "PQ asymmetric-distance top-3 within label blocks against the md5-deterministic 512-head candidate set (the r14 occupancy cap): per-query distance tables built before the join, candidates reduced to 4 sub-codes, approximate L2 = 4 lookups. Oracle replays codebooks, encodings, head rank, and the per-pair ADC chain hash-exact via the shared PqSql builder; SimSpec pins planted-cluster recall + determinism.",
     Some(c3pqSearchOracle),
     (s, d) => pqSearch(s, Tables.embeddings(s, d), 3)
   )
