@@ -62,8 +62,15 @@ object ScaleBench {
       }
       if (err == null)
         println(f"""{"query":"$name","sec":$best%.2f,"rows":$rows,"sf_dir":"$sfDir"}""")
-      else
-        println(f"""{"query":"$name","sec":-1.0,"err":"${err.getMessage.take(120).replace("\"", "'")}","sf_dir":"$sfDir"}""")
+      else {
+        // String.valueOf: NPE/EOFException carry a null message, and a
+        // secondary NPE here would abort the remaining soak queries
+        val msg = String.valueOf(err.getMessage) match {
+          case "null" => err.toString
+          case m      => m
+        }
+        println(f"""{"query":"$name","sec":-1.0,"err":"${msg.take(120).replace("\"", "'")}","sf_dir":"$sfDir"}""")
+      }
     }
     spark.stop()
   }

@@ -1139,7 +1139,7 @@ object Multimodal {
           val ihdrTotal = 12 + 13
           val ihdr = clean.slice(8, 8 + ihdrTotal)
           val rest = clean.drop(8 + ihdrTotal)
-          val tData = ("Comment " + source).getBytes("ISO-8859-1")
+          val tData = ("Comment\u0000" + source).getBytes("ISO-8859-1")
           val tChunk = PngCodec.chunkFor("tEXt", tData)
           val timeChunk = PngCodec.chunkFor("tIME", Array[Byte](7, -56, 1, 1, 0, 0, 0))
           val dirty = sig ++ ihdr ++ tChunk ++ timeChunk ++ rest
@@ -2016,7 +2016,17 @@ object Multimodal {
                 WHEN doc_id < 34359738368 THEN 5 WHEN doc_id < 4398046511104 THEN 6
                 WHEN doc_id < 562949953421312 THEN 7 WHEN doc_id < 72057594037927936 THEN 8
                 ELSE 9 END AS BIGINT) AS id_vlen,
-              CAST(CASE WHEN doc_id < 0 THEN 10 WHEN doc_id = 0 THEN 1
+              CAST(CASE WHEN doc_id < 0 THEN
+                -- zigzag(-doc_id) with -doc_id > 0 encodes -2*doc_id (small
+                -- for small |doc_id|); thresholds stated as doc_id >= -(2^(7k-1)-1)
+                -- to avoid the -2*doc_id overflow at the BIGINT floor
+                (CASE WHEN doc_id >= -63 THEN 1 WHEN doc_id >= -8191 THEN 2
+                  WHEN doc_id >= -1048575 THEN 3 WHEN doc_id >= -134217727 THEN 4
+                  WHEN doc_id >= -17179869183 THEN 5 WHEN doc_id >= -2199023255551 THEN 6
+                  WHEN doc_id >= -281474976710655 THEN 7 WHEN doc_id >= -36028797018963967 THEN 8
+                  WHEN doc_id >= -4611686018427387903 THEN 9
+                  ELSE 10 END)
+                WHEN doc_id = 0 THEN 1
                 WHEN doc_id <= 64 THEN 1 WHEN doc_id <= 8192 THEN 2
                 WHEN doc_id <= 1048576 THEN 3 WHEN doc_id <= 134217728 THEN 4
                 WHEN doc_id <= 17179869184 THEN 5 WHEN doc_id <= 2199023255552 THEN 6

@@ -96,8 +96,21 @@ object GeoParquet {
     val kv = new java.util.HashMap[String, String](fmd.getKeyValueMetaData)
     kv.put(GeoKey, geo)
     writer.end(kv)
-    if (!fs.delete(file, false) || !fs.rename(tmp, file))
+    // crash-safe swap: original -> .bak, tmp -> original, drop .bak. The
+    // old delete-then-rename left a window where a crash lost the part
+    // file entirely (data surviving only under a dot-prefixed tmp name
+    // that partFiles ignores); with the backup dance every intermediate
+    // state keeps the bytes reachable under at most one recoverable
+    // rename, and a failed swap restores the original before throwing.
+    val bak = new Path(file.getParent, "." + file.getName + ".geo.bak")
+    if (fs.exists(bak)) fs.delete(bak, false)
+    if (!fs.rename(file, bak))
+      throw new java.io.IOException(s"geoparquet: footer stamp backup rename failed for $file")
+    if (!fs.rename(tmp, file)) {
+      fs.rename(bak, file) // restore; best-effort — the original bytes are intact either way
       throw new java.io.IOException(s"geoparquet: footer stamp rename failed for $file")
+    }
+    fs.delete(bak, false)
   }
 
   private def partFiles(spark: SparkSession, dir: String): Seq[Path] = {
@@ -138,11 +151,14 @@ object GeoParquet {
         Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)) // empty file
       f -> geoJson(geomCol, geomTypes, bb)
     }
-    // fan out: one task per part file; each task opens its own
-    // Configuration (Hadoop confs don't serialize) — defaults suffice for
-    // any FS the path itself names
+    // fan out: one task per part file; the driver's Hadoop conf rides a
+    // broadcast (SerializableConfiguration) so object-store credentials /
+    // endpoints / FS tuning reach the tasks — a fresh default Configuration
+    // would silently drop s3a auth on any non-default filesystem
+    val bcConf = org.apache.spark.sql.graftbridge.HadoopConfBridge
+      .broadcast(spark.sparkContext)
     spark.sparkContext.parallelize(geoOf, math.max(1, geoOf.length))
-      .foreach { case (f, geo) => stampFile(new Configuration(), new Path(f), geo) }
+      .foreach { case (f, geo) => stampFile(bcConf.conf, new Path(f), geo) }
   }
 
   /** Write with a GeoParquet-1.1 `covering` — a per-ROW `bbox` struct

@@ -419,13 +419,17 @@ object OsmPbf {
     val statuses = glob.getFileSystem(conf).globStatus(glob)
     require(statuses != null && statuses.nonEmpty, s"osmpbf: no files match $pathGlob")
     val refs = statuses.toSeq.flatMap(st => indexBlobs(conf, st.getPath))
+    // driver Hadoop conf rides a broadcast into the range-read tasks —
+    // a fresh default Configuration would drop object-store credentials/
+    // endpoints (s3a et al.), breaking any authenticated FS at scale
+    val bcConf = org.apache.spark.sql.graftbridge.HadoopConfBridge
+      .broadcast(spark.sparkContext)
     spark.createDataset(refs)
       .repartition(math.min(refs.length,
         math.max(1, spark.sparkContext.defaultParallelism)))
       .flatMap { ref =>
-        val conf2 = new org.apache.hadoop.conf.Configuration()
         val p = new org.apache.hadoop.fs.Path(ref.path)
-        val in = p.getFileSystem(conf2).open(p)
+        val in = p.getFileSystem(bcConf.conf).open(p)
         try {
           in.seek(ref.offset)
           val blob = new Array[Byte](ref.length)
