@@ -37,8 +37,43 @@ object TierCSim {
     * with true neighbors, which is exactly where trimming recall is
     * cheapest. Mirrored op-for-op in the oracle SQL, so engine and
     * replay agree even when the cap engages.
+    *
+    * Config-overridable (r15, the engaged-gate mandate): the
+    * `SPARK_GRAFT_*_CAP` env knobs below override the built-in constants
+    * in BOTH the engine code and the oracle SQL — the oracle strings
+    * interpolate these vals at object init, so one JVM always sees one
+    * consistent (engine, oracle) pair. That is what lets the driver's
+    * DuckDB hash gate run with the caps ENGAGED: set the knob low enough
+    * that fixture buckets overflow it, and the dropping branch of every
+    * mirror is hash-checked instead of merely dormant.
     */
-  private[graft] val LshBucketCap = 512
+  private[graft] def envCap(name: String, dflt: Int): Int = {
+    val v = sys.env.get(name).map(_.trim.toInt).getOrElse(dflt)
+    require(v >= 1, s"$name must be >= 1, got $v")
+    v
+  }
+
+  private[graft] val LshBucketCap = envCap("SPARK_GRAFT_LSH_BUCKET_CAP", 512)
+
+  /** No-silent-caps for the md5-head occupancy caps: keep `hrank <= cap`,
+    * but first COUNT and record what the cap excludes ([[graft.CapStats]]
+    * + a WARN line — the same visibility contract [[dfCapKept]] has had
+    * since r14; the head filters were the one silent trim left, ADVICE
+    * r14). Callers pass a frame that is either persisted or one cheap
+    * window away from a persisted frame, so the extra count is a
+    * cache-read, not a recompute.
+    */
+  private def headCapKept(ranked: DataFrame, cap: Int, tag: String): DataFrame = {
+    import ranked.sparkSession.implicits._
+    val dropped = ranked.filter($"hrank" > cap).count()
+    graft.CapStats.record(tag, dropped)
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$tag: occupancy cap $cap dropped $dropped candidate rows beyond the " +
+          "md5-deterministic bucket head (recall trimmed deterministically; " +
+          "dense buckets keep their head of true neighbors)")
+    ranked.filter($"hrank" <= cap)
+  }
 
 
   // ------------------------------------------------------------- SimHash
@@ -117,7 +152,7 @@ object TierCSim {
         .as(Seq("band_id", "band_val")))
       .withColumn("hrank", row_number().over(wH).cast(LongType)))
     val left = banded.select($"doc_id".as("id_a"), $"simhash".as("sh_a"), $"band_id", $"band_val")
-    val right = banded.filter($"hrank" <= LshBucketCap)
+    val right = headCapKept(banded, LshBucketCap, "simhashPairs")
       .select($"doc_id".as("id_b"), $"simhash".as("sh_b"),
       $"band_id".as("band_id_r"), $"band_val".as("band_val_r"))
     left.join(right,
@@ -179,7 +214,40 @@ object TierCSim {
     * (Heaps), so a CONSTANT cap is what makes the mine linear — a cap
     * proportional to data re-creates the quadratic blow-up.
     */
-  private val NgramDfCap = 256
+  private[graft] val NgramDfCap = envCap("SPARK_GRAFT_NGRAM_DF_CAP", 256)
+
+  /** Shared DuckDB replay of the df-capped bigram posting index — the
+    * EXACT mirror of [[bigramExploded]]+[[dfCapKept]] (r15: the list-
+    * intersect oracle form could not express the cap, so its dropping
+    * branch was unverifiable; this inverted-index form replays posting
+    * explode → per-(source,gram) df → cap → capped pair counts with set
+    * sizes `sz` kept EXACT, op-for-op what the engine computes). CTE
+    * names are prefixed (`eg/dfk/kg`) so the fragment composes into
+    * oracles that already bind `e`/`k`.
+    */
+  private def ngramPostingCtes: String =
+    s"""t AS (SELECT doc_id, source,
+       |  list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id, source,
+       |  list_distinct(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS grams
+       |  FROM t WHERE len(toks) >= 2),
+       |eg AS (SELECT doc_id, source, len(grams) AS sz, unnest(grams) AS gram
+       |  FROM b WHERE len(grams) >= 1),
+       |dfk AS (SELECT source, gram FROM eg GROUP BY source, gram
+       |  HAVING COUNT(*) <= $NgramDfCap),
+       |kg AS (SELECT eg.doc_id, eg.source, eg.sz, eg.gram
+       |  FROM eg JOIN dfk USING (source, gram))""".stripMargin
+
+  /** Unordered capped pair counts (id_a < id_b) with exact set sizes —
+    * the Jaccard feed. */
+  private def ngramPairCountsCte: String =
+    s"""pp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |    a.sz AS sa, c.sz AS sb, COUNT(*) AS shared
+       |  FROM kg a JOIN kg c ON a.source = c.source AND a.gram = c.gram
+       |    AND a.doc_id < c.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
   /** Word-bigram Jaccard near-dup pairs, blocked by `source`, inverted-
     * index join shape, df-capped candidate generation (see [[NgramDfCap]]).
@@ -301,21 +369,18 @@ object TierCSim {
   private val ContainThreshold = 0.8
   private val c2ct = QuerySpec(
     "c2_containment",
-    s"Asymmetric bigram containment |A∩B|/|A| ≥ $ContainThreshold within the source block (ordered pairs, contained side first) — the quote/subset detector Jaccard misses; inverted-index join, df-capped, no length filter by design.",
-    Some(s"""WITH t AS (SELECT doc_id, source,
-              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
-              FROM documents),
-            b AS (SELECT doc_id, source,
-              list_distinct(list_transform(generate_series(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1])) AS grams
-              FROM t WHERE len(toks) >= 2),
-            p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.grams AS ga, c.grams AS gb
-              FROM b a JOIN b c ON a.source = c.source AND a.doc_id <> c.doc_id)
-            SELECT id_a, id_b,
-              CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga) AS containment
-            FROM p
-            WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga) >= $ContainThreshold
-            ORDER BY id_a, id_b"""),
+    s"Asymmetric bigram containment |A∩B|/|A| ≥ $ContainThreshold within the source block (ordered pairs, contained side first) — the quote/subset detector Jaccard misses; inverted-index join, df-capped at $NgramDfCap with the cap mirrored in the oracle's pair mine (hash-checkable engaged via SPARK_GRAFT_NGRAM_DF_CAP).",
+    Some(s"""WITH $ngramPostingCtes,
+            |pc AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+            |    a.sz AS sa, COUNT(*) AS shared
+            |  FROM kg a JOIN kg c ON a.source = c.source AND a.gram = c.gram
+            |    AND a.doc_id <> c.doc_id
+            |  GROUP BY 1, 2, 3)
+            |SELECT id_a, id_b,
+            |  CAST(shared AS DOUBLE) / sa AS containment
+            |FROM pc
+            |WHERE CAST(shared AS DOUBLE) / sa >= $ContainThreshold
+            |ORDER BY id_a, id_b""".stripMargin),
     (s, d) => ngramContainmentPairs(s, Tables.documents(s, d), ContainThreshold, NgramDfCap)
   )
 
@@ -346,11 +411,16 @@ object TierCSim {
     import exploded.sparkSession.implicits._
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val keys = keyCols.map(col)
+    // the "<operator>:" prefix every warnMsg starts with doubles as the
+    // CapStats tag, so engagement is test-assertable without a signature
+    // change at ten call sites
+    val tag = warnMsg(0L).takeWhile(_ != ':')
     if (hotPreFilter) {
       val hot = CacheRegistry.persist(exploded
         .groupBy(keys: _*).agg(count(lit(1)).as("df"))
         .filter($"df" > dfCap).select(keys: _*))
       val nHot = hot.count()
+      graft.CapStats.record(tag, nHot)
       if (nHot > 0) log.warn(warnMsg(nHot))
       CacheRegistry.persist(exploded
         .join(broadcast(hot), keyCols, "left_anti")
@@ -362,6 +432,7 @@ object TierCSim {
       // hot-key drop count: a cheap distinct over the cached frame's
       // capped tail (the Zipf head is at most |keys|/cap entries)
       val nHot = sized.filter($"df" > dfCap).select(keys: _*).distinct().count()
+      graft.CapStats.record(tag, nHot)
       if (nHot > 0) log.warn(warnMsg(nHot))
       sized.filter($"df" <= dfCap).drop("df")
     }
@@ -405,21 +476,14 @@ object TierCSim {
 
   private val c2n = QuerySpec(
     "c2_ngram_jaccard",
-    "Word-bigram Jaccard near-dup, blocked by `source` (pairs only within a block — never corpus²); exact bigram-set Jaccard ≥ 0.6. Candidate generation df-capped at 10k (far above fixture max df; drops are logged, Jaccard never inflated).",
-    Some(s"""WITH t AS (SELECT doc_id, source,
-              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
-              FROM documents),
-            b AS (SELECT doc_id, source,
-              list_distinct(list_transform(generate_series(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1])) AS grams
-              FROM t WHERE len(toks) >= 2),
-            p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.grams AS ga, c.grams AS gb
-              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id)
-            SELECT id_a, id_b,
-              CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(list_distinct(ga || gb)) AS jaccard
-            FROM p
-            WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(list_distinct(ga || gb)) >= $NgramThreshold
-            ORDER BY id_a, id_b"""),
+    s"Word-bigram Jaccard near-dup, blocked by `source` (pairs only within a block — never corpus²); exact bigram-set Jaccard ≥ 0.6. Candidate generation df-capped at $NgramDfCap (drops logged + CapStats-recorded, Jaccard never inflated); the oracle replays the SAME capped inverted-index pair mine, so the gate holds even with the cap engaged (SPARK_GRAFT_NGRAM_DF_CAP).",
+    Some(s"""WITH $ngramPostingCtes,
+            |$ngramPairCountsCte
+            |SELECT id_a, id_b,
+            |  CAST(shared AS DOUBLE) / (sa + sb - shared) AS jaccard
+            |FROM pp
+            |WHERE CAST(shared AS DOUBLE) / (sa + sb - shared) >= $NgramThreshold
+            |ORDER BY id_a, id_b""".stripMargin),
     // Inverted-index shape, NOT per-pair array set ops: explode bigrams,
     // join on (source, gram), count shared grams per pair, then
     // jaccard = shared / (|A| + |B| - shared). Same integers as the
@@ -1483,7 +1547,7 @@ object TierCSim {
       TierC.dot($"embedding", $"embedding").as("n2"))
       .withColumn("hrank", row_number().over(wH).cast(LongType)))
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"bucket", $"n2".as("na2"))
-    val b = e.filter($"hrank" <= LshBucketCap)
+    val b = headCapKept(e, LshBucketCap, "annTopK")
       .select($"vec_id".as("id_b"), $"embedding".as("eb"), $"bucket".as("bucket_r"), $"n2".as("nb2"))
     val w = Window.partitionBy($"id_a").orderBy($"score".desc, $"id_b")
     a.join(b, $"bucket" === $"bucket_r" && $"id_a" =!= $"id_b")
@@ -2097,10 +2161,10 @@ object TierCSim {
     // (c3_ivfpq is the uncapped-feel scale path: its cells DO grow)
     val wH = Window.partitionBy($"label")
       .orderBy(md5($"vec_id".cast(StringType)), $"vec_id")
-    val cand = pqEncodeWith(s, embeddings, books, m)
+    val ranked = CacheRegistry.persist(pqEncodeWith(s, embeddings, books, m)
       .join(embeddings.select($"vec_id", $"label"), Seq("vec_id"))
-      .withColumn("hrank", row_number().over(wH).cast(LongType))
-      .filter($"hrank" <= LshBucketCap)
+      .withColumn("hrank", row_number().over(wH).cast(LongType)))
+    val cand = headCapKept(ranked, LshBucketCap, "pqSearch")
       .select(($"vec_id".as("id_b") +: $"label".as("label_b") +:
         (0 until m).map(si => col(s"c$si"))): _*)
     val q = (0 until m).foldLeft(
@@ -3163,7 +3227,7 @@ object TierCSim {
         TierC.dot($"embedding", $"embedding").as("n2"))
       .withColumn("hrank", row_number().over(wH).cast(LongType)))
     val a = e.select($"vec_id".as("ida"), $"label", $"embedding".as("ea"), $"n2".as("na2"))
-    val b = e.filter($"hrank" <= LshBucketCap)
+    val b = headCapKept(e, LshBucketCap, "mmrSelect")
       .select($"vec_id".as("idb"), $"label".as("label_b"),
       $"embedding".as("eb"), $"n2".as("nb2"))
     val w = Window.partitionBy($"ida").orderBy($"rel".desc, $"idb")
@@ -3244,9 +3308,10 @@ object TierCSim {
       // among the admissible candidates — mirrored in the oracle
       val wH = Window.partitionBy($"label")
         .orderBy(md5($"vec_id".cast(StringType)), $"vec_id")
-      val b = e.filter($"vec_id" % 3 === 0)
-        .withColumn("hrank", row_number().over(wH).cast(LongType))
-        .filter($"hrank" <= LshBucketCap)
+      val b = headCapKept(
+          e.filter($"vec_id" % 3 === 0)
+            .withColumn("hrank", row_number().over(wH).cast(LongType)),
+          LshBucketCap, "filteredKnn")
         .select($"vec_id".as("idb"), $"label".as("label_b"),
           $"embedding".as("eb"), $"n2".as("nb2"))
       val w = Window.partitionBy($"ida").orderBy($"score".desc, $"idb")
@@ -3323,7 +3388,7 @@ object TierCSim {
   // never engaged on a 250k-doc corpus and the truth mine emitted the
   // full quadratic candidate set — 119 s; the cap is mirrored into the
   // oracle, so engine and replay agree even when it engages)
-  private val LshRecallDfCap = 256
+  private[graft] val LshRecallDfCap = envCap("SPARK_GRAFT_LSH_RECALL_DF_CAP", 256)
   private val c2lr = QuerySpec(
     "c2_lsh_recall",
     s"LSH banding recall curve: exact trigram-shingle Jaccard >= $LshRecallFloor truth pairs (df-capped inverted-index mine over the SAME shingles MinHash hashes, corpus-wide like the banding) left-joined against production band-bucket collisions, recall@decile at 1e-6 — the measured 1-(1-s^r)^b view behind the bands/rows trade.",
@@ -3796,7 +3861,7 @@ object TierCSim {
     * identical rounds as CTEs.
     */
   private val KcoreRounds = 4
-  private val ChunkGraphDfCap = 64
+  private[graft] val ChunkGraphDfCap = envCap("SPARK_GRAFT_CHUNK_GRAPH_DF_CAP", 64)
 
   private def kcoreRoundCtes(rounds: Int): String =
     (1 to rounds).map { k =>
@@ -3840,8 +3905,17 @@ object TierCSim {
           sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
           j => md5(array_join(slice($"toks", (j * 8 + 1).cast(IntegerType), lit(8)), " ")))).as("fp"))
         .distinct())
-      val fpk = inst.groupBy($"fp").agg(count(lit(1)).as("dfc"))
-        .filter($"dfc" >= 2 && $"dfc" <= ChunkGraphDfCap).select($"fp")
+      val fpdf = CacheRegistry.persist(
+        inst.groupBy($"fp").agg(count(lit(1)).as("dfc")))
+      // no-silent-caps: count + record the hot chunks the cap excludes
+      val nHot = fpdf.filter($"dfc" > ChunkGraphDfCap).count()
+      graft.CapStats.record("c2_kcore", nHot)
+      if (nHot > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"c2_kcore: dropped $nHot chunk fingerprints with df > $ChunkGraphDfCap " +
+            "from the co-occurrence graph (boilerplate mega-chunks carry no " +
+            "copying signal; the 2-core is computed over the surviving edges)")
+      val fpk = fpdf.filter($"dfc" >= 2 && $"dfc" <= ChunkGraphDfCap).select($"fp")
       val posting = CacheRegistry.persist(inst.join(fpk, "fp"))
       val prs = posting.select($"fp", $"doc_id".as("id_a"))
         .join(posting.select($"fp".as("fp_b"), $"doc_id".as("id_b")),
@@ -4745,21 +4819,14 @@ object TierCSim {
     * is a left-anti join on the canonical pair, and the final top-20 is
     * a TakeOrdered merge, never a global sort.
     */
-  private val AaHubCap = 64
+  private[graft] val AaHubCap = envCap("SPARK_GRAFT_AA_HUB_CAP", 64)
   private val c2aa = QuerySpec(
     "c2_adamic_adar",
-    s"Adamic-Adar link prediction: non-edge pairs of the Jaccard>=0.08 near-miss graph scored Sigma 1/ln(deg(z)) over common neighbors (e6-floored per z, integer-summed), hub z capped at deg<=$AaHubCap before the self-join, top-20 via TakeOrdered with (id_a, id_b) tie-break.",
-    Some(s"""WITH t AS (SELECT doc_id, source,
-              list_filter(string_split(lower(text), ' '), s -> s <> '') AS toks
-              FROM documents),
-            b AS (SELECT doc_id, source,
-              list_distinct(list_transform(generate_series(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1])) AS grams
-              FROM t WHERE len(toks) >= 2),
-            prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
-              FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
-              WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
-                    / len(list_distinct(a.grams || c.grams)) >= 0.08),
+    s"Adamic-Adar link prediction: non-edge pairs of the Jaccard>=0.08 near-miss graph (df-capped pair mine, cap mirrored) scored Sigma 1/ln(deg(z)) over common neighbors (e6-floored per z, integer-summed), hub z capped at deg<=$AaHubCap before the self-join, top-20 via TakeOrdered with (id_a, id_b) tie-break.",
+    Some(s"""WITH $ngramPostingCtes,
+            $ngramPairCountsCte,
+            prs AS (SELECT id_a, id_b FROM pp
+              WHERE CAST(shared AS DOUBLE) / (sa + sb - shared) >= 0.08),
             e AS (SELECT id_a AS s, id_b AS d FROM prs
                   UNION ALL SELECT id_b, id_a FROM prs),
             deg AS (SELECT s AS z, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY s),
@@ -4781,8 +4848,17 @@ object TierCSim {
           .select($"id_a", $"id_b"))
       val und = pairs.select($"id_a".as("z"), $"id_b".as("nb"))
         .unionAll(pairs.select($"id_b".as("z"), $"id_a".as("nb")))
-      val deg = und.groupBy($"z").agg(count(lit(1)).as("dg"))
-      // hub cut BEFORE the self-join — the deg² fan-out guard
+      val deg = CacheRegistry.persist(
+        und.groupBy($"z").agg(count(lit(1)).as("dg")))
+      // hub cut BEFORE the self-join — the deg² fan-out guard;
+      // no-silent-caps: count + record the hubs the cap excludes
+      val nHubs = deg.filter($"dg" > AaHubCap).count()
+      graft.CapStats.record("c2_adamic_adar", nHubs)
+      if (nHubs > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"c2_adamic_adar: dropped $nHubs hub nodes with degree > $AaHubCap " +
+            "from the common-neighbor enumeration (scores through those hubs " +
+            "are excluded; a hub's 1/ln(deg) weight is ~noise by design)")
       val el = CacheRegistry.persist(
         und.join(deg.filter($"dg" <= AaHubCap), "z"))
       val cn = el.select($"z", $"nb".as("x"), $"dg")
