@@ -780,6 +780,38 @@ object Wkb {
   def outerRing(wkb: Array[Byte]): Seq[(Double, Double)] =
     areaRingsGrouped(wkb).head.head.toSeq
 
+  /** Ordered vertex path of a linear feature: a LineString's points, or a
+    * Polygon's outer ring (closing vertex included) — the decode twin of
+    * [[lineString]]/[[polygon]], used by the OSM way assembly checks to
+    * prove coordinates survive the build bit-exact. Loud on any other
+    * geometry type.
+    */
+  def pathPoints(wkb: Array[Byte]): Seq[(Double, Double)] = {
+    val bb = ByteBuffer.wrap(wkb)
+    val h = header(bb)
+    h.base match {
+      case 2 => // LineString
+        val n = bb.getInt
+        (0 until n).map { _ =>
+          val x = bb.getDouble; val y = bb.getDouble
+          (0 until h.dims - 2).foreach(_ => bb.getDouble)
+          (x, y)
+        }
+      case 3 => // Polygon — outer ring, closing vertex kept
+        val nRings = bb.getInt
+        require(nRings >= 1, "wkb: polygon with zero rings")
+        val n = bb.getInt
+        (0 until n).map { _ =>
+          val x = bb.getDouble; val y = bb.getDouble
+          (0 until h.dims - 2).foreach(_ => bb.getDouble)
+          (x, y)
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"wkb: pathPoints expects LineString/Polygon, got type $other")
+    }
+  }
+
   /** Constructive geometry: Sutherland–Hodgman clip of the polygon's outer
     * ring against the axis-aligned rectangle [x0,x1]×[y0,y1], producing a
     * NEW polygon WKB (the first geometry-producing op beyond hull/simplify

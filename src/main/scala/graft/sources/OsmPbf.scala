@@ -102,6 +102,13 @@ object OsmPbf {
   /** One decoded node: id, integer nanodegrees, tag map. */
   final case class Node(id: Long, lonNano: Long, latNano: Long, tags: Map[String, String])
 
+  /** One decoded way: id, ordered node refs (the delta-decoded sint64
+    * chain), tag map. Geometry is NOT materialized here — assembly is a
+    * distributed join against the node store ([[wayFeatures]]), the only
+    * shape that works when the node table is planet-sized.
+    */
+  final case class Way(id: Long, refs: Seq[Long], tags: Map[String, String])
+
   val Granularity = 100L
 
   /** Serialize nodes (sorted by id by the caller) as a complete .osm.pbf
@@ -112,7 +119,16 @@ object OsmPbf {
     * of [[Granularity]] nanodegrees (the default granularity this writer
     * declares).
     */
-  def write(nodes: Seq[Node], blobsOf: Int = 8000): Array[Byte] = {
+  def write(nodes: Seq[Node], blobsOf: Int = 8000): Array[Byte] =
+    writeAll(nodes, Seq.empty, blobsOf)
+
+  /** [[write]] plus ways: way blobs follow the node blobs, each way
+    * serialized per osmformat.proto (`id` plain varint int64, packed
+    * uint32 `keys`/`vals` string-table indices, packed sint64 DELTA
+    * `refs` — the delta chain restarts per way). The fixture feed for
+    * `a1l_osm_ways`, exercising both compression legs like the node path.
+    */
+  def writeAll(nodes: Seq[Node], ways: Seq[Way], blobsOf: Int = 8000): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     def frame(kind: String, body: Array[Byte], deflate: Boolean): Unit = {
       val blob = new ArrayBuffer[Byte]()
@@ -175,6 +191,31 @@ object OsmPbf {
       varintField(block, 19, 0L) // lat_offset
       varintField(block, 20, 0L) // lon_offset
       frame("OSMData", block.toArray, deflate = bi % 2 == 1)
+    }
+
+    ways.grouped(blobsOf).zipWithIndex.foreach { case (chunk, bi) =>
+      val strings = ArrayBuffer[String]("")
+      val strIdx = scala.collection.mutable.HashMap[String, Int]("" -> 0)
+      def intern(s: String): Long = strIdx.getOrElseUpdate(s, { strings += s; strings.length - 1 }).toLong
+      val group = new ArrayBuffer[Byte]()
+      chunk.foreach { way =>
+        val wb = new ArrayBuffer[Byte]()
+        varintField(wb, 1, way.id) // int64 id — plain varint per spec
+        val keys = new ArrayBuffer[Long](); val vals = new ArrayBuffer[Long]()
+        way.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          keys += intern(k); vals += intern(v)
+        }
+        if (keys.nonEmpty) { packed(wb, 2, keys.toSeq); packed(wb, 3, vals.toSeq) }
+        var prev = 0L
+        packed(wb, 8, way.refs.map { r => val d = zigzag(r - prev); prev = r; d })
+        lenDelim(group, 3, wb.toArray) // PrimitiveGroup.ways
+      }
+      val st = new ArrayBuffer[Byte]()
+      strings.foreach(s => lenDelim(st, 1, s.getBytes("UTF-8")))
+      val block = new ArrayBuffer[Byte]()
+      lenDelim(block, 1, st.toArray)
+      lenDelim(block, 2, group.toArray)
+      frame("OSMData", block.toArray, deflate = bi % 2 == 0)
     }
     out.toArray
   }
@@ -265,7 +306,16 @@ object OsmPbf {
     }
   }
 
-  private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node]): Unit = {
+  private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node]): Unit =
+    parseBlock(body, out, null)
+
+  /** `waysOut == null` keeps the nodes-only subset contract: a ways group
+    * throws loudly (a silently-partial scan is worse than a loud one).
+    * Relations (group field 4) throw in EVERY mode — still outside the
+    * subset.
+    */
+  private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node],
+      waysOut: ArrayBuffer[Way]): Unit = {
     val w = new Walker(body, 0, body.length)
     val strings = new ArrayBuffer[String]()
     val groups = new ArrayBuffer[Array[Byte]]()
@@ -296,9 +346,15 @@ object OsmPbf {
         (f, wt) match {
           case (2, 2) =>
             parseDense(gw.bytes(gw.varint().toInt), strings.toSeq, granularity, latOff, lonOff, out)
-          case (3, 2) | (4, 2) =>
+          case (3, 2) =>
+            if (waysOut == null)
+              throw new IllegalArgumentException(
+                "osmpbf: file contains ways — outside this reader's DenseNodes subset " +
+                  "(use readWays/wayFeatures for way-aware reads)")
+            waysOut += parseWay(gw.bytes(gw.varint().toInt), strings.toSeq)
+          case (4, 2) =>
             throw new IllegalArgumentException(
-              "osmpbf: file contains ways/relations — outside this reader's DenseNodes subset")
+              "osmpbf: file contains relations — outside this reader's subset")
           case _ => gw.skip(wt)
         }
       }
@@ -347,6 +403,141 @@ object OsmPbf {
       i += 1
     }
   }
+
+  /** Parse one Way message: plain-varint int64 id, packed uint32
+    * keys/vals (string-table indices, parallel arrays), packed sint64
+    * DELTA refs (zigzag per element, cumulative chain restarting per
+    * way — the osmformat.proto contract).
+    */
+  private def parseWay(d: Array[Byte], strings: Seq[String]): Way = {
+    val w = new Walker(d, 0, d.length)
+    var id = 0L
+    val keys = new ArrayBuffer[Long](); val vals = new ArrayBuffer[Long]()
+    val deltas = new ArrayBuffer[Long]()
+    def readPacked(into: ArrayBuffer[Long], zz: Boolean): Unit = {
+      val len = w.varint().toInt
+      val end = w.off + len
+      while (w.off < end) {
+        val v = w.varint()
+        into += (if (zz) unzigzag(v) else v)
+      }
+    }
+    while (w.hasMore) {
+      val tag = w.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 0) => id = w.varint()
+        case (2, 2) => readPacked(keys, zz = false)
+        case (3, 2) => readPacked(vals, zz = false)
+        case (8, 2) => readPacked(deltas, zz = true)
+        case _ => w.skip(wt)
+      }
+    }
+    require(keys.length == vals.length,
+      s"osmpbf: way $id keys/vals disagree (${keys.length}/${vals.length})")
+    var acc = 0L
+    val refs = deltas.map { dd => acc += dd; acc }
+    Way(id, refs.toSeq,
+      keys.zip(vals).map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap)
+  }
+
+  /** Parse one complete .osm.pbf byte stream to nodes AND ways (the
+    * way-aware twin of [[parse]]; relations still refuse loudly).
+    */
+  def parseAll(bytes: Array[Byte]): (Seq[Node], Seq[Way]) = {
+    val nodes = new ArrayBuffer[Node]()
+    val ways = new ArrayBuffer[Way]()
+    var off = 0
+    while (off < bytes.length) {
+      require(off + 4 <= bytes.length, "osmpbf: truncated frame length")
+      val hLen = ByteBuffer.wrap(bytes, off, 4).getInt
+      off += 4
+      val (kind, dataSize) = parseBlobHeader(bytes, off, hLen)
+      off += hLen
+      val body = decodeBlob(bytes, off, dataSize.toInt)
+      off += dataSize.toInt
+      kind match {
+        case "OSMHeader" => checkHeader(body)
+        case "OSMData" => parseBlock(body, nodes, ways)
+        case other => throw new IllegalArgumentException(s"osmpbf: unknown blob type '$other'")
+      }
+    }
+    (nodes.toSeq, ways.toSeq)
+  }
+
+  /** Distributed way scan: one task per file, emitting
+    * (id, refs, tags) — geometry deliberately absent (see [[Way]]).
+    */
+  def readWays(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"content").as[Array[Byte]]
+      .flatMap(bytes => parseAll(bytes)._2)
+      .toDF()
+  }
+
+  /** Way-tolerant node scan feeding [[wayFeatures]] — the nodes half of a
+    * mixed file. [[read]] stays strict for the pure-DenseNodes contract.
+    */
+  private[graft] def readNodesTolerant(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"content").as[Array[Byte]]
+      .flatMap(bytes => parseAll(bytes)._1)
+      .toDF()
+  }
+
+  /** Assemble way geometries as a DISTRIBUTED join against the node
+    * store — the only shape that survives a planet-sized node table:
+    *
+    *  1. explode (way_id, pos, ref) — the ref list is the join's probe
+    *     side, shuffled on the node id (plain equi-join: AQE skew-split
+    *     and broadcast both apply when the node side is small);
+    *  2. re-assemble per way with a sort_array(collect_list(struct)) —
+    *     bounded state, because the OSM spec caps a way at 2 000 nodes;
+    *  3. build WKB: a CLOSED ring (first ref = last ref, ≥ 4 points)
+    *     with `area=yes` or a `building` tag → Polygon (outer ring);
+    *     anything else → LineString. Coordinates are nanodegrees / 1e9 —
+    *     both engines compute the same IEEE double.
+    *
+    * LOUD on dangling refs: a way whose node is missing from the store
+    * throws with the way id (a silently-shortened geometry is a wrong
+    * geometry).
+    *
+    * Columns: way_id, kind, n_points, geom (WKB), tags.
+    */
+  def assembleWays(s: SparkSession, waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val refs = waysDf.select($"id".as("way_id"), posexplode($"refs").as(Seq("pos", "ref")))
+    val nd = nodesDf.select($"id".as("ref"), $"lonNano", $"latNano")
+    val pts = refs.join(nd, Seq("ref"))
+      .groupBy($"way_id")
+      .agg(count(lit(1)).as("n_joined"),
+        sort_array(collect_list(struct($"pos", $"lonNano", $"latNano"))).as("pts"))
+    val meta = waysDf.select($"id".as("way_id"), size($"refs").as("n_refs"), $"tags")
+    val build = udf { (wayId: Long, nRefs: Int, nJoined: Long,
+        pts: Seq[org.apache.spark.sql.Row], tags: Map[String, String]) =>
+      require(nJoined == nRefs,
+        s"osmpbf: way $wayId has ${nRefs - nJoined} dangling node refs — " +
+          "refusing a silently-partial geometry")
+      val coords = pts.map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
+      val closed = coords.length >= 4 && coords.head == coords.last
+      val polygonal = closed &&
+        (tags.get("area").contains("yes") || tags.contains("building"))
+      if (polygonal) ("POLYGON", graft.functions.Wkb.polygon(Seq(coords)))
+      else ("LINESTRING", graft.functions.Wkb.lineString(coords.toSeq))
+    }
+    meta.join(pts, Seq("way_id"))
+      .withColumn("g", build($"way_id", $"n_refs", $"n_joined", $"pts", $"tags"))
+      .select($"way_id", $"g._1".as("kind"), $"n_refs".as("n_points"),
+        $"g._2".as("geom"), $"tags")
+  }
+
+  /** End-to-end way features from .osm.pbf files: way-aware scan of both
+    * element kinds, then [[assembleWays]].
+    */
+  def wayFeatures(spark: SparkSession, pathGlob: String): DataFrame =
+    assembleWays(spark, readWays(spark, pathGlob), readNodesTolerant(spark, pathGlob))
 
   /** Distributed scan: one task per .osm.pbf file (binaryFile source),
     * emitting (feature_id, lon_nano, lat_nano, tags). For a SINGLE huge

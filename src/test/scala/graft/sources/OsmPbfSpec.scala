@@ -71,6 +71,84 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported feature"))
   }
 
+  test("ways roundtrip: plain-varint id, packed keys/vals, zigzag-delta refs across raw AND zlib blobs") {
+    val ns = nodes(20)
+    val ids = ns.map(_.id)
+    val ws = Seq(
+      OsmPbf.Way(1L, Seq(ids(0), ids(3), ids(5), ids(0)), Map("building" -> "yes")),
+      OsmPbf.Way(2L, Seq(ids(7), ids(2), ids(9)), Map("highway" -> "path")),
+      // descending refs force NEGATIVE deltas through the zigzag leg
+      OsmPbf.Way(3L, Seq(ids(9), ids(4), ids(1)), Map.empty),
+      OsmPbf.Way(4L, Seq(ids(10), ids(11), ids(12), ids(10)), Map("area" -> "yes")))
+    // blobsOf=2 → 2 way blobs, one raw and one deflated
+    val bytes = OsmPbf.writeAll(ns, ws, blobsOf = 2)
+    val (backNodes, backWays) = OsmPbf.parseAll(bytes)
+    assert(backNodes == ns && backWays == ws)
+    // the strict nodes-only reader must refuse the mixed file loudly
+    val e = intercept[IllegalArgumentException] { OsmPbf.parse(bytes) }
+    assert(e.getMessage.contains("ways"))
+  }
+
+  test("assembleWays: polygon heuristic (closed+area/building), closure-only stays a line, dangling ref is loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ns = Seq(
+      OsmPbf.Node(1, 0L, 0L, Map.empty),
+      OsmPbf.Node(2, 1000000000L, 0L, Map.empty),
+      OsmPbf.Node(3, 1000000000L, 1000000000L, Map.empty),
+      OsmPbf.Node(4, 0L, 1000000000L, Map.empty))
+    val ws = Seq(
+      OsmPbf.Way(10, Seq(1L, 2L, 3L, 4L, 1L), Map("building" -> "yes")),
+      OsmPbf.Way(11, Seq(1L, 2L, 3L, 4L, 1L), Map("note" -> "ring")), // closed, untagged
+      OsmPbf.Way(12, Seq(1L, 2L, 3L), Map("area" -> "yes"))) // open despite area
+    val dir = Files.createTempDirectory("osmpbf_ways")
+    Files.write(dir.resolve("w.osm.pbf"), OsmPbf.writeAll(ns, ws))
+    val feats = OsmPbf.wayFeatures(spark, dir.toString + "/*.osm.pbf")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats == Map(10L -> "POLYGON", 11L -> "LINESTRING", 12L -> "LINESTRING"))
+    // geometry really is the planted square: area of way 10's polygon = 1.0
+    val wkb = OsmPbf.wayFeatures(spark, dir.toString + "/*.osm.pbf")
+      .filter(col("way_id") === 10L).select(col("geom")).head().getAs[Array[Byte]](0)
+    assert(math.abs(graft.functions.Wkb.area(wkb) - 1.0) < 1e-12)
+    // dangling ref (node 99 absent): the assembly must throw, not shorten
+    val bad = Seq(OsmPbf.Way(13, Seq(1L, 99L, 3L), Map.empty))
+    Files.write(dir.resolve("bad.osm.pbf"), OsmPbf.writeAll(ns, bad))
+    val e = intercept[Exception] {
+      OsmPbf.wayFeatures(spark, dir.resolve("bad.osm.pbf").toString).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("dangling") ||
+      Option(e.getCause).exists(_.getMessage.contains("dangling")))
+  }
+
+  test("relations refusal is still loud in every mode (the subset mandate survives ways support)") {
+    // hand-frame a PrimitiveBlock whose group carries field 4 (relations)
+    val ns = nodes(2)
+    val withWays = OsmPbf.writeAll(ns, Seq(OsmPbf.Way(1, Seq(ns.head.id), Map.empty)))
+    // synthetic PrimitiveBlock:
+    //   field 1 (stringtable, len 2) = { field 1 len 0 = "" }
+    //   field 2 (group, len 2)       = { field 4 (relation) len 0 }
+    val blockWithRelations =
+      Array[Byte](0x0a, 0x02, 0x0a, 0x00, 0x12, 0x02, 0x22, 0x00)
+    // route through the public seam: a full file whose OSMData body is the
+    // synthetic block (raw blob)
+    def frameFile(body: Array[Byte]): Array[Byte] = {
+      val blob = scala.collection.mutable.ArrayBuffer[Byte]()
+      blob += 0x10.toByte; blob += body.length.toByte // raw_size varint (field 2)
+      blob += 0x0a.toByte; blob += body.length.toByte; blob ++= body // raw (field 1)
+      val hdr = scala.collection.mutable.ArrayBuffer[Byte]()
+      val kind = "OSMData".getBytes("UTF-8")
+      hdr += 0x0a.toByte; hdr += kind.length.toByte; hdr ++= kind
+      hdr += 0x18.toByte; hdr += blob.length.toByte // datasize (field 3)
+      java.nio.ByteBuffer.allocate(4).putInt(hdr.length).array() ++ hdr ++ blob
+    }
+    val e1 = intercept[IllegalArgumentException] { OsmPbf.parse(frameFile(blockWithRelations)) }
+    assert(e1.getMessage.contains("relations"))
+    val e2 = intercept[IllegalArgumentException] { OsmPbf.parseAll(frameFile(blockWithRelations)) }
+    assert(e2.getMessage.contains("relations"))
+    // and the mixed nodes+ways file parses fine in way-aware mode
+    assert(OsmPbf.parseAll(withWays)._2.length == 1)
+  }
+
   test("spec mandates are enforced loudly: unknown required feature, ways, unsupported compression") {
     val ns = nodes(4)
     val good = OsmPbf.write(ns)
