@@ -44,13 +44,18 @@ object GeoParquet {
   val SpecVersion = "1.0.0"
   val GeoKey = "geo"
 
-  /** Parsed `geo` footer entry (the fields this library asserts on). */
+  /** Parsed `geo` footer entry (the fields this library asserts on).
+    * `srid` = 0 means lon/lat (OGC:CRS84 / EPSG:4326 — the spec default
+    * and this library's envelope convention); any other value is a
+    * foreign CRS this registry knows how to invert back to lon/lat.
+    */
   final case class GeoMeta(
       version: String,
       primaryColumn: String,
       encoding: String,
       geometryTypes: Seq[String],
-      bbox: Seq[Double])
+      bbox: Seq[Double],
+      srid: Int = 0)
 
   /** The `geo` JSON for one WKB geometry column. Hand-assembled (keys
     * and value shapes are fixed by the spec; no user strings beyond the
@@ -73,6 +78,18 @@ object GeoParquet {
         if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString)
         .mkString(",") + "]"
     s"""{"version":"$SpecVersion","primary_column":"${esc(primary)}","columns":{"${esc(primary)}":{"encoding":"WKB","geometry_types":[$types]$bbField}}}"""
+  }
+
+  /** [[geoJson]] with an explicit PROJJSON-id `crs` member — for layers
+    * whose coordinates are NOT lon/lat (this library's own [[write]]
+    * stays in the spec-default OGC:CRS84 and omits the member).
+    */
+  def geoJsonCrs(primary: String, geomTypes: Seq[String], bbox: Seq[Double],
+      authority: String, code: String): String = {
+    val base = geoJson(primary, geomTypes, bbox)
+    val crs = s""","crs":{"id":{"authority":"$authority","code":"$code"}}}}}"""
+    require(base.endsWith("}}}"), "geoparquet: unexpected geoJson shape")
+    base.dropRight(3) + crs
   }
 
   /** Rewrite ONE parquet file with the `geo` entry added to its footer
@@ -235,6 +252,13 @@ object GeoParquet {
   def readBbox(spark: SparkSession, path: String,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame = {
     val meta = metaOf(spark, path) // validates the geo contract loudly
+    // footer bboxes live in the layer's own CRS — pruning a foreign-CRS
+    // layer against a lon/lat window would silently compare incompatible
+    // axes; reproject via read() first, or pass a native-CRS window by
+    // reprojecting the layer once
+    require(meta.srid == 0,
+      s"geoparquet: readBbox needs lon/lat (OGC:CRS84) footers, layer declares " +
+        s"EPSG:${meta.srid} — use read() (reprojects) and filter, or rewrite the layer")
     val conf = spark.sparkContext.hadoopConfiguration
     val keep = partFiles(spark, path).filter { f =>
       val fmd = ParquetFileReader
@@ -278,7 +302,7 @@ object GeoParquet {
     val head = metas.head
     metas.tail.foreach { m =>
       require(m.version == head.version && m.primaryColumn == head.primaryColumn &&
-        m.encoding == head.encoding,
+        m.encoding == head.encoding && m.srid == head.srid,
         s"geoparquet: part files disagree on geo metadata ($head vs $m)")
     }
     // layer bbox = union of per-file bboxes ([[write]] stamps each file's
@@ -322,20 +346,92 @@ object GeoParquet {
     val bbox = Option(colNode.get("bbox")).map { a =>
       (0 until a.size()).map(a.get(_).asDouble())
     }.getOrElse(Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN))
-    GeoMeta(version, primary, enc, types, bbox)
+    GeoMeta(version, primary, enc, types, bbox, parseCrs(colNode.get("crs"), file))
+  }
+
+  /** The `crs` member, LOUD on anything this library cannot honor (r15
+    * directive #3 — a silently-misinterpreted CRS puts every coordinate
+    * on the wrong continent, the worst possible quiet failure):
+    *
+    *   - absent or JSON null → the spec default OGC:CRS84 (srid 0);
+    *   - a PROJJSON object whose `id` is OGC:CRS84 or EPSG:4326 → srid 0;
+    *   - a PROJJSON `id` of EPSG:<code> where <code> is 3857 or a
+    *     registered SRID in the [[graft.functions.Crs]] registry → that
+    *     srid is accepted and [[read]] reprojects back to lon/lat;
+    *   - everything else (unknown authority, unregistered code, a
+    *     non-object value, a PROJJSON without an `id`) → throws naming
+    *     what was found.
+    */
+  private def parseCrs(crsNode: com.fasterxml.jackson.databind.JsonNode,
+      file: String): Int = {
+    if (crsNode == null || crsNode.isNull) return 0 // spec default OGC:CRS84
+    require(crsNode.isObject,
+      s"geoparquet: 'crs' in $file is ${crsNode.getNodeType} — expected a PROJJSON object or null")
+    val id = crsNode.get("id")
+    require(id != null && id.isObject,
+      s"geoparquet: 'crs' in $file carries no 'id' {authority, code} — cannot verify the CRS, refusing")
+    val auth = Option(id.get("authority")).map(_.asText("")).getOrElse("")
+    val code = Option(id.get("code")).map(n =>
+      if (n.isNumber) n.asLong().toString else n.asText("")).getOrElse("")
+    (auth.toUpperCase, code.toUpperCase) match {
+      case ("OGC", "CRS84") => 0
+      case ("EPSG", "4326") => 0
+      case ("EPSG", c) if c.forall(_.isDigit) &&
+          (c.toInt == 3857 || graft.functions.Crs.inverseOf(c.toInt).isDefined) =>
+        c.toInt
+      case (a, c) =>
+        throw new IllegalArgumentException(
+          s"geoparquet: $file declares CRS $a:$c — not OGC:CRS84/EPSG:4326 and not " +
+            "in this library's CRS registry (register it via Crs.register* or " +
+            "reproject the file); refusing a silently-misread CRS")
+    }
   }
 
   /** Validated read: asserts the `geo` footer contract ([[metaOf]]) and
-    * that the primary geometry column exists in the data schema, then
-    * returns the frame as-is — payload bytes untouched, so WKB
-    * roundtrips bit-lossless.
+    * that the primary geometry column exists in the data schema. For the
+    * lon/lat default (srid 0) the frame returns as-is — payload bytes
+    * untouched, so WKB roundtrips bit-lossless. For an ACCEPTED foreign
+    * CRS (see `parseCrs`) the geometry column is reprojected back to
+    * lon/lat through the registry inverse — per-row map-side work, no
+    * exchange.
+    *
+    * Validation also samples the payload against the DECLARED
+    * `geometry_types` (r15 directive #8): up to [[TypeSampleRows]]
+    * geometries are decoded driver-side and any type outside the
+    * declaration throws — a mislabeled foreign file fails loudly instead
+    * of poisoning downstream type dispatch. (A sample bounds the cost; a
+    * full scan belongs to the reader that already touches every row.)
     */
+  val TypeSampleRows = 100
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val meta = metaOf(spark, path)
     val df = spark.read.parquet(path)
     require(df.schema.fieldNames.contains(meta.primaryColumn),
       s"geoparquet: primary column '${meta.primaryColumn}' not in parquet schema " +
         df.schema.fieldNames.mkString(","))
-    df
+    if (meta.geometryTypes.nonEmpty) {
+      val declared = meta.geometryTypes.map(_.toUpperCase.replace(" ", "")).toSet
+      df.select(col(meta.primaryColumn)).limit(TypeSampleRows).collect()
+        .iterator.map(_.getAs[Array[Byte]](0)).filter(_ != null).foreach { wkb =>
+          val t = Wkb.geomType(wkb)
+          require(declared.contains(t),
+            s"geoparquet: $path declares geometry_types ${meta.geometryTypes.mkString(",")} " +
+              s"but the payload carries a $t — mislabeled file, refusing")
+        }
+    }
+    if (meta.srid == 0) df
+    else {
+      val inv: (Double, Double) => (Double, Double) =
+        if (meta.srid == 3857) Wkb.mercatorToLonLat _
+        else graft.functions.Crs.inverseOf(meta.srid).getOrElse(
+          throw new IllegalStateException(
+            s"geoparquet: srid ${meta.srid} accepted at parse time but no inverse " +
+              "registered — was the registration removed mid-session?"))
+      val toLonLat = udf { (wkb: Array[Byte]) =>
+        if (wkb == null) null else Wkb.mapCoords(wkb, inv)
+      }
+      df.withColumn(meta.primaryColumn, toLonLat(col(meta.primaryColumn)))
+    }
   }
 }

@@ -142,6 +142,77 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("declares no covering"))
   }
 
+  test("crs loudness: CRS84/4326 accepted, unknown CRS red-without / green-with registration, " +
+    "3857 reprojects back to lon/lat, readBbox refuses foreign footers") {
+    val lonLat = Seq((-4.25, 42.5), (13.0625, -7.125), (151.2, -33.85))
+    val dir = Files.createTempDirectory("geoparquet_crs").toString + "/merc"
+    // a 3857 layer: geometry stored in mercator meters, footer says EPSG:3857
+    val merc = layer(lonLat.zipWithIndex.map { case ((lon, lat), i) =>
+      val (x, y) = Wkb.lonLatToMercator(lon, lat)
+      (s"f$i", Wkb.point(x, y), "view")
+    })
+    GeoParquet.write(merc, dir, "geometry", Seq("Point"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf).listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    parts.foreach(p => GeoParquet.stampFile(conf, p,
+      GeoParquet.geoJsonCrs("geometry", Seq("Point"),
+        Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN), "EPSG", "3857")))
+    assert(GeoParquet.metaOf(spark, dir).srid == 3857)
+    // read() reprojects the payload back to lon/lat through the registry
+    val got = GeoParquet.read(spark, dir)
+      .collect().map { r =>
+        val bb = Wkb.bbox(r.getAs[Array[Byte]](1)) // a point's box is the point
+        r.getString(0) -> (bb.xmin, bb.ymin)
+      }.toMap
+    lonLat.zipWithIndex.foreach { case ((lon, lat), i) =>
+      val (gx, gy) = got(s"f$i")
+      assert(math.abs(gx - lon) < 1e-9 && math.abs(gy - lat) < 1e-9,
+        s"f$i: expected ($lon,$lat), got ($gx,$gy)")
+    }
+    // footer pruning against a lon/lat window would be axis salad — loud
+    val eb = intercept[IllegalArgumentException] {
+      GeoParquet.readBbox(spark, dir, -10, -10, 10, 10)
+    }
+    assert(eb.getMessage.contains("lon/lat"))
+    // CRS84 and 4326 spellings are the default — accepted, payload untouched
+    parts.foreach(p => GeoParquet.stampFile(conf, p,
+      GeoParquet.geoJsonCrs("geometry", Seq("Point"),
+        Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN), "OGC", "CRS84")))
+    assert(GeoParquet.metaOf(spark, dir).srid == 0)
+    // unknown CRS: RED without a registration…
+    parts.foreach(p => GeoParquet.stampFile(conf, p,
+      GeoParquet.geoJsonCrs("geometry", Seq("Point"),
+        Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN), "EPSG", "90210")))
+    val e = intercept[IllegalArgumentException] { GeoParquet.metaOf(spark, dir) }
+    assert(e.getMessage.contains("EPSG:90210"))
+    // …GREEN with one (any registered grid makes the code honorable)
+    try {
+      graft.functions.Crs.registerTm(90210, 0.9996, 9.0, 500000.0, 0.0)
+      assert(GeoParquet.metaOf(spark, dir).srid == 90210)
+    } finally graft.functions.Crs.unregister(90210)
+    // a non-object crs and an id-less PROJJSON are refused too
+    parts.foreach(p => GeoParquet.stampFile(conf, p,
+      """{"version":"1.0.0","primary_column":"geometry","columns":{"geometry":{"encoding":"WKB","geometry_types":["Point"],"crs":"EPSG:3857"}}}"""))
+    intercept[IllegalArgumentException] { GeoParquet.metaOf(spark, dir) }
+  }
+
+  test("geometry_types validation: a mislabeled payload fails loudly on read") {
+    val dir = Files.createTempDirectory("geoparquet_types").toString + "/mis"
+    val df = layer(Seq(
+      ("a", Wkb.point(0.0, 0.0), "x"),
+      ("b", Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))), "y")))
+    // declare Point only — the LineString row must trip the sample check
+    GeoParquet.write(df, dir, "geometry", Seq("Point"))
+    val e = intercept[IllegalArgumentException] { GeoParquet.read(spark, dir) }
+    assert(e.getMessage.contains("LINESTRING") && e.getMessage.contains("mislabeled"))
+    // honest declaration (both types) reads fine
+    val dir2 = Files.createTempDirectory("geoparquet_types2").toString + "/ok"
+    GeoParquet.write(df, dir2, "geometry", Seq("Point", "LineString"))
+    assert(GeoParquet.read(spark, dir2).count() == 2)
+  }
+
   test("multi-file layers: per-file bboxes union; disagreeing primaries rejected") {
     import spark.implicits._
     val dir = Files.createTempDirectory("geoparquet_spec3").toString + "/multi"
