@@ -25,7 +25,21 @@ object ScaleGen {
   private def unit(h: org.apache.spark.sql.Column) =
     (abs(h) % 9007199254740992L).cast("double") / 9007199254740992.0
 
-  def documents(spark: SparkSession, n: Long): DataFrame = {
+  /** Skew mode (r15 directive #4 — the last untested 100 TB hazard): a
+    * Zipf-head key distribution over the join/window keys, one hot key
+    * owning ~7% of rows and a second ~3% (the s≈1.1 head shape, stated
+    * as explicit mass so the soak numbers attribute cleanly), the tail
+    * unchanged-uniform. Applied to events.user_id, orders.o_custkey,
+    * and documents.source (src0 → ~25% of docs, the within-source pair
+    * mines' pressure point). Deterministic like everything else here —
+    * the hot rows are chosen by an independent xxhash64 lane, so the
+    * skewed tables differ from the uniform ones ONLY in key mass.
+    */
+  private def skewKey(u: org.apache.spark.sql.Column,
+      base: org.apache.spark.sql.Column) =
+    when(u < 0.07, lit(0L)).when(u < 0.10, lit(1L)).otherwise(base)
+
+  def documents(spark: SparkSession, n: Long, skew: Boolean = false): DataFrame = {
     import spark.implicits._
     // Zipf-headed vocabulary GROWING with corpus size (Heaps' law,
     // V ∝ √N anchored at 200 types / 50k docs): a closed vocab at soak
@@ -51,7 +65,10 @@ object ScaleGen {
         element_at(array(lit("en"), lit("en"), lit("en"), lit("de"), lit("es"),
           lit("fr"), lit("zh")), (abs(xxhash64($"doc_id", lit(3))) % 7 + 1).cast("int"))
           .as("lang"),
-        concat(lit("src"), abs(xxhash64($"doc_id", lit(4))) % 20).as("source"),
+        (if (skew)
+          when(unit(xxhash64($"doc_id", lit(5))) < 0.25, lit("src0"))
+            .otherwise(concat(lit("src"), abs(xxhash64($"doc_id", lit(4))) % 20))
+        else concat(lit("src"), abs(xxhash64($"doc_id", lit(4))) % 20)).as("source"),
         length($"text").cast("long").as("n_chars"))
   }
 
@@ -78,14 +95,17 @@ object ScaleGen {
         ($"vec_id" % 10).cast("int").as("label"))
   }
 
-  def events(spark: SparkSession, n: Long): DataFrame = {
+  def events(spark: SparkSession, n: Long, skew: Boolean = false): DataFrame = {
     import spark.implicits._
     val types = array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error"))
     spark.range(n).toDF("event_id")
       .select($"event_id",
         timestamp_micros(lit(1704067200000000L) +
           abs(xxhash64($"event_id", lit(10))) % 2592000000000L).as("ts"),
-        (abs(xxhash64($"event_id", lit(11))) % (n / 666 + 2)).as("user_id"),
+        (if (skew)
+          skewKey(unit(xxhash64($"event_id", lit(15))),
+            abs(xxhash64($"event_id", lit(11))) % (n / 666 + 2))
+        else abs(xxhash64($"event_id", lit(11))) % (n / 666 + 2)).as("user_id"),
         element_at(types, (abs(xxhash64($"event_id", lit(12))) % 5 + 1).cast("int"))
           .as("event_type"),
         ((abs(xxhash64($"event_id", lit(13))) % 56021).cast("double") / 100.0).as("value"),
@@ -93,11 +113,14 @@ object ScaleGen {
           .as("props"))
   }
 
-  def orders(spark: SparkSession, n: Long, custN: Long): DataFrame = {
+  def orders(spark: SparkSession, n: Long, custN: Long, skew: Boolean = false): DataFrame = {
     import spark.implicits._
     spark.range(n).toDF("o_orderkey")
       .select($"o_orderkey",
-        (abs(xxhash64($"o_orderkey", lit(20))) % custN).as("o_custkey"),
+        (if (skew)
+          skewKey(unit(xxhash64($"o_orderkey", lit(25))),
+            abs(xxhash64($"o_orderkey", lit(20))) % custN)
+        else abs(xxhash64($"o_orderkey", lit(20))) % custN).as("o_custkey"),
         element_at(array(lit("O"), lit("F"), lit("P")),
           (abs(xxhash64($"o_orderkey", lit(21))) % 3 + 1).cast("int")).as("o_orderstatus"),
         ((abs(xxhash64($"o_orderkey", lit(22))) % 50000000).cast("double") / 100.0)
@@ -186,6 +209,7 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(outDir, sfStr) = args.take(2)
     val sf = sfStr.toDouble
+    val skew = args.length > 2 && args(2) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -205,13 +229,13 @@ object ScaleGen {
     land("region", region(spark), 1)
     land("supplier", supplier(spark, rows(10000)), 1)
     land("part", part(spark, rows(200000)), 2)
-    land("documents", documents(spark, rows(50000)))
+    land("documents", documents(spark, rows(50000), skew))
     land("embeddings", embeddings(spark, rows(20000)))
-    land("events", events(spark, rows(1000000)))
+    land("events", events(spark, rows(1000000), skew))
     land("customer", customer(spark, rows(150000)))
-    land("orders", orders(spark, rows(1500000), rows(150000)))
+    land("orders", orders(spark, rows(1500000), rows(150000), skew))
     land("lineitem", lineitem(spark, rows(6000000)))
-    println(s"[scalegen] sf=$sf landed at $outDir")
+    println(s"[scalegen] sf=$sf skew=$skew landed at $outDir")
     spark.stop()
   }
 }

@@ -1456,6 +1456,42 @@ object TierB {
     }
   )
 
+  /** The UNSALTED twin of [[b42]] — identical semantics (same oracle
+    * SQL), plain equi-join, no scatter. Exists so the skew soak can
+    * MEASURE what salting buys on a Zipf-headed key instead of asserting
+    * it: ScaleBench times b42_salted_join and b42b_plain_join on the
+    * same skewed tables (r15 directive #4). On uniform fixtures the two
+    * should track ~equal (salting costs one extra small exchange); under
+    * a hot key the plain join's single reducer becomes the straggler
+    * unless AQE's skew split catches it — either way the pair is the
+    * measurement.
+    */
+  private val b42b = QuerySpec(
+    "b42b_plain_join",
+    "Unsalted twin of b42_salted_join: the identical hot-key aggregation through a plain equi-join — the skew soak's control arm (same oracle, hash-equal by construction).",
+    Some("""WITH e AS (SELECT event_id, value,
+              CASE WHEN user_id % 10 < 8 THEN 'hot' ELSE event_type END AS skey
+              FROM events),
+            dim AS (SELECT skey AS dkey, COUNT(*) AS key_n FROM e GROUP BY 1)
+            SELECT e.skey, CAST(dim.key_n AS BIGINT) AS key_n, COUNT(*) AS n,
+              CAST(SUM(CAST(floor(e.value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+            FROM e JOIN dim ON e.skey = dim.dkey
+            GROUP BY e.skey, dim.key_n ORDER BY e.skey"""),
+    (s, d) => {
+      import s.implicits._
+      val skey = when($"user_id" % 10 < 8, "hot").otherwise($"event_type")
+      val e = graft.CacheRegistry.persist(Tables.events(s, d)
+        .select($"event_id", $"value", skey.as("skey")))
+      val dim = e.groupBy($"skey".as("dkey")).agg(count(lit(1)).as("key_n"))
+      e.join(dim, $"skey" === $"dkey")
+        .groupBy($"skey", $"key_n")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+        .select($"skey", $"key_n".cast(LongType).as("key_n"), $"n", $"cents")
+        .orderBy($"skey")
+    }
+  )
+
   // ----------------------------------------------------------------- B43
   /** Full TPC-H composites — the integration rows proving the Tier B
     * operators COMPOSE into the multi-join analytics queries users
@@ -6031,7 +6067,7 @@ object TierB {
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,
-    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b43, b44,
+    b27, b28, b29, b30, b34, b35, b36, b8b, b17b, b37, b38, b39, b40, b41, b42, b42b, b43, b44,
     b45, b46, b47, b48, b49, b50, b51, b52, b53, b54, b55, b56, b57, b58,
     b59, b60, b61, b62, b63, b64, b65, b66, b67, b68, b69, b70, b71, b72, b73, b74, b75,
     b76, b77, b78, b79, b80, b81, b82, b83, b84, b85, b86, b87, b88, b89, b90, b91,

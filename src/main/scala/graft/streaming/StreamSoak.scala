@@ -27,10 +27,16 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *     ramp means per-batch work proportional to accumulated state.
   *
   * Usage: `runMain graft.streaming.StreamSoak [nEvents] [slices] [mode]`
-  * with mode `sessionize` (default — session_window state) or `dedup`
+  * with mode `sessionize` (default — session_window state), `dedup`
   * (cross-batch MinHash near-dedup through transformWithState on
   * RocksDB: the B32/C2-streaming horizon claim — state bounded by the
-  * DISTINCT signatures inside the eviction horizon, not by history).
+  * DISTINCT signatures inside the eviction horizon, not by history),
+  * `heartbeat` (r15 soak #3a — event-time TIMERS via
+  * transformWithState/RocksDB: one HeartbeatProcessor key per entity,
+  * state bounded by |entities| and timers firing as the watermark
+  * sweeps), or `geofence` (r15 soak #3b — the flatMapGroupsWithState
+  * ENTER/EXIT state machine over a 64-fence grid: state is one zone set
+  * per entity, bounded by |entities|, never history).
   * Prints per-batch lines + ONE JSON summary for BENCH_NOTES.
   */
 object StreamSoak {
@@ -47,7 +53,7 @@ object StreamSoak {
     // the dedup soak exercises the production state backend — RocksDB —
     // so the state_mem number is the real store's, not the HDFS-backed
     // in-memory map's
-    if (mode == "dedup")
+    if (mode == "dedup" || mode == "heartbeat")
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
@@ -69,6 +75,20 @@ object StreamSoak {
             timestamp_micros(lit(t0us) + $"doc_id" * (spanUs / math.max(1L, n)))
               .as("event_ts")),
           "doc_id BIGINT, text STRING, event_ts TIMESTAMP")
+      case "heartbeat" =>
+        // one heartbeat key per entity (~n/666 devices): the timer state
+        // machine must hold ONE (last_ts, timer) per device, not history
+        (graft.ScaleGen.events(spark, n)
+          .select(concat(lit("u"), $"user_id").as("layer"), $"ts".as("event_ts")),
+          "layer STRING, event_ts TIMESTAMP")
+      case "geofence" =>
+        // entities teleport across a fence grid each event — the
+        // worst-case transition rate (every observation can flip zones)
+        (graft.ScaleGen.events(spark, n)
+          .select($"user_id".as("entity_id"), $"ts".as("event_ts"),
+            (($"value" % 300.0) - 150.0).as("x"),
+            (($"value" % 160.0) - 80.0).as("y")),
+          "entity_id BIGINT, event_ts TIMESTAMP, x DOUBLE, y DOUBLE")
       case other => throw new IllegalArgumentException(s"unknown soak mode '$other'")
     }
 
@@ -98,6 +118,23 @@ object StreamSoak {
       case "sessionize" =>
         FeaturePipeline.sessionizeStream(stream,
           gap = "30 minutes", watermark = "10 minutes")
+      case "heartbeat" =>
+        // 2 h heartbeat gap over ~65 min mean per-device cadence: a
+        // healthy mix of firing and re-armed timers every batch
+        FeaturePipeline.heartbeatAlerts(stream,
+          gapMs = 2L * 3600 * 1000, delay = "10 minutes").toDF()
+      case "geofence" =>
+        // 8×8 grid of 30°×15° square fences tiling [-120,120]×[-60,60]
+        val fences = (for (i <- 0 until 8; j <- 0 until 8) yield {
+          val x0 = -120.0 + i * 30.0; val y0 = -60.0 + j * 15.0
+          (f"fence_${i}_$j", graft.functions.Wkb.polygon(Seq(Seq(
+            (x0, y0), (x0 + 30.0, y0), (x0 + 30.0, y0 + 15.0),
+            (x0, y0 + 15.0), (x0, y0)))))
+        }).toSeq
+        FeaturePipeline.geofenceTransitions(
+          stream.select($"entity_id", unix_micros($"event_ts").as("ts_us"),
+            $"x", $"y"),
+          fences).toDF()
       case _ =>
         // 3-day horizon over 1.5-day batches: state must hold ~2 batches'
         // distinct signatures, never the run's history
