@@ -780,6 +780,12 @@ object Wkb {
   def outerRing(wkb: Array[Byte]): Seq[(Double, Double)] =
     areaRingsGrouped(wkb).head.head.toSeq
 
+  /** Ring count of a Polygon (outer + holes) or total rings of a
+    * MultiPolygon — the structural evidence the OSM relation-assembly
+    * oracle checks without decoding hole coordinates.
+    */
+  def numRings(wkb: Array[Byte]): Int = areaRingsGrouped(wkb).map(_.length).sum
+
   /** Ordered vertex path of a linear feature: a LineString's points, or a
     * Polygon's outer ring (closing vertex included) — the decode twin of
     * [[lineString]]/[[polygon]], used by the OSM way assembly checks to

@@ -109,6 +109,14 @@ object OsmPbf {
     */
   final case class Way(id: Long, refs: Seq[Long], tags: Map[String, String])
 
+  /** One decoded relation: parallel member arrays (delta-decoded memids,
+    * role strings from the table, type 0=node/1=way/2=relation) + tags —
+    * the raw osmformat.proto shape; geometry assembly is a separate
+    * distributed step ([[assembleMultipolygons]]).
+    */
+  final case class Relation(id: Long, memberIds: Seq[Long],
+      memberRoles: Seq[String], memberTypes: Seq[Int], tags: Map[String, String])
+
   val Granularity = 100L
 
   /** Serialize nodes (sorted by id by the caller) as a complete .osm.pbf
@@ -120,15 +128,21 @@ object OsmPbf {
     * declares).
     */
   def write(nodes: Seq[Node], blobsOf: Int = 8000): Array[Byte] =
-    writeAll(nodes, Seq.empty, blobsOf)
+    writeFull(nodes, Seq.empty, Seq.empty, blobsOf)
 
-  /** [[write]] plus ways: way blobs follow the node blobs, each way
-    * serialized per osmformat.proto (`id` plain varint int64, packed
-    * uint32 `keys`/`vals` string-table indices, packed sint64 DELTA
-    * `refs` — the delta chain restarts per way). The fixture feed for
-    * `a1l_osm_ways`, exercising both compression legs like the node path.
+  def writeAll(nodes: Seq[Node], ways: Seq[Way], blobsOf: Int = 8000): Array[Byte] =
+    writeFull(nodes, ways, Seq.empty, blobsOf)
+
+  /** [[write]] plus ways and relations: way/relation blobs follow the
+    * node blobs, each serialized per osmformat.proto (`id` plain varint
+    * int64, packed uint32 `keys`/`vals` string-table indices; ways carry
+    * packed sint64 DELTA `refs`, relations packed `roles_sid` +
+    * DELTA `memids` + `types` — all delta chains restart per element).
+    * The fixture feed for `a1l_osm_ways` / `a1m_osm_relations`,
+    * exercising both compression legs like the node path.
     */
-  def writeAll(nodes: Seq[Node], ways: Seq[Way], blobsOf: Int = 8000): Array[Byte] = {
+  def writeFull(nodes: Seq[Node], ways: Seq[Way], relations: Seq[Relation],
+      blobsOf: Int = 8000): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     def frame(kind: String, body: Array[Byte], deflate: Boolean): Unit = {
       val blob = new ArrayBuffer[Byte]()
@@ -216,6 +230,36 @@ object OsmPbf {
       lenDelim(block, 1, st.toArray)
       lenDelim(block, 2, group.toArray)
       frame("OSMData", block.toArray, deflate = bi % 2 == 0)
+    }
+
+    relations.grouped(blobsOf).zipWithIndex.foreach { case (chunk, bi) =>
+      val strings = ArrayBuffer[String]("")
+      val strIdx = scala.collection.mutable.HashMap[String, Int]("" -> 0)
+      def intern(s: String): Long = strIdx.getOrElseUpdate(s, { strings += s; strings.length - 1 }).toLong
+      val group = new ArrayBuffer[Byte]()
+      chunk.foreach { rel =>
+        require(rel.memberIds.length == rel.memberRoles.length &&
+          rel.memberIds.length == rel.memberTypes.length,
+          s"osmpbf: relation ${rel.id} member arrays disagree")
+        val rb = new ArrayBuffer[Byte]()
+        varintField(rb, 1, rel.id)
+        val keys = new ArrayBuffer[Long](); val vals = new ArrayBuffer[Long]()
+        rel.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          keys += intern(k); vals += intern(v)
+        }
+        if (keys.nonEmpty) { packed(rb, 2, keys.toSeq); packed(rb, 3, vals.toSeq) }
+        packed(rb, 8, rel.memberRoles.map(intern)) // roles_sid
+        var prev = 0L
+        packed(rb, 9, rel.memberIds.map { m => val d = zigzag(m - prev); prev = m; d })
+        packed(rb, 10, rel.memberTypes.map(_.toLong))
+        lenDelim(group, 4, rb.toArray) // PrimitiveGroup.relations
+      }
+      val st = new ArrayBuffer[Byte]()
+      strings.foreach(s => lenDelim(st, 1, s.getBytes("UTF-8")))
+      val block = new ArrayBuffer[Byte]()
+      lenDelim(block, 1, st.toArray)
+      lenDelim(block, 2, group.toArray)
+      frame("OSMData", block.toArray, deflate = bi % 2 == 1)
     }
     out.toArray
   }
@@ -307,15 +351,19 @@ object OsmPbf {
   }
 
   private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node]): Unit =
-    parseBlock(body, out, null)
+    parseBlock(body, out, null, null)
 
-  /** `waysOut == null` keeps the nodes-only subset contract: a ways group
-    * throws loudly (a silently-partial scan is worse than a loud one).
-    * Relations (group field 4) throw in EVERY mode — still outside the
-    * subset.
+  private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node],
+      waysOut: ArrayBuffer[Way]): Unit =
+    parseBlock(body, out, waysOut, null)
+
+  /** A null `waysOut`/`relsOut` keeps the corresponding subset contract:
+    * an element group the caller did not ask for throws loudly (a
+    * silently-partial scan is worse than a loud one); a non-null buffer
+    * collects it.
     */
   private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node],
-      waysOut: ArrayBuffer[Way]): Unit = {
+      waysOut: ArrayBuffer[Way], relsOut: ArrayBuffer[Relation]): Unit = {
     val w = new Walker(body, 0, body.length)
     val strings = new ArrayBuffer[String]()
     val groups = new ArrayBuffer[Array[Byte]]()
@@ -353,8 +401,11 @@ object OsmPbf {
                   "(use readWays/wayFeatures for way-aware reads)")
             waysOut += parseWay(gw.bytes(gw.varint().toInt), strings.toSeq)
           case (4, 2) =>
-            throw new IllegalArgumentException(
-              "osmpbf: file contains relations — outside this reader's subset")
+            if (relsOut == null)
+              throw new IllegalArgumentException(
+                "osmpbf: file contains relations — outside this reader's subset " +
+                  "(use readRelations/multipolygonFeatures for relation-aware reads)")
+            relsOut += parseRelation(gw.bytes(gw.varint().toInt), strings.toSeq)
           case _ => gw.skip(wt)
         }
       }
@@ -440,6 +491,74 @@ object OsmPbf {
       keys.zip(vals).map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap)
   }
 
+  /** Parse one Relation message: plain-varint int64 id, packed uint32
+    * keys/vals, packed uint32 roles_sid (string-table indices), packed
+    * sint64 DELTA memids, packed MemberType (0=node, 1=way, 2=relation).
+    */
+  private def parseRelation(d: Array[Byte], strings: Seq[String]): Relation = {
+    val w = new Walker(d, 0, d.length)
+    var id = 0L
+    val keys = new ArrayBuffer[Long](); val vals = new ArrayBuffer[Long]()
+    val roles = new ArrayBuffer[Long](); val deltas = new ArrayBuffer[Long]()
+    val types = new ArrayBuffer[Long]()
+    def readPacked(into: ArrayBuffer[Long], zz: Boolean): Unit = {
+      val len = w.varint().toInt
+      val end = w.off + len
+      while (w.off < end) {
+        val v = w.varint()
+        into += (if (zz) unzigzag(v) else v)
+      }
+    }
+    while (w.hasMore) {
+      val tag = w.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 0) => id = w.varint()
+        case (2, 2) => readPacked(keys, zz = false)
+        case (3, 2) => readPacked(vals, zz = false)
+        case (8, 2) => readPacked(roles, zz = false)
+        case (9, 2) => readPacked(deltas, zz = true)
+        case (10, 2) => readPacked(types, zz = false)
+        case _ => w.skip(wt)
+      }
+    }
+    require(keys.length == vals.length,
+      s"osmpbf: relation $id keys/vals disagree (${keys.length}/${vals.length})")
+    require(roles.length == deltas.length && roles.length == types.length,
+      s"osmpbf: relation $id member arrays disagree " +
+        s"(roles ${roles.length} / memids ${deltas.length} / types ${types.length})")
+    var acc = 0L
+    val memids = deltas.map { dd => acc += dd; acc }
+    Relation(id, memids.toSeq, roles.map(r => strings(r.toInt)).toSeq,
+      types.map(_.toInt).toSeq,
+      keys.zip(vals).map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap)
+  }
+
+  /** Parse one complete .osm.pbf byte stream to nodes, ways AND
+    * relations — the full-element reader. [[parse]]/[[parseAll]] keep
+    * their narrower loud-refusal contracts.
+    */
+  def parseFull(bytes: Array[Byte]): (Seq[Node], Seq[Way], Seq[Relation]) = {
+    val nodes = new ArrayBuffer[Node]()
+    val ways = new ArrayBuffer[Way]()
+    val rels = new ArrayBuffer[Relation]()
+    var off = 0
+    while (off < bytes.length) {
+      require(off + 4 <= bytes.length, "osmpbf: truncated frame length")
+      val hLen = ByteBuffer.wrap(bytes, off, 4).getInt
+      off += 4
+      val (kind, dataSize) = parseBlobHeader(bytes, off, hLen)
+      off += hLen
+      val body = decodeBlob(bytes, off, dataSize.toInt)
+      off += dataSize.toInt
+      kind match {
+        case "OSMHeader" => checkHeader(body)
+        case "OSMData" => parseBlock(body, nodes, ways, rels)
+        case other => throw new IllegalArgumentException(s"osmpbf: unknown blob type '$other'")
+      }
+    }
+    (nodes.toSeq, ways.toSeq, rels.toSeq)
+  }
+
   /** Parse one complete .osm.pbf byte stream to nodes AND ways (the
     * way-aware twin of [[parse]]; relations still refuse loudly).
     */
@@ -505,8 +624,13 @@ object OsmPbf {
     *
     * Columns: way_id, kind, n_points, geom (WKB), tags.
     */
-  def assembleWays(s: SparkSession, waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
+  /** Shared path-assembly step: (way_id, n_refs, n_joined, pts) with pts
+    * sorted by member position — the refs→nodes equi-join both
+    * [[assembleWays]] and [[assembleMultipolygons]] ride.
+    */
+  private def wayPaths(waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val s = waysDf.sparkSession
     import s.implicits._
     val refs = waysDf.select($"id".as("way_id"), posexplode($"refs").as(Seq("pos", "ref")))
     val nd = nodesDf.select($"id".as("ref"), $"lonNano", $"latNano")
@@ -514,7 +638,13 @@ object OsmPbf {
       .groupBy($"way_id")
       .agg(count(lit(1)).as("n_joined"),
         sort_array(collect_list(struct($"pos", $"lonNano", $"latNano"))).as("pts"))
-    val meta = waysDf.select($"id".as("way_id"), size($"refs").as("n_refs"), $"tags")
+    waysDf.select($"id".as("way_id"), size($"refs").as("n_refs"), $"tags")
+      .join(pts, Seq("way_id"))
+  }
+
+  def assembleWays(s: SparkSession, waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
     val build = udf { (wayId: Long, nRefs: Int, nJoined: Long,
         pts: Seq[org.apache.spark.sql.Row], tags: Map[String, String]) =>
       require(nJoined == nRefs,
@@ -527,10 +657,120 @@ object OsmPbf {
       if (polygonal) ("POLYGON", graft.functions.Wkb.polygon(Seq(coords)))
       else ("LINESTRING", graft.functions.Wkb.lineString(coords.toSeq))
     }
-    meta.join(pts, Seq("way_id"))
+    wayPaths(waysDf, nodesDf)
       .withColumn("g", build($"way_id", $"n_refs", $"n_joined", $"pts", $"tags"))
       .select($"way_id", $"g._1".as("kind"), $"n_refs".as("n_points"),
         $"g._2".as("geom"), $"tags")
+  }
+
+  /** Distributed relation scan: one task per file, emitting
+    * (id, memberIds, memberRoles, memberTypes, tags).
+    */
+  def readRelations(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"content").as[Array[Byte]]
+      .flatMap(bytes => parseFull(bytes)._3)
+      .toDF()
+  }
+
+  /** Assemble `type=multipolygon` relations into Polygon/MultiPolygon
+    * WKB as TWO distributed joins — members→way paths (way id), then the
+    * shared refs→nodes join inside [[wayPaths]] — the only shape that
+    * survives planet-sized node/way tables:
+    *
+    *  1. relations are FILTERED to `type=multipolygon` (routes/boundaries
+    *     etc. pass through [[readRelations]] untouched — filtering is
+    *     selection, not refusal);
+    *  2. each member must be a WAY with role `outer`/`inner` and must
+    *     itself be a CLOSED ring — way-stitching (rings split across
+    *     several open ways) and nested relation members are OUTSIDE this
+    *     subset and throw loudly, as does a member way missing from the
+    *     way store or a ring with a dangling node ref;
+    *  3. each inner ring is assigned to the outer ring containing its
+    *     first vertex (ray-cast containment); one outer → Polygon with
+    *     holes, several outers → MultiPolygon (loud if an inner matches
+    *     no outer).
+    *
+    * Columns: relation_id, kind, n_outer, n_inner, geom (WKB), tags.
+    */
+  def assembleMultipolygons(s: SparkSession, relsDf: DataFrame,
+      waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val mp = relsDf.filter(element_at($"tags", "type") === "multipolygon")
+    val members = mp.select($"id".as("relation_id"), $"tags",
+        posexplode(arrays_zip($"memberIds", $"memberRoles", $"memberTypes"))
+          .as(Seq("pos", "m")))
+      .select($"relation_id", $"tags", $"pos",
+        $"m.memberIds".as("way_id"), $"m.memberRoles".as("role"),
+        $"m.memberTypes".as("mtype"))
+    val paths = wayPaths(waysDf, nodesDf)
+      .select($"way_id", $"n_refs", $"n_joined", $"pts")
+    // left join: a multipolygon member missing from the way store must
+    // surface as a loud error inside the build, not vanish in an inner join
+    val joined = members.join(paths, Seq("way_id"), "left")
+      .groupBy($"relation_id")
+      .agg(first($"tags").as("tags"),
+        sort_array(collect_list(struct($"pos", $"role", $"mtype",
+          $"n_refs", $"n_joined", $"pts"))).as("ms"))
+    val build = udf { (relId: Long, ms: Seq[org.apache.spark.sql.Row]) =>
+      import graft.functions.Wkb
+      val outers = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+      val inners = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+      ms.foreach { m =>
+        val role = m.getString(1); val mtype = m.getInt(2)
+        require(mtype == 1,
+          s"osmpbf: relation $relId member of type $mtype (0=node, 2=relation) — " +
+            "only way members are inside this multipolygon subset")
+        require(role == "outer" || role == "inner",
+          s"osmpbf: relation $relId member role '$role' — expected outer/inner")
+        require(!m.isNullAt(3) && !m.isNullAt(5),
+          s"osmpbf: relation $relId references a way missing from the way store")
+        val nRefs = m.getInt(3); val nJoined = m.getLong(4)
+        require(nJoined == nRefs,
+          s"osmpbf: relation $relId member way has ${nRefs - nJoined} dangling node refs")
+        val pts = m.getSeq[org.apache.spark.sql.Row](5)
+          .map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
+        require(pts.length >= 4 && pts.head == pts.last,
+          s"osmpbf: relation $relId member way is not a closed ring " +
+            "(way-stitching is outside this subset — refusing)")
+        if (role == "outer") outers += pts else inners += pts
+      }
+      require(outers.nonEmpty, s"osmpbf: relation $relId has no outer ring")
+      val holesOf = outers.map(_ => scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Double, Double)]])
+      inners.foreach { h =>
+        val probe = h.head
+        val oi = outers.indexWhere(o =>
+          Wkb.containsPoint(Wkb.polygon(Seq(o)), probe._1, probe._2))
+        require(oi >= 0,
+          s"osmpbf: relation $relId inner ring at $probe is inside no outer ring")
+        holesOf(oi) += h
+      }
+      if (outers.length == 1)
+        ("POLYGON", Wkb.polygon(outers.head +: holesOf.head.toSeq))
+      else
+        ("MULTIPOLYGON", Wkb.multi(6, outers.toSeq.zip(holesOf).map {
+          case (o, hs) => Wkb.polygon(o +: hs.toSeq)
+        }))
+    }
+    joined
+      .withColumn("n_outer", size(filter($"ms", m => m("role") === "outer")).cast("long"))
+      .withColumn("n_inner", size(filter($"ms", m => m("role") === "inner")).cast("long"))
+      .withColumn("g", build($"relation_id", $"ms"))
+      .select($"relation_id", $"g._1".as("kind"), $"n_outer", $"n_inner",
+        $"g._2".as("geom"), $"tags")
+  }
+
+  /** End-to-end multipolygon features from .osm.pbf files. */
+  def multipolygonFeatures(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val ways = spark.read.format("binaryFile").load(pathGlob)
+      .select($"content").as[Array[Byte]].flatMap(bytes => parseFull(bytes)._2).toDF()
+    val nodes = spark.read.format("binaryFile").load(pathGlob)
+      .select($"content").as[Array[Byte]].flatMap(bytes => parseFull(bytes)._1).toDF()
+    assembleMultipolygons(spark, readRelations(spark, pathGlob), ways, nodes)
   }
 
   /** End-to-end way features from .osm.pbf files: way-aware scan of both

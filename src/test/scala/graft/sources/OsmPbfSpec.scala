@@ -120,6 +120,83 @@ class OsmPbfSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("dangling")))
   }
 
+  test("relations roundtrip: packed roles_sid, zigzag-delta memids, member types") {
+    val ns = nodes(8)
+    val ws = Seq(OsmPbf.Way(1L, ns.take(4).map(_.id) :+ ns.head.id, Map.empty),
+      OsmPbf.Way(2L, ns.drop(4).map(_.id) :+ ns(4).id, Map.empty))
+    val rs = Seq(
+      OsmPbf.Relation(100L, Seq(1L, 2L), Seq("outer", "inner"), Seq(1, 1),
+        Map("type" -> "multipolygon", "landuse" -> "forest")),
+      // descending memids force negative deltas through the zigzag leg;
+      // a node member + empty role exercise the full enum/table range
+      OsmPbf.Relation(101L, Seq(2L, 1L, ns.head.id), Seq("outer", "outer", ""),
+        Seq(1, 1, 0), Map("type" -> "route")))
+    val bytes = OsmPbf.writeFull(ns, ws, rs, blobsOf = 1) // every blob kind × both legs
+    val (bn, bw, br) = OsmPbf.parseFull(bytes)
+    assert(bn == ns && bw == ws && br == rs)
+    // the narrower readers still refuse loudly
+    assert(intercept[IllegalArgumentException] { OsmPbf.parse(bytes) }
+      .getMessage.contains("ways"))
+    assert(intercept[IllegalArgumentException] { OsmPbf.parseAll(bytes) }
+      .getMessage.contains("relations"))
+  }
+
+  test("multipolygon assembly: hole assignment by containment, multiple outers, loud refusal arms") {
+    import org.apache.spark.sql.functions.col
+    def square(baseId: Long, cx: Long, cy: Long, h: Long): (Seq[OsmPbf.Node], Seq[Long]) = {
+      val cs = Seq((cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h), (cx - h, cy + h))
+      val nds = cs.zipWithIndex.map { case ((x, y), j) => OsmPbf.Node(baseId + j, x, y, Map.empty) }
+      (nds, nds.map(_.id) :+ baseId)
+    }
+    val G = 1000000000L // 1 degree in nanodeg
+    val (n1, r1) = square(10, 0, 0, 2 * G) // outer A at origin, half-size 2°
+    val (n2, r2) = square(20, 0, 0, G / 2) // hole inside A
+    val (n3, r3) = square(30, 10 * G, 0, G) // outer B at lon 10°
+    val ns = n1 ++ n2 ++ n3
+    val ws = Seq(OsmPbf.Way(1, r1, Map.empty), OsmPbf.Way(2, r2, Map.empty),
+      OsmPbf.Way(3, r3, Map.empty))
+    val rs = Seq(OsmPbf.Relation(500, Seq(1L, 2L, 3L), Seq("outer", "inner", "outer"),
+      Seq(1, 1, 1), Map("type" -> "multipolygon")))
+    val dir = Files.createTempDirectory("osmpbf_rel")
+    Files.write(dir.resolve("mp.osm.pbf"), OsmPbf.writeFull(ns, ws, rs))
+    val row = OsmPbf.multipolygonFeatures(spark, dir.resolve("mp.osm.pbf").toString)
+      .collect().head
+    assert(row.getLong(0) == 500 && row.getString(1) == "MULTIPOLYGON")
+    assert(row.getLong(2) == 2 && row.getLong(3) == 1) // 2 outers, 1 inner
+    val wkb = row.getAs[Array[Byte]](4)
+    // the hole went to outer A, not B: area = (4° × 4° − 1° × 1°) + 2° × 2°
+    assert(math.abs(graft.functions.Wkb.area(wkb) - (16.0 - 1.0 + 4.0)) < 1e-9)
+    // loud arms: an inner inside NO outer; a node member; an open ring
+    val orphanHole = Seq(OsmPbf.Relation(501, Seq(1L, 2L), Seq("outer", "inner"),
+      Seq(1, 1), Map("type" -> "multipolygon")))
+    val (n4, r4) = square(40, 50 * G, 0, G / 2) // hole 50° away from its outer
+    Files.write(dir.resolve("orphan.osm.pbf"), OsmPbf.writeFull(n1 ++ n4,
+      Seq(OsmPbf.Way(1, r1, Map.empty), OsmPbf.Way(2, r4, Map.empty)), orphanHole))
+    val e1 = intercept[Exception] {
+      OsmPbf.multipolygonFeatures(spark, dir.resolve("orphan.osm.pbf").toString).collect()
+    }
+    assert(Seq(e1.getMessage, String.valueOf(Option(e1.getCause).map(_.getMessage).orNull))
+      .exists(m => m != null && m.contains("inside no outer ring")))
+    val openRing = Seq(OsmPbf.Relation(502, Seq(4L), Seq("outer"), Seq(1),
+      Map("type" -> "multipolygon")))
+    Files.write(dir.resolve("open.osm.pbf"), OsmPbf.writeFull(n1,
+      Seq(OsmPbf.Way(4, n1.map(_.id), Map.empty)), openRing)) // unclosed
+    val e2 = intercept[Exception] {
+      OsmPbf.multipolygonFeatures(spark, dir.resolve("open.osm.pbf").toString).collect()
+    }
+    assert(Seq(e2.getMessage, String.valueOf(Option(e2.getCause).map(_.getMessage).orNull))
+      .exists(m => m != null && m.contains("not a closed ring")))
+    // non-multipolygon relations are SELECTED OUT, not errors
+    val route = Seq(OsmPbf.Relation(503, Seq(1L), Seq("outer"), Seq(1),
+      Map("type" -> "route")))
+    Files.write(dir.resolve("route.osm.pbf"), OsmPbf.writeFull(n1,
+      Seq(OsmPbf.Way(1, r1, Map.empty)), route))
+    assert(OsmPbf.multipolygonFeatures(spark,
+      dir.resolve("route.osm.pbf").toString).count() == 0)
+    assert(OsmPbf.readRelations(spark,
+      dir.resolve("route.osm.pbf").toString).count() == 1)
+  }
+
   test("relations refusal is still loud in every mode (the subset mandate survives ways support)") {
     // hand-frame a PrimitiveBlock whose group carries field 4 (relations)
     val ns = nodes(2)
