@@ -6062,8 +6062,78 @@ object TierB {
     }
   )
 
+  // ---------------------------------------------------------------- B124
+  /** Bucketed co-located join — THE 100 TB shuffle-elimination technique
+    * the posture rows cite but no query demonstrated: both join sides
+    * land as bucketed+sorted tables on the SAME key and bucket count
+    * (`bucketBy(8, key).sortBy(key)` → saveAsTable), so Catalyst proves
+    * output partitioning at plan time and the join runs with ZERO
+    * Exchange and ZERO Sort on either side (PlanAuditSpec pins both) —
+    * on a real cluster this is the fact-to-fact join you cannot
+    * broadcast and cannot afford to shuffle per query: pay one
+    * write-time shuffle, reuse it across every downstream join on that
+    * key. The tables are written INSIDE the query (fixture discipline)
+    * with deterministic names per sf-dir; re-runs overwrite. Results are
+    * hash-identical to the plain join (the oracle IS the unbucketed
+    * formulation — co-location must never change semantics).
+    */
+  private val b124 = QuerySpec(
+    "b124_bucketed_join",
+    "Bucketed co-located join: orders and customer land as bucketBy(8, custkey).sortBy tables, then join exchange-free AND sort-free (plan-pinned) — the write-once/join-many fact-join shape; per-customer order rollup, hash-equal to the plain-join oracle.",
+    Some("""SELECT c.c_custkey, c.c_mktsegment, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+            ORDER BY c.c_custkey"""),
+    (s, d) => {
+      import s.implicits._
+      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val (to, tc) = (s"graft_bkt_orders_$suffix", s"graft_bkt_customer_$suffix")
+      TierB.synchronized {
+        if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
+          // a previous JVM's managed location can survive without catalog
+          // metadata (the warehouse dir outlives the session) — clear both
+          // layers or CREATE TABLE AS refuses with LOCATION_ALREADY_EXISTS
+          s.sql(s"DROP TABLE IF EXISTS $to")
+          s.sql(s"DROP TABLE IF EXISTS $tc")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          Seq(to, tc).foreach { t =>
+            val p = new org.apache.hadoop.fs.Path(wh, t)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          // repartition on the SAME hash the bucketing uses → exactly one
+          // file per bucket; Spark propagates a bucket's sort order ONLY
+          // in the one-file case, and that propagation is what elides the
+          // Sorts under the join (multi-file buckets keep the Sort)
+          Tables.orders(s, d).select($"o_custkey", $"o_totalprice")
+            .repartition(8, $"o_custkey")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+          Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+            .repartition(8, $"c_custkey")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+        }
+      }
+      // Spark 3+ stopped propagating sorted-bucket file order by default;
+      // the one-file-per-bucket layout written above is exactly the case
+      // the flag exists for, and bucketed scans are the ONLY plans it
+      // touches (this query owns the only bucketed tables)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // merge hint: the bucketed sort-merge shape is what actually runs
+      // at every sf (the plan the pin asserts), not a broadcast
+      s.table(to).hint("merge")
+        .join(s.table(tc), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor($"o_totalprice" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+        .orderBy($"c_custkey")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122, b123,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122, b123, b124,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -1486,6 +1486,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "the per-cell rollup must partial-aggregate:\n" + p)
   }
 
+  test("b124_bucketed_join: SMJ with ZERO exchange and ZERO sort below the join") {
+    val exec = Registry.queries("b124_bucketed_join")(spark, sf)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("SortMergeJoin"), "expected the bucketed SMJ shape:\n" + p)
+    // both sides are bucketed AND sorted on the join key at write time, so
+    // the join subtree must carry no Exchange and no Sort — the entire
+    // point of paying the write-time shuffle once
+    val joinIdx = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    val below = p.linesIterator.toSeq.drop(joinIdx + 1)
+      .takeWhile(l => !l.contains("HashAggregate") || l.contains("Scan"))
+    val joinSubtree = below.mkString("\n")
+    assert(!joinSubtree.contains("Exchange"),
+      "bucketed join re-shuffled a side:\n" + p)
+    assert(!joinSubtree.contains("Sort "),
+      "bucketed+sorted table re-sorted under the join:\n" + p)
+    // bucket count surfaces in the scan
+    assert(p.contains("Bucketed: true") || p.contains("SelectedBucketsCount"),
+      "scan does not report bucketing:\n" + p)
+  }
+
   test("c6t_id3_tag: codec stays map-side, rollup + sort only") {
     val p = plan("c6t_id3_tag")
     assert(!p.contains("Join"), "tag build/walk must be map-side only:\n" + p)
