@@ -6077,6 +6077,48 @@ object TierB {
     * hash-identical to the plain join (the oracle IS the unbucketed
     * formulation — co-location must never change semantics).
     */
+  /** Build (once per JVM per sf-dir) the bucketed+sorted orders/customer
+    * tables b124/b124b ride; returns their names. Clears both catalog
+    * metadata and a prior JVM's stale managed location (the warehouse
+    * dir outlives the session — CREATE TABLE AS would refuse with
+    * LOCATION_ALREADY_EXISTS otherwise).
+    */
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    val (to, tc) = (s"graft_bkt_orders_$suffix", s"graft_bkt_customer_$suffix")
+    TierB.synchronized {
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
+        s.sql(s"DROP TABLE IF EXISTS $to")
+        s.sql(s"DROP TABLE IF EXISTS $tc")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        Seq(to, tc).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(wh, t)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        // repartition on the SAME hash the bucketing uses → exactly one
+        // file per bucket; Spark propagates a bucket's sort order ONLY
+        // in the one-file case, and that propagation is what elides the
+        // Sorts under the join (multi-file buckets keep the Sort)
+        Tables.orders(s, d).select($"o_custkey", $"o_totalprice")
+          .repartition(8, $"o_custkey")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+        Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+          .repartition(8, $"c_custkey")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+      }
+    }
+    // Spark 3+ stopped propagating sorted-bucket file order by default;
+    // the one-file-per-bucket layout written above is exactly the case
+    // the flag exists for, and bucketed scans are the ONLY plans it
+    // touches (these are the only bucketed tables in the engine)
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    (to, tc)
+  }
+
   private val b124 = QuerySpec(
     "b124_bucketed_join",
     "Bucketed co-located join: orders and customer land as bucketBy(8, custkey).sortBy tables, then join exchange-free AND sort-free (plan-pinned) — the write-once/join-many fact-join shape; per-customer order rollup, hash-equal to the plain-join oracle.",
@@ -6087,40 +6129,7 @@ object TierB {
             ORDER BY c.c_custkey"""),
     (s, d) => {
       import s.implicits._
-      val suffix = java.lang.Integer.toHexString(d.hashCode)
-      val (to, tc) = (s"graft_bkt_orders_$suffix", s"graft_bkt_customer_$suffix")
-      TierB.synchronized {
-        if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
-          // a previous JVM's managed location can survive without catalog
-          // metadata (the warehouse dir outlives the session) — clear both
-          // layers or CREATE TABLE AS refuses with LOCATION_ALREADY_EXISTS
-          s.sql(s"DROP TABLE IF EXISTS $to")
-          s.sql(s"DROP TABLE IF EXISTS $tc")
-          val wh = s.conf.get("spark.sql.warehouse.dir")
-          Seq(to, tc).foreach { t =>
-            val p = new org.apache.hadoop.fs.Path(wh, t)
-            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            if (fs.exists(p)) fs.delete(p, true)
-          }
-          // repartition on the SAME hash the bucketing uses → exactly one
-          // file per bucket; Spark propagates a bucket's sort order ONLY
-          // in the one-file case, and that propagation is what elides the
-          // Sorts under the join (multi-file buckets keep the Sort)
-          Tables.orders(s, d).select($"o_custkey", $"o_totalprice")
-            .repartition(8, $"o_custkey")
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
-          Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
-            .repartition(8, $"c_custkey")
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
-        }
-      }
-      // Spark 3+ stopped propagating sorted-bucket file order by default;
-      // the one-file-per-bucket layout written above is exactly the case
-      // the flag exists for, and bucketed scans are the ONLY plans it
-      // touches (this query owns the only bucketed tables)
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val (to, tc) = bucketedTables(s, d)
       // merge hint: the bucketed sort-merge shape is what actually runs
       // at every sf (the plan the pin asserts), not a broadcast
       s.table(to).hint("merge")
@@ -6132,8 +6141,36 @@ object TierB {
     }
   )
 
+  /** Bucket PRUNING — the read-side half of the b124 story: an
+    * equality/IN predicate on the bucket column lets the scan read ONLY
+    * the buckets those literals hash to (`SelectedBucketsCount: k out of
+    * 8` in the plan, PlanAuditSpec-pinned < 8). At 100 TB this is
+    * partition pruning's finer sibling: the point lookup on a bucketed
+    * fact table touches 1/8 of the files with no index. Reuses b124's
+    * tables (same fixture, built on demand).
+    */
+  private val b124b = QuerySpec(
+    "b124b_bucket_pruning",
+    "Bucket pruning on the b124 bucketed table: IN-list on the bucket column reads only the matching buckets (SelectedBucketsCount < total, plan-pinned); per-customer rollup hash-equal to the plain filtered oracle.",
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders WHERE o_custkey IN (1, 5, 11)
+            GROUP BY o_custkey ORDER BY o_custkey"""),
+    (s, d) => {
+      import s.implicits._
+      bucketedTables(s, d) // ensure the fixture exists
+      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      s.table(s"graft_bkt_orders_$suffix")
+        .filter($"o_custkey".isin(1L, 5L, 11L))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor($"o_totalprice" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+        .orderBy($"o_custkey")
+    }
+  )
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122, b123, b124,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122, b123, b124, b124b,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

@@ -1507,6 +1507,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "scan does not report bucketing:\n" + p)
   }
 
+  test("b124b_bucket_pruning: IN-list on the bucket column prunes buckets at the scan") {
+    val p = plan("b124b_bucket_pruning")
+    // three literals over 8 buckets select at most 3 — never the full 8
+    val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)
+    assert(m.isDefined, "scan does not report bucket selection:\n" + p)
+    assert(m.get.group(1).toInt <= 3, "bucket pruning did not engage:\n" + p)
+  }
+
   test("c6t_id3_tag: codec stays map-side, rollup + sort only") {
     val p = plan("c6t_id3_tag")
     assert(!p.contains("Join"), "tag build/walk must be map-side only:\n" + p)
