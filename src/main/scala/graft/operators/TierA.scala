@@ -798,6 +798,98 @@ object TierA {
     }
   )
 
+  // ------------------------------------- A1n (OSM stitched multipolygon)
+  /** The a1m geometry delivered the way real planet extracts ship it:
+    * every ring SPLIT across two OPEN ways (outer: [c0,c1,c2] + a
+    * REVERSED [c0,c3,c2]; inner likewise), so assembly must endpoint-
+    * stitch, including a tail-to-tail reversal, before any polygon
+    * exists. Same centers, same D/d squares, same closed-form oracle as
+    * a1m — hash-matching it proves stitching reconstructs the exact
+    * ring a single closed way would have carried.
+    */
+  private[graft] def osmStitchedFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_osmstitch_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "stitched.osm.pbf")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "osm stitched")
+        dir.mkdirs()
+        val D = 10000000L
+        val dd = 3000000L
+        val anchors = Tables.events(s, d)
+          .filter($"event_id" % 8 === 0)
+          .select(($"event_id" / 8).cast(LongType).as("k"),
+            (floor((($"value" % 300.0) - 150.0) * 10000000.0).cast(LongType) * 100L).as("cx"),
+            (floor((($"value" % 160.0) - 80.0) * 10000000.0).cast(LongType) * 100L).as("cy"))
+          .orderBy($"k").collect()
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Node]
+        val ways = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Way]
+        val rels = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Relation]
+        anchors.foreach { r =>
+          val k = r.getLong(0); val cx = r.getLong(1); val cy = r.getLong(2)
+          def corners(h: Long) = Seq((cx - h, cy - h), (cx + h, cy - h),
+            (cx + h, cy + h), (cx - h, cy + h))
+          val base = k * 8
+          (corners(D) ++ corners(dd)).zipWithIndex.foreach { case ((x, y), j) =>
+            nodes += graft.sources.OsmPbf.Node(base + j, x, y, Map.empty)
+          }
+          // outer = [c0,c1,c2] + REVERSED closer [c0,c3,c2]: the stitcher
+          // must extend past c2 by flipping the second chain
+          ways += graft.sources.OsmPbf.Way(4 * k,
+            Seq(base, base + 1, base + 2), Map.empty)
+          ways += graft.sources.OsmPbf.Way(4 * k + 1,
+            Seq(base, base + 3, base + 2), Map.empty)
+          ways += graft.sources.OsmPbf.Way(4 * k + 2,
+            Seq(base + 4, base + 5, base + 6), Map.empty)
+          ways += graft.sources.OsmPbf.Way(4 * k + 3,
+            Seq(base + 4, base + 7, base + 6), Map.empty)
+          rels += graft.sources.OsmPbf.Relation(k,
+            Seq(4 * k, 4 * k + 1, 4 * k + 2, 4 * k + 3),
+            Seq("outer", "outer", "inner", "inner"), Seq(1, 1, 1, 1),
+            Map("type" -> "multipolygon"))
+        }
+        java.nio.file.Files.write(f.toPath,
+          graft.sources.OsmPbf.writeFull(nodes.toSeq, ways.toSeq, rels.toSeq))
+      }
+    }
+    f.getPath
+  }
+
+  private val a1n = QuerySpec(
+    "a1n_osm_stitched",
+    "OSM multipolygon ring STITCHING: every ring split across two open ways, one deliberately reversed — assembly endpoint-chains (lowest-way-id deterministic, tail-to-tail reversal) before polygonizing. Output = the same decoded outer-ring nanodegree sums as a1m; hash-matching the closed-form oracle proves the stitched ring is bit-identical to the single-way ring.",
+    Some("""WITH m AS (SELECT event_id // 8 AS k,
+              CAST(floor(((value % 300.0) - 150.0) * 10000000.0) AS BIGINT) * 100 AS cx,
+              CAST(floor(((value % 160.0) - 80.0) * 10000000.0) AS BIGINT) * 100 AS cy
+            FROM events WHERE event_id % 8 = 0)
+            SELECT k AS relation_id, 'POLYGON' AS kind,
+              CAST(1 AS BIGINT) AS n_outer, CAST(1 AS BIGINT) AS n_inner,
+              CAST(2 AS BIGINT) AS n_rings,
+              CAST(5 * cx - 10000000 AS BIGINT) AS sum_lon_nano_outer,
+              CAST(5 * cy - 10000000 AS BIGINT) AS sum_lat_nano_outer
+            FROM m ORDER BY relation_id"""),
+    (s, d) => {
+      import s.implicits._
+      val file = osmStitchedFixture(s, d)
+      val feats = graft.sources.OsmPbf.multipolygonFeatures(s, file)
+      val outerNanoUdf = udf { (wkb: Array[Byte]) =>
+        val pts = graft.functions.Wkb.pathPoints(wkb)
+        (graft.functions.Wkb.numRings(wkb),
+          pts.map(p => math.rint(p._1 * 1e9).toLong).sum,
+          pts.map(p => math.rint(p._2 * 1e9).toLong).sum)
+      }
+      feats
+        .withColumn("o", outerNanoUdf($"geom"))
+        .select($"relation_id", $"kind", $"n_outer", $"n_inner",
+          $"o._1".cast(LongType).as("n_rings"),
+          $"o._2".as("sum_lon_nano_outer"),
+          $"o._3".as("sum_lat_nano_outer"))
+        .orderBy($"relation_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -1659,5 +1751,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }

@@ -682,17 +682,24 @@ object OsmPbf {
     *  1. relations are FILTERED to `type=multipolygon` (routes/boundaries
     *     etc. pass through [[readRelations]] untouched — filtering is
     *     selection, not refusal);
-    *  2. each member must be a WAY with role `outer`/`inner` and must
-    *     itself be a CLOSED ring — way-stitching (rings split across
-    *     several open ways) and nested relation members are OUTSIDE this
-    *     subset and throw loudly, as does a member way missing from the
-    *     way store or a ring with a dangling node ref;
+    *  2. each member must be a WAY with role `outer`/`inner`; rings
+    *     split across several OPEN ways are STITCHED per role (r15b):
+    *     deterministic endpoint chaining — ring starts at the unused
+    *     chain with the lowest way id, extends with the lowest-id unused
+    *     chain sharing the current endpoint (reversed when it matches
+    *     tail-to-tail; endpoints are node-identical doubles, so equality
+    *     is exact), until the ring closes. Nested relation members are
+    *     OUTSIDE the subset and throw loudly, as do node members,
+    *     unknown roles, a member way missing from the way store, a
+    *     dangling node ref, and an unstitchable ring (no chain continues
+    *     the endpoint, or chains exhaust unclosed);
     *  3. each inner ring is assigned to the outer ring containing its
     *     first vertex (ray-cast containment); one outer → Polygon with
     *     holes, several outers → MultiPolygon (loud if an inner matches
     *     no outer).
     *
-    * Columns: relation_id, kind, n_outer, n_inner, geom (WKB), tags.
+    * Columns: relation_id, kind, n_outer, n_inner (RING counts after
+    * stitching, not member counts), geom (WKB), tags.
     */
   def assembleMultipolygons(s: SparkSession, relsDf: DataFrame,
       waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
@@ -712,31 +719,64 @@ object OsmPbf {
     val joined = members.join(paths, Seq("way_id"), "left")
       .groupBy($"relation_id")
       .agg(first($"tags").as("tags"),
-        sort_array(collect_list(struct($"pos", $"role", $"mtype",
+        sort_array(collect_list(struct($"pos", $"role", $"mtype", $"way_id",
           $"n_refs", $"n_joined", $"pts"))).as("ms"))
     val build = udf { (relId: Long, ms: Seq[org.apache.spark.sql.Row]) =>
       import graft.functions.Wkb
-      val outers = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
-      val inners = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+      val outerChains = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Double, Double)])]
+      val innerChains = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Double, Double)])]
       ms.foreach { m =>
-        val role = m.getString(1); val mtype = m.getInt(2)
+        val role = m.getString(1); val mtype = m.getInt(2); val wayId = m.getLong(3)
         require(mtype == 1,
           s"osmpbf: relation $relId member of type $mtype (0=node, 2=relation) — " +
             "only way members are inside this multipolygon subset")
         require(role == "outer" || role == "inner",
           s"osmpbf: relation $relId member role '$role' — expected outer/inner")
-        require(!m.isNullAt(3) && !m.isNullAt(5),
-          s"osmpbf: relation $relId references a way missing from the way store")
-        val nRefs = m.getInt(3); val nJoined = m.getLong(4)
+        require(!m.isNullAt(4) && !m.isNullAt(6),
+          s"osmpbf: relation $relId references way $wayId missing from the way store")
+        val nRefs = m.getInt(4); val nJoined = m.getLong(5)
         require(nJoined == nRefs,
-          s"osmpbf: relation $relId member way has ${nRefs - nJoined} dangling node refs")
-        val pts = m.getSeq[org.apache.spark.sql.Row](5)
+          s"osmpbf: relation $relId member way $wayId has ${nRefs - nJoined} dangling node refs")
+        val pts = m.getSeq[org.apache.spark.sql.Row](6)
           .map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
-        require(pts.length >= 4 && pts.head == pts.last,
-          s"osmpbf: relation $relId member way is not a closed ring " +
-            "(way-stitching is outside this subset — refusing)")
-        if (role == "outer") outers += pts else inners += pts
+        require(pts.length >= 2,
+          s"osmpbf: relation $relId member way $wayId has ${pts.length} points")
+        if (role == "outer") outerChains += (wayId -> pts) else innerChains += (wayId -> pts)
       }
+      // deterministic ring stitching: rings start at the lowest unused way
+      // id; extension picks the lowest-id unused chain sharing the current
+      // endpoint, reversed when it matches tail-to-tail. Endpoint equality
+      // is exact — shared nodes yield identical nano/1e9 doubles.
+      def stitch(chains: Seq[(Long, Seq[(Double, Double)])]): Seq[Seq[(Double, Double)]] = {
+        val order = chains.sortBy(_._1)
+        val used = Array.fill(order.length)(false)
+        val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+        order.indices.foreach { i =>
+          if (!used(i)) {
+            used(i) = true
+            var ring = order(i)._2.toVector
+            while (ring.head != ring.last) {
+              val end = ring.last
+              val next = order.indices
+                .filter(k => !used(k) &&
+                  (order(k)._2.head == end || order(k)._2.last == end))
+                .minByOption(k => order(k)._1)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"osmpbf: relation $relId ring starting at way ${order(i)._1} " +
+                    s"cannot continue past $end — unstitchable (open boundary), refusing"))
+              used(next) = true
+              val c = order(next)._2
+              ring = ring ++ (if (c.head == end) c.tail else c.reverse.tail)
+            }
+            require(ring.length >= 4,
+              s"osmpbf: relation $relId produced a degenerate ${ring.length}-point ring")
+            rings += ring
+          }
+        }
+        rings.toSeq
+      }
+      val outers = stitch(outerChains.toSeq)
+      val inners = stitch(innerChains.toSeq)
       require(outers.nonEmpty, s"osmpbf: relation $relId has no outer ring")
       val holesOf = outers.map(_ => scala.collection.mutable.ArrayBuffer
         .empty[Seq[(Double, Double)]])
@@ -748,19 +788,17 @@ object OsmPbf {
           s"osmpbf: relation $relId inner ring at $probe is inside no outer ring")
         holesOf(oi) += h
       }
-      if (outers.length == 1)
-        ("POLYGON", Wkb.polygon(outers.head +: holesOf.head.toSeq))
-      else
-        ("MULTIPOLYGON", Wkb.multi(6, outers.toSeq.zip(holesOf).map {
+      val geom =
+        if (outers.length == 1) ("POLYGON", Wkb.polygon(outers.head +: holesOf.head.toSeq))
+        else ("MULTIPOLYGON", Wkb.multi(6, outers.zip(holesOf).map {
           case (o, hs) => Wkb.polygon(o +: hs.toSeq)
         }))
+      (geom._1, geom._2, outers.length.toLong, inners.length.toLong)
     }
     joined
-      .withColumn("n_outer", size(filter($"ms", m => m("role") === "outer")).cast("long"))
-      .withColumn("n_inner", size(filter($"ms", m => m("role") === "inner")).cast("long"))
       .withColumn("g", build($"relation_id", $"ms"))
-      .select($"relation_id", $"g._1".as("kind"), $"n_outer", $"n_inner",
-        $"g._2".as("geom"), $"tags")
+      .select($"relation_id", $"g._1".as("kind"), $"g._3".as("n_outer"),
+        $"g._4".as("n_inner"), $"g._2".as("geom"), $"tags")
   }
 
   /** End-to-end multipolygon features from .osm.pbf files. */

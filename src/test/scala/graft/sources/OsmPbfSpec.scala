@@ -185,7 +185,7 @@ class OsmPbfSpec extends AnyFunSuite {
       OsmPbf.multipolygonFeatures(spark, dir.resolve("open.osm.pbf").toString).collect()
     }
     assert(Seq(e2.getMessage, String.valueOf(Option(e2.getCause).map(_.getMessage).orNull))
-      .exists(m => m != null && m.contains("not a closed ring")))
+      .exists(m => m != null && m.contains("unstitchable")))
     // non-multipolygon relations are SELECTED OUT, not errors
     val route = Seq(OsmPbf.Relation(503, Seq(1L), Seq("outer"), Seq(1),
       Map("type" -> "route")))
@@ -195,6 +195,36 @@ class OsmPbfSpec extends AnyFunSuite {
       dir.resolve("route.osm.pbf").toString).count() == 0)
     assert(OsmPbf.readRelations(spark,
       dir.resolve("route.osm.pbf").toString).count() == 1)
+  }
+
+  test("way stitching: rings split across open ways chain deterministically, reversal included") {
+    import org.apache.spark.sql.functions.col
+    val G = 1000000000L
+    // outer square split into THREE open ways, one deliberately reversed;
+    // hole split into two
+    val c = Seq((0L, 0L), (2 * G, 0L), (2 * G, 2 * G), (0L, 2 * G))
+    val h = Seq((G / 2, G / 2), (G, G / 2), (G, G), (G / 2, G))
+    val ns = (c ++ h).zipWithIndex.map { case ((x, y), j) =>
+      OsmPbf.Node(j + 1, x, y, Map.empty) }
+    val ws = Seq(
+      OsmPbf.Way(1, Seq(1L, 2L), Map.empty), // c0→c1
+      OsmPbf.Way(2, Seq(3L, 2L), Map.empty), // c2→c1 (REVERSED segment)
+      OsmPbf.Way(3, Seq(3L, 4L, 1L), Map.empty), // c2→c3→c0 closes
+      OsmPbf.Way(4, Seq(5L, 6L, 7L), Map.empty), // hole half
+      OsmPbf.Way(5, Seq(7L, 8L, 5L), Map.empty)) // hole half closes
+    val rs = Seq(OsmPbf.Relation(600, Seq(1L, 2L, 3L, 4L, 5L),
+      Seq("outer", "outer", "outer", "inner", "inner"), Seq(1, 1, 1, 1, 1),
+      Map("type" -> "multipolygon")))
+    val dir = Files.createTempDirectory("osmpbf_stitch")
+    Files.write(dir.resolve("st.osm.pbf"), OsmPbf.writeFull(ns, ws, rs))
+    val row = OsmPbf.multipolygonFeatures(spark, dir.resolve("st.osm.pbf").toString)
+      .collect().head
+    assert(row.getString(1) == "POLYGON")
+    assert(row.getLong(2) == 1 && row.getLong(3) == 1, "expected 1 stitched outer + 1 inner RING")
+    val wkb = row.getAs[Array[Byte]](4)
+    // 2°×2° square minus a 0.5°×0.5° hole
+    assert(math.abs(graft.functions.Wkb.area(wkb) - (4.0 - 0.25)) < 1e-9)
+    assert(graft.functions.Wkb.numRings(wkb) == 2)
   }
 
   test("relations refusal is still loud in every mode (the subset mandate survives ways support)") {
