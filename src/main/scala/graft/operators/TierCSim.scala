@@ -4961,7 +4961,135 @@ object TierCSim {
     }
   )
 
+  // ------------------------------------------------ edit-distance join
+  /** Levenshtein parameters for [[c2ej]]: unit-cost edit distance ≤
+    * [[EditK]], candidates via distinct character trigrams (q = 3). The
+    * count filter is the q-gram lemma's threshold max(|Ga|,|Gb|) − k·q
+    * applied to DISTINCT capped grams — with multiset grams the lemma is
+    * exact; over distinct+capped grams it is the operator's DECLARED
+    * candidate contract (like every cap here, recall-trimming and
+    * mirrored op-for-op in the oracle, so the gate holds engaged).
+    */
+  private val EditK = 20
+  private val EditQ = 3
+
+  /** Banded Levenshtein DP: O(len·k), exact whenever the true distance is
+    * ≤ k (cells with |i−j| > k cannot participate in a ≤ k alignment),
+    * saturating at k+1 otherwise — the verify step only keeps ≤ k, so
+    * the saturation is invisible. Unit costs match DuckDB's
+    * `levenshtein` (codepoint-equal on this corpus's ASCII text).
+    */
+  private[graft] def levenshteinBanded(a: String, b: String, k: Int): Int = {
+    val m = a.length; val n = b.length
+    if (math.abs(m - n) > k) return k + 1
+    val inf = k + 1
+    var prev = Array.tabulate(n + 1)(j => if (j <= k) j else inf)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      java.util.Arrays.fill(cur, inf)
+      cur(0) = if (i <= k) i else inf
+      val lo = math.max(1, i - k); val hi = math.min(n, i + k)
+      var j = lo
+      while (j <= hi) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        cur(j) = math.min(v, inf)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.min(prev(n), inf)
+  }
+
+  private val levUdf = udf { (a: String, b: String) =>
+    levenshteinBanded(a, b, EditK).toLong
+  }
+
+  /** Edit-distance near-dup join — the CHARACTER-level member of the
+    * dedup family (catches the OCR-noise / typo / small-patch duplicates
+    * token-set Jaccard structurally misses): within the `source` block,
+    * candidates sharing enough distinct capped trigrams (q-gram count
+    * filter + n_chars length filter, both at the join) are verified by
+    * an exact banded Levenshtein ≤ [[EditK]].
+    *
+    * Scale shape: the same df-capped inverted-index join as the other
+    * mines (shuffle on (source, gram), candidate volume ≤ N·cap), and the
+    * O(len·k) DP runs ONLY on surviving candidates — texts are joined
+    * back by id for the verify, never carried through the gram explode.
+    */
+  private val c2ej = QuerySpec(
+    "c2_edit_join",
+    s"Edit-distance near-dup join: distinct char-trigram candidates (df-capped at $NgramDfCap, count filter shared >= max(|Ga|,|Gb|) - ${EditK * EditQ}, |n_chars| diff <= $EditK at the join), exact banded Levenshtein <= $EditK verify — the character-level duplicate detector (typos/OCR noise) token Jaccard misses. Oracle replays the capped candidate chain and verifies with DuckDB's levenshtein().",
+    Some(s"""WITH t AS (SELECT doc_id, source, n_chars, text FROM documents),
+            |g AS (SELECT doc_id, source, n_chars,
+            |  list_distinct(list_transform(generate_series(1, length(text) - 2),
+            |    i -> substr(text, CAST(i AS INTEGER), 3))) AS gs
+            |  FROM t WHERE length(text) >= 3),
+            |e AS (SELECT doc_id, source, n_chars, len(gs) AS sz, unnest(gs) AS gram FROM g),
+            |dfk AS (SELECT source, gram FROM e GROUP BY source, gram
+            |  HAVING COUNT(*) <= $NgramDfCap),
+            |kk AS (SELECT e.* FROM e JOIN dfk USING (source, gram)),
+            |pp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+            |    a.sz AS sa, c.sz AS sb, COUNT(*) AS shared
+            |  FROM kk a JOIN kk c ON a.source = c.source AND a.gram = c.gram
+            |    AND a.doc_id < c.doc_id AND abs(a.n_chars - c.n_chars) <= $EditK
+            |  GROUP BY 1, 2, 3, 4),
+            |cand AS (SELECT id_a, id_b FROM pp
+            |  WHERE shared >= greatest(1, greatest(sa, sb) - ${EditK * EditQ})),
+            |v AS (SELECT cand.id_a, cand.id_b,
+            |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+            |  FROM cand JOIN t ta ON ta.doc_id = cand.id_a
+            |    JOIN t tb ON tb.doc_id = cand.id_b)
+            |SELECT id_a, id_b, edit_dist FROM v WHERE edit_dist <= $EditK
+            |ORDER BY id_a, id_b""".stripMargin),
+    (s, d) => editDistanceJoin(s, Tables.documents(s, d), EditK)
+  )
+
+  /** The c2_edit_join pipeline over any (doc_id, source, n_chars, text)
+    * frame; `k` must be ≤ [[EditK]] for the shared banded DP to stay
+    * exact (the UDF bands at EditK).
+    */
+  def editDistanceJoin(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    require(k <= EditK, s"editDistanceJoin: k=$k exceeds the DP band $EditK")
+    val triUdf = udf { (t: String) =>
+      t.sliding(EditQ).filter(_.length == EditQ).toArray.distinct
+    }
+    val base = docs.select($"doc_id", $"source", $"n_chars", $"text")
+    val g = base.filter(length($"text") >= EditQ)
+      .select($"doc_id", $"source", $"n_chars", triUdf($"text").as("gs"))
+    val e = g.select($"doc_id", $"source", $"n_chars",
+      size($"gs").as("sz"), explode($"gs").as("gram"))
+    val kept = dfCapKept(e, Seq("source", "gram"), NgramDfCap, hotPreFilter = false,
+      nHot => s"c2_edit_join: dropped $nHot trigrams with df > $NgramDfCap from " +
+        "candidate generation (the count filter becomes stricter for pairs " +
+        "sharing a dropped gram — recall trimmed, never false positives: the " +
+        "Levenshtein verify is exact)")
+    val left = kept.select($"doc_id".as("id_a"), $"source",
+      $"n_chars".as("na"), $"sz".as("sa"), $"gram")
+    val right = kept.select($"doc_id".as("id_b"), $"source".as("source_r"),
+      $"n_chars".as("nb"), $"sz".as("sb"), $"gram".as("gram_r"))
+    val cand = left.join(right,
+        $"source" === $"source_r" && $"gram" === $"gram_r" && $"id_a" < $"id_b" &&
+        abs($"na" - $"nb") <= k)
+      .groupBy($"id_a", $"id_b", $"sa", $"sb")
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= greatest(lit(1L), greatest($"sa", $"sb") - k * EditQ))
+      .select($"id_a", $"id_b")
+    val ta = base.select($"doc_id".as("id_a"), $"text".as("text_a"))
+    val tb = base.select($"doc_id".as("id_b"), $"text".as("text_b"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .withColumn("edit_dist", levUdf($"text_a", $"text_b"))
+      .filter($"edit_dist" <= k)
+      .select($"id_a", $"id_b", $"edit_dist")
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk, c3co, c2aa)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk, c3co, c2aa, c2ej)
 }

@@ -28,6 +28,31 @@ class SimSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc flagged")
   }
 
+  test("editDistanceJoin: typo pair found with exact distance, far pair and cross-source pair excluded") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    // 2 substitutions → edit distance 2
+    val typo = base.replace("word7 ", "ward7 ").replace("word31 ", "w0rd31 ")
+    // a heavily rewritten variant: well beyond k=20
+    val far = (1 to 60).map(i => s"zz${i * 7}q").mkString(" ")
+    val docs = Seq(
+      (1L, base, "s1"), (2L, typo, "s1"), (3L, far, "s1"),
+      (4L, base, "s2")) // identical text, different source block — excluded
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length($"text"))
+    try {
+      val got = TierCSim.editDistanceJoin(spark, docs, 20)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 2L, 2L)), s"got $got")
+    } finally { graft.CacheRegistry.releaseAll(); spark.catalog.clearCache() }
+    // banded DP unit pins: known values, symmetry, saturation above the band
+    assert(TierCSim.levenshteinBanded("kitten", "sitting", 20) == 3)
+    assert(TierCSim.levenshteinBanded("sitting", "kitten", 20) == 3)
+    assert(TierCSim.levenshteinBanded("abc", "abc", 20) == 0)
+    assert(TierCSim.levenshteinBanded("", "abcde", 20) == 5)
+    assert(TierCSim.levenshteinBanded("a" * 50, "b" * 50, 20) == 21) // saturates at k+1
+  }
+
   test("ngramJaccardPairs: df-capped hot gram is dropped, near-dup pair still found") {
     import spark.implicits._
     // "stop stop" appears in every doc (df=12 > cap=3) — dropped from
