@@ -6169,8 +6169,56 @@ object TierB {
     }
   )
 
+  /** Hive-style PARTITION pruning — bucketing's coarser sibling and the
+    * first knife any 100 TB layout reaches for: events land once as
+    * `partitionBy("event_type")` parquet (5 directories), and an
+    * equality predicate on the partition column prunes at the FILE
+    * LISTING — `PartitionFilters` non-empty in the scan and only the
+    * matching directory's files are ever opened (PlanAuditSpec pins
+    * both). The partition column round-trips through the directory name
+    * (it is NOT stored in the data files), which is exactly the
+    * materialization subtlety worth gating: the oracle replays from the
+    * unpartitioned table, so a value mangled by path encoding would
+    * hash-mismatch.
+    */
+  private val b125 = QuerySpec(
+    "b125_partition_pruning",
+    "Partition pruning: events written once as partitionBy(event_type) parquet; an equality predicate prunes at the file listing (PartitionFilters, plan-pinned) and the partition column round-trips through the directory name — hourly click rollup hash-equal to the unpartitioned oracle.",
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'click'
+            GROUP BY 1 ORDER BY hr"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = partitionedEvents(s, d)
+      s.read.parquet(dir)
+        .filter($"event_type" === "click")
+        .groupBy(date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value" * 100.0).cast(LongType)).cast(LongType).as("cents"))
+        .orderBy($"hr")
+    }
+  )
+
+  /** Write (once per JVM per sf-dir) the event_type-partitioned events
+    * layout b125 scans; returns the directory.
+    */
+  private[graft] def partitionedEvents(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_part_events_" + Integer.toHexString(d.hashCode))
+    val marker = new java.io.File(dir, "_SUCCESS")
+    TierB.synchronized {
+      if (!marker.exists()) {
+        Tables.events(s, d)
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir.getPath)
+      }
+    }
+    dir.getPath
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122, b123, b124, b124b,
+    b110, b111, b112, b113, b114, b115, b116, b117, b118, b119, b120, b121, b122, b123, b124, b124b, b125,
     b1, b2, b3, b4, b5, b6, b7, b8, b9, b9b, b10, b11, b12, b13, b13b, b13c, b13d, b13e,
     b14, b14b, b14c,
     b15, b15b, b16, b17, b18, b19, b20, b21, b21b, b22, b23, b23b, b24, b25, b26,

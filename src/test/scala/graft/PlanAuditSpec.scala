@@ -1515,6 +1515,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(m.get.group(1).toInt <= 3, "bucket pruning did not engage:\n" + p)
   }
 
+  test("b125_partition_pruning: equality on the partition column prunes at the listing") {
+    val p = plan("b125_partition_pruning")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("isnotnull(event_type") ||
+      scanLine.contains("(event_type"), "no partition filter at the scan:\n" + p)
+    // the predicate must NOT degrade to a post-scan data filter on event_type
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "partition predicate leaked into data filters:\n" + p)
+  }
+
   test("c6t_id3_tag: codec stays map-side, rollup + sort only") {
     val p = plan("c6t_id3_tag")
     assert(!p.contains("Join"), "tag build/walk must be map-side only:\n" + p)
