@@ -87,6 +87,7 @@ class CapEngagementSpec extends AnyFunSuite {
     "c2_lsh_recall" -> "c2_lsh_recall",
     "c2_kcore" -> "c2_kcore",
     "c2_adamic_adar" -> "c2_adamic_adar",
+    "c2_edit_join" -> "c2_edit_join",
     "c3_ann_lsh" -> "annTopK",
     "c3_mmr" -> "mmrSelect",
     "c3_pq_search" -> "pqSearch",
