@@ -54,6 +54,20 @@ object Plans {
     "b37_gapfill" -> ("Gap-fill: dense grid generation, the real-aggregate " +
       "left join, and the LOCF window all partition on event_type — one " +
       "shuffle key end to end, no re-exchange between the three stages."),
+    "b124_bucketed_join" -> ("Bucketed co-located join: both sides are " +
+      "bucketBy(8, key).sortBy tables with one file per bucket, so the " +
+      "SortMergeJoin runs with ZERO Exchange and ZERO Sort — the " +
+      "write-once/join-many fact-join shape; Bucketed: true and " +
+      "SelectedBucketsCount surface in the scans."),
+    "b125_partition_pruning" -> ("Hive-style partition pruning: the " +
+      "equality predicate on the partitionBy column prunes at the FILE " +
+      "LISTING (PartitionFilters), never reaching the data filters — " +
+      "only the matching directory's files are opened."),
+    "c2_edit_join" -> ("Edit-distance near-dup join: df-capped distinct " +
+      "char-trigram inverted index bounds candidates (count filter + " +
+      "length filter at the join); the O(len·k) banded Levenshtein DP " +
+      "runs only on survivors, texts joined back by id — never carried " +
+      "through the gram explode."),
     "c3_ivfpq" -> ("IVF-PQ ADC search: cell assignment and PQ codes/LUTs " +
       "are single native codegen nodes (graft_nearest_seed / graft_pq_*) " +
       "computed in the pre-shuffle projections, so ONE equi-join on the " +

@@ -89,6 +89,12 @@ object StreamSoak {
             (($"value" % 300.0) - 150.0).as("x"),
             (($"value" % 160.0) - 80.0).as("y")),
           "entity_id BIGINT, event_ts TIMESTAMP, x DOUBLE, y DOUBLE")
+      case "rate" =>
+        // per-device event-time rate buckets: the EWMA state machine's
+        // state is one open bucket + two longs per key — |keys|-bounded
+        (graft.ScaleGen.events(spark, n)
+          .select(concat(lit("u"), $"user_id").as("key"), $"ts".as("event_ts")),
+          "key STRING, event_ts TIMESTAMP")
       case other => throw new IllegalArgumentException(s"unknown soak mode '$other'")
     }
 
@@ -135,6 +141,12 @@ object StreamSoak {
           stream.select($"entity_id", unix_micros($"event_ts").as("ts_us"),
             $"x", $"y"),
           fences).toDF()
+      case "rate" =>
+        // hourly buckets over the 30-day span: ~720 closable buckets per
+        // device, EWMA folding as each closes
+        FeaturePipeline.rateAnomalyStream(
+          stream.select($"key", unix_micros($"event_ts").as("ts_us")),
+          bucketUs = 3600000000L).toDF()
       case _ =>
         // 3-day horizon over 1.5-day batches: state must hold ~2 batches'
         // distinct signatures, never the run's history
