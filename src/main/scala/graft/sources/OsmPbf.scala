@@ -35,8 +35,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * binaryFile source (the planet ships pre-sharded into many files /
   * extracts; per-file parallelism is the standard ingest shape). The
   * per-file walk is one streaming pass; blob-level splitting inside a
-  * single huge file would be the next refinement and the framing above
-  * is self-synchronizing to support it.
+  * single huge file is the `readSplit*` family (one task per OSMData
+  * blob — the header-only index pass makes it O(#blobs) driver seeks).
   */
 object OsmPbf {
 
@@ -360,10 +360,18 @@ object OsmPbf {
   /** A null `waysOut`/`relsOut` keeps the corresponding subset contract:
     * an element group the caller did not ask for throws loudly (a
     * silently-partial scan is worse than a loud one); a non-null buffer
-    * collects it.
+    * collects it. `lenient = true` switches an unwanted group from THROW
+    * to SKIP — for the single-element split readers, where asking for
+    * ways IS the statement that node/relation blobs are someone else's
+    * (selection, not a partial scan).
     */
   private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node],
-      waysOut: ArrayBuffer[Way], relsOut: ArrayBuffer[Relation]): Unit = {
+      waysOut: ArrayBuffer[Way], relsOut: ArrayBuffer[Relation]): Unit =
+    parseBlock(body, out, waysOut, relsOut, lenient = false)
+
+  private def parseBlock(body: Array[Byte], out: ArrayBuffer[Node],
+      waysOut: ArrayBuffer[Way], relsOut: ArrayBuffer[Relation],
+      lenient: Boolean): Unit = {
     val w = new Walker(body, 0, body.length)
     val strings = new ArrayBuffer[String]()
     val groups = new ArrayBuffer[Array[Byte]]()
@@ -393,19 +401,25 @@ object OsmPbf {
         val tag = gw.varint(); val f = (tag >> 3).toInt; val wt = (tag & 7).toInt
         (f, wt) match {
           case (2, 2) =>
-            parseDense(gw.bytes(gw.varint().toInt), strings.toSeq, granularity, latOff, lonOff, out)
+            if (out != null)
+              parseDense(gw.bytes(gw.varint().toInt), strings.toSeq, granularity, latOff, lonOff, out)
+            else if (lenient) gw.bytes(gw.varint().toInt)
+            else throw new IllegalArgumentException(
+              "osmpbf: file contains dense nodes the caller did not ask for")
           case (3, 2) =>
-            if (waysOut == null)
-              throw new IllegalArgumentException(
-                "osmpbf: file contains ways — outside this reader's DenseNodes subset " +
-                  "(use readWays/wayFeatures for way-aware reads)")
-            waysOut += parseWay(gw.bytes(gw.varint().toInt), strings.toSeq)
+            if (waysOut != null)
+              waysOut += parseWay(gw.bytes(gw.varint().toInt), strings.toSeq)
+            else if (lenient) gw.bytes(gw.varint().toInt)
+            else throw new IllegalArgumentException(
+              "osmpbf: file contains ways — outside this reader's DenseNodes subset " +
+                "(use readWays/wayFeatures for way-aware reads)")
           case (4, 2) =>
-            if (relsOut == null)
-              throw new IllegalArgumentException(
-                "osmpbf: file contains relations — outside this reader's subset " +
-                  "(use readRelations/multipolygonFeatures for relation-aware reads)")
-            relsOut += parseRelation(gw.bytes(gw.varint().toInt), strings.toSeq)
+            if (relsOut != null)
+              relsOut += parseRelation(gw.bytes(gw.varint().toInt), strings.toSeq)
+            else if (lenient) gw.bytes(gw.varint().toInt)
+            else throw new IllegalArgumentException(
+              "osmpbf: file contains relations — outside this reader's subset " +
+                "(use readRelations/multipolygonFeatures for relation-aware reads)")
           case _ => gw.skip(wt)
         }
       }
@@ -801,21 +815,21 @@ object OsmPbf {
         $"g._4".as("n_inner"), $"g._2".as("geom"), $"tags")
   }
 
-  /** End-to-end multipolygon features from .osm.pbf files. */
-  def multipolygonFeatures(spark: SparkSession, pathGlob: String): DataFrame = {
-    import spark.implicits._
-    val ways = spark.read.format("binaryFile").load(pathGlob)
-      .select($"content").as[Array[Byte]].flatMap(bytes => parseFull(bytes)._2).toDF()
-    val nodes = spark.read.format("binaryFile").load(pathGlob)
-      .select($"content").as[Array[Byte]].flatMap(bytes => parseFull(bytes)._1).toDF()
-    assembleMultipolygons(spark, readRelations(spark, pathGlob), ways, nodes)
-  }
+  /** End-to-end multipolygon features from .osm.pbf files — all three
+    * element scans blob-split (one task per blob).
+    */
+  def multipolygonFeatures(spark: SparkSession, pathGlob: String): DataFrame =
+    assembleMultipolygons(spark, readSplitRelations(spark, pathGlob),
+      readSplitWays(spark, pathGlob), readSplitNodesLenient(spark, pathGlob))
 
-  /** End-to-end way features from .osm.pbf files: way-aware scan of both
-    * element kinds, then [[assembleWays]].
+  /** End-to-end way features from .osm.pbf files: BLOB-SPLIT scans of
+    * both element kinds (one task per blob — the planet-file shape, since
+    * ways-bearing files are usually the single huge ones), then
+    * [[assembleWays]].
     */
   def wayFeatures(spark: SparkSession, pathGlob: String): DataFrame =
-    assembleWays(spark, readWays(spark, pathGlob), readNodesTolerant(spark, pathGlob))
+    assembleWays(spark, readSplitWays(spark, pathGlob),
+      readSplitNodesLenient(spark, pathGlob))
 
   /** Distributed scan: one task per .osm.pbf file (binaryFile source),
     * emitting (feature_id, lon_nano, lat_nano, tags). For a SINGLE huge
@@ -883,6 +897,26 @@ object OsmPbf {
     */
   def readSplit(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
+    val (refs, box) = splitRefs(spark, pathGlob)
+    refs.flatMap { ref =>
+        val blob = rangeRead(ref, box)
+        val out = new ArrayBuffer[Node]()
+        parseBlock(decodeBlob(blob, 0, blob.length), out) // nodes-STRICT
+        out.toSeq
+      }
+      .toDF()
+  }
+
+  /** Shared blob-split skeleton: index every file's OSMData blobs (driver,
+    * header-only seeks), broadcast the Hadoop conf, and return one row
+    * per blob pre-partitioned to the cluster plus the conf handle each
+    * consumer closure captures — each task then range-reads exactly its
+    * blob.
+    */
+  private def splitRefs(spark: SparkSession, pathGlob: String)
+      : (org.apache.spark.sql.Dataset[BlobRef],
+         org.apache.spark.sql.graftbridge.HadoopConfBridge.ConfBox) = {
+    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val glob = new org.apache.hadoop.fs.Path(pathGlob)
     val statuses = glob.getFileSystem(conf).globStatus(glob)
@@ -893,21 +927,59 @@ object OsmPbf {
     // endpoints (s3a et al.), breaking any authenticated FS at scale
     val bcConf = org.apache.spark.sql.graftbridge.HadoopConfBridge
       .broadcast(spark.sparkContext)
-    spark.createDataset(refs)
+    (spark.createDataset(refs)
       .repartition(math.min(refs.length,
-        math.max(1, spark.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val p = new org.apache.hadoop.fs.Path(ref.path)
-        val in = p.getFileSystem(bcConf.conf).open(p)
-        try {
-          in.seek(ref.offset)
-          val blob = new Array[Byte](ref.length)
-          in.readFully(blob)
-          val out = new ArrayBuffer[Node]()
-          parseBlock(decodeBlob(blob, 0, blob.length), out)
-          out.toSeq
-        } finally in.close()
-      }
-      .toDF()
+        math.max(1, spark.sparkContext.defaultParallelism))), bcConf)
+  }
+
+  private def rangeRead(ref: BlobRef,
+      confBox: org.apache.spark.sql.graftbridge.HadoopConfBridge.ConfBox): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(ref.path)
+    val in = p.getFileSystem(confBox.conf).open(p)
+    try {
+      in.seek(ref.offset)
+      val blob = new Array[Byte](ref.length)
+      in.readFully(blob)
+      blob
+    } finally in.close()
+  }
+
+  /** Blob-split single-element readers — ONE TASK PER BLOB, the planet-
+    * file shape, for each element kind: asking for one kind is a
+    * SELECTION, so blobs of the other kinds are skipped (lenient), not
+    * refused — unlike [[readSplit]], whose DenseNodes-subset contract
+    * keeps the loud refusal.
+    */
+  def readSplitNodesLenient(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val (refs, box) = splitRefs(spark, pathGlob)
+    refs.flatMap { ref =>
+      val blob = rangeRead(ref, box)
+      val out = new ArrayBuffer[Node]()
+      parseBlock(decodeBlob(blob, 0, blob.length), out, null, null, lenient = true)
+      out.toSeq
+    }.toDF()
+  }
+
+  def readSplitWays(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val (refs, box) = splitRefs(spark, pathGlob)
+    refs.flatMap { ref =>
+      val blob = rangeRead(ref, box)
+      val ways = new ArrayBuffer[Way]()
+      parseBlock(decodeBlob(blob, 0, blob.length), null, ways, null, lenient = true)
+      ways.toSeq
+    }.toDF()
+  }
+
+  def readSplitRelations(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val (refs, box) = splitRefs(spark, pathGlob)
+    refs.flatMap { ref =>
+      val blob = rangeRead(ref, box)
+      val rels = new ArrayBuffer[Relation]()
+      parseBlock(decodeBlob(blob, 0, blob.length), null, null, rels, lenient = true)
+      rels.toSeq
+    }.toDF()
   }
 }
