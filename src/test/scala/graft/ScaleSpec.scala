@@ -94,6 +94,47 @@ class ScaleSpec extends AnyFunSuite {
       s"sorted-by-hkey layout decoded $scanned of $total rows — stats not skipping")
   }
 
+  test("AQE skew-split engages on a planted 50%-hot key (skew=true in the final plan)") {
+    import spark.implicits._
+    // the r15 Zipf-skew soak measured AQE absorbing the hot key on plain
+    // equi-joins (b4 1.85× worst at sf5); this pins the MECHANISM so a
+    // conf regression can't silently disable it: half of 400k probe rows
+    // land on key 0, thresholds scaled to the test's shuffle sizes
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(400000)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(2000).select($"id".as("rk"), ($"id" * 7).as("w"))
+      val joined = left.join(right, $"k" === $"rk")
+      // collect() executes THIS Dataset's QueryExecution, finalizing its
+      // adaptive plan (count() would build and finalize a different one)
+      val n = joined.collect().length
+      // key 0 matches 200 000 probe rows; odd keys 1..1999 match one each
+      assert(n == 200000 + 1000, s"unexpected join cardinality $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), "not a final adaptive plan:\n" + plan)
+      assert(plan.contains("skew=true"),
+        "AQE did not mark the hot partition skewed:\n" + plan)
+    } finally saved.foreach {
+      // conf.get can return null (unset optional conf) rather than throw
+      case (k, Some(v)) if v != null => spark.conf.set(k, v)
+      case (k, _) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE on, broadcast off, sf0.1: blocked pair joins stay equi-joins (never BNLJ/cartesian)") {
     // The PlanAuditSpec runs at a scale where every build side broadcasts;
     // this audit removes that safety net — broadcast disabled entirely,
