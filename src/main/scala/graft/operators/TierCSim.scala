@@ -48,7 +48,13 @@ object TierCSim {
     * mirror is hash-checked instead of merely dormant.
     */
   private[graft] def envCap(name: String, dflt: Int): Int = {
-    val v = sys.env.get(name).map(_.trim.toInt).getOrElse(dflt)
+    val v = sys.env.get(name).map { s =>
+      try s.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name must be an integer cap, got '$s'")
+      }
+    }.getOrElse(dflt)
     require(v >= 1, s"$name must be >= 1, got $v")
     v
   }
