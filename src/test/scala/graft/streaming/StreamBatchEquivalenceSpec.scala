@@ -321,6 +321,73 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       s"${streamRows.length} vs ${batchRows.length}; only-stream=${streamRows.diff(batchRows).take(3)} only-batch=${batchRows.diff(streamRows).take(3)}")
   }
 
+  test("rateAnomalyStream (flatMapGroupsWithState) == batch sorted-fold EWMA twin (b75/b91 analog)") {
+    // the closed-bucket EWMA state machine against a per-key sorted fold:
+    // three ts-ordered slices so open buckets genuinely survive batch
+    // boundaries before a newer bucket closes them
+    val bucketUs = 3600000000L // 1 hour
+    val base = events.select(
+      concat(lit("u"), $"user_id" % 25L).as("key"),
+      unix_micros($"event_ts").as("ts_us"))
+    val (lo, hi) = {
+      val r = base.agg(min($"ts_us"), max($"ts_us")).head()
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    val srcDir = tmpDir("sbe_rate")
+    val t0 = System.currentTimeMillis() - 600000L
+    (0 until 3).foreach { i =>
+      val stage = tmpDir("sbe_rate_stage")
+      base.filter($"ts_us" >= lo + (hi - lo) * i / 3 &&
+          $"ts_us" < lo + (hi - lo) * (i + 1) / 3)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + i * 30000L))
+    }
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = FeaturePipeline.rateAnomalyStream(stream, bucketUs).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sbe_rate")
+      .option("checkpointLocation", tmpDir("sbe_rate_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000L) finally q.stop()
+    val streamRows = spark.table("sbe_rate").collect().map(_.toString).sorted.toSeq
+    // batch twin: per-key bucket counts in bucket order, all but the LAST
+    // (still-open) bucket emitted through the same integer EWMA chain
+    val foldUdf = udf { (bs: Seq[org.apache.spark.sql.Row]) =>
+      var ewma = 0L; var nClosed = 0L
+      bs.dropRight(1).map { r =>
+        val (b, c) = (r.getLong(0), r.getLong(1))
+        val cntE6 = c * 1000000L
+        val alarm = nClosed > 0 && c >= 4 && cntE6 > 2L * ewma
+        val dev = cntE6 - ewma
+        val out = (b, c, ewma, dev, alarm)
+        ewma = if (nClosed == 0) cntE6 else ewma + ((cntE6 - ewma) >> 3)
+        nClosed += 1
+        out
+      }
+    }
+    val batchRows = spark.read.schema(base.schema).parquet(srcDir)
+      // integral div, NOT double floor — µs values (~1.7e15) lose integer
+      // precision through a double quotient at bucket boundaries
+      .withColumn("bucket", expr(s"(ts_us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy($"key", $"bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy($"key")
+      .agg(sort_array(collect_list(struct($"bucket", $"cnt"))).as("bs"))
+      .select($"key", explode(foldUdf($"bs")).as("a"))
+      .select($"key", $"a._1".as("bucket_us"), $"a._2".as("cnt"),
+        $"a._3".as("ewma_e6"), $"a._4".as("dev_e6"), $"a._5".as("alarm"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batchRows.nonEmpty, "fixture produced no closed buckets")
+    assert(streamRows == batchRows,
+      s"${streamRows.length} vs ${batchRows.length}; " +
+        s"only-stream=${streamRows.diff(batchRows).take(3)} " +
+        s"only-batch=${batchRows.diff(streamRows).take(3)}")
+  }
+
   test("stateless geofenceAlerts: stream rows == batch rows (a11w analog)") {
     val pointUdf = udf { (x: Double, y: Double) => graft.functions.Wkb.point(x, y) }
     val fences = Seq(
