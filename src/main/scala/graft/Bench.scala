@@ -137,7 +137,16 @@ object Bench {
     // 105 queries (r5) the one full line outgrew the tail window and the
     // gate recorded "parsed": null. The short line is a few dozen bytes at
     // any suite size.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":$nFailed,"agg":"min_of_reruns_over_${fmt(RerunThreshold)}s","sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":$nFailed,"agg":"min_of_reruns_over_${fmt(RerunThreshold)}s","sf":"$sfDir"}"""
+    println(fullLine)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    // The driver's bounded stdout tail truncates the full line mid-dict at
+    // 368 queries (VERDICT r15: only ~84 per-query timings survived for
+    // round-over-round forensics), so the complete per-query dict ALSO
+    // lands in a repo file that gets committed with the round.
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] full-json write: ${e.getMessage}") }
   }
 }

@@ -6083,12 +6083,33 @@ object TierB {
     * dir outlives the session — CREATE TABLE AS would refuse with
     * LOCATION_ALREADY_EXISTS otherwise).
     */
+  /** Latest mtime under one sf-dir table — the same freshness key the
+    * TierA fixture writers use: regenerating the sf data at the same path
+    * (easy with ScaleGen's skew/noise modes) must rebuild the derived
+    * layouts, or the engine serves stale bytes while the oracle reads the
+    * new parquet (spurious hash mismatches).
+    */
+  private def sourceMtime(d: String, table: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: f.listFiles().toSeq.map(walk)).max
+      else f.lastModified
+    val p = new java.io.File(d, s"$table.parquet")
+    if (p.exists()) walk(p) else 0L
+  }
+
   private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
     import s.implicits._
     val suffix = java.lang.Integer.toHexString(d.hashCode)
     val (to, tc) = (s"graft_bkt_orders_$suffix", s"graft_bkt_customer_$suffix")
+    // freshness marker: catalog existence alone served stale buckets when
+    // the sf dir was regenerated at the same path (the TierA mtime rule)
+    val marker = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bkt_marker_$suffix")
+    val srcMtime = math.max(sourceMtime(d, "orders"), sourceMtime(d, "customer"))
     TierB.synchronized {
-      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc) ||
+          !marker.exists() || marker.lastModified < srcMtime) {
         s.sql(s"DROP TABLE IF EXISTS $to")
         s.sql(s"DROP TABLE IF EXISTS $tc")
         val wh = s.conf.get("spark.sql.warehouse.dir")
@@ -6109,6 +6130,8 @@ object TierB {
           .repartition(8, $"c_custkey")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+        marker.delete()
+        java.nio.file.Files.createFile(marker.toPath)
       }
     }
     // Spark 3+ stopped propagating sorted-bucket file order by default;
@@ -6209,7 +6232,9 @@ object TierB {
       "graft_part_events_" + Integer.toHexString(d.hashCode))
     val marker = new java.io.File(dir, "_SUCCESS")
     TierB.synchronized {
-      if (!marker.exists()) {
+      // same staleness rule as every TierA fixture: a marker alone served
+      // stale partitions when the sf data was regenerated at the same path
+      if (!marker.exists() || marker.lastModified < sourceMtime(d, "events")) {
         Tables.events(s, d)
           .write.mode("overwrite").partitionBy("event_type").parquet(dir.getPath)
       }

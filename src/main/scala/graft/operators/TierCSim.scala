@@ -5011,9 +5011,11 @@ object TierCSim {
     math.min(prev(n), inf)
   }
 
-  private val levUdf = udf { (a: String, b: String) =>
-    levenshteinBanded(a, b, EditK).toLong
-  }
+  // The verify stage rides Spark's built-in 3-arg levenshtein(l, r, k) —
+  // codegen'd banded DP with early exit, no serde hop — returning -1 above
+  // the threshold (filtered with the <= k predicate; -1 < 0 <= k never
+  // leaks). [[levenshteinBanded]] stays as the arithmetic reference the
+  // spec pins the builtin against (both must match DuckDB's full DP).
 
   /** Edit-distance near-dup join — the CHARACTER-level member of the
     * dedup family (catches the OCR-noise / typo / small-patch duplicates
@@ -5089,8 +5091,9 @@ object TierCSim {
     val ta = base.select($"doc_id".as("id_a"), $"text".as("text_a"))
     val tb = base.select($"doc_id".as("id_b"), $"text".as("text_b"))
     cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-      .withColumn("edit_dist", levUdf($"text_a", $"text_b"))
-      .filter($"edit_dist" <= k)
+      .withColumn("edit_dist",
+        levenshtein($"text_a", $"text_b", EditK).cast(LongType))
+      .filter($"edit_dist" >= 0 && $"edit_dist" <= k)
       .select($"id_a", $"id_b", $"edit_dist")
       .orderBy($"id_a", $"id_b")
   }

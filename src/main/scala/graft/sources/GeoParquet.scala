@@ -61,14 +61,15 @@ object GeoParquet {
     * and value shapes are fixed by the spec; no user strings beyond the
     * column name, which is JSON-escaped).
     */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def geoJson(primary: String, geomTypes: Seq[String], bbox: Seq[Double]): String = {
     require(bbox.length == 4, s"geoparquet: bbox must be [xmin,ymin,xmax,ymax], got $bbox")
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val types = geomTypes.map(t => "\"" + esc(t) + "\"").mkString(",")
     // bbox is OPTIONAL per spec; a NaN box (empty file) must be omitted —
     // bare NaN is not legal JSON and an absent box means "unknown extent"
@@ -87,7 +88,9 @@ object GeoParquet {
   def geoJsonCrs(primary: String, geomTypes: Seq[String], bbox: Seq[Double],
       authority: String, code: String): String = {
     val base = geoJson(primary, geomTypes, bbox)
-    val crs = s""","crs":{"id":{"authority":"$authority","code":"$code"}}}}}"""
+    // authority/code are caller strings like the column name — same esc()
+    // discipline, or a quote/backslash would malform the footer JSON
+    val crs = s""","crs":{"id":{"authority":"${esc(authority)}","code":"${esc(code)}"}}}}}"""
     require(base.endsWith("}}}"), "geoparquet: unexpected geoJson shape")
     base.dropRight(3) + crs
   }
@@ -376,7 +379,10 @@ object GeoParquet {
     (auth.toUpperCase, code.toUpperCase) match {
       case ("OGC", "CRS84") => 0
       case ("EPSG", "4326") => 0
-      case ("EPSG", c) if c.forall(_.isDigit) &&
+      // length guard: an 11+-digit all-numeric code must fall through to
+      // the descriptive refusal below, not die in toInt with a raw
+      // NumberFormatException (EPSG codes are at most 7 digits today)
+      case ("EPSG", c) if c.nonEmpty && c.length <= 9 && c.forall(_.isDigit) &&
           (c.toInt == 3857 || graft.functions.Crs.inverseOf(c.toInt).isDefined) =>
         c.toInt
       case (a, c) =>

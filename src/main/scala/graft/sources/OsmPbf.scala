@@ -652,8 +652,32 @@ object OsmPbf {
       .groupBy($"way_id")
       .agg(count(lit(1)).as("n_joined"),
         sort_array(collect_list(struct($"pos", $"lonNano", $"latNano"))).as("pts"))
+    // LEFT join back to the way list: a way whose refs are ALL dangling
+    // (or whose refs list is empty) produces no pts group — an inner join
+    // here silently dropped it, breaking the loud-refusal contract the
+    // consumers document (the dangling require never saw the row). With
+    // n_joined coalesced to 0, the nJoined == nRefs check downstream
+    // fires for the all-dangling case too; pts stays null and is never
+    // touched past that check.
     waysDf.select($"id".as("way_id"), size($"refs").as("n_refs"), $"tags")
-      .join(pts, Seq("way_id"))
+      .join(pts, Seq("way_id"), "left")
+      .withColumn("n_joined", coalesce($"n_joined", lit(0L)))
+  }
+
+  /** Shared loud refs-vs-joined contract for the assembly UDFs: empty
+    * refs, dangling refs, and duplicate node ids (n_joined OVERSHOOTS
+    * n_refs when the same node id appears in several source files — the
+    * join fans out) each get their own named refusal.
+    */
+  private def requireFullyJoined(what: String, nRefs: Int, nJoined: Long): Unit = {
+    require(nRefs > 0, s"osmpbf: $what has an empty refs list — no geometry to assemble")
+    if (nJoined > nRefs)
+      throw new IllegalArgumentException(
+        s"osmpbf: $what joined $nJoined node rows for $nRefs refs — duplicate " +
+          "node ids in the node store (same id across globbed files?)")
+    require(nJoined == nRefs,
+      s"osmpbf: $what has ${nRefs - nJoined} dangling node refs — " +
+        "refusing a silently-partial geometry")
   }
 
   def assembleWays(s: SparkSession, waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
@@ -661,9 +685,7 @@ object OsmPbf {
     import s.implicits._
     val build = udf { (wayId: Long, nRefs: Int, nJoined: Long,
         pts: Seq[org.apache.spark.sql.Row], tags: Map[String, String]) =>
-      require(nJoined == nRefs,
-        s"osmpbf: way $wayId has ${nRefs - nJoined} dangling node refs — " +
-          "refusing a silently-partial geometry")
+      requireFullyJoined(s"way $wayId", nRefs, nJoined)
       val coords = pts.map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
       val closed = coords.length >= 4 && coords.head == coords.last
       val polygonal = closed &&
@@ -720,8 +742,11 @@ object OsmPbf {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val mp = relsDf.filter(element_at($"tags", "type") === "multipolygon")
+    // posexplode_OUTER: an empty member list must surface as a loud error
+    // inside the build (a plain posexplode emits no rows and the relation
+    // vanished silently — inconsistent with every other malformed arm)
     val members = mp.select($"id".as("relation_id"), $"tags",
-        posexplode(arrays_zip($"memberIds", $"memberRoles", $"memberTypes"))
+        posexplode_outer(arrays_zip($"memberIds", $"memberRoles", $"memberTypes"))
           .as(Seq("pos", "m")))
       .select($"relation_id", $"tags", $"pos",
         $"m.memberIds".as("way_id"), $"m.memberRoles".as("role"),
@@ -740,17 +765,20 @@ object OsmPbf {
       val outerChains = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Double, Double)])]
       val innerChains = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Double, Double)])]
       ms.foreach { m =>
+        // a null member struct is posexplode_outer's marker for an EMPTY
+        // member list — the arm a plain explode used to drop silently
+        require(!m.isNullAt(2),
+          s"osmpbf: relation $relId is type=multipolygon but has no members — refusing")
         val role = m.getString(1); val mtype = m.getInt(2); val wayId = m.getLong(3)
         require(mtype == 1,
           s"osmpbf: relation $relId member of type $mtype (0=node, 2=relation) — " +
             "only way members are inside this multipolygon subset")
         require(role == "outer" || role == "inner",
           s"osmpbf: relation $relId member role '$role' — expected outer/inner")
-        require(!m.isNullAt(4) && !m.isNullAt(6),
+        require(!m.isNullAt(4),
           s"osmpbf: relation $relId references way $wayId missing from the way store")
         val nRefs = m.getInt(4); val nJoined = m.getLong(5)
-        require(nJoined == nRefs,
-          s"osmpbf: relation $relId member way $wayId has ${nRefs - nJoined} dangling node refs")
+        requireFullyJoined(s"relation $relId member way $wayId", nRefs, nJoined)
         val pts = m.getSeq[org.apache.spark.sql.Row](6)
           .map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
         require(pts.length >= 2,

@@ -120,6 +120,53 @@ class OsmPbfSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("dangling")))
   }
 
+  private def chainMessage(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+
+  test("loud arms: ALL-dangling way, empty-refs way, duplicate node ids, empty-member multipolygon") {
+    val ns = Seq(
+      OsmPbf.Node(1, 0L, 0L, Map.empty),
+      OsmPbf.Node(2, 1000000000L, 0L, Map.empty))
+    val dir = Files.createTempDirectory("osmpbf_loud")
+    // ALL refs missing from the node store: the old inner join dropped the
+    // way silently; the left-join contract must throw "dangling" instead
+    Files.write(dir.resolve("alldangling.osm.pbf"),
+      OsmPbf.writeAll(ns, Seq(OsmPbf.Way(20, Seq(97L, 98L, 99L), Map.empty))))
+    val e1 = intercept[Exception] {
+      OsmPbf.wayFeatures(spark, dir.resolve("alldangling.osm.pbf").toString).collect()
+    }
+    assert(chainMessage(e1).contains("dangling"), chainMessage(e1))
+    // empty refs list: no geometry to assemble — loud, not an empty line
+    Files.write(dir.resolve("norefs.osm.pbf"),
+      OsmPbf.writeAll(ns, Seq(OsmPbf.Way(21, Seq.empty, Map.empty))))
+    val e2 = intercept[Exception] {
+      OsmPbf.wayFeatures(spark, dir.resolve("norefs.osm.pbf").toString).collect()
+    }
+    assert(chainMessage(e2).contains("empty refs"), chainMessage(e2))
+    // the same node id in two globbed files: the refs→nodes join fans out
+    // (n_joined > n_refs) — named refusal, not "negative dangling refs"
+    val dup = Files.createTempDirectory("osmpbf_dup")
+    Files.write(dup.resolve("a.osm.pbf"),
+      OsmPbf.writeAll(ns, Seq(OsmPbf.Way(22, Seq(1L, 2L), Map.empty))))
+    Files.write(dup.resolve("b.osm.pbf"), OsmPbf.write(ns))
+    val e3 = intercept[Exception] {
+      OsmPbf.wayFeatures(spark, dup.toString + "/*.osm.pbf").collect()
+    }
+    assert(chainMessage(e3).contains("duplicate"), chainMessage(e3))
+    // a type=multipolygon relation with NO members: posexplode_outer keeps
+    // the row and the build refuses with the relation id
+    Files.write(dir.resolve("nomembers.osm.pbf"),
+      OsmPbf.writeFull(ns, Seq.empty,
+        Seq(OsmPbf.Relation(30L, Seq.empty, Seq.empty, Seq.empty,
+          Map("type" -> "multipolygon")))))
+    val e4 = intercept[Exception] {
+      OsmPbf.multipolygonFeatures(spark, dir.resolve("nomembers.osm.pbf").toString).collect()
+    }
+    assert(chainMessage(e4).contains("no members") && chainMessage(e4).contains("30"),
+      chainMessage(e4))
+  }
+
   test("relations roundtrip: packed roles_sid, zigzag-delta memids, member types") {
     val ns = nodes(8)
     val ws = Seq(OsmPbf.Way(1L, ns.take(4).map(_.id) :+ ns.head.id, Map.empty),
