@@ -350,6 +350,63 @@ object TierA {
     }
   )
 
+  // ------------------------------------------------ A1f2 (.fgb + R-tree)
+  /** The indexed twin of [[fgbFixture]] — same rows, written WITH the
+    * packed Hilbert R-tree (`indexNodeSize = 16`, the spec default
+    * ogr2ogr emits): features Hilbert-reordered, 40-byte tree nodes
+    * between header and features. The form default tooling ships.
+    */
+  private[graft] def fgbIndexedFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fgbidx_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.fgb")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "fgb indexed")
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+          .toSeq.map(r => (
+            Map("fid" -> r.getLong(0).toString, "ETYPE" -> r.getString(3)),
+            graft.sources.Kml.KPoint(r.getDouble(1), r.getLong(2).toDouble)))
+        java.nio.file.Files.write(f.toPath,
+          graft.sources.FlatGeobuf.writeFgb("events", rows, indexNodeSize = 16))
+      }
+    }
+    dir.getPath
+  }
+
+  /** a1f2's query window over (x = value ∈ [0, 560.21), y = user_id). */
+  private val FgbWin = (100.0, 1.0, 400.0, 6.0) // xmin, ymin, xmax, ymax
+
+  private val a1f2 = QuerySpec(
+    "a1f2_fgb_bbox",
+    "Index-pruned FlatGeobuf window scan: the events layer written WITH the packed Hilbert R-tree (features Hilbert-reordered, root-first 40-byte nodes), read through readBbox — the tree walk decodes only leaf-surviving features — plus the exact row filter; hash-matching the oracle's full-table window proves index pruning lost nothing.",
+    Some(s"""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events
+            WHERE value >= ${FgbWin._1} AND value <= ${FgbWin._3}
+              AND CAST(user_id AS DOUBLE) >= ${FgbWin._2}
+              AND CAST(user_id AS DOUBLE) <= ${FgbWin._4}
+            ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = fgbIndexedFixture(s, d)
+      graft.sources.FlatGeobuf.readBbox(s, s"$dir/events.fgb", "events", "fid",
+          FgbWin._1, FgbWin._2, FgbWin._3, FgbWin._4)
+        .select($"feature_id",
+          element_at($"props", "ETYPE").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .filter($"x" >= FgbWin._1 && $"x" <= FgbWin._3 &&
+          $"y" >= FgbWin._2 && $"y" <= FgbWin._4)
+        .orderBy($"feature_id")
+    }
+  )
+
   // ---------------------------------------------------------- A1g (.gpx)
   /** The GPX member of the fixture-writer family ([[shpFixture]]'s
     * rationale and row cap): events written once per JVM as an
@@ -1751,5 +1808,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }

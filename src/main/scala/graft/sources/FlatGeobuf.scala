@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,14 +26,21 @@ import graft.functions.Wkb
   * slot, vectors length-prefixed, scalars aligned (doubles 8, u32 4,
   * u16 2) — the writer pads accordingly so real readers seek cleanly.
   *
-  * Subset contract (loud, never silently wrong): `index_node_size` must
-  * be 0 — a packed Hilbert R-tree section is declared by any other value
-  * and this reader THROWS rather than misparse features as tree nodes
-  * (production readers use the index for bbox seeks; a full scan engine
-  * ignores it anyway). Property columns support the String / Long /
-  * Double / Bool column types; geometry supports Point / LineString /
-  * Polygon (rings via `ends`) / MultiPoint and MultiLineString, plus
-  * MultiPolygon through nested `parts`.
+  * Index (r16): a non-zero `index_node_size` declares the packed Hilbert
+  * R-tree section between header and features (the default-tooling wild
+  * form — ogr2ogr writes it unless told not to). The writer emits it
+  * (features Hilbert-sorted on the 16-bit quantized bbox-center grid,
+  * 40-byte nodes: 4×f64 bbox + u64 offset, levels laid out root-first
+  * with leaves last — the public flatbush-derived layout), the
+  * sequential reader SKIPS it by computed byte length (node math needs
+  * `features_count`, so an index without a count is refused loudly),
+  * and [[readBbox]] USES it: a tree walk from the root touches only the
+  * node runs whose boxes intersect the query window and decodes only the
+  * features their leaf offsets point at — the FGB analog of
+  * [[GeoParquet.readBbox]]'s footer pruning. Property columns support
+  * the String / Long / Double / Bool column types; geometry supports
+  * Point / LineString / Polygon (rings via `ends`) / MultiPoint and
+  * MultiLineString, plus MultiPolygon through nested `parts`.
   *
   * Scale shape: like [[Shapefile]]/[[GeoPackage]], one task per file
   * (`binaryFile` scan — a cloud-optimized FGB lands as many per-region
@@ -237,14 +246,164 @@ object FlatGeobuf {
     }
   }
 
+  // --------------------------------------------- packed Hilbert R-tree
+  /** 40 bytes per node (public spec): 4×f64 bbox + u64 offset. */
+  private val NodeBytes = 40
+
+  /** Node counts per level, bottom-up ([numItems, ceil(n/ns), …, 1]). */
+  private def levelNumNodes(numItems: Long, nodeSize: Int): Seq[Long] = {
+    require(numItems > 0, "fgb index: no items")
+    require(nodeSize >= 2, s"fgb index: node size $nodeSize < 2")
+    val out = ArrayBuffer[Long](numItems)
+    var n = numItems
+    while (n != 1) { n = (n + nodeSize - 1) / nodeSize; out += n }
+    out.toSeq
+  }
+
+  /** Total tree node count — gives the index section byte length the
+    * sequential reader must SKIP (`× 40`).
+    */
+  def indexNodeCount(numItems: Long, nodeSize: Int): Long =
+    levelNumNodes(numItems, nodeSize).sum
+
+  /** (start, end) node-slot bounds per level, bottom-up: element 0 is the
+    * leaf level occupying the LAST `numItems` slots; the root is slot 0 —
+    * the public flatbush-derived layout FGB serializes.
+    */
+  private def levelBounds(numItems: Long, nodeSize: Int): Seq[(Long, Long)] = {
+    val counts = levelNumNodes(numItems, nodeSize)
+    var n = counts.sum
+    counts.map { c => val b = (n - c, n); n -= c; b }
+  }
+
+  private def geomBbox(g: KGeom): (Double, Double, Double, Double) = {
+    def ptsOf(g2: KGeom): Seq[(Double, Double)] = g2 match {
+      case KPoint(x, y) => Seq((x, y))
+      case KLine(pts) => pts
+      case KPolygon(rings) => rings.flatten
+      case KMulti(ms) => ms.flatMap(ptsOf)
+    }
+    val pts = ptsOf(g)
+    require(pts.nonEmpty, "fgb index: empty geometry has no bbox")
+    (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max)
+  }
+
+  /** Order-16 Hilbert key of a bbox center quantized onto the layer
+    * extent's 65536-cell grid — the sort the packed tree's balance (not
+    * its correctness: parent boxes cover children in ANY order) rides.
+    */
+  private def hilbertOf(cx: Double, cy: Double,
+      ext: (Double, Double, Double, Double)): Long = {
+    def q(v: Double, lo: Double, hi: Double): Long =
+      if (hi <= lo) 0L
+      else math.min(65535L, math.max(0L, math.floor((v - lo) / (hi - lo) * 65536.0).toLong))
+    org.apache.spark.sql.graftbridge.HilbertIndex.xy2d(
+      q(cx, ext._1, ext._3), q(cy, ext._2, ext._4))
+  }
+
+  /** Serialize the packed tree: leaves (in feature order, offsets = the
+    * feature's byte offset within the features section) fill the LAST
+    * slots; each upper level unions runs of `nodeSize` children, its
+    * nodes' offsets = the first child's node slot; root lands in slot 0.
+    */
+  private def buildIndex(boxes: Seq[(Double, Double, Double, Double)],
+      offsets: Seq[Long], nodeSize: Int): Array[Byte] = {
+    val numItems = boxes.length.toLong
+    val bounds = levelBounds(numItems, nodeSize)
+    val numNodes = bounds.head._2.toInt
+    val nodes = new Array[(Double, Double, Double, Double, Long)](numNodes)
+    val leafStart = bounds.head._1.toInt
+    boxes.indices.foreach { i =>
+      val b = boxes(i)
+      nodes(leafStart + i) = (b._1, b._2, b._3, b._4, offsets(i))
+    }
+    var li = 0
+    while (li < bounds.length - 1) {
+      var pos = bounds(li)._1.toInt
+      val end = bounds(li)._2.toInt
+      var parent = bounds(li + 1)._1.toInt
+      while (pos < end) {
+        val first = pos
+        var (mnx, mny, mxx, mxy) = (Double.PositiveInfinity, Double.PositiveInfinity,
+          Double.NegativeInfinity, Double.NegativeInfinity)
+        var j = 0
+        while (j < nodeSize && pos < end) {
+          val n = nodes(pos)
+          if (n._1 < mnx) mnx = n._1
+          if (n._2 < mny) mny = n._2
+          if (n._3 > mxx) mxx = n._3
+          if (n._4 > mxy) mxy = n._4
+          pos += 1; j += 1
+        }
+        nodes(parent) = (mnx, mny, mxx, mxy, first.toLong)
+        parent += 1
+      }
+      li += 1
+    }
+    val bb = ByteBuffer.allocate(numNodes * NodeBytes).order(ByteOrder.LITTLE_ENDIAN)
+    nodes.foreach { n =>
+      bb.putDouble(n._1); bb.putDouble(n._2); bb.putDouble(n._3); bb.putDouble(n._4)
+      bb.putLong(n._5)
+    }
+    bb.array()
+  }
+
+  /** One feature's flatbuffer body (size prefix NOT included). */
+  private def serializeFeature(props: Map[String, String], g: KGeom,
+      colIndex: Map[String, Int]): Array[Byte] = {
+    val fb = new FbBuilder
+    val fRootSlot = fb.offsetSlot()
+    val gPos = writeGeometry(fb, g)
+    val propBytes = {
+      val po = new java.io.ByteArrayOutputStream()
+      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val idx = colIndex(k)
+        po.write(idx & 0xff); po.write((idx >> 8) & 0xff)
+        val vb = v.getBytes("UTF-8")
+        writeU32(po, vb.length.toLong)
+        po.write(vb)
+      }
+      po.toByteArray
+    }
+    val pPos = if (propBytes.nonEmpty) Some(fb.byteVector(propBytes)) else None
+    val ffields = Seq.newBuilder[(Int, TableField)]
+    ffields += (0 -> OffsetField)
+    pPos.foreach(_ => ffields += (1 -> OffsetField))
+    val (ft, fslots) = fb.table(ffields.result())
+    fb.patch(fRootSlot, ft)
+    fb.patch(fslots(0), gPos)
+    pPos.foreach(p => fb.patch(fslots(1), p))
+    fb.result()
+  }
+
   /** One complete FGB file: string props become String columns (sorted
     * key order — the byte-deterministic [[Kml.placemarkXml]] rule).
+    * `indexNodeSize > 0` writes the packed Hilbert R-tree section
+    * (features re-ordered by the Hilbert key of their bbox center — the
+    * layout that makes a bbox query touch few leaf runs).
     */
   def writeFgb(layer: String,
       features: Seq[(Map[String, String], KGeom)],
       indexNodeSize: Int = 0): Array[Byte] = {
+    require(indexNodeSize == 0 || features.nonEmpty,
+      "FlatGeobuf writer: cannot write an index for an empty layer")
     val colNames = features.flatMap(_._1.keys).distinct.sorted
     val colIndex = colNames.zipWithIndex.toMap
+    // feature order: Hilbert-sorted when indexed (ties by input position
+    // — fully deterministic), input order otherwise
+    val order: Seq[Int] =
+      if (indexNodeSize == 0) features.indices
+      else {
+        val boxes = features.map(f => geomBbox(f._2))
+        val ext = (boxes.map(_._1).min, boxes.map(_._2).min,
+          boxes.map(_._3).max, boxes.map(_._4).max)
+        features.indices.sortBy { i =>
+          val b = boxes(i)
+          (hilbertOf((b._1 + b._3) / 2, (b._2 + b._4) / 2, ext), i.toLong)
+        }
+      }
+    val featBlobs = order.map(i =>
+      serializeFeature(features(i)._1, features(i)._2, colIndex))
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
 
@@ -273,31 +432,17 @@ object FlatGeobuf {
     writeU32(out, headerBytes.length.toLong)
     out.write(headerBytes)
 
+    // ------- index section (header and features bracket it, per spec)
+    if (indexNodeSize > 0) {
+      val boxes = order.map(i => geomBbox(features(i)._2))
+      // leaf offsets = byte offset of each size-prefixed feature record
+      // within the FEATURES section
+      val offsets = featBlobs.scanLeft(0L)((acc, b) => acc + 4 + b.length).dropRight(1)
+      out.write(buildIndex(boxes, offsets, indexNodeSize))
+    }
+
     // ------- features
-    features.foreach { case (props, g) =>
-      val fb = new FbBuilder
-      val fRootSlot = fb.offsetSlot()
-      val gPos = writeGeometry(fb, g)
-      val propBytes = {
-        val po = new java.io.ByteArrayOutputStream()
-        props.toSeq.sortBy(_._1).foreach { case (k, v) =>
-          val idx = colIndex(k)
-          po.write(idx & 0xff); po.write((idx >> 8) & 0xff)
-          val vb = v.getBytes("UTF-8")
-          writeU32(po, vb.length.toLong)
-          po.write(vb)
-        }
-        po.toByteArray
-      }
-      val pPos = if (propBytes.nonEmpty) Some(fb.byteVector(propBytes)) else None
-      val ffields = Seq.newBuilder[(Int, TableField)]
-      ffields += (0 -> OffsetField)
-      pPos.foreach(_ => ffields += (1 -> OffsetField))
-      val (ft, fslots) = fb.table(ffields.result())
-      fb.patch(fRootSlot, ft)
-      fb.patch(fslots(0), gPos)
-      pPos.foreach(p => fb.patch(fslots(1), p))
-      val featBytes = fb.result()
+    featBlobs.foreach { featBytes =>
       writeU32(out, featBytes.length.toLong)
       out.write(featBytes)
     }
@@ -386,8 +531,14 @@ object FlatGeobuf {
 
   final case class FgbFeature(geomWkb: Array[Byte], props: Map[String, String])
 
-  /** Parse one complete .fgb byte array. */
-  def parse(bytes: Array[Byte]): (String, Seq[FgbFeature]) = {
+  /** Parsed header: layer name, index node size (0 = no index section),
+    * declared feature count, column schema, and the byte position right
+    * after the header (where the index — or the first feature — starts).
+    */
+  private final case class FgbHeader(layer: String, nodeSize: Int,
+      count: Long, cols: IndexedSeq[(String, Int)], bodyStart: Int)
+
+  private def parseHeader(bytes: Array[Byte]): FgbHeader = {
     require(bytes.length > 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
       "not a FlatGeobuf v3 file (magic mismatch)")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -396,10 +547,8 @@ object FlatGeobuf {
     val hfb = new Fb(bytes, p)
     val ht = hfb.root
     val layer = hfb.field(ht, 0) match { case -1 => ""; case f => hfb.string(f) }
+    val count = hfb.field(ht, 8) match { case -1 => 0L; case f => hfb.u64(f) }
     val nodeSize = hfb.field(ht, 9) match { case -1 => 16; case f => hfb.u16(f) }
-    require(nodeSize == 0,
-      s"FlatGeobuf subset reader: index_node_size $nodeSize declares a packed " +
-        "Hilbert R-tree section this subset does not parse — write without an index")
     val cols: IndexedSeq[(String, Int)] = hfb.field(ht, 7) match {
       case -1 => IndexedSeq.empty
       case f =>
@@ -411,44 +560,119 @@ object FlatGeobuf {
           (nm, tp)
         }
     }
-    p += headerLen
+    FgbHeader(layer, nodeSize, count, cols, p + headerLen)
+  }
+
+  /** The index section's byte length for a parsed header — what a
+    * sequential scan SKIPS. Sizing the tree needs the feature count, so
+    * an indexed file that omits it is refused loudly (misparsing tree
+    * nodes as features is the silent-wrong alternative).
+    */
+  private def indexByteLen(h: FgbHeader, fileLen: Int): Long =
+    if (h.nodeSize == 0) 0L
+    else if (h.count > 0) indexNodeCount(h.count, h.nodeSize) * NodeBytes
+    else if (h.bodyStart >= fileLen) 0L // empty layer: no index, no features
+    else throw new IllegalArgumentException(
+      s"FlatGeobuf reader: index_node_size ${h.nodeSize} declares a packed " +
+        "R-tree but the header carries no features_count — cannot size the " +
+        "tree, refusing to misparse nodes as features")
+
+  /** Decode the size-prefixed feature record at `pos`; returns the
+    * feature and the total record length (4 + body).
+    */
+  private def decodeFeature(bytes: Array[Byte], pos: Int,
+      cols: IndexedSeq[(String, Int)]): (FgbFeature, Int) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val fLen = bb.getInt(pos)
+    val p = pos + 4
+    val ffb = new Fb(bytes, p)
+    val ft = ffb.root
+    val wkb = ffb.field(ft, 0) match {
+      case -1 => null
+      case gf => geomToWkb(ffb, ffb.indirect(gf))
+    }
+    val props = ffb.field(ft, 1) match {
+      case -1 => Map.empty[String, String]
+      case pf =>
+        val v = ffb.indirect(pf)
+        val len = ffb.vecLen(v)
+        val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var q = v + 4
+        val end = v + 4 + len
+        while (q < end) {
+          val idx = ffb.u16(q); q += 2
+          val (nm, tp) = if (idx < cols.length) cols(idx) else (s"col$idx", ColString)
+          tp match {
+            case ColString =>
+              val l = ffb.u32(q).toInt; q += 4
+              out(nm) = new String(bytes, p + q, l, "UTF-8"); q += l
+            case ColLong => out(nm) = ffb.u64(q).toString; q += 8
+            case ColDouble => out(nm) = ffb.f64(q).toString; q += 8
+            case ColBool => out(nm) = (ffb.u8(q) != 0).toString; q += 1
+            case other => throw new IllegalArgumentException(
+              s"FlatGeobuf subset reader: column type $other unsupported")
+          }
+        }
+        out.toMap
+    }
+    (FgbFeature(wkb, props), 4 + fLen)
+  }
+
+  /** Parse one complete .fgb byte array (an index section, if declared,
+    * is skipped by computed length — default-tooling files scan).
+    */
+  def parse(bytes: Array[Byte]): (String, Seq[FgbFeature]) = {
+    val h = parseHeader(bytes)
+    var p = (h.bodyStart + indexByteLen(h, bytes.length)).toInt
     val feats = Seq.newBuilder[FgbFeature]
     while (p + 4 <= bytes.length) {
-      val fLen = bb.getInt(p); p += 4
-      val ffb = new Fb(bytes, p)
-      val ft = ffb.root
-      val wkb = ffb.field(ft, 0) match {
-        case -1 => null
-        case gf => geomToWkb(ffb, ffb.indirect(gf))
-      }
-      val props = ffb.field(ft, 1) match {
-        case -1 => Map.empty[String, String]
-        case pf =>
-          val v = ffb.indirect(pf)
-          val len = ffb.vecLen(v)
-          val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
-          var q = v + 4
-          val end = v + 4 + len
-          while (q < end) {
-            val idx = ffb.u16(q); q += 2
-            val (nm, tp) = if (idx < cols.length) cols(idx) else (s"col$idx", ColString)
-            tp match {
-              case ColString =>
-                val l = ffb.u32(q).toInt; q += 4
-                out(nm) = new String(bytes, p + q, l, "UTF-8"); q += l
-              case ColLong => out(nm) = ffb.u64(q).toString; q += 8
-              case ColDouble => out(nm) = ffb.f64(q).toString; q += 8
-              case ColBool => out(nm) = (ffb.u8(q) != 0).toString; q += 1
-              case other => throw new IllegalArgumentException(
-                s"FlatGeobuf subset reader: column type $other unsupported")
-            }
-          }
-          out.toMap
-      }
-      feats += FgbFeature(wkb, props)
-      p += fLen
+      val (f, len) = decodeFeature(bytes, p, h.cols)
+      feats += f
+      p += len
     }
-    (layer, feats.result())
+    (h.layer, feats.result())
+  }
+
+  /** Bbox query THROUGH the packed Hilbert R-tree: walks node runs from
+    * the root, descends only into children whose boxes intersect the
+    * window, and decodes only the features the surviving leaf offsets
+    * point at. Returns (declared feature count, matched features in
+    * file order) — the count lets callers pin that pruning actually
+    * skipped work. Refuses unindexed files loudly (a silent full scan
+    * would misreport the pruning this API promises; use [[parse]]).
+    */
+  def searchBbox(bytes: Array[Byte], xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): (Long, Seq[FgbFeature]) = {
+    val h = parseHeader(bytes)
+    require(h.nodeSize > 0,
+      "FlatGeobuf searchBbox: file declares no index (index_node_size 0) — " +
+        "bbox pushdown needs the packed R-tree; use the full scan + filter")
+    if (h.count == 0) return (0L, Seq.empty)
+    val bounds = levelBounds(h.count, h.nodeSize)
+    val numNodes = bounds.head._2
+    val indexStart = h.bodyStart.toLong
+    val featStart = indexStart + numNodes * NodeBytes
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val hits = ArrayBuffer.empty[Long]
+    val queue = scala.collection.mutable.Queue[(Long, Int)]((0L, bounds.length - 1))
+    while (queue.nonEmpty) {
+      val (nodeIndex, level) = queue.dequeue()
+      val isLeaf = level == 0
+      val end = math.min(nodeIndex + h.nodeSize, bounds(level)._2)
+      var pos = nodeIndex
+      while (pos < end) {
+        val base = (indexStart + pos * NodeBytes).toInt
+        val nx0 = bb.getDouble(base); val ny0 = bb.getDouble(base + 8)
+        val nx1 = bb.getDouble(base + 16); val ny1 = bb.getDouble(base + 24)
+        val off = bb.getLong(base + 32)
+        if (!(nx1 < xmin || nx0 > xmax || ny1 < ymin || ny0 > ymax)) {
+          if (isLeaf) hits += off else queue.enqueue((off, level - 1))
+        }
+        pos += 1
+      }
+    }
+    (h.count, hits.sorted.toSeq
+      .map(off => decodeFeature(bytes, (featStart + off).toInt, h.cols)._1))
   }
 
   /** .fgb files → the canonical feature envelope ([[Kml.read]] columns;
@@ -461,6 +685,31 @@ object FlatGeobuf {
       .select("path", "content").as[(String, Array[Byte])]
     rows.flatMap { case (path, bytes) =>
       parse(bytes)._2.map { f =>
+        (layer, f.props.getOrElse(idField, null), f.geomWkb, f.props, path)
+      }
+    }.toDF("layer", "feature_id", "geom_wkb", "props", "source")
+      .select($"layer", $"feature_id", $"geom_wkb", $"props",
+        timestamp_micros(lit(eventTsUs)).as("event_ts"), $"source",
+        lit(1).as("fmt_version"))
+      .select("layer", "feature_id", "geom_wkb", "props", "event_ts", "source", "fmt_version")
+  }
+
+  /** [[read]]'s index-pruned twin (the [[GeoParquet.readBbox]] analog for
+    * FGB): per file, only tree-surviving features are decoded — the
+    * per-file R-tree walk runs inside the task, so a many-file layer
+    * prunes in parallel with zero driver work. Callers re-apply the
+    * EXACT row predicate on top (the tree prunes at bbox granularity);
+    * the a1f2 gate hash-matches a full-table oracle to prove pruning
+    * lost nothing.
+    */
+  def readBbox(spark: SparkSession, pathGlob: String, layer: String,
+      idField: String, xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+      eventTsUs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+    rows.flatMap { case (path, bytes) =>
+      searchBbox(bytes, xmin, ymin, xmax, ymax)._2.map { f =>
         (layer, f.props.getOrElse(idField, null), f.geomWkb, f.props, path)
       }
     }.toDF("layer", "feature_id", "geom_wkb", "props", "source")

@@ -49,11 +49,71 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(math.abs(Wkb.area(out(3).geomWkb) - 1.0) < 1e-12) // 0.5 + 0.5
   }
 
-  test("declared index (index_node_size > 0) is rejected loudly, never misparsed") {
-    val bytes = FlatGeobuf.writeFgb("g",
-      Seq((Map("fid" -> "x"), KPoint(1.0, 1.0))), indexNodeSize = 16)
-    val e = intercept[IllegalArgumentException] { FlatGeobuf.parse(bytes) }
-    assert(e.getMessage.contains("Hilbert R-tree"))
+  test("indexed file (packed Hilbert R-tree): sequential parse skips the tree; content equals the unindexed twin") {
+    val feats = (0 until 137).map { i =>
+      (Map("fid" -> s"f$i"), KPoint(i % 17 * 3.5 - 20.0, i / 17 * 2.25 - 10.0))
+    }
+    val plain = FlatGeobuf.parse(FlatGeobuf.writeFgb("g", feats))._2
+    // node size 4 forces a ≥4-level tree over 137 items — deep descent, runs
+    val indexed = FlatGeobuf.parse(FlatGeobuf.writeFgb("g", feats, indexNodeSize = 4))._2
+    def key(f: FlatGeobuf.FgbFeature) = (f.props("fid"), Wkb.bbox(f.geomWkb).toString)
+    // Hilbert sort reorders features; the CONTENT must be identical
+    assert(indexed.map(key).sorted == plain.map(key).sorted)
+    assert(indexed.length == 137)
+  }
+
+  test("searchBbox: tree walk returns exactly the brute-force window subset and prunes decode work") {
+    val feats = (0 until 200).map { i =>
+      (Map("fid" -> s"f$i"), KPoint(i % 20 * 1.0, i / 20 * 1.0))
+    }
+    val bytes = FlatGeobuf.writeFgb("g", feats, indexNodeSize = 16)
+    val (total, hits) = FlatGeobuf.searchBbox(bytes, 3.5, 2.5, 8.5, 6.5)
+    assert(total == 200)
+    val expect = feats.collect {
+      case (p, KPoint(x, y)) if x >= 3.5 && x <= 8.5 && y >= 2.5 && y <= 6.5 => p("fid")
+    }.toSet
+    assert(hits.map(_.props("fid")).toSet == expect)
+    // the pruning pin: a selective window must decode FEWER than total
+    assert(hits.length < total && hits.nonEmpty,
+      s"expected a pruned subset, got ${hits.length}/$total")
+    // degenerate windows: empty hit set, full-extent window = everything
+    assert(FlatGeobuf.searchBbox(bytes, 500.0, 500.0, 600.0, 600.0)._2.isEmpty)
+    assert(FlatGeobuf.searchBbox(bytes, -1e9, -1e9, 1e9, 1e9)._2.length == 200)
+  }
+
+  test("searchBbox on an unindexed file refuses loudly; indexed file without a feature count refuses loudly") {
+    val plain = FlatGeobuf.writeFgb("g", Seq((Map("fid" -> "x"), KPoint(1.0, 1.0))))
+    val e = intercept[IllegalArgumentException] {
+      FlatGeobuf.searchBbox(plain, 0, 0, 2, 2)
+    }
+    assert(e.getMessage.contains("no index"))
+    val e2 = intercept[IllegalArgumentException] {
+      FlatGeobuf.writeFgb("g", Seq.empty, indexNodeSize = 16)
+    }
+    assert(e2.getMessage.contains("empty layer"))
+  }
+
+  test("readBbox: distributed index-pruned scan equals read + filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val feats = (0 until 300).map { i =>
+      (Map("fid" -> s"f$i"), KPoint(i % 30 * 1.0, i / 30 * 1.0))
+    }
+    val dir = Files.createTempDirectory("fgb_bbox")
+    Files.write(dir.resolve("a.fgb"), FlatGeobuf.writeFgb("g", feats.take(150), indexNodeSize = 16))
+    Files.write(dir.resolve("b.fgb"), FlatGeobuf.writeFgb("g", feats.drop(150), indexNodeSize = 16))
+    val pruned = FlatGeobuf.readBbox(spark, dir.toString + "/*.fgb", "g", "fid",
+        5.0, 2.0, 12.0, 7.0)
+      .select($"feature_id").as[String].collect().sorted.toSeq
+    val xyUdf = udf { (b: Array[Byte]) =>
+      val bb = Wkb.bbox(b); (bb.xmin, bb.ymin)
+    }
+    val full = FlatGeobuf.read(spark, dir.toString + "/*.fgb", "g", "fid")
+      .select($"feature_id", xyUdf($"geom_wkb").as("xy"))
+      .filter($"xy._1" >= 5.0 && $"xy._1" <= 12.0 &&
+        $"xy._2" >= 2.0 && $"xy._2" <= 7.0)
+      .select($"feature_id").as[String].collect().sorted.toSeq
+    assert(pruned == full && pruned.nonEmpty)
   }
 
   test("magic mismatch is rejected loudly") {
