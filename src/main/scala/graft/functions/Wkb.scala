@@ -792,6 +792,35 @@ object Wkb {
     * prove coordinates survive the build bit-exact. Loud on any other
     * geometry type.
     */
+  /** Every part's vertices for LineString/MultiLineString — the decode the
+    * OSM route assembly gate rides (one inner seq per part, stored order).
+    */
+  def linePartsPoints(wkb: Array[Byte]): Seq[Seq[(Double, Double)]] = {
+    val bb = ByteBuffer.wrap(wkb)
+    def lineOf(h: Header): Seq[(Double, Double)] = {
+      val n = bb.getInt
+      (0 until n).map { _ =>
+        val x = bb.getDouble; val y = bb.getDouble
+        (0 until h.dims - 2).foreach(_ => bb.getDouble)
+        (x, y)
+      }
+    }
+    val h = header(bb)
+    h.base match {
+      case 2 => Seq(lineOf(h))
+      case 5 =>
+        val n = bb.getInt
+        (0 until n).map { _ =>
+          val mh = header(bb) // each member carries its own byte-order byte
+          require(mh.base == 2, s"wkb: MultiLineString member type ${mh.base}")
+          lineOf(mh)
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"wkb: linePartsPoints expects LineString/MultiLineString, got type $other")
+    }
+  }
+
   def pathPoints(wkb: Array[Byte]): Seq[(Double, Double)] = {
     val bb = ByteBuffer.wrap(wkb)
     val h = header(bb)

@@ -947,6 +947,199 @@ object TierA {
     }
   )
 
+  // ------------------------------------------- A1o (OSM route relations)
+  /** Routes fixture: one `type=route` relation per a1m-style anchor k
+    * (event_id % 8 == 0), four synthetic corner nodes per relation and
+    * two ways across them, plus a `stop` NODE member (annotation — must
+    * count, not join). The k%4 variants pin the whole route surface:
+    *   0 → two CONNECTED open ways, second reversed (tail-to-tail merge)
+    *       → one LINESTRING
+    *   1, 3 → two DISCONNECTED ways → MULTILINESTRING, 2 chains
+    *   2 → the connected pair delivered through a NESTED child relation
+    *       (`type=route_section`) — the one-level resolution arm
+    * All variants share the same four corner points, so the closed-form
+    * coordinate sums are variant-independent (4·cx / 4·cy).
+    */
+  private[graft] def osmRoutesFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_osmroutes_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "routes.osm.pbf")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "osm routes")
+        dir.mkdirs()
+        val D = 10000000L // 0.01° in nanodeg, multiple of granularity 100
+        val ChildBase = 10000000000L // child relation ids, disjoint from parents
+        val anchors = Tables.events(s, d)
+          .filter($"event_id" % 8 === 0)
+          .select(($"event_id" / 8).cast(LongType).as("k"),
+            (floor((($"value" % 300.0) - 150.0) * 10000000.0).cast(LongType) * 100L).as("cx"),
+            (floor((($"value" % 160.0) - 80.0) * 10000000.0).cast(LongType) * 100L).as("cy"))
+          .orderBy($"k").collect()
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Node]
+        val ways = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Way]
+        val rels = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Relation]
+        anchors.foreach { r =>
+          val k = r.getLong(0); val cx = r.getLong(1); val cy = r.getLong(2)
+          val base = k * 8
+          val corners = Seq((cx - D, cy - D), (cx + D, cy - D),
+            (cx + D, cy + D), (cx - D, cy + D))
+          corners.zipWithIndex.foreach { case ((x, y), j) =>
+            nodes += graft.sources.OsmPbf.Node(base + j, x, y, Map.empty)
+          }
+          val connected = k % 2 == 0
+          if (connected) {
+            // [n0,n1,n2] + [n3,n2]: merge must REVERSE the second chain
+            ways += graft.sources.OsmPbf.Way(2 * k,
+              Seq(base, base + 1, base + 2), Map.empty)
+            ways += graft.sources.OsmPbf.Way(2 * k + 1,
+              Seq(base + 3, base + 2), Map.empty)
+          } else {
+            ways += graft.sources.OsmPbf.Way(2 * k,
+              Seq(base, base + 1), Map.empty)
+            ways += graft.sources.OsmPbf.Way(2 * k + 1,
+              Seq(base + 2, base + 3), Map.empty)
+          }
+          if (k % 4 == 2) {
+            // nested: the ways ride a child route_section relation
+            rels += graft.sources.OsmPbf.Relation(ChildBase + k,
+              Seq(2 * k, 2 * k + 1), Seq("", ""), Seq(1, 1),
+              Map("type" -> "route_section"))
+            rels += graft.sources.OsmPbf.Relation(k,
+              Seq(ChildBase + k, base), Seq("", "stop"), Seq(2, 0),
+              Map("type" -> "route", "route" -> "hiking"))
+          } else {
+            rels += graft.sources.OsmPbf.Relation(k,
+              Seq(2 * k, 2 * k + 1, base), Seq("", "", "stop"), Seq(1, 1, 0),
+              Map("type" -> "route", "route" -> "hiking"))
+          }
+        }
+        java.nio.file.Files.write(f.toPath,
+          graft.sources.OsmPbf.writeFull(nodes.toSeq, ways.toSeq, rels.toSeq))
+      }
+    }
+    f.getPath
+  }
+
+  private val a1o = QuerySpec(
+    "a1o_osm_routes",
+    "OSM route relations: way chains merged end-to-end (deterministic lowest-id greedy, tail-to-tail reversal, NO closure requirement) into LineString/MultiLineString; stop NODE members counted, never joined; one relation delivers its ways through a nested child relation (one-level resolution). Output decodes the assembled WKB back to nanodegree integer sums — bit-exact against the closed-form oracle.",
+    Some("""WITH m AS (SELECT event_id // 8 AS k,
+              CAST(floor(((value % 300.0) - 150.0) * 10000000.0) AS BIGINT) * 100 AS cx,
+              CAST(floor(((value % 160.0) - 80.0) * 10000000.0) AS BIGINT) * 100 AS cy
+            FROM events WHERE event_id % 8 = 0)
+            SELECT k AS relation_id,
+              CASE WHEN k % 2 = 0 THEN 'LINESTRING' ELSE 'MULTILINESTRING' END AS kind,
+              CAST(2 AS BIGINT) AS n_ways, CAST(1 AS BIGINT) AS n_stops,
+              CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_chains,
+              CAST(4 AS BIGINT) AS n_points,
+              CAST(4 * cx AS BIGINT) AS sum_lon_nano,
+              CAST(4 * cy AS BIGINT) AS sum_lat_nano
+            FROM m ORDER BY relation_id"""),
+    (s, d) => {
+      import s.implicits._
+      val file = osmRoutesFixture(s, d)
+      val feats = graft.sources.OsmPbf.routeFeatures(s, file)
+      val partsNanoUdf = udf { (wkb: Array[Byte]) =>
+        val pts = graft.functions.Wkb.linePartsPoints(wkb).flatten
+        (pts.length.toLong,
+          pts.map(p => math.rint(p._1 * 1e9).toLong).sum,
+          pts.map(p => math.rint(p._2 * 1e9).toLong).sum)
+      }
+      feats
+        .withColumn("o", partsNanoUdf($"geom"))
+        .select($"relation_id", $"kind", $"n_ways", $"n_stops", $"n_chains",
+          $"o._1".as("n_points"),
+          $"o._2".as("sum_lon_nano"), $"o._3".as("sum_lat_nano"))
+        .orderBy($"relation_id")
+    }
+  )
+
+  // --------------------------------------- A1p (OSM boundary relations)
+  /** Boundary fixture: the a1m outer+inner square geometry re-tagged the
+    * way real admin boundaries ship — `type=boundary`, the outer way
+    * with an EMPTY role (historical tagging: empty means outer), an
+    * `admin_centre` NODE member that must be selected out, not refused.
+    * Same closed-form sums as a1m.
+    */
+  private[graft] def osmBoundaryFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_osmbdry_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "boundary.osm.pbf")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "osm boundary")
+        dir.mkdirs()
+        val D = 10000000L
+        val dd = 3000000L
+        val anchors = Tables.events(s, d)
+          .filter($"event_id" % 8 === 0)
+          .select(($"event_id" / 8).cast(LongType).as("k"),
+            (floor((($"value" % 300.0) - 150.0) * 10000000.0).cast(LongType) * 100L).as("cx"),
+            (floor((($"value" % 160.0) - 80.0) * 10000000.0).cast(LongType) * 100L).as("cy"))
+          .orderBy($"k").collect()
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Node]
+        val ways = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Way]
+        val rels = scala.collection.mutable.ArrayBuffer.empty[graft.sources.OsmPbf.Relation]
+        anchors.foreach { r =>
+          val k = r.getLong(0); val cx = r.getLong(1); val cy = r.getLong(2)
+          def corners(h: Long) = Seq((cx - h, cy - h), (cx + h, cy - h),
+            (cx + h, cy + h), (cx - h, cy + h))
+          val base = k * 8
+          (corners(D) ++ corners(dd)).zipWithIndex.foreach { case ((x, y), j) =>
+            nodes += graft.sources.OsmPbf.Node(base + j, x, y, Map.empty)
+          }
+          ways += graft.sources.OsmPbf.Way(2 * k,
+            Seq(base, base + 1, base + 2, base + 3, base), Map.empty)
+          ways += graft.sources.OsmPbf.Way(2 * k + 1,
+            Seq(base + 4, base + 5, base + 6, base + 7, base + 4), Map.empty)
+          rels += graft.sources.OsmPbf.Relation(k,
+            Seq(2 * k, 2 * k + 1, base), Seq("", "inner", "admin_centre"),
+            Seq(1, 1, 0),
+            Map("type" -> "boundary", "boundary" -> "administrative"))
+        }
+        java.nio.file.Files.write(f.toPath,
+          graft.sources.OsmPbf.writeFull(nodes.toSeq, ways.toSeq, rels.toSeq))
+      }
+    }
+    f.getPath
+  }
+
+  private val a1p = QuerySpec(
+    "a1p_osm_boundary",
+    "OSM boundary relations through the multipolygon ring machinery: type=boundary selected, EMPTY member role means outer (historical admin tagging), admin_centre node member selected out (counted annotation, not refusal); outer + hole become one Polygon with the same bit-exact decoded sums as a1m.",
+    Some("""WITH m AS (SELECT event_id // 8 AS k,
+              CAST(floor(((value % 300.0) - 150.0) * 10000000.0) AS BIGINT) * 100 AS cx,
+              CAST(floor(((value % 160.0) - 80.0) * 10000000.0) AS BIGINT) * 100 AS cy
+            FROM events WHERE event_id % 8 = 0)
+            SELECT k AS relation_id, 'POLYGON' AS kind,
+              CAST(1 AS BIGINT) AS n_outer, CAST(1 AS BIGINT) AS n_inner,
+              CAST(2 AS BIGINT) AS n_rings,
+              CAST(5 * cx - 10000000 AS BIGINT) AS sum_lon_nano_outer,
+              CAST(5 * cy - 10000000 AS BIGINT) AS sum_lat_nano_outer
+            FROM m ORDER BY relation_id"""),
+    (s, d) => {
+      import s.implicits._
+      val file = osmBoundaryFixture(s, d)
+      val feats = graft.sources.OsmPbf.boundaryFeatures(s, file)
+      val outerNanoUdf = udf { (wkb: Array[Byte]) =>
+        val pts = graft.functions.Wkb.pathPoints(wkb)
+        (graft.functions.Wkb.numRings(wkb),
+          pts.map(p => math.rint(p._1 * 1e9).toLong).sum,
+          pts.map(p => math.rint(p._2 * 1e9).toLong).sum)
+      }
+      feats
+        .withColumn("o", outerNanoUdf($"geom"))
+        .select($"relation_id", $"kind", $"n_outer", $"n_inner",
+          $"o._1".cast(LongType).as("n_rings"),
+          $"o._2".as("sum_lon_nano_outer"),
+          $"o._3".as("sum_lat_nano_outer"))
+        .orderBy($"relation_id")
+    }
+  )
+
   // ------------------------------------------------------------------ A6
   private val a6 = QuerySpec(
     "a6_layer_filter",
@@ -1808,5 +2001,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }

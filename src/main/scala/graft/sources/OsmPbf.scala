@@ -738,10 +738,29 @@ object OsmPbf {
     * stitching, not member counts), geom (WKB), tags.
     */
   def assembleMultipolygons(s: SparkSession, relsDf: DataFrame,
-      waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
+      waysDf: DataFrame, nodesDf: DataFrame): DataFrame =
+    assembleRings(s, relsDf, waysDf, nodesDf, relType = "multipolygon",
+      nodeRolesSelectedOut = Set.empty, emptyRoleAsOuter = false)
+
+  /** `type=boundary` relations through the SAME ring machinery as
+    * [[assembleMultipolygons]] (an admin boundary IS a multipolygon in
+    * the data model) with the two boundary-specific conventions real
+    * extracts use: node members with role `admin_centre`/`label` are
+    * SELECTED OUT (counted, not refused — they are annotations, not
+    * geometry), and an empty member role means `outer` (the historical
+    * tagging for admin boundaries). Everything else keeps the loud arms.
+    */
+  def assembleBoundaries(s: SparkSession, relsDf: DataFrame,
+      waysDf: DataFrame, nodesDf: DataFrame): DataFrame =
+    assembleRings(s, relsDf, waysDf, nodesDf, relType = "boundary",
+      nodeRolesSelectedOut = Set("admin_centre", "label"), emptyRoleAsOuter = true)
+
+  private def assembleRings(s: SparkSession, relsDf: DataFrame,
+      waysDf: DataFrame, nodesDf: DataFrame, relType: String,
+      nodeRolesSelectedOut: Set[String], emptyRoleAsOuter: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val mp = relsDf.filter(element_at($"tags", "type") === "multipolygon")
+    val mp = relsDf.filter(element_at($"tags", "type") === relType)
     // posexplode_OUTER: an empty member list must surface as a loud error
     // inside the build (a plain posexplode emits no rows and the relation
     // vanished silently — inconsistent with every other malformed arm)
@@ -749,16 +768,20 @@ object OsmPbf {
         posexplode_outer(arrays_zip($"memberIds", $"memberRoles", $"memberTypes"))
           .as(Seq("pos", "m")))
       .select($"relation_id", $"tags", $"pos",
-        $"m.memberIds".as("way_id"), $"m.memberRoles".as("role"),
-        $"m.memberTypes".as("mtype"))
+        $"m.memberIds".as("mid"), $"m.memberRoles".as("role"),
+        $"m.memberTypes".as("mtype"),
+        // node/relation members must NOT probe the way store — node and
+        // way ids live in separate OSM id spaces, so an id-equal way
+        // would bind accidentally
+        when($"m.memberTypes" === 1, $"m.memberIds").as("way_id"))
     val paths = wayPaths(waysDf, nodesDf)
       .select($"way_id", $"n_refs", $"n_joined", $"pts")
-    // left join: a multipolygon member missing from the way store must
-    // surface as a loud error inside the build, not vanish in an inner join
+    // left join: a member way missing from the way store must surface as
+    // a loud error inside the build, not vanish in an inner join
     val joined = members.join(paths, Seq("way_id"), "left")
       .groupBy($"relation_id")
       .agg(first($"tags").as("tags"),
-        sort_array(collect_list(struct($"pos", $"role", $"mtype", $"way_id",
+        sort_array(collect_list(struct($"pos", $"role", $"mtype", $"mid",
           $"n_refs", $"n_joined", $"pts"))).as("ms"))
     val build = udf { (relId: Long, ms: Seq[org.apache.spark.sql.Row]) =>
       import graft.functions.Wkb
@@ -768,22 +791,25 @@ object OsmPbf {
         // a null member struct is posexplode_outer's marker for an EMPTY
         // member list — the arm a plain explode used to drop silently
         require(!m.isNullAt(2),
-          s"osmpbf: relation $relId is type=multipolygon but has no members — refusing")
-        val role = m.getString(1); val mtype = m.getInt(2); val wayId = m.getLong(3)
-        require(mtype == 1,
-          s"osmpbf: relation $relId member of type $mtype (0=node, 2=relation) — " +
-            "only way members are inside this multipolygon subset")
-        require(role == "outer" || role == "inner",
-          s"osmpbf: relation $relId member role '$role' — expected outer/inner")
-        require(!m.isNullAt(4),
-          s"osmpbf: relation $relId references way $wayId missing from the way store")
-        val nRefs = m.getInt(4); val nJoined = m.getLong(5)
-        requireFullyJoined(s"relation $relId member way $wayId", nRefs, nJoined)
-        val pts = m.getSeq[org.apache.spark.sql.Row](6)
-          .map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
-        require(pts.length >= 2,
-          s"osmpbf: relation $relId member way $wayId has ${pts.length} points")
-        if (role == "outer") outerChains += (wayId -> pts) else innerChains += (wayId -> pts)
+          s"osmpbf: relation $relId is type=$relType but has no members — refusing")
+        val role0 = m.getString(1); val mtype = m.getInt(2); val wayId = m.getLong(3)
+        if (!(mtype == 0 && nodeRolesSelectedOut(role0))) {
+          require(mtype == 1,
+            s"osmpbf: relation $relId member of type $mtype (0=node, 2=relation) — " +
+              s"only way members carry $relType geometry in this subset")
+          val role = if (role0.isEmpty && emptyRoleAsOuter) "outer" else role0
+          require(role == "outer" || role == "inner",
+            s"osmpbf: relation $relId member role '$role' — expected outer/inner")
+          require(!m.isNullAt(4),
+            s"osmpbf: relation $relId references way $wayId missing from the way store")
+          val nRefs = m.getInt(4); val nJoined = m.getLong(5)
+          requireFullyJoined(s"relation $relId member way $wayId", nRefs, nJoined)
+          val pts = m.getSeq[org.apache.spark.sql.Row](6)
+            .map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
+          require(pts.length >= 2,
+            s"osmpbf: relation $relId member way $wayId has ${pts.length} points")
+          if (role == "outer") outerChains += (wayId -> pts) else innerChains += (wayId -> pts)
+        }
       }
       // deterministic ring stitching: rings start at the lowest unused way
       // id; extension picks the lowest-id unused chain sharing the current
@@ -848,6 +874,179 @@ object OsmPbf {
     */
   def multipolygonFeatures(spark: SparkSession, pathGlob: String): DataFrame =
     assembleMultipolygons(spark, readSplitRelations(spark, pathGlob),
+      readSplitWays(spark, pathGlob), readSplitNodesLenient(spark, pathGlob))
+
+  /** End-to-end boundary features (admin boundaries as polygons). */
+  def boundaryFeatures(spark: SparkSession, pathGlob: String): DataFrame =
+    assembleBoundaries(spark, readSplitRelations(spark, pathGlob),
+      readSplitWays(spark, pathGlob), readSplitNodesLenient(spark, pathGlob))
+
+  /** Assemble `type=route` relations into LineString/MultiLineString WKB
+    * — the non-areal sibling of [[assembleMultipolygons]], closing the
+    * "route/boundary relations pass through unassembled" gap:
+    *
+    *  1. relations are FILTERED to `type=route` (selection);
+    *  2. NODE members (stops/platforms) are annotations, not geometry —
+    *     counted into `n_stops`, never joined against the way store
+    *     (node and way ids are separate OSM id spaces);
+    *  3. RELATION members are resolved ONE level: the child relation's
+    *     way members substitute in, ordered by (parent position, child
+    *     position). A child missing from the relation store, a child
+    *     with node members, and a GRANDCHILD relation member (depth > 1)
+    *     all refuse loudly — the depth cap is a stated bound, not a
+    *     silent truncation;
+    *  4. way chains merge greedily end-to-end (deterministic: start at
+    *     the lowest unused way id, extend tail then head with the
+    *     lowest-id chain sharing the endpoint, reversing on tail-to-tail
+    *     matches) into MAXIMAL open chains — no closure requirement,
+    *     roads have gaps; 1 chain → LineString, several →
+    *     MultiLineString.
+    *
+    * Scale shape: the same two distributed joins as the multipolygon
+    * path (members→way paths→nodes) plus one members→relations join for
+    * the nested level; per-relation state is member-bounded.
+    *
+    * Columns: relation_id, kind, n_ways, n_stops, n_chains, geom, tags.
+    */
+  def assembleRoutes(s: SparkSession, relsDf: DataFrame,
+      waysDf: DataFrame, nodesDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val routes = relsDf.filter(element_at($"tags", "type") === "route")
+    val m = routes.select($"id".as("relation_id"), $"tags",
+        posexplode_outer(arrays_zip($"memberIds", $"memberRoles", $"memberTypes"))
+          .as(Seq("pos", "mm")))
+      .select($"relation_id", $"tags", $"pos",
+        $"mm.memberIds".as("mid"), $"mm.memberTypes".as("mtype"))
+    // direct members (ways, stops, and the empty-list null marker)
+    val direct = m.filter($"mtype".isNull || $"mtype" =!= 2)
+      .select($"relation_id", $"tags", $"pos", lit(-1).cast("int").as("cpos"),
+        $"mid", $"mtype", lit(false).as("child_missing"))
+    // relation members: resolve ONE level against the relation store
+    val children = relsDf.select($"id".as("cid"),
+      $"memberIds".as("c_mids"), $"memberTypes".as("c_mtypes"))
+    val nested = m.filter($"mtype" === 2)
+      .withColumnRenamed("mid", "pmid")
+      .join(children, $"pmid" === $"cid", "left")
+      .select($"relation_id", $"tags", $"pos", $"cid", $"pmid",
+        posexplode_outer(arrays_zip($"c_mids", $"c_mtypes")).as(Seq("cpos", "cm")))
+      .select($"relation_id", $"tags", $"pos", $"cpos",
+        // on the null-cm markers (missing child / empty child) the parent's
+        // member id survives for the error message
+        coalesce($"cm.c_mids", $"pmid").as("mid"),
+        $"cm.c_mtypes".as("mtype"),
+        $"cid".isNull.as("child_missing"))
+    val all = direct.unionByName(nested)
+      .withColumn("way_id", when($"mtype" === 1, $"mid"))
+    val paths = wayPaths(waysDf, nodesDf)
+      .select($"way_id", $"n_refs", $"n_joined", $"pts")
+    val joined = all.join(paths, Seq("way_id"), "left")
+      .groupBy($"relation_id")
+      .agg(first($"tags").as("tags"),
+        sort_array(collect_list(struct($"pos", $"cpos", $"mtype", $"mid",
+          $"child_missing", $"n_refs", $"n_joined", $"pts"))).as("ms"))
+    val build = udf { (relId: Long, ms: Seq[org.apache.spark.sql.Row]) =>
+      import graft.functions.Wkb
+      val chains = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Double, Double)])]
+      var nStops = 0L
+      ms.foreach { mr =>
+        if (mr.getBoolean(4))
+          throw new IllegalArgumentException(
+            s"osmpbf: route $relId references relation ${mr.getLong(3)} missing " +
+              "from the relation store — refusing a silently-partial route")
+        if (mr.isNullAt(2)) {
+          // posexplode_outer null markers: cpos null = a CHILD with an
+          // empty member list; cpos = -1 = the PARENT's own empty list
+          if (mr.isNullAt(1))
+            throw new IllegalArgumentException(
+              s"osmpbf: route $relId child relation ${mr.getLong(3)} has no members — refusing")
+          else
+            throw new IllegalArgumentException(
+              s"osmpbf: relation $relId is type=route but has no members — refusing")
+        }
+        val cpos = mr.getInt(1); val mtype = mr.getInt(2); val mid = mr.getLong(3)
+        if (cpos >= 0) {
+          // a resolved child's member: the depth cap and the node-member
+          // arm are loud, not silently skipped
+          require(mtype != 2,
+            s"osmpbf: route $relId nests relations more than one level deep " +
+              s"(grandchild relation $mid) — outside the one-level resolution cap")
+          require(mtype == 1,
+            s"osmpbf: route $relId child relation carries a node member $mid — " +
+              "only way members resolve through the nested level")
+        }
+        mtype match {
+          case 0 => nStops += 1L // stops/platforms: annotation, not geometry
+          case 1 =>
+            require(!mr.isNullAt(5),
+              s"osmpbf: route $relId references way $mid missing from the way store")
+            val nRefs = mr.getInt(5); val nJoined = mr.getLong(6)
+            requireFullyJoined(s"route $relId member way $mid", nRefs, nJoined)
+            val pts = mr.getSeq[org.apache.spark.sql.Row](7)
+              .map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
+            require(pts.length >= 2,
+              s"osmpbf: route $relId member way $mid has ${pts.length} points")
+            chains += (mid -> pts)
+          case other => throw new IllegalArgumentException(
+            s"osmpbf: route $relId member of unknown type $other")
+        }
+      }
+      require(chains.nonEmpty,
+        s"osmpbf: route $relId has no way members — no geometry to assemble")
+      // greedy deterministic merge into MAXIMAL open chains
+      val order = chains.sortBy(_._1)
+      val used = Array.fill(order.length)(false)
+      val merged = scala.collection.mutable.ArrayBuffer.empty[Vector[(Double, Double)]]
+      order.indices.foreach { i =>
+        if (!used(i)) {
+          used(i) = true
+          var chain = order(i)._2.toVector
+          var extended = true
+          while (extended) {
+            extended = false
+            val tail = chain.last
+            order.indices
+              .filter(k => !used(k) &&
+                (order(k)._2.head == tail || order(k)._2.last == tail))
+              .minByOption(k => order(k)._1)
+              .foreach { k =>
+                used(k) = true
+                val c = order(k)._2
+                chain = chain ++ (if (c.head == tail) c.tail else c.reverse.tail)
+                extended = true
+              }
+            if (!extended) {
+              val head = chain.head
+              order.indices
+                .filter(k => !used(k) &&
+                  (order(k)._2.head == head || order(k)._2.last == head))
+                .minByOption(k => order(k)._1)
+                .foreach { k =>
+                  used(k) = true
+                  val c = order(k)._2
+                  chain = (if (c.last == head) c.dropRight(1)
+                    else c.reverse.dropRight(1)).toVector ++ chain
+                  extended = true
+                }
+            }
+          }
+          merged += chain
+        }
+      }
+      val geom =
+        if (merged.length == 1) ("LINESTRING", Wkb.lineString(merged.head))
+        else ("MULTILINESTRING", Wkb.multi(5, merged.toSeq.map(Wkb.lineString)))
+      (geom._1, geom._2, chains.length.toLong, nStops, merged.length.toLong)
+    }
+    joined
+      .withColumn("g", build($"relation_id", $"ms"))
+      .select($"relation_id", $"g._1".as("kind"), $"g._3".as("n_ways"),
+        $"g._4".as("n_stops"), $"g._5".as("n_chains"), $"g._2".as("geom"), $"tags")
+  }
+
+  /** End-to-end route features from .osm.pbf files — blob-split scans. */
+  def routeFeatures(spark: SparkSession, pathGlob: String): DataFrame =
+    assembleRoutes(spark, readSplitRelations(spark, pathGlob),
       readSplitWays(spark, pathGlob), readSplitNodesLenient(spark, pathGlob))
 
   /** End-to-end way features from .osm.pbf files: BLOB-SPLIT scans of

@@ -167,6 +167,96 @@ class OsmPbfSpec extends AnyFunSuite {
       chainMessage(e4))
   }
 
+  test("routes: chain merge (reversal, disconnection), stops counted, one-level nesting, loud depth/missing arms") {
+    import org.apache.spark.sql.functions.col
+    val ns = Seq(
+      OsmPbf.Node(1, 0L, 0L, Map.empty),
+      OsmPbf.Node(2, 1000000000L, 0L, Map.empty),
+      OsmPbf.Node(3, 2000000000L, 0L, Map.empty),
+      OsmPbf.Node(4, 3000000000L, 0L, Map.empty),
+      OsmPbf.Node(5, 5000000000L, 0L, Map.empty),
+      OsmPbf.Node(6, 6000000000L, 0L, Map.empty))
+    val ws = Seq(
+      OsmPbf.Way(10, Seq(1L, 2L), Map.empty),
+      OsmPbf.Way(11, Seq(3L, 2L), Map.empty), // tail-to-tail: must reverse
+      OsmPbf.Way(12, Seq(3L, 4L), Map.empty),
+      OsmPbf.Way(13, Seq(5L, 6L), Map.empty)) // disconnected
+    val dir = Files.createTempDirectory("osmpbf_routes")
+    // route 100: 10+11+12 chain into ONE line, 13 is its own chain; one stop
+    Files.write(dir.resolve("r.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
+      OsmPbf.Relation(100L, Seq(10L, 11L, 12L, 13L, 1L),
+        Seq("", "", "", "", "stop"), Seq(1, 1, 1, 1, 0),
+        Map("type" -> "route", "route" -> "bus")))))
+    val row = OsmPbf.routeFeatures(spark, dir.resolve("r.osm.pbf").toString).head()
+    assert(row.getAs[String]("kind") == "MULTILINESTRING")
+    assert(row.getAs[Long]("n_ways") == 4L && row.getAs[Long]("n_stops") == 1L &&
+      row.getAs[Long]("n_chains") == 2L)
+    val parts = graft.functions.Wkb.linePartsPoints(row.getAs[Array[Byte]]("geom"))
+    // merged chain starts at way 10 and runs 1→2→3→4 (11 reversed in place)
+    assert(parts.map(_.length) == Seq(4, 2))
+    assert(parts.head.map(_._1) == Seq(0.0, 1.0, 2.0, 3.0))
+    // nested one level: child route_section carries the ways
+    Files.write(dir.resolve("nested.osm.pbf"), OsmPbf.writeFull(ns, ws.take(3), Seq(
+      OsmPbf.Relation(300L, Seq(10L, 11L, 12L), Seq("", "", ""), Seq(1, 1, 1),
+        Map("type" -> "route_section")),
+      OsmPbf.Relation(200L, Seq(300L), Seq(""), Seq(2),
+        Map("type" -> "route")))))
+    val nrow = OsmPbf.routeFeatures(spark, dir.resolve("nested.osm.pbf").toString)
+      .filter(col("relation_id") === 200L).head()
+    assert(nrow.getAs[String]("kind") == "LINESTRING" && nrow.getAs[Long]("n_ways") == 3L)
+    // loud: child missing from the relation store
+    Files.write(dir.resolve("nochild.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
+      OsmPbf.Relation(400L, Seq(999L), Seq(""), Seq(2), Map("type" -> "route")))))
+    val e1 = intercept[Exception] {
+      OsmPbf.routeFeatures(spark, dir.resolve("nochild.osm.pbf").toString).collect()
+    }
+    assert(chainMessage(e1).contains("missing from the relation store"), chainMessage(e1))
+    // loud: grandchild relation member (depth > 1)
+    Files.write(dir.resolve("deep.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
+      OsmPbf.Relation(500L, Seq(501L), Seq(""), Seq(2), Map("type" -> "route")),
+      OsmPbf.Relation(501L, Seq(502L), Seq(""), Seq(2), Map("type" -> "route_section")),
+      OsmPbf.Relation(502L, Seq(10L), Seq(""), Seq(1), Map("type" -> "route_section")))))
+    val e2 = intercept[Exception] {
+      OsmPbf.routeFeatures(spark, dir.resolve("deep.osm.pbf").toString)
+        .filter(col("relation_id") === 500L).collect()
+    }
+    assert(chainMessage(e2).contains("one-level"), chainMessage(e2))
+    // loud: route with ONLY stop members has no geometry
+    Files.write(dir.resolve("onlystops.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
+      OsmPbf.Relation(600L, Seq(1L, 2L), Seq("stop", "stop"), Seq(0, 0),
+        Map("type" -> "route")))))
+    val e3 = intercept[Exception] {
+      OsmPbf.routeFeatures(spark, dir.resolve("onlystops.osm.pbf").toString).collect()
+    }
+    assert(chainMessage(e3).contains("no way members"), chainMessage(e3))
+  }
+
+  test("boundaries: empty role = outer, admin_centre node selected out, ring machinery intact") {
+    val ns = Seq(
+      OsmPbf.Node(1, 0L, 0L, Map.empty),
+      OsmPbf.Node(2, 4000000000L, 0L, Map.empty),
+      OsmPbf.Node(3, 4000000000L, 4000000000L, Map.empty),
+      OsmPbf.Node(4, 0L, 4000000000L, Map.empty),
+      OsmPbf.Node(9, 2000000000L, 2000000000L, Map.empty)) // admin centre
+    val ws = Seq(OsmPbf.Way(10, Seq(1L, 2L, 3L, 4L, 1L), Map.empty))
+    val dir = Files.createTempDirectory("osmpbf_bdry")
+    Files.write(dir.resolve("b.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
+      OsmPbf.Relation(100L, Seq(10L, 9L), Seq("", "admin_centre"), Seq(1, 0),
+        Map("type" -> "boundary", "boundary" -> "administrative")))))
+    val row = OsmPbf.boundaryFeatures(spark, dir.resolve("b.osm.pbf").toString).head()
+    assert(row.getAs[String]("kind") == "POLYGON")
+    assert(row.getAs[Long]("n_outer") == 1L && row.getAs[Long]("n_inner") == 0L)
+    assert(math.abs(graft.functions.Wkb.area(row.getAs[Array[Byte]]("geom")) - 16.0) < 1e-9)
+    // multipolygon assembly still refuses node members (no boundary leniency leak)
+    Files.write(dir.resolve("mp.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
+      OsmPbf.Relation(200L, Seq(10L, 9L), Seq("outer", "admin_centre"), Seq(1, 0),
+        Map("type" -> "multipolygon")))))
+    val e = intercept[Exception] {
+      OsmPbf.multipolygonFeatures(spark, dir.resolve("mp.osm.pbf").toString).collect()
+    }
+    assert(chainMessage(e).contains("type 0"), chainMessage(e))
+  }
+
   test("relations roundtrip: packed roles_sid, zigzag-delta memids, member types") {
     val ns = nodes(8)
     val ws = Seq(OsmPbf.Way(1L, ns.take(4).map(_.id) :+ ns.head.id, Map.empty),
