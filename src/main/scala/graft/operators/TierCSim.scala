@@ -2267,6 +2267,145 @@ object TierCSim {
       .orderBy($"id_a", $"rn")
   }
 
+  // ------------------------------------- ANN index lifecycle (r16 #3)
+  /** Persist the IVF-PQ index as parquet tables — the build-once/
+    * probe-many lifecycle a 100 TB embedding store actually runs:
+    * rebuilding seeds/codebooks/encodings per query amortizes nothing
+    * when the corpus is static and probes arrive forever. Layout under
+    * `dir`:
+    *
+    *   meta/   one row (m, codes, n_cells, sample_size, dim)
+    *   seeds/  (cell, seed float[], n2) — the IVF coarse quantizer
+    *   books/  (subspace, code, vec float[]) — the PQ codebooks
+    *   codes/  (vec_id, cell, c0..c{m-1}) — per-vector encodings, the
+    *           ONLY table that scales with the corpus (distributed
+    *           write; ~(8 + 4 + m·4) bytes/row vs dim·4 raw floats)
+    *
+    * Floats and doubles round-trip parquet bit-exactly and the build is
+    * the SAME deterministic chain as [[ivfPqJoined]] (one md5 sample,
+    * prefix-shared between seeds and books), so a probe against the
+    * saved index is BIT-IDENTICAL to the inline build — spec-pinned and
+    * gate-checked (`c3_ivfpq_prebuilt` hash-matches c3_ivfpq's oracle).
+    */
+  def saveIvfPqIndex(s: SparkSession, embeddings: DataFrame, dir: String,
+      m: Int = 4, codes: Int = 16, sampleSize: Int = 256, cells: Int = 0): Unit = {
+    import s.implicits._
+    val e = embeddings.select($"vec_id", $"embedding",
+      TierC.dot($"embedding", $"embedding").as("n2")).persist()
+    val nCells = if (cells > 0) cells else ivfCells(e.count())
+    val sample = md5Sample(e, math.max(1024, sampleSize))
+    val seeds = kCenterSeeds(sample.take(1024), nCells)
+    val books = pqCodebooksFromSample(
+      sample.take(sampleSize).map(t => (t._1, t._2)), m, codes)
+    val dim = seeds.head._1.length
+    // driver-sized index tables (≤ cells / m·codes rows) — one file each
+    seeds.zipWithIndex
+      .map { case ((v, n2), ci) => (ci, v, n2) }
+      .toDF("cell", "seed", "n2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/seeds")
+    books.zipWithIndex
+      .flatMap { case (b, si) => b.zipWithIndex.map { case (v, ci) => (si, ci, v) } }
+      .toDF("subspace", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    Seq((m, codes, nCells, sampleSize, dim))
+      .toDF("m", "codes", "n_cells", "sample_size", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // the corpus-sized encodings: cell + m sub-codes per vector, computed
+    // map-side against the broadcast quantizers (one pass, no shuffle)
+    val ss = graft.functions.VectorExprs.broadcastSeeds(s, seeds)
+    val bb = books.map(graft.functions.VectorExprs.broadcastBook(s, _))
+    val codeCols = (0 until m).map { si =>
+      graft.functions.VectorExprs.pqCodeF(
+        $"embedding", si * bb(si).sub, bb(si)).as(s"c$si")
+    }
+    e.select(($"vec_id" +: cellAssignCol(ss).as("cell") +: codeCols): _*)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    e.unpersist()
+    ()
+  }
+
+  /** Probe a PREBUILT IVF-PQ index: the candidate side is the saved
+    * `codes` parquet (no re-encode, no rebuild — the probe never touches
+    * candidate float vectors at all); queries compute their cell
+    * assignment and per-subspace ADC lookup tables against the loaded
+    * (collected-and-broadcast, ≤cells/m·codes rows) seed and book
+    * tables. One shuffle on the cell key, exactly [[ivfPqSearch]]'s
+    * plan — and bit-identical output, because every stored number
+    * round-trips parquet exactly.
+    */
+  def ivfPqSearchPrebuilt(s: SparkSession, queries: DataFrame, dir: String,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    import s.implicits._
+    val meta = s.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val seeds = s.read.parquet(s"$dir/seeds")
+      .orderBy($"cell").as[(Int, Seq[Float], Double)].collect()
+      .map { case (_, v, n2) => (v, n2) }.toSeq
+    val books: Seq[Seq[Seq[Float]]] = s.read.parquet(s"$dir/books")
+      .orderBy($"subspace", $"code").as[(Int, Int, Seq[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    val ss = graft.functions.VectorExprs.broadcastSeeds(s, seeds)
+    val bb = books.map(graft.functions.VectorExprs.broadcastBook(s, _))
+    val cand = s.read.parquet(s"$dir/codes")
+      .select(($"vec_id".as("id_b") +: $"cell".as("cell_r") +:
+        (0 until m).map(si => col(s"c$si"))): _*)
+    val e = queries.select($"vec_id", $"embedding",
+      TierC.dot($"embedding", $"embedding").as("n2"))
+    val qCell =
+      if (nprobe <= 1) graft.functions.VectorExprs.nearestSeedF($"embedding", $"n2", ss)
+      else explode(graft.functions.VectorExprs.nearestSeedsF(
+        $"embedding", $"n2", ss, nprobe))
+    val q = (0 until m).foldLeft(
+        e.select($"vec_id".as("id_a"), $"embedding", $"n2", qCell.as("cell"))) {
+      (df, si) => df.withColumn(s"lut$si",
+        graft.functions.VectorExprs.pqDistsF($"embedding", si * bb(si).sub, bb(si)))
+    }.drop("embedding", "n2")
+    val approx = (0 until m).map { si =>
+      element_at(col(s"lut$si"), col(s"c$si") + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy($"id_a").orderBy($"approx".asc, $"id_b")
+    q.join(cand, $"cell" === $"cell_r" && $"id_a" =!= $"id_b")
+      .withColumn("approx", approx)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter($"rn" <= k)
+      .select($"id_a", $"id_b",
+        floor($"approx" * 1000000).cast(LongType).as("adist_ppm"), $"rn")
+      .orderBy($"id_a", $"rn")
+  }
+
+  /** Build (once per JVM per sf-dir, embeddings-mtime-fresh) the saved
+    * IVF-PQ index `c3_ivfpq_prebuilt` probes; returns its directory.
+    */
+  private[graft] def ivfPqIndexFixture(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_index_" + Integer.toHexString(d.hashCode))
+    val ok = new java.io.File(new java.io.File(dir, "codes"), "_SUCCESS")
+    val srcMtime = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          (f.lastModified +: f.listFiles().toSeq.map(walk)).max
+        else f.lastModified
+      val p = new java.io.File(d, "embeddings.parquet")
+      if (p.exists()) walk(p) else 0L
+    }
+    TierCSim.synchronized {
+      if (!ok.exists() || ok.lastModified < srcMtime)
+        saveIvfPqIndex(s, Tables.embeddings(s, d), dir.getPath)
+    }
+    dir.getPath
+  }
+
+  private val c3ipqp = QuerySpec(
+    "c3_ivfpq_prebuilt",
+    "Build-once/probe-many IVF-PQ: the index (IVF seeds, PQ codebooks, per-vector cell+code encodings) persists as parquet tables and the probe reads the PREBUILT codes table — no rebuild, no candidate floats — computing only the query-side cell assignment and ADC lookup tables against the loaded quantizers. Bit-identical to the inline c3_ivfpq build (same deterministic sample chain, parquet round-trips floats exactly), so it hash-matches the SAME oracle.",
+    Some(c3ivfpqOracle),
+    (s, d) => {
+      val dir = ivfPqIndexFixture(s, d)
+      ivfPqSearchPrebuilt(s, Tables.embeddings(s, d), dir, 3)
+    }
+  )
+
   /** DuckDB replay of c3_pq_search: the [[PqSql]] codebooks + encodings,
     * then the label-block pair join where each pair's approximate L2 is
     * the SAME `(dss − 2·dsc) + ‖code‖²` chain `element_at(lut, code+1)`
@@ -5100,5 +5239,5 @@ object TierCSim {
 
   val specs: Seq[QuerySpec] =
     Seq(c2s, c2sp, c2n, c2ct, c2c, c2dc, c2inc, c2pr, c2tr, c2lp, c1j, c2e, c2sd, c3a, c3i, c3p, c3ps, c3ipq, c3c, c3z, c3km, c3ds, c3cq, c3pi, c3wh, c3mmr, c3fk, c3ed, c2jh, c1r, c3rc,
-      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk, c3co, c2aa, c2ej)
+      c3bh, c3rp, c2kc, c3zc, c2ht, c2lr, c2dh, c3mg, c2cs, c3kp, c3ib, c2gp, c3pd, c2se, c3en, c3cp, c3nh, c3cu, c2ts, c2as, c3ch, c1x, c3mk, c3co, c2aa, c2ej, c3ipqp)
 }

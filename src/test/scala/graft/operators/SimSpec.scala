@@ -777,6 +777,40 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ index lifecycle: prebuilt probe is BIT-IDENTICAL to the inline build, twice, and at nprobe>1") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      mm <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(c * 37 + i).toFloat * 10f)
+      base(mm % dim) += 0.01f * (mm + 1)
+      (c * 10L + mm, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    TierCSim.saveIvfPqIndex(spark, df, dir, cells = 5)
+    // the saved layout: driver-sized quantizers + corpus-sized codes
+    assert(spark.read.parquet(s"$dir/seeds").count() == 5)
+    assert(spark.read.parquet(s"$dir/books").count() == 4 * 16)
+    assert(spark.read.parquet(s"$dir/codes").count() == 20)
+    val inline = TierCSim.ivfPqSearch(spark, df, 3, cells = 5)
+      .collect().map(_.toString).toSeq
+    val probe1 = TierCSim.ivfPqSearchPrebuilt(spark, df, dir, 3)
+      .collect().map(_.toString).toSeq
+    val probe2 = TierCSim.ivfPqSearchPrebuilt(spark, df.repartition(7), dir, 3)
+      .collect().map(_.toString).toSeq
+    assert(probe1 == inline, "prebuilt probe diverged from the inline build")
+    assert(probe2 == inline, "prebuilt probe not partition-invariant")
+    // nprobe>1 through the SAME saved index matches the inline nprobe path
+    val inlineN2 = TierCSim.ivfPqSearch(spark, df, 3, cells = 5, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val probeN2 = TierCSim.ivfPqSearchPrebuilt(spark, df, dir, 3, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(probeN2 == inlineN2, "prebuilt nprobe=2 diverged from inline")
+  }
+
   test("ivfTopK nprobe: monotone recall, nprobe=cells equals the exact scan") {
     import spark.implicits._
     val dim = 64
