@@ -39,8 +39,71 @@ object ScaleGen {
       base: org.apache.spark.sql.Column) =
     when(u < 0.07, lit(0L)).when(u < 0.10, lit(1L)).otherwise(base)
 
-  def documents(spark: SparkSession, n: Long, skew: Boolean = false): DataFrame = {
+  /** Char-noise mode (r16 directive #4 — generator realism for the
+    * CHARACTER-level dedup): the closed token vocabulary makes every char
+    * trigram hot at soak scale, so `c2_edit_join`'s planted pairs never
+    * survive the df cap and its soak emitted 0 rows (a generator
+    * property, not an operator defect — BENCH_NOTES r15). This mode
+    * generates OPEN-vocabulary text: random 6-char words over a 64-char
+    * alphabet (per-source trigram df stays far under the cap at sf1–sf25
+    * because the cap keys on (source, gram)), a shared `hdr` boilerplate
+    * prefix whose trigrams ARE hot (so the cap still engages, loudly),
+    * and near-dup docs at i≡6 (mod 7) that re-derive the previous doc's
+    * chars and apply EXACTLY two deterministic substitutions — edit
+    * distance ≤ 2, trigram churn ≤ 6 ≪ the candidate filter's slack.
+    */
+  private val charTextUdf = org.apache.spark.sql.functions.udf {
+    (seed: Long, isDup: Boolean) =>
+      val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-"
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def pick(h: Long): Char = alpha(((h % alpha.length + alpha.length) % alpha.length).toInt)
+      val nWords = (math.floorMod(mix(seed * 31 + 1), 70) + 30).toInt
+      val sb = new StringBuilder("hdr")
+      var j = 0
+      while (j < nWords) {
+        sb.append(' ')
+        var c = 0
+        while (c < 6) { sb.append(pick(mix(seed * 1000003L + j * 97L + c))); c += 1 }
+        j += 1
+      }
+      val s = sb.toString
+      if (!isDup) s
+      else {
+        val arr = s.toCharArray
+        var e = 0
+        while (e < 2) {
+          val p = 4 + math.floorMod(mix(seed * 7919L + e), arr.length - 4).toInt
+          val rc = pick(mix(seed * 104729L + e))
+          arr(p) = if (arr(p) == rc) (if (rc == 'a') 'b' else 'a') else rc
+          e += 1
+        }
+        new String(arr)
+      }
+  }
+
+  def documents(spark: SparkSession, n: Long, skew: Boolean = false,
+      charnoise: Boolean = false): DataFrame = {
     import spark.implicits._
+    if (charnoise) {
+      return spark.range(n).toDF("doc_id")
+        .withColumn("seed",
+          when($"doc_id" % 7 === 6, $"doc_id" - 1).otherwise($"doc_id"))
+        .withColumn("text", charTextUdf($"seed", $"doc_id" % 7 === 6))
+        .select($"doc_id", $"text",
+          element_at(array(lit("en"), lit("en"), lit("en"), lit("de"), lit("es"),
+            lit("fr"), lit("zh")), (abs(xxhash64($"doc_id", lit(3))) % 7 + 1).cast("int"))
+            .as("lang"),
+          (if (skew)
+            when(unit(xxhash64($"doc_id", lit(5))) < 0.25, lit("src0"))
+              .otherwise(concat(lit("src"), abs(xxhash64($"doc_id", lit(4))) % 20))
+          else concat(lit("src"), abs(xxhash64($"doc_id", lit(4))) % 20)).as("source"),
+          length($"text").cast("long").as("n_chars"))
+    }
     // Zipf-headed vocabulary GROWING with corpus size (Heaps' law,
     // V ∝ √N anchored at 200 types / 50k docs): a closed vocab at soak
     // scale makes per-gram document frequency grow linearly with the
@@ -209,7 +272,11 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(outDir, sfStr) = args.take(2)
     val sf = sfStr.toDouble
-    val skew = args.length > 2 && args(2) == "skew"
+    val modes = args.drop(2).toSet
+    val unknownModes = modes -- Set("skew", "charnoise")
+    require(unknownModes.isEmpty, s"scalegen: unknown modes $unknownModes")
+    val skew = modes("skew")
+    val charnoise = modes("charnoise")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -229,13 +296,13 @@ object ScaleGen {
     land("region", region(spark), 1)
     land("supplier", supplier(spark, rows(10000)), 1)
     land("part", part(spark, rows(200000)), 2)
-    land("documents", documents(spark, rows(50000), skew))
+    land("documents", documents(spark, rows(50000), skew, charnoise))
     land("embeddings", embeddings(spark, rows(20000)))
     land("events", events(spark, rows(1000000), skew))
     land("customer", customer(spark, rows(150000)))
     land("orders", orders(spark, rows(1500000), rows(150000), skew))
     land("lineitem", lineitem(spark, rows(6000000)))
-    println(s"[scalegen] sf=$sf skew=$skew landed at $outDir")
+    println(s"[scalegen] sf=$sf skew=$skew charnoise=$charnoise landed at $outDir")
     spark.stop()
   }
 }

@@ -183,6 +183,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(riversBytes() == rb, "compaction rewrote an untouched layer")
   }
 
+  test("A9 ops: compactIfNeeded triggers from MEASURED file counts — unhealthy layer compacted, healthy untouched") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val store = tmpDir("store") + "/policy"
+    def batch(layer: String, fid: String, tsUs: Long) =
+      Seq((layer, fid, Map("k" -> fid))).toDF("layer", "feature_id", "props")
+        .select($"layer", $"feature_id", $"props",
+          timestamp_micros(lit(tsUs)).as("event_ts"),
+          lit("s").as("source"), lit(1).as("fmt_version"))
+    // roads lands as a MULTI-PARTITION write (one file per task per
+    // layer — the production fragmentation shape; AQE's small-shuffle
+    // coalescing is disabled for the write so the local fixture actually
+    // fragments the way shuffle.partitions=200 does on a cluster)
+    val roadsWide = (1 to 24).map(i => ("roads", s"r$i", Map("k" -> s"r$i")))
+      .toDF("layer", "feature_id", "props")
+      .select($"layer", $"feature_id", $"props",
+        timestamp_micros(lit(1000000L)).as("event_ts"),
+        lit("s").as("source"), lit(1).as("fmt_version"))
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "6")
+      FeaturePipeline.upsertBatch(roadsWide, store)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+    FeaturePipeline.upsertBatch(batch("rivers", "w1", 1000000L), store)
+    val stats = FeaturePipeline.layerFileStats(spark, store)
+      .map { case (l, n, _) => l -> n }.toMap
+    assert(stats("roads") > 2, s"fixture failed to fragment roads: $stats")
+    def files(layer: String) =
+      JFiles.walk(Paths.get(store, s"layer=$layer")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).toSeq
+    def riversBytes() = files("rivers").map(p =>
+      java.util.Arrays.hashCode(JFiles.readAllBytes(p))).sorted
+    val before = readStore(store).collect().map(_.toString).sorted.toSeq
+    val rb = riversBytes()
+    // threshold between the two layers' counts: the policy must pick
+    // exactly the fragmented layer from the listing, not by name
+    val compacted = FeaturePipeline.compactIfNeeded(spark, store, maxFiles = 2)
+    assert(compacted == Seq("roads"), s"policy compacted $compacted")
+    assert(files("roads").length == 1)
+    assert(riversBytes() == rb, "policy rewrote a healthy layer")
+    assert(readStore(store).collect().map(_.toString).sorted.toSeq == before,
+      "policy compaction changed rows")
+    // healthy store: second pass is a no-op
+    assert(FeaturePipeline.compactIfNeeded(spark, store, maxFiles = 2).isEmpty)
+  }
+
   test("A9 ops: expireOlderThan drops old rows, removes empty layers, skips untouched ones") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}
