@@ -65,15 +65,23 @@ object Plans {
       "only the matching directory's files are opened."),
     "c2_edit_join" -> ("Edit-distance near-dup join: df-capped distinct " +
       "char-trigram inverted index bounds candidates (count filter + " +
-      "length filter at the join); the O(len·k) banded Levenshtein DP " +
-      "runs only on survivors, texts joined back by id — never carried " +
-      "through the gram explode."),
+      "length filter at the join); the verify is Spark's BUILT-IN 3-arg " +
+      "levenshtein (codegen banded DP with early exit — no UDF, no serde " +
+      "hop in the verify stage), run only on survivors, texts joined " +
+      "back by id — never carried through the gram explode."),
     "c3_ivfpq" -> ("IVF-PQ ADC search: cell assignment and PQ codes/LUTs " +
       "are single native codegen nodes (graft_nearest_seed / graft_pq_*) " +
       "computed in the pre-shuffle projections, so ONE equi-join on the " +
       "cell key moves 4 sub-codes per candidate — never the float vector — " +
       "and per-pair work is 4 array lookups; WindowGroupLimit prunes to " +
       "top-k."),
+    "c3_ivfpq_prebuilt" -> ("Build-once/probe-many IVF-PQ: the candidate " +
+      "side is a PLAIN PARQUET SCAN of the saved codes table (vec_id + " +
+      "cell + 4 sub-codes — no encode expressions, no float vectors " +
+      "anywhere on that side); only the query side computes cell " +
+      "assignment and ADC LUTs against the loaded broadcast quantizers. " +
+      "The probe plan is what every repeat query costs once the index " +
+      "is paid for."),
     "c1g_source_mix" -> ("Source-mix resampling: the per-source count " +
       "aggregate is |sources| rows, the min-T scalar and the rate table " +
       "broadcast; the corpus itself streams through one map-side filter — " +

@@ -744,20 +744,25 @@ object OsmPbf {
 
   /** `type=boundary` relations through the SAME ring machinery as
     * [[assembleMultipolygons]] (an admin boundary IS a multipolygon in
-    * the data model) with the two boundary-specific conventions real
-    * extracts use: node members with role `admin_centre`/`label` are
-    * SELECTED OUT (counted, not refused — they are annotations, not
-    * geometry), and an empty member role means `outer` (the historical
-    * tagging for admin boundaries). Everything else keeps the loud arms.
+    * the data model) with the three boundary-specific conventions real
+    * extracts use: node members with role `admin_centre`/`label` and
+    * RELATION members with role `subarea` (pointers to child admin
+    * areas, each assembled as its own relation) are SELECTED OUT —
+    * annotations, not geometry — and an empty member role means `outer`
+    * (the historical tagging for admin boundaries). Everything else
+    * keeps the loud arms.
     */
   def assembleBoundaries(s: SparkSession, relsDf: DataFrame,
       waysDf: DataFrame, nodesDf: DataFrame): DataFrame =
     assembleRings(s, relsDf, waysDf, nodesDf, relType = "boundary",
-      nodeRolesSelectedOut = Set("admin_centre", "label"), emptyRoleAsOuter = true)
+      nodeRolesSelectedOut = Set("admin_centre", "label"),
+      relRolesSelectedOut = Set("subarea"), emptyRoleAsOuter = true)
 
   private def assembleRings(s: SparkSession, relsDf: DataFrame,
       waysDf: DataFrame, nodesDf: DataFrame, relType: String,
-      nodeRolesSelectedOut: Set[String], emptyRoleAsOuter: Boolean): DataFrame = {
+      nodeRolesSelectedOut: Set[String],
+      relRolesSelectedOut: Set[String] = Set.empty,
+      emptyRoleAsOuter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val mp = relsDf.filter(element_at($"tags", "type") === relType)
@@ -793,7 +798,11 @@ object OsmPbf {
         require(!m.isNullAt(2),
           s"osmpbf: relation $relId is type=$relType but has no members — refusing")
         val role0 = m.getString(1); val mtype = m.getInt(2); val wayId = m.getLong(3)
-        if (!(mtype == 0 && nodeRolesSelectedOut(role0))) {
+        // boundary hierarchies: `subarea` RELATION members are pointers to
+        // child admin areas (each assembled as its own relation), not
+        // geometry of THIS one — selected out like admin_centre nodes
+        if (!(mtype == 0 && nodeRolesSelectedOut(role0)) &&
+            !(mtype == 2 && relRolesSelectedOut(role0))) {
           require(mtype == 1,
             s"osmpbf: relation $relId member of type $mtype (0=node, 2=relation) — " +
               s"only way members carry $relType geometry in this subset")

@@ -240,10 +240,19 @@ class OsmPbfSpec extends AnyFunSuite {
       OsmPbf.Node(9, 2000000000L, 2000000000L, Map.empty)) // admin centre
     val ws = Seq(OsmPbf.Way(10, Seq(1L, 2L, 3L, 4L, 1L), Map.empty))
     val dir = Files.createTempDirectory("osmpbf_bdry")
+    // members: outer way (EMPTY role), admin_centre node, and a subarea
+    // RELATION pointer (the France-style hierarchy) — the latter two are
+    // annotations, selected out, never geometry
     Files.write(dir.resolve("b.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
-      OsmPbf.Relation(100L, Seq(10L, 9L), Seq("", "admin_centre"), Seq(1, 0),
+      OsmPbf.Relation(100L, Seq(10L, 9L, 101L),
+        Seq("", "admin_centre", "subarea"), Seq(1, 0, 2),
+        Map("type" -> "boundary", "boundary" -> "administrative")),
+      OsmPbf.Relation(101L, Seq(10L), Seq("outer"), Seq(1),
         Map("type" -> "boundary", "boundary" -> "administrative")))))
-    val row = OsmPbf.boundaryFeatures(spark, dir.resolve("b.osm.pbf").toString).head()
+    val rows = OsmPbf.boundaryFeatures(spark, dir.resolve("b.osm.pbf").toString)
+      .collect().map(r => r.getAs[Long]("relation_id") -> r).toMap
+    assert(rows.keySet == Set(100L, 101L), "subarea child must ALSO assemble standalone")
+    val row = rows(100L)
     assert(row.getAs[String]("kind") == "POLYGON")
     assert(row.getAs[Long]("n_outer") == 1L && row.getAs[Long]("n_inner") == 0L)
     assert(math.abs(graft.functions.Wkb.area(row.getAs[Array[Byte]]("geom")) - 16.0) < 1e-9)
