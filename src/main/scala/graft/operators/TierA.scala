@@ -407,6 +407,32 @@ object TierA {
     }
   )
 
+  private val a1f3 = QuerySpec(
+    "a1f3_fgb_bbox_ranged",
+    "BYTE-RANGED FlatGeobuf window scan — the object-store shape: the driver reads only magic+header+index per file (never the features), walks the packed R-tree, and each task range-reads exactly its surviving feature records (bytes moved ∝ matches + index size, not file size); plus the exact row filter. Hash-matching the same full-table oracle as a1f2 proves the ranged path loses nothing.",
+    Some(s"""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events
+            WHERE value >= ${FgbWin._1} AND value <= ${FgbWin._3}
+              AND CAST(user_id AS DOUBLE) >= ${FgbWin._2}
+              AND CAST(user_id AS DOUBLE) <= ${FgbWin._4}
+            ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = fgbIndexedFixture(s, d)
+      graft.sources.FlatGeobuf.readBboxRanged(s, s"$dir/events.fgb", "events", "fid",
+          FgbWin._1, FgbWin._2, FgbWin._3, FgbWin._4)
+        .select($"feature_id",
+          element_at($"props", "ETYPE").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .filter($"x" >= FgbWin._1 && $"x" <= FgbWin._3 &&
+          $"y" >= FgbWin._2 && $"y" <= FgbWin._4)
+        .orderBy($"feature_id")
+    }
+  )
+
   // ---------------------------------------------------------- A1g (.gpx)
   /** The GPX member of the fixture-writer family ([[shpFixture]]'s
     * rationale and row cap): events written once per JVM as an
@@ -2001,5 +2027,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
 }

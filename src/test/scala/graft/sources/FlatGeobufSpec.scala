@@ -93,6 +93,35 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("empty layer"))
   }
 
+  test("readBboxRanged: byte-ranged reads equal the in-memory tree walk, multi-file, empty window, loud on unindexed") {
+    import spark.implicits._
+    val feats = (0 until 260).map { i =>
+      (Map("fid" -> s"f$i", "T" -> s"t${i % 3}"), KPoint(i % 26 * 1.0, i / 26 * 1.0))
+    }
+    val dir = Files.createTempDirectory("fgb_ranged")
+    Files.write(dir.resolve("a.fgb"), FlatGeobuf.writeFgb("g", feats.take(130), indexNodeSize = 16))
+    Files.write(dir.resolve("b.fgb"), FlatGeobuf.writeFgb("g", feats.drop(130), indexNodeSize = 4))
+    def collectIds(df: org.apache.spark.sql.DataFrame) =
+      df.select($"feature_id", $"props"("T").as("t")).as[(String, String)]
+        .collect().sorted.toSeq
+    val ranged = collectIds(FlatGeobuf.readBboxRanged(spark,
+      dir.toString + "/*.fgb", "g", "fid", 4.0, 1.0, 11.0, 6.0))
+    val inMem = collectIds(FlatGeobuf.readBbox(spark,
+      dir.toString + "/*.fgb", "g", "fid", 4.0, 1.0, 11.0, 6.0))
+    assert(ranged == inMem && ranged.nonEmpty, s"ranged=${ranged.length} inMem=${inMem.length}")
+    // empty window → empty frame, same schema
+    assert(FlatGeobuf.readBboxRanged(spark, dir.toString + "/*.fgb", "g", "fid",
+      900.0, 900.0, 901.0, 901.0).count() == 0)
+    // unindexed file in the glob → loud at INDEX time (driver), not mid-task
+    Files.write(dir.resolve("plain.fgb"),
+      FlatGeobuf.writeFgb("g", Seq((Map("fid" -> "x"), KPoint(1.0, 1.0)))))
+    val e = intercept[IllegalArgumentException] {
+      FlatGeobuf.readBboxRanged(spark, dir.toString + "/*.fgb", "g", "fid",
+        0.0, 0.0, 2.0, 2.0)
+    }
+    assert(e.getMessage.contains("declares no index"))
+  }
+
   test("readBbox: distributed index-pruned scan equals read + filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
