@@ -2288,15 +2288,26 @@ object TierCSim {
     * gate-checked (`c3_ivfpq_prebuilt` hash-matches c3_ivfpq's oracle).
     */
   def saveIvfPqIndex(s: SparkSession, embeddings: DataFrame, dir: String,
-      m: Int = 4, codes: Int = 16, sampleSize: Int = 256, cells: Int = 0): Unit = {
+      m: Int = 4, codes: Int = 16, sampleSize: Int = 256, cells: Int = 0,
+      quantizersFrom: Option[String] = None): Unit = {
     import s.implicits._
     val e = embeddings.select($"vec_id", $"embedding",
       TierC.dot($"embedding", $"embedding").as("n2")).persist()
-    val nCells = if (cells > 0) cells else ivfCells(e.count())
-    val sample = md5Sample(e, math.max(1024, sampleSize))
-    val seeds = kCenterSeeds(sample.take(1024), nCells)
-    val books = pqCodebooksFromSample(
-      sample.take(sampleSize).map(t => (t._1, t._2)), m, codes)
+    val (mm, seeds, books) = quantizersFrom match {
+      case Some(src) =>
+        // re-encode against an EXISTING index's frozen quantizers (the
+        // rebuild-after-compaction / train-on-sample-corpus shape); the
+        // spec pins save(all, quantizersFrom=idx) ≡ save(half)+append(half)
+        val (m0, sd, bk) = loadQuantizers(s, src)
+        (m0, sd, bk)
+      case None =>
+        val nCells = if (cells > 0) cells else ivfCells(e.count())
+        val sample = md5Sample(e, math.max(1024, sampleSize))
+        val seeds = kCenterSeeds(sample.take(1024), nCells)
+        val books = pqCodebooksFromSample(
+          sample.take(sampleSize).map(t => (t._1, t._2)), m, codes)
+        (m, seeds, books)
+    }
     val dim = seeds.head._1.length
     // driver-sized index tables (≤ cells / m·codes rows) — one file each
     seeds.zipWithIndex
@@ -2307,11 +2318,36 @@ object TierCSim {
       .flatMap { case (b, si) => b.zipWithIndex.map { case (v, ci) => (si, ci, v) } }
       .toDF("subspace", "code", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
-    Seq((m, codes, nCells, sampleSize, dim))
+    Seq((mm, books.head.length, seeds.length, sampleSize, dim))
       .toDF("m", "codes", "n_cells", "sample_size", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     // the corpus-sized encodings: cell + m sub-codes per vector, computed
     // map-side against the broadcast quantizers (one pass, no shuffle)
+    writeCodes(s, e, dir, mm, seeds, books, append = false)
+    e.unpersist()
+    ()
+  }
+
+  /** Load an index's quantizers: (m, seeds, books). Driver-sized. */
+  private def loadQuantizers(s: SparkSession, dir: String)
+      : (Int, Seq[(Seq[Float], Double)], Seq[Seq[Seq[Float]]]) = {
+    import s.implicits._
+    val meta = s.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val seeds = s.read.parquet(s"$dir/seeds")
+      .orderBy($"cell").as[(Int, Seq[Float], Double)].collect()
+      .map { case (_, v, n2) => (v, n2) }.toSeq
+    val books: Seq[Seq[Seq[Float]]] = s.read.parquet(s"$dir/books")
+      .orderBy($"subspace", $"code").as[(Int, Int, Seq[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    (m, seeds, books)
+  }
+
+  private def writeCodes(s: SparkSession, e: DataFrame, dir: String, m: Int,
+      seeds: Seq[(Seq[Float], Double)], books: Seq[Seq[Seq[Float]]],
+      append: Boolean): Unit = {
+    import s.implicits._
     val ss = graft.functions.VectorExprs.broadcastSeeds(s, seeds)
     val bb = books.map(graft.functions.VectorExprs.broadcastBook(s, _))
     val codeCols = (0 until m).map { si =>
@@ -2319,9 +2355,31 @@ object TierCSim {
         $"embedding", si * bb(si).sub, bb(si)).as(s"c$si")
     }
     e.select(($"vec_id" +: cellAssignCol(ss).as("cell") +: codeCols): _*)
-      .write.mode("overwrite").parquet(s"$dir/codes")
-    e.unpersist()
-    ()
+      .write.mode(if (append) "append" else "overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Incremental ingest into a SAVED index — the other half of
+    * build-once/probe-many: new vectors are encoded against the index's
+    * OWN frozen quantizers (no retrain; periodic retrain is a new index
+    * build) and appended as a new parquet partition of `codes`. Bit-
+    * equivalent to re-encoding the union corpus against the same
+    * quantizers (spec-pinned via `quantizersFrom`). Refuses vec_ids
+    * already present — an index is keyed, and upsert semantics would
+    * silently shadow rows at probe time.
+    */
+  def appendToIvfPqIndex(s: SparkSession, newEmbeddings: DataFrame,
+      dir: String): Unit = {
+    import s.implicits._
+    val (m, seeds, books) = loadQuantizers(s, dir)
+    val e = newEmbeddings.select($"vec_id", $"embedding",
+      TierC.dot($"embedding", $"embedding").as("n2"))
+    val dups = e.select($"vec_id")
+      .join(s.read.parquet(s"$dir/codes").select($"vec_id"), Seq("vec_id"))
+      .limit(5).as[Long].collect()
+    require(dups.isEmpty,
+      s"ivfpq append: vec_ids ${dups.mkString(",")} already exist in $dir/codes — " +
+        "an index is keyed; delete + rebuild or use fresh ids")
+    writeCodes(s, e, dir, m, seeds, books, append = true)
   }
 
   /** Probe a PREBUILT IVF-PQ index: the candidate side is the saved
@@ -2336,15 +2394,7 @@ object TierCSim {
   def ivfPqSearchPrebuilt(s: SparkSession, queries: DataFrame, dir: String,
       k: Int, nprobe: Int = 1): DataFrame = {
     import s.implicits._
-    val meta = s.read.parquet(s"$dir/meta").head()
-    val m = meta.getAs[Int]("m")
-    val seeds = s.read.parquet(s"$dir/seeds")
-      .orderBy($"cell").as[(Int, Seq[Float], Double)].collect()
-      .map { case (_, v, n2) => (v, n2) }.toSeq
-    val books: Seq[Seq[Seq[Float]]] = s.read.parquet(s"$dir/books")
-      .orderBy($"subspace", $"code").as[(Int, Int, Seq[Float])].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    val (m, seeds, books) = loadQuantizers(s, dir)
     val ss = graft.functions.VectorExprs.broadcastSeeds(s, seeds)
     val bb = books.map(graft.functions.VectorExprs.broadcastBook(s, _))
     val cand = s.read.parquet(s"$dir/codes")

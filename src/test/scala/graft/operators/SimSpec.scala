@@ -811,6 +811,43 @@ class SimSpec extends AnyFunSuite {
     assert(probeN2 == inlineN2, "prebuilt nprobe=2 diverged from inline")
   }
 
+  test("IVF-PQ append: frozen-quantizer ingest ≡ full re-encode; duplicate ids refuse") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      mm <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(c * 37 + i).toFloat * 10f)
+      base(mm % dim) += 0.01f * (mm + 1)
+      (c * 10L + mm, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (half1, half2) = (df.filter($"vec_id" % 2 === 0), df.filter($"vec_id" % 2 === 1))
+    val dirB = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    TierCSim.saveIvfPqIndex(spark, half1, dirB, cells = 5)
+    TierCSim.appendToIvfPqIndex(spark, half2, dirB)
+    assert(spark.read.parquet(s"$dirB/codes").count() == 20)
+    // the strong pin: save(all, quantizersFrom=dirB) re-encodes the union
+    // against the SAME frozen quantizers — codes and probe must be
+    // bit-identical to the incremental construction
+    val dirD = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    TierCSim.saveIvfPqIndex(spark, df, dirD, quantizersFrom = Some(dirB))
+    def codesOf(d: String) = spark.read.parquet(s"$d/codes")
+      .collect().map(_.toString).sorted.toSeq
+    assert(codesOf(dirB) == codesOf(dirD), "append diverged from full re-encode")
+    val pB = TierCSim.ivfPqSearchPrebuilt(spark, df, dirB, 3)
+      .collect().map(_.toString).toSeq
+    val pD = TierCSim.ivfPqSearchPrebuilt(spark, df, dirD, 3)
+      .collect().map(_.toString).toSeq
+    assert(pB == pD && pB.nonEmpty)
+    // keyed index: duplicate vec_ids refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      TierCSim.appendToIvfPqIndex(spark, half2.limit(1), dirB)
+    }
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+  }
+
   test("ivfTopK nprobe: monotone recall, nprobe=cells equals the exact scan") {
     import spark.implicits._
     val dim = 64
