@@ -2415,7 +2415,13 @@ object TierCSim {
       element_at(col(s"lut$si"), col(s"c$si") + 1)
     }.reduceLeft(_ + _)
     val w = Window.partitionBy($"id_a").orderBy($"approx".asc, $"id_b")
-    q.join(cand, $"cell" === $"cell_r" && $"id_a" =!= $"id_b")
+    // SHUFFLE join, never broadcast: the codes table is corpus-sized by
+    // construction (broadcast is only even legal at toy scale, where it
+    // measurably SERIALIZES the ADC compute into the query side's few
+    // scan tasks — sf5 soak: 7.0 s broadcast vs 3.8 s inline); the
+    // exchange on the cell key is what spreads per-cell ADC work across
+    // the cluster, same as the inline plan.
+    q.join(cand.hint("shuffle_hash"), $"cell" === $"cell_r" && $"id_a" =!= $"id_b")
       .withColumn("approx", approx)
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter($"rn" <= k)
