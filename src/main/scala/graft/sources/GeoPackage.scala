@@ -199,7 +199,7 @@ object GeoPackage {
     * (no freelist, no integral-REAL squeeze — readers don't care).
     */
   def writeGpkg(table: String, srid: Int,
-      rows: Seq[(Long, String, Array[Byte])]): Array[Byte] = {
+      rows: Seq[(Long, String, Array[Byte])], rtree: Boolean = false): Array[Byte] = {
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     pages += new Array[Byte](WPageSize) // page 1 placeholder (master root)
     val contentsRoot = wTable(pages, Seq((1L, wRecord(Seq(
@@ -210,7 +210,55 @@ object GeoPackage {
       rows.map { case (fid, etype, blob) =>
         (fid, wRecord(Seq(null, etype, blob))) // fid: rowid-alias NULL
       })
-    val masterRows = Seq(
+    // GPKG rtree extension (`gpkg_rtree_index`) — the form GDAL writes by
+    // default: a gpkg_extensions registration, the VIRTUAL table's
+    // sqlite_master entry (rootpage 0, the SQLite convention for virtual
+    // tables), and the rtree module's three REAL shadow tables. The root
+    // node blob uses the module's storage format (2-byte depth, 2-byte
+    // cell count, cells of i64 rowid + 4 big-endian f32 minx/maxx/miny/
+    // maxy) with the bboxes lifted from each feature's GPKG blob
+    // envelope — parseable ([[rtreeRowids]]), not decorative.
+    val extras: Seq[(String, Int, String)] =
+      if (!rtree) Seq.empty
+      else {
+        val extRoot = wTable(pages, Seq((1L, wRecord(Seq(
+          table, "geom", "gpkg_rtree_index",
+          "http://www.geopackage.org/spec120/#extension_rtree", "write-only")))))
+        val cells = rows.collect { case (fid, _, blob) if blob != null =>
+          val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+          // GPKG blob: magic(2) ver(1) flags(1) srid(4), envelope 4×f64
+          // in minx, maxx, miny, maxy order (envelope indicator 1)
+          (fid, bb.getDouble(8).toFloat, bb.getDouble(16).toFloat,
+            bb.getDouble(24).toFloat, bb.getDouble(32).toFloat)
+        }
+        require(cells.length <= 2000,
+          s"gpkg rtree writer: ${cells.length} features exceed one root node " +
+            "(multi-level tree emission not implemented — split the layer)")
+        val nb = ByteBuffer.allocate(4 + cells.length * 24) // big-endian
+        nb.putShort(0.toShort) // depth 0: root IS the leaf
+        nb.putShort(cells.length.toShort)
+        cells.foreach { c =>
+          nb.putLong(c._1)
+          nb.putFloat(c._2); nb.putFloat(c._3); nb.putFloat(c._4); nb.putFloat(c._5)
+        }
+        val nodeRoot = wTable(pages, Seq((1L, wRecord(Seq(null, nb.array())))))
+        val rowidRoot = wTable(pages, cells.map(c => (c._1, wRecord(Seq(null, 1L)))))
+        val parentRoot = wTable(pages, Seq.empty)
+        val rt = s"rtree_${table}_geom"
+        Seq(
+          ("gpkg_extensions", extRoot,
+            "CREATE TABLE gpkg_extensions (table_name TEXT, column_name TEXT, " +
+              "extension_name TEXT, definition TEXT, scope TEXT)"),
+          (rt, 0,
+            s"CREATE VIRTUAL TABLE $rt USING rtree(id, minx, maxx, miny, maxy)"),
+          (s"${rt}_node", nodeRoot,
+            s"""CREATE TABLE "${rt}_node" (nodeno INTEGER PRIMARY KEY, data BLOB)"""),
+          (s"${rt}_rowid", rowidRoot,
+            s"""CREATE TABLE "${rt}_rowid" (rowid INTEGER PRIMARY KEY, nodeno INTEGER)"""),
+          (s"${rt}_parent", parentRoot,
+            s"""CREATE TABLE "${rt}_parent" (nodeno INTEGER PRIMARY KEY, parentnode INTEGER)"""))
+      }
+    val masterRows = (Seq(
       ("gpkg_contents", contentsRoot,
         "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, data_type TEXT, " +
           "identifier TEXT, description TEXT, last_change DATETIME, min_x DOUBLE, " +
@@ -219,7 +267,7 @@ object GeoPackage {
         "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, " +
           "geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)"),
       (table, featureRoot,
-        s"CREATE TABLE $table (fid INTEGER PRIMARY KEY, etype TEXT, geom BLOB)"))
+        s"CREATE TABLE $table (fid INTEGER PRIMARY KEY, etype TEXT, geom BLOB)")) ++ extras)
       .zipWithIndex.map { case ((name, root, sql), i) =>
         ((i + 1).toLong, wRecord(Seq("table", name, name, root.toLong, sql)))
       }
@@ -405,6 +453,37 @@ object GeoPackage {
       .collectFirst { case ("table", name, r, _) if name == table => r }
       .getOrElse(throw new IllegalArgumentException(s"gpkg: no table $table"))
     tableRows(db, root).map { case (rid, p) => (rid, record(p)) }
+  }
+
+  /** Bbox candidates through a stored GPKG rtree: surviving feature
+    * rowids from the depth-0 root node (f32 bboxes — candidates only,
+    * callers re-apply the exact predicate; the standard rtree caveat).
+    * Loud on a missing index or a multi-level tree (this subset writes
+    * single-node trees; a planet-scale layer rides the FGB/GeoParquet
+    * pushdown paths — the GPKG rtree exists for wild-file interop).
+    */
+  def rtreeRowids(bytes: Array[Byte], table: String, xmin: Double,
+      ymin: Double, xmax: Double, ymax: Double): Seq[Long] = {
+    val db = open(bytes)
+    val nodeTable = s"rtree_${table}_geom_node"
+    val root = master(db)
+      .collectFirst { case ("table", n, r, _) if n == nodeTable => r }
+      .getOrElse(throw new IllegalArgumentException(
+        s"gpkg: no rtree index for $table (shadow table $nodeTable absent)"))
+    val nodes = tableRows(db, root)
+    require(nodes.nonEmpty, s"gpkg: rtree node table $nodeTable is empty")
+    val data = record(nodes.head._2)(1).asInstanceOf[Array[Byte]]
+    val bb = ByteBuffer.wrap(data) // rtree module storage is big-endian
+    val depth = bb.getShort()
+    require(depth == 0,
+      s"gpkg: rtree depth $depth — only single-node (depth-0) trees are parsed")
+    val n = bb.getShort()
+    (0 until n).flatMap { _ =>
+      val rid = bb.getLong()
+      val mnx = bb.getFloat(); val mxx = bb.getFloat()
+      val mny = bb.getFloat(); val mxy = bb.getFloat()
+      if (mxx < xmin || mnx > xmax || mxy < ymin || mny > ymax) None else Some(rid)
+    }
   }
 
   /** sqlite_master rows: (type, name, rootpage, sql). Root is page 1. */

@@ -51,6 +51,23 @@ class SimSpec extends AnyFunSuite {
     assert(TierCSim.levenshteinBanded("abc", "abc", 20) == 0)
     assert(TierCSim.levenshteinBanded("", "abcde", 20) == 5)
     assert(TierCSim.levenshteinBanded("a" * 50, "b" * 50, 20) == 21) // saturates at k+1
+    // the verify stage rides Spark's BUILT-IN 3-arg levenshtein: pin it
+    // against the banded reference on a deterministic pair grid (builtin
+    // returns -1 above the threshold where the reference saturates at k+1)
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{levenshtein => levB, col}
+      val words = Seq("kitten", "sitting", "", "abcde", "abcdf", "xyabcde",
+        "a" * 30, "a" * 29 + "b", "b" * 30, "hdr QmZx3", "hdr QmZy3")
+      val pairs = for (a <- words; b <- words) yield (a, b)
+      val got = pairs.toDF("a", "b")
+        .select(levB(col("a"), col("b"), 20)).as[Int].collect()
+      val want = pairs.map { case (a, b) =>
+        val d = TierCSim.levenshteinBanded(a, b, 20)
+        if (d > 20) -1 else d
+      }
+      assert(got.toSeq == want, "builtin levenshtein diverged from the banded reference")
+    }
   }
 
   test("ngramJaccardPairs: df-capped hot gram is dropped, near-dup pair still found") {

@@ -97,6 +97,41 @@ class GeoPackageSpec extends AnyFunSuite {
     assert(Wkb.bbox(w) == Wkb.BBox(7.77, -3.885, 7.77, -3.885))
   }
 
+  test("rtree extension: indexed file reads identically, rtree candidates correct, loud arms") {
+    val rows = (1L to 400L).map(i =>
+      (i, s"t${i % 5}", GeoPackage.pointBlob(i % 20 * 1.0, (i / 20) * 1.0, 4326)))
+    val plain = GeoPackage.writeGpkg("events", 4326, rows)
+    val indexed = GeoPackage.writeGpkg("events", 4326, rows, rtree = true)
+    // wild-form tolerance: the extension tables (virtual-table master row
+    // with rootpage 0 included) must not perturb discovery or the scan
+    assert(GeoPackage.featureTables(indexed) == Seq(("events", "geom", 4326)))
+    val dir = java.nio.file.Files.createTempDirectory("gpkg_rtree")
+    java.nio.file.Files.write(dir.resolve("p.gpkg"), plain)
+    java.nio.file.Files.write(dir.resolve("i.gpkg"), indexed)
+    def ids(f: String) = GeoPackage.read(spark, s"$dir/$f", "events", "fid")
+      .select("feature_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids("i.gpkg") == ids("p.gpkg"))
+    // the stored index is parseable, not decorative: rtree candidates
+    // equal the brute-force window subset (f32 bboxes are exact here —
+    // small integer coordinates)
+    val got = GeoPackage.rtreeRowids(indexed, "events", 3.5, 2.5, 8.5, 6.5).sorted
+    val want = rows.collect {
+      case (fid, _, _) if fid % 20 >= 4 && fid % 20 <= 8 &&
+        fid / 20 >= 3 && fid / 20 <= 6 => fid
+    }.sorted
+    assert(got == want && got.nonEmpty, s"got ${got.length}, want ${want.length}")
+    // loud arms: no index on the plain file; oversized layer refuses
+    val e1 = intercept[IllegalArgumentException] {
+      GeoPackage.rtreeRowids(plain, "events", 0, 0, 1, 1)
+    }
+    assert(e1.getMessage.contains("no rtree index"))
+    val big = (1L to 2001L).map(i => (i, "t", GeoPackage.pointBlob(1.0, 1.0, 4326)))
+    val e2 = intercept[IllegalArgumentException] {
+      GeoPackage.writeGpkg("events", 4326, big, rtree = true)
+    }
+    assert(e2.getMessage.contains("one root node"))
+  }
+
   test("loud failures: non-sqlite bytes, unknown table") {
     intercept[Exception] {
       GeoPackage.featureTables("not a database".getBytes)
