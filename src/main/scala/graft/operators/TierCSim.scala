@@ -2430,6 +2430,26 @@ object TierCSim {
       .orderBy($"id_a", $"rn")
   }
 
+  /** STREAMING probe against a saved index — the online-retrieval
+    * lifecycle half (queries arrive forever, the corpus index is
+    * prebuilt): because every query row lives in exactly one micro-batch
+    * and probes are per-row independent, per-batch top-k IS that query's
+    * global top-k — so the probe runs as `foreachBatch` over
+    * [[ivfPqSearchPrebuilt]] (per-batch quantizer load is constant,
+    * index-sized driver work). Results land through `sink(batchResult,
+    * batchId)`; output is row-for-row the batch probe over the same
+    * queries (equivalence pin #11).
+    */
+  def ivfPqProbeStream(queries: DataFrame, indexDir: String, k: Int,
+      checkpoint: String, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(ivfPqSearchPrebuilt(batch.sparkSession, batch.toDF(), indexDir, k), id)
+      }
+      .start()
+
   /** Build (once per JVM per sf-dir, embeddings-mtime-fresh) the saved
     * IVF-PQ index `c3_ivfpq_prebuilt` probes; returns its directory.
     */

@@ -388,6 +388,43 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
         s"only-batch=${batchRows.diff(streamRows).take(3)}")
   }
 
+  test("ivfPqProbeStream (foreachBatch over the saved index) == batch prebuilt probe (c3_ivfpq_prebuilt analog)") {
+    import graft.operators.TierCSim
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 5
+      mm <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(c * 37 + i).toFloat * 10f)
+      base(mm % dim) += 0.01f * (mm + 1)
+      (c * 10L + mm, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = tmpDir("sbe_ivfpq_idx")
+    TierCSim.saveIvfPqIndex(spark, df, idx, cells = 5)
+    // queries arrive as a file STREAM in three slices; probes are per-row
+    // independent, so no sentinels and no watermark are needed
+    val src = tmpDir("sbe_ivfpq_src")
+    Seq(0, 1, 2).foreach { i =>
+      df.filter($"vec_id" % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/slice$i")
+    }
+    val schema = df.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/slice*")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = TierCSim.ivfPqProbeStream(stream, idx, 3, tmpDir("sbe_ivfpq_ckpt"),
+      (res, _) => res.collect().foreach(r => got.add(r.toString)))
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = TierCSim.ivfPqSearchPrebuilt(spark, df, idx, 3)
+      .collect().map(_.toString)
+    val gotSeq = scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala.toSeq
+    assert(gotSeq.sorted == want.sorted.toSeq && want.nonEmpty,
+      s"stream probe ${gotSeq.length} rows vs batch ${want.length}")
+  }
+
   test("stateless geofenceAlerts: stream rows == batch rows (a11w analog)") {
     val pointUdf = udf { (x: Double, y: Double) => graft.functions.Wkb.point(x, y) }
     val fences = Seq(
