@@ -1530,4 +1530,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "tag build/walk must be map-side only:\n" + p)
     assert("Exchange".r.findAllIn(p).length <= 2, p)
   }
+
+  test("c3_ivfpq_prebuilt: probe NEVER broadcasts the codes side, never encodes candidates") {
+    val p = plan("c3_ivfpq_prebuilt")
+    // the codes table is corpus-sized by construction; the shuffle-hash
+    // hint must survive (a BroadcastHashJoin here serializes the ADC
+    // compute into the probe side's few scan tasks — BENCH_NOTES r16)
+    assert(p.contains("ShuffledHashJoin"),
+      "prebuilt probe lost its shuffle join:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "prebuilt probe broadcasts a corpus-sized side:\n" + p)
+    // candidate geometry comes FROM THE SAVED PARQUET: the only pq-code
+    // expressions in the plan are the query-side LUT/cell projections —
+    // the candidate scan's column set is (vec_id, cell, c0..c3) read raw
+    val codesScan = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("c0"))
+      .mkString("\n")
+    assert(codesScan.contains("cell") && codesScan.contains("c3"),
+      "no raw codes-table scan in the probe plan:\n" + p)
+    assert(!codesScan.contains("embedding"),
+      "candidate side re-reads float vectors:\n" + codesScan)
+  }
 }
