@@ -122,6 +122,36 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(e.getMessage.contains("declares no index"))
   }
 
+  test("deep tree: 20k features at node size 8 (~5 levels) — ranged == in-memory == brute force") {
+    import spark.implicits._
+    // non-grid coordinates (hash-scattered) so Hilbert reordering is
+    // non-trivial and leaf runs interleave across the window
+    def xy(i: Int): (Double, Double) = {
+      val h = (i * 2654435761L) & 0xffffffffL
+      ((h % 1000L) * 0.37, ((h >> 10) % 1000L) * 0.53)
+    }
+    val feats = (0 until 20000).map { i =>
+      val (x, y) = xy(i)
+      (Map("fid" -> s"f$i"), KPoint(x, y))
+    }
+    val dir = Files.createTempDirectory("fgb_deep")
+    Files.write(dir.resolve("d.fgb"), FlatGeobuf.writeFgb("g", feats, indexNodeSize = 8))
+    val bytes = Files.readAllBytes(dir.resolve("d.fgb"))
+    val win = (100.0, 200.0, 160.0, 280.0) // ~2-3% of the extent
+    val want = feats.collect {
+      case (p, KPoint(x, y)) if x >= win._1 && x <= win._3 &&
+        y >= win._2 && y <= win._4 => p("fid")
+    }.sorted
+    val (total, hits) = FlatGeobuf.searchBbox(bytes, win._1, win._2, win._3, win._4)
+    assert(total == 20000)
+    assert(hits.map(_.props("fid")).sorted == want && want.nonEmpty,
+      s"in-memory walk: ${hits.length} vs brute ${want.length}")
+    val ranged = FlatGeobuf.readBboxRanged(spark, dir.toString + "/d.fgb",
+        "g", "fid", win._1, win._2, win._3, win._4)
+      .select($"feature_id").as[String].collect().sorted.toSeq
+    assert(ranged == want, s"ranged: ${ranged.length} vs brute ${want.length}")
+  }
+
   test("readBbox: distributed index-pruned scan equals read + filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
