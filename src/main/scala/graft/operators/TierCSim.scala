@@ -2430,6 +2430,42 @@ object TierCSim {
       .orderBy($"id_a", $"rn")
   }
 
+  /** Delete vectors from a saved index — the retention half of the
+    * lifecycle (takedowns, TTL'd corpora): rewrites the codes table
+    * WITHOUT the given ids via an anti-join (cost ∝ codes size — the
+    * compact ~(8+4+4m)-byte rows, never the float corpus; quantizers
+    * untouched, so remaining encodings stay bit-identical). The rewrite
+    * stages to a sibling directory and swaps by rename, so a crash never
+    * leaves a half-deleted codes table. Returns the number of rows
+    * removed; asking to delete absent ids is a no-op for those ids (the
+    * caller's id list is routinely broader than the index — retention
+    * sweeps don't know what was already dropped).
+    */
+  def deleteFromIvfPqIndex(s: SparkSession, vecIds: DataFrame,
+      dir: String): Long = {
+    import s.implicits._
+    val ids = vecIds.select($"vec_id")
+    val codes = s.read.parquet(s"$dir/codes")
+    val before = codes.count()
+    val kept = codes.join(ids, Seq("vec_id"), "left_anti")
+    val conf = s.sparkContext.hadoopConfiguration
+    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/codes_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
+    val fs = codesPath.getFileSystem(conf)
+    if (fs.exists(stage)) fs.delete(stage, true)
+    kept.write.mode("overwrite").parquet(stage.toString)
+    val after = s.read.parquet(stage.toString).count()
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(codesPath, old), s"ivfpq delete: stage swap failed for $dir")
+    if (!fs.rename(stage, codesPath)) {
+      fs.rename(old, codesPath) // restore — the original bytes are intact
+      throw new IllegalStateException(s"ivfpq delete: stage rename failed for $dir")
+    }
+    fs.delete(old, true)
+    before - after
+  }
+
   /** STREAMING probe against a saved index — the online-retrieval
     * lifecycle half (queries arrive forever, the corpus index is
     * prebuilt): because every query row lives in exactly one micro-batch

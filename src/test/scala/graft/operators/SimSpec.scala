@@ -863,6 +863,19 @@ class SimSpec extends AnyFunSuite {
       TierCSim.appendToIvfPqIndex(spark, half2.limit(1), dirB)
     }
     assert(e.getMessage.contains("already exist"), e.getMessage)
+    // delete (the retention half): removed rows counted, absent ids are a
+    // no-op, the survivors probe identically to an index never containing
+    // the deleted vectors, and a delete→append round-trip restores it
+    val dropIds = Seq(1L, 3L, 999L).toDF("vec_id") // 999 absent
+    val removed = TierCSim.deleteFromIvfPqIndex(spark, dropIds, dirB)
+    assert(removed == 2L, s"removed $removed")
+    assert(spark.read.parquet(s"$dirB/codes").count() == 18)
+    val dirE = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    TierCSim.saveIvfPqIndex(spark,
+      df.filter(!$"vec_id".isin(1L, 3L)), dirE, quantizersFrom = Some(dirB))
+    assert(codesOf(dirB) == codesOf(dirE), "delete diverged from never-present")
+    TierCSim.appendToIvfPqIndex(spark, df.filter($"vec_id".isin(1L, 3L)), dirB)
+    assert(codesOf(dirB) == codesOf(dirD), "delete→append did not restore the index")
   }
 
   test("ivfTopK nprobe: monotone recall, nprobe=cells equals the exact scan") {
