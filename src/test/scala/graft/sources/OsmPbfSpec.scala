@@ -229,6 +229,30 @@ class OsmPbfSpec extends AnyFunSuite {
       OsmPbf.routeFeatures(spark, dir.resolve("onlystops.osm.pbf").toString).collect()
     }
     assert(chainMessage(e3).contains("no way members"), chainMessage(e3))
+    // single-way route (the most common wild form) and a CLOSED LOOP
+    // (circular line): both must terminate and keep their point chains
+    val loopNs = Seq(
+      OsmPbf.Node(1, 0L, 0L, Map.empty),
+      OsmPbf.Node(2, 1000000000L, 0L, Map.empty),
+      OsmPbf.Node(3, 1000000000L, 1000000000L, Map.empty))
+    val loopWs = Seq(
+      OsmPbf.Way(40, Seq(1L, 2L), Map.empty),
+      OsmPbf.Way(41, Seq(2L, 3L), Map.empty),
+      OsmPbf.Way(42, Seq(3L, 1L), Map.empty))
+    Files.write(dir.resolve("loop.osm.pbf"), OsmPbf.writeFull(loopNs, loopWs, Seq(
+      OsmPbf.Relation(700L, Seq(40L), Seq(""), Seq(1), Map("type" -> "route")),
+      OsmPbf.Relation(701L, Seq(40L, 41L, 42L), Seq("", "", ""), Seq(1, 1, 1),
+        Map("type" -> "route")))))
+    val loops = OsmPbf.routeFeatures(spark, dir.resolve("loop.osm.pbf").toString)
+      .collect().map(r => r.getAs[Long]("relation_id") -> r).toMap
+    val single = loops(700L)
+    assert(single.getAs[String]("kind") == "LINESTRING" &&
+      single.getAs[Long]("n_chains") == 1L)
+    val loop = loops(701L)
+    assert(loop.getAs[String]("kind") == "LINESTRING" &&
+      loop.getAs[Long]("n_chains") == 1L)
+    val pts = graft.functions.Wkb.linePartsPoints(loop.getAs[Array[Byte]]("geom")).head
+    assert(pts.length == 4 && pts.head == pts.last, s"loop did not close: $pts")
   }
 
   test("boundaries: empty role = outer, admin_centre node selected out, ring machinery intact") {
