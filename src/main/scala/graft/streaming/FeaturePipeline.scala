@@ -319,6 +319,66 @@ object FeaturePipeline {
       }
   }
 
+  final case class AsofRow(key: Long, ts_us: Long, is_quote: Boolean, v: Double)
+  final case class AsofMatch(key: Long, trade_ts_us: Long, trade_v: Double,
+      quote_ts_us: Option[Long], quote_v: Option[Double])
+
+  /** Streaming AS-OF join — the streaming twin of the batch b9 family
+    * (every trade matched to the latest quote at-or-before it, per key),
+    * and the SIXTH stateful family. Input is ONE tagged stream (the
+    * union shape two topics land as): (key, ts_us, is_quote, v).
+    *
+    * Per micro-batch, a key's rows replay in event order (ties: quotes
+    * before trades — as-of is ≤ — and among equal-ts quotes the largest
+    * v wins, a total order both arms share); quotes advance the per-key
+    * latest-quote register, trades emit immediately against it (no
+    * quote yet → None — the left-outer arm).
+    *
+    * Horizon bound (the [[rateAnomalyStream]] discipline): a quote
+    * arriving AFTER a later-ts trade was already emitted does not
+    * retro-match — this is ingest-time as-of, exact when each key's
+    * quotes arrive ts-monotone across batches (the equivalence pin's
+    * feed), and a stated approximation otherwise. A stale quote never
+    * regresses the register.
+    *
+    * Scale posture: state per key is ONE (ts, v) register — two longs,
+    * bounded by the key universe, the smallest state of any family;
+    * per-row work is a comparison. Emission is immediate (no watermark
+    * wait): latency is one micro-batch.
+    */
+  def asofStream(tagged: DataFrame): Dataset[AsofMatch] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.select(col("key"), col("ts_us"), col("is_quote"), col("v")).as[AsofRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsofRow], state: GroupState[(Long, Double)]) =>
+          var (qTs, qV) = state.getOption.getOrElse((Long.MinValue, 0.0))
+          var hasQuote = state.exists
+          val out = Seq.newBuilder[AsofMatch]
+          rows.toSeq.sortBy(r => (r.ts_us, !r.is_quote, r.v)).foreach { r =>
+            if (r.is_quote) {
+              if (!hasQuote || r.ts_us > qTs || (r.ts_us == qTs && r.v > qV)) {
+                qTs = r.ts_us; qV = r.v; hasQuote = true
+              }
+            } else {
+              out += AsofMatch(key, r.ts_us, r.v,
+                if (hasQuote) Some(qTs) else None,
+                if (hasQuote) Some(qV) else None)
+            }
+          }
+          if (hasQuote) state.update((qTs, qV))
+          out.result().iterator
+      }
+  }
+
+  /** [[asofStream]] over two separate streams — tags and unions them. */
+  def asofStream(trades: DataFrame, quotes: DataFrame): Dataset[AsofMatch] =
+    asofStream(
+      trades.select(col("key"), col("ts_us"), lit(false).as("is_quote"), col("v"))
+        .unionByName(
+          quotes.select(col("key"), col("ts_us"), lit(true).as("is_quote"), col("v"))))
+
   final case class RateObs(key: String, ts_us: Long)
   final case class RateAlert(key: String, bucket_us: Long, cnt: Long,
       ewma_e6: Long, dev_e6: Long, alarm: Boolean)

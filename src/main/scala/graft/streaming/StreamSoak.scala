@@ -95,6 +95,13 @@ object StreamSoak {
         (graft.ScaleGen.events(spark, n)
           .select(concat(lit("u"), $"user_id").as("key"), $"ts".as("event_ts")),
           "key STRING, event_ts TIMESTAMP")
+      case "asof" =>
+        // tagged trade/quote mix per key: the latest-quote register is ONE
+        // (ts, v) pair per key — the smallest state of any family
+        (graft.ScaleGen.events(spark, n)
+          .select($"user_id".as("key"), $"ts".as("event_ts"),
+            ($"event_id" % 2L === 0L).as("is_quote"), $"value".as("v")),
+          "key BIGINT, event_ts TIMESTAMP, is_quote BOOLEAN, v DOUBLE")
       case other => throw new IllegalArgumentException(s"unknown soak mode '$other'")
     }
 
@@ -147,6 +154,11 @@ object StreamSoak {
         FeaturePipeline.rateAnomalyStream(
           stream.select($"key", unix_micros($"event_ts").as("ts_us")),
           bucketUs = 3600000000L).toDF()
+      case "asof" =>
+        // every trade emits against the per-key latest-quote register
+        FeaturePipeline.asofStream(
+          stream.select($"key", unix_micros($"event_ts").as("ts_us"),
+            $"is_quote", $"v")).toDF()
       case _ =>
         // 3-day horizon over 1.5-day batches: state must hold ~2 batches'
         // distinct signatures, never the run's history

@@ -388,6 +388,63 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
         s"only-batch=${batchRows.diff(streamRows).take(3)}")
   }
 
+  test("asofStream (latest-quote register) == batch declarative as-of join (b9 analog)") {
+    // tagged feed from events: even ids = quotes (v = value), odd ids =
+    // trades with UNIQUE v (= event_id) so the batch twin's groupBy
+    // cannot collapse duplicate trades
+    val base = events.select(($"user_id" % 25L).as("key"),
+      unix_micros($"event_ts").as("ts_us"),
+      ($"event_id" % 2L === 0L).as("is_quote"),
+      when($"event_id" % 2L === 0L, $"value")
+        .otherwise($"event_id".cast("double")).as("v"))
+    val (lo, hi) = {
+      val r = base.agg(min($"ts_us"), max($"ts_us")).head()
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    // three ts-RANGE slices (cuts on ts VALUES, so equal-ts rows never
+    // straddle a batch boundary — the register's monotone-ingest contract)
+    val srcDir = tmpDir("sbe_asof")
+    val t0 = System.currentTimeMillis() - 600000L
+    (0 until 3).foreach { i =>
+      val stage = tmpDir("sbe_asof_stage")
+      base.filter($"ts_us" >= lo + (hi - lo) * i / 3 &&
+          $"ts_us" < lo + (hi - lo) * (i + 1) / 3)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + i * 30000L))
+    }
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = FeaturePipeline.asofStream(stream).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sbe_asof")
+      .option("checkpointLocation", tmpDir("sbe_asof_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000L) finally q.stop()
+    val streamRows = spark.table("sbe_asof").collect().map(_.toString).sorted.toSeq
+    // batch twin: the DECLARATIVE as-of — per trade, the max-(ts, v)
+    // quote at-or-before it, left-outer for quoteless keys
+    val all = spark.read.schema(base.schema).parquet(srcDir)
+    val t = all.filter(!$"is_quote")
+      .select($"key", $"ts_us".as("trade_ts_us"), $"v".as("trade_v"))
+    val qs = all.filter($"is_quote")
+      .select($"key".as("kq"), $"ts_us".as("q_ts"), $"v".as("q_v"))
+    val batchRows = t.join(qs, $"key" === $"kq" && $"q_ts" <= $"trade_ts_us", "left")
+      .groupBy($"key", $"trade_ts_us", $"trade_v")
+      .agg(max(when($"q_ts".isNotNull, struct($"q_ts", $"q_v"))).as("best"))
+      .select($"key", $"trade_ts_us", $"trade_v",
+        $"best.q_ts".as("quote_ts_us"), $"best.q_v".as("quote_v"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batchRows.nonEmpty)
+    assert(streamRows == batchRows,
+      s"${streamRows.length} vs ${batchRows.length}; " +
+        s"only-stream=${streamRows.diff(batchRows).take(3)} " +
+        s"only-batch=${batchRows.diff(streamRows).take(3)}")
+  }
+
   test("ivfPqProbeStream (foreachBatch over the saved index) == batch prebuilt probe (c3_ivfpq_prebuilt analog)") {
     import graft.operators.TierCSim
     val dim = 64
