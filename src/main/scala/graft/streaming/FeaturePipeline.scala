@@ -346,7 +346,9 @@ object FeaturePipeline {
     * per-row work is a comparison. Emission is immediate (no watermark
     * wait): latency is one micro-batch.
     */
-  def asofStream(tagged: DataFrame): Dataset[AsofMatch] = {
+  def asofStream(tagged: DataFrame,
+      toleranceUs: Long = Long.MaxValue): Dataset[AsofMatch] = {
+    require(toleranceUs >= 0, s"asofStream: negative tolerance $toleranceUs")
     val spark = tagged.sparkSession
     import spark.implicits._
     tagged.select(col("key"), col("ts_us"), col("is_quote"), col("v")).as[AsofRow]
@@ -362,9 +364,13 @@ object FeaturePipeline {
                 qTs = r.ts_us; qV = r.v; hasQuote = true
               }
             } else {
+              // tolerance horizon (the b54 point-in-time rule): a register
+              // older than the tolerance is stale — emit unmatched rather
+              // than join against ancient context
+              val fresh = hasQuote && r.ts_us - qTs <= toleranceUs
               out += AsofMatch(key, r.ts_us, r.v,
-                if (hasQuote) Some(qTs) else None,
-                if (hasQuote) Some(qV) else None)
+                if (fresh) Some(qTs) else None,
+                if (fresh) Some(qV) else None)
             }
           }
           if (hasQuote) state.update((qTs, qV))

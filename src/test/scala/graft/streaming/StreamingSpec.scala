@@ -235,6 +235,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(FeaturePipeline.compactIfNeeded(spark, store, maxFiles = 2).isEmpty)
   }
 
+  test("asofStream: batch-mode semantics — register, ties, tolerance horizon, quoteless keys") {
+    import spark.implicits._
+    // flatMapGroupsWithState runs in single-batch mode on a static frame —
+    // the direct seam for the matching rules (the cross-batch arm is
+    // equivalence pin #12)
+    val rows = Seq(
+      // key 1: quote@10 then trade@15 (match), quote@20 stale-for, trade@500 (beyond tolerance)
+      (1L, 10L, true, 5.0), (1L, 15L, false, 100.0),
+      (1L, 20L, true, 6.0), (1L, 500L, false, 101.0),
+      // key 1 tie rules: trade@30 sees the equal-ts quote (<=), and among
+      // equal-ts quotes the larger v wins
+      (1L, 30L, true, 7.0), (1L, 30L, true, 9.0), (1L, 30L, false, 102.0),
+      // key 2: trade before any quote → unmatched
+      (2L, 40L, false, 103.0),
+      // an out-of-order INPUT row (sorted into place within the batch;
+      // advances the register 20 → 25 before the ts-30 rows apply)
+      (1L, 25L, true, 1.0)
+    ).toDF("key", "ts_us", "is_quote", "v")
+    val got = FeaturePipeline.asofStream(rows, toleranceUs = 100L)
+      .collect().map(m => (m.key, m.trade_ts_us, m.quote_ts_us, m.quote_v)).toSet
+    assert(got == Set(
+      (1L, 15L, Some(10L), Some(5.0)),   // plain match
+      (1L, 30L, Some(30L), Some(9.0)),   // equal-ts quote visible, max-v tie
+      (1L, 500L, None, None),            // register stale beyond tolerance
+      (2L, 40L, None, None)              // quoteless key: left-outer arm
+    ), got.toString)
+  }
+
   test("A9 ops: expireOlderThan drops old rows, removes empty layers, skips untouched ones") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}
