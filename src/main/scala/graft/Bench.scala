@@ -145,7 +145,9 @@ object Bench {
     // round-over-round forensics), so the complete per-query dict ALSO
     // lands in a repo file that gets committed with the round.
     try {
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+      // cwd-relative default (not a machine-specific absolute path) so the
+      // dict survives on any checkout; SPARK_GRAFT_BENCH_OUT overrides
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] full-json write: ${e.getMessage}") }
   }

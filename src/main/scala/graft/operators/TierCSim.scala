@@ -2328,9 +2328,31 @@ object TierCSim {
     ()
   }
 
+  /** Self-heal an index dir after a crash inside [[deleteFromIvfPqIndex]]'s
+    * two-rename swap: a crash between rename(codes→codes_old) and
+    * rename(stage→codes) leaves NO codes directory (bytes intact in
+    * codes_old). Restore codes_old and drop the stale stage, so the next
+    * load works without manual surgery; the interrupted delete simply
+    * never happened (callers re-issue it — delete is idempotent over
+    * absent ids). No-op when codes/ exists.
+    */
+  private def healCodes(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/codes_stage")
+    val fs = codesPath.getFileSystem(conf)
+    if (!fs.exists(codesPath) && fs.exists(old)) {
+      require(fs.rename(old, codesPath),
+        s"ivfpq heal: could not restore $old to $codesPath")
+      if (fs.exists(stage)) fs.delete(stage, true)
+    }
+  }
+
   /** Load an index's quantizers: (m, seeds, books). Driver-sized. */
   private def loadQuantizers(s: SparkSession, dir: String)
       : (Int, Seq[(Seq[Float], Double)], Seq[Seq[Seq[Float]]]) = {
+    healCodes(s, dir)
     import s.implicits._
     val meta = s.read.parquet(s"$dir/meta").head()
     val m = meta.getAs[Int]("m")
@@ -2435,8 +2457,12 @@ object TierCSim {
     * WITHOUT the given ids via an anti-join (cost ∝ codes size — the
     * compact ~(8+4+4m)-byte rows, never the float corpus; quantizers
     * untouched, so remaining encodings stay bit-identical). The rewrite
-    * stages to a sibling directory and swaps by rename, so a crash never
-    * leaves a half-deleted codes table. Returns the number of rows
+    * stages to a sibling directory and swaps by rename; a crash never
+    * leaves a PARTIALLY-deleted codes table — the one vulnerable window
+    * (between the two renames) leaves codes/ absent with the original
+    * bytes intact in codes_old/, and every load path self-heals that
+    * state via [[healCodes]] (restore codes_old, drop the stale stage),
+    * so the interrupted delete is simply re-issued. Returns the number of rows
     * removed; asking to delete absent ids is a no-op for those ids (the
     * caller's id list is routinely broader than the index — retention
     * sweeps don't know what was already dropped).
@@ -2444,6 +2470,7 @@ object TierCSim {
   def deleteFromIvfPqIndex(s: SparkSession, vecIds: DataFrame,
       dir: String): Long = {
     import s.implicits._
+    healCodes(s, dir)
     val ids = vecIds.select($"vec_id")
     val codes = s.read.parquet(s"$dir/codes")
     val before = codes.count()

@@ -719,6 +719,13 @@ object FlatGeobuf {
           "pushdown needs the packed R-tree; use the full scan + filter")
       if (h.count == 0) return Seq.empty
       val numNodes = levelBounds(h.count, h.nodeSize).head._2
+      // past ~53M features the index exceeds 2 GB and the toInt below
+      // would wrap (NegativeArraySizeException at best, a silent misread
+      // at worst) — refuse with a named message instead
+      require(numNodes * NodeBytes <= Int.MaxValue,
+        s"FlatGeobuf readBboxRanged: $file index is ${numNodes * NodeBytes} " +
+          "bytes (> 2 GB, ~53M features) — beyond one in-memory buffer; " +
+          "split the file or use the full scan + filter")
       val indexBytes = new Array[Byte]((numNodes * NodeBytes).toInt)
       in.readFully(indexBytes)
       val featStart = 12L + headerLen + numNodes * NodeBytes

@@ -225,9 +225,19 @@ object GeoPackage {
           table, "geom", "gpkg_rtree_index",
           "http://www.geopackage.org/spec120/#extension_rtree", "write-only")))))
         val cells = rows.collect { case (fid, _, blob) if blob != null =>
-          val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
           // GPKG blob: magic(2) ver(1) flags(1) srid(4), envelope 4×f64
-          // in minx, maxx, miny, maxy order (envelope indicator 1)
+          // in minx, maxx, miny, maxy order — but ONLY when the flags
+          // byte says so: the fixed offsets below assume envelope
+          // indicator 1 and little-endian header. Caller-supplied blobs
+          // can carry code 0 (no envelope) or a big-endian header, and
+          // lifting f64s from those offsets would emit garbage bboxes
+          // that silently drop true rtree candidates — refuse loudly.
+          val flags = blob(3) & 0xFF
+          require((flags & 1) == 1 && ((flags >> 1) & 0x7) == 1,
+            s"gpkg rtree writer: feature $fid blob flags 0x${flags.toHexString} " +
+              "— need little-endian header (flags bit 0) with envelope " +
+              "indicator 1 (XY, flags bits 1-3); cannot lift a bbox")
+          val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
           (fid, bb.getDouble(8).toFloat, bb.getDouble(16).toFloat,
             bb.getDouble(24).toFloat, bb.getDouble(32).toFloat)
         }

@@ -339,7 +339,12 @@ object FeaturePipeline {
     * retro-match — this is ingest-time as-of, exact when each key's
     * quotes arrive ts-monotone across batches (the equivalence pin's
     * feed), and a stated approximation otherwise. A stale quote never
-    * regresses the register.
+    * regresses the register, and a register holding a quote from a
+    * trade's FUTURE (out-of-order cross-batch arrival) never matches it:
+    * the emit guard requires qTs ≤ trade ts, so the approximation can
+    * only MISS matches batch b9 would find — it never emits a
+    * quote_ts_us > trade_ts_us pair that violates the at-or-before
+    * contract.
     *
     * Scale posture: state per key is ONE (ts, v) register — two longs,
     * bounded by the key universe, the smallest state of any family;
@@ -366,8 +371,14 @@ object FeaturePipeline {
             } else {
               // tolerance horizon (the b54 point-in-time rule): a register
               // older than the tolerance is stale — emit unmatched rather
-              // than join against ancient context
-              val fresh = hasQuote && r.ts_us - qTs <= toleranceUs
+              // than join against ancient context. The register must also
+              // not be FROM THE FUTURE: a cross-batch out-of-order arrival
+              // can leave a quote with qTs > this trade's ts in state, and
+              // matching it would violate the at-or-before contract — emit
+              // unmatched instead (the only directions the ingest-time
+              // approximation permits are miss and retro-miss, never a
+              // future match).
+              val fresh = hasQuote && qTs <= r.ts_us && r.ts_us - qTs <= toleranceUs
               out += AsofMatch(key, r.ts_us, r.v,
                 if (fresh) Some(qTs) else None,
                 if (fresh) Some(qV) else None)

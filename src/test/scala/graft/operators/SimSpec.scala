@@ -878,6 +878,43 @@ class SimSpec extends AnyFunSuite {
     assert(codesOf(dirB) == codesOf(dirD), "delete→append did not restore the index")
   }
 
+  test("IVF-PQ delete crash-heal: a kill between the two swap renames " +
+      "(codes/ absent, codes_old/ intact) self-heals on the next load") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 13 + j).toFloat * 5f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_heal").toString
+    TierCSim.saveIvfPqIndex(spark, df, dir, cells = 3)
+    val before = TierCSim.ivfPqSearchPrebuilt(spark, df, dir, 3)
+      .collect().map(_.toString).toSeq
+    // simulate the crash window: rename(codes→codes_old) happened, the
+    // second rename did not; a stale stage dir is also left behind
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/codes_stage")
+    val fs = codes.getFileSystem(conf)
+    assert(fs.rename(codes, old))
+    fs.mkdirs(stage)
+    assert(!fs.exists(codes))
+    // the next probe self-heals (restores codes_old, drops the stage) and
+    // answers bit-identically to the pre-crash index
+    val healed = TierCSim.ivfPqSearchPrebuilt(spark, df, dir, 3)
+      .collect().map(_.toString).toSeq
+    assert(healed == before, "healed probe diverged from pre-crash index")
+    assert(fs.exists(codes) && !fs.exists(old) && !fs.exists(stage),
+      "heal did not restore the canonical layout")
+    // re-issuing the interrupted delete completes it normally
+    assert(fs.rename(codes, old)) // crash again
+    val removed = TierCSim.deleteFromIvfPqIndex(
+      spark, Seq(0L, 5L).toDF("vec_id"), dir)
+    assert(removed == 2L)
+    assert(spark.read.parquet(s"$dir/codes").count() == 10)
+  }
+
   test("ivfTopK nprobe: monotone recall, nprobe=cells equals the exact scan") {
     import spark.implicits._
     val dim = 64

@@ -130,6 +130,22 @@ class GeoPackageSpec extends AnyFunSuite {
       GeoPackage.writeGpkg("events", 4326, big, rtree = true)
     }
     assert(e2.getMessage.contains("one root node"))
+    // the writer lifts envelopes at fixed offsets, so a caller blob whose
+    // flags byte says "no envelope" (code 0) or big-endian header must
+    // refuse loudly, not emit a garbage f32 bbox that silently drops
+    // true candidates
+    val noEnv = GeoPackage.pointBlob(1.0, 1.0, 4326).clone()
+    noEnv(3) = (noEnv(3) & ~0x0E).toByte // envelope indicator → 0
+    val e3 = intercept[IllegalArgumentException] {
+      GeoPackage.writeGpkg("events", 4326, Seq((1L, "t", noEnv)), rtree = true)
+    }
+    assert(e3.getMessage.contains("envelope"), e3.getMessage)
+    val bigEndian = GeoPackage.pointBlob(1.0, 1.0, 4326).clone()
+    bigEndian(3) = (bigEndian(3) & ~0x01).toByte // byte-order bit → BE
+    val e4 = intercept[IllegalArgumentException] {
+      GeoPackage.writeGpkg("events", 4326, Seq((1L, "t", bigEndian)), rtree = true)
+    }
+    assert(e4.getMessage.contains("flags"), e4.getMessage)
   }
 
   test("loud failures: non-sqlite bytes, unknown table") {

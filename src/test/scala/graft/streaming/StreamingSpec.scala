@@ -263,6 +263,36 @@ class StreamingSpec extends AnyFunSuite {
     ), got.toString)
   }
 
+  test("asofStream: a future quote left in state by out-of-order cross-batch " +
+      "arrival never matches an earlier-ts trade") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Boolean, Double)]
+    val out = FeaturePipeline.asofStream(
+        ms.toDF().toDF("key", "ts_us", "is_quote", "v"))
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_future_quote")
+      .option("checkpointLocation", tmpDir("asof_fq_ckpt")).start()
+    try {
+      // batch 1: only a quote at ts=100 — it lands in the key's register
+      ms.addData((1L, 100L, true, 5.0))
+      out.processAllAvailable()
+      // batch 2 (out-of-order across batches): a trade EARLIER than the
+      // registered quote must emit unmatched — matching would produce
+      // quote_ts_us > trade_ts_us, violating the at-or-before contract;
+      // a trade at/after the quote still matches normally
+      ms.addData((1L, 50L, false, 200.0), (1L, 150L, false, 201.0))
+      out.processAllAvailable()
+      val got = spark.table("asof_future_quote")
+        .as[FeaturePipeline.AsofMatch].collect()
+        .map(m => (m.trade_ts_us, m.quote_ts_us, m.quote_v)).toSet
+      assert(got == Set(
+        (50L, None, None),              // future-quote guard: unmatched
+        (150L, Some(100L), Some(5.0))), // normal at-or-before match
+        got.toString)
+    } finally out.stop()
+  }
+
   test("A9 ops: expireOlderThan drops old rows, removes empty layers, skips untouched ones") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}
