@@ -2026,6 +2026,131 @@ object TierA {
     }
   )
 
+  /** Constructive geometry #5 — the GENERAL overlay (VERDICT r16 #3): a
+    * per-event vertical-tooth comb INTERSECTED with a per-event
+    * horizontal-row comb via [[Wkb.intersectPolygons]] — concave ∩
+    * concave, the `ST_Intersection(poly, poly)` case neither the rect
+    * window nor the convex clip covers. The row comb's spine sits left of
+    * the tooth comb and its rows thread BETWEEN the teeth's y-range, so
+    * the intersection is the full teeth × rows grid of disconnected
+    * rectangles (3–5 × 2–4 pieces per event).
+    *
+    * Oracle discipline — closed form, not replay (the a11xx pattern): the
+    * fixture makes every Greiner–Hormann crossing coordinate EXACT. All
+    * inputs are integers; each tooth wall is a single edge of length
+    * exactly 128 = 2⁷ and each row edge has length exactly 192, so the
+    * crossing parameter t = (192·Δy)/(128·192) is the correctly-rounded
+    * quotient of two exact products whose true ratio Δy/128 is
+    * representable (power-of-two divisor) — t is exact, and the emitted
+    * coordinate (wallX, wallY + t·128) = (wallX, rowY) lands on integers.
+    * The oracle therefore enumerates the tooth×row rectangles directly —
+    * algorithm-independent — and the per-TERM-quantized doubled shoelace
+    * matches because a cyclic rotation of a ring preserves its
+    * directed-edge term set. Non-rectilinear operands, convex-agreement,
+    * containment arms, and the degeneracy refusals are pinned by the
+    * WkbSpec planted battery.
+    */
+  private val polyIntersectUdf: UserDefinedFunction = udf {
+    (cx: Double, cy: Double, ka: Int, kb: Int) =>
+      // subject: vertical-tooth comb; every tooth wall one edge, spans
+      // [cy+8, cy+136] (length 128)
+      val a = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      a += ((cx, cy))
+      a += ((cx + (24 * (ka - 1) + 14), cy))
+      a += ((cx + (24 * (ka - 1) + 14), cy + 8))
+      var i = ka - 1
+      while (i >= 0) {
+        a += ((cx + (24 * i + 14), cy + 136))
+        a += ((cx + 24 * i, cy + 136))
+        a += ((cx + 24 * i, cy + 8))
+        if (i > 0) a += ((cx + (24 * (i - 1) + 14), cy + 8))
+        i -= 1
+      }
+      val combA = Wkb.polygon(Seq(a.toIndexedSeq :+ a.head))
+      // clip: horizontal-row comb, spine left of A; rows span
+      // [cx-32, cx+160] (length 192), thread between the teeth's y-range
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val bx0 = cx - 40; val bx1 = cx - 32; val ex1 = cx + 160
+      val by1 = cy + (16 + 20 * (kb - 1) + 8)
+      b += ((bx0, cy + 14))
+      b += ((bx1, cy + 14))
+      var j = 0
+      while (j < kb) {
+        val ry = cy + (16 + 20 * j)
+        b += ((bx1, ry))
+        b += ((ex1, ry))
+        b += ((ex1, ry + 6))
+        b += ((bx1, ry + 6))
+        j += 1
+      }
+      b += ((bx1, by1))
+      b += ((bx0, by1))
+      val combB = Wkb.polygon(Seq(b.toIndexedSeq :+ b.head))
+      val pieces = Wkb.intersectPolygons(combA, combB)
+      var nv = 0
+      var a2 = 0L
+      var mnx = Long.MaxValue
+      var mxy = Long.MinValue
+      pieces.foreach { pw =>
+        val ring = Wkb.outerRing(pw).dropRight(1)
+        nv += ring.length
+        var r = 0
+        while (r < ring.length) {
+          val v = ring(r)
+          val w = ring((r + 1) % ring.length)
+          a2 += math.floor((v._1 * w._2 - w._1 * v._2) * 1000000.0).toLong
+          val fx = math.floor(v._1 * 1000000.0).toLong
+          val fy = math.floor(v._2 * 1000000.0).toLong
+          if (fx < mnx) mnx = fx
+          if (fy > mxy) mxy = fy
+          r += 1
+        }
+      }
+      (pieces.length, nv, a2, mnx, mxy)
+  }
+  private def a11axOracle: String =
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx,
+       |    floor(value % 200.0) AS cy,
+       |    3 + CAST(event_id % 3 AS INTEGER) AS ka,
+       |    2 + CAST(user_id % 3 AS INTEGER) AS kb FROM events),
+       |pieces AS (SELECT feature_id,
+       |    cx + 24*i AS xa, cx + (24*i + 14) AS xb,
+       |    cy + (16 + 20*j) AS ya, cy + (16 + 20*j) + 6 AS yb
+       |  FROM t, (SELECT unnest(range(0, 5)) AS i) ix(i),
+       |       (SELECT unnest(range(0, 4)) AS j) jx(j)
+       |  WHERE i < ka AND j < kb),
+       |terms AS (SELECT feature_id, xa, xb, ya, yb,
+       |    CAST(floor((xb*yb - xb*ya) * 1000000.0) AS BIGINT)
+       |  + CAST(floor((xb*yb - xa*yb) * 1000000.0) AS BIGINT)
+       |  + CAST(floor((xa*ya - xa*yb) * 1000000.0) AS BIGINT)
+       |  + CAST(floor((xa*ya - xb*ya) * 1000000.0) AS BIGINT) AS a2
+       |  FROM pieces)
+       |SELECT feature_id, CAST(COUNT(*) AS INTEGER) AS n_pieces,
+       |  CAST(4 * COUNT(*) AS INTEGER) AS n_vtx,
+       |  CAST(SUM(a2) AS BIGINT) AS area2_e6,
+       |  MIN(CAST(floor(xa * 1000000.0) AS BIGINT)) AS minx_e6,
+       |  MAX(CAST(floor(yb * 1000000.0) AS BIGINT)) AS maxy_e6
+       |FROM terms GROUP BY feature_id ORDER BY feature_id""".stripMargin
+  private val a11ax = QuerySpec(
+    "a11ax_poly_intersect",
+    "Constructive geometry, general overlay: Greiner-Hormann intersection of two per-event CONCAVE polygons (vertical-tooth comb x horizontal-row comb) — the ST_Intersection(poly, poly) case with arbitrary reflex operands; piece count, total vertices, per-term-quantized doubled shoelace area, quantized envelope. Oracle enumerates the teeth-x-rows rectangle grid in closed form (algorithm-independent); the fixture pins every crossing to exact integers via power-of-two edge spans.",
+    Some(a11axOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          floor($"value" % 200.0).cast(DoubleType).as("cy"),
+          (lit(3) + ($"event_id" % 3)).cast(IntegerType).as("ka"),
+          (lit(2) + ($"user_id" % 3)).cast(IntegerType).as("kb"))
+        .select($"feature_id", polyIntersectUdf($"cx", $"cy", $"ka", $"kb").as("st"))
+        .select($"feature_id", $"st._1".as("n_pieces"), $"st._2".as("n_vtx"),
+          $"st._3".as("area2_e6"), $"st._4".as("minx_e6"), $"st._5".as("maxy_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11ax, a11x, a11y, a11z)
 }

@@ -497,6 +497,94 @@ class WkbSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("corner"), e2.getMessage)
   }
 
+  // ---------------------------------------------- intersectPolygons (a11ax)
+  test("intersectPolygons: concave comb x concave comb — one exact rectangle per tooth-row pair") {
+    // A: 3 vertical teeth at x [0,1],[2,3],[4,5] rising from a spine;
+    // B: 2 horizontal rows at y [1.25,1.75],[2.25,2.75] off a left spine.
+    // Spines overlap nothing; the intersection is the 3x2 grid of
+    // tooth∩row rectangles, every coordinate exact binary.
+    val a = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (4.0, 3.0), (4.0, 1.0),
+      (3.0, 1.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val b = ccwRing((-2.0, 1.125), (-1.0, 1.125), (-1.0, 1.25), (6.0, 1.25),
+      (6.0, 1.75), (-1.0, 1.75), (-1.0, 2.25), (6.0, 2.25), (6.0, 2.75),
+      (-1.0, 2.75), (-1.0, 2.875), (-2.0, 2.875))
+    val ps = Wkb.intersectPolygons(a, b)
+    assert(ps.length == 6, s"expected 6 pieces, got ${ps.length}")
+    assert(pieceVtx(ps) == Seq.fill(6)(4))
+    assert(pieceAreas(ps).forall(_ == 0.5), pieceAreas(ps))
+    val boxes = ps.map(Wkb.bbox).sortBy(bx => (bx.xmin, bx.ymin))
+    val want = for (tx <- Seq(0.0, 2.0, 4.0); ry <- Seq(1.25, 2.25))
+      yield Wkb.BBox(tx, ry, tx + 1.0, ry + 0.5)
+    assert(boxes == want, boxes.toString)
+    // operand order does not change the region
+    val sym = Wkb.intersectPolygons(b, a)
+    assert(sym.length == 6 && math.abs(pieceAreas(sym).sum - 3.0) < 1e-12)
+    // every piece CCW
+    ps.foreach { p =>
+      val ring = Wkb.outerRing(p).dropRight(1)
+      val s2 = ring.indices.map { j =>
+        val v = ring(j); val u = ring((j + 1) % ring.length)
+        v._1 * u._2 - u._1 * v._2
+      }.sum
+      assert(s2 > 0, s"piece not CCW: signed2=$s2")
+    }
+  }
+
+  test("intersectPolygons: non-rectilinear concave subject x convex clip agrees with clipPolygonConvex") {
+    // concave arrow-head vs a tilted convex quadrilateral: the general
+    // traversal must reproduce the SH convex clip's region (different
+    // IEEE chains — compare areas within ulps, not bytes)
+    // notch at (3, 1.4), NOT (3, 1.5): the h1/h2 split diagonal below
+    // passes exactly through (3, 1.5) and a vertex-on-edge tangency
+    // would (correctly) refuse
+    val arrow = ccwRing((0.0, 0.0), (6.0, -1.0), (3.0, 1.4), (6.0, 4.0), (0.0, 3.0))
+    val quad = IndexedSeq((1.0, -2.0), (7.0, 0.5), (5.0, 5.0), (-1.0, 2.5))
+    val ps = Wkb.intersectPolygons(arrow, Wkb.polygon(Seq(quad :+ quad.head)))
+    val sh = Wkb.clipPolygonConvex(arrow, quad)
+    assert(ps.nonEmpty && sh != null)
+    assert(math.abs(pieceAreas(ps).sum - Wkb.area(sh)) < 1e-9,
+      s"${pieceAreas(ps).sum} vs ${Wkb.area(sh)}")
+    // split-additivity: clipping against the two halves of the quad
+    // partitions the region (cut through quad vertices, clear of arrow
+    // vertices)
+    val h1 = IndexedSeq((1.0, -2.0), (7.0, 0.5), (-1.0, 2.5))
+    val h2 = IndexedSeq((7.0, 0.5), (5.0, 5.0), (-1.0, 2.5))
+    val a1 = pieceAreas(Wkb.intersectPolygons(arrow, Wkb.polygon(Seq(h1 :+ h1.head)))).sum
+    val a2 = pieceAreas(Wkb.intersectPolygons(arrow, Wkb.polygon(Seq(h2 :+ h2.head)))).sum
+    assert(math.abs(a1 + a2 - pieceAreas(ps).sum) < 1e-9, s"$a1 + $a2 vs ${pieceAreas(ps).sum}")
+  }
+
+  test("intersectPolygons: no-crossing cases — inside, containing, disjoint") {
+    val comb = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (4.0, 3.0), (4.0, 1.0),
+      (3.0, 1.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    // small square fully inside tooth 1
+    val in = Wkb.intersectPolygons(square(0.25, 1.5, 0.75, 2.0), comb)
+    assert(in.length == 1 && Wkb.area(in.head) == 0.25)
+    // comb fully inside a big square: the comb comes back
+    val contains = Wkb.intersectPolygons(square(-10.0, -10.0, 10.0, 10.0), comb)
+    assert(contains.length == 1 && math.abs(Wkb.area(contains.head) - Wkb.area(comb)) < 1e-12)
+    assert(Wkb.intersectPolygons(square(20.0, 20.0, 21.0, 21.0), comb).isEmpty)
+  }
+
+  test("intersectPolygons: degeneracies refuse loudly — vertex on edge, shared collinear edge") {
+    val sq = square(0.0, 0.0, 4.0, 4.0)
+    // B vertex lands exactly on A's bottom edge (u = 1 at t = 0.5)
+    val touch = ccwRing((2.0, 0.0), (5.0, -2.0), (5.0, 2.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Wkb.intersectPolygons(sq, touch)
+    }
+    assert(e1.getMessage.contains("perturb"), e1.getMessage)
+    // shared boundary segment (collinear overlap): A's first edge IS the
+    // shared one, and B's contact vertices sit OUTSIDE A's edge span so
+    // the collinear branch (not a vertex-on-edge pair) is what fires
+    val aShared = ccwRing((4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    val bShared = ccwRing((4.0, -1.0), (6.0, -1.0), (6.0, 5.0), (4.0, 5.0))
+    val e2 = intercept[IllegalArgumentException] {
+      Wkb.intersectPolygons(aShared, bShared)
+    }
+    assert(e2.getMessage.contains("collinear"), e2.getMessage)
+  }
+
   // ---------------------------------------------- clipPolygonConvex (a11z)
   test("clipPolygonConvex: rectangle window reproduces the rect-clip region") {
     // same region as the rect clip (values differ only in the crossing
