@@ -205,6 +205,63 @@ object TierA {
   private val sridScanUdf: UserDefinedFunction =
     udf { (b: Array[Byte]) => Wkb.srid(b) }
 
+  /** a1f2/a1f3/a1q's query window over (x = value ∈ [0, 560.21), y = user_id). */
+  private val FgbWin = (100.0, 1.0, 400.0, 6.0) // xmin, ymin, xmax, ymax
+
+  // ------------------------------------------ A1q (.gpkg + rtree index)
+  /** The indexed twin of [[gpkgFixture]] — same rows, written WITH the
+    * `gpkg_rtree_index` extension: a multi-level packed rtree (51
+    * entries/node, the SQLite module's realistic fanout — at sf0.01 the
+    * tree is depth 2: leaves, interiors, root), the form GDAL writes for
+    * any real layer.
+    */
+  private[graft] def gpkgIndexedFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gpkgidx_fixture_" + Integer.toHexString(d.hashCode))
+    val f = new java.io.File(dir, "events.gpkg")
+    TierA.synchronized {
+      if (!f.exists() || f.lastModified < sourceMtime(d)) {
+        guardFixtureRows(s, d, "gpkg indexed")
+        dir.mkdirs()
+        val rows = Tables.events(s, d)
+          .select($"event_id", $"value", $"user_id", $"event_type")
+          .orderBy($"event_id").collect()
+          .toSeq.map(r => (r.getLong(0) + 1L, r.getString(3), // rowids are 1-based
+            graft.sources.GeoPackage.pointBlob(r.getDouble(1), r.getLong(2).toDouble, 4326)))
+        java.nio.file.Files.write(f.toPath,
+          graft.sources.GeoPackage.writeGpkg("events", 4326, rows, rtree = true))
+      }
+    }
+    dir.getPath
+  }
+
+  private val a1q = QuerySpec(
+    "a1q_gpkg_rtree",
+    "Index-pruned GeoPackage window scan: the events layer written WITH the gpkg_rtree_index extension (multi-level packed rtree, 51 entries/node — depth 2 at sf0.01), read through readBbox: the rtree walk yields candidate rowids at any depth, a SELECTIVE b-tree descent fetches only those rows (subtrees outside the candidate set are skipped), and the exact window predicate re-filters the f32 candidates. Hash-matching the full-table window oracle proves index pruning lost nothing.",
+    Some(s"""SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type AS etype,
+            value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events
+            WHERE value >= ${FgbWin._1} AND value <= ${FgbWin._3}
+              AND CAST(user_id AS DOUBLE) >= ${FgbWin._2}
+              AND CAST(user_id AS DOUBLE) <= ${FgbWin._4}
+            ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      val dir = gpkgIndexedFixture(s, d)
+      graft.sources.GeoPackage.readBbox(s, s"$dir/events.gpkg", "events", "fid",
+          FgbWin._1, FgbWin._2, FgbWin._3, FgbWin._4)
+        .select(($"feature_id".cast(LongType) - 1L).cast(StringType).as("feature_id"),
+          element_at($"props", "etype").as("etype"),
+          bboxUdf($"geom_wkb").as("bb"))
+        .select($"feature_id", $"etype",
+          $"bb.xmin".as("x"), $"bb.ymin".as("y"))
+        .filter($"x" >= FgbWin._1 && $"x" <= FgbWin._3 &&
+          $"y" >= FgbWin._2 && $"y" <= FgbWin._4)
+        .orderBy($"feature_id")
+    }
+  )
+
   // ---------------------------------------------------------- A1d (.kml)
   /** The KML member of the fixture-writer family ([[shpFixture]]'s
     * rationale and row cap): events written once per JVM as an
@@ -377,9 +434,6 @@ object TierA {
     }
     dir.getPath
   }
-
-  /** a1f2's query window over (x = value ∈ [0, 560.21), y = user_id). */
-  private val FgbWin = (100.0, 1.0, 400.0, 6.0) // xmin, ymin, xmax, ymax
 
   private val a1f2 = QuerySpec(
     "a1f2_fgb_bbox",
@@ -2152,5 +2206,5 @@ object TierA {
   )
 
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11ax, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a1q, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11ax, a11x, a11y, a11z)
 }

@@ -44,6 +44,10 @@ object GeoPackage {
   // property-tested in GpkgCodecSpec).
 
   private val WPageSize = 65536
+  /** Max entries per rtree node — SQLite's module packs ~51 at its
+    * default page size; matching it keeps depths realistic for readers.
+    */
+  private val RtreeNodeCap = 51
 
   private[sources] def wVarint(v: Long): Array[Byte] = {
     require(v >= 0, "writer varints are nonnegative here")
@@ -213,11 +217,13 @@ object GeoPackage {
     // GPKG rtree extension (`gpkg_rtree_index`) — the form GDAL writes by
     // default: a gpkg_extensions registration, the VIRTUAL table's
     // sqlite_master entry (rootpage 0, the SQLite convention for virtual
-    // tables), and the rtree module's three REAL shadow tables. The root
-    // node blob uses the module's storage format (2-byte depth, 2-byte
-    // cell count, cells of i64 rowid + 4 big-endian f32 minx/maxx/miny/
-    // maxy) with the bboxes lifted from each feature's GPKG blob
-    // envelope — parseable ([[rtreeRowids]]), not decorative.
+    // tables), and the rtree module's three REAL shadow tables. Node
+    // blobs use the module's storage format (2-byte depth on the root,
+    // 2-byte cell count, cells of i64 rowid-or-child-nodeno + 4
+    // big-endian f32 minx/maxx/miny/maxy), packed multi-level at
+    // RtreeNodeCap entries/node with the bboxes lifted from each
+    // feature's GPKG blob envelope — parseable ([[rtreeRowids]]) at any
+    // depth, not decorative.
     val extras: Seq[(String, Int, String)] =
       if (!rtree) Seq.empty
       else {
@@ -241,19 +247,71 @@ object GeoPackage {
           (fid, bb.getDouble(8).toFloat, bb.getDouble(16).toFloat,
             bb.getDouble(24).toFloat, bb.getDouble(32).toFloat)
         }
-        require(cells.length <= 2000,
-          s"gpkg rtree writer: ${cells.length} features exceed one root node " +
-            "(multi-level tree emission not implemented — split the layer)")
-        val nb = ByteBuffer.allocate(4 + cells.length * 24) // big-endian
-        nb.putShort(0.toShort) // depth 0: root IS the leaf
-        nb.putShort(cells.length.toShort)
-        cells.foreach { c =>
-          nb.putLong(c._1)
-          nb.putFloat(c._2); nb.putFloat(c._3); nb.putFloat(c._4); nb.putFloat(c._5)
+        // multi-level packed tree (GDAL-scale layers have depth >= 1 —
+        // SQLite's module packs ~51 entries/node): leaves hold (rowid,
+        // bbox) runs of <= RtreeNodeCap in input order; interior cells
+        // hold (child nodeno, f32 union bbox); node 1 is the root, the
+        // rest numbered breadth-first — the module's storage layout,
+        // parseable back by [[rtreeRowids]] at any depth.
+        sealed trait RN
+        final case class RLeaf(es: Seq[(Long, Float, Float, Float, Float)]) extends RN
+        final case class RInner(ch: Seq[RN]) extends RN
+        def bboxOf(n: RN): (Float, Float, Float, Float) = n match {
+          case RLeaf(es) =>
+            (es.map(_._2).min, es.map(_._3).max, es.map(_._4).min, es.map(_._5).max)
+          case RInner(ch) =>
+            val bs = ch.map(bboxOf)
+            (bs.map(_._1).min, bs.map(_._2).max, bs.map(_._3).min, bs.map(_._4).max)
         }
-        val nodeRoot = wTable(pages, Seq((1L, wRecord(Seq(null, nb.array())))))
-        val rowidRoot = wTable(pages, cells.map(c => (c._1, wRecord(Seq(null, 1L)))))
-        val parentRoot = wTable(pages, Seq.empty)
+        var level: Vector[RN] =
+          if (cells.isEmpty) Vector(RLeaf(Seq.empty))
+          else cells.grouped(RtreeNodeCap).map(RLeaf(_)).toVector
+        var depth = 0
+        while (level.length > 1) {
+          level = level.grouped(RtreeNodeCap).map(g => RInner(g): RN).toVector
+          depth += 1
+        }
+        // breadth-first numbering from the root = nodeno 1
+        val numbered = scala.collection.mutable.ArrayBuffer.empty[(Long, RN, Long)] // (no, node, parent)
+        val queue = scala.collection.mutable.Queue[(RN, Long)]((level.head, 0L))
+        while (queue.nonEmpty) {
+          val (n, parent) = queue.dequeue()
+          val no = numbered.length + 1L
+          numbered += ((no, n, parent))
+          n match {
+            case RInner(ch) => ch.foreach(c => queue.enqueue((c, no)))
+            case _ =>
+          }
+        }
+        // identity-keyed (two leaves can hold equal entry seqs — value
+        // equality would alias them to one nodeno)
+        val childNos = new java.util.IdentityHashMap[RN, java.lang.Long]()
+        numbered.foreach { case (no, n, _) => childNos.put(n, no) }
+        val nodeRows = numbered.map { case (no, n, _) =>
+          val es: Seq[(Long, Float, Float, Float, Float)] = n match {
+            case RLeaf(e) => e
+            case RInner(ch) => ch.map { c =>
+              val (a, b2, c2, d2) = bboxOf(c); (childNos.get(c).longValue, a, b2, c2, d2)
+            }
+          }
+          val nb = ByteBuffer.allocate(4 + es.length * 24) // big-endian
+          nb.putShort(if (no == 1L) depth.toShort else 0.toShort)
+          nb.putShort(es.length.toShort)
+          es.foreach { c =>
+            nb.putLong(c._1)
+            nb.putFloat(c._2); nb.putFloat(c._3); nb.putFloat(c._4); nb.putFloat(c._5)
+          }
+          (no, wRecord(Seq(null, nb.array())))
+        }
+        val leafNoOf: Map[Long, Long] = numbered.collect {
+          case (no, RLeaf(es), _) => es.map(e => e._1 -> no)
+        }.flatten.toMap
+        val nodeRoot = wTable(pages, nodeRows.toSeq)
+        val rowidRoot = wTable(pages,
+          cells.map(c => (c._1, wRecord(Seq(null, leafNoOf(c._1))))))
+        val parentRoot = wTable(pages, numbered.collect {
+          case (no, _, parent) if parent > 0 => (no, wRecord(Seq(null, parent)))
+        }.toSeq)
         val rt = s"rtree_${table}_geom"
         Seq(
           ("gpkg_extensions", extRoot,
@@ -408,6 +466,72 @@ object GeoPackage {
     out.toSeq
   }
 
+  /** Selective b-tree fetch: only rows whose rowid is in `wanted`
+    * (sorted ascending), descending interior pages by their (child,
+    * maxRowid) keys so subtrees with no wanted rowid are SKIPPED — the
+    * point-lookup shape rtree candidates need (pages off the path are
+    * never touched; on a leaf, non-wanted cells cost two varints, no
+    * payload copy).
+    */
+  private def tableRowsSelect(db: Db, rootPage: Int,
+      wanted: Array[Long]): Seq[(Long, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    if (wanted.isEmpty) return out.toSeq
+    // any wanted rowid in [lo, hi]?
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(wanted, lo)
+      val idx = if (i >= 0) i else -i - 1
+      idx < wanted.length && wanted(idx) <= hi
+    }
+    def walk(pageNo: Int, lo: Long, hi: Long): Unit = {
+      if (!anyIn(lo, hi)) return
+      val base = (pageNo - 1).toLong * db.pageSize
+      val hdr = (if (pageNo == 1) base + 100 else base).toInt
+      val tpe = db.bytes(hdr) & 0xFF
+      val nCells = u16(db.bytes, hdr + 3)
+      tpe match {
+        case 0x05 =>
+          val ptrs = hdr + 12
+          var prev = lo
+          (0 until nCells).foreach { i =>
+            val cell = base.toInt + u16(db.bytes, ptrs + 2 * i)
+            val child = u32(db.bytes, cell).toInt
+            val (key, _) = varint(db.bytes, cell + 4)
+            walk(child, prev, key)
+            prev = key + 1
+          }
+          walk(u32(db.bytes, hdr + 8).toInt, prev, hi)
+        case 0x0D =>
+          val ptrs = hdr + 8
+          (0 until nCells).foreach { i =>
+            val cell = base.toInt + u16(db.bytes, ptrs + 2 * i)
+            val (total, n1) = varint(db.bytes, cell)
+            val (rowid, n2) = varint(db.bytes, cell + n1)
+            if (java.util.Arrays.binarySearch(wanted, rowid) >= 0) {
+              val maxLocal = db.usable - 35
+              val minLocal = (db.usable - 12) * 32 / 255 - 23
+              val local =
+                if (total <= maxLocal) total.toInt
+                else {
+                  val k = minLocal + ((total - minLocal) % (db.usable - 4)).toInt
+                  if (k <= maxLocal) k else minLocal
+                }
+              val localBytes = java.util.Arrays.copyOfRange(db.bytes,
+                cell + n1 + n2, cell + n1 + n2 + local)
+              val over = if (total <= maxLocal) 0L else u32(db.bytes, cell + n1 + n2 + local)
+              out += ((rowid, payload(db, pageNo, localBytes, total, over)))
+            }
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"gpkg: page $pageNo has unsupported b-tree type 0x${other.toHexString} " +
+              "(index or corrupt — this reader handles table b-trees only)")
+      }
+    }
+    walk(rootPage, Long.MinValue, Long.MaxValue)
+    out.toSeq
+  }
+
   /** Decode one record (header of serial types + body) to values:
     * null / Long / Double / String / Array[Byte].
     */
@@ -465,12 +589,15 @@ object GeoPackage {
     tableRows(db, root).map { case (rid, p) => (rid, record(p)) }
   }
 
-  /** Bbox candidates through a stored GPKG rtree: surviving feature
-    * rowids from the depth-0 root node (f32 bboxes — candidates only,
-    * callers re-apply the exact predicate; the standard rtree caveat).
-    * Loud on a missing index or a multi-level tree (this subset writes
-    * single-node trees; a planet-scale layer rides the FGB/GeoParquet
-    * pushdown paths — the GPKG rtree exists for wild-file interop).
+  /** Bbox candidates through a stored GPKG rtree at ANY depth: the root
+    * (nodeno 1) declares the tree depth; interior cells hold (child
+    * nodeno, f32 bbox) and are descended only when their bbox overlaps
+    * the query; leaf cells hold (feature rowid, f32 bbox). f32 bboxes →
+    * candidates only, callers re-apply the exact predicate (the standard
+    * rtree caveat). Loud on a missing index, a missing child node, or a
+    * malformed depth — any real GDAL-written layer has depth >= 1
+    * (SQLite packs ~51 entries/node), the exact analog of the FGB packed
+    * Hilbert index read.
     */
   def rtreeRowids(bytes: Array[Byte], table: String, xmin: Double,
       ymin: Double, xmax: Double, ymax: Double): Seq[Long] = {
@@ -482,18 +609,30 @@ object GeoPackage {
         s"gpkg: no rtree index for $table (shadow table $nodeTable absent)"))
     val nodes = tableRows(db, root)
     require(nodes.nonEmpty, s"gpkg: rtree node table $nodeTable is empty")
-    val data = record(nodes.head._2)(1).asInstanceOf[Array[Byte]]
-    val bb = ByteBuffer.wrap(data) // rtree module storage is big-endian
-    val depth = bb.getShort()
-    require(depth == 0,
-      s"gpkg: rtree depth $depth — only single-node (depth-0) trees are parsed")
-    val n = bb.getShort()
-    (0 until n).flatMap { _ =>
-      val rid = bb.getLong()
-      val mnx = bb.getFloat(); val mxx = bb.getFloat()
-      val mny = bb.getFloat(); val mxy = bb.getFloat()
-      if (mxx < xmin || mnx > xmax || mxy < ymin || mny > ymax) None else Some(rid)
+    // nodeno = the shadow table's rowid (INTEGER PRIMARY KEY alias)
+    val nodeMap: Map[Long, Array[Byte]] = nodes.map { case (no, p) =>
+      no -> record(p)(1).asInstanceOf[Array[Byte]]
+    }.toMap
+    val rootData = nodeMap.getOrElse(1L, throw new IllegalArgumentException(
+      s"gpkg: rtree node table $nodeTable has no root (nodeno 1)"))
+    val depth = ByteBuffer.wrap(rootData).getShort()
+    require(depth >= 0 && depth <= 40,
+      s"gpkg: rtree depth $depth out of range — malformed node blob")
+    def walk(data: Array[Byte], level: Int): Seq[Long] = {
+      val bb = ByteBuffer.wrap(data) // rtree module storage is big-endian
+      bb.getShort() // depth on the root, unused elsewhere
+      val n = bb.getShort()
+      (0 until n).flatMap { _ =>
+        val id = bb.getLong()
+        val mnx = bb.getFloat(); val mxx = bb.getFloat()
+        val mny = bb.getFloat(); val mxy = bb.getFloat()
+        if (mxx < xmin || mnx > xmax || mxy < ymin || mny > ymax) Nil
+        else if (level == 0) Seq(id)
+        else walk(nodeMap.getOrElse(id, throw new IllegalArgumentException(
+          s"gpkg: rtree interior cell points at missing node $id")), level - 1)
+      }
     }
+    walk(rootData, depth)
   }
 
   /** sqlite_master rows: (type, name, rootpage, sql). Root is page 1. */
@@ -639,7 +778,28 @@ object GeoPackage {
     * feature-table read share the parse.
     */
   def read(spark: SparkSession, pathGlob: String, table: String,
-      idField: String, eventTsUs: Long = 0L): DataFrame = {
+      idField: String, eventTsUs: Long = 0L): DataFrame =
+    readImpl(spark, pathGlob, table, idField, eventTsUs, None)
+
+  /** Index-pruned window scan: candidates come from the stored rtree
+    * ([[rtreeRowids]], any depth — loud when the file has no index), and
+    * ONLY candidate rows are fetched, via selective b-tree descent
+    * ([[tableRowsSelect]] skips whole subtrees outside the candidate
+    * rowid set — pages off the path are never decoded). f32 index bboxes
+    * make these candidates, not answers: callers re-apply the exact
+    * predicate on the decoded geometry, the filter-then-refine shape of
+    * every spatial index. Scale: per-FILE pruning inside a distributed
+    * binaryFile scan — bytes decoded ∝ matches + index, not layer size.
+    */
+  def readBbox(spark: SparkSession, pathGlob: String, table: String,
+      idField: String, xmin: Double, ymin: Double, xmax: Double,
+      ymax: Double, eventTsUs: Long = 0L): DataFrame =
+    readImpl(spark, pathGlob, table, idField, eventTsUs,
+      Some((xmin, ymin, xmax, ymax)))
+
+  private def readImpl(spark: SparkSession, pathGlob: String, table: String,
+      idField: String, eventTsUs: Long,
+      window: Option[(Double, Double, Double, Double)]): DataFrame = {
     import spark.implicits._
     val rows = spark.read.format("binaryFile").load(pathGlob)
       .select(input_file_name().as("src"), $"content")
@@ -654,7 +814,14 @@ object GeoPackage {
         .getOrElse(throw new IllegalArgumentException(s"gpkg: no table $table"))
       val names = columnNames(entry._4)
       val alias = rowidAlias(entry._4)
-      val recs = tableRows(db, entry._3).map { case (rid, p) => (rid, record(p)) }
+      val recs = window match {
+        case None =>
+          tableRows(db, entry._3).map { case (rid, p) => (rid, record(p)) }
+        case Some((x0, y0, x1, y1)) =>
+          val cands = rtreeRowids(bytes, table, x0, y0, x1, y1)
+          tableRowsSelect(db, entry._3, cands.sorted.toArray)
+            .map { case (rid, p) => (rid, record(p)) }
+      }
       val gi = names.indexOf(geomCol)
       val ii = names.indexOf(idField)
       require(ii >= 0, s"gpkg: id field $idField not in ${names.mkString(",")}")

@@ -125,11 +125,23 @@ class GeoPackageSpec extends AnyFunSuite {
       GeoPackage.rtreeRowids(plain, "events", 0, 0, 1, 1)
     }
     assert(e1.getMessage.contains("no rtree index"))
-    val big = (1L to 2001L).map(i => (i, "t", GeoPackage.pointBlob(1.0, 1.0, 4326)))
-    val e2 = intercept[IllegalArgumentException] {
-      GeoPackage.writeGpkg("events", 4326, big, rtree = true)
-    }
-    assert(e2.getMessage.contains("one root node"))
+    // depth >= 2: 2900 points on a 100x29 grid — 51 entries/node packs
+    // into 57 leaves, 2 interior nodes, 1 root; candidates must still
+    // equal the brute-force window subset through the two-level descent
+    val big = (1L to 2900L).map(i =>
+      (i, "t", GeoPackage.pointBlob(i % 100 * 1.0, (i / 100) * 1.0, 4326)))
+    val bigBytes = GeoPackage.writeGpkg("events", 4326, big, rtree = true)
+    val gotBig = GeoPackage.rtreeRowids(bigBytes, "events", 10.5, 3.5, 20.5, 7.5).sorted
+    val wantBig = big.collect {
+      case (fid, _, _) if fid % 100 >= 11 && fid % 100 <= 20 &&
+        fid / 100 >= 4 && fid / 100 <= 7 => fid
+    }.sorted
+    assert(gotBig == wantBig && gotBig.nonEmpty,
+      s"multi-level: got ${gotBig.length}, want ${wantBig.length}")
+    // the full scan still reads the indexed file identically
+    val dirB = java.nio.file.Files.createTempDirectory("gpkg_rtree_big")
+    java.nio.file.Files.write(dirB.resolve("b.gpkg"), bigBytes)
+    assert(GeoPackage.read(spark, s"$dirB/b.gpkg", "events", "fid").count() == 2900)
     // the writer lifts envelopes at fixed offsets, so a caller blob whose
     // flags byte says "no envelope" (code 0) or big-endian header must
     // refuse loudly, not emit a garbage f32 bbox that silently drops
