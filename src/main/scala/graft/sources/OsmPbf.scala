@@ -890,20 +890,35 @@ object OsmPbf {
     assembleBoundaries(spark, readSplitRelations(spark, pathGlob),
       readSplitWays(spark, pathGlob), readSplitNodesLenient(spark, pathGlob))
 
+  /** Route-relation nesting cap: iterative resolution joins once per
+    * level, so the cap bounds driver rounds, not correctness — real
+    * planet hierarchies (route_master → route, international collection
+    * chains) stay under 8; deeper data refuses loudly.
+    */
+  private val RouteMaxDepth = 8
+
   /** Assemble `type=route` relations into LineString/MultiLineString WKB
     * — the non-areal sibling of [[assembleMultipolygons]], closing the
     * "route/boundary relations pass through unassembled" gap:
     *
     *  1. relations are FILTERED to `type=route` (selection);
     *  2. NODE members (stops/platforms) are annotations, not geometry —
-    *     counted into `n_stops`, never joined against the way store
-    *     (node and way ids are separate OSM id spaces);
-    *  3. RELATION members are resolved ONE level: the child relation's
-    *     way members substitute in, ordered by (parent position, child
-    *     position). A child missing from the relation store, a child
-    *     with node members, and a GRANDCHILD relation member (depth > 1)
-    *     all refuse loudly — the depth cap is a stated bound, not a
-    *     silent truncation;
+    *     counted into `n_stops` at ANY nesting level, never joined
+    *     against the way store (node and way ids are separate OSM id
+    *     spaces);
+    *  3. RELATION members are resolved to ARBITRARY depth (super-routes:
+    *     route_master → route → ways, international collections nesting
+    *     deeper) by ITERATIVE substitution — one distributed
+    *     members→relations join per level, bounded by `RouteMaxDepth`
+    *     (real planet hierarchies are < 8 deep). Members order by their
+    *     POSITION PATH (the pos at each ancestor level, compared
+    *     lexicographically), so a resolved grandchild sorts exactly
+    *     where its ancestor sat. A child missing from the relation
+    *     store, an empty child, a membership CYCLE (a relation reached
+    *     through its own descendants — the ancestor chain rides along
+    *     and is checked per step), and a hierarchy deeper than the cap
+    *     all refuse loudly — markers propagate through the joins and
+    *     throw in the build, never silently truncate;
     *  4. way chains merge greedily end-to-end (deterministic: start at
     *     the lowest unused way id, extend tail then head with the
     *     lowest-id chain sharing the endpoint, reversing on tail-to-tail
@@ -912,8 +927,11 @@ object OsmPbf {
     *     MultiLineString.
     *
     * Scale shape: the same two distributed joins as the multipolygon
-    * path (members→way paths→nodes) plus one members→relations join for
-    * the nested level; per-relation state is member-bounded.
+    * path (members→way paths→nodes) plus one members→relations join PER
+    * NESTING LEVEL (each frontier persisted so the iteration doesn't
+    * recompute its lineage; levels are bounded by RouteMaxDepth, and a
+    * real extract's frontier shrinks geometrically); per-relation state
+    * is member-bounded.
     *
     * Columns: relation_id, kind, n_ways, n_stops, n_chains, geom, tags.
     */
@@ -927,71 +945,106 @@ object OsmPbf {
           .as(Seq("pos", "mm")))
       .select($"relation_id", $"tags", $"pos",
         $"mm.memberIds".as("mid"), $"mm.memberTypes".as("mtype"))
-    // direct members (ways, stops, and the empty-list null marker)
-    val direct = m.filter($"mtype".isNull || $"mtype" =!= 2)
-      .select($"relation_id", $"tags", $"pos", lit(-1).cast("int").as("cpos"),
-        $"mid", $"mtype", lit(false).as("child_missing"))
-    // relation members: resolve ONE level against the relation store
     val children = relsDf.select($"id".as("cid"),
       $"memberIds".as("c_mids"), $"memberTypes".as("c_mtypes"))
-    val nested = m.filter($"mtype" === 2)
-      .withColumnRenamed("mid", "pmid")
-      .join(children, $"pmid" === $"cid", "left")
-      .select($"relation_id", $"tags", $"pos", $"cid", $"pmid",
-        posexplode_outer(arrays_zip($"c_mids", $"c_mtypes")).as(Seq("cpos", "cm")))
-      .select($"relation_id", $"tags", $"pos", $"cpos",
-        // on the null-cm markers (missing child / empty child) the parent's
-        // member id survives for the error message
-        coalesce($"cm.c_mids", $"pmid").as("mid"),
-        $"cm.c_mtypes".as("mtype"),
-        $"cid".isNull.as("child_missing"))
-    val all = direct.unionByName(nested)
-      .withColumn("way_id", when($"mtype" === 1, $"mid"))
+    // resolved rows: (relation_id, tags, path, mid, mtype, err) — path is
+    // the pos at each ancestor level (lexicographic order key), err a
+    // loud-refusal marker the build throws on
+    def asResolved(df: DataFrame, err: org.apache.spark.sql.Column): DataFrame =
+      df.select($"relation_id", $"tags", $"path", $"mid",
+        lit(2).cast("int").as("mtype"), err.as("err"))
+    // level 0: direct non-relation members (ways, stops, and the
+    // empty-parent null marker)
+    var resolved = m.filter($"mtype".isNull || $"mtype" =!= 2)
+      .select($"relation_id", $"tags", array($"pos").as("path"), $"mid", $"mtype",
+        when($"mtype".isNull, lit("parent_empty")).as("err"))
+    // frontier: unresolved relation members, with the ancestor id chain
+    // riding along for cycle detection
+    var frontier = m.filter($"mtype" === 2)
+      .select($"relation_id", $"tags", array($"pos").as("path"), $"mid",
+        array($"relation_id").as("chain"))
+      .persist()
+    var depth = 0
+    while (depth < RouteMaxDepth && !frontier.isEmpty) {
+      val step = frontier.join(children, frontier("mid") === children("cid"), "left")
+      val missing = asResolved(step.filter($"cid".isNull), lit("child_missing"))
+      val cycles = asResolved(
+        step.filter($"cid".isNotNull && array_contains($"chain", $"mid")),
+        lit("cycle"))
+      val expanded = step
+        .filter($"cid".isNotNull && !array_contains($"chain", $"mid"))
+        .withColumnRenamed("mid", "pmid")
+        .select($"relation_id", $"tags", $"path", $"pmid", $"chain",
+          posexplode_outer(arrays_zip($"c_mids", $"c_mtypes")).as(Seq("cpos", "cm")))
+        .select($"relation_id", $"tags",
+          concat($"path", array(coalesce($"cpos", lit(-1)))).as("path"),
+          // on the null-cm marker (empty child) the parent's member id
+          // survives for the error message
+          coalesce($"cm.c_mids", $"pmid").as("mid"),
+          $"cm.c_mtypes".as("mtype"),
+          concat($"chain", array($"pmid")).as("chain"),
+          $"cm".isNull.as("child_empty"))
+        .persist()
+      resolved = resolved
+        .unionByName(missing).unionByName(cycles)
+        .unionByName(expanded.filter($"child_empty")
+          .select($"relation_id", $"tags", $"path", $"mid",
+            lit(2).cast("int").as("mtype"), lit("child_empty").as("err")))
+        .unionByName(expanded.filter(!$"child_empty" && $"mtype" =!= 2)
+          .select($"relation_id", $"tags", $"path", $"mid", $"mtype",
+            lit(null).cast("string").as("err")))
+      val prev = frontier
+      frontier = expanded.filter(!$"child_empty" && $"mtype" === 2)
+        .select($"relation_id", $"tags", $"path", $"mid", $"chain")
+        .persist()
+      prev.unpersist()
+      depth += 1
+    }
+    // a frontier surviving the cap: deeper than any real hierarchy —
+    // refuse loudly rather than silently truncate
+    resolved = resolved.unionByName(asResolved(frontier, lit("too_deep")))
+    val all = resolved
+      .withColumn("way_id", when($"mtype" === 1 && $"err".isNull, $"mid"))
     val paths = wayPaths(waysDf, nodesDf)
       .select($"way_id", $"n_refs", $"n_joined", $"pts")
     val joined = all.join(paths, Seq("way_id"), "left")
       .groupBy($"relation_id")
       .agg(first($"tags").as("tags"),
-        sort_array(collect_list(struct($"pos", $"cpos", $"mtype", $"mid",
-          $"child_missing", $"n_refs", $"n_joined", $"pts"))).as("ms"))
+        sort_array(collect_list(struct($"path", $"mtype", $"mid",
+          $"err", $"n_refs", $"n_joined", $"pts"))).as("ms"))
     val build = udf { (relId: Long, ms: Seq[org.apache.spark.sql.Row]) =>
       import graft.functions.Wkb
       val chains = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Double, Double)])]
       var nStops = 0L
       ms.foreach { mr =>
-        if (mr.getBoolean(4))
-          throw new IllegalArgumentException(
-            s"osmpbf: route $relId references relation ${mr.getLong(3)} missing " +
+        // rows: (path, mtype, mid, err, n_refs, n_joined, pts)
+        val mid = if (mr.isNullAt(2)) relId else mr.getLong(2)
+        if (!mr.isNullAt(3)) mr.getString(3) match {
+          case "parent_empty" => throw new IllegalArgumentException(
+            s"osmpbf: relation $relId is type=route but has no members — refusing")
+          case "child_missing" => throw new IllegalArgumentException(
+            s"osmpbf: route $relId references relation $mid missing " +
               "from the relation store — refusing a silently-partial route")
-        if (mr.isNullAt(2)) {
-          // posexplode_outer null markers: cpos null = a CHILD with an
-          // empty member list; cpos = -1 = the PARENT's own empty list
-          if (mr.isNullAt(1))
-            throw new IllegalArgumentException(
-              s"osmpbf: route $relId child relation ${mr.getLong(3)} has no members — refusing")
-          else
-            throw new IllegalArgumentException(
-              s"osmpbf: relation $relId is type=route but has no members — refusing")
+          case "child_empty" => throw new IllegalArgumentException(
+            s"osmpbf: route $relId child relation $mid has no members — refusing")
+          case "cycle" => throw new IllegalArgumentException(
+            s"osmpbf: route $relId membership CYCLE through relation $mid — " +
+              "refusing (a relation cannot contain itself through any chain)")
+          case "too_deep" => throw new IllegalArgumentException(
+            s"osmpbf: route $relId nests relations deeper than $RouteMaxDepth " +
+              s"levels (unresolved relation $mid) — refusing a silent truncation")
+          case other => throw new IllegalArgumentException(
+            s"osmpbf: route $relId internal marker '$other'")
         }
-        val cpos = mr.getInt(1); val mtype = mr.getInt(2); val mid = mr.getLong(3)
-        if (cpos >= 0) {
-          // a resolved child's member: the depth cap and the node-member
-          // arm are loud, not silently skipped
-          require(mtype != 2,
-            s"osmpbf: route $relId nests relations more than one level deep " +
-              s"(grandchild relation $mid) — outside the one-level resolution cap")
-          require(mtype == 1,
-            s"osmpbf: route $relId child relation carries a node member $mid — " +
-              "only way members resolve through the nested level")
-        }
+        val mtype = mr.getInt(1)
         mtype match {
-          case 0 => nStops += 1L // stops/platforms: annotation, not geometry
+          case 0 => nStops += 1L // stops/platforms at any level: annotation
           case 1 =>
-            require(!mr.isNullAt(5),
+            require(!mr.isNullAt(4),
               s"osmpbf: route $relId references way $mid missing from the way store")
-            val nRefs = mr.getInt(5); val nJoined = mr.getLong(6)
+            val nRefs = mr.getInt(4); val nJoined = mr.getLong(5)
             requireFullyJoined(s"route $relId member way $mid", nRefs, nJoined)
-            val pts = mr.getSeq[org.apache.spark.sql.Row](7)
+            val pts = mr.getSeq[org.apache.spark.sql.Row](6)
               .map(r => (r.getLong(1) / 1e9, r.getLong(2) / 1e9))
             require(pts.length >= 2,
               s"osmpbf: route $relId member way $mid has ${pts.length} points")

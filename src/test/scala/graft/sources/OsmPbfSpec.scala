@@ -167,7 +167,7 @@ class OsmPbfSpec extends AnyFunSuite {
       chainMessage(e4))
   }
 
-  test("routes: chain merge (reversal, disconnection), stops counted, one-level nesting, loud depth/missing arms") {
+  test("routes: chain merge (reversal, disconnection), stops counted, multi-level nesting, loud cycle/depth/missing arms") {
     import org.apache.spark.sql.functions.col
     val ns = Seq(
       OsmPbf.Node(1, 0L, 0L, Map.empty),
@@ -211,16 +211,48 @@ class OsmPbfSpec extends AnyFunSuite {
       OsmPbf.routeFeatures(spark, dir.resolve("nochild.osm.pbf").toString).collect()
     }
     assert(chainMessage(e1).contains("missing from the relation store"), chainMessage(e1))
-    // loud: grandchild relation member (depth > 1)
+    // grandchild relation member (depth 3): the iterative resolution
+    // substitutes through route → section → subsection to the ways; a
+    // stop node INSIDE a child counts at any level. Way order follows the
+    // position PATH: 502's ways (under pos 0) come before 500's own
+    // direct way 13 (pos 1).
     Files.write(dir.resolve("deep.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
-      OsmPbf.Relation(500L, Seq(501L), Seq(""), Seq(2), Map("type" -> "route")),
-      OsmPbf.Relation(501L, Seq(502L), Seq(""), Seq(2), Map("type" -> "route_section")),
-      OsmPbf.Relation(502L, Seq(10L), Seq(""), Seq(1), Map("type" -> "route_section")))))
+      OsmPbf.Relation(500L, Seq(501L, 13L), Seq("", ""), Seq(2, 1),
+        Map("type" -> "route")),
+      OsmPbf.Relation(501L, Seq(502L, 1L), Seq("", "stop"), Seq(2, 0),
+        Map("type" -> "route_section")),
+      OsmPbf.Relation(502L, Seq(10L, 11L, 12L), Seq("", "", ""), Seq(1, 1, 1),
+        Map("type" -> "route_section")))))
+    val drow = OsmPbf.routeFeatures(spark, dir.resolve("deep.osm.pbf").toString)
+      .filter(col("relation_id") === 500L).head()
+    assert(drow.getAs[String]("kind") == "MULTILINESTRING" &&
+      drow.getAs[Long]("n_ways") == 4L && drow.getAs[Long]("n_stops") == 1L &&
+      drow.getAs[Long]("n_chains") == 2L, drow.toString)
+    val dparts = graft.functions.Wkb.linePartsPoints(drow.getAs[Array[Byte]]("geom"))
+    assert(dparts.map(_.length) == Seq(4, 2) &&
+      dparts.head.map(_._1) == Seq(0.0, 1.0, 2.0, 3.0), dparts.toString)
+    // loud: membership cycle (610 → 611 → 610)
+    Files.write(dir.resolve("cycle.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
+      OsmPbf.Relation(610L, Seq(611L), Seq(""), Seq(2), Map("type" -> "route")),
+      OsmPbf.Relation(611L, Seq(610L, 10L), Seq("", ""), Seq(2, 1),
+        Map("type" -> "route_section")))))
     val e2 = intercept[Exception] {
-      OsmPbf.routeFeatures(spark, dir.resolve("deep.osm.pbf").toString)
-        .filter(col("relation_id") === 500L).collect()
+      OsmPbf.routeFeatures(spark, dir.resolve("cycle.osm.pbf").toString).collect()
     }
-    assert(chainMessage(e2).contains("one-level"), chainMessage(e2))
+    assert(chainMessage(e2).contains("CYCLE"), chainMessage(e2))
+    // loud: deeper than the resolution cap (10 relations chained — the
+    // 9th nested level is still a relation when the 8-iteration cap ends)
+    val deepRels = (0 until 10).map { k =>
+      OsmPbf.Relation(800L + k, Seq(if (k < 9) 801L + k else 10L), Seq(""),
+        Seq(if (k < 9) 2 else 1),
+        Map("type" -> (if (k == 0) "route" else "route_section")))
+    }
+    Files.write(dir.resolve("toodeep.osm.pbf"), OsmPbf.writeFull(ns, ws, deepRels))
+    val e2b = intercept[Exception] {
+      OsmPbf.routeFeatures(spark, dir.resolve("toodeep.osm.pbf").toString)
+        .filter(col("relation_id") === 800L).collect()
+    }
+    assert(chainMessage(e2b).contains("deeper than"), chainMessage(e2b))
     // loud: route with ONLY stop members has no geometry
     Files.write(dir.resolve("onlystops.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
       OsmPbf.Relation(600L, Seq(1L, 2L), Seq("stop", "stop"), Seq(0, 0),
