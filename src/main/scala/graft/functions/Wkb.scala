@@ -55,9 +55,65 @@ object Wkb {
     */
   def multi(gtype: Int, members: Seq[Array[Byte]]): Array[Byte] = {
     require(gtype >= 4 && gtype <= 7, s"not a collection type: $gtype")
+    multiIso(gtype, hasZ = false, hasM = false, members)
+  }
+
+  /** ISO type word: Z = +1000, M = +2000, ZM = +3000. */
+  private def isoWord(base: Int, hasZ: Boolean, hasM: Boolean): Int =
+    base + (if (hasZ) 1000 else 0) + (if (hasM) 2000 else 0)
+
+  private def ordLen(hasZ: Boolean, hasM: Boolean): Int =
+    2 + (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
+
+  /** ISO-typed writers for higher-dimension geometry (XYZ / XYM / XYZM):
+    * each coordinate is an ordinate row of exactly 2 + Z? + M? doubles in
+    * X, Y, [Z], [M] order. Every reader in this module already consumes
+    * ISO/EWKB dims (XY ops skip the extra ordinates); these writers
+    * close the loop for sources that CARRY Z/M — shapefile types
+    * 11/13/15/21/23/25, GeoJSON 3-position coordinates.
+    */
+  def pointIso(ords: IndexedSeq[Double], hasZ: Boolean, hasM: Boolean): Array[Byte] = {
+    val d = ordLen(hasZ, hasM)
+    require(ords.length == d, s"pointIso: ${ords.length} ordinates, need $d")
+    val bb = ByteBuffer.allocate(5 + 8 * d).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(isoWord(1, hasZ, hasM))
+    ords.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  def lineStringIso(pts: Seq[IndexedSeq[Double]], hasZ: Boolean,
+      hasM: Boolean): Array[Byte] = {
+    val d = ordLen(hasZ, hasM)
+    pts.foreach(p => require(p.length == d,
+      s"lineStringIso: ${p.length} ordinates, need $d"))
+    val bb = ByteBuffer.allocate(9 + 8 * d * pts.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(isoWord(2, hasZ, hasM)).putInt(pts.length)
+    pts.foreach(_.foreach(bb.putDouble))
+    bb.array()
+  }
+
+  def polygonIso(rings: Seq[Seq[IndexedSeq[Double]]], hasZ: Boolean,
+      hasM: Boolean): Array[Byte] = {
+    val d = ordLen(hasZ, hasM)
+    rings.foreach(_.foreach(p => require(p.length == d,
+      s"polygonIso: ${p.length} ordinates, need $d")))
+    val n = rings.map(_.length).sum
+    val bb = ByteBuffer.allocate(9 + 4 * rings.length + 8 * d * n)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(isoWord(3, hasZ, hasM)).putInt(rings.length)
+    rings.foreach { ring =>
+      bb.putInt(ring.length)
+      ring.foreach(_.foreach(bb.putDouble))
+    }
+    bb.array()
+  }
+
+  def multiIso(gtype: Int, hasZ: Boolean, hasM: Boolean,
+      members: Seq[Array[Byte]]): Array[Byte] = {
+    require(gtype >= 4 && gtype <= 7, s"not a collection type: $gtype")
     val bb = ByteBuffer.allocate(9 + members.map(_.length).sum)
       .order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(1.toByte).putInt(gtype).putInt(members.length)
+    bb.put(1.toByte).putInt(isoWord(gtype, hasZ, hasM)).putInt(members.length)
     members.foreach(bb.put)
     bb.array()
   }

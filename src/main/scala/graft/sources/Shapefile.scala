@@ -20,13 +20,20 @@ case class ShpFeature(layer: String, feature_id: String,
   * [UPSTREAM-UNVERIFIED]; format per the public ESRI whitepaper
   * "ESRI Shapefile Technical Description", 1998).
   *
-  * Scope: the three mainline shape types — Point (1), PolyLine (3),
-  * Polygon (5) — plus Null (0), with attributes from the sibling dBASE
-  * `.dbf`. Geometry converts to the engine's WKB via the [[Wkb]]
-  * builders; a multi-part PolyLine becomes a WKB MultiLineString and a
-  * Polygon record's parts become that polygon's rings (outer + holes —
-  * the common single-outer-ring layout; multi-outer records would need
-  * the ring-orientation disambiguation the spec leaves to readers).
+  * Scope: the mainline shape types — Point (1), PolyLine (3), Polygon
+  * (5) — plus Null (0), AND the measured/3D family common in surveyed
+  * data: PointZ/PolyLineZ/PolygonZ (11/13/15, Z always + the spec's
+  * OPTIONAL M block) and PointM/PolyLineM/PolygonM (21/23/25).
+  * Attributes come from the sibling dBASE `.dbf`. Geometry converts to
+  * the engine's WKB via the [[Wkb]] builders — Z/M ordinates are
+  * CARRIED (ISO-typed WKB, XYZ/XYM/XYZM), not dropped: every Wkb
+  * consumer already skips extra dims for XY ops, and an all-NoData M
+  * block (every value < −10³⁸, the spec sentinel) drops the M dimension
+  * since it carries no information. A multi-part PolyLine becomes a WKB
+  * MultiLineString and a Polygon record's parts become that polygon's
+  * rings (outer + holes — the common single-outer-ring layout;
+  * multi-outer records would need the ring-orientation disambiguation
+  * the spec leaves to readers).
   *
   * Scale shape: a `.shp` has variable-length records and NO sync marks,
   * so a single file is not splittable without its `.shx` index — each
@@ -44,11 +51,29 @@ case class ShpFeature(layer: String, feature_id: String,
   */
 object Shapefile {
 
-  /** Typed shapes for the writer (the reader emits WKB directly). */
+  /** The spec's "no data" floor for measures: any M < −10³⁸ is absent. */
+  private val ShpNoData = -1e38
+
+  /** Typed shapes for the writer (the reader emits WKB directly). The Z/M
+    * members mirror the measured/3D record layouts (types 11/13/15/21/23)
+    * — Z shapes carry an optional per-record M block, exactly the wild
+    * forms surveyed data ships.
+    */
   sealed trait Shape
   final case class PointS(x: Double, y: Double) extends Shape
   final case class PolyLineS(parts: Seq[Seq[(Double, Double)]]) extends Shape
   final case class PolygonS(rings: Seq[Seq[(Double, Double)]]) extends Shape
+  /** PointZ (11): z always present, m optional (the spec's optional block). */
+  final case class PointZS(x: Double, y: Double, z: Double,
+      m: Option[Double] = None) extends Shape
+  /** PolyLineZ (13): per-point (x, y, z); no M block. */
+  final case class PolyLineZS(parts: Seq[Seq[(Double, Double, Double)]]) extends Shape
+  /** PolygonZ (15): per-point (x, y, z); no M block. */
+  final case class PolygonZS(rings: Seq[Seq[(Double, Double, Double)]]) extends Shape
+  /** PointM (21). */
+  final case class PointMS(x: Double, y: Double, m: Double) extends Shape
+  /** PolyLineM (23): per-point (x, y, m). */
+  final case class PolyLineMS(parts: Seq[Seq[(Double, Double, Double)]]) extends Shape
 
   // ------------------------------------------------------------- .shp write
 
@@ -56,6 +81,11 @@ object Shapefile {
     case _: PointS => 1
     case _: PolyLineS => 3
     case _: PolygonS => 5
+    case _: PointZS => 11
+    case _: PolyLineZS => 13
+    case _: PolygonZS => 15
+    case _: PointMS => 21
+    case _: PolyLineMS => 23
   }
 
   private def contentBytes(s: Shape): Array[Byte] = s match {
@@ -63,22 +93,44 @@ object Shapefile {
       val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(1).putDouble(x).putDouble(y)
       b.array()
+    case PointZS(x, y, z, m) =>
+      val b = ByteBuffer.allocate(28 + m.map(_ => 8).getOrElse(0))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(11).putDouble(x).putDouble(y).putDouble(z)
+      m.foreach(b.putDouble)
+      b.array()
+    case PointMS(x, y, m) =>
+      val b = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(21).putDouble(x).putDouble(y).putDouble(m)
+      b.array()
     case other =>
-      val (parts, tpe) = other match {
-        case PolyLineS(p) => (p, 3)
-        case PolygonS(r) => (r, 5)
+      // multipart layouts share a prefix: type, bbox, counts, part
+      // offsets, XY points — then Z/M blocks of (min, max, values)
+      val (parts3, tpe) = other match {
+        case PolyLineS(p) => (p.map(_.map(t => (t._1, t._2, 0.0))), 3)
+        case PolygonS(r) => (r.map(_.map(t => (t._1, t._2, 0.0))), 5)
+        case PolyLineZS(p) => (p, 13)
+        case PolygonZS(r) => (r, 15)
+        case PolyLineMS(p) => (p, 23)
         case _ => throw new MatchError(other)
       }
-      val npts = parts.map(_.length).sum
-      val b = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts.length + 16 * npts)
+      val extra = tpe > 5 // one trailing ordinate block (Z for 13/15, M for 23)
+      val npts = parts3.map(_.length).sum
+      val b = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts3.length + 16 * npts +
+          (if (extra) 16 + 8 * npts else 0))
         .order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(tpe)
-      val xs = parts.flatten.map(_._1); val ys = parts.flatten.map(_._2)
+      val xs = parts3.flatten.map(_._1); val ys = parts3.flatten.map(_._2)
       b.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
-      b.putInt(parts.length).putInt(npts)
+      b.putInt(parts3.length).putInt(npts)
       var off = 0
-      parts.foreach { p => b.putInt(off); off += p.length }
-      parts.flatten.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      parts3.foreach { p => b.putInt(off); off += p.length }
+      parts3.flatten.foreach { case (x, y, _) => b.putDouble(x).putDouble(y) }
+      if (extra) {
+        val os = parts3.flatten.map(_._3)
+        b.putDouble(os.min).putDouble(os.max)
+        os.foreach(b.putDouble)
+      }
       b.array()
   }
 
@@ -112,6 +164,24 @@ object Shapefile {
       if (parts.length == 1) Wkb.lineString(parts.head)
       else Wkb.multi(5, parts.map(Wkb.lineString))
     case PolygonS(rings) => Wkb.polygon(rings)
+    case PointZS(x, y, z, m) => m match {
+      case Some(mv) => Wkb.pointIso(Vector(x, y, z, mv), hasZ = true, hasM = true)
+      case None => Wkb.pointIso(Vector(x, y, z), hasZ = true, hasM = false)
+    }
+    case PointMS(x, y, m) => Wkb.pointIso(Vector(x, y, m), hasZ = false, hasM = true)
+    case PolyLineZS(parts) =>
+      val ps = parts.map(_.map(t => Vector(t._1, t._2, t._3)))
+      if (ps.length == 1) Wkb.lineStringIso(ps.head, hasZ = true, hasM = false)
+      else Wkb.multiIso(5, hasZ = true, hasM = false,
+        ps.map(Wkb.lineStringIso(_, hasZ = true, hasM = false)))
+    case PolygonZS(rings) =>
+      Wkb.polygonIso(rings.map(_.map(t => Vector(t._1, t._2, t._3))),
+        hasZ = true, hasM = false)
+    case PolyLineMS(parts) =>
+      val ps = parts.map(_.map(t => Vector(t._1, t._2, t._3)))
+      if (ps.length == 1) Wkb.lineStringIso(ps.head, hasZ = false, hasM = true)
+      else Wkb.multiIso(5, hasZ = false, hasM = true,
+        ps.map(Wkb.lineStringIso(_, hasZ = false, hasM = true)))
   }
 
   // ------------------------------------------------------------- .shp parse
@@ -134,10 +204,24 @@ object Shapefile {
       val cstart = pos + 8
       buf.order(ByteOrder.LITTLE_ENDIAN)
       val tpe = buf.getInt(cstart)
+      val contentEnd = cstart + contentWords * 2
       val wkb: Array[Byte] = tpe match {
         case 0 => null
         case 1 => Wkb.point(buf.getDouble(cstart + 4), buf.getDouble(cstart + 12))
-        case 3 | 5 =>
+        case 11 => // PointZ: x y z [m] — the M block is optional per spec
+          val x = buf.getDouble(cstart + 4); val y = buf.getDouble(cstart + 12)
+          val z = buf.getDouble(cstart + 20)
+          val m = if (contentEnd - cstart >= 36) Some(buf.getDouble(cstart + 28)) else None
+          m.filter(_ > ShpNoData) match {
+            case Some(mv) => Wkb.pointIso(Vector(x, y, z, mv), hasZ = true, hasM = true)
+            case None => Wkb.pointIso(Vector(x, y, z), hasZ = true, hasM = false)
+          }
+        case 21 => // PointM: x y m
+          val x = buf.getDouble(cstart + 4); val y = buf.getDouble(cstart + 12)
+          val m = buf.getDouble(cstart + 20)
+          if (m > ShpNoData) Wkb.pointIso(Vector(x, y, m), hasZ = false, hasM = true)
+          else Wkb.point(x, y) // all-NoData measure: plain 2D
+        case 3 | 5 | 13 | 15 | 23 | 25 =>
           val nParts = buf.getInt(cstart + 36)
           val nPts = buf.getInt(cstart + 40)
           require(nParts > 0 && nPts > 0,
@@ -147,10 +231,32 @@ object Shapefile {
           val pts = (0 until nPts).map(i =>
             (buf.getDouble(ptsStart + 16 * i), buf.getDouble(ptsStart + 16 * i + 8)))
           val bounds = partOff :+ nPts
-          val parts = bounds.sliding(2).map { w => pts.slice(w(0), w(1)) }.toSeq
-          if (tpe == 5) Wkb.polygon(parts)
-          else if (parts.length == 1) Wkb.lineString(parts.head)
-          else Wkb.multi(5, parts.map(Wkb.lineString))
+          // trailing ordinate blocks, each (min, max, values[nPts]): Z
+          // types carry Z then an OPTIONAL M block; M types carry M only
+          val xyEnd = ptsStart + 16 * nPts
+          def block(at: Int): IndexedSeq[Double] =
+            (0 until nPts).map(i => buf.getDouble(at + 16 + 8 * i))
+          val zs: Option[IndexedSeq[Double]] =
+            if (tpe == 13 || tpe == 15) Some(block(xyEnd)) else None
+          val mAt = if (tpe == 13 || tpe == 15) xyEnd + 16 + 8 * nPts else xyEnd
+          val msRaw: Option[IndexedSeq[Double]] =
+            if (tpe == 23 || tpe == 25 ||
+              ((tpe == 13 || tpe == 15) && contentEnd - mAt >= 16 + 8 * nPts))
+              Some(block(mAt))
+            else None
+          // an all-NoData M block carries no information — drop the dim
+          val ms = msRaw.filter(_.exists(_ > ShpNoData))
+          val hasZ = zs.nonEmpty; val hasM = ms.nonEmpty
+          val rows: IndexedSeq[IndexedSeq[Double]] = (0 until nPts).map { i =>
+            val base = Vector(pts(i)._1, pts(i)._2)
+            val withZ = zs.map(z => base :+ z(i)).getOrElse(base)
+            ms.map(m => withZ :+ m(i)).getOrElse(withZ)
+          }
+          val parts = bounds.sliding(2).map { w => rows.slice(w(0), w(1)) }.toSeq
+          if (tpe == 5 || tpe == 15 || tpe == 25) Wkb.polygonIso(parts, hasZ, hasM)
+          else if (parts.length == 1) Wkb.lineStringIso(parts.head, hasZ, hasM)
+          else Wkb.multiIso(5, hasZ, hasM,
+            parts.map(Wkb.lineStringIso(_, hasZ, hasM)))
         case other =>
           throw new IllegalArgumentException(s"shapefile: unsupported shape type $other")
       }

@@ -37,6 +37,52 @@ class ShapefileSpec extends AnyFunSuite {
     assert(Wkb.area(pw) == 16.0 - 1.0, "hole ring subtracts from the area")
   }
 
+  test("Z/M shape types (11/13/15/21/23): ordinates carried into ISO WKB, NoData M dropped") {
+    import Shapefile.{PointZS, PolyLineZS, PolygonZS, PointMS, PolyLineMS}
+    def typeWord(wkb: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    def doublesFrom(wkb: Array[Byte], at: Int, n: Int): Seq[Double] = {
+      val bb = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).map(i => bb.getDouble(at + 8 * i))
+    }
+    // PointZ with and without the optional M block; NoData M drops the dim
+    val zs = Seq(PointZS(1.5, 2.5, 100.25), PointZS(3.0, 4.0, 7.0, Some(42.5)),
+      PointZS(5.0, 6.0, 8.0, Some(-1e40)))
+    val pz = Shapefile.parseShp(Shapefile.writeShp(zs))
+    assert(pz.map(p => typeWord(p._2)) == Seq(1001, 3001, 1001), pz.map(p => typeWord(p._2)))
+    assert(doublesFrom(pz(0)._2, 5, 3) == Seq(1.5, 2.5, 100.25))
+    assert(doublesFrom(pz(1)._2, 5, 4) == Seq(3.0, 4.0, 7.0, 42.5))
+    assert(doublesFrom(pz(2)._2, 5, 3) == Seq(5.0, 6.0, 8.0))
+    assert(Wkb.bbox(pz(1)._2) == Wkb.BBox(3.0, 4.0, 3.0, 4.0), "XY ops skip Z/M dims")
+    // PointM; an all-NoData measure degrades to plain 2D
+    val pm = Shapefile.parseShp(Shapefile.writeShp(
+      Seq(PointMS(1.0, 2.0, 9.75), PointMS(3.0, 4.0, -2e38))))
+    assert(typeWord(pm(0)._2) == 2001 && doublesFrom(pm(0)._2, 5, 3) == Seq(1.0, 2.0, 9.75))
+    assert(typeWord(pm(1)._2) == 1 && doublesFrom(pm(1)._2, 5, 2) == Seq(3.0, 4.0))
+    // PolyLineZ multi-part → ISO MultiLineString Z with per-member Z rows
+    val lz = PolyLineZS(Seq(
+      Seq((0.0, 0.0, 10.0), (1.0, 1.0, 11.0)),
+      Seq((2.0, 2.0, 12.0), (3.0, 3.0, 13.0), (4.0, 4.0, 14.0))))
+    val Seq((_, lw)) = Shapefile.parseShp(Shapefile.writeShp(Seq(lz)))
+    assert(typeWord(lw) == 1005, typeWord(lw))
+    assert(Wkb.bbox(lw) == Wkb.BBox(0.0, 0.0, 4.0, 4.0))
+    // first member LineString Z: outer header(9) + member header(9), then
+    // rows of 3 doubles
+    assert(typeWord(lw.drop(9)) == 1002)
+    assert(doublesFrom(lw, 9 + 9, 6) == Seq(0.0, 0.0, 10.0, 1.0, 1.0, 11.0))
+    // PolygonZ: ring Z ordinates carried, XY area unaffected
+    val gz = PolygonZS(Seq(Seq((0.0, 0.0, 5.0), (4.0, 0.0, 5.0), (4.0, 4.0, 6.0),
+      (0.0, 4.0, 6.0), (0.0, 0.0, 5.0))))
+    val Seq((_, gw)) = Shapefile.parseShp(Shapefile.writeShp(Seq(gz)))
+    assert(typeWord(gw) == 1003 && Wkb.area(gw) == 16.0)
+    assert(doublesFrom(gw, 9 + 4, 3) == Seq(0.0, 0.0, 5.0))
+    // PolyLineM: measures carried as XYM
+    val lm = PolyLineMS(Seq(Seq((0.0, 0.0, 0.1), (2.0, 0.0, 2.1))))
+    val Seq((_, mw)) = Shapefile.parseShp(Shapefile.writeShp(Seq(lm)))
+    assert(typeWord(mw) == 2002, typeWord(mw))
+    assert(doublesFrom(mw, 9, 6) == Seq(0.0, 0.0, 0.1, 2.0, 0.0, 2.1))
+  }
+
   test("writeDbf → parseDbf roundtrips trimmed char attributes; deleted rows skipped") {
     val fields = Seq(("ID", 8), ("NAME", 12))
     val rows = Seq(Seq("7", "munich"), Seq("8", "a b c"), Seq("9", ""))
