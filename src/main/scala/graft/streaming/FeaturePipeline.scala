@@ -320,6 +320,11 @@ object FeaturePipeline {
   }
 
   final case class AsofRow(key: Long, ts_us: Long, is_quote: Boolean, v: Double)
+  /** [[AsofRow]] plus the event-time column [[asofStreamEventTime]]'s
+    * watermark rides on.
+    */
+  final case class AsofRowEt(key: Long, ts_us: Long, is_quote: Boolean,
+      v: Double, ets: java.sql.Timestamp)
   final case class AsofMatch(key: Long, trade_ts_us: Long, trade_v: Double,
       quote_ts_us: Option[Long], quote_v: Option[Double])
 
@@ -395,6 +400,102 @@ object FeaturePipeline {
       trades.select(col("key"), col("ts_us"), lit(false).as("is_quote"), col("v"))
         .unionByName(
           quotes.select(col("key"), col("ts_us"), lit(true).as("is_quote"), col("v"))))
+
+  /** EVENT-TIME as-of join — the watermark-buffered twin of
+    * [[asofStream]] that is EXACT under out-of-order arrival (the
+    * remaining streaming-semantics gap the r16 verdict named): instead
+    * of matching each trade immediately against a latest-quote register,
+    * trades BUFFER in keyed state until the watermark passes their
+    * event time — at which point every quote at-or-before the trade has
+    * either arrived or is provably late — and only then emit against
+    * the true max-(ts, v) quote ≤ trade ts, exactly batch b9's
+    * declarative join.
+    *
+    * Exactness argument: a trade at ts T emits only once watermark ≥ T.
+    * Any quote still in flight has event time > watermark ≥ T (rows at
+    * or below the watermark are dropped as late, the standard
+    * contract), so it cannot be an at-or-before match for T — the
+    * emitted match is final. Under a feed whose disorder is bounded by
+    * the watermark delay (nothing actually dropped), the output is
+    * row-for-row the batch as-of join; with genuinely late data, both
+    * sides drop exactly the late rows.
+    *
+    * State & latency: per key, the pending trades plus the quotes that
+    * can still matter — the latest quote at-or-below the watermark and
+    * every quote above it — so state is bounded by the disorder window,
+    * not history (quotes older than the watermark are dominated and
+    * pruned). Latency is the watermark delay (the price of exactness;
+    * [[asofStream]] is the zero-latency approximation). Pending trades
+    * flush via event-time timeouts when the watermark advances, even if
+    * their key sees no further rows; trades inside the final
+    * still-open watermark window flush only when the watermark moves —
+    * the inherent tail of every watermark operator.
+    *
+    * Granularity note: Spark's watermark and event-time-timeout APIs are
+    * MILLISECOND-granular; `ts_us` rides through exactly, but the seal
+    * boundary quantizes to the ms — with epoch-scale microsecond
+    * timestamps (every real feed) this is invisible, and the emitted
+    * matches are unaffected either way (only emission TIMING quantizes,
+    * never which quote wins).
+    */
+  def asofStreamEventTime(tagged: DataFrame, delay: String): Dataset[AsofMatch] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", delay)
+      // the watermark column must survive into the stateful operator's
+      // input (Spark's event-time-timeout check looks for it there)
+      .select(col("key"), col("ts_us"), col("is_quote"), col("v"), col("ets"))
+      .as[AsofRowEt]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofRowEt],
+            state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var (trades, quotes) = state.getOption.getOrElse(
+            (Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
+          rows.foreach { r =>
+            // at-or-below the watermark = late; dropped on BOTH arms (the
+            // batch twin over an undropped feed never sees such rows)
+            if (r.ts_us > wmUs) {
+              if (r.is_quote) quotes = quotes :+ ((r.ts_us, r.v))
+              else trades = trades :+ ((r.ts_us, r.v))
+            }
+          }
+          // the watermark has sealed every trade at-or-below it: no
+          // earlier-ts quote can still arrive — emit final matches
+          val (ready, pending) = trades.partition(_._1 <= wmUs)
+          val sortedQ = quotes.sortBy(identity)
+          val out = ready.sorted.map { case (tts, tv) =>
+            // (ts, v)-sorted: last quote with ts <= tts is max ts, then
+            // max v — the b9 tie rule
+            val best = sortedQ.takeWhile(_._1 <= tts).lastOption
+            AsofMatch(key, tts, tv, best.map(_._1), best.map(_._2))
+          }
+          // prune: every future trade has ts > wm, so only the LATEST
+          // quote at-or-below wm plus the quotes above it can matter
+          val (dominated, live) = sortedQ.partition(_._1 <= wmUs)
+          val kept = dominated.lastOption.toSeq ++ live
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update((pending, kept))
+            // wake on the next watermark advance so sealed trades flush
+            // without needing new rows on this key
+            if (pending.nonEmpty) state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
+
+  /** [[asofStreamEventTime]] over two separate streams. */
+  def asofStreamEventTime(trades: DataFrame, quotes: DataFrame,
+      delay: String): Dataset[AsofMatch] =
+    asofStreamEventTime(
+      trades.select(col("key"), col("ts_us"), lit(false).as("is_quote"), col("v"))
+        .unionByName(
+          quotes.select(col("key"), col("ts_us"), lit(true).as("is_quote"), col("v"))),
+      delay)
 
   final case class RateObs(key: String, ts_us: Long)
   final case class RateAlert(key: String, bucket_us: Long, cnt: Long,

@@ -388,6 +388,80 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
         s"only-batch=${batchRows.diff(streamRows).take(3)}")
   }
 
+  test("asofStreamEventTime (watermark-buffered) == batch as-of join under " +
+      "OUT-OF-ORDER slices (pin #13 — the exactness the register cannot give)") {
+    import spark.implicits._
+    // tagged feed as in pin #12, plus a per-row JITTERED slicing key:
+    // slices cut on ts + jitter(event_id), so rows land up to 15 s out of
+    // event-time order across batches — bounded disorder the 16 s
+    // watermark delay must absorb with ZERO drops
+    val base = events.select(($"user_id" % 25L).as("key"),
+      unix_micros($"event_ts").as("ts_us"),
+      ($"event_id" % 2L === 0L).as("is_quote"),
+      when($"event_id" % 2L === 0L, $"value")
+        .otherwise($"event_id".cast("double")).as("v"),
+      (unix_micros($"event_ts") + ($"event_id" % 16L) * 1000000L).as("jts"))
+    val (lo, hi) = {
+      val r = base.agg(min($"jts"), max($"jts")).head()
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    val srcDir = tmpDir("sbe_asof_et")
+    val t0 = System.currentTimeMillis() - 600000L
+    def landSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = tmpDir("sbe_asof_et_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    (0 until 3).foreach { i =>
+      landSlice(base.filter($"jts" >= lo + (hi - lo) * i / 3 &&
+          $"jts" < lo + (hi - lo) * (i + 1) / 3)
+        .select($"key", $"ts_us", $"is_quote", $"v"),
+        s"slice$i.parquet", t0 + i * 30000L)
+    }
+    // sentinel quotes on a reserved key drive the watermark past every
+    // real trade (two files: the second's batch runs with the watermark
+    // advanced by the first, firing the flush timeouts)
+    SentinelUs.zipWithIndex.foreach { case (us, i) =>
+      landSlice(Seq((999L, us, true, 0.0)).toDF("key", "ts_us", "is_quote", "v"),
+        s"sentinel$i.parquet", t0 + 200000L + i * 30000L)
+    }
+    val schema = base.select($"key", $"ts_us", $"is_quote", $"v").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = FeaturePipeline.asofStreamEventTime(stream, "16 seconds").toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sbe_asof_et")
+      .option("checkpointLocation", tmpDir("sbe_asof_et_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000L) finally q.stop()
+    val streamRows = spark.table("sbe_asof_et").filter($"key" =!= 999L)
+      .collect().map(_.toString).sorted.toSeq
+    // batch twin: the declarative as-of — per trade, the max-(ts, v)
+    // quote at-or-before it, left-outer for quoteless keys
+    val all = spark.read.schema(schema).parquet(srcDir).filter($"key" =!= 999L)
+    val t = all.filter(!$"is_quote")
+      .select($"key", $"ts_us".as("trade_ts_us"), $"v".as("trade_v"))
+    val qs = all.filter($"is_quote")
+      .select($"key".as("kq"), $"ts_us".as("q_ts"), $"v".as("q_v"))
+    val batchRows = t.join(qs, $"key" === $"kq" && $"q_ts" <= $"trade_ts_us", "left")
+      .groupBy($"key", $"trade_ts_us", $"trade_v")
+      .agg(max(when($"q_ts".isNotNull, struct($"q_ts", $"q_v"))).as("best"))
+      .select($"key", $"trade_ts_us", $"trade_v",
+        $"best.q_ts".as("quote_ts_us"), $"best.q_v".as("quote_v"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batchRows.nonEmpty, "fixture produced no trades")
+    // the pin: EXACT equality under disorder — every trade emitted, every
+    // retro quote matched, nothing dropped
+    assert(streamRows == batchRows,
+      s"${streamRows.length} vs ${batchRows.length}; " +
+        s"only-stream=${streamRows.diff(batchRows).take(3)} " +
+        s"only-batch=${batchRows.diff(streamRows).take(3)}")
+  }
+
   test("asofStream (latest-quote register) == batch declarative as-of join (b9 analog)") {
     // tagged feed from events: even ids = quotes (v = value), odd ids =
     // trades with UNIQUE v (= event_id) so the batch twin's groupBy

@@ -293,6 +293,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally out.stop()
   }
 
+  test("asofStreamEventTime: trades buffer until the watermark seals them — " +
+      "a retro quote arriving out-of-order STILL matches (exact, unlike ingest-time)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Boolean, Double)]
+    val out = FeaturePipeline.asofStreamEventTime(
+        ms.toDF().toDF("key", "ts_us", "is_quote", "v"), "100 milliseconds")
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_et")
+      .option("checkpointLocation", tmpDir("asof_et_ckpt")).start()
+    try {
+      // batch 1: two trades and quotes around them; max ets 200 → the
+      // NEXT batch's watermark is 100, sealing only the ts-60 trade
+      // ts in MICROSECONDS at millisecond scale: Spark's watermark and
+      // event-time-timeout APIs are ms-granular
+      ms.addData((1L, 10000L, true, 1.0), (1L, 60000L, false, 500.0),
+        (1L, 150000L, false, 501.0), (1L, 200000L, true, 9.0))
+      out.processAllAvailable()
+      // batch 2: a RETRO quote at ts 140 (out-of-order but above the
+      // watermark) plus an advancing quote: wm → 300 seals trade 150,
+      // which must match the retro quote — the ingest-time register
+      // provably misses this
+      ms.addData((1L, 140000L, true, 7.0), (1L, 400000L, true, 2.0))
+      out.processAllAvailable()
+      val got = spark.table("asof_et").as[FeaturePipeline.AsofMatch].collect()
+        .map(m => (m.trade_ts_us, m.quote_ts_us, m.quote_v)).toSet
+      assert(got == Set(
+        (60000L, Some(10000L), Some(1.0)),    // sealed at wm=100ms, quote 10ms final
+        (150000L, Some(140000L), Some(7.0))), // retro-matched after the fact
+        got.toString)
+    } finally out.stop()
+  }
+
   test("A9 ops: expireOlderThan drops old rows, removes empty layers, skips untouched ones") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}
