@@ -1185,18 +1185,117 @@ object Wkb {
     * exactly like [[containsPoint]]'s filter-then-refine note.
     */
   def intersectPolygons(aWkb: Array[Byte], bWkb: Array[Byte]): Seq[Array[Byte]] = {
+    val ctx = overlayCtx(aWkb, bWkb, "intersectPolygons")
+    if (ctx.crosses.isEmpty) {
+      if (containsPoint(bWkb, ctx.a(0)._1, ctx.a(0)._2))
+        Seq(polygon(Seq(ctx.a :+ ctx.a.head)))
+      else if (containsPoint(aWkb, ctx.b(0)._1, ctx.b(0)._2))
+        Seq(polygon(Seq(ctx.b :+ ctx.b.head)))
+      else Seq.empty
+    } else
+      overlayWalk(ctx, "intersectPolygons", startEntry = true, bStep = 1)
+        .map(r => polygon(Seq(r :+ r.head)))
+  }
+
+  /** Boolean overlay #2: the exact UNION of two simple polygons' outer
+    * rings — same machinery as [[intersectPolygons]] (shared
+    * [[overlayCtx]]), different walk: pieces start at EXIT crossings and
+    * both boundaries are followed where they lie OUTSIDE the other
+    * polygon. With crossings present the union of two overlapping simple
+    * polygons is one connected region whose boundary cycles are the
+    * single CCW outer ring plus zero or more CW cycles — the HOLES two
+    * interlocking concave shapes enclose (teeth through rows trap empty
+    * cells); the result is one polygon WKB with outer + hole rings (the
+    * hole-CW convention [[area]] consumes). No-crossing arms: containment
+    * collapses to the container, disjoint operands return a
+    * MultiPolygon. Degeneracy contract identical to intersect.
+    */
+  def unionPolygons(aWkb: Array[Byte], bWkb: Array[Byte]): Array[Byte] = {
+    val ctx = overlayCtx(aWkb, bWkb, "unionPolygons")
+    if (ctx.crosses.isEmpty) {
+      if (containsPoint(bWkb, ctx.a(0)._1, ctx.a(0)._2))
+        polygon(Seq(ctx.b :+ ctx.b.head))
+      else if (containsPoint(aWkb, ctx.b(0)._1, ctx.b(0)._2))
+        polygon(Seq(ctx.a :+ ctx.a.head))
+      else multi(6, Seq(polygon(Seq(ctx.a :+ ctx.a.head)),
+        polygon(Seq(ctx.b :+ ctx.b.head))))
+    } else {
+      val rings = overlayWalk(ctx, "unionPolygons", startEntry = false, bStep = 1)
+      val (outer, holes) = rings.partition(r => signed2Of(r) > 0)
+      require(outer.length == 1,
+        s"unionPolygons: ${outer.length} CCW cycles — a crossing union must " +
+          "have exactly one connected outer boundary")
+      polygon((outer.head :+ outer.head.head) +: holes.map(h => h :+ h.head))
+    }
+  }
+
+  /** Boolean overlay #3: the exact DIFFERENCE A \\ B of two simple
+    * polygons' outer rings — the walk starts at EXIT crossings, follows
+    * A where it lies outside B, and follows B BACKWARD where it lies
+    * inside A (the reversed clip orientation keeps the retained region
+    * on the left, so every piece comes out a simple CCW ring). Pieces of
+    * a simple-minus-simple difference never carry holes (that would need
+    * a hole in B) — EXCEPT the no-crossing containment arm, where B
+    * strictly inside A yields A with B (reversed) as its hole. A inside
+    * B is empty; disjoint returns A unchanged. Degeneracy contract
+    * identical to intersect.
+    */
+  def differencePolygons(aWkb: Array[Byte], bWkb: Array[Byte]): Seq[Array[Byte]] = {
+    val ctx = overlayCtx(aWkb, bWkb, "differencePolygons")
+    if (ctx.crosses.isEmpty) {
+      if (containsPoint(bWkb, ctx.a(0)._1, ctx.a(0)._2)) Seq.empty
+      else if (containsPoint(aWkb, ctx.b(0)._1, ctx.b(0)._2)) {
+        val hole = ctx.b.reverse
+        Seq(polygon(Seq(ctx.a :+ ctx.a.head, hole :+ hole.head)))
+      } else Seq(polygon(Seq(ctx.a :+ ctx.a.head)))
+    } else {
+      val rings = overlayWalk(ctx, "differencePolygons", startEntry = false, bStep = -1)
+      rings.foreach(r => require(signed2Of(r) > 0,
+        "differencePolygons: CW cycle in a simple-minus-simple difference"))
+      rings.map(r => polygon(Seq(r :+ r.head)))
+    }
+  }
+
+  /** Boolean overlay #4: symmetric difference = (A \\ B) disjoint-union
+    * (B \\ A) — the two difference walks cover it exactly, and their
+    * pieces are disjoint by construction.
+    */
+  def symDifferencePolygons(aWkb: Array[Byte], bWkb: Array[Byte]): Seq[Array[Byte]] =
+    differencePolygons(aWkb, bWkb) ++ differencePolygons(bWkb, aWkb)
+
+  /** Doubled signed shoelace of an UNCLOSED ring (+ = CCW). */
+  private def signed2Of(r: IndexedSeq[(Double, Double)]): Double =
+    r.indices.map { j =>
+      val v = r(j); val u = r((j + 1) % r.length)
+      v._1 * u._2 - u._1 * v._2
+    }.sum
+
+  /** One overlay crossing on both cycles. */
+  private final case class OverlayCross(x: Double, y: Double, entry: Boolean)
+
+  /** Shared Greiner-Hormann context: both rings CCW-normalized, every
+    * proper pairwise crossing computed once and threaded into BOTH
+    * vertex cycles, entry/exit classified on A with per-vertex parity
+    * re-checks. `crosses` empty = no boundary crossings (callers handle
+    * the containment / disjoint arms).
+    */
+  private final case class OverlayCtx(
+      a: IndexedSeq[(Double, Double)], b: IndexedSeq[(Double, Double)],
+      crosses: IndexedSeq[OverlayCross],
+      subj: IndexedSeq[(Double, Double, Int)],
+      win: IndexedSeq[(Double, Double, Int)],
+      subjPosOf: Array[Int], winPosOf: Array[Int])
+
+  private def overlayCtx(aWkb: Array[Byte], bWkb: Array[Byte],
+      op: String): OverlayCtx = {
     def baseRing(wkb: Array[Byte], name: String): IndexedSeq[(Double, Double)] = {
       val ring0 = areaRingsGrouped(wkb).head.head
       val raw: IndexedSeq[(Double, Double)] =
         if (ring0.length > 1 && ring0(ring0.length - 1) == ring0(0))
           ring0.toIndexedSeq.dropRight(1)
         else ring0.toIndexedSeq
-      require(raw.length >= 3, s"intersectPolygons: $name ring needs >= 3 vertices, got ${raw.length}")
-      val signed2 = raw.indices.map { j =>
-        val v = raw(j); val u = raw((j + 1) % raw.length)
-        v._1 * u._2 - u._1 * v._2
-      }.sum
-      if (signed2 < 0) raw.reverse else raw
+      require(raw.length >= 3, s"$op: $name ring needs >= 3 vertices, got ${raw.length}")
+      if (signed2Of(raw) < 0) raw.reverse else raw
     }
     val a = baseRing(aWkb, "A")
     val b = baseRing(bWkb, "B")
@@ -1229,7 +1328,7 @@ object Wkb {
             val (blo, bhi) = if (rx != 0.0) (math.min(p._1, q._1), math.max(p._1, q._1))
               else (math.min(p._2, q._2), math.max(p._2, q._2))
             require(ahi < blo || bhi < alo,
-              s"intersectPolygons: collinear overlapping edges A#$i / B#$j — " +
+              s"$op: collinear overlapping edges A#$i / B#$j — " +
                 "perturb an operand (shared boundary segments are not supported)")
           }
         } else {
@@ -1240,7 +1339,7 @@ object Wkb {
           else require(
             !((t == 0.0 || t == 1.0) && u >= 0.0 && u <= 1.0) &&
               !((u == 0.0 || u == 1.0) && t >= 0.0 && t <= 1.0),
-            s"intersectPolygons: vertex-on-edge tangency at A#$i / B#$j " +
+            s"$op: vertex-on-edge tangency at A#$i / B#$j " +
               s"(t=$t, u=$u) — perturb an operand")
         }
         j += 1
@@ -1264,18 +1363,16 @@ object Wkb {
         crosses += Cross(cx, cy, i, t, bEdge, u, entry)
       }
       require(curInside == insideB(a((i + 1) % nA)),
-        s"intersectPolygons: inconsistent crossing parity on A edge $i — " +
+        s"$op: inconsistent crossing parity on A edge $i — " +
           "degenerate tangency; perturb an operand")
       i += 1
     }
 
-    if (crosses.isEmpty) {
-      return if (insideB(a(0))) Seq(polygon(Seq(a :+ a.head)))
-      else if (containsPoint(aWkb, b(0)._1, b(0)._2)) Seq(polygon(Seq(b :+ b.head)))
-      else Seq.empty
-    }
+    if (crosses.isEmpty)
+      return OverlayCtx(a, b, IndexedSeq.empty, IndexedSeq.empty,
+        IndexedSeq.empty, Array.empty, Array.empty)
     require(crosses.map(c => (c.x, c.y)).distinct.size == crosses.size,
-      "intersectPolygons: coincident crossing points — perturb an operand")
+      s"$op: coincident crossing points — perturb an operand")
 
     // B cycle: vertices + crossings in (edge, u) order
     val winNodes: IndexedSeq[(Double, Double, Int)] =
@@ -1283,17 +1380,34 @@ object Wkb {
         crosses.zipWithIndex.map { case (c, ci) =>
           ((c.bEdge.toDouble, c.u), (c.x, c.y, ci))
         }).sortBy(_._1).map(_._2)
+    val subjArr = subj.toIndexedSeq
     val subjPosOf = new Array[Int](crosses.length)
-    subj.zipWithIndex.foreach { case ((_, _, ci), pos) => if (ci >= 0) subjPosOf(ci) = pos }
+    subjArr.zipWithIndex.foreach { case ((_, _, ci), pos) => if (ci >= 0) subjPosOf(ci) = pos }
     val winPosOf = new Array[Int](crosses.length)
     winNodes.zipWithIndex.foreach { case ((_, _, ci), pos) => if (ci >= 0) winPosOf(ci) = pos }
+    OverlayCtx(a, b, crosses.map(c => OverlayCross(c.x, c.y, c.entry)).toIndexedSeq,
+      subjArr, winNodes, subjPosOf, winPosOf)
+  }
 
+  /** The generic overlay traversal: pieces start at crossings whose
+    * entry flag equals `startEntry` (intersection: entries; union and
+    * difference: exits); the A cycle always walks forward, the B cycle
+    * walks `bStep` = +1 (intersection/union) or −1 (difference, the
+    * reversed clip). Each A walk must end at a `!startEntry` crossing
+    * and each B walk at a `startEntry` crossing — violated expectations
+    * refuse loudly. Returns UNCLOSED rings.
+    */
+  private def overlayWalk(ctx: OverlayCtx, op: String, startEntry: Boolean,
+      bStep: Int): Seq[IndexedSeq[(Double, Double)]] = {
+    val crosses = ctx.crosses
+    val subj = ctx.subj
+    val winNodes = ctx.win
     val used = new Array[Boolean](crosses.length)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[(Double, Double)]]
     val maxSteps = 4 * (subj.length + winNodes.length) + 8
     var ci = 0
     while (ci < crosses.length) {
-      if (crosses(ci).entry && !used(ci)) {
+      if (crosses(ci).entry == startEntry && !used(ci)) {
         val piece = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
         used(ci) = true
         piece += ((crosses(ci).x, crosses(ci).y))
@@ -1301,40 +1415,40 @@ object Wkb {
         var onSubject = true
         var closed = false
         var steps = 0
-        var pos = subjPosOf(cur)
+        var pos = ctx.subjPosOf(cur)
         while (!closed) {
           steps += 1
           require(steps <= maxSteps,
-            "intersectPolygons: traversal failed to close (degenerate input)")
+            s"$op: traversal failed to close (degenerate input)")
           if (onSubject) {
             pos = (pos + 1) % subj.length
             val (px, py, pc) = subj(pos)
             if (pc >= 0) {
-              require(!crosses(pc).entry,
-                "intersectPolygons: expected an exit crossing on the A walk")
+              require(crosses(pc).entry == !startEntry,
+                s"$op: unexpected crossing type on the A walk")
               piece += ((px, py))
               cur = pc
               onSubject = false
-              pos = winPosOf(cur)
+              pos = ctx.winPosOf(cur)
             } else piece += ((px, py))
           } else {
-            pos = (pos + 1) % winNodes.length
+            pos = (pos + bStep + winNodes.length) % winNodes.length
             val (px, py, pc) = winNodes(pos)
             if (pc >= 0) {
-              require(crosses(pc).entry,
-                "intersectPolygons: expected an entry crossing on the B walk")
+              require(crosses(pc).entry == startEntry,
+                s"$op: unexpected crossing type on the B walk")
               if (pc == ci) closed = true
               else {
                 used(pc) = true
                 piece += ((px, py))
                 cur = pc
                 onSubject = true
-                pos = subjPosOf(cur)
+                pos = ctx.subjPosOf(cur)
               }
             } else piece += ((px, py))
           }
         }
-        out += polygon(Seq(piece.toIndexedSeq :+ piece.head))
+        out += piece.toIndexedSeq
       }
       ci += 1
     }

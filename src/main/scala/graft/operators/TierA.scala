@@ -2104,42 +2104,54 @@ object TierA {
     * containment arms, and the degeneracy refusals are pinned by the
     * WkbSpec planted battery.
     */
+  /** a11ax/a11ay/a11az's subject: vertical-tooth comb; every tooth wall
+    * one edge, spans [cy+8, cy+136] (length 128 = 2⁷, the exactness
+    * anchor).
+    */
+  private def toothCombWkb(cx: Double, cy: Double, ka: Int): Array[Byte] = {
+    val a = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    a += ((cx, cy))
+    a += ((cx + (24 * (ka - 1) + 14), cy))
+    a += ((cx + (24 * (ka - 1) + 14), cy + 8))
+    var i = ka - 1
+    while (i >= 0) {
+      a += ((cx + (24 * i + 14), cy + 136))
+      a += ((cx + 24 * i, cy + 136))
+      a += ((cx + 24 * i, cy + 8))
+      if (i > 0) a += ((cx + (24 * (i - 1) + 14), cy + 8))
+      i -= 1
+    }
+    Wkb.polygon(Seq(a.toIndexedSeq :+ a.head))
+  }
+
+  /** a11ax/a11ay/a11az's clip: horizontal-row comb, spine left of the
+    * subject; rows span [cx-32, cx+160] (length 192), threading between
+    * the teeth's y-range.
+    */
+  private def rowCombWkb(cx: Double, cy: Double, kb: Int): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val bx0 = cx - 40; val bx1 = cx - 32; val ex1 = cx + 160
+    val by1 = cy + (16 + 20 * (kb - 1) + 8)
+    b += ((bx0, cy + 14))
+    b += ((bx1, cy + 14))
+    var j = 0
+    while (j < kb) {
+      val ry = cy + (16 + 20 * j)
+      b += ((bx1, ry))
+      b += ((ex1, ry))
+      b += ((ex1, ry + 6))
+      b += ((bx1, ry + 6))
+      j += 1
+    }
+    b += ((bx1, by1))
+    b += ((bx0, by1))
+    Wkb.polygon(Seq(b.toIndexedSeq :+ b.head))
+  }
+
   private val polyIntersectUdf: UserDefinedFunction = udf {
     (cx: Double, cy: Double, ka: Int, kb: Int) =>
-      // subject: vertical-tooth comb; every tooth wall one edge, spans
-      // [cy+8, cy+136] (length 128)
-      val a = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-      a += ((cx, cy))
-      a += ((cx + (24 * (ka - 1) + 14), cy))
-      a += ((cx + (24 * (ka - 1) + 14), cy + 8))
-      var i = ka - 1
-      while (i >= 0) {
-        a += ((cx + (24 * i + 14), cy + 136))
-        a += ((cx + 24 * i, cy + 136))
-        a += ((cx + 24 * i, cy + 8))
-        if (i > 0) a += ((cx + (24 * (i - 1) + 14), cy + 8))
-        i -= 1
-      }
-      val combA = Wkb.polygon(Seq(a.toIndexedSeq :+ a.head))
-      // clip: horizontal-row comb, spine left of A; rows span
-      // [cx-32, cx+160] (length 192), thread between the teeth's y-range
-      val b = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-      val bx0 = cx - 40; val bx1 = cx - 32; val ex1 = cx + 160
-      val by1 = cy + (16 + 20 * (kb - 1) + 8)
-      b += ((bx0, cy + 14))
-      b += ((bx1, cy + 14))
-      var j = 0
-      while (j < kb) {
-        val ry = cy + (16 + 20 * j)
-        b += ((bx1, ry))
-        b += ((ex1, ry))
-        b += ((ex1, ry + 6))
-        b += ((bx1, ry + 6))
-        j += 1
-      }
-      b += ((bx1, by1))
-      b += ((bx0, by1))
-      val combB = Wkb.polygon(Seq(b.toIndexedSeq :+ b.head))
+      val combA = toothCombWkb(cx, cy, ka)
+      val combB = rowCombWkb(cx, cy, kb)
       val pieces = Wkb.intersectPolygons(combA, combB)
       var nv = 0
       var a2 = 0L
@@ -2205,6 +2217,111 @@ object TierA {
     }
   )
 
+  /** Constructive geometry #6 — the UNION overlay: the same per-event
+    * concave comb pair as a11ax, but [[Wkb.unionPolygons]]: the
+    * interlocking teeth and rows trap EMPTY CELLS, so the union is one
+    * polygon whose ring census is closed-form — 1 outer + (ka−1)·kb
+    * holes between adjacent teeth (one per row band plus the
+    * spine-bounded bottom cell) + (kb−1) holes between the two spines
+    * (one per adjacent-row gap). Area by inclusion–exclusion:
+    * area(A) + area(B) − area(A∩B), every term an exact integer (the
+    * a11ax exactness fixture), so the quantized doubled shoelace the
+    * engine sums per ring equals the closed form exactly.
+    */
+  private val polyUnionUdf: UserDefinedFunction = udf {
+    (cx: Double, cy: Double, ka: Int, kb: Int) =>
+      val u = Wkb.unionPolygons(toothCombWkb(cx, cy, ka), rowCombWkb(cx, cy, kb))
+      val nRings = java.nio.ByteBuffer.wrap(u)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(5)
+      val bb = Wkb.bbox(u)
+      (nRings, math.floor(Wkb.area(u) * 2000000.0).toLong,
+        math.floor(bb.xmin * 1000000.0).toLong,
+        math.floor(bb.ymax * 1000000.0).toLong)
+  }
+  private def a11ayOracle: String =
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx,
+       |    floor(value % 200.0) AS cy,
+       |    3 + CAST(event_id % 3 AS INTEGER) AS ka,
+       |    2 + CAST(user_id % 3 AS INTEGER) AS kb FROM events)
+       |SELECT feature_id,
+       |  CAST(1 + (ka - 1) * kb + (kb - 1) AS INTEGER) AS n_rings,
+       |  CAST(2000000 AS BIGINT) * ((1984 * ka - 80) + (1312 * kb - 80) - 84 * ka * kb) AS area2_e6,
+       |  CAST(floor((cx - 40) * 1000000.0) AS BIGINT) AS minx_e6,
+       |  CAST(floor((cy + 136) * 1000000.0) AS BIGINT) AS maxy_e6
+       |FROM t ORDER BY feature_id""".stripMargin
+  private val a11ay = QuerySpec(
+    "a11ay_poly_union",
+    "Boolean overlay, union: Greiner-Hormann UNION of the a11ax concave comb pair — one connected outer ring plus the closed-form census of holes the interlocking teeth/rows/spines trap ((ka-1)*kb + (kb-1)); doubled-shoelace area by inclusion-exclusion, quantized envelope. Same exact-integer fixture, algorithm-independent oracle.",
+    Some(a11ayOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          floor($"value" % 200.0).cast(DoubleType).as("cy"),
+          (lit(3) + ($"event_id" % 3)).cast(IntegerType).as("ka"),
+          (lit(2) + ($"user_id" % 3)).cast(IntegerType).as("kb"))
+        .select($"feature_id", polyUnionUdf($"cx", $"cy", $"ka", $"kb").as("st"))
+        .select($"feature_id", $"st._1".as("n_rings"), $"st._2".as("area2_e6"),
+          $"st._3".as("minx_e6"), $"st._4".as("maxy_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
+  /** Constructive geometry #7 — the DIFFERENCE overlay: comb minus rows
+    * via [[Wkb.differencePolygons]]. Each tooth is bitten into kb
+    * islands (the segments between/above the row bands) while the bottom
+    * segments stay joined through the spine: ka·kb + 1 pieces, area
+    * area(A) − area(A∩B), all exact integers.
+    */
+  private val polyDiffUdf: UserDefinedFunction = udf {
+    (cx: Double, cy: Double, ka: Int, kb: Int) =>
+      val ps = Wkb.differencePolygons(toothCombWkb(cx, cy, ka), rowCombWkb(cx, cy, kb))
+      var area2 = 0L
+      var mnx = Long.MaxValue
+      var mxy = Long.MinValue
+      ps.foreach { p =>
+        area2 += math.floor(Wkb.area(p) * 2000000.0).toLong
+        val bb = Wkb.bbox(p)
+        val fx = math.floor(bb.xmin * 1000000.0).toLong
+        val fy = math.floor(bb.ymax * 1000000.0).toLong
+        if (fx < mnx) mnx = fx
+        if (fy > mxy) mxy = fy
+      }
+      (ps.length, area2, mnx, mxy)
+  }
+  private def a11azOracle: String =
+    s"""WITH t AS (SELECT CAST(event_id AS VARCHAR) AS feature_id,
+       |    2*CAST(user_id % 100 AS DOUBLE) AS cx,
+       |    floor(value % 200.0) AS cy,
+       |    3 + CAST(event_id % 3 AS INTEGER) AS ka,
+       |    2 + CAST(user_id % 3 AS INTEGER) AS kb FROM events)
+       |SELECT feature_id,
+       |  CAST(ka * kb + 1 AS INTEGER) AS n_pieces,
+       |  CAST(2000000 AS BIGINT) * ((1984 * ka - 80) - 84 * ka * kb) AS area2_e6,
+       |  CAST(floor(cx * 1000000.0) AS BIGINT) AS minx_e6,
+       |  CAST(floor((cy + 136) * 1000000.0) AS BIGINT) AS maxy_e6
+       |FROM t ORDER BY feature_id""".stripMargin
+  private val a11az = QuerySpec(
+    "a11az_poly_diff",
+    "Boolean overlay, difference: comb MINUS rows via the reversed-clip Greiner-Hormann walk — ka*kb disconnected islands (tooth segments between/above the row bands) plus the spine-connected body, closed-form; area(A) - area(A-and-B), quantized envelope. Same exact-integer fixture, algorithm-independent oracle.",
+    Some(a11azOracle),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          floor($"value" % 200.0).cast(DoubleType).as("cy"),
+          (lit(3) + ($"event_id" % 3)).cast(IntegerType).as("ka"),
+          (lit(2) + ($"user_id" % 3)).cast(IntegerType).as("kb"))
+        .select($"feature_id", polyDiffUdf($"cx", $"cy", $"ka", $"kb").as("st"))
+        .select($"feature_id", $"st._1".as("n_pieces"), $"st._2".as("area2_e6"),
+          $"st._3".as("minx_e6"), $"st._4".as("maxy_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a1q, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11ax, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a1q, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11ax, a11ay, a11az, a11x, a11y, a11z)
 }

@@ -566,6 +566,82 @@ class WkbSpec extends AnyFunSuite {
     assert(Wkb.intersectPolygons(square(20.0, 20.0, 21.0, 21.0), comb).isEmpty)
   }
 
+  private def numRings(wkb: Array[Byte]): Int =
+    java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(5)
+  private def wkbTypeWord(wkb: Array[Byte]): Int =
+    java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+
+  test("unionPolygons: interlocking combs — one outer ring, (nA-1)*nB trapped holes, exact area") {
+    val a = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (4.0, 3.0), (4.0, 1.0),
+      (3.0, 1.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val b = ccwRing((-2.0, 1.125), (-1.0, 1.125), (-1.0, 1.25), (6.0, 1.25),
+      (6.0, 1.75), (-1.0, 1.75), (-1.0, 2.25), (6.0, 2.25), (6.0, 2.75),
+      (-1.0, 2.75), (-1.0, 2.875), (-2.0, 2.875))
+    val u = Wkb.unionPolygons(a, b)
+    // area(A)=11, area(B)=1.75+7=8.75, inter=3 → union area 16.75; the
+    // tooth-row lattice traps (3-1)*2 = 4 cells between teeth, plus 1
+    // more between the two spines (between the rows): 5 holes
+    assert(wkbTypeWord(u) == 3 && numRings(u) == 6, s"${wkbTypeWord(u)}/${numRings(u)}")
+    assert(Wkb.area(u) == 16.75, Wkb.area(u).toString)
+    // operand order invariance (region equality via area + ring census)
+    val u2 = Wkb.unionPolygons(b, a)
+    assert(Wkb.area(u2) == 16.75 && numRings(u2) == 6)
+    // no-crossing arms: containment collapses, disjoint goes MULTI
+    val inside = Wkb.unionPolygons(square(0.25, 0.25, 0.75, 0.75), a)
+    assert(Wkb.area(inside) == 11.0 && numRings(inside) == 1)
+    val dis = Wkb.unionPolygons(square(20.0, 20.0, 21.0, 21.0), a)
+    assert(wkbTypeWord(dis) == 6 && Wkb.area(dis) == 12.0)
+  }
+
+  test("differencePolygons: comb minus rows — nA*nB islands plus the connected body, exact area") {
+    val a = ccwRing((0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (4.0, 3.0), (4.0, 1.0),
+      (3.0, 1.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val b = ccwRing((-2.0, 1.125), (-1.0, 1.125), (-1.0, 1.25), (6.0, 1.25),
+      (6.0, 1.75), (-1.0, 1.75), (-1.0, 2.25), (6.0, 2.25), (6.0, 2.75),
+      (-1.0, 2.75), (-1.0, 2.875), (-2.0, 2.875))
+    // A \\ B: each tooth is bitten into 2 islands (between and above the
+    // rows) while the bottom segments stay joined through the spine
+    val d = Wkb.differencePolygons(a, b)
+    assert(d.length == 3 * 2 + 1, s"${d.length} pieces")
+    assert(pieceAreas(d).sum == 11.0 - 3.0, pieceAreas(d).toString)
+    // B \\ A: rows bitten by teeth — 3 islands per row, body keeps the
+    // left stubs through the spine
+    val d2 = Wkb.differencePolygons(b, a)
+    assert(d2.length == 7 && pieceAreas(d2).sum == 8.75 - 3.0, s"${d2.length}")
+    // symmetric difference = both walks, disjoint pieces
+    val sd = Wkb.symDifferencePolygons(a, b)
+    assert(sd.length == 14 && pieceAreas(sd).sum == 8.0 + 5.75)
+    // no-crossing arms
+    val hole = Wkb.differencePolygons(a, square(0.25, 0.25, 0.75, 0.75))
+    assert(hole.length == 1 && numRings(hole.head) == 2 &&
+      Wkb.area(hole.head) == 11.0 - 0.25)
+    assert(Wkb.differencePolygons(square(0.25, 0.25, 0.75, 0.75), a).isEmpty)
+    val disj = Wkb.differencePolygons(a, square(20.0, 20.0, 21.0, 21.0))
+    assert(disj.length == 1 && Wkb.area(disj.head) == 11.0)
+  }
+
+  test("union/difference: non-rectilinear concave operands obey inclusion-exclusion") {
+    val arrow = ccwRing((0.0, 0.0), (6.0, -1.0), (3.0, 1.4), (6.0, 4.0), (0.0, 3.0))
+    val quad = ccwRing((1.0, -2.0), (7.0, 0.5), (5.0, 5.0), (-1.0, 2.5))
+    val inter = pieceAreas(Wkb.intersectPolygons(arrow, quad)).sum
+    val aArea = Wkb.area(arrow); val qArea = Wkb.area(quad)
+    assert(math.abs(Wkb.area(Wkb.unionPolygons(arrow, quad)) -
+      (aArea + qArea - inter)) < 1e-9)
+    assert(math.abs(pieceAreas(Wkb.differencePolygons(arrow, quad)).sum -
+      (aArea - inter)) < 1e-9)
+    assert(math.abs(pieceAreas(Wkb.symDifferencePolygons(arrow, quad)).sum -
+      (aArea + qArea - 2 * inter)) < 1e-9)
+    // every difference piece CCW
+    Wkb.differencePolygons(arrow, quad).foreach { p =>
+      val ring = Wkb.outerRing(p).dropRight(1)
+      val s2 = ring.indices.map { j =>
+        val v = ring(j); val u = ring((j + 1) % ring.length)
+        v._1 * u._2 - u._1 * v._2
+      }.sum
+      assert(s2 > 0, s"difference piece not CCW: $s2")
+    }
+  }
+
   test("intersectPolygons: degeneracies refuse loudly — vertex on edge, shared collinear edge") {
     val sq = square(0.0, 0.0, 4.0, 4.0)
     // B vertex lands exactly on A's bottom edge (u = 1 at t = 0.5)
