@@ -42,5 +42,16 @@ object GeoSql {
     spark.udf.register("geom_set_srid", (b: Array[Byte], srid: Int) => Wkb.setSrid(b, srid))
     spark.udf.register("geom_reproject", (b: Array[Byte], srid: Int) => Wkb.reproject(b, srid))
     spark.udf.register("geom_make_valid", (b: Array[Byte]) => Wkb.makeValid(b)._1)
+    // boolean overlay family (r17): pieces surface as array<binary> so SQL
+    // can explode() them; union is one polygon-with-holes (or MULTI when
+    // disjoint) by construction
+    spark.udf.register("geom_intersection",
+      (a: Array[Byte], b: Array[Byte]) => Wkb.intersectPolygons(a, b).toArray)
+    spark.udf.register("geom_union",
+      (a: Array[Byte], b: Array[Byte]) => Wkb.unionPolygons(a, b))
+    spark.udf.register("geom_difference",
+      (a: Array[Byte], b: Array[Byte]) => Wkb.differencePolygons(a, b).toArray)
+    spark.udf.register("geom_sym_difference",
+      (a: Array[Byte], b: Array[Byte]) => Wkb.symDifferencePolygons(a, b).toArray)
   }
 }

@@ -645,6 +645,21 @@ class SpatialSpec extends AnyFunSuite {
     val fixed = spark.sql(
       "SELECT geom_area(geom_make_valid(wkb)) AS a FROM badgeom").collect().head.getDouble(0)
     assert(fixed == 16.0)
+    // boolean overlay family from SQL: pieces explode as array<binary>
+    val ov = Seq((square(0.0, 0.0, 4.0, 4.0), square(2.0, 1.0, 6.0, 3.0)))
+      .toDF("a", "b").createOrReplaceTempView("ovg")
+    val ovRow = spark.sql("""
+      SELECT geom_area(geom_union(a, b)) AS ua,
+             aggregate(transform(geom_intersection(a, b), p -> geom_area(p)),
+               0.0D, (acc, x) -> acc + x) AS ia,
+             aggregate(transform(geom_difference(a, b), p -> geom_area(p)),
+               0.0D, (acc, x) -> acc + x) AS da,
+             size(geom_sym_difference(a, b)) AS sn
+      FROM ovg""").collect().head
+    assert(ovRow.getDouble(0) == 16.0 + 8.0 - 4.0, ovRow.toString) // union
+    assert(ovRow.getDouble(1) == 4.0 && ovRow.getDouble(2) == 12.0)
+    assert(ovRow.getInt(3) == 2) // A\B and B\A, one piece each
+    spark.catalog.dropTempView("ovg")
     spark.catalog.dropTempView("badgeom")
     spark.catalog.dropTempView("geoms")
   }
