@@ -53,7 +53,20 @@ object ScaleBench {
       var i = 0
       while (i < repeat && err == null) {
         val t0 = System.nanoTime()
-        try { rows = SparkEntry.queries(name)(spark, sfDir).count() }
+        // default action is count() — comparable with Bench and every
+        // prior soak row, but the optimizer PRUNES deterministic
+        // projection columns under it (measured r17: a11ax at sf1 is
+        // 1.8 s counted vs 9.5 s evaluated), so for PROJECTION-ONLY
+        // queries it times scan+plan, not the operator.
+        // SPARK_GRAFT_EVAL=full forces full row evaluation via the
+        // executed plan's RDD — use it when soaking map-side compute.
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          rows =
+            if (sys.env.get("SPARK_GRAFT_EVAL").contains("full"))
+              df.queryExecution.toRdd.count()
+            else df.count()
+        }
         catch { case e: Throwable => err = e }
         finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
         val sec = (System.nanoTime() - t0) / 1e9

@@ -95,9 +95,10 @@ object StreamSoak {
         (graft.ScaleGen.events(spark, n)
           .select(concat(lit("u"), $"user_id").as("key"), $"ts".as("event_ts")),
           "key STRING, event_ts TIMESTAMP")
-      case "asof" =>
+      case "asof" | "asof_et" =>
         // tagged trade/quote mix per key: the latest-quote register is ONE
-        // (ts, v) pair per key — the smallest state of any family
+        // (ts, v) pair per key — the smallest state of any family; the
+        // event-time twin additionally buffers watermark-unsealed trades
         (graft.ScaleGen.events(spark, n)
           .select($"user_id".as("key"), $"ts".as("event_ts"),
             ($"event_id" % 2L === 0L).as("is_quote"), $"value".as("v")),
@@ -159,6 +160,14 @@ object StreamSoak {
         FeaturePipeline.asofStream(
           stream.select($"key", unix_micros($"event_ts").as("ts_us"),
             $"is_quote", $"v")).toDF()
+      case "asof_et" =>
+        // EVENT-TIME as-of: trades buffer until the watermark seals them
+        // (exact under disorder); trades inside the final 30 min window
+        // stay unflushed at termination — the inherent watermark tail, so
+        // sink_rows lands slightly under the trade count by design
+        FeaturePipeline.asofStreamEventTime(
+          stream.select($"key", unix_micros($"event_ts").as("ts_us"),
+            $"is_quote", $"v"), delay = "30 minutes").toDF()
       case _ =>
         // 3-day horizon over 1.5-day batches: state must hold ~2 batches'
         // distinct signatures, never the run's history
