@@ -160,6 +160,28 @@ class GeoPackageSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("flags"), e4.getMessage)
   }
 
+  test("GENUINE SQLite rtree: depth-2 tree written by the real rtree module walks correctly") {
+    // src/test/resources/sample_rtree.gpkg is real SQLite 3 output: 3000
+    // points on a 60x50 grid through CREATE VIRTUAL TABLE ... USING
+    // rtree — the module packs 51 entries/node, so the tree is depth 2
+    // (105 nodes). The engine's any-depth walk must agree with brute
+    // force on the module's OWN packing, not just our writer's.
+    val p = getClass.getResource("/sample_rtree.gpkg")
+    assert(p != null, "sample_rtree.gpkg missing from test resources")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.toURI))
+    val got = GeoPackage.rtreeRowids(bytes, "pts", 10.5, 3.5, 20.5, 7.5).sorted
+    val want = (1L to 3000L).filter { fid =>
+      val x = (fid - 1) % 60; val y = (fid - 1) / 60
+      x >= 11 && x <= 20 && y >= 4 && y <= 7
+    }.sorted
+    assert(got == want && got.nonEmpty, s"got ${got.length}, want ${want.length}")
+    // index-pruned scan over the genuine file == full scan + exact filter
+    val path = java.nio.file.Paths.get(p.toURI).toString
+    val pruned = GeoPackage.readBbox(spark, path, "pts", "fid", 10.5, 3.5, 20.5, 7.5)
+      .select("feature_id").collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(pruned == want, s"readBbox ${pruned.length} vs ${want.length}")
+  }
+
   test("loud failures: non-sqlite bytes, unknown table") {
     intercept[Exception] {
       GeoPackage.featureTables("not a database".getBytes)
