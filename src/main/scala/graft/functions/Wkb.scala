@@ -1289,7 +1289,17 @@ object Wkb {
   private def overlayCtx(aWkb: Array[Byte], bWkb: Array[Byte],
       op: String): OverlayCtx = {
     def baseRing(wkb: Array[Byte], name: String): IndexedSeq[(Double, Double)] = {
-      val ring0 = areaRingsGrouped(wkb).head.head
+      // the walk operates on ONE simple ring per operand, but the
+      // insideness tests ([[containsPoint]]) are even-odd over ALL rings
+      // — a silently-dropped hole or extra member would make the two
+      // disagree and misclassify entry/exit without any require firing.
+      // Refuse loudly instead (decompose multis / subtract holes first).
+      val grouped = areaRingsGrouped(wkb)
+      require(grouped.length == 1 && grouped.head.length == 1,
+        s"$op: $name has ${grouped.length} polygon member(s) with " +
+          s"${grouped.map(_.length).sum} ring(s) — operands must be one " +
+          "simple outer ring (no holes, no multi members)")
+      val ring0 = grouped.head.head
       val raw: IndexedSeq[(Double, Double)] =
         if (ring0.length > 1 && ring0(ring0.length - 1) == ring0(0))
           ring0.toIndexedSeq.dropRight(1)

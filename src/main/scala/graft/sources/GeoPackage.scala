@@ -244,8 +244,21 @@ object GeoPackage {
               "— need little-endian header (flags bit 0) with envelope " +
               "indicator 1 (XY, flags bits 1-3); cannot lift a bbox")
           val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
-          (fid, bb.getDouble(8).toFloat, bb.getDouble(16).toFloat,
-            bb.getDouble(24).toFloat, bb.getDouble(32).toFloat)
+          // DIRECTIONAL f64→f32: SQLite's module rounds mins down and
+          // maxes up (rtreeValueDown/Up) so every f32 cell is a SUPERSET
+          // of the true envelope — plain .toFloat rounds to nearest and
+          // can SHRINK the box, silently dropping true window matches
+          // at the pruned read
+          def down(d: Double): Float = {
+            val f = d.toFloat
+            if (f.toDouble > d) Math.nextDown(f) else f
+          }
+          def up(d: Double): Float = {
+            val f = d.toFloat
+            if (f.toDouble < d) Math.nextUp(f) else f
+          }
+          (fid, down(bb.getDouble(8)), up(bb.getDouble(16)),
+            down(bb.getDouble(24)), up(bb.getDouble(32)))
         }
         // multi-level packed tree (GDAL-scale layers have depth >= 1 —
         // SQLite's module packs ~51 entries/node): leaves hold (rowid,
@@ -420,6 +433,28 @@ object GeoPackage {
   }
 
   /** Walk a table b-tree depth-first, emitting (rowid, record payload). */
+  /** Decode one LEAF table-b-tree cell at absolute offset `cell`:
+    * (rowid, full payload) with the sqlite fileformat2 §B-tree local/
+    * overflow split — the one subtle piece of arithmetic both b-tree
+    * walkers must agree on, so it lives exactly once.
+    */
+  private def leafCell(db: Db, pageNo: Int, cell: Int): (Long, Array[Byte]) = {
+    val (total, n1) = varint(db.bytes, cell)
+    val (rowid, n2) = varint(db.bytes, cell + n1)
+    val maxLocal = db.usable - 35
+    val minLocal = (db.usable - 12) * 32 / 255 - 23
+    val local =
+      if (total <= maxLocal) total.toInt
+      else {
+        val k = minLocal + ((total - minLocal) % (db.usable - 4)).toInt
+        if (k <= maxLocal) k else minLocal
+      }
+    val localBytes = java.util.Arrays.copyOfRange(db.bytes,
+      cell + n1 + n2, cell + n1 + n2 + local)
+    val over = if (total <= maxLocal) 0L else u32(db.bytes, cell + n1 + n2 + local)
+    (rowid, payload(db, pageNo, localBytes, total, over))
+  }
+
   private def tableRows(db: Db, rootPage: Int): Seq[(Long, Array[Byte])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
     def walk(pageNo: Int): Unit = {
@@ -438,23 +473,7 @@ object GeoPackage {
         case 0x0D => // leaf table page
           val ptrs = hdr + 8
           (0 until nCells).foreach { i =>
-            val cell = base.toInt + u16(db.bytes, ptrs + 2 * i)
-            val (total, n1) = varint(db.bytes, cell)
-            val (rowid, n2) = varint(db.bytes, cell + n1)
-            // local-payload split (sqlite fileformat2 §B-tree Pages):
-            // maxLocal = usable - 35; if over, spill to overflow pages
-            val maxLocal = db.usable - 35
-            val minLocal = (db.usable - 12) * 32 / 255 - 23
-            val local =
-              if (total <= maxLocal) total.toInt
-              else {
-                val k = minLocal + ((total - minLocal) % (db.usable - 4)).toInt
-                if (k <= maxLocal) k else minLocal
-              }
-            val localBytes = java.util.Arrays.copyOfRange(db.bytes,
-              cell + n1 + n2, cell + n1 + n2 + local)
-            val over = if (total <= maxLocal) 0L else u32(db.bytes, cell + n1 + n2 + local)
-            out += ((rowid, payload(db, pageNo, localBytes, total, over)))
+            out += leafCell(db, pageNo, base.toInt + u16(db.bytes, ptrs + 2 * i))
           }
         case other =>
           throw new IllegalArgumentException(
@@ -505,22 +524,11 @@ object GeoPackage {
           val ptrs = hdr + 8
           (0 until nCells).foreach { i =>
             val cell = base.toInt + u16(db.bytes, ptrs + 2 * i)
-            val (total, n1) = varint(db.bytes, cell)
-            val (rowid, n2) = varint(db.bytes, cell + n1)
-            if (java.util.Arrays.binarySearch(wanted, rowid) >= 0) {
-              val maxLocal = db.usable - 35
-              val minLocal = (db.usable - 12) * 32 / 255 - 23
-              val local =
-                if (total <= maxLocal) total.toInt
-                else {
-                  val k = minLocal + ((total - minLocal) % (db.usable - 4)).toInt
-                  if (k <= maxLocal) k else minLocal
-                }
-              val localBytes = java.util.Arrays.copyOfRange(db.bytes,
-                cell + n1 + n2, cell + n1 + n2 + local)
-              val over = if (total <= maxLocal) 0L else u32(db.bytes, cell + n1 + n2 + local)
-              out += ((rowid, payload(db, pageNo, localBytes, total, over)))
-            }
+            // peek the rowid (two varints) before paying the payload copy
+            val (_, n1) = varint(db.bytes, cell)
+            val (rowid, _) = varint(db.bytes, cell + n1)
+            if (java.util.Arrays.binarySearch(wanted, rowid) >= 0)
+              out += leafCell(db, pageNo, cell)
           }
         case other =>
           throw new IllegalArgumentException(

@@ -959,11 +959,14 @@ object OsmPbf {
       .select($"relation_id", $"tags", array($"pos").as("path"), $"mid", $"mtype",
         when($"mtype".isNull, lit("parent_empty")).as("err"))
     // frontier: unresolved relation members, with the ancestor id chain
-    // riding along for cycle detection
-    var frontier = m.filter($"mtype" === 2)
+    // riding along for cycle detection. Every persisted level feeds the
+    // RETURNED plan (resolved unions reference each level's expanded
+    // frame), so the persists go through the CacheRegistry ownership
+    // contract — the caller releases after the final action, exactly
+    // like the self-join barriers in TierCSim.
+    var frontier = graft.CacheRegistry.persist(m.filter($"mtype" === 2)
       .select($"relation_id", $"tags", array($"pos").as("path"), $"mid",
-        array($"relation_id").as("chain"))
-      .persist()
+        array($"relation_id").as("chain")))
     var depth = 0
     while (depth < RouteMaxDepth && !frontier.isEmpty) {
       val step = frontier.join(children, frontier("mid") === children("cid"), "left")
@@ -971,7 +974,7 @@ object OsmPbf {
       val cycles = asResolved(
         step.filter($"cid".isNotNull && array_contains($"chain", $"mid")),
         lit("cycle"))
-      val expanded = step
+      val expanded = graft.CacheRegistry.persist(step
         .filter($"cid".isNotNull && !array_contains($"chain", $"mid"))
         .withColumnRenamed("mid", "pmid")
         .select($"relation_id", $"tags", $"path", $"pmid", $"chain",
@@ -983,8 +986,7 @@ object OsmPbf {
           coalesce($"cm.c_mids", $"pmid").as("mid"),
           $"cm.c_mtypes".as("mtype"),
           concat($"chain", array($"pmid")).as("chain"),
-          $"cm".isNull.as("child_empty"))
-        .persist()
+          $"cm".isNull.as("child_empty")))
       resolved = resolved
         .unionByName(missing).unionByName(cycles)
         .unionByName(expanded.filter($"child_empty")
@@ -993,11 +995,8 @@ object OsmPbf {
         .unionByName(expanded.filter(!$"child_empty" && $"mtype" =!= 2)
           .select($"relation_id", $"tags", $"path", $"mid", $"mtype",
             lit(null).cast("string").as("err")))
-      val prev = frontier
       frontier = expanded.filter(!$"child_empty" && $"mtype" === 2)
         .select($"relation_id", $"tags", $"path", $"mid", $"chain")
-        .persist()
-      prev.unpersist()
       depth += 1
     }
     // a frontier surviving the cap: deeper than any real hierarchy —

@@ -239,10 +239,12 @@ object Shapefile {
           val zs: Option[IndexedSeq[Double]] =
             if (tpe == 13 || tpe == 15) Some(block(xyEnd)) else None
           val mAt = if (tpe == 13 || tpe == 15) xyEnd + 16 + 8 * nPts else xyEnd
+          // the M block is OPTIONAL for every measured multipart type
+          // (spec: presence detected from record length) — reading it
+          // unconditionally for 23/25 would overrun into the next record
+          // on wild files that omit it
           val msRaw: Option[IndexedSeq[Double]] =
-            if (tpe == 23 || tpe == 25 ||
-              ((tpe == 13 || tpe == 15) && contentEnd - mAt >= 16 + 8 * nPts))
-              Some(block(mAt))
+            if (tpe > 5 && contentEnd - mAt >= 16 + 8 * nPts) Some(block(mAt))
             else None
           // an all-NoData M block carries no information — drop the dim
           val ms = msRaw.filter(_.exists(_ > ShpNoData))

@@ -424,8 +424,13 @@ object FeaturePipeline {
     * can still matter — the latest quote at-or-below the watermark and
     * every quote above it — so state is bounded by the disorder window,
     * not history (quotes older than the watermark are dominated and
-    * pruned). Latency is the watermark delay (the price of exactness;
-    * [[asofStream]] is the zero-latency approximation). Pending trades
+    * pruned). A key that stops receiving rows keeps re-arming its
+    * timeout only while it still has flushable trades or prunable
+    * quotes; once collapsed it holds exactly ONE dominated register —
+    * the same per-key bound as the ingest-time variant — with no
+    * further wakeups. Latency is the watermark delay (the price of
+    * exactness; [[asofStream]] is the zero-latency approximation).
+    * Pending trades
     * flush via event-time timeouts when the watermark advances, even if
     * their key sees no further rows; trades inside the final
     * still-open watermark window flush only when the watermark moves —
@@ -453,20 +458,24 @@ object FeaturePipeline {
         (key: Long, rows: Iterator[AsofRowEt],
             state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          var (trades, quotes) = state.getOption.getOrElse(
+          val (pTrades, pQuotes) = state.getOption.getOrElse(
             (Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
+          // in-batch accumulation in growable buffers (Seq :+ on the
+          // list-backed state would copy per row — quadratic on hot keys)
+          val trades = scala.collection.mutable.ArrayBuffer.from(pTrades)
+          val quotes = scala.collection.mutable.ArrayBuffer.from(pQuotes)
           rows.foreach { r =>
             // at-or-below the watermark = late; dropped on BOTH arms (the
             // batch twin over an undropped feed never sees such rows)
             if (r.ts_us > wmUs) {
-              if (r.is_quote) quotes = quotes :+ ((r.ts_us, r.v))
-              else trades = trades :+ ((r.ts_us, r.v))
+              if (r.is_quote) quotes += ((r.ts_us, r.v))
+              else trades += ((r.ts_us, r.v))
             }
           }
           // the watermark has sealed every trade at-or-below it: no
           // earlier-ts quote can still arrive — emit final matches
           val (ready, pending) = trades.partition(_._1 <= wmUs)
-          val sortedQ = quotes.sortBy(identity)
+          val sortedQ = quotes.sortBy(identity).toIndexedSeq
           val out = ready.sorted.map { case (tts, tv) =>
             // (ts, v)-sorted: last quote with ts <= tts is max ts, then
             // max v — the b9 tie rule
@@ -479,10 +488,15 @@ object FeaturePipeline {
           val kept = dominated.lastOption.toSeq ++ live
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else {
-            state.update((pending, kept))
-            // wake on the next watermark advance so sealed trades flush
-            // without needing new rows on this key
-            if (pending.nonEmpty) state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+            state.update((pending.toSeq, kept))
+            // wake on the next watermark advance while there is work a
+            // future advance can do WITHOUT new rows on this key: sealed
+            // trades to flush, or still-live quotes to prune down. Once a
+            // dormant key has collapsed to its single dominated register,
+            // no timeout re-arms — it holds exactly the ingest-time
+            // variant's one-register bound, with no per-batch re-fires.
+            if (pending.nonEmpty || kept.length > 1)
+              state.setTimeoutTimestamp(wmUs / 1000L + 1L)
           }
           out.iterator
       }

@@ -659,6 +659,20 @@ class WkbSpec extends AnyFunSuite {
       Wkb.intersectPolygons(aShared, bShared)
     }
     assert(e2.getMessage.contains("collinear"), e2.getMessage)
+    // holed / multi-member operands refuse loudly: the walk runs on one
+    // outer ring but the insideness tests see ALL rings — silently
+    // dropping a hole would misclassify entry/exit with no require firing
+    val holed = Wkb.polygon(Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Seq((4.0, 4.0), (4.0, 6.0), (6.0, 6.0), (6.0, 4.0), (4.0, 4.0))))
+    val e3 = intercept[IllegalArgumentException] {
+      Wkb.intersectPolygons(holed, sq)
+    }
+    assert(e3.getMessage.contains("ring"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Wkb.unionPolygons(sq, Wkb.multi(6, Seq(sq, square(20.0, 20.0, 21.0, 21.0))))
+    }
+    assert(e4.getMessage.contains("member"), e4.getMessage)
   }
 
   // ---------------------------------------------- clipPolygonConvex (a11z)

@@ -160,6 +160,21 @@ class GeoPackageSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("flags"), e4.getMessage)
   }
 
+  test("rtree writer rounds f32 bboxes DIRECTIONALLY — a nearest-rounded-down max never drops a true match") {
+    // 0.7f < 0.7 (nearest rounds DOWN): a plain .toFloat max would store
+    // maxx < 0.7 and a window starting exactly at 0.7 would silently
+    // miss the feature; the module's rtreeValueUp discipline keeps every
+    // f32 cell a superset of the true envelope
+    val rows = Seq((1L, "t", GeoPackage.pointBlob(0.7, 0.1, 4326)),
+      (2L, "t", GeoPackage.pointBlob(0.1, 0.7, 4326)))
+    val indexed = GeoPackage.writeGpkg("events", 4326, rows, rtree = true)
+    assert(GeoPackage.rtreeRowids(indexed, "events", 0.7, 0.0, 1.0, 1.0) == Seq(1L))
+    assert(GeoPackage.rtreeRowids(indexed, "events", 0.0, 0.7, 1.0, 1.0) == Seq(2L))
+    // and the min side: 0.1f > 0.1 (nearest rounds UP) — a window ending
+    // exactly at 0.1 must still see the feature at x = 0.1
+    assert(GeoPackage.rtreeRowids(indexed, "events", 0.0, 0.5, 0.1, 1.0) == Seq(2L))
+  }
+
   test("GENUINE SQLite rtree: depth-2 tree written by the real rtree module walks correctly") {
     // src/test/resources/sample_rtree.gpkg is real SQLite 3 output: 3000
     // points on a 60x50 grid through CREATE VIRTUAL TABLE ... USING

@@ -231,6 +231,12 @@ class OsmPbfSpec extends AnyFunSuite {
     val dparts = graft.functions.Wkb.linePartsPoints(drow.getAs[Array[Byte]]("geom"))
     assert(dparts.map(_.length) == Seq(4, 2) &&
       dparts.head.map(_._1) == Seq(0.0, 1.0, 2.0, 3.0), dparts.toString)
+    // the per-level persists ride the CacheRegistry ownership contract:
+    // after the caller's releaseAll, no route-assembly RDD stays cached
+    graft.CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
     // loud: membership cycle (610 → 611 → 610)
     Files.write(dir.resolve("cycle.osm.pbf"), OsmPbf.writeFull(ns, ws, Seq(
       OsmPbf.Relation(610L, Seq(611L), Seq(""), Seq(2), Map("type" -> "route")),

@@ -83,6 +83,20 @@ class ShapefileSpec extends AnyFunSuite {
     assert(doublesFrom(mw, 9, 6) == Seq(0.0, 0.0, 0.1, 2.0, 0.0, 2.1))
   }
 
+  test("PolyLineM with the spec-optional M block OMITTED parses as plain 2D (no overrun)") {
+    // the M block is optional for measured multipart types: a wild file
+    // can write a type-23 record whose content ends at the XY points.
+    // Craft one by retyping a plain PolyLine record — identical layout.
+    val bytes = Shapefile.writeShp(Seq(PolyLineS(Seq(Seq((0.0, 0.0), (2.0, 1.0))))))
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(32, 23)      // header shape type
+    buf.putInt(100 + 8, 23) // record 1 content type (after 8-byte BE header)
+    val Seq((_, wkb)) = Shapefile.parseShp(bytes)
+    val tw = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    assert(tw == 2, s"expected plain LINESTRING (2), got $tw")
+    assert(Wkb.bbox(wkb) == Wkb.BBox(0.0, 0.0, 2.0, 1.0))
+  }
+
   test("writeDbf → parseDbf roundtrips trimmed char attributes; deleted rows skipped") {
     val fields = Seq(("ID", 8), ("NAME", 12))
     val rows = Seq(Seq("7", "munich"), Seq("8", "a b c"), Seq("9", ""))
