@@ -121,7 +121,7 @@ object Wkb {
   /** Decoded WKB header: base 2D geometry type plus the number of doubles
     * per coordinate (2 for XY, 3 for XYZ/XYM, 4 for XYZM).
     */
-  private final case class Header(base: Int, dims: Int)
+  private final case class Header(base: Int, dims: Int, hasZ: Boolean = false)
 
   // EWKB (PostGIS) type-word flag bits
   private val FlagZ = 0x80000000
@@ -148,7 +148,7 @@ object Wkb {
     val isoM = isoDim == 2 || isoDim == 3
     if ((raw & FlagSrid) != 0) bb.getInt // consume the EWKB SRID word
     val dims = 2 + (if (ewkbZ || isoZ) 1 else 0) + (if (ewkbM || isoM) 1 else 0)
-    Header(flagless % 1000, dims)
+    Header(flagless % 1000, dims, ewkbZ || isoZ)
   }
 
   /** SRID from the top-level EWKB header (the PostGIS extension word), or
@@ -2161,7 +2161,10 @@ object Wkb {
     val h = header(bb)
     def coord(): Unit = {
       sb.append('[').append(fmtNum(bb.getDouble)).append(',').append(fmtNum(bb.getDouble))
+      // GeoJSON's third position element is ALTITUDE: emit Z when the
+      // geometry carries it; M has no GeoJSON slot and is skipped
       var d = 2
+      if (h.hasZ) { sb.append(',').append(fmtNum(bb.getDouble)); d += 1 }
       while (d < h.dims) { bb.getDouble; d += 1 }
       sb.append(']')
     }
@@ -2177,6 +2180,7 @@ object Wkb {
       def mcoord(): Unit = {
         sb.append('[').append(fmtNum(bb.getDouble)).append(',').append(fmtNum(bb.getDouble))
         var d = 2
+        if (mh.hasZ) { sb.append(',').append(fmtNum(bb.getDouble)); d += 1 }
         while (d < mh.dims) { bb.getDouble; d += 1 }
         sb.append(']')
       }

@@ -54,26 +54,56 @@ object GeoJson {
         coords.substring(start, pos).toDouble
       }
     }
-    def pt(v: Any): (Double, Double) = v match {
-      case s: Seq[_] => (s.head.asInstanceOf[Double], s(1).asInstanceOf[Double])
+    // RFC 7946 positions are [lon, lat] or [lon, lat, ALTITUDE]: the
+    // third element is CARRIED into Z-typed (ISO) WKB, not dropped —
+    // every Wkb consumer skips extra dims for XY ops, and [[Wkb
+    // .toGeoJson]] writes the altitude back (lossless roundtrip). A
+    // geometry mixing 2- and 3-element positions, or positions beyond 3
+    // elements ("SHOULD NOT", RFC 7946 §3.1.1), refuses loudly.
+    def pt(v: Any): IndexedSeq[Double] = v match {
+      case s: Seq[_] =>
+        require(s.length == 2 || s.length == 3,
+          s"geojson: position with ${s.length} elements — expected [lon, lat] or [lon, lat, alt]")
+        s.map(_.asInstanceOf[Double]).toIndexedSeq
       case other => throw new IllegalArgumentException(s"geojson: expected position, got $other")
     }
-    def pts(v: Any): Seq[(Double, Double)] =
+    def pts(v: Any): Seq[IndexedSeq[Double]] =
       v.asInstanceOf[Seq[Any]].map(pt)
-    def rings(v: Any): Seq[Seq[(Double, Double)]] =
+    def rings(v: Any): Seq[Seq[IndexedSeq[Double]]] =
       v.asInstanceOf[Seq[Any]].map(pts)
+    def zOf(all: Seq[IndexedSeq[Double]]): Boolean = {
+      val dims = all.map(_.length).distinct
+      require(dims.length == 1,
+        "geojson: geometry mixes 2- and 3-element positions — refusing")
+      dims.head == 3
+    }
 
     val parsed = parseValue()
     geomType match {
-      case "Point" => { val (x, y) = pt(parsed); Wkb.point(x, y) }
-      case "LineString" => Wkb.lineString(pts(parsed))
-      case "Polygon" => Wkb.polygon(rings(parsed))
+      case "Point" =>
+        val p = pt(parsed)
+        Wkb.pointIso(p, hasZ = p.length == 3, hasM = false)
+      case "LineString" =>
+        val ps = pts(parsed)
+        Wkb.lineStringIso(ps, hasZ = zOf(ps), hasM = false)
+      case "Polygon" =>
+        val rs = rings(parsed)
+        Wkb.polygonIso(rs, hasZ = zOf(rs.flatten), hasM = false)
       case "MultiPoint" =>
-        Wkb.multi(4, pts(parsed).map { case (x, y) => Wkb.point(x, y) })
+        val ps = pts(parsed)
+        val z = zOf(ps)
+        Wkb.multiIso(4, z, hasM = false,
+          ps.map(p => Wkb.pointIso(p, hasZ = z, hasM = false)))
       case "MultiLineString" =>
-        Wkb.multi(5, rings(parsed).map(Wkb.lineString))
+        val rs = rings(parsed)
+        val z = zOf(rs.flatten)
+        Wkb.multiIso(5, z, hasM = false,
+          rs.map(Wkb.lineStringIso(_, hasZ = z, hasM = false)))
       case "MultiPolygon" =>
-        Wkb.multi(6, parsed.asInstanceOf[Seq[Any]].map(r => Wkb.polygon(rings(r))))
+        val ms = parsed.asInstanceOf[Seq[Any]].map(rings)
+        val z = zOf(ms.flatten.flatten)
+        Wkb.multiIso(6, z, hasM = false,
+          ms.map(Wkb.polygonIso(_, hasZ = z, hasM = false)))
       case other => throw new IllegalArgumentException(s"geojson: unsupported geometry type $other")
     }
   }

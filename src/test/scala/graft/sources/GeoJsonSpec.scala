@@ -85,6 +85,36 @@ class GeoJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("3-position altitude CARRIES: Z-typed WKB both ways, mixed dims refuse") {
+    def tw(wkb: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    val pz = GeoJson.coordsToWkb("Point", "[1.5, -2.5, 100.25]")
+    assert(tw(pz) == 1001, tw(pz))
+    assert(Wkb.bbox(pz) == Wkb.BBox(1.5, -2.5, 1.5, -2.5), "XY ops skip Z")
+    assert(Wkb.toGeoJson(pz) == """{"type":"Point","coordinates":[1.5,-2.5,100.25]}""")
+    val lz = GeoJson.coordsToWkb("LineString", "[[0,0,5],[1,1,6]]")
+    assert(tw(lz) == 1002 && Wkb.length(lz) == math.sqrt(2.0))
+    // lossless roundtrip through the writer and back
+    for (g <- Seq(pz, lz,
+        GeoJson.coordsToWkb("Polygon", "[[[0,0,1],[4,0,1],[4,4,2],[0,0,1]]]"),
+        GeoJson.coordsToWkb("MultiPoint", "[[1,2,3],[4,5,6]]"),
+        GeoJson.coordsToWkb("MultiLineString", "[[[0,0,1],[1,1,2]]]"))) {
+      val json = Wkb.toGeoJson(g)
+      val gtype = json.split("\"")(3)
+      val coords = json.substring(json.indexOf("\"coordinates\":") + 14, json.length - 1)
+      assert(java.util.Arrays.equals(GeoJson.coordsToWkb(gtype, coords), g), json)
+    }
+    // mixed 2-/3-element positions and 4-element positions refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      GeoJson.coordsToWkb("LineString", "[[0,0,5],[1,1]]")
+    }
+    assert(e1.getMessage.contains("mixes"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GeoJson.coordsToWkb("Point", "[1,2,3,4]")
+    }
+    assert(e2.getMessage.contains("elements"), e2.getMessage)
+  }
+
   test("readSeq is deterministic: two reads of the same file are identical") {
     val dir = Files.createTempDirectory("geojson_det").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/f.jsonl"),
