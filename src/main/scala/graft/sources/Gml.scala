@@ -163,39 +163,81 @@ object Gml {
     s.substring(gt + 1, close)
   }
 
-  /** "x1 y1 x2 y2 ..." (flattened, even token count) → pairs. */
-  private[sources] def parsePosList(s: String): Seq[(Double, Double)] = {
+  /** "x1 y1 [z1] x2 y2 [z2] ..." (flattened) → ordinate rows of `dim`
+    * elements. GML flattens ordinates, so the dimensionality MUST come
+    * from the `srsDimension` attribute (default 2) — an ordinate count
+    * that is not a multiple of it refuses loudly (a 6-token list is
+    * ambiguous between 3×2D and 2×3D without the attribute; guessing
+    * would be silently wrong).
+    */
+  private[sources] def parsePosList(s: String, dim: Int = 2): Seq[IndexedSeq[Double]] = {
     val toks = s.trim.split("\\s+").filter(_.nonEmpty)
-    require(toks.length % 2 == 0,
-      s"gml:posList has odd ordinate count ${toks.length} (srsDimension 2 expected)")
-    toks.grouped(2).map(p => (p(0).toDouble, p(1).toDouble)).toSeq
+    require(toks.length % dim == 0,
+      s"gml:posList has ${toks.length} ordinates — not a multiple of srsDimension $dim")
+    toks.grouped(dim).map(_.map(_.toDouble).toIndexedSeq).toSeq
+  }
+
+  /** `srsDimension` from a pos/posList OPEN TAG (2 when absent; 2 and 3
+    * supported — Z ordinates carry into ISO WKB, the r17 discipline).
+    */
+  private def dimOf(openTag: String): Int = {
+    val d = "srsDimension\\s*=\\s*\"(\\d+)\"".r
+      .findFirstMatchIn(openTag).map(_.group(1).toInt).getOrElse(2)
+    require(d == 2 || d == 3, s"gml: srsDimension $d unsupported (2 or 3)")
+    d
+  }
+
+  /** (open tag, inner text) of the first `tag` element at/after `from`,
+    * or null — [[tagContent]] plus the attributes the caller needs.
+    */
+  private def tagWithAttrs(s: String, tag: String, from: Int = 0): (String, String) = {
+    val open = s.indexOf(s"<$tag", from)
+    if (open < 0) return null
+    val gt = s.indexOf('>', open)
+    if (gt < 0) return null
+    val close = s.indexOf(s"</$tag>", gt)
+    if (close < 0) return null
+    (s.substring(open, gt + 1), s.substring(gt + 1, close))
+  }
+
+  /** Parse the first pos/posList at/after `from` into (rows, hasZ). */
+  private def posRows(s: String, tag: String, from: Int): (Seq[IndexedSeq[Double]], Boolean) = {
+    val oc = tagWithAttrs(s, tag, from)
+    require(oc != null, s"gml: no <$tag> element found")
+    val dim = dimOf(oc._1)
+    (parsePosList(oc._2, dim), dim == 3)
   }
 
   private def parseGeomAt(s: String, tag: String, at: Int): Array[Byte] = tag match {
     case "Point" =>
-      val c = parsePosList(tagContent(s, "pos", at))
-      Wkb.point(c.head._1, c.head._2)
+      val (rows, z) = posRows(s, "pos", at)
+      Wkb.pointIso(rows.head, hasZ = z, hasM = false)
     case "LineString" =>
-      Wkb.lineString(parsePosList(tagContent(s, "posList", at)))
+      val (rows, z) = posRows(s, "posList", at)
+      Wkb.lineStringIso(rows, hasZ = z, hasM = false)
     case "Polygon" =>
       val end = s.indexOf("</Polygon>", at)
       val body = s.substring(at, if (end < 0) s.length else end)
-      val outer = parsePosList(tagContent(tagContent(body, "exterior"), "posList"))
-      val holes = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+      val (outer, zOut) = posRows(tagContent(body, "exterior"), "posList", 0)
+      val holes = scala.collection.mutable.ArrayBuffer.empty[(Seq[IndexedSeq[Double]], Boolean)]
       var from = 0
       var more = true
       while (more) {
         val ib = body.indexOf("<interior>", from)
         if (ib < 0) more = false
         else {
-          holes += parsePosList(tagContent(body, "posList", ib))
+          holes += posRows(body, "posList", ib)
           from = body.indexOf("</interior>", ib) match {
             case -1 => body.length
             case e => e + 1
           }
         }
       }
-      Wkb.polygon(outer +: holes.toSeq)
+      // rings must agree on dimensionality — a 2D hole in a 3D shell has
+      // no defined Z and guessing would be silently wrong
+      require(holes.forall(_._2 == zOut),
+        "gml: polygon rings mix srsDimension 2 and 3 — refusing")
+      Wkb.polygonIso(outer +: holes.toSeq.map(_._1), hasZ = zOut, hasM = false)
     case "MultiGeometry" =>
       val end = s.indexOf("</MultiGeometry>", at)
       val body = s.substring(s.indexOf('>', at) + 1, if (end < 0) s.length else end)

@@ -137,11 +137,32 @@ object Gpx {
     s.substring(open + tag.length + 2, close)
   }
 
-  /** All `<pt lat=".." lon="..">` point elements inside `s` between
-    * `from` and `until`, in document order.
+  /** `<ele>` child of a PAIRED point element (between its open tag end
+    * and its close tag), if present — GPX elevation rides as a child
+    * element, unlike KML's in-tuple altitude.
     */
-  private def scanPoints(s: String, pt: String, from: Int, until: Int): Seq[(Double, Double)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+  private def eleOf(s: String, selfClosing: Boolean, openEnd: Int,
+      pt: String, until: Int): Option[Double] =
+    if (selfClosing) None
+    else {
+      val close = s.indexOf(s"</$pt>", openEnd)
+      val stop = if (close < 0 || close > until) until else close
+      val ea = s.indexOf("<ele>", openEnd)
+      if (ea < 0 || ea >= stop) None
+      else {
+        val ee = s.indexOf("</ele>", ea)
+        if (ee < 0 || ee >= stop) None
+        else Some(s.substring(ea + 5, ee).trim.toDouble)
+      }
+    }
+
+  /** All `<pt lat=".." lon="..">` point elements inside `s` between
+    * `from` and `until`, in document order, each with its optional
+    * `<ele>` elevation.
+    */
+  private def scanPoints(s: String, pt: String, from: Int,
+      until: Int): Seq[(Double, Double, Option[Double])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Option[Double])]
     var i = from
     while (i >= 0 && i < until) {
       val at = s.indexOf(s"<$pt", i)
@@ -150,12 +171,25 @@ object Gpx {
         val gt = s.indexOf('>', at)
         val open = s.substring(at, if (gt < 0) until else gt + 1)
         val la = attr(open, "lat"); val lo = attr(open, "lon")
-        if (la != null && lo != null) out += ((lo.toDouble, la.toDouble))
+        if (la != null && lo != null)
+          out += ((lo.toDouble, la.toDouble,
+            eleOf(s, open.endsWith("/>"), if (gt < 0) until else gt + 1, pt, until)))
         i = if (gt < 0) -1 else gt + 1
       }
     }
     out.toSeq
   }
+
+  /** Elevation-carry policy (deliberately NOT KML's): a chain is Z-typed
+    * only when EVERY point carries `<ele>` — GPX's absent elevation means
+    * UNKNOWN (GPS dropout), and unknown is not 0.0; a mixed chain stays
+    * 2D rather than inventing sea-level fixes.
+    */
+  private def lineOf(pts: Seq[(Double, Double, Option[Double])]): Array[Byte] =
+    if (pts.nonEmpty && pts.forall(_._3.isDefined))
+      Wkb.lineStringIso(pts.map(p => IndexedSeq(p._1, p._2, p._3.get)),
+        hasZ = true, hasM = false)
+    else Wkb.lineString(pts.map(p => (p._1, p._2)))
 
   /** Parse one feature block to WKB: wpt → POINT; rte → LINESTRING;
     * trk → LINESTRING (one trkseg) or MULTILINESTRING (several).
@@ -165,11 +199,17 @@ object Gpx {
       val gt = block.indexOf('>')
       val open = block.substring(0, if (gt < 0) block.length else gt + 1)
       val la = attr(open, "lat"); val lo = attr(open, "lon")
-      if (la == null || lo == null) null else Wkb.point(lo.toDouble, la.toDouble)
+      if (la == null || lo == null) null
+      else eleOf(block, open.endsWith("/>"),
+          if (gt < 0) block.length else gt + 1, "wpt", block.length) match {
+        case Some(z) => Wkb.pointIso(
+          IndexedSeq(lo.toDouble, la.toDouble, z), hasZ = true, hasM = false)
+        case None => Wkb.point(lo.toDouble, la.toDouble)
+      }
     } else if (block.startsWith("<rte")) {
-      Wkb.lineString(scanPoints(block, "rtept", 0, block.length))
+      lineOf(scanPoints(block, "rtept", 0, block.length))
     } else if (block.startsWith("<trk")) {
-      val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+      val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double, Option[Double])]]
       var i = 0
       var more = true
       while (more) {
@@ -186,8 +226,8 @@ object Gpx {
         }
       }
       if (segs.isEmpty) null
-      else if (segs.length == 1) Wkb.lineString(segs.head)
-      else Wkb.multi(5, segs.toSeq.map(Wkb.lineString))
+      else if (segs.length == 1) lineOf(segs.head)
+      else Wkb.multi(5, segs.toSeq.map(lineOf))
     } else null
   }
 

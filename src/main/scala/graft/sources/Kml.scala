@@ -161,12 +161,33 @@ object Kml {
     s.substring(gt + 1, close)
   }
 
-  /** "lon,lat[,alt] lon,lat[,alt] ..." → pairs; alt dropped (2D engine). */
-  private[sources] def parseCoords(s: String): Seq[(Double, Double)] =
-    s.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { tup =>
+  /** "lon,lat[,alt] lon,lat[,alt] ..." → ordinate rows. KML's altitude
+    * is the optional THIRD tuple component with default 0
+    * (clampToGround): when ANY tuple in a coordinates string carries it,
+    * tuples without one take 0.0 and the geometry comes out Z-typed
+    * (ISO WKB, the r17 carry-the-ordinate discipline); an all-2D string
+    * stays plain 2D. Tuples beyond 3 components refuse loudly.
+    */
+  private[sources] def parseCoords(s: String): Seq[IndexedSeq[Double]] = {
+    val raw = s.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { tup =>
       val parts = tup.split(",")
-      (parts(0).toDouble, parts(1).toDouble)
+      require(parts.length == 2 || parts.length == 3,
+        s"kml: coordinate tuple '$tup' has ${parts.length} components — " +
+          "expected lon,lat or lon,lat,alt")
+      parts.map(_.toDouble).toIndexedSeq
     }
+    if (raw.exists(_.length == 3)) raw.map(r => if (r.length == 3) r else r :+ 0.0)
+    else raw
+  }
+
+  /** Pad mixed-Z rings to a uniform dimensionality (a polygon whose
+    * outer ring carries altitude but whose hole does not gets 0.0s, the
+    * KML default).
+    */
+  private def unifyZ(rings: Seq[Seq[IndexedSeq[Double]]]): (Seq[Seq[IndexedSeq[Double]]], Boolean) =
+    if (rings.exists(_.exists(_.length == 3)))
+      (rings.map(_.map(r => if (r.length == 3) r else r :+ 0.0)), true)
+    else (rings, false)
 
   /** Parse the FIRST geometry element in a placemark block to WKB. */
   private[sources] def parseGeometry(block: String): Array[Byte] = {
@@ -181,15 +202,16 @@ object Kml {
   private def parseGeomAt(s: String, tag: String, at: Int): Array[Byte] = tag match {
     case "Point" =>
       val c = parseCoords(tagContent(s, "coordinates", at))
-      Wkb.point(c.head._1, c.head._2)
+      Wkb.pointIso(c.head, hasZ = c.head.length == 3, hasM = false)
     case "LineString" =>
-      Wkb.lineString(parseCoords(tagContent(s, "coordinates", at)))
+      val c = parseCoords(tagContent(s, "coordinates", at))
+      Wkb.lineStringIso(c, hasZ = c.exists(_.length == 3), hasM = false)
     case "Polygon" =>
       val end = s.indexOf("</Polygon>", at)
       val body = s.substring(at, if (end < 0) s.length else end)
       val outerB = tagContent(body, "outerBoundaryIs")
       val outer = parseCoords(tagContent(outerB, "coordinates"))
-      val holes = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+      val holes = scala.collection.mutable.ArrayBuffer.empty[Seq[IndexedSeq[Double]]]
       var from = 0
       var more = true
       while (more) {
@@ -203,7 +225,8 @@ object Kml {
           }
         }
       }
-      Wkb.polygon(outer +: holes.toSeq)
+      val (uni, z) = unifyZ(outer +: holes.toSeq)
+      Wkb.polygonIso(uni, hasZ = z, hasM = false)
     case "MultiGeometry" =>
       val end = s.indexOf("</MultiGeometry>", at)
       val body = s.substring(s.indexOf('>', at) + 1, if (end < 0) s.length else end)

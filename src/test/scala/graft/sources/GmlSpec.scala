@@ -52,7 +52,29 @@ class GmlSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Gml.parsePosList("1.0 2.0 3.0")
     }
-    assert(e.getMessage.contains("odd ordinate count"))
+    assert(e.getMessage.contains("not a multiple of srsDimension"))
+  }
+
+  test("srsDimension=3: Z ordinates carry into ISO WKB; mixed-dimension rings refuse") {
+    def tw(wkb: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    val p = Gml.parseGeometry(
+      """<Point><pos srsDimension="3">1.5 2.5 100.25</pos></Point>""")
+    assert(tw(p) == 1001 && Wkb.bbox(p) == Wkb.BBox(1.5, 2.5, 1.5, 2.5))
+    val l = Gml.parseGeometry(
+      """<LineString><posList srsDimension="3">0 0 5 1 1 6</posList></LineString>""")
+    assert(tw(l) == 1002 && Wkb.length(l) == math.sqrt(2.0))
+    // a 6-token 2D list still parses as 3 points (default dimension)
+    val l2 = Gml.parseGeometry(
+      """<LineString><posList>0 0 1 1 2 2</posList></LineString>""")
+    assert(tw(l2) == 2 && Wkb.length(l2) == 2 * math.sqrt(2.0))
+    // 3D shell with a 2D hole refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Gml.parseGeometry(
+        """<Polygon><exterior><posList srsDimension="3">0 0 1 9 0 1 9 9 1 0 0 1</posList></exterior>""" +
+        """<interior><posList>2 2 3 2 3 3 2 2</posList></interior></Polygon>""")
+    }
+    assert(e.getMessage.contains("mix"), e.getMessage)
   }
 
   test("prefix stripping handles foreign prefixes, attributes survive, entities roundtrip") {

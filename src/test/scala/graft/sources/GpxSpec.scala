@@ -66,6 +66,28 @@ class GpxSpec extends AnyFunSuite {
     assert(Gpx.parseProps(blocks(1)).isEmpty)
   }
 
+  test("elevation carries: all-ele chains are Z WKB, a mixed chain stays 2D (unknown is not 0)") {
+    def tw(wkb: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    val doc =
+      """<?xml version="1.0"?><gpx version="1.1">
+        |<wpt lat="2.5" lon="1.5"><ele>100.25</ele></wpt>
+        |<trk><trkseg><trkpt lat="0" lon="0"><ele>5</ele></trkpt>
+        |<trkpt lat="1" lon="1"><ele>6</ele></trkpt></trkseg></trk>
+        |<trk><trkseg><trkpt lat="0" lon="0"><ele>5</ele></trkpt>
+        |<trkpt lat="1" lon="1"/></trkseg></trk>
+        |</gpx>""".stripMargin
+    val blocks = Gpx.splitFeatures(doc)
+    assert(blocks.length == 3)
+    val pz = Gpx.parseGeometry(blocks(0))
+    assert(tw(pz) == 1001 && Wkb.bbox(pz) == Wkb.BBox(1.5, 2.5, 1.5, 2.5))
+    val tz = Gpx.parseGeometry(blocks(1))
+    assert(tw(tz) == 1002 && Wkb.length(tz) == math.sqrt(2.0))
+    // GPS dropout: one point without <ele> — the chain stays plain 2D
+    // (absent elevation means UNKNOWN, and unknown is not sea level)
+    assert(tw(Gpx.parseGeometry(blocks(2))) == 2)
+  }
+
   test("comments are skipped; entities roundtrip; extensions become props") {
     val doc =
       """<gpx><!-- <wpt lat="0" lon="0"><name>ghost</name></wpt> -->

@@ -50,6 +50,30 @@ class KmlSpec extends AnyFunSuite {
     assert(Wkb.geomType(mw) == "MULTIPOINT")
   }
 
+  test("altitude carries: lon,lat,alt tuples become Z WKB; absent alt in a mixed string = 0 (KML default)") {
+    def tw(wkb: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    val pz = Kml.parseGeometry("<Point><coordinates>1.5,2.5,100.25</coordinates></Point>")
+    assert(tw(pz) == 1001 && Wkb.bbox(pz) == Wkb.BBox(1.5, 2.5, 1.5, 2.5))
+    val lz = Kml.parseGeometry(
+      "<LineString><coordinates>0,0,5 1,1,6</coordinates></LineString>")
+    assert(tw(lz) == 1002 && Wkb.length(lz) == math.sqrt(2.0))
+    // mixed tuples: KML's default altitude is 0 (clampToGround), so the
+    // alt-less tuple pads rather than refusing
+    val lm = Kml.parseGeometry(
+      "<LineString><coordinates>0,0,5 1,1</coordinates></LineString>")
+    assert(tw(lm) == 1002)
+    // an all-2D string stays byte-identical plain WKB
+    val l2 = Kml.parseGeometry(
+      "<LineString><coordinates>0,0 1,1</coordinates></LineString>")
+    assert(tw(l2) == 2)
+    // >3 components refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Kml.parseGeometry("<Point><coordinates>1,2,3,4</coordinates></Point>")
+    }
+    assert(e.getMessage.contains("components"), e.getMessage)
+  }
+
   test("XML entities roundtrip in ids and props; foreign SimpleData/name parse") {
     val doc = Kml.writeKml(Seq(
       ("a&b<c>", Map("K\"1" -> "v'1 & more"), KPoint(1.0, 1.0))))
