@@ -2050,13 +2050,23 @@ object Wkb {
     sb.toString
   }
 
+  /** WKT dimensionality marker for a header: " Z", " M", " ZM", or "". */
+  private def wktMarker(h: Header): String =
+    if (h.dims == 4) " ZM"
+    else if (h.dims == 3 && h.hasZ) " Z"
+    else if (h.dims == 3) " M"
+    else ""
+
   private def writeWkt(bb: ByteBuffer, sb: java.lang.StringBuilder): Unit = {
     val h = header(bb)
-    def coord(): Unit = {
+    // every ordinate the geometry carries is EMITTED (Z and M both have
+    // WKT slots) — the codec is byte-lossless across dims, not XY-only
+    def dimsCoord(dims: Int): Unit = {
       sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
       var d = 2
-      while (d < h.dims) { bb.getDouble; d += 1 }
+      while (d < dims) { sb.append(' ').append(fmtNum(bb.getDouble)); d += 1 }
     }
+    def coord(): Unit = dimsCoord(h.dims)
     def pointList(): Unit = {
       val n = bb.getInt
       sb.append('(')
@@ -2072,32 +2082,31 @@ object Wkb {
         while (i < n) { if (i > 0) sb.append(", "); each(i); i += 1 }
         sb.append(')')
       }
+    val mk = wktMarker(h)
     h.base match {
       case 1 =>
-        sb.append("POINT (")
+        sb.append("POINT").append(mk).append(" (")
         coord()
         sb.append(')')
       case 2 =>
-        sb.append("LINESTRING ")
+        sb.append("LINESTRING").append(mk).append(' ')
         val n = bb.getInt
         if (n == 0) sb.append("EMPTY")
         else { bb.position(bb.position() - 4); pointList() }
       case 3 =>
-        sb.append("POLYGON ")
+        sb.append("POLYGON").append(mk).append(' ')
         body(bb.getInt)(_ => pointList())
       case 4 =>
-        sb.append("MULTIPOINT ")
+        sb.append("MULTIPOINT").append(mk).append(' ')
         body(bb.getInt) { _ =>
           val mh = header(bb)
           require(mh.base == 1, s"wkt: MULTIPOINT member of type ${mh.base}")
           sb.append('(')
-          sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
-          var d = 2
-          while (d < mh.dims) { bb.getDouble; d += 1 }
+          dimsCoord(mh.dims)
           sb.append(')')
         }
       case 5 =>
-        sb.append("MULTILINESTRING ")
+        sb.append("MULTILINESTRING").append(mk).append(' ')
         body(bb.getInt) { _ =>
           val mh = header(bb)
           require(mh.base == 2, s"wkt: MULTILINESTRING member of type ${mh.base}")
@@ -2106,15 +2115,13 @@ object Wkb {
           var i = 0
           while (i < n) {
             if (i > 0) sb.append(", ")
-            sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
-            var d = 2
-            while (d < mh.dims) { bb.getDouble; d += 1 }
+            dimsCoord(mh.dims)
             i += 1
           }
           sb.append(')')
         }
       case 6 =>
-        sb.append("MULTIPOLYGON ")
+        sb.append("MULTIPOLYGON").append(mk).append(' ')
         body(bb.getInt) { _ =>
           val mh = header(bb)
           require(mh.base == 3, s"wkt: MULTIPOLYGON member of type ${mh.base}")
@@ -2128,9 +2135,7 @@ object Wkb {
             var i = 0
             while (i < n) {
               if (i > 0) sb.append(", ")
-              sb.append(fmtNum(bb.getDouble)).append(' ').append(fmtNum(bb.getDouble))
-              var d = 2
-              while (d < mh.dims) { bb.getDouble; d += 1 }
+              dimsCoord(mh.dims)
               i += 1
             }
             sb.append(')')
@@ -2139,7 +2144,7 @@ object Wkb {
           sb.append(')')
         }
       case 7 =>
-        sb.append("GEOMETRYCOLLECTION ")
+        sb.append("GEOMETRYCOLLECTION").append(mk).append(' ')
         body(bb.getInt)(_ => writeWkt(bb, sb))
       case t => throw new IllegalArgumentException(s"wkt: unsupported geometry type $t")
     }
@@ -2252,29 +2257,31 @@ object Wkb {
       if (i == start) fail("a number")
       java.lang.Double.parseDouble(s.substring(start, i))
     }
-    /** x y [z [m]] — extra ordinates beyond XY are dropped. */
-    private def coord(extraDims: Int): (Double, Double) = {
-      val x = number(); val y = number()
-      var d = 0
-      while (d < extraDims) { number(); d += 1 }
-      (x, y)
-    }
-    /** Counts the Z/M marker's extra ordinates; also tolerates them inline
-      * (a coordinate may carry more numbers than the marker promised —
-      * handled by coord consuming exactly what the marker declared, which
-      * is how every mainstream WKT writer emits it).
+    /** x y [z [m]] — the marker's extra ordinates are CARRIED into the
+      * geometry (ISO-typed WKB), not dropped; coord consumes exactly what
+      * the marker declared, which is how every mainstream WKT writer
+      * emits it.
       */
-    private def dimMarker(): Int = {
+    private def coord(mk: (Boolean, Boolean)): IndexedSeq[Double] = {
+      val x = number(); val y = number()
+      val b = scala.collection.mutable.ArrayBuffer(x, y)
+      if (mk._1) b += number()
+      if (mk._2) b += number()
+      b.toIndexedSeq
+    }
+    /** The Z/M dimensionality marker: (hasZ, hasM). */
+    private def dimMarker(): (Boolean, Boolean) = {
       skipWs()
       val save = i
       if (!eof && s.charAt(i).isLetter) {
         ident() match {
-          case "Z" | "M" => 1
-          case "ZM" => 2
-          case "EMPTY" => i = save; 0
+          case "Z" => (true, false)
+          case "M" => (false, true)
+          case "ZM" => (true, true)
+          case "EMPTY" => i = save; (false, false)
           case _ => fail("Z, M, ZM, EMPTY or '('")
         }
-      } else 0
+      } else (false, false)
     }
     private def isEmpty(): Boolean = {
       skipWs()
@@ -2283,78 +2290,83 @@ object Wkb {
         if (ident() == "EMPTY") true else { i = save; false }
       } else false
     }
-    private def pointList(extra: Int): Seq[(Double, Double)] = {
+    private def pointList(mk: (Boolean, Boolean)): Seq[IndexedSeq[Double]] = {
       expect('(')
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-      out += coord(extra)
-      while (peekIs(',')) { expect(','); out += coord(extra) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Double]]
+      out += coord(mk)
+      while (peekIs(',')) { expect(','); out += coord(mk) }
       expect(')')
       out.toSeq
     }
-    private def ringList(extra: Int): Seq[Seq[(Double, Double)]] = {
+    private def ringList(mk: (Boolean, Boolean)): Seq[Seq[IndexedSeq[Double]]] = {
       expect('(')
-      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
-      out += pointList(extra)
-      while (peekIs(',')) { expect(','); out += pointList(extra) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[IndexedSeq[Double]]]
+      out += pointList(mk)
+      while (peekIs(',')) { expect(','); out += pointList(mk) }
       expect(')')
       out.toSeq
     }
     def parseGeom(): Array[Byte] = {
       val name = ident()
-      val extra = dimMarker()
+      val mk = dimMarker()
+      val (z, m) = mk
       name match {
         case "POINT" =>
           if (isEmpty()) fail("coordinates (POINT EMPTY has no WKB form)")
           expect('(')
-          val (x, y) = coord(extra)
+          val row = coord(mk)
           expect(')')
-          point(x, y)
+          pointIso(row, z, m)
         case "LINESTRING" =>
-          if (isEmpty()) lineString(Nil) else lineString(pointList(extra))
+          if (isEmpty()) lineStringIso(Nil, z, m)
+          else lineStringIso(pointList(mk), z, m)
         case "POLYGON" =>
-          if (isEmpty()) polygon(Nil) else polygon(ringList(extra))
+          if (isEmpty()) polygonIso(Nil, z, m)
+          else polygonIso(ringList(mk), z, m)
         case "MULTIPOINT" =>
-          if (isEmpty()) multi(4, Nil)
+          if (isEmpty()) multiIso(4, z, m, Nil)
           else {
             expect('(')
-            val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+            val pts = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Double]]
             def member(): Unit =
-              if (peekIs('(')) { expect('('); pts += coord(extra); expect(')') }
-              else pts += coord(extra)
+              if (peekIs('(')) { expect('('); pts += coord(mk); expect(')') }
+              else pts += coord(mk)
             member()
             while (peekIs(',')) { expect(','); member() }
             expect(')')
-            multi(4, pts.toSeq.map { case (x, y) => point(x, y) })
+            multiIso(4, z, m, pts.toSeq.map(pointIso(_, z, m)))
           }
         case "MULTILINESTRING" =>
-          if (isEmpty()) multi(5, Nil)
+          if (isEmpty()) multiIso(5, z, m, Nil)
           else {
             expect('(')
             val ls = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-            ls += lineString(pointList(extra))
-            while (peekIs(',')) { expect(','); ls += lineString(pointList(extra)) }
+            ls += lineStringIso(pointList(mk), z, m)
+            while (peekIs(',')) { expect(','); ls += lineStringIso(pointList(mk), z, m) }
             expect(')')
-            multi(5, ls.toSeq)
+            multiIso(5, z, m, ls.toSeq)
           }
         case "MULTIPOLYGON" =>
-          if (isEmpty()) multi(6, Nil)
+          if (isEmpty()) multiIso(6, z, m, Nil)
           else {
             expect('(')
             val ps = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-            ps += polygon(ringList(extra))
-            while (peekIs(',')) { expect(','); ps += polygon(ringList(extra)) }
+            ps += polygonIso(ringList(mk), z, m)
+            while (peekIs(',')) { expect(','); ps += polygonIso(ringList(mk), z, m) }
             expect(')')
-            multi(6, ps.toSeq)
+            multiIso(6, z, m, ps.toSeq)
           }
         case "GEOMETRYCOLLECTION" =>
-          if (isEmpty()) multi(7, Nil)
+          // members carry their own type + marker; the collection's own
+          // marker sets only its type word
+          if (isEmpty()) multiIso(7, z, m, Nil)
           else {
             expect('(')
             val gs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
             gs += parseGeom()
             while (peekIs(',')) { expect(','); gs += parseGeom() }
             expect(')')
-            multi(7, gs.toSeq)
+            multiIso(7, z, m, gs.toSeq)
           }
         case t => fail(s"a geometry keyword (got $t)")
       }

@@ -203,9 +203,19 @@ class WkbSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(Wkb.fromWkt(wkt), wkb), wkt)
     same("MULTIPOINT (1 2, 3 4)", Wkb.multi(4, Seq(Wkb.point(1.0, 2.0), Wkb.point(3.0, 4.0))))
     same("  point ( 1   2.5 ) ", Wkb.point(1.0, 2.5))
-    // Z/M markers: extra ordinates parsed and dropped, XY-only policy
-    same("POINT Z (1 2 9)", Wkb.point(1.0, 2.0))
-    same("LINESTRING ZM (0 0 7 8, 1 1 7 8)", Wkb.lineString(Seq((0.0, 0.0), (1.0, 1.0))))
+    // Z/M markers: ordinates CARRIED into ISO-typed WKB (r17 — the
+    // XY-only drop policy is gone across the codec family)
+    same("POINT Z (1 2 9)",
+      Wkb.pointIso(Vector(1.0, 2.0, 9.0), hasZ = true, hasM = false))
+    same("LINESTRING ZM (0 0 7 8, 1 1 7 8)",
+      Wkb.lineStringIso(Seq(Vector(0.0, 0.0, 7.0, 8.0), Vector(1.0, 1.0, 7.0, 8.0)),
+        hasZ = true, hasM = true))
+    // and the write side round-trips them marker-for-marker
+    assert(Wkb.toWkt(Wkb.fromWkt("POINT Z (1 2 9)")) == "POINT Z (1 2 9)")
+    assert(Wkb.toWkt(Wkb.fromWkt("LINESTRING ZM (0 0 7 8, 1 1 7 8)")) ==
+      "LINESTRING ZM (0 0 7 8, 1 1 7 8)")
+    assert(Wkb.toWkt(Wkb.fromWkt("MULTIPOINT M ((1 2 5), (3 4 6))")) ==
+      "MULTIPOINT M ((1 2 5), (3 4 6))")
     same("POLYGON EMPTY", Wkb.polygon(Nil))
     same("GEOMETRYCOLLECTION EMPTY", Wkb.multi(7, Nil))
     // scientific notation and signs
@@ -247,11 +257,12 @@ class WkbSpec extends AnyFunSuite {
     val be = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
     be.put(0.toByte).putInt(1).putDouble(7.0).putDouble(8.0)
     assert(Wkb.toWkt(be.array()) == "POINT (7 8)")
-    // EWKB little-endian point with SRID and Z: flags consumed, Z dropped
+    // EWKB little-endian point with SRID and Z: flags consumed, the Z
+    // ordinate carried with its marker (SRID has no WKT slot)
     val ew = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     ew.put(1.toByte).putInt(1 | 0x80000000 | 0x20000000).putInt(4326)
       .putDouble(1.5).putDouble(2.5).putDouble(99.0)
-    assert(Wkb.toWkt(ew.array()) == "POINT (1.5 2.5)")
+    assert(Wkb.toWkt(ew.array()) == "POINT Z (1.5 2.5 99)")
   }
 
   test("intersects: crossing only through the implicit closing edge of an unclosed ring") {
