@@ -209,11 +209,14 @@ object FlatGeobuf {
   }
 
   /** Geometry table; MultiPolygon nests per-polygon part tables. */
-  private def writeGeometry(b: FbBuilder, g: KGeom): Int = {
+  private def writeGeometry(b: FbBuilder, g: KGeom,
+      z: Seq[Double] = Nil): Int = {
     def flat(pts: Seq[(Double, Double)]): Seq[Double] =
       pts.flatMap { case (x, y) => Seq(x, y) }
     g match {
       case KMulti(ms) if geomType(g) == GMultiPolygon =>
+        require(z.isEmpty,
+          "FlatGeobuf writer: z on MultiPolygon parts not supported in this subset")
         val parts = ms.map(m => writeGeometry(b, m))
         val pv = b.offsetVector(parts)
         val (t, slots) = b.table(Seq(
@@ -233,15 +236,20 @@ object FlatGeobuf {
           case KMulti(ms) => (Nil, ms.flatMap { case KPoint(x, y) => Seq(x, y)
             case other => throw new IllegalStateException(s"unexpected $other") })
         }
+        require(z.isEmpty || z.length * 2 == xy.length,
+          s"FlatGeobuf writer: ${z.length} z ordinates for ${xy.length / 2} vertices")
         val endsPos = if (ends.nonEmpty) Some(b.uintVector(ends)) else None
         val xyPos = b.doubleVector(xy)
+        val zPos = if (z.nonEmpty) Some(b.doubleVector(z)) else None
         val fields = Seq.newBuilder[(Int, TableField)]
         endsPos.foreach(_ => fields += (0 -> OffsetField))
         fields += (1 -> OffsetField)
+        zPos.foreach(_ => fields += (2 -> OffsetField))
         fields += (6 -> inU8(geomType(g)))
         val (t, slots) = b.table(fields.result())
         endsPos.foreach(p => b.patch(slots(0), p))
         b.patch(slots(1), xyPos)
+        zPos.foreach(p => b.patch(slots(2), p))
         t
     }
   }
@@ -350,10 +358,10 @@ object FlatGeobuf {
 
   /** One feature's flatbuffer body (size prefix NOT included). */
   private def serializeFeature(props: Map[String, String], g: KGeom,
-      colIndex: Map[String, Int]): Array[Byte] = {
+      colIndex: Map[String, Int], z: Seq[Double] = Nil): Array[Byte] = {
     val fb = new FbBuilder
     val fRootSlot = fb.offsetSlot()
-    val gPos = writeGeometry(fb, g)
+    val gPos = writeGeometry(fb, g, z)
     val propBytes = {
       val po = new java.io.ByteArrayOutputStream()
       props.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -384,7 +392,10 @@ object FlatGeobuf {
     */
   def writeFgb(layer: String,
       features: Seq[(Map[String, String], KGeom)],
-      indexNodeSize: Int = 0): Array[Byte] = {
+      indexNodeSize: Int = 0,
+      zs: Seq[Seq[Double]] = Nil): Array[Byte] = {
+    require(zs.isEmpty || zs.length == features.length,
+      s"FlatGeobuf writer: ${zs.length} z rows for ${features.length} features")
     require(indexNodeSize == 0 || features.nonEmpty,
       "FlatGeobuf writer: cannot write an index for an empty layer")
     val colNames = features.flatMap(_._1.keys).distinct.sorted
@@ -403,7 +414,8 @@ object FlatGeobuf {
         }
       }
     val featBlobs = order.map(i =>
-      serializeFeature(features(i)._1, features(i)._2, colIndex))
+      serializeFeature(features(i)._1, features(i)._2, colIndex,
+        if (zs.isEmpty) Nil else zs(i)))
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
 
@@ -496,6 +508,23 @@ object FlatGeobuf {
         val n = fb.vecLen(v) / 2
         (0 until n).map(i => (fb.f64(v + 4 + 16 * i), fb.f64(v + 4 + 16 * i + 8)))
     }
+    // the spec's per-vertex z vector (field 2): CARRIED into Z-typed WKB
+    // when present, with a loud length check against the xy vector
+    def zSeq: Seq[Double] = fb.field(g, 2) match {
+      case -1 => Nil
+      case p =>
+        val v = fb.indirect(p)
+        (0 until fb.vecLen(v)).map(i => fb.f64(v + 4 + 8 * i))
+    }
+    def rowsOf(pts: Seq[(Double, Double)]): (Seq[IndexedSeq[Double]], Boolean) = {
+      val z = zSeq
+      if (z.isEmpty) (pts.map(p => IndexedSeq(p._1, p._2)), false)
+      else {
+        require(z.length == pts.length,
+          s"FlatGeobuf: z vector has ${z.length} ordinates for ${pts.length} vertices")
+        (pts.zip(z).map { case ((x, y), zz) => IndexedSeq(x, y, zz) }, true)
+      }
+    }
     def ends: Seq[Int] = fb.field(g, 0) match {
       case -1 => Nil
       case p =>
@@ -507,13 +536,27 @@ object FlatGeobuf {
       cuts.zip(0 +: cuts.dropRight(1)).map { case (e, s) => pts.slice(s, e) }
     }
     tpe match {
-      case GPoint => val (x, y) = xySeq.head; Wkb.point(x, y)
-      case GLine => Wkb.lineString(xySeq)
-      case GPolygon => Wkb.polygon(rings(xySeq))
+      case GPoint =>
+        val (rows, z) = rowsOf(xySeq)
+        Wkb.pointIso(rows.head, hasZ = z, hasM = false)
+      case GLine =>
+        val (rows, z) = rowsOf(xySeq)
+        Wkb.lineStringIso(rows, hasZ = z, hasM = false)
+      case GPolygon =>
+        val (rows, z) = rowsOf(xySeq)
+        val cuts = if (ends.nonEmpty) ends else Seq(rows.length)
+        Wkb.polygonIso(
+          cuts.zip(0 +: cuts.dropRight(1)).map { case (e, st) => rows.slice(st, e) },
+          hasZ = z, hasM = false)
       case GMultiPoint =>
-        Wkb.multi(4, xySeq.map { case (x, y) => Wkb.point(x, y) })
+        val (rows, z) = rowsOf(xySeq)
+        Wkb.multiIso(4, z, hasM = false, rows.map(Wkb.pointIso(_, z, hasM = false)))
       case GMultiLine =>
-        Wkb.multi(5, rings(xySeq).map(Wkb.lineString))
+        val (rows, z) = rowsOf(xySeq)
+        val cuts = if (ends.nonEmpty) ends else Seq(rows.length)
+        Wkb.multiIso(5, z, hasM = false,
+          cuts.zip(0 +: cuts.dropRight(1)).map { case (e, st) =>
+            Wkb.lineStringIso(rows.slice(st, e), hasZ = z, hasM = false) })
       case GMultiPolygon =>
         val pv = fb.field(g, 7) match {
           case -1 => throw new IllegalArgumentException("MultiPolygon without parts")

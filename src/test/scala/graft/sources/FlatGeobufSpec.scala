@@ -49,6 +49,36 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(math.abs(Wkb.area(out(3).geomWkb) - 1.0) < 1e-12) // 0.5 + 0.5
   }
 
+  test("z vector (spec field 2) carries: per-vertex elevations become Z WKB; 2D stays byte-identical") {
+    def tw(wkb: Array[Byte]): Int =
+      java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    val feats = Seq(
+      (Map("fid" -> "pz"), KPoint(1.5, 2.5): Kml.KGeom),
+      (Map("fid" -> "lz"), KLine(Seq((0.0, 0.0), (1.0, 1.0))): Kml.KGeom),
+      (Map("fid" -> "p2"), KPoint(7.0, 8.0): Kml.KGeom))
+    // per-feature z rows: point 1 ordinate, line 2, third feature 2D
+    val (_, out) = FlatGeobuf.parse(FlatGeobuf.writeFgb("g", feats,
+      zs = Seq(Seq(100.25), Seq(5.0, 6.0), Nil)))
+    assert(tw(out(0).geomWkb) == 1001, tw(out(0).geomWkb))
+    assert(Wkb.bbox(out(0).geomWkb) == Wkb.BBox(1.5, 2.5, 1.5, 2.5))
+    assert(tw(out(1).geomWkb) == 1002 && Wkb.length(out(1).geomWkb) == math.sqrt(2.0))
+    assert(tw(out(2).geomWkb) == 1, "2D feature must stay plain")
+    // polygon with a hole: z spans ALL ring vertices through the ends cuts
+    val poly = KPolygon(Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 0.0)),
+      Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 2.0))))
+    val (_, out2) = FlatGeobuf.parse(FlatGeobuf.writeFgb("g",
+      Seq((Map.empty[String, String], poly)),
+      zs = Seq(Seq.fill(8)(3.0))))
+    assert(tw(out2(0).geomWkb) == 1003)
+    assert(Wkb.ringVertexCounts(out2(0).geomWkb) == Seq(4, 4))
+    // mismatched z length refuses loudly at write
+    val e = intercept[IllegalArgumentException] {
+      FlatGeobuf.writeFgb("g", feats.take(1), zs = Seq(Seq(1.0, 2.0)))
+    }
+    assert(e.getMessage.contains("z ordinates"), e.getMessage)
+  }
+
   test("indexed file (packed Hilbert R-tree): sequential parse skips the tree; content equals the unindexed twin") {
     val feats = (0 until 137).map { i =>
       (Map("fid" -> s"f$i"), KPoint(i % 17 * 3.5 - 20.0, i / 17 * 2.25 - 10.0))
