@@ -35,6 +35,7 @@ object GeoSql {
     spark.udf.register("geom_boundary_distance",
       (b: Array[Byte], x: Double, y: Double) => Wkb.boundaryDistance(b, x, y))
     spark.udf.register("geom_length", (b: Array[Byte]) => Wkb.length(b))
+    spark.udf.register("geom_length3d", (b: Array[Byte]) => Wkb.length3d(b))
     spark.udf.register("geom_simplify",
       (b: Array[Byte], eps: Double) => Wkb.simplify(b, eps))
     spark.udf.register("geom_geojson", (b: Array[Byte]) => Wkb.toGeoJson(b))

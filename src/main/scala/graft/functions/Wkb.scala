@@ -1868,6 +1868,52 @@ object Wkb {
     * oracle replaying the same chain gets the bit-identical double (the
     * area/pointDistance replay pattern).
     */
+  /** 3D cartesian length (ST_3DLength): like [[length]] but the Z
+    * ordinate joins each segment's norm — `sqrt(dx² + dy² + dz²)` with
+    * the dz term appended to the same left-associated chain, so the 2D
+    * and 3D results agree exactly on Z-less input (dz = 0 adds nothing).
+    * XYM input uses dz = 0 too (M is a measure, not a coordinate).
+    */
+  def length3d(wkb: Array[Byte]): Double = {
+    val bb = ByteBuffer.wrap(wkb)
+    var total = 0.0
+    def lineBody(dims: Int, hasZ: Boolean): Unit = {
+      val n = bb.getInt
+      var x1 = 0.0; var y1 = 0.0; var z1 = 0.0
+      var i = 0
+      while (i < n) {
+        val x2 = bb.getDouble; val y2 = bb.getDouble
+        val z2 = if (hasZ) bb.getDouble else 0.0
+        var d = if (hasZ) 3 else 2
+        while (d < dims) { bb.getDouble; d += 1 }
+        if (i > 0) {
+          val dx = x2 - x1
+          val dy = y2 - y1
+          val dz = z2 - z1
+          total += math.sqrt(dx * dx + dy * dy + dz * dz)
+        }
+        x1 = x2; y1 = y2; z1 = z2
+        i += 1
+      }
+    }
+    val h = header(bb)
+    h.base match {
+      case 2 => lineBody(h.dims, h.hasZ)
+      case 5 =>
+        val n = bb.getInt
+        var i = 0
+        while (i < n) {
+          val mh = header(bb)
+          require(mh.base == 2, s"wkb: length3d expects LINESTRING member, got ${mh.base}")
+          lineBody(mh.dims, mh.hasZ)
+          i += 1
+        }
+      case t => throw new IllegalArgumentException(
+        s"wkb: length3d expects LINESTRING or MULTILINESTRING, got type $t")
+    }
+    total
+  }
+
   def length(wkb: Array[Byte]): Double = {
     val bb = ByteBuffer.wrap(wkb)
     var total = 0.0

@@ -2322,6 +2322,43 @@ object TierA {
     }
   )
 
+  /** The Z family's driver-gated query (r17 carried the third ordinate
+    * across every A1 format; this pins the 3D MEASURE the ordinate
+    * exists for): a per-event XYZ polyline built through the ISO WKB
+    * writers and measured by [[Wkb.length3d]] (ST_3DLength). Segments
+    * are (3, 4, z1) and (5, 12, z2) with integer z from event fields, so
+    * every squared term is exact and both engines' correctly-rounded
+    * sqrt/sum chains agree bit-for-bit (the a11i distance discipline).
+    */
+  private val len3dUdf: UserDefinedFunction = udf {
+    (cx: Double, cy: Double, z1: Double, z2: Double) =>
+      val line = Wkb.lineStringIso(Seq(
+        IndexedSeq(cx, cy, 0.0),
+        IndexedSeq(cx + 3, cy + 4, z1),
+        IndexedSeq(cx + 8, cy + 16, z1 + z2)), hasZ = true, hasM = false)
+      math.floor(Wkb.length3d(line) * 1000000.0).toLong
+  }
+  private val a11ba = QuerySpec(
+    "a11ba_3d_length",
+    "3D cartesian length (ST_3DLength): per-event XYZ polyline through the ISO Z-WKB writers, segments (3,4,z1) and (5,12,z2) with integer z — exact squared terms, correctly-rounded sqrt both engines, quantized sum; the driver-gated pin for the r17 carry-the-ordinate family.",
+    Some("""SELECT CAST(event_id AS VARCHAR) AS feature_id,
+           CAST(floor((sqrt(25.0 + z1*z1) + sqrt(169.0 + z2*z2)) * 1000000.0) AS BIGINT) AS len3d_e6
+           FROM (SELECT event_id, CAST(event_id % 50 AS DOUBLE) AS z1,
+                 CAST(user_id % 30 AS DOUBLE) AS z2 FROM events)
+           ORDER BY feature_id"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id".cast(StringType).as("feature_id"),
+          (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("cx"),
+          floor($"value" % 200.0).cast(DoubleType).as("cy"),
+          ($"event_id" % 50).cast(DoubleType).as("z1"),
+          ($"user_id" % 30).cast(DoubleType).as("z2"))
+        .select($"feature_id", len3dUdf($"cx", $"cy", $"z1", $"z2").as("len3d_e6"))
+        .orderBy($"feature_id")
+    }
+  )
+
   val specs: Seq[QuerySpec] =
-    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a1q, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11ax, a11ay, a11az, a11x, a11y, a11z)
+    Seq(a1, a1b, a1c, a1d, a1e, a1f, a1f2, a1f3, a1g, a1h, a1i, a1j, a1k, a1l, a1m, a1n, a1o, a1p, a1q, a6, a7, a11, a11b, a11c, a11e, a11g, a11h, a11i, a11k, a11l, a11ac, a11p, a11xx, a11ax, a11ay, a11az, a11ba, a11x, a11y, a11z)
 }

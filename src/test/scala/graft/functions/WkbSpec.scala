@@ -237,6 +237,23 @@ class WkbSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Wkb.length(Wkb.point(0.0, 0.0)))
   }
 
+  test("length3d: Z joins the norm; 2D and XYM inputs match plain length exactly") {
+    val lz = Wkb.lineStringIso(Seq(Vector(0.0, 0.0, 0.0), Vector(3.0, 4.0, 12.0)),
+      hasZ = true, hasM = false)
+    assert(Wkb.length3d(lz) == 13.0) // 3-4-12-13 quadruple
+    val l2 = Wkb.lineString(Seq((0.0, 0.0), (3.0, 4.0)))
+    assert(Wkb.length3d(l2) == 5.0 && Wkb.length3d(l2) == Wkb.length(l2))
+    // XYM: the measure is NOT a coordinate — 3D length ignores it
+    val lm = Wkb.lineStringIso(Seq(Vector(0.0, 0.0, 99.0), Vector(3.0, 4.0, 7.0)),
+      hasZ = false, hasM = true)
+    assert(Wkb.length3d(lm) == 5.0)
+    // multilinestring sums members, mixed dims per member
+    assert(Wkb.length3d(Wkb.multiIso(5, hasZ = true, hasM = false,
+      Seq(lz, Wkb.lineStringIso(Seq(Vector(0.0, 0.0, 0.0), Vector(0.0, 0.0, 2.0)),
+        hasZ = true, hasM = false)))) == 15.0)
+    intercept[IllegalArgumentException](Wkb.length3d(Wkb.point(0.0, 0.0)))
+  }
+
   test("simplify: collinear vertices dropped, genuine corners kept, endpoints survive") {
     val line = Wkb.lineString(Seq(
       (0.0, 0.0), (1.0, 0.001), (2.0, -0.001), (3.0, 0.0), // ~collinear run
