@@ -65,9 +65,13 @@ object Bench {
       // the sf dir: it pre-reads only the events table to write a
       // DIFFERENT-format file — the timed work being measured is the
       // byte-level .shp/.gpkg parse, which no warmup touches.)
+      // r17: widened from shp+gpkg to EVERY fixture format — the driver
+      // regenerates testdata each round, so at round start all 17 fixtures
+      // are stale and each format's first timed query used to eat its
+      // one-time collect+write (0.3-1.3 s each; see OPTIMIZATION_r17.md,
+      // measurement fix per guide §1.4).
       locally {
-        graft.operators.TierA.shpFixture(spark, sfDir)
-        graft.operators.TierA.gpkgFixture(spark, sfDir)
+        graft.operators.TierA.allFixtures(spark, sfDir)
       }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
     // Failed queries report -1.0 (never a silently-timed crash) so the

@@ -62,8 +62,7 @@ object Profile {
     // same machinery warmup the bench does, so the cold pass is comparable
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      graft.operators.TierA.shpFixture(spark, sfDir)
-      graft.operators.TierA.gpkgFixture(spark, sfDir)
+      graft.operators.TierA.allFixtures(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[profile] warmup: ${e.getMessage}") }
 
     names.foreach { name =>

@@ -1841,8 +1841,46 @@ object Wkb {
     * nearest edge — combine with [[containsPoint]] when "0 inside" is the
     * wanted semantics (see `operators.Spatial.nearestPolygonWithinR`).
     */
-  def boundaryDistance(wkb: Array[Byte], px: Double, py: Double): Double = {
-    val rings = areaRings(wkb)
+  def boundaryDistance(wkb: Array[Byte], px: Double, py: Double): Double =
+    boundaryDistanceRings(areaRings(wkb), px, py)
+
+  /** Decoded-ring forms of [[containsPoint]] / [[boundaryDistance]] for
+    * callers probing MANY points against ONE geometry: decode once with
+    * [[decodeAreaRings]], probe per point over the vertex arrays with the
+    * IDENTICAL IEEE edge chains (same doubles in, same comparisons, same
+    * edge set — rings come back closure-normalized), so results are
+    * bit-for-bit the per-call decode's. Motivation (optimization guide
+    * §1.2 step 2, per-task work): a grid-probe query like a11ai issues
+    * ~56 probes per geometry; re-parsing the WKB byte array inside every
+    * probe dominated the stage.
+    */
+  def decodeAreaRings(wkb: Array[Byte]): Seq[Array[(Double, Double)]] = areaRings(wkb)
+
+  /** Even-odd ray cast over decoded rings — [[containsPoint]]'s exact
+    * edge test (`(y1 > py) != (y2 > py)` then the division chain) walked
+    * over the closed vertex loops; parity is order-free, so the result
+    * matches the streaming walk bit-for-bit.
+    */
+  def containsPointRings(rings: Seq[Array[(Double, Double)]], px: Double, py: Double): Boolean = {
+    var inside = false
+    var i = 0
+    while (i < rings.length) {
+      val r = rings(i)
+      var p = 0
+      while (p < r.length - 1) {
+        val x1 = r(p)._1; val y1 = r(p)._2
+        val x2 = r(p + 1)._1; val y2 = r(p + 1)._2
+        if (((y1 > py) != (y2 > py)) &&
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1) inside = !inside
+        p += 1
+      }
+      i += 1
+    }
+    inside
+  }
+
+  def boundaryDistanceRings(rings: Seq[Array[(Double, Double)]],
+      px: Double, py: Double): Double = {
     var best = Double.PositiveInfinity
     var i = 0
     while (i < rings.length) {

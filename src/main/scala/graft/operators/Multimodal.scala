@@ -127,7 +127,10 @@ object Multimodal {
     */
   def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.documents(s, d)
+    // Par.spread: every consumer decodes payload bytes in mapPartitions,
+    // and the single-row-group scan is one task (guide §2.5) — spread so
+    // the per-partition codecs use every core.
+    graft.Par.spread(Tables.documents(s, d))
       .select($"doc_id".as("media_id"), lit("text/plain").as("kind"),
         encode($"text", "UTF-8").as("payload"))
       .as[MediaRecord]

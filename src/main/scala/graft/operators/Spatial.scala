@@ -1726,8 +1726,37 @@ object Spatial {
         (ox, oy), (ox + 40.0, oy), (ox + 40.0, oy + 20.0), (ox + 20.0, oy + 20.0),
         (ox + 20.0, oy + 40.0), (ox, oy + 40.0), (ox, oy))))
     }
-    val memberUdf: UserDefinedFunction = udf { (wkb: Array[Byte], px: Double, py: Double) =>
-      Wkb.containsPoint(wkb, px, py) || Wkb.boundaryDistance(wkb, px, py) <= BufConcaveR
+    // Decode-once cell probe (optimization guide §1.2 step 2): the r16
+    // shape exploded cells FIRST and ran a (wkb, px, py) member UDF per
+    // cell — ~56 probes per event each re-parsing the polygon's WKB bytes
+    // (5.6M parses at sf0.1, measured 3.2 s on the ONE task the
+    // single-row-group scan yields). This UDF decodes the rings once per
+    // EVENT and loops the same cell grid in place with the identical IEEE
+    // probe chains (containsPointRings/boundaryDistanceRings are
+    // bit-for-bit the streaming walks), emitting the surviving (i, j)
+    // pairs directly — same cells, ~56× fewer decodes, and the explode
+    // shrinks to survivors only. Measured 3.2 s → 0.3 s with Par.spread.
+    val cellsUdf: UserDefinedFunction = udf { (wkb: Array[Byte], ox: Double, oy: Double) =>
+      val rings = Wkb.decodeAreaRings(wkb)
+      val i0 = math.floor((ox - BufConcaveR) / 8.0).toLong
+      val i1 = math.floor((ox + 40.0 + BufConcaveR) / 8.0).toLong
+      val j0 = math.floor((oy - BufConcaveR) / 8.0).toLong
+      val j1 = math.floor((oy + 40.0 + BufConcaveR) / 8.0).toLong
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = i0
+      while (i <= i1) {
+        val px = (i.toDouble + 0.5) * 8.0
+        var j = j0
+        while (j <= j1) {
+          val py = (j.toDouble + 0.5) * 8.0
+          if (Wkb.containsPointRings(rings, px, py) ||
+              Wkb.boundaryDistanceRings(rings, px, py) <= BufConcaveR)
+            out += ((i, j))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
     }
     def seg(x1: String, y1: String, x2: String, y2: String): String = {
       val dx = s"($x2 - $x1)"
@@ -1771,20 +1800,13 @@ object Spatial {
              |FROM inc GROUP BY gid ORDER BY gid""".stripMargin),
       (s, d) => {
         import s.implicits._
-        Tables.events(s, d)
-          .select(($"user_id" % 25).as("gid"),
-            (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("ox"),
-            ($"value" % 200.0).as("oy"))
+        graft.Par.spread(Tables.events(s, d)
+            .select(($"user_id" % 25).as("gid"),
+              (lit(2.0) * ($"user_id" % 100).cast(DoubleType)).as("ox"),
+              ($"value" % 200.0).as("oy")))
           .withColumn("wkb", lShapeUdf($"ox", $"oy"))
-          .withColumn("i", explode(sequence(
-            floor(($"ox" - r) / 8.0).cast(LongType),
-            floor(($"ox" + 40.0 + r) / 8.0).cast(LongType))))
-          .withColumn("j", explode(sequence(
-            floor(($"oy" - r) / 8.0).cast(LongType),
-            floor(($"oy" + 40.0 + r) / 8.0).cast(LongType))))
-          .filter(memberUdf($"wkb",
-            ($"i".cast(DoubleType) + 0.5) * 8.0,
-            ($"j".cast(DoubleType) + 0.5) * 8.0))
+          .select($"gid", explode(cellsUdf($"wkb", $"ox", $"oy")).as("c"))
+          .select($"gid", $"c._1".as("i"), $"c._2".as("j"))
           .select($"gid", $"i", $"j",
             (($"i" + 1000) * 100000 + ($"j" + 1000)).as("cell"))
           .groupBy($"gid")

@@ -112,6 +112,31 @@ object TierA {
           "correctness at verify scale — point it at a smaller sf dir")
   }
 
+  /** Build EVERY disk fixture the registry's scan queries read
+    * (idempotent — each builder keys on the source data's mtime and skips
+    * when fresh). Bench/Profile call this in the UNTIMED warmup so no
+    * timed query pays a fixture's one-time driver-side collect+write
+    * (measured 0.3-1.3 s per format; the driver regenerates the testdata
+    * dir each round, so at round start every fixture is stale and the
+    * first consuming query of each format used to eat its rebuild). This
+    * is the r13 shp/gpkg warmup rationale applied to the whole family:
+    * the timed work is the byte-level parse, which this never touches.
+    */
+  private[graft] def allFixtures(s: SparkSession, d: String): Unit =
+    Seq[(String, (SparkSession, String) => String)](
+      ("shp", shpFixture), ("gpkg", gpkgFixture), ("gpkgidx", gpkgIndexedFixture),
+      ("kml", kmlFixture), ("gml", gmlFixture), ("fgb", fgbFixture),
+      ("fgbidx", fgbIndexedFixture), ("gpx", gpxFixture), ("wktcsv", wktCsvFixture),
+      ("geoparquet", geoParquetFixture), ("geoparquet_ranged", geoParquetRangedFixture),
+      ("osm", osmPbfFixture), ("osm_ways", osmWaysFixture),
+      ("osm_relations", osmRelationsFixture), ("osm_stitched", osmStitchedFixture),
+      ("osm_routes", osmRoutesFixture), ("osm_boundary", osmBoundaryFixture)
+    ).foreach { case (name, build) =>
+      try build(s, d)
+      catch { case e: Throwable =>
+        System.err.println(s"[fixtures] $name: ${e.getMessage}") }
+    }
+
   private[graft] def shpFixture(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -1939,9 +1939,17 @@ object TierB {
       val cutoff = ts("1997-06-15 00:00:00")
       val li = graft.CacheRegistry.persist(Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_suppkey", $"l_shipdate"))
-      val prof = li.groupBy($"l_orderkey".as("p_orderkey"))
-        .agg(countDistinct($"l_suppkey").as("n_supp"),
-          countDistinct(when($"l_shipdate" > cutoff, $"l_suppkey")).as("n_late_supp"))
+      // Two-level aggregate instead of a double countDistinct: the
+      // countDistinct pair planned an Expand that doubled every lineitem
+      // row before the shuffle (guide §2.3 — shuffle fewer bytes). Level 1
+      // collapses to (order, supplier) grain map-side with an any-late
+      // flag; level 2 counts suppliers and late suppliers per order —
+      // identical values (countDistinct(supp) = pair-grain row count;
+      // countDistinct(when(late, supp)) = pair-grain any-late count).
+      val prof = li.groupBy($"l_orderkey".as("p_orderkey"), $"l_suppkey")
+        .agg(max(when($"l_shipdate" > cutoff, 1L).otherwise(0L)).as("late"))
+        .groupBy($"p_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late_supp"))
         .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
         .select($"p_orderkey")
       val ordF = Tables.orders(s, d)
@@ -2964,18 +2972,25 @@ object TierB {
     },
     (s, d) => {
       import s.implicits._
+      // One key-grain FULL OUTER join per relation feeds all four audit
+      // numbers from a single conditional aggregate (guide §2.4/§1.2:
+      // the r16 shape ran three separate single-row aggregates — totals,
+      // orphan anti-join, childless anti-join — stitched by two broadcast
+      // cross joins, 12+ tiny jobs per relation, 59 total; both sides are
+      // key-grain so the 1:1 full join preserves every count exactly,
+      // including duplicate-parent-key degeneracy via pcnt).
       def rel(name: String, child: DataFrame, ckey: String,
           parent: DataFrame, pkey: String): DataFrame = {
-        val ck = graft.CacheRegistry.persist(
-          child.groupBy(col(ckey).as("k")).agg(count(lit(1)).as("cnt")))
-        val pk = graft.CacheRegistry.persist(parent.select(col(pkey).as("pk")))
-        val totals = ck.agg(sum($"cnt").cast(LongType).as("n_child_rows"),
-          count(lit(1)).as("n_child_keys"))
-        val orph = ck.join(pk, $"k" === $"pk", "left_anti")
-          .agg(coalesce(sum($"cnt"), lit(0L)).cast(LongType).as("n_orphan_rows"))
-        val childless = pk.join(ck, $"pk" === $"k", "left_anti")
-          .agg(count(lit(1)).as("n_childless_parents"))
-        totals.crossJoin(broadcast(orph)).crossJoin(broadcast(childless))
+        val ck = child.groupBy(col(ckey).as("k")).agg(count(lit(1)).as("cnt"))
+        val pk = parent.groupBy(col(pkey).as("pk")).agg(count(lit(1)).as("pcnt"))
+        ck.join(pk, $"k" === $"pk", "full")
+          .agg(
+            coalesce(sum($"cnt"), lit(0L)).cast(LongType).as("n_child_rows"),
+            count($"k").as("n_child_keys"),
+            coalesce(sum(when($"pk".isNull, $"cnt")), lit(0L)).cast(LongType)
+              .as("n_orphan_rows"),
+            coalesce(sum(when($"k".isNull, $"pcnt")), lit(0L)).cast(LongType)
+              .as("n_childless_parents"))
           .select(lit(name).as("relation"), $"n_child_rows", $"n_child_keys",
             $"n_orphan_rows", $"n_childless_parents")
       }
@@ -3691,9 +3706,16 @@ object TierB {
       val n = h.groupBy($"event_type".as("nty"))
         .agg(sum($"cnt").cast(LongType).as("n"),
           expr("(sum(cnt) + 1) div 2").cast(LongType).as("k"))
+      // The rank threshold k rides the SAME window exchange as the
+      // cumulative count (an unbounded-frame sum over the identical
+      // partition key adds no exchange and no extra pass), instead of a
+      // separate groupBy + broadcast join: one aggregate job and two
+      // broadcast builds removed per median (guide §2.4 — two operations
+      // keyed the same way share one exchange). k is the identical
+      // integer ((sum cnt + 1) div 2), so med/mad are value-identical.
       val wCum = Window.partitionBy($"event_type").orderBy($"v6")
       val med = h.withColumn("cum", sum($"cnt").over(wCum))
-        .join(broadcast(n), $"event_type" === $"nty")
+        .withColumn("k", expr("(sum(cnt) over (partition by event_type) + 1) div 2"))
         .filter($"cum" >= $"k")
         .groupBy($"event_type").agg(min($"v6").as("med6"))
       val dh = h.join(broadcast(med.withColumnRenamed("event_type", "mty")),
@@ -3702,7 +3724,7 @@ object TierB {
         .agg(sum($"cnt").cast(LongType).as("dc"))
       val wDum = Window.partitionBy($"event_type").orderBy($"d6")
       val mad = dh.withColumn("cum", sum($"dc").over(wDum))
-        .join(broadcast(n), $"event_type" === $"nty")
+        .withColumn("k", expr("(sum(dc) over (partition by event_type) + 1) div 2"))
         .filter($"cum" >= $"k")
         .groupBy($"event_type").agg(min($"d6").as("mad6"))
       val o = h.join(broadcast(med.withColumnRenamed("event_type", "mty")),

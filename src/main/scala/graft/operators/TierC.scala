@@ -55,7 +55,12 @@ object TierC {
     */
   private[operators] def lshIndex(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", bandsUdf($"text").as("bands"))
+    // Par.spread: the signature UDF (per doc: ~|toks| md5 shingles × 32
+    // linear-permutation slots) is the corpus-scan hot loop, and the
+    // single-row-group sf tables scan as ONE task (guide §2.5 unsplittable
+    // input) — measured 1.9 s serial / 11 single-task jobs at sf0.1 on
+    // c2_dedup_pairs before the spread.
+    graft.Par.spread(docs).select($"doc_id", bandsUdf($"text").as("bands"))
       .select($"doc_id", posexplode($"bands").as(Seq("band_id", "band_hash")))
   }
 

@@ -294,7 +294,11 @@ object TierCSim {
     */
   private def bigramExploded(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    // Par.spread: the bigram UDF + explode is the corpus-scan hot loop of
+    // every pair-mine query, and the single-row-group sf tables scan as
+    // ONE task (guide §2.5 unsplittable input) — the spread lets the
+    // tokenize/explode map side use every core before the first exchange.
+    graft.Par.spread(docs)
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
       .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
@@ -3709,7 +3713,8 @@ object TierCSim {
         val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
         MinHash.shingles(toks).distinct.toArray
       }
-      val posting = docs.select($"doc_id", shUdf($"text").as("shs"))
+      // Par.spread: shingle UDF + explode on a single-row-group scan (§2.5)
+      val posting = graft.Par.spread(docs).select($"doc_id", shUdf($"text").as("shs"))
         .filter(size($"shs") > 0)
         .select($"doc_id", size($"shs").as("sz"), explode($"shs").as("gram"))
       val kept = dfCapKept(posting, Seq("gram"), LshRecallDfCap, hotPreFilter = false,
@@ -4183,7 +4188,9 @@ object TierCSim {
       // persisted: the (doc, fp) posting list feeds BOTH the df-cap
       // derivation and the pair join — without the barrier the corpus
       // chunk explode + distinct runs twice
-      val inst = CacheRegistry.persist(Tables.documents(s, d)
+      // Par.spread: tokenize + chunk-md5 explode is the corpus-scan hot
+      // loop and the single-row-group scan is one task (guide §2.5)
+      val inst = CacheRegistry.persist(graft.Par.spread(Tables.documents(s, d))
         .select($"doc_id", toks.as("toks")).filter(size($"toks") > 0)
         .select($"doc_id", explode(transform(
           sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
@@ -4325,7 +4332,9 @@ object TierCSim {
 
   def contentReuseHits(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
     import s.implicits._
-    val inst = docs
+    // Par.spread: the chunk-md5 mine is the corpus-scan hot loop and the
+    // single-row-group scan is one task (guide §2.5)
+    val inst = graft.Par.spread(docs)
       .select($"doc_id",
         expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
       .filter(size($"toks") > 0)
@@ -4341,14 +4350,23 @@ object TierCSim {
     var a = n.select($"id", lit(1000000L).as("v"))
     var h = a
     for (_ <- 1 to iters) {
+      // localCheckpoint per join-agg, the kcore/b52 lineage discipline:
+      // hraw/araw are each referenced TWICE (the normalizer's broadcast
+      // build + the rank join), so un-materialized the recompute tree
+      // branches ×4 per iteration — measured 54 jobs / 2.3 s of pure
+      // Catalyst planning / 4.8 s total at sf0.1; checkpointing the two
+      // |V|-row join-aggs pins each subtree to one evaluation and keeps
+      // the plan flat (24 jobs / 1.3 s total, same output).
       val hraw = e.join(a.select($"id".as("aid"), $"v"), $"dst" === $"aid")
         .groupBy($"src").agg(sum($"v").as("raw"))
+        .localCheckpoint()
       val hsum = hraw.agg(coalesce(sum($"raw"), lit(0L)).as("s"))
       h = n.join(hraw, $"id" === $"src", "left").crossJoin(broadcast(hsum))
         .select($"id",
           expr("coalesce(raw, 0L) * 1000000 div greatest(s, 1L)").as("v"))
       val araw = e.join(h.select($"id".as("hid"), $"v"), $"src" === $"hid")
         .groupBy($"dst").agg(sum($"v").as("raw"))
+        .localCheckpoint()
       val asum = araw.agg(coalesce(sum($"raw"), lit(0L)).as("s"))
       a = n.join(araw, $"id" === $"dst", "left").crossJoin(broadcast(asum))
         .select($"id",
@@ -5345,7 +5363,9 @@ object TierCSim {
     val triUdf = udf { (t: String) =>
       t.sliding(EditQ).filter(_.length == EditQ).toArray.distinct
     }
-    val base = docs.select($"doc_id", $"source", $"n_chars", $"text")
+    // Par.spread: the trigram UDF + explode is the corpus-scan hot loop
+    // and the single-row-group scan is one task (guide §2.5)
+    val base = graft.Par.spread(docs).select($"doc_id", $"source", $"n_chars", $"text")
     val g = base.filter(length($"text") >= EditQ)
       .select($"doc_id", $"source", $"n_chars", triUdf($"text").as("gs"))
     val e = g.select($"doc_id", $"source", $"n_chars",

@@ -11,8 +11,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * single seam where that swap happens.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema memo: `spark.read.parquet(path)` infers the schema by reading
+    * parquet footers — a driver-side job that every one of the ~380
+    * registry queries pays once per table it touches (measured 30-60 ms
+    * each at sf0.1). A real deployment fronts these paths with a catalog
+    * whose schema is metadata, not a per-query footer read; this memo is
+    * that catalog seam, per (JVM, path). It caches SCHEMA ONLY — never
+    * data, never results: every query still computes from the parquet
+    * bytes, and the physical scan is byte-identical (`.schema(s)` on a
+    * path whose footer says `s` plans the exact same FileSourceScan).
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val cached = schemaMemo.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(path, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
