@@ -72,6 +72,14 @@ object Bench {
       // measurement fix per guide §1.4).
       locally {
         graft.operators.TierA.allFixtures(spark, sfDir)
+        // the three derived LAYOUTS with the same once-per-JVM mtime-keyed
+        // pattern: bucketed join tables (b124/b124b), the partition-pruned
+        // events dir (b125), and the saved IVF-PQ index whose probe query
+        // is declared build-once/probe-many (c3_ivfpq_prebuilt) — each
+        // first timed query otherwise eats the one-time write
+        graft.operators.TierB.bucketedTables(spark, sfDir)
+        graft.operators.TierB.partitionedEvents(spark, sfDir)
+        graft.operators.TierCSim.ivfPqIndexFixture(spark, sfDir)
       }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
     // Failed queries report -1.0 (never a silently-timed crash) so the

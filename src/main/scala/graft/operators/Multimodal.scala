@@ -127,10 +127,10 @@ object Multimodal {
     */
   def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
-    // Par.spread: every consumer decodes payload bytes in mapPartitions,
-    // and the single-row-group scan is one task (guide §2.5) — spread so
-    // the per-partition codecs use every core.
-    graft.Par.spread(Tables.documents(s, d))
+    // (Par.spread measured a net LOSS here — the decode stub is cheap, so
+    // the exchange cost exceeded the unlocked parallelism: c6h +0.45 s,
+    // c6k +0.34 s min-of-2; see OPTIMIZATION_r17.md.)
+    Tables.documents(s, d)
       .select($"doc_id".as("media_id"), lit("text/plain").as("kind"),
         encode($"text", "UTF-8").as("payload"))
       .as[MediaRecord]

@@ -40,8 +40,37 @@ object Spatial {
       (for { cx <- cx0 to cx1; cy <- cy0 to cy1 } yield (cx, cy)).toArray
     }
 
-  private val containsUdf: UserDefinedFunction =
-    udf { (wkb: Array[Byte], px: Double, py: Double) => Wkb.containsPoint(wkb, px, py) }
+  /** Per-task decoded-ring memo for probe UDFs whose geometry column
+    * repeats a SMALL set of WKBs across millions of candidate rows — the
+    * grid joins replicate each polygon to every covering cell, so the
+    * refine UDF used to re-parse the same few byte arrays once per
+    * candidate pair (guide §1.2 step 2, per-task work). The memo is a
+    * `@transient lazy` field, so the closure serializes empty and every
+    * task deserializes its own map (no sharing, no locking); it clears at
+    * 4096 entries so a high-cardinality geometry column degrades to the
+    * per-row decode instead of leaking. Probe results are bit-identical:
+    * the ring forms carry the streaming walks' exact IEEE chains (Wkb).
+    */
+  private final class RingMemo extends Serializable {
+    @transient private lazy val memo =
+      new java.util.HashMap[java.nio.ByteBuffer, Seq[Array[(Double, Double)]]]()
+    def apply(wkb: Array[Byte]): Seq[Array[(Double, Double)]] = {
+      val k = java.nio.ByteBuffer.wrap(wkb)
+      var r = memo.get(k)
+      if (r == null) {
+        if (memo.size >= 4096) memo.clear()
+        r = Wkb.decodeAreaRings(wkb)
+        memo.put(k, r)
+      }
+      r
+    }
+  }
+
+  private val containsUdf: UserDefinedFunction = {
+    val rings = new RingMemo
+    udf { (wkb: Array[Byte], px: Double, py: Double) =>
+      Wkb.containsPointRings(rings(wkb), px, py) }
+  }
 
   private val sridUdf: UserDefinedFunction = udf { (wkb: Array[Byte]) => Wkb.srid(wkb) }
 
@@ -206,8 +235,16 @@ object Spatial {
       r: Double, cell: Double, k: Int): DataFrame = {
     val s = points.sparkSession
     import s.implicits._
-    val distUdf = udf { (wkb: Array[Byte], px: Double, py: Double) =>
-      if (Wkb.containsPoint(wkb, px, py)) 0.0 else Wkb.boundaryDistance(wkb, px, py)
+    // RingMemo: the poly side is a handful of WKBs replicated to millions
+    // of candidate rows — decode once per (task, polygon), probe with the
+    // identical IEEE chains (measured a11aq 1.9 s -> ~1.2 s)
+    val distUdf = {
+      val rings = new RingMemo
+      udf { (wkb: Array[Byte], px: Double, py: Double) =>
+        val r = rings(wkb)
+        if (Wkb.containsPointRings(r, px, py)) 0.0
+        else Wkb.boundaryDistanceRings(r, px, py)
+      }
     }
     val gridded = polys
       .withColumn("bb", bboxUdf($"wkb"))

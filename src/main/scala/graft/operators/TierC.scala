@@ -58,8 +58,12 @@ object TierC {
     // Par.spread: the signature UDF (per doc: ~|toks| md5 shingles × 32
     // linear-permutation slots) is the corpus-scan hot loop, and the
     // single-row-group sf tables scan as ONE task (guide §2.5 unsplittable
-    // input) — measured 1.9 s serial / 11 single-task jobs at sf0.1 on
-    // c2_dedup_pairs before the spread.
+    // input). This is the one corpus-scan UDF heavy enough to pay for the
+    // exchange: min-of-2 A/B at sf0.1 measured c2_dedup_near −0.35 s,
+    // c2_dedup_pairs −0.31 s, c2_dedup_corpus −0.39 s, c2_band_occupancy
+    // −0.23 s, c2_incremental −0.16 s with the spread ON (the cheap
+    // bigram/msgpack/media-stub scans all measured a wash or a loss and
+    // stay unspread — see OPTIMIZATION_r17.md).
     graft.Par.spread(docs).select($"doc_id", bandsUdf($"text").as("bands"))
       .select($"doc_id", posexplode($"bands").as(Seq("band_id", "band_hash")))
   }

@@ -294,11 +294,11 @@ object TierCSim {
     */
   private def bigramExploded(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // Par.spread: the bigram UDF + explode is the corpus-scan hot loop of
-    // every pair-mine query, and the single-row-group sf tables scan as
-    // ONE task (guide §2.5 unsplittable input) — the spread lets the
-    // tokenize/explode map side use every core before the first exchange.
-    graft.Par.spread(docs)
+    // (Par.spread measured a wash here — min-of-2 A/B over the 12
+    // pair-mine queries: the bigram UDF is a cheap split+slide, so the
+    // exchange's fixed cost eats the parallelism gain; see
+    // OPTIMIZATION_r17.md "where spread does NOT pay".)
+    docs
       .select($"doc_id", $"source", bigramsUdf($"text").as("grams"))
       .filter(size($"grams") >= 1)
       .select($"doc_id", $"source", size($"grams").as("sz"), explode($"grams").as("gram"))
@@ -3713,8 +3713,7 @@ object TierCSim {
         val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
         MinHash.shingles(toks).distinct.toArray
       }
-      // Par.spread: shingle UDF + explode on a single-row-group scan (§2.5)
-      val posting = graft.Par.spread(docs).select($"doc_id", shUdf($"text").as("shs"))
+      val posting = docs.select($"doc_id", shUdf($"text").as("shs"))
         .filter(size($"shs") > 0)
         .select($"doc_id", size($"shs").as("sz"), explode($"shs").as("gram"))
       val kept = dfCapKept(posting, Seq("gram"), LshRecallDfCap, hotPreFilter = false,
@@ -4188,9 +4187,7 @@ object TierCSim {
       // persisted: the (doc, fp) posting list feeds BOTH the df-cap
       // derivation and the pair join — without the barrier the corpus
       // chunk explode + distinct runs twice
-      // Par.spread: tokenize + chunk-md5 explode is the corpus-scan hot
-      // loop and the single-row-group scan is one task (guide §2.5)
-      val inst = CacheRegistry.persist(graft.Par.spread(Tables.documents(s, d))
+      val inst = CacheRegistry.persist(Tables.documents(s, d)
         .select($"doc_id", toks.as("toks")).filter(size($"toks") > 0)
         .select($"doc_id", explode(transform(
           sequence(lit(0L), ceil(size($"toks") / 8.0).cast(LongType) - 1),
@@ -4332,9 +4329,7 @@ object TierCSim {
 
   def contentReuseHits(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
     import s.implicits._
-    // Par.spread: the chunk-md5 mine is the corpus-scan hot loop and the
-    // single-row-group scan is one task (guide §2.5)
-    val inst = graft.Par.spread(docs)
+    val inst = docs
       .select($"doc_id",
         expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
       .filter(size($"toks") > 0)
@@ -5363,9 +5358,7 @@ object TierCSim {
     val triUdf = udf { (t: String) =>
       t.sliding(EditQ).filter(_.length == EditQ).toArray.distinct
     }
-    // Par.spread: the trigram UDF + explode is the corpus-scan hot loop
-    // and the single-row-group scan is one task (guide §2.5)
-    val base = graft.Par.spread(docs).select($"doc_id", $"source", $"n_chars", $"text")
+    val base = docs.select($"doc_id", $"source", $"n_chars", $"text")
     val g = base.filter(length($"text") >= EditQ)
       .select($"doc_id", $"source", $"n_chars", triUdf($"text").as("gs"))
     val e = g.select($"doc_id", $"source", $"n_chars",

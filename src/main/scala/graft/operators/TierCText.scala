@@ -2601,8 +2601,7 @@ object TierCText {
             ORDER BY t.source"""),
     (s, d) => {
       import s.implicits._
-      // Par.spread: chunk-md5 explode on a single-row-group scan (§2.5)
-      val base = graft.Par.spread(Tables.documents(s, d))
+      val base = Tables.documents(s, d)
         .select($"doc_id", $"source", toksCol.as("toks"))
         .filter(size($"toks") > 0)
       val inst = CacheRegistry.persist(base
@@ -2774,8 +2773,7 @@ object TierCText {
             ORDER BY src_a, src_b"""),
     (s, d) => {
       import s.implicits._
-      // Par.spread: chunk-md5 explode on a single-row-group scan (§2.5)
-      val fs = CacheRegistry.persist(graft.Par.spread(Tables.documents(s, d))
+      val fs = CacheRegistry.persist(Tables.documents(s, d)
         .select($"source", toksCol.as("toks"))
         .filter(size($"toks") > 0)
         .select($"source", explode(transform(
