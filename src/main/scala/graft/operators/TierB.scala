@@ -4814,12 +4814,24 @@ object TierB {
             ORDER BY lift_e9 DESC, pa, pb LIMIT 100"""),
     (s, d) => {
       import s.implicits._
-      val i = graft.CacheRegistry.persist(Tables.lineitem(s, d)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct())
-      val sup = i.groupBy($"pk").agg(count(lit(1)).as("sup"))
-      val c = i.select($"ok", $"pk".as("pa"))
-        .join(i.select($"ok".as("ok_r"), $"pk".as("pb")),
-          $"ok" === $"ok_r" && $"pa" < $"pb")
+      // Baskets as sorted arrays, pairs enumerated MAP-SIDE from each
+      // basket row (guide §2.4 — remove the shuffle outright): the r16
+      // shape materialized distinct (order, part) rows and self-joined
+      // them on the order key, which re-exchanged both sides (the distinct
+      // partitioning is (ok, pk), the join key is ok). One groupBy(ok)
+      // collects each bounded basket once; pa < pb falls out of slicing
+      // the sorted array past the anchor's position. Same Σ|basket|²
+      // fan-out bound, one exchange fewer, no join. Values identical:
+      // collect_set = the distinct, pair multiplicity per order is 1
+      // either way.
+      val baskets = graft.CacheRegistry.persist(Tables.lineitem(s, d)
+        .groupBy($"l_orderkey".as("ok"))
+        .agg(sort_array(collect_set($"l_partkey")).as("bs")))
+      val sup = baskets.select(explode($"bs").as("pk"))
+        .groupBy($"pk").agg(count(lit(1)).as("sup"))
+      val c = baskets
+        .select(posexplode($"bs").as(Seq("i", "pa")), $"bs")
+        .select($"pa", explode(expr("slice(bs, i + 2, size(bs))")).as("pb"))
         .groupBy($"pa", $"pb").agg(count(lit(1)).as("c_xy"))
         .filter($"c_xy" >= 2)
       c.join(sup.select($"pk".as("pa"), $"sup".as("c_x")), Seq("pa"))

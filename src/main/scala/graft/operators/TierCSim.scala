@@ -4218,6 +4218,7 @@ object TierCSim {
       var e = prs.select($"id_a".as("s"), $"id_b".as("d"))
         .unionAll(prs.select($"id_b".as("s"), $"id_a".as("d")))
         .localCheckpoint()
+      var converged = false
       (1 to KcoreRounds).foreach { _ =>
         // peel via ANTI joins against the round's REMOVED fringe (deg<2),
         // not inner joins against the (graph-sized) survivor set: the
@@ -4226,11 +4227,21 @@ object TierCSim {
         // edge list is then never shuffled, only streamed. Semantics are
         // identical (keep = not-in-fringe; every node appears as `s` in
         // the symmetric list, so the degree table covers all of them).
-        val bad = e.groupBy($"s").agg(count(lit(1)).as("deg"))
-          .filter($"deg" < 2).select($"s".as("k"))
-        e = e.join(bad, $"s" === $"k", "left_anti")
-          .join(bad.select($"k".as("kd")), $"d" === $"kd", "left_anti")
-          .localCheckpoint()
+        // Early exit (r17): peeling is monotone, so an EMPTY fringe means
+        // every remaining round is a no-op — e is already the k-core and
+        // the skipped rounds would reproduce it bit-for-bit (the oracle's
+        // unrolled CTEs agree: k_i selects everything, e_i = e_{i-1}).
+        // The fringe is checkpointed anyway to feed both anti joins, so
+        // the emptiness probe costs one take(1) on materialized rows.
+        if (!converged) {
+          val bad = e.groupBy($"s").agg(count(lit(1)).as("deg"))
+            .filter($"deg" < 2).select($"s".as("k"))
+            .localCheckpoint()
+          if (bad.isEmpty) converged = true
+          else e = e.join(bad, $"s" === $"k", "left_anti")
+            .join(bad.select($"k".as("kd")), $"d" === $"kd", "left_anti")
+            .localCheckpoint()
+        }
       }
       e.groupBy($"s").agg(count(lit(1)).as("deg"))
         .select($"s".as("doc_id"), $"deg")
