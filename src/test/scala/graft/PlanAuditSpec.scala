@@ -1551,4 +1551,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!codesScan.contains("embedding"),
       "candidate side re-reads float vectors:\n" + codesScan)
   }
+
+  // ---- r17 optimization-round pins: the rewritten shapes must not regress
+
+  test("b58 q21: supplier profile is a two-level aggregate — no Expand doubling lineitem") {
+    val p = plan("b58_tpch_q21")
+    // the r16 double countDistinct planned an Expand that duplicated every
+    // lineitem row before the profile shuffle (OPTIMIZATION_r17.md)
+    assert(!p.contains("Expand"), "the countDistinct Expand came back:\n" + p)
+  }
+
+  test("b105 basket lift: pairs enumerate map-side from collected baskets — no pair self-join") {
+    val p = plan("b105_basket_lift")
+    // only the two support-probe joins may remain; the (ok,pk)×(ok,pk)
+    // self-join (which re-exchanged both sides) is gone
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(joins <= 2, s"expected at most the 2 support joins, found $joins:\n" + p)
+    assert(p.contains("Generate"), "basket pair explode missing:\n" + p)
+  }
+
+  test("b72 fk audit: one full-outer join per relation, no single-row broadcast stitching") {
+    val p = plan("b72_fk_audit")
+    assert("FullOuter".r.findAllIn(p).length == 4,
+      "expected exactly 4 key-grain full-outer joins:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "single-row cross-join stitching came back:\n" + p)
+  }
+
+  test("c2_hits: per-iteration checkpoints keep the final plan flat") {
+    // un-materialized, the twice-referenced per-iteration join-aggs made
+    // the FINAL plan tree branch ×4 per iteration — 2454 Exchange nodes in
+    // the r16 formatted plan (plans/r17/c2_hits_before.txt) vs ~20 after;
+    // the bound below fails long before the exponential shape returns
+    val p = plan("c2_hits")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges < 60,
+      s"c2_hits plan has $exchanges Exchange nodes — iteration lineage is growing again")
+  }
 }

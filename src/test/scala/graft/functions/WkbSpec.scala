@@ -958,6 +958,34 @@ class WkbSpec extends AnyFunSuite {
     // bufferSquare still rejects the reflex ring loudly (the gap a11ai measures around)
     intercept[IllegalArgumentException](Wkb.bufferSquare(l, 6.17))
   }
+  // r17 optimization pin: the decode-once ring probes (decodeAreaRings +
+  // containsPointRings/boundaryDistanceRings, used by a11ai and the grid
+  // joins' RingMemo) must match the streaming per-call walks BIT-FOR-BIT —
+  // same doubles, same comparisons, including holes and multipolygons.
+  test("ring-decoded probes equal the streaming walks bit-for-bit") {
+    val holed = Wkb.polygon(Seq(
+      Seq((0.0, 0.0), (40.0, 0.0), (40.0, 20.0), (20.0, 20.0),
+        (20.0, 40.0), (0.0, 40.0), (0.0, 0.0)),
+      Seq((5.0, 5.0), (10.0, 5.0), (10.0, 10.0), (5.0, 10.0), (5.0, 5.0))))
+    val south = Wkb.polygon(Seq(
+      Seq((50.0, 50.0), (60.0, 50.0), (55.0, 58.3), (50.0, 50.0))))
+    val multi = Wkb.multi(6, Seq(holed, south))
+    for (g <- Seq(holed, south, multi)) {
+      val rings = Wkb.decodeAreaRings(g)
+      var x = -3.1
+      while (x < 62.0) {
+        var y = -2.7
+        while (y < 62.0) {
+          assert(Wkb.containsPointRings(rings, x, y) == Wkb.containsPoint(g, x, y),
+            s"contains mismatch at ($x, $y)")
+          assert(Wkb.boundaryDistanceRings(rings, x, y) == Wkb.boundaryDistance(g, x, y),
+            s"distance mismatch at ($x, $y)")
+          y += 1.63
+        }
+        x += 1.37
+      }
+    }
+  }
 }
 
 /** Randomized invariants over the geometry predicates: generated convex
@@ -1086,4 +1114,5 @@ object WkbProps extends Properties("Wkb") {
       val nOk = if (south) n >= 0.0 && n <= 2.0e7 else math.abs(n) < 1.0e7
       eOk && nOk && math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9
     }
+
 }

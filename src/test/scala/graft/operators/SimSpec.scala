@@ -1226,4 +1226,29 @@ class SimSpec extends AnyFunSuite {
         s"vec $i residual·V = $dotR exceeds truncation bound $bound")
     }
   }
+
+  // r17 optimization pin: c2_kcore's early exit (stop peeling at the first
+  // EMPTY deg<2 fringe) must produce the hand-computed 2-core — the fixture
+  // converges after ONE peel round, so rounds 2..4 run through the skip
+  // path and the declared output must be the stabilized core unchanged.
+  test("c2_kcore early exit: converged peel equals the hand-computed 2-core") {
+    import spark.implicits._
+    // chunks align at 8-token boundaries: docs A,B,C share chunk K3
+    // (complete triangle); D shares a second chunk with A only (pendant).
+    val k3 = (1 to 8).map(i => s"tri$i").mkString(" ")
+    val ad = (1 to 8).map(i => s"pend$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", s"$k3 $ad", 0L), // A: chunks [K3, AD]
+      (2L, "s1", k3, 0L),         // B: [K3]
+      (3L, "s1", k3, 0L),         // C: [K3]
+      (4L, "s1", ad, 0L))         // D: [AD] — degree 1, peeled in round 1
+      .toDF("doc_id", "source", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("kcore_fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.Registry.queries("c2_kcore")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+    assert(out == Set((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"2-core mismatch: $out (D must peel, the triangle must survive with degree 2)")
+  }
 }
