@@ -158,8 +158,13 @@ object Bench {
     // lands in a repo file that gets committed with the round.
     try {
       // cwd-relative default (not a machine-specific absolute path) so the
-      // dict survives on any checkout; SPARK_GRAFT_BENCH_OUT overrides
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      // dict survives on any checkout; SPARK_GRAFT_BENCH_OUT overrides.
+      // Suffixed with the core count (r18): the driver's scaling probe runs
+      // the bench again at a lower cpu count in the same checkout, and an
+      // unsuffixed default made that run CLOBBER the main run's per-query
+      // dict (r17: the 32-core dict was lost to the c8 rerun) — now each
+      // core count lands in its own file.
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_FULL_c$cpus.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] full-json write: ${e.getMessage}") }
   }

@@ -50,8 +50,14 @@ object CacheRegistry {
   def memoPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized { memo.getOrElseUpdate((s, key), persist(build)) }
 
-  /** Unpersist every registered frame (non-blocking) and clear the ledger. */
+  /** Unpersist every registered frame (non-blocking) and clear the ledger.
+    * Drains CapStats' async engagement counts FIRST — those counts scan the
+    * persisted frames registered here, so the sweep must not pull the cache
+    * out from under an in-flight count (it would silently recompute the
+    * whole lineage uncached).
+    */
   def releaseAll(): Unit = synchronized {
+    CapStats.await()
     frames.foreach(_.unpersist(false))
     frames.clear()
     memo.clear()

@@ -446,12 +446,14 @@ object Spatial {
     Some(a11jOracle),
     (s, d) => {
       import s.implicits._
-      val points = Tables.events(s, d)
+      // r18: broadcast the 25-diamond poly side + spread the point scan —
+      // same rationale as a11aq (the k=3 sibling); see the note there.
+      val points = graft.Par.spread(Tables.events(s, d)
         .select($"event_id".cast(StringType).as("point_id"),
-          $"value".as("px"), $"value".as("py"))
-      val polys = Tables.nation(s, d)
+          $"value".as("px"), $"value".as("py")))
+      val polys = broadcast(Tables.nation(s, d)
         .select($"n_nationkey".as("poly_id"),
-          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(15.11)).as("wkb"))
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(15.11)).as("wkb")))
       nearestPolygonWithinR(points, polys, r = 12.5, cell = 25.0)
         .orderBy($"point_id")
     }
@@ -2348,12 +2350,20 @@ object Spatial {
     Some(knnDiamondOracle(vr = 15.11, r = 25.0, k = 3, emitRn = true)),
     (s, d) => {
       import s.implicits._
-      val points = Tables.events(s, d)
+      // r18 (guide §3.1 + §2.5): the poly side is 25 nation diamonds — an
+      // explicit broadcast turns the cell equi-join into a BHJ, so the
+      // CPU-dense distance refine runs in the SCAN stage instead of after
+      // a two-sided cell exchange AQE coalesced to ~9 byte-sized tasks;
+      // Par.spread then gives that scan stage the session's parallelism
+      // (identity at production layouts). Caller-side, like a11ao's zonal
+      // broadcast — the library join stays strategy-neutral for big poly
+      // sides.
+      val points = graft.Par.spread(Tables.events(s, d)
         .select($"event_id".cast(StringType).as("point_id"),
-          $"value".as("px"), $"value".as("py"))
-      val polys = Tables.nation(s, d)
+          $"value".as("px"), $"value".as("py")))
+      val polys = broadcast(Tables.nation(s, d)
         .select($"n_nationkey".as("poly_id"),
-          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(15.11)).as("wkb"))
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(15.11)).as("wkb")))
       knnPolygonsWithinR(points, polys, r = 25.0, cell = 25.0, k = 3)
         .orderBy($"point_id", $"rn")
     }

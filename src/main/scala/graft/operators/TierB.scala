@@ -1946,6 +1946,11 @@ object TierB {
       // flag; level 2 counts suppliers and late suppliers per order —
       // identical values (countDistinct(supp) = pair-grain row count;
       // countDistinct(when(late, supp)) = pair-grain any-late count).
+      // Non-null FK assumption (ADVICE r17): countDistinct skips NULLs but
+      // a NULL l_suppkey would form its own pair-grain group here; TPC-H
+      // lineitem declares l_suppkey NOT NULL (FK to supplier), and the
+      // generator never emits one, so the shapes agree. If this ever feeds
+      // a nullable-FK table, add `.filter($"l_suppkey".isNotNull)`.
       val prof = li.groupBy($"l_orderkey".as("p_orderkey"), $"l_suppkey")
         .agg(max(when($"l_shipdate" > cutoff, 1L).otherwise(0L)).as("late"))
         .groupBy($"p_orderkey")
@@ -2091,13 +2096,13 @@ object TierB {
       // the closure twice, so an un-truncated plan doubles per round
       // (measured as a 2.1 MiB task binary by round 6 with persist-only —
       // the starComponents lineage discipline, TierCSim barrier note)
-      var clo = edges.localCheckpoint()
+      var clo = graft.Par.pin(edges)
       (1 to 6).foreach { _ =>
         val l = clo.select($"user_id", $"ancestor".as("mid"), $"depth".as("d1"))
         val r = clo.select($"user_id".as("mid_r"), $"ancestor", $"depth".as("d2"))
         val composed = l.join(r, $"mid" === $"mid_r")
           .select($"user_id", $"ancestor", ($"d1" + $"d2").as("depth"))
-        clo = clo.unionByName(composed).distinct().localCheckpoint()
+        clo = graft.Par.pin(clo.unionByName(composed).distinct())
       }
       clo.orderBy($"user_id", $"depth")
     }
@@ -4499,21 +4504,36 @@ object TierB {
       val cm = cust.crossJoin(broadcast(mx))
         .select($"ck", $"freq", $"mon_e2",
           expr("(mxus - cus) div 86400000000L").as("rec_days"))
-      def cumBins(bin: Column, nm: String): DataFrame = {
-        val b = cm.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
-        // prefix over the value-bounded bin table only (b57/b93 precedent)
-        val w = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, -1)
-        b.select($"bin".as(s"${nm}_bin"),
-          coalesce(sum($"c").over(w), lit(0L)).cast(LongType).as(s"${nm}_cl"))
-      }
-      val rc = cumBins(-$"rec_days", "r")
-      val fc = cumBins($"freq", "f")
-      val mc = cumBins(expr("mon_e2 div 1000000"), "m")
-      val n = cm.agg(count(lit(1)).as("nc"))
-      cm.join(broadcast(rc), -cm("rec_days") === $"r_bin")
-        .join(broadcast(fc), cm("freq") === $"f_bin")
-        .join(broadcast(mc), expr("mon_e2 div 1000000") === $"m_bin")
-        .crossJoin(broadcast(n))
+      // ONE exploded (metric, bin) pass replaces the three per-metric bin
+      // builders (r18, guide §2.4 shared exchange): each customer emits its
+      // r/f/m bin tagged by metric, one partial-agg shuffle counts all
+      // three bin domains together, and one per-metric window derives the
+      // cumulative-below prefix AND the customer total (nc = Σc within any
+      // metric — every customer has exactly one bin per metric, so this
+      // equals the old separate COUNT(*) frame). Collapses 3 bin-agg jobs
+      // + 1 count job + 4 broadcast builds into 1 agg + 3 tiny cache-scan
+      // broadcasts; per-bin values are identical, so the three join keys
+      // and every score are bit-for-bit unchanged.
+      val binW = Window.partitionBy($"metric").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bins = graft.CacheRegistry.persist(cm
+        .select(explode(array(
+          struct(lit("r").as("metric"), (-$"rec_days").as("bin")),
+          struct(lit("f").as("metric"), $"freq".as("bin")),
+          struct(lit("m").as("metric"), expr("mon_e2 div 1000000").as("bin")))).as("mb"))
+        .groupBy($"mb.metric".as("metric"), $"mb.bin".as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .select($"metric", $"bin",
+          coalesce(sum($"c").over(binW), lit(0L)).cast(LongType).as("cl"),
+          sum($"c").over(Window.partitionBy($"metric")).cast(LongType).as("nc")))
+      def side(m: String, nm: String): DataFrame =
+        bins.filter($"metric" === m)
+          .select($"bin".as(s"${nm}_bin"), $"cl".as(s"${nm}_cl"),
+            $"nc".as(s"${nm}_nc"))
+      cm.join(broadcast(side("r", "r")), -cm("rec_days") === $"r_bin")
+        .join(broadcast(side("f", "f")), cm("freq") === $"f_bin")
+        .join(broadcast(side("m", "m")), expr("mon_e2 div 1000000") === $"m_bin")
+        .withColumn("nc", $"r_nc")
         .select($"mon_e2",
           least(lit(1L) + expr("(5 * r_cl) div nc"), lit(5L)).as("r_score"),
           least(lit(1L) + expr("(5 * f_cl) div nc"), lit(5L)).as("f_score"),
@@ -5931,39 +5951,42 @@ object TierB {
       val h = CacheRegistry.persist(e.crossJoin(broadcast(dmin))
         .select(when($"day" < $"dmin" + 15L, "a").otherwise("b").as("half"), $"v2")
         .groupBy($"half", $"v2").agg(count(lit(1)).as("cnt")))
-      val na = h.filter($"half" === "a")
-        .agg(sum($"cnt").cast(LongType).as("n"))
-      // domain-bounded (~49k distinct cents) cumulative walk for the edges
+      // r18 job-collapse (guide §2.4, the b72 conditional-agg pattern): the
+      // baseline total rides the SAME domain-bounded frame as the
+      // cumulative walk (n = max(cum), one more unpartitioned window over
+      // ~49k rows — replaces a separate agg + broadcast); the 9 quantile
+      // indices explode from a literal sequence instead of a broadcast
+      // range; the two per-half bucket frames collapse into ONE
+      // conditional agg; and the a/b totals ride a window over the 10-row
+      // grid instead of a broadcast single-row frame (nA = Σ c_base over
+      // the grid — every h row lands in a bucket 0..9, so the sums equal
+      // the old per-half totals, including the degenerate all-baseline
+      // span where nB = 0). 22 jobs → ~8; every value bit-for-bit.
       val wCum = Window.orderBy($"v2").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val cumh = h.filter($"half" === "a")
         .select($"v2", sum($"cnt").over(wCum).as("cum"))
-      val edges = cumh.crossJoin(broadcast(na))
-        .crossJoin(broadcast(s.range(1L, 10L).toDF("i")))
+        .withColumn("n", max($"cum").over(wAll))
+      val edges = cumh
+        .select($"v2", $"cum", $"n", explode(sequence(lit(1L), lit(9L))).as("i"))
         .filter($"cum" >= expr("(i * n + 9) div 10"))
         .groupBy($"i").agg(min($"v2").as("edge"))
       val arr = edges.agg(sort_array(collect_list($"edge")).as("edges"))
-      val bk = CacheRegistry.persist(h.crossJoin(broadcast(arr))
+      val bk = h.crossJoin(broadcast(arr))
         .select($"half",
           size(filter($"edges", x => $"v2" > x)).cast(LongType).as("bucket"), $"cnt")
-        .groupBy($"half", $"bucket").agg(sum($"cnt").cast(LongType).as("cnt")))
-      // single-row conditional agg: a degenerate span (every event inside the
-      // 15-day baseline) leaves half 'b' empty — the row still materializes
-      // with nB = 0, matching the oracle's COALESCE'd scalar subquery, so
-      // both sides emit the full 10-bucket grid instead of diverging 10 vs 0.
-      val tot = bk.agg(
-        coalesce(sum(when($"half" === "a", $"cnt")), lit(0L)).cast(LongType).as("nA"),
-        coalesce(sum(when($"half" === "b", $"cnt")), lit(0L)).cast(LongType).as("nB"))
+        .groupBy($"bucket").agg(
+          coalesce(sum(when($"half" === "a", $"cnt")), lit(0L)).cast(LongType).as("ca"),
+          coalesce(sum(when($"half" === "b", $"cnt")), lit(0L)).cast(LongType).as("cb"))
       val grid = s.range(0L, 10L).toDF("bucket")
-      val p = grid
-        .join(bk.filter($"half" === "a").select($"bucket".as("ba"), $"cnt".as("ca")),
-          $"bucket" === $"ba", "left")
-        .join(bk.filter($"half" === "b").select($"bucket".as("bb"), $"cnt".as("cb")),
-          $"bucket" === $"bb", "left")
-        .crossJoin(broadcast(tot))
+      val p = grid.join(bk, Seq("bucket"), "left")
         .select($"bucket",
-          coalesce($"ca", lit(0L)).as("c_base"), coalesce($"cb", lit(0L)).as("c_new"),
-          ((coalesce($"ca", lit(0L)) + 1L).cast(DoubleType) / ($"nA" + 10L)).as("pa"),
-          ((coalesce($"cb", lit(0L)) + 1L).cast(DoubleType) / ($"nB" + 10L)).as("pb"))
+          coalesce($"ca", lit(0L)).as("c_base"), coalesce($"cb", lit(0L)).as("c_new"))
+        .withColumn("nA", sum($"c_base").over(wAll).cast(LongType))
+        .withColumn("nB", sum($"c_new").over(wAll).cast(LongType))
+        .select($"bucket", $"c_base", $"c_new",
+          (($"c_base" + 1L).cast(DoubleType) / ($"nA" + 10L)).as("pa"),
+          (($"c_new" + 1L).cast(DoubleType) / ($"nB" + 10L)).as("pb"))
       p.select($"bucket", $"c_base", $"c_new",
           floor(lit(1000000000.0) * (($"pa" - $"pb") * log($"pa" / $"pb")))
             .cast(LongType).as("term_e9"))

@@ -71,13 +71,14 @@ object TierCSim {
     */
   private def headCapKept(ranked: DataFrame, cap: Int, tag: String): DataFrame = {
     import ranked.sparkSession.implicits._
-    val dropped = ranked.filter($"hrank" > cap).count()
-    graft.CapStats.record(tag, dropped)
-    if (dropped > 0)
+    // async audit count (r18): overlaps the caller's planning/main action;
+    // awaited before any stats read or cache sweep — see dfCapKept
+    graft.CapStats.recordAsync(tag)(ranked.filter($"hrank" > cap).count()) { dropped =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$tag: occupancy cap $cap dropped $dropped candidate rows beyond the " +
           "md5-deterministic bucket head (recall trimmed deterministically; " +
           "dense buckets keep their head of true neighbors)")
+    }
     ranked.filter($"hrank" <= cap)
   }
 
@@ -307,6 +308,23 @@ object TierCSim {
   def ngramJaccardPairs(s: SparkSession, docs: DataFrame,
       threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
     import s.implicits._
+    ngramJaccardPairsRaw(s, docs, threshold, dfCap, hotPreFilter)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** [[ngramJaccardPairs]] WITHOUT the final presentation ORDER BY — for
+    * the graph/census consumers (CC, degree, triangles, LPA, PageRank,
+    * Adamic-Adar, histograms) that immediately re-aggregate the pairs.
+    * The declared pair queries sort for output; an intermediate consumer
+    * that persists the mine (or its derivative) pays that sort's sampling
+    * job + rangepartitioning exchange + global sort FOR NOTHING, because
+    * EliminateSorts cannot see through the persist boundary (r18,
+    * guide §2.4: an `orderBy` used only to make output deterministic is
+    * an accidental exchange). Pair SET and values are identical.
+    */
+  private[operators] def ngramJaccardPairsRaw(s: SparkSession, docs: DataFrame,
+      threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
+    import s.implicits._
     val kept = dfCapKept(bigramExploded(docs), Seq("source", "gram"), dfCap, hotPreFilter,
       nHot => s"c2_ngram_jaccard: dropped $nHot grams with df > $dfCap from " +
         "candidate generation (Jaccard becomes a strict underestimate for " +
@@ -332,7 +350,6 @@ object TierCSim {
         $"shared".cast(DoubleType) / ($"sa" + $"sb" - $"shared"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
   }
 
   /** Asymmetric containment pairs — C(A→B) = |A∩B| / |A| over distinct
@@ -425,13 +442,20 @@ object TierCSim {
     // CapStats tag, so engagement is test-assertable without a signature
     // change at ten call sites
     val tag = warnMsg(0L).takeWhile(_ != ':')
+    // r18: the hot-key counts are audit side-channels (no result depends on
+    // them) but used to run as eager driver-blocking jobs here, serialized
+    // BEFORE the caller's main action was even planned. recordAsync moves
+    // them to a background thread: the count job overlaps the main query's
+    // Catalyst planning/codegen and shares the cache build with the main
+    // action (whichever scans the persisted frame first materializes it).
+    // CacheRegistry.releaseAll / every CapStats read awaits completion, so
+    // the no-silent-caps contract (count always computed, recorded, WARNed)
+    // is observationally unchanged.
     if (hotPreFilter) {
       val hot = CacheRegistry.persist(exploded
         .groupBy(keys: _*).agg(count(lit(1)).as("df"))
         .filter($"df" > dfCap).select(keys: _*))
-      val nHot = hot.count()
-      graft.CapStats.record(tag, nHot)
-      if (nHot > 0) log.warn(warnMsg(nHot))
+      graft.CapStats.recordAsync(tag)(hot.count())(n => log.warn(warnMsg(n)))
       CacheRegistry.persist(exploded
         .join(broadcast(hot), keyCols, "left_anti")
         .repartition(keys: _*))
@@ -441,9 +465,9 @@ object TierCSim {
         .withColumn("df", count(lit(1)).over(dfWin)))
       // hot-key drop count: a cheap distinct over the cached frame's
       // capped tail (the Zipf head is at most |keys|/cap entries)
-      val nHot = sized.filter($"df" > dfCap).select(keys: _*).distinct().count()
-      graft.CapStats.record(tag, nHot)
-      if (nHot > 0) log.warn(warnMsg(nHot))
+      graft.CapStats.recordAsync(tag)(
+        sized.filter($"df" > dfCap).select(keys: _*).distinct().count())(
+        n => log.warn(warnMsg(n)))
       sized.filter($"df" <= dfCap).drop("df")
     }
   }
@@ -833,7 +857,7 @@ object TierCSim {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val pairs = ngramJaccardPairs(s, docs, ClusterThreshold, NgramDfCap)
+      val pairs = ngramJaccardPairsRaw(s, docs, ClusterThreshold, NgramDfCap)
         .select($"id_a".as("src"), $"id_b".as("dst"))
       val nodes = docs.select($"doc_id".as("id"))
       connectedComponentsStar(s, nodes, pairs)
@@ -861,7 +885,7 @@ object TierCSim {
   def dedupCorpus(s: SparkSession, docs: DataFrame,
       threshold: Double, dfCap: Int): DataFrame = {
     import s.implicits._
-    val pairs = ngramJaccardPairs(s, docs, threshold, dfCap)
+    val pairs = ngramJaccardPairsRaw(s, docs, threshold, dfCap)
       .select($"id_a".as("src"), $"id_b".as("dst"))
     val nodes = docs.select($"doc_id".as("id"))
     connectedComponentsStar(s, nodes, pairs)
@@ -897,7 +921,7 @@ object TierCSim {
   def clusterSafeSplit(s: SparkSession, docs: DataFrame,
       threshold: Double, dfCap: Int): DataFrame = {
     import s.implicits._
-    val pairs = ngramJaccardPairs(s, docs, threshold, dfCap)
+    val pairs = ngramJaccardPairsRaw(s, docs, threshold, dfCap)
       .select($"id_a".as("src"), $"id_b".as("dst"))
     val nodes = docs.select($"doc_id".as("id"))
     val draw = substring(md5($"cluster".cast(StringType)), 1, 1)
@@ -1072,8 +1096,9 @@ object TierCSim {
   def similarityPageRank(s: SparkSession, docs: DataFrame, threshold: Double,
       dfCap: Int, iters: Int = 3, hotPreFilter: Boolean = false): DataFrame = {
     import s.implicits._
-    val prs = ngramJaccardPairs(s, docs, threshold, dfCap, hotPreFilter)
-      .select($"id_a", $"id_b")
+    val prs = CacheRegistry.persist(
+      ngramJaccardPairsRaw(s, docs, threshold, dfCap, hotPreFilter)
+        .select($"id_a", $"id_b"))
     val edges = prs.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(prs.select($"id_b".as("src"), $"id_a".as("dst")))
     val withDeg = CacheRegistry.persist(
@@ -1160,7 +1185,7 @@ object TierCSim {
     // via a plain equi-join on the functional doc_id→source mapping —
     // pairs ≪ docs, one shuffle, keeps ngramJaccardPairs' declared
     // output untouched.
-    val prs = ngramJaccardPairs(s, docs, threshold, dfCap)
+    val prs = ngramJaccardPairsRaw(s, docs, threshold, dfCap)
       .select($"id_a", $"id_b")
     // cache the sourced edge list: degrees, orientation, closure, and the
     // edge-stats agg all re-read it — uncached, each consumer would
@@ -1279,8 +1304,9 @@ object TierCSim {
   def labelPropagation(s: SparkSession, docs: DataFrame,
       threshold: Double, dfCap: Int, iters: Int): DataFrame = {
     import s.implicits._
-    val prs = ngramJaccardPairs(s, docs, threshold, dfCap)
-      .select($"id_a", $"id_b")
+    val prs = CacheRegistry.persist(
+      ngramJaccardPairsRaw(s, docs, threshold, dfCap)
+        .select($"id_a", $"id_b"))
     val nodes = docs.select($"doc_id".as("id"))
     // directed edges both ways PLUS a self-loop per node — the self vote
     val e = CacheRegistry.persist(
@@ -3644,7 +3670,7 @@ object TierCSim {
             FROM prs GROUP BY 1 ORDER BY decile"""),
     (s, d) => {
       import s.implicits._
-      ngramJaccardPairs(s, Tables.documents(s, d), 0.1, NgramDfCap)
+      ngramJaccardPairsRaw(s, Tables.documents(s, d), 0.1, NgramDfCap)
         .select(least(floor($"jaccard" * 10), lit(9)).cast(LongType).as("decile"))
         .groupBy($"decile").agg(count(lit(1)).as("n_pairs"))
         .orderBy($"decile")
@@ -3794,7 +3820,7 @@ object TierCSim {
         when(substring(md5(norm), 1, 1).between("0", "b"), "train")
           .when(substring(md5(norm), 1, 1).isin("c", "d"), "val")
           .otherwise("test").as("split"))
-      val prs = ngramJaccardPairs(s, docs, ClusterThreshold, NgramDfCap)
+      val prs = ngramJaccardPairsRaw(s, docs, ClusterThreshold, NgramDfCap)
         .select($"id_a", $"id_b")
       prs
         .join(sp.select($"doc_id".as("id_a"), $"split".as("split_a")), "id_a")
@@ -4196,13 +4222,14 @@ object TierCSim {
       val fpdf = CacheRegistry.persist(
         inst.groupBy($"fp").agg(count(lit(1)).as("dfc")))
       // no-silent-caps: count + record the hot chunks the cap excludes
-      val nHot = fpdf.filter($"dfc" > ChunkGraphDfCap).count()
-      graft.CapStats.record("c2_kcore", nHot)
-      if (nHot > 0)
+      // (async, r18 — overlaps the peel loop's planning; see dfCapKept)
+      graft.CapStats.recordAsync("c2_kcore")(
+        fpdf.filter($"dfc" > ChunkGraphDfCap).count()) { nHot =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"c2_kcore: dropped $nHot chunk fingerprints with df > $ChunkGraphDfCap " +
             "from the co-occurrence graph (boilerplate mega-chunks carry no " +
             "copying signal; the 2-core is computed over the surviving edges)")
+      }
       val fpk = fpdf.filter($"dfc" >= 2 && $"dfc" <= ChunkGraphDfCap).select($"fp")
       val posting = CacheRegistry.persist(inst.join(fpk, "fp"))
       val prs = posting.select($"fp", $"doc_id".as("id_a"))
@@ -4215,9 +4242,8 @@ object TierCSim {
       // 3.2 (2) → 15.8 (4) at sf0.001 with lazy persist, i.e. 2^rounds
       // recomputation; the b52/starComponents lineage discipline cuts it
       // back to linear.
-      var e = prs.select($"id_a".as("s"), $"id_b".as("d"))
-        .unionAll(prs.select($"id_b".as("s"), $"id_a".as("d")))
-        .localCheckpoint()
+      var e = graft.Par.pin(prs.select($"id_a".as("s"), $"id_b".as("d"))
+        .unionAll(prs.select($"id_b".as("s"), $"id_a".as("d"))))
       var converged = false
       (1 to KcoreRounds).foreach { _ =>
         // peel via ANTI joins against the round's REMOVED fringe (deg<2),
@@ -4234,13 +4260,11 @@ object TierCSim {
         // The fringe is checkpointed anyway to feed both anti joins, so
         // the emptiness probe costs one take(1) on materialized rows.
         if (!converged) {
-          val bad = e.groupBy($"s").agg(count(lit(1)).as("deg"))
-            .filter($"deg" < 2).select($"s".as("k"))
-            .localCheckpoint()
+          val bad = graft.Par.pin(e.groupBy($"s").agg(count(lit(1)).as("deg"))
+            .filter($"deg" < 2).select($"s".as("k")))
           if (bad.isEmpty) converged = true
-          else e = e.join(bad, $"s" === $"k", "left_anti")
-            .join(bad.select($"k".as("kd")), $"d" === $"kd", "left_anti")
-            .localCheckpoint()
+          else e = graft.Par.pin(e.join(bad, $"s" === $"k", "left_anti")
+            .join(bad.select($"k".as("kd")), $"d" === $"kd", "left_anti"))
         }
       }
       e.groupBy($"s").agg(count(lit(1)).as("deg"))
@@ -4365,14 +4389,14 @@ object TierCSim {
       // the plan flat (24 jobs / 1.3 s total, same output).
       val hraw = e.join(a.select($"id".as("aid"), $"v"), $"dst" === $"aid")
         .groupBy($"src").agg(sum($"v").as("raw"))
-        .localCheckpoint()
+        .transform(graft.Par.pin)
       val hsum = hraw.agg(coalesce(sum($"raw"), lit(0L)).as("s"))
       h = n.join(hraw, $"id" === $"src", "left").crossJoin(broadcast(hsum))
         .select($"id",
           expr("coalesce(raw, 0L) * 1000000 div greatest(s, 1L)").as("v"))
       val araw = e.join(h.select($"id".as("hid"), $"v"), $"src" === $"hid")
         .groupBy($"dst").agg(sum($"v").as("raw"))
-        .localCheckpoint()
+        .transform(graft.Par.pin)
       val asum = araw.agg(coalesce(sum($"raw"), lit(0L)).as("s"))
       a = n.join(araw, $"id" === $"dst", "left").crossJoin(broadcast(asum))
         .select($"id",
@@ -4446,7 +4470,7 @@ object TierCSim {
     (s, d) => {
       import s.implicits._
       val pairs = CacheRegistry.persist(
-        ngramJaccardPairs(s, Tables.documents(s, d), 0.1, NgramDfCap))
+        ngramJaccardPairsRaw(s, Tables.documents(s, d), 0.1, NgramDfCap))
       val th = (1 to 9).map(_.toLong).toDF("t10")
       val sw = CacheRegistry.persist(pairs.join(broadcast(th),
         $"jaccard" >= $"t10".cast(DoubleType) / 10.0))
@@ -4491,7 +4515,7 @@ object TierCSim {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val pairs = ngramJaccardPairs(s, docs, ClusterThreshold, NgramDfCap)
+      val pairs = ngramJaccardPairsRaw(s, docs, ClusterThreshold, NgramDfCap)
         .select($"id_a".as("src"), $"id_b".as("dst"))
       val nodes = docs.select($"doc_id".as("id"))
       connectedComponentsStar(s, nodes, pairs)
@@ -4543,7 +4567,13 @@ object TierCSim {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val pairs = ngramJaccardPairs(s, docs, DegreeThreshold, NgramDfCap)
+      // persisted (r18): the union references the mine TWICE and the plan
+      // dump showed the whole inverted-index pair join executing once per
+      // branch (no exchange reuse across the union) — the barrier pins it
+      // to one evaluation
+      val pairs = CacheRegistry.persist(
+        ngramJaccardPairsRaw(s, docs, DegreeThreshold, NgramDfCap)
+          .select($"id_a", $"id_b"))
       val g = pairs.select($"id_a".as("id")).union(pairs.select($"id_b".as("id")))
         .groupBy($"id").agg(count(lit(1)).as("deg"))
       docs.select($"doc_id")
@@ -4899,7 +4929,7 @@ object TierCSim {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val pairs = CacheRegistry.persist(
-        ngramJaccardPairs(s, docs, DegreeThreshold, NgramDfCap)
+        ngramJaccardPairsRaw(s, docs, DegreeThreshold, NgramDfCap)
           .select($"id_a", $"id_b"))
       val g = pairs.select($"id_a".as("id")).union(pairs.select($"id_b".as("id")))
         .groupBy($"id").agg(count(lit(1)).as("deg"))
@@ -5152,23 +5182,29 @@ object TierCSim {
     (s, d) => {
       import s.implicits._
       val pairs = CacheRegistry.persist(
-        ngramJaccardPairs(s, Tables.documents(s, d), 0.08, NgramDfCap)
+        ngramJaccardPairsRaw(s, Tables.documents(s, d), 0.08, NgramDfCap)
           .select($"id_a", $"id_b"))
       val und = pairs.select($"id_a".as("z"), $"id_b".as("nb"))
         .unionAll(pairs.select($"id_b".as("z"), $"id_a".as("nb")))
-      val deg = CacheRegistry.persist(
-        und.groupBy($"z").agg(count(lit(1)).as("dg")))
+      // degree attach as ONE window over z (r18 — the dfCapKept
+      // window-shape trick, guide §2.4): replaces groupBy + join-back
+      // (which exchanged und twice and cached two frames) with a single
+      // exchange that also leaves the edge list hash-partitioned on the
+      // self-join key z, so the common-neighbor join reuses it on both
+      // sides. Same (z, nb, dg) rows.
+      val sized = CacheRegistry.persist(und.withColumn("dg",
+        count(lit(1)).over(Window.partitionBy($"z"))))
       // hub cut BEFORE the self-join — the deg² fan-out guard;
       // no-silent-caps: count + record the hubs the cap excludes
-      val nHubs = deg.filter($"dg" > AaHubCap).count()
-      graft.CapStats.record("c2_adamic_adar", nHubs)
-      if (nHubs > 0)
+      // (async, r18 — overlaps the self-join's planning; see dfCapKept)
+      graft.CapStats.recordAsync("c2_adamic_adar")(
+        sized.filter($"dg" > AaHubCap).select($"z").distinct().count()) { nHubs =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"c2_adamic_adar: dropped $nHubs hub nodes with degree > $AaHubCap " +
             "from the common-neighbor enumeration (scores through those hubs " +
             "are excluded; a hub's 1/ln(deg) weight is ~noise by design)")
-      val el = CacheRegistry.persist(
-        und.join(deg.filter($"dg" <= AaHubCap), "z"))
+      }
+      val el = sized.filter($"dg" <= AaHubCap)
       val cn = el.select($"z", $"nb".as("x"), $"dg")
         .join(el.select($"z".as("z2"), $"nb".as("y")),
           $"z" === $"z2" && $"x" < $"y")

@@ -22,15 +22,29 @@ object Tables {
     * path whose footer says `s` plans the exact same FileSourceScan).
     */
   private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+
+  /** Source mtime for the memo key (ADVICE r17): the driver regenerates
+    * testdata at the SAME paths, and every other mtime-keyed cache in the
+    * repo (TierA fixtures, bucketedTables, ivfPqIndexFixture) refreshes on
+    * that; a path-only schema memo would silently serve a stale schema to
+    * `spark.read.schema(...)` (nulls/missing columns, not an error) if a
+    * table's shape ever changed at a reused path within one JVM. A
+    * directory-shaped parquet path keys on the dir's own mtime (rewrites
+    * replace files inside it, bumping it).
+    */
+  private def mtime(path: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    catch { case _: Throwable => 0L }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val cached = schemaMemo.get(path)
+    val key = (path, mtime(path))
+    val cached = schemaMemo.get(key)
     if (cached != null) spark.read.schema(cached).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaMemo.put(path, df.schema)
+      schemaMemo.put(key, df.schema)
       df
     }
   }
