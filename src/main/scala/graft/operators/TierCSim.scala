@@ -2203,8 +2203,13 @@ object TierCSim {
     val cand = headCapKept(ranked, LshBucketCap, "pqSearch")
       .select(($"vec_id".as("id_b") +: $"label".as("label_b") +:
         (0 until m).map(si => col(s"c$si"))): _*)
+    // Par.spread (r18, guide §2.5): the query side is a single-file scan —
+    // the ADC stage (label-block join + m LUT lookups per pair + partial
+    // top-k) runs ON the scan task, serializing the per-pair compute on
+    // one core (Profile: one 1.54 s job dominating the query). The spread
+    // is identity at production layouts.
     val q = (0 until m).foldLeft(
-        embeddings.select($"vec_id".as("id_a"), $"label", $"embedding")) {
+        graft.Par.spread(embeddings.select($"vec_id".as("id_a"), $"label", $"embedding"))) {
       (df, si) => df.withColumn(s"lut$si", pqDistArray(si, books(si), $"embedding"))
     }.drop("embedding")
     val approx = (0 until m).map { si =>
@@ -3967,6 +3972,12 @@ object TierCSim {
     Some(c3rcOracle),
     (s, d) => {
       import s.implicits._
+      // (Par.spread on this cache was A/B'd r18 and REVERTED: warm 2.12 s
+      // unspread vs 3.93 s spread — the repartition exchanges the float
+      // vectors (86 KiB -> 2.3 MiB shuffle) and the arms' map work is
+      // already cheap enough that the extra exchange + cache rebuild
+      // dominates. The pq/ADC case is different: its per-pair LUT work is
+      // heavy enough to pay for the exchange.)
       val e = CacheRegistry.persist(Tables.embeddings(s, d)
         .select($"vec_id", $"embedding", TierC.dot($"embedding", $"embedding").as("n2")))
       val n = e.count()

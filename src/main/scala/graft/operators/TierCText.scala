@@ -2090,7 +2090,13 @@ object TierCText {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, a, b, a + b, cnt))
         // symbols are [a-z]+ by the word filter, so embedding them as SQL
-        // string literals needs no escaping
+        // string literals needs no escaping.
+        // (r18 re-probe of the r17 call: Par.pin-per-round — flatten the
+        // stacked replace chain with an eager localCheckpoint each round —
+        // was A/B'd alternating at this HEAD and REVERTED: encode min
+        // 3.12 s pinned vs 3.01 unpinned, train 2.60 vs 2.32; ten ~40 ms
+        // checkpoint jobs cost more than the K² tiny-map replays save.
+        // The stacked-replace + single-persist shape stands.)
         reps = reps.select($"w",
           expr(s"replace(rep, '<$a><$b>', '<$a$b>')").as("rep"), $"cnt")
         step += 1
