@@ -356,12 +356,14 @@ object Spatial {
             ORDER BY feature_id, poly_id"""),
     (s, d) => {
       import s.implicits._
-      val points = Tables.events(s, d)
+      // r18: broadcast the 25-diamond side + spread the event scan — the
+      // a11aq rationale (refine at scan parallelism, no cell exchanges)
+      val points = graft.Par.spread(Tables.events(s, d)
         .select($"event_id".cast(StringType).as("point_id"),
-          $"value".as("px"), $"value".as("py"))
-      val polys = Tables.nation(s, d)
+          $"value".as("px"), $"value".as("py")))
+      val polys = broadcast(Tables.nation(s, d)
         .select($"n_nationkey".as("poly_id"),
-          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(35.27)).as("wkb"))
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(35.27)).as("wkb")))
       pointInPolygonJoin(points, polys, cell = 25.0)
         .select($"point_id".as("feature_id"), $"poly_id")
         .orderBy($"feature_id", $"poly_id")
@@ -381,12 +383,14 @@ object Spatial {
             ORDER BY a_id, b_id"""),
     (s, d) => {
       import s.implicits._
-      val a = Tables.events(s, d)
+      // r18: broadcast the 25-diamond side + spread the event scan — the
+      // a11aq rationale (refine at scan parallelism, no cell exchanges)
+      val a = graft.Par.spread(Tables.events(s, d)
         .select($"event_id".cast(StringType).as("a_id"),
-          diamondUdf($"value", lit(10.07)).as("a_wkb"))
-      val b = Tables.nation(s, d)
+          diamondUdf($"value", lit(10.07)).as("a_wkb")))
+      val b = broadcast(Tables.nation(s, d)
         .select($"n_nationkey".as("b_id"),
-          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(30.06)).as("b_wkb"))
+          diamondUdf(lit(20.0) * $"n_nationkey".cast(DoubleType), lit(30.06)).as("b_wkb")))
       polygonJoin(a, b, cell = 25.0)
         .orderBy($"a_id", $"b_id")
     }

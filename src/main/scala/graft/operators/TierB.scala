@@ -3719,19 +3719,24 @@ object TierB {
       // keyed the same way share one exchange). k is the identical
       // integer ((sum cnt + 1) div 2), so med/mad are value-identical.
       val wCum = Window.partitionBy($"event_type").orderBy($"v6")
-      val med = h.withColumn("cum", sum($"cnt").over(wCum))
+      // med/mad persisted (r18): med is referenced 3x (the MAD histogram,
+      // the outlier agg, the final stitch) and mad 2x — each broadcast
+      // build re-executed the whole window+agg chain over the histogram
+      // cache. The frames are |event_type| rows; pinning them collapses
+      // the rebuilds to cache scans.
+      val med = graft.CacheRegistry.persist(h.withColumn("cum", sum($"cnt").over(wCum))
         .withColumn("k", expr("(sum(cnt) over (partition by event_type) + 1) div 2"))
         .filter($"cum" >= $"k")
-        .groupBy($"event_type").agg(min($"v6").as("med6"))
+        .groupBy($"event_type").agg(min($"v6").as("med6")))
       val dh = h.join(broadcast(med.withColumnRenamed("event_type", "mty")),
           $"event_type" === $"mty")
         .groupBy($"event_type", abs($"v6" - $"med6").as("d6"))
         .agg(sum($"cnt").cast(LongType).as("dc"))
       val wDum = Window.partitionBy($"event_type").orderBy($"d6")
-      val mad = dh.withColumn("cum", sum($"dc").over(wDum))
+      val mad = graft.CacheRegistry.persist(dh.withColumn("cum", sum($"dc").over(wDum))
         .withColumn("k", expr("(sum(dc) over (partition by event_type) + 1) div 2"))
         .filter($"cum" >= $"k")
-        .groupBy($"event_type").agg(min($"d6").as("mad6"))
+        .groupBy($"event_type").agg(min($"d6").as("mad6")))
       val o = h.join(broadcast(med.withColumnRenamed("event_type", "mty")),
           $"event_type" === $"mty")
         .join(broadcast(mad.withColumnRenamed("event_type", "dty")),
