@@ -87,7 +87,14 @@ object Bench {
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // CapStats.await() INSIDE the timed region (r18): the no-silent-caps
+        // engagement counts are deferred to post-action (see CapStats), and
+        // they are part of the query's declared work — running them after
+        // the timer stopped would hide a real scan (and, for queries whose
+        // final count() prunes the capped subtree, the whole cache build)
+        // from the bench. Additions-only: for queries with no pending
+        // counts await() is a no-op and the timed region is unchanged.
+        try { fn(spark, sfDir).count(); CapStats.await(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

@@ -51,10 +51,10 @@ object CacheRegistry {
     synchronized { memo.getOrElseUpdate((s, key), persist(build)) }
 
   /** Unpersist every registered frame (non-blocking) and clear the ledger.
-    * Drains CapStats' async engagement counts FIRST — those counts scan the
-    * persisted frames registered here, so the sweep must not pull the cache
-    * out from under an in-flight count (it would silently recompute the
-    * whole lineage uncached).
+    * Runs CapStats' deferred engagement counts FIRST — those counts scan
+    * the persisted frames registered here (cheap post-action cache scans),
+    * so the sweep must not drop the cache before they run (they would
+    * silently recompute the whole lineage uncached).
     */
   def releaseAll(): Unit = synchronized {
     CapStats.await()

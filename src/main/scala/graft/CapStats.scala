@@ -19,45 +19,42 @@ object CapStats {
     */
   def record(tag: String, dropped: Long): Unit = drops.put(tag, dropped)
 
-  // ---- async engagement counts (r18, guide §2.6 overlap-independent-jobs)
+  // ---- deferred engagement counts (r18)
   //
   // The cap counts are logging/audit side-channels: no query RESULT depends
   // on them, but each used to run as an eager driver-blocking job INSIDE
   // the operator builder — serialized before the main action's Catalyst
-  // planning even started (measured 0.3-0.8 s per cap-bearing query). Run
-  // on a small daemon pool instead, the count job overlaps the main
-  // query's planning/codegen and (where both touch the same persisted
-  // frame) its cache build. The no-silent-caps CONTRACT is unchanged:
-  // every read path ([[lastDrop]], [[snapshot]]) and the cache sweep
-  // (CacheRegistry.releaseAll — always called before the persisted frames
-  // the counts scan are dropped) first [[await]]s completion, so by the
-  // time anyone can observe the query's result or the stats, the count has
-  // run, been recorded, and WARNed. Failures are not swallowed: await
-  // rethrows the first one with its tag.
+  // planning even started, and FORCING the full cache build as its own
+  // up-front job (measured 0.3-0.8 s per cap-bearing query at sf0.1).
+  // recordDeferred registers the count as a thunk instead; [[await]] runs
+  // the thunks, and every read path ([[lastDrop]], [[snapshot]]) and the
+  // cache sweep (CacheRegistry.releaseAll — always called after the
+  // query's final action and before the persisted frames the counts scan
+  // are dropped) awaits first. So in the normal harness lifecycle the
+  // count executes ONCE, immediately after the main action, as a cheap
+  // scan of the by-then-materialized cache — and by the time anyone can
+  // observe the query's result or the stats, the count has run, been
+  // recorded, and WARNed. The no-silent-caps contract is observationally
+  // unchanged; failures are not swallowed (await rethrows, named by tag).
+  //
+  // Deliberately DEFERRED, not concurrent: a first cut ran the count on a
+  // background pool to overlap the main action, but two jobs racing on the
+  // same un-materialized InMemoryRelation DOUBLE-COMPUTE its partitions
+  // (cache block stores dedup on write, not on compute) — at sf1 the
+  // 10x window build ran twice and the mine-family queries were 2-3x
+  // slower (ScaleBench: c2_ngram_jaccard 6.1 -> 14.1 s, c2_adamic_adar
+  // 10.0 -> 22.9 s). The deferred shape is race-free by construction.
   private val pending =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, java.util.concurrent.Future[_])]()
-  private lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
-    (r: Runnable) => {
-      val t = new Thread(r, "capstats-async")
-      t.setDaemon(true)
-      t
-    })
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, () => Long, Long => Unit)]()
 
-  /** Submit `count` for `tag` on the background pool; on completion the
-    * result is [[record]]ed and, when positive, passed to `warn`.
+  /** Register the engagement count for `tag` to run at the next [[await]]
+    * (post-action in the harness lifecycle); the result is [[record]]ed
+    * and, when positive, passed to `warn`.
     */
-  def recordAsync(tag: String)(count: => Long)(warn: Long => Unit): Unit = {
-    val fut = pool.submit(new Runnable {
-      override def run(): Unit = {
-        val n = count
-        record(tag, n)
-        if (n > 0) warn(n)
-      }
-    })
-    pending.add(tag -> fut)
-  }
+  def recordDeferred(tag: String)(count: => Long)(warn: Long => Unit): Unit =
+    pending.add((tag, () => count, warn))
 
-  /** Drain every outstanding async count (rethrowing the first failure,
+  /** Run every outstanding deferred count (rethrowing the first failure,
     * named by its tag). Idempotent; called by every stats read and by
     * CacheRegistry.releaseAll before it unpersists the frames the counts
     * scan.
@@ -65,11 +62,15 @@ object CapStats {
   def await(): Unit = {
     var entry = pending.poll()
     while (entry != null) {
-      val (tag, fut) = entry
-      try fut.get()
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          throw new RuntimeException(s"CapStats async count for '$tag' failed", e.getCause)
+      val (tag, count, warn) = entry
+      try {
+        val n = count()
+        record(tag, n)
+        if (n > 0) warn(n)
+      } catch {
+        case e: InterruptedException => throw e
+        case e: Throwable =>
+          throw new RuntimeException(s"CapStats deferred count for '$tag' failed", e)
       }
       entry = pending.poll()
     }

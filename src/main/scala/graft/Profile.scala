@@ -71,7 +71,7 @@ object Profile {
         case Some(fn) =>
           // cold pass (codegen/JIT) — timed separately
           val c0 = System.nanoTime()
-          try fn(spark, sfDir).count()
+          try { fn(spark, sfDir).count(); CapStats.await() }
           catch { case e: Throwable => System.err.println(s"[profile] $name cold FAILED: ${e.getMessage}") }
           val coldS = (System.nanoTime() - c0) / 1e9
           CacheRegistry.releaseAll(); spark.catalog.clearCache()
@@ -86,6 +86,8 @@ object Profile {
           val planNs = try { df.queryExecution.executedPlan; System.nanoTime() - t0 }
             catch { case _: Throwable => System.nanoTime() - t0 }
           df.count()
+          // deferred cap counts are timed work — same rationale as Bench
+          CapStats.await()
           val secs = (System.nanoTime() - t0) / 1e9
           val planS = planNs / 1e9
           val plan = try df.queryExecution.explainString(

@@ -73,7 +73,7 @@ object TierCSim {
     import ranked.sparkSession.implicits._
     // async audit count (r18): overlaps the caller's planning/main action;
     // awaited before any stats read or cache sweep — see dfCapKept
-    graft.CapStats.recordAsync(tag)(ranked.filter($"hrank" > cap).count()) { dropped =>
+    graft.CapStats.recordDeferred(tag)(ranked.filter($"hrank" > cap).count()) { dropped =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$tag: occupancy cap $cap dropped $dropped candidate rows beyond the " +
           "md5-deterministic bucket head (recall trimmed deterministically; " +
@@ -444,18 +444,18 @@ object TierCSim {
     val tag = warnMsg(0L).takeWhile(_ != ':')
     // r18: the hot-key counts are audit side-channels (no result depends on
     // them) but used to run as eager driver-blocking jobs here, serialized
-    // BEFORE the caller's main action was even planned. recordAsync moves
-    // them to a background thread: the count job overlaps the main query's
-    // Catalyst planning/codegen and shares the cache build with the main
-    // action (whichever scans the persisted frame first materializes it).
-    // CacheRegistry.releaseAll / every CapStats read awaits completion, so
-    // the no-silent-caps contract (count always computed, recorded, WARNed)
-    // is observationally unchanged.
+    // BEFORE the caller's main action was even planned — and each forced
+    // the full cache build as its own up-front job. recordDeferred runs
+    // them at CacheRegistry.releaseAll / first CapStats read instead:
+    // post-action, as a cheap scan of the by-then-materialized cache. The
+    // no-silent-caps contract (count always computed, recorded, WARNed
+    // before stats or results are observable) is unchanged; see CapStats
+    // for why deferred beats concurrent (cache-build double-compute race).
     if (hotPreFilter) {
       val hot = CacheRegistry.persist(exploded
         .groupBy(keys: _*).agg(count(lit(1)).as("df"))
         .filter($"df" > dfCap).select(keys: _*))
-      graft.CapStats.recordAsync(tag)(hot.count())(n => log.warn(warnMsg(n)))
+      graft.CapStats.recordDeferred(tag)(hot.count())(n => log.warn(warnMsg(n)))
       CacheRegistry.persist(exploded
         .join(broadcast(hot), keyCols, "left_anti")
         .repartition(keys: _*))
@@ -465,7 +465,7 @@ object TierCSim {
         .withColumn("df", count(lit(1)).over(dfWin)))
       // hot-key drop count: a cheap distinct over the cached frame's
       // capped tail (the Zipf head is at most |keys|/cap entries)
-      graft.CapStats.recordAsync(tag)(
+      graft.CapStats.recordDeferred(tag)(
         sized.filter($"df" > dfCap).select(keys: _*).distinct().count())(
         n => log.warn(warnMsg(n)))
       sized.filter($"df" <= dfCap).drop("df")
@@ -4233,8 +4233,8 @@ object TierCSim {
       val fpdf = CacheRegistry.persist(
         inst.groupBy($"fp").agg(count(lit(1)).as("dfc")))
       // no-silent-caps: count + record the hot chunks the cap excludes
-      // (async, r18 — overlaps the peel loop's planning; see dfCapKept)
-      graft.CapStats.recordAsync("c2_kcore")(
+      // (deferred to post-action, r18 — see dfCapKept)
+      graft.CapStats.recordDeferred("c2_kcore")(
         fpdf.filter($"dfc" > ChunkGraphDfCap).count()) { nHot =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"c2_kcore: dropped $nHot chunk fingerprints with df > $ChunkGraphDfCap " +
@@ -5207,8 +5207,8 @@ object TierCSim {
         count(lit(1)).over(Window.partitionBy($"z"))))
       // hub cut BEFORE the self-join — the deg² fan-out guard;
       // no-silent-caps: count + record the hubs the cap excludes
-      // (async, r18 — overlaps the self-join's planning; see dfCapKept)
-      graft.CapStats.recordAsync("c2_adamic_adar")(
+      // (deferred to post-action, r18 — see dfCapKept)
+      graft.CapStats.recordDeferred("c2_adamic_adar")(
         sized.filter($"dg" > AaHubCap).select($"z").distinct().count()) { nHubs =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"c2_adamic_adar: dropped $nHubs hub nodes with degree > $AaHubCap " +
