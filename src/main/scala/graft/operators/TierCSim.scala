@@ -322,7 +322,7 @@ object TierCSim {
     * guide §2.4: an `orderBy` used only to make output deterministic is
     * an accidental exchange). Pair SET and values are identical.
     */
-  private[operators] def ngramJaccardPairsRaw(s: SparkSession, docs: DataFrame,
+  private[graft] def ngramJaccardPairsRaw(s: SparkSession, docs: DataFrame,
       threshold: Double, dfCap: Int, hotPreFilter: Boolean = false): DataFrame = {
     import s.implicits._
     val kept = dfCapKept(bigramExploded(docs), Seq("source", "gram"), dfCap, hotPreFilter,
@@ -1304,9 +1304,8 @@ object TierCSim {
   def labelPropagation(s: SparkSession, docs: DataFrame,
       threshold: Double, dfCap: Int, iters: Int): DataFrame = {
     import s.implicits._
-    val prs = CacheRegistry.persist(
-      ngramJaccardPairsRaw(s, docs, threshold, dfCap)
-        .select($"id_a", $"id_b"))
+    val prs = ngramJaccardPairsRaw(s, docs, threshold, dfCap)
+      .select($"id_a", $"id_b")
     val nodes = docs.select($"doc_id".as("id"))
     // directed edges both ways PLUS a self-loop per node — the self vote
     val e = CacheRegistry.persist(

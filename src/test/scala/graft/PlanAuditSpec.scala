@@ -1588,4 +1588,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges < 60,
       s"c2_hits plan has $exchanges Exchange nodes — iteration lineage is growing again")
   }
+
+  // ---- r18 optimization-shape pins ------------------------------------
+
+  test("pair mine: the Raw variant has no presentation sort; the public one does") {
+    // r18: thirteen graph/census consumers switched to the unordered mine —
+    // under a persist boundary EliminateSorts cannot remove the ORDER BY,
+    // so each consumer paid a range-sampling job + rangepartitioning
+    // exchange + global sort for row order nobody consumes
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val raw = operators.TierCSim
+      .ngramJaccardPairsRaw(spark, docs, 0.6, 256)
+      .queryExecution.executedPlan.toString
+    assert(!raw.contains("rangepartitioning"),
+      "the internal mine grew a global sort back:\n" + raw)
+    val ordered = operators.TierCSim
+      .ngramJaccardPairs(spark, docs, 0.6, 256)
+      .queryExecution.executedPlan.toString
+    assert(ordered.contains("rangepartitioning"),
+      "the declared pair query lost its ORDER BY:\n" + ordered)
+    CacheRegistry.releaseAll(); spark.catalog.clearCache()
+  }
+
+  test("spatial nation-diamond joins stay broadcast (refine at scan parallelism)") {
+    // r18: the 25-polygon side is pinned broadcast so the exact refine
+    // runs in the (spread) scan stage, not behind a two-sided cell
+    // exchange whose task count AQE sizes by bytes instead of compute
+    for (name <- Seq("a11d_spatial_join", "a11f_polygon_join", "a11aq_knn_join")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the cell join must broadcast the polygon side:\n" + p)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: cell join fell back to a two-sided exchange:\n" + p)
+    }
+  }
+
+  test("b99_rfm: one exploded multi-metric bin pass, no per-metric rebuild joins") {
+    val p = plan("b99_rfm")
+    // the three bin domains ride ONE explode + one partial-agg shuffle;
+    // the three bin joins broadcast slices of the persisted bins frame
+    assert(p.contains("Generate"), "expected the (metric, bin) explode:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "bin attach must broadcast, never shuffle the customer frame:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the bin slices must read the persisted bins frame:\n" + p)
+  }
 }

@@ -149,11 +149,10 @@ class ScaleSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // the newest shuffle-heavy shapes are audited alongside the original
-      // two: the gram-decontamination join and both grid-blocked spatial
-      // joins must also survive broadcast-off without degrading
+      // two: the gram-decontamination join must also survive broadcast-off
+      // without degrading
       for (name <- Seq("c3_knn_cosine", "c2_dedup_pairs",
-          "c4_decontam", "a11d_spatial_join", "a11f_polygon_join",
-          "b8b_interval_join")) {
+          "c4_decontam", "b8b_interval_join")) {
         val df = Registry.queries(name)(spark, "/root/testdata/sf0.1")
         df.collect() // drive to completion so AQE's FINAL plan is inspected
         val plan = df.queryExecution.executedPlan.toString
@@ -162,6 +161,23 @@ class ScaleSpec extends AnyFunSuite {
           s"$name degraded to a non-equi join at sf0.1:\n" + plan)
         assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
           s"$name: expected a shuffled equi-join on the block key:\n" + plan)
+      }
+      // the grid-blocked spatial joins pin their 25-row nation-diamond
+      // side broadcast EXPLICITLY (r18 — the hint ignores the threshold by
+      // design; nation cardinality is value-bounded forever), so under
+      // broadcast-off they stay BroadcastHashJoin. The audit's actual
+      // guard — equi keys never degrading to BNLJ/cartesian — still holds
+      // verbatim: with the hint in place, a lineage-aliasing refactor that
+      // lost the cell equi-keys would surface as BroadcastNestedLoopJoin.
+      for (name <- Seq("a11d_spatial_join", "a11f_polygon_join")) {
+        val df = Registry.queries(name)(spark, "/root/testdata/sf0.1")
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("isFinalPlan=true"), s"$name: not a final adaptive plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"$name degraded to a non-equi join at sf0.1:\n" + plan)
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name: expected the pinned broadcast equi-join on the cell key:\n" + plan)
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", origBroadcast)
   }
